@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver's deterministic parquet tables (TESTDATA.md).
+  *
+  * At cluster scale these reads are plain distributed parquet scans: Catalyst
+  * handles split planning, column pruning, and predicate pushdown; nothing
+  * here collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), read as a nanos long under
+    // spark.sql.legacy.parquet.nanosAsLong; normalize to a microsecond
+    // TimestampType column so downstream code sees a real timestamp.
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case None => df
+    }
+  }
+
+  /** Register every table as a temp view named after the file. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

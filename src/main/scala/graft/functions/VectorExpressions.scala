@@ -1,0 +1,403 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dense/sparse/multi-vector kernels.
+  *
+  * These are the hot path of the vector-search surface the reference declares
+  * in its SQL corpus (/root/reference/tests/bin/tests.sql:10-76,156-168 —
+  * V_SEARCH / V_DISTANCE / V_SPARSE_SEARCH / V_COLBERT). The reference
+  * delegates all scalar evaluation to its host engine; here we implement the
+  * kernels as codegen-capable expressions so they stay inside whole-stage
+  * codegen (no UDF boxing) — the difference between viable and not at 100 TB.
+  *
+  * All kernels accumulate in `double` regardless of input element width, and
+  * accept `array<float>` or `array<double>` children without an up-front cast
+  * (the accessor is specialized at codegen time).
+  */
+private[graft] object VecExprUtil {
+  def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+  def isMultiVec(dt: DataType): Boolean = dt match {
+    case ArrayType(inner, _) => isVec(inner)
+    case _ => false
+  }
+  def isIndexVec(dt: DataType): Boolean = dt match {
+    case ArrayType(IntegerType | LongType, _) => true
+    case _ => false
+  }
+  /** Java source for reading element `i` of ArrayData `arr` as double. */
+  def accessor(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case LongType    => s"$arr.getLong($i)"
+      case other => throw new IllegalStateException(s"unsupported element $other")
+    }
+  /** Interpreted-mode accessor. */
+  def getter(dt: DataType): (ArrayData, Int) => Double =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case FloatType  => (a, i) => a.getFloat(i).toDouble
+      case DoubleType => (a, i) => a.getDouble(i)
+      case other => throw new IllegalStateException(s"unsupported element $other")
+    }
+  def longGetter(dt: DataType): (ArrayData, Int) => Long =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case LongType    => (a, i) => a.getLong(i)
+      case other => throw new IllegalStateException(s"unsupported element $other")
+    }
+  def checkVecs(exprs: Seq[Expression], name: String): TypeCheckResult = {
+    val bad = exprs.find(e => !isVec(e.dataType))
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<float>/array<double>, got ${bad.get.dataType.catalogString}")
+  }
+}
+
+import VecExprUtil._
+
+/** dot(a, b) over the common prefix of the two arrays -> double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(left, right), "v_dot")
+  override def prettyName: String = "v_dot"
+
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0.0
+    while (i < n) { s += getL(a, i) * getR(b, i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (${accessor(left.dataType, a, i)}) * (${accessor(right.dataType, b, i)});
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) -> double in [-1, 1]; NULL when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(left, right), "v_cosine")
+  override def prettyName: String = "v_cosine"
+
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+    while (i < n) {
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${accessor(left.dataType, a, i)};
+         |  double $y = ${accessor(right.dataType, b, i)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** euclidean distance ||a - b||_2 -> double. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(left, right), "v_euclid")
+  override def prettyName: String = "v_euclid"
+
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0.0
+    while (i < n) { val d = getL(a, i) - getR(b, i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (${accessor(left.dataType, a, i)}) - (${accessor(right.dataType, b, i)});
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EuclideanDistance =
+    copy(left = l, right = r)
+}
+
+/** Sparse dot product over two (indices, values) pairs with ascending,
+  * de-duplicated indices (the two-column sparse convention of
+  * /root/reference/src/arrow/schema.rs:91-107). Sorted-merge, O(n1+n2).
+  */
+case class SparseDotProduct(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "v_sparse_dot"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!isIndexVec(first.dataType) || !isIndexVec(third.dataType))
+      TypeCheckResult.TypeCheckFailure("v_sparse_dot indices must be array<int>/array<bigint>")
+    else checkVecs(Seq(second, fourth), "v_sparse_dot")
+  }
+
+  @transient private lazy val getI1 = longGetter(first.dataType)
+  @transient private lazy val getV1 = getter(second.dataType)
+  @transient private lazy val getI2 = longGetter(third.dataType)
+  @transient private lazy val getV2 = getter(fourth.dataType)
+
+  protected override def nullSafeEval(i1a: Any, v1a: Any, i2a: Any, v2a: Any): Any = {
+    val i1 = i1a.asInstanceOf[ArrayData]; val v1 = v1a.asInstanceOf[ArrayData]
+    val i2 = i2a.asInstanceOf[ArrayData]; val v2 = v2a.asInstanceOf[ArrayData]
+    val n1 = math.min(i1.numElements(), v1.numElements())
+    val n2 = math.min(i2.numElements(), v2.numElements())
+    var p = 0; var q = 0; var s = 0.0
+    while (p < n1 && q < n2) {
+      val a = getI1(i1, p); val b = getI2(i2, q)
+      if (a == b) { s += getV1(v1, p) * getV2(v2, q); p += 1; q += 1 }
+      else if (a < b) p += 1
+      else q += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (i1, v1, i2, v2) => {
+      val p = ctx.freshName("p"); val q = ctx.freshName("q"); val s = ctx.freshName("s")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      s"""
+         |int $n1 = java.lang.Math.min($i1.numElements(), $v1.numElements());
+         |int $n2 = java.lang.Math.min($i2.numElements(), $v2.numElements());
+         |int $p = 0; int $q = 0; double $s = 0.0;
+         |while ($p < $n1 && $q < $n2) {
+         |  long $a = ${accessor(first.dataType, i1, p)};
+         |  long $b = ${accessor(third.dataType, i2, q)};
+         |  if ($a == $b) {
+         |    $s += (${accessor(second.dataType, v1, p)}) * (${accessor(fourth.dataType, v2, q)});
+         |    $p++; $q++;
+         |  } else if ($a < $b) { $p++; } else { $q++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SparseDotProduct =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** ColBERT-style late-interaction MaxSim between two multi-vectors:
+  * sum over query vectors of (max over doc vectors of dot(q_i, d_j)).
+  * Mirrors the MaxSim comparator of /root/reference/tests/e2e.rs:142-147 and
+  * the V_COLBERT spec at /root/reference/tests/bin/tests.sql:156-168.
+  * `left` = document multi-vector, `right` = query multi-vector; both
+  * array<array<float|double>>. Empty doc or query -> 0.0.
+  */
+case class MaxSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "v_maxsim"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isMultiVec(left.dataType) && isMultiVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"v_maxsim expects array<array<float|double>>, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private def inner(dt: DataType): DataType = dt.asInstanceOf[ArrayType].elementType
+  @transient private lazy val getD = getter(inner(left.dataType))
+  @transient private lazy val getQ = getter(inner(right.dataType))
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val doc = l.asInstanceOf[ArrayData]; val qry = r.asInstanceOf[ArrayData]
+    val nq = qry.numElements(); val nd = doc.numElements()
+    var qi = 0; var total = 0.0
+    while (qi < nq) {
+      val qv = qry.getArray(qi)
+      var best = Double.NegativeInfinity
+      var di = 0
+      while (di < nd) {
+        val dv = doc.getArray(di)
+        val n = math.min(qv.numElements(), dv.numElements())
+        var k = 0; var dot = 0.0
+        while (k < n) { dot += getQ(qv, k) * getD(dv, k); k += 1 }
+        if (dot > best) best = dot
+        di += 1
+      }
+      if (nd > 0) total += best
+      qi += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (doc, qry) => {
+      val qi = ctx.freshName("qi"); val di = ctx.freshName("di"); val k = ctx.freshName("k")
+      val nq = ctx.freshName("nq"); val nd = ctx.freshName("nd"); val n = ctx.freshName("n")
+      val qv = ctx.freshName("qv"); val dv = ctx.freshName("dv")
+      val dot = ctx.freshName("dot"); val best = ctx.freshName("best"); val total = ctx.freshName("total")
+      val qAcc = accessor(inner(right.dataType), qv, k)
+      val dAcc = accessor(inner(left.dataType), dv, k)
+      s"""
+         |int $nq = $qry.numElements(); int $nd = $doc.numElements();
+         |double $total = 0.0;
+         |for (int $qi = 0; $qi < $nq; $qi++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $qv = $qry.getArray($qi);
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $di = 0; $di < $nd; $di++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $dv = $doc.getArray($di);
+         |    int $n = java.lang.Math.min($qv.numElements(), $dv.numElements());
+         |    double $dot = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) { $dot += ($qAcc) * ($dAcc); }
+         |    if ($dot > $best) $best = $dot;
+         |  }
+         |  if ($nd > 0) $total += $best;
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSim =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over an array of 64-bit token hashes: bit j of the result
+  * is 1 iff sum over tokens of (+1 if token bit j set else -1) > 0.
+  * Input: array<bigint> (e.g. murmur3-64 of tokens via xxhash64). -> bigint.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<bigint>, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val h = ctx.freshName("h"); val counts = ctx.freshName("counts"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($counts[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** Deterministic 64-bit polynomial rolling hash (Rabin-Karp, base 31) over a
+  * string's UTF-8 bytes -> bigint. Used for document fingerprinting.
+  */
+case class RollingHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"fingerprint64 expects string, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h"); val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $bytes.length; $i++) { $h = 31L * $h + $bytes[$i]; }
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+}

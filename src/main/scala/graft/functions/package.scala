@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Public function surface of the engine.
+  *
+  * Mirrors the vector-function spec of the reference's SQL corpus
+  * (/root/reference/tests/bin/tests.sql — V_SEARCH, V_DISTANCE, V_WITHIN,
+  * V_SPARSE_SEARCH, V_COLBERT, V_GAUSS_DECAY, V_GEO_DISTANCE, V_RANDOM) and
+  * the JSON scalar-function pack it registers wholesale
+  * (/root/reference/src/udfs.rs:13-16, datafusion-functions-json).
+  *
+  * Dense/sparse/multi-vector kernels are native codegen Catalyst expressions
+  * (see VectorExpressions.scala); everything else composes built-in,
+  * codegen'd `org.apache.spark.sql.functions`.
+  */
+package object functions {
+
+  // ---- dense vector kernels (native expressions) -------------------------
+
+  /** Dot-product similarity of two float/double arrays. */
+  def v_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine similarity; NULL when either vector has zero norm. */
+  def v_cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Euclidean (L2) distance. */
+  def v_euclid(a: Column, b: Column): Column =
+    Bridge.column(EuclideanDistance(Bridge.expression(a), Bridge.expression(b)))
+
+  /** V_DISTANCE with an explicit metric name: cosine | dot | euclid.
+    * For 'cosine' this returns the cosine DISTANCE (1 - similarity), matching
+    * the "V_DISTANCE(...) < r" filter shape of tests.sql:42-51; 'dot' returns
+    * the negated dot product (a distance-like quantity).
+    */
+  def v_distance(a: Column, b: Column, metric: String): Column =
+    metric.toLowerCase match {
+      case "cosine" => F.lit(1.0) - v_cosine(a, b)
+      case "dot"    => -v_dot(a, b)
+      case "euclid" | "euclidean" | "l2" => v_euclid(a, b)
+      case m => throw new IllegalArgumentException(s"unknown metric '$m'")
+    }
+
+  /** V_WITHIN radius predicate sugar: distance(a,b,metric) < r. */
+  def v_within(a: Column, b: Column, r: Double, metric: String = "euclid"): Column =
+    v_distance(a, b, metric) < F.lit(r)
+
+  /** Sparse dot product over (indices, values) column pairs (ascending,
+    * deduplicated indices — the reference's two-column sparse convention).
+    */
+  def v_sparse_dot(i1: Column, v1: Column, i2: Column, v2: Column): Column =
+    Bridge.column(SparseDotProduct(
+      Bridge.expression(i1), Bridge.expression(v1),
+      Bridge.expression(i2), Bridge.expression(v2)))
+
+  /** ColBERT late-interaction MaxSim: sum over query vectors of the max dot
+    * product against the document's vectors (V_COLBERT).
+    */
+  def v_maxsim(doc: Column, query: Column): Column =
+    Bridge.column(MaxSim(Bridge.expression(doc), Bridge.expression(query)))
+
+  /** Gaussian decay boost in (0, 1]: exp(-ln2 * (dist/scale)^2), = 0.5 at
+    * dist = scale (V_GAUSS_DECAY, tests.sql:294-300).
+    */
+  def v_gauss_decay(dist: Column, scale: Column): Column =
+    F.exp(F.lit(-math.log(2.0)) * F.pow(dist / scale, 2))
+
+  /** Haversine distance in meters between (lat1,lon1) and (lat2,lon2) in
+    * degrees (V_GEO_DISTANCE, tests.sql:295-299). Pure column math — codegen'd.
+    */
+  def v_geo_distance(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = 6371000.0
+    val toRad = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * toRad
+    val dLon = (lon2 - lon1) * toRad
+    val h = F.pow(F.sin(dLat / 2), 2) +
+      F.cos(lat1 * toRad) * F.cos(lat2 * toRad) * F.pow(F.sin(dLon / 2), 2)
+    F.lit(2 * r) * F.asin(F.sqrt(h))
+  }
+
+  /** 64-bit SimHash of an array<bigint> of token hashes. */
+  def simhash64(tokenHashes: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
+
+  /** Deterministic 64-bit rolling-hash fingerprint of a string. */
+  def fingerprint64(text: Column): Column =
+    Bridge.column(RollingHash64(Bridge.expression(text)))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
+
+  /** A vector literal column from a Seq of doubles (array<double>). */
+  def vec(values: Seq[Double]): Column = F.array(values.map(F.lit): _*)
+
+  /** A float-vector literal (array<float>), matching stored embeddings. */
+  def vecF(values: Seq[Float]): Column =
+    F.array(values.map(F.lit): _*).cast(ArrayType(FloatType))
+
+  // ---- JSON payload surface (maps datafusion-functions-json, SURVEY §2.D) --
+
+  private def path(keys: Seq[String]): String = "$." + keys.mkString(".")
+
+  /** json_as_text / ->> : extract as text (NULL if absent). */
+  def json_get_str(json: Column, keys: String*): Column =
+    F.get_json_object(json, path(keys))
+
+  def json_get_int(json: Column, keys: String*): Column =
+    F.get_json_object(json, path(keys)).cast(LongType)
+
+  def json_get_float(json: Column, keys: String*): Column =
+    F.get_json_object(json, path(keys)).cast(DoubleType)
+
+  def json_get_bool(json: Column, keys: String*): Column =
+    F.get_json_object(json, path(keys)).cast(BooleanType)
+
+  /** HAS_FIELD(payload, 'key'): key existence (tests.sql:203-207). */
+  def has_field(json: Column, keys: String*): Column =
+    F.get_json_object(json, path(keys)).isNotNull
+
+  /** json_length of an array at path (NULL for non-arrays/absent). */
+  def json_length(json: Column, keys: String*): Column =
+    F.json_array_length(F.get_json_object(json, path(keys)))
+
+  /** Top-level object keys. */
+  def json_keys(json: Column): Column = F.json_object_keys(json)
+
+  /** MATCH_TEXT relevance: fraction of query terms present in the text
+    * (term-overlap scoring; tests.sql:210-214). Tokenization = lowercase
+    * whitespace split.
+    */
+  def match_text(text: Column, query: String): Column = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val toks = F.array_distinct(F.split(F.lower(text), "\\s+"))
+    val hits = F.size(F.array_intersect(toks, F.array(terms.map(F.lit): _*)))
+    hits.cast(DoubleType) / F.lit(terms.length.toDouble)
+  }
+
+  // ---- SQL registration ---------------------------------------------------
+
+  /** Register the vector kernels + JSON aliases as SQL functions so the
+    * reference corpus's call shapes transliterate (v_dot(a,b), v_cosine(a,b),
+    * v_sparse_dot(i1,v1,i2,v2), v_maxsim(d,q), simhash64(h), fingerprint64(s),
+    * json_get(j,'k'), has_field(j,'k')).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    import org.apache.spark.sql.catalyst.expressions.{Expression => E}
+    def r(name: String, b: Seq[E] => E): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    r("v_dot", es => DotProduct(es(0), es(1)))
+    r("v_cosine", es => CosineSimilarity(es(0), es(1)))
+    r("v_euclid", es => EuclideanDistance(es(0), es(1)))
+    r("v_sparse_dot", es => SparseDotProduct(es(0), es(1), es(2), es(3)))
+    r("v_maxsim", es => MaxSim(es(0), es(1)))
+    r("simhash64", es => SimHash64(es(0)))
+    r("fingerprint64", es => RollingHash64(es(0)))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Vector-search operator compositions (SURVEY.md §2.C).
+  *
+  * Each helper is a declarative DataFrame composition: scoring happens
+  * map-side inside whole-stage codegen (native expressions), top-k compiles
+  * to Spark's `TakeOrderedAndProject` (per-partition heap + driver merge of
+  * k rows — no full sort, no shuffle of the corpus), and id->vector lookups
+  * broadcast the tiny side. All of it scales linearly with corpus partitions
+  * on a real cluster.
+  */
+object Search {
+
+  /** Metric-parameterized similarity (higher = better): cosine | dot |
+    * euclid (negated distance so ORDER BY DESC is uniform).
+    */
+  def similarity(vec: Column, query: Column, metric: String): Column =
+    metric.toLowerCase match {
+      case "cosine" => v_cosine(vec, query)
+      case "dot"    => v_dot(vec, query)
+      case "euclid" | "euclidean" | "l2" => -v_euclid(vec, query)
+      case m => throw new IllegalArgumentException(s"unknown metric '$m'")
+    }
+
+  /** V_SEARCH core: score `vecCol` against `query`, return top-k.
+    * Deterministic: ties broken by `idCol` ascending; score rounded to
+    * `roundTo` decimals BEFORE ranking so the oracle orders identically.
+    */
+  def topK(df: DataFrame, vecCol: Column, query: Column, k: Int,
+           metric: String = "cosine", idCol: Column = col("id"),
+           scoreName: String = "score", roundTo: Int = 6): DataFrame = {
+    df.withColumn(scoreName, round(similarity(vecCol, query, metric), roundTo))
+      .orderBy(col(scoreName).desc, idCol.asc)
+      .limit(k)
+  }
+
+  /** V_SEARCH('id') by-point-id form: look the query vector up in the
+    * collection itself (broadcast 1-row join), score everything else.
+    */
+  def topKById(df: DataFrame, vecColName: String, queryId: String, k: Int,
+               metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    val q = df.filter(col("id") === lit(queryId))
+      .select(col(vecColName).as("__qvec"))
+    val scored = df.filter(col("id") =!= lit(queryId)).crossJoin(broadcast(q))
+    topK(scored, col(vecColName), col("__qvec"), k, metric, roundTo = roundTo)
+      .drop("__qvec")
+  }
+
+  /** Element-wise centroid of the vectors of `ids` (NULL-safe, returns a
+    * 1-row DataFrame with column `centroid` array<double>). Distributed:
+    * explodes |ids| * dim rows, aggregates by position — trivial at any
+    * scale since |ids| is small.
+    */
+  private def centroid(df: DataFrame, vecColName: String, ids: Seq[String],
+                       outName: String): DataFrame =
+    df.filter(col("id").isin(ids: _*))
+      .select(posexplode(col(vecColName)).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(avg(col("x")).as("x"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("s"))
+      .select(transform(col("s"), e => e("x")).as(outName))
+
+  /** V_RECOMMEND([pos_ids], [neg_ids]): Qdrant's `average_vector` recommend
+    * strategy — composite query = avg(positives) - avg(negatives) (absent
+    * negatives contribute nothing), then dense top-k. Spec shape:
+    * /root/reference/tests/bin/tests.sql:83-114.
+    */
+  def recommend(df: DataFrame, vecColName: String, posIds: Seq[String],
+                negIds: Seq[String], k: Int, metric: String = "cosine",
+                roundTo: Int = 6): DataFrame = {
+    val pos = centroid(df, vecColName, posIds, "pos_c")
+    val q =
+      if (negIds.isEmpty) pos.select(col("pos_c").as("__qvec"))
+      else pos.crossJoin(centroid(df, vecColName, negIds, "neg_c"))
+        .select(zip_with(col("pos_c"), col("neg_c"), (p, n) => p - n).as("__qvec"))
+    val excluded = posIds ++ negIds
+    val scored = df.filter(!col("id").isin(excluded: _*)).crossJoin(broadcast(q))
+    topK(scored, col(vecColName), col("__qvec"), k, metric, roundTo = roundTo)
+      .drop("__qvec")
+  }
+
+  /** V_DISCOVER([target_id], [(ctx_id, weight), ...]): target-plus-context
+    * scoring — score = sim(v, target) + sum_i w_i * sim(v, ctx_i). The
+    * reference declares the call shape only (tests.sql:121-137, roadmap);
+    * these semantics are a documented choice: a linear context-preference
+    * blend. Context vectors are broadcast.
+    */
+  def discover(df: DataFrame, vecColName: String, targetId: String,
+               context: Seq[(String, Double)], k: Int,
+               metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    val ctxIds = context.map(_._1)
+    val weights = context.toMap
+    val tgt = df.filter(col("id") === lit(targetId)).select(col(vecColName).as("__t"))
+    val ctx = df.filter(col("id").isin(ctxIds: _*))
+      .select(col("id").as("__cid"), col(vecColName).as("__cv"))
+    val base = df.filter(col("id") =!= lit(targetId) && !col("id").isin(ctxIds: _*))
+    val wCol = ctxIds.foldLeft(lit(0.0)) { (acc, cid) =>
+      when(col("__cid") === lit(cid), lit(weights(cid))).otherwise(acc)
+    }
+    base.crossJoin(broadcast(tgt))
+      .crossJoin(broadcast(ctx))
+      .withColumn("__w", wCol)
+      .groupBy(col("id"))
+      .agg(
+        first(similarity(col(vecColName), col("__t"), metric)).as("__tsim"),
+        sum(col("__w") * similarity(col(vecColName), col("__cv"), metric)).as("__csim"))
+      .withColumn("score", round(col("__tsim") + col("__csim"), roundTo))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** V_FUSION RRF: reciprocal-rank fusion of N scored branches
+    * (id, score_i). rank_i = dense rank by score desc (id tiebreak),
+    * fused = sum over branches present of 1/(rrfK + rank_i); ids missing
+    * from a branch contribute 0 (tests.sql:174-196).
+    */
+  def fuseRRF(branches: Seq[DataFrame], k: Int, rrfK: Int = 60,
+              roundTo: Int = 6): DataFrame = {
+    val ranked = branches.zipWithIndex.map { case (b, i) =>
+      val w = Window.orderBy(col("score").desc, col("id").asc)
+      b.select(col("id"), (lit(1.0) / (lit(rrfK) + row_number().over(w))).as(s"rr_$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val fused = ranked.indices
+      .map(i => coalesce(col(s"rr_$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("fused_score", round(fused, roundTo))
+      .select(col("id"), col("fused_score"))
+      .orderBy(col("fused_score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Prefetch/rerank (tests.sql:144-168): broad candidate fetch by
+    * `prefetchMetric` (limit `prefetchK`), then rerank the survivors with
+    * `rerankScore` and keep `k`. The prefetch output is small, so the rerank
+    * stage is cheap regardless of corpus size.
+    */
+  def prefetchRerank(df: DataFrame, vecCol: Column, query: Column,
+                     prefetchK: Int, k: Int,
+                     prefetchMetric: String = "cosine",
+                     rerank: (DataFrame) => DataFrame,
+                     roundTo: Int = 6): DataFrame = {
+    val candidates = topK(df, vecCol, query, prefetchK, prefetchMetric,
+      scoreName = "prefetch_score", roundTo = roundTo)
+    rerank(candidates)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch search (tests.sql:327-344): per-query top-k for a (small) table
+    * of query vectors — broadcast the queries, score every (corpus, query)
+    * pair map-side, then per-query top-k via ranking window partitioned by
+    * query id (shuffles only |corpus| * |queries| scored ROWS of (qid, id,
+    * score) — no vectors move).
+    */
+  def batchTopK(corpus: DataFrame, vecCol: Column,
+                queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                k: Int, metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(similarity(vecCol, col(queryVecCol), metric), roundTo))
+      .select(col(queryIdCol).as("query_id"), col("id"), col("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
+  }
+
+  /** V_RANDOM sampling: deterministic via seed (tests.sql:310-320). */
+  def randomSample(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+}
