@@ -5,13 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.collections.Collections
 import graft.functions._
-import graft.ops.Search
+import graft.multimodal.Multimodal
+import graft.ops.{Ann, Dedup, Search, TextAnalysis}
+import graft.streaming.EventsStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry in `queries` is one operator from SURVEY.md §2 re-expressed
   * Spark-first; `oracleSql` holds the DuckDB-equivalent SQL the driver runs
-  * on the same parquet for the hash-match correctness gate.
+  * on the same parquet for the hash-match correctness gate. Keys without an
+  * oracle entry (hash-based / ML / sampling operators DuckDB cannot
+  * reproduce) get the driver's rows-only check and are covered by ScalaTest
+  * specs instead.
   *
   * Determinism rules used throughout (SURVEY.md §7.3):
   *  - float vectors are cast to array<double> on BOTH sides before scoring,
@@ -47,13 +52,60 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events")
 
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** 1-row broadcastable query-vector frame (array<double>) for `queryId`. */
+  private def qvecOf(df: DataFrame, queryId: String, as: String = "__qvec"): DataFrame =
+    df.filter(col("id") === lit(queryId)).select(col("vector").as(as))
+
+  /** Documents corpus with planted exact duplicates (doc_id % 10 == 0
+    * re-appears as doc_id + 1000000) — both engines build it identically.
+    */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** Documents corpus with planted NEAR duplicates (doc_id % 7 == 0
+    * re-appears as doc_id + 1000000 with ' zzz' appended).
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"), col("lang"), col("source")))
+  }
+
+  /** Embeddings corpus (double vectors) with planted near-duplicate vectors
+    * (vec_id % 5 == 0 re-appears as vec_id + 100000, scaled by 0.99).
+    */
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+    e.union(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * lit(0.99)).as("v")))
+  }
+
+  /** (indices, values) sparse representation of the strictly-positive
+    * positions of an array<float> embedding (0-based ascending indices).
+    */
+  private def sparseOf(emb: Column): (Column, Column) = {
+    val s = filter(transform(emb, (x, i) => struct(i.as("i"), x.as("x"))),
+      e => e("x") > lit(0f))
+    (transform(s, e => e("i").cast(IntegerType)),
+      transform(s, e => e("x").cast(DoubleType)))
+  }
 
   // -- the operator surface -------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** §2.A scan/projection/limit + §1.2 schema semantics + §2.D JSON. */
+  private val scanAndJson: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- §2.A scan / projection / limit over the collection model ----
     "scan_select_star" -> ((s, dir) =>
       homD(s, dir).select(col("id"), col("payload"), col("vector"))
         .orderBy(col("id"))),
@@ -65,7 +117,6 @@ object SparkEntry {
       homD(s, dir).select(col("id"), col("vector"))
         .orderBy(col("id").cast(LongType)).limit(5)),
 
-    // ---- §1.2 heterogeneous collection: NULL-for-absent-field semantics ----
     "hetero_nulls" -> ((s, dir) =>
       Collections.heterogeneous(s, dir).select(
         col("id"),
@@ -76,7 +127,6 @@ object SparkEntry {
         dvec(col("keywords_values")).as("keywords_values"))
         .orderBy(col("id").cast(LongType))),
 
-    // ---- §2.D JSON payload surface ----
     "json_get" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
@@ -98,9 +148,12 @@ object SparkEntry {
         col("event_id"),
         has_field(col("props"), "k").as("has_k"),
         has_field(col("props"), "missing").as("has_missing"))
-        .orderBy(col("event_id"))),
+        .orderBy(col("event_id")))
+  )
 
-    // ---- §2.C dense vector search (V_SEARCH / V_DISTANCE / V_WITHIN) ----
+  /** §2.C dense vector search surface. */
+  private val denseSearch: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     "cosine_topk" -> ((s, dir) =>
       Search.topKById(homD(s, dir).select("id", "vector"), "vector", "0", 10)
         .select("id", "score")),
@@ -115,7 +168,7 @@ object SparkEntry {
 
     "within_radius_agg" -> ((s, dir) => {
       val df = homD(s, dir)
-      val q = df.filter(col("id") === "0").select(col("vector").as("__qvec"))
+      val q = qvecOf(df, "0")
       df.filter(col("id") =!= "0").crossJoin(broadcast(q))
         .withColumn("label", json_get_int(col("payload"), "label"))
         .filter(v_euclid(col("vector"), col("__qvec")) < lit(3.0))
@@ -124,7 +177,116 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
-    // ---- §2.B relational surface over TPC-H tables ----
+    "score_blend" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val q0 = qvecOf(df, "0", "__q0"); val q1 = qvecOf(df, "1", "__q1")
+      df.filter(!col("id").isin("0", "1"))
+        .crossJoin(broadcast(q0)).crossJoin(broadcast(q1))
+        .withColumn("score", round(
+          lit(0.7) * v_cosine(col("vector"), col("__q0")) +
+            lit(0.3) * v_cosine(col("vector"), col("__q1")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(15)
+    }),
+
+    "gauss_decay" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val q = qvecOf(df, "0")
+      df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("decay",
+          round(v_gauss_decay(v_euclid(col("vector"), col("__qvec")), lit(3.0)), 6))
+        .select(col("id"), col("decay"))
+        .orderBy(col("decay").desc, col("id").asc)
+        .limit(20)
+    }),
+
+    "random_sample" -> ((s, dir) =>
+      Search.randomSample(hom(s, dir), 20, seed = 42L).select("id"))
+  )
+
+  /** §2.C sparse / multi-vector / composite pipelines. */
+  private val compositeSearch: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sparse_search" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val base = e.select(col("vec_id").cast(StringType).as("id"),
+        ki.as("ki"), kv.as("kv"))
+      val q = base.filter(col("id") === "0")
+        .select(col("ki").as("qi"), col("kv").as("qv"))
+      base.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("score",
+          round(v_sparse_dot(col("ki"), col("kv"), col("qi"), col("qv")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    "colbert_maxsim" -> ((s, dir) => {
+      val e = homD(s, dir)
+        .withColumn("multi", array(col("vector"), reverse(col("vector"))))
+      val q = e.filter(col("id") === "0").select(col("multi").as("__qmulti"))
+      e.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("score", round(v_maxsim(col("multi"), col("__qmulti")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    "recommend" -> ((s, dir) =>
+      Search.recommend(homD(s, dir), "vector",
+        posIds = Seq("0", "1", "2"), negIds = Seq("3"), k = 10)
+        .select("id", "score")),
+
+    "discover" -> ((s, dir) =>
+      Search.discover(homD(s, dir), "vector", targetId = "0",
+        context = Seq(("1", 0.5), ("2", -0.25)), k = 10)),
+
+    "rrf_fusion" -> ((s, dir) => {
+      val df = homD(s, dir).select("id", "vector")
+      val b1 = Search.topKById(df, "vector", "0", 50, "cosine").select("id", "score")
+      val b2 = Search.topKById(df, "vector", "1", 50, "dot").select("id", "score")
+      Search.fuseRRF(Seq(b1, b2), k = 20)
+    }),
+
+    "prefetch_rerank" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val q = qvecOf(df, "0")
+      val scored = df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+      val prefetch = scored
+        .withColumn("ps", round(v_cosine(col("vector"), col("__qvec")), 6))
+        .orderBy(col("ps").desc, col("id").asc).limit(100)
+      prefetch
+        .withColumn("score", round(v_dot(col("vector"), col("__qvec")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    "batch_search" -> ((s, dir) => {
+      val corpus = homD(s, dir).select("id", "vector")
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").cast(StringType).as("query_id"),
+          dvec(col("embedding")).as("qvec"))
+      Search.batchTopK(corpus, col("vector"), queries, "query_id", "qvec", k = 5)
+    }),
+
+    "cte_semi" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val cand = Search.topKById(df.select("id", "vector"), "vector", "0", 100)
+        .select("id")
+      df.join(cand, Seq("id"), "left_semi")
+        .withColumn("label", json_get_int(col("payload"), "label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
+    })
+  )
+
+  /** §2.B relational surface + geo + text matching. */
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     "q1_agg" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
@@ -157,14 +319,129 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast(DoubleType).as("total"))
         .filter(col("n") >= 3)
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    "window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.load(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
+    "values_inline" -> ((s, dir) => {
+      Tables.load(s, dir, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name, CAST(w AS DOUBLE) AS w
+          |FROM region JOIN (VALUES (0, 1.5), (1, 2.5), (3, 0.5)) AS t(rk, w)
+          |  ON r_regionkey = rk
+          |ORDER BY r_name""".stripMargin)
+    }),
+
+    "case_boost" -> ((s, dir) =>
+      docs(s, dir).withColumn("score", round(
+        col("n_chars").cast(DoubleType) / lit(100.0) +
+          when(col("source").isin("src0", "src1"), lit(0.5))
+            .when(col("lang") === "en", lit(0.25))
+            .otherwise(lit(0.0)), 6))
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(25)),
+
+    "geo_distance" -> ((s, dir) =>
+      events(s, dir).withColumn("km", round(
+        v_geo_distance(
+          col("user_id").cast(DoubleType),
+          (col("event_id") % 180).cast(DoubleType),
+          lit(48.8566), lit(2.3522)) / lit(1000.0), 2))
+        .select(col("event_id"), col("km"))
+        .orderBy(col("km").asc, col("event_id").asc)
+        .limit(50)),
+
+    "match_text" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("relevance", round(match_text(col("text"), "spark join merge"), 6))
+        .filter(col("relevance") > 0.0)
+        .select(col("doc_id"), col("relevance"))
+        .orderBy(col("relevance").desc, col("doc_id").asc)
+        .limit(20)),
+
+    "window_agg_events" -> ((s, dir) =>
+      EventsStream.windowedAggBatch(s, dir)
+        .orderBy(col("window_start"), col("event_type")))
   )
 
-  /** DuckDB-equivalent SQL per query (same parquet tables, same column
-    * names, same ORDER BY). Keys absent here get a rows-only check.
-    */
-  def oracleSql: Map[String, String] = Map(
+  /** Training-data pipeline operators: dedup, text analysis, ANN, media. */
+  private val pipelineOps: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docsWithExactDups(s, dir), "doc_id", "text")
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(embWithNearDups(s, dir), "vec_id", "v",
+        Seq("label"), threshold = 0.999)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    "token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "quality_score" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "ann_ivf" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(dvec(col("embedding")).as("q")).head().getSeq[Double](0)
+      val idx = Ann.buildIvf(df, "id", "vector", nlist = 8)
+      idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
+    }),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.featuresOf(s, dir)
+        .select(col("id"), col("format"), col("nBytes"))
+        .orderBy(col("id").cast(LongType)))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scanAndJson ++ denseSearch ++ compositeSearch ++ relational ++ pipelineOps
+
+  // ---- DuckDB oracle SQL --------------------------------------------------
+
+  private val oracleScanAndJson: Map[String, String] = Map(
     "scan_select_star" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
@@ -212,8 +489,10 @@ object SparkEntry {
       """SELECT event_id,
         |       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
         |       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 
+  private val oracleDense: Map[String, String] = Map(
     "cosine_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
@@ -242,6 +521,122 @@ object SparkEntry {
         |WHERE e.vec_id <> 0 AND list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) < 3.0
         |GROUP BY e.label ORDER BY label""".stripMargin,
 
+    "score_blend" ->
+      """WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |     q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(0.7 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q0.v)
+        |           + 0.3 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q1.v), 6) AS score
+        |FROM embeddings e, q0, q1 WHERE e.vec_id NOT IN (0, 1)
+        |ORDER BY score DESC, id ASC LIMIT 15""".stripMargin,
+
+    "gauss_decay" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(exp(-0.6931471805599453 *
+        |             pow(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) / 3.0, 2)), 6) AS decay
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin
+  )
+
+  private val oracleComposite: Map[String, String] = Map(
+    "sparse_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                  THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "colbert_maxsim" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
+        |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id, ROUND(m1 + m2, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q1),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q1)) AS m1,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q2),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q2)) AS m2
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "recommend" ->
+      """WITH pc AS (SELECT list(x ORDER BY i) AS v FROM (
+        |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
+        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id IN (0, 1, 2) GROUP BY i)),
+        |     nc AS (SELECT list(x ORDER BY i) AS v FROM (
+        |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
+        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id IN (3) GROUP BY i)),
+        |     q AS (SELECT list_transform(range(1, 65), i -> pc.v[i] - nc.v[i]) AS qv FROM pc, nc)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2, 3)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "discover" ->
+      """WITH t AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |     c1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     c2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), t.v)
+        |           + 0.5 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.v)
+        |           + -0.25 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.v), 6) AS score
+        |FROM embeddings e, t, c1, c2 WHERE e.vec_id NOT IN (0, 1, 2)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "rrf_fusion" ->
+      """WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |     q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     b1 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM (
+        |       SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q0.v), 6) AS score
+        |       FROM embeddings e, q0 WHERE e.vec_id <> 0
+        |       ORDER BY score DESC, id ASC LIMIT 50)),
+        |     b2 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM (
+        |       SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q1.v), 6) AS score
+        |       FROM embeddings e, q1 WHERE e.vec_id <> 1
+        |       ORDER BY score DESC, id ASC LIMIT 50))
+        |SELECT COALESCE(b1.id, b2.id) AS id,
+        |       ROUND(COALESCE(1.0 / (60 + b1.rn), 0) + COALESCE(1.0 / (60 + b2.rn), 0), 6) AS fused_score
+        |FROM b1 FULL OUTER JOIN b2 ON b1.id = b2.id
+        |ORDER BY fused_score DESC, id ASC LIMIT 20""".stripMargin,
+
+    "prefetch_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |     p AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |                  CAST(e.embedding AS DOUBLE[]) AS v,
+        |                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS ps
+        |           FROM embeddings e, q WHERE e.vec_id <> 0
+        |           ORDER BY ps DESC, id ASC LIMIT 100)
+        |SELECT p.id, ROUND(list_inner_product(p.v, q.qv), 6) AS score
+        |FROM p, q
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "batch_search" ->
+      """SELECT * FROM (
+        |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+        |         CAST(e.vec_id AS VARCHAR) AS id,
+        |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q
+        |  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY score DESC, id ASC) <= 5)
+        |ORDER BY query_id ASC, score DESC, id ASC""".stripMargin,
+
+    "cte_semi" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |     p AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |                  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |           FROM embeddings e, q WHERE e.vec_id <> 0
+        |           ORDER BY score DESC, id ASC LIMIT 100)
+        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+        |FROM embeddings WHERE CAST(vec_id AS VARCHAR) IN (SELECT id FROM p)
+        |GROUP BY label ORDER BY label""".stripMargin
+  )
+
+  private val oracleRelational: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -267,6 +662,144 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY user_id HAVING COUNT(*) >= 3
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "values_inline" ->
+      """SELECT r_name, CAST(w AS DOUBLE) AS w
+        |FROM region JOIN (VALUES (0, 1.5), (1, 2.5), (3, 0.5)) t(rk, w)
+        |  ON r_regionkey = rk
+        |ORDER BY r_name""".stripMargin,
+
+    "case_boost" ->
+      """SELECT doc_id,
+        |       ROUND(CAST(n_chars AS DOUBLE) / 100.0 +
+        |             CASE WHEN source IN ('src0', 'src1') THEN 0.5
+        |                  WHEN lang = 'en' THEN 0.25
+        |                  ELSE 0.0 END, 6) AS score
+        |FROM documents
+        |ORDER BY score DESC, doc_id ASC LIMIT 25""".stripMargin,
+
+    "geo_distance" ->
+      """SELECT event_id,
+        |       ROUND(12742000.0 * asin(sqrt(
+        |         pow(sin(((48.8566 - CAST(user_id AS DOUBLE)) * 0.017453292519943295) / 2), 2) +
+        |         cos(CAST(user_id AS DOUBLE) * 0.017453292519943295) *
+        |         cos(48.8566 * 0.017453292519943295) *
+        |         pow(sin(((2.3522 - CAST(event_id % 180 AS DOUBLE)) * 0.017453292519943295) / 2), 2)
+        |       )) / 1000.0, 2) AS km
+        |FROM events
+        |ORDER BY km ASC, event_id ASC LIMIT 50""".stripMargin,
+
+    "match_text" ->
+      """SELECT doc_id,
+        |       ROUND(CAST(len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |                                     ['spark', 'join', 'merge'])) AS DOUBLE) / 3.0, 6) AS relevance
+        |FROM documents
+        |WHERE len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')),
+        |                         ['spark', 'join', 'merge'])) > 0
+        |ORDER BY relevance DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "window_agg_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
+
+  private val oraclePipeline: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies
+        |FROM c GROUP BY text ORDER BY keeper""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH c AS (SELECT doc_id, text, lang, source FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text || ' zzz', lang, source
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |     t AS (SELECT doc_id, lang, source,
+        |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        |           FROM c)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |         ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |               CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
+        |  FROM t a JOIN t b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           UNION ALL
+        |           SELECT vec_id + 100000, label,
+        |                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99)
+        |           FROM embeddings WHERE vec_id % 5 = 0)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.999
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |                  string_split_regex(lower(text), '\s+') AS toks,
+        |                  CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n
+        |           FROM documents),
+        |     m AS (SELECT doc_id,
+        |                  CASE WHEN n > 0 THEN
+        |                    CAST(len(list_filter(toks, x -> list_contains(
+        |                      ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / n
+        |                  ELSE 0.0 END AS ratio,
+        |                  n,
+        |                  CASE WHEN len(text) > 0 THEN
+        |                    CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |                      / CAST(len(text) AS DOUBLE)
+        |                  ELSE 0.0 END AS punct
+        |           FROM t)
+        |SELECT doc_id,
+        |       ROUND(ratio, 6) AS stopword_ratio,
+        |       ROUND(least(n / 50.0, 1.0) * (0.5 + 0.5 * least(ratio * 5.0, 1.0)) *
+        |             greatest(1.0 - punct * 3.0, 0.0), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        |           FROM documents),
+        |     sc AS (SELECT doc_id,
+        |                   len(list_intersect(toks, ['the','and','of','to','is','that','for','with'])) AS s_en,
+        |                   len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+        |                   len(list_intersect(toks, ['el','la','que','de','los','es','una','para'])) AS s_es,
+        |                   len(list_intersect(toks, ['le','la','les','des','est','une','dans','pour'])) AS s_fr
+        |            FROM t)
+        |SELECT doc_id,
+        |       CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+        |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+        |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+        |            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+        |            ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin
+  )
+
+  def oracleSql: Map[String, String] =
+    oracleScanAndJson ++ oracleDense ++ oracleComposite ++
+      oracleRelational ++ oraclePipeline
 }

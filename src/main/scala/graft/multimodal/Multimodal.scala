@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus per-partition decode / feature-extraction.
+  *
+  * The decode kernels are STUBBED with a deterministic fake (no image/audio
+  * codecs exist in this container) — clearly marked below. Everything
+  * Spark-side is real and tested: the schema, the binary column handling,
+  * the partition-wise batch processing shape (`mapPartitions` over an
+  * iterator, the Scala analog of a pandas-batch UDF), and the feature
+  * output contract (fixed-dim float vector + typed metadata struct).
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the multimodal analog of
+    * the collection point (id, payload, vectors).
+    */
+  final case class MediaRow(
+      id: String, media: Array[Byte], format: String,
+      width: Int, height: Int, durationMs: Long)
+
+  final case class MediaFeatures(
+      id: String, format: String, nBytes: Int, features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("media", BinaryType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("durationMs", LongType, nullable = true)))
+
+  /** Synthesize a deterministic media table from `documents`: the UTF-8
+    * bytes of the text play the role of an encoded image payload. Real
+    * pipelines replace this with `spark.read.format("binaryFile")`.
+    */
+  def syntheticMediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").cast(StringType).as("id"),
+      encode(col("text"), "UTF-8").as("media"),
+      concat(lit("fake/"), col("source")).as("format"),
+      (col("n_chars") % 640).cast(IntegerType).as("width"),
+      (col("n_chars") % 480).cast(IntegerType).as("height"),
+      (col("n_chars") * 10L).as("durationMs"))
+  }
+
+  /** STUB decode kernel: a real implementation would JNI/codec-decode the
+    * payload (JPEG decode, audio PCM, frame sampling). Here: a
+    * deterministic fake embedding derived from the bytes, so the
+    * partition-wise plumbing and output contract are fully exercisable.
+    */
+  private[multimodal] def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes == null) return out
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31L * h + bytes(i)
+      out(i % dim) += ((h % 1000L) / 1000.0f)
+      i += 1
+    }
+    out
+  }
+
+  /** Partition-wise feature extraction: iterator-in/iterator-out over each
+    * partition (constant memory per executor; batch shape preserved). This
+    * is where a real codec pipeline would sit — the Spark-side contract
+    * (typed Dataset in, typed Dataset out, no shuffle) is the deliverable.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val bytes = if (row.media == null) Array.emptyByteArray else row.media
+        MediaFeatures(row.id, row.format, bytes.length,
+          fakeDecodeFeatures(bytes, dim))
+      }
+    }
+  }
+
+  /** End-to-end: synthetic table -> typed rows -> features DataFrame. */
+  def featuresOf(spark: SparkSession, sfDir: String, dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    extractFeatures(syntheticMediaTable(spark, sfDir).as[MediaRow], dim).toDF()
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForce]]: exact top-k — a single map-side scoring pass +
+  *    TakeOrderedAndProject. The correctness baseline, and at 100 TB still
+  *    the right tool for one-off queries (it reads each partition once,
+  *    shuffles k rows per partition).
+  *  - [[IvfIndex]]: IVF coarse quantizer — KMeans centroids; vectors
+  *    partitioned by nearest centroid (a real repartition, so each query
+  *    probes only nprobe/nlist of the data). The scale path for repeated
+  *    query workloads: centroid table is tiny and broadcast; the clustered
+  *    corpus can be written out bucketed by cluster id for reuse.
+  */
+object Ann {
+
+  /** Exact cosine/dot/euclid top-k of `query` over df(idCol, vecCol). */
+  def bruteForce(df: DataFrame, idCol: String, vecCol: String, query: Column,
+                 k: Int, metric: String = "cosine"): DataFrame =
+    df.select(col(idCol).as("id"),
+        Search.similarity(col(vecCol), query, metric).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
+  /** IVF index: nlist KMeans centroids (seeded, deterministic) + the corpus
+    * tagged with its nearest-centroid cluster id.
+    */
+  final case class IvfIndex(centroids: DataFrame, clustered: DataFrame,
+                            idCol: String, vecCol: String) {
+
+    /** Probe the `nprobe` nearest clusters for the query, exact-score only
+      * rows in those clusters. Recall < 1 by construction; higher nprobe =
+      * higher recall. The cluster filter is a partition-pruning predicate
+      * when `clustered` is written bucketed/partitioned by cluster.
+      */
+    def search(query: Column, k: Int, nprobe: Int,
+               metric: String = "cosine"): DataFrame = {
+      val probed = centroids
+        .withColumn("cdist", v_euclid(col("centroid"), query))
+        .orderBy(col("cdist").asc)
+        .limit(nprobe)
+        .select(col("cluster"))
+      clustered.join(broadcast(probed), Seq("cluster"))
+        .select(col(idCol).as("id"),
+          Search.similarity(col(vecCol), query, metric).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+  }
+
+  /** Build an IVF index with nlist centroids (KMeans, fixed seed). */
+  def buildIvf(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+               seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
+    val feat = df.withColumn("__features", array_to_vector(
+      col(vecCol).cast(ArrayType(DoubleType))))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("cluster")
+      .fit(feat)
+    val clustered = model.transform(feat).drop("__features")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+      .toSeq.toDF("cluster", "centroid")
+      .withColumn("centroid", col("centroid").cast(ArrayType(DoubleType)))
+    IvfIndex(centroids, clustered, idCol, vecCol)
+  }
+
+  /** Random-hyperplane LSH bucketing (deterministic planes derived from a
+    * seed via SplittableRandom): maps each vector to a `nbits`-bit bucket
+    * signature; near-duplicate search joins bucket-local only.
+    */
+  def lshBuckets(df: DataFrame, vecCol: String, dim: Int, nbits: Int,
+                 seed: Long = 42L): DataFrame = {
+    val rnd = new java.util.SplittableRandom(seed)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nbits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(v_dot(col(vecCol), vec(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale notes (the design constraint, not the test sizes):
+  *  - exact dedup = hash-groupBy: one shuffle on a 64-bit fingerprint, never
+  *    on the full text;
+  *  - MinHash-LSH: per-row signature (map-side, codegen'd), band keys
+  *    exploded (H/r small ints per row), one shuffle on (band, bandHash)
+  *    buckets; candidate verification joins only within buckets — the
+  *    all-pairs O(n^2) join never materializes;
+  *  - SimHash: 64-bit signature map-side (native SimHash64 expression),
+  *    near-dup candidates via banding on 16-bit chunks, verified by hamming
+  *    distance (bit_count, codegen'd).
+  */
+object Dedup {
+
+  /** Tokenize to lowercase whitespace words. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word w-shingles of a text (w consecutive tokens joined by space). */
+  def shingles(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // slice is 1-based; produce n-w+1 shingles (empty array when n < w)
+    filter(
+      transform(sequence(lit(1), greatest(n - w + 1, lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(w)))),
+      s => length(s) > 0)
+  }
+
+  /** Exact dedup: group identical normalized texts by 64-bit fingerprint,
+    * keep the smallest id as the survivor. Shuffles (fingerprint, id) pairs
+    * only. Returns (keeper, n_copies, fingerprint).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("fp", fingerprint64(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"), col("fp"))
+
+  /** MinHash signature: H independent permutation mins over token-shingle
+    * hashes. h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over
+    * shingles. Pure column ops — evaluated map-side in codegen.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
+    val sh = shingles(text, shingleWidth)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands of
+    * `rowsPerBand`, bucket-join on (band index, band content), return
+    * distinct candidate id pairs (a < b). Only rows sharing a band bucket
+    * ever meet — the join is bucket-local.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, shingleWidth: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))))
+          .as(Seq("band", "bandsig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bandsig") === col("b.bandsig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** Word-set Jaccard similarity of two texts. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(tokens(a)); val tb = array_distinct(tokens(b))
+    val inter = size(array_intersect(ta, tb)).cast(DoubleType)
+    val uni = size(array_union(ta, tb)).cast(DoubleType)
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified by true Jaccard >= threshold.
+    * Candidates come from banding (no all-pairs join); verification re-joins
+    * the two texts for candidates only.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 16,
+                   shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), "a_id")
+      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), "b_id")
+      .withColumn("jaccard", round(jaccard(col("a_text"), col("b_text")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** SimHash per document: 64-bit signature of token hashes. */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, candidate
+    * generation by banding the 64-bit hash into four 16-bit chunks (a pair
+    * within distance <= 3 must agree on at least one chunk when distance
+    * bits spread; standard simhash blocking).
+    */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = simhashOf(df, idCol, textCol)
+    val banded = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
+      .distinct()
+      .withColumn("hamming", hamming64(col("a_sim"), col("b_sim")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** N-gram (word-set) Jaccard near-dup pairs within a blocking key — the
+    * exact quadratic verifier, bounded by blocks. For unblocked corpora use
+    * minhashDedup.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select((Seq(col(idCol).as("id"), col(textCol).as("text")) ++
+      blockCols.map(col)): _*)
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    base.as("a").join(base.as("b"), cond)
+      .withColumn("jaccard", round(jaccard(col("a.text"), col("b.text")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCols: Seq[String], threshold: Double): DataFrame = {
+    val base = df.select((Seq(col(idCol).as("id"), col(vecCol).as("v")) ++
+      blockCols.map(col)): _*)
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    base.as("a").join(base.as("b"), cond)
+      .withColumn("cosine", round(v_cosine(col("a.v"), col("b.v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
+  }
+}

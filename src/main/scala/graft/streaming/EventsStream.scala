@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is bounded-only by construction
+  * (/root/reference/src/table.rs:245-250 declares Boundedness::Bounded);
+  * this module is the scale-out extension (SURVEY.md §7.1 M6): the same
+  * windowed aggregation expressed once, runnable bounded (batch) or
+  * unbounded (stream with watermark), per Structured Streaming's unified
+  * model.
+  */
+object EventsStream {
+
+  /** events schema as stored (ts read as raw nanos under nanosAsLong). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+
+  /** The shared transform: tumbling 1-hour window per event_type with
+    * count/sum. Watermark bounds state: late data beyond 2 hours is
+    * dropped and closed windows are evicted — mandatory for unbounded
+    * state at production scale.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    normalize(events)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Unbounded source: file-stream over a directory of events parquet. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** Start the streaming query into an in-memory sink (for tests/demo);
+    * production would write a Delta/parquet sink with checkpointing in
+    * append mode. Complete mode here so finite test data emits all windows
+    * (append would hold the tail window open awaiting watermark advance).
+    */
+  def startToMemory(spark: SparkSession, dir: String,
+                    queryName: String): StreamingQuery =
+    windowedAgg(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Bounded (batch) form of the same aggregation — oracle-checkable. */
+  def windowedAggBatch(spark: SparkSession, sfDir: String): DataFrame =
+    windowedAgg(spark.read.parquet(s"$sfDir/events.parquet"))
+}
