@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+
+/** Collection data model: schema inference rules (SURVEY.md §1.2), NULL
+  * semantics for absent fields, and Catalyst pushdown behavior over the
+  * collection views (the §2.A A3/A4 parity: projection + limit reach the
+  * parquet scan).
+  */
+class CollectionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("descriptor schema follows the reference inference rules") {
+    val d = CollectionDescriptor("c", Seq(
+      DenseField("text_embedding", 3),
+      MultiField("multi", 2),
+      SparseField("keywords")))
+    val s = d.schema
+    assert(s.fieldNames.toSeq === Seq("id", "payload", "text_embedding",
+      "multi", "keywords_indices", "keywords_values"))
+    assert(!s("id").nullable)                       // id non-null
+    assert(s("payload").nullable)
+    assert(s("text_embedding").dataType === ArrayType(FloatType))
+    assert(s("multi").dataType === ArrayType(ArrayType(FloatType)))
+    assert(s("keywords_indices").dataType === ArrayType(IntegerType))
+    assert(s("keywords_values").dataType === ArrayType(FloatType))
+    assert(s.drop(2).forall(_.nullable))            // all vector fields nullable
+  }
+
+  test("unnamed collection exposes the single dense field as `vector`") {
+    val d = CollectionDescriptor("c", Seq(DenseField("anything", 3)), named = false)
+    assert(d.schema.fieldNames.toSeq === Seq("id", "payload", "vector"))
+  }
+
+  test("physicalColumns expands sparse fields to the two-column convention") {
+    val d = Collections.heterogeneousDescriptor
+    assert(d.physicalColumns(Seq("id", "keywords")) ===
+      Seq("id", "keywords_indices", "keywords_values"))
+    assert(d.physicalColumns(Seq("text_embedding")) === Seq("text_embedding"))
+  }
+
+  test("homogeneous view: id non-null string, vector float array") {
+    val df = Collections.homogeneous(spark, TestSpark.sfDir)
+    assert(df.schema("id").dataType === StringType)
+    assert(df.schema("vector").dataType === ArrayType(FloatType, containsNull = true))
+    assert(df.filter(col("id").isNull).count() === 0)
+    assert(df.count() === 500)
+  }
+
+  test("heterogeneous view: absent fields are NULL, never empty lists") {
+    val df = Collections.heterogeneous(spark, TestSpark.sfDir)
+    // vec_id % 3 == 1 rows: no keywords, no multi, no audio
+    val m1 = df.filter(col("id").cast(LongType) % 3 === 1)
+    assert(m1.filter(col("keywords_indices").isNotNull).count() === 0)
+    assert(m1.filter(col("multi_embeddings").isNotNull).count() === 0)
+    assert(m1.filter(col("text_embedding").isNull).count() === 0)
+    // populated sparse rows: indices and values line up
+    val m0 = df.filter(col("id").cast(LongType) % 3 === 0)
+      .select(size(col("keywords_indices")).as("ni"), size(col("keywords_values")).as("nv"))
+    assert(m0.filter(col("ni") =!= col("nv")).count() === 0)
+    // and never the empty-list-instead-of-null degenerate
+    assert(df.filter(size(col("text_embedding")) === 0).count() === 0)
+  }
+
+  test("projection is pruned to the parquet scan (ReadSchema)") {
+    val df = Collections.homogeneous(spark, TestSpark.sfDir).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    // only vec_id should be read from parquet, not embedding/label
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embedding/label not pruned from scan:\n$plan")
+  }
+
+  test("filter is pushed down to the parquet scan (PushedFilters)") {
+    val df = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") === 7).select("vec_id", "label")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,7)]"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("limit becomes CollectLimit/GlobalLimit (no full materialization)") {
+    val df = Collections.homogeneous(spark, TestSpark.sfDir).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"), plan)
+    assert(df.count() === 3)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.load(spark, TestSpark.sfDir, "documents")
+
+  test("exactDedup groups planted exact duplicates") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val out = Dedup.exactDedup(d.union(planted), "doc_id", "text")
+    val dupGroups = out.filter(col("n_copies") >= 2)
+    val expected = d.filter(col("doc_id") % 10 === 0).count()
+    assert(dupGroups.count() === expected)
+    // survivors are the original (smaller) ids
+    assert(dupGroups.filter(col("keeper") >= 1000000).count() === 0)
+  }
+
+  test("minhash candidates include all identical-text pairs") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val cands = Dedup.minhashCandidates(d.union(planted), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedPairs = d.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").as[Long].collect()
+      .map(i => (i, i + 1000000)).toSet
+    // identical texts have identical signatures -> every band matches
+    assert(expectedPairs.subsetOf(cands))
+  }
+
+  test("minhashDedup verifies candidates with true jaccard") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val out = Dedup.minhashDedup(d.union(planted), "doc_id", "text", threshold = 0.99)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // planted pairs all at jaccard 1.0
+    val plantedPairs = pairs.filter { case (a, b, _) => b == a + 1000000 }
+    assert(plantedPairs.length === d.filter(col("doc_id") % 10 === 0).count())
+    assert(plantedPairs.forall(_._3 === 1.0))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within small distance") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely different content about spark query engines and columnar io"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simhashDedup(d, "doc_id", "text", maxDist = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) === 0)
+    assert(out.get((1L, 3L)).exists(_ <= 16))
+    assert(!out.contains((1L, 4L)))
+  }
+
+  test("jaccard column math matches set arithmetic") {
+    val out = Seq(("a b c d", "a b c e"))
+      .toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j"))
+      .head().getDouble(0)
+    assert(math.abs(out - 3.0 / 5.0) < 1e-12)
+  }
+
+  test("embeddingNearDup finds planted scaled copies only") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * lit(0.99)).as("v"))
+    val out = Dedup.embeddingNearDup(e.union(planted), "vec_id", "v",
+      Seq("label"), threshold = 0.999)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => b == a + 100000 })
+  }
+}

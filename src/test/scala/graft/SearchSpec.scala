@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections.Collections
+import graft.functions._
+import graft.ops.Search
+
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def homD = Collections.homogeneous(spark, TestSpark.sfDir)
+    .withColumn("vector", col("vector").cast("array<double>"))
+
+  test("topK matches brute-force driver-side ranking") {
+    val q = homD.filter(col("id") === "0").head().getSeq[Double](2)
+    val got = Search.topK(homD.filter(col("id") =!= "0"), col("vector"),
+      vec(q), k = 5).select("id").as[String].collect().toSeq
+    // brute force on the driver
+    val all = homD.filter(col("id") =!= "0")
+      .select("id", "vector").collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        val dot = v.zip(q).map { case (a, b) => a * b }.sum
+        val sim = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+        (r.getString(0), BigDecimal(sim).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val expected = all.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    assert(got === expected)
+  }
+
+  test("topKById excludes the query point and scores against its vector") {
+    val r = Search.topKById(homD.select("id", "vector"), "vector", "0", 10)
+    val ids = r.select("id").as[String].collect()
+    assert(!ids.contains("0"))
+    assert(ids.length === 10)
+  }
+
+  test("recommend centroid math: avg(pos) - avg(neg)") {
+    val df = Seq(
+      ("0", Seq(1.0, 0.0)), ("1", Seq(0.0, 1.0)),   // pos
+      ("2", Seq(1.0, 1.0)),                          // neg
+      ("3", Seq(0.25, -0.25)), ("4", Seq(-1.0, 1.0))) // corpus
+      .toDF("id", "vector")
+    val out = Search.recommend(df, "vector", Seq("0", "1"), Seq("2"), k = 2,
+      metric = "dot").select("id", "score")
+    val m = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // centroid = avg(pos) - avg(neg) = (0.5,0.5) - (1,1) = (-0.5,-0.5)
+    assert(math.abs(m("3") - (0.25 * -0.5 + -0.25 * -0.5)) < 1e-9)
+    assert(math.abs(m("4") - (-1.0 * -0.5 + 1.0 * -0.5)) < 1e-9)
+    assert(!m.contains("0") && !m.contains("2"))
+  }
+
+  test("fuseRRF: reciprocal ranks summed, missing branch contributes 0") {
+    val b1 = Seq(("a", 0.9), ("b", 0.8)).toDF("id", "score")
+    val b2 = Seq(("b", 0.7), ("c", 0.6)).toDF("id", "score")
+    val out = Search.fuseRRF(Seq(b1, b2), k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 1.0 / 61) < 1e-6)
+    assert(math.abs(out("b") - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(out("c") - 1.0 / 62) < 1e-6)
+  }
+
+  test("batchTopK returns exactly k per query") {
+    val corpus = homD.select("id", "vector")
+    val queries = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id").isin(0, 1))
+      .select(col("vec_id").cast("string").as("query_id"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val out = Search.batchTopK(corpus, col("vector"), queries, "query_id", "qvec", 3)
+    val counts = out.groupBy("query_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("0" -> 3L, "1" -> 3L))
+  }
+
+  test("randomSample is deterministic under a fixed seed") {
+    val a = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq
+    val b = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq
+    assert(a === b)
+    assert(a.length === 10)
+  }
+
+  test("topK plan is TakeOrderedAndProject (no global sort)") {
+    val q = Seq.fill(64)(0.1)
+    val plan = Search.topK(homD, col("vector"), vec(q), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

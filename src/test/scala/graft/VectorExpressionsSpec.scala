@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+/** Kernel correctness: the codegen expressions evaluated through a real
+  * DataFrame (whole-stage codegen path) against plain-Scala reference math.
+  * Property-style coverage via seeded random vectors (scalacheck's
+  * scalatest bridge isn't in the offline cache; seeded Random is
+  * equivalent and reproducible).
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomPairs(seed: Long, n: Int): Seq[(List[Double], List[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val len = 1 + rnd.nextInt(16)
+      (List.fill(len)(rnd.nextDouble() * 20 - 10),
+        List.fill(len)(rnd.nextDouble() * 20 - 10))
+    }
+  }
+
+  private def refDot(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+  private def refCos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val d = math.sqrt(refDot(a, a)) * math.sqrt(refDot(b, b))
+    if (d == 0.0) None else Some(refDot(a, b) / d)
+  }
+  private def refEuclid(a: Seq[Double], b: Seq[Double]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+
+
+  test("dot/cosine/euclid match reference math through codegen") {
+    val pairs = randomPairs(7L, 50)
+    val df = pairs.toDF("a", "b").select(
+      col("a"), col("b"),
+      v_dot(col("a"), col("b")).as("d"),
+      v_cosine(col("a"), col("b")).as("c"),
+      v_euclid(col("a"), col("b")).as("e"))
+    df.collect().zip(pairs).foreach { case (r, (a, b)) =>
+      assert(math.abs(r.getDouble(2) - refDot(a, b)) < 1e-9)
+      refCos(a, b) match {
+        case Some(c) => assert(math.abs(r.getDouble(3) - c) < 1e-9)
+        case None    => assert(r.isNullAt(3))
+      }
+      assert(math.abs(r.getDouble(4) - refEuclid(a, b)) < 1e-9)
+    }
+  }
+
+  test("float32 input arrays are accepted without cast") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(v_dot(col("a"), col("b"))).head().getDouble(0) === 11.0)
+  }
+
+  test("null inputs produce null") {
+    val df = Seq((Some(Seq(1.0, 2.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    assert(df.select(v_dot(col("a"), col("b"))).head().isNullAt(0))
+    assert(df.select(v_cosine(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("zero-norm cosine is null") {
+    val df = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(v_cosine(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("sparse dot equals dense dot on its dense expansion") {
+    // sparse views: strictly-positive entries only
+    def sp(v: Seq[Double]): (Seq[Int], Seq[Double]) = {
+      val pairs = v.zipWithIndex.filter(_._1 > 0)
+      (pairs.map(_._2), pairs.map(_._1))
+    }
+    val rows = randomPairs(11L, 50).map { case (a, b) =>
+      val (ia, va) = sp(a); val (ib, vb) = sp(b)
+      val expected = refDot(
+        a.map(x => if (x > 0) x else 0.0), b.map(x => if (x > 0) x else 0.0))
+      (ia, va, ib, vb, expected)
+    }
+    val df = rows.toDF("ia", "va", "ib", "vb", "expected").select(
+      v_sparse_dot(col("ia"), col("va"), col("ib"), col("vb")).as("got"),
+      col("expected"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  test("maxsim equals brute-force late interaction") {
+    val doc = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val qry = Seq(Seq(2.0, 0.0), Seq(1.0, 1.0))
+    // per query vec: max dot over doc vecs; summed
+    val expected =
+      qry.map(q => doc.map(d => refDot(d, q)).max).sum
+    val df = Seq((doc, qry)).toDF("d", "q")
+    val got = df.select(v_maxsim(col("d"), col("q"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+    // empty doc -> 0.0
+    val df2 = Seq((Seq.empty[Seq[Double]], qry)).toDF("d", "q")
+    assert(df2.select(v_maxsim(col("d"), col("q"))).head().getDouble(0) === 0.0)
+  }
+
+  test("simhash: identical token multisets hash identically; bit flip bounded") {
+    val df = Seq(
+      ("a", Seq(1L, 2L, 3L)),
+      ("b", Seq(1L, 2L, 3L)),
+      ("c", Seq(1L, 2L, 3L, 4L))).toDF("id", "h")
+      .select(col("id"), simhash64(col("h")).as("s"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") === m("b"))
+    val hd = java.lang.Long.bitCount(m("a") ^ m("c"))
+    assert(hd <= 64)
+  }
+
+  test("fingerprint64 is deterministic and collision-free on distinct strings") {
+    val df = Seq("x", "y", "x").toDF("t").select(fingerprint64(col("t")).as("f"))
+    val fs = df.collect().map(_.getLong(0))
+    assert(fs(0) === fs(2))
+    assert(fs(0) !== fs(1))
+  }
+
+  test("SQL registration: corpus call shapes work via spark.sql") {
+    graft.functions.registerAll(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .createOrReplaceTempView("vt")
+    val r = spark.sql(
+      "SELECT v_dot(a, b) d, v_cosine(a, b) c, v_euclid(a, b) e FROM vt").head()
+    assert(r.getDouble(0) === 11.0)
+  }
+}
