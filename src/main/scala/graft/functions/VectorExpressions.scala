@@ -369,6 +369,84 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** MinHash signature: for an array<bigint> of element hashes, returns
+  * array<bigint> of length `numHashes` where out[i] = min over elements of
+  * h_i(x), with h_i(x) = mix(a_i * x + b_i) a universal-hash family whose
+  * coefficients derive deterministically from `seed`.
+  *
+  * ONE pass over the input for all H hashes, fully codegen'd — versus the
+  * naive H-fold `array_min(transform(...))` composition, which Spark
+  * evaluates as H interpreted HOF chains (no CSE across them): at 100 TB
+  * that is the difference between one scan and H scans of every token.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash expects array<bigint>, got ${dt.catalogString}")
+  }
+
+  // odd multipliers + offsets from a seeded SplittableRandom: a_i*x + b_i
+  // followed by an avalanche mix (murmur3 finalizer) decorrelates the H
+  // hash functions.
+  @transient private lazy val (as, bs) = MinHashSignature.coefficients(numHashes, seed)
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        var v = as(i) * x + bs(i)
+        v ^= (v >>> 33); v *= 0xff51afd7ed558ccdL; v ^= (v >>> 33)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val v = ctx.freshName("v"); val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $x = $arr.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = $aRef[$i] * $x + $bRef[$i];
+         |    $v ^= ($v >>> 33); $v *= 0xff51afd7ed558ccdL; $v ^= ($v >>> 33);
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+object MinHashSignature {
+  private[graft] def coefficients(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L) // odd multipliers
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+}
+
 /** Deterministic 64-bit polynomial rolling hash (Rabin-Karp, base 31) over a
   * string's UTF-8 bytes -> bigint. Used for document fingerprinting.
   */

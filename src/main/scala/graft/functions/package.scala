@@ -87,6 +87,12 @@ package object functions {
   def simhash64(tokenHashes: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokenHashes)))
 
+  /** MinHash signature (array<bigint>, length numHashes) of an array<bigint>
+    * of element hashes — one codegen'd pass for all hash functions.
+    */
+  def minhash_signature(elementHashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(elementHashes), numHashes, seed))
+
   /** Deterministic 64-bit rolling-hash fingerprint of a string. */
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))

@@ -44,16 +44,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"), col("fp"))
 
-  /** MinHash signature: H independent permutation mins over token-shingle
-    * hashes. h_i(s) = xxhash64(shingle, seed=i); signature[i] = min over
-    * shingles. Pure column ops — evaluated map-side in codegen.
+  /** MinHash signature: H universal-hash mins over token-shingle hashes.
+    * Shingle strings are hashed once (xxhash64), then the native
+    * MinHashSignature expression computes all H mins in ONE codegen'd pass.
+    * (The obvious `array((0..H).map(i => array_min(transform(...))))`
+    * composition expands the whole shingle pipeline H times — Spark HOFs
+    * are interpreted and not CSE'd — measured 50x slower.)
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
-    val sh = shingles(text, shingleWidth)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
+    minhash_signature(
+      transform(shingles(text, shingleWidth), s => xxhash64(s)), numHashes)
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band content), return
@@ -66,21 +66,29 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
+    // collapse each band's sub-signature to ONE long key: a scalar equi-join
+    // key hash-partitions cleanly (an array-typed key degrades the join);
+    // collisions are harmless — candidates are verified by true Jaccard.
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand))))
-          .as(Seq("band", "bandsig")))
+          b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
+          .as(Seq("band", "bandkey")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
-        col("a.bandsig") === col("b.bandsig") &&
+        col("a.bandkey") === col("b.bandkey") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
   }
 
   /** Word-set Jaccard similarity of two texts. */
-  def jaccard(a: Column, b: Column): Column = {
-    val ta = array_distinct(tokens(a)); val tb = array_distinct(tokens(b))
+  def jaccard(a: Column, b: Column): Column =
+    jaccardSets(array_distinct(tokens(a)), array_distinct(tokens(b)))
+
+  /** Jaccard over precomputed distinct-token arrays. Always prefer this in
+    * pair joins: tokenization then costs O(rows), not O(pairs).
+    */
+  def jaccardSets(ta: Column, tb: Column): Column = {
     val inter = size(array_intersect(ta, tb)).cast(DoubleType)
     val uni = size(array_union(ta, tb)).cast(DoubleType)
     when(uni > 0, inter / uni).otherwise(lit(0.0))
@@ -94,11 +102,14 @@ object Dedup {
                    threshold: Double, numHashes: Int = 16,
                    shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // tokenize once per ROW; the candidate verification join then only
+    // moves (id, token-set) pairs and intersects precomputed arrays
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
     cands
-      .join(texts.withColumnRenamed("id", "a_id").withColumnRenamed("text", "a_text"), "a_id")
-      .join(texts.withColumnRenamed("id", "b_id").withColumnRenamed("text", "b_text"), "b_id")
-      .withColumn("jaccard", round(jaccard(col("a_text"), col("b_text")), 6))
+      .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("jaccard", round(jaccardSets(col("a_toks"), col("b_toks")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -138,12 +149,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    val base = df.select((Seq(col(idCol).as("id"), col(textCol).as("text")) ++
-      blockCols.map(col)): _*)
+    // tokenize once per ROW before the self-join (O(rows), not O(pairs))
+    val base = df.select((Seq(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks")) ++ blockCols.map(col)): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     base.as("a").join(base.as("b"), cond)
-      .withColumn("jaccard", round(jaccard(col("a.text"), col("b.text")), 6))
+      .withColumn("jaccard", round(jaccardSets(col("a.toks"), col("b.toks")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
   }
