@@ -148,7 +148,27 @@ object SparkEntry {
         col("event_id"),
         has_field(col("props"), "k").as("has_k"),
         has_field(col("props"), "missing").as("has_missing"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    // the DSv2 connector end-to-end: ingest the embeddings collection into
+    // the (demo in-memory) collection store, scan it back through the
+    // connector with a pruned projection, match the parquet oracle. The
+    // driver-side collect here is the INGEST step into the "remote" store,
+    // not part of query execution.
+    "dsv2_scan" -> ((s, dir) => {
+      import graft.sources._
+      val pts = hom(s, dir).select("id", "payload", "vector").collect().map { r =>
+        Point(r.getString(0), Option(r.getString(1)),
+          dense = Map("vector" -> r.getSeq[Float](2).toArray))
+      }.toIndexedSeq
+      CollectionStores.register("entry_store", InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, pts))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "entry_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .orderBy(col("id"))
+    })
   )
 
   /** §2.C dense vector search surface. */
@@ -489,7 +509,12 @@ object SparkEntry {
       """SELECT event_id,
         |       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
         |       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "dsv2_scan" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin
   )
 
   private val oracleDense: Map[String, String] = Map(

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+import graft.sources._
+
+/** DSv2 connector parity with the reference scan (SURVEY.md §2.A A1-A6):
+  * schema inference from the store's collection config, projection pushdown
+  * narrowing the remote fetch (VectorSelector analog), limit pushdown, and
+  * NULL-for-absent-field decode — partitioned N ways.
+  */
+class CollectionDataSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val desc = CollectionDescriptor("c", Seq(
+    DenseField("text_embedding", 2),
+    MultiField("multi", 2),
+    SparseField("keywords")))
+
+  private def mkPoints(n: Int): IndexedSeq[Point] =
+    (0 until n).map { i =>
+      Point(
+        id = i.toString,
+        payload = if (i % 4 == 0) None else Some(s"""{"i": $i}"""),
+        dense = if (i % 3 != 2) Map("text_embedding" -> Array(i.toFloat, i + 0.5f)) else Map.empty,
+        multi = if (i % 3 == 0) Map("multi" -> Array(Array(1f, 2f), Array(3f, 4f))) else Map.empty,
+        sparse = if (i % 2 == 0) Map("keywords" -> (Array(1, 5), Array(0.1f, 0.9f))) else Map.empty)
+    }
+
+  private def readDf(partitions: Int = 3) = {
+    CollectionStores.register("t1",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t1").option("collection", "c")
+      .option("partitions", partitions.toString).load()
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): CollectionScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[CollectionScan]
+    }.get
+
+  test("A1: schema inferred from collection config") {
+    val df = readDf()
+    assert(df.schema === desc.schema)
+  }
+
+  test("A2/A6: full scan decodes all rows with NULL for absent fields") {
+    val df = readDf()
+    assert(df.count() === 20)
+    val r = df.orderBy(col("id").cast("int")).collect()
+    assert(r(0).getString(0) === "0")
+    assert(r(0).isNullAt(1))                        // payload absent -> NULL
+    assert(!r(1).isNullAt(1))
+    assert(r(2).isNullAt(df.schema.fieldIndex("text_embedding")))  // i%3==2
+    assert(r(1).isNullAt(df.schema.fieldIndex("multi")))
+    assert(r(1).isNullAt(df.schema.fieldIndex("keywords_indices")))
+    assert(r(2).getSeq[Int](df.schema.fieldIndex("keywords_indices")) === Seq(1, 5))
+  }
+
+  test("A3: projection pushdown narrows the remote fetch spec") {
+    val df = readDf().select("id", "keywords_values")
+    val scan = scanOf(df)
+    assert(scan.fetchSpec === FetchSpec(withPayload = false, Seq("keywords")))
+    assert(scan.readSchema().fieldNames.toSeq === Seq("id", "keywords_values"))
+    // id-only projection fetches no vectors at all
+    val scan2 = scanOf(readDf().select("id"))
+    assert(scan2.fetchSpec === FetchSpec(withPayload = false, Seq.empty))
+    assert(df.count() === 20)
+  }
+
+  test("A4: limit pushdown reaches the scan and bounds partition planning") {
+    val df = readDf(partitions = 3).limit(4)
+    val scan = scanOf(df)
+    assert(scan.description().contains("limit=Some(4)"))
+    // only the first 4 points are planned across partitions
+    assert(scan.planInputPartitions()
+      .map(_.asInstanceOf[CollectionInputPartition])
+      .map(p => p.until - p.from).sum === 4)
+    assert(df.count() === 4)
+  }
+
+  test("scan is partitioned N ways (vs the reference's single partition)") {
+    val df = readDf(partitions = 5)
+    assert(df.rdd.getNumPartitions === 5)
+    assert(df.count() === 20)
+  }
+
+  test("unnamed collection exposes `vector` and decodes it") {
+    val udesc = CollectionDescriptor("u", Seq(DenseField("v", 2)), named = false)
+    val pts = (0 until 6).map(i =>
+      Point(i.toString, Some("{}"), dense = Map("vector" -> Array(i.toFloat, 0f))))
+    CollectionStores.register("t2", InMemoryCollectionStore.single("u", udesc, pts))
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t2").option("collection", "u").load()
+    assert(df.schema.fieldNames.toSeq === Seq("id", "payload", "vector"))
+    assert(df.filter(col("vector").isNull).count() === 0)
+    assert(df.select(element_at(col("vector"), 1)).orderBy(col("id").cast("int"))
+      .collect().map(_.getFloat(0)).toSeq === Seq(0f, 1f, 2f, 3f, 4f, 5f))
+  }
+}
