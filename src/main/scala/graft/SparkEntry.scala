@@ -222,7 +222,46 @@ object SparkEntry {
     }),
 
     "random_sample" -> ((s, dir) =>
-      Search.randomSample(hom(s, dir), 20, seed = 42L).select("id"))
+      Search.randomSample(hom(s, dir), 20, seed = 42L).select("id")),
+
+    // V_SEARCH named-field form on the heterogeneous collection: score a
+    // named vector column, NULL rows (points without that field) drop out
+    "named_field_search" -> ((s, dir) => {
+      val h = Collections.heterogeneous(s, dir)
+        .withColumn("text_embedding", dvec(col("text_embedding")))
+      val q = h.filter(col("id") === "0").select(col("text_embedding").as("__qvec"))
+      h.filter(col("id") =!= "0" && col("text_embedding").isNotNull)
+        .crossJoin(broadcast(q))
+        .withColumn("score", round(v_cosine(col("text_embedding"), col("__qvec")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // payload filter + vector search combo (tests.sql:56-59 shape)
+    "filtered_search" -> ((s, dir) => {
+      val df = homD(s, dir)
+      val q = qvecOf(df, "0")
+      df.filter(col("id") =!= "0" &&
+          json_get_int(col("payload"), "label").isin(1, 2, 3))
+        .crossJoin(broadcast(q))
+        .withColumn("score", round(v_cosine(col("vector"), col("__qvec")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // the SQL path end-to-end: registered vector functions + scalar
+    // subquery, transliterating the corpus's V_SEARCH call shape
+    "sql_vector_search" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      homD(s, dir).createOrReplaceTempView("c")
+      s.sql(
+        """SELECT id, ROUND(v_cosine(vector,
+          |         (SELECT vector FROM c WHERE id = '5')), 6) AS score
+          |FROM c WHERE id <> '5'
+          |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
+    })
   )
 
   /** §2.C sparse / multi-vector / composite pipelines. */
@@ -561,7 +600,28 @@ object SparkEntry {
         |       ROUND(exp(-0.6931471805599453 *
         |             pow(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) / 3.0, 2)), 6) AS decay
         |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin
+        |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin,
+
+    "named_field_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 IN (0, 1)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "filtered_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label IN (1, 2, 3)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "sql_vector_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 5
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
   )
 
   private val oracleComposite: Map[String, String] = Map(

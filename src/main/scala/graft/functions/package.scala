@@ -97,6 +97,12 @@ package object functions {
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))
 
+  /** Element-wise vector average aggregate (centroid): array column ->
+    * array<double>. Partial-aggregates map-side; see VectorAvg scaladoc.
+    */
+  def v_avg(c: Column): Column =
+    Bridge.column(VectorAvg(Bridge.expression(c)).toAggregateExpression())
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 

@@ -51,18 +51,15 @@ object Search {
       .drop("__qvec")
   }
 
-  /** Element-wise centroid of the vectors of `ids` (NULL-safe, returns a
-    * 1-row DataFrame with column `centroid` array<double>). Distributed:
-    * explodes |ids| * dim rows, aggregates by position — trivial at any
-    * scale since |ids| is small.
+  /** Element-wise centroid of the vectors of `ids` (1-row DataFrame,
+    * array<double>). Uses the native v_avg aggregate: each partition folds
+    * its vectors into one (sums, count) buffer map-side — no explode, no
+    * per-dimension shuffle rows.
     */
   private def centroid(df: DataFrame, vecColName: String, ids: Seq[String],
                        outName: String): DataFrame =
     df.filter(col("id").isin(ids: _*))
-      .select(posexplode(col(vecColName)).as(Seq("pos", "x")))
-      .groupBy(col("pos")).agg(avg(col("x")).as("x"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("s"))
-      .select(transform(col("s"), e => e("x")).as(outName))
+      .agg(v_avg(col(vecColName)).as(outName))
 
   /** V_RECOMMEND([pos_ids], [neg_ids]): Qdrant's `average_vector` recommend
     * strategy — composite query = avg(positives) - avg(negatives) (absent

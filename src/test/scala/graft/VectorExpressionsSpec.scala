@@ -119,6 +119,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(fs(0) !== fs(1))
   }
 
+  test("v_avg aggregates element-wise, skipping null rows") {
+    val df = Seq(
+      ("a", Some(Seq(1.0, 2.0))),
+      ("a", Some(Seq(3.0, 4.0))),
+      ("a", None),
+      ("b", Some(Seq(10.0, 20.0)))).toDF("k", "v")
+    val m = df.groupBy(col("k")).agg(v_avg(col("v")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m("a") === Seq(2.0, 3.0))
+    assert(m("b") === Seq(10.0, 20.0))
+    // all-null group -> null
+    val empty = Seq(("x", Option.empty[Seq[Double]])).toDF("k", "v")
+      .groupBy(col("k")).agg(v_avg(col("v")).as("c")).head()
+    assert(empty.isNullAt(1))
+    // float input works too
+    val f = Seq(Seq(1.0f, 3.0f), Seq(3.0f, 5.0f)).toDF("v")
+      .agg(v_avg(col("v"))).head().getSeq[Double](0)
+    assert(f === Seq(2.0, 4.0))
+  }
+
   test("SQL registration: corpus call shapes work via spark.sql") {
     graft.functions.registerAll(spark)
     Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
