@@ -1,9 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Per-user accumulated state for [[EventsStream.runningUserStats]]. */
+final case class UserState(n: Long, total: Double)
+/** Per-batch emitted update of a user's running totals. */
+final case class UserUpdate(user_id: Long, n: Long, total: Double)
 
 /** Structured Streaming surface over the `events` table.
   *
@@ -67,4 +72,37 @@ object EventsStream {
   /** Bounded (batch) form of the same aggregation — oracle-checkable. */
   def windowedAggBatch(spark: SparkSession, sfDir: String): DataFrame =
     windowedAgg(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** Custom streaming state: per-user running (count, sum) via
+    * mapGroupsWithState. State is partitioned by key across executors and
+    * checkpointable; each micro-batch folds its rows into the key's state
+    * and emits the updated totals (update output mode).
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast(LongType), col("value").cast(DoubleType))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[UserState]) =>
+          var (n, total) = state.getOption
+            .map(s => (s.n, s.total)).getOrElse((0L, 0.0))
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserState(n, total))
+          UserUpdate(uid, n, total)
+      }
+  }
+
+  /** Start the stateful running-stats stream into a memory sink. */
+  def startRunningStats(spark: SparkSession, dir: String,
+                        queryName: String): StreamingQuery =
+    runningUserStats(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

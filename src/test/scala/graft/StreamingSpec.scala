@@ -26,4 +26,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("stateful running user stats converge to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream2")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val q = EventsStream.startRunningStats(spark, dir.toString, "user_stats")
+    q.processAllAvailable()
+    q.stop()
+
+    // last emitted update per user == batch totals
+    import org.apache.spark.sql.expressions.Window
+    val last = spark.table("user_stats")
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val joined = last.as("s").join(batch.as("b"), "user_id")
+      .filter(col("s.n") =!= col("b.n") ||
+        abs(col("s.total") - col("b.total")) > 1e-6)
+    assert(joined.count() === 0)
+    assert(last.count() > 0)
+  }
 }
