@@ -19,8 +19,10 @@ import graft.streaming.EventsStream
   * specs instead.
   *
   * Determinism rules used throughout (SURVEY.md §7.3):
-  *  - float vectors are cast to array<double> on BOTH sides before scoring,
-  *    so both engines do identical double arithmetic;
+  *  - the kernels widen float->double per ELEMENT, which is bit-identical
+  *    to casting the array up front, so scoring runs on raw float vectors
+  *    (no per-row array allocation) while DuckDB scores double-cast lists;
+  *    only queries that OUTPUT a vector column cast it to array<double>;
   *  - similarity scores are rounded (6 dp) BEFORE ranking, with an `id`
   *    tiebreak, so top-k boundaries agree;
   *  - money aggregates go through exact DECIMAL accumulation (order
@@ -175,19 +177,19 @@ object SparkEntry {
   private val denseSearch: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "cosine_topk" -> ((s, dir) =>
-      Search.topKById(homD(s, dir).select("id", "vector"), "vector", "0", 10)
+      Search.topKById(hom(s, dir).select("id", "vector"), "vector", "0", 10)
         .select("id", "score")),
 
     "dot_topk" -> ((s, dir) =>
-      Search.topKById(homD(s, dir).select("id", "vector"), "vector", "1", 10,
+      Search.topKById(hom(s, dir).select("id", "vector"), "vector", "1", 10,
         metric = "dot").select("id", "score")),
 
     "euclid_topk" -> ((s, dir) =>
-      Search.topKById(homD(s, dir).select("id", "vector"), "vector", "2", 10,
+      Search.topKById(hom(s, dir).select("id", "vector"), "vector", "2", 10,
         metric = "euclid").select("id", "score")),
 
     "within_radius_agg" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val q = qvecOf(df, "0")
       df.filter(col("id") =!= "0").crossJoin(broadcast(q))
         .withColumn("label", json_get_int(col("payload"), "label"))
@@ -198,7 +200,7 @@ object SparkEntry {
     }),
 
     "score_blend" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val q0 = qvecOf(df, "0", "__q0"); val q1 = qvecOf(df, "1", "__q1")
       df.filter(!col("id").isin("0", "1"))
         .crossJoin(broadcast(q0)).crossJoin(broadcast(q1))
@@ -211,7 +213,7 @@ object SparkEntry {
     }),
 
     "gauss_decay" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val q = qvecOf(df, "0")
       df.filter(col("id") =!= "0").crossJoin(broadcast(q))
         .withColumn("decay",
@@ -228,7 +230,6 @@ object SparkEntry {
     // named vector column, NULL rows (points without that field) drop out
     "named_field_search" -> ((s, dir) => {
       val h = Collections.heterogeneous(s, dir)
-        .withColumn("text_embedding", dvec(col("text_embedding")))
       val q = h.filter(col("id") === "0").select(col("text_embedding").as("__qvec"))
       h.filter(col("id") =!= "0" && col("text_embedding").isNotNull)
         .crossJoin(broadcast(q))
@@ -240,7 +241,7 @@ object SparkEntry {
 
     // payload filter + vector search combo (tests.sql:56-59 shape)
     "filtered_search" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val q = qvecOf(df, "0")
       df.filter(col("id") =!= "0" &&
           json_get_int(col("payload"), "label").isin(1, 2, 3))
@@ -255,7 +256,7 @@ object SparkEntry {
     // subquery, transliterating the corpus's V_SEARCH call shape
     "sql_vector_search" -> ((s, dir) => {
       graft.functions.registerAll(s)
-      homD(s, dir).createOrReplaceTempView("c")
+      hom(s, dir).createOrReplaceTempView("c")
       s.sql(
         """SELECT id, ROUND(v_cosine(vector,
           |         (SELECT vector FROM c WHERE id = '5')), 6) AS score
@@ -283,7 +284,7 @@ object SparkEntry {
     }),
 
     "colbert_maxsim" -> ((s, dir) => {
-      val e = homD(s, dir)
+      val e = hom(s, dir)
         .withColumn("multi", array(col("vector"), reverse(col("vector"))))
       val q = e.filter(col("id") === "0").select(col("multi").as("__qmulti"))
       e.filter(col("id") =!= "0").crossJoin(broadcast(q))
@@ -294,23 +295,23 @@ object SparkEntry {
     }),
 
     "recommend" -> ((s, dir) =>
-      Search.recommend(homD(s, dir), "vector",
+      Search.recommend(hom(s, dir), "vector",
         posIds = Seq("0", "1", "2"), negIds = Seq("3"), k = 10)
         .select("id", "score")),
 
     "discover" -> ((s, dir) =>
-      Search.discover(homD(s, dir), "vector", targetId = "0",
+      Search.discover(hom(s, dir), "vector", targetId = "0",
         context = Seq(("1", 0.5), ("2", -0.25)), k = 10)),
 
     "rrf_fusion" -> ((s, dir) => {
-      val df = homD(s, dir).select("id", "vector")
+      val df = hom(s, dir).select("id", "vector")
       val b1 = Search.topKById(df, "vector", "0", 50, "cosine").select("id", "score")
       val b2 = Search.topKById(df, "vector", "1", 50, "dot").select("id", "score")
       Search.fuseRRF(Seq(b1, b2), k = 20)
     }),
 
     "prefetch_rerank" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val q = qvecOf(df, "0")
       val scored = df.filter(col("id") =!= "0").crossJoin(broadcast(q))
       val prefetch = scored
@@ -324,16 +325,16 @@ object SparkEntry {
     }),
 
     "batch_search" -> ((s, dir) => {
-      val corpus = homD(s, dir).select("id", "vector")
+      val corpus = hom(s, dir).select("id", "vector")
       val queries = Tables.load(s, dir, "embeddings")
         .filter(col("vec_id").isin(0, 1, 2))
         .select(col("vec_id").cast(StringType).as("query_id"),
-          dvec(col("embedding")).as("qvec"))
+          col("embedding").as("qvec"))
       Search.batchTopK(corpus, col("vector"), queries, "query_id", "qvec", k = 5)
     }),
 
     "cte_semi" -> ((s, dir) => {
-      val df = homD(s, dir)
+      val df = hom(s, dir)
       val cand = Search.topKById(df.select("id", "vector"), "vector", "0", 100)
         .select("id")
       df.join(cand, Seq("id"), "left_semi")

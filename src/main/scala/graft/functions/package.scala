@@ -171,5 +171,26 @@ package object functions {
     r("v_maxsim", es => MaxSim(es(0), es(1)))
     r("simhash64", es => SimHash64(es(0)))
     r("fingerprint64", es => RollingHash64(es(0)))
+    // V_DISTANCE(a, b, 'metric') / V_WITHIN(a, b, r[, 'metric']) forms —
+    // metric must be a foldable string literal, as in the reference corpus.
+    // Built as raw Catalyst nodes (a Column expression tree cannot be
+    // re-embedded unresolved into a SQL plan).
+    import org.apache.spark.sql.catalyst.expressions.{
+      LessThan, Literal, Subtract, UnaryMinus}
+    def metricOf(e: E): String = e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"metric must be a string literal, got $other")
+    }
+    def distanceExpr(a: E, b: E, metric: String): E = metric match {
+      case "cosine" => Subtract(Literal(1.0), CosineSimilarity(a, b))
+      case "dot"    => UnaryMinus(DotProduct(a, b))
+      case "euclid" | "euclidean" | "l2" => EuclideanDistance(a, b)
+      case m => throw new IllegalArgumentException(s"unknown metric '$m'")
+    }
+    r("v_distance", es => distanceExpr(es(0), es(1), metricOf(es(2))))
+    r("v_within", es => LessThan(
+      distanceExpr(es(0), es(1), if (es.length > 3) metricOf(es(3)) else "euclid"),
+      Literal(es(2).eval(null).toString.toDouble)))
   }
 }

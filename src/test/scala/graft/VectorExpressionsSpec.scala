@@ -146,5 +146,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT v_dot(a, b) d, v_cosine(a, b) c, v_euclid(a, b) e FROM vt").head()
     assert(r.getDouble(0) === 11.0)
+    val r2 = spark.sql(
+      """SELECT v_distance(a, b, 'cosine') dc, v_distance(a, b, 'euclid') de,
+        |       v_within(a, b, 5.0) w, v_within(a, b, 0.1, 'cosine') wc
+        |FROM vt""".stripMargin).head()
+    assert(r2.getDouble(0) >= 0.0 && r2.getDouble(0) <= 2.0)
+    assert(math.abs(r2.getDouble(1) - math.sqrt(8.0)) < 1e-9)
+    assert(r2.getBoolean(2) === true)   // sqrt(8) < 5
+    assert(r2.getBoolean(3) === true)   // cosine distance of parallel-ish vecs
   }
 }
