@@ -152,6 +152,16 @@ object SparkEntry {
         has_field(col("props"), "missing").as("has_missing"))
         .orderBy(col("event_id"))),
 
+    // json_object_keys + json_array_length surface (§2.D)
+    "json_surface" -> ((s, dir) =>
+      events(s, dir).select(
+        col("event_id"),
+        json_keys(col("props")).as("ks"),
+        org.apache.spark.sql.functions.json_array_length(
+          concat(lit("["), json_get_str(col("props"), "k"),
+            lit(","), json_get_str(col("props"), "k"), lit("]"))).as("arr_len"))
+        .orderBy(col("event_id"))),
+
     // the DSv2 connector end-to-end: ingest the embeddings collection into
     // the (demo in-memory) collection store, scan it back through the
     // connector with a pruned projection, match the parquet oracle. The
@@ -554,7 +564,14 @@ object SparkEntry {
     "dsv2_scan" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
-        |FROM embeddings ORDER BY id""".stripMargin
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "json_surface" ->
+      """SELECT event_id,
+        |       json_keys(props) AS ks,
+        |       CAST(json_array_length('[' || json_extract_string(props, '$.k') || ','
+        |            || json_extract_string(props, '$.k') || ']') AS INTEGER) AS arr_len
+        |FROM events ORDER BY event_id""".stripMargin
   )
 
   private val oracleDense: Map[String, String] = Map(

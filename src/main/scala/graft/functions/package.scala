@@ -97,6 +97,12 @@ package object functions {
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))
 
+  /** Common-element count of two sorted, distinct string arrays (one
+    * codegen'd merge pass; see SortedIntersectCount).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
   /** Element-wise vector average aggregate (centroid): array column ->
     * array<double>. Partial-aggregates map-side; see VectorAvg scaladoc.
     */

@@ -69,10 +69,14 @@ object Dedup {
     // collapse each band's sub-signature to ONE long key: a scalar equi-join
     // key hash-partitions cleanly (an array-typed key degrades the join);
     // collisions are harmless — candidates are verified by true Jaccard.
+    // Persisted: both sides of the self-join (and the verify stage) reuse
+    // the computed signatures instead of re-shingling the corpus. The
+    // banded frame is (id, band, bandkey) — tiny relative to the corpus.
     val banded = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
           .as(Seq("band", "bandkey")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bandkey") === col("b.bandkey") &&
@@ -94,6 +98,23 @@ object Dedup {
     when(uni > 0, inter / uni).otherwise(lit(0.0))
   }
 
+  /** Jaccard over precomputed SORTED distinct-token arrays: one codegen'd
+    * merge (sorted_intersect_count) instead of two interpreted hash-set
+    * builds per pair; union size = |a| + |b| - inter. The fast path for
+    * pair-join verification.
+    */
+  def jaccardSortedSets(ta: Column, tb: Column): Column = {
+    val inter = sorted_intersect_count(ta, tb).cast(DoubleType)
+    val uni = size(ta).cast(DoubleType) + size(tb).cast(DoubleType) - inter
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  /** Sorted distinct token set of a text (input shape for
+    * [[jaccardSortedSets]]).
+    */
+  def sortedTokenSet(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
   /** MinHash-LSH near-duplicate pairs, verified by true Jaccard >= threshold.
     * Candidates come from banding (no all-pairs join); verification re-joins
     * the two texts for candidates only.
@@ -103,13 +124,13 @@ object Dedup {
                    shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
     // tokenize once per ROW; the candidate verification join then only
-    // moves (id, token-set) pairs and intersects precomputed arrays
+    // moves (id, sorted token-set) pairs and merge-counts in codegen
     val toks = df.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
+      sortedTokenSet(col(textCol)).as("toks"))
     cands
       .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
-      .withColumn("jaccard", round(jaccardSets(col("a_toks"), col("b_toks")), 6))
+      .withColumn("jaccard", round(jaccardSortedSets(col("a_toks"), col("b_toks")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
@@ -149,13 +170,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    // tokenize once per ROW before the self-join (O(rows), not O(pairs))
+    // tokenize+sort once per ROW before the self-join (O(rows), not O(pairs))
     val base = df.select((Seq(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks")) ++ blockCols.map(col)): _*)
+      sortedTokenSet(col(textCol)).as("toks")) ++ blockCols.map(col)): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     base.as("a").join(base.as("b"), cond)
-      .withColumn("jaccard", round(jaccardSets(col("a.toks"), col("b.toks")), 6))
+      .withColumn("jaccard", round(jaccardSortedSets(col("a.toks"), col("b.toks")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
   }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the headline queries — the local
+  * stand-in for "would this survive a 1000-executor cluster": searches must
+  * broadcast the query side and take-ordered rather than sort; aggregates
+  * must partial-aggregate before the exchange; small-dim joins must
+  * broadcast.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("cosine_topk: broadcast query vector + TakeOrderedAndProject, no sort") {
+    val p = plan("cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("q1_agg: partial aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    // two HashAggregates (partial + final) around one Exchange
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("join3_agg: dimension joins are broadcast, not shuffled") {
+    val p = plan("join3_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("batch_search: queries broadcast; single shuffle for per-query ranking") {
+    val p = plan("batch_search")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("scan_projection reads only the projected columns") {
+    val p = plan("scan_projection")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,label:int>"), p)
+  }
+
+  test("vector kernels run inside whole-stage codegen") {
+    val df = SparkEntry.queries("cosine_topk")(spark, TestSpark.sfDir)
+    df.collect() // materialize so AQE finalizes the plan (markers only then)
+    val p = df.queryExecution.executedPlan.toString
+    // the scoring project must sit under a WholeStageCodegen span
+    assert(p.contains("*("), p) // codegen stage marker
+    assert("\\*\\(\\d+\\)".r.findAllIn(p).size >= 1)
+  }
+
+  test("dedup_exact shuffles fingerprints, not texts") {
+    val p = plan("dedup_exact")
+    // text column must not survive past the partial aggregate into the
+    // exchange: the aggregate groups on the 64-bit fp with min(id)
+    assert(p.contains("fingerprint64"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+}

@@ -81,6 +81,18 @@ class SearchSpec extends AnyFunSuite {
     assert(a.length === 10)
   }
 
+  test("saltedJoin equals the plain join") {
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val c = Tables.load(spark, TestSpark.sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey"))
+      .groupBy("o_custkey").count()
+    val salted = graft.ops.Skew.saltedJoin(o, c, "o_custkey", saltFactor = 8)
+      .groupBy("o_custkey").count()
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
   test("topK plan is TakeOrderedAndProject (no global sort)") {
     val q = Seq.fill(64)(0.1)
     val plan = Search.topK(homD, col("vector"), vec(q), 10)
