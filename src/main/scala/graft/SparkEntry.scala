@@ -441,7 +441,28 @@ object SparkEntry {
 
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // literal CROSS JOIN LATERAL correlated-top-k (tests.sql:340-344 shape)
+    "lateral_topk" -> ((s, dir) => {
+      Tables.load(s, dir, "region").createOrReplaceTempView("region")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT r.r_name, t.n_name FROM region r,
+          |LATERAL (SELECT n_name FROM nation n
+          |         WHERE n.n_regionkey = r.r_regionkey
+          |         ORDER BY n_name LIMIT 2) t
+          |ORDER BY r_name, n_name""".stripMargin)
+    }),
+
+    // JSON array containment: payload->'tags' @> '["..."]' (tests.sql:224)
+    "json_containment" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("payload", to_json(struct(array(col("lang"), col("source")).as("tags"))))
+        .select(col("doc_id"),
+          json_contains_value(col("payload"), "tags", "en").as("has_en"),
+          json_contains_value(col("payload"), "tags", "src3").as("has_src3"))
+        .orderBy(col("doc_id")))
   )
 
   /** Training-data pipeline operators: dedup, text analysis, ANN, media. */
@@ -815,7 +836,20 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lateral_topk" ->
+      """SELECT r.r_name, t.n_name FROM region r,
+        |LATERAL (SELECT n_name FROM nation n
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY n_name LIMIT 2) t
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "json_containment" ->
+      """SELECT doc_id,
+        |       list_contains(CAST(json_extract(to_json({'tags': [lang, source]}), '$.tags') AS VARCHAR[]), 'en') AS has_en,
+        |       list_contains(CAST(json_extract(to_json({'tags': [lang, source]}), '$.tags') AS VARCHAR[]), 'src3') AS has_src3
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   private val oraclePipeline: Map[String, String] = Map(

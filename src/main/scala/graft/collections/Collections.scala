@@ -126,4 +126,16 @@ object Collections {
     homogeneous(spark, sfDir).createOrReplaceTempView(homogeneousDescriptor.name)
     heterogeneous(spark, sfDir).createOrReplaceTempView(heterogeneousDescriptor.name)
   }
+
+  /** Sink (reference A12 — `insert_into`, which the reference leaves
+    * `todo!()`, table.rs:186-193): persist a collection-shaped DataFrame as
+    * parquet. At scale, `repartition(n)` upstream controls file count and
+    * the columnar layout keeps projection pushdown on re-read.
+    */
+  def writeCollection(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Re-open a written collection (schema travels with the parquet). */
+  def readCollection(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

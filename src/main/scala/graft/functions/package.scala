@@ -112,6 +112,29 @@ package object functions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))
 
+  /** Multi-vector normalization (reference A7, deserialize.rs:41-58):
+    * split a flat array of `count` concatenated equal-length vectors into
+    * array<array<_>>; NULL when the length is not divisible by count
+    * (the reference errors; NULL is the columnar-friendly equivalent).
+    */
+  def multi_vector_from_flat(flat: Column, count: Column): Column = {
+    val n = F.size(flat)
+    val dim = (n / count).cast(IntegerType)
+    F.when(count > 0 && n % count === 0,
+      F.transform(F.sequence(F.lit(0), count.cast(IntegerType) - 1),
+        i => F.slice(flat, i * dim + F.lit(1), dim)))
+      .otherwise(F.lit(null))
+  }
+
+  /** JSON array containment (the corpus's `payload->'tags' @> '["x"]'`
+    * shape, tests.sql:224): true iff the JSON array at `path` contains
+    * `value` as a string element.
+    */
+  def json_contains_value(json: Column, path: String, value: String): Column =
+    F.array_contains(
+      F.from_json(F.get_json_object(json, "$." + path), ArrayType(StringType)),
+      value)
+
   /** A vector literal column from a Seq of doubles (array<double>). */
   def vec(values: Seq[Double]): Column = F.array(values.map(F.lit): _*)
 

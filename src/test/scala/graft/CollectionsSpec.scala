@@ -81,6 +81,31 @@ class CollectionsSpec extends AnyFunSuite {
       s"missing pushdown:\n$plan")
   }
 
+  test("multi_vector_from_flat splits evenly or yields NULL") {
+    import spark.implicits._
+    import graft.functions.multi_vector_from_flat
+    val df = Seq(
+      (Seq(1f, 2f, 3f, 4f, 5f, 6f), 2),
+      (Seq(1f, 2f, 3f, 4f, 5f), 2)).toDF("flat", "n")
+      .select(multi_vector_from_flat(col("flat"), col("n")).as("m"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Seq[Float]](0) === Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))
+    assert(rows(1).isNullAt(0))   // 5 % 2 != 0 -> NULL (reference errors)
+  }
+
+  test("writeCollection/readCollection round-trips schema and NULLs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val src = Collections.heterogeneous(spark, TestSpark.sfDir)
+    Collections.writeCollection(src, dir)
+    val back = Collections.readCollection(spark, dir)
+    // parquet re-read widens containsNull; compare types modulo nullability
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ===
+      src.schema.map(f => (f.name, f.dataType.simpleString)))
+    assert(back.count() === src.count())
+    assert(back.filter(col("audio_embedding").isNull).count() ===
+      src.filter(col("audio_embedding").isNull).count())
+  }
+
   test("limit becomes CollectLimit/GlobalLimit (no full materialization)") {
     val df = Collections.homogeneous(spark, TestSpark.sfDir).limit(3)
     val plan = df.queryExecution.executedPlan.toString
