@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-layout techniques for shuffle elimination at scale: bucketed
+  * co-located joins and partition-pruned IVF cluster reads.
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val c = Tables.load(spark, TestSpark.sfDir, "customer")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    c.withColumnRenamed("c_custkey", "o_custkey")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("customer_b")
+
+    // disable broadcast so the join would otherwise shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // bucket co-location: no shuffle exchange on either side
+      assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+      assert(j.count() === Tables.load(spark, TestSpark.sfDir, "orders").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF clustered corpus written partitioned prunes unprobed clusters") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+      .select("id", "vector")
+    val idx = graft.ops.Ann.buildIvf(corpus, "id", "vector", nlist = 4)
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+
+    val stored = spark.read.parquet(dir).filter(col("cluster").isin(0, 1))
+    val p = stored.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"), p)
+    // pruned read only touches the probed clusters' files
+    val clusters = stored.select("cluster").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(clusters.subsetOf(Set(0, 1)))
+  }
+}

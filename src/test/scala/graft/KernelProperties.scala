@@ -1,0 +1,111 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import graft.functions._
+
+/** Algebraic property checks of the kernel expressions' interpreted eval
+  * path (no Spark session needed; the codegen path is covered by the
+  * DataFrame-based specs and the DuckDB oracle).
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private def arr(xs: Seq[Double]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray),
+      ArrayType(DoubleType, containsNull = false))
+  private def larr(xs: Seq[Long]): Literal =
+    Literal.create(new GenericArrayData(xs.toArray),
+      ArrayType(LongType, containsNull = false))
+
+  private val vecPair: Gen[(List[Double], List[Double])] = for {
+    n <- Gen.choose(1, 32)
+    a <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    b <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield (a, b)
+
+  property("dot is symmetric") = forAll(vecPair) { case (a, b) =>
+    DotProduct(arr(a), arr(b)).eval(null) == DotProduct(arr(b), arr(a)).eval(null)
+  }
+
+  property("cosine is bounded and symmetric") = forAll(vecPair) { case (a, b) =>
+    val c = CosineSimilarity(arr(a), arr(b)).eval(null)
+    val c2 = CosineSimilarity(arr(b), arr(a)).eval(null)
+    (c == null && c2 == null) || {
+      val d = c.asInstanceOf[Double]
+      d >= -1.0 - 1e-9 && d <= 1.0 + 1e-9 && d == c2.asInstanceOf[Double]
+    }
+  }
+
+  property("cosine of a vector with itself is 1") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.1, 50.0))) { a =>
+      val c = CosineSimilarity(arr(a), arr(a)).eval(null).asInstanceOf[Double]
+      math.abs(c - 1.0) < 1e-9
+    }
+
+  property("euclid is non-negative, zero on self, symmetric") =
+    forAll(vecPair) { case (a, b) =>
+      val d = EuclideanDistance(arr(a), arr(b)).eval(null).asInstanceOf[Double]
+      val d2 = EuclideanDistance(arr(b), arr(a)).eval(null).asInstanceOf[Double]
+      val self = EuclideanDistance(arr(a), arr(a)).eval(null).asInstanceOf[Double]
+      d >= 0.0 && d == d2 && self == 0.0
+    }
+
+  property("sparse dot over full index range equals dense dot") =
+    forAll(vecPair) { case (a, b) =>
+      val idx = a.indices.map(_.toLong)
+      val sd = SparseDotProduct(larr(idx), arr(a), larr(idx), arr(b))
+        .eval(null).asInstanceOf[Double]
+      val dd = DotProduct(arr(a), arr(b)).eval(null).asInstanceOf[Double]
+      math.abs(sd - dd) < 1e-9
+    }
+
+  property("sparse dot with disjoint indices is 0") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))) { a =>
+      val n = a.length
+      val i1 = (0 until n).map(i => (2L * i))        // evens
+      val i2 = (0 until n).map(i => (2L * i + 1))    // odds
+      SparseDotProduct(larr(i1), arr(a), larr(i2), arr(a))
+        .eval(null).asInstanceOf[Double] == 0.0
+    }
+
+  property("minhash signature is deterministic with stable length") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      val e1 = MinHashSignature(larr(hs), 16, 42L).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray()
+      val e2 = MinHashSignature(larr(hs), 16, 42L).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray()
+      e1.toSeq == e2.toSeq && e1.length == 16
+    }
+
+  property("minhash of a superset is element-wise <=") =
+    forAll(Gen.nonEmptyListOf(Gen.long), Gen.nonEmptyListOf(Gen.long)) { (a, b) =>
+      val sa = MinHashSignature(larr(a), 8, 1L).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray()
+      val sab = MinHashSignature(larr(a ++ b), 8, 1L).eval(null)
+        .asInstanceOf[GenericArrayData].toLongArray()
+      sa.zip(sab).forall { case (x, y) => y <= x }
+    }
+
+  property("simhash of identical inputs matches; hamming <= 64") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      val s1 = SimHash64(larr(hs)).eval(null).asInstanceOf[Long]
+      val s2 = SimHash64(larr(hs)).eval(null).asInstanceOf[Long]
+      s1 == s2
+    }
+
+  property("maxsim >= dot of any single doc vector with the whole query") =
+    forAll(vecPair) { case (q, d) =>
+      val doc = Literal.create(
+        new GenericArrayData(Array(new GenericArrayData(d.toArray): Any)),
+        ArrayType(ArrayType(DoubleType, false), false))
+      val qry = Literal.create(
+        new GenericArrayData(Array(new GenericArrayData(q.toArray): Any)),
+        ArrayType(ArrayType(DoubleType, false), false))
+      val ms = MaxSim(doc, qry).eval(null).asInstanceOf[Double]
+      val dd = DotProduct(arr(d), arr(q)).eval(null).asInstanceOf[Double]
+      math.abs(ms - dd) < 1e-9   // single doc + single query = their dot
+    }
+}
