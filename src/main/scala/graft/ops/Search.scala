@@ -90,22 +90,21 @@ object Search {
                context: Seq[(String, Double)], k: Int,
                metric: String = "cosine", roundTo: Int = 6): DataFrame = {
     val ctxIds = context.map(_._1)
-    val weights = context.toMap
     val tgt = df.filter(col("id") === lit(targetId)).select(col(vecColName).as("__t"))
-    val ctx = df.filter(col("id").isin(ctxIds: _*))
-      .select(col("id").as("__cid"), col(vecColName).as("__cv"))
     val base = df.filter(col("id") =!= lit(targetId) && !col("id").isin(ctxIds: _*))
-    val wCol = ctxIds.foldLeft(lit(0.0)) { (acc, cid) =>
-      when(col("__cid") === lit(cid), lit(weights(cid))).otherwise(acc)
+    // one 1-row broadcast per context vector; the whole score is a map-side
+    // column fold — no explode, no re-aggregation shuffle
+    val withVecs = context.zipWithIndex.foldLeft(base.crossJoin(broadcast(tgt))) {
+      case (acc, ((cid, _), i)) =>
+        acc.crossJoin(broadcast(
+          df.filter(col("id") === lit(cid)).select(col(vecColName).as(s"__c$i"))))
     }
-    base.crossJoin(broadcast(tgt))
-      .crossJoin(broadcast(ctx))
-      .withColumn("__w", wCol)
-      .groupBy(col("id"))
-      .agg(
-        first(similarity(col(vecColName), col("__t"), metric)).as("__tsim"),
-        sum(col("__w") * similarity(col(vecColName), col("__cv"), metric)).as("__csim"))
-      .withColumn("score", round(col("__tsim") + col("__csim"), roundTo))
+    val score = context.zipWithIndex.foldLeft(
+      similarity(col(vecColName), col("__t"), metric)) {
+      case (acc, ((_, w), i)) =>
+        acc + lit(w) * similarity(col(vecColName), col(s"__c$i"), metric)
+    }
+    withVecs.withColumn("score", round(score, roundTo))
       .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)

@@ -59,6 +59,13 @@ class PlanSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\)".r.findAllIn(p).size >= 1)
   }
 
+  test("discover is fully map-side: broadcasts only, no shuffle exchange") {
+    val p = plan("discover")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_exact shuffles fingerprints, not texts") {
     val p = plan("dedup_exact")
     // text column must not survive past the partial aggregate into the
