@@ -423,6 +423,83 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static kernel for [[WordShingleHashes]] — one pass over the UTF-8
+  * bytes: whitespace-tokenize, FNV-1a-hash each token (ASCII case-folded),
+  * then emit one polynomial-combined hash per w-gram window. No token or
+  * shingle strings are ever materialized.
+  */
+object ShingleKernel {
+  def wordShingleHashes(s: org.apache.spark.unsafe.types.UTF8String, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    // pass 1: token hashes
+    var tokens = new Array[Long](16)
+    var nTok = 0
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val isWs = i == bytes.length || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      }
+      if (isWs) {
+        if (inTok) {
+          if (nTok == tokens.length) {
+            val grown = new Array[Long](tokens.length * 2)
+            System.arraycopy(tokens, 0, grown, 0, nTok); tokens = grown
+          }
+          tokens(nTok) = h; nTok += 1
+          h = 0xcbf29ce484222325L; inTok = false
+        }
+      } else {
+        var b = bytes(i)
+        if (b >= 'A' && b <= 'Z') b = (b | 0x20).toByte // ASCII case fold
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L // FNV prime
+        inTok = true
+      }
+      i += 1
+    }
+    // pass 2: w-gram window hashes (polynomial combine)
+    val nSh = math.max(0, nTok - w + 1)
+    val out = new Array[Long](nSh)
+    var j = 0
+    while (j < nSh) {
+      var sh = 1125899906842597L
+      var k = 0
+      while (k < w) { sh = sh * 0x9e3779b97f4a7c15L + tokens(j + k); k += 1 }
+      sh ^= (sh >>> 32)
+      out(j) = sh
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Word w-shingle hashes of a text in one pass (see [[ShingleKernel]]):
+  * string -> array<bigint>, the input shape for [[MinHashSignature]]. The
+  * HOF composition (split + slice + concat_ws per shingle) interprets a
+  * lambda per element and materializes every shingle string; this is a
+  * single tight loop, callable from whole-stage codegen.
+  */
+case class WordShingleHashes(child: Expression, width: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"word_shingle_hashes expects string, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleKernel.wordShingleHashes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.ShingleKernel.wordShingleHashes($s, $width);")
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes = copy(child = c)
+}
+
 /** MinHash signature: for an array<bigint> of element hashes, returns
   * array<bigint> of length `numHashes` where out[i] = min over elements of
   * h_i(x), with h_i(x) = mix(a_i * x + b_i) a universal-hash family whose

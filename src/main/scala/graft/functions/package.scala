@@ -93,6 +93,12 @@ package object functions {
   def minhash_signature(elementHashes: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(elementHashes), numHashes, seed))
 
+  /** Word w-shingle hashes of a text in one native pass (no shingle
+    * strings materialized): string -> array<bigint>.
+    */
+  def word_shingle_hashes(text: Column, width: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(text), width))
+
   /** Deterministic 64-bit rolling-hash fingerprint of a string. */
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))

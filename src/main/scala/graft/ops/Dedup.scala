@@ -44,16 +44,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"), col("fp"))
 
-  /** MinHash signature: H universal-hash mins over token-shingle hashes.
-    * Shingle strings are hashed once (xxhash64), then the native
-    * MinHashSignature expression computes all H mins in ONE codegen'd pass.
-    * (The obvious `array((0..H).map(i => array_min(transform(...))))`
-    * composition expands the whole shingle pipeline H times — Spark HOFs
-    * are interpreted and not CSE'd — measured 50x slower.)
+  /** MinHash signature: H universal-hash mins over word-shingle hashes.
+    * Both stages are native one-pass codegen kernels: word_shingle_hashes
+    * never materializes shingle strings, and MinHashSignature computes all
+    * H mins in a single sweep. (The obvious HOF composition
+    * `array((0..H).map(i => array_min(transform(shingles, ...))))` expands
+    * the interpreted shingle pipeline H times — HOFs are not CSE'd —
+    * measured 50x slower in round 1.)
     */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column =
-    minhash_signature(
-      transform(shingles(text, shingleWidth), s => xxhash64(s)), numHashes)
+    minhash_signature(word_shingle_hashes(text, shingleWidth), numHashes)
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * `rowsPerBand`, bucket-join on (band index, band content), return
