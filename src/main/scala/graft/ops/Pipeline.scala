@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data cleaning pipeline composing the individual
+  * operators: annotate -> exact-dedup -> near-dedup -> quality filter.
+  *
+  * Shape at scale: one map-side annotation pass (all text analysis columns
+  * in a single projection), one fingerprint groupBy (exact dedup), one
+  * LSH-bounded candidate join (near dedup), one filter. Nothing quadratic,
+  * nothing driver-side; every stage is a DataFrame the caller can persist,
+  * checkpoint, or write between stages.
+  */
+object Pipeline {
+
+  final case class CleanStats(input: Long, afterExact: Long,
+                              afterNear: Long, afterQuality: Long)
+
+  /** Annotate every document with the text-analysis columns (one
+    * projection, codegen'd).
+    */
+  def annotate(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("stopword_ratio", round(TextAnalysis.stopwordRatio(col(textCol)), 6))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
+
+  /** Keep one representative per exact-duplicate group (smallest id). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = Dedup.exactDedup(df, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Drop the higher-id member of every verified near-duplicate pair. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double): DataFrame = {
+    val losers = Dedup.minhashDedup(df, idCol, textCol, threshold)
+      .select(col("b_id").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Full pipeline: returns the cleaned, annotated corpus. */
+  def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
+                  nearDupThreshold: Double = 0.9,
+                  minQuality: Double = 0.1): DataFrame = {
+    val exact = dropExactDuplicates(df, idCol, textCol)
+    val near = dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
+    annotate(near, idCol, textCol).filter(col("quality") >= minQuality)
+  }
+}

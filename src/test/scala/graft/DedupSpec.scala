@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(out - 3.0 / 5.0) < 1e-12)
   }
 
+  test("cleanCorpus drops planted duplicates and annotates survivors") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val exactDups = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val corpus = d.union(exactDups)
+    val cleaned = graft.ops.Pipeline.cleanCorpus(corpus, "doc_id", "text",
+      nearDupThreshold = 0.999, minQuality = 0.0)
+    // every planted exact duplicate is gone; originals survive modulo the
+    // few natural near-dups of the word-soup corpus
+    assert(cleaned.filter(col("doc_id") >= 1000000).count() === 0)
+    val n = cleaned.count()
+    assert(n <= d.count() && n >= (d.count() * 0.9).toLong)
+    assert(cleaned.columns.contains("quality") && cleaned.columns.contains("lang_pred"))
+  }
+
   test("embeddingNearDup finds planted scaled copies only") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
