@@ -227,5 +227,18 @@ package object functions {
     r("v_within", es => LessThan(
       distanceExpr(es(0), es(1), if (es.length > 3) metricOf(es(3)) else "euclid"),
       Literal(es(2).eval(null).toString.toDouble)))
+    // JSON pack aliases (SURVEY §2.D) so the corpus's json_get/->-style
+    // calls transliterate: json_get(j,'k'), json_get_str/_int/_float/_bool,
+    // has_field(j,'k')
+    import org.apache.spark.sql.catalyst.expressions.{Cast, GetJsonObject, IsNotNull}
+    import org.apache.spark.sql.types.{BooleanType => BT, DoubleType => DT, LongType => LT}
+    def pathOf(keys: Seq[E]): E = Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString("$." + keys.map(_.eval(null).toString).mkString(".")))
+    r("json_get", es => GetJsonObject(es.head, pathOf(es.tail)))
+    r("json_get_str", es => GetJsonObject(es.head, pathOf(es.tail)))
+    r("json_get_int", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), LT))
+    r("json_get_float", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), DT))
+    r("json_get_bool", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), BT))
+    r("has_field", es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail))))
   }
 }

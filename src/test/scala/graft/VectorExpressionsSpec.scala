@@ -154,5 +154,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(1) - math.sqrt(8.0)) < 1e-9)
     assert(r2.getBoolean(2) === true)   // sqrt(8) < 5
     assert(r2.getBoolean(3) === true)   // cosine distance of parallel-ish vecs
+    // JSON aliases
+    Seq(("""{"k": 7, "s": "x"}""")).toDF("j").createOrReplaceTempView("jt")
+    val r3 = spark.sql(
+      """SELECT json_get_int(j, 'k') ki, json_get_str(j, 's') ss,
+        |       has_field(j, 'k') hk, has_field(j, 'missing') hm FROM jt""".stripMargin).head()
+    assert(r3.getLong(0) === 7L)
+    assert(r3.getString(1) === "x")
+    assert(r3.getBoolean(2) && !r3.getBoolean(3))
   }
 }
