@@ -181,7 +181,7 @@ package object functions {
     * whitespace split.
     */
   def match_text(text: Column, query: String): Column = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toIndexedSeq
     val toks = F.array_distinct(F.split(F.lower(text), "\\s+"))
     val hits = F.size(F.array_intersect(toks, F.array(terms.map(F.lit): _*)))
     hits.cast(DoubleType) / F.lit(terms.length.toDouble)

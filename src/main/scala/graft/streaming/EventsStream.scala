@@ -95,6 +95,16 @@ object EventsStream {
       }
   }
 
+  /** Streaming deduplication: drop repeated (user_id, props) events within
+    * the watermark horizon — the unbounded form of exact dedup. State is
+    * bounded by the watermark: older keys are evicted, which is the only
+    * viable contract for endless streams.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    normalize(events)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "props")
+
   /** Start the stateful running-stats stream into a memory sink. */
   def startRunningStats(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery =

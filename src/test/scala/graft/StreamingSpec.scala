@@ -27,6 +27,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup emits at most one event per (user_id, props) in horizon") {
+    val dir = Files.createTempDirectory("graft-stream3")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventsStream.dedupedEvents(
+        EventsStream.readEventsStream(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped_events")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("deduped_events")
+    val batchDistinct = Tables.load(spark, TestSpark.sfDir, "events")
+      .select("user_id", "props").distinct().count()
+    assert(out.count() > 0)
+    assert(out.count() <= batchDistinct)
+    // no duplicate (user_id, props) pair in the output
+    assert(out.groupBy("user_id", "props").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("stateful running user stats converge to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(
