@@ -369,12 +369,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
-/** Count of common elements between two SORTED, DISTINCT string arrays —
-  * one sorted-merge pass, codegen'd. The set-similarity workhorse: Spark's
-  * `array_intersect`/`array_union` build a hash set per CALL (interpreted,
-  * allocating); in a pair-join verifying millions of candidate pairs this
-  * merge is the difference between codegen throughput and GC churn.
-  * Jaccard follows as inter / (|a| + |b| - inter).
+/** Count of common elements between two SORTED, DISTINCT arrays (string or
+  * bigint elements) — one sorted-merge pass, codegen'd. The set-similarity
+  * workhorse: Spark's `array_intersect`/`array_union` build a hash set per
+  * CALL (interpreted, allocating); in a pair-join verifying millions of
+  * candidate pairs this merge is the difference between codegen throughput
+  * and GC churn. Jaccard follows as inter / (|a| + |b| - inter).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -384,20 +384,34 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count expects two array<string>, got " +
+        s"sorted_intersect_count expects two array<string> or two array<bigint>, got " +
           s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
     }
+
+  private def isLong: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
   protected override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var n = 0
-    while (i < na && j < nb) {
-      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -407,13 +421,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val n = ctx.freshName("n"); val c = ctx.freshName("c")
+      val body = if (isLong)
+        s"""
+           |  long $c = $a.getLong($i) < $b.getLong($j) ? -1L
+           |    : ($a.getLong($i) == $b.getLong($j) ? 0L : 1L);
+           |  if ($c == 0L) { $n++; $i++; $j++; }
+           |  else if ($c < 0L) { $i++; } else { $j++; }
+         """.stripMargin
+      else
+        s"""
+           |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($c == 0) { $n++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+         """.stripMargin
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $n = 0;
          |while ($i < $na && $j < $nb) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $n++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |$body
          |}
          |${ev.value} = $n;
        """.stripMargin
@@ -421,6 +446,45 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
     copy(left = l, right = r)
+}
+
+/** Sorted, deduplicated FNV-1a token-hash set of a text in one native pass
+  * (tokenize + hash + sort + dedup; no token strings materialized):
+  * string -> ascending array<bigint>. Pairs with the array<bigint> mode of
+  * [[SortedIntersectCount]] for hash-based Jaccard: identical token sets
+  * hash to identical arrays; cross-set collisions are ~2^-64 per pair.
+  */
+object TokenSetKernel {
+  def sortedTokenHashSet(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val all = ShingleKernel.wordShingleHashes(s, 1).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+    val arr = all.toLongArray()
+    java.util.Arrays.sort(arr)
+    // in-place dedup
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr, n))
+  }
+}
+
+case class SortedTokenHashSet(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_token_hash_set"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"sorted_token_hash_set expects string, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    TokenSetKernel.sortedTokenHashSet(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokenSetKernel.sortedTokenHashSet($s);")
+  override protected def withNewChildInternal(c: Expression): SortedTokenHashSet = copy(child = c)
 }
 
 /** Static kernel for [[WordShingleHashes]] — one pass over the UTF-8

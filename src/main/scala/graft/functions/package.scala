@@ -103,11 +103,17 @@ package object functions {
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))
 
-  /** Common-element count of two sorted, distinct string arrays (one
-    * codegen'd merge pass; see SortedIntersectCount).
+  /** Common-element count of two sorted, distinct string or bigint arrays
+    * (one codegen'd merge pass; see SortedIntersectCount).
     */
   def sorted_intersect_count(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Sorted deduplicated token-hash set of a text (one native pass):
+    * string -> ascending array<bigint>.
+    */
+  def sorted_token_hash_set(text: Column): Column =
+    Bridge.column(SortedTokenHashSet(Bridge.expression(text)))
 
   /** Element-wise vector average aggregate (centroid): array column ->
     * array<double>. Partial-aggregates map-side; see VectorAvg scaladoc.

@@ -115,6 +115,13 @@ object Dedup {
   def sortedTokenSet(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
 
+  /** Hash-based variant: sorted deduplicated token-HASH set (native
+    * one-pass kernel, no token strings) — same Jaccard values modulo
+    * ~2^-64 hash collisions, 8-byte merges in the pair join. Preferred in
+    * quadratic verification.
+    */
+  def sortedTokenHashSet(text: Column): Column = sorted_token_hash_set(text)
+
   /** MinHash-LSH near-duplicate pairs, verified by true Jaccard >= threshold.
     * Candidates come from banding (no all-pairs join); verification re-joins
     * the two texts for candidates only.
@@ -123,10 +130,10 @@ object Dedup {
                    threshold: Double, numHashes: Int = 16,
                    shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
-    // tokenize once per ROW; the candidate verification join then only
-    // moves (id, sorted token-set) pairs and merge-counts in codegen
+    // tokenize+hash once per ROW; the candidate verification join then
+    // only moves (id, sorted hash-set) pairs and merge-counts longs
     val toks = df.select(col(idCol).as("id"),
-      sortedTokenSet(col(textCol)).as("toks"))
+      sortedTokenHashSet(col(textCol)).as("toks"))
     cands
       .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
@@ -170,9 +177,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], threshold: Double): DataFrame = {
-    // tokenize+sort once per ROW before the self-join (O(rows), not O(pairs))
+    // tokenize+hash+sort once per ROW before the self-join (O(rows), not
+    // O(pairs)); long hash sets merge-count in codegen
     val base = df.select((Seq(col(idCol).as("id"),
-      sortedTokenSet(col(textCol)).as("toks")) ++ blockCols.map(col)): _*)
+      sortedTokenHashSet(col(textCol)).as("toks")) ++ blockCols.map(col)): _*)
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     base.as("a").join(base.as("b"), cond)
