@@ -58,9 +58,65 @@ object Ann {
     }
   }
 
-  /** Build an IVF index with nlist centroids (KMeans, fixed seed). */
+  /** Lloyd's KMeans built from the engine's own kernels: assignment is a
+    * codegen'd argmin over broadcast centroid literals (v_euclid), the
+    * recompute step is the map-side-partial VectorAvg aggregate. Each
+    * iteration is two Spark jobs; only the k x dim centroid table ever
+    * reaches the driver (model state, not data). Deterministic under
+    * `seed` (init = k smallest xxhash64(id)).
+    */
+  def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   maxIter: Int, seed: Long): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = df
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    var iter = 0
+    while (iter < maxIter) {
+      val assigned = assignClusters(df, vecCol, centroids)
+      val updated = assigned.groupBy(col("cluster"))
+        .agg(v_avg(col(vecCol)).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Tag each row with its nearest centroid (pure map-side column argmin).
+    * Distances go through ONE array literal; a when/otherwise fold would
+    * inline the accumulator twice per level — 2^k expression blowup.
+    */
+  private def assignClusters(df: DataFrame, vecCol: String,
+                             centroids: Array[Array[Double]]): DataFrame = {
+    val v = col(vecCol)
+    val ds = array(centroids.toIndexedSeq.map(c => v_euclid(v, vec(c.toIndexedSeq))): _*)
+    df.withColumn("cluster",
+      (array_position(ds, array_min(ds)) - 1).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** Build an IVF index with nlist centroids (native Lloyd's, fixed seed). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
                seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
+    val cents = fitCentroids(df, idCol, vecCol, nlist, maxIter, seed)
+    val clustered = assignClusters(df, vecCol, cents)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cluster", "centroid")
+      .withColumn("centroid", col("centroid").cast(ArrayType(DoubleType)))
+    IvfIndex(centroids, clustered, idCol, vecCol)
+  }
+
+  /** MLlib-backed variant of [[buildIvf]] (same index contract), for users
+    * already standardized on spark.ml pipelines.
+    */
+  def buildIvfMLlib(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+                    seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
     val feat = df.withColumn("__features", array_to_vector(
       col(vecCol).cast(ArrayType(DoubleType))))
     val model = new KMeans()
@@ -71,7 +127,7 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
+      .map { case (c, i) => (i, c.toArray.toSeq) }
       .toSeq.toDF("cluster", "centroid")
       .withColumn("centroid", col("centroid").cast(ArrayType(DoubleType)))
     IvfIndex(centroids, clustered, idCol, vecCol)
