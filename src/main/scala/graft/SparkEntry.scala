@@ -537,6 +537,22 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // int8-quantized candidate search + full-precision rerank; with a
+    // candidate margin the exact top-k is recovered, so the dot_topk-style
+    // oracle applies (scores are the EXACT rerank scores)
+    "quantized_search" -> ((s, dir) => {
+      val corpus = hom(s, dir).select("id", "vector")
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      // candidate stage in the int8 domain (margin 100), exact rerank with
+      // the rounded-before-rank rule so the oracle's top-10 boundary agrees
+      graft.ops.Quant.searchWithRerank(corpus.filter(col("id") =!= "7"),
+          "id", "vector", qvec, k = 100, candidateK = 100)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresOf(s, dir)
         .select(col("id"), col("format"), col("nBytes"))
@@ -939,6 +955,13 @@ object SparkEntry {
         |       ROUND(least(n / 50.0, 1.0) * (0.5 + 0.5 * least(ratio * 5.0, 1.0)) *
         |             greatest(1.0 - punct * 3.0, 0.0), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "quantized_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,
