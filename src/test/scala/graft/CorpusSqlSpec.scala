@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections.Collections
+
+/** The reference's SQL corpus shapes (/root/reference/tests/bin/tests.sql)
+  * transliterated to pure spark.sql over the registered collection views
+  * and function surface — the "a user of the reference could run every
+  * query they run today" check, exercised end-to-end through the SQL
+  * entry point rather than the DataFrame API.
+  */
+class CorpusSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val ready: Unit = {
+    Collections.registerAll(spark, TestSpark.sfDir)
+    graft.functions.registerAll(spark)
+  }
+
+  private def sql(q: String) = { ready; spark.sql(q) }
+
+  test("V_SEARCH: similarity top-k (tests.sql:10-13)") {
+    val r = sql(
+      """SELECT id, v_cosine(vector,
+        |         (SELECT vector FROM embeddings_collection WHERE id = '0')) AS score
+        |FROM embeddings_collection WHERE id <> '0'
+        |ORDER BY score DESC LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.map(_.getDouble(1)).toSeq === r.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
+  test("payload filter + search (tests.sql:56-59)") {
+    val r = sql(
+      """SELECT id FROM embeddings_collection
+        |WHERE json_get_int(payload, 'label') IN (1, 2)
+        |  AND id <> '1'
+        |ORDER BY v_dot(vector, (SELECT vector FROM embeddings_collection WHERE id = '1')) DESC
+        |LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+  }
+
+  test("V_WITHIN radius predicate (tests.sql:48-51)") {
+    val n = sql(
+      """SELECT count(*) FROM embeddings_collection
+        |WHERE id <> '0' AND v_within(vector,
+        |  (SELECT vector FROM embeddings_collection WHERE id = '0'), 3.0)""".stripMargin)
+      .head().getLong(0)
+    assert(n > 0)
+  }
+
+  test("V_SPARSE_SEARCH on the two-column convention (tests.sql:67-76)") {
+    val r = sql(
+      """SELECT id, v_sparse_dot(keywords_indices, keywords_values,
+        |         (SELECT keywords_indices FROM hetero_collection WHERE id = '0'),
+        |         (SELECT keywords_values FROM hetero_collection WHERE id = '0')) AS score
+        |FROM hetero_collection
+        |WHERE keywords_indices IS NOT NULL AND id <> '0'
+        |ORDER BY score DESC LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(!_.isNullAt(1)))
+  }
+
+  test("V_COLBERT MaxSim over the multi-vector field (tests.sql:156-168)") {
+    val r = sql(
+      """SELECT id, v_maxsim(multi_embeddings,
+        |         (SELECT multi_embeddings FROM hetero_collection WHERE id = '0')) AS score
+        |FROM hetero_collection
+        |WHERE multi_embeddings IS NOT NULL AND id <> '0'
+        |ORDER BY score DESC, id LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+  }
+
+  test("GROUP BY payload field + HAVING (tests.sql:233-242)") {
+    val r = sql(
+      """SELECT json_get_int(payload, 'label') AS lbl, count(*) AS n,
+        |       max(v_euclid(vector, array(0.0D))) AS max_norm_ish
+        |FROM embeddings_collection
+        |GROUP BY lbl HAVING count(*) >= 3 ORDER BY lbl""".stripMargin).collect()
+    assert(r.nonEmpty)
+  }
+
+  test("CASE boost blended into ranking (tests.sql:271-277)") {
+    val r = sql(
+      """SELECT id,
+        |       v_cosine(vector, (SELECT vector FROM embeddings_collection WHERE id = '0'))
+        |       + CASE WHEN json_get_int(payload, 'label') IN (1, 2) THEN 0.5 ELSE 0.0 END AS score
+        |FROM embeddings_collection WHERE id <> '0'
+        |ORDER BY score DESC LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+  }
+
+  test("CTE prefetch -> rerank pipeline (tests.sql:144-154)") {
+    val r = sql(
+      """WITH q AS (SELECT vector AS qv FROM embeddings_collection WHERE id = '0'),
+        |     prefetch AS (
+        |       SELECT c.id, c.vector FROM embeddings_collection c, q
+        |       WHERE c.id <> '0'
+        |       ORDER BY v_cosine(c.vector, q.qv) DESC LIMIT 50)
+        |SELECT p.id, v_dot(p.vector, q.qv) AS score
+        |FROM prefetch p, q
+        |ORDER BY score DESC, p.id LIMIT 10""".stripMargin).collect()
+    assert(r.length === 10)
+  }
+
+  test("HAS_FIELD / json_get surface (tests.sql:203-207, json pack)") {
+    val r = sql(
+      """SELECT count(*) FROM embeddings_collection
+        |WHERE has_field(payload, 'label') AND NOT has_field(payload, 'nope')""".stripMargin)
+      .head().getLong(0)
+    assert(r === 500)
+  }
+
+  test("V_DISTANCE metric forms filter and sort (tests.sql:42-45)") {
+    val r = sql(
+      """SELECT id, v_distance(vector,
+        |         (SELECT vector FROM embeddings_collection WHERE id = '0'), 'cosine') AS d
+        |FROM embeddings_collection WHERE id <> '0'
+        |  AND v_distance(vector,
+        |      (SELECT vector FROM embeddings_collection WHERE id = '0'), 'cosine') < 1.5
+        |ORDER BY d ASC LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(_.getDouble(1) < 1.5))
+  }
+}
