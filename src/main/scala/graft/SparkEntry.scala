@@ -62,6 +62,20 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Vector rendered as a comma-joined string of round(x*1e6) integers.
+    * The driver's compare hashes scalar cells (array cells break its sort),
+    * so queries that OUTPUT a vector serialize it; `floor(x*1e6 + 0.5)` is
+    * pure IEEE arithmetic — bit-identical in Spark and DuckDB, unlike
+    * engine-native float→string formatting. NULL array -> NULL string.
+    */
+  private def vq6(c: Column): Column =
+    array_join(transform(dvec(c),
+      x => floor(x * lit(1e6) + lit(0.5)).cast(StringType)), ",")
+
+  /** Same stringification for an integral array. */
+  private def iarr(c: Column): Column =
+    array_join(transform(c, _.cast(StringType)), ",")
+
   /** 1-row broadcastable query-vector frame (array<double>) for `queryId`. */
   private def qvecOf(df: DataFrame, queryId: String, as: String = "__qvec"): DataFrame =
     df.filter(col("id") === lit(queryId)).select(col("vector").as(as))
@@ -112,24 +126,25 @@ object SparkEntry {
   private val scanAndJson: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "scan_select_star" -> ((s, dir) =>
-      homD(s, dir).select(col("id"), col("payload"), col("vector"))
+      hom(s, dir).select(col("id"), col("payload"),
+        vq6(col("vector")).as("vector_q6"))
         .orderBy(col("id"))),
 
     "scan_projection" -> ((s, dir) =>
       hom(s, dir).select(col("id"), col("payload")).orderBy(col("id"))),
 
     "scan_limit" -> ((s, dir) =>
-      homD(s, dir).select(col("id"), col("vector"))
+      hom(s, dir).select(col("id"), vq6(col("vector")).as("vector_q6"))
         .orderBy(col("id").cast(LongType)).limit(5)),
 
     "hetero_nulls" -> ((s, dir) =>
       Collections.heterogeneous(s, dir).select(
         col("id"),
         col("payload"),
-        dvec(col("text_embedding")).as("text_embedding"),
-        dvec(col("audio_embedding")).as("audio_embedding"),
-        col("keywords_indices"),
-        dvec(col("keywords_values")).as("keywords_values"))
+        vq6(col("text_embedding")).as("text_embedding_q6"),
+        vq6(col("audio_embedding")).as("audio_embedding_q6"),
+        iarr(col("keywords_indices")).as("keywords_indices_s"),
+        vq6(col("keywords_values")).as("keywords_values_q6"))
         .orderBy(col("id").cast(LongType))),
 
     "json_get" -> ((s, dir) =>
@@ -170,7 +185,7 @@ object SparkEntry {
     "json_surface" -> ((s, dir) =>
       events(s, dir).select(
         col("event_id"),
-        json_keys(col("props")).as("ks"),
+        array_join(json_keys(col("props")), ",").as("ks"),
         org.apache.spark.sql.functions.json_array_length(
           concat(lit("["), json_get_str(col("props"), "k"),
             lit(","), json_get_str(col("props"), "k"), lit("]"))).as("arr_len"))
@@ -564,11 +579,16 @@ object SparkEntry {
 
   // ---- DuckDB oracle SQL --------------------------------------------------
 
+  /** DuckDB mirror of [[vq6]]: comma-joined round(x*1e6) integers. */
+  private def duckVq6(expr: String): String =
+    s"array_to_string(list_transform(CAST($expr AS DOUBLE[]), " +
+      "x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')"
+
   private val oracleScanAndJson: Map[String, String] = Map(
     "scan_select_star" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id,
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
-        |       CAST(embedding AS DOUBLE[]) AS vector
+        |       ${duckVq6("embedding")} AS vector_q6
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "scan_projection" ->
@@ -577,21 +597,19 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "scan_limit" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id,
-        |       CAST(embedding AS DOUBLE[]) AS vector
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       ${duckVq6("embedding")} AS vector_q6
         |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin,
 
     "hetero_nulls" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id,
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
-        |       CASE WHEN vec_id % 3 IN (0, 1) THEN CAST(embedding AS DOUBLE[]) END AS text_embedding,
-        |       CASE WHEN vec_id % 3 = 2 THEN CAST(embedding AS DOUBLE[]) END AS audio_embedding,
+        |       CASE WHEN vec_id % 3 IN (0, 1) THEN ${duckVq6("embedding")} END AS text_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 2 THEN ${duckVq6("embedding")} END AS audio_embedding_q6,
         |       CASE WHEN vec_id % 3 <> 1 THEN
-        |         CAST(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> i - 1) AS INTEGER[])
-        |       END AS keywords_indices,
-        |       CASE WHEN vec_id % 3 <> 1 THEN
-        |         CAST(list_filter(embedding, x -> x > 0) AS DOUBLE[])
-        |       END AS keywords_values
+        |         array_to_string(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> CAST(i - 1 AS VARCHAR)), ',')
+        |       END AS keywords_indices_s,
+        |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "json_get" ->
@@ -628,7 +646,7 @@ object SparkEntry {
 
     "json_surface" ->
       """SELECT event_id,
-        |       json_keys(props) AS ks,
+        |       array_to_string(json_keys(props), ',') AS ks,
         |       CAST(json_array_length('[' || json_extract_string(props, '$.k') || ','
         |            || json_extract_string(props, '$.k') || ']') AS INTEGER) AS arr_len
         |FROM events ORDER BY event_id""".stripMargin
@@ -955,6 +973,33 @@ object SparkEntry {
         |       ROUND(least(n / 50.0, 1.0) * (0.5 + 0.5 * least(ratio * 5.0, 1.0)) *
         |             greatest(1.0 - punct * 3.0, 0.0), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "random_sample" ->
+      """SELECT id FROM (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings)
+        |ORDER BY md5(id || '42'), id LIMIT 20""".stripMargin,
+
+    // mirrors RollingHash64 exactly: base-31 polynomial over UTF-8 bytes
+    // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is
+    // ASCII, so ascii(char) == utf-8 byte)
+    "fingerprint" ->
+      """SELECT doc_id,
+        |       CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_concat([1125899906842597::HUGEINT],
+        |      list_transform(range(1, len(text) + 1), i -> ascii(text[i])::HUGEINT)),
+        |    (acc, c) -> (31::HUGEINT * acc + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // multimodal stub features: nBytes = UTF-8 byte length of the synthetic
+    // media payload (== len(text) on the ASCII corpus)
+    "multimodal_features" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |       'fake/' || source AS format,
+        |       CAST(len(text) AS INTEGER) AS "nBytes"
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "quantized_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)

@@ -168,7 +168,14 @@ object Search {
       .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
   }
 
-  /** V_RANDOM sampling: deterministic via seed (tests.sql:310-320). */
+  /** V_RANDOM sampling: deterministic via seed (tests.sql:310-320).
+    * Orders by md5(id || seed) — a data-derived pseudo-random permutation.
+    * Unlike `rand(seed)` (seeded per PARTITION INDEX, so the sample changes
+    * whenever the partition layout does), this reproduces the exact same
+    * sample on any cluster size, any retry, and in any other engine;
+    * executes as TakeOrderedAndProject (per-partition heap of n, no sort).
+    */
   def randomSample(df: DataFrame, n: Int, seed: Long): DataFrame =
-    df.orderBy(rand(seed)).limit(n)
+    df.orderBy(md5(concat(col("id").cast("string"), lit(seed.toString))),
+      col("id")).limit(n)
 }
