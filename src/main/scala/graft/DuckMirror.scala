@@ -1,0 +1,168 @@
+package graft
+
+import graft.functions.MinHashSignature
+
+/** Generates DuckDB SQL that mirrors the native hash kernels
+  * (ShingleKernel / MinHashSignature / SimHash64, see
+  * functions/VectorExpressions.scala) bit-for-bit, so the hash-based dedup
+  * operators get full value-level oracles instead of rows-only checks.
+  *
+  * All JVM long arithmetic is reproduced in HUGEINT mod 2^64; 64x64-bit
+  * products that would overflow HUGEINT split the constant into 32-bit
+  * halves ((hi*x mod 2^32)*2^32 + lo*x, mod 2^64). XOR/shift steps run in
+  * UBIGINT (logical shift, same bits as Java's >>>). Signed comparisons
+  * (Java long MIN in the minhash sweep) convert u >= 2^63 to u - 2^64.
+  * The corpus is ASCII (TESTDATA.md), so ascii(ch) == the UTF-8 byte the
+  * JVM kernel folds.
+  */
+object DuckMirror {
+
+  private val M64 = BigInt(1) << 64
+  private def u64(l: Long): BigInt = BigInt(l) & (M64 - 1)
+
+  private val FnvOffset = u64(0xcbf29ce484222325L)
+  private val FnvPrime = u64(0x100000001b3L)
+  private val Golden = u64(0x9e3779b97f4a7c15L)
+  private val Sh0 = BigInt(1125899906842597L)
+  private val MixC = u64(0xff51afd7ed558ccdL)
+
+  /** (c * x) mod 2^64 for a constant c and HUGEINT expression x, without
+    * overflowing HUGEINT: c = hi*2^32 + lo, both halves' products < 2^96.
+    */
+  private def mulMod(c: BigInt, x: String): String = {
+    val hi = c >> 32
+    val lo = c & 0xffffffffL
+    s"((($hi::HUGEINT * ($x)) % 4294967296::HUGEINT) * 4294967296::HUGEINT + $lo::HUGEINT * ($x)) % $M64::HUGEINT"
+  }
+
+  /** FNV-1a (ASCII case-folded via lower()) of lambda token `t` -> HUGEINT.
+    * Mirrors ShingleKernel pass 1: h = (h ^ byte) * FNV_PRIME per byte.
+    * The per-byte XOR touches only the low 8 bits: h - h%256 + (h%256 ^ b).
+    */
+  private val fnvOfT: String =
+    s"""list_reduce(
+       |  list_concat([$FnvOffset::HUGEINT], list_transform(range(1, len(t) + 1), i -> ascii(t[i])::HUGEINT)),
+       |  (h, c) -> ((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * $FnvPrime::HUGEINT) % $M64::HUGEINT)""".stripMargin
+
+  /** Shared prefix: near-dup corpus -> whitespace tokens -> FNV token
+    * hashes (`th`, HUGEINT list) -> w=1 shingle hashes (`hs1`, UBIGINT
+    * list; ShingleKernel pass 2 with w=1: xorshift32(SH0*G + fnv)).
+    */
+  private val corpusToSh1: String = {
+    val k1 = (Sh0 * Golden) % M64
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zzz' FROM documents WHERE doc_id % 7 = 0),
+       |th AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
+       |    t -> $fnvOfT) AS th
+       |  FROM corpus),
+       |sh1a AS (
+       |  SELECT doc_id, list_transform(th, t -> CAST(($k1::HUGEINT + t) % $M64::HUGEINT AS UBIGINT)) AS v
+       |  FROM th),
+       |sh1 AS (
+       |  SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS hs1 FROM sh1a)""".stripMargin
+  }
+
+  /** UBIGINT column expr -> signed BIGINT with Java long semantics. */
+  private def toSigned(u: String): String =
+    s"CAST(CASE WHEN CAST($u AS HUGEINT) >= ${BigInt(1) << 63} THEN CAST($u AS HUGEINT) - $M64 ELSE CAST($u AS HUGEINT) END AS BIGINT)"
+
+  /** dedup_simhash oracle: SimHash64 over the w=1 shingle hashes, banded
+    * into four 16-bit chunks, hamming <= maxDist (Dedup.simhashDedup).
+    */
+  def simhashSql(maxDist: Int): String = {
+    val bitSums = (0 until 64)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    // bit j of the simhash is 1 iff the signed majority count is > 0
+    val simExpr = (0 until 64)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${BigInt(1) << j}::UBIGINT ELSE 0::UBIGINT END")
+      .mkString(" + ")
+    s"""WITH $corpusToSh1,
+       |trows AS (SELECT doc_id, unnest(hs1) AS h FROM sh1),
+       |bitsums AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM trows GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ($simExpr) AS sim FROM bitsums),
+       |chunks AS (
+       |  SELECT doc_id, sim, band, CAST((sim >> CAST(16 * band AS INTEGER)) & 65535 AS INTEGER) AS chunk
+       |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.sim AS asim, b.sim AS bsim
+       |  FROM chunks a JOIN chunks b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(asim, bsim)) AS INTEGER) AS hamming
+       |FROM cands
+       |WHERE bit_count(xor(asim, bsim)) <= $maxDist
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
+    * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
+    * joined on exact sub-signature equality -> true-Jaccard verify over the
+    * distinct w=1 shingle-hash sets (Dedup.minhashDedup; the Spark side
+    * bands on xxhash64 of the sub-signature, equal up to ~2^-64 collisions).
+    */
+  def minhashSql(threshold: Double, numHashes: Int = 16, bands: Int = 4,
+                 seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val (as, bs) = MinHashSignature.coefficients(numHashes, seed)
+    val g2 = (Golden * Golden) % M64
+    val c3 = (Sh0 * Golden % M64 * Golden % M64 * Golden) % M64
+    val hs = 0 until numHashes
+    // v0: a_i*x + b_i; v1: x ^= x>>>33; v2: x *= C; v3: x ^= x>>>33, signed
+    val v0 = hs.map(i => s"((${mulMod(u64(as(i)), "x")}) + ${u64(bs(i))}::HUGEINT) % $M64::HUGEINT AS c$i").mkString(",\n    ")
+    val v1 = hs.map(i => s"xor(CAST(c$i AS UBIGINT), CAST(c$i AS UBIGINT) >> 33) AS c$i").mkString(",\n    ")
+    val v2 = hs.map(i => s"${mulMod(MixC, s"CAST(c$i AS HUGEINT)")} AS c$i").mkString(",\n    ")
+    val v3 = hs.map(i => s"xor(CAST(c$i AS UBIGINT), CAST(c$i AS UBIGINT) >> 33) AS c$i").mkString(",\n    ")
+    val sgn = hs.map(i => s"${toSigned(s"c$i")} AS c$i").mkString(",\n    ")
+    val mins = hs.map(i => s"MIN(c$i) AS m$i").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val ks = (0 until r).map(k => s"m${b * r + k} AS k$k").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val kEq = (0 until r).map(k => s"a.k$k = b.k$k").mkString(" AND ")
+    s"""WITH $corpusToSh1,
+       |sh3a AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 1), j ->
+       |    CAST(($c3::HUGEINT + (${mulMod(g2, "th[j]")}) + (${mulMod(Golden, "th[j + 1]")}) + th[j + 2]) % $M64::HUGEINT AS UBIGINT)) AS v
+       |  FROM th),
+       |sh3 AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS v FROM sh3a),
+       |srows AS (SELECT doc_id, CAST(unnest(v) AS HUGEINT) AS x FROM sh3),
+       |v0 AS (SELECT doc_id,
+       |    $v0
+       |  FROM srows),
+       |v1 AS (SELECT doc_id,
+       |    $v1
+       |  FROM v0),
+       |v2 AS (SELECT doc_id,
+       |    $v2
+       |  FROM v1),
+       |v3 AS (SELECT doc_id,
+       |    $v3
+       |  FROM v2),
+       |sgn AS (SELECT doc_id,
+       |    $sgn
+       |  FROM v3),
+       |sig AS (SELECT doc_id, $mins FROM sgn GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND $kEq AND a.doc_id < b.doc_id),
+       |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1)
+       |SELECT * FROM (
+       |  SELECT a_id, b_id,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
+       |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
+       |WHERE jaccard >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+}

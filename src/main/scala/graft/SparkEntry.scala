@@ -1029,5 +1029,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     oracleScanAndJson ++ oracleDense ++ oracleComposite ++
-      oracleRelational ++ oraclePipeline
+      oracleRelational ++ oraclePipeline ++ Map(
+        "dedup_simhash" -> DuckMirror.simhashSql(maxDist = 3),
+        "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8))
 }

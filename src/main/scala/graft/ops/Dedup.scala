@@ -142,10 +142,13 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** SimHash per document: 64-bit signature of token hashes. */
+  /** SimHash per document: 64-bit signature over the w=1 shingle token
+    * hashes (same native tokenize+hash kernel as minhash/fingerprint, so
+    * one DuckDB arithmetic mirror oracles every hash-dedup operator).
+    */
   def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+      simhash64(word_shingle_hashes(col(textCol), 1)).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist, candidate
     * generation by banding the 64-bit hash into four 16-bit chunks (a pair
