@@ -118,8 +118,11 @@ object Search {
   def fuseRRF(branches: Seq[DataFrame], k: Int, rrfK: Int = 60,
               roundTo: Int = 6): DataFrame = {
     val ranked = branches.zipWithIndex.map { case (b, i) =>
-      val w = Window.orderBy(col("score").desc, col("id").asc)
-      b.select(col("id"), (lit(1.0) / (lit(rrfK) + row_number().over(w))).as(s"rr_$i"))
+      // distributed global rank — an unpartitioned ranking window would
+      // drag every branch to a single partition (see Ranks scaladoc)
+      Ranks.withGlobalRowNumber(b.select(col("id"), col("score")), "__rn",
+          col("score").desc, col("id").asc)
+        .select(col("id"), (lit(1.0) / (lit(rrfK) + col("__rn"))).as(s"rr_$i"))
     }
     val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val fused = ranked.indices
