@@ -538,9 +538,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "quality_score" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+      // one TextStats kernel pass; both metrics derive from the struct
+      docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
+        .select(col("doc_id"),
+          round(TextAnalysis.stopwordRatioOf(col("__st")), 6).as("stopword_ratio"),
+          TextAnalysis.qualityScoreOf(col("__st")).as("quality"))
         .orderBy(col("doc_id"))),
 
     "lang_id" -> ((s, dir) =>
@@ -960,13 +962,13 @@ object SparkEntry {
 
     "token_count" ->
       """SELECT doc_id,
-        |       CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |       CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text,
-        |                  string_split_regex(lower(text), '\s+') AS toks,
-        |                  CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+        |                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) AS n
         |           FROM documents),
         |     m AS (SELECT doc_id,
         |                  CASE WHEN n > 0 THEN

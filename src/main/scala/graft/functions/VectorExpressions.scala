@@ -674,3 +674,208 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
 }
+
+/** Static kernel for [[QuantizeI8]] — one pass for abs-max + codes. */
+object QuantKernel {
+  def quantizeI8(arr: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    var absMax = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
+      if (v > absMax) absMax = v
+      i += 1
+    }
+    // same arithmetic as the column form it replaced (and the DuckDB
+    // oracle): scale = float32(absMax / 127.0); code = HALF_UP round of
+    // x / (double) scale
+    val scaleF = (absMax / 127.0).toFloat
+    val codes = new Array[Byte](n)
+    if (scaleF > 0f) {
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val v = x / scaleF.toDouble
+        codes(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes), scaleF))
+  }
+}
+
+/** Per-vector symmetric int8 quantization in one native pass:
+  * array<float|double> -> struct<codes: array<tinyint>, scale: float>,
+  * scale = max|x|/127, code_i = round(x_i/scale). The HOF composition
+  * (array_max(transform(abs)) + transform(round)) interprets two lambda
+  * chains per row — this is one tight loop inside whole-stage codegen.
+  */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", FloatType, nullable = false)))
+  override def prettyName: String = "quantize_i8"
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(child), "quantize_i8")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(input: Any): Any =
+    QuantKernel.quantizeI8(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.QuantKernel.quantizeI8($a, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeI8 = copy(child = c)
+}
+
+/** Exact int8 dot product over the common prefix -> double (integer sum,
+  * then one widening — bit-identical to casting both arrays to float and
+  * running the double-summing [[DotProduct]], since every int8 product is
+  * exactly representable).
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "v_dot_i8"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"v_dot_i8 expects array<tinyint>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0L
+    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    s.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = (double) $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI8 =
+    copy(left = l, right = r)
+}
+
+/** Static kernel for [[TextStats]]: one pass over the UTF-8 bytes. */
+object TextStatsKernel {
+  /** Raw FNV-1a (ASCII case-folded) of a word — the token hash the kernel
+    * matches profile words against.
+    */
+  def fnv(word: String): Long = {
+    var h = 0xcbf29ce484222325L
+    for (c <- word.getBytes("UTF-8")) {
+      var b = c
+      if (b >= 'A' && b <= 'Z') b = (b | 0x20).toByte
+      h = (h ^ (b & 0xffL)) * 0x100000001b3L
+    }
+    h
+  }
+
+  def stats(s: org.apache.spark.unsafe.types.UTF8String,
+            profiles: Array[Array[Long]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes
+    val nP = profiles.length
+    val occ = new Array[Int](nP)
+    val dist = new Array[Int](nP)
+    val seen = new Array[Long](nP) // bitmask per profile (<= 64 words)
+    var nTok = 0
+    var nPunct = 0
+    var h = 0xcbf29ce484222325L
+    var inTok = false
+    var i = 0
+    while (i <= bytes.length) {
+      val isWs = i == bytes.length || {
+        val b = bytes(i)
+        b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
+      }
+      if (isWs) {
+        if (inTok) {
+          nTok += 1
+          var p = 0
+          while (p < nP) {
+            val words = profiles(p)
+            var w = 0
+            while (w < words.length) {
+              if (words(w) == h) {
+                occ(p) += 1
+                if ((seen(p) >>> w & 1L) == 0L) { seen(p) |= 1L << w; dist(p) += 1 }
+                w = words.length
+              } else w += 1
+            }
+            p += 1
+          }
+          h = 0xcbf29ce484222325L; inTok = false
+        }
+      } else {
+        var b = bytes(i)
+        // punct classification on the RAW byte ([^a-zA-Z0-9\s])
+        val alnum = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')
+        if (!alnum) nPunct += 1
+        if (b >= 'A' && b <= 'Z') b = (b | 0x20).toByte
+        h = (h ^ (b & 0xffL)) * 0x100000001b3L
+        inTok = true
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTok, bytes.length, nPunct,
+      UnsafeArrayData.fromPrimitiveArray(occ),
+      UnsafeArrayData.fromPrimitiveArray(dist)))
+  }
+}
+
+/** One-pass text statistics: token count (non-empty whitespace tokens),
+  * char count, punctuation count ([^a-zA-Z0-9\s], ASCII corpus), and
+  * per-profile stopword-style counts (occurrences + distinct words, token
+  * matched case-folded). Replaces a stack of interpreted HOF chains
+  * (split + filter(array_contains) per profile) with one tight loop.
+  */
+case class TextStats(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("occ", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("dist", ArrayType(IntegerType, containsNull = false), nullable = false)))
+  override def prettyName: String = "text_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (profiles.forall(_.length <= 64)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("text_stats profiles are limited to 64 words each")
+    case dt => TypeCheckResult.TypeCheckFailure(s"text_stats expects string, got ${dt.catalogString}")
+  }
+
+  @transient private lazy val hashed: Array[Array[Long]] =
+    profiles.map(_.map(TextStatsKernel.fnv).toArray).toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatsKernel.stats(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hashed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStatsProfiles", hashed, "long[][]")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextStatsKernel.stats($s, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
+}

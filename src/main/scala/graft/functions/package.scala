@@ -115,6 +115,22 @@ package object functions {
   def sorted_token_hash_set(text: Column): Column =
     Bridge.column(SortedTokenHashSet(Bridge.expression(text)))
 
+  /** One-pass text statistics: string -> struct<n_tokens, n_chars,
+    * n_punct, occ: array<int>, dist: array<int>> (see TextStats).
+    */
+  def text_stats(text: Column, profiles: Seq[Seq[String]]): Column =
+    Bridge.column(TextStats(Bridge.expression(text), profiles))
+
+  /** One-pass int8 quantization: array<float|double> ->
+    * struct<codes: array<tinyint>, scale: float>.
+    */
+  def quantize_i8(vec: Column): Column =
+    Bridge.column(QuantizeI8(Bridge.expression(vec)))
+
+  /** Exact int8 dot product (integer accumulation) -> double. */
+  def v_dot_i8(a: Column, b: Column): Column =
+    Bridge.column(DotProductI8(Bridge.expression(a), Bridge.expression(b)))
+
   /** Element-wise vector average aggregate (centroid): array column ->
     * array<double>. Partial-aggregates map-side; see VectorAvg scaladoc.
     */

@@ -22,21 +22,20 @@ object Quant {
 
   /** Per-vector symmetric quantization: scale = max|x| / 127, code_i =
     * round(x_i / scale). Zero vectors get scale 0 and all-zero codes.
+    * One native pass (QuantizeI8) — the HOF composition interpreted two
+    * lambda chains per row.
     */
   def quantize(vecCol: Column): (Column, Column) = {
-    val absMax = array_max(transform(vecCol, x => abs(x))).cast(DoubleType)
-    val scale = (absMax / lit(127.0)).cast(FloatType)
-    val codes = when(scale > 0f,
-      transform(vecCol, x => round(x.cast(DoubleType) / scale).cast(ByteType)))
-      .otherwise(transform(vecCol, x => lit(0).cast(ByteType)))
-    (codes, scale)
+    val q = quantize_i8(vecCol)
+    (q.getField("codes"), q.getField("scale"))
   }
 
   /** Add `{out}_codes` (array<tinyint>) and `{out}_scale` (float). */
-  def quantizeColumn(df: DataFrame, vecCol: String, out: String): DataFrame = {
-    val (codes, scale) = quantize(col(vecCol))
-    df.withColumn(s"${out}_codes", codes).withColumn(s"${out}_scale", scale)
-  }
+  def quantizeColumn(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn("__q8", quantize_i8(col(vecCol)))
+      .withColumn(s"${out}_codes", col("__q8.codes"))
+      .withColumn(s"${out}_scale", col("__q8.scale"))
+      .drop("__q8")
 
   /** Reconstruct an approximate float vector from (codes, scale). */
   def dequantize(codes: Column, scale: Column): Column =
@@ -48,8 +47,7 @@ object Quant {
     */
   def dotQuantized(codesA: Column, scaleA: Column,
                    codesB: Column, scaleB: Column): Column =
-    v_dot(codesA.cast(ArrayType(FloatType)), codesB.cast(ArrayType(FloatType))) *
-      scaleA.cast(DoubleType) * scaleB.cast(DoubleType)
+    v_dot_i8(codesA, codesB) * scaleA.cast(DoubleType) * scaleB.cast(DoubleType)
 
   /** Quantized-domain top-k with full-precision re-rank: search the int8
     * column for `candidateK` candidates, then re-score only those with the

@@ -13,8 +13,8 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Whitespace token count (non-empty tokens). */
+  def tokenCount(text: Column): Column = tokenCountOf(stats(text))
 
   /** BPE-ish subword count approximation: words plus punctuation clusters
     * counted separately (regexp token model). */
@@ -25,32 +25,56 @@ object TextAnalysis {
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
 
-  /** Fraction of tokens that are stopwords (signal of natural language). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    val stops = size(filter(toks, t => array_contains(array(stopwords.map(lit): _*), t)))
-    when(size(toks) > 0, stops.cast(DoubleType) / size(toks).cast(DoubleType))
+  /** Profile 0 = stopwords; 1..4 = language profiles (see [[langProfiles]]).
+    * All per-document metrics derive from ONE [[graft.functions.TextStats]]
+    * kernel pass via the `...Of(stats)` forms; the text-Column forms below
+    * are conveniences that inline a stats call.
+    */
+  def stats(text: Column): Column = text_stats(text, allProfiles)
+
+  def tokenCountOf(st: Column): Column = st.getField("n_tokens")
+
+  def stopwordRatioOf(st: Column): Column = {
+    val n = st.getField("n_tokens")
+    when(n > 0, st.getField("occ").getItem(0).cast(DoubleType) / n.cast(DoubleType))
       .otherwise(lit(0.0))
   }
 
-  /** Fraction of non-alphanumeric, non-space characters. */
-  def punctRatio(text: Column): Column = {
-    val total = length(text)
-    val punct = total - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
-    when(total > 0, punct.cast(DoubleType) / total.cast(DoubleType)).otherwise(lit(0.0))
+  def punctRatioOf(st: Column): Column = {
+    val total = st.getField("n_chars")
+    when(total > 0, st.getField("n_punct").cast(DoubleType) / total.cast(DoubleType))
+      .otherwise(lit(0.0))
   }
+
+  def qualityScoreOf(st: Column): Column = {
+    val n = tokenCountOf(st).cast(DoubleType)
+    val lengthScore = least(n / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatioOf(st) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatioOf(st) * lit(3.0), lit(0.0))
+    round(lengthScore * (lit(0.5) + lit(0.5) * stopScore) * punctPenalty, 6)
+  }
+
+  def langIdOf(st: Column): Column = {
+    val scores = langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> st.getField("dist").getItem(i + 1)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Fraction of tokens that are stopwords (signal of natural language). */
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(stats(text))
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column = punctRatioOf(stats(text))
 
   /** Composite quality score in [0,1]: length sweet-spot * (1 - punct
     * excess) * stopword presence. A heuristic quality prior in the spirit
     * of C4/Gopher text-quality rules.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text).cast(DoubleType)
-    val lengthScore = least(n / lit(50.0), lit(1.0))
-    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
-    val punctPenalty = greatest(lit(1.0) - punctRatio(text) * lit(3.0), lit(0.0))
-    round(lengthScore * (lit(0.5) + lit(0.5) * stopScore) * punctPenalty, 6)
-  }
+  def qualityScore(text: Column): Column = qualityScoreOf(stats(text))
 
   /** Language-ID profiles: characteristic high-frequency function words.
     * Deterministic argmax with fixed precedence (en > de > es > fr > unknown).
@@ -61,20 +85,13 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "que", "de", "los", "es", "una", "para"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"))
 
+  private def allProfiles: Seq[Seq[String]] = stopwords +: langProfiles.map(_._2)
+
   /** N-gram/function-word language heuristic: score per language = count of
     * profile words present (distinct), predict the max (ties resolved by
     * profile order), 'und' (unknown) when no profile word occurs.
     */
-  def langId(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val scores = langProfiles.map { case (lang, words) =>
-      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
-  }
+  def langId(text: Column): Column = langIdOf(stats(text))
 
   /** Stable 64-bit document fingerprint (native rolling-hash expression). */
   def fingerprint(text: Column): Column = fingerprint64(text)
