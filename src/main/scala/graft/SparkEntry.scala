@@ -27,7 +27,9 @@ import graft.streaming.EventsStream
   *    tiebreak, so top-k boundaries agree;
   *  - money aggregates go through exact DECIMAL accumulation (order
   *    independent) and only the final value is cast to double;
-  *  - every result carries an explicit ORDER BY present in both engines.
+  *  - the gate sorts rows before hashing, so only LIMIT queries carry an
+  *    ORDER BY (a global output sort on an unbounded result is pure waste
+  *    at scale); oracle SQL may keep ORDER BY for readability.
   */
 object SparkEntry {
 
@@ -138,11 +140,10 @@ object SparkEntry {
 
     "scan_select_star" -> ((s, dir) =>
       hom(s, dir).select(col("id"), col("payload"),
-        vq6(col("vector")).as("vector_q6"))
-        .orderBy(col("id"))),
+        vq6(col("vector")).as("vector_q6"))),
 
     "scan_projection" -> ((s, dir) =>
-      hom(s, dir).select(col("id"), col("payload")).orderBy(col("id"))),
+      hom(s, dir).select(col("id"), col("payload"))),
 
     "scan_limit" -> ((s, dir) =>
       hom(s, dir).select(col("id"), vq6(col("vector")).as("vector_q6"))
@@ -155,15 +156,16 @@ object SparkEntry {
         vq6(col("text_embedding")).as("text_embedding_q6"),
         vq6(col("audio_embedding")).as("audio_embedding_q6"),
         iarr(col("keywords_indices")).as("keywords_indices_s"),
-        vq6(col("keywords_values")).as("keywords_values_q6"))
-        .orderBy(col("id").cast(LongType))),
+        vq6(col("keywords_values")).as("keywords_values_q6"))),
 
+    // one json_tuple parse feeds both typed extractions (json_get_* remain
+    // the generic per-path API); no output sort — the gate sorts rows
     "json_get" -> ((s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        json_get_str(col("props"), "k").as("k_str"),
-        json_get_int(col("props"), "k").as("k_int"))
-        .orderBy(col("event_id"))),
+      events(s, dir).select(col("event_id"), json_tuple(col("props"), "k").as("__k"))
+        .select(
+          col("event_id"),
+          col("__k").as("k_str"),
+          col("__k").cast(LongType).as("k_int"))),
 
     "json_filter_agg" -> ((s, dir) =>
       events(s, dir)
@@ -175,11 +177,13 @@ object SparkEntry {
         .orderBy(col("event_type"))),
 
     "has_field" -> ((s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        has_field(col("props"), "k").as("has_k"),
-        has_field(col("props"), "missing").as("has_missing"))
-        .orderBy(col("event_id"))),
+      events(s, dir)
+        .select(col("event_id"),
+          json_tuple(col("props"), "k", "missing").as(Seq("__k", "__m")))
+        .select(
+          col("event_id"),
+          col("__k").isNotNull.as("has_k"),
+          col("__m").isNotNull.as("has_missing"))),
 
     // GROUP BY a JSON-extracted value with COUNT/MAX/AVG (tests.sql:233-242)
     "json_group_agg" -> ((s, dir) =>
@@ -194,13 +198,14 @@ object SparkEntry {
 
     // json_object_keys + json_array_length surface (§2.D)
     "json_surface" -> ((s, dir) =>
-      events(s, dir).select(
-        col("event_id"),
-        array_join(json_keys(col("props")), ",").as("ks"),
-        org.apache.spark.sql.functions.json_array_length(
-          concat(lit("["), json_get_str(col("props"), "k"),
-            lit(","), json_get_str(col("props"), "k"), lit("]"))).as("arr_len"))
-        .orderBy(col("event_id"))),
+      events(s, dir)
+        .select(col("event_id"), json_keys(col("props")).as("__ks"),
+          json_tuple(col("props"), "k").as("__k"))
+        .select(
+          col("event_id"),
+          array_join(col("__ks"), ",").as("ks"),
+          org.apache.spark.sql.functions.json_array_length(
+            concat(lit("["), col("__k"), lit(","), col("__k"), lit("]"))).as("arr_len"))),
 
     // the DSv2 connector end-to-end: ingest the embeddings collection into
     // the (demo in-memory) collection store, scan it back through the
@@ -439,7 +444,6 @@ object SparkEntry {
       o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2).drop("rn")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
     "values_inline" -> ((s, dir) => {
@@ -480,8 +484,7 @@ object SparkEntry {
         .limit(20)),
 
     "window_agg_events" -> ((s, dir) =>
-      EventsStream.windowedAggBatch(s, dir)
-        .orderBy(col("window_start"), col("event_type"))),
+      EventsStream.windowedAggBatch(s, dir)),
 
     // literal CROSS JOIN LATERAL correlated-top-k (tests.sql:340-344 shape)
     "lateral_topk" -> ((s, dir) => {
@@ -501,8 +504,7 @@ object SparkEntry {
         .withColumn("payload", to_json(struct(array(col("lang"), col("source")).as("tags"))))
         .select(col("doc_id"),
           json_contains_value(col("payload"), "tags", "en").as("has_en"),
-          json_contains_value(col("payload"), "tags", "src3").as("has_src3"))
-        .orderBy(col("doc_id")))
+          json_contains_value(col("payload"), "tags", "src3").as("has_src3")))
   )
 
   /** Training-data pipeline operators: dedup, text analysis, ANN, media. */
@@ -510,50 +512,41 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docsWithExactDups(s, dir), "doc_id", "text")
-        .select(col("keeper"), col("n_copies"))
-        .orderBy(col("keeper"))),
+        .select(col("keeper"), col("n_copies"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        Seq("lang", "source"), threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id"))),
+        Seq("lang", "source"), threshold = 0.8)),
 
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(embWithNearDups(s, dir), "vec_id", "v",
-        Seq("label"), threshold = 0.999)
-        .orderBy(col("a_id"), col("b_id"))),
+        Seq("label"), threshold = 0.999)),
 
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
-        threshold = 0.8)
-        .orderBy(col("a_id"), col("b_id"))),
+        threshold = 0.8)),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)
-        .orderBy(col("a_id"), col("b_id"))),
+      Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)),
 
     "token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
-        .orderBy(col("doc_id"))),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))),
 
     "quality_score" -> ((s, dir) =>
       // one TextStats kernel pass; both metrics derive from the struct
       docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
         .select(col("doc_id"),
           round(TextAnalysis.stopwordRatioOf(col("__st")), 6).as("stopword_ratio"),
-          TextAnalysis.qualityScoreOf(col("__st")).as("quality"))
-        .orderBy(col("doc_id"))),
+          TextAnalysis.qualityScoreOf(col("__st")).as("quality"))),
 
     "lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
 
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-        .orderBy(col("doc_id"))),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
     "ann_ivf" -> ((s, dir) => {
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
@@ -583,8 +576,7 @@ object SparkEntry {
 
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresOf(s, dir)
-        .select(col("id"), col("format"), col("nBytes"))
-        .orderBy(col("id").cast(LongType)))
+        .select(col("id"), col("format"), col("nBytes")))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
