@@ -526,6 +526,13 @@ object SparkEntry {
       Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8)),
 
+    // near-dup clusters: pairwise edges -> connected components, every doc
+    // labeled with the min reachable doc_id (its cluster representative)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(docsWithNearDups(s, dir), "doc_id", "text",
+        Seq("lang", "source"), threshold = 0.8)
+        .select(col("id").as("doc_id"), col("component"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)),
 
@@ -938,6 +945,33 @@ object SparkEntry {
         |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // exact transitive closure: min reachable doc_id per node over the
+    // same near-dup pair edges the Spark side propagates labels on
+    "dedup_clusters" ->
+      """WITH RECURSIVE c AS (SELECT doc_id, text, lang, source FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text || ' zzz', lang, source
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |     t AS (SELECT doc_id, lang, source,
+        |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        |           FROM c),
+        |     p AS (SELECT * FROM (
+        |       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS j
+        |       FROM t a JOIN t b
+        |         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |       WHERE ROUND(j, 6) >= 0.8),
+        |     e AS (SELECT a_id AS s, b_id AS d FROM p
+        |           UNION ALL
+        |           SELECT b_id, a_id FROM p),
+        |     reach(id, comp) AS (
+        |       SELECT doc_id, doc_id FROM c
+        |       UNION
+        |       SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id)
+        |SELECT id AS doc_id, min(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

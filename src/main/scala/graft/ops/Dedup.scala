@@ -192,6 +192,61 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("jaccard"))
   }
 
+  /** Connected components over an undirected near-duplicate pair list:
+    * every node gets the MINIMUM id reachable from it as its component
+    * representative — the standard "keep one per duplicate cluster" shape
+    * (pairwise output alone can't answer "which docs survive" when dups
+    * chain a-b-c).
+    *
+    * Min-label propagation: each round every node takes the min label among
+    * itself and its neighbors (one hash-shuffle join + one partial-agg
+    * groupBy per round, both on (long, long) pairs — no driver-side graph).
+    * Rounds needed = component diameter; near-dup clusters are shallow
+    * (dups of a common source), so this converges in a handful of rounds at
+    * any corpus size. Convergence is detected by the monotonically
+    * decreasing label sum (labels only ever decrease), one scalar agg per
+    * round.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("__nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nbr"), col("component")))
+            .as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-duplicate clusters of a corpus: ngram-Jaccard pairs within
+    * blocking keys -> connected components -> (id, component) for every
+    * document (singletons are their own component).
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], threshold: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCols, threshold)
+    connectedComponents(df.select(col(idCol)), idCol, pairs, "a_id", "b_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double): DataFrame = {

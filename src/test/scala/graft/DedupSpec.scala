@@ -97,4 +97,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => b == a + 100000 })
   }
+
+  test("connectedComponents merges chained duplicate pairs to the min id") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3, pair 4-5, singleton 9
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("dedupClusters labels every planted near-dup with its source doc") {
+    val out = SparkEntry.queries("dedup_clusters")(spark, TestSpark.sfDir)
+    val comp = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted copies (doc_id % 7 == 0, id + 1000000) must share their
+    // source's component
+    comp.keys.filter(_ >= 1000000L).foreach { c =>
+      assert(comp(c) == comp(c - 1000000L), s"copy $c not clustered with source")
+    }
+    // representatives are minimal: every component label maps to itself
+    comp.values.foreach(rep => assert(comp(rep) == rep))
+  }
 }
