@@ -101,6 +101,36 @@ object DuckMirror {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** ann_lsh oracle: the hyperplane family is inlined as exact
+    * shortest-round-trip double literals (DuckDB parses them back to the
+    * identical IEEE value), dots accumulate in the kernel's sequential
+    * order via list_reduce, banding and rerank mirror Ann.searchLsh.
+    */
+  def lshSql(queryVecId: Int, k: Int, dim: Int, nbits: Int, bands: Int,
+             seed: Long): String = {
+    val planes = graft.ops.Ann.lshPlanes(dim, nbits, seed)
+    val r = nbits / bands
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => java.lang.Double.toString(x).replace("E", "e")).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    val bandEq = (0 until bands).map { b =>
+      val shift = 1L << (b * r)
+      val mod = 1L << r
+      s"((s.bucket // $shift) % $mod) = ((q.bucket // $shift) % $mod)"
+    }.mkString(" OR ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId)
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId AND ($bandEq)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
     * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
     * joined on exact sub-signature equality -> true-Jaccard verify over the

@@ -565,6 +565,16 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // hyperplane-LSH ANN: signature band match as a scan filter (no join,
+    // no shuffle), exact-cosine rerank of candidates — fully oracled since
+    // the plane family is deterministic arithmetic both engines share
+    "ann_lsh" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchLsh(hom(s, dir).filter(col("id") =!= "3"), "id", "vector",
+        q, k = 10)
+    }),
+
     // int8-quantized candidate search + full-precision rerank; with a
     // candidate margin the exact top-k is recovered, so the dot_topk-style
     // oracle applies (scores are the EXACT rerank scores)
@@ -1070,5 +1080,7 @@ object SparkEntry {
     oracleScanAndJson ++ oracleDense ++ oracleComposite ++
       oracleRelational ++ oraclePipeline ++ Map(
         "dedup_simhash" -> DuckMirror.simhashSql(maxDist = 3),
-        "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8))
+        "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
+        "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
+          nbits = 16, bands = 4, seed = 42L))
 }

@@ -137,14 +137,57 @@ object Ann {
     * seed via SplittableRandom): maps each vector to a `nbits`-bit bucket
     * signature; near-duplicate search joins bucket-local only.
     */
+  /** The deterministic hyperplane family behind [[lshBuckets]]: `nbits`
+    * planes of `dim` coordinates in [-1, 1), row-major from one seeded
+    * SplittableRandom stream. Shared by the Spark side, the driver-side
+    * query signature, and the DuckDB oracle mirror.
+    */
+  def lshPlanes(dim: Int, nbits: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new java.util.SplittableRandom(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
+
   def lshBuckets(df: DataFrame, vecCol: String, dim: Int, nbits: Int,
                  seed: Long = 42L): DataFrame = {
-    val rnd = new java.util.SplittableRandom(seed)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nbits)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
-    val bits = planes.zipWithIndex.map { case (p, i) =>
+    val bits = lshPlanes(dim, nbits, seed).zipWithIndex.map { case (p, i) =>
       when(v_dot(col(vecCol), vec(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** Driver-side signature of one vector under the same plane family
+    * (sequential sum order — identical to the v_dot kernel).
+    */
+  def lshSignatureOf(v: Seq[Double], nbits: Int, seed: Long): Long =
+    lshPlanes(v.length, nbits, seed).zipWithIndex.map { case (p, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += v(j) * p(j); j += 1 }
+      if (s >= 0) 1L << i else 0L
+    }.reduce(_ | _)
+
+  /** Hyperplane-LSH ANN for a single query: rows are candidates when ANY
+    * of the `bands` signature bands (nbits/bands bits each) equals the
+    * query's — a pure long-compare FILTER on the scan (no join, no
+    * shuffle; with the signature materialized at ingest and the table
+    * bucketed by band, this prunes at the source) — then exact-cosine
+    * rerank of the survivors, top k.
+    */
+  def searchLsh(df: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Double], k: Int, nbits: Int = 16, bands: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    require(nbits % bands == 0)
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val qSig = lshSignatureOf(query, nbits, seed)
+    val sigs = lshBuckets(df, vecCol, query.length, nbits, seed)
+    val bandMatch = (0 until bands).map { b =>
+      (shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))) === lit((qSig >>> (b * r)) & mask)
+    }.reduce(_ || _)
+    sigs.filter(bandMatch)
+      .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
   }
 }

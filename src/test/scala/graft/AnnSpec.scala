@@ -54,4 +54,22 @@ class AnnSpec extends AnyFunSuite {
     assert(a === b)
     assert(a.values.toSet.size > 1)
   }
+
+  test("searchLsh: candidates rerank to a high-recall top-k vs brute force") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") =!= "3")
+    val lsh = Ann.searchLsh(corpus, "id", "vector", q, k = 10)
+      .collect().map(_.getString(0)).toSet
+    val brute = Ann.bruteForce(corpus, "id", "vector",
+        graft.functions.vec(q), k = 50, metric = "cosine")
+      .collect().map(_.getString(0)).toSet
+    assert(lsh.size == 10)
+    // banding with 4x4 bits keeps near neighbors: the LSH top-10 sits
+    // inside the exact top-50
+    assert((lsh -- brute).isEmpty, s"LSH returned far points: ${lsh -- brute}")
+  }
 }
