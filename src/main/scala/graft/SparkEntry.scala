@@ -540,6 +540,42 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))),
 
+    "subword_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    // per-language corpus statistics: exact interpolated percentiles of the
+    // token-count distribution (one partial-agg shuffle; the percentile
+    // state is a per-group sketch of ints, not the rows)
+    "corpus_stats" -> ((s, dir) =>
+      docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
+        .select(col("lang"),
+          TextAnalysis.tokenCountOf(col("__st")).as("n_tokens"),
+          col("__st").getField("n_chars").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))),
+
+    // explicit salting for a known-hot join key: fact rows spread over 8
+    // deterministic salt buckets, dim replicated per salt — result equals
+    // the unsalted join (the oracle IS the unsalted join)
+    "skew_join" -> ((s, dir) => {
+      val weights = s.createDataFrame(Seq(
+        ("click", 1L), ("view", 2L), ("purchase", 10L),
+        ("signup", 5L), ("error", 0L)))
+        .toDF("event_type", "weight")
+      graft.ops.Skew.saltedJoin(events(s, dir), weights, "event_type",
+          saltFactor = 8)
+        .groupBy(col("event_type"), col("weight"))
+        .agg(
+          count(lit(1)).as("n"),
+          // integer-domain sum: order-independent, exact
+          sum(floor(col("value")).cast(LongType) * col("weight")).as("weighted"))
+    }),
+
     "quality_score" -> ((s, dir) =>
       // one TextStats kernel pass; both metrics derive from the struct
       docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
@@ -1000,6 +1036,34 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "subword_count" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) +
+        |            len(list_filter(string_split_regex(text, '[a-z0-9\s]+'), t -> len(t) > 0)) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_stats" ->
+      """WITH t AS (SELECT lang,
+        |                  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+        |                  len(text) AS n_chars
+        |           FROM documents)
+        |SELECT lang,
+        |       COUNT(*) AS n_docs,
+        |       ROUND(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+        |       ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+        |       ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "skew_join" ->
+      """WITH w(event_type, weight) AS (VALUES
+        |       ('click', 1), ('view', 2), ('purchase', 10),
+        |       ('signup', 5), ('error', 0))
+        |SELECT e.event_type, CAST(w.weight AS BIGINT) AS weight,
+        |       COUNT(*) AS n,
+        |       SUM(CAST(floor(e.value) AS BIGINT) * w.weight) AS weighted
+        |FROM events e JOIN w ON e.event_type = w.event_type
+        |GROUP BY e.event_type, w.weight ORDER BY e.event_type""".stripMargin,
 
     "quality_score" ->
       """WITH t AS (SELECT doc_id, text,
