@@ -210,29 +210,62 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persist the raw edge list BEFORE symmetrizing: the union scans it
+    // twice, and the (possibly expensive) pair-generation plan must run
+    // once, not once per direction
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(lvl)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(lvl)
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    def t0 = System.nanoTime()
+    var t = t0
+    def lap(tag: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[cc] $tag ${(now - t) / 1e9}%.2f s")
+      t = now
+    }
+    val nEdges = sym.count() // materialize the edge cache once, up front
+    lap(s"edges ($nEdges sym)")
+    // Iterative-loop discipline: EAGER localCheckpoint each round. Chained
+    // persist/unpersist is a trap here — unpersisting round k's frame
+    // invalidates the cached plan round k+1 was built over, and every
+    // later round then recomputes its (self-join-doubling) full lineage:
+    // measured ~8x cost growth per round. Checkpointing truncates lineage.
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // (a) neighbor-min propagation: one hop along the edges
       val nbrMin = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("__nbr"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val hop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // read by BOTH sides of the pointer-jump join
+      // (b) pointer jumping: labels are node ids, so follow one level of
+      // indirection (l <- min(l, l(l))) — doubles the effective hop length,
+      // O(log diameter) rounds instead of O(diameter)
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("__lid"), col("component").as("__lcomp")).as("b"),
+          col("a.component") === col("__lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.component"), coalesce(col("__lcomp"), col("a.component")))
+            .as("component"))
+        .localCheckpoint()
       val nextSum = next.agg(sum(col("component"))).head().getLong(0)
-      labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1
+      lap(s"round $i")
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
+    e.unpersist(blocking = false)
     sym.unpersist(blocking = false)
     labels
   }
