@@ -486,6 +486,42 @@ object SparkEntry {
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)),
 
+    // sessionization: Spark's native session_window (map-side state merge,
+    // one shuffle on the key; the same expression runs incrementally under
+    // Structured Streaming) vs the oracle's gaps-and-islands SQL
+    "session_agg" -> ((s, dir) =>
+      graft.ops.TimeSeries.sessionAgg(events(s, dir), "user_id", "ts", "24 hours")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"), col("span_us"))),
+
+    // as-of join: latest purchase at-or-before each click per user; no
+    // native Spark operator — union + one per-key ranking window carries
+    // the last right-side payload forward (no row explosion)
+    "asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
+      graft.ops.TimeSeries.asofJoin(clicks, purchases, "user_id", "ts",
+          Seq("p_event_id", "ts"))
+        .select(col("event_id"), col("asof_p_event_id").as("p_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
+    }),
+
+    // wide-format per-language source counts (groupBy + pivot with an
+    // explicit value list — map-side partial aggregation, one shuffle)
+    "pivot_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .pivot("source", Seq("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)))
+        .select(col("lang"),
+          coalesce(col("src0"), lit(0L)).as("src0_n"),
+          coalesce(col("src1"), lit(0L)).as("src1_n"),
+          coalesce(col("src2"), lit(0L)).as("src2_n"),
+          coalesce(col("src3"), lit(0L)).as("src3_n"))),
+
     // literal CROSS JOIN LATERAL correlated-top-k (tests.sql:340-344 shape)
     "lateral_topk" -> ((s, dir) => {
       Tables.load(s, dir, "region").createOrReplaceTempView("region")
@@ -952,6 +988,44 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands: a session breaks when the gap to the previous
+    // event is >= 24h (Spark merges while next < prev + gap)
+    "session_agg" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                   >= INTERVAL 24 HOURS
+        |              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |i AS (SELECT user_id, ts,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id,
+        |       epoch_ns(MIN(ts)) // 1000 AS session_start_us,
+        |       COUNT(*) AS n_events,
+        |       epoch_ns(MAX(ts)) // 1000 - epoch_ns(MIN(ts)) // 1000 AS span_us
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT event_id AS p_event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, p.p_event_id,
+        |       CASE WHEN p.p_event_id IS NOT NULL
+        |            THEN epoch_ns(c.ts) // 1000 - epoch_ns(p.ts) // 1000 END AS lag_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "pivot_stats" ->
+      """SELECT lang,
+        |       COALESCE(SUM(CASE WHEN source = 'src0' THEN 1 END), 0) AS src0_n,
+        |       COALESCE(SUM(CASE WHEN source = 'src1' THEN 1 END), 0) AS src1_n,
+        |       COALESCE(SUM(CASE WHEN source = 'src2' THEN 1 END), 0) AS src2_n,
+        |       COALESCE(SUM(CASE WHEN source = 'src3' THEN 1 END), 0) AS src3_n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "lateral_topk" ->
       """SELECT r.r_name, t.n_name FROM region r,

@@ -22,7 +22,9 @@ object Tables {
     // TimestampType column so downstream code sees a real timestamp.
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integral DIV, not double '/': a double quotient near an integer
+        // boundary can round UP before the cast truncates, off-by-one µs
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case None => df
     }
   }

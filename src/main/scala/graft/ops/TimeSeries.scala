@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators: sessionization and as-of joins — the two shapes
+  * event pipelines always need and plain SQL joins express badly.
+  */
+object TimeSeries {
+
+  /** Per-key session aggregation: events within `gap` of the previous
+    * event merge into one session (Spark's native session_window — state
+    * merges map-side, one shuffle on the grouping key; in streaming the
+    * same expression runs incrementally with watermark eviction).
+    */
+  def sessionAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap).as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("__first"),
+        max(col(tsCol)).as("__last"))
+      .select(col(keyCol),
+        col("__first").as("session_start"),
+        col("n_events"),
+        (unix_micros(col("__last")) - unix_micros(col("__first"))).as("span_us"))
+
+  /** As-of join: for every left row, the single latest right row with
+    * `right.ts <= left.ts` within the same key (inclusive). No native
+    * Spark operator exists; the scalable composition is union + one
+    * ranking window per key — O(n log n) distributed sort, NO row
+    * explosion (a naive range join is quadratic per key):
+    * tag left 1 / right 0, sort (key, ts, side) so a right row at the
+    * exact left ts sorts first, and carry the last non-null right payload
+    * forward with last_value(ignoreNulls) over rows-unbounded-preceding.
+    *
+    * `rightCols` are carried from the right side (null when no match —
+    * left-outer semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filter(c => c != keyCol && c != tsCol).map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+        leftCols.filter(c => c != keyCol && c != tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+  }
+}
