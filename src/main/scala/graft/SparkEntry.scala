@@ -637,6 +637,31 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // grouped search (reference search-groups surface): top-2 per payload
+    // label by cosine — score map-side against the broadcast query vector,
+    // rank inside a PARTITIONED window (shuffles scored (label,id,score)
+    // rows only, never vectors)
+    "group_search" -> ((s, dir) => {
+      val df = hom(s, dir)
+      val q = qvecOf(df, "0")
+      val scored = df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .select(col("id"),
+          get_json_object(col("payload"), "$.label").as("label"),
+          round(v_cosine(col("vector"), col("__qvec")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("score").desc, col("id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("label"), col("id"), col("score"))
+    }),
+
+    // scroll pagination (reference scroll surface): stable id order,
+    // limit+offset
+    "scroll_page" -> ((s, dir) =>
+      hom(s, dir).select(col("id"), col("payload"))
+        .orderBy(col("id").cast(LongType))
+        .offset(20).limit(10)),
+
     // hyperplane-LSH ANN: signature band match as a scan filter (no join,
     // no shuffle), exact-cosine rerank of candidates — fully oracled since
     // the plane family is deterministic arithmetic both engines share
@@ -988,6 +1013,21 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "group_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              CAST(e.label AS VARCHAR) AS label,
+        |              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |       FROM embeddings e, q WHERE e.vec_id <> 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, id) AS rn
+        |      FROM sc)
+        |SELECT label, id, score FROM r WHERE rn <= 2 ORDER BY label, id""".stripMargin,
+
+    "scroll_page" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
 
     // gaps-and-islands: a session breaks when the gap to the previous
     // event is >= 24h (Spark merges while next < prev + gap)
