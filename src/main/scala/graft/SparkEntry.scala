@@ -603,8 +603,10 @@ object SparkEntry {
         ("click", 1L), ("view", 2L), ("purchase", 10L),
         ("signup", 5L), ("error", 0L)))
         .toDF("event_type", "weight")
-      graft.ops.Skew.saltedJoin(events(s, dir), weights, "event_type",
-          saltFactor = 8)
+      // shuffle_hash hint: a 5-row dim would broadcast and the salt would
+      // never exercise the shuffle path this operator exists for
+      graft.ops.Skew.saltedJoin(events(s, dir), weights.hint("shuffle_hash"),
+          "event_type", saltFactor = 8)
         .groupBy(col("event_type"), col("weight"))
         .agg(
           count(lit(1)).as("n"),

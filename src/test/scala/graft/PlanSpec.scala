@@ -73,4 +73,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("fingerprint64"), p)
     assert(count(p, "HashAggregate") >= 2, p)
   }
+
+  test("ann_lsh: band match is a scan filter - zero shuffles, TakeOrdered") {
+    val df = SparkEntry.queries("ann_lsh")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("asof_join: one partitioned window over one exchange, no row explosion") {
+    val df = SparkEntry.queries("asof_join")(spark, TestSpark.sfDir)
+    df.collect()
+    // the AQE plan string repeats under "== Initial Plan ==" — count the
+    // final plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(count(p, "Window") >= 1, p)
+    // exactly one hash exchange (on the key) feeds the sort+window
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("skew_join: salted path really shuffles (hint defeats dim broadcast)") {
+    val df = SparkEntry.queries("skew_join")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("__salt"), p)
+  }
+
+  test("group_search: vectors never shuffle - score map-side, rank per label") {
+    val df = SparkEntry.queries("group_search")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange carries (label, id, score) rows, not vectors
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(!exch.contains("vector") && !exch.contains("embedding"), exch)
+  }
 }
