@@ -15,8 +15,9 @@ object TimeSeries {
     * same expression runs incrementally with watermark eviction).
     */
   def sessionAgg(df: DataFrame, keyCol: String, tsCol: String,
-                 gap: String): DataFrame =
-    df.groupBy(col(keyCol), session_window(col(tsCol), gap).as("__w"))
+                 gap: String, watermark: Option[String] = None): DataFrame =
+    watermark.fold(df)(w => df.withWatermark(tsCol, w))
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("__w"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("__first"),

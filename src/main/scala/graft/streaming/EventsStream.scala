@@ -30,8 +30,11 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+  /** nanos-long ts -> microsecond TimestampType (integral DIV: double
+    * division rounds up across integer boundaries at epoch-nano scale).
+    */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   /** The shared transform: tumbling 1-hour window per event_type with
     * count/sum. Watermark bounds state: late data beyond 2 hours is

@@ -71,4 +71,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() === 0)
     assert(last.count() > 0)
   }
+
+  test("streaming sessionization equals the batch form of the same transform") {
+    val dir = Files.createTempDirectory("graft-stream4")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = graft.ops.TimeSeries.sessionAgg(
+        EventsStream.normalize(EventsStream.readEventsStream(spark, dir.toString)),
+        "user_id", "ts", "24 hours", watermark = Some("48 hours"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sessions_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_out")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = graft.ops.TimeSeries.sessionAgg(
+        Tables.load(spark, TestSpark.sfDir, "events"), "user_id", "ts", "24 hours")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
