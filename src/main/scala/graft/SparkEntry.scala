@@ -576,6 +576,17 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))),
 
+    // BM25 relevance: per-term tf from one TextStats pass (each term its
+    // own profile), corpus stats as a broadcast one-row aggregate
+    "bm25_rank" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), "doc_id", "text",
+          Seq("spark", "join", "merge"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)),
+
+    "top_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
+
     "subword_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
@@ -1152,6 +1163,38 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bm25_rank" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS len,
+        |             len(list_filter(toks, x -> x = 'spark')) AS tf0,
+        |             len(list_filter(toks, x -> x = 'join'))  AS tf1,
+        |             len(list_filter(toks, x -> x = 'merge')) AS tf2
+        |      FROM t),
+        |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen,
+        |             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM m)
+        |SELECT doc_id,
+        |       ROUND(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
+        |         4) AS bm25
+        |FROM m, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "top_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |                         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+        |                         ELSE [] END) AS gram
+        |      FROM t)
+        |SELECT gram, COUNT(*) AS n
+        |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
 
     "subword_count" ->
       """SELECT doc_id,

@@ -96,6 +96,52 @@ object TextAnalysis {
   /** Stable 64-bit document fingerprint (native rolling-hash expression). */
   def fingerprint(text: Column): Column = fingerprint64(text)
 
+  /** BM25 relevance of every document against a fixed term list.
+    *
+    * Per-term tf comes from ONE TextStats pass (each query term is its own
+    * single-word profile, so occ[i] = tf of term i); document frequencies
+    * and average length are a one-row aggregate broadcast back over the
+    * corpus — two map-side passes and one tiny shuffle, no explode of the
+    * token stream. Standard BM25: idf = ln(1 + (N - df + .5)/(df + .5)),
+    * tf-part = tf (k1+1) / (tf + k1 (1 - b + b len/avglen)).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           roundTo: Int = 4): DataFrame = {
+    val profiles = terms.map(Seq(_))
+    val st = df.select(col(idCol), text_stats(col(textCol), profiles).as("__st"))
+      .select(Seq(col(idCol), col("__st").getField("n_tokens").as("__len")) ++
+        terms.indices.map(i => col("__st").getField("occ").getItem(i).as(s"__tf$i")): _*)
+    val aggCols = Seq(count(lit(1)).as("__n"), avg(col("__len")).as("__avglen")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = st.agg(aggCols.head, aggCols.tail: _*)
+    val scored = st.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (col("__n").cast(DoubleType) - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len").cast(DoubleType) / col("__avglen")))
+    }.reduce(_ + _)
+    scored.select(col(idCol), round(score, roundTo).as("bm25"))
+  }
+
+  /** Corpus-wide top-k word bigrams by frequency (tiebreak: gram asc). */
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    // guard: sequence(1, 0) counts DOWN in Spark — emit no grams under 2 tokens
+    df.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
