@@ -102,7 +102,13 @@ object Ann {
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
                seed: Long = 42L, maxIter: Int = 10): IvfIndex = {
     val cents = fitCentroids(df, idCol, vecCol, nlist, maxIter, seed)
+    // the index IS the materialized assignment: persist eagerly so probes
+    // filter stored rows instead of re-assigning the corpus per query
+    // (production writes this partitioned/bucketed by `cluster` — see
+    // BucketingSpec — and probes partition-prune)
     val clustered = assignClusters(df, vecCol, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clustered.count()
     val spark = df.sparkSession
     import spark.implicits._
     val centroids = cents.zipWithIndex
