@@ -108,4 +108,63 @@ object KernelProperties extends Properties("graft.kernels") {
       val dd = DotProduct(arr(d), arr(q)).eval(null).asInstanceOf[Double]
       math.abs(ms - dd) < 1e-9   // single doc + single query = their dot
     }
+
+  // -- round-2 kernels ------------------------------------------------------
+
+  private val asciiWord: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(8 -> Gen.alphaChar, 2 -> Gen.oneOf('0', '9', '.', ','))).map(_.mkString))
+  private val asciiText: Gen[String] = for {
+    n <- Gen.choose(0, 20)
+    ws <- Gen.listOfN(n + 1, Gen.oneOf(" ", "  ", "\t", "\n", " \r "))
+    words <- Gen.listOfN(n, asciiWord)
+  } yield ws.head + words.zip(ws.tail).map { case (w, s) => w + s }.mkString
+
+  private val statsProfiles = Seq(Seq("the", "a.", "zz"), Seq("q"))
+
+  property("text_stats token count matches the HOF tokenizer") =
+    forAll(asciiText) { t =>
+      val row = TextStats(Literal.create(t, StringType), statsProfiles)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val expected = t.toLowerCase.split("\\s+").count(_.nonEmpty)
+      row.getInt(0) == expected
+    }
+
+  property("text_stats profile occurrence counts match naive counting") =
+    forAll(asciiText) { t =>
+      val row = TextStats(Literal.create(t, StringType), statsProfiles)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val occ = row.getArray(3)
+      val dist = row.getArray(4)
+      statsProfiles.zipWithIndex.forall { case (p, i) =>
+        occ.getInt(i) == toks.count(p.contains) &&
+          dist.getInt(i) == toks.distinct.count(p.contains)
+      }
+    }
+
+  property("quantize_i8 round-trips within scale/2 and codes fit int8") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0))) { xs =>
+      val row = QuantizeI8(arr(xs)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val codes = row.getArray(0)
+      val scale = row.getFloat(1)
+      xs.indices.forall { i =>
+        val c = codes.getByte(i)
+        c >= -127 && c <= 127 &&
+          (scale == 0f || math.abs(c * scale.toDouble - xs(i)) <= scale / 2.0 + 1e-9)
+      }
+    }
+
+  property("v_dot_i8 equals the double dot of the byte values") =
+    forAll(Gen.choose(1, 64).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-127, 127)), Gen.listOfN(n, Gen.choose(-127, 127))))) {
+      case (a, b) =>
+        val la = Literal.create(new GenericArrayData(a.map(_.toByte).toArray),
+          ArrayType(ByteType, containsNull = false))
+        val lb = Literal.create(new GenericArrayData(b.map(_.toByte).toArray),
+          ArrayType(ByteType, containsNull = false))
+        val d = DotProductI8(la, lb).eval(null).asInstanceOf[Double]
+        d == a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    }
 }
