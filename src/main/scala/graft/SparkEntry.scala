@@ -44,6 +44,8 @@ object SparkEntry {
   def warmOffline(s: SparkSession, dir: String): Unit = {
     ivfCache.getOrElseUpdate(dir,
       graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 5))
+    ivfCache.getOrElseUpdate(s"$dir#probe",
+      graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
     ()
   }
 
@@ -650,6 +652,19 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // the same IVF probe machinery with deterministic seed-point centroids
+    // (maxIter=0): every stage — init permutation, cluster assignment,
+    // probe selection, rerank — is reproduced by the DuckDB oracle, so the
+    // serving path is value-checked end-to-end (Lloyd's-refined ann_ivf
+    // stays rows-only: float centroid averaging is order-dependent)
+    "ann_ivf_probe" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 5)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#probe",
+        Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
+    }),
+
     // grouped search (reference search-groups surface): top-2 per payload
     // label by cosine — score map-side against the broadcast query vector,
     // rank inside a PARTITIONED window (shuffles scored (label,id,score)
@@ -1026,6 +1041,33 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // IVF serving path end-to-end: seed-point centroids from the md5
+    // permutation, sequential-sum euclid assignment (first-min index),
+    // nprobe=2 cluster selection, cosine rerank — every stage value-equal
+    "ann_ivf_probe" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '42'), id) - 1 AS cluster, v AS c
+        |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '42'), id LIMIT 8)),
+        |assign AS (
+        |  SELECT e.id, e.v, c.cluster,
+        |         sqrt(list_reduce(list_transform(range(1, 65), j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])), (a, b) -> a + b)) AS d
+        |  FROM corpus e CROSS JOIN cents c),
+        |clus AS (
+        |  SELECT id, v, cluster FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM assign)
+        |  WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM corpus WHERE vec_id = 5),
+        |probed AS (
+        |  SELECT c.cluster FROM cents c, q
+        |  ORDER BY sqrt(list_reduce(list_transform(range(1, 65), j -> (c.c[j] - q.qv[j]) * (c.c[j] - q.qv[j])), (a, b) -> a + b)), c.cluster
+        |  LIMIT 2)
+        |SELECT t.id, ROUND(list_cosine_similarity(t.v, q.qv), 6) AS score
+        |FROM clus t JOIN probed USING (cluster), q
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

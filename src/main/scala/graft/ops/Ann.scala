@@ -44,15 +44,15 @@ object Ann {
       * when `clustered` is written bucketed/partitioned by cluster.
       */
     def search(query: Column, k: Int, nprobe: Int,
-               metric: String = "cosine"): DataFrame = {
+               metric: String = "cosine", roundTo: Int = 6): DataFrame = {
       val probed = centroids
         .withColumn("cdist", v_euclid(col("centroid"), query))
-        .orderBy(col("cdist").asc)
+        .orderBy(col("cdist").asc, col("cluster").asc)
         .limit(nprobe)
         .select(col("cluster"))
       clustered.join(broadcast(probed), Seq("cluster"))
         .select(col(idCol).as("id"),
-          Search.similarity(col(vecCol), query, metric).as("score"))
+          round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
     }
@@ -63,12 +63,15 @@ object Ann {
     * recompute step is the map-side-partial VectorAvg aggregate. Each
     * iteration is two Spark jobs; only the k x dim centroid table ever
     * reaches the driver (model state, not data). Deterministic under
-    * `seed` (init = k smallest xxhash64(id)).
+    * `seed` (init = k smallest md5(id||seed)).
     */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    maxIter: Int, seed: Long): Array[Array[Double]] = {
+    // seed points by a data-derived md5 permutation (not xxhash64): equally
+    // good pseudo-random init, but reproducible in ANY engine — the
+    // maxIter=0 probe gate's oracle re-derives these exact centroids in SQL
     var centroids: Array[Array[Double]] = df
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .orderBy(md5(concat(col(idCol).cast(StringType), lit(seed.toString))), col(idCol))
       .limit(k)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
