@@ -162,6 +162,20 @@ object SparkEntry {
 
     // one json_tuple parse feeds both typed extractions (json_get_* remain
     // the generic per-path API); no output sort — the gate sorts rows
+    // A7 multi-vector normalization (reference deserialize.rs:41-58): a
+    // flat embedding splits into `count` equal sub-vectors; serialized per
+    // sub-vector for the scalar-cell gate
+    "multi_vector" -> ((s, dir) =>
+      hom(s, dir)
+        .select(col("id"),
+          multi_vector_from_flat(dvec(col("vector")), lit(4)).as("__mv"))
+        .select(col("id"),
+          size(col("__mv")).as("n_sub"),
+          array_join(transform(col("__mv"),
+            sv => array_join(transform(sv,
+              x => floor(x * lit(1e6) + lit(0.5)).cast(StringType)), ",")), ";")
+            .as("mv_q6"))),
+
     "json_get" -> ((s, dir) =>
       events(s, dir).select(col("event_id"), json_tuple(col("props"), "k").as("__k"))
         .select(
@@ -757,6 +771,14 @@ object SparkEntry {
         |         array_to_string(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> CAST(i - 1 AS VARCHAR)), ',')
         |       END AS keywords_indices_s,
         |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "multi_vector" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       CAST(4 AS INTEGER) AS n_sub,
+        |       array_to_string(list_transform(range(0, 4), i ->
+        |         array_to_string(list_transform(CAST(embedding AS DOUBLE[])[i * 16 + 1 : i * 16 + 16],
+        |           x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')), ';') AS mv_q6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "json_get" ->
