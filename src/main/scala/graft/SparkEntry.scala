@@ -189,7 +189,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast(DoubleType).as("sum_value"))
+          sum(dec(col("value"))).cast(StringType).as("sum_value"))
         .orderBy(col("event_type"))),
 
     "has_field" -> ((s, dir) =>
@@ -209,7 +209,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           max(col("value")).as("max_value"),
-          (sum(dec(col("value"))).cast(DoubleType) / count(lit(1))).as("avg_value"))
+          round(sum(dec(col("value"))).cast(DoubleType) / count(lit(1)), 6).as("avg_value"))
         .orderBy(col("bucket"))),
 
     // json_object_keys + json_array_length surface (§2.D)
@@ -423,10 +423,12 @@ object SparkEntry {
       li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          // exact decimal sums compared as STRINGS: the final decimal->double
+          // cast differs by 1 ulp between engines at sf0.1 magnitudes
+          sum(dec(col("l_quantity"))).cast(StringType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(StringType).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
-            .cast(DoubleType).as("sum_disc_price"),
+            .cast(StringType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -440,7 +442,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast(DoubleType).as("revenue"))
+          sum(dec(col("o_totalprice"))).cast(StringType).as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -448,7 +450,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast(DoubleType).as("total"))
+          sum(dec(col("value"))).cast(StringType).as("total"))
         .filter(col("n") >= 3)
         .orderBy(col("user_id"))),
 
@@ -790,7 +792,7 @@ object SparkEntry {
     "json_filter_agg" ->
       """SELECT event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -810,7 +812,7 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
         |       COUNT(*) AS n,
         |       MAX(value) AS max_value,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
         |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "json_surface" ->
@@ -989,9 +991,9 @@ object SparkEntry {
   private val oracleRelational: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1001,7 +1003,7 @@ object SparkEntry {
     "join3_agg" ->
       """SELECT n_name,
         |       COUNT(*) AS n_orders,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1009,7 +1011,7 @@ object SparkEntry {
 
     "having_agg" ->
       """SELECT user_id, COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS total
         |FROM events
         |GROUP BY user_id HAVING COUNT(*) >= 3
         |ORDER BY user_id""".stripMargin,
@@ -1060,7 +1062,7 @@ object SparkEntry {
     "window_agg_events" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |       event_type, COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
