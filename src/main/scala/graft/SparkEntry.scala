@@ -147,6 +147,15 @@ object SparkEntry {
     "scan_projection" -> ((s, dir) =>
       hom(s, dir).select(col("id"), col("payload"))),
 
+    // A12 sink (todo!() in the reference): write the collection out, read
+    // it back, project — the oracle (plain scan SQL over the SOURCE) only
+    // matches if the round trip preserved every row and type
+    "sink_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_sink_${new java.io.File(dir).getName}"
+      Collections.writeCollection(hom(s, dir), path)
+      Collections.readCollection(s, path).select(col("id"), col("payload"))
+    }),
+
     "scan_limit" -> ((s, dir) =>
       hom(s, dir).select(col("id"), vq6(col("vector")).as("vector_q6"))
         .orderBy(col("id").cast(LongType)).limit(5)),
@@ -752,6 +761,11 @@ object SparkEntry {
       s"""SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
         |       ${duckVq6("embedding")} AS vector_q6
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "sink_roundtrip" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "scan_projection" ->
