@@ -218,49 +218,8 @@ package object functions {
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    import org.apache.spark.sql.catalyst.expressions.{Expression => E}
-    def r(name: String, b: Seq[E] => E): Unit =
-      reg.createOrReplaceTempFunction(name, b, "built-in")
-    r("v_dot", es => DotProduct(es(0), es(1)))
-    r("v_cosine", es => CosineSimilarity(es(0), es(1)))
-    r("v_euclid", es => EuclideanDistance(es(0), es(1)))
-    r("v_sparse_dot", es => SparseDotProduct(es(0), es(1), es(2), es(3)))
-    r("v_maxsim", es => MaxSim(es(0), es(1)))
-    r("simhash64", es => SimHash64(es(0)))
-    r("fingerprint64", es => RollingHash64(es(0)))
-    // V_DISTANCE(a, b, 'metric') / V_WITHIN(a, b, r[, 'metric']) forms —
-    // metric must be a foldable string literal, as in the reference corpus.
-    // Built as raw Catalyst nodes (a Column expression tree cannot be
-    // re-embedded unresolved into a SQL plan).
-    import org.apache.spark.sql.catalyst.expressions.{
-      LessThan, Literal, Subtract, UnaryMinus}
-    def metricOf(e: E): String = e.eval(null) match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toLowerCase
-      case other => throw new IllegalArgumentException(
-        s"metric must be a string literal, got $other")
+    SqlBuilders.all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
-    def distanceExpr(a: E, b: E, metric: String): E = metric match {
-      case "cosine" => Subtract(Literal(1.0), CosineSimilarity(a, b))
-      case "dot"    => UnaryMinus(DotProduct(a, b))
-      case "euclid" | "euclidean" | "l2" => EuclideanDistance(a, b)
-      case m => throw new IllegalArgumentException(s"unknown metric '$m'")
-    }
-    r("v_distance", es => distanceExpr(es(0), es(1), metricOf(es(2))))
-    r("v_within", es => LessThan(
-      distanceExpr(es(0), es(1), if (es.length > 3) metricOf(es(3)) else "euclid"),
-      Literal(es(2).eval(null).toString.toDouble)))
-    // JSON pack aliases (SURVEY §2.D) so the corpus's json_get/->-style
-    // calls transliterate: json_get(j,'k'), json_get_str/_int/_float/_bool,
-    // has_field(j,'k')
-    import org.apache.spark.sql.catalyst.expressions.{Cast, GetJsonObject, IsNotNull}
-    import org.apache.spark.sql.types.{BooleanType => BT, DoubleType => DT, LongType => LT}
-    def pathOf(keys: Seq[E]): E = Literal(org.apache.spark.unsafe.types.UTF8String
-      .fromString("$." + keys.map(_.eval(null).toString).mkString(".")))
-    r("json_get", es => GetJsonObject(es.head, pathOf(es.tail)))
-    r("json_get_str", es => GetJsonObject(es.head, pathOf(es.tail)))
-    r("json_get_int", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), LT))
-    r("json_get_float", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), DT))
-    r("json_get_bool", es => Cast(GetJsonObject(es.head, pathOf(es.tail)), BT))
-    r("has_field", es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail))))
   }
 }
