@@ -677,6 +677,13 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // V_RECOMMEND best_score strategy: max positive sim minus max negative
+    // sim (the reference backend's alternative to the average_vector
+    // strategy used by `recommend`)
+    "recommend_best" -> ((s, dir) =>
+      Search.recommendBestScore(hom(s, dir), "vector",
+        posIds = Seq("1", "2"), negIds = Seq("3"), k = 10)),
+
     // the same IVF probe machinery with deterministic seed-point centroids
     // (maxIter=0): every stage — init permutation, cluster assignment,
     // probe selection, rerank — is reproduced by the DuckDB oracle, so the
@@ -1079,6 +1086,18 @@ object SparkEntry {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS sum_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "recommend_best" ->
+      """WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+        |     n3 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(greatest(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p1.v),
+        |                      list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p2.v))
+        |             - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n3.v), 6) AS score
+        |FROM embeddings e, p1, p2, n3
+        |WHERE e.vec_id NOT IN (1, 2, 3)
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
     // IVF serving path end-to-end: seed-point centroids from the md5
     // permutation, sequential-sum euclid assignment (first-min index),

@@ -80,6 +80,35 @@ object Search {
       .drop("__qvec")
   }
 
+  /** V_RECOMMEND best_score strategy (the reference backend's alternative
+    * to average_vector): score = max over positive examples of sim(v, p)
+    * minus max over negative examples of sim(v, n); candidates scoring
+    * closer to a negative than to any positive rank below everything that
+    * doesn't. All example vectors broadcast; scoring stays map-side.
+    */
+  def recommendBestScore(df: DataFrame, vecColName: String,
+                         posIds: Seq[String], negIds: Seq[String], k: Int,
+                         metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    require(posIds.nonEmpty)
+    val withVecs = (posIds.map(("__p", _)) ++ negIds.map(("__n", _)))
+      .zipWithIndex.foldLeft(df.filter(!col("id").isin(posIds ++ negIds: _*))) {
+        case (acc, ((prefix, exId), i)) => acc.crossJoin(broadcast(
+          df.filter(col("id") === lit(exId))
+            .select(col(vecColName).as(s"$prefix$i"))))
+      }
+    val posBest = posIds.indices
+      .map(i => similarity(col(vecColName), col(s"__p$i"), metric))
+      .reduce((a, b) => greatest(a, b))
+    val negBest = negIds.indices
+      .map(i => similarity(col(vecColName), col(s"__n${posIds.length + i}"), metric))
+      .reduceOption((a, b) => greatest(a, b))
+    val score = negBest.fold(posBest)(n => posBest - n)
+    withVecs.withColumn("score", round(score, roundTo))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** V_DISCOVER([target_id], [(ctx_id, weight), ...]): target-plus-context
     * scoring — score = sim(v, target) + sum_i w_i * sim(v, ctx_i). The
     * reference declares the call shape only (tests.sql:121-137, roadmap);
