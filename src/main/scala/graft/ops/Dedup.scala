@@ -218,8 +218,7 @@ object Dedup {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist(lvl)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
-    def t0 = System.nanoTime()
-    var t = t0
+    var t = System.nanoTime()
     def lap(tag: String): Unit = if (debug) {
       val now = System.nanoTime()
       System.err.println(f"[cc] $tag ${(now - t) / 1e9}%.2f s")
