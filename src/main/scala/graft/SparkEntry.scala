@@ -306,6 +306,14 @@ object SparkEntry {
     "random_sample" -> ((s, dir) =>
       Search.randomSample(hom(s, dir), 20, seed = 42L).select("id")),
 
+    // ~25% of every language stratum via a data-derived md5 permutation —
+    // a pure map-side filter (no shuffle, no per-group state), exactly
+    // reproducible in any engine (df.stat.sampleBy is per-partition RNG)
+    "stratified_sample" -> ((s, dir) =>
+      Search.stratifiedSample(docs(s, dir), "doc_id", "lang",
+          fraction = 0.25, seed = 42L)
+        .select(col("doc_id"), col("lang"))),
+
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
     "named_field_search" -> ((s, dir) => {
@@ -1348,6 +1356,12 @@ object SparkEntry {
     "random_sample" ->
       """SELECT id FROM (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings)
         |ORDER BY md5(id || '42'), id LIMIT 20""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CAST(('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT)
+        |      < 288230376151711744
+        |ORDER BY doc_id""".stripMargin,
 
     // mirrors RollingHash64 exactly: base-31 polynomial over UTF-8 bytes
     // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is

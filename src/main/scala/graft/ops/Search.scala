@@ -210,4 +210,22 @@ object Search {
   def randomSample(df: DataFrame, n: Int, seed: Long): DataFrame =
     df.orderBy(md5(concat(col("id").cast("string"), lit(seed.toString))),
       col("id")).limit(n)
+
+  /** Deterministic stratified sampling: keep ~`fraction` of the rows of
+    * every stratum, chosen by a data-derived md5 permutation — a pure
+    * map-side FILTER (no shuffle, no per-group state), reproducible on any
+    * cluster layout or engine, unlike `df.stat.sampleBy` (per-partition
+    * RNG). The per-stratum rate is exact in expectation and concentrates
+    * as strata grow; training pipelines use this shape for per-source
+    * quota sampling.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fraction: Double, seed: Long): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    // first 15 hex digits = 60 uniform bits; threshold in that space
+    val bucket = conv(substring(
+      md5(concat(col(strataCol), lit("|"), col(idCol).cast("string"),
+        lit(seed.toString))), 1, 15), 16, 10).cast("long")
+    df.filter(bucket < lit((fraction * (1L << 60)).toLong))
+  }
 }
