@@ -112,4 +112,20 @@ class PlanSpec extends AnyFunSuite {
     val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
     assert(!exch.contains("vector") && !exch.contains("embedding"), exch)
   }
+
+  test("stratified_sample: a pure map-side filter - no shuffle at all") {
+    val df = SparkEntry.queries("stratified_sample")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ann_ivf_probe: probed-cluster filter is a broadcast join, corpus never shuffles") {
+    val df = SparkEntry.queries("ann_ivf_probe")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
