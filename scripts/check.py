@@ -11,14 +11,32 @@ from real bugs).
 """
 import json, math, os, sys
 import duckdb
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm(v):
+    """Canonical, TYPE-SENSITIVE rendering of a pandas cell.
+
+    The driver converts both sides through pandas (`rel.df()`) and hashes
+    string renderings, so an int64 5 and a float64 5.0 must NOT compare
+    equal here (DuckDB HUGEINT -> pandas float64 is exactly the class of
+    bug this has to surface).
+    """
+    if v is None:
+        return "None"
+    if isinstance(v, np.ndarray):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return v
+        return "f:" + repr(v)
+    if isinstance(v, bool):
+        return "b:" + repr(v)
+    if isinstance(v, int):
+        return "i:" + repr(v)
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if hasattr(v, "isoformat"): return v.isoformat()
@@ -49,10 +67,13 @@ def main(sf_dir, out_dir):
         if gcols != ecols:
             results[name] = f"SCHEMA-MISMATCH got={gcols} exp={ecols}"
             continue
-        got = [tuple(norm(r[got_rel.columns.index(c)]) for c in gcols)
-               for r in got_rel.fetchall()]
-        exp = [tuple(norm(r[exp_rel.columns.index(c)]) for c in gcols)
-               for r in exp_rel.fetchall()]
+        # go through pandas like the driver does — dtype coercions
+        # (e.g. HUGEINT -> float64) must be visible to the mimic
+        gdf, edf = got_rel.df(), exp_rel.df()
+        got = [tuple(norm(v) for v in row)
+               for row in gdf[gcols].itertuples(index=False, name=None)]
+        exp = [tuple(norm(v) for v in row)
+               for row in edf[ecols].itertuples(index=False, name=None)]
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT got={len(got)} exp={len(exp)}"
             continue

@@ -1181,10 +1181,10 @@ object SparkEntry {
 
     "pivot_stats" ->
       """SELECT lang,
-        |       COALESCE(SUM(CASE WHEN source = 'src0' THEN 1 END), 0) AS src0_n,
-        |       COALESCE(SUM(CASE WHEN source = 'src1' THEN 1 END), 0) AS src1_n,
-        |       COALESCE(SUM(CASE WHEN source = 'src2' THEN 1 END), 0) AS src2_n,
-        |       COALESCE(SUM(CASE WHEN source = 'src3' THEN 1 END), 0) AS src3_n
+        |       CAST(COALESCE(SUM(CASE WHEN source = 'src0' THEN 1 END), 0) AS BIGINT) AS src0_n,
+        |       CAST(COALESCE(SUM(CASE WHEN source = 'src1' THEN 1 END), 0) AS BIGINT) AS src1_n,
+        |       CAST(COALESCE(SUM(CASE WHEN source = 'src2' THEN 1 END), 0) AS BIGINT) AS src2_n,
+        |       CAST(COALESCE(SUM(CASE WHEN source = 'src3' THEN 1 END), 0) AS BIGINT) AS src3_n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "lateral_topk" ->
@@ -1327,7 +1327,7 @@ object SparkEntry {
         |       ('signup', 5), ('error', 0))
         |SELECT e.event_type, CAST(w.weight AS BIGINT) AS weight,
         |       COUNT(*) AS n,
-        |       SUM(CAST(floor(e.value) AS BIGINT) * w.weight) AS weighted
+        |       CAST(SUM(CAST(floor(e.value) AS BIGINT) * w.weight) AS BIGINT) AS weighted
         |FROM events e JOIN w ON e.event_type = w.event_type
         |GROUP BY e.event_type, w.weight ORDER BY e.event_type""".stripMargin,
 
