@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Time-series operators: sessionization and as-of joins — the two shapes
   * event pipelines always need and plain SQL joins express badly.
@@ -32,35 +33,53 @@ object TimeSeries {
     * Spark operator exists; the scalable composition is union + one
     * ranking window per key — O(n log n) distributed sort, NO row
     * explosion (a naive range join is quadratic per key):
-    * tag left 1 / right 0, sort (key, ts, side) so a right row at the
-    * exact left ts sorts first, and carry the last non-null right payload
-    * forward with last_value(ignoreNulls) over rows-unbounded-preceding.
+    * tag left 1 / right 0, sort (key, ts, side, tiebreak) so a right row
+    * at the exact left ts sorts first, and carry the last non-null right
+    * payload forward with last_value(ignoreNulls) over
+    * rows-unbounded-preceding.
+    *
+    * All `rightCols` are packed into ONE struct and carried together, so
+    * the output always reflects a single right row — per-column carries
+    * would stitch values from different right rows whenever a payload
+    * column is NULL in the latest row but set in an earlier one.
+    *
+    * `tiebreakCol` (a right-side column, ideally a unique id) makes the
+    * carried row deterministic when several right rows share (key, ts):
+    * the one with the LARGEST tiebreak value wins. Without it, ties are
+    * broken arbitrarily (matching engines that leave this unspecified).
     *
     * `rightCols` are carried from the right side (null when no match —
     * left-outer semantics).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               tsCol: String, rightCols: Seq[String]): DataFrame = {
+               tsCol: String, rightCols: Seq[String],
+               tiebreakCol: Option[String] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = StructType(rightCols.map(c => right.schema(c)))
+    val tbType = tiebreakCol.map(c => right.schema(c).dataType).getOrElse(IntegerType)
     val lTagged = left
       .withColumn("__side", lit(1))
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
-        leftCols.filter(c => c != keyCol && c != tsCol).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(Seq(col(keyCol), col(tsCol), col("__side"),
+        lit(null).cast(tbType).as("__tb"),
+        lit(null).cast(payloadType).as("__r")) ++
+        leftCols.filter(c => c != keyCol && c != tsCol).map(col): _*)
     val rTagged = right
       .withColumn("__side", lit(0))
-      .select(Seq(col(keyCol), col(tsCol), col("__side")) ++
+      .select(Seq(col(keyCol), col(tsCol), col("__side"),
+        tiebreakCol.map(col).getOrElse(lit(0)).cast(tbType).as("__tb"),
+        struct(rightCols.map(c => col(c).as(c)): _*).as("__r")) ++
         leftCols.filter(c => c != keyCol && c != tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // nulls_first keeps left rows (null __tb) ordered purely by __side;
+    // among tied right rows the largest tiebreak sorts last and is the
+    // value last(ignoreNulls) carries.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
+    lTagged.unionByName(rTagged)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)
+        rightCols.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
   }
 }
