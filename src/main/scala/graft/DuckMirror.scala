@@ -87,7 +87,12 @@ object DuckMirror {
        |  SELECT doc_id,
        |    $bitSums
        |  FROM trows GROUP BY doc_id),
-       |sim AS (SELECT doc_id, ($simExpr) AS sim FROM bitsums),
+       |-- LEFT JOIN from the corpus doc list: a token-less doc has no trows
+       |-- rows, but the Spark kernel still emits signature 0 for it (every
+       |-- CASE sees NULL s_j -> ELSE 0), so it must participate in banding
+       |sim AS (SELECT c.doc_id, ($simExpr) AS sim
+       |        FROM (SELECT doc_id FROM corpus) c
+       |        LEFT JOIN bitsums USING (doc_id)),
        |chunks AS (
        |  SELECT doc_id, sim, band, CAST((sim >> CAST(16 * band AS INTEGER)) & 65535 AS INTEGER) AS chunk
        |  FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),

@@ -540,7 +540,7 @@ object SparkEntry {
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
       graft.ops.TimeSeries.asofJoin(clicks, purchases, "user_id", "ts",
-          Seq("p_event_id", "ts"))
+          Seq("p_event_id", "ts"), tiebreakCol = Some("p_event_id"))
         .select(col("event_id"), col("asof_p_event_id").as("p_event_id"),
           (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
     }),
@@ -807,9 +807,12 @@ object SparkEntry {
     "multi_vector" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       CAST(4 AS INTEGER) AS n_sub,
-        |       array_to_string(list_transform(range(0, 4), i ->
-        |         array_to_string(list_transform(CAST(embedding AS DOUBLE[])[i * 16 + 1 : i * 16 + 16],
-        |           x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')), ';') AS mv_q6
+        |       CASE WHEN len(embedding) % 4 = 0 THEN
+        |         array_to_string(list_transform(range(0, 4), i ->
+        |           array_to_string(list_transform(
+        |             CAST(embedding AS DOUBLE[])[i * (len(embedding) // 4) + 1 : (i + 1) * (len(embedding) // 4)],
+        |             x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')), ';')
+        |       END AS mv_q6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "json_get" ->

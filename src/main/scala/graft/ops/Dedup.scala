@@ -204,12 +204,28 @@ object Dedup {
     * Rounds needed = component diameter; near-dup clusters are shallow
     * (dups of a common source), so this converges in a handful of rounds at
     * any corpus size. Convergence is detected by the monotonically
-    * decreasing label sum (labels only ever decrease), one scalar agg per
+    * decreasing label sum (labels only ever decrease; summed in DECIMAL so
+    * the check cannot wrap however large the id space), one scalar agg per
     * round.
+    *
+    * `reliableCheckpointEvery` > 0 replaces the eager `localCheckpoint`
+    * with a reliable `checkpoint()` (to `spark.sparkContext
+    * .setCheckpointDir`) every N rounds: `localCheckpoint` stores blocks
+    * on executors, so on a real cluster an executor loss mid-iteration
+    * kills the job — reliable checkpoints survive it at the cost of a
+    * write to the checkpoint filesystem. 0 (the local default) keeps
+    * every round on `localCheckpoint`.
+    *
+    * If the loop exhausts `maxIter` without reaching the fixpoint the
+    * labels are PARTIAL (propagation stopped mid-component); that raises
+    * unless `failOnNonConvergence = false`, which downgrades it to a
+    * stderr warning.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          reliableCheckpointEvery: Int = 0,
+                          failOnNonConvergence: Boolean = true): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // persist the raw edge list BEFORE symmetrizing: the union scans it
     // twice, and the (possibly expensive) pair-generation plan must run
@@ -231,9 +247,11 @@ object Dedup {
     // invalidates the cached plan round k+1 was built over, and every
     // later round then recomputes its (self-join-doubling) full lineage:
     // measured ~8x cost growth per round. Checkpointing truncates lineage.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -248,22 +266,36 @@ object Dedup {
       // (b) pointer jumping: labels are node ids, so follow one level of
       // indirection (l <- min(l, l(l))) — doubles the effective hop length,
       // O(log diameter) rounds instead of O(diameter)
-      val next = hop.as("a")
+      val jumped = hop.as("a")
         .join(hop.select(col("id").as("__lid"), col("component").as("__lcomp")).as("b"),
           col("a.component") === col("__lid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("__lcomp"), col("a.component")))
             .as("component"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("component"))).head().getLong(0)
+      val next =
+        if (reliableCheckpointEvery > 0 && (i + 1) % reliableCheckpointEvery == 0)
+          jumped.checkpoint() // survives executor loss; needs setCheckpointDir
+        else jumped.localCheckpoint()
+      val nextSum = labelSum(next)
       labels = next
-      converged = nextSum == prevSum
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
       lap(s"round $i")
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
+    if (!converged) {
+      val msg = s"connectedComponents did NOT converge after $maxIter rounds: " +
+        "labels are partial propagation, not components. Raise maxIter " +
+        "(rounds needed ~ log2(component diameter))."
+      if (failOnNonConvergence) {
+        e.unpersist(blocking = false)
+        sym.unpersist(blocking = false)
+        throw new IllegalStateException(msg)
+      }
+      System.err.println(s"[cc] WARNING: $msg")
+    }
     e.unpersist(blocking = false)
     sym.unpersist(blocking = false)
     labels

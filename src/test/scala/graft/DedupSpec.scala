@@ -108,6 +108,34 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("connectedComponents raises on maxIter exhaustion instead of returning partial labels") {
+    import spark.implicits._
+    // a 40-node path needs ~log2(40) pointer-jump rounds; 1 round cannot finish
+    val n = 40
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b", maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did NOT converge"))
+    // and the warn-only mode returns (partial) labels without throwing
+    val partial = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+      maxIter = 1, failOnNonConvergence = false).collect()
+    assert(partial.length == n)
+  }
+
+  test("connectedComponents with reliable checkpointing matches the local-checkpoint result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, "id", edges, "a", "b",
+        reliableCheckpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
   test("dedupClusters labels every planted near-dup with its source doc") {
     val out = SparkEntry.queries("dedup_clusters")(spark, TestSpark.sfDir)
     val comp = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
