@@ -1,8 +1,13 @@
 package graft.functions
 
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.{
-  Cast, Expression, GetJsonObject, IsNotNull, LessThan, Literal, Subtract, UnaryMinus}
+  Add, ArrayDistinct, ArrayIntersect, Asin, Cast, Cos, CreateArray, Divide,
+  Exp, Expression, GetJsonObject, IsNotNull, JsonObjectKeys, LengthOfJsonArray,
+  LessThan, Literal, Lower, Multiply, Pow, Sin, Size, Sqrt, StringSplit,
+  Subtract, UnaryMinus}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The SQL function surface as (name -> Catalyst builder) pairs — one
   * table consumed by BOTH registration paths: runtime
@@ -11,28 +16,84 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
   * (`spark.sql.extensions=graft.GraftExtensions`, the canonical library
   * deployment). Builders produce raw Catalyst nodes: a Column expression
   * tree cannot be re-embedded unresolved into a SQL plan.
+  *
+  * Mirrors the reference surface: the V_* corpus functions
+  * (/root/reference/tests/bin/tests.sql) and the JSON scalar pack it
+  * registers wholesale (/root/reference/src/udfs.rs:13-16).
   */
 private[graft] object SqlBuilders {
 
-  private def metricOf(e: Expression): String = e.eval(null) match {
-    case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toLowerCase
-    case other => throw new IllegalArgumentException(
-      s"metric must be a string literal, got $other")
+  /** Arguments like the metric name or a MATCH_TEXT query must be string
+    * literals. These builders run inside Catalyst resolution (for every
+    * session when injected via extensions), so a non-literal argument has
+    * to surface as a clean AnalysisException, not an eval-time NPE.
+    */
+  private def litOf(e: Expression, fn: String, what: String): Any = {
+    if (!e.resolved || !e.foldable)
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$fn expects a literal $what argument, got non-literal: ${e.sql}"))
+    val v = e.eval(null)
+    if (v == null)
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> s"$fn expects a non-NULL literal $what argument"))
+    v
   }
 
-  private def distanceExpr(a: Expression, b: Expression, metric: String): Expression =
+  private def litString(e: Expression, fn: String, what: String): String =
+    litOf(e, fn, what) match {
+      case s: UTF8String => s.toString
+      case other => other.toString
+    }
+
+  private def metricOf(e: Expression, fn: String): String =
+    litString(e, fn, "metric").toLowerCase
+
+  private def distanceExpr(a: Expression, b: Expression, metric: String,
+                           fn: String): Expression =
     metric match {
       case "cosine" => Subtract(Literal(1.0), CosineSimilarity(a, b))
       case "dot"    => UnaryMinus(DotProduct(a, b))
       case "euclid" | "euclidean" | "l2" => EuclideanDistance(a, b)
-      case m => throw new IllegalArgumentException(s"unknown metric '$m'")
+      case m => throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" -> s"$fn: unknown metric '$m' (cosine|dot|euclid)"))
     }
 
   // V_DISTANCE(a, b, 'metric') / V_WITHIN(a, b, r[, 'metric']): the metric
   // must be a foldable string literal, as in the reference corpus.
-  private def pathOf(keys: Seq[Expression]): Expression =
-    Literal(org.apache.spark.unsafe.types.UTF8String
-      .fromString("$." + keys.map(_.eval(null).toString).mkString(".")))
+  private def pathOf(keys: Seq[Expression], fn: String): Expression =
+    Literal(UTF8String.fromString(
+      "$." + keys.map(k => litString(k, fn, "JSON key")).mkString(".")))
+
+  private val Deg2Rad = Literal(math.Pi / 180.0)
+  private val Two = Literal(2.0)
+
+  /** Haversine meters; term-for-term the same float ops as the Scala-side
+    * `functions.v_geo_distance` so both paths produce identical bits.
+    */
+  private def geoDistance(es: Seq[Expression]): Expression = {
+    val (lat1, lon1, lat2, lon2) = (es(0), es(1), es(2), es(3))
+    val dLat = Multiply(Subtract(lat2, lat1), Deg2Rad)
+    val dLon = Multiply(Subtract(lon2, lon1), Deg2Rad)
+    val h = Add(
+      Pow(Sin(Divide(dLat, Two)), Two),
+      Multiply(
+        Multiply(Cos(Multiply(lat1, Deg2Rad)), Cos(Multiply(lat2, Deg2Rad))),
+        Pow(Sin(Divide(dLon, Two)), Two)))
+    Multiply(Literal(2 * 6371000.0), Asin(Sqrt(h)))
+  }
+
+  /** MATCH_TEXT(text, 'query'): fraction of distinct query terms present —
+    * same tokenization as Scala-side `functions.match_text`.
+    */
+  private def matchText(text: Expression, query: Expression): Expression = {
+    val terms = litString(query, "match_text", "query")
+      .toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toIndexedSeq
+    val toks = ArrayDistinct(StringSplit(Lower(text), Literal("\\s+"), Literal(-1)))
+    val hits = Size(ArrayIntersect(toks,
+      CreateArray(terms.map(t => Literal(UTF8String.fromString(t), org.apache.spark.sql.types.StringType)))))
+    Divide(Cast(hits, DoubleType), Literal(terms.length.toDouble))
+  }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "v_dot" -> (es => DotProduct(es(0), es(1))),
@@ -42,15 +103,24 @@ private[graft] object SqlBuilders {
     "v_maxsim" -> (es => MaxSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "fingerprint64" -> (es => RollingHash64(es(0))),
-    "v_distance" -> (es => distanceExpr(es(0), es(1), metricOf(es(2)))),
+    "v_distance" -> (es =>
+      distanceExpr(es(0), es(1), metricOf(es(2), "v_distance"), "v_distance")),
     "v_within" -> (es => LessThan(
-      distanceExpr(es(0), es(1), if (es.length > 3) metricOf(es(3)) else "euclid"),
-      Literal(es(2).eval(null).toString.toDouble))),
+      distanceExpr(es(0), es(1),
+        if (es.length > 3) metricOf(es(3), "v_within") else "euclid", "v_within"),
+      Literal(litString(es(2), "v_within", "radius").toDouble))),
+    "v_gauss_decay" -> (es =>
+      Exp(Multiply(Literal(-math.log(2.0)), Pow(Divide(es(0), es(1)), Two)))),
+    "v_geo_distance" -> (es => geoDistance(es)),
+    "match_text" -> (es => matchText(es(0), es(1))),
     // JSON pack aliases (SURVEY §2.D): json_get(j,'k'), typed gets, has_field
-    "json_get" -> (es => GetJsonObject(es.head, pathOf(es.tail))),
-    "json_get_str" -> (es => GetJsonObject(es.head, pathOf(es.tail))),
-    "json_get_int" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail)), LongType)),
-    "json_get_float" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail)), DoubleType)),
-    "json_get_bool" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail)), BooleanType)),
-    "has_field" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail)))))
+    "json_get" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_get"))),
+    "json_get_str" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_get_str"))),
+    "json_get_int" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_int")), LongType)),
+    "json_get_float" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_float")), DoubleType)),
+    "json_get_bool" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_bool")), BooleanType)),
+    "json_length" -> (es => LengthOfJsonArray(
+      if (es.length > 1) GetJsonObject(es.head, pathOf(es.tail, "json_length")) else es.head)),
+    "json_object_keys" -> (es => JsonObjectKeys(es.head)),
+    "has_field" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail, "has_field")))))
 }

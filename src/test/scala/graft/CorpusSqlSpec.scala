@@ -110,6 +110,68 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(r === 500)
   }
 
+  test("MATCH_TEXT as pure SQL (tests.sql:210-214)") {
+    ready
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .createOrReplaceTempView("documents_sql")
+    val r = sql(
+      """SELECT doc_id, match_text(text, 'the and of') AS text_score
+        |FROM documents_sql
+        |WHERE match_text(text, 'the and of') > 0.0
+        |ORDER BY text_score DESC, doc_id LIMIT 10""".stripMargin).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getDouble(1) > 0.0 && x.getDouble(1) <= 1.0))
+    // parity with the Scala-side builder on the same rows
+    val scalaSide = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.match_text(org.apache.spark.sql.functions.col("text"), "the and of").as("s"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach(x => assert(x.getDouble(1) === scalaSide(x.getLong(0))))
+  }
+
+  test("json_length / json_object_keys as pure SQL (json pack, udfs.rs:13-16)") {
+    val r = sql(
+      """SELECT json_length('[1,2,3]') AS n, json_object_keys(payload) AS ks
+        |FROM embeddings_collection LIMIT 1""".stripMargin).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getSeq[String](1) === Seq("label"))
+  }
+
+  test("V_GAUSS_DECAY over V_GEO_DISTANCE as pure SQL (tests.sql:288-300)") {
+    val r = sql(
+      """SELECT id,
+        |       v_gauss_decay(
+        |         v_geo_distance(52.504043D, 13.393236D,
+        |                        52.504043D + json_get_float(payload, 'label') * 0.01D,
+        |                        13.393236D),
+        |         5000.0D) AS boost
+        |FROM embeddings_collection ORDER BY boost DESC, id LIMIT 20""".stripMargin).collect()
+    assert(r.forall(x => x.getDouble(1) > 0.0 && x.getDouble(1) <= 1.0))
+    // label 0 -> distance 0 -> boost exactly 1
+    assert(r.head.getDouble(1) === 1.0)
+    // SQL path is bit-identical to the Scala column builder
+    import org.apache.spark.sql.functions._
+    val scalaSide = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), graft.functions.v_gauss_decay(
+        graft.functions.v_geo_distance(lit(52.504043), lit(13.393236),
+          lit(52.504043) + get_json_object(col("payload"), "$.label").cast("double") * lit(0.01),
+          lit(13.393236)),
+        lit(5000.0)).as("boost"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.foreach(x => assert(x.getDouble(1) === scalaSide(x.getString(0))))
+  }
+
+  test("non-literal metric/query arguments raise a clean AnalysisException") {
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT v_distance(vector, vector, id) FROM embeddings_collection").collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+    val ex2 = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT match_text(payload, payload) FROM embeddings_collection").collect()
+    }
+    assert(ex2.getMessage.contains("literal"))
+  }
+
   test("V_DISTANCE metric forms filter and sort (tests.sql:42-45)") {
     val r = sql(
       """SELECT id, v_distance(vector,
