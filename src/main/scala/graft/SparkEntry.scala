@@ -95,6 +95,21 @@ object SparkEntry {
   private def qvecOf(df: DataFrame, queryId: String, as: String = "__qvec"): DataFrame =
     df.filter(col("id") === lit(queryId)).select(col("vector").as(as))
 
+  /** Literal example vectors for the V_RECOMMEND vector-literal gate
+    * (tests.sql:97-105): deterministic 64-dim doubles shared by the Spark
+    * query and the oracle (embedded as shortest-round-trip literals, which
+    * DuckDB parses back to identical IEEE values — the lshSql technique).
+    */
+  private val recLitPos: Seq[IndexedSeq[Double]] = Seq(
+    IndexedSeq.tabulate(64)(i => math.sin(i + 1.0)),
+    IndexedSeq.tabulate(64)(i => math.cos(i + 1.0) * 0.5))
+  private val recLitNeg: Seq[IndexedSeq[Double]] = Seq(
+    IndexedSeq.tabulate(64)(i => math.sin(2.0 * i + 1.0) * 0.25))
+
+  private def duckVecLit(v: Seq[Double]): String =
+    v.map(x => java.lang.Double.toString(x).replace("E", "e"))
+      .mkString("[", ", ", "]") + "::DOUBLE[]"
+
   /** Documents corpus with planted exact duplicates (doc_id % 10 == 0
     * re-appears as doc_id + 1000000) — both engines build it identically.
     */
@@ -386,6 +401,23 @@ object SparkEntry {
       Search.recommend(hom(s, dir), "vector",
         posIds = Seq("0", "1", "2"), negIds = Seq("3"), k = 10)
         .select("id", "score")),
+
+    // vector-literal recommend (tests.sql:97-105): no id lookup at all —
+    // the composite query is computed driver-side from the literal examples
+    "recommend_literal" -> ((s, dir) =>
+      Search.recommendVectors(hom(s, dir), "vector",
+        posVecs = recLitPos, negVecs = recLitNeg, k = 10)
+        .select("id", "score")),
+
+    // named-field recommend (tests.sql:107-114): same composition against a
+    // heterogeneous named vector field (NULL on rows lacking the field)
+    // with that field's declared metric (image_embedding -> dot)
+    "recommend_named" -> ((s, dir) => {
+      val h = Collections.heterogeneous(s, dir)
+        .filter(col("image_embedding").isNotNull)
+      Search.recommend(h, "image_embedding", posIds = Seq("1", "2"),
+        negIds = Seq("4"), k = 10, metric = "dot").select("id", "score")
+    }),
 
     "discover" -> ((s, dir) =>
       Search.discover(hom(s, dir), "vector", targetId = "0",
@@ -957,6 +989,32 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id NOT IN (0, 1, 2, 3)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "recommend_literal" ->
+      s"""WITH p1 AS (SELECT ${duckVecLit(recLitPos(0))} AS v),
+         |     p2 AS (SELECT ${duckVecLit(recLitPos(1))} AS v),
+         |     n1 AS (SELECT ${duckVecLit(recLitNeg(0))} AS v),
+         |     q AS (SELECT list_transform(range(1, 65),
+         |             i -> (p1.v[i] + p2.v[i]) / 2.0 - n1.v[i]) AS qv
+         |           FROM p1, p2, n1)
+         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+         |FROM embeddings e, q
+         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "recommend_named" ->
+      """WITH pc AS (SELECT list(x ORDER BY i) AS v FROM (
+        |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
+        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id IN (1, 2) GROUP BY i)),
+        |     nc AS (SELECT list(x ORDER BY i) AS v FROM (
+        |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
+        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id IN (4) GROUP BY i)),
+        |     q AS (SELECT list_transform(range(1, 65), i -> pc.v[i] - nc.v[i]) AS qv FROM pc, nc)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q
+        |WHERE e.vec_id % 3 IN (1, 2) AND e.vec_id NOT IN (1, 2, 4)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "discover" ->

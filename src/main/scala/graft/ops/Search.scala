@@ -80,6 +80,29 @@ object Search {
       .drop("__qvec")
   }
 
+  /** V_RECOMMEND vector-literal form (tests.sql:97-105): the caller
+    * supplies example VECTORS, not point ids, so there is no lookup join
+    * at all — the composite average_vector query (avg(pos) - avg(neg)) is
+    * computed driver-side over the handful of literal examples and
+    * broadcast as one literal column; scoring is a single map-side pass
+    * over the corpus.
+    */
+  def recommendVectors(df: DataFrame, vecColName: String,
+                       posVecs: Seq[Seq[Double]], negVecs: Seq[Seq[Double]],
+                       k: Int, metric: String = "cosine",
+                       roundTo: Int = 6): DataFrame = {
+    require(posVecs.nonEmpty, "V_RECOMMEND needs at least one positive example")
+    val dim = posVecs.head.length
+    require((posVecs ++ negVecs).forall(_.length == dim),
+      "all example vectors must share one dimension")
+    def avg(vs: Seq[Seq[Double]], i: Int): Double = vs.map(_(i)).sum / vs.length
+    val qv = (0 until dim).map { i =>
+      if (negVecs.isEmpty) avg(posVecs, i)
+      else avg(posVecs, i) - avg(negVecs, i)
+    }
+    topK(df, col(vecColName), vec(qv), k, metric, roundTo = roundTo)
+  }
+
   /** V_RECOMMEND best_score strategy (the reference backend's alternative
     * to average_vector): score = max over positive examples of sim(v, p)
     * minus max over negative examples of sim(v, n); candidates scoring

@@ -52,6 +52,23 @@ class SearchSpec extends AnyFunSuite {
     assert(!m.contains("0") && !m.contains("2"))
   }
 
+  test("recommendVectors: literal examples, no lookup join, avg(pos) - avg(neg)") {
+    val df = Seq(
+      ("3", Seq(0.25, -0.25)), ("4", Seq(-1.0, 1.0))) // corpus only — no example ids
+      .toDF("id", "vector")
+    val out = Search.recommendVectors(df, "vector",
+      posVecs = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), negVecs = Seq(Seq(1.0, 1.0)),
+      k = 2, metric = "dot")
+    val m = out.select("id", "score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // composite = (0.5, 0.5) - (1, 1) = (-0.5, -0.5)
+    assert(math.abs(m("3") - (0.25 * -0.5 + -0.25 * -0.5)) < 1e-9)
+    assert(math.abs(m("4") - (-1.0 * -0.5 + 1.0 * -0.5)) < 1e-9)
+    // and the plan has no join at all — the query is a literal
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"literal recommend must not join:\n$plan")
+  }
+
   test("fuseRRF: reciprocal ranks summed, missing branch contributes 0") {
     val b1 = Seq(("a", 0.9), ("b", 0.8)).toDF("id", "score")
     val b2 = Seq(("b", 0.7), ("c", 0.6)).toDF("id", "score")
