@@ -49,25 +49,50 @@ object Quant {
                    codesB: Column, scaleB: Column): Column =
     v_dot_i8(codesA, codesB) * scaleA.cast(DoubleType) * scaleB.cast(DoubleType)
 
-  /** Quantized-domain top-k with full-precision re-rank: search the int8
-    * column for `candidateK` candidates, then re-score only those with the
-    * exact kernel and keep `k`. The full-precision vectors of only
-    * candidateK rows are ever touched in the second stage.
+  /** Quantized-domain top-k with full-precision re-rank over STORED codes:
+    * `quantized` holds (idCol, codesCol, scaleCol) produced once at ingest
+    * by [[quantizeColumn]] (and persisted — parquet, a checkpoint, a
+    * cache); `full` holds the full-precision vectors.
+    *
+    * The candidate stage scans ONLY the quantized frame (4x less scan
+    * bandwidth at 100 TB — the entire point of quantizing), compiles to
+    * TakeOrderedAndProject over a map-side int8 dot. The rerank stage then
+    * fetches full-precision vectors for just the candidateK winners via a
+    * broadcast semi-join on id — the full-precision column is never
+    * touched in the candidate pass.
     */
-  def searchWithRerank(df: DataFrame, idCol: String, vecCol: String,
-                       query: Seq[Double], k: Int, candidateK: Int): DataFrame = {
-    val q = df.sparkSession.range(1).select(vec(query).as("__qv"))
+  def searchStoredCodes(quantized: DataFrame, full: DataFrame,
+                        idCol: String, vecCol: String,
+                        codesCol: String, scaleCol: String,
+                        query: Seq[Double], k: Int, candidateK: Int): DataFrame = {
+    val q = quantized.sparkSession.range(1).select(vec(query).as("__qv"))
     val (qCodes, qScale) = quantize(col("__qv"))
-    val qq = broadcast(q.select(qCodes.as("__qc"), qScale.as("__qs"), col("__qv")))
-    val quantized = quantizeColumn(df, vecCol, "__v")
-    quantized.crossJoin(qq)
+    val qq = broadcast(q.select(qCodes.as("__qc"), qScale.as("__qs")))
+    val cands = quantized.select(col(idCol), col(codesCol), col(scaleCol))
+      .crossJoin(qq)
       .withColumn("__approx", dotQuantized(
-        col("__v_codes"), col("__v_scale"), col("__qc"), col("__qs")))
+        col(codesCol), col(scaleCol), col("__qc"), col("__qs")))
       .orderBy(col("__approx").desc, col(idCol).asc)
       .limit(candidateK)
+      .select(col(idCol))
+    full.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(q))
       .withColumn("score", v_dot(col(vecCol), col("__qv")))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Convenience form that quantizes inline (one frame in, no stored
+    * codes). Fine for exploration; the serving path at scale is
+    * [[searchStoredCodes]] over codes quantized once at ingest — inline
+    * quantization re-reads the full-precision column the codes exist to
+    * avoid.
+    */
+  def searchWithRerank(df: DataFrame, idCol: String, vecCol: String,
+                       query: Seq[Double], k: Int, candidateK: Int): DataFrame =
+    searchStoredCodes(
+      quantizeColumn(df, vecCol, "__v"), df, idCol, vecCol,
+      "__v_codes", "__v_scale", query, k, candidateK)
 }

@@ -66,6 +66,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("quantized_search: candidate stage reads stored codes, full vectors only in rerank") {
+    val p = plan("quantized_search")
+    // the candidate pass scans the materialized codes frame (an RDD scan —
+    // no file read), so exactly ONE parquet scan exists in the whole plan:
+    // the rerank-side fetch of full-precision vectors by candidate id
+    assert(count(p, "Scan parquet") == 1, s"expected 1 parquet scan:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"stored-codes scan missing:\n$p")
+    // the candidate-id fetch joins broadcast — the corpus never shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup_exact shuffles fingerprints, not texts") {
     val p = plan("dedup_exact")
     // text column must not survive past the partial aggregate into the
