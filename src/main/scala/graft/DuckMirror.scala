@@ -136,6 +136,61 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivf / ann_ivf_probe oracle: the FULL IVF pipeline mirror —
+    * seeded init (nlist smallest md5(id||seed), Ann.fitCentroids), then
+    * `maxIter` Lloyd's rounds of { argmin euclid assignment (first-min
+    * tiebreak = lowest cluster, like array_position), centroid update
+    * summing floor(x * 2^40) in HUGEINT and dividing back
+    * (Ann.CentroidQuantScale — exact in both engines, order-independent) },
+    * final assignment, nprobe nearest-centroid probe, exact-cosine rerank.
+    * maxIter = 0 degenerates to the serving-path-only probe mirror.
+    */
+  def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
+             maxIter: Int, seed: Long): String = {
+    val s = graft.ops.Ann.CentroidQuantScale
+    def euclid(a: String, b: String): String =
+      s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y))"
+    def asg(t: Int, cents: String): String =
+      s"""asg$t AS (
+         |  SELECT id, v, cluster FROM (
+         |    SELECT e.id, e.v, c.cluster,
+         |           ROW_NUMBER() OVER (PARTITION BY e.id
+         |             ORDER BY ${euclid("e.v", "c.c")}, c.cluster) AS rn
+         |    FROM corpus e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val iters = (1 to maxIter).map { t =>
+      val prev = s"cents${t - 1}"
+      s"""${asg(t, prev)},
+         |sums$t AS (
+         |  SELECT cluster, j AS d,
+         |         SUM(CAST(floor(v[j] * $s) AS HUGEINT)) AS sm,
+         |         COUNT(*) AS n
+         |  FROM asg$t, range(1, ${dim + 1}) r(j) GROUP BY cluster, j),
+         |cents$t AS (
+         |  SELECT p.cluster, COALESCE(nc.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cluster, list(sm::DOUBLE / n / $s ORDER BY d) AS c
+         |    FROM sums$t GROUP BY cluster) nc USING (cluster))""".stripMargin
+    }
+    val lastCents = s"cents$maxIter"
+    val finalAsg = maxIter + 1
+    s"""WITH corpus AS (
+       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '$seed'), id) - 1 AS cluster, v AS c
+       |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '$seed'), id LIMIT $nlist)),
+       |${(iters :+ asg(finalAsg, lastCents)).mkString(",\n")},
+       |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),
+       |probed AS (
+       |  SELECT c.cluster FROM $lastCents c, q
+       |  ORDER BY ${euclid("c.c", "q.qv")}, c.cluster
+       |  LIMIT $nprobe)
+       |SELECT t.id, ROUND(list_cosine_similarity(t.v, q.qv), 6) AS score
+       |FROM asg$finalAsg t JOIN probed USING (cluster), q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
     * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
     * joined on exact sub-signature equality -> true-Jaccard verify over the

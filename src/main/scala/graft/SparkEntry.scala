@@ -1193,29 +1193,16 @@ object SparkEntry {
     // IVF serving path end-to-end: seed-point centroids from the md5
     // permutation, sequential-sum euclid assignment (first-min index),
     // nprobe=2 cluster selection, cosine rerank — every stage value-equal
-    "ann_ivf_probe" ->
-      """WITH corpus AS (
-        |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '42'), id) - 1 AS cluster, v AS c
-        |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '42'), id LIMIT 8)),
-        |assign AS (
-        |  SELECT e.id, e.v, c.cluster,
-        |         sqrt(list_reduce(list_transform(range(1, 65), j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])), (a, b) -> a + b)) AS d
-        |  FROM corpus e CROSS JOIN cents c),
-        |clus AS (
-        |  SELECT id, v, cluster FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cluster) AS rn FROM assign)
-        |  WHERE rn = 1),
-        |q AS (SELECT v AS qv FROM corpus WHERE vec_id = 5),
-        |probed AS (
-        |  SELECT c.cluster FROM cents c, q
-        |  ORDER BY sqrt(list_reduce(list_transform(range(1, 65), j -> (c.c[j] - q.qv[j]) * (c.c[j] - q.qv[j])), (a, b) -> a + b)), c.cluster
-        |  LIMIT 2)
-        |SELECT t.id, ROUND(list_cosine_similarity(t.v, q.qv), 6) AS score
-        |FROM clus t JOIN probed USING (cluster), q
-        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+    // full pipeline mirrors (DuckMirror.ivfSql): ann_ivf value-checks the
+    // Lloyd's-REFINED centroids (5 iterations of quantized-DECIMAL updates,
+    // order-independent in both engines), not just the serving path
+    "ann_ivf" -> DuckMirror.ivfSql(
+      queryVecId = 0, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 5, seed = 42L),
+
+    "ann_ivf_probe" -> DuckMirror.ivfSql(
+      queryVecId = 5, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L),
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

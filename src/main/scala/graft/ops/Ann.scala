@@ -58,29 +58,53 @@ object Ann {
     }
   }
 
+  /** Quantization scale for the exact centroid update: elements quantize
+    * to floor(x * 2^40) before summing. x*2^40 is a pure exponent shift
+    * (exact in IEEE), floor is exact, and the integer sums accumulate in
+    * DECIMAL — so the update is ORDER-INDEPENDENT and bit-reproducible in
+    * any engine, unlike a float sum whose low bits depend on partition
+    * merge order. The centroid moves by < 2^-40 per dimension vs the true
+    * mean — irrelevant to clustering, decisive for verifiability.
+    */
+  val CentroidQuantScale: Long = 1L << 40
+
   /** Lloyd's KMeans built from the engine's own kernels: assignment is a
-    * codegen'd argmin over broadcast centroid literals (v_euclid), the
-    * recompute step is the map-side-partial VectorAvg aggregate. Each
-    * iteration is two Spark jobs; only the k x dim centroid table ever
-    * reaches the driver (model state, not data). Deterministic under
-    * `seed` (init = k smallest md5(id||seed)).
+    * codegen'd argmin over broadcast centroid literals (v_euclid); the
+    * recompute step sums quantized elements in DECIMAL (see
+    * [[CentroidQuantScale]]) with map-side partial aggregation — the
+    * shuffle carries k * dim * partitions partial rows, never vectors.
+    * Only the k x dim centroid table ever reaches the driver (model
+    * state, not data). Deterministic under `seed` (init = k smallest
+    * md5(id||seed)) AND across cluster layouts/engines: the refined
+    * centroids are value-checked by the DuckDB oracle
+    * (DuckMirror.ivfSql), not just the maxIter=0 serving path.
     */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    maxIter: Int, seed: Long): Array[Array[Double]] = {
     // seed points by a data-derived md5 permutation (not xxhash64): equally
     // good pseudo-random init, but reproducible in ANY engine — the
-    // maxIter=0 probe gate's oracle re-derives these exact centroids in SQL
+    // ann_ivf/ann_ivf_probe oracles re-derive these exact centroids in SQL
     var centroids: Array[Array[Double]] = df
       .orderBy(md5(concat(col(idCol).cast(StringType), lit(seed.toString))), col(idCol))
       .limit(k)
       .select(col(vecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
+    val S = CentroidQuantScale.toDouble
     var iter = 0
     while (iter < maxIter) {
       val assigned = assignClusters(df, vecCol, centroids)
-      val updated = assigned.groupBy(col("cluster"))
-        .agg(v_avg(col(vecCol)).as("centroid"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val updated = assigned
+        .select(col("cluster"),
+          posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("d", "x")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(floor(col("x") * lit(S)).cast(DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          cl -> rows.sortBy(_.getInt(1))
+            .map(r => r.getDecimal(2).doubleValue() / r.getLong(3) / S).toArray
+        }
       // empty clusters keep their previous centroid
       centroids = centroids.indices
         .map(i => updated.getOrElse(i, centroids(i))).toArray
