@@ -266,18 +266,14 @@ object SparkEntry {
             concat(lit("["), col("__k"), lit(","), col("__k"), lit("]"))).as("arr_len"))),
 
     // the DSv2 connector end-to-end: ingest the embeddings collection into
-    // the (demo in-memory) collection store, scan it back through the
-    // connector with a pruned projection, match the parquet oracle. The
-    // driver-side collect here is the INGEST step into the "remote" store,
-    // not part of query execution.
+    // the (demo in-memory) collection store executor-side (fromRows — no
+    // driver collect of the frame), scan it back through the connector
+    // with a pruned projection, match the parquet oracle.
     "dsv2_scan" -> ((s, dir) => {
       import graft.sources._
-      val pts = hom(s, dir).select("id", "payload", "vector").collect().map { r =>
-        Point(r.getString(0), Option(r.getString(1)),
-          dense = Map("vector" -> r.getSeq[Float](2).toArray))
-      }.toIndexedSeq
-      CollectionStores.register("entry_store", InMemoryCollectionStore.single(
-        "embeddings", Collections.homogeneousDescriptor, pts))
+      CollectionStores.register("entry_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "entry_store").option("collection", "embeddings")
         .option("partitions", "4").load()

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.{sources, DataFrame, Row}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,10 +39,17 @@ final case class Point(
 trait CollectionStore extends Serializable {
   def collectionInfo(collection: String): CollectionDescriptor
   def pointCount(collection: String): Long
-  /** Fetch points [from, until) with only the requested pieces populated. */
+  /** Fetch points [from, until) with only the requested pieces populated.
+    * `idFilter`, when set, restricts to those point ids (the pushed
+    * `id = x` / `id IN (...)` predicate — the reference declares filter
+    * pushdown but ignores it, /root/reference/src/table.rs:174; here the
+    * store really skips non-matching points). The filter applies BEFORE
+    * `limit`.
+    */
   def queryPoints(collection: String, from: Long, until: Long,
                   withPayload: Boolean, vectorFields: Seq[String],
-                  limit: Option[Int]): Iterator[Point]
+                  limit: Option[Int],
+                  idFilter: Option[Set[String]] = None): Iterator[Point]
 }
 
 /** JVM-local store registry. In local[*] (one JVM) executors see the
@@ -74,11 +82,13 @@ final class InMemoryCollectionStore(
 
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
-                           limit: Option[Int]): Iterator[Point] = {
+                           limit: Option[Int],
+                           idFilter: Option[Set[String]] = None): Iterator[Point] = {
     val fields = vectorFields.toSet
     val slice = data(collection)
       .slice(from.toInt, math.min(until, data(collection).size).toInt)
-    val limited = limit.fold(slice)(n => slice.take(n))
+    val filtered = idFilter.fold(slice)(ids => slice.filter(p => ids(p.id)))
+    val limited = limit.fold(filtered)(n => filtered.take(n))
     limited.iterator.map { p =>
       // honor the narrowed fetch: drop what wasn't asked for
       p.copy(
@@ -94,6 +104,67 @@ object InMemoryCollectionStore {
   def single(collection: String, desc: CollectionDescriptor,
              points: IndexedSeq[Point]): InMemoryCollectionStore =
     new InMemoryCollectionStore(Map(collection -> desc), Map(collection -> points))
+
+  /** Executor-side ingest buffers, keyed per fromRows call. In local[*]
+    * (one JVM) this static map is visible to executor threads; on a real
+    * cluster the append below is where a remote upsert client would be
+    * dialed from each executor — the DataFrame-side plumbing is unchanged
+    * by that swap.
+    */
+  private val ingests =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Point]]()
+
+  /** Ingest a collection frame WITHOUT collecting it to the driver: each
+    * partition converts its rows to [[Point]]s executor-side and appends
+    * them to the ingest buffer (the local stand-in for the reference's
+    * gRPC upsert — its `insert_into` is `todo!()`,
+    * /root/reference/src/table.rs:186-193). Points are sealed in id order
+    * so scans are deterministic regardless of partition arrival order.
+    * Driver memory holds only the sealed point index, never a Spark
+    * `collect()` of the frame's rows in Row form.
+    */
+  def fromRows(df: DataFrame, collection: String,
+               desc: CollectionDescriptor): InMemoryCollectionStore = {
+    val ingestId = java.util.UUID.randomUUID().toString
+    ingests.put(ingestId, new java.util.concurrent.ConcurrentLinkedQueue[Point]())
+    try {
+      df.foreachPartition { (rows: Iterator[Row]) =>
+        val buf = ingests.get(ingestId)
+        rows.foreach(r => buf.add(rowToPoint(r, desc)))
+      }
+      val pts = ingests.get(ingestId).asScala.toIndexedSeq.sortBy(_.id)
+      new InMemoryCollectionStore(Map(collection -> desc), Map(collection -> pts))
+    } finally ingests.remove(ingestId)
+  }
+
+  /** Row -> wire Point, driven by the descriptor (absent/NULL fields are
+    * simply missing from the point, matching the NULL-for-absent decode).
+    */
+  private def rowToPoint(r: Row, desc: CollectionDescriptor): Point = {
+    val cols = r.schema.fieldNames.toSet
+    def seqF(i: Int): Array[Float] = r.getSeq[Float](i).toArray
+    val dense = desc.fields.collect {
+      case DenseField(n, _, _) => if (desc.named) n else "vector"
+    }.flatMap { phys =>
+      if (!cols(phys) || r.isNullAt(r.fieldIndex(phys))) None
+      else Some(phys -> seqF(r.fieldIndex(phys)))
+    }.toMap
+    val multi = desc.fields.collect { case MultiField(n, _) => n }.flatMap { n =>
+      if (!cols(n) || r.isNullAt(r.fieldIndex(n))) None
+      else Some(n -> r.getSeq[scala.collection.Seq[Float]](r.fieldIndex(n))
+        .map(_.toArray).toArray)
+    }.toMap
+    val sparse = desc.fields.collect { case SparseField(n) => n }.flatMap { n =>
+      val (in, vn) = (s"${n}_indices", s"${n}_values")
+      if (!cols(in) || !cols(vn) ||
+          r.isNullAt(r.fieldIndex(in)) || r.isNullAt(r.fieldIndex(vn))) None
+      else Some(n -> (r.getSeq[Int](r.fieldIndex(in)).toArray, seqF(r.fieldIndex(vn))))
+    }.toMap
+    val payloadIdx = if (cols("payload")) Some(r.fieldIndex("payload")) else None
+    Point(r.getString(r.fieldIndex("id")),
+      payloadIdx.flatMap(i => Option(r.getString(i))),
+      dense, multi, sparse)
+  }
 }
 
 /** The narrowed fetch spec derived from a pruned schema — the analog of the
@@ -169,23 +240,52 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
 final class CollectionScanBuilder(
     storeName: String, collection: String,
     descriptor: CollectionDescriptor, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters {
 
   private var prunedSchema: StructType = descriptor.schema
   private var limit: Option[Int] = None
+  private var idFilter: Option[Set[String]] = None
+  private var accepted: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  /** Push `id = x` / `id IN (...)` to the store (A5: the reference
+    * declares `supports_filters_pushdown` and then ignores the filters,
+    * /root/reference/src/table.rs:174; this store really skips points).
+    * Accepted filters are EXACT, so they are not returned as residuals;
+    * everything else stays a post-scan filter for Spark.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    def idsOf(f: sources.Filter): Option[Set[String]] = f match {
+      case sources.EqualTo("id", v: String) => Some(Set(v))
+      case sources.In("id", vs) if vs != null && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => None
+    }
+    val (supported, residual) = filters.partition(f => idsOf(f).isDefined)
+    if (supported.nonEmpty) {
+      // conjunction of pushed id predicates = set intersection
+      idFilter = Some(supported.flatMap(idsOf).reduce(_ intersect _))
+      accepted = supported
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = accepted
+
   override def build(): Scan =
-    new CollectionScan(storeName, collection, descriptor, prunedSchema, limit, partitions)
+    new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
+      partitions, idFilter)
 }
 
 final class CollectionScan(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    pruned: StructType, limit: Option[Int], partitions: Int)
+    pruned: StructType, limit: Option[Int], partitions: Int,
+    idFilter: Option[Set[String]] = None)
     extends Scan with Batch {
 
   val fetchSpec: FetchSpec = FetchSpec.fromSchema(pruned, descriptor)
@@ -194,12 +294,18 @@ final class CollectionScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"CollectionScan($storeName.$collection, payload=${fetchSpec.withPayload}, " +
-      s"vectors=[${fetchSpec.vectorFields.mkString(",")}], limit=$limit)"
+      s"vectors=[${fetchSpec.vectorFields.mkString(",")}], limit=$limit, " +
+      s"idFilter=${idFilter.fold("none")(ids => ids.toSeq.sorted.mkString("{", ",", "}"))})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = CollectionStores.get(storeName).pointCount(collection)
-    // a pushed LIMIT caps the scan: read only the first ceil(limit) points
-    val bound = limit.fold(total)(n => math.min(total, n.toLong))
+    // a pushed LIMIT caps the scan (read only the first `limit` points) —
+    // but ONLY when no filter is pushed: with a filter, the first N raw
+    // points may hold fewer than N matches, so the store must scan the
+    // full range and apply filter-then-limit
+    val bound =
+      if (idFilter.isDefined) total
+      else limit.fold(total)(n => math.min(total, n.toLong))
     val per = math.max(1L, (bound + partitions - 1) / partitions)
     (0L until bound by per).map(start =>
       CollectionInputPartition(start, math.min(start + per, bound)): InputPartition
@@ -207,19 +313,22 @@ final class CollectionScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CollectionReaderFactory(storeName, collection, descriptor, pruned, fetchSpec, limit)
+    new CollectionReaderFactory(storeName, collection, descriptor, pruned,
+      fetchSpec, limit, idFilter)
 }
 
 final case class CollectionInputPartition(from: Long, until: Long) extends InputPartition
 
 final class CollectionReaderFactory(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    pruned: StructType, fetch: FetchSpec, limit: Option[Int])
+    pruned: StructType, fetch: FetchSpec, limit: Option[Int],
+    idFilter: Option[Set[String]])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CollectionInputPartition]
-    new CollectionPartitionReader(storeName, collection, descriptor, pruned, fetch, p, limit)
+    new CollectionPartitionReader(storeName, collection, descriptor, pruned,
+      fetch, p, limit, idFilter)
   }
 }
 
@@ -231,11 +340,12 @@ final class CollectionReaderFactory(
 final class CollectionPartitionReader(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
-    limit: Option[Int])
+    limit: Option[Int], idFilter: Option[Set[String]])
     extends PartitionReader[InternalRow] {
 
   private val it = CollectionStores.get(storeName).queryPoints(
-    collection, part.from, part.until, fetch.withPayload, fetch.vectorFields, limit)
+    collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
+    limit, idFilter)
 
   private type Extractor = Point => Any
   private def denseData(a: Array[Float]): GenericArrayData =

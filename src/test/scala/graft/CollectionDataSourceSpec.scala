@@ -82,6 +82,49 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(df.count() === 4)
   }
 
+  test("A5: id equality/IN filters push to the store; other predicates stay post-scan") {
+    val df = readDf().filter(col("id").isin("3", "7", "11")).select("id", "payload")
+    val scan = scanOf(df)
+    assert(scan.description().contains("idFilter={11,3,7}"), scan.description())
+    assert(df.count() === 3)
+    val eq = readDf().filter(col("id") === "5").select("id")
+    assert(scanOf(eq).description().contains("idFilter={5}"), scanOf(eq).description())
+    assert(eq.collect().map(_.getString(0)).toSeq === Seq("5"))
+    // conjunction of two pushed id predicates intersects
+    val both = readDf().filter(col("id").isin("3", "7") && col("id") === "7").select("id")
+    assert(scanOf(both).description().contains("idFilter={7}"), scanOf(both).description())
+    assert(both.collect().map(_.getString(0)).toSeq === Seq("7"))
+    // a non-id predicate is NOT pushed and still filters correctly
+    val post = readDf().filter(col("payload").isNotNull && col("id").isin("3", "4"))
+    assert(scanOf(post).description().contains("idFilter={3,4}"))
+    assert(post.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("3"))
+  }
+
+  test("filter + limit together: the store filters BEFORE limiting") {
+    // ids 18,19 sit at the END of the raw point range: a limit-capped raw
+    // slice would miss them
+    val df = readDf(partitions = 3).filter(col("id").isin("18", "19")).limit(2)
+    assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("18", "19"))
+  }
+
+  test("fromRows ingests executor-side and round-trips exactly") {
+    import spark.implicits._
+    val src = (0 until 12).map(i =>
+      (i.toString, if (i % 4 == 0) null else s"""{"i": $i}""",
+        if (i % 3 != 2) Seq(i.toFloat, i + 0.5f) else null))
+      .toDF("id", "payload", "text_embedding")
+      .repartition(4) // ingest arrives from several partitions
+    val d2 = CollectionDescriptor("c2", Seq(DenseField("text_embedding", 2)))
+    CollectionStores.register("t3", InMemoryCollectionStore.fromRows(src, "c2", d2))
+    val back = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t3").option("collection", "c2").load()
+    assert(back.count() === 12)
+    val r = back.orderBy(col("id").cast("int")).collect()
+    assert(r(0).isNullAt(1))          // null payload preserved
+    assert(r(2).isNullAt(2))          // absent dense field -> NULL
+    assert(r(1).getSeq[Float](2) === Seq(1f, 1.5f))
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
