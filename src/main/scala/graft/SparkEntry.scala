@@ -567,6 +567,14 @@ object SparkEntry {
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)),
 
+    // bounded form of the streaming watermark dedup (dedupedEvents):
+    // (user_id, props) bursts within the 2h horizon keep only the first
+    // event — session_window, the operator that runs incrementally under
+    // a watermark in streaming (StreamingSpec covers the unbounded form)
+    "stream_dedup" -> ((s, dir) =>
+      EventsStream.dedupWithinHorizonFromDir(s, dir)
+        .orderBy(col("user_id"), col("props"), col("kept_ts_us"))),
+
     // sessionization: Spark's native session_window (map-side state merge,
     // one shuffle on the key; the same expression runs incrementally under
     // Structured Streaming) vs the oracle's gaps-and-islands SQL
@@ -1214,6 +1222,27 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
+
+    // gaps-and-islands per (user_id, props) at MICROsecond precision (the
+    // Spark side truncates nanos to micros before session_window, so the
+    // oracle compares truncated values too); burst = first event kept
+    "stream_dedup" ->
+      """WITH g AS (
+        |  SELECT user_id, props, epoch_ns(ts) // 1000 AS tus,
+        |         CASE WHEN epoch_ns(ts) // 1000
+        |                   - LAG(epoch_ns(ts) // 1000)
+        |                     OVER (PARTITION BY user_id, props ORDER BY ts)
+        |                   >= 7200000000
+        |              OR LAG(ts) OVER (PARTITION BY user_id, props ORDER BY ts) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |i AS (SELECT user_id, props, tus,
+        |             SUM(brk) OVER (PARTITION BY user_id, props ORDER BY tus
+        |                            ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM g)
+        |SELECT user_id, props, MIN(tus) AS kept_ts_us, COUNT(*) AS n_dups
+        |FROM i GROUP BY user_id, props, sid
+        |ORDER BY user_id, props, kept_ts_us""".stripMargin,
 
     // gaps-and-islands: a session breaks when the gap to the previous
     // event is >= 24h (Spark merges while next < prev + gap)

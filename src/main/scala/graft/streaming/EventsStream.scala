@@ -108,6 +108,28 @@ object EventsStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "props")
 
+  /** Bounded, oracle-checkable form of [[dedupedEvents]]'s contract:
+    * events with the same (user_id, props) whose inter-arrival gaps stay
+    * under the horizon collapse to their FIRST occurrence (reported with
+    * the count of duplicates dropped). Expressed with `session_window` —
+    * the same incremental operator sessionization uses under a watermark —
+    * so this exact plan also runs unbounded with state eviction.
+    */
+  def dedupWithinHorizonBatch(events: DataFrame,
+                              horizon: String = "2 hours"): DataFrame =
+    normalize(events)
+      .groupBy(col("user_id"), col("props"),
+        session_window(col("ts"), horizon).as("__w"))
+      .agg(min(col("ts")).as("__first"), count(lit(1)).as("n_dups"))
+      .select(col("user_id"), col("props"),
+        unix_micros(col("__first")).as("kept_ts_us"), col("n_dups"))
+
+  /** [[dedupWithinHorizonBatch]] over the stored events table (raw nanos
+    * ts, like [[windowedAggBatch]]).
+    */
+  def dedupWithinHorizonFromDir(spark: SparkSession, sfDir: String): DataFrame =
+    dedupWithinHorizonBatch(spark.read.parquet(s"$sfDir/events.parquet"))
+
   /** Start the stateful running-stats stream into a memory sink. */
   def startRunningStats(spark: SparkSession, dir: String,
                         queryName: String): StreamingQuery =

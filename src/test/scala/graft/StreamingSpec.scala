@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("bounded dedup-within-horizon keeps the first of a burst, re-emits past the horizon") {
+    import spark.implicits._
+    val h = 7200L * 1000000 // 2h in micros
+    val e = Seq(
+      (1L, 0L, 10L, "a"),            // kept: first of burst
+      (2L, 1000L, 10L, "a"),         // dropped: same key, inside horizon
+      (3L, h / 2, 10L, "a"),         // dropped: still chained inside session
+      (4L, h / 2 + h + 1000000L, 10L, "a"), // kept: gap > horizon since last
+      (5L, 500L, 10L, "b"),          // kept: different props
+      (6L, 800L, 11L, "a"))          // kept: different user
+      .map { case (id, us, uid, p) => (id, us * 1000, uid, p) } // raw nanos
+      .toDF("event_id", "ts", "user_id", "props")
+    val out = EventsStream.dedupWithinHorizonBatch(e)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (10L, "a", 0L, 3L),
+      (10L, "a", h / 2 + h + 1000000L, 1L),
+      (10L, "b", 500L, 1L),
+      (11L, "a", 800L, 1L)))
+  }
+
   test("stateful running user stats converge to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream2")
     Files.copy(
