@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Distributed global ranking.
   *
@@ -9,23 +10,47 @@ import org.apache.spark.sql.types.LongType
   * input to ONE partition (Spark warns exactly this) — fatal at cluster
   * scale. The scalable equivalent: a range-partitioned distributed sort,
   * then per-partition indices shifted by the preceding partitions' row
-  * counts. `zipWithIndex` runs the count pass as a separate job, but the
-  * sort's shuffle files are reused, so both passes see identical partition
-  * bounds and every partition is processed in parallel.
+  * counts. Everything stays in the DataFrame API (codegen + Tungsten + AQE
+  * throughout — no RDD[Row] detour): the intra-partition index comes from
+  * `monotonically_increasing_id` evaluated AFTER the sort (partition id in
+  * the high bits, in-partition record number in the low 33), and the
+  * per-partition offsets ride along as one tiny array literal.
   */
 object Ranks {
+
+  private val LocalMask = (1L << 33) - 1
 
   /** `df` plus a global 1-based `rankName` long column in `sortCols` order.
     * Total order should be made strict (tiebreak on a unique key) for a
     * deterministic result.
+    *
+    * Runs one extra tiny job up front: per-partition row counts (ONE row
+    * per partition to the driver — model state, exactly the count pass
+    * `zipWithIndex` would run). The range exchange's bound sampling is
+    * seeded per partition index, so the count pass and the ranked pass see
+    * identical partition bounds.
     */
   def withGlobalRowNumber(df: DataFrame, rankName: String,
                           sortCols: Column*): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(rankName, LongType, nullable = false)
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ (i + 1L))
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxPid = counts.keys.foldLeft(0L)(math.max)
+    val offsets = new Array[Long](maxPid.toInt + 1)
+    var acc = 0L
+    (0L to maxPid).foreach { p =>
+      offsets(p.toInt) = acc; acc += counts.getOrElse(p, 0L)
     }
-    df.sparkSession.createDataFrame(indexed, schema)
+    // rank = preceding partitions' rows + in-partition index + 1, all
+    // codegen'd column math against the broadcast-as-literal offset table
+    sorted
+      .withColumn(rankName,
+        element_at(lit(offsets),
+          (shiftright(col("__mid"), 33) + 1).cast(IntegerType))
+          + col("__mid").bitwiseAND(lit(LocalMask)) + lit(1L))
+      .drop("__mid")
   }
 }
