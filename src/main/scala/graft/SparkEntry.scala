@@ -279,6 +279,25 @@ object SparkEntry {
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
         .orderBy(col("id"))
+    }),
+
+    // the DSv2 WRITE path end-to-end (A12, todo!() in the reference): seed
+    // an empty collection, append the corpus through df.write (points
+    // buffer executor-side, the commit seals them), read it back through
+    // the connector, match the same parquet oracle
+    "dsv2_write" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("write_store", InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "write_store").option("collection", "embeddings")
+        .mode("append").save()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "write_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .orderBy(col("id"))
     })
   )
 
@@ -894,6 +913,11 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "dsv2_scan" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,

@@ -5,9 +5,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.{sources, DataFrame, Row}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,6 +80,13 @@ final class InMemoryCollectionStore(
       throw new IllegalArgumentException(s"unknown collection '$collection'"))
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
+
+  /** A new store with `pts` appended to `collection`, re-sealed in id
+    * order (the DSv2 write commit path).
+    */
+  def appended(collection: String, pts: IndexedSeq[Point]): InMemoryCollectionStore =
+    new InMemoryCollectionStore(descriptors,
+      data.updated(collection, (data(collection) ++ pts).sortBy(_.id)))
 
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
@@ -224,17 +232,140 @@ class CollectionDataSource extends TableProvider {
 }
 
 final class CollectionTable(storeName: String, collection: String, partitions: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val descriptor =
     CollectionStores.get(storeName).collectionInfo(collection)
 
   override def name(): String = s"$storeName.$collection"
   override def schema(): StructType = descriptor.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CollectionScanBuilder(storeName, collection, descriptor, partitions)
+
+  /** A12 upsert path — the half the reference leaves as `todo!()`
+    * (/root/reference/src/table.rs:186-193). Append mode: rows convert to
+    * wire Points executor-side and buffer per write; the driver-side
+    * commit seals them into the registered store atomically (abort drops
+    * the buffer — no partial write ever becomes visible).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    val expected = descriptor.schema
+    if (in.fieldNames.toSeq != expected.fieldNames.toSeq)
+      throw new IllegalArgumentException(
+        s"collection '$collection' expects columns ${expected.fieldNames.mkString("[", ",", "]")}, " +
+          s"got ${in.fieldNames.mkString("[", ",", "]")}")
+    new WriteBuilder {
+      override def build(): Write =
+        new CollectionWrite(storeName, collection, descriptor,
+          java.util.UUID.randomUUID().toString)
+    }
+  }
+}
+
+/** Executor-side write buffers, keyed per write attempt (JVM-shared in
+  * local[*]; on a real cluster each DataWriter would hold a remote upsert
+  * client instead, and commit would ack — the Spark-side plumbing is
+  * identical).
+  */
+private[sources] object CollectionWriteBuffers {
+  private val bufs =
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Point]]()
+  def append(writeId: String, p: Point): Unit =
+    bufs.computeIfAbsent(writeId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Point]()).add(p)
+  def drain(writeId: String): IndexedSeq[Point] = {
+    val q = bufs.remove(writeId)
+    if (q == null) IndexedSeq.empty else q.asScala.toIndexedSeq
+  }
+}
+
+final case class CollectionCommit(rows: Long) extends WriterCommitMessage
+
+final class CollectionWrite(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    writeId: String) extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new CollectionDataWriterFactory(descriptor, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val appended = CollectionWriteBuffers.drain(writeId)
+    CollectionStores.get(storeName) match {
+      case mem: InMemoryCollectionStore =>
+        // seal in id order (appends arrive in partition-completion order)
+        CollectionStores.register(storeName,
+          mem.appended(collection, appended.sortBy(_.id)))
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not accept local commits; " +
+          "a remote store acks per-writer upserts instead")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    CollectionWriteBuffers.drain(writeId)
+    ()
+  }
+}
+
+final class CollectionDataWriterFactory(descriptor: CollectionDescriptor,
+                                        writeId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CollectionDataWriter(descriptor, writeId)
+}
+
+/** InternalRow -> wire Point (the exact inverse of the read extractors),
+  * dispatched once from the descriptor.
+  */
+final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: String)
+    extends DataWriter[InternalRow] {
+
+  private val schema = descriptor.schema
+  private val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+  private var n = 0L
+
+  private def floats(r: InternalRow, i: Int): Array[Float] =
+    r.getArray(i).toFloatArray()
+
+  override def write(r: InternalRow): Unit = {
+    val dense = descriptor.fields.collect {
+      case DenseField(nm, _, _) => if (descriptor.named) nm else "vector"
+    }.flatMap { phys =>
+      val i = fieldIdx(phys)
+      if (r.isNullAt(i)) None else Some(phys -> floats(r, i))
+    }.toMap
+    val multi = descriptor.fields.collect { case MultiField(nm, _) => nm }
+      .flatMap { nm =>
+        val i = fieldIdx(nm)
+        if (r.isNullAt(i)) None
+        else {
+          val outer = r.getArray(i)
+          Some(nm -> Array.tabulate(outer.numElements())(j =>
+            outer.getArray(j).toFloatArray()))
+        }
+      }.toMap
+    val sparse = descriptor.fields.collect { case SparseField(nm) => nm }
+      .flatMap { nm =>
+        val (ii, vi) = (fieldIdx(s"${nm}_indices"), fieldIdx(s"${nm}_values"))
+        if (r.isNullAt(ii) || r.isNullAt(vi)) None
+        else Some(nm -> (r.getArray(ii).toIntArray(), r.getArray(vi).toFloatArray()))
+      }.toMap
+    val pi = fieldIdx("payload")
+    CollectionWriteBuffers.append(writeId, Point(
+      r.getUTF8String(fieldIdx("id")).toString,
+      if (r.isNullAt(pi)) None else Some(r.getUTF8String(pi).toString),
+      dense, multi, sparse))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = CollectionCommit(n)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 final class CollectionScanBuilder(

@@ -125,6 +125,42 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(r(1).getSeq[Float](2) === Seq(1f, 1.5f))
   }
 
+  test("A12: DSv2 append write commits points into the store atomically") {
+    CollectionStores.register("t4",
+      InMemoryCollectionStore.single("c", desc, mkPoints(5)))
+    val toAdd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("100", """{"i": 100}""",
+          Seq(1.5f, 2.5f), null, Seq(2, 3), Seq(0.2f, 0.3f)),
+        org.apache.spark.sql.Row("101", null,
+          null, Seq(Seq(9f, 8f)), null, null)), 2),
+      desc.schema)
+    toAdd.write.format("graft.sources.CollectionDataSource")
+      .option("store", "t4").option("collection", "c")
+      .mode("append").save()
+    val back = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t4").option("collection", "c").load()
+    assert(back.count() === 7)
+    val r100 = back.filter(col("id") === "100").collect().head
+    assert(r100.getString(1) === """{"i": 100}""")
+    assert(r100.getSeq[Float](back.schema.fieldIndex("text_embedding")) === Seq(1.5f, 2.5f))
+    assert(r100.getSeq[Int](back.schema.fieldIndex("keywords_indices")) === Seq(2, 3))
+    val r101 = back.filter(col("id") === "101").collect().head
+    assert(r101.isNullAt(1))
+    assert(r101.isNullAt(back.schema.fieldIndex("text_embedding")))
+    assert(r101.getSeq[scala.collection.Seq[Float]](back.schema.fieldIndex("multi"))
+      .map(_.toSeq) === Seq(Seq(9f, 8f)))
+    // an unknown extra column is rejected before any write happens
+    val bad = intercept[Exception] {
+      back.withColumn("zzz", lit(1))
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "t4").option("collection", "c")
+        .mode("append").save()
+    }
+    assert(bad.getMessage.toLowerCase.contains("data columns") ||
+      bad.getMessage.contains("zzz"), bad.getMessage)
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
