@@ -136,6 +136,49 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** w=3 word-shingle hashes of the PLAIN documents table (no planted
+    * dups) — the ShingleKernel w=3 arithmetic, shared by the repetition
+    * and decontamination oracles.
+    */
+  private def docsSh3: String = {
+    val g2 = (Golden * Golden) % M64
+    val c3 = (Sh0 * Golden % M64 * Golden % M64 * Golden) % M64
+    s"""th AS (
+       |  SELECT doc_id, list_transform(
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
+       |    t -> $fnvOfT) AS th
+       |  FROM documents),
+       |sh3a AS (
+       |  SELECT doc_id, list_transform(range(1, len(th) - 1), j ->
+       |    CAST(($c3::HUGEINT + (${mulMod(g2, "th[j]")}) + (${mulMod(Golden, "th[j + 1]")}) + th[j + 2]) % $M64::HUGEINT AS UBIGINT)) AS v
+       |  FROM th),
+       |sh3 AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS v FROM sh3a)""".stripMargin
+  }
+
+  /** doc_repetition oracle: per-doc duplicate-shingle fraction
+    * (TextAnalysis.repetitionRatio).
+    */
+  def repetitionSql: String =
+    s"""WITH $docsSh3
+       |SELECT doc_id,
+       |       CAST(len(v) AS INTEGER) AS n_shingles,
+       |       CAST(len(list_distinct(v)) AS INTEGER) AS n_distinct,
+       |       CASE WHEN len(v) > 0
+       |            THEN ROUND(1 - CAST(len(list_distinct(v)) AS DOUBLE) / len(v), 6)
+       |            ELSE 0.0 END AS rep_ratio
+       |FROM sh3 ORDER BY doc_id""".stripMargin
+
+  /** decontam oracle: corpus docs (doc_id % mod <> 0) sharing ANY w=3
+    * shingle hash with the benchmark subset (doc_id % mod = 0) —
+    * Dedup.contaminatedDocs.
+    */
+  def decontamSql(mod: Int): String =
+    s"""WITH $docsSh3,
+       |bh AS (SELECT DISTINCT unnest(v) AS h FROM sh3 WHERE doc_id % $mod = 0),
+       |ch AS (SELECT doc_id, unnest(v) AS h FROM sh3 WHERE doc_id % $mod <> 0)
+       |SELECT DISTINCT ch.doc_id FROM ch JOIN bh USING (h)
+       |ORDER BY doc_id""".stripMargin
+
   /** ann_ivf / ann_ivf_probe oracle: the FULL IVF pipeline mirror —
     * seeded init (nlist smallest md5(id||seed), Ann.fitCentroids), then
     * `maxIter` Lloyd's rounds of { argmin euclid assignment (first-min

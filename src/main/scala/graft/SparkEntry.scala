@@ -695,6 +695,23 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
 
+    // Gopher-style repetition signal: duplicate word-3-gram fraction per
+    // doc — ONE ShingleKernel pass, zero shuffle
+    "doc_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // benchmark decontamination: docs sharing any word 3-gram with the
+    // (deterministic doc_id % 97 == 0) benchmark subset — explode to
+    // 64-bit shingle hashes, broadcast semi-join, distinct ids
+    "decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contaminatedDocs(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "subword_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
@@ -1536,6 +1553,8 @@ object SparkEntry {
       oracleRelational ++ oraclePipeline ++ Map(
         "dedup_simhash" -> DuckMirror.simhashSql(maxDist = 3),
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
+        "doc_repetition" -> DuckMirror.repetitionSql,
+        "decontam" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L))
 }

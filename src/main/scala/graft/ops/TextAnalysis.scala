@@ -127,6 +127,47 @@ object TextAnalysis {
     scored.select(col(idCol), round(score, roundTo).as("bm25"))
   }
 
+  /** Per-document repetition signal (the Gopher-style duplicate-n-gram
+    * rule): fraction of word `width`-shingles that are repeats of an
+    * earlier shingle in the same document — 1 - distinct/total, 0 for
+    * docs shorter than the shingle width. ONE native ShingleKernel pass
+    * per doc, pure map-side (no shuffle at all): the filter
+    * `rep_ratio > threshold` is how training pipelines drop
+    * boilerplate/spam at scale.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+                      width: Int = 3): DataFrame =
+    df.select(col(idCol),
+        word_shingle_hashes(col(textCol), width).as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).as("n_shingles"),
+        size(array_distinct(col("__sh"))).as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          round(lit(1.0) -
+            col("n_distinct").cast(DoubleType) / col("n_shingles"), 6))
+          .otherwise(lit(0.0)))
+
+  /** Benchmark decontamination: corpus documents sharing ANY word
+    * `width`-shingle with the benchmark set — the n-gram-overlap rule used
+    * to scrub eval data out of training corpora. The exploded rows carry
+    * only 64-bit shingle hashes (one per (doc, shingle)); the benchmark side is
+    * distinct-hashed and BROADCAST (benchmarks are tiny next to a 100 TB
+    * corpus), so the corpus never shuffles: explode, broadcast-semi-join,
+    * distinct doc ids.
+    */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       width: Int = 3): DataFrame = {
+    val bh = benchmark
+      .select(explode(word_shingle_hashes(col(benchTextCol), width)).as("__h"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(word_shingle_hashes(col(textCol), width)).as("__h"))
+      .join(broadcast(bh), Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Corpus-wide top-k word bigrams by frequency (tiebreak: gram asc).
     * The token array is materialized as a COLUMN before the per-index
     * lambda: referencing the split/filter expression inside the lambda

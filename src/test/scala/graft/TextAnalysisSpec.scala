@@ -56,6 +56,42 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"lang mismatch for ${r.getString(0)}"))
   }
 
+  test("repetitionRatio: repeated 3-grams raise the ratio; short docs are 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b c"),  // 7 shingles, 3 distinct -> 4/7 repeated
+      (2L, "all distinct words here now"), // 3 shingles, all distinct -> 0
+      (3L, "too short"))           // < 3 tokens -> no shingles -> 0
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((7, 3, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)))
+    assert(out(2L) === ((3, 3, 0.0)))
+    assert(out(3L) === ((0, 0, 0.0)))
+    // and the plan is shuffle-free: a pure map-side projection
+    val plan = graft.ops.TextAnalysis.repetitionRatio(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("contaminatedDocs flags exactly the docs sharing a 3-gram with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),    // shares "quick brown fox"
+      (2L, "completely unrelated text body here"),
+      (3L, "another document with quick brown fox inside"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.contaminatedDocs(
+      corpus, "doc_id", "text", bench, "text")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // benchmark side broadcasts; the corpus is never sort-merge joined
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
