@@ -586,6 +586,17 @@ object SparkEntry {
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)),
 
+    // bounded form of the mapGroupsWithState running user stats: the
+    // final state after a full pass is exactly the per-user aggregate
+    // (StreamingSpec proves stream==batch on the same data); DECIMAL sum
+    // so the total is order-independent
+    "user_stats_final" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast(StringType).as("total"))
+        .orderBy(col("user_id"))),
+
     // bounded form of the streaming watermark dedup (dedupedEvents):
     // (user_id, props) bursts within the 2h horizon keep only the first
     // event — session_window, the operator that runs incrementally under
@@ -1263,6 +1274,11 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
+
+    "user_stats_final" ->
+      """SELECT user_id, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // gaps-and-islands per (user_id, props) at MICROsecond precision (the
     // Spark side truncates nanos to micros before session_window, so the

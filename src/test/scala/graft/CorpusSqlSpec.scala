@@ -172,6 +172,22 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("literal"))
   }
 
+  test("nested payload access via multi-key json_get (tests.sql:217-222)") {
+    val r = sql(
+      """SELECT json_get_str(p, 'address', 'city') AS city,
+        |       json_get_int(p, 'address', 'zip') AS zip,
+        |       json_get_str(p, 'name') AS name,
+        |       json_get_str(p, 'address', 'missing') AS absent
+        |FROM (SELECT to_json(named_struct(
+        |        'name', 'acme',
+        |        'address', named_struct('city', 'berlin', 'zip', 10115))) AS p)""".stripMargin)
+      .head()
+    assert(r.getString(0) === "berlin")
+    assert(r.getLong(1) === 10115L)
+    assert(r.getString(2) === "acme")
+    assert(r.isNullAt(3))
+  }
+
   test("V_DISTANCE metric forms filter and sort (tests.sql:42-45)") {
     val r = sql(
       """SELECT id, v_distance(vector,
