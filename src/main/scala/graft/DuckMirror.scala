@@ -159,14 +159,15 @@ object DuckMirror {
     * (TextAnalysis.repetitionRatio).
     */
   def repetitionSql: String =
-    s"""WITH $docsSh3
+    s"""WITH $docsSh3,
+       |sh AS (SELECT doc_id, COALESCE(v, []::UBIGINT[]) AS v FROM sh3)
        |SELECT doc_id,
        |       CAST(len(v) AS INTEGER) AS n_shingles,
        |       CAST(len(list_distinct(v)) AS INTEGER) AS n_distinct,
        |       CASE WHEN len(v) > 0
        |            THEN ROUND(1 - CAST(len(list_distinct(v)) AS DOUBLE) / len(v), 6)
        |            ELSE 0.0 END AS rep_ratio
-       |FROM sh3 ORDER BY doc_id""".stripMargin
+       |FROM sh ORDER BY doc_id""".stripMargin
 
   /** decontam oracle: corpus docs (doc_id % mod <> 0) sharing ANY w=3
     * shingle hash with the benchmark subset (doc_id % mod = 0) —

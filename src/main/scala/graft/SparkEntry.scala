@@ -39,16 +39,18 @@ object SparkEntry {
   private val quantCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** Stored int8 codes for the homogeneous corpus of `dir`, quantized ONCE
-    * (the ingest step of the quantize-at-ingest pipeline; in production
-    * this frame is the parquet codes table). localCheckpoint materializes
-    * it so the serving path reads codes, not the full-precision column.
+  /** Stored int8 codes for the FULL homogeneous corpus of `dir`,
+    * quantized ONCE (the ingest step of the quantize-at-ingest pipeline;
+    * in production this frame is the parquet codes table). localCheckpoint
+    * materializes it so the serving path reads codes, not the
+    * full-precision column. Like ivfCache, the checkpointed blocks belong
+    * to the session that built them — caches are per-process artifacts
+    * (Verify/Bench run one session per JVM).
     */
   private def storedCodes(s: SparkSession, dir: String): DataFrame =
     quantCache.getOrElseUpdate(dir,
       graft.ops.Quant.quantizeColumn(
-          hom(s, dir).select("id", "vector").filter(col("id") =!= "7"),
-          "vector", "v8")
+          hom(s, dir).select("id", "vector"), "vector", "v8")
         .select("id", "v8_codes", "v8_scale")
         .localCheckpoint())
 
@@ -852,9 +854,11 @@ object SparkEntry {
       // candidate stage in the int8 domain (margin 100) never touches the
       // full-precision column; exact rerank fetches the 100 winners'
       // vectors by id, with the rounded-before-rank rule so the oracle's
-      // top-10 boundary agrees
+      // top-10 boundary agrees. The query point's exclusion is THIS
+      // query's predicate, applied on the stored frame — not baked into
+      // the shared ingest artifact
       graft.ops.Quant.searchStoredCodes(
-          SparkEntry.storedCodes(s, dir), corpus,
+          SparkEntry.storedCodes(s, dir).filter(col("id") =!= "7"), corpus,
           "id", "vector", "v8_codes", "v8_scale", qvec, k = 100, candidateK = 100)
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("score").desc, col("id").asc)
@@ -1285,7 +1289,7 @@ object SparkEntry {
     // oracle compares truncated values too); burst = first event kept
     "stream_dedup" ->
       """WITH g AS (
-        |  SELECT user_id, props, epoch_ns(ts) // 1000 AS tus,
+        |  SELECT user_id, props, ts, epoch_ns(ts) // 1000 AS tus,
         |         CASE WHEN epoch_ns(ts) // 1000
         |                   - LAG(epoch_ns(ts) // 1000)
         |                     OVER (PARTITION BY user_id, props ORDER BY ts)
@@ -1293,8 +1297,11 @@ object SparkEntry {
         |              OR LAG(ts) OVER (PARTITION BY user_id, props ORDER BY ts) IS NULL
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
+        |-- island sum ordered by the SAME full-resolution ts as the lag
+        |-- windows: ordering by truncated micros would tie-break
+        |-- arbitrarily on same-microsecond events
         |i AS (SELECT user_id, props, tus,
-        |             SUM(brk) OVER (PARTITION BY user_id, props ORDER BY tus
+        |             SUM(brk) OVER (PARTITION BY user_id, props ORDER BY ts
         |                            ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM g)
         |SELECT user_id, props, MIN(tus) AS kept_ts_us, COUNT(*) AS n_dups

@@ -89,6 +89,10 @@ private[graft] object SqlBuilders {
   private def matchText(text: Expression, query: Expression): Expression = {
     val terms = litString(query, "match_text", "query")
       .toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toIndexedSeq
+    if (terms.isEmpty)
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          "match_text expects a query with at least one term, got an empty/whitespace-only literal"))
     val toks = ArrayDistinct(StringSplit(Lower(text), Literal("\\s+"), Literal(-1)))
     val hits = Size(ArrayIntersect(toks,
       CreateArray(terms.map(t => Literal(UTF8String.fromString(t), org.apache.spark.sql.types.StringType)))))

@@ -204,6 +204,8 @@ package object functions {
     */
   def match_text(text: Column, query: String): Column = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toIndexedSeq
+    require(terms.nonEmpty,
+      "match_text expects a query with at least one term, got an empty/whitespace-only string")
     val toks = F.array_distinct(F.split(F.lower(text), "\\s+"))
     val hits = F.size(F.array_intersect(toks, F.array(terms.map(F.lit): _*)))
     hits.cast(DoubleType) / F.lit(terms.length.toDouble)

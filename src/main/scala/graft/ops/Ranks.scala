@@ -24,16 +24,20 @@ object Ranks {
     * Total order should be made strict (tiebreak on a unique key) for a
     * deterministic result.
     *
-    * Runs one extra tiny job up front: per-partition row counts (ONE row
-    * per partition to the driver — model state, exactly the count pass
-    * `zipWithIndex` would run). The range exchange's bound sampling is
-    * seeded per partition index, so the count pass and the ranked pass see
-    * identical partition bounds.
+    * The sorted+indexed frame is MATERIALIZED once (eager localCheckpoint)
+    * before the count pass: the counts and the ranked projection must see
+    * the same partition bounds and the same per-partition ids, and range
+    * bound sampling over a shuffle-fed input is not re-execution-stable —
+    * two independent executions could diverge and silently corrupt ranks
+    * (the zipWithIndex predecessor was immune by sharing one RDD; this
+    * keeps that property while staying in Tungsten). The count pass itself
+    * returns ONE row per partition to the driver (model state).
     */
   def withGlobalRowNumber(df: DataFrame, rankName: String,
                           sortCols: Column*): DataFrame = {
     val sorted = df.orderBy(sortCols: _*)
       .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
     val counts = sorted
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__n"))

@@ -138,7 +138,10 @@ object TextAnalysis {
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
                       width: Int = 3): DataFrame =
     df.select(col(idCol),
-        word_shingle_hashes(col(textCol), width).as("__sh"))
+        // NULL text counts as zero shingles (size(NULL) would be -1 under
+        // the legacy sizeOfNull default and diverge from the oracle)
+        coalesce(word_shingle_hashes(col(textCol), width),
+          array().cast(ArrayType(LongType))).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).as("n_shingles"),
         size(array_distinct(col("__sh"))).as("n_distinct"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.{sources, DataFrame, Row}
+import org.apache.spark.sql.{sources, DataFrame}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -65,6 +65,15 @@ object CollectionStores {
   def get(name: String): CollectionStore =
     Option(stores.get(name)).getOrElse(
       throw new IllegalArgumentException(s"no collection store registered as '$name'"))
+  def remove(name: String): Unit = { stores.remove(name); () }
+  /** Atomic read-modify-write of a registered store — concurrent write
+    * commits to the same store must not lose each other's points.
+    */
+  def update(name: String)(f: CollectionStore => CollectionStore): Unit = {
+    val changed = stores.computeIfPresent(name, (_, s) => f(s))
+    if (changed == null)
+      throw new IllegalArgumentException(s"no collection store registered as '$name'")
+  }
 }
 
 /** Deterministic in-memory store over pre-materialized points (demo/test
@@ -81,12 +90,18 @@ final class InMemoryCollectionStore(
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
-  /** A new store with `pts` appended to `collection`, re-sealed in id
-    * order (the DSv2 write commit path).
+  /** A new store with `pts` upserted into `collection` (point-id
+    * semantics, like the reference backend: an incoming id REPLACES the
+    * stored point; within one batch the last occurrence wins), re-sealed
+    * in id order. The DSv2 write commit path.
     */
-  def appended(collection: String, pts: IndexedSeq[Point]): InMemoryCollectionStore =
+  def appended(collection: String, pts: IndexedSeq[Point]): InMemoryCollectionStore = {
+    val incoming = pts.map(_.id).toSet
+    val merged = data(collection).filterNot(p => incoming(p.id)) ++
+      pts.groupBy(_.id).view.mapValues(_.last).values
     new InMemoryCollectionStore(descriptors,
-      data.updated(collection, (data(collection) ++ pts).sortBy(_.id)))
+      data.updated(collection, merged.sortBy(_.id).toIndexedSeq))
+  }
 
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
@@ -113,65 +128,26 @@ object InMemoryCollectionStore {
              points: IndexedSeq[Point]): InMemoryCollectionStore =
     new InMemoryCollectionStore(Map(collection -> desc), Map(collection -> points))
 
-  /** Executor-side ingest buffers, keyed per fromRows call. In local[*]
-    * (one JVM) this static map is visible to executor threads; on a real
-    * cluster the append below is where a remote upsert client would be
-    * dialed from each executor — the DataFrame-side plumbing is unchanged
-    * by that swap.
-    */
-  private val ingests =
-    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Point]]()
-
-  /** Ingest a collection frame WITHOUT collecting it to the driver: each
-    * partition converts its rows to [[Point]]s executor-side and appends
-    * them to the ingest buffer (the local stand-in for the reference's
-    * gRPC upsert — its `insert_into` is `todo!()`,
-    * /root/reference/src/table.rs:186-193). Points are sealed in id order
-    * so scans are deterministic regardless of partition arrival order.
-    * Driver memory holds only the sealed point index, never a Spark
-    * `collect()` of the frame's rows in Row form.
+  /** Ingest a collection frame WITHOUT collecting it to the driver: rows
+    * convert to [[Point]]s executor-side through the DSv2 WRITE path (the
+    * local stand-in for the reference's gRPC upsert — its `insert_into`
+    * is `todo!()`, /root/reference/src/table.rs:186-193), which publishes
+    * each task's points only on task commit — so a retried or speculative
+    * attempt can never leak duplicates into the ingest. Points are sealed
+    * in id order; driver memory holds only the sealed point index, never
+    * a Spark `collect()` of the frame's rows in Row form.
     */
   def fromRows(df: DataFrame, collection: String,
                desc: CollectionDescriptor): InMemoryCollectionStore = {
-    val ingestId = java.util.UUID.randomUUID().toString
-    ingests.put(ingestId, new java.util.concurrent.ConcurrentLinkedQueue[Point]())
+    val tmpName = s"__ingest_${java.util.UUID.randomUUID()}"
+    CollectionStores.register(tmpName,
+      single(collection, desc, IndexedSeq.empty))
     try {
-      df.foreachPartition { (rows: Iterator[Row]) =>
-        val buf = ingests.get(ingestId)
-        rows.foreach(r => buf.add(rowToPoint(r, desc)))
-      }
-      val pts = ingests.get(ingestId).asScala.toIndexedSeq.sortBy(_.id)
-      new InMemoryCollectionStore(Map(collection -> desc), Map(collection -> pts))
-    } finally ingests.remove(ingestId)
-  }
-
-  /** Row -> wire Point, driven by the descriptor (absent/NULL fields are
-    * simply missing from the point, matching the NULL-for-absent decode).
-    */
-  private def rowToPoint(r: Row, desc: CollectionDescriptor): Point = {
-    val cols = r.schema.fieldNames.toSet
-    def seqF(i: Int): Array[Float] = r.getSeq[Float](i).toArray
-    val dense = desc.fields.collect {
-      case DenseField(n, _, _) => if (desc.named) n else "vector"
-    }.flatMap { phys =>
-      if (!cols(phys) || r.isNullAt(r.fieldIndex(phys))) None
-      else Some(phys -> seqF(r.fieldIndex(phys)))
-    }.toMap
-    val multi = desc.fields.collect { case MultiField(n, _) => n }.flatMap { n =>
-      if (!cols(n) || r.isNullAt(r.fieldIndex(n))) None
-      else Some(n -> r.getSeq[scala.collection.Seq[Float]](r.fieldIndex(n))
-        .map(_.toArray).toArray)
-    }.toMap
-    val sparse = desc.fields.collect { case SparseField(n) => n }.flatMap { n =>
-      val (in, vn) = (s"${n}_indices", s"${n}_values")
-      if (!cols(in) || !cols(vn) ||
-          r.isNullAt(r.fieldIndex(in)) || r.isNullAt(r.fieldIndex(vn))) None
-      else Some(n -> (r.getSeq[Int](r.fieldIndex(in)).toArray, seqF(r.fieldIndex(vn))))
-    }.toMap
-    val payloadIdx = if (cols("payload")) Some(r.fieldIndex("payload")) else None
-    Point(r.getString(r.fieldIndex("id")),
-      payloadIdx.flatMap(i => Option(r.getString(i))),
-      dense, multi, sparse)
+      df.write.format("graft.sources.CollectionDataSource")
+        .option("store", tmpName).option("collection", collection)
+        .mode("append").save()
+      CollectionStores.get(tmpName).asInstanceOf[InMemoryCollectionStore]
+    } finally CollectionStores.remove(tmpName)
   }
 }
 
@@ -265,17 +241,21 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
   }
 }
 
-/** Executor-side write buffers, keyed per write attempt (JVM-shared in
-  * local[*]; on a real cluster each DataWriter would hold a remote upsert
-  * client instead, and commit would ack — the Spark-side plumbing is
-  * identical).
+/** Executor-side write buffers, keyed per write (JVM-shared in local[*];
+  * on a real cluster each DataWriter would hold a remote upsert client
+  * instead, and commit would ack — the Spark-side plumbing is identical).
+  * Rows are PUBLISHED here only from `DataWriter.commit()`: a failed,
+  * aborted, or losing speculative task attempt keeps its rows in its own
+  * private buffer and they never become visible, per the DSv2 contract.
   */
 private[sources] object CollectionWriteBuffers {
   private val bufs =
     new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Point]]()
-  def append(writeId: String, p: Point): Unit =
-    bufs.computeIfAbsent(writeId,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Point]()).add(p)
+  def publish(writeId: String, ps: Seq[Point]): Unit = {
+    val q = bufs.computeIfAbsent(writeId,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Point]())
+    ps.foreach(q.add)
+  }
   def drain(writeId: String): IndexedSeq[Point] = {
     val q = bufs.remove(writeId)
     if (q == null) IndexedSeq.empty else q.asScala.toIndexedSeq
@@ -295,11 +275,11 @@ final class CollectionWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val appended = CollectionWriteBuffers.drain(writeId)
-    CollectionStores.get(storeName) match {
+    // atomic RMW: concurrent commits to the same store must both survive
+    CollectionStores.update(storeName) {
       case mem: InMemoryCollectionStore =>
         // seal in id order (appends arrive in partition-completion order)
-        CollectionStores.register(storeName,
-          mem.appended(collection, appended.sortBy(_.id)))
+        mem.appended(collection, appended.sortBy(_.id))
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local commits; " +
           "a remote store acks per-writer upserts instead")
@@ -320,14 +300,16 @@ final class CollectionDataWriterFactory(descriptor: CollectionDescriptor,
 }
 
 /** InternalRow -> wire Point (the exact inverse of the read extractors),
-  * dispatched once from the descriptor.
+  * dispatched once from the descriptor. Rows accumulate in a task-private
+  * buffer and are published to [[CollectionWriteBuffers]] only on task
+  * commit, so retried/speculative attempts never leak duplicates.
   */
 final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: String)
     extends DataWriter[InternalRow] {
 
   private val schema = descriptor.schema
   private val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
-  private var n = 0L
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[Point]
 
   private def floats(r: InternalRow, i: Int): Array[Float] =
     r.getArray(i).toFloatArray()
@@ -356,15 +338,18 @@ final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: Stri
         else Some(nm -> (r.getArray(ii).toIntArray(), r.getArray(vi).toFloatArray()))
       }.toMap
     val pi = fieldIdx("payload")
-    CollectionWriteBuffers.append(writeId, Point(
+    pending += Point(
       r.getUTF8String(fieldIdx("id")).toString,
       if (r.isNullAt(pi)) None else Some(r.getUTF8String(pi).toString),
-      dense, multi, sparse))
-    n += 1
+      dense, multi, sparse)
+    ()
   }
 
-  override def commit(): WriterCommitMessage = CollectionCommit(n)
-  override def abort(): Unit = ()
+  override def commit(): WriterCommitMessage = {
+    CollectionWriteBuffers.publish(writeId, pending.toSeq)
+    CollectionCommit(pending.size.toLong)
+  }
+  override def abort(): Unit = pending.clear()
   override def close(): Unit = ()
 }
 

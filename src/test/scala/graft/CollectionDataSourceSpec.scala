@@ -161,6 +161,25 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       bad.getMessage.contains("zzz"), bad.getMessage)
   }
 
+  test("A12: writing an existing id upserts (replaces) instead of duplicating") {
+    CollectionStores.register("t5",
+      InMemoryCollectionStore.single("c", desc, mkPoints(4)))
+    val replace = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("2", """{"replaced": true}""",
+          null, null, null, null)), 1),
+      desc.schema)
+    replace.write.format("graft.sources.CollectionDataSource")
+      .option("store", "t5").option("collection", "c")
+      .mode("append").save()
+    val back = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t5").option("collection", "c").load()
+    assert(back.count() === 4) // replaced, not appended
+    val r2 = back.filter(col("id") === "2").collect()
+    assert(r2.length === 1)
+    assert(r2.head.getString(1) === """{"replaced": true}""")
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)

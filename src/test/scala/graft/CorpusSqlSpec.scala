@@ -170,6 +170,11 @@ class CorpusSqlSpec extends AnyFunSuite {
       sql("SELECT match_text(payload, payload) FROM embeddings_collection").collect()
     }
     assert(ex2.getMessage.contains("literal"))
+    // an empty query would otherwise build a division by literal zero
+    val ex3 = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT match_text(payload, '   ') FROM embeddings_collection").collect()
+    }
+    assert(ex3.getMessage.contains("at least one term"))
   }
 
   test("nested payload access via multi-key json_get (tests.sql:217-222)") {

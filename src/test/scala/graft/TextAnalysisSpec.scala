@@ -68,6 +68,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) === ((7, 3, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)))
     assert(out(2L) === ((3, 3, 0.0)))
     assert(out(3L) === ((0, 0, 0.0)))
+    // NULL text counts as zero shingles, not size(NULL) = -1
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val nr = graft.ops.TextAnalysis.repetitionRatio(withNull, "doc_id", "text")
+      .collect().head
+    assert((nr.getInt(1), nr.getInt(2), nr.getDouble(3)) === ((0, 0, 0.0)))
     // and the plan is shuffle-free: a pure map-side projection
     val plan = graft.ops.TextAnalysis.repetitionRatio(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
