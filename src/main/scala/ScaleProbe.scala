@@ -31,7 +31,28 @@ object ScaleProbe {
       time(s"ngram x$n") {
         graft.ops.Dedup.ngramJaccardPairs(c, "doc_id", "text", Seq("lang", "source"), 0.8).count()
       }
+      time(s"repetition x$n") {
+        graft.ops.TextAnalysis.repetitionRatio(c, "doc_id", "text").count()
+      }
+      time(s"decontam x$n") {
+        graft.ops.TextAnalysis.contaminatedDocs(
+          c.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          c.filter(col("doc_id") % 97 === 0), "text").count()
+      }
       c.unpersist()
+    }
+    // events-based probe: watermark-dedup bounded form over replicated events
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    def events(n: Int): DataFrame =
+      (0 until n).map(i => ev.select(col("event_id"),
+        col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))).reduce(_ union _)
+    for (n <- Seq(1, 2, 4)) {
+      val e = events(n).persist(); e.count()
+      time(s"stream_dedup x$n") {
+        graft.streaming.EventsStream.dedupWithinHorizonBatch(e).count()
+      }
+      e.unpersist()
     }
     spark.stop()
   }
