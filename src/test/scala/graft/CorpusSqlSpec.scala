@@ -193,6 +193,113 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(r.isNullAt(3))
   }
 
+  test("multiple named-field searches blended in one query (tests.sql:27-36)") {
+    val r = sql(
+      """SELECT id,
+        |       v_cosine(text_embedding,
+        |         (SELECT text_embedding FROM hetero_collection WHERE id = '0')) AS text_score,
+        |       v_dot(image_embedding,
+        |         (SELECT image_embedding FROM hetero_collection WHERE id = '2')) AS image_score
+        |FROM hetero_collection
+        |WHERE text_embedding IS NOT NULL AND image_embedding IS NOT NULL
+        |ORDER BY COALESCE(text_score, 0) * 0.7 + COALESCE(image_score, 0) * 0.3 DESC, id
+        |LIMIT 20""".stripMargin).collect()
+    // only vec_id % 3 == 1 rows carry BOTH named fields
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getString(0).toLong % 3 == 1))
+  }
+
+  test("discovery as pure SQL: target plus weighted context (tests.sql:120-127)") {
+    val r = sql(
+      """SELECT id,
+        |       v_cosine(vector, (SELECT vector FROM embeddings_collection WHERE id = '0'))
+        |       + 0.5 * v_cosine(vector, (SELECT vector FROM embeddings_collection WHERE id = '1'))
+        |       - 0.25 * v_cosine(vector, (SELECT vector FROM embeddings_collection WHERE id = '2')) AS score
+        |FROM embeddings_collection WHERE id NOT IN ('0', '1', '2')
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin).collect()
+    assert(r.length === 10)
+    // same composition as the DataFrame-API discover gate
+    val api = graft.ops.Search.discover(
+        graft.collections.Collections.homogeneous(spark, TestSpark.sfDir),
+        "vector", targetId = "0", context = Seq(("1", 0.5), ("2", -0.25)), k = 10)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(r.map(_.getString(0)).toSeq === api)
+  }
+
+  test("RRF fusion as pure SQL: two ranked branches, reciprocal ranks (tests.sql:174-196)") {
+    val r = sql(
+      """WITH dense1 AS (
+        |  SELECT id, row_number() OVER (ORDER BY v_cosine(vector,
+        |    (SELECT vector FROM embeddings_collection WHERE id = '0')) DESC, id) AS rn
+        |  FROM embeddings_collection WHERE id <> '0' LIMIT 50),
+        |dense2 AS (
+        |  SELECT id, row_number() OVER (ORDER BY v_dot(vector,
+        |    (SELECT vector FROM embeddings_collection WHERE id = '1')) DESC, id) AS rn
+        |  FROM embeddings_collection WHERE id <> '1' LIMIT 50)
+        |SELECT COALESCE(d1.id, d2.id) AS id,
+        |       COALESCE(1.0D / (60 + d1.rn), 0D) + COALESCE(1.0D / (60 + d2.rn), 0D) AS fused
+        |FROM dense1 d1 FULL OUTER JOIN dense2 d2 ON d1.id = d2.id
+        |ORDER BY fused DESC, id LIMIT 10""".stripMargin).collect()
+    assert(r.length === 10)
+    assert(r.map(_.getDouble(1)).toSeq === r.map(_.getDouble(1)).sortBy(-_).toSeq)
+  }
+
+  test("V_RANDOM deterministic sampling as pure SQL (tests.sql:309-320)") {
+    val a = sql(
+      """SELECT id FROM embeddings_collection
+        |ORDER BY md5(id || '42'), id LIMIT 10""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    val b = sql(
+      """SELECT id FROM embeddings_collection
+        |ORDER BY md5(id || '42'), id LIMIT 10""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(a === b) // seeded: same sample on every run, any layout
+    // filtered variant (tests.sql:315-320)
+    val f = sql(
+      """SELECT id FROM embeddings_collection
+        |WHERE json_get_int(payload, 'label') = 1
+        |ORDER BY md5(id || '42'), id LIMIT 5""".stripMargin).collect()
+    assert(f.length === 5)
+  }
+
+  test("batch search via CROSS JOIN LATERAL over VALUES queries (tests.sql:326-345)") {
+    val r = sql(
+      """WITH queries AS (
+        |  SELECT q.query_id, e.vector AS qv
+        |  FROM VALUES (1, '0'), (2, '1') AS q(query_id, src_id)
+        |  JOIN embeddings_collection e ON e.id = q.src_id)
+        |SELECT q.query_id, c.id, c.score
+        |FROM queries q,
+        |LATERAL (SELECT id, round(v_cosine(vector, q.qv), 6) AS score
+        |         FROM embeddings_collection
+        |         ORDER BY score DESC, id LIMIT 5) c
+        |ORDER BY q.query_id, c.score DESC, c.id""".stripMargin).collect()
+    assert(r.length === 10)
+    assert(r.count(_.getInt(0) == 1) === 5)
+  }
+
+  test("edge cases: empty query vector and high-dimension sparse indices (tests.sql:389-403)") {
+    // empty vector: cosine has a zero-norm side -> NULL, dot over the
+    // empty common prefix -> 0.0; no crash either way
+    val e = sql(
+      """SELECT v_cosine(vector, CAST(array() AS ARRAY<DOUBLE>)) AS c,
+        |       v_dot(vector, CAST(array() AS ARRAY<DOUBLE>)) AS d
+        |FROM embeddings_collection LIMIT 1""".stripMargin).head()
+    assert(e.isNullAt(0))
+    assert(e.getDouble(1) === 0.0)
+    // an UNTYPED empty array (array<void>) fails resolution with the
+    // kernel's clean type-check message, not a runtime crash
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT v_cosine(vector, array()) FROM embeddings_collection").collect()
+    }
+    assert(ex.getMessage.contains("expects array<float>/array<double>"))
+    // sparse vector with very large indices: sorted-merge just walks past
+    val s = sql(
+      """SELECT v_sparse_dot(array(1, 999999), array(CAST(0.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                    array(999999), array(CAST(3.0 AS FLOAT))) AS x""".stripMargin).head()
+    assert(s.getDouble(0) === 6.0)
+  }
+
   test("V_DISTANCE metric forms filter and sort (tests.sql:42-45)") {
     val r = sql(
       """SELECT id, v_distance(vector,
