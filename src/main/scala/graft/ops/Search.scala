@@ -62,22 +62,33 @@ object Search {
       .agg(v_avg(col(vecColName)).as(outName))
 
   /** V_RECOMMEND([pos_ids], [neg_ids]): Qdrant's `average_vector` recommend
-    * strategy — composite query = avg(positives) - avg(negatives) (absent
-    * negatives contribute nothing), then dense top-k. Spec shape:
+    * strategy — composite query = avg(positives) - avg(negatives) (no
+    * negatives = positives centroid alone), then dense top-k. Spec shape:
     * /root/reference/tests/bin/tests.sql:83-114.
+    *
+    * The example centroids resolve EAGERLY (one tiny v_avg job each —
+    * model state, like a query-vector lookup), so a positive/negative id
+    * list matching nothing raises immediately with a clear message
+    * instead of producing NULL scores, and the corpus pass carries the
+    * composite as a literal — no lookup join at all.
     */
   def recommend(df: DataFrame, vecColName: String, posIds: Seq[String],
                 negIds: Seq[String], k: Int, metric: String = "cosine",
                 roundTo: Int = 6): DataFrame = {
-    val pos = centroid(df, vecColName, posIds, "pos_c")
-    val q =
-      if (negIds.isEmpty) pos.select(col("pos_c").as("__qvec"))
-      else pos.crossJoin(centroid(df, vecColName, negIds, "neg_c"))
-        .select(zip_with(col("pos_c"), col("neg_c"), (p, n) => p - n).as("__qvec"))
+    require(posIds.nonEmpty, "V_RECOMMEND needs at least one positive example")
+    def centroidOf(ids: Seq[String], what: String): Seq[Double] = {
+      val row = centroid(df, vecColName, ids, "c").head()
+      require(!row.isNullAt(0),
+        s"V_RECOMMEND: no $what example points found among [${ids.mkString(",")}]")
+      row.getSeq[Double](0)
+    }
+    val posC = centroidOf(posIds, "positive")
+    val qv =
+      if (negIds.isEmpty) posC
+      else posC.zip(centroidOf(negIds, "negative")).map { case (p, n) => p - n }
     val excluded = posIds ++ negIds
-    val scored = df.filter(!col("id").isin(excluded: _*)).crossJoin(broadcast(q))
-    topK(scored, col(vecColName), col("__qvec"), k, metric, roundTo = roundTo)
-      .drop("__qvec")
+    topK(df.filter(!col("id").isin(excluded: _*)), col(vecColName), vec(qv),
+      k, metric, roundTo = roundTo)
   }
 
   /** V_RECOMMEND vector-literal form (tests.sql:97-105): the caller
@@ -112,21 +123,26 @@ object Search {
   def recommendBestScore(df: DataFrame, vecColName: String,
                          posIds: Seq[String], negIds: Seq[String], k: Int,
                          metric: String = "cosine", roundTo: Int = 6): DataFrame = {
-    require(posIds.nonEmpty)
-    val withVecs = (posIds.map(("__p", _)) ++ negIds.map(("__n", _)))
-      .zipWithIndex.foldLeft(df.filter(!col("id").isin(posIds ++ negIds: _*))) {
-        case (acc, ((prefix, exId), i)) => acc.crossJoin(broadcast(
-          df.filter(col("id") === lit(exId))
-            .select(col(vecColName).as(s"$prefix$i"))))
-      }
-    val posBest = posIds.indices
-      .map(i => similarity(col(vecColName), col(s"__p$i"), metric))
+    require(posIds.nonEmpty, "V_RECOMMEND(best_score) needs at least one positive example")
+    // resolve the example vectors eagerly (a handful of rows of model
+    // state): missing ids raise clearly, and the scoring pass carries
+    // them as literals — one map-side projection, zero joins
+    val all = (posIds ++ negIds).distinct
+    val found = df.filter(col("id").isin(all: _*))
+      .select(col("id"),
+        col(vecColName).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val missing = all.filterNot(found.contains)
+    require(missing.isEmpty,
+      s"V_RECOMMEND(best_score): example points not found: [${missing.mkString(",")}]")
+    val posBest = posIds.map(id => similarity(col(vecColName), vec(found(id)), metric))
       .reduce((a, b) => greatest(a, b))
-    val negBest = negIds.indices
-      .map(i => similarity(col(vecColName), col(s"__n${posIds.length + i}"), metric))
+    val negBest = negIds.map(id => similarity(col(vecColName), vec(found(id)), metric))
       .reduceOption((a, b) => greatest(a, b))
     val score = negBest.fold(posBest)(n => posBest - n)
-    withVecs.withColumn("score", round(score, roundTo))
+    df.filter(!col("id").isin(all: _*))
+      .withColumn("score", round(score, roundTo))
       .select(col("id"), col("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)

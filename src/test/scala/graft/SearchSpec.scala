@@ -52,6 +52,24 @@ class SearchSpec extends AnyFunSuite {
     assert(!m.contains("0") && !m.contains("2"))
   }
 
+  test("recommend raises clearly when example ids match nothing (tests.sql:394-398)") {
+    val df = Seq(("3", Seq(0.25, -0.25))).toDF("id", "vector")
+    val ex = intercept[IllegalArgumentException] {
+      Search.recommend(df, "vector", Seq("nope"), Seq.empty, k = 1)
+    }
+    assert(ex.getMessage.contains("no positive example points found"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Search.recommendBestScore(df, "vector", Seq("3"), Seq("missing"), k = 1)
+    }
+    assert(ex2.getMessage.contains("not found"))
+    // positives-only (NULL negatives in the corpus shape) works
+    val ok = Search.recommend(
+      Seq(("3", Seq(1.0, 0.0)), ("4", Seq(0.0, 1.0))).toDF("id", "vector"),
+      "vector", Seq("3"), Seq.empty, k = 1, metric = "dot")
+      .select("id", "score").collect()
+    assert(ok.head.getString(0) === "4")
+  }
+
   test("recommendVectors: literal examples, no lookup join, avg(pos) - avg(neg)") {
     val df = Seq(
       ("3", Seq(0.25, -0.25)), ("4", Seq(-1.0, 1.0))) // corpus only — no example ids
