@@ -867,7 +867,20 @@ object SparkEntry {
 
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresOf(s, dir)
-        .select(col("id"), col("format"), col("nBytes")))
+        .select(col("id"), col("format"), col("nBytes"))),
+
+    // frame sampling over the synthetic media table: the 1-to-N iterator
+    // explode of a video decoder (sampling arithmetic + batch shape real,
+    // frame extractor stubbed as deterministic byte slices — oracled on
+    // frame count, timestamps, and per-frame byte length)
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.sampleFrames(
+          Multimodal.syntheticMediaTable(s, dir).as[Multimodal.MediaRow])
+        .toDF()
+        .select(col("id"), col("frame_idx"), col("ts_ms"),
+          length(col("frame")).as("n_bytes"))
+    })
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1544,6 +1557,21 @@ object SparkEntry {
         |       'fake/' || source AS format,
         |       CAST(len(text) AS INTEGER) AS "nBytes"
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame sampling mirror: durationMs = n_chars*10, everyMs = 1000,
+    // maxFrames = 8 -> nf = min(8, max(1, n_chars // 100)) frames of
+    // octet_length(text) // nf bytes each at 1000ms steps
+    "multimodal_frames" ->
+      """WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+        |                  strlen(text) AS b,
+        |                  LEAST(8, GREATEST(1, (n_chars * 10) // 1000)) AS nf
+        |           FROM documents)
+        |SELECT id, CAST(i AS INTEGER) AS frame_idx,
+        |       CAST(i * 1000 AS BIGINT) AS ts_ms,
+        |       CAST(b // nf AS INTEGER) AS n_bytes
+        |FROM m, range(0, 8) r(i)
+        |WHERE i < nf
+        |ORDER BY id, frame_idx""".stripMargin,
 
     "quantized_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)

@@ -88,4 +88,54 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(syntheticMediaTable(spark, sfDir).as[MediaRow], dim).toDF()
   }
+
+  /** One sampled frame of a media row (1-to-N explode shape). */
+  final case class MediaFrame(
+      id: String, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Frame sampling: each media row explodes to `min(maxFrames,
+    * max(1, durationMs / everyMs))` frames via a partition-wise flatMap —
+    * the 1-to-N iterator contract of a video decoder (constant memory,
+    * no shuffle). The frame EXTRACTOR is the STUB (deterministic byte
+    * slices of length nBytes/nFrames; a real pipeline decodes and seeks);
+    * the sampling arithmetic, batch shape, and output schema are real.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
+                   maxFrames: Int = 8): Dataset[MediaFrame] = {
+    require(everyMs > 0 && maxFrames > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = if (row.media == null) Array.emptyByteArray else row.media
+        val n = math.min(maxFrames.toLong,
+          math.max(1L, row.durationMs / everyMs)).toInt
+        val stride = bytes.length / n
+        (0 until n).iterator.map { i =>
+          MediaFrame(row.id, i, i * everyMs,
+            bytes.slice(i * stride, i * stride + stride))
+        }
+      }
+    }
+  }
+
+  /** Resize: metadata-true, payload-STUBBED — the output byte length
+    * scales with the pixel ratio (a real kernel decodes, resamples, and
+    * re-encodes), width/height metadata update for downstream consumers.
+    * Partition-wise map, no shuffle.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.media == null) Array.emptyByteArray else r.media
+        val srcPx = r.width.toLong * r.height
+        val outLen =
+          if (srcPx <= 0L) 0
+          else math.min(bytes.length.toLong,
+            bytes.length.toLong * (w.toLong * h) / srcPx).toInt
+        r.copy(media = bytes.take(outLen), width = w, height = h)
+      }
+    }
+  }
 }

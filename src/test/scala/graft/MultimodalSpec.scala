@@ -39,4 +39,35 @@ class MultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("frame sampling: 1-to-N explode bounded by duration and maxFrames, no shuffle") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow("a", Array.fill[Byte](100)(1), "fake/v", 64, 48, 3500L), // 3 frames
+      Multimodal.MediaRow("b", Array.fill[Byte](10)(2), "fake/v", 64, 48, 99999L), // capped at 8
+      Multimodal.MediaRow("c", Array.fill[Byte](7)(3), "fake/v", 64, 48, 10L))     // min 1
+      .toDS()
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L, maxFrames = 8)
+    val byId = frames.collect().groupBy(_.id)
+    assert(byId("a").length === 3)
+    assert(byId("a").map(_.ts_ms).sorted.toSeq === Seq(0L, 1000L, 2000L))
+    assert(byId("a").forall(_.frame.length === 33)) // 100 / 3
+    assert(byId("b").length === 8)
+    assert(byId("b").forall(_.frame.length === 1))  // 10 / 8
+    assert(byId("c").length === 1)
+    assert(byId("c").head.frame.length === 7)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("resize: metadata updates and payload scales with the pixel ratio") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow("a", Array.fill[Byte](1000)(1), "fake/i", 100, 100, 0L),
+      Multimodal.MediaRow("z", Array.fill[Byte](10)(1), "fake/i", 0, 0, 0L)) // degenerate
+      .toDS()
+    val out = Multimodal.resize(media, 50, 50).collect().map(r => r.id -> r).toMap
+    assert(out("a").width === 50 && out("a").height === 50)
+    assert(out("a").media.length === 250) // 1000 * (50*50)/(100*100)
+    assert(out("z").media.length === 0)   // unknown source pixels -> empty stub
+  }
 }
