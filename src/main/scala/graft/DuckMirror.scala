@@ -136,6 +136,22 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** RollingHash64 (31x + c over SH0, mod 2^64) of an arbitrary VARCHAR
+    * expression, as an UNSIGNED HUGEINT — compute it once in an inner CTE
+    * and wrap the resulting column with [[signed64]] for the kernel's
+    * signed BIGINT output. The fingerprint64 mirror, reusable over derived
+    * text (e.g. the PII-scrubbed column).
+    */
+  def rollingHashUnsignedSql(textExpr: String): String =
+    s"""list_reduce(
+       |  list_concat([$Sh0::HUGEINT],
+       |    list_transform(range(1, len($textExpr) + 1), i -> ascii(($textExpr)[i])::HUGEINT)),
+       |  (acc, c) -> (31::HUGEINT * acc + c) % $M64::HUGEINT)""".stripMargin
+
+  /** HUGEINT (mod-2^64) column expr -> Java signed long. */
+  def signed64(expr: String): String =
+    s"CAST(CASE WHEN $expr >= ${BigInt(1) << 63}::HUGEINT THEN $expr - $M64::HUGEINT ELSE $expr END AS BIGINT)"
+
   /** w=3 word-shingle hashes of the PLAIN documents table (no planted
     * dups) — the ShingleKernel w=3 arithmetic, shared by the repetition
     * and decontamination oracles.

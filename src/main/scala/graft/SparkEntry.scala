@@ -778,6 +778,26 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
 
+    // PII scrubbing over a corpus with deterministically planted
+    // email/IP/phone strings (doc_id % 5 == 0): match counts per category
+    // plus a fingerprint of the redacted text — the oracle re-runs the
+    // same RE2-safe patterns and the rolling-hash mirror, so the exact
+    // redacted BYTES are value-checked, not just the counts
+    "pii_scrub" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast(StringType),
+            lit("@example.com from 10.0.0."),
+            (col("doc_id") % 256).cast(StringType),
+            lit(" call 5551234567")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.scrubPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          TextAnalysis.fingerprint(col("scrubbed")).as("scrub_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
         .select(dvec(col("embedding")).as("q")).head().getSeq[Double](0)
@@ -1603,6 +1623,32 @@ object SparkEntry {
     oracleScanAndJson ++ oracleDense ++ oracleComposite ++
       oracleRelational ++ oraclePipeline ++ Map(
         "dedup_simhash" -> DuckMirror.simhashSql(maxDist = 3),
+        "pii_scrub" -> {
+          import graft.ops.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+          s"""WITH c AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |                   || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+             |                   || ' call 5551234567'
+             |              ELSE text END AS text
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id,
+             |         CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
+             |         CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INTEGER) AS n_ips,
+             |         CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
+             |         regexp_replace(regexp_replace(regexp_replace(text,
+             |           '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+             |           '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+             |  FROM c),
+             |h AS (SELECT doc_id, n_emails, n_ips, n_phones,
+             |             ${DuckMirror.rollingHashUnsignedSql("scrubbed")} AS hu
+             |      FROM s)
+             |SELECT doc_id, n_emails, n_ips, n_phones,
+             |       ${DuckMirror.signed64("hu")} AS scrub_fp
+             |FROM h ORDER BY doc_id""".stripMargin
+        },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
         "doc_repetition" -> DuckMirror.repetitionSql,
         "decontam" -> DuckMirror.decontamSql(mod = 97),

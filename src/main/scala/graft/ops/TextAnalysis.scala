@@ -171,6 +171,32 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** PII patterns for [[scrubPii]] — kept in the common Java-regex/RE2
+    * subset (no lookarounds, no backreferences) so ANY engine applies
+    * byte-identical redactions: emails, bare IPv4 literals, standalone
+    * long digit runs (phone-ish).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{7,15}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * leaving quarantine: emails, bare IPv4s, and long digit runs replace
+    * with typed placeholder tokens (in that order, so digits inside an
+    * email/IP are not double-counted as phones). Adds match counts per
+    * category plus the `scrubbed` column. Pure map-side regexp column
+    * math — codegen'd, zero shuffle.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+  }
+
   /** Corpus-wide top-k word bigrams by frequency (tiebreak: gram asc).
     * The token array is materialized as a COLUMN before the per-index
     * lambda: referencing the split/filter expression inside the lambda

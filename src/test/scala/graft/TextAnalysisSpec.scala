@@ -97,6 +97,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("scrubPii redacts emails, IPs, and digit runs with typed tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b-c%d@sub.example.org or call 5551234567 from 192.168.0.1"),
+      (2L, "clean text with user123 and v2.0 markers"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.scrubPii(df, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(out(1L) === ((1, 1, 1,
+      "mail me at <EMAIL> or call <PHONE> from <IP>")))
+    // short digit runs and version markers survive untouched
+    assert(out(2L) === ((0, 0, 0, "clean text with user123 and v2.0 markers")))
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
