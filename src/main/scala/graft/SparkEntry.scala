@@ -364,6 +364,22 @@ object SparkEntry {
           fraction = 0.25, seed = 42L)
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic 80/10/10 split assignment: split = f(doc_id, seed),
+    // stable under any partitioning/engine/rerun (dataset governance)
+    "split_assign" -> ((s, dir) =>
+      Search.assignSplit(docs(s, dir), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 42L)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    // concat-then-chunk sequence packing: per-lang token stream sliced
+    // into 1024-token training windows; docs carry the window their
+    // first token lands in
+    "seq_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+          "lang", budgetTokens = 1024L)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
     "named_field_search" -> ((s, dir) => {
@@ -1554,6 +1570,33 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT)
         |      < 288230376151711744
         |ORDER BY doc_id""".stripMargin,
+
+    "split_assign" -> {
+      // thresholds computed by the SAME Scala arithmetic the operator uses
+      val ts = graft.ops.Search.splitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""SELECT doc_id,
+         |       CASE WHEN b < ${ts(0)} THEN 'train'
+         |            WHEN b < ${ts(1)} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT) AS b
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "seq_pack" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |       CAST(cum - n_tokens AS BIGINT) AS token_offset,
+        |       CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
 
     // mirrors RollingHash64 exactly: base-31 polynomial over UTF-8 bytes
     // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is

@@ -267,4 +267,34 @@ object Search {
         lit(seed.toString))), 1, 15), 16, 10).cast("long")
     df.filter(bucket < lit((fraction * (1L << 60)).toLong))
   }
+
+  /** Cumulative 60-bit thresholds for [[assignSplit]] — exposed so an
+    * external oracle can reproduce the exact boundaries.
+    */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(c => (c * (1L << 60)).toLong)
+
+  /** Deterministic train/val/test split assignment: each row's split is a
+    * pure function of (id, seed) via the md5 permutation — the same row
+    * lands in the same split on any cluster layout, any engine, any rerun
+    * (the property dataset governance needs; `rand()` re-rolls per
+    * partition layout). A pure map-side projection, no shuffle.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must be positive and sum to 1")
+    val bucket = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(seed.toString))), 1, 15),
+      16, 10).cast("long")
+    val thresholds = splitThresholds(splits)
+    val chained = splits.init.zip(thresholds.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), thr)) =>
+        Some(acc.fold(when(bucket < lit(thr), lit(name)))(
+          _.when(bucket < lit(thr), lit(name))))
+    }
+    df.withColumn("split",
+      chained.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
+  }
 }

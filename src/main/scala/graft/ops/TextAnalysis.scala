@@ -197,6 +197,29 @@ object TextAnalysis {
           EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
   }
 
+  /** Concat-then-chunk sequence packing — the LLM-pretraining step that
+    * concatenates documents into a token stream and slices fixed-size
+    * training windows: within each `groupCol` stream, documents ordered
+    * by `idCol` get the sequence id their FIRST token lands in
+    * (seq_id = token_offset DIV budget; integer division, exact at any
+    * stream length). One partitioned window carrying only
+    * (group, id, n_tokens) triples — groups pack in parallel, text never
+    * shuffles.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.select(col(groupCol), col(idCol),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      .withColumn("token_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id", expr(s"token_offset DIV $budgetTokens"))
+  }
+
   /** Corpus-wide top-k word bigrams by frequency (tiebreak: gram asc).
     * The token array is materialized as a COLUMN before the per-index
     * lambda: referencing the split/filter expression inside the lambda

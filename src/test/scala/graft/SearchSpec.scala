@@ -109,6 +109,24 @@ class SearchSpec extends AnyFunSuite {
     assert(counts === Map("0" -> 3L, "1" -> 3L))
   }
 
+  test("assignSplit: deterministic, layout-independent, weights roughly honored") {
+    val df = spark.range(0, 2000).selectExpr("cast(id as string) as id")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Search.assignSplit(df.repartition(7), "id", splits, 42L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Search.assignSplit(df.repartition(3), "id", splits, 42L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a === b) // partition layout cannot move a row between splits
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 120)
+    assert(math.abs(counts("val") - 200) < 80)
+    assert(math.abs(counts("test") - 200) < 80)
+    // no shuffle: a pure map-side projection
+    val plan = Search.assignSplit(df, "id", splits, 42L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("randomSample is deterministic under a fixed seed") {
     val a = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq
     val b = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq

@@ -97,6 +97,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("packSequences: concat-then-chunk offsets within each group stream") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "a b c"),        // 3 tokens, offset 0, seq 0
+      (2L, "en", "d e f g"),      // offset 3, seq 0
+      (3L, "en", "h i"),          // offset 7, seq 1 (budget 4)
+      (1L, "de", "x y z w q"))    // separate stream: offset 0, seq 0
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.TextAnalysis.packSequences(df, "doc_id", "text", "lang", 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("en", 1L)) === ((3L, 0L, 0L)))
+    assert(out(("en", 2L)) === ((4L, 3L, 0L))) // straddles; starts in seq 0
+    assert(out(("en", 3L)) === ((2L, 7L, 1L)))
+    assert(out(("de", 1L)) === ((5L, 0L, 0L)))
+  }
+
   test("scrubPii redacts emails, IPs, and digit runs with typed tokens") {
     import spark.implicits._
     val df = Seq(
