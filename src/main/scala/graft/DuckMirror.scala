@@ -67,8 +67,7 @@ object DuckMirror {
   }
 
   /** UBIGINT column expr -> signed BIGINT with Java long semantics. */
-  private def toSigned(u: String): String =
-    s"CAST(CASE WHEN CAST($u AS HUGEINT) >= ${BigInt(1) << 63} THEN CAST($u AS HUGEINT) - $M64 ELSE CAST($u AS HUGEINT) END AS BIGINT)"
+  private def toSigned(u: String): String = signed64(s"CAST($u AS HUGEINT)")
 
   /** dedup_simhash oracle: SimHash64 over the w=1 shingle hashes, banded
     * into four 16-bit chunks, hamming <= maxDist (Dedup.simhashDedup).

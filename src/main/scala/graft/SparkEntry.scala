@@ -1580,7 +1580,7 @@ object SparkEntry {
          |            WHEN b < ${ts(1)} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM (SELECT doc_id,
-         |             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT) AS b
+         |             CAST(CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT) AS b
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
@@ -1602,16 +1602,11 @@ object SparkEntry {
     // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is
     // ASCII, so ascii(char) == utf-8 byte)
     "fingerprint" ->
-      """SELECT doc_id,
-        |       CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |                 THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fingerprint
-        |FROM (
-        |  SELECT doc_id, list_reduce(
-        |    list_concat([1125899906842597::HUGEINT],
-        |      list_transform(range(1, len(text) + 1), i -> ascii(text[i])::HUGEINT)),
-        |    (acc, c) -> (31::HUGEINT * acc + c) % 18446744073709551616::HUGEINT) AS h
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${DuckMirror.signed64("h")} AS fingerprint
+         |FROM (
+         |  SELECT doc_id, ${DuckMirror.rollingHashUnsignedSql("text")} AS h
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     // multimodal stub features: nBytes = UTF-8 byte length of the synthetic
     // media payload (== len(text) on the ASCII corpus)
@@ -1676,15 +1671,22 @@ object SparkEntry {
              |                   || ' call 5551234567'
              |              ELSE text END AS text
              |  FROM documents),
+             |-- sequential counting like the Spark side: each category is
+             |-- counted on the text with earlier categories already
+             |-- redacted, so counts = tokens actually emitted
+             |t1 AS (SELECT doc_id, text,
+             |              regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS s1
+             |       FROM c),
+             |t2 AS (SELECT doc_id, text, s1,
+             |              regexp_replace(s1, '$Ipv4Re', '<IP>', 'g') AS s2
+             |       FROM t1),
              |s AS (
              |  SELECT doc_id,
              |         CAST(len(regexp_extract_all(text, '$EmailRe')) AS INTEGER) AS n_emails,
-             |         CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS INTEGER) AS n_ips,
-             |         CAST(len(regexp_extract_all(text, '$PhoneRe')) AS INTEGER) AS n_phones,
-             |         regexp_replace(regexp_replace(regexp_replace(text,
-             |           '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
-             |           '$PhoneRe', '<PHONE>', 'g') AS scrubbed
-             |  FROM c),
+             |         CAST(len(regexp_extract_all(s1, '$Ipv4Re')) AS INTEGER) AS n_ips,
+             |         CAST(len(regexp_extract_all(s2, '$PhoneRe')) AS INTEGER) AS n_phones,
+             |         regexp_replace(s2, '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+             |  FROM t2),
              |h AS (SELECT doc_id, n_emails, n_ips, n_phones,
              |             ${DuckMirror.rollingHashUnsignedSql("scrubbed")} AS hu
              |      FROM s)

@@ -130,10 +130,12 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.media == null) Array.emptyByteArray else r.media
         val srcPx = r.width.toLong * r.height
+        // double arithmetic: len * (w*h) can overflow Long for large
+        // upscale targets, which would wrap negative and empty the payload
         val outLen =
           if (srcPx <= 0L) 0
-          else math.min(bytes.length.toLong,
-            bytes.length.toLong * (w.toLong * h) / srcPx).toInt
+          else math.min(bytes.length.toDouble,
+            bytes.length.toDouble * w * h / srcPx).toInt
         r.copy(media = bytes.take(outLen), width = w, height = h)
       }
     }

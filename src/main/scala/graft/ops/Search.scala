@@ -85,7 +85,13 @@ object Search {
     val posC = centroidOf(posIds, "positive")
     val qv =
       if (negIds.isEmpty) posC
-      else posC.zip(centroidOf(negIds, "negative")).map { case (p, n) => p - n }
+      else {
+        val negC = centroidOf(negIds, "negative")
+        require(posC.length == negC.length,
+          s"V_RECOMMEND: positive (dim ${posC.length}) and negative (dim " +
+            s"${negC.length}) centroids disagree — example vectors must share one dimension")
+        posC.zip(negC).map { case (p, n) => p - n }
+      }
     val excluded = posIds ++ negIds
     topK(df.filter(!col("id").isin(excluded: _*)), col(vecColName), vec(qv),
       k, metric, roundTo = roundTo)
@@ -285,9 +291,12 @@ object Search {
     require(splits.nonEmpty && splits.forall(_._2 > 0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must be positive and sum to 1")
+    // "split|" domain separator: without it this would be the exact
+    // permutation randomSample uses, and a sample drawn with the same
+    // seed would correlate perfectly with the split boundaries
     val bucket = conv(substring(
-      md5(concat(col(idCol).cast("string"), lit(seed.toString))), 1, 15),
-      16, 10).cast("long")
+      md5(concat(lit("split|"), col(idCol).cast("string"), lit(seed.toString))),
+      1, 15), 16, 10).cast("long")
     val thresholds = splitThresholds(splits)
     val chained = splits.init.zip(thresholds.init).foldLeft(Option.empty[Column]) {
       case (acc, ((name, _), thr)) =>

@@ -182,20 +182,24 @@ object TextAnalysis {
 
   /** PII scrubbing — the redaction pass a training corpus runs before
     * leaving quarantine: emails, bare IPv4s, and long digit runs replace
-    * with typed placeholder tokens (in that order, so digits inside an
-    * email/IP are not double-counted as phones). Adds match counts per
+    * with typed placeholder tokens, SEQUENTIALLY — each category is
+    * counted on the text with the previous categories already redacted,
+    * so every count is the number of tokens actually emitted (digits
+    * inside an email never count as a phone). Adds match counts per
     * category plus the `scrubbed` column. Pure map-side regexp column
     * math — codegen'd, zero shuffle.
     */
-  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))))
-      .withColumn("n_ips", size(regexp_extract_all(t, lit(Ipv4Re), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))))
-      .withColumn("scrubbed",
-        regexp_replace(regexp_replace(regexp_replace(t,
-          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
-  }
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__t1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
+      .withColumn("__t2", regexp_replace(col("__t1"), Ipv4Re, "<IP>"))
+      .withColumn("scrubbed", regexp_replace(col("__t2"), PhoneRe, "<PHONE>"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("__t1"), lit(Ipv4Re), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0))))
+      .drop("__t1", "__t2")
 
   /** Concat-then-chunk sequence packing — the LLM-pretraining step that
     * concatenates documents into a token stream and slices fixed-size

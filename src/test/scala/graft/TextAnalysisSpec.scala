@@ -130,6 +130,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) === ((0, 0, 0, "clean text with user123 and v2.0 markers")))
   }
 
+  test("scrubPii counts reflect tokens actually emitted (no double counting)") {
+    import spark.implicits._
+    // the digit-run local part disappears inside <EMAIL>; it must not
+    // ALSO count as a phone
+    val df = Seq((1L, "reach 5551234567@example.com today")).toDF("doc_id", "text")
+    val r = graft.ops.TextAnalysis.scrubPii(df, "text")
+      .select("n_emails", "n_ips", "n_phones", "scrubbed").collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((1, 0, 0)))
+    assert(r.getString(3) === "reach <EMAIL> today")
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
