@@ -184,6 +184,31 @@ object DuckMirror {
        |            ELSE 0.0 END AS rep_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** quality_filter oracle: the Gopher-style composite rule
+    * (TextAnalysis.gopherFilter) — token bounds, mean chars/token bounds,
+    * repetition bound, verdict on the ROUNDED metrics like the Spark side.
+    */
+  def gopherSql(minTokens: Long, maxTokens: Long, minMeanLen: Double,
+                maxMeanLen: Double, maxRep: Double): String =
+    s"""WITH $docsSh3,
+       |sh AS (SELECT doc_id, COALESCE(v, []::UBIGINT[]) AS v FROM sh3),
+       |t AS (SELECT doc_id,
+       |             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+       |             CAST(len(text) AS DOUBLE) AS l
+       |      FROM documents),
+       |m AS (SELECT t.doc_id, n_tokens,
+       |             CASE WHEN n_tokens > 0 THEN ROUND(l / n_tokens, 6) ELSE 0.0 END AS mean_chars_per_token,
+       |             CASE WHEN len(v) > 0
+       |                  THEN ROUND(1 - CAST(len(list_distinct(v)) AS DOUBLE) / len(v), 6)
+       |                  ELSE 0.0 END AS rep_ratio
+       |      FROM t JOIN sh ON sh.doc_id = t.doc_id)
+       |SELECT doc_id, n_tokens, mean_chars_per_token, rep_ratio,
+       |       (n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |        AND mean_chars_per_token >= $minMeanLen
+       |        AND mean_chars_per_token <= $maxMeanLen
+       |        AND rep_ratio <= $maxRep) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   /** decontam oracle: corpus docs (doc_id % mod <> 0) sharing ANY w=3
     * shingle hash with the benchmark subset (doc_id % mod = 0) —
     * Dedup.contaminatedDocs.

@@ -724,6 +724,12 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
 
+    // Gopher-style composite quality filter: token bounds + mean word
+    // length + repetition bound -> auditable keep verdict, map-side
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.gopherFilter(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Gopher-style repetition signal: duplicate word-3-gram fraction per
     // doc — ONE ShingleKernel pass, zero shuffle
     "doc_repetition" -> ((s, dir) =>
@@ -1696,6 +1702,9 @@ object SparkEntry {
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
         "doc_repetition" -> DuckMirror.repetitionSql,
+        "quality_filter" -> DuckMirror.gopherSql(
+          minTokens = 50L, maxTokens = 5000L,
+          minMeanLen = 3.0, maxMeanLen = 10.0, maxRep = 0.2),
         "decontam" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L))

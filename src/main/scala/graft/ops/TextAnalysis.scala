@@ -201,6 +201,39 @@ object TextAnalysis {
         size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0))))
       .drop("__t1", "__t2")
 
+  /** Gopher-style composite quality filter (the arithmetic rule family of
+    * the Gopher/MassiveText data pipeline — no model): keep a document
+    * iff its token count, mean characters-per-token, and duplicate-3-gram
+    * fraction all sit inside the configured bounds. Emits the metrics
+    * alongside the verdict so drops are auditable. One ShingleKernel +
+    * one TextStats-style pass, pure map-side — this is a FILTER at 100 TB,
+    * not a job.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minTokens: Long = 50L, maxTokens: Long = 5000L,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   maxRep: Double = 0.2): DataFrame =
+    df.select(col(idCol),
+        tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+        length(col(textCol)).cast(DoubleType).as("__len"),
+        coalesce(word_shingle_hashes(col(textCol), 3),
+          array().cast(ArrayType(LongType))).as("__sh"))
+      .withColumn("mean_chars_per_token",
+        when(col("n_tokens") > 0, round(col("__len") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("rep_ratio",
+        when(size(col("__sh")) > 0,
+          round(lit(1.0) -
+            size(array_distinct(col("__sh"))).cast(DoubleType) / size(col("__sh")), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("mean_chars_per_token") >= minMeanLen &&
+          col("mean_chars_per_token") <= maxMeanLen &&
+          col("rep_ratio") <= maxRep)
+      .select(col(idCol), col("n_tokens"), col("mean_chars_per_token"),
+        col("rep_ratio"), col("keep"))
+
   /** Concat-then-chunk sequence packing — the LLM-pretraining step that
     * concatenates documents into a token stream and slices fixed-size
     * training windows: within each `groupCol` stream, documents ordered

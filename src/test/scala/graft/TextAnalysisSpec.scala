@@ -97,6 +97,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("gopherFilter: each rule independently drops; clean docs keep") {
+    import spark.implicits._
+    val longText = Seq.tabulate(60)(i => s"word$i").mkString(" ")       // 60 tokens, distinct
+    val repeats = Seq.fill(20)("spam spam spam").mkString(" ")           // high repetition
+    val df = Seq(
+      (1L, longText),                                   // keep
+      (2L, "too short"),                                // drop: < minTokens
+      (3L, repeats + " " + longText),                   // drop: rep_ratio
+      (4L, Seq.fill(60)("hippopotomonstrous").mkString(" "))) // drop: mean len > 10
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherFilter(df, "doc_id", "text",
+        minTokens = 50L, maxTokens = 5000L, maxRep = 0.2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
   test("packSequences: concat-then-chunk offsets within each group stream") {
     import spark.implicits._
     val df = Seq(
