@@ -724,6 +724,22 @@ object SparkEntry {
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
 
+    // boilerplate normalization over a corpus with planted URLs/HTML
+    // (doc_id % 3 == 0): strip counts + fingerprint of the normalized
+    // bytes, both value-checked
+    "normalize_text" -> ((s, dir) => {
+      val planted = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" visit https://example.com/x?id="),
+            col("doc_id").cast(StringType),
+            lit(" <b>read more</b> <br/>")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.normalizeText(planted, "text")
+        .select(col("doc_id"), col("n_urls"), col("n_tags"),
+          TextAnalysis.fingerprint(col("normalized")).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style composite quality filter: token bounds + mean word
     // length + repetition bound -> auditable keep verdict, map-side
     "quality_filter" -> ((s, dir) =>
@@ -1705,6 +1721,30 @@ object SparkEntry {
         "quality_filter" -> DuckMirror.gopherSql(
           minTokens = 50L, maxTokens = 5000L,
           minMeanLen = 3.0, maxMeanLen = 10.0, maxRep = 0.2),
+        "normalize_text" -> {
+          import graft.ops.TextAnalysis.{TagRe, UrlRe}
+          s"""WITH c AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 3 = 0
+             |              THEN text || ' visit https://example.com/x?id=' || CAST(doc_id AS VARCHAR)
+             |                   || ' <b>read more</b> <br/>'
+             |              ELSE text END AS text
+             |  FROM documents),
+             |t1 AS (SELECT doc_id,
+             |              CAST(len(regexp_extract_all(text, '$UrlRe')) AS INTEGER) AS n_urls,
+             |              regexp_replace(text, '$UrlRe', ' ', 'g') AS s1
+             |       FROM c),
+             |n AS (SELECT doc_id, n_urls,
+             |             CAST(len(regexp_extract_all(s1, '$TagRe')) AS INTEGER) AS n_tags,
+             |             trim(regexp_replace(regexp_replace(s1, '$TagRe', ' ', 'g'),
+             |                                 '[ \\t\\n]+', ' ', 'g')) AS normalized
+             |      FROM t1),
+             |h AS (SELECT doc_id, n_urls, n_tags,
+             |             ${DuckMirror.rollingHashUnsignedSql("normalized")} AS hu
+             |      FROM n)
+             |SELECT doc_id, n_urls, n_tags, ${DuckMirror.signed64("hu")} AS norm_fp
+             |FROM h ORDER BY doc_id""".stripMargin
+        },
         "decontam" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L))

@@ -201,6 +201,29 @@ object TextAnalysis {
         size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0))))
       .drop("__t1", "__t2")
 
+  /** Boilerplate patterns for [[normalizeText]] — RE2-safe like the PII
+    * set: URLs (scheme to the next whitespace) and HTML/XML tags.
+    */
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val TagRe = "<[^>]+>"
+
+  /** Boilerplate normalization — the standard pre-tokenization cleanup:
+    * strip URLs, strip HTML/XML tags, collapse whitespace runs to one
+    * space, trim. Counts are sequential (tags counted after URL removal)
+    * so they equal the constructs actually stripped. Pure map-side regexp
+    * column math, zero shuffle.
+    */
+  def normalizeText(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))))
+      .withColumn("__t1", regexp_replace(col(textCol), UrlRe, " "))
+      .withColumn("n_tags",
+        size(regexp_extract_all(col("__t1"), lit(TagRe), lit(0))))
+      .withColumn("normalized",
+        trim(regexp_replace(regexp_replace(col("__t1"), TagRe, " "),
+          "[ \\t\\n]+", " ")))
+      .drop("__t1")
+
   /** Gopher-style composite quality filter (the arithmetic rule family of
     * the Gopher/MassiveText data pipeline — no model): keep a document
     * iff its token count, mean characters-per-token, and duplicate-3-gram

@@ -97,6 +97,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("normalizeText strips URLs and tags, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "read  this:  https://a.io/x?y=1 <b>bold</b>\tand <br/> done"),
+      (2L, "plain already")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.normalizeText(df, "text")
+      .select("doc_id", "n_urls", "n_tags", "normalized")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) === ((1, 3, "read this: bold and done"))) // <b>, </b>, <br/>
+    assert(out(2L) === ((0, 0, "plain already")))
+  }
+
   test("gopherFilter: each rule independently drops; clean docs keep") {
     import spark.implicits._
     val longText = Seq.tabulate(60)(i => s"word$i").mkString(" ")       // 60 tokens, distinct
