@@ -169,6 +169,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getString(3) === "reach <EMAIL> today")
   }
 
+  test("scrubPii and normalizeText are idempotent (tokens never re-match)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a@b.co 1.2.3.4 5551234567 https://x.io/p <i>t</i>  mixed \t text"),
+      (2L, "clean"),
+      (3L, "<EMAIL> looks scrubbed already 12345678901"))
+      .toDF("doc_id", "text")
+    val once = graft.ops.TextAnalysis.scrubPii(df, "text")
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    val twice = graft.ops.TextAnalysis.scrubPii(once, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed").collect()
+    twice.foreach { r =>
+      assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((0, 0, 0)),
+        s"re-scrub found new matches: $r")
+    }
+    val norm1 = graft.ops.TextAnalysis.normalizeText(df, "text")
+      .select(col("doc_id"), col("normalized").as("text"))
+    val norm2 = graft.ops.TextAnalysis.normalizeText(norm1, "text")
+      .select("doc_id", "n_urls", "n_tags", "normalized").collect()
+    norm2.foreach { r =>
+      assert((r.getInt(1), r.getInt(2)) === ((0, 0)), s"re-normalize matched: $r")
+    }
+  }
+
+  test("packSequences offsets are contiguous per group on the real corpus") {
+    val out = graft.ops.TextAnalysis.packSequences(
+        Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text",
+        "lang", 1024L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).values.foreach { group =>
+      val ordered = group.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, _, n, off), (_, _, _, off2)) =>
+          assert(off2 === off + n, "token stream must be gap-free")
+        case _ => ()
+      }
+      assert(ordered.head._4 === 0L)
+    }
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
