@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayDistinct, ArrayIntersect, Asin, Cast, Cos, CreateArray, Divide,
-  Exp, Expression, GetJsonObject, IsNotNull, JsonObjectKeys, LengthOfJsonArray,
-  LessThan, Literal, Lower, Multiply, Pow, Sin, Size, Sqrt, StringSplit,
-  Subtract, UnaryMinus}
+  Add, ArrayDistinct, ArrayIntersect, Asin, Cast, Cos, CreateArray,
+  CreateNamedStruct, Divide, Exp, Expression, GetJsonObject, GetStructField,
+  IsNotNull, JsonObjectKeys, LengthOfJsonArray, LessThan, Literal, Lower,
+  Multiply, Pow, Sin, Size, Sqrt, StringSplit, Subtract, UnaryMinus}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -115,7 +115,16 @@ private[graft] object SqlBuilders {
       Literal(litString(es(2), "v_within", "radius").toDouble))),
     "v_gauss_decay" -> (es =>
       Exp(Multiply(Literal(-math.log(2.0)), Pow(Divide(es(0), es(1)), Two)))),
-    "v_geo_distance" -> (es => geoDistance(es)),
+    // 4-scalar form, or the corpus's two-POINT form (tests.sql:295-299)
+    "v_geo_distance" -> (es =>
+      if (es.length >= 4) geoDistance(es)
+      else geoDistance(Seq(
+        GetStructField(es(0), 0, Some("lat")), GetStructField(es(0), 1, Some("lon")),
+        GetStructField(es(1), 0, Some("lat")), GetStructField(es(1), 1, Some("lon"))))),
+    // POINT(lat, lon) constructor literal (tests.sql:298)
+    "point" -> (es => CreateNamedStruct(Seq(
+      Literal(UTF8String.fromString("lat"), org.apache.spark.sql.types.StringType), es(0),
+      Literal(UTF8String.fromString("lon"), org.apache.spark.sql.types.StringType), es(1)))),
     "match_text" -> (es => matchText(es(0), es(1))),
     // JSON pack aliases (SURVEY §2.D): json_get(j,'k'), typed gets, has_field
     "json_get" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_get"))),
@@ -126,5 +135,11 @@ private[graft] object SqlBuilders {
     "json_length" -> (es => LengthOfJsonArray(
       if (es.length > 1) GetJsonObject(es.head, pathOf(es.tail, "json_length")) else es.head)),
     "json_object_keys" -> (es => JsonObjectKeys(es.head)),
+    // remaining json-pack aliases (udfs.rs:13-16 registers them wholesale):
+    // sub-document extraction and ->> text extraction are GetJsonObject in
+    // Spark; json_contains = path existence
+    "json_get_json" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_get_json"))),
+    "json_as_text" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_as_text"))),
+    "json_contains" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail, "json_contains")))),
     "has_field" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail, "has_field")))))
 }

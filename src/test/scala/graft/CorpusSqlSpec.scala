@@ -161,6 +161,28 @@ class CorpusSqlSpec extends AnyFunSuite {
     r.foreach(x => assert(x.getDouble(1) === scalaSide(x.getString(0))))
   }
 
+  test("POINT constructor + two-point V_GEO_DISTANCE, json-pack aliases (tests.sql:295-299)") {
+    // literal transliteration of the corpus's POINT call shape
+    val d = sql(
+      """SELECT v_geo_distance(point(52.504043D, 13.393236D),
+        |                      point(52.52D, 13.405D)) AS meters""".stripMargin)
+      .head().getDouble(0)
+    // same inputs through the 4-scalar form must be bit-identical
+    val d4 = sql(
+      "SELECT v_geo_distance(52.504043D, 13.393236D, 52.52D, 13.405D) AS m")
+      .head().getDouble(0)
+    assert(d === d4)
+    assert(d > 1000 && d < 3000) // ~1.9 km across Berlin Mitte
+    val j = sql(
+      """SELECT json_as_text(payload, 'label') AS t,
+        |       json_get_json(payload, 'label') AS sub,
+        |       json_contains(payload, 'label') AS has,
+        |       json_contains(payload, 'nope') AS hasnt
+        |FROM embeddings_collection LIMIT 1""".stripMargin).head()
+    assert(j.getString(0) === j.getString(1))
+    assert(j.getBoolean(2) && !j.getBoolean(3))
+  }
+
   test("non-literal metric/query arguments raise a clean AnalysisException") {
     val ex = intercept[org.apache.spark.sql.AnalysisException] {
       sql("SELECT v_distance(vector, vector, id) FROM embeddings_collection").collect()
