@@ -170,6 +170,15 @@ object DuckMirror {
        |sh3 AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS v FROM sh3a)""".stripMargin
   }
 
+  /** 1 - distinct/total over shingle list `v`, 6dp — the SQL twin of the
+    * Spark-side repRatioOf; shared by the repetition and quality-filter
+    * oracles so the rounding stays bit-identical.
+    */
+  private def repRatioSql(v: String): String =
+    s"""CASE WHEN len($v) > 0
+       |     THEN ROUND(1 - CAST(len(list_distinct($v)) AS DOUBLE) / len($v), 6)
+       |     ELSE 0.0 END""".stripMargin
+
   /** doc_repetition oracle: per-doc duplicate-shingle fraction
     * (TextAnalysis.repetitionRatio).
     */
@@ -179,9 +188,7 @@ object DuckMirror {
        |SELECT doc_id,
        |       CAST(len(v) AS INTEGER) AS n_shingles,
        |       CAST(len(list_distinct(v)) AS INTEGER) AS n_distinct,
-       |       CASE WHEN len(v) > 0
-       |            THEN ROUND(1 - CAST(len(list_distinct(v)) AS DOUBLE) / len(v), 6)
-       |            ELSE 0.0 END AS rep_ratio
+       |       ${repRatioSql("v")} AS rep_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
   /** quality_filter oracle: the Gopher-style composite rule
@@ -192,15 +199,15 @@ object DuckMirror {
                 maxMeanLen: Double, maxRep: Double): String =
     s"""WITH $docsSh3,
        |sh AS (SELECT doc_id, COALESCE(v, []::UBIGINT[]) AS v FROM sh3),
-       |t AS (SELECT doc_id,
-       |             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
-       |             CAST(len(text) AS DOUBLE) AS l
-       |      FROM documents),
+       |-- len(th) IS the whitespace token count (th = one fnv hash per
+       |-- filtered token) — no need to re-tokenize the corpus
+       |t AS (SELECT th.doc_id,
+       |             CAST(len(th.th) AS BIGINT) AS n_tokens,
+       |             CAST(len(d.text) AS DOUBLE) AS l
+       |      FROM th JOIN documents d ON d.doc_id = th.doc_id),
        |m AS (SELECT t.doc_id, n_tokens,
        |             CASE WHEN n_tokens > 0 THEN ROUND(l / n_tokens, 6) ELSE 0.0 END AS mean_chars_per_token,
-       |             CASE WHEN len(v) > 0
-       |                  THEN ROUND(1 - CAST(len(list_distinct(v)) AS DOUBLE) / len(v), 6)
-       |                  ELSE 0.0 END AS rep_ratio
+       |             ${repRatioSql("v")} AS rep_ratio
        |      FROM t JOIN sh ON sh.doc_id = t.doc_id)
        |SELECT doc_id, n_tokens, mean_chars_per_token, rep_ratio,
        |       (n_tokens >= $minTokens AND n_tokens <= $maxTokens

@@ -2,10 +2,13 @@ package graft.functions
 
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayDistinct, ArrayIntersect, Asin, Cast, Cos, CreateArray,
-  CreateNamedStruct, Divide, Exp, Expression, GetJsonObject, GetStructField,
-  IsNotNull, JsonObjectKeys, LengthOfJsonArray, LessThan, Literal, Lower,
-  Multiply, Pow, Sin, Size, Sqrt, StringSplit, Subtract, UnaryMinus}
+  Add, ArrayContains, ArrayDistinct, ArrayIntersect, Asin, Cast, Coalesce,
+  Cos, CreateArray, CreateNamedStruct, Divide, Exp, Expression,
+  GetJsonObject, GetStructField, IsNotNull, JsonObjectKeys,
+  LengthOfJsonArray, LessThan, Literal, Lower, Multiply, Pow, Sin, Size,
+  Sqrt, StringSplit, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet}
+import org.apache.spark.sql.types.{StringType, VariantType}
 import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -83,6 +86,29 @@ private[graft] object SqlBuilders {
     Multiply(Literal(2 * 6371000.0), Asin(Sqrt(h)))
   }
 
+  /** A geo point argument -> (lat, lon) expressions: a POINT(...) struct,
+    * or a JSON object string `{"lat":..,"lon":..}` (the corpus's
+    * `payload->'geo'->'location'` shape). Anything else is a clean
+    * analysis error, not a ClassCastException.
+    */
+  private def latLonOf(e: Expression): Seq[Expression] = {
+    if (!e.resolved)
+      throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          "v_geo_distance: cannot type its point argument; use the 4-scalar form"))
+    e.dataType match {
+      case _: org.apache.spark.sql.types.StructType => Seq(
+        GetStructField(e, 0, Some("lat")), GetStructField(e, 1, Some("lon")))
+      case StringType => Seq(
+        Cast(GetJsonObject(e, Literal(UTF8String.fromString("$.lat"))), DoubleType),
+        Cast(GetJsonObject(e, Literal(UTF8String.fromString("$.lon"))), DoubleType))
+      case other => throw new AnalysisException("USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          ("v_geo_distance expects POINT structs, JSON location objects, or " +
+            s"4 lat/lon scalars; got ${other.catalogString}")))
+    }
+  }
+
   /** MATCH_TEXT(text, 'query'): fraction of distinct query terms present —
     * same tokenization as Scala-side `functions.match_text`.
     */
@@ -115,12 +141,12 @@ private[graft] object SqlBuilders {
       Literal(litString(es(2), "v_within", "radius").toDouble))),
     "v_gauss_decay" -> (es =>
       Exp(Multiply(Literal(-math.log(2.0)), Pow(Divide(es(0), es(1)), Two)))),
-    // 4-scalar form, or the corpus's two-POINT form (tests.sql:295-299)
+    // 4-scalar form, or the corpus's two-point form (tests.sql:295-299)
+    // where each point is a POINT(...) struct OR a JSON location object
+    // (payload->'geo'->'location' = {"lat":..,"lon":..})
     "v_geo_distance" -> (es =>
       if (es.length >= 4) geoDistance(es)
-      else geoDistance(Seq(
-        GetStructField(es(0), 0, Some("lat")), GetStructField(es(0), 1, Some("lon")),
-        GetStructField(es(1), 0, Some("lat")), GetStructField(es(1), 1, Some("lon"))))),
+      else geoDistance(latLonOf(es(0)) ++ latLonOf(es(1)))),
     // POINT(lat, lon) constructor literal (tests.sql:298)
     "point" -> (es => CreateNamedStruct(Seq(
       Literal(UTF8String.fromString("lat"), org.apache.spark.sql.types.StringType), es(0),
@@ -136,10 +162,23 @@ private[graft] object SqlBuilders {
       if (es.length > 1) GetJsonObject(es.head, pathOf(es.tail, "json_length")) else es.head)),
     "json_object_keys" -> (es => JsonObjectKeys(es.head)),
     // remaining json-pack aliases (udfs.rs:13-16 registers them wholesale):
-    // sub-document extraction and ->> text extraction are GetJsonObject in
-    // Spark; json_contains = path existence
-    "json_get_json" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_get_json"))),
+    // json_get_json keeps JSON quoting/typing (variant round-trip — a
+    // string scalar comes back QUOTED, distinguishing it from
+    // json_as_text's ->> raw-text semantics), and json_contains is true
+    // key EXISTENCE (a key holding JSON null still reports true)
+    "json_get_json" -> (es =>
+      org.apache.spark.sql.catalyst.expressions.StructsToJson(Map.empty,
+        VariantGet(ParseJson(es.head, failOnError = false),
+          pathOf(es.tail, "json_get_json"), VariantType, failOnError = false, None))),
     "json_as_text" -> (es => GetJsonObject(es.head, pathOf(es.tail, "json_as_text"))),
-    "json_contains" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail, "json_contains")))),
+    "json_contains" -> (es => {
+      val keys = es.tail
+      val parent =
+        if (keys.length <= 1) es.head
+        else GetJsonObject(es.head, pathOf(keys.init, "json_contains"))
+      val last = Literal(UTF8String.fromString(
+        litString(keys.last, "json_contains", "JSON key")), StringType)
+      Coalesce(Seq(ArrayContains(JsonObjectKeys(parent), last), Literal(false)))
+    }),
     "has_field" -> (es => IsNotNull(GetJsonObject(es.head, pathOf(es.tail, "has_field")))))
 }

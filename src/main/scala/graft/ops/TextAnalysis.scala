@@ -135,21 +135,28 @@ object TextAnalysis {
     * `rep_ratio > threshold` is how training pipelines drop
     * boilerplate/spam at scale.
     */
+  /** Shingle array with NULL text as zero shingles (size(NULL) would be
+    * -1 under the legacy sizeOfNull default and diverge from the oracle).
+    * Shared by [[repetitionRatio]] and [[gopherFilter]] — the rounding
+    * and guards must stay bit-identical between them.
+    */
+  private def shingles(textCol: Column, width: Int): Column =
+    coalesce(word_shingle_hashes(textCol, width),
+      array().cast(ArrayType(LongType)))
+
+  /** 1 - distinct/total over a (possibly empty) shingle array, 6dp. */
+  private def repRatioOf(sh: Column): Column =
+    when(size(sh) > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast(DoubleType) / size(sh), 6))
+      .otherwise(lit(0.0))
+
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
                       width: Int = 3): DataFrame =
-    df.select(col(idCol),
-        // NULL text counts as zero shingles (size(NULL) would be -1 under
-        // the legacy sizeOfNull default and diverge from the oracle)
-        coalesce(word_shingle_hashes(col(textCol), width),
-          array().cast(ArrayType(LongType))).as("__sh"))
+    df.select(col(idCol), shingles(col(textCol), width).as("__sh"))
       .select(col(idCol),
         size(col("__sh")).as("n_shingles"),
-        size(array_distinct(col("__sh"))).as("n_distinct"))
-      .withColumn("rep_ratio",
-        when(col("n_shingles") > 0,
-          round(lit(1.0) -
-            col("n_distinct").cast(DoubleType) / col("n_shingles"), 6))
-          .otherwise(lit(0.0)))
+        size(array_distinct(col("__sh"))).as("n_distinct"),
+        repRatioOf(col("__sh")).as("rep_ratio"))
 
   /** Benchmark decontamination: corpus documents sharing ANY word
     * `width`-shingle with the benchmark set — the n-gram-overlap rule used
@@ -239,16 +246,11 @@ object TextAnalysis {
     df.select(col(idCol),
         tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
         length(col(textCol)).cast(DoubleType).as("__len"),
-        coalesce(word_shingle_hashes(col(textCol), 3),
-          array().cast(ArrayType(LongType))).as("__sh"))
+        shingles(col(textCol), 3).as("__sh"))
       .withColumn("mean_chars_per_token",
         when(col("n_tokens") > 0, round(col("__len") / col("n_tokens"), 6))
           .otherwise(lit(0.0)))
-      .withColumn("rep_ratio",
-        when(size(col("__sh")) > 0,
-          round(lit(1.0) -
-            size(array_distinct(col("__sh"))).cast(DoubleType) / size(col("__sh")), 6))
-          .otherwise(lit(0.0)))
+      .withColumn("rep_ratio", repRatioOf(col("__sh")))
       .withColumn("keep",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
           col("mean_chars_per_token") >= minMeanLen &&

@@ -179,8 +179,37 @@ class CorpusSqlSpec extends AnyFunSuite {
         |       json_contains(payload, 'label') AS has,
         |       json_contains(payload, 'nope') AS hasnt
         |FROM embeddings_collection LIMIT 1""".stripMargin).head()
-    assert(j.getString(0) === j.getString(1))
+    assert(j.getString(0) === j.getString(1)) // numeric: same rendering
     assert(j.getBoolean(2) && !j.getBoolean(3))
+    // json_get_json keeps JSON quoting on STRING scalars (unlike ->>),
+    // and json_contains is key EXISTENCE: a JSON-null value still counts
+    val edge = sql(
+      """SELECT json_get_json(p, 's') AS quoted,
+        |       json_as_text(p, 's') AS raw,
+        |       json_contains(p, 'n') AS null_key,
+        |       json_as_text(p, 'n') IS NOT NULL AS null_key_has_field
+        |FROM (SELECT '{"s": "x", "n": null}' AS p)""".stripMargin).head()
+    assert(edge.getString(0) === "\"x\"")
+    assert(edge.getString(1) === "x")
+    assert(edge.getBoolean(2), "existing key with null value must report true")
+    assert(!edge.getBoolean(3)) // the ->>-based shape cannot see it
+  }
+
+  test("V_GEO_DISTANCE accepts a JSON location object (tests.sql:295-299 exact shape)") {
+    val r = sql(
+      """SELECT v_geo_distance(json_get_json(p, 'geo', 'location'),
+        |                      point(52.52D, 13.405D)) AS meters
+        |FROM (SELECT '{"geo": {"location": {"lat": 52.504043, "lon": 13.393236}}}' AS p)""".stripMargin)
+      .head().getDouble(0)
+    val expected = sql(
+      "SELECT v_geo_distance(52.504043D, 13.393236D, 52.52D, 13.405D) AS m")
+      .head().getDouble(0)
+    assert(r === expected)
+    // wrong-typed point argument is a clean analysis error, not a CCE
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT v_geo_distance(1.0D, 2.0D) FROM embeddings_collection").collect()
+    }
+    assert(ex.getMessage.contains("v_geo_distance expects"))
   }
 
   test("non-literal metric/query arguments raise a clean AnalysisException") {
