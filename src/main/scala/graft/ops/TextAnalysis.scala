@@ -196,17 +196,31 @@ object TextAnalysis {
     * category plus the `scrubbed` column. Pure map-side regexp column
     * math — codegen'd, zero shuffle.
     */
-  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    // literal-substring occurrence count — a plain scan, no regex:
+    // occurrences = length dropped by removing the token / token length
+    def nTok(c: Column, tok: String): Column =
+      ((length(c) - length(replace(c, lit(tok)))) / lit(tok.length))
+        .cast(IntegerType)
     df.withColumn("__t1", regexp_replace(col(textCol), EmailRe, "<EMAIL>"))
       .withColumn("__t2", regexp_replace(col("__t1"), Ipv4Re, "<IP>"))
       .withColumn("scrubbed", regexp_replace(col("__t2"), PhoneRe, "<PHONE>"))
+      // counts derive from placeholder-occurrence DELTAS between stages —
+      // three cheap literal scans instead of three full regex re-scans of
+      // text the replaces already scanned. Each regex match inserts
+      // exactly one placeholder, and no replacement can create or destroy
+      // an occurrence by juxtaposition (the placeholder strings have no
+      // prefix/suffix self-overlap and contain no digits or '@'), so the
+      // deltas equal the regex match counts exactly — including on text
+      // that already contained literal placeholder strings.
       .withColumn("n_emails",
-        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+        nTok(col("__t1"), "<EMAIL>") - nTok(col(textCol), "<EMAIL>"))
       .withColumn("n_ips",
-        size(regexp_extract_all(col("__t1"), lit(Ipv4Re), lit(0))))
+        nTok(col("__t2"), "<IP>") - nTok(col("__t1"), "<IP>"))
       .withColumn("n_phones",
-        size(regexp_extract_all(col("__t2"), lit(PhoneRe), lit(0))))
+        nTok(col("scrubbed"), "<PHONE>") - nTok(col("__t2"), "<PHONE>"))
       .drop("__t1", "__t2")
+  }
 
   /** Boilerplate patterns for [[normalizeText]] — RE2-safe like the PII
     * set: URLs (scheme to the next whitespace) and HTML/XML tags.

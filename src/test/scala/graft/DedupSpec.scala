@@ -35,6 +35,17 @@ class DedupSpec extends AnyFunSuite {
     assert(expectedPairs.subsetOf(cands))
   }
 
+  test("minhash candidate generation retains no cache blocks") {
+    // the bucket-groupBy formulation needs no persist at all — a full
+    // candidate+verify run must leave the session's cache untouched
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val d = docs.select(col("doc_id"), col("text"))
+    Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.8).count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    assert((after -- before).isEmpty,
+      s"leaked cached RDDs: ${(after -- before).mkString(",")}")
+  }
+
   test("minhashDedup verifies candidates with true jaccard") {
     val d = docs.select(col("doc_id"), col("text"))
     val planted = d.filter(col("doc_id") % 10 === 0)

@@ -34,6 +34,32 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("nBytes") =!= col("expected")).count() === 0)
   }
 
+  test("decoder seam: fake stub and a real UTF-8 decoder run the same path") {
+    // both instances flow through the identical extractFeatures plumbing;
+    // only the injected kernel differs
+    val fake = Multimodal.featuresOf(spark, TestSpark.sfDir, dim = 8,
+      decoder = Multimodal.FakeDecoder)
+    val real = Multimodal.featuresOf(spark, TestSpark.sfDir, dim = 8,
+      decoder = Multimodal.Utf8HistogramDecoder)
+    assert(fake.count() === 500 && real.count() === 500)
+    // the real decoder actually interprets the payload: a histogram over
+    // the UTF-8 text sums to the character count, dimension by dimension
+    val row = Multimodal.syntheticMediaTable(spark, TestSpark.sfDir)
+      .filter(col("id") === "0").select(col("media")).head()
+    val text = new String(row.getAs[Array[Byte]](0),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val hist = real.filter(col("id") === "0")
+      .select(col("features")).head().getSeq[Float](0)
+    assert(hist.sum.toInt === text.length)
+    val expected = new Array[Float](8)
+    text.foreach(c => expected(c % 8) += 1.0f)
+    assert(hist === expected.toSeq)
+    // and the two kernels genuinely differ on the same payload
+    val fhist = fake.filter(col("id") === "0")
+      .select(col("features")).head().getSeq[Float](0)
+    assert(fhist !== hist)
+  }
+
   test("extraction plan has no shuffle (map-side only)") {
     val plan = Multimodal.featuresOf(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

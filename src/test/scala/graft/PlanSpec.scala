@@ -87,13 +87,19 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, p)
   }
 
-  test("ann_lsh: band match is a scan filter - zero shuffles, TakeOrdered") {
+  test("ann_lsh: serves stored signatures - no per-row v_dot, zero shuffles") {
     val df = SparkEntry.queries("ann_lsh")(spark, TestSpark.sfDir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Join"), p)
+    // the query plan reads the ingest-materialized (id, vector, bucket)
+    // frame — it must compute NO hyperplane dot over the corpus (that
+    // happened once at ingest) and touch no parquet file at all
+    assert(!p.contains("v_dot"), s"per-query signature recompute:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"stored-signature scan missing:\n$p")
+    assert(count(p, "Scan parquet") == 0, s"expected 0 parquet scans:\n$p")
   }
 
   test("asof_join: one partitioned window over one exchange, no row explosion") {
