@@ -41,6 +41,40 @@ object ScaleProbe {
       }
       c.unpersist()
     }
+    // 8x/16x flatness sweep (recorded in BASELINE.md): dedup_clusters'
+    // ROUND COUNT must stay ~log(component diameter) as replication
+    // densifies every component (replicas are exact copies, so components
+    // grow wider, not deeper), and the LSH band filter must keep constant
+    // selectivity (identical vectors replicate into the same buckets)
+    for (n <- Seq(1, 2, 4, 8, 16)) {
+      val c = corpus(n).persist(); c.count()
+      time(s"dedup_clusters x$n") {
+        val rows = graft.ops.Dedup.dedupClusters(c, "doc_id", "text",
+          Seq("lang", "source"), 0.8).count()
+        println(s"[probe] clusters x$n rounds=${graft.ops.Dedup.lastCcRounds}")
+        rows
+      }
+      c.unpersist()
+    }
+    val hom = graft.collections.Collections.homogeneous(spark, "/root/testdata/sf0.1")
+      .select(col("id"), col("vector"))
+    val qv = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def homN(n: Int): DataFrame =
+      (0 until n).map(i =>
+        hom.select(concat(col("id"), lit(s"_$i")).as("id"), col("vector")))
+        .reduce(_ union _)
+    for (n <- Seq(1, 2, 4, 8, 16)) {
+      val h = homN(n).persist(); val total = h.count()
+      time(s"lsh_candidates x$n") {
+        val cand = graft.ops.Ann.lshBuckets(h, "vector", qv.length, 16)
+          .filter(graft.ops.Ann.lshBandMatch(qv)).count()
+        println(f"[probe] lsh x$n selectivity=${cand.toDouble / total}%.4f ($cand of $total)")
+        cand
+      }
+      h.unpersist()
+    }
     // events-based probe: watermark-dedup bounded form over replicated events
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     def events(n: Int): DataFrame =

@@ -225,17 +225,25 @@ object Ann {
     * long-compare filter + exact-cosine rerank — zero v_dot over the
     * corpus, zero shuffles, zero joins.
     */
-  def searchLshStored(sigs: DataFrame, idCol: String, vecCol: String,
-                      query: Seq[Double], k: Int, nbits: Int = 16,
-                      bands: Int = 4, seed: Long = 42L): DataFrame = {
+  /** The band-match predicate of [[searchLshStored]] over a stored
+    * `bucket` column: true when ANY band of the row's signature equals the
+    * query's. Exposed so probes can measure candidate selectivity.
+    */
+  def lshBandMatch(query: Seq[Double], nbits: Int = 16, bands: Int = 4,
+                   seed: Long = 42L): Column = {
     require(nbits % bands == 0)
     val r = nbits / bands
     val mask = (1L << r) - 1
     val qSig = lshSignatureOf(query, nbits, seed)
-    val bandMatch = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       (shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))) === lit((qSig >>> (b * r)) & mask)
     }.reduce(_ || _)
-    sigs.filter(bandMatch)
+  }
+
+  def searchLshStored(sigs: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, nbits: Int = 16,
+                      bands: Int = 4, seed: Long = 42L): DataFrame = {
+    sigs.filter(lshBandMatch(query, nbits, bands, seed))
       .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)

@@ -20,6 +20,12 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Round count of the most recent [[connectedComponents]] call on this
+    * JVM — probe/debug instrumentation only, not part of the operator
+    * contract (ScaleProbe records it across replication factors).
+    */
+  @volatile var lastCcRounds: Int = 0
+
   /** Tokenize to lowercase whitespace words. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
@@ -313,6 +319,7 @@ object Dedup {
       i += 1
       lap(s"round $i")
     }
+    lastCcRounds = i
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $i rounds (maxIter $maxIter)")
     if (!converged) {

@@ -351,6 +351,29 @@ class CorpusSqlSpec extends AnyFunSuite {
     assert(s.getDouble(0) === 6.0)
   }
 
+  test("the FULL transliterated corpus executes in sequence (tests.sql:1-407)") {
+    // src/test/resources/tests_transliterated.sql carries every statement
+    // of the reference corpus in order; running the whole artifact catches
+    // registry/view/dialect drift structurally, not per hand-picked case
+    ready
+    spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .createOrReplaceTempView("documents_collection")
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/tests_transliterated.sql"), "UTF-8")
+    val text = try src.mkString finally src.close()
+    val statements = text.split(";")
+      .map(_.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n").trim)
+      .filter(_.nonEmpty)
+    assert(statements.length === 32, "one statement per reference corpus query")
+    statements.zipWithIndex.foreach { case (stmt, i) =>
+      val rows = withClue(s"statement ${i + 1}:\n$stmt\n") { spark.sql(stmt).collect() }
+      // every non-edge-case statement returns rows on the test corpus; the
+      // deliberately-vacuous ones (radius/score gates, empty-vector probe)
+      // still executed to get here
+      assert(rows != null)
+    }
+  }
+
   test("V_DISTANCE metric forms filter and sort (tests.sql:42-45)") {
     val r = sql(
       """SELECT id, v_distance(vector,
