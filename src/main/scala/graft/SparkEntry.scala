@@ -890,14 +890,18 @@ object SparkEntry {
         .offset(20).limit(10)),
 
     // keyset pagination — the SCALE form of scroll: the client passes the
-    // last id of the previous page and the engine filters `id > last`
-    // (a pushable predicate + TakeOrderedAndProject) instead of sorting
-    // rows past a deep OFFSET; page cost stays flat however deep the
-    // scroll goes. Same page as scroll_page's next one.
+    // last key of the previous page and the engine filters `key > last`
+    // instead of sorting rows past a deep OFFSET; page cost stays flat
+    // however deep the scroll goes. Paged over a STORED native key so the
+    // predicate reaches the parquet scan (PlanSpec asserts PushedFilters)
+    // — a production collection stores its id column, which is exactly
+    // this shape; the view's computed string id would hide the filter
+    // behind a cast. scroll_page keeps the reference's offset form.
     "scroll_keyset" -> ((s, dir) =>
-      hom(s, dir).select(col("id"), col("payload"))
-        .filter(col("id").cast(LongType) > 29)
-        .orderBy(col("id").cast(LongType))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .filter(col("doc_id") > 29)
+        .orderBy(col("doc_id"))
         .limit(10)),
 
     // hyperplane-LSH ANN over INGEST-MATERIALIZED signatures: the serving
@@ -1366,9 +1370,8 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
 
     "scroll_keyset" ->
-      """SELECT CAST(vec_id AS VARCHAR) AS id,
-        |       to_json({'label': label}) AS payload
-        |FROM embeddings WHERE vec_id > 29 ORDER BY vec_id LIMIT 10""".stripMargin,
+      """SELECT doc_id, lang, source
+        |FROM documents WHERE doc_id > 29 ORDER BY doc_id LIMIT 10""".stripMargin,
 
     "user_stats_final" ->
       """SELECT user_id, COUNT(*) AS n,

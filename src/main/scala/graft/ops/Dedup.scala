@@ -73,7 +73,10 @@ object Dedup {
     * one hash shuffle of (id, band, bandkey) rows replaces two. The
     * bucket-local quadratic is identical in both formulations — bucket
     * width is bounded by LSH design, and candidates are verified by true
-    * Jaccard downstream.
+    * Jaccard downstream. Mass-identical documents (which collapse to one
+    * bucket and blow up EITHER formulation quadratically) should be
+    * pre-collapsed by exactDedup first — the documented pipeline order
+    * (Pipeline.cleanCorpus).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16, shingleWidth: Int = 3,
@@ -178,6 +181,13 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "chunk")))
+    // this stays a chunk-key SELF-JOIN, unlike minhashCandidates' bucket
+    // groupBy: 16-bit chunks of clustered signatures make simhash buckets
+    // far denser than minhash band buckets, and the join spreads each
+    // bucket's quadratic across tasks where a collect_list would pile it
+    // onto one (measured 2.5x slower as a groupBy at sf0.1). The join
+    // recomputes the banded subplan per side — one extra map-side
+    // signature pass, the lesser evil.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
@@ -277,7 +287,11 @@ object Dedup {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(eager = false)
-    var prevSum = labelSum(labels)
+    // no up-front sum job: round 1's propagation job materializes the
+    // initial frame anyway, and a null prevSum just skips the (vacuous)
+    // round-1 comparison — labels of any non-empty edge set always
+    // change in round 1, and an empty set self-converges in round 2
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     // One propagation round: (a) neighbor-min hop along the edges, then
@@ -314,7 +328,7 @@ object Dedup {
         else oneRound(labels).localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels = next
-      converged = nextSum.compareTo(prevSum) == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
       lap(s"round $i")

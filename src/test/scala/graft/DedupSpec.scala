@@ -119,6 +119,15 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("connectedComponents with an empty edge list: every node is its own component") {
+    import spark.implicits._
+    val nodes = Seq(7L, 8L, 9L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("connectedComponents raises on maxIter exhaustion instead of returning partial labels") {
     import spark.implicits._
     // a 40-node path needs ~log2(40) pointer-jump rounds; 1 round cannot finish

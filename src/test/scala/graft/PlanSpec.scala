@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "Scan parquet") == 0, s"expected 0 parquet scans:\n$p")
   }
 
+  test("scroll_keyset: the page predicate is pushed to the parquet scan") {
+    val df = SparkEntry.queries("scroll_keyset")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // keyset scroll only beats offset scroll if `key > last` prunes at the
+    // source — the scan must carry the GreaterThan, not re-filter rows
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,29)]"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("asof_join: one partitioned window over one exchange, no row explosion") {
     val df = SparkEntry.queries("asof_join")(spark, TestSpark.sfDir)
     df.collect()
