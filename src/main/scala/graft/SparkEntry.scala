@@ -389,6 +389,12 @@ object SparkEntry {
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
           "lang", budgetTokens = 1024L)),
 
+    // context-window chunking: 16-token windows every 8 tokens (50%
+    // overlap) — one map-side generate+explode, no shuffle
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
+          window = 16, stride = 8)),
+
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
     "named_field_search" -> ((s, dir) => {
@@ -1642,6 +1648,22 @@ object SparkEntry {
         |       CAST(cum - n_tokens AS BIGINT) AS token_offset,
         |       CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |             CAST(unnest(generate_series(0,
+        |               CASE WHEN len(toks) <= 16 THEN 0
+        |                    ELSE ((len(toks) - 16 + 7) // 8) * 8 END, 8)) AS INTEGER) AS start
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |       CAST(start // 8 AS INTEGER) AS chunk_id,
+        |       start,
+        |       CAST(len(toks[start + 1 : start + 16]) AS INTEGER) AS n_tokens,
+        |       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // mirrors RollingHash64 exactly: base-31 polynomial over UTF-8 bytes
     // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is

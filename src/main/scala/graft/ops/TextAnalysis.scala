@@ -296,6 +296,45 @@ object TextAnalysis {
       .withColumn("seq_id", expr(s"token_offset DIV $budgetTokens"))
   }
 
+  /** Context-window chunking — the pretraining/RAG step that slices each
+    * document's token stream into fixed-size windows with overlap
+    * (window `window` tokens, step `stride`; stride < window =
+    * overlapping chunks, the standard long-context ingestion shape).
+    * Pure map-side generate + explode: each row expands to
+    * ceil(n_tokens / stride) chunk rows, nothing shuffles, and the
+    * output volume is bounded by window/stride x corpus tokens —
+    * a 100 TB corpus chunks in one pass with zero exchanges.
+    * Documents with no tokens emit no chunks; generation stops at the
+    * FIRST window that reaches the document end, so no chunk is entirely
+    * contained in its predecessor (the trailing chunk may be short).
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val toks = col("__toks")
+    val n = size(toks)
+    // last start = the smallest stride multiple whose window covers the
+    // final token: ceil((n - window) / stride) * stride (0 when n <= window)
+    val lastStart = when(n <= lit(window), lit(0))
+      .otherwise(expr(s"((size(__toks) - $window + $stride - 1) DIV $stride) * $stride"))
+    df.select(col(idCol),
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+          .as("__toks"))
+      // one start per stride step up to lastStart; empty docs emit no rows
+      // (posexplode of an empty array)
+      .select(col(idCol), toks,
+        posexplode(when(n > 0, sequence(lit(0), lastStart, lit(stride)))
+          .otherwise(array().cast(ArrayType(IntegerType))))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id").cast(IntegerType).as("chunk_id"),
+        col("start").cast(IntegerType).as("start"),
+        slice(toks, col("start") + 1, lit(window)).as("__chunk"))
+      .select(col(idCol), col("chunk_id"), col("start"),
+        size(col("__chunk")).cast(IntegerType).as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
+
   /** Corpus-wide top-k word bigrams by frequency (tiebreak: gram asc).
     * The token array is materialized as a COLUMN before the per-index
     * lambda: referencing the split/filter expression inside the lambda

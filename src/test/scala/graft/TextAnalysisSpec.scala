@@ -209,6 +209,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs: windows tile the token stream with the stated overlap") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than one window
+      (3L, "   ")                                     // token-less: no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(df, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(out.filter(_._1 == 3L).isEmpty, "empty doc emits no chunks")
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts advance by stride and stop at the first window reaching the
+    // end — no chunk is a suffix of its predecessor
+    assert(d1.map(_._3).toSeq === Seq(0, 2, 4, 6))
+    assert(d1.map(_._4).toSeq === Seq(4, 4, 4, 4))
+    assert(d1.head._5 === "t1 t2 t3 t4")
+    // consecutive chunks share window-stride tokens
+    assert(d1(0)._5.split(" ").drop(2).toSeq === d1(1)._5.split(" ").take(2).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(x => (x._2, x._3, x._4, x._5)).toSeq === Seq((0, 0, 3, "a b c")))
+    // non-overlapping stride reconstructs the document exactly
+    val flat = TextAnalysis.chunkDocs(df.filter(col("doc_id") === 1L),
+        "doc_id", "text", window = 4, stride = 4)
+      .orderBy("chunk_id").collect().map(_.getString(4)).mkString(" ")
+    assert(flat === (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
