@@ -395,6 +395,19 @@ object SparkEntry {
       TextAnalysis.chunkDocs(docs(s, dir), "doc_id", "text",
           window = 16, stride = 8)),
 
+    // corpus vocabulary: top-50 tokens by occurrence with doc frequency;
+    // two-level exact aggregation (map-side combine on (token, doc))
+    "vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 50)),
+
+    // per-doc top-3 TF-IDF terms; integer micro-idf so the rank boundary
+    // is exact cross-engine (corpus size resolves as model state)
+    "tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.tfidfTopTerms(d, "doc_id", "text", perDoc = 3,
+        nDocs = d.count())
+    }),
+
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
     "named_field_search" -> ((s, dir) => {
@@ -1664,6 +1677,32 @@ object SparkEntry {
         |       CAST(len(toks[start + 1 : start + 16]) AS INTEGER) AS n_tokens,
         |       array_to_string(toks[start + 1 : start + 16], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "vocab_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |           FROM documents),
+        |g AS (SELECT token, doc_id, COUNT(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT token, CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM g GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |                  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        |dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT f.doc_id, f.token, f.tf,
+        |             f.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / d.df) * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |      FROM tf f JOIN dft d USING (token), n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                  ORDER BY score_micro DESC, token) AS rank
+        |      FROM s)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |       CAST(score_micro AS BIGINT) AS score_micro, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // mirrors RollingHash64 exactly: base-31 polynomial over UTF-8 bytes
     // with 64-bit wraparound, done in HUGEINT mod 2^64 (test corpus is

@@ -357,6 +357,58 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus vocabulary: top-k tokens by total occurrence count, with
+    * document frequency. Two-level aggregation — (token, doc) partial
+    * counts collapse duplicates map-side before the token-level shuffle,
+    * so the second exchange carries one row per distinct (token, doc)
+    * pair, never raw token occurrences (the scalable exact-count shape;
+    * a countDistinct over raw pairs would expand instead).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame =
+    df.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+          .as("token"))
+      .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__n"))
+      .groupBy(col("token"))
+      .agg(sum(col("__n")).cast(LongType).as("n"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Per-document top TF-IDF terms — the inverted-index statistics pass
+    * of retrieval/data-curation pipelines. Ranking must agree bit-for-bit
+    * across engines, so idf is QUANTIZED to integer micro-units
+    * (floor(ln(N/df) * 1e6 + 0.5) — pure IEEE arithmetic on identical
+    * integer inputs) and the score is the exact integer tf * idf_micro;
+    * no float comparison anywhere near the rank boundary.
+    *
+    * Shape at scale: tf aggregates on (doc, token) with map-side combine;
+    * the df table is vocabulary-sized (AQE broadcasts it when small); the
+    * final per-doc ranking windows on doc_id. No corpus-sized exchange
+    * beyond the two keyed aggregations.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    perDoc: Int, nDocs: Long): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+          .as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      .withColumn("__idf_micro",
+        floor(log(lit(nDocs.toDouble) / col("__df")) * lit(1e6) + lit(0.5))
+          .cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("token").asc)
+    tf.join(dft, "token")
+      .withColumn("score_micro", col("tf") * col("__idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perDoc)
+      .select(col(idCol), col("token"), col("tf"), col("score_micro"),
+        col("rank"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -235,6 +235,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(flat === (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("vocabulary: counts, doc frequency, deterministic tiebreak") {
+    val df = Seq(
+      (1L, "b a b c"),
+      (2L, "a b"),
+      (3L, "c a")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(df, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a and b tie at 3 occurrences -> token asc breaks the tie
+    assert(out.toSeq === Seq(("a", 3L, 3L), ("b", 3L, 2L), ("c", 2L, 2L)))
+  }
+
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones; ranks bounded") {
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text",
+        perDoc = 2, nDocs = 3L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // 'common' appears in every doc -> idf = ln(1) = 0 -> score 0
+    out.filter(_._2 == "common").foreach(r => assert(r._4 === 0L))
+    // doc 1: 'rare' (df=1, tf=1) beats 'common' (tf=2, idf 0)
+    val d1 = out.filter(_._1 == 1L).sortBy(_._5)
+    assert(d1.head._2 === "rare" && d1.head._4 === math.floor(math.log(3.0) * 1e6 + 0.5).toLong)
+    assert(out.groupBy(_._1).values.forall(g => g.map(_._5).sorted.toSeq == (1 to g.size).toSeq))
+    assert(out.forall(_._5 <= 2))
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
