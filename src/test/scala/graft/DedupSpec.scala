@@ -65,7 +65,10 @@ class DedupSpec extends AnyFunSuite {
       (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
       (4L, "completely different content about spark query engines and columnar io"))
       .toDF("doc_id", "text")
-    val out = Dedup.simhashDedup(d, "doc_id", "text", maxDist = 16)
+    // maxDist=16 needs > 16 bands for candidate completeness (pigeonhole):
+    // 32 bands x 2 bits also exercises a non-default banding width
+    val out = Dedup.simhashDedup(d, "doc_id", "text", maxDist = 16,
+        bands = 32, bitsPerBand = 2)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(out((1L, 2L)) === 0)
     assert(out.get((1L, 3L)).exists(_ <= 16))
