@@ -28,12 +28,16 @@ object Bench {
     // whole-stage-codegen class cache holds ~100 entries and the 63-query
     // suite cycles far more codegen units than that, so a whole-suite warm
     // pass is fully evicted by the time a query is re-run. The repeat loop
-    // below (default 2, report fastest) keeps each query's generated
-    // classes and JIT state hot while it is measured; steady-state operator
-    // throughput is the benchmark contract (BASELINE.md records both this
-    // and the cold single-pass number).
-    // SPARK_GRAFT_REPEAT: per-query run count, fastest reported (1 = cold)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // below (default 3, report per-query MEDIAN) keeps each query's
+    // generated classes and JIT state hot while it is measured;
+    // steady-state operator throughput is the benchmark contract.
+    // Median, not min: four rounds of A/A runs on byte-identical code
+    // swung 20.9/30.4/23.6/39.5 s total (3-5x per query) under best-of-2
+    // on a shared box — the noise model is recorded in BASELINE.md, and
+    // the median is the estimator that survives a one-off contention
+    // spike in EITHER direction (min keeps the luckiest outlier).
+    // SPARK_GRAFT_REPEAT: per-query run count, median reported (1 = cold)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     // SPARK_GRAFT_ONLY=q1,q2: restrict to named queries (local profiling)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -46,8 +50,12 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      // median: middle element (odd n) or mean of the two middles (even n)
+      val med =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      name -> med
     }
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would corrupt the driver-parsed JSON line

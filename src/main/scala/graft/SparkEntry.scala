@@ -273,13 +273,17 @@ object SparkEntry {
     // json_object_keys + json_array_length surface (§2.D)
     "json_surface" -> ((s, dir) =>
       events(s, dir)
-        .select(col("event_id"), json_keys(col("props")).as("__ks"),
+        .select(col("event_id"), col("props"),
+          json_keys(col("props")).as("__ks"),
           json_tuple(col("props"), "k").as("__k"))
         .select(
           col("event_id"),
           array_join(col("__ks"), ",").as("ks"),
           org.apache.spark.sql.functions.json_array_length(
-            concat(lit("["), col("__k"), lit(","), col("__k"), lit("]"))).as("arr_len"))),
+            concat(lit("["), col("__k"), lit(","), col("__k"), lit("]"))).as("arr_len"),
+          // json_length's OBJECT form (reference json pack counts keys
+          // as well as array elements, udfs.rs:13-16)
+          json_length(col("props")).as("obj_len"))),
 
     // the DSv2 connector end-to-end: ingest the embeddings collection into
     // the (demo in-memory) collection store executor-side (fromRows — no
@@ -401,12 +405,10 @@ object SparkEntry {
       TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text", k = 50)),
 
     // per-doc top-3 TF-IDF terms; integer micro-idf so the rank boundary
-    // is exact cross-engine (corpus size resolves as model state)
-    "tfidf_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextAnalysis.tfidfTopTerms(d, "doc_id", "text", perDoc = 3,
-        nDocs = d.count())
-    }),
+    // is exact cross-engine (corpus size folds into the job as a
+    // broadcast one-row aggregate — no separate driver count pass)
+    "tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", perDoc = 3)),
 
     // V_SEARCH named-field form on the heterogeneous collection: score a
     // named vector column, NULL rows (points without that field) drop out
@@ -1074,7 +1076,8 @@ object SparkEntry {
       """SELECT event_id,
         |       array_to_string(json_keys(props), ',') AS ks,
         |       CAST(json_array_length('[' || json_extract_string(props, '$.k') || ','
-        |            || json_extract_string(props, '$.k') || ']') AS INTEGER) AS arr_len
+        |            || json_extract_string(props, '$.k') || ']') AS INTEGER) AS arr_len,
+        |       CAST(len(json_keys(props)) AS INTEGER) AS obj_len
         |FROM events ORDER BY event_id""".stripMargin
   )
 

@@ -158,8 +158,17 @@ private[graft] object SqlBuilders {
     "json_get_int" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_int")), LongType)),
     "json_get_float" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_float")), DoubleType)),
     "json_get_bool" -> (es => Cast(GetJsonObject(es.head, pathOf(es.tail, "json_get_bool")), BooleanType)),
-    "json_length" -> (es => LengthOfJsonArray(
-      if (es.length > 1) GetJsonObject(es.head, pathOf(es.tail, "json_length")) else es.head)),
+    // the reference's json pack counts BOTH array elements and object keys
+    // (datafusion-functions-json json_length, registered wholesale at
+    // /root/reference/src/udfs.rs:13-16): LengthOfJsonArray is NULL on an
+    // object, Size(JsonObjectKeys) is NULL on an array — the coalesce
+    // covers both forms; scalars stay NULL under each, as in the pack
+    "json_length" -> (es => {
+      val j =
+        if (es.length > 1) GetJsonObject(es.head, pathOf(es.tail, "json_length"))
+        else es.head
+      Coalesce(Seq(LengthOfJsonArray(j), new Size(JsonObjectKeys(j))))
+    }),
     "json_object_keys" -> (es => JsonObjectKeys(es.head)),
     // remaining json-pack aliases (udfs.rs:13-16 registers them wholesale):
     // json_get_json keeps JSON quoting/typing (variant round-trip — a

@@ -191,9 +191,14 @@ package object functions {
   def has_field(json: Column, keys: String*): Column =
     F.get_json_object(json, path(keys)).isNotNull
 
-  /** json_length of an array at path (NULL for non-arrays/absent). */
-  def json_length(json: Column, keys: String*): Column =
-    F.json_array_length(F.get_json_object(json, path(keys)))
+  /** json_length at path: array element count OR object key count (the
+    * reference json pack's dual semantics, udfs.rs:13-16); NULL for
+    * scalars/absent values under either form.
+    */
+  def json_length(json: Column, keys: String*): Column = {
+    val j = F.get_json_object(json, path(keys))
+    F.coalesce(F.json_array_length(j), F.size(F.json_object_keys(j)))
+  }
 
   /** Top-level object keys. */
   def json_keys(json: Column): Column = F.json_object_keys(json)

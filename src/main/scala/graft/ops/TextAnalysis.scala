@@ -386,17 +386,23 @@ object TextAnalysis {
     * Shape at scale: tf aggregates on (doc, token) with map-side combine;
     * the df table is vocabulary-sized (AQE broadcasts it when small); the
     * final per-doc ranking windows on doc_id. No corpus-sized exchange
-    * beyond the two keyed aggregations.
+    * beyond the two keyed aggregations. The corpus size N resolves INSIDE
+    * the job as a one-row aggregate broadcast onto the vocabulary-sized
+    * df table (the bm25 pattern) — not a separate driver-side `count()`
+    * job, which would be one needless extra full corpus pass at scale
+    * (the in-plan count scan itself is column-pruned to row-count-only).
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
-                    perDoc: Int, nDocs: Long): DataFrame = {
+                    perDoc: Int): DataFrame = {
     val tf = df.select(col(idCol),
         explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
           .as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val n = df.agg(count(lit(1)).as("__n"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(n))
       .withColumn("__idf_micro",
-        floor(log(lit(nDocs.toDouble) / col("__df")) * lit(1e6) + lit(0.5))
+        floor(log(col("__n").cast(DoubleType) / col("__df")) * lit(1e6) + lit(0.5))
           .cast(LongType))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))

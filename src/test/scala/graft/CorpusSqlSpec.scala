@@ -131,10 +131,16 @@ class CorpusSqlSpec extends AnyFunSuite {
 
   test("json_length / json_object_keys as pure SQL (json pack, udfs.rs:13-16)") {
     val r = sql(
-      """SELECT json_length('[1,2,3]') AS n, json_object_keys(payload) AS ks
+      """SELECT json_length('[1,2,3]') AS n, json_object_keys(payload) AS ks,
+        |       json_length(payload) AS nk, json_length('{}') AS nk0,
+        |       json_length('42') AS ns
         |FROM embeddings_collection LIMIT 1""".stripMargin).head()
     assert(r.getInt(0) === 3)
     assert(r.getSeq[String](1) === Seq("label"))
+    // the reference's json pack counts object KEYS too; scalars are NULL
+    assert(r.getInt(2) === 1)
+    assert(r.getInt(3) === 0)
+    assert(r.isNullAt(4))
   }
 
   test("V_GAUSS_DECAY over V_GEO_DISTANCE as pure SQL (tests.sql:288-300)") {

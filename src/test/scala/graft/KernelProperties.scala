@@ -96,6 +96,28 @@ object KernelProperties extends Properties("graft.kernels") {
       s1 == s2
     }
 
+  /** The candidate-completeness invariant Dedup.simhashDedup's
+    * `maxDist < bands` guard relies on (Dedup.scala banding docstring):
+    * flipping d < bands bits can dirty at most d of the bands, so by
+    * pigeonhole at least one band's chunk is untouched — every pair
+    * within hamming distance d < bands shares some band bucket. Checked
+    * at every compliant width: (4,16), (8,8), (32,2).
+    */
+  private val bandingCase: Gen[(Long, Long, Int, Int)] = for {
+    x <- Gen.long
+    bw <- Gen.oneOf((4, 16), (8, 8), (32, 2))
+    d <- Gen.choose(0, bw._1 - 1)
+    flips <- Gen.pick(d, 0 until 64)
+  } yield (x, flips.foldLeft(x)((v, p) => v ^ (1L << p)), bw._1, bw._2)
+
+  property("simhash banding pigeonhole: hamming < bands => some band chunk agrees") =
+    forAll(bandingCase) { case (a, b, bands, bits) =>
+      val mask = if (bits == 64) -1L else (1L << bits) - 1
+      java.lang.Long.bitCount(a ^ b) < bands &&
+        (0 until bands).exists(i =>
+          ((a >>> (i * bits)) & mask) == ((b >>> (i * bits)) & mask))
+    }
+
   property("maxsim >= dot of any single doc vector with the whole query") =
     forAll(vecPair) { case (q, d) =>
       val doc = Literal.create(

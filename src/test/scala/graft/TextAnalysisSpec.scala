@@ -251,8 +251,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       (1L, "common rare common"),
       (2L, "common other"),
       (3L, "common other")).toDF("doc_id", "text")
-    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text",
-        perDoc = 2, nDocs = 3L)
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", perDoc = 2)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))
     // 'common' appears in every doc -> idf = ln(1) = 0 -> score 0
