@@ -282,14 +282,12 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
-  /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
-    * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
-    * joined on exact sub-signature equality -> true-Jaccard verify over the
-    * distinct w=1 shingle-hash sets (Dedup.minhashDedup; the Spark side
-    * bands on xxhash64 of the sub-signature, equal up to ~2^-64 collisions).
+  /** CTE chain shared by [[minhashSql]] and [[minhashClustersSql]]:
+    * corpus -> shingle hashes -> minhash signature -> banded candidates ->
+    * Jaccard-verified `pairs(a_id, b_id, jaccard)`.
     */
-  def minhashSql(threshold: Double, numHashes: Int = 16, bands: Int = 4,
-                 seed: Long = 42L): String = {
+  private def minhashPairCtes(threshold: Double, numHashes: Int, bands: Int,
+                              seed: Long): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val (as, bs) = MinHashSignature.coefficients(numHashes, seed)
@@ -308,7 +306,7 @@ object DuckMirror {
       s"SELECT doc_id, $b AS band, $ks FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     val kEq = (0 until r).map(k => s"a.k$k = b.k$k").mkString(" AND ")
-    s"""WITH $corpusToSh1,
+    s"""$corpusToSh1,
        |sh3a AS (
        |  SELECT doc_id, list_transform(range(1, len(th) - 1), j ->
        |    CAST(($c3::HUGEINT + (${mulMod(g2, "th[j]")}) + (${mulMod(Golden, "th[j + 1]")}) + th[j + 2]) % $M64::HUGEINT AS UBIGINT)) AS v
@@ -337,13 +335,43 @@ object DuckMirror {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND $kEq AND a.doc_id < b.doc_id),
-       |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1)
-       |SELECT * FROM (
+       |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1),
+       |pairs AS (SELECT * FROM (
        |  SELECT a_id, b_id,
        |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
        |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
        |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
-       |WHERE jaccard >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
+    * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
+    * joined on exact sub-signature equality -> true-Jaccard verify over the
+    * distinct w=1 shingle-hash sets (Dedup.minhashDedup; the Spark side
+    * bands on xxhash64 of the sub-signature, equal up to ~2^-64 collisions).
+    */
+  def minhashSql(threshold: Double, numHashes: Int = 16, bands: Int = 4,
+                 seed: Long = 42L): String =
+    s"""WITH ${minhashPairCtes(threshold, numHashes, bands, seed)}
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** dedup_clusters_minhash oracle: the same LSH-verified pair set as
+    * [[minhashSql]], closed transitively by a recursive CTE — min reachable
+    * doc_id per node, singletons their own component (the exact contract of
+    * Dedup.dedupClustersMinhash, which propagates min labels over the same
+    * edges with pointer jumping instead of recursion).
+    */
+  def minhashClustersSql(threshold: Double, numHashes: Int = 16,
+                         bands: Int = 4, seed: Long = 42L): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(threshold, numHashes, bands, seed)},
+       |e AS (SELECT a_id AS s, b_id AS d FROM pairs
+       |      UNION ALL
+       |      SELECT b_id, a_id FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM corpus
+       |  UNION
+       |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id)
+       |SELECT id AS doc_id, min(comp) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 }

@@ -730,6 +730,14 @@ object SparkEntry {
         Seq("lang", "source"), threshold = 0.8)
         .select(col("id").as("doc_id"), col("component"))),
 
+    // scale-true clusters: MinHash-LSH verified pairs (banded buckets, no
+    // all-pairs join) -> connected components — the composition that holds
+    // at 100 TB, where blocking-key quadratics don't
+    "dedup_clusters_minhash" -> ((s, dir) =>
+      Dedup.dedupClustersMinhash(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8)
+        .select(col("id").as("doc_id"), col("component"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)),
 
@@ -1804,6 +1812,7 @@ object SparkEntry {
              |FROM h ORDER BY doc_id""".stripMargin
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
+        "dedup_clusters_minhash" -> DuckMirror.minhashClustersSql(threshold = 0.8),
         "doc_repetition" -> DuckMirror.repetitionSql,
         "quality_filter" -> DuckMirror.gopherSql(
           minTokens = 50L, maxTokens = 5000L,

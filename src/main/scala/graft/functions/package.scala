@@ -196,7 +196,8 @@ package object functions {
     * scalars/absent values under either form.
     */
   def json_length(json: Column, keys: String*): Column = {
-    val j = F.get_json_object(json, path(keys))
+    // no keys = whole document ("$." is not a valid JSONPath)
+    val j = if (keys.isEmpty) json else F.get_json_object(json, path(keys))
     F.coalesce(F.json_array_length(j), F.size(F.json_object_keys(j)))
   }
 

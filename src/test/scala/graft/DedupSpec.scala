@@ -170,4 +170,33 @@ class DedupSpec extends AnyFunSuite {
     // representatives are minimal: every component label maps to itself
     comp.values.foreach(rep => assert(comp(rep) == rep))
   }
+
+  test("dedupClustersMinhash clusters planted near-dup cliques without blocking keys") {
+    // three cliques of mutual near-dups (shared long base text, one word
+    // varied) + two unrelated singletons; no blocking key exists that
+    // would feed the quadratic path — this is the LSH-candidate route
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank every single morning before breakfast time arrives quietly"
+    val d = Seq(
+      (1L, base + " alpha"), (2L, base + " beta"), (3L, base + " gamma"),
+      (10L, base.replace("fox", "cat") + " one two three four five six seven eight"),
+      (11L, base.replace("fox", "cat") + " one two three four five six seven nine"),
+      (20L, "completely unrelated content about columnar query engines"),
+      (21L, "another lonely document concerning shuffle partitioning strategy"))
+      .toDF("doc_id", "text")
+    val comp = Dedup.dedupClustersMinhash(d, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 21L)
+  }
+
+  test("dedupClustersMinhash gate labels planted copies with their source") {
+    val out = SparkEntry.queries("dedup_clusters_minhash")(spark, TestSpark.sfDir)
+    val comp = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.keys.filter(_ >= 1000000L).foreach { c =>
+      assert(comp(c) == comp(c - 1000000L), s"copy $c not clustered with source")
+    }
+    comp.values.foreach(rep => assert(comp(rep) == rep))
+  }
 }
