@@ -39,6 +39,24 @@ object SparkEntry {
   private val quantCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Cluster-partitioned IVF store: the `#probe` index's clustered corpus
+    * written `partitionBy("cluster")` to parquet ONCE per dir (the
+    * production index layout; an offline batch job like the build itself),
+    * plus its centroid table. The serving gate reads this back and
+    * partition-prunes to the probed clusters (Ann.searchIvfStored).
+    */
+  private val ivfStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private def ivfStored(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfStoreCache.getOrElseUpdate(dir, {
+      val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
+        graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+      idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (idx.centroids, s.read.parquet(path))
+    })
+
   /** Stored int8 codes for the FULL homogeneous corpus of `dir`,
     * quantized ONCE (the ingest step of the quantize-at-ingest pipeline;
     * in production this frame is the parquet codes table). localCheckpoint
@@ -82,6 +100,7 @@ object SparkEntry {
       graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
     storedCodes(s, dir)
     storedLshSignatures(s, dir)
+    ivfStored(s, dir)
     ()
   }
 
@@ -893,6 +912,20 @@ object SparkEntry {
       idx.search(vec(q), k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // IVF serving from the MATERIALIZED cluster-partitioned store: probe
+    // selection is a bounded centroid-table scan, the corpus read is
+    // statically partition-pruned to the probed clusters (the layout every
+    // repeated-query workload should serve from at 100 TB). Same
+    // deterministic maxIter=0 pipeline as ann_ivf_probe, so the oracle
+    // value-checks the pruned path end-to-end.
+    "ann_ivf_bucketed" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored) = SparkEntry.ivfStored(s, dir)
+      Ann.searchIvfStored(stored, cents, "id", "vector", vec(q),
+        k = 10, nprobe = 2).select("id", "score")
+    }),
+
     // grouped search (reference search-groups surface): top-2 per payload
     // label by cosine — score map-side against the broadcast query vector,
     // rank inside a PARTITIONED window (shuffles scored (label,id,score)
@@ -1382,6 +1415,13 @@ object SparkEntry {
 
     "ann_ivf_probe" -> DuckMirror.ivfSql(
       queryVecId = 5, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L),
+
+    // the bucketed store serves the same maxIter=0 pipeline — the oracle
+    // is the identical mirror with a different query vector; the pruned
+    // read must not change a single value
+    "ann_ivf_bucketed" -> DuckMirror.ivfSql(
+      queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L),
 
     "group_search" ->

@@ -58,6 +58,32 @@ object Ann {
     }
   }
 
+  /** IVF serving from a MATERIALIZED clustered corpus (parquet written
+    * `partitionBy("cluster")` — the production layout of [[IvfIndex]]
+    * `.clustered`): resolve the `nprobe` nearest clusters driver-side
+    * (the centroid table is model state — nlist rows — so this collect is
+    * bounded and NOT a data pass), then filter with a LITERAL `IN` on the
+    * partition column. A literal predicate prunes partitions statically at
+    * planning time — the scan reads only the probed clusters' files, no
+    * runtime (DPP) machinery needed — so each query touches nprobe/nlist
+    * of the stored bytes. Pruning is asserted in BucketingSpec.
+    */
+  def searchIvfStored(stored: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, query: Column, k: Int,
+                      nprobe: Int, metric: String = "cosine",
+                      roundTo: Int = 6): DataFrame = {
+    val probed = centroids
+      .withColumn("cdist", v_euclid(col("centroid"), query))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+      .limit(nprobe)
+      .select(col("cluster")).collect().map(_.getInt(0)).toSeq
+    stored.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol).as("id"),
+        round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Quantization scale for the exact centroid update: elements quantize
     * to floor(x * 2^40) before summing. x*2^40 is a pure exponent shift
     * (exact in IEEE), floor is exact, and the integer sums accumulate in

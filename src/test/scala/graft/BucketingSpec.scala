@@ -52,4 +52,30 @@ class BucketingSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSet
     assert(clusters.subsetOf(Set(0, 1)))
   }
+
+  test("searchIvfStored serving path partition-prunes to the probed clusters") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+      .select("id", "vector")
+    val idx = graft.ops.Ann.buildIvf(corpus, "id", "vector", nlist = 4)
+    val dir = Files.createTempDirectory("graft-ivf-serve").toString
+    idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    val q = corpus.filter(col("id") === "0")
+      .select(col("vector")).head().getSeq[Double](0)
+    val res = graft.ops.Ann.searchIvfStored(stored, idx.centroids,
+      "id", "vector", vec(q), k = 5, nprobe = 2)
+    // the literal IN from probe selection must reach the scan as a static
+    // partition filter — the serving read touches 2 of 4 clusters' files
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [cluster"), p)
+    // and the pruned path returns the exact top-k of the probed clusters:
+    // cross-check against the unpruned index search (same probe set)
+    val expected = idx.search(vec(q), k = 5, nprobe = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
