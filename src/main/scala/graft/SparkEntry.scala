@@ -319,6 +319,25 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // keyset scroll THROUGH the connector: the `id > last` predicate pushes
+    // to the store scan (SupportsPushDownFilters), which skips the sealed
+    // id-sorted prefix instead of sorting past a deep offset — the scale
+    // form of scroll served by the source itself, not a post-scan filter
+    // (pushdown asserted in CollectionDataSourceSpec)
+    "dsv2_scroll_keyset" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("scroll_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "scroll_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .filter(col("id") > "29")
+        .select(col("id"), col("payload"))
+        .orderBy(col("id"))
+        .limit(10)
+    }),
+
     // the DSv2 WRITE path end-to-end (A12, todo!() in the reference): seed
     // an empty collection, append the corpus through df.write (points
     // buffer executor-side, the commit seals them), read it back through
@@ -1105,6 +1124,15 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // keyset page: lexicographic id > '29' over the string-keyed
+    // collection (both engines compare strings bytewise)
+    "dsv2_scroll_keyset" ->
+      """SELECT id, payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload
+        |  FROM embeddings)
+        |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin,
 
     "json_group_agg" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,

@@ -44,13 +44,17 @@ trait CollectionStore extends Serializable {
     * `idFilter`, when set, restricts to those point ids (the pushed
     * `id = x` / `id IN (...)` predicate — the reference declares filter
     * pushdown but ignores it, /root/reference/src/table.rs:174; here the
-    * store really skips non-matching points). The filter applies BEFORE
-    * `limit`.
+    * store really skips non-matching points). `idLower`, when set, is the
+    * pushed keyset bound `id > last` (strict, lexicographic): a backend
+    * with an id-ordered layout serves it as a range SEEK, not a
+    * scan-and-discard — page cost stays flat however deep the scroll
+    * goes. Both filters apply BEFORE `limit`.
     */
   def queryPoints(collection: String, from: Long, until: Long,
                   withPayload: Boolean, vectorFields: Seq[String],
                   limit: Option[Int],
-                  idFilter: Option[Set[String]] = None): Iterator[Point]
+                  idFilter: Option[Set[String]] = None,
+                  idLower: Option[String] = None): Iterator[Point]
 }
 
 /** JVM-local store registry. In local[*] (one JVM) executors see the
@@ -106,11 +110,16 @@ final class InMemoryCollectionStore(
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
                            limit: Option[Int],
-                           idFilter: Option[Set[String]] = None): Iterator[Point] = {
+                           idFilter: Option[Set[String]] = None,
+                           idLower: Option[String] = None): Iterator[Point] = {
     val fields = vectorFields.toSet
     val slice = data(collection)
       .slice(from.toInt, math.min(until, data(collection).size).toInt)
-    val filtered = idFilter.fold(slice)(ids => slice.filter(p => ids(p.id)))
+    // `single`-built stores may hold points in arbitrary order, so the
+    // keyset bound is applied as a filter here; a real backend (or the
+    // `appended` path, which re-seals id-sorted) would range-seek instead
+    val paged = idLower.fold(slice)(last => slice.filter(_.id > last))
+    val filtered = idFilter.fold(paged)(ids => paged.filter(p => ids(p.id)))
     val limited = limit.fold(filtered)(n => filtered.take(n))
     limited.iterator.map { p =>
       // honor the narrowed fetch: drop what wasn't asked for
@@ -362,6 +371,7 @@ final class CollectionScanBuilder(
   private var prunedSchema: StructType = descriptor.schema
   private var limit: Option[Int] = None
   private var idFilter: Option[Set[String]] = None
+  private var idLower: Option[String] = None
   private var accepted: Array[sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -369,11 +379,13 @@ final class CollectionScanBuilder(
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
-  /** Push `id = x` / `id IN (...)` to the store (A5: the reference
-    * declares `supports_filters_pushdown` and then ignores the filters,
-    * /root/reference/src/table.rs:174; this store really skips points).
-    * Accepted filters are EXACT, so they are not returned as residuals;
-    * everything else stays a post-scan filter for Spark.
+  /** Push `id = x` / `id IN (...)` / `id > last` to the store (A5: the
+    * reference declares `supports_filters_pushdown` and then ignores the
+    * filters, /root/reference/src/table.rs:174; this store really skips
+    * points). `id > last` is the KEYSET SCROLL predicate — served by the
+    * store instead of a deep-offset sort over fetched rows. Accepted
+    * filters are EXACT, so they are not returned as residuals; everything
+    * else stays a post-scan filter for Spark.
     */
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     def idsOf(f: sources.Filter): Option[Set[String]] = f match {
@@ -382,10 +394,19 @@ final class CollectionScanBuilder(
         Some(vs.map(_.asInstanceOf[String]).toSet)
       case _ => None
     }
-    val (supported, residual) = filters.partition(f => idsOf(f).isDefined)
+    def lowerOf(f: sources.Filter): Option[String] = f match {
+      case sources.GreaterThan("id", v: String) => Some(v)
+      case _ => None
+    }
+    val (supported, residual) =
+      filters.partition(f => idsOf(f).isDefined || lowerOf(f).isDefined)
     if (supported.nonEmpty) {
       // conjunction of pushed id predicates = set intersection
-      idFilter = Some(supported.flatMap(idsOf).reduce(_ intersect _))
+      val idSets = supported.flatMap(idsOf)
+      if (idSets.nonEmpty) idFilter = Some(idSets.reduce(_ intersect _))
+      // conjunction of keyset bounds = the tightest (max) bound
+      val lowers = supported.flatMap(lowerOf)
+      if (lowers.nonEmpty) idLower = Some(lowers.max)
       accepted = supported
     }
     residual
@@ -395,13 +416,14 @@ final class CollectionScanBuilder(
 
   override def build(): Scan =
     new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
-      partitions, idFilter)
+      partitions, idFilter, idLower)
 }
 
 final class CollectionScan(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, limit: Option[Int], partitions: Int,
-    idFilter: Option[Set[String]] = None)
+    idFilter: Option[Set[String]] = None,
+    idLower: Option[String] = None)
     extends Scan with Batch {
 
   val fetchSpec: FetchSpec = FetchSpec.fromSchema(pruned, descriptor)
@@ -411,7 +433,8 @@ final class CollectionScan(
   override def description(): String =
     s"CollectionScan($storeName.$collection, payload=${fetchSpec.withPayload}, " +
       s"vectors=[${fetchSpec.vectorFields.mkString(",")}], limit=$limit, " +
-      s"idFilter=${idFilter.fold("none")(ids => ids.toSeq.sorted.mkString("{", ",", "}"))})"
+      s"idFilter=${idFilter.fold("none")(ids => ids.toSeq.sorted.mkString("{", ",", "}"))}, " +
+      s"idLower=${idLower.getOrElse("none")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = CollectionStores.get(storeName).pointCount(collection)
@@ -420,7 +443,7 @@ final class CollectionScan(
     // points may hold fewer than N matches, so the store must scan the
     // full range and apply filter-then-limit
     val bound =
-      if (idFilter.isDefined) total
+      if (idFilter.isDefined || idLower.isDefined) total
       else limit.fold(total)(n => math.min(total, n.toLong))
     val per = math.max(1L, (bound + partitions - 1) / partitions)
     (0L until bound by per).map(start =>
@@ -430,7 +453,7 @@ final class CollectionScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CollectionReaderFactory(storeName, collection, descriptor, pruned,
-      fetchSpec, limit, idFilter)
+      fetchSpec, limit, idFilter, idLower)
 }
 
 final case class CollectionInputPartition(from: Long, until: Long) extends InputPartition
@@ -438,13 +461,13 @@ final case class CollectionInputPartition(from: Long, until: Long) extends Input
 final class CollectionReaderFactory(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, limit: Option[Int],
-    idFilter: Option[Set[String]])
+    idFilter: Option[Set[String]], idLower: Option[String])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CollectionInputPartition]
     new CollectionPartitionReader(storeName, collection, descriptor, pruned,
-      fetch, p, limit, idFilter)
+      fetch, p, limit, idFilter, idLower)
   }
 }
 
@@ -456,12 +479,12 @@ final class CollectionReaderFactory(
 final class CollectionPartitionReader(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
-    limit: Option[Int], idFilter: Option[Set[String]])
+    limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String])
     extends PartitionReader[InternalRow] {
 
   private val it = CollectionStores.get(storeName).queryPoints(
     collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
-    limit, idFilter)
+    limit, idFilter, idLower)
 
   private type Extractor = Point => Any
   private def denseData(a: Array[Float]): GenericArrayData =

@@ -100,6 +100,38 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(post.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("3"))
   }
 
+  test("A5: keyset scroll `id > last` pushes to the store scan") {
+    val df = readDf().filter(col("id") > "15").select("id")
+    val scan = scanOf(df)
+    assert(scan.description().contains("idLower=15"), scan.description())
+    // the predicate is accepted as EXACT — no residual post-scan Filter
+    // node remains; rows outside the bound never leave the store
+    assert(!df.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]),
+      df.queryExecution.executedPlan.toString)
+    // lexicographic page over string ids: "16".."19" then "2".."9"
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("16", "17", "18", "19", "2", "3", "4", "5", "6", "7", "8", "9"))
+    // conjunction of two keyset bounds keeps the tightest
+    val both = readDf().filter(col("id") > "15" && col("id") > "17").select("id")
+    assert(scanOf(both).description().contains("idLower=17"),
+      scanOf(both).description())
+    // keyset + id-IN compose: both push, both apply
+    val mixed = readDf().filter(col("id") > "15" && col("id").isin("16", "3"))
+    assert(scanOf(mixed).description().contains("idLower=15"))
+    assert(scanOf(mixed).description().contains("idFilter={16,3}"))
+    assert(mixed.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("16", "3"))
+  }
+
+  test("keyset + limit together: the store pages BEFORE limiting") {
+    // the 3 matching ids ("7","8","9" lexicographically > "6") sit past
+    // the first raw points: a limit-capped raw slice would miss them all
+    val df = readDf(partitions = 3).filter(col("id") > "6").limit(3)
+    assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("7", "8", "9"))
+  }
+
   test("filter + limit together: the store filters BEFORE limiting") {
     // ids 18,19 sit at the END of the raw point range: a limit-capped raw
     // slice would miss them
