@@ -54,6 +54,14 @@ object ScaleProbe {
         println(s"[probe] clusters x$n rounds=${graft.ops.Dedup.lastCcRounds}")
         rows
       }
+      // the scale-true composition: LSH-bounded edges feeding the same
+      // CC loop — pair volume must track the LSH bucket design (linear-ish
+      // in the planted-dup density), not the blocking-key quadratic
+      time(s"dedup_clusters_minhash x$n") {
+        val rows = graft.ops.Dedup.dedupClustersMinhash(c, "doc_id", "text", 0.8).count()
+        println(s"[probe] clusters_minhash x$n rounds=${graft.ops.Dedup.lastCcRounds}")
+        rows
+      }
       c.unpersist()
     }
     val hom = graft.collections.Collections.homogeneous(spark, "/root/testdata/sf0.1")

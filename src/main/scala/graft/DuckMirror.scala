@@ -135,6 +135,44 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** dedup_embedding_lsh oracle: the near-dup embeddings corpus signed
+    * under the same inlined hyperplane family as [[lshSql]], banded into
+    * `bands` sub-signatures, candidates on exact band equality (a < b),
+    * exact-cosine verify — Dedup.embeddingNearDupLsh arithmetic mirrored
+    * stage by stage (dots accumulate in the kernel's sequential order).
+    */
+  def embeddingLshSql(threshold: Double, dim: Int, nbits: Int = 16,
+                      bands: Int = 4, seed: Long = 42L): String = {
+    val planes = graft.ops.Ann.lshPlanes(dim, nbits, seed)
+    val r = nbits / bands
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(x => java.lang.Double.toString(x).replace("E", "e")).mkString("[", ", ", "]")
+      s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    val bandSelects = (0 until bands).map { b =>
+      val shift = 1L << (b * r)
+      val mod = 1L << r
+      s"SELECT vec_id, $b AS band, (bucket // $shift) % $mod AS bandkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |           UNION ALL
+       |           SELECT vec_id + 100000,
+       |                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99)
+       |           FROM embeddings WHERE vec_id % 5 = 0),
+       |sigs AS (SELECT vec_id, v, $bitExprs AS bucket FROM c),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.vec_id < b.vec_id)
+       |SELECT * FROM (
+       |  SELECT a_id, b_id, ROUND(list_cosine_similarity(ca.v, cb.v), 6) AS cosine
+       |  FROM cands JOIN c ca ON ca.vec_id = a_id JOIN c cb ON cb.vec_id = b_id)
+       |WHERE cosine >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** RollingHash64 (31x + c over SH0, mod 2^64) of an arbitrary VARCHAR
     * expression, as an UNSIGNED HUGEINT — compute it once in an inner CTE
     * and wrap the resulting column with [[signed64]] for the kernel's

@@ -757,6 +757,13 @@ object SparkEntry {
       Dedup.embeddingNearDup(embWithNearDups(s, dir), "vec_id", "v",
         Seq("label"), threshold = 0.999)),
 
+    // scale-true embedding near-dup: hyperplane-LSH bucketed candidates,
+    // NO blocking key — the embedding analog of dedup_minhash (the
+    // blocked quadratic above does not survive an unblocked corpus)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(embWithNearDups(s, dir), "vec_id", "v",
+        threshold = 0.999)),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8)),
@@ -1616,6 +1623,9 @@ object SparkEntry {
         |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.999
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64),
 
     "token_count" ->
       """SELECT doc_id,

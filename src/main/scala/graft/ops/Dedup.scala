@@ -91,6 +91,15 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
         .as(Seq("band", "bandkey")))
+    bucketPairs(banded)
+  }
+
+  /** Distinct candidate id pairs from banded rows (id, band, bandkey):
+    * ONE groupBy + within-bucket pair expansion (the shared LSH candidate
+    * core of [[minhashCandidates]] and [[embeddingNearDupLsh]] — see the
+    * formulation rationale on minhashCandidates).
+    */
+  private def bucketPairs(banded: DataFrame): DataFrame = {
     val ids = col("ids")
     banded.groupBy(col("band"), col("bandkey"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -410,6 +419,42 @@ object Dedup {
     val pairs = minhashDedup(df, idCol, textCol, threshold, numHashes,
       shingleWidth, bands)
     connectedComponents(df.select(col(idCol)), idCol, pairs, "a_id", "b_id")
+  }
+
+  /** Scale-true embedding near-duplicate pairs: hyperplane-LSH bucketed
+    * candidates (Ann.lshBuckets — nbits broadcast-plane sign bits per row,
+    * map-side; banded into `bands` sub-signatures; candidates meet only
+    * inside a shared band bucket) verified by exact cosine >= threshold.
+    * The embedding analog of [[minhashDedup]]: no blocking key, no
+    * all-pairs join — pair volume is bounded by the LSH band design, so
+    * this is the composition that survives an unblocked 100 TB corpus
+    * where [[embeddingNearDup]]'s within-block quadratic does not.
+    * Same output contract: (a_id, b_id, cosine), a < b.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, nbits: Int = 16, bands: Int = 4,
+                          seed: Long = 42L): DataFrame = {
+    require(nbits % bands == 0,
+      s"nbits ($nbits) must be divisible by bands ($bands)")
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // dimension probe: one row, schema-shaped (like storedLshSignatures)
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val sigs = graft.ops.Ann.lshBuckets(base, "v", dim, nbits, seed)
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
+        .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+    val cands = bucketPairs(banded)
+    cands
+      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+      .withColumn("cosine", round(v_cosine(col("a_v"), col("b_v")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */

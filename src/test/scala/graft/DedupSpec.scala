@@ -112,6 +112,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => b == a + 100000 })
   }
 
+  test("embeddingNearDupLsh finds planted scaled copies without blocking keys") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * lit(0.99)).as("v"))
+    val out = Dedup.embeddingNearDupLsh(e.union(planted), "vec_id", "v",
+      threshold = 0.999)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // a 0.99-scaled copy keeps every hyperplane sign, so each planted
+    // pair shares ALL bands and must surface as a candidate; cosine of a
+    // scaled copy is 1.0 exactly
+    val plantedPairs = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(plantedPairs.length === e.filter(col("vec_id") % 5 === 0).count())
+    assert(plantedPairs.forall(_._3 >= 0.999999))
+    // only genuine near-dups at this threshold
+    assert(pairs.forall(_._3 >= 0.999))
+  }
+
   test("connectedComponents merges chained duplicate pairs to the min id") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
