@@ -157,4 +157,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("ann_ivf_bucketed: joinless serving - pruned partition scan + take-ordered") {
+    val df = SparkEntry.queries("ann_ivf_bucketed")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // probe selection resolved driver-side from the model-sized centroid
+    // table: the served plan has NO join at all — a literal partition
+    // filter on the stored layout plus top-k
+    assert(p.contains("PartitionFilters: [cluster"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup_embedding_lsh: corpus vectors never shuffle - candidates broadcast into verify") {
+    val df = SparkEntry.queries("dedup_embedding_lsh")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // verification joins the (small) candidate pair set against the
+    // corpus: AQE must broadcast the candidate side, never sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the banded-bucket groupBy, carrying
+    // (id, band, bandkey) rows — embedding vectors stay map-side
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(!exch.contains("a_v") && !exch.contains("b_v"), exch)
+  }
 }
