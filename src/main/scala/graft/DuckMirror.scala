@@ -275,7 +275,12 @@ object DuckMirror {
     * maxIter = 0 degenerates to the serving-path-only probe mirror.
     */
   def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
-             maxIter: Int, seed: Long): String = {
+             maxIter: Int, seed: Long, metric: String = "cosine"): String = {
+    val scoreFn = metric match {
+      case "cosine" => "list_cosine_similarity"
+      case "dot" => "list_inner_product"
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
     val s = graft.ops.Ann.CentroidQuantScale
     def euclid(a: String, b: String): String =
       s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y))"
@@ -315,7 +320,7 @@ object DuckMirror {
        |  SELECT c.cluster FROM $lastCents c, q
        |  ORDER BY ${euclid("c.c", "q.qv")}, c.cluster
        |  LIMIT $nprobe)
-       |SELECT t.id, ROUND(list_cosine_similarity(t.v, q.qv), 6) AS score
+       |SELECT t.id, ROUND($scoreFn(t.v, q.qv), 6) AS score
        |FROM asg$finalAsg t JOIN probed USING (cluster), q
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }

@@ -42,19 +42,26 @@ object SparkEntry {
   /** Cluster-partitioned IVF store: the `#probe` index's clustered corpus
     * written `partitionBy("cluster")` to parquet ONCE per dir (the
     * production index layout; an offline batch job like the build itself),
-    * plus its centroid table. The serving gate reads this back and
-    * partition-prunes to the probed clusters (Ann.searchIvfStored).
+    * plus its centroid table AND the int8-quantized variant of the same
+    * layout — (id, codes, scale) partitioned by cluster, so a pruned query
+    * reads nprobe/nlist of the files at ~4x less bytes per file. Serving
+    * gates read these back (Ann.searchIvfStored /
+    * Ann.searchIvfStoredQuantized).
     */
   private val ivfStoreCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
 
-  private def ivfStored(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def ivfStored(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     ivfStoreCache.getOrElseUpdate(dir, {
       val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
         graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
       val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
       idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(path)
-      (idx.centroids, s.read.parquet(path))
+      val qpath = java.nio.file.Files.createTempDirectory("graft-ivf-codes").toString
+      graft.ops.Quant.quantizeColumn(idx.clustered, "vector", "v8")
+        .select("id", "v8_codes", "v8_scale", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(qpath)
+      (idx.centroids, s.read.parquet(path), s.read.parquet(qpath))
     })
 
   /** Stored int8 codes for the FULL homogeneous corpus of `dir`,
@@ -947,9 +954,23 @@ object SparkEntry {
     "ann_ivf_bucketed" -> ((s, dir) => {
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
-      val (cents, stored) = SparkEntry.ivfStored(s, dir)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
       Ann.searchIvfStored(stored, cents, "id", "vector", vec(q),
         k = 10, nprobe = 2).select("id", "score")
+    }),
+
+    // the full production serving stack composed: partition-pruned read of
+    // the int8 cluster store (nprobe/nlist of the files, ~4x fewer bytes
+    // per file), approximate-dot candidates, exact-dot rerank of the 100
+    // winners — with that margin the result is exactly the top-10 of the
+    // probed clusters, which the deterministic maxIter=0 mirror reproduces
+    "ann_ivf_quantized" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 9)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, codes) = SparkEntry.ivfStored(s, dir)
+      Ann.searchIvfStoredQuantized(codes, cents, stored,
+        "id", "vector", "v8_codes", "v8_scale", q,
+        k = 10, nprobe = 2, candidateK = 100)
     }),
 
     // grouped search (reference search-groups surface): top-2 per payload
@@ -1458,6 +1479,13 @@ object SparkEntry {
     "ann_ivf_bucketed" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L),
+
+    // IVF + int8 composition: the int8 candidate stage with margin 100
+    // must contain the exact-dot top-10 of the probed clusters, so the
+    // oracle is the same deterministic probe mirror scored by exact dot
+    "ann_ivf_quantized" -> DuckMirror.ivfSql(
+      queryVecId = 9, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, metric = "dot"),
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -84,6 +84,53 @@ object Ann {
       .limit(k)
   }
 
+  /** The full production ANN serving stack: IVF partition pruning AND
+    * int8 scan bandwidth, composed. `storedCodes` is the clustered corpus
+    * quantized at ingest and written `partitionBy("cluster")` —
+    * (id, codes, scale, cluster) — so a query reads nprobe/nlist of the
+    * files AND each file is ~4x smaller than full precision. Probe
+    * selection is the same bounded centroid-table resolve as
+    * [[searchIvfStored]]; the candidate stage ranks by the approximate
+    * int8 dot (Quant.dotQuantized, codegen) and keeps `candidateK`; the
+    * rerank stage fetches full-precision vectors for just those ids via a
+    * broadcast semi-join on `full` — the full-precision clustered store,
+    * whose read is pruned to the same probed clusters (candidates can only
+    * come from there) — and ranks by exact dot. With `candidateK`
+    * comfortably above k (the quantized_search margin argument), the
+    * result equals the exact top-k of the probed clusters.
+    */
+  def searchIvfStoredQuantized(storedCodes: DataFrame, centroids: DataFrame,
+                               full: DataFrame, idCol: String, vecCol: String,
+                               codesCol: String, scaleCol: String,
+                               query: Seq[Double], k: Int, nprobe: Int,
+                               candidateK: Int, roundTo: Int = 6): DataFrame = {
+    val qv = vec(query)
+    val probed = centroids
+      .withColumn("cdist", v_euclid(col("centroid"), qv))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+      .limit(nprobe)
+      .select(col("cluster")).collect().map(_.getInt(0)).toSeq
+    val q = storedCodes.sparkSession.range(1).select(qv.as("__qv"))
+    val (qCodes, qScale) = Quant.quantize(col("__qv"))
+    val qq = broadcast(q.select(qCodes.as("__qc"), qScale.as("__qs")))
+    val cands = storedCodes
+      .filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(codesCol), col(scaleCol))
+      .crossJoin(qq)
+      .withColumn("__approx", Quant.dotQuantized(
+        col(codesCol), col(scaleCol), col("__qc"), col("__qs")))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("score", round(v_dot(col(vecCol), qv), roundTo))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("id"), col("score"))
+  }
+
   /** Quantization scale for the exact centroid update: elements quantize
     * to floor(x * 2^40) before summing. x*2^40 is a pure exponent shift
     * (exact in IEEE), floor is exact, and the integer sums accumulate in

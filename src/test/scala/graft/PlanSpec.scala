@@ -170,6 +170,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ann_ivf_quantized: BOTH stage reads partition-prune; rerank joins broadcast") {
+    val df = SparkEntry.queries("ann_ivf_quantized")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // candidate scan (int8 codes) AND rerank scan (full vectors) each
+    // carry the probed-cluster partition filter — the query touches
+    // nprobe/nlist of the files in both layouts
+    assert(count(p, "PartitionFilters: [cluster") == 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "TakeOrderedAndProject") == 2, p)
+  }
+
   test("dedup_embedding_lsh: corpus vectors never shuffle - candidates broadcast into verify") {
     val df = SparkEntry.queries("dedup_embedding_lsh")(spark, TestSpark.sfDir)
     df.collect()
