@@ -439,22 +439,29 @@ object Dedup {
     val r = nbits / bands
     val mask = (1L << r) - 1
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // dimension probe: one row, schema-shaped (like storedLshSignatures)
-    val dim = base.select(size(col("v"))).head().getInt(0)
-    val sigs = graft.ops.Ann.lshBuckets(base, "v", dim, nbits, seed)
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
-        .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-    val cands = bucketPairs(banded)
-    cands
-      .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
-      .withColumn("cosine", round(v_cosine(col("a_v"), col("b_v")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("a_id"), col("b_id"), col("cosine"))
+    // dimension probe: one row, schema-shaped (like storedLshSignatures);
+    // an empty corpus has no pairs (and no dimension to probe)
+    val probe = base.select(size(col("v"))).take(1)
+    if (probe.isEmpty)
+      base.select(col("id").as("a_id"), col("id").as("b_id"),
+        lit(0.0).as("cosine"))
+    else {
+      val dim = probe(0).getInt(0)
+      val sigs = graft.ops.Ann.lshBuckets(base, "v", dim, nbits, seed)
+      val banded = sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
+          .as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      val cands = bucketPairs(banded)
+      cands
+        .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
+        .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
+        .withColumn("cosine", round(v_cosine(col("a_v"), col("b_v")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */

@@ -132,6 +132,13 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.999))
   }
 
+  test("embeddingNearDupLsh on an empty corpus returns an empty pair set") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    val out = Dedup.embeddingNearDupLsh(empty, "vec_id", "v", threshold = 0.9)
+    assert(out.columns.toSeq === Seq("a_id", "b_id", "cosine"))
+    assert(out.count() === 0)
+  }
+
   test("connectedComponents merges chained duplicate pairs to the min id") {
     import spark.implicits._
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
