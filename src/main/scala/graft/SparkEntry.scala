@@ -326,6 +326,32 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // the STREAMING write path end-to-end: the same corpus ingested as a
+    // bounded run (AvailableNow) of the continuous pipeline — file-stream
+    // source -> per-epoch atomic upsert commits into the store -> read
+    // back through the connector; must equal the batch-write oracle
+    "dsv2_stream_write" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("stream_store", InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val src = hom(s, dir).select("id", "payload", "vector")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+      src.write.mode("overwrite").parquet(tmp)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+      val q = s.readStream.schema(src.schema).parquet(tmp)
+        .writeStream.format("graft.sources.CollectionDataSource")
+        .option("store", "stream_store").option("collection", "embeddings")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "stream_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
     // keyset scroll THROUGH the connector: the `id > last` predicate pushes
     // to the store scan (SupportsPushDownFilters), which skips the sealed
     // id-sorted prefix instead of sorting past a deep offset — the scale
@@ -1149,6 +1175,11 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_stream_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,

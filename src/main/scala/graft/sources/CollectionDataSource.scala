@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.{sources, DataFrame}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -224,7 +225,8 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
   override def name(): String = s"$storeName.$collection"
   override def schema(): StructType = descriptor.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CollectionScanBuilder(storeName, collection, descriptor, partitions)
@@ -279,11 +281,37 @@ final class CollectionWrite(
 
   override def toBatch: BatchWrite = this
 
+  /** Streaming ingest (the continuous form of the upsert path): each
+    * micro-batch epoch buffers its points under `writeId#epochId` and
+    * commits them as one atomic upsert — a failed/aborted epoch drains
+    * its private buffer and nothing becomes visible, and a replayed
+    * epoch re-upserts the same ids (point-id upsert semantics make the
+    * replay idempotent), so the sink is effectively exactly-once.
+    */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new CollectionStreamingDataWriterFactory(descriptor, writeId)
+
+    override def commit(epochId: Long,
+                        messages: Array[WriterCommitMessage]): Unit =
+      sealEpoch(s"$writeId#$epochId")
+
+    override def abort(epochId: Long,
+                       messages: Array[WriterCommitMessage]): Unit = {
+      CollectionWriteBuffers.drain(s"$writeId#$epochId")
+      ()
+    }
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new CollectionDataWriterFactory(descriptor, writeId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val appended = CollectionWriteBuffers.drain(writeId)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    sealEpoch(writeId)
+
+  private def sealEpoch(bufferKey: String): Unit = {
+    val appended = CollectionWriteBuffers.drain(bufferKey)
     // atomic RMW: concurrent commits to the same store must both survive
     CollectionStores.update(storeName) {
       case mem: InMemoryCollectionStore =>
@@ -299,6 +327,14 @@ final class CollectionWrite(
     CollectionWriteBuffers.drain(writeId)
     ()
   }
+}
+
+final class CollectionStreamingDataWriterFactory(
+    descriptor: CollectionDescriptor, writeId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new CollectionDataWriter(descriptor, s"$writeId#$epochId")
 }
 
 final class CollectionDataWriterFactory(descriptor: CollectionDescriptor,

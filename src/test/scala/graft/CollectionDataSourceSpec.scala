@@ -212,6 +212,38 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(r2.head.getString(1) === """{"replaced": true}""")
   }
 
+  test("A12-streaming: writeStream upserts each micro-batch epoch atomically") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    CollectionStores.register("t6",
+      InMemoryCollectionStore.single("c", desc, mkPoints(3)))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (String, String, Seq[Float], Seq[Seq[Float]], Seq[Int], Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val q = ms.toDF()
+      .toDF("id", "payload", "text_embedding", "multi",
+        "keywords_indices", "keywords_values")
+      .writeStream.format("graft.sources.CollectionDataSource")
+      .option("store", "t6").option("collection", "c")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // epoch 1: one new point
+      ms.addData(("100", """{"i": 100}""", Seq(1f, 2f), null, null, null))
+      q.processAllAvailable()
+      def back = spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", "t6").option("collection", "c").load()
+      assert(back.count() === 4)
+      // epoch 2: upsert id 100 + one more point — both visible, no dup
+      ms.addData(
+        ("100", """{"i": 200}""", Seq(3f, 4f), null, null, null),
+        ("101", null, null, null, Seq(1), Seq(0.5f)))
+      q.processAllAvailable()
+      assert(back.count() === 5)
+      assert(back.filter(col("id") === "100").head().getString(1) === """{"i": 200}""")
+    } finally q.stop()
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
