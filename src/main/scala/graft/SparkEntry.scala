@@ -352,6 +352,29 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // the STREAMING read path: a bounded (AvailableNow) replay of the
+    // store's upsert log through the connector's micro-batch CDC source —
+    // one clean ingest replays as exactly the collection contents
+    "dsv2_stream_read" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("cdc_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-gate").toString
+      val sink = s"cdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "cdc_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
     // keyset scroll THROUGH the connector: the `id > last` predicate pushes
     // to the store scan (SupportsPushDownFilters), which skips the sealed
     // id-sorted prefix instead of sorting past a deep offset — the scale
@@ -1180,6 +1203,11 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_stream_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_stream_read" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,

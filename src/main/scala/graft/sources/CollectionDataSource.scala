@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.{sources, DataFrame}
 import org.apache.spark.sql.types._
@@ -56,6 +57,21 @@ trait CollectionStore extends Serializable {
                   limit: Option[Int],
                   idFilter: Option[Set[String]] = None,
                   idLower: Option[String] = None): Iterator[Point]
+
+  /** Upsert-log length for `collection` — the micro-batch streaming
+    * source's offset domain. A store that cannot replay its history
+    * (no change log) does not support streaming reads.
+    */
+  def logSize(collection: String): Long =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} keeps no upsert log; streaming reads unsupported")
+
+  /** Log entries [from, until) in ingest order (each upsert appears once,
+    * including re-upserts of an existing id — CDC semantics).
+    */
+  def logPoints(collection: String, from: Long, until: Long): Iterator[Point] =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} keeps no upsert log; streaming reads unsupported")
 }
 
 /** JVM-local store registry. In local[*] (one JVM) executors see the
@@ -87,7 +103,8 @@ object CollectionStores {
   */
 final class InMemoryCollectionStore(
     descriptors: Map[String, CollectionDescriptor],
-    data: Map[String, IndexedSeq[Point]]) extends CollectionStore {
+    data: Map[String, IndexedSeq[Point]],
+    log: Map[String, IndexedSeq[Point]] = Map.empty) extends CollectionStore {
 
   override def collectionInfo(collection: String): CollectionDescriptor =
     descriptors.getOrElse(collection,
@@ -95,17 +112,29 @@ final class InMemoryCollectionStore(
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
+  private def logOf(collection: String): IndexedSeq[Point] =
+    log.getOrElse(collection, data(collection))
+
+  override def logSize(collection: String): Long = logOf(collection).size.toLong
+
+  override def logPoints(collection: String, from: Long, until: Long): Iterator[Point] =
+    logOf(collection).slice(from.toInt, until.toInt).iterator
+
   /** A new store with `pts` upserted into `collection` (point-id
     * semantics, like the reference backend: an incoming id REPLACES the
     * stored point; within one batch the last occurrence wins), re-sealed
-    * in id order. The DSv2 write commit path.
+    * in id order. The DSv2 write commit path. The batch also appends to
+    * the collection's upsert LOG (ingest order, re-upserts included) —
+    * the replay domain of the streaming read source.
     */
   def appended(collection: String, pts: IndexedSeq[Point]): InMemoryCollectionStore = {
     val incoming = pts.map(_.id).toSet
-    val merged = data(collection).filterNot(p => incoming(p.id)) ++
-      pts.groupBy(_.id).view.mapValues(_.last).values
+    val deduped = pts.groupBy(_.id).view.mapValues(_.last).values.toIndexedSeq
+      .sortBy(_.id)
+    val merged = data(collection).filterNot(p => incoming(p.id)) ++ deduped
     new InMemoryCollectionStore(descriptors,
-      data.updated(collection, merged.sortBy(_.id).toIndexedSeq))
+      data.updated(collection, merged.sortBy(_.id).toIndexedSeq),
+      log.updated(collection, logOf(collection) ++ deduped))
   }
 
   override def queryPoints(collection: String, from: Long, until: Long,
@@ -226,7 +255,7 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
   override def schema(): StructType = descriptor.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CollectionScanBuilder(storeName, collection, descriptor, partitions)
@@ -490,6 +519,70 @@ final class CollectionScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new CollectionReaderFactory(storeName, collection, descriptor, pruned,
       fetchSpec, limit, idFilter, idLower)
+
+  /** Streaming READ of the collection: a micro-batch CDC stream over the
+    * store's upsert log. Offsets are log positions; each batch replays
+    * log entries [start, end) — every upsert appears exactly once, in
+    * ingest order, including re-upserts of an existing id. The streaming
+    * complement of the A2 scan (the reference is bounded-only by
+    * construction — SURVEY §2.B streaming row).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CollectionMicroBatchStream(storeName, collection, descriptor, pruned,
+      partitions)
+}
+
+/** Log-position offset of [[CollectionMicroBatchStream]]. */
+final case class LogOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final class CollectionMicroBatchStream(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, partitions: Int) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = LogOffset(0L)
+
+  override def latestOffset(): Offset =
+    LogOffset(CollectionStores.get(storeName).logSize(collection))
+
+  override def deserializeOffset(json: String): Offset = LogOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (from, until) = (start.asInstanceOf[LogOffset].n, end.asInstanceOf[LogOffset].n)
+    if (until <= from) Array.empty
+    else {
+      val per = math.max(1L, (until - from + partitions - 1) / partitions)
+      (from until until by per).map(s =>
+        CollectionInputPartition(s, math.min(s + per, until)): InputPartition
+      ).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CollectionLogReaderFactory(storeName, collection, descriptor, pruned)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class CollectionLogReaderFactory(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CollectionInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = CollectionStores.get(storeName)
+        .logPoints(collection, p.from, p.until)
+      private val decoder = new PointDecoder(descriptor, pruned)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = decoder.decode(it.next()); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class CollectionInputPartition(from: Long, until: Long) extends InputPartition
@@ -507,20 +600,15 @@ final class CollectionReaderFactory(
   }
 }
 
-/** Row decode: one extractor per output column, dispatched ONCE from the
-  * descriptor (the A6 analog of the reference's schema-driven
-  * FieldExtractor table, /root/reference/src/arrow/deserialize.rs:113-148);
-  * absent fields yield NULL, never empty arrays (deserialize.rs:245-284).
+/** Point -> InternalRow for a pruned schema: one extractor per output
+  * column, dispatched ONCE from the descriptor (the A6 analog of the
+  * reference's schema-driven FieldExtractor table,
+  * /root/reference/src/arrow/deserialize.rs:113-148); absent fields yield
+  * NULL, never empty arrays (deserialize.rs:245-284). Shared by the batch
+  * and streaming partition readers.
   */
-final class CollectionPartitionReader(
-    storeName: String, collection: String, descriptor: CollectionDescriptor,
-    pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
-    limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String])
-    extends PartitionReader[InternalRow] {
-
-  private val it = CollectionStores.get(storeName).queryPoints(
-    collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
-    limit, idFilter, idLower)
+final class PointDecoder(descriptor: CollectionDescriptor, pruned: StructType)
+    extends Serializable {
 
   private type Extractor = Point => Any
   private def denseData(a: Array[Float]): GenericArrayData =
@@ -551,12 +639,26 @@ final class CollectionPartitionReader(
     }
   }.toArray
 
+  def decode(p: Point): InternalRow =
+    InternalRow.fromSeq(extractors.map(_(p)).toIndexedSeq)
+}
+
+final class CollectionPartitionReader(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
+    limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String])
+    extends PartitionReader[InternalRow] {
+
+  private val it = CollectionStores.get(storeName).queryPoints(
+    collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
+    limit, idFilter, idLower)
+
+  private val decoder = new PointDecoder(descriptor, pruned)
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (it.hasNext) {
-      val p = it.next()
-      current = InternalRow.fromSeq(extractors.map(_(p)).toIndexedSeq)
+      current = decoder.decode(it.next())
       true
     } else false
 

@@ -244,6 +244,44 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read replays the upsert log and streams new batch writes") {
+    CollectionStores.register("t7",
+      InMemoryCollectionStore.single("c", desc, mkPoints(3)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val q = spark.readStream.format("graft.sources.CollectionDataSource")
+      .option("store", "t7").option("collection", "c").load()
+      .select("id", "payload")
+      .writeStream.format("memory").queryName("cdc_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial contents replay as the log prefix
+      assert(spark.table("cdc_out").count() === 3)
+      // a batch write lands as the next micro-batch — including the
+      // re-upsert of an existing id (CDC semantics: the CHANGE streams,
+      // even though the table still holds one row for id 1)
+      val toAdd = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row("50", """{"i": 50}""", null, null, null, null),
+          org.apache.spark.sql.Row("1", """{"i": -1}""", null, null, null, null)), 1),
+        desc.schema)
+      toAdd.write.format("graft.sources.CollectionDataSource")
+        .option("store", "t7").option("collection", "c")
+        .mode("append").save()
+      q.processAllAvailable()
+      val out = spark.table("cdc_out").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(out.length === 5)
+      assert(out.contains(("50", """{"i": 50}""")))
+      assert(out.contains(("1", """{"i": -1}""")))
+      // the store itself holds the upserted state, not a duplicate
+      val table = spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", "t7").option("collection", "c").load()
+      assert(table.count() === 4)
+    } finally q.stop()
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
