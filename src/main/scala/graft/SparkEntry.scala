@@ -375,6 +375,39 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // continuous collection-to-collection ETL: stream the upsert log OUT
+    // of one collection, transform, stream INTO another — both ends are
+    // the connector's own streaming surfaces; the bounded run must land
+    // exactly the filtered/re-labeled contents in the sink collection
+    "dsv2_stream_pipeline" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("etl_src", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      CollectionStores.register("etl_dst", InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-etl-ckpt").toString
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "etl_src").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        // keep even-labeled points, stamp the payload with a pipeline tag
+        .filter(json_get_int(col("payload"), "label") % 2 === 0)
+        .select(col("id"),
+          concat(lit("""{"etl":1,"orig":"""), col("payload"), lit("}")).as("payload"),
+          col("vector"))
+        .writeStream.format("graft.sources.CollectionDataSource")
+        .option("store", "etl_dst").option("collection", "embeddings")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "etl_dst").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
     // keyset scroll THROUGH the connector: the `id > last` predicate pushes
     // to the store scan (SupportsPushDownFilters), which skips the sealed
     // id-sorted prefix instead of sorting past a deep offset — the scale
@@ -1211,6 +1244,14 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_stream_pipeline" ->
+      """SELECT id, '{"etl":1,"orig":' || payload || '}' AS payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload,
+        |         label
+        |  FROM embeddings)
+        |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
 
     // keyset page: lexicographic id > '29' over the string-keyed
     // collection (both engines compare strings bytewise)
