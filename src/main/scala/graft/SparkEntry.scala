@@ -872,6 +872,13 @@ object SparkEntry {
         threshold = 0.8)
         .select(col("id").as("doc_id"), col("component"))),
 
+    // cluster-based survivor selection: one representative (min id) per
+    // transitive near-dup chain — the Pipeline form a 100 TB clean uses
+    "dedup_survivors" -> ((s, dir) =>
+      graft.ops.Pipeline.dropNearDuplicateClusters(
+          docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(docsWithNearDups(s, dir), "doc_id", "text", maxDist = 3)),
 
@@ -2019,6 +2026,10 @@ object SparkEntry {
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
         "dedup_clusters_minhash" -> DuckMirror.minhashClustersSql(threshold = 0.8),
+        "dedup_survivors" ->
+          s"""WITH x AS (${DuckMirror.minhashClustersSql(threshold = 0.8)})
+             |SELECT doc_id FROM x WHERE doc_id = component
+             |ORDER BY doc_id""".stripMargin,
         "doc_repetition" -> DuckMirror.repetitionSql,
         "quality_filter" -> DuckMirror.gopherSql(
           minTokens = 50L, maxTokens = 5000L,

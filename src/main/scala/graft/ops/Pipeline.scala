@@ -42,6 +42,22 @@ object Pipeline {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep exactly ONE representative (the min id) per near-duplicate
+    * CLUSTER — the transitive form of [[dropNearDuplicates]]: over the
+    * same LSH-verified pairs, a chain a~b~c keeps only a, even though
+    * (a, c) was never itself a verified pair. Costs the connected-
+    * components propagation on top of the pair join
+    * (Dedup.dedupClustersMinhash — iteration state scales with the pair
+    * list, not the corpus).
+    */
+  def dropNearDuplicateClusters(df: DataFrame, idCol: String, textCol: String,
+                                threshold: Double): DataFrame = {
+    val reps = Dedup.dedupClustersMinhash(df, idCol, textCol, threshold)
+      .filter(col("id") === col("component"))
+      .select(col("id").as(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
   /** Full pipeline: returns the cleaned, annotated corpus. */
   def cleanCorpus(df: DataFrame, idCol: String, textCol: String,
                   nearDupThreshold: Double = 0.9,

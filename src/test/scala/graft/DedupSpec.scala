@@ -132,6 +132,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.999))
   }
 
+  test("dropNearDuplicateClusters keeps one representative per transitive chain") {
+    // a~b and b~c are verified pairs; a~c need not be — cluster-based
+    // survivor selection must still keep ONLY a of the chain
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank every single morning before breakfast time arrives quietly " +
+      "and then wanders back home across the wide green field"
+    val d = Seq(
+      (1L, base + " one"), (2L, base + " two"), (3L, base + " three"),
+      (9L, "a completely unrelated document about columnar engines"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Pipeline
+      .dropNearDuplicateClusters(d, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 9L))
+  }
+
   test("embeddingNearDupLsh on an empty corpus returns an empty pair set") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
     val out = Dedup.embeddingNearDupLsh(empty, "vec_id", "v", threshold = 0.9)
