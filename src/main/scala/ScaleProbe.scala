@@ -83,6 +83,20 @@ object ScaleProbe {
       }
       h.unpersist()
     }
+    // embedding near-dup pair volume under LSH banding: replicas land in
+    // the same buckets, so verified pair count should grow with planted
+    // duplicate density (quadratic in replication WITHIN a bucket family),
+    // while wall time tracks bucket volume, not corpus^2
+    for (n <- Seq(1, 2, 4)) {
+      val h = homN(n)
+        .select(col("id"), col("vector").cast("array<double>").as("v"))
+        .persist()
+      h.count()
+      time(s"embedding_lsh_pairs x$n") {
+        graft.ops.Dedup.embeddingNearDupLsh(h, "id", "v", threshold = 0.999).count()
+      }
+      h.unpersist()
+    }
     // events-based probe: watermark-dedup bounded form over replicated events
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     def events(n: Int): DataFrame =
