@@ -110,19 +110,35 @@ object DuckMirror {
     * identical IEEE value), dots accumulate in the kernel's sequential
     * order via list_reduce, banding and rerank mirror Ann.searchLsh.
     */
-  def lshSql(queryVecId: Int, k: Int, dim: Int, nbits: Int, bands: Int,
-             seed: Long): String = {
-    val planes = graft.ops.Ann.lshPlanes(dim, nbits, seed)
-    val r = nbits / bands
-    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+  /** The hyperplane signature as one SQL expression over a `v` DOUBLE[]
+    * column: plane coordinates inlined as exact shortest-round-trip double
+    * literals (DuckDB parses them back to the identical IEEE value), dots
+    * accumulated in the kernel's sequential order via list_reduce. Shared
+    * by [[lshSql]] and [[embeddingLshSql]] so the two mirrors can never
+    * diverge on sign convention or literal rendering.
+    */
+  private def lshBucketExpr(dim: Int, nbits: Int, seed: Long): String =
+    graft.ops.Ann.lshPlanes(dim, nbits, seed).zipWithIndex.map { case (p, i) =>
       val lits = p.map(x => java.lang.Double.toString(x).replace("E", "e")).mkString("[", ", ", "]")
       s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
-    val bandEq = (0 until bands).map { b =>
-      val shift = 1L << (b * r)
-      val mod = 1L << r
-      s"((s.bucket // $shift) % $mod) = ((q.bucket // $shift) % $mod)"
-    }.mkString(" OR ")
+
+  /** `(bucket // shift) % mod` band-key arithmetic of band `b` (the SQL
+    * form of `(bucket >>> b*r) & mask`), applied to `expr`.
+    */
+  private def lshBandKey(expr: String, b: Int, rowsPerBand: Int): String = {
+    val shift = 1L << (b * rowsPerBand)
+    val mod = 1L << rowsPerBand
+    s"(($expr // $shift) % $mod)"
+  }
+
+  def lshSql(queryVecId: Int, k: Int, dim: Int, nbits: Int, bands: Int,
+             seed: Long): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    val bandEq = (0 until bands).map(b =>
+      s"${lshBandKey("s.bucket", b, r)} = ${lshBandKey("q.bucket", b, r)}")
+      .mkString(" OR ")
     s"""WITH sigs AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |         $bitExprs AS bucket
@@ -143,17 +159,11 @@ object DuckMirror {
     */
   def embeddingLshSql(threshold: Double, dim: Int, nbits: Int = 16,
                       bands: Int = 4, seed: Long = 42L): String = {
-    val planes = graft.ops.Ann.lshPlanes(dim, nbits, seed)
     val r = nbits / bands
-    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
-      val lits = p.map(x => java.lang.Double.toString(x).replace("E", "e")).mkString("[", ", ", "]")
-      s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END"
-    }.mkString("(", " + ", ")")
-    val bandSelects = (0 until bands).map { b =>
-      val shift = 1L << (b * r)
-      val mod = 1L << r
-      s"SELECT vec_id, $b AS band, (bucket // $shift) % $mod AS bandkey FROM sigs"
-    }.mkString("\n  UNION ALL\n  ")
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    val bandSelects = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${lshBandKey("bucket", b, r)} AS bandkey FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |           UNION ALL
        |           SELECT vec_id + 100000,

@@ -58,6 +58,20 @@ object Ann {
     }
   }
 
+  /** The `nprobe` nearest clusters to `query`, resolved driver-side from
+    * the model-sized centroid table (nlist rows — bounded model state,
+    * not a data pass). The shared probe-selection step of BOTH stored
+    * serving paths; tie-break on cluster id matches the IvfIndex.search
+    * plan form and the DuckDB mirror.
+    */
+  private def probedClusters(centroids: DataFrame, query: Column,
+                             nprobe: Int): Seq[Int] =
+    centroids
+      .withColumn("cdist", v_euclid(col("centroid"), query))
+      .orderBy(col("cdist").asc, col("cluster").asc)
+      .limit(nprobe)
+      .select(col("cluster")).collect().map(_.getInt(0)).toSeq
+
   /** IVF serving from a MATERIALIZED clustered corpus (parquet written
     * `partitionBy("cluster")` — the production layout of [[IvfIndex]]
     * `.clustered`): resolve the `nprobe` nearest clusters driver-side
@@ -72,11 +86,7 @@ object Ann {
                       idCol: String, vecCol: String, query: Column, k: Int,
                       nprobe: Int, metric: String = "cosine",
                       roundTo: Int = 6): DataFrame = {
-    val probed = centroids
-      .withColumn("cdist", v_euclid(col("centroid"), query))
-      .orderBy(col("cdist").asc, col("cluster").asc)
-      .limit(nprobe)
-      .select(col("cluster")).collect().map(_.getInt(0)).toSeq
+    val probed = probedClusters(centroids, query, nprobe)
     stored.filter(col("cluster").isin(probed: _*))
       .select(col(idCol).as("id"),
         round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
@@ -105,11 +115,7 @@ object Ann {
                                query: Seq[Double], k: Int, nprobe: Int,
                                candidateK: Int, roundTo: Int = 6): DataFrame = {
     val qv = vec(query)
-    val probed = centroids
-      .withColumn("cdist", v_euclid(col("centroid"), qv))
-      .orderBy(col("cdist").asc, col("cluster").asc)
-      .limit(nprobe)
-      .select(col("cluster")).collect().map(_.getInt(0)).toSeq
+    val probed = probedClusters(centroids, qv, nprobe)
     val q = storedCodes.sparkSession.range(1).select(qv.as("__qv"))
     val (qCodes, qScale) = Quant.quantize(col("__qv"))
     val qq = broadcast(q.select(qCodes.as("__qc"), qScale.as("__qs")))

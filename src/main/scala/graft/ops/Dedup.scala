@@ -429,7 +429,9 @@ object Dedup {
     * all-pairs join — pair volume is bounded by the LSH band design, so
     * this is the composition that survives an unblocked 100 TB corpus
     * where [[embeddingNearDup]]'s within-block quadratic does not.
-    * Same output contract: (a_id, b_id, cosine), a < b.
+    * Same output contract: (a_id, b_id, cosine), a < b. Vectors must
+    * share one dimension (the plane family is sized from an arbitrary
+    * row's); NULL-vector rows are dropped — they cannot near-dup.
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, nbits: Int = 16, bands: Int = 4,
@@ -438,7 +440,10 @@ object Dedup {
       s"nbits ($nbits) must be divisible by bands ($bands)")
     val r = nbits / bands
     val mask = (1L << r) - 1
+    // contract: one uniform vector dimension (the plane family is sized
+    // from it); rows with a NULL vector cannot near-dup and are dropped
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
     // dimension probe: one row, schema-shaped (like storedLshSignatures);
     // an empty corpus has no pairs (and no dimension to probe)
     val probe = base.select(size(col("v"))).take(1)

@@ -74,6 +74,21 @@ trait CollectionStore extends Serializable {
       s"${getClass.getName} keeps no upsert log; streaming reads unsupported")
 }
 
+/** Spark string-comparison semantics for pushed predicates: the default
+  * UTF8_BINARY collation compares the UTF-8 ENCODING bytewise unsigned.
+  * Java's `String` ordering compares UTF-16 code units and disagrees for
+  * supplementary characters (4-byte UTF-8 sorts above U+E000..U+FFFF, but
+  * their UTF-16 surrogates sort below) — a pushed filter evaluated with
+  * Java ordering would silently drop rows Spark semantics include,
+  * because accepted-exact filters are never re-checked post-scan.
+  */
+private[sources] object SparkStringOrder {
+  def gt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) > 0
+}
+
 /** JVM-local store registry. In local[*] (one JVM) executors see the
   * driver's registrations; on a real cluster the store entry would be a
   * serializable CLIENT (host/port/credentials) dialing a remote service
@@ -147,8 +162,10 @@ final class InMemoryCollectionStore(
       .slice(from.toInt, math.min(until, data(collection).size).toInt)
     // `single`-built stores may hold points in arbitrary order, so the
     // keyset bound is applied as a filter here; a real backend (or the
-    // `appended` path, which re-seals id-sorted) would range-seek instead
-    val paged = idLower.fold(slice)(last => slice.filter(_.id > last))
+    // `appended` path, which re-seals id-sorted) would range-seek instead.
+    // Comparison MUST be Spark's (UTF-8 bytes), not Java's (UTF-16 units)
+    val paged = idLower.fold(slice)(last =>
+      slice.filter(p => SparkStringOrder.gt(p.id, last)))
     val filtered = idFilter.fold(paged)(ids => paged.filter(p => ids(p.id)))
     val limited = limit.fold(filtered)(n => filtered.take(n))
     limited.iterator.map { p =>
@@ -276,7 +293,7 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
     new WriteBuilder {
       override def build(): Write =
         new CollectionWrite(storeName, collection, descriptor,
-          java.util.UUID.randomUUID().toString)
+          java.util.UUID.randomUUID().toString, info.queryId())
     }
   }
 }
@@ -304,31 +321,67 @@ private[sources] object CollectionWriteBuffers {
 
 final case class CollectionCommit(rows: Long) extends WriterCommitMessage
 
+/** Highest committed epoch per (store, collection, streaming query) — the
+  * sink-side replay guard. Spark's streaming commit is at-least-once: if
+  * the driver dies after the sink commits epoch N but before the epoch
+  * lands in the checkpoint, a restart re-runs epoch N. Point-id upsert
+  * keeps the TABLE idempotent under that replay, but the upsert LOG (the
+  * CDC read stream) would record the batch twice — so a replayed epoch
+  * must drain its buffer without sealing. In-memory like the store
+  * itself; a durable backend would persist the epoch watermark with the
+  * data (one transactional write), which is the standard exactly-once
+  * sink recipe.
+  */
+private[sources] object CommittedEpochs {
+  private val last = new ConcurrentHashMap[String, java.lang.Long]()
+  /** True iff `epochId` is NEW for `key` (and records it). */
+  def markIfNew(key: String, epochId: Long): Boolean = {
+    val fresh = new java.util.concurrent.atomic.AtomicBoolean(false)
+    last.compute(key, (_, prev) =>
+      if (prev == null || epochId > prev.longValue()) {
+        fresh.set(true); java.lang.Long.valueOf(epochId)
+      } else prev)
+    fresh.get()
+  }
+}
+
 final class CollectionWrite(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    writeId: String) extends Write with BatchWrite {
+    writeId: String, queryId: String) extends Write with BatchWrite {
 
   override def toBatch: BatchWrite = this
 
   /** Streaming ingest (the continuous form of the upsert path): each
-    * micro-batch epoch buffers its points under `writeId#epochId` and
-    * commits them as one atomic upsert — a failed/aborted epoch drains
-    * its private buffer and nothing becomes visible, and a replayed
-    * epoch re-upserts the same ids (point-id upsert semantics make the
-    * replay idempotent), so the sink is effectively exactly-once.
+    * micro-batch epoch buffers its points under `queryId#epochId` — the
+    * STREAMING QUERY id, stable across driver restarts, unlike the
+    * per-Write writeId — and commits them as one atomic upsert. A
+    * failed/aborted epoch drains its private buffer and nothing becomes
+    * visible; a REPLAYED epoch (driver died between sink commit and
+    * checkpoint commit — Spark's at-least-once window) is detected by
+    * [[CommittedEpochs]] and drained without sealing, so neither the
+    * table nor the upsert log (the CDC read stream) ever sees a batch
+    * twice: exactly-once end to end.
     */
   override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val epochGuardKey = s"$storeName/$collection/$queryId"
+
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new CollectionStreamingDataWriterFactory(descriptor, writeId)
+      new CollectionStreamingDataWriterFactory(descriptor, queryId)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit =
-      sealEpoch(s"$writeId#$epochId")
+      if (CommittedEpochs.markIfNew(epochGuardKey, epochId))
+        sealEpoch(s"$queryId#$epochId")
+      else {
+        // replayed epoch: already sealed once — discard the replay buffer
+        CollectionWriteBuffers.drain(s"$queryId#$epochId")
+        ()
+      }
 
     override def abort(epochId: Long,
                        messages: Array[WriterCommitMessage]): Unit = {
-      CollectionWriteBuffers.drain(s"$writeId#$epochId")
+      CollectionWriteBuffers.drain(s"$queryId#$epochId")
       ()
     }
   }
@@ -469,9 +522,12 @@ final class CollectionScanBuilder(
       // conjunction of pushed id predicates = set intersection
       val idSets = supported.flatMap(idsOf)
       if (idSets.nonEmpty) idFilter = Some(idSets.reduce(_ intersect _))
-      // conjunction of keyset bounds = the tightest (max) bound
+      // conjunction of keyset bounds = the tightest bound, under the same
+      // UTF-8 byte ordering the store evaluates with
       val lowers = supported.flatMap(lowerOf)
-      if (lowers.nonEmpty) idLower = Some(lowers.max)
+      if (lowers.nonEmpty)
+        idLower = Some(lowers.reduce((a, b) =>
+          if (SparkStringOrder.gt(a, b)) a else b))
       accepted = supported
     }
     residual

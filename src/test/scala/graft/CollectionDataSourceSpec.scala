@@ -124,6 +124,18 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       Seq("16", "3"))
   }
 
+  test("keyset bound compares like Spark (UTF-8 bytes), not Java (UTF-16 units)") {
+    // U+1F600 encodes as 4-byte UTF-8 (F0 9F 98 80) > U+E000 (EE 80 80),
+    // but its UTF-16 surrogate D83D < E000 — Java ordering would wrongly
+    // drop the row, and with no residual filter Spark would never catch it
+    val pts = IndexedSeq(Point("😀", Some("{}")), Point("b", Some("{}")))
+    CollectionStores.register("t9", InMemoryCollectionStore.single("c", desc, pts))
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t9").option("collection", "c").load()
+      .filter(col("id") > "\uE000").select("id")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("😀"))
+  }
+
   test("keyset + limit together: the store pages BEFORE limiting") {
     // the 3 matching ids ("7","8","9" lexicographically > "6") sit past
     // the first raw points: a limit-capped raw slice would miss them all
@@ -242,6 +254,38 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       assert(back.count() === 5)
       assert(back.filter(col("id") === "100").head().getString(1) === """{"i": 200}""")
     } finally q.stop()
+  }
+
+  test("a replayed streaming epoch neither duplicates the table nor the upsert log") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    CollectionStores.register("t8",
+      InMemoryCollectionStore.single("c", desc, IndexedSeq.empty))
+    val table = new CollectionTable("t8", "c", 2)
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "q-replay-test"
+      override def schema(): org.apache.spark.sql.types.StructType = desc.schema
+      override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+    }
+    // simulate Spark's at-least-once window: the SAME epoch is written and
+    // committed twice (driver died after sink commit, before checkpoint)
+    def runEpoch(): Unit = {
+      val sw = table.newWriteBuilder(info).build().toStreaming
+      val w = sw.createStreamingWriterFactory(null).createWriter(0, 0L, 7L)
+      w.write(InternalRow.fromSeq(Seq(
+        UTF8String.fromString("e7"), null, null, null, null, null)))
+      val msg = w.commit()
+      sw.commit(7L, Array(msg))
+    }
+    runEpoch()
+    runEpoch()
+    val store = CollectionStores.get("t8")
+    assert(store.pointCount("c") === 1)
+    // the CDC log must hold the upsert ONCE — a duplicate here would
+    // stream the epoch twice to every downstream consumer
+    assert(store.logSize("c") === 1)
   }
 
   test("streaming read replays the upsert log and streams new batch writes") {
