@@ -352,6 +352,20 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // COUNT(*) through the connector resolves as a store metadata hit
+    // (CollectionCountScan, asserted in CollectionDataSourceSpec) — the
+    // cardinality call every catalog issues, without scanning a point
+    "dsv2_count" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("count_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "count_store").option("collection", "embeddings")
+        .load()
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // the STREAMING read path: a bounded (AvailableNow) replay of the
     // store's upsert log through the connector's micro-batch CDC source —
     // one clean ingest replays as exactly the collection contents
@@ -1251,6 +1265,8 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_count" -> "SELECT COUNT(*) AS n FROM embeddings",
 
     "dsv2_stream_pipeline" ->
       """SELECT id, '{"etl":1,"orig":' || payload || '}' AS payload FROM (

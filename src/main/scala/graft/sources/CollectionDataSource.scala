@@ -484,13 +484,35 @@ final class CollectionScanBuilder(
     storeName: String, collection: String,
     descriptor: CollectionDescriptor, partitions: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var prunedSchema: StructType = descriptor.schema
   private var limit: Option[Int] = None
   private var idFilter: Option[Set[String]] = None
   private var idLower: Option[String] = None
   private var accepted: Array[sources.Filter] = Array.empty
+  private var countStar: Boolean = false
+
+  /** COUNT(*) with no grouping and no pushed predicate/limit is answered
+    * from the store's point count — a metadata hit, zero points shipped
+    * (the collection-cardinality call every catalog/UI issues; at scale
+    * the difference between a gRPC info call and a full scan). Any other
+    * aggregate, or a count over a filtered/limited scan, is declined and
+    * Spark aggregates the scanned rows as usual.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      idFilter.isEmpty && idLower.isEmpty && limit.isEmpty
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else { countStar = true; true }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
@@ -536,8 +558,47 @@ final class CollectionScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = accepted
 
   override def build(): Scan =
-    new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
-      partitions, idFilter, idLower)
+    if (countStar)
+      new CollectionCountScan(storeName, collection, prunedSchema)
+    else
+      new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
+        partitions, idFilter, idLower)
+}
+
+/** Complete COUNT(*) pushdown: one partition, one row, the store's point
+  * count. The read schema is the aggregate's output shape (one BIGINT per
+  * pushed COUNT(*)), NOT the pruned table schema — Spark asserts the
+  * column count against the pushed Aggregation.
+  */
+final class CollectionCountScan(storeName: String, collection: String,
+                                pruned: StructType) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionCountScan($storeName.$collection)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CollectionInputPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val store = storeName
+      private val coll = collection
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false
+            else {
+              emitted = true
+              true
+            }
+          override def get(): InternalRow =
+            InternalRow(CollectionStores.get(store).pointCount(coll))
+          override def close(): Unit = ()
+        }
+    }
 }
 
 final class CollectionScan(

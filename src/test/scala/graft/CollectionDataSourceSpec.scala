@@ -136,6 +136,17 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("😀"))
   }
 
+  test("COUNT(*) pushes down to a store metadata hit - no points shipped") {
+    val df = readDf().agg(count(lit(1)).as("n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CollectionCountScan"), p)
+    assert(df.head().getLong(0) === 20L)
+    // a filtered count is NOT pushed (the store count ignores predicates)
+    val filtered = readDf().filter(col("id").isin("3", "7")).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("CollectionCountScan"))
+    assert(filtered.head().getLong(0) === 2L)
+  }
+
   test("keyset + limit together: the store pages BEFORE limiting") {
     // the 3 matching ids ("7","8","9" lexicographically > "6") sit past
     // the first raw points: a limit-capped raw slice would miss them all
