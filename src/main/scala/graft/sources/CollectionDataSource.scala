@@ -606,9 +606,33 @@ final class CollectionScan(
     pruned: StructType, limit: Option[Int], partitions: Int,
     idFilter: Option[Set[String]] = None,
     idLower: Option[String] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   val fetchSpec: FetchSpec = FetchSpec.fromSchema(pruned, descriptor)
+
+  /** Report cardinality + a size estimate to Catalyst so a join against a
+    * small collection BROADCASTS instead of shuffling both sides — the
+    * single biggest plan-quality lever a source can pull at cluster
+    * scale (without stats DSv2 relations default to a huge size and
+    * never broadcast). Rows: the store's point count, capped by a pushed
+    * limit. Bytes: rows x the pruned schema's estimated row width (the
+    * same defaultSize estimate Catalyst uses), so projection narrowing
+    * also narrows the size estimate.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val total = CollectionStores.get(storeName).pointCount(collection)
+    val rows =
+      if (idFilter.isDefined || idLower.isDefined) total // filters: upper bound
+      else limit.fold(total)(n => math.min(total, n.toLong))
+    val rowWidth = pruned.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowWidth)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = pruned
   override def toBatch: Batch = this

@@ -136,6 +136,20 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("😀"))
   }
 
+  test("reported statistics let Catalyst broadcast a small collection in a join") {
+    import spark.implicits._
+    val df = readDf().select("id", "payload")
+    // without SupportsReportStatistics a DSv2 relation defaults to an
+    // enormous size estimate and this join would sort-merge; the store's
+    // 20-point count must put it under the broadcast threshold
+    val big = spark.range(0, 10000).select(col("id").cast("string").as("id"))
+    val joined = big.join(df, "id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("COUNT(*) pushes down to a store metadata hit - no points shipped") {
     val df = readDf().agg(count(lit(1)).as("n"))
     val p = df.queryExecution.executedPlan.toString
