@@ -352,6 +352,28 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // vector search END-TO-END through the connector: the query scans the
+    // store (projection narrowed to id+vector by the FetchSpec), decodes
+    // float vectors executor-side, and ranks by the codegen cosine kernel
+    // — the only gate that value-checks vector DECODE through DSv2, not
+    // just id/payload round-trips
+    "dsv2_vector_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("vs_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 4)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "vs_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .filter(col("id") =!= "4")
+        .select(col("id"),
+          round(v_cosine(dvec(col("vector")), vec(q)), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // COUNT(*) through the connector resolves as a store metadata hit
     // (CollectionCountScan, asserted in CollectionDataSourceSpec) — the
     // cardinality call every catalog issues, without scanning a point
@@ -1267,6 +1289,13 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_count" -> "SELECT COUNT(*) AS n FROM embeddings",
+
+    "dsv2_vector_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 4)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 4
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "dsv2_stream_pipeline" ->
       """SELECT id, '{"etl":1,"orig":' || payload || '}' AS payload FROM (
