@@ -351,6 +351,22 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("SQL-only surface: CREATE TEMPORARY VIEW USING the connector") {
+    CollectionStores.register("t10",
+      InMemoryCollectionStore.single("c", desc, mkPoints(10)))
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW sql_collection
+        |USING graft.sources.CollectionDataSource
+        |OPTIONS (store 't10', collection 'c', partitions '2')""".stripMargin)
+    val out = spark.sql(
+      "SELECT id FROM sql_collection WHERE id > '7' ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("8", "9"))
+    // pushdown works through the SQL path too
+    val scan = scanOf(spark.sql("SELECT id FROM sql_collection WHERE id > '7'"))
+    assert(scan.description().contains("idLower=7"), scan.description())
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
