@@ -607,9 +607,40 @@ final class CollectionScan(
     idFilter: Option[Set[String]] = None,
     idLower: Option[String] = None)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   val fetchSpec: FetchSpec = FetchSpec.fromSchema(pruned, descriptor)
+
+  /** Runtime (join-driven) id filtering — the DSv2 analog of dynamic
+    * partition pruning: when this collection joins a filtered small side
+    * on `id`, Spark evaluates the other side first and hands the scan the
+    * matching ids as an `In` filter BEFORE partitions are planned. The
+    * store then skips every non-matching point, so the join reads only
+    * the probe set instead of the full collection — at 100 TB the
+    * difference between a point-lookup batch and a full scan.
+    */
+  private var runtimeIdFilter: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(filters: Array[sources.Filter]): Unit =
+    filters.foreach {
+      case sources.In("id", vs) if vs != null =>
+        val ids = vs.collect { case s: String => s }.toSet
+        runtimeIdFilter = Some(runtimeIdFilter.fold(ids)(_ intersect ids))
+      case sources.EqualTo("id", v: String) =>
+        runtimeIdFilter = Some(runtimeIdFilter.fold(Set(v))(_ intersect Set(v)))
+      case _ => () // non-id runtime filters: ignore, Spark re-applies them
+    }
+
+  /** The pushed-down and runtime id filters, intersected. */
+  private def effectiveIdFilter: Option[Set[String]] =
+    (idFilter, runtimeIdFilter) match {
+      case (Some(a), Some(b)) => Some(a intersect b)
+      case (a, b) => a.orElse(b)
+    }
 
   /** Report cardinality + a size estimate to Catalyst so a join against a
     * small collection BROADCASTS instead of shuffling both sides — the
@@ -647,9 +678,10 @@ final class CollectionScan(
     // a pushed LIMIT caps the scan (read only the first `limit` points) —
     // but ONLY when no filter is pushed: with a filter, the first N raw
     // points may hold fewer than N matches, so the store must scan the
-    // full range and apply filter-then-limit
+    // full range and apply filter-then-limit. Runtime id filters arrive
+    // BEFORE this call (the DSv2 contract), so they participate too.
     val bound =
-      if (idFilter.isDefined || idLower.isDefined) total
+      if (effectiveIdFilter.isDefined || idLower.isDefined) total
       else limit.fold(total)(n => math.min(total, n.toLong))
     val per = math.max(1L, (bound + partitions - 1) / partitions)
     (0L until bound by per).map(start =>
@@ -659,7 +691,7 @@ final class CollectionScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CollectionReaderFactory(storeName, collection, descriptor, pruned,
-      fetchSpec, limit, idFilter, idLower)
+      fetchSpec, limit, effectiveIdFilter, idLower)
 
   /** Streaming READ of the collection: a micro-batch CDC stream over the
     * store's upsert log. Offsets are log positions; each batch replays

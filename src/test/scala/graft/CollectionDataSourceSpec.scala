@@ -351,6 +351,25 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runtime (join-driven) id filtering reaches the store scan") {
+    val df = readDf().select("id", "payload")
+    // the filtered small side joins on the scan's declared filter
+    // attribute — Spark evaluates it first (reusing its broadcast) and
+    // hands the scan the matching ids before partitions are planned.
+    // The probe must come from a SOURCE (not a local relation, which
+    // constant-folds its filter away — DPP requires a selective Filter
+    // node on the filtering side to fire)
+    val probe = Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").cast("string").as("id"))
+    val joined = df.join(probe, "id")
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"), s"no runtime filter injected:\n$p")
+    assert(joined.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("0", "1", "2", "3", "4"))
+  }
+
   test("SQL-only surface: CREATE TEMPORARY VIEW USING the connector") {
     CollectionStores.register("t10",
       InMemoryCollectionStore.single("c", desc, mkPoints(10)))
