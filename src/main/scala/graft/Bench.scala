@@ -63,7 +63,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two lines, per-query map FIRST and the compact total LAST: the driver
+    // captures a bounded tail of stdout and parses the final JSON line, so
+    // the total must never share a line with the (ever-growing) per-query
+    // map — round 8's single combined line outgrew the captured tail and
+    // left BENCH_r08.json unparseable ("parsed": null).
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

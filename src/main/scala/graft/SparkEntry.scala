@@ -479,6 +479,33 @@ object SparkEntry {
         .option("store", "write_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
+    }),
+
+    // the heterogeneous NAMED collection END-TO-END through the connector —
+    // the reference's flagship e2e shape (/root/reference/tests/e2e.rs:
+    // 111-332): named dense fields on disjoint point subsets, a
+    // multi-vector field, a sparse field, NULL for absent fields. Rows
+    // encode to wire Points executor-side through the DSv2 WRITE (dense +
+    // multi + sparse branches of CollectionDataWriter), seal id-sorted,
+    // and decode back through PointDecoder on read — every field kind
+    // value-checked against the parquet oracle, not just id/payload.
+    "dsv2_hetero" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("hetero_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "hetero_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+        .select(
+          col("id"), col("payload"),
+          vq6(col("text_embedding")).as("text_embedding_q6"),
+          vq6(col("image_embedding")).as("image_embedding_q6"),
+          vq6(col("audio_embedding")).as("audio_embedding_q6"),
+          array_join(transform(col("multi_embeddings"), sv => vq6(sv)), ";")
+            .as("multi_q6"),
+          iarr(col("keywords_indices")).as("keywords_indices_s"),
+          vq6(col("keywords_values")).as("keywords_values_q6"))
     })
   )
 
@@ -1304,6 +1331,24 @@ object SparkEntry {
         |         label
         |  FROM embeddings)
         |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
+
+    // the store round-trip must reproduce the same frame the hetero_nulls
+    // view computes directly from parquet — same CASE structure, plus the
+    // image (dense) and multi fields the view gate leaves unchecked
+    "dsv2_hetero" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload,
+        |       CASE WHEN vec_id % 3 IN (0, 1) THEN ${duckVq6("embedding")} END AS text_embedding_q6,
+        |       CASE WHEN vec_id % 3 IN (1, 2) THEN ${duckVq6("embedding")} END AS image_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 2 THEN ${duckVq6("embedding")} END AS audio_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 0 THEN
+        |         ${duckVq6("embedding")} || ';' || ${duckVq6("list_reverse(embedding)")}
+        |       END AS multi_q6,
+        |       CASE WHEN vec_id % 3 <> 1 THEN
+        |         array_to_string(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> CAST(i - 1 AS VARCHAR)), ',')
+        |       END AS keywords_indices_s,
+        |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // keyset page: lexicographic id > '29' over the string-keyed
     // collection (both engines compare strings bytewise)

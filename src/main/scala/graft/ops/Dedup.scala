@@ -432,6 +432,18 @@ object Dedup {
     * Same output contract: (a_id, b_id, cosine), a < b. Vectors must
     * share one dimension (the plane family is sized from an arbitrary
     * row's); NULL-vector rows are dropped — they cannot near-dup.
+    *
+    * SIZING (the scale contract is conditional on it): the defaults
+    * (nbits=16, bands=4 — 4-bit band keys, 16 buckets per band) are
+    * TEST-SCALE; a random pair collides in some band with probability
+    * ~1-(1-2^-4)^4 ≈ 23%, which is fine at 10^5 rows and near-quadratic
+    * at 10^9. Callers must size `nbits/bands` so 2^(nbits/bands) is
+    * large relative to the corpus — e.g. nbits=64 / bands=4 (16-bit band
+    * keys, 65536 buckets per band) bounds expected random-collision
+    * volume at ~4·n²/2^16 pairs while a true near-dup (cosine→1, sign
+    * bits identical) still collides in every band. Wider bands trade
+    * recall for candidate volume exactly as in [[simhashDedup]]'s
+    * banding note.
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, nbits: Int = 16, bands: Int = 4,

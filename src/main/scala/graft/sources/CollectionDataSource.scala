@@ -121,6 +121,44 @@ final class InMemoryCollectionStore(
     data: Map[String, IndexedSeq[Point]],
     log: Map[String, IndexedSeq[Point]] = Map.empty) extends CollectionStore {
 
+  /** Points materialized from the backing index by [[queryPoints]] since
+    * this store instance was sealed — the observable cost model of the
+    * keyset seek: a scroll page must touch O(page) points, not O(skipped
+    * prefix), however deep the scroll goes (asserted in
+    * CollectionDataSourceSpec, not just narrated).
+    */
+  val pointsTouched = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // Is `collection` sealed in id order (UTF-8 byte order)? Computed once
+  // per collection: `appended` always re-seals sorted; `single` may hold
+  // arbitrary caller order, in which case the keyset bound degrades to a
+  // filter (a real backend serves it from its id index regardless).
+  private val sortedColl = new ConcurrentHashMap[String, java.lang.Boolean]()
+  private def isSorted(collection: String): Boolean =
+    sortedColl.computeIfAbsent(collection, c => {
+      val pts = data(c)
+      var i = 1
+      var ok = true
+      while (ok && i < pts.length) {
+        ok = !SparkStringOrder.gt(pts(i - 1).id, pts(i).id); i += 1
+      }
+      java.lang.Boolean.valueOf(ok)
+    }).booleanValue()
+
+  /** First index in id-sorted `pts` whose id sorts AFTER `bound` (UTF-8
+    * byte order) — the keyset SEEK: O(log n) probes to find the page
+    * start instead of scan-and-discard over the whole preceding prefix.
+    */
+  private def seekPastId(pts: IndexedSeq[Point], bound: String): Int = {
+    var lo = 0
+    var hi = pts.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (SparkStringOrder.gt(pts(mid).id, bound)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
   override def collectionInfo(collection: String): CollectionDescriptor =
     descriptors.getOrElse(collection,
       throw new IllegalArgumentException(s"unknown collection '$collection'"))
@@ -158,17 +196,26 @@ final class InMemoryCollectionStore(
                            idFilter: Option[Set[String]] = None,
                            idLower: Option[String] = None): Iterator[Point] = {
     val fields = vectorFields.toSet
-    val slice = data(collection)
-      .slice(from.toInt, math.min(until, data(collection).size).toInt)
-    // `single`-built stores may hold points in arbitrary order, so the
-    // keyset bound is applied as a filter here; a real backend (or the
-    // `appended` path, which re-seals id-sorted) would range-seek instead.
-    // Comparison MUST be Spark's (UTF-8 bytes), not Java's (UTF-16 units)
-    val paged = idLower.fold(slice)(last =>
-      slice.filter(p => SparkStringOrder.gt(p.id, last)))
+    val all = data(collection)
+    val hi = math.min(until, all.size.toLong).toInt
+    // Keyset bound `id > last`: a SEEK over the sealed id-sorted index
+    // (binary search to the page start — no point before it is touched);
+    // `single`-built stores may hold arbitrary caller order, where the
+    // bound degrades to a filter. Comparison MUST be Spark's (UTF-8
+    // bytes), not Java's (UTF-16 units).
+    val (lo, residualLower) = idLower match {
+      case Some(last) if isSorted(collection) =>
+        (math.max(from.toInt, seekPastId(all, last)), None)
+      case other => (from.toInt, other)
+    }
+    val base = Iterator.range(lo, hi).map { i =>
+      pointsTouched.incrementAndGet(); all(i)
+    }
+    val paged = residualLower.fold(base)(last =>
+      base.filter(p => SparkStringOrder.gt(p.id, last)))
     val filtered = idFilter.fold(paged)(ids => paged.filter(p => ids(p.id)))
     val limited = limit.fold(filtered)(n => filtered.take(n))
-    limited.iterator.map { p =>
+    limited.map { p =>
       // honor the narrowed fetch: drop what wasn't asked for
       p.copy(
         payload = if (withPayload) p.payload else None,
@@ -275,7 +322,10 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CollectionScanBuilder(storeName, collection, descriptor, partitions)
+    new CollectionScanBuilder(storeName, collection, descriptor, partitions,
+      // streaming admission control: cap each CDC micro-batch at this many
+      // log entries (read option; 0/absent = all available)
+      Option(options.get("maxRowsPerBatch")).map(_.toLong).filter(_ > 0))
 
   /** A12 upsert path — the half the reference leaves as `todo!()`
     * (/root/reference/src/table.rs:186-193). Append mode: rows convert to
@@ -333,15 +383,31 @@ final case class CollectionCommit(rows: Long) extends WriterCommitMessage
   * sink recipe.
   */
 private[sources] object CommittedEpochs {
-  private val last = new ConcurrentHashMap[String, java.lang.Long]()
-  /** True iff `epochId` is NEW for `key` (and records it). */
-  def markIfNew(key: String, epochId: Long): Boolean = {
-    val fresh = new java.util.concurrent.atomic.AtomicBoolean(false)
-    last.compute(key, (_, prev) =>
-      if (prev == null || epochId > prev.longValue()) {
-        fresh.set(true); java.lang.Long.valueOf(epochId)
-      } else prev)
-    fresh.get()
+  /** Keys are STRUCTURED (store, collection, queryId) — a joined-string
+    * key would collide when names contain the separator. Retention is a
+    * bounded LRU: each entry holds only the LAST committed epoch, so the
+    * only growth is one entry per distinct streaming query in a
+    * long-lived JVM, capped at [[MaxTracked]]. Evicting a key weakens the
+    * guard only for a query that stays idle across 1024 other queries'
+    * commits — far beyond realistic concurrency; a durable backend
+    * persists the watermark transactionally with the data instead.
+    */
+  private val MaxTracked = 1024
+  private type Key = (String, String, String)
+  private val last =
+    new java.util.LinkedHashMap[Key, java.lang.Long](64, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[Key, java.lang.Long]): Boolean =
+        size() > MaxTracked
+    }
+  /** True iff `epochId` is NEW for the query key (and records it). */
+  def markIfNew(store: String, collection: String, queryId: String,
+                epochId: Long): Boolean = last.synchronized {
+    val k = (store, collection, queryId)
+    val prev = last.get(k)
+    if (prev == null || epochId > prev.longValue()) {
+      last.put(k, java.lang.Long.valueOf(epochId)); true
+    } else false
   }
 }
 
@@ -363,15 +429,13 @@ final class CollectionWrite(
     * twice: exactly-once end to end.
     */
   override def toStreaming: StreamingWrite = new StreamingWrite {
-    private val epochGuardKey = s"$storeName/$collection/$queryId"
-
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
       new CollectionStreamingDataWriterFactory(descriptor, queryId)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit =
-      if (CommittedEpochs.markIfNew(epochGuardKey, epochId))
+      if (CommittedEpochs.markIfNew(storeName, collection, queryId, epochId))
         sealEpoch(s"$queryId#$epochId")
       else {
         // replayed epoch: already sealed once — discard the replay buffer
@@ -482,7 +546,8 @@ final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: Stri
 
 final class CollectionScanBuilder(
     storeName: String, collection: String,
-    descriptor: CollectionDescriptor, partitions: Int)
+    descriptor: CollectionDescriptor, partitions: Int,
+    maxRowsPerBatch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -497,13 +562,16 @@ final class CollectionScanBuilder(
   /** COUNT(*) with no grouping and no pushed predicate/limit is answered
     * from the store's point count — a metadata hit, zero points shipped
     * (the collection-cardinality call every catalog/UI issues; at scale
-    * the difference between a gRPC info call and a full scan). Any other
-    * aggregate, or a count over a filtered/limited scan, is declined and
-    * Spark aggregates the scanned rows as usual.
+    * the difference between a gRPC info call and a full scan). Exactly
+    * ONE CountStar: [[CollectionCountScan.readSchema]] emits one column,
+    * and Spark asserts the scan's column count against the pushed
+    * Aggregation — `SELECT COUNT(*), COUNT(*)` must decline (Spark then
+    * aggregates the scanned rows as usual), as must any other aggregate
+    * or a count over a filtered/limited scan.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
       idFilter.isEmpty && idLower.isEmpty && limit.isEmpty
@@ -562,7 +630,7 @@ final class CollectionScanBuilder(
       new CollectionCountScan(storeName, collection, prunedSchema)
     else
       new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
-        partitions, idFilter, idLower)
+        partitions, idFilter, idLower, maxRowsPerBatch)
 }
 
 /** Complete COUNT(*) pushdown: one partition, one row, the store's point
@@ -605,7 +673,8 @@ final class CollectionScan(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, limit: Option[Int], partitions: Int,
     idFilter: Option[Set[String]] = None,
-    idLower: Option[String] = None)
+    idLower: Option[String] = None,
+    maxRowsPerBatch: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -653,9 +722,16 @@ final class CollectionScan(
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val total = CollectionStores.get(storeName).pointCount(collection)
-    val rows =
-      if (idFilter.isDefined || idLower.isDefined) total // filters: upper bound
-      else limit.fold(total)(n => math.min(total, n.toLong))
+    val rows = idFilter match {
+      // a pushed id set bounds the result EXACTLY (upsert semantics: at
+      // most one point per id), so a point-lookup scan — id IN (3 ids)
+      // against a huge collection — reports 3 rows and gets its
+      // broadcast, the very case this statistics support exists for
+      case Some(ids) => math.min(total, ids.size.toLong)
+      // keyset bound: genuinely no tighter bound than the full count
+      case None if idLower.isDefined => total
+      case None => limit.fold(total)(n => math.min(total, n.toLong))
+    }
     val rowWidth = pruned.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -700,9 +776,19 @@ final class CollectionScan(
     * complement of the A2 scan (the reference is bounded-only by
     * construction — SURVEY §2.B streaming row).
     */
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // The shared ScanBuilder accepted id filters / limit as EXACT (no
+    // residual, Spark will not re-check them). MicroBatchExecution builds
+    // the stream without running filter pushdown today, so these are
+    // always empty here — but if a future Spark version (or any other
+    // code path) pushes them first, silently ignoring them would return
+    // unfiltered rows. Fail loudly instead.
+    if (idFilter.isDefined || idLower.isDefined || limit.isDefined)
+      throw new UnsupportedOperationException(
+        "pushed id filters / limit are not supported on the streaming (CDC) read path")
     new CollectionMicroBatchStream(storeName, collection, descriptor, pruned,
-      partitions)
+      partitions, maxRowsPerBatch)
+  }
 }
 
 /** Log-position offset of [[CollectionMicroBatchStream]]. */
@@ -712,12 +798,56 @@ final case class LogOffset(n: Long) extends Offset {
 
 final class CollectionMicroBatchStream(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    pruned: StructType, partitions: Int) extends MicroBatchStream {
+    pruned: StructType, partitions: Int,
+    maxRowsPerBatch: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = LogOffset(0L)
 
-  override def latestOffset(): Offset =
+  /** Log head pinned at query start under Trigger.AvailableNow: the
+    * bounded run drains exactly the entries present when it began (in
+    * capped epochs if `maxRowsPerBatch` is set) and then stops, even if
+    * writers keep appending. Without this trait Spark falls back to one
+    * giant Trigger.Once batch and IGNORES the read limit.
+    */
+  private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(CollectionStores.get(storeName).logSize(collection))
+
+  /** Admission-controlled end offset: each micro-batch admits at most
+    * `maxRowsPerBatch` log entries past `start`, so an unbounded backlog
+    * (a huge upsert log replayed from offset 0 — the restart-after-
+    * downtime case) drains as a sequence of bounded, individually
+    * checkpointed epochs instead of one giant batch that must fit in
+    * cluster memory at once. Without the option the default read limit
+    * is all-available (the pre-admission-control behavior).
+    */
+  override def latestOffset(start: Offset, limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val head = availableNowHead.getOrElse(
+      CollectionStores.get(storeName).logSize(collection))
+    val from = start.asInstanceOf[LogOffset].n
+    val end = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(head, from + r.maxRows())
+      case _ => head
+    }
+    LogOffset(end)
+  }
+
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxRowsPerBatch.fold(
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())(
+      n => org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(n))
+
+  /** True head of the log regardless of the admission cap — Spark's
+    * progress reporting reads backlog/lag from this. */
+  override def reportLatestOffset(): Offset =
     LogOffset(CollectionStores.get(storeName).logSize(collection))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-controlled form")
 
   override def deserializeOffset(json: String): Offset = LogOffset(json.toLong)
 

@@ -386,6 +386,125 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(scan.description().contains("idLower=7"), scan.description())
   }
 
+  test("keyset seek touches O(page) points, not the skipped prefix") {
+    // sealed through the DSv2 commit path (`appended` re-seals id-sorted),
+    // so the keyset bound is served as a binary-search SEEK: a page deep
+    // into the corpus materializes exactly `page` points from the index —
+    // the "flat page cost however deep the scroll goes" claim, measured
+    val store = InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)
+      .appended("c", (0 until 10000).map(i => Point(f"$i%05d", None)))
+    val page = store.queryPoints("c", 0, 10000, withPayload = false, Nil,
+      limit = Some(10), idLower = Some("07000")).toSeq
+    assert(page.map(_.id) === (7001 to 7010).map(i => f"$i%05d"))
+    assert(store.pointsTouched.get() === 10L)
+    // through the connector (partitioned 4 ways, each partition seeks
+    // within its range): still O(partitions x page), nowhere near the
+    // 7000-point prefix a scan-and-discard would touch
+    CollectionStores.register("t11", store)
+    store.pointsTouched.set(0L)
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "t11").option("collection", "c")
+      .option("partitions", "4").load()
+      .filter(col("id") > "07000").select("id").limit(10)
+    assert(df.collect().length === 10)
+    assert(store.pointsTouched.get() <= 40L, store.pointsTouched.get())
+    // an UNSORTED (single-built, arbitrary order) store still answers
+    // keyset queries correctly via the filter fallback
+    val unsorted = new InMemoryCollectionStore(
+      Map("c" -> desc), Map("c" -> IndexedSeq(
+        Point("b", None), Point("a", None), Point("c", None))))
+    assert(unsorted.queryPoints("c", 0, 3, withPayload = false, Nil, None,
+      idLower = Some("a")).map(_.id).toSeq.sorted === Seq("b", "c"))
+  }
+
+  test("pushed id-filter cardinality reaches join planning: point lookups broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold low enough that the FULL 200-point estimate exceeds it
+      // while a 3-id point lookup stays far under — the broadcast decision
+      // is then driven purely by the reported statistics
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      CollectionStores.register("t12", InMemoryCollectionStore.single("c", desc,
+        (0 until 200).map(i => Point(i.toString, Some(s"""{"i": $i}""")))))
+      def coll = spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", "t12").option("collection", "c").load()
+        .select("id", "payload")
+      val fact = spark.range(0, 100000).select(col("id").cast("string").as("id"))
+      // control: the unfiltered 200-row estimate is above threshold
+      val unfiltered = fact.join(coll, "id")
+      assert(!unfiltered.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        unfiltered.queryExecution.executedPlan.toString)
+      // a pushed id IN (3 ids) reports 3 rows -> the scan side broadcasts
+      val lookup = fact.join(coll.filter(col("id").isin("3", "7", "11")), "id")
+      val p = lookup.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(lookup.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+        Seq("11", "3", "7"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("SELECT COUNT(*), COUNT(*) returns correct results (single-column count scan)") {
+    CollectionStores.register("t13",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW count_collection
+        |USING graft.sources.CollectionDataSource
+        |OPTIONS (store 't13', collection 'c')""".stripMargin)
+    // the count scan emits ONE column, so a multi-CountStar aggregation
+    // must not claim complete pushdown (Spark asserts the scan's column
+    // count against the pushed Aggregation) — correct values either way
+    val r = spark.sql(
+      "SELECT COUNT(*) AS a, COUNT(*) AS b, COUNT(*) + 1 AS c FROM count_collection")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((20L, 20L, 21L)))
+  }
+
+  test("streaming read refuses pushed filters it would silently drop") {
+    // the shared ScanBuilder accepts id filters as EXACT (no residual);
+    // the CDC path does not apply them, so it must fail loudly rather
+    // than return unfiltered rows if Spark ever pushes before streaming
+    val b = new CollectionScanBuilder("t1", "c", desc, 2)
+    b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", "5")))
+    val scan = b.build().asInstanceOf[CollectionScan]
+    intercept[UnsupportedOperationException] {
+      scan.toMicroBatchStream("/tmp/unused")
+    }
+    ()
+  }
+
+  test("admission control: maxRowsPerBatch drains a backlog as bounded epochs") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // unit level: the admitted end offset is capped at start + maxRows
+    val stream = new CollectionMicroBatchStream("t14", "c", desc, desc.schema, 2,
+      maxRowsPerBatch = Some(10L))
+    CollectionStores.register("t14", InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)
+      .appended("c", (0 until 97).map(i => Point(f"$i%03d", None))))
+    assert(stream.getDefaultReadLimit === ReadLimit.maxRows(10L))
+    assert(stream.latestOffset(LogOffset(0L), ReadLimit.maxRows(10L)) === LogOffset(10L))
+    assert(stream.latestOffset(LogOffset(90L), ReadLimit.maxRows(10L)) === LogOffset(97L))
+    assert(stream.reportLatestOffset() === LogOffset(97L))
+    // end to end: a 97-entry log replays under AvailableNow as a SEQUENCE
+    // of <=10-row epochs totalling the log — the bounded-epoch form an
+    // unbounded backlog needs at scale
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-admission-ckpt").toString
+    val q = spark.readStream.format("graft.sources.CollectionDataSource")
+      .option("store", "t14").option("collection", "c")
+      .option("maxRowsPerBatch", "10").load()
+      .select("id")
+      .writeStream.format("memory").queryName("capped_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("capped_out").count() === 97)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 10, batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows <= 10))
+      assert(batches.map(_.numInputRows).sum === 97)
+    } finally q.stop()
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
