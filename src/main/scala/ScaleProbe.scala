@@ -23,7 +23,12 @@ object ScaleProbe {
       val n = f
       println(f"[probe] $tag: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
-    for (n <- Seq(1, 2, 4)) {
+    // optional arg names ONE section to run (e.g. `runMain ScaleProbe etl`);
+    // no arg = the full sweep
+    val only = args.headOption
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_ == name)) body
+    section("dedup") { for (n <- Seq(1, 2, 4)) {
       val c = corpus(n).persist(); c.count()
       time(s"minhash x$n") {
         graft.ops.Dedup.minhashDedup(c, "doc_id", "text", 0.8).count()
@@ -40,13 +45,13 @@ object ScaleProbe {
           c.filter(col("doc_id") % 97 === 0), "text").count()
       }
       c.unpersist()
-    }
+    } }
     // 8x/16x flatness sweep (recorded in BASELINE.md): dedup_clusters'
     // ROUND COUNT must stay ~log(component diameter) as replication
     // densifies every component (replicas are exact copies, so components
     // grow wider, not deeper), and the LSH band filter must keep constant
     // selectivity (identical vectors replicate into the same buckets)
-    for (n <- Seq(1, 2, 4, 8, 16)) {
+    section("clusters") { for (n <- Seq(1, 2, 4, 8, 16)) {
       val c = corpus(n).persist(); c.count()
       time(s"dedup_clusters x$n") {
         val rows = graft.ops.Dedup.dedupClusters(c, "doc_id", "text",
@@ -63,7 +68,7 @@ object ScaleProbe {
         rows
       }
       c.unpersist()
-    }
+    } }
     val hom = graft.collections.Collections.homogeneous(spark, "/root/testdata/sf0.1")
       .select(col("id"), col("vector"))
     val qv = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -73,7 +78,7 @@ object ScaleProbe {
       (0 until n).map(i =>
         hom.select(concat(col("id"), lit(s"_$i")).as("id"), col("vector")))
         .reduce(_ union _)
-    for (n <- Seq(1, 2, 4, 8, 16)) {
+    section("lsh") { for (n <- Seq(1, 2, 4, 8, 16)) {
       val h = homN(n).persist(); val total = h.count()
       time(s"lsh_candidates x$n") {
         val cand = graft.ops.Ann.lshBuckets(h, "vector", qv.length, 16)
@@ -82,12 +87,12 @@ object ScaleProbe {
         cand
       }
       h.unpersist()
-    }
+    } }
     // embedding near-dup pair volume under LSH banding: replicas land in
     // the same buckets, so verified pair count should grow with planted
     // duplicate density (quadratic in replication WITHIN a bucket family),
     // while wall time tracks bucket volume, not corpus^2
-    for (n <- Seq(1, 2, 4)) {
+    section("emblsh") { for (n <- Seq(1, 2, 4)) {
       val h = homN(n)
         .select(col("id"), col("vector").cast("array<double>").as("v"))
         .persist()
@@ -96,19 +101,88 @@ object ScaleProbe {
         graft.ops.Dedup.embeddingNearDupLsh(h, "id", "v", threshold = 0.999).count()
       }
       h.unpersist()
-    }
+    } }
     // events-based probe: watermark-dedup bounded form over replicated events
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     def events(n: Int): DataFrame =
       (0 until n).map(i => ev.select(col("event_id"),
         col("ts"), (col("user_id") + lit(i * 10000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))).reduce(_ union _)
-    for (n <- Seq(1, 2, 4)) {
+    section("stream") { for (n <- Seq(1, 2, 4)) {
       val e = events(n).persist(); e.count()
       time(s"stream_dedup x$n") {
         graft.streaming.EventsStream.dedupWithinHorizonBatch(e).count()
       }
       e.unpersist()
+    } }
+    // connector ETL probe: the full CDC stream pipeline (upsert-log source
+    // -> filter/re-label transform -> per-epoch atomic collection sink)
+    // over an Nx-replicated source store. Epoch planning is log-position
+    // arithmetic and per-epoch work is proportional to the entries
+    // admitted, so wall time must track log size ~linearly; the
+    // admission-controlled drain must split the same log into bounded
+    // epochs whose row counts sum to it.
+    section("etl") {
+      import graft.sources._
+      import graft.collections.Collections
+      val homC = Collections.homogeneous(spark, "/root/testdata/sf0.1")
+      def collN(n: Int): DataFrame =
+        (0 until n).map(i =>
+          homC.select(concat(col("id"), lit(s"_$i")).as("id"),
+            col("payload"), col("vector")))
+          .reduce(_ union _)
+      def runPipeline(srcName: String, dstName: String,
+                      extra: Map[String, String] = Map.empty) = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-etl").toString
+        var r = spark.readStream.format("graft.sources.CollectionDataSource")
+          .option("store", srcName).option("collection", "embeddings")
+          .option("partitions", "8")
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        val q = r.load()
+          .filter(graft.functions.json_get_int(col("payload"), "label") % 2 === 0)
+          .select(col("id"),
+            concat(lit("""{"etl":1,"orig":"""), col("payload"), lit("}")).as("payload"),
+            col("vector"))
+          .writeStream.format("graft.sources.CollectionDataSource")
+          .option("store", dstName).option("collection", "embeddings")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+        q
+      }
+      for (n <- Seq(1, 2, 4, 8)) {
+        val (srcName, dstName) = (s"probe_etl_src_$n", s"probe_etl_dst_$n")
+        CollectionStores.register(srcName, InMemoryCollectionStore.fromRows(
+          collN(n), "embeddings", Collections.homogeneousDescriptor))
+        CollectionStores.register(dstName, InMemoryCollectionStore.single(
+          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+        time(s"dsv2_stream_pipeline x$n") {
+          runPipeline(srcName, dstName)
+          CollectionStores.get(dstName).pointCount("embeddings")
+        }
+        CollectionStores.remove(srcName); CollectionStores.remove(dstName)
+      }
+      // bounded-epoch drain: the x4 log capped at ~1/8 of its size per
+      // epoch — same output, bounded peak batch size
+      val (srcName, dstName) = ("probe_etl_src_cap", "probe_etl_dst_cap")
+      CollectionStores.register(srcName, InMemoryCollectionStore.fromRows(
+        collN(4), "embeddings", Collections.homogeneousDescriptor))
+      CollectionStores.register(dstName, InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val logSize = CollectionStores.get(srcName).logSize("embeddings")
+      val cap = math.max(1L, logSize / 8)
+      time(s"dsv2_stream_pipeline x4 capped") {
+        val q = runPipeline(srcName, dstName,
+          Map("maxRowsPerBatch" -> cap.toString))
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        println(s"[probe] capped drain: log=$logSize cap=$cap " +
+          s"epochs=${batches.length} maxBatch=${batches.map(_.numInputRows).max} " +
+          s"sum=${batches.map(_.numInputRows).sum}")
+        CollectionStores.get(dstName).pointCount("embeddings")
+      }
+      CollectionStores.remove(srcName); CollectionStores.remove(dstName)
     }
     spark.stop()
   }
