@@ -506,6 +506,47 @@ object SparkEntry {
             .as("multi_q6"),
           iarr(col("keywords_indices")).as("keywords_indices_s"),
           vq6(col("keywords_values")).as("keywords_values_q6"))
+    }),
+
+    // NAMED-field vector search through the connector: the projection
+    // narrows the store fetch to id + text_embedding (FetchSpec), rows
+    // lacking the field decode as NULL and are excluded, and the codegen
+    // cosine kernel ranks the store-decoded vectors — the heterogeneous
+    // analog of dsv2_vector_search (reference e2e.rs:214-238 searches a
+    // named field of the same collection shape)
+    "dsv2_hetero_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("hs_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "hs_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+        .filter(col("id") =!= "0" && col("text_embedding").isNotNull)
+        .select(col("id"),
+          round(v_cosine(dvec(col("text_embedding")), vec(q)), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // the CATALOG surface: collections addressed as <catalog>.<name> in
+    // plain SQL — configure the catalog once (conf), and reads resolve
+    // through CollectionCatalog.loadTable to the same CollectionTable the
+    // path API uses (identical pushdown/statistics). The Spark-native
+    // form of the reference's per-table SessionContext registration (A1)
+    "dsv2_catalog_sql" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("catalog_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.store", "catalog_store")
+      s.sql(
+        """SELECT id, payload FROM graft_cat.embeddings
+          |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin)
     })
   )
 
@@ -1349,6 +1390,24 @@ object SparkEntry {
         |       END AS keywords_indices_s,
         |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // named-field search over the store round-trip: text_embedding is
+    // populated where vec_id % 3 IN (0, 1); NULL rows cannot match
+    "dsv2_hetero_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 IN (0, 1)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // catalog-addressed SQL resolves to the same scan as the path API —
+    // same rows as the keyset page over the source parquet
+    "dsv2_catalog_sql" ->
+      """SELECT id, payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload
+        |  FROM embeddings)
+        |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin,
 
     // keyset page: lexicographic id > '29' over the string-keyed
     // collection (both engines compare strings bytewise)

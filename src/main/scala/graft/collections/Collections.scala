@@ -73,6 +73,52 @@ final case class CollectionDescriptor(
     }
 }
 
+object CollectionDescriptor {
+  /** The inverse of [[CollectionDescriptor.schema]]: recover a descriptor
+    * from a collection-shaped StructType — the catalog's CREATE TABLE
+    * path (a user declares the table shape in SQL/DDL and the store
+    * derives its field config). Recognizes the same conventions schema()
+    * emits: leading non-null `id` string + nullable `payload` string,
+    * dense `array<float>`, multi `array<array<float>>`, and the adjacent
+    * `{name}_indices`/`{name}_values` sparse pair. A single dense column
+    * named `vector` is the UNNAMED single-vector collection
+    * (schema.rs:74-77 analog).
+    */
+  def fromSchema(name: String, st: StructType): CollectionDescriptor = {
+    require(st.fields.length >= 2 &&
+        st.fields(0).name == "id" && st.fields(0).dataType == StringType &&
+        st.fields(1).name == "payload" && st.fields(1).dataType == StringType,
+      s"collection schema must start with (id STRING, payload STRING), got $st")
+    val vecCols = st.fields.drop(2)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[VectorFieldSpec]
+    var i = 0
+    while (i < vecCols.length) {
+      val f = vecCols(i)
+      f.dataType match {
+        case ArrayType(IntegerType, _) if f.name.endsWith("_indices") &&
+            i + 1 < vecCols.length &&
+            vecCols(i + 1).name == f.name.stripSuffix("_indices") + "_values" &&
+            vecCols(i + 1).dataType.isInstanceOf[ArrayType] =>
+          fields += SparseField(f.name.stripSuffix("_indices")); i += 2
+        case ArrayType(FloatType, _) =>
+          fields += DenseField(f.name, dim = 0); i += 1
+        case ArrayType(ArrayType(FloatType, _), _) =>
+          fields += MultiField(f.name, dim = 0); i += 1
+        case other => throw new IllegalArgumentException(
+          s"column '${f.name}': $other is not a collection field type " +
+            "(dense array<float>, multi array<array<float>>, or the " +
+            "{name}_indices/{name}_values sparse pair)")
+      }
+      ()
+    }
+    val unnamed = fields.toSeq match {
+      case Seq(DenseField("vector", _, _)) => true
+      case _ => false
+    }
+    CollectionDescriptor(name, fields.toSeq, named = !unnamed)
+  }
+}
+
 object Collections {
 
   /** F3: the homogeneous unnamed collection (single dense `vector`), built

@@ -42,6 +42,13 @@ final case class Point(
 trait CollectionStore extends Serializable {
   def collectionInfo(collection: String): CollectionDescriptor
   def pointCount(collection: String): Long
+
+  /** Names of the collections this store serves — the catalog listing
+    * (the reference exposes this as the client's `list_collections`).
+    * Optional: a store that cannot enumerate (e.g. a single-collection
+    * client) reports none and is usable only by explicit name.
+    */
+  def collectionNames: Seq[String] = Seq.empty
   /** Fetch points [from, until) with only the requested pieces populated.
     * `idFilter`, when set, restricts to those point ids (the pushed
     * `id = x` / `id IN (...)` predicate — the reference declares filter
@@ -162,6 +169,26 @@ final class InMemoryCollectionStore(
   override def collectionInfo(collection: String): CollectionDescriptor =
     descriptors.getOrElse(collection,
       throw new IllegalArgumentException(s"unknown collection '$collection'"))
+
+  override def collectionNames: Seq[String] = descriptors.keys.toSeq.sorted
+
+  /** A new store with an (empty) collection added — the catalog's
+    * CREATE TABLE. Replaces any existing descriptor of the same name
+    * only if the collection is empty (no silent data loss).
+    */
+  def withCollection(collection: String,
+                     desc: CollectionDescriptor): InMemoryCollectionStore = {
+    require(!data.contains(collection) || data(collection).isEmpty,
+      s"collection '$collection' already holds points")
+    new InMemoryCollectionStore(descriptors.updated(collection, desc),
+      data.updated(collection, IndexedSeq.empty),
+      log.updated(collection, IndexedSeq.empty))
+  }
+
+  /** A new store without `collection` — the catalog's DROP TABLE. */
+  def withoutCollection(collection: String): InMemoryCollectionStore =
+    new InMemoryCollectionStore(descriptors - collection, data - collection,
+      log - collection)
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
@@ -343,7 +370,8 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
     new WriteBuilder {
       override def build(): Write =
         new CollectionWrite(storeName, collection, descriptor,
-          java.util.UUID.randomUUID().toString, info.queryId())
+          java.util.UUID.randomUUID().toString, info.queryId(),
+          distributeById = info.options().getBoolean("distributeById", false))
     }
   }
 }
@@ -413,7 +441,31 @@ private[sources] object CommittedEpochs {
 
 final class CollectionWrite(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    writeId: String, queryId: String) extends Write with BatchWrite {
+    writeId: String, queryId: String, distributeById: Boolean = false)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** Opt-in (write option `distributeById`): ask Spark to CLUSTER rows by
+    * id and sort each task's rows ascending before they reach the
+    * writers. For a sharded backend this is the difference between every
+    * writer dialing every shard (all-to-all upsert fan-out) and each
+    * writer owning one id range/shard with sorted, sequential-append
+    * batches — the write-path analog of the scan's partition planning.
+    * Off by default: the local store seals id-sorted regardless, and an
+    * extra exchange is pure cost when the backend doesn't care.
+    */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (distributeById)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("id")))
+    else org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (distributeById)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("id"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
 
   override def toBatch: BatchWrite = this
 

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+import graft.sources._
+
+/** The TableCatalog surface: collections addressed as `<catalog>.<name>`
+  * in SQL, DDL mapped onto the store (CREATE TABLE derives the field
+  * config from the declared schema, DROP TABLE removes the collection),
+  * and reads resolving to the same CollectionTable as the path API.
+  */
+class CollectionCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val desc = CollectionDescriptor("c", Seq(
+    DenseField("text_embedding", 2),
+    SparseField("keywords")))
+
+  private def freshCatalog(): Unit = {
+    CollectionStores.register("cat_store", InMemoryCollectionStore.single(
+      "points", desc.copy(name = "points"),
+      (0 until 10).map(i => Point(i.toString, Some(s"""{"i": $i}"""),
+        dense = Map("text_embedding" -> Array(i.toFloat, 0f))))))
+    spark.conf.set("spark.sql.catalog.cat_test",
+      "graft.sources.CollectionCatalog")
+    spark.conf.set("spark.sql.catalog.cat_test.store", "cat_store")
+  }
+
+  test("SELECT through the catalog resolves the collection with pushdown intact") {
+    freshCatalog()
+    val out = spark.sql(
+      "SELECT id, payload FROM cat_test.points WHERE id > '7' ORDER BY id")
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("8", "9"))
+    // the keyset predicate reached the store scan, not a post-scan filter
+    // (inspected on the sort-free form — the ORDER BY's exchange wraps
+    // the executed plan in AQE, hiding the scan node from collectFirst)
+    val scan = spark.sql("SELECT id FROM cat_test.points WHERE id > '7'")
+      .queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[CollectionScan]
+      }.get
+    assert(scan.description().contains("idLower=7"), scan.description())
+  }
+
+  test("SHOW TABLES lists the store's collections") {
+    freshCatalog()
+    val names = spark.sql("SHOW TABLES IN cat_test")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(names === Set("points"))
+  }
+
+  test("CREATE TABLE derives the descriptor from the declared schema; INSERT round-trips") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS cat_test.fresh")
+    spark.sql(
+      """CREATE TABLE cat_test.fresh (
+        |  id STRING NOT NULL, payload STRING,
+        |  image_embedding ARRAY<FLOAT>,
+        |  tags_indices ARRAY<INT>, tags_values ARRAY<FLOAT>)""".stripMargin)
+    val store = CollectionStores.get("cat_store")
+    assert(store.collectionInfo("fresh") === CollectionDescriptor("fresh", Seq(
+      DenseField("image_embedding", 0), SparseField("tags"))))
+    spark.sql(
+      """INSERT INTO cat_test.fresh VALUES
+        |  ('a', '{"x":1}', array(CAST(1.5 AS FLOAT), CAST(2.5 AS FLOAT)), array(3), array(CAST(0.5 AS FLOAT))),
+        |  ('b', NULL, NULL, NULL, NULL)""".stripMargin)
+    val back = spark.sql("SELECT * FROM cat_test.fresh ORDER BY id").collect()
+    assert(back.length === 2)
+    assert(back(0).getSeq[Float](2) === Seq(1.5f, 2.5f))
+    assert(back(0).getSeq[Int](3) === Seq(3))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(3))
+    // DROP removes the collection from the store
+    assert(spark.sql("DROP TABLE cat_test.fresh") != null)
+    assert(!CollectionStores.get("cat_store").collectionNames.contains("fresh"))
+  }
+
+  test("a single dense column named `vector` infers the UNNAMED collection") {
+    val d = CollectionDescriptor.fromSchema("u",
+      Collections.homogeneousDescriptor.schema)
+    assert(d === Collections.homogeneousDescriptor.copy(name = "u",
+      fields = Seq(DenseField("vector", 0))))
+    assert(!d.named)
+    // and the round trip through schema() is stable
+    assert(CollectionDescriptor.fromSchema("u", d.schema) === d)
+  }
+
+  test("fromSchema rejects non-collection shapes") {
+    intercept[IllegalArgumentException] {
+      CollectionDescriptor.fromSchema("bad",
+        org.apache.spark.sql.types.StructType.fromDDL("id STRING, v ARRAY<FLOAT>"))
+    }
+    intercept[IllegalArgumentException] {
+      CollectionDescriptor.fromSchema("bad",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, payload STRING, v ARRAY<DOUBLE>"))
+    }
+    ()
+  }
+
+  test("unknown table raises AnalysisException, not a store error") {
+    freshCatalog()
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM cat_test.nope").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope"), e.getMessage)
+  }
+
+  test("distributeById declares clustering + ordering on the write (sharded-backend routing)") {
+    val table = new CollectionTable("cat_store", "points", 2)
+    def writeFor(opts: java.util.Map[String, String]) = {
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def queryId(): String = "q-dist-test"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          desc.copy(name = "points").schema
+        override def options(): org.apache.spark.sql.util.CaseInsensitiveStringMap =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+      }
+      table.newWriteBuilder(info).build()
+        .asInstanceOf[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]
+    }
+    freshCatalog()
+    val plain = writeFor(java.util.Collections.emptyMap())
+    assert(plain.requiredDistribution() ===
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+    assert(plain.requiredOrdering().isEmpty)
+    val dist = writeFor(java.util.Collections.singletonMap("distributeById", "true"))
+    assert(dist.requiredDistribution().toString.contains("id"),
+      dist.requiredDistribution().toString)
+    assert(dist.requiredOrdering().length === 1)
+    assert(dist.requiredOrdering().head.toString.toLowerCase.contains("asc"),
+      dist.requiredOrdering().head.toString)
+    // behavioral: a distributed write still round-trips exactly
+    import spark.implicits._
+    val src = (20 until 30).map(i => (i.toString, s"""{"i": $i}""",
+        Seq(i.toFloat, 1f), null: Seq[Int], null: Seq[Float]))
+      .toDF("id", "payload", "text_embedding", "keywords_indices", "keywords_values")
+      .repartition(4)
+    src.write.format("graft.sources.CollectionDataSource")
+      .option("store", "cat_store").option("collection", "points")
+      .option("distributeById", "true")
+      .mode("append").save()
+    val back = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "cat_store").option("collection", "points").load()
+    assert(back.count() === 20)
+    assert(back.filter(col("id") === "25").head().getString(1) === """{"i": 25}""")
+  }
+}
