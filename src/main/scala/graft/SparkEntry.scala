@@ -531,6 +531,32 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // SPARSE search through the connector: the keywords field decodes
+    // from the store as the (indices, values) pair, the fetch narrows to
+    // that ONE logical field (both physical columns), rows lacking it are
+    // NULL and excluded, and the sorted-merge sparse-dot kernel ranks —
+    // the sparse leg of the reference's named-collection e2e
+    "dsv2_sparse_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("ss_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      val base = s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "ss_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+        .select(col("id"), col("keywords_indices").as("ki"),
+          col("keywords_values").cast(ArrayType(DoubleType)).as("kv"))
+        .filter(col("ki").isNotNull)
+      val q = base.filter(col("id") === "0")
+        .select(col("ki").as("qi"), col("kv").as("qv"))
+      base.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("score",
+          round(v_sparse_dot(col("ki"), col("kv"), col("qi"), col("qv")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // the CATALOG surface: collections addressed as <catalog>.<name> in
     // plain SQL — configure the catalog once (conf), and reads resolve
     // through CollectionCatalog.loadTable to the same CollectionTable the
@@ -1408,6 +1434,17 @@ object SparkEntry {
         |         to_json({'label': label}) AS payload
         |  FROM embeddings)
         |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin,
+
+    // sparse keywords field holds the strictly-positive embedding
+    // positions; present where vec_id % 3 <> 1 (query = vec_id 0's)
+    "dsv2_sparse_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                  THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // keyset page: lexicographic id > '29' over the string-keyed
     // collection (both engines compare strings bytewise)

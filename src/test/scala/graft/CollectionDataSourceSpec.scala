@@ -505,6 +505,20 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("search-shaped queries narrow the store fetch to the searched field") {
+    // the dsv2_hetero_search / dsv2_sparse_search gate shapes: even with
+    // an isNotNull filter referencing the column, the store ships only
+    // the ONE logical field being scored (plus id), never the siblings
+    val dense = readDf().filter(col("text_embedding").isNotNull)
+      .select("id", "text_embedding")
+    assert(scanOf(dense).fetchSpec ===
+      FetchSpec(withPayload = false, Seq("text_embedding")))
+    val sparse = readDf().filter(col("keywords_indices").isNotNull)
+      .select("id", "keywords_indices", "keywords_values")
+    assert(scanOf(sparse).fetchSpec ===
+      FetchSpec(withPayload = false, Seq("keywords")))
+  }
+
   test("scan is partitioned N ways (vs the reference's single partition)") {
     val df = readDf(partitions = 5)
     assert(df.rdd.getNumPartitions === 5)
