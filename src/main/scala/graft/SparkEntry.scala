@@ -557,6 +557,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // MULTI-VECTOR (MaxSim) search through the connector: the ragged
+    // multi_embeddings field decodes from the store, NULL rows (points
+    // without the field) are excluded, and the MaxSim kernel ranks — the
+    // third vector-kind leg of the named-collection e2e, so all of
+    // dense / sparse / multi now search end-to-end over store decode
+    "dsv2_multi_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("ms_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      val base = s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "ms_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+        .select(col("id"), col("multi_embeddings").as("multi"))
+        .filter(col("multi").isNotNull)
+      val q = base.filter(col("id") === "0").select(col("multi").as("__qmulti"))
+      base.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("score", round(v_maxsim(col("multi"), col("__qmulti")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // the CATALOG surface: collections addressed as <catalog>.<name> in
     // plain SQL — configure the catalog once (conf), and reads resolve
     // through CollectionCatalog.loadTable to the same CollectionTable the
@@ -1444,6 +1467,21 @@ object SparkEntry {
         |             i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
         |                  THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // multi field is [embedding, reverse(embedding)], present where
+    // vec_id % 3 = 0 (the colbert_maxsim arithmetic over that subset)
+    "dsv2_multi_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
+        |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id, ROUND(m1 + m2, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q1),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q1)) AS m1,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q2),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q2)) AS m2
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // keyset page: lexicographic id > '29' over the string-keyed
