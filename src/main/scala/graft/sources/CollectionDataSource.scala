@@ -410,7 +410,7 @@ final case class CollectionCommit(rows: Long) extends WriterCommitMessage
   * data (one transactional write), which is the standard exactly-once
   * sink recipe.
   */
-private[sources] object CommittedEpochs {
+private[graft] object CommittedEpochs {
   /** Keys are STRUCTURED (store, collection, queryId) — a joined-string
     * key would collide when names contain the separator. Retention is a
     * bounded LRU: each entry holds only the LAST committed epoch, so the

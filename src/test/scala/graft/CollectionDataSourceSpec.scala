@@ -459,6 +459,17 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((20L, 20L, 21L)))
   }
 
+  test("epoch replay guard: structured keys cannot collide, replays are refused") {
+    // '/'-containing names must not alias each other's guards (a joined
+    // string key would make ("a/b","c",q) and ("a","b/c",q) one entry)
+    assert(CommittedEpochs.markIfNew("a/b", "c", "q-collide", 5L))
+    assert(CommittedEpochs.markIfNew("a", "b/c", "q-collide", 5L))
+    // same query key: a replayed (<=) epoch is refused, a later one admitted
+    assert(!CommittedEpochs.markIfNew("a/b", "c", "q-collide", 5L))
+    assert(!CommittedEpochs.markIfNew("a/b", "c", "q-collide", 4L))
+    assert(CommittedEpochs.markIfNew("a/b", "c", "q-collide", 6L))
+  }
+
   test("streaming read refuses pushed filters it would silently drop") {
     // the shared ScanBuilder accepts id filters as EXACT (no residual);
     // the CDC path does not apply them, so it must fail loudly rather
