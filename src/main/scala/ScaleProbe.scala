@@ -115,6 +115,40 @@ object ScaleProbe {
       }
       e.unpersist()
     } }
+    // ANN quality/cost probe: recall@10 of the approximate serving paths
+    // against exact brute force, sf0.1 corpus (2k vectors, 64-dim), 20
+    // deterministic queries. The oracle gates prove the ANN arithmetic is
+    // EXACT (hash-matched); this measures the RECALL the approximation
+    // trades for its pruning — the number a user sizes nprobe/bands with.
+    section("recall") {
+      import graft.functions.vec
+      val corpus = graft.collections.Collections.homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("vector").cast("array<double>").as("v"))
+        .persist()
+      corpus.count()
+      val idx = graft.ops.Ann.buildIvf(corpus, "id", "v", nlist = 8, maxIter = 5)
+      idx.clustered.persist().count()
+      val sigs = graft.ops.Ann.lshBuckets(corpus, "v", 64, nbits = 16).persist()
+      sigs.count()
+      val qids = (0 until 20).map(i => (i * 97 % 2000).toString)
+      val qvecs = qids.map(id => id -> corpus.filter(col("id") === id)
+        .select(col("v")).head().getSeq[Double](0).toSeq).toMap
+      def top(df: DataFrame): Set[String] =
+        df.collect().map(_.getString(0)).toSet
+      val truth = qids.map(id => id ->
+        top(graft.ops.Ann.bruteForce(corpus, "id", "v", vec(qvecs(id)), 10))).toMap
+      def meanRecall(tag: String)(method: String => DataFrame): Unit = {
+        val r = qids.map(id => top(method(id)).intersect(truth(id)).size / 10.0)
+        println(f"[probe] recall@10 $tag: ${r.sum / r.size}%.3f")
+      }
+      for (nprobe <- Seq(1, 2, 4, 8))
+        meanRecall(s"ivf nlist=8 nprobe=$nprobe")(id =>
+          idx.search(vec(qvecs(id)), 10, nprobe))
+      meanRecall("lsh nbits=16 bands=4")(id =>
+        graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      corpus.unpersist(); idx.clustered.unpersist(); sigs.unpersist()
+      ()
+    }
     // connector ETL probe: the full CDC stream pipeline (upsert-log source
     // -> filter/re-label transform -> per-epoch atomic collection sink)
     // over an Nx-replicated source store. Epoch planning is log-position

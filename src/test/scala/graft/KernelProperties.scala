@@ -189,4 +189,39 @@ object KernelProperties extends Properties("graft.kernels") {
         val d = DotProductI8(la, lb).eval(null).asInstanceOf[Double]
         d == a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
     }
+
+  // -- descriptor <-> schema (the catalog's CREATE TABLE inference) ---------
+
+  private val fieldName: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val descriptorGen: Gen[graft.collections.CollectionDescriptor] = for {
+    n <- Gen.choose(1, 5)
+    names <- Gen.listOfN(n, fieldName).retryUntil(ns => ns.distinct.size == ns.size)
+    kinds <- Gen.listOfN(n, Gen.choose(0, 2))
+    named <- Gen.oneOf(true, false)
+  } yield {
+    import graft.collections._
+    val fields = names.zip(kinds).map {
+      case (nm, 0) => DenseField(nm, 8)
+      case (nm, 1) => MultiField(nm, 8)
+      case (nm, _) => SparseField(nm)
+    }
+    // unnamed = single dense field only (the reference's single-vector
+    // collection); anything else must be named
+    val isUnnamed = !named && fields.sizeIs == 1 &&
+      fields.head.isInstanceOf[DenseField]
+    CollectionDescriptor("c", fields, named = !isUnnamed)
+  }
+
+  property("descriptor -> schema -> fromSchema is a schema-level fixpoint") =
+    forAll(descriptorGen) { d =>
+      // fromSchema cannot recover advisory dims or distinguish a NAMED
+      // single dense field literally called `vector` from the unnamed
+      // form — the invariant is that the recovered descriptor produces
+      // the IDENTICAL physical schema (what reads/writes dispatch on)
+      graft.collections.CollectionDescriptor.fromSchema("c", d.schema).schema == d.schema
+    }
 }
