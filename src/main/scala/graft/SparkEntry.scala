@@ -94,6 +94,21 @@ object SparkEntry {
         .localCheckpoint()
     })
 
+  /** Per-band LSH index of the corpus of `dir`: the [[graft.ops.Ann
+    * .lshBandIndex]] layout written `partitionBy("band", "bandkey")` to
+    * parquet ONCE (the production multi-hash-table serving layout; an
+    * offline ingest artifact like the clustered IVF store). Queries
+    * partition-prune to their own `bands` keys.
+    */
+  private def lshBandStore(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#lshband", {
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh-band").toString
+      graft.ops.Ann.lshBandIndex(
+          storedLshSignatures(s, dir).select("id", "bucket"), "id", nbits = 16)
+        .write.mode("overwrite").partitionBy("band", "bandkey").parquet(path)
+      s.read.parquet(path)
+    })
+
   /** Pre-build offline artifacts (the IVF index, the stored int8 codes)
     * for `dir`. Index construction and ingest-time quantization are
     * offline batch jobs in production — the reference's backend likewise
@@ -108,6 +123,7 @@ object SparkEntry {
     storedCodes(s, dir)
     storedLshSignatures(s, dir)
     ivfStored(s, dir)
+    lshBandStore(s, dir)
     ()
   }
 
@@ -1271,6 +1287,22 @@ object SparkEntry {
         "id", "vector", q, k = 10)
     }),
 
+    // same LSH search served from the PER-BAND index layout (one hash
+    // table per band, partitionBy(band, bandkey)): the query's literal
+    // band keys partition-prune the index read — bands point lookups,
+    // no full-signature scan (pruning asserted in BucketingSpec) — and
+    // the candidate ids broadcast into the exact-cosine rerank. Same
+    // oracle as ann_lsh: the candidate set (OR of band matches) and the
+    // rerank arithmetic are identical, only the cost shape differs
+    "ann_lsh_bucketed" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchLshStoredPartitioned(
+        SparkEntry.lshBandStore(s, dir),
+        SparkEntry.storedLshSignatures(s, dir).filter(col("id") =!= "3"),
+        "id", "vector", q, k = 10)
+    }),
+
     // int8-quantized candidate search + full-precision rerank; with a
     // candidate margin the exact top-k is recovered, so the dot_topk-style
     // oracle applies (scores are the EXACT rerank scores)
@@ -2284,5 +2316,7 @@ object SparkEntry {
         },
         "decontam" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
-          nbits = 16, bands = 4, seed = 42L))
+          nbits = 16, bands = 4, seed = 42L),
+        "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
+          dim = 64, nbits = 16, bands = 4, seed = 42L))
 }

@@ -328,4 +328,56 @@ object Ann {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** The per-band LSH index layout — the multi-hash-table form every
+    * production LSH serves from: one row per (band, bandkey, id), meant
+    * to be written `partitionBy("band", "bandkey")`. A query then reads
+    * exactly `bands` partitions (its own band keys) via literal partition
+    * pruning, so the band match costs bands/2^(nbits/bands) of the index
+    * FILES instead of a full-signature scan filter
+    * ([[searchLshStored]]'s plan) — at 100 TB the difference between
+    * `bands` point lookups and touching every stored signature. Storage
+    * is bands x the id column only; vectors stay in the corpus table and
+    * just the candidate ids join back for the exact rerank.
+    */
+  def lshBandIndex(sigs: DataFrame, idCol: String, nbits: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    require(nbits % bands == 0)
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    sigs.select(col(idCol),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
+        .as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bandkey").as("bandkey"),
+        col(idCol))
+  }
+
+  /** Serve a query from the partition-pruned per-band index: the
+    * driver-computed signature becomes `bands` literal (band, bandkey)
+    * predicates — pure partition pruning on the [[lshBandIndex]] layout —
+    * then the (bucket-volume-bounded) candidate id set broadcasts into a
+    * semi-join against the corpus for the exact-cosine rerank. Same
+    * result contract as [[searchLshStored]], different cost shape: no
+    * full-index scan anywhere in the plan.
+    */
+  def searchLshStoredPartitioned(bandIndex: DataFrame, corpus: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 query: Seq[Double], k: Int, nbits: Int = 16,
+                                 bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nbits % bands == 0)
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val qSig = lshSignatureOf(query, nbits, seed)
+    val pruned = (0 until bands).map(b =>
+      col("band") === b && col("bandkey") === lit((qSig >>> (b * r)) & mask))
+      .reduce(_ || _)
+    val cands = bandIndex.filter(pruned).select(col(idCol)).distinct()
+    corpus.join(broadcast(cands), Seq(idCol), "left_semi")
+      .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -78,4 +78,32 @@ class BucketingSpec extends AnyFunSuite {
     val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got === expected)
   }
+
+  test("per-band LSH index partition-prunes to the query's band keys") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+      .select("id", "vector")
+    val sigs = graft.ops.Ann.lshBuckets(corpus, "vector", 64, nbits = 16)
+    val dir = Files.createTempDirectory("graft-lsh-band-spec").toString
+    graft.ops.Ann.lshBandIndex(sigs.select("id", "bucket"), "id", nbits = 16)
+      .write.mode("overwrite").partitionBy("band", "bandkey").parquet(dir)
+    val bandIndex = spark.read.parquet(dir)
+
+    val q = corpus.filter(col("id") === "7")
+      .select(col("vector")).head().getSeq[Double](0)
+    val res = graft.ops.Ann.searchLshStoredPartitioned(bandIndex, sigs,
+      "id", "vector", q, k = 5)
+    // the driver-computed band keys must reach the index read as static
+    // partition filters — the query touches its 4 (band, bandkey)
+    // partitions, never the full signature table
+    val p = res.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*band""".r.findFirstIn(p).isDefined, p)
+    // and the pruned layout serves the SAME result as the scan-filter
+    // form over the same signatures
+    val expected = graft.ops.Ann.searchLshStored(sigs, "id", "vector", q, k = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
