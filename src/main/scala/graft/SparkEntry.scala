@@ -943,6 +943,14 @@ object SparkEntry {
     "stream_dedup" -> ((s, dir) =>
       EventsStream.dedupWithinHorizonFromDir(s, dir)),
 
+    // stream-stream interval join (event-time purchase attribution): the
+    // bounded gate form of EventsStream.attributedPairs — the SAME join
+    // runs unbounded with watermark-evicted state (StreamingSpec); one
+    // co-partitioned shuffle of both streams on user_id
+    "stream_join" -> ((s, dir) =>
+      EventsStream.attributedPurchasesBatch(
+        s.read.parquet(s"$dir/events.parquet"))),
+
     // sessionization: Spark's native session_window (map-side state merge,
     // one shuffle on the key; the same expression runs incrementally under
     // Structured Streaming) vs the oracle's gaps-and-islands SQL
@@ -1875,6 +1883,20 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // gaps-and-islands per (user_id, props) at MICROsecond precision (the
+    // event-time attribution join at MICROSECOND precision on both sides
+    // (Spark's ts DIV 1000 == DuckDB's epoch_ns // 1000; the 30-minute
+    // horizon is the integer 1800000000 us — no interval-type ambiguity)
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |                  epoch_ns(ts) // 1000 AS tus FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |       COUNT(*) AS n_clicks, MIN(c.event_id) AS first_click
+        |FROM e p JOIN e c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.tus <= p.tus AND c.tus >= p.tus - 1800000000
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // Spark side truncates nanos to micros before session_window, so the
     // oracle compares truncated values too); burst = first event kept
     "stream_dedup" ->

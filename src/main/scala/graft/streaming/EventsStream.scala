@@ -140,4 +140,44 @@ object EventsStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Stream-stream INTERVAL JOIN (the fourth pillar of the Structured
+    * Streaming surface beside windowed aggs, custom state, and watermark
+    * dedup): event-time purchase attribution — each `purchase` joins the
+    * SAME user's `click` events with `c.ts` in `[p.ts - horizon, p.ts]`.
+    * Both sides carry a watermark, so join state (buffered unmatched
+    * rows) is evicted once the other side's event time passes the
+    * horizon — the only viable contract for two endless streams. Emits
+    * matched (purchase_id, user_id, p_ts, click_id) pairs in append
+    * mode. At scale this is ONE co-partitioned shuffle of both streams
+    * on user_id; state per key is bounded by horizon x rate.
+    */
+  def attributedPairs(purchases: DataFrame, clicks: DataFrame,
+                      horizon: String = "30 minutes"): DataFrame = {
+    val p = normalize(purchases).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = normalize(clicks).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"))
+  }
+
+  /** Bounded, oracle-checkable form of the attribution: the SAME join,
+    * aggregated per purchase (click count + earliest click id). The
+    * streaming pair form above runs unbounded; this gate-shaped form
+    * proves the join semantics against the SQL oracle.
+    */
+  def attributedPurchasesBatch(events: DataFrame,
+                               horizon: String = "30 minutes"): DataFrame =
+    attributedPairs(events, events, horizon)
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("click_id")).as("first_click"))
 }

@@ -27,6 +27,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    val dir = Files.createTempDirectory("graft-stream-join")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // two INDEPENDENT file streams of the same source — the purchase and
+    // click sides buffer and match under their own watermarks
+    val q = EventsStream.attributedPairs(
+        EventsStream.readEventsStream(spark, dir.toString),
+        EventsStream.readEventsStream(spark, dir.toString))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val raw = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(spark.table("join_out"))
+    val batch = pairs(EventsStream.attributedPairs(raw, raw))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup emits at most one event per (user_id, props) in horizon") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(
