@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -29,7 +29,7 @@ import graft.collections.CollectionDescriptor
   * Collections live in the catalog's single flat namespace (the
   * reference's client likewise has no nested namespaces).
   */
-class CollectionCatalog extends TableCatalog {
+class CollectionCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var storeName: String = _
   private var partitions: Int = 4
@@ -100,4 +100,39 @@ class CollectionCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "collection stores do not support rename")
+
+  // -- SupportsNamespaces: the single flat (root) namespace ----------------
+  // `SHOW NAMESPACES IN <cat>` / `USE <cat>` resolve without error; the
+  // root is the only namespace, matching the store's flat collection space.
+
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    requireFlat(namespace)
+    Array.empty
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    requireFlat(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "collection stores have a single flat namespace")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "collection stores have a single flat namespace")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "collection stores have a single flat namespace")
 }

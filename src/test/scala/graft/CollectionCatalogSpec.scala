@@ -50,6 +50,20 @@ class CollectionCatalogSpec extends AnyFunSuite {
     assert(names === Set("points"))
   }
 
+  test("the flat root namespace resolves: USE, SHOW NAMESPACES, DESCRIBE") {
+    freshCatalog()
+    // SHOW NAMESPACES needs SupportsNamespaces; the store's collection
+    // space is flat, so the root is the only namespace
+    assert(spark.sql("SHOW NAMESPACES IN cat_test").collect().isEmpty)
+    spark.sql("USE cat_test")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM points").head().getLong(0) === 10L)
+      val cols = spark.sql("DESCRIBE TABLE cat_test.points")
+        .select("col_name").collect().map(_.getString(0)).toSet
+      assert(cols.contains("id") && cols.contains("text_embedding"))
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("CREATE TABLE derives the descriptor from the declared schema; INSERT round-trips") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS cat_test.fresh")
