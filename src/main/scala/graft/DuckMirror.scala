@@ -335,6 +335,29 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivf_assign oracle: the maxIter=0 seed centroids (same md5
+    * permutation init as [[ivfSql]]) and ONE argmin-euclid assignment of
+    * the full corpus — the incremental-maintenance path's arithmetic,
+    * mirrored standalone (first-min tiebreak = lowest cluster, matching
+    * array_position).
+    */
+  def ivfAssignSql(dim: Int, nlist: Int, seed: Long): String = {
+    def euclid(a: String, b: String): String =
+      s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y))"
+    s"""WITH corpus AS (
+       |  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '$seed'), id) - 1 AS cluster, v AS c
+       |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '$seed'), id LIMIT $nlist))
+       |SELECT id, CAST(cluster AS INTEGER) AS cluster FROM (
+       |  SELECT e.id, c.cluster,
+       |         ROW_NUMBER() OVER (PARTITION BY e.id
+       |           ORDER BY ${euclid("e.v", "c.c")}, c.cluster) AS rn
+       |  FROM corpus e CROSS JOIN cents0 c)
+       |WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
   /** CTE chain shared by [[minhashSql]] and [[minhashClustersSql]]:
     * corpus -> shingle hashes -> minhash signature -> banded candidates ->
     * Jaccard-verified `pairs(a_id, b_id, jaccard)`.

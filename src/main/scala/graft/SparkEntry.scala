@@ -1295,6 +1295,18 @@ object SparkEntry {
         "id", "vector", q, k = 10)
     }),
 
+    // incremental IVF maintenance: assign points against the EXISTING
+    // centroid table (no rebuild) — the path by which streamed-in points
+    // join a served index; pure map-side argmin over broadcast centroid
+    // literals, so the same expression runs unbounded (StreamingSpec)
+    "ann_ivf_assign" -> ((s, dir) => {
+      val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#probe",
+        Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      Ann.assignToCentroids(homD(s, dir).select("id", "vector"),
+          "vector", idx.centroids)
+        .select(col("id"), col("cluster"))
+    }),
+
     // same LSH search served from the PER-BAND index layout (one hash
     // table per band, partitionBy(band, bandkey)): the query's literal
     // band keys partition-prune the index read — bands point lookups,
@@ -2340,5 +2352,7 @@ object SparkEntry {
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L),
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
-          dim = 64, nbits = 16, bands = 4, seed = 42L))
+          dim = 64, nbits = 16, bands = 4, seed = 42L),
+        "ann_ivf_assign" -> DuckMirror.ivfAssignSql(dim = 64, nlist = 8,
+          seed = 42L))
 }

@@ -204,6 +204,24 @@ object Ann {
       (array_position(ds, array_min(ds)) - 1).cast(org.apache.spark.sql.types.IntegerType))
   }
 
+  /** Assignment as a standalone maintenance op: tag rows with the nearest
+    * centroid of an EXISTING index — the incremental index-maintenance
+    * path (points streaming into a collection join the index without a
+    * rebuild; production re-fits centroids out-of-band when drift
+    * warrants). Pure map-side argmin over broadcast centroid literals, so
+    * the SAME expression runs unbounded under Structured Streaming
+    * (StreamingSpec proves batch == streaming assignment). The centroid
+    * frame is model state (nlist x dim) — the one legitimate driver
+    * collect, like [[fitCentroids]]'s own update step.
+    */
+  def assignToCentroids(df: DataFrame, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val cents = centroids.orderBy(col("cluster"))
+      .select(col("centroid").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    assignClusters(df, vecCol, cents)
+  }
+
   /** Build an IVF index with nlist centroids (native Lloyd's, fixed seed). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
                seed: Long = 42L, maxIter: Int = 10): IvfIndex = {

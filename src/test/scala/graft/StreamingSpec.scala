@@ -27,6 +27,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF maintenance: streamed points get the batch assignment") {
+    import org.apache.spark.sql.types._
+    // index built offline (batch); NEW points then stream in and are
+    // tagged with their serving cluster by the same map-side argmin —
+    // incremental maintenance, no rebuild, no extra shuffle
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast(ArrayType(DoubleType)))
+      .select("id", "vector")
+    val idx = graft.ops.Ann.buildIvf(corpus, "id", "vector", nlist = 4, maxIter = 0)
+    val dir = Files.createTempDirectory("graft-ivf-maint")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", LongType)))
+    val streamed = spark.readStream.schema(embSchema).parquet(dir.toString)
+      .select(col("vec_id").cast(StringType).as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("vector"))
+    val q = graft.ops.Ann.assignToCentroids(streamed, "vector", idx.centroids)
+      .select("id", "cluster")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("maint_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val got = m(spark.table("maint_out"))
+    val expected = m(idx.clustered.select(col("id"), col("cluster")))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val dir = Files.createTempDirectory("graft-stream-join")
     Files.copy(
