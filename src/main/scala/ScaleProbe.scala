@@ -6,7 +6,19 @@ import org.apache.spark.sql.functions._
   * the scaling exponent of LSH-bounded vs blocked-quadratic verification.
   */
 object ScaleProbe {
+  /** Every section name `main` dispatches on — kept adjacent to the
+    * `section(...)` calls below; `main` rejects an arg matching none of
+    * these (a typo like `recal` would otherwise run NOTHING and exit
+    * cleanly, indistinguishable from a successful probe).
+    */
+  val sectionNames: Seq[String] =
+    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl")
+
   def main(args: Array[String]): Unit = {
+    args.headOption.foreach { s =>
+      require(sectionNames.contains(s),
+        s"unknown probe section '$s'; valid sections: ${sectionNames.mkString(", ")}")
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -26,8 +38,13 @@ object ScaleProbe {
     // optional arg names ONE section to run (e.g. `runMain ScaleProbe etl`);
     // no arg = the full sweep
     val only = args.headOption
-    def section(name: String)(body: => Unit): Unit =
+    def section(name: String)(body: => Unit): Unit = {
+      // keeps sectionNames (the arg validation list) in sync with the
+      // actual dispatch sites
+      require(sectionNames.contains(name),
+        s"section '$name' missing from ScaleProbe.sectionNames")
       if (only.forall(_ == name)) body
+    }
     section("dedup") { for (n <- Seq(1, 2, 4)) {
       val c = corpus(n).persist(); c.count()
       time(s"minhash x$n") {

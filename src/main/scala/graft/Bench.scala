@@ -70,6 +70,14 @@ object Bench {
     // left BENCH_r08.json unparseable ("parsed": null).
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    // The driver captures only a bounded TAIL of stdout, which truncates the
+    // head of the (100+-entry) per-query line — round 9 lost the ~21
+    // alphabetically-earliest medians. Persist the full map to a committed
+    // file so per-query regression tracking never depends on capture limits.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"),
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}}
+""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

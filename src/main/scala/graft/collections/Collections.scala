@@ -97,8 +97,17 @@ object CollectionDescriptor {
       f.dataType match {
         case ArrayType(IntegerType, _) if f.name.endsWith("_indices") &&
             i + 1 < vecCols.length &&
-            vecCols(i + 1).name == f.name.stripSuffix("_indices") + "_values" &&
-            vecCols(i + 1).dataType.isInstanceOf[ArrayType] =>
+            vecCols(i + 1).name == f.name.stripSuffix("_indices") + "_values" =>
+          // The values half must be exactly what the store round-trips
+          // (array<float>): accepting any ArrayType here would create a
+          // SparseField whose reported schema silently diverges from the
+          // declared DDL (e.g. `_values ARRAY<DOUBLE>`).
+          vecCols(i + 1).dataType match {
+            case ArrayType(FloatType, _) => ()
+            case other => throw new IllegalArgumentException(
+              s"column '${vecCols(i + 1).name}': sparse values must be " +
+                s"ARRAY<FLOAT>, got $other")
+          }
           fields += SparseField(f.name.stripSuffix("_indices")); i += 2
         case ArrayType(FloatType, _) =>
           fields += DenseField(f.name, dim = 0); i += 1

@@ -68,30 +68,41 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
                            transforms: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     requireFlat(ident.namespace())
-    if (tableExists(ident))
-      throw new TableAlreadyExistsException(ident.namespace().toSeq :+ ident.name())
     if (transforms.nonEmpty)
       throw new UnsupportedOperationException(
         "collection stores manage their own layout; PARTITIONED BY is not supported")
     val desc = CollectionDescriptor.fromSchema(ident.name(), schema)
+    // Existence check INSIDE the atomic update closure: a check outside it
+    // is check-then-act — two concurrent CREATEs of the same name could
+    // both pass and the loser's (empty) collection would be silently
+    // replaced instead of raising TableAlreadyExistsException.
     CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore => mem.withCollection(ident.name(), desc)
+      case mem: InMemoryCollectionStore =>
+        if (mem.collectionNames.contains(ident.name()))
+          throw new TableAlreadyExistsException(
+            ident.namespace().toSeq :+ ident.name())
+        mem.withCollection(ident.name(), desc)
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local DDL")
     }
     new CollectionTable(storeName, ident.name(), partitions)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    if (!tableExists(ident)) false
-    else {
-      CollectionStores.update(storeName) {
-        case mem: InMemoryCollectionStore => mem.withoutCollection(ident.name())
-        case other => throw new UnsupportedOperationException(
-          s"store ${other.getClass.getName} does not accept local DDL")
-      }
-      true
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace().nonEmpty) return false
+    // Same atomicity rule as createTable: decide existence and mutate in
+    // one computeIfPresent step so concurrent DROPs report exactly one
+    // `true`.
+    var dropped = false
+    CollectionStores.update(storeName) {
+      case mem: InMemoryCollectionStore =>
+        if (!mem.collectionNames.contains(ident.name())) { dropped = false; mem }
+        else { dropped = true; mem.withoutCollection(ident.name()) }
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not accept local DDL")
     }
+    dropped
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -153,20 +153,38 @@ object EventsStream {
     * on user_id; state per key is bounded by horizon x rate.
     */
   def attributedPairs(purchases: DataFrame, clicks: DataFrame,
-                      horizon: String = "30 minutes"): DataFrame = {
+                      horizon: String = "30 minutes",
+                      watermarkDelay: String = null): DataFrame = {
+    val delay = Option(watermarkDelay).getOrElse(watermarkDelayFor(horizon))
     val p = normalize(purchases).filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", delay)
     val c = normalize(clicks).filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"),
         col("user_id").as("c_user"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", delay)
     p.join(c,
       col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
       .select(col("purchase_id"), col("user_id"), col("p_ts"), col("click_id"))
+  }
+
+  /** Watermark delay for a given join horizon: horizon + 30 min lateness
+    * slack. The lateness bound must COVER the match window — a fixed
+    * delay narrower than `horizon` would silently drop late-but-in-horizon
+    * clicks. Month-bearing intervals are calendar-dependent and have no
+    * fixed second count; callers using them must pass `watermarkDelay`
+    * explicitly.
+    */
+  def watermarkDelayFor(horizon: String): String = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    require(iv.months == 0,
+      s"horizon '$horizon' uses months; pass watermarkDelay explicitly")
+    val horizonSecs = iv.days * 86400L + iv.microseconds / 1000000L
+    s"${horizonSecs + 1800} seconds"
   }
 
   /** Bounded, oracle-checkable form of the attribution: the SAME join,

@@ -109,7 +109,68 @@ class CollectionCatalogSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructType.fromDDL(
           "id STRING, payload STRING, v ARRAY<DOUBLE>"))
     }
+    // a sparse values half that is not ARRAY<FLOAT> must be rejected, not
+    // silently coerced — the store round-trips floats, so the reported
+    // table schema would diverge from the declared DDL
+    val e = intercept[IllegalArgumentException] {
+      CollectionDescriptor.fromSchema("bad",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, payload STRING, tags_indices ARRAY<INT>, tags_values ARRAY<DOUBLE>"))
+    }
+    assert(e.getMessage.contains("ARRAY<FLOAT>"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      CollectionDescriptor.fromSchema("bad",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id STRING, payload STRING, tags_indices ARRAY<INT>, tags_values ARRAY<STRING>"))
+    }
     ()
+  }
+
+  test("concurrent CREATE/DROP of the same name are atomic: exactly one wins") {
+    freshCatalog()
+    val cat = new CollectionCatalog
+    cat.initialize("cat_test", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("store", "cat_store")))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "race")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id STRING, payload STRING, v ARRAY<FLOAT>")
+    // two threads race createTable; the existence check lives inside the
+    // store's atomic update, so exactly one succeeds and the other gets
+    // TableAlreadyExistsException (check-then-act outside the closure
+    // would let both pass and the second silently replace the first)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val gate = new CountDownLatch(1)
+      val attempts = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = {
+            gate.await()
+            try { cat.createTable(ident, schema,
+              Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+              java.util.Collections.emptyMap[String, String]()); true }
+            catch {
+              case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException => false
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val created = attempts.count(_.get(30, TimeUnit.SECONDS))
+      assert(created === 1, s"expected exactly 1 winning CREATE, got $created")
+      // same contract for DROP: exactly one caller observes `true`
+      val gate2 = new CountDownLatch(1)
+      val drops = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = { gate2.await(); cat.dropTable(ident) }
+        })
+      }
+      gate2.countDown()
+      val dropped = drops.count(_.get(30, TimeUnit.SECONDS))
+      assert(dropped === 1, s"expected exactly 1 winning DROP, got $dropped")
+      assert(!CollectionStores.get("cat_store").collectionNames.contains("race"))
+    } finally pool.shutdownNow()
   }
 
   test("unknown table raises AnalysisException, not a store error") {

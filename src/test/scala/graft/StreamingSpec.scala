@@ -88,6 +88,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("interval-join watermark delay covers the horizon (derived, not fixed)") {
+    // the lateness bound must be >= the match window: a fixed 1-hour delay
+    // under a 2-hour horizon silently drops late-but-in-horizon clicks
+    assert(EventsStream.watermarkDelayFor("30 minutes") === "3600 seconds")
+    assert(EventsStream.watermarkDelayFor("2 hours") === "9000 seconds")
+    assert(EventsStream.watermarkDelayFor("3 days") === s"${3 * 86400 + 1800} seconds")
+    intercept[IllegalArgumentException] {
+      EventsStream.watermarkDelayFor("1 month")
+    }
+    // and the derived delay actually reaches BOTH EventTimeWatermark nodes —
+    // inspected on a STREAMING frame (never started): the analyzer
+    // eliminates watermark nodes from batch plans, so a batch frame shows
+    // none regardless of what attributedPairs set
+    val dir = Files.createTempDirectory("graft-wm-plan")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val s = EventsStream.readEventsStream(spark, dir.toString)
+    val delays = EventsStream.attributedPairs(s, s, horizon = "2 hours")
+      .queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+          e.delay.microseconds / 1000000L
+      }
+    assert(delays === Seq(9000L, 9000L), delays)
+  }
+
   test("streaming dedup emits at most one event per (user_id, props) in horizon") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(
