@@ -109,16 +109,35 @@ object ScaleProbe {
     // the same buckets, so verified pair count should grow with planted
     // duplicate density (quadratic in replication WITHIN a bucket family),
     // while wall time tracks bucket volume, not corpus^2
-    section("emblsh") { for (n <- Seq(1, 2, 4)) {
-      val h = homN(n)
+    section("emblsh") {
+      for (n <- Seq(1, 2, 4)) {
+        val h = homN(n)
+          .select(col("id"), col("vector").cast("array<double>").as("v"))
+          .persist()
+        h.count()
+        time(s"embedding_lsh_pairs x$n") {
+          graft.ops.Dedup.embeddingNearDupLsh(h, "id", "v", threshold = 0.999).count()
+        }
+        h.unpersist()
+      }
+      // candidate VOLUME under test (16/4) vs production (64/4) band
+      // sizing: threshold = -1 keeps every banded candidate, so the count
+      // is exactly the pair volume the exact-cosine verify stage must
+      // pay — the Dedup.scala sizing contract as a measured number
+      val h1 = homN(1)
         .select(col("id"), col("vector").cast("array<double>").as("v"))
         .persist()
-      h.count()
-      time(s"embedding_lsh_pairs x$n") {
-        graft.ops.Dedup.embeddingNearDupLsh(h, "id", "v", threshold = 0.999).count()
+      val total = h1.count()
+      for (nbits <- Seq(16, 64)) {
+        time(s"emblsh_candidates nbits=$nbits bands=4") {
+          val cand = graft.ops.Dedup.embeddingNearDupLsh(
+            h1, "id", "v", threshold = -1.0, nbits = nbits, bands = 4).count()
+          println(f"[probe] emblsh nbits=$nbits candidate_pairs=$cand of n=$total (ratio ${cand.toDouble / (total.toDouble * (total - 1) / 2)}%.6f of all pairs)")
+          cand
+        }
       }
-      h.unpersist()
-    } }
+      h1.unpersist()
+    }
     // events-based probe: watermark-dedup bounded form over replicated events
     val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
     def events(n: Int): DataFrame =

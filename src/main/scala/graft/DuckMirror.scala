@@ -120,7 +120,12 @@ object DuckMirror {
   private def lshBucketExpr(dim: Int, nbits: Int, seed: Long): String =
     graft.ops.Ann.lshPlanes(dim, nbits, seed).zipWithIndex.map { case (p, i) =>
       val lits = p.map(x => java.lang.Double.toString(x).replace("E", "e")).mkString("[", ", ", "]")
-      s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${1L << i} ELSE 0 END"
+      // HUGEINT bit weights: at nbits=64 the top bit exceeds signed
+      // BIGINT, and the band-key `// %` arithmetic below is only the
+      // unsigned-shift twin of the Spark side over a NON-NEGATIVE bucket
+      // (signed division truncates toward zero and would mis-bucket any
+      // signature with bit 63 set)
+      s"CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}), j -> v[j] * ($lits)[j]), (a, b) -> a + b) >= 0 THEN ${BigInt(1) << i}::HUGEINT ELSE 0::HUGEINT END"
     }.mkString("(", " + ", ")")
 
   /** `(bucket // shift) % mod` band-key arithmetic of band `b` (the SQL

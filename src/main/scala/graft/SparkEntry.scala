@@ -1030,6 +1030,17 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(embWithNearDups(s, dir), "vec_id", "v",
         threshold = 0.999)),
 
+    // the SAME pipeline at PRODUCTION band sizing (nbits=64 / bands=4 —
+    // 16-bit band keys, 65536 buckets per band): the Dedup.scala sizing
+    // contract as measured evidence — random-pair collision volume drops
+    // from ~23% (16/4) to ~2^-14, while true near-dups (sign bits
+    // identical) still collide in every band and the planted pairs
+    // survive; hits bit 63 of the signature, so this also pins the
+    // unsigned band arithmetic on both engine and oracle
+    "dedup_embedding_lsh64" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(embWithNearDups(s, dir), "vec_id", "v",
+        threshold = 0.999, nbits = 64, bands = 4)),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8)),
@@ -2051,6 +2062,10 @@ object SparkEntry {
 
     "dedup_embedding_lsh" ->
       DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64),
+
+    "dedup_embedding_lsh64" ->
+      DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64,
+        nbits = 64, bands = 4),
 
     "token_count" ->
       """SELECT doc_id,
