@@ -612,6 +612,79 @@ object SparkEntry {
       s.sql(
         """SELECT id, payload FROM graft_cat.embeddings
           |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin)
+    }),
+
+    // SQL DELETE through the catalog (SupportsDeleteV2): the reference
+    // client's delete-points call as Spark DDL — deletes resolve by id
+    // through the store's TOMBSTONE path (the sealed index shrinks AND
+    // the change log records the deletes), then the survivors read back
+    "dsv2_delete_sql" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("delsql_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.del_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.del_cat.store", "delsql_store")
+      s.sql("DELETE FROM del_cat.embeddings WHERE id IN ('3', '13', '23')")
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "delsql_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // the CHANGE LOG as a table (cdc=true batch read): after an ingest
+    // and a delete, the log replays as upserts of every id (in seal
+    // order, positions 0..n-1) followed by delete TOMBSTONES (id only,
+    // payload NULL) — the op-history audit face of the collection
+    "dsv2_cdc_log" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("cdclog_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      CollectionStores.update("cdclog_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.removed("embeddings", Set("3", "13", "23"))
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "cdclog_store").option("collection", "embeddings")
+        .option("cdc", "true").option("partitions", "4").load()
+        .select(col("_op"), col("_seq"), col("id"), col("payload"))
+    }),
+
+    // CDC REPLICATION end-to-end: stream the full change log (upserts +
+    // delete tombstones, each with its log position) out of one
+    // collection and into another through the cdc write face — `_seq`
+    // makes the sink apply entries in exact log order, so the replica
+    // converges to the source's surviving set, deletes included
+    "dsv2_stream_delete" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sd_src", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      CollectionStores.update("sd_src") {
+        case mem: InMemoryCollectionStore =>
+          mem.removed("embeddings", Set("3", "13", "23"))
+        case other => other
+      }
+      CollectionStores.register("sd_dst", InMemoryCollectionStore.single(
+        "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ckpt").toString
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "sd_src").option("collection", "embeddings")
+        .option("cdc", "true").option("partitions", "4").load()
+        .writeStream.format("graft.sources.CollectionDataSource")
+        .option("store", "sd_dst").option("collection", "embeddings")
+        .option("cdc", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sd_dst").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     })
   )
 
@@ -1520,6 +1593,37 @@ object SparkEntry {
         |         to_json({'label': label}) AS payload
         |  FROM embeddings)
         |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin,
+
+    "dsv2_delete_sql" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    // ingest seals id-sorted (VARCHAR binary order — same as Spark's
+    // UTF8_BINARY for these ASCII ids), so upsert positions are the
+    // lexicographic id rank; tombstones follow at n.., again id-sorted
+    "dsv2_cdc_log" ->
+      """WITH base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload
+        |  FROM embeddings),
+        |n AS (SELECT COUNT(*) AS c FROM base),
+        |ups AS (
+        |  SELECT 'upsert' AS _op,
+        |         CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS _seq,
+        |         id, payload
+        |  FROM base),
+        |dels AS (
+        |  SELECT 'delete' AS _op,
+        |         CAST(n.c + row_number() OVER (ORDER BY d.id) - 1 AS BIGINT) AS _seq,
+        |         d.id, CAST(NULL AS VARCHAR) AS payload
+        |  FROM (SELECT id FROM base WHERE id IN ('3', '13', '23')) d, n)
+        |SELECT * FROM ups UNION ALL SELECT * FROM dels ORDER BY _seq""".stripMargin,
+
+    "dsv2_stream_delete" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
 
     // sparse keywords field holds the strictly-positive embedding
     // positions; present where vec_id % 3 <> 1 (query = vec_id 0's)

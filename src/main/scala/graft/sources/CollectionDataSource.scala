@@ -32,6 +32,19 @@ final case class Point(
     multi: Map[String, Array[Array[Float]]] = Map.empty,
     sparse: Map[String, (Array[Int], Array[Float])] = Map.empty)
 
+/** One change-log entry: an upsert carrying the full point, or a delete
+  * tombstone carrying only the id (the reference backend deletes points
+  * by id; real CDC must replay both kinds). `seq` is the entry's log
+  * position — filled in by [[CollectionStore.logEntries]] on read (-1
+  * while buffered pre-commit, where the position is not yet assigned).
+  */
+final case class LogEntry(op: String, point: Point, seq: Long = -1L)
+
+object LogOps {
+  val Upsert = "upsert"
+  val Delete = "delete"
+}
+
 /** The "remote collection service" abstraction — the analog of the
   * reference's `Arc<Qdrant>` gRPC client (/root/reference/src/table.rs:84).
   * `queryPoints` receives the NARROWED fetch spec exactly like the
@@ -65,20 +78,22 @@ trait CollectionStore extends Serializable {
                   idFilter: Option[Set[String]] = None,
                   idLower: Option[String] = None): Iterator[Point]
 
-  /** Upsert-log length for `collection` — the micro-batch streaming
+  /** Change-log length for `collection` — the micro-batch streaming
     * source's offset domain. A store that cannot replay its history
     * (no change log) does not support streaming reads.
     */
   def logSize(collection: String): Long =
     throw new UnsupportedOperationException(
-      s"${getClass.getName} keeps no upsert log; streaming reads unsupported")
+      s"${getClass.getName} keeps no change log; streaming reads unsupported")
 
   /** Log entries [from, until) in ingest order (each upsert appears once,
-    * including re-upserts of an existing id — CDC semantics).
+    * including re-upserts of an existing id, and each delete appears as a
+    * tombstone — CDC semantics). Entries carry their log position in
+    * `seq`.
     */
-  def logPoints(collection: String, from: Long, until: Long): Iterator[Point] =
+  def logEntries(collection: String, from: Long, until: Long): Iterator[LogEntry] =
     throw new UnsupportedOperationException(
-      s"${getClass.getName} keeps no upsert log; streaming reads unsupported")
+      s"${getClass.getName} keeps no change log; streaming reads unsupported")
 }
 
 /** Spark string-comparison semantics for pushed predicates: the default
@@ -126,7 +141,7 @@ object CollectionStores {
 final class InMemoryCollectionStore(
     descriptors: Map[String, CollectionDescriptor],
     data: Map[String, IndexedSeq[Point]],
-    log: Map[String, IndexedSeq[Point]] = Map.empty) extends CollectionStore {
+    log: Map[String, IndexedSeq[LogEntry]] = Map.empty) extends CollectionStore {
 
   /** Points materialized from the backing index by [[queryPoints]] since
     * this store instance was sealed — the observable cost model of the
@@ -192,13 +207,16 @@ final class InMemoryCollectionStore(
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
-  private def logOf(collection: String): IndexedSeq[Point] =
-    log.getOrElse(collection, data(collection))
+  // a `single`-built store (no recorded history) reports its sealed
+  // contents as one batch of upserts — the replay that reproduces it
+  private def logOf(collection: String): IndexedSeq[LogEntry] =
+    log.getOrElse(collection, data(collection).map(LogEntry(LogOps.Upsert, _)))
 
   override def logSize(collection: String): Long = logOf(collection).size.toLong
 
-  override def logPoints(collection: String, from: Long, until: Long): Iterator[Point] =
-    logOf(collection).slice(from.toInt, until.toInt).iterator
+  override def logEntries(collection: String, from: Long, until: Long): Iterator[LogEntry] =
+    logOf(collection).iterator.slice(from.toInt, until.toInt).zipWithIndex
+      .map { case (e, i) => e.copy(seq = from + i) }
 
   /** A new store with `pts` upserted into `collection` (point-id
     * semantics, like the reference backend: an incoming id REPLACES the
@@ -214,7 +232,26 @@ final class InMemoryCollectionStore(
     val merged = data(collection).filterNot(p => incoming(p.id)) ++ deduped
     new InMemoryCollectionStore(descriptors,
       data.updated(collection, merged.sortBy(_.id).toIndexedSeq),
-      log.updated(collection, logOf(collection) ++ deduped))
+      log.updated(collection,
+        logOf(collection) ++ deduped.map(LogEntry(LogOps.Upsert, _))))
+  }
+
+  /** A new store with `ids` deleted from `collection` — point-id delete
+    * semantics like the reference backend (deleting an absent id is a
+    * no-op). Each id actually present is removed from the sealed index
+    * AND appended to the change log as a delete TOMBSTONE (id only), so
+    * the CDC read stream replays the deletion; absent ids log nothing
+    * (nothing happened). Tombstones seal in id order, matching
+    * [[appended]]'s per-batch ordering.
+    */
+  def removed(collection: String, ids: Set[String]): InMemoryCollectionStore = {
+    val hit = data(collection).filter(p => ids(p.id))
+    if (hit.isEmpty) this
+    else new InMemoryCollectionStore(descriptors,
+      data.updated(collection, data(collection).filterNot(p => ids(p.id))),
+      log.updated(collection,
+        logOf(collection) ++ hit.map(p =>
+          LogEntry(LogOps.Delete, Point(p.id, None)))))
   }
 
   override def queryPoints(collection: String, from: Long, until: Long,
@@ -281,6 +318,50 @@ object InMemoryCollectionStore {
   }
 }
 
+/** The change-log (cdc=true) face of a collection: column names, schema
+  * shape, and the id-predicate translation shared by the DELETE surface.
+  */
+object CdcSchema {
+  val OpCol = "_op"
+  val SeqCol = "_seq"
+
+  /** `_op`, `_seq`, then the collection's own columns. */
+  def of(desc: CollectionDescriptor): StructType =
+    StructType(
+      StructField(OpCol, StringType, nullable = false) +:
+      StructField(SeqCol, LongType, nullable = false) +:
+      desc.schema.fields)
+
+  /** The id set a V2 predicate selects, when it is one of the accepted
+    * DELETE shapes (`id = 'x'`, `id IN (...)`); None declines it.
+    */
+  def idsOfPredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def str(e: Expression): Option[String] = e match {
+      case l: Literal[_] if l.dataType == StringType =>
+        Option(l.value).map(_.toString)
+      case _ => None
+    }
+    def isIdRef(e: Expression): Boolean = e match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+    p.name() match {
+      case "=" if p.children().length == 2 =>
+        val Array(a, b) = p.children()
+        if (isIdRef(a)) str(b).map(Set(_))
+        else if (isIdRef(b)) str(a).map(Set(_))
+        else None
+      case "IN" if p.children().nonEmpty && isIdRef(p.children().head) =>
+        val vals = p.children().drop(1).map(str)
+        if (vals.nonEmpty && vals.forall(_.isDefined)) Some(vals.flatten.toSet)
+        else None
+      case _ => None
+    }
+  }
+}
+
 /** The narrowed fetch spec derived from a pruned schema — the analog of the
   * reference's `VectorSelectorSpec` + payload bool
   * (/root/reference/src/utils.rs:53-83,114-116). Exposed on the scan
@@ -331,28 +412,79 @@ class CollectionDataSource extends TableProvider {
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new CollectionTable(opts.get("store"), opts.get("collection"),
-      math.max(1, opts.getInt("partitions", 4)))
+      math.max(1, opts.getInt("partitions", 4)),
+      cdc = opts.getBoolean("cdc", false))
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class CollectionTable(storeName: String, collection: String, partitions: Int)
-    extends Table with SupportsRead with SupportsWrite {
+/** `cdc = true` (read/write option) switches the table to its CHANGE-LOG
+  * face: the schema gains leading `_op` (upsert/delete) and `_seq` (log
+  * position) columns, batch/streaming reads serve the store's change log
+  * instead of the sealed points, and writes APPLY ops (`_op = 'delete'`
+  * deletes the row's id) instead of upserting blindly — the full
+  * change-data-capture loop, reference-backend deletes included.
+  */
+final class CollectionTable(storeName: String, collection: String,
+                            partitions: Int, cdc: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   private lazy val descriptor =
     CollectionStores.get(storeName).collectionInfo(collection)
 
-  override def name(): String = s"$storeName.$collection"
-  override def schema(): StructType = descriptor.schema
+  override def name(): String =
+    if (cdc) s"$storeName.$collection.cdc" else s"$storeName.$collection"
+  override def schema(): StructType =
+    if (cdc) CdcSchema.of(descriptor) else descriptor.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CollectionScanBuilder(storeName, collection, descriptor, partitions,
-      // streaming admission control: cap each CDC micro-batch at this many
-      // log entries (read option; 0/absent = all available)
-      Option(options.get("maxRowsPerBatch")).map(_.toLong).filter(_ > 0))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // streaming admission control: cap each CDC micro-batch at this many
+    // log entries (read option; 0/absent = all available)
+    val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toLong).filter(_ > 0)
+    if (cdc)
+      new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
+    else
+      new CollectionScanBuilder(storeName, collection, descriptor, partitions,
+        maxRows)
+  }
+
+  /** SQL `DELETE FROM <catalog>.<collection> WHERE id = / id IN (...)`
+    * resolves here (the reference client's delete-points call as a Spark
+    * DDL surface): accepted shapes delete by id through the store's
+    * tombstone path ([[InMemoryCollectionStore.removed]] — the sealed
+    * index shrinks AND the change log records the deletes, so CDC readers
+    * replay them). `DELETE FROM t` with no WHERE truncates. Any other
+    * predicate is declined and Spark raises its standard "cannot
+    * translate" analysis error rather than silently deleting wrong rows.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(p =>
+      p.isInstanceOf[org.apache.spark.sql.connector.expressions.filter.AlwaysTrue] ||
+        CdcSchema.idsOfPredicate(p).isDefined)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // `DELETE FROM t` (no WHERE) arrives as [AlwaysTrue], not as an empty
+    // array — both mean truncate; AlwaysTrue conjuncts otherwise drop out
+    val idSets = predicates.flatMap(CdcSchema.idsOfPredicate)
+    val ids: Set[String] =
+      if (idSets.isEmpty)
+        CollectionStores.get(storeName)
+          .queryPoints(collection, 0L, Long.MaxValue, withPayload = false,
+            vectorFields = Seq.empty, limit = None)
+          .map(_.id).toSet // truncate: every current id
+      else idSets.reduce(_ intersect _) // conjunction of id predicates
+    CollectionStores.update(storeName) {
+      case mem: InMemoryCollectionStore => mem.removed(collection, ids)
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not accept local deletes")
+    }
+  }
 
   /** A12 upsert path — the half the reference leaves as `todo!()`
     * (/root/reference/src/table.rs:186-193). Append mode: rows convert to
@@ -362,16 +494,24 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val in = info.schema()
-    val expected = descriptor.schema
-    if (in.fieldNames.toSeq != expected.fieldNames.toSeq)
+    // cdc writes carry `_op` + `_seq` + the collection columns: entries
+    // apply in per-entry `_seq` order — exact replication of an upstream
+    // change log, delete-then-reupsert included. (Spark's byName write
+    // resolution enforces the full cdc schema anyway; hand-built frames
+    // without positions can stamp monotonically_increasing_id().)
+    val expected =
+      if (cdc) CdcSchema.of(descriptor).fieldNames.toSeq
+      else descriptor.schema.fieldNames.toSeq
+    if (in.fieldNames.toSeq != expected)
       throw new IllegalArgumentException(
-        s"collection '$collection' expects columns ${expected.fieldNames.mkString("[", ",", "]")}, " +
+        s"collection '$collection' expects columns ${expected.mkString("[", ",", "]")}, " +
           s"got ${in.fieldNames.mkString("[", ",", "]")}")
     new WriteBuilder {
       override def build(): Write =
         new CollectionWrite(storeName, collection, descriptor,
           java.util.UUID.randomUUID().toString, info.queryId(),
-          distributeById = info.options().getBoolean("distributeById", false))
+          distributeById = info.options().getBoolean("distributeById", false),
+          writeSchema = in)
     }
   }
 }
@@ -385,13 +525,13 @@ final class CollectionTable(storeName: String, collection: String, partitions: I
   */
 private[sources] object CollectionWriteBuffers {
   private val bufs =
-    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[Point]]()
-  def publish(writeId: String, ps: Seq[Point]): Unit = {
+    new ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[LogEntry]]()
+  def publish(writeId: String, es: Seq[LogEntry]): Unit = {
     val q = bufs.computeIfAbsent(writeId,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[Point]())
-    ps.foreach(q.add)
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[LogEntry]())
+    es.foreach(q.add)
   }
-  def drain(writeId: String): IndexedSeq[Point] = {
+  def drain(writeId: String): IndexedSeq[LogEntry] = {
     val q = bufs.remove(writeId)
     if (q == null) IndexedSeq.empty else q.asScala.toIndexedSeq
   }
@@ -441,9 +581,15 @@ private[graft] object CommittedEpochs {
 
 final class CollectionWrite(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    writeId: String, queryId: String, distributeById: Boolean = false)
+    writeId: String, queryId: String, distributeById: Boolean = false,
+    writeSchema: StructType = null)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  // the validated input schema (may carry _op/_seq on a cdc write); null
+  // only from legacy call sites, which are plain-upsert by construction
+  private val inSchema: StructType =
+    Option(writeSchema).getOrElse(descriptor.schema)
 
   /** Opt-in (write option `distributeById`): ask Spark to CLUSTER rows by
     * id and sort each task's rows ascending before they reach the
@@ -483,7 +629,7 @@ final class CollectionWrite(
   override def toStreaming: StreamingWrite = new StreamingWrite {
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new CollectionStreamingDataWriterFactory(descriptor, queryId)
+      new CollectionStreamingDataWriterFactory(descriptor, inSchema, queryId)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit =
@@ -503,18 +649,42 @@ final class CollectionWrite(
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new CollectionDataWriterFactory(descriptor, writeId)
+    new CollectionDataWriterFactory(descriptor, inSchema, writeId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     sealEpoch(writeId)
 
   private def sealEpoch(bufferKey: String): Unit = {
-    val appended = CollectionWriteBuffers.drain(bufferKey)
+    val entries = CollectionWriteBuffers.drain(bufferKey)
+    // Apply order: when every entry carries `_seq` (an upstream log
+    // position) the epoch applies in EXACT log order — delete-then-
+    // reupsert of an id replays correctly, the full CDC replication
+    // contract. Without seq the arrival interleave across writer tasks is
+    // arbitrary, so the deterministic resolution is upserts first,
+    // deletes last (a delete wins over a same-epoch upsert of its id).
+    val ordered =
+      if (entries.nonEmpty && entries.forall(_.seq >= 0L)) entries.sortBy(_.seq)
+      else entries.sortBy(e => (if (e.op == LogOps.Delete) 1 else 0, e.point.id))
+    // consecutive same-op runs each seal as one atomic store batch
+    val runs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.ArrayBuffer[Point])]
+    ordered.foreach { e =>
+      if (runs.nonEmpty && runs.last._1 == e.op) runs.last._2 += e.point
+      else { runs += ((e.op, scala.collection.mutable.ArrayBuffer(e.point))); () }
+    }
     // atomic RMW: concurrent commits to the same store must both survive
     CollectionStores.update(storeName) {
       case mem: InMemoryCollectionStore =>
-        // seal in id order (appends arrive in partition-completion order)
-        mem.appended(collection, appended.sortBy(_.id))
+        runs.foldLeft(mem) { case (m, (op, ps)) =>
+          if (op == LogOps.Upsert)
+            // seal in id order (stable sort: same-id entries keep their
+            // seq order, so last-wins dedupe honors it)
+            m.appended(collection, ps.sortBy(_.id).toIndexedSeq)
+          else if (op == LogOps.Delete)
+            m.removed(collection, ps.map(_.id).toSet)
+          else throw new IllegalArgumentException(
+            s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
+        }
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local commits; " +
           "a remote store acks per-writer upserts instead")
@@ -528,18 +698,18 @@ final class CollectionWrite(
 }
 
 final class CollectionStreamingDataWriterFactory(
-    descriptor: CollectionDescriptor, writeId: String)
+    descriptor: CollectionDescriptor, inSchema: StructType, writeId: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    new CollectionDataWriter(descriptor, s"$writeId#$epochId")
+    new CollectionDataWriter(descriptor, inSchema, s"$writeId#$epochId")
 }
 
 final class CollectionDataWriterFactory(descriptor: CollectionDescriptor,
-                                        writeId: String)
+                                        inSchema: StructType, writeId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CollectionDataWriter(descriptor, writeId)
+    new CollectionDataWriter(descriptor, inSchema, writeId)
 }
 
 /** InternalRow -> wire Point (the exact inverse of the read extractors),
@@ -547,17 +717,31 @@ final class CollectionDataWriterFactory(descriptor: CollectionDescriptor,
   * buffer and are published to [[CollectionWriteBuffers]] only on task
   * commit, so retried/speculative attempts never leak duplicates.
   */
-final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: String)
+final class CollectionDataWriter(descriptor: CollectionDescriptor,
+                                 inSchema: StructType, writeId: String)
     extends DataWriter[InternalRow] {
 
-  private val schema = descriptor.schema
-  private val fieldIdx: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
-  private val pending = scala.collection.mutable.ArrayBuffer.empty[Point]
+  private val fieldIdx: Map[String, Int] = inSchema.fieldNames.zipWithIndex.toMap
+  // cdc write shape: rows carry their own op (and optionally the upstream
+  // log position); a delete row needs only its id decoded
+  private val opIdx: Option[Int] = fieldIdx.get(CdcSchema.OpCol)
+  private val seqIdx: Option[Int] = fieldIdx.get(CdcSchema.SeqCol)
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[LogEntry]
 
   private def floats(r: InternalRow, i: Int): Array[Float] =
     r.getArray(i).toFloatArray()
 
   override def write(r: InternalRow): Unit = {
+    val op = opIdx.fold(LogOps.Upsert)(i => r.getUTF8String(i).toString)
+    val seq = seqIdx.fold(-1L)(r.getLong)
+    if (op == LogOps.Delete) {
+      pending += LogEntry(op,
+        Point(r.getUTF8String(fieldIdx("id")).toString, None), seq)
+      ()
+    } else writeUpsert(r, seq)
+  }
+
+  private def writeUpsert(r: InternalRow, seq: Long): Unit = {
     val dense = descriptor.fields.collect {
       case DenseField(nm, _, _) => if (descriptor.named) nm else "vector"
     }.flatMap { phys =>
@@ -581,10 +765,10 @@ final class CollectionDataWriter(descriptor: CollectionDescriptor, writeId: Stri
         else Some(nm -> (r.getArray(ii).toIntArray(), r.getArray(vi).toFloatArray()))
       }.toMap
     val pi = fieldIdx("payload")
-    pending += Point(
+    pending += LogEntry(LogOps.Upsert, Point(
       r.getUTF8String(fieldIdx("id")).toString,
       if (r.isNullAt(pi)) None else Some(r.getUTF8String(pi).toString),
-      dense, multi, sparse)
+      dense, multi, sparse), seq)
     ()
   }
 
@@ -848,10 +1032,62 @@ final case class LogOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
+/** Scan builder of the CDC face (cdc=true): serves the CHANGE LOG —
+  * `_op`/`_seq` + collection columns — as a batch (the whole log as a
+  * table: the op-history audit read) or a micro-batch stream (the
+  * incremental form, deletes included). Column pruning only: the log is
+  * an ordered replay domain, so id filters / limits / aggregates stay
+  * Spark-side where they belong.
+  */
+final class CdcScanBuilder(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    partitions: Int, maxRowsPerBatch: Option[Long] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var pruned: StructType = CdcSchema.of(descriptor)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  override def build(): Scan =
+    new CdcScan(storeName, collection, descriptor, pruned, partitions,
+      maxRowsPerBatch)
+}
+
+final class CdcScan(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, partitions: Int, maxRowsPerBatch: Option[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionCdcScan($storeName.$collection)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = CollectionStores.get(storeName).logSize(collection)
+    if (total == 0L) Array.empty
+    else {
+      val per = math.max(1L, (total + partitions - 1) / partitions)
+      (0L until total by per).map(s =>
+        CollectionInputPartition(s, math.min(s + per, total)): InputPartition
+      ).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcLogReaderFactory(storeName, collection, descriptor, pruned)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CollectionMicroBatchStream(storeName, collection, descriptor, pruned,
+      partitions, maxRowsPerBatch, cdc = true)
+}
+
 final class CollectionMicroBatchStream(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, partitions: Int,
-    maxRowsPerBatch: Option[Long] = None) extends MicroBatchStream
+    maxRowsPerBatch: Option[Long] = None,
+    cdc: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = LogOffset(0L)
@@ -915,7 +1151,8 @@ final class CollectionMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CollectionLogReaderFactory(storeName, collection, descriptor, pruned)
+    if (cdc) new CdcLogReaderFactory(storeName, collection, descriptor, pruned)
+    else new CollectionLogReaderFactory(storeName, collection, descriptor, pruned)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -929,8 +1166,43 @@ final class CollectionLogReaderFactory(
     val p = partition.asInstanceOf[CollectionInputPartition]
     new PartitionReader[InternalRow] {
       private val it = CollectionStores.get(storeName)
-        .logPoints(collection, p.from, p.until)
+        .logEntries(collection, p.from, p.until)
       private val decoder = new PointDecoder(descriptor, pruned)
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val e = it.next()
+          // the plain (point-shaped) stream has no way to REPRESENT a
+          // delete — emitting the tombstone as a point would resurrect
+          // the id downstream, skipping it would silently diverge from
+          // the store. A log that contains deletes must be read on its
+          // CDC face.
+          if (e.op != LogOps.Upsert)
+            throw new UnsupportedOperationException(
+              s"change log of '$collection' contains ${e.op} entries; " +
+                "read with option cdc=true to receive the _op column")
+          current = decoder.decode(e.point); true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The CDC-face reader: every log entry decodes, deletes included, with
+  * `_op`/`_seq` spliced in by [[LogEntryDecoder]]. Shared by the batch
+  * (whole-log) and micro-batch (incremental) CDC scans.
+  */
+final class CdcLogReaderFactory(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CollectionInputPartition]
+    new PartitionReader[InternalRow] {
+      private val it = CollectionStores.get(storeName)
+        .logEntries(collection, p.from, p.until)
+      private val decoder = new LogEntryDecoder(descriptor, pruned)
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = decoder.decode(it.next()); true } else false
@@ -994,8 +1266,49 @@ final class PointDecoder(descriptor: CollectionDescriptor, pruned: StructType)
     }
   }.toArray
 
+  /** One value per pruned column, in schema order (the decode spine the
+    * CDC decoder splices `_op`/`_seq` around).
+    */
+  def decodeValues(p: Point): Array[Any] = extractors.map(_(p))
+
   def decode(p: Point): InternalRow =
-    InternalRow.fromSeq(extractors.map(_(p)).toIndexedSeq)
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      decodeValues(p)))
+}
+
+/** LogEntry -> InternalRow for a pruned CDC schema: `_op`/`_seq` decode
+  * from the entry itself, every other column through the shared
+  * [[PointDecoder]] (a delete tombstone carries only its id — its other
+  * columns are NULL, same contract as an absent field).
+  */
+final class LogEntryDecoder(descriptor: CollectionDescriptor, pruned: StructType)
+    extends Serializable {
+  private val pointCols =
+    StructType(pruned.fields.filterNot(f =>
+      f.name == CdcSchema.OpCol || f.name == CdcSchema.SeqCol))
+  private val pd = new PointDecoder(descriptor, pointCols)
+  // 0 = _op, 1 = _seq, 2 = next point-decoded column
+  private val colKinds: Array[Int] = pruned.fieldNames.map {
+    case CdcSchema.OpCol => 0
+    case CdcSchema.SeqCol => 1
+    case _ => 2
+  }
+
+  def decode(e: LogEntry): InternalRow = {
+    val pointVals = pd.decodeValues(e.point)
+    val out = new Array[Any](colKinds.length)
+    var i = 0
+    var pi = 0
+    while (i < colKinds.length) {
+      colKinds(i) match {
+        case 0 => out(i) = UTF8String.fromString(e.op)
+        case 1 => out(i) = e.seq
+        case _ => out(i) = pointVals(pi); pi += 1
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
 }
 
 final class CollectionPartitionReader(

@@ -173,6 +173,24 @@ class CollectionCatalogSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("DELETE FROM deletes by id through the store; other predicates decline") {
+    freshCatalog()
+    spark.sql("DELETE FROM cat_test.points WHERE id IN ('1', '2')")
+    val store = CollectionStores.get("cat_store")
+    assert(store.pointCount("points") === 8)
+    // the change log recorded the deletes as tombstones (CDC-visible)
+    assert(store.logSize("points") === 12)
+    // a predicate the store cannot resolve by id must DECLINE (Spark
+    // raises its cannot-translate error), never delete wrong rows
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM cat_test.points WHERE payload LIKE '%5%'")
+    }
+    assert(CollectionStores.get("cat_store").pointCount("points") === 8)
+    // no WHERE = truncate
+    spark.sql("DELETE FROM cat_test.points")
+    assert(CollectionStores.get("cat_store").pointCount("points") === 0)
+  }
+
   test("unknown table raises AnalysisException, not a store error") {
     freshCatalog()
     val e = intercept[org.apache.spark.sql.AnalysisException] {

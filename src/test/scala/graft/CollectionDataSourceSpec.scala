@@ -313,6 +313,91 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.logSize("c") === 1)
   }
 
+  test("deletes tombstone the change log; the plain stream refuses, the cdc face replays") {
+    CollectionStores.register("tdel",
+      InMemoryCollectionStore.single("c", desc, mkPoints(5)))
+    CollectionStores.update("tdel") {
+      case m: InMemoryCollectionStore => m.removed("c", Set("1", "3", "nope"))
+      case o => o
+    }
+    val store = CollectionStores.get("tdel")
+    // deleting an absent id ("nope") is a no-op: 2 points removed, 2
+    // tombstones logged after the 5 seal-time upserts
+    assert(store.pointCount("c") === 3)
+    assert(store.logSize("c") === 7)
+    // the cdc face replays the full history, deletes included
+    val log = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "tdel").option("collection", "c")
+      .option("cdc", "true").load()
+    assert(log.count() === 7)
+    assert(log.filter(col("_op") === "delete")
+      .select("id").collect().map(_.getString(0)).toSet === Set("1", "3"))
+    // tombstones carry only the id
+    assert(log.filter(col("_op") === "delete")
+      .collect().forall(r => r.isNullAt(r.fieldIndex("payload"))))
+    // _seq is the log position: tombstones sit past the upsert prefix
+    assert(log.filter(col("_op") === "delete")
+      .select("_seq").collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 6L))
+    // the point-shaped stream has no way to represent a delete — it must
+    // fail loudly, not resurrect or silently skip the id
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tdel-ckpt").toString
+    val q = spark.readStream.format("graft.sources.CollectionDataSource")
+      .option("store", "tdel").option("collection", "c").load()
+      .writeStream.format("memory").queryName("tdel_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      throw q.exception.getOrElse(fail("plain stream accepted a tombstoned log"))
+    }
+    q.stop()
+    assert(e.getMessage.contains("cdc=true"), e.getMessage)
+  }
+
+  test("cdc write with _seq applies delete-then-reupsert in exact log order") {
+    import org.apache.spark.sql.Row
+    CollectionStores.register("tseq",
+      InMemoryCollectionStore.single("c", desc, IndexedSeq.empty))
+    val schema = CdcSchema.of(desc)
+    // rows deliberately OUT of arrival order: only the _seq sort can
+    // produce upsert(0) -> delete(1) -> upsert(2) = point alive with the
+    // final payload (the upserts-first fallback would delete it)
+    val rows = java.util.Arrays.asList(
+      Row("delete", 1L, "a", null, null, null, null, null),
+      Row("upsert", 2L, "a", """{"v":2}""", null, null, null, null),
+      Row("upsert", 0L, "a", """{"v":0}""", null, null, null, null))
+    spark.createDataFrame(rows, schema)
+      .write.format("graft.sources.CollectionDataSource")
+      .option("store", "tseq").option("collection", "c").option("cdc", "true")
+      .mode("append").save()
+    val store = CollectionStores.get("tseq")
+    assert(store.pointCount("c") === 1)
+    val back = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "tseq").option("collection", "c").load()
+    assert(back.select("payload").head().getString(0) === """{"v":2}""")
+    // a cdc frame WITHOUT _seq is rejected (Spark's byName resolution
+    // demands the full cdc schema — no silent arrival-order applies)
+    val noSeq = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == "_seq"))
+    val rows2 = java.util.Arrays.asList(
+      Row("upsert", "b", """{"v":1}""", null, null, null, null),
+      Row("delete", "b", null, null, null, null, null))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.createDataFrame(rows2, noSeq)
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "tseq").option("collection", "c").option("cdc", "true")
+        .mode("append").save()
+    }
+    // and a plain (non-cdc) write refuses op columns outright
+    intercept[Exception] {
+      spark.createDataFrame(rows2, noSeq)
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "tseq").option("collection", "c")
+        .mode("append").save()
+    }
+    assert(CollectionStores.get("tseq").pointCount("c") === 1) // still just "a"
+  }
+
   test("streaming read replays the upsert log and streams new batch writes") {
     CollectionStores.register("t7",
       InMemoryCollectionStore.single("c", desc, mkPoints(3)))
