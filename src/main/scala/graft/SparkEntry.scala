@@ -652,6 +652,36 @@ object SparkEntry {
         .select(col("_op"), col("_seq"), col("id"), col("payload"))
     }),
 
+    // the dsv2_stream_pipeline shape expressed PURELY in table names:
+    // readStream.table -> transform -> writeStream.toTable, both ends
+    // resolving through the TableCatalog to the same CollectionTable the
+    // path API uses — continuous collection-to-collection ETL as plain
+    // SQL-addressable identifiers, no format()/option() plumbing
+    "dsv2_stream_table" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("st_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      CollectionStores.update("st_store") {
+        case mem: InMemoryCollectionStore => mem.withCollection("replica",
+          Collections.homogeneousDescriptor.copy(name = "replica"))
+        case other => other
+      }
+      s.conf.set("spark.sql.catalog.st_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.st_cat.store", "st_store")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-st-ckpt").toString
+      val q = s.readStream.table("st_cat.embeddings")
+        .filter(json_get_int(col("payload"), "label") % 2 === 0)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .toTable("st_cat.replica")
+      q.processAllAvailable()
+      q.stop()
+      s.sql("SELECT id, payload FROM st_cat.replica")
+    }),
+
     // CDC REPLICATION end-to-end: stream the full change log (upserts +
     // delete tombstones, each with its log position) out of one
     // collection and into another through the cdc write face — `_seq`
@@ -1598,6 +1628,14 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    "dsv2_stream_table" ->
+      """SELECT id, payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload,
+        |         label
+        |  FROM embeddings)
+        |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
 
     // ingest seals id-sorted (VARCHAR binary order — same as Spark's
     // UTF8_BINARY for these ASCII ids), so upsert positions are the
