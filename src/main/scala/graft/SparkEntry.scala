@@ -614,6 +614,26 @@ object SparkEntry {
           |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin)
     }),
 
+    // CREATE TABLE AS SELECT through the catalog: the ingest DDL a
+    // SQL-first user reaches for before df.write — Spark's non-atomic
+    // CTAS (create, then write through the table's own WriteBuilder,
+    // dropping on failure) against CollectionCatalog.createTable, with
+    // the descriptor derived from the SELECT's schema
+    "dsv2_ctas" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("ctas_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.ctas_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.ctas_cat.store", "ctas_store")
+      s.sql("DROP TABLE IF EXISTS ctas_cat.evens")
+      s.sql(
+        """CREATE TABLE ctas_cat.evens AS
+          |SELECT id, payload, vector FROM ctas_cat.embeddings
+          |WHERE CAST(get_json_object(payload, '$.label') AS INT) % 2 = 0""".stripMargin)
+      s.sql("SELECT id, payload FROM ctas_cat.evens")
+    }),
+
     // SQL DELETE through the catalog (SupportsDeleteV2): the reference
     // client's delete-points call as Spark DDL — deletes resolve by id
     // through the store's TOMBSTONE path (the sealed index shrinks AND
@@ -1628,6 +1648,14 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    "dsv2_ctas" ->
+      """SELECT id, payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload,
+        |         label
+        |  FROM embeddings)
+        |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
 
     "dsv2_stream_table" ->
       """SELECT id, payload FROM (

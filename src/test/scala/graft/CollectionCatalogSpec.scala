@@ -173,6 +173,25 @@ class CollectionCatalogSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("CTAS derives the collection from the SELECT; a failed create leaves nothing") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS cat_test.copy")
+    spark.sql(
+      """CREATE TABLE cat_test.copy AS
+        |SELECT id, payload, text_embedding, keywords_indices, keywords_values
+        |FROM cat_test.points WHERE id < '5'""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM cat_test.copy").head().getLong(0) === 5L)
+    assert(CollectionStores.get("cat_store").collectionInfo("copy").fields ===
+      Seq(DenseField("text_embedding", 0), SparseField("keywords")))
+    spark.sql("DROP TABLE cat_test.copy")
+    // a SELECT that is not collection-shaped (no payload column) fails at
+    // createTable and must leave no table behind
+    intercept[Exception] {
+      spark.sql("CREATE TABLE cat_test.bad AS SELECT id, text_embedding FROM cat_test.points")
+    }
+    assert(!CollectionStores.get("cat_store").collectionNames.contains("bad"))
+  }
+
   test("DELETE FROM deletes by id through the store; other predicates decline") {
     freshCatalog()
     spark.sql("DELETE FROM cat_test.points WHERE id IN ('1', '2')")
