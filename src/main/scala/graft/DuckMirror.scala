@@ -340,6 +340,16 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivf_batch oracle: per-query [[ivfSql]] mirrors unioned with the
+    * query id stamped on — the batched serving path must return, for
+    * every query, exactly what the single-query pruned path returns.
+    */
+  def ivfBatchSql(queryVecIds: Seq[Int], k: Int, dim: Int, nlist: Int,
+                  nprobe: Int, maxIter: Int, seed: Long): String =
+    queryVecIds.map(q =>
+      s"SELECT $q AS query_id, t.* FROM (\n${ivfSql(q, k, dim, nlist, nprobe, maxIter, seed)}\n) t")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, score DESC, id")
+
   /** ann_ivf_assign oracle: the maxIter=0 seed centroids (same md5
     * permutation init as [[ivfSql]]) and ONE argmin-euclid assignment of
     * the full corpus — the incremental-maintenance path's arithmetic,

@@ -1359,6 +1359,22 @@ object SparkEntry {
         k = 10, nprobe = 2).select("id", "score")
     }),
 
+    // BATCHED serving over the same pruned store: 3 query vectors, ONE
+    // statically pruned scan of the union of their probed clusters, each
+    // row scored only against the queries that probed its cluster, ranked
+    // per query — must return per query exactly what the single-query
+    // pruned path returns (per-query mirror union)
+    "ann_ivf_batch" -> ((s, dir) => {
+      val qids = Seq(5, 7, 11)
+      val qvecs = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), dvec(col("embedding"))).collect()
+        .map(r => r.getAs[Number](0).intValue() -> r.getSeq[Double](1)).toMap
+      val (cents, stored, _) = ivfStored(s, dir)
+      Ann.searchIvfStoredBatch(stored, cents, "id", "vector",
+        qids.map(q => q -> qvecs(q)), k = 10, nprobe = 2)
+    }),
+
     // the full production serving stack composed: partition-pruned read of
     // the int8 cluster store (nprobe/nlist of the files, ~4x fewer bytes
     // per file), approximate-dot candidates, exact-dot rerank of the 100
@@ -2042,6 +2058,10 @@ object SparkEntry {
     // read must not change a single value
     "ann_ivf_bucketed" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L),
+
+    "ann_ivf_batch" -> DuckMirror.ivfBatchSql(
+      queryVecIds = Seq(5, 7, 11), k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L),
 
     // IVF + int8 composition: the int8 candidate stage with margin 100

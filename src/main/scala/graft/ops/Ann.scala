@@ -94,6 +94,62 @@ object Ann {
       .limit(k)
   }
 
+  /** BATCHED IVF serving over the pruned cluster store: N query vectors
+    * answered by ONE statically partition-pruned pass instead of N
+    * brute-force scans ([[graft.ops.Search.batchTopK]]'s cost shape) or N
+    * separate pruned scans. Per-query probe sets resolve once from the
+    * COLLECTED centroid model (nlist rows — bounded driver state, the
+    * same arithmetic and cluster-id tiebreak as the single-query path);
+    * the scan filter is the literal IN over the UNION of probed clusters
+    * (static pruning, asserted in BucketingSpec), and each corpus row
+    * then pairs only with the queries that probed ITS cluster
+    * (`array_contains` on the broadcast query frame), so per-query work
+    * stays nprobe/nlist of the corpus while the scan cost is shared. At
+    * 100 TB this is the difference between `sum(per-query file reads)`
+    * and `files(union of probes)` — the grouped serving form every
+    * batched ANN endpoint runs.
+    */
+  def searchIvfStoredBatch(stored: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String,
+                           queries: Seq[(Int, Seq[Double])], k: Int,
+                           nprobe: Int, metric: String = "cosine",
+                           roundTo: Int = 6): DataFrame = {
+    val spark = stored.sparkSession
+    import spark.implicits._
+    // centroid model collected once (nlist rows); distance accumulates in
+    // the kernel's sequential order so probe selection bit-matches the
+    // v_euclid path (sqrt is monotonic — ordering by squared distance is
+    // ordering by distance, ties included)
+    val centTable = centroids.select(col("cluster"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def probesOf(q: Seq[Double]): Seq[Int] =
+      centTable.map { case (c, cent) =>
+        var s = 0.0
+        var i = 0
+        while (i < cent.length) { val d = cent(i) - q(i); s += d * d; i += 1 }
+        // sqrt BEFORE ordering, like v_euclid and the mirror: sqrt can
+        // collapse 1-ulp distance differences, and the cluster-id
+        // tiebreak must then decide identically on all paths
+        (math.sqrt(s), c)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val probes = queries.map { case (qid, q) => (qid, q, probesOf(q)) }
+    val allProbed = probes.flatMap(_._3).distinct.sorted
+    val qdf = broadcast(probes.toDF("query_id", "qv", "probed"))
+    val scored = stored.filter(col("cluster").isin(allProbed: _*))
+      .crossJoin(qdf)
+      .filter(array_contains(col("probed"), col("cluster")))
+      .select(col("query_id"), col(idCol).as("id"),
+        round(Search.similarity(col(vecCol), col("qv"), metric), roundTo)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
+  }
+
   /** The full production ANN serving stack: IVF partition pruning AND
     * int8 scan bandwidth, composed. `storedCodes` is the clustered corpus
     * quantized at ingest and written `partitionBy("cluster")` —

@@ -79,6 +79,43 @@ class BucketingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("batched IVF serving: ONE pruned scan, per-query results match the single path") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+      .select("id", "vector")
+    val idx = graft.ops.Ann.buildIvf(corpus, "id", "vector", nlist = 4)
+    val dir = Files.createTempDirectory("graft-ivf-batch").toString
+    idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val stored = spark.read.parquet(dir)
+
+    val queries = Seq("0", "9").zipWithIndex.map { case (id, qi) =>
+      qi -> corpus.filter(col("id") === id)
+        .select(col("vector")).head().getSeq[Double](0)
+    }
+    val res = graft.ops.Ann.searchIvfStoredBatch(stored, idx.centroids,
+      "id", "vector", queries, k = 5, nprobe = 2)
+    val rows = res.collect()
+    // AQE's toString prints the Final AND Initial plans; count scans in
+    // the final plan only
+    val p = res.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the union of probed clusters reaches the scan as ONE static
+    // partition filter...
+    assert(p.contains("PartitionFilters: [cluster"), p)
+    // ...and there is exactly ONE scan of the clustered store — the whole
+    // point of batching (N queries do not pay N corpus passes)
+    assert("FileScan parquet".r.findAllMatchIn(p).length === 1, p)
+    // per query, the batch answer IS the single-query pruned answer
+    queries.foreach { case (qi, q) =>
+      val single = graft.ops.Ann.searchIvfStored(stored, idx.centroids,
+        "id", "vector", vec(q), k = 5, nprobe = 2)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val batch = rows.filter(_.getInt(0) == qi)
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+      assert(batch === single, s"query $qi")
+    }
+  }
+
   test("per-band LSH index partition-prunes to the query's band keys") {
     import graft.functions._
     val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
