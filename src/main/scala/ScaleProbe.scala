@@ -182,7 +182,52 @@ object ScaleProbe {
           idx.search(vec(qvecs(id)), 10, nprobe))
       meanRecall("lsh nbits=16 bands=4")(id =>
         graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      // drift recovery: a drifted cohort (every third vector re-embedded,
+      // +1.5/dim, fresh d-prefixed ids) joins the corpus. Serving from the
+      // STALE index (old centroids, drifted points assigned incrementally
+      // via assignToCentroids) vs after a REFIT (buildIvf on the union) —
+      // recall measured on drifted-cohort queries against brute force over
+      // the full corpus. The gap is the number that tells an operator WHEN
+      // assignToCentroids stops being enough and a refit pays for itself.
+      val drifted = corpus.filter(col("id").cast("long") % 3 === 0)
+        .select(concat(lit("d"), col("id")).as("id"),
+          transform(col("v"), x => x + lit(1.5)).as("v"))
+      val full = corpus.union(drifted).persist()
+      full.count()
+      val staleStored = graft.ops.Ann
+        .assignToCentroids(full, "v", idx.centroids).persist()
+      staleStored.count()
+      val refit = graft.ops.Ann.buildIvf(full, "id", "v", nlist = 8, maxIter = 5)
+      refit.clustered.persist().count()
+      val dqids = (0 until 20).map(i => s"d${(i * 99 % 667) * 3}")
+      val dqvecs = dqids.map(id => id -> full.filter(col("id") === id)
+        .select(col("v")).head().getSeq[Double](0).toSeq).toMap
+      val dtruth = dqids.map(id => id ->
+        top(graft.ops.Ann.bruteForce(full, "id", "v", vec(dqvecs(id)), 10))).toMap
+      def meanRecallDrift(tag: String)(method: String => DataFrame): Unit = {
+        val r = dqids.map(id => top(method(id)).intersect(dtruth(id)).size / 10.0)
+        println(f"[probe] recall@10 $tag: ${r.sum / r.size}%.3f")
+      }
+      meanRecallDrift("drift STALE index nprobe=2")(id =>
+        graft.ops.Ann.searchIvfStored(staleStored, idx.centroids,
+          "id", "v", vec(dqvecs(id)), 10, nprobe = 2))
+      meanRecallDrift("drift REFIT index nprobe=2")(id =>
+        graft.ops.Ann.searchIvfStored(refit.clustered, refit.centroids,
+          "id", "v", vec(dqvecs(id)), 10, nprobe = 2))
+      // the cost half of the trade: a coherent drift blob piles onto the
+      // nearest STALE centroid (skewed mega-cluster -> every query probing
+      // it scans the whole blob); refit rebalances cluster sizes and with
+      // them the per-probe candidate volume
+      def skew(tag: String, stored: DataFrame): Unit = {
+        val sizes = stored.groupBy(col("cluster")).count()
+          .collect().map(_.getLong(1)).sorted.reverse
+        println(s"[probe] drift cluster sizes $tag: max=${sizes.head} " +
+          s"top2=${sizes.take(2).sum} of ${sizes.sum} (${sizes.mkString(",")})")
+      }
+      skew("STALE", staleStored)
+      skew("REFIT", refit.clustered)
       corpus.unpersist(); idx.clustered.unpersist(); sigs.unpersist()
+      full.unpersist(); staleStored.unpersist(); refit.clustered.unpersist()
       ()
     }
     // connector ETL probe: the full CDC stream pipeline (upsert-log source

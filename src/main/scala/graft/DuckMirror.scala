@@ -289,22 +289,24 @@ object DuckMirror {
     * final assignment, nprobe nearest-centroid probe, exact-cosine rerank.
     * maxIter = 0 degenerates to the serving-path-only probe mirror.
     */
-  def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
-             maxIter: Int, seed: Long, metric: String = "cosine"): String = {
-    val scoreFn = metric match {
-      case "cosine" => "list_cosine_similarity"
-      case "dot" => "list_inner_product"
-      case other => throw new IllegalArgumentException(s"metric $other")
-    }
+  private def euclidSql(a: String, b: String, dim: Int): String =
+    s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y))"
+
+  /** The Lloyd's CTE chain shared by [[ivfSql]] and [[ivfRefitSql]]:
+    * `corpusSql` (any SELECT producing id VARCHAR, v DOUBLE[]) -> md5
+    * seed-point init -> `maxIter` DECIMAL-quantized refinement rounds ->
+    * the FINAL assignment CTE `asg{maxIter+1}` against `cents{maxIter}`.
+    * Returns (chainText, finalAsgIndex).
+    */
+  private def ivfChain(corpusSql: String, dim: Int, nlist: Int,
+                       maxIter: Int, seed: Long): (String, Int) = {
     val s = graft.ops.Ann.CentroidQuantScale
-    def euclid(a: String, b: String): String =
-      s"sqrt(list_reduce(list_transform(range(1, ${dim + 1}), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y))"
     def asg(t: Int, cents: String): String =
       s"""asg$t AS (
          |  SELECT id, v, cluster FROM (
          |    SELECT e.id, e.v, c.cluster,
          |           ROW_NUMBER() OVER (PARTITION BY e.id
-         |             ORDER BY ${euclid("e.v", "c.c")}, c.cluster) AS rn
+         |             ORDER BY ${euclidSql("e.v", "c.c", dim)}, c.cluster) AS rn
          |    FROM corpus e CROSS JOIN $cents c)
          |  WHERE rn = 1)""".stripMargin
     val iters = (1 to maxIter).map { t =>
@@ -321,23 +323,57 @@ object DuckMirror {
          |    SELECT cluster, list(sm::DOUBLE / n / $s ORDER BY d) AS c
          |    FROM sums$t GROUP BY cluster) nc USING (cluster))""".stripMargin
     }
-    val lastCents = s"cents$maxIter"
     val finalAsg = maxIter + 1
-    s"""WITH corpus AS (
-       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
-       |cents0 AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '$seed'), id) - 1 AS cluster, v AS c
-       |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '$seed'), id LIMIT $nlist)),
-       |${(iters :+ asg(finalAsg, lastCents)).mkString(",\n")},
+    val text =
+      s"""corpus AS (
+         |$corpusSql),
+         |cents0 AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '$seed'), id) - 1 AS cluster, v AS c
+         |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '$seed'), id LIMIT $nlist)),
+         |${(iters :+ asg(finalAsg, s"cents$maxIter")).mkString(",\n")}""".stripMargin
+    (text, finalAsg)
+  }
+
+  def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
+             maxIter: Int, seed: Long, metric: String = "cosine"): String = {
+    val scoreFn = metric match {
+      case "cosine" => "list_cosine_similarity"
+      case "dot" => "list_inner_product"
+      case other => throw new IllegalArgumentException(s"metric $other")
+    }
+    val (chain, finalAsg) = ivfChain(
+      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings""".stripMargin,
+      dim, nlist, maxIter, seed)
+    s"""WITH $chain,
        |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),
        |probed AS (
-       |  SELECT c.cluster FROM $lastCents c, q
-       |  ORDER BY ${euclid("c.c", "q.qv")}, c.cluster
+       |  SELECT c.cluster FROM cents$maxIter c, q
+       |  ORDER BY ${euclidSql("c.c", "q.qv", dim)}, c.cluster
        |  LIMIT $nprobe)
        |SELECT t.id, ROUND($scoreFn(t.v, q.qv), 6) AS score
        |FROM asg$finalAsg t JOIN probed USING (cluster), q
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
+  /** ann_ivf_refit oracle: the index-maintenance REFIT — the corpus plus
+    * a DRIFTED cohort (every vec_id % 3 = 0 re-embedded, shifted +1.5 per
+    * dimension under a fresh 'd'-prefixed id) is refit from scratch
+    * through the same md5-init + DECIMAL-quantized Lloyd's chain, and
+    * every point (old and drifted) reassigns to the refit centroids.
+    */
+  def ivfRefitSql(dim: Int, nlist: Int, maxIter: Int, seed: Long): String = {
+    val (chain, finalAsg) = ivfChain(
+      """  SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT 'd' || CAST(vec_id AS VARCHAR) AS id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 1.5) AS v
+        |  FROM embeddings WHERE vec_id % 3 = 0""".stripMargin,
+      dim, nlist, maxIter, seed)
+    s"""WITH $chain
+       |SELECT id, CAST(cluster AS INTEGER) AS cluster
+       |FROM asg$finalAsg ORDER BY id""".stripMargin
   }
 
   /** ann_ivf_batch oracle: per-query [[ivfSql]] mirrors unioned with the

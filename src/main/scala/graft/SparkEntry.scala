@@ -1457,6 +1457,23 @@ object SparkEntry {
         .select(col("id"), col("cluster"))
     }),
 
+    // the maintenance loop CLOSED: assignToCentroids covers points
+    // streaming into an existing index; when drift warrants, the index
+    // REFITS — here a drifted cohort (every third vector re-embedded,
+    // shifted +1.5/dim under a fresh id) joins the corpus, centroids
+    // refit from scratch (same md5 init + one DECIMAL-quantized Lloyd's
+    // round, order-independent in both engines), and EVERY point
+    // reassigns — the mirror re-derives the whole composition
+    "ann_ivf_refit" -> ((s, dir) => {
+      val base = homD(s, dir).select("id", "vector")
+      val drifted = base.filter(col("id").cast(LongType) % 3 === 0)
+        .select(concat(lit("d"), col("id")).as("id"),
+          transform(col("vector"), x => x + lit(1.5)).as("vector"))
+      val idx = Ann.buildIvf(base.union(drifted), "id", "vector",
+        nlist = 8, maxIter = 1)
+      idx.clustered.select(col("id"), col("cluster"))
+    }),
+
     // same LSH search served from the PER-BAND index layout (one hash
     // table per band, partitionBy(band, bandkey)): the query's literal
     // band keys partition-prune the index read — bands point lookups,
@@ -2559,5 +2576,7 @@ object SparkEntry {
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
           dim = 64, nbits = 16, bands = 4, seed = 42L),
         "ann_ivf_assign" -> DuckMirror.ivfAssignSql(dim = 64, nlist = 8,
-          seed = 42L))
+          seed = 42L),
+        "ann_ivf_refit" -> DuckMirror.ivfRefitSql(dim = 64, nlist = 8,
+          maxIter = 1, seed = 42L))
 }
