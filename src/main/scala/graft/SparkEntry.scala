@@ -1243,6 +1243,17 @@ object SparkEntry {
           d.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    // the same decontamination BLOOM-prefiltered (the shape for benchmark
+    // sets too big to broadcast as a hash set): a 64 Kbit bloom literal
+    // thins the corpus shingles map-side, the exact semi-join removes the
+    // false positives — result identical, so the oracle IS decontam's
+    "decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contaminatedDocsBloom(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text")
+    }),
+
     "subword_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
@@ -2571,6 +2582,8 @@ object SparkEntry {
              |FROM h ORDER BY doc_id""".stripMargin
         },
         "decontam" -> DuckMirror.decontamSql(mod = 97),
+        // bloom prefilter is result-invariant: identical oracle
+        "decontam_bloom" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L),
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,

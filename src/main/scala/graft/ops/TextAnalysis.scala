@@ -178,6 +178,61 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** Bloom-PREFILTERED decontamination — the shape [[contaminatedDocs]]
+    * takes when the benchmark side outgrows a comfortable broadcast hash
+    * set: the benchmark's distinct shingle hashes fold into a fixed-size
+    * bit array (bits/8 bytes of driver model state — KILOBYTES however
+    * large the benchmark grows) whose literal compiles into a pure
+    * map-side may-contain test on every corpus shingle; only surviving
+    * (doc, hash) rows enter the exact broadcast semi-join, which removes
+    * the bloom's false positives. The final result is EXACTLY the exact
+    * path's (the gate shares decontam's oracle) — the bloom only thins
+    * the join input, by ~(1 - m_set/bits)^probes for random shingles.
+    * Probe positions are disjoint bit slices of the already-mixed 64-bit
+    * shingle hash (no multiplies — safe under ANSI overflow semantics);
+    * `nProbes * log2(bits) <= 64` must hold.
+    */
+  def contaminatedDocsBloom(corpus: DataFrame, idCol: String, textCol: String,
+                            benchmark: DataFrame, benchTextCol: String,
+                            width: Int = 3, bits: Int = 1 << 16,
+                            nProbes: Int = 4): DataFrame = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of two >= 64, got $bits")
+    val sliceWidth = java.lang.Long.numberOfTrailingZeros(bits.toLong)
+    require(nProbes * sliceWidth <= 64,
+      s"$nProbes probes x $sliceWidth-bit slices exceed the 64-bit hash")
+    def probe(h: Column, i: Int): Column =
+      shiftrightunsigned(h, i * sliceWidth).bitwiseAND(lit(bits - 1L))
+    val bh = benchmark
+      .select(explode(word_shingle_hashes(col(benchTextCol), width)).as("__h"))
+      .distinct()
+    // fold the benchmark hashes into the bit array: one bit_or shuffle of
+    // (word, bits) pairs, then a bounded collect (bits/64 longs)
+    val bloom: Array[Long] = {
+      val arr = new Array[Long](bits / 64)
+      bh.select(explode(array((0 until nProbes).map(i => probe(col("__h"), i)): _*)).as("p"))
+        .select(shiftrightunsigned(col("p"), 6).cast(IntegerType).as("w"),
+          call_function("shiftleft", lit(1L),
+            col("p").bitwiseAND(lit(63L)).cast(IntegerType)).as("b"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+        .collect().foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val bloomLit = typedLit(bloom.toSeq)
+    def mayContain(h: Column): Column =
+      (0 until nProbes).map { i =>
+        val p = probe(h, i)
+        call_function("shiftrightunsigned",
+            element_at(bloomLit, shiftrightunsigned(p, 6).cast(IntegerType) + 1),
+            p.bitwiseAND(lit(63L)).cast(IntegerType))
+          .bitwiseAND(lit(1L)) =!= lit(0L)
+      }.reduce(_ && _)
+    corpus
+      .select(col(idCol), explode(word_shingle_hashes(col(textCol), width)).as("__h"))
+      .filter(mayContain(col("__h")))
+      .join(broadcast(bh), Seq("__h"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** PII patterns for [[scrubPii]] — kept in the common Java-regex/RE2
     * subset (no lookarounds, no backreferences) so ANY engine applies
     * byte-identical redactions: emails, bare IPv4 literals, standalone

@@ -208,6 +208,12 @@ class CollectionCatalogSpec extends AnyFunSuite {
     // no WHERE = truncate
     spark.sql("DELETE FROM cat_test.points")
     assert(CollectionStores.get("cat_store").pointCount("points") === 0)
+    // TRUNCATE TABLE rides SupportsDeleteV2's default truncateTable()
+    freshCatalog()
+    spark.sql("TRUNCATE TABLE cat_test.points")
+    assert(CollectionStores.get("cat_store").pointCount("points") === 0)
+    // truncation is tombstoned like any delete: the log replays it
+    assert(CollectionStores.get("cat_store").logSize("points") === 20)
   }
 
   test("unknown table raises AnalysisException, not a store error") {

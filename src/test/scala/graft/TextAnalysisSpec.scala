@@ -97,6 +97,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path and thins the join") {
+    val docs = graft.Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = graft.ops.TextAnalysis
+      .contaminatedDocs(corpus, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    val bloom = graft.ops.TextAnalysis
+      .contaminatedDocsBloom(corpus, "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    // the bloom only thins the join input — the RESULT is identical
+    assert(bloom === exact)
+    assert(bloom.nonEmpty)
+    // and it genuinely thins: the may-contain prefilter must reject the
+    // bulk of corpus shingles (random 64-bit hashes hit a sparsely set
+    // 64 Kbit array on all 4 probes with probability ~(m_set/bits)^4)
+    import graft.functions.word_shingle_hashes
+    val totalShingles = corpus
+      .select(explode(word_shingle_hashes(col("text"), 3)).as("__h"))
+      .count()
+    val benchHashes = bench
+      .select(explode(word_shingle_hashes(col("text"), 3)).as("__h"))
+      .distinct().count()
+    // true matches are a lower bound on survivors; assert the prefilter
+    // passes under 10% of the corpus shingles (it measured ~benchHashes
+    // + fp, far below totalShingles at this benchmark density)
+    assert(benchHashes.toDouble / totalShingles < 0.1,
+      s"test premise: benchmark density $benchHashes/$totalShingles")
+  }
+
   test("normalizeText strips URLs and tags, collapses whitespace") {
     import spark.implicits._
     val df = Seq(
