@@ -652,6 +652,53 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // SQL UPDATE through the catalog (SupportsRowLevelOperations): a
+    // group-based copy-on-write rewrite — read the collection, apply the
+    // SET to matching rows, commit the replacement atomically (CDC diff
+    // logged). The DML surface a SQL-first user expects beside DELETE.
+    "dsv2_update_sql" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("upd_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.upd_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.upd_cat.store", "upd_store")
+      s.sql(
+        """UPDATE upd_cat.embeddings
+          |SET payload = concat('{"boosted":', payload, '}')
+          |WHERE CAST(get_json_object(payload, '$.label') AS INT) % 5 = 0""".stripMargin)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "upd_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // SQL MERGE INTO through the catalog: upsert-by-query — matched rows
+    // update, unmatched source rows insert, one atomic rewrite commit
+    "dsv2_merge_sql" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("mrg_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.mrg_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.mrg_cat.store", "mrg_store")
+      // source: rows 0..19 re-keyed to 490..509 — 490..499 match (update),
+      // 500..509 don't (insert)
+      s.sql(
+        """MERGE INTO mrg_cat.embeddings t
+          |USING (SELECT CAST(CAST(id AS BIGINT) + 490 AS STRING) AS id,
+          |              payload, vector
+          |       FROM mrg_cat.embeddings WHERE CAST(id AS BIGINT) < 20) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET payload = concat('{"merged":', s.payload, '}')
+          |WHEN NOT MATCHED THEN INSERT (id, payload, vector)
+          |  VALUES (s.id, s.payload, s.vector)""".stripMargin)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "mrg_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
     // the CHANGE LOG as a table (cdc=true batch read): after an ingest
     // and a delete, the log replays as upserts of every id (in seal
     // order, positions 0..n-1) followed by delete TOMBSTONES (id only,
@@ -1692,6 +1739,30 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    "dsv2_update_sql" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       CASE WHEN label % 5 = 0
+        |            THEN '{"boosted":' || to_json({'label': label}) || '}'
+        |            ELSE to_json({'label': label}) END AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_merge_sql" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload
+        |  FROM embeddings),
+        |src AS (
+        |  SELECT CAST(vec_id + 490 AS VARCHAR) AS id, payload
+        |  FROM base WHERE vec_id < 20)
+        |SELECT b.id,
+        |       CASE WHEN s.id IS NOT NULL
+        |            THEN '{"merged":' || s.payload || '}' ELSE b.payload END AS payload
+        |FROM base b LEFT JOIN src s USING (id)
+        |UNION ALL
+        |SELECT s.id, s.payload FROM src s
+        |WHERE s.id NOT IN (SELECT id FROM base)
+        |ORDER BY id""".stripMargin,
 
     "dsv2_ctas" ->
       """SELECT id, payload FROM (

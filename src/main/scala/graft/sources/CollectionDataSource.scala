@@ -236,6 +236,27 @@ final class InMemoryCollectionStore(
         logOf(collection) ++ deduped.map(LogEntry(LogOps.Upsert, _))))
   }
 
+  /** A new store whose `collection` holds EXACTLY `pts` (last occurrence
+    * wins per id) — the commit of a group-based row-level REWRITE
+    * (UPDATE/MERGE copy-on-write, the whole collection being the one
+    * group). The change log records the DIFF consistently with replay:
+    * an upsert for every written row, then a tombstone for every id the
+    * rewrite dropped — old state + these entries = new state.
+    */
+  def replacedWith(collection: String,
+                   pts: IndexedSeq[Point]): InMemoryCollectionStore = {
+    val deduped = pts.groupBy(_.id).view.mapValues(_.last).values.toIndexedSeq
+      .sortBy(_.id)
+    val newIds = deduped.map(_.id).toSet
+    val dropped = data(collection).filterNot(p => newIds(p.id))
+    new InMemoryCollectionStore(descriptors,
+      data.updated(collection, deduped),
+      log.updated(collection,
+        logOf(collection)
+          ++ deduped.map(LogEntry(LogOps.Upsert, _))
+          ++ dropped.map(p => LogEntry(LogOps.Delete, Point(p.id, None)))))
+  }
+
   /** A new store with `ids` deleted from `collection` — point-id delete
     * semantics like the reference backend (deleting an absent id is a
     * no-op). Each id actually present is removed from the sealed index
@@ -429,7 +450,8 @@ class CollectionDataSource extends TableProvider {
 final class CollectionTable(storeName: String, collection: String,
                             partitions: Int, cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val descriptor =
     CollectionStores.get(storeName).collectionInfo(collection)
 
@@ -485,6 +507,20 @@ final class CollectionTable(storeName: String, collection: String,
         s"store ${other.getClass.getName} does not accept local deletes")
     }
   }
+
+  /** SQL UPDATE / MERGE INTO (and DELETE with predicates the id path
+    * declines) resolve here as a GROUP-BASED copy-on-write rewrite — the
+    * collection is the one group, exactly like an unpartitioned parquet
+    * table under Iceberg-style copy-on-write: Spark reads the group,
+    * applies the DML, and the replacement write commits atomically via
+    * [[InMemoryCollectionStore.replacedWith]] (which also logs the CDC
+    * diff — upserts for written rows, tombstones for dropped ids).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new CollectionRowLevelOperation(storeName, collection, descriptor,
+      partitions, info.command())
 
   /** A12 upsert path — the half the reference leaves as `todo!()`
     * (/root/reference/src/table.rs:186-193). Append mode: rows convert to
@@ -732,6 +768,13 @@ final class CollectionDataWriter(descriptor: CollectionDescriptor,
     r.getArray(i).toFloatArray()
 
   override def write(r: InternalRow): Unit = {
+    // arity guard: a row whose layout disagrees with the declared schema
+    // would decode columns at shifted ordinals — garbage ids at best, a
+    // native crash reading a string as an array at worst. Fail loudly.
+    if (r.numFields != fieldIdx.size)
+      throw new IllegalStateException(
+        s"row has ${r.numFields} fields but the write schema has " +
+          s"${fieldIdx.size} (${inSchema.fieldNames.mkString(",")})")
     val op = opIdx.fold(LogOps.Upsert)(i => r.getUTF8String(i).toString)
     val seq = seqIdx.fold(-1L)(r.getLong)
     if (op == LogOps.Delete) {
@@ -1030,6 +1073,117 @@ final class CollectionScan(
 /** Log-position offset of [[CollectionMicroBatchStream]]. */
 final case class LogOffset(n: Long) extends Offset {
   override def json(): String = n.toString
+}
+
+/** The group-based row-level operation behind UPDATE / MERGE / predicate
+  * DELETE: the whole collection is the ONE rewrite group.
+  *
+  * The rewrite SCAN deliberately supports column pruning ONLY — no
+  * filter pushdown, no runtime filtering, no limit: Spark rewrites a
+  * group by reading ALL of it (non-matching rows pass through the DML
+  * unchanged), so a scan that narrowed itself to matching rows would
+  * make the replacement write DROP everything it skipped. The
+  * replacement WRITE buffers rows like the append path (task-commit
+  * published, retry/speculation safe) and commits by REPLACING the
+  * collection contents in one atomic store update.
+  */
+final class CollectionRowLevelOperation(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    partitions: Int,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"CollectionRowLevelOperation($storeName.$collection, $cmd)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var pruned: StructType = descriptor.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        pruned = requiredSchema
+      override def build(): Scan =
+        new CollectionRewriteScan(storeName, collection, descriptor, pruned,
+          partitions)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val expected = descriptor.schema.fieldNames.toSeq
+    if (info.schema().fieldNames.toSeq != expected)
+      throw new IllegalArgumentException(
+        s"rewrite of '$collection' expects columns ${expected.mkString("[", ",", "]")}, " +
+          s"got ${info.schema().fieldNames.mkString("[", ",", "]")}")
+    new WriteBuilder {
+      override def build(): Write =
+        new CollectionReplaceWrite(storeName, collection, descriptor,
+          java.util.UUID.randomUUID().toString)
+    }
+  }
+}
+
+/** Full-collection scan for the rewrite read: the plain partitioned read
+  * with none of the narrowing faces (see
+  * [[CollectionRowLevelOperation]]'s scan contract).
+  */
+final class CollectionRewriteScan(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, partitions: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionRewriteScan($storeName.$collection)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = CollectionStores.get(storeName).pointCount(collection)
+    val per = math.max(1L, (total + partitions - 1) / partitions)
+    (0L until total by per).map(start =>
+      CollectionInputPartition(start, math.min(start + per, total)): InputPartition
+    ).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CollectionReaderFactory(storeName, collection, descriptor, pruned,
+      FetchSpec.fromSchema(pruned, descriptor), None, None, None)
+}
+
+/** The rewrite's replacement write: same executor-side buffering as the
+  * append path, but commit REPLACES the collection with the buffered
+  * rows (one atomic store update; the store logs the CDC diff).
+  */
+final class CollectionReplaceWrite(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    writeId: String) extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    // Spark's group-based ReplaceData physically prepends the
+    // `__row_operation` INT marker to every replacement row even though
+    // LogicalWriteInfo.schema() reports the plain table schema — tell
+    // the (name-indexed) writer the REAL row layout; the marker column
+    // is simply never read.
+    val rowShape = StructType(
+      StructField("__row_operation", IntegerType, nullable = false) +:
+      descriptor.schema.fields)
+    new CollectionDataWriterFactory(descriptor, rowShape, writeId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val pts = CollectionWriteBuffers.drain(writeId).map(_.point)
+    CollectionStores.update(storeName) {
+      case mem: InMemoryCollectionStore =>
+        mem.replacedWith(collection, pts)
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not accept local rewrites")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    CollectionWriteBuffers.drain(writeId)
+    ()
+  }
 }
 
 /** Scan builder of the CDC face (cdc=true): serves the CHANGE LOG —

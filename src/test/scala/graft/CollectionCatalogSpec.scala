@@ -199,12 +199,13 @@ class CollectionCatalogSpec extends AnyFunSuite {
     assert(store.pointCount("points") === 8)
     // the change log recorded the deletes as tombstones (CDC-visible)
     assert(store.logSize("points") === 12)
-    // a predicate the store cannot resolve by id must DECLINE (Spark
-    // raises its cannot-translate error), never delete wrong rows
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM cat_test.points WHERE payload LIKE '%5%'")
-    }
-    assert(CollectionStores.get("cat_store").pointCount("points") === 8)
+    // a predicate the id path declines falls back to the GROUP-BASED
+    // rewrite (SupportsRowLevelOperations): the row with payload {"i": 5}
+    // goes, nothing else — never a wrong-row delete
+    spark.sql("DELETE FROM cat_test.points WHERE payload LIKE '%5%'")
+    assert(CollectionStores.get("cat_store").pointCount("points") === 7)
+    assert(!spark.sql("SELECT id FROM cat_test.points")
+      .collect().map(_.getString(0)).contains("5"))
     // no WHERE = truncate
     spark.sql("DELETE FROM cat_test.points")
     assert(CollectionStores.get("cat_store").pointCount("points") === 0)
@@ -214,6 +215,24 @@ class CollectionCatalogSpec extends AnyFunSuite {
     assert(CollectionStores.get("cat_store").pointCount("points") === 0)
     // truncation is tombstoned like any delete: the log replays it
     assert(CollectionStores.get("cat_store").logSize("points") === 20)
+  }
+
+  test("UPDATE rewrites atomically and logs the CDC diff") {
+    freshCatalog()
+    spark.sql("""UPDATE cat_test.points SET payload = '{"u":1}' WHERE id = '3'""")
+    val store = CollectionStores.get("cat_store")
+    assert(store.pointCount("points") === 10)
+    val p3 = store.queryPoints("points", 0, 100, withPayload = true,
+      Seq.empty, None, idFilter = Some(Set("3"))).next()
+    assert(p3.payload === Some("""{"u":1}"""))
+    // the copy-on-write rewrite logs its diff: 10 seal upserts + 10
+    // rewrite upserts (whole-collection group), 0 tombstones — a CDC
+    // consumer replaying the log converges to the updated contents
+    assert(store.logSize("points") === 20)
+    val ops = store.logEntries("points", 0, 20).toSeq
+    assert(ops.count(_.op == graft.sources.LogOps.Upsert) === 20)
+    assert(ops.filter(_.seq >= 10).count(e =>
+      e.point.id == "3" && e.point.payload.contains("""{"u":1}""")) === 1)
   }
 
   test("unknown table raises AnalysisException, not a store error") {
