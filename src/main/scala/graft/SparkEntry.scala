@@ -749,6 +749,28 @@ object SparkEntry {
       s.sql("SELECT id, payload FROM st_cat.replica")
     }),
 
+    // TIME TRAVEL: after deletes, read the collection AS OF the
+    // change-log position before them (asOfSeq) — the deleted rows are
+    // back, exactly the original ingest. Point-in-time audit reads served
+    // from the same log the CDC stream replays.
+    "dsv2_time_travel" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("tt_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val preDelete = CollectionStores.get("tt_store").logSize("embeddings")
+      CollectionStores.update("tt_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.removed("embeddings", Set("3", "13", "23"))
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "tt_store").option("collection", "embeddings")
+        .option("asOfSeq", preDelete.toString)
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
     // CDC REPLICATION end-to-end: stream the full change log (upserts +
     // delete tombstones, each with its log position) out of one
     // collection and into another through the cdc write face — `_seq`
@@ -1805,6 +1827,12 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    // as of the pre-delete log position, every ingested row is present
+    "dsv2_time_travel" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     // sparse keywords field holds the strictly-positive embedding
     // positions; present where vec_id % 3 <> 1 (query = vec_id 0's)

@@ -236,6 +236,22 @@ final class InMemoryCollectionStore(
         logOf(collection) ++ deduped.map(LogEntry(LogOps.Upsert, _))))
   }
 
+  /** The collection's contents AS OF log position `seq` (exclusive) —
+    * TIME TRAVEL served from the change log: replay the prefix, last
+    * entry per id wins, tombstones remove. Sorted by id like the sealed
+    * index. This local stand-in recomputes the replay per call; a real
+    * backend serves snapshots from its own MVCC/version store — the
+    * connector surface (the `asOfSeq` read option) is what carries over.
+    */
+  def stateAt(collection: String, seq: Long): IndexedSeq[Point] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Point]
+    logOf(collection).take(math.min(seq, Int.MaxValue.toLong).toInt).foreach { e =>
+      if (e.op == LogOps.Delete) m.remove(e.point.id)
+      else m(e.point.id) = e.point
+    }
+    m.values.toIndexedSeq.sortBy(_.id)
+  }
+
   /** A new store whose `collection` holds EXACTLY `pts` (last occurrence
     * wins per id) — the commit of a group-based row-level REWRITE
     * (UPDATE/MERGE copy-on-write, the whole collection being the one
@@ -467,11 +483,22 @@ final class CollectionTable(storeName: String, collection: String,
     // streaming admission control: cap each CDC micro-batch at this many
     // log entries (read option; 0/absent = all available)
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toLong).filter(_ > 0)
+    val asOf = Option(options.get("asOfSeq")).map(_.toLong)
     if (cdc)
       new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
-    else
-      new CollectionScanBuilder(storeName, collection, descriptor, partitions,
-        maxRows)
+    else asOf match {
+      // TIME TRAVEL (read option asOfSeq=N): the collection's contents as
+      // of change-log position N, reconstructed by replaying the log
+      // prefix (upserts win last-per-id, tombstones remove) — the read
+      // face of the CDC log's history. Column pruning only: a
+      // point-in-time audit read, not a serving path.
+      case Some(seq) =>
+        new HistoricalScanBuilder(storeName, collection, descriptor, seq,
+          partitions)
+      case None =>
+        new CollectionScanBuilder(storeName, collection, descriptor, partitions,
+          maxRows)
+    }
   }
 
   /** SQL `DELETE FROM <catalog>.<collection> WHERE id = / id IN (...)`
@@ -1183,6 +1210,80 @@ final class CollectionReplaceWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     CollectionWriteBuffers.drain(writeId)
     ()
+  }
+}
+
+/** Point-in-time read (asOfSeq=N): serve the collection AS OF a
+  * change-log position via [[InMemoryCollectionStore.stateAt]].
+  */
+final class HistoricalScanBuilder(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    seq: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var pruned: StructType = descriptor.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  override def build(): Scan = new HistoricalScan(storeName, collection,
+    descriptor, pruned, seq, partitions)
+}
+
+final class HistoricalScan(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, seq: Long, partitions: Int) extends Scan with Batch {
+
+  private def snapshot(): IndexedSeq[Point] =
+    CollectionStores.get(storeName) match {
+      case mem: InMemoryCollectionStore => mem.stateAt(collection, seq)
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not serve point-in-time reads")
+    }
+
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionHistoricalScan($storeName.$collection, asOfSeq=$seq)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = snapshot().size.toLong
+    if (total == 0L) Array.empty
+    else {
+      val per = math.max(1L, (total + partitions - 1) / partitions)
+      (0L until total by per).map(s =>
+        CollectionInputPartition(s, math.min(s + per, total)): InputPartition
+      ).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val store = storeName
+    val coll = collection
+    val desc = descriptor
+    val schema = pruned
+    val at = seq
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[CollectionInputPartition]
+        new PartitionReader[InternalRow] {
+          // the local stand-in replays the prefix per partition; a real
+          // backend hands each partition a snapshot-pinned range read
+          private val it = (CollectionStores.get(store) match {
+            case mem: InMemoryCollectionStore => mem.stateAt(coll, at)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not serve point-in-time reads")
+          }).iterator.slice(p.from.toInt, p.until.toInt)
+          private val decoder = new PointDecoder(desc, schema)
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { current = decoder.decode(it.next()); true }
+            else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+      }
+    }
   }
 }
 

@@ -398,6 +398,40 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(CollectionStores.get("tseq").pointCount("c") === 1) // still just "a"
   }
 
+  test("asOfSeq reads the collection as of any change-log position") {
+    CollectionStores.register("ttv",
+      InMemoryCollectionStore.single("c", desc, mkPoints(4)))
+    // history past the seal: delete 1, then re-upsert it with new payload
+    CollectionStores.update("ttv") {
+      case m: InMemoryCollectionStore => m.removed("c", Set("1"))
+      case o => o
+    }
+    CollectionStores.update("ttv") {
+      case m: InMemoryCollectionStore =>
+        m.appended("c", IndexedSeq(Point("1", Some("""{"new":1}"""))))
+      case o => o
+    }
+    def readAt(seq: Long) = spark.read
+      .format("graft.sources.CollectionDataSource")
+      .option("store", "ttv").option("collection", "c")
+      .option("asOfSeq", seq.toString).load()
+      .select("id", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // log: 4 seal upserts, tombstone(1), re-upsert(1) — 6 entries
+    assert(readAt(2).keySet === Set("0", "1"))        // mid-seal prefix
+    assert(readAt(4).keySet === Set("0", "1", "2", "3"))
+    assert(readAt(5).keySet === Set("0", "2", "3"))   // after the delete
+    val now = readAt(6)
+    assert(now.keySet === Set("0", "1", "2", "3"))
+    assert(now("1") === Some("""{"new":1}"""))        // the re-upsert won
+    // and the time-travel read matches the live read at the log head
+    val live = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "ttv").option("collection", "c").load()
+      .select("id", "payload").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(now === live)
+  }
+
   test("streaming read replays the upsert log and streams new batch writes") {
     CollectionStores.register("t7",
       InMemoryCollectionStore.single("c", desc, mkPoints(3)))
