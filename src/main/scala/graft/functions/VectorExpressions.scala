@@ -642,6 +642,71 @@ object MinHashSignature {
   }
 }
 
+/** All `nbits` hyperplane sign bits of the [[graft.ops.Ann.lshPlanes]]
+  * family in ONE array pass: vector -> 64-bit LSH bucket signature.
+  * Replaces `nbits` separate v_dot kernels that each re-read the input
+  * (at nbits=64 that is 64 passes over every vector). Per-plane dots
+  * accumulate in ascending-dimension order — bit-identical to the v_dot
+  * composition and to the DuckDB mirror's per-plane list_reduce.
+  */
+case class HyperplaneSignature(child: Expression, dim: Int, nbits: Int,
+                               seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_signature"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecs(Seq(child), "lsh_signature")
+
+  // row-major [i * dim + j]: plane i, dimension j
+  @transient private lazy val planes: Array[Double] =
+    graft.ops.Ann.lshPlanes(dim, nbits, seed).flatten.toArray
+
+  @transient private lazy val get = getter(child.dataType)
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), dim)
+    val acc = new Array[Double](nbits)
+    var j = 0
+    while (j < n) {
+      val x = get(a, j)
+      var i = 0
+      while (i < nbits) { acc(i) += x * planes(i * dim + j); i += 1 }
+      j += 1
+    }
+    var bucket = 0L
+    var i = 0
+    while (i < nbits) { if (acc(i) >= 0) bucket |= (1L << i); i += 1 }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val x = ctx.freshName("x")
+      val acc = ctx.freshName("acc"); val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double[] $acc = new double[$nbits];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  double $x = ${accessor(child.dataType, arr, j)};
+         |  for (int $i = 0; $i < $nbits; $i++) {
+         |    $acc[$i] += $x * $pRef[$i * $dim + $j];
+         |  }
+         |}
+         |long $bucket = 0L;
+         |for (int $i = 0; $i < $nbits; $i++) {
+         |  if ($acc[$i] >= 0) $bucket |= (1L << $i);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSignature =
+    copy(child = c)
+}
+
 /** Deterministic 64-bit polynomial rolling hash (Rabin-Karp, base 31) over a
   * string's UTF-8 bytes -> bigint. Used for document fingerprinting.
   */

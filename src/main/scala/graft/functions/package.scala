@@ -93,6 +93,13 @@ package object functions {
   def minhash_signature(elementHashes: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(elementHashes), numHashes, seed))
 
+  /** All nbits hyperplane sign bits in one codegen'd array pass:
+    * vector -> 64-bit LSH bucket signature (the ingest-side signature
+    * kernel of the Ann.lshBuckets / Dedup.embeddingNearDupLsh family).
+    */
+  def lsh_signature(vec: Column, dim: Int, nbits: Int, seed: Long = 42L): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(vec), dim, nbits, seed))
+
   /** Word w-shingle hashes of a text in one native pass (no shingle
     * strings materialized): string -> array<bigint>.
     */

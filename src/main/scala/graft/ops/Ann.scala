@@ -334,12 +334,13 @@ object Ann {
   }
 
   def lshBuckets(df: DataFrame, vecCol: String, dim: Int, nbits: Int,
-                 seed: Long = 42L): DataFrame = {
-    val bits = lshPlanes(dim, nbits, seed).zipWithIndex.map { case (p, i) =>
-      when(v_dot(col(vecCol), vec(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
-  }
+                 seed: Long = 42L): DataFrame =
+    // ONE fused kernel for all nbits sign bits (HyperplaneSignature) —
+    // the nbits-separate-v_dot composition reads every vector nbits
+    // times; per-plane accumulation order is identical, so buckets are
+    // bit-equal (asserted in VectorExpressionsSpec)
+    df.withColumn("bucket",
+      graft.functions.lsh_signature(col(vecCol), dim, nbits, seed))
 
   /** Driver-side signature of one vector under the same plane family
     * (sequential sum order — identical to the v_dot kernel).

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions._
 
@@ -110,6 +110,39 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(m("a") === m("b"))
     val hd = java.lang.Long.bitCount(m("a") ^ m("c"))
     assert(hd <= 64)
+  }
+
+  test("lsh_signature bit-equals the nbits-separate-v_dot composition") {
+    // the fused one-pass kernel must reproduce the composition's buckets
+    // EXACTLY (same per-plane accumulation order) — the DuckDB LSH
+    // mirrors are written against that arithmetic
+    val corpus = graft.collections.Collections
+      .homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), col("vector").cast("array<double>").as("v"))
+      .limit(200)
+    for (nbits <- Seq(16, 64)) {
+      val planes = graft.ops.Ann.lshPlanes(64, nbits, 42L)
+      val composed = planes.zipWithIndex.map { case (p, i) =>
+        when(v_dot(col("v"), vec(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      val both = corpus.select(col("id"),
+        lsh_signature(col("v"), 64, nbits).as("fused"),
+        composed.as("composed")).collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"nbits=$nbits id=${r.getString(0)}"))
+    }
+    // float input accumulates like v_dot's float accessor (cast-to-double
+    // per element), not like a pre-cast column
+    val f = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), col("vector")).limit(50)
+    val planes16 = graft.ops.Ann.lshPlanes(64, 16, 42L)
+    val composedF = planes16.zipWithIndex.map { case (p, i) =>
+      when(v_dot(col("vector"), vec(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    f.select(lsh_signature(col("vector"), 64, 16).as("fused"),
+        composedF.as("composed")).collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("fingerprint64 is deterministic and collision-free on distinct strings") {
