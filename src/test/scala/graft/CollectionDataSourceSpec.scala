@@ -398,6 +398,21 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(CollectionStores.get("tseq").pointCount("c") === 1) // still just "a"
   }
 
+  test("cdc batch read prunes columns like any scan") {
+    CollectionStores.register("cdcprune",
+      InMemoryCollectionStore.single("c", desc, mkPoints(5)))
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "cdcprune").option("collection", "c")
+      .option("cdc", "true").load()
+      .select("_op", "id")
+    assert(df.collect().length === 5)
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get
+    assert(scan.readSchema().fieldNames.toSeq === Seq("_op", "id"),
+      scan.readSchema().catalogString)
+  }
+
   test("asOfSeq reads the collection as of any change-log position") {
     CollectionStores.register("ttv",
       InMemoryCollectionStore.single("c", desc, mkPoints(4)))

@@ -111,6 +111,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the bloom only thins the join input — the RESULT is identical
     assert(bloom === exact)
     assert(bloom.nonEmpty)
+    // plan shape: the corpus is scanned once, the verify join is a
+    // broadcast (benchmark side), never a sort-merge of the corpus
+    val plan = graft.ops.TextAnalysis
+      .contaminatedDocsBloom(corpus, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
     // and it genuinely thins: the may-contain prefilter must reject the
     // bulk of corpus shingles (random 64-bit hashes hit a sparsely set
     // 64 Kbit array on all 4 probes with probability ~(m_set/bits)^4)
