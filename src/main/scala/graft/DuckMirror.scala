@@ -483,6 +483,50 @@ object DuckMirror {
        |SELECT a_id, b_id, jaccard FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** clean_corpus oracle: the END-TO-END training-data pipeline
+    * (Pipeline.cleanCorpus) mirrored stage by stage — exact dedup keeps
+    * min-id per text group; the minhash near-dup pairs RESTRICT to pairs
+    * whose BOTH ends survived the exact stage (band buckets are
+    * per-document, so removing docs only removes pairs — the survivor
+    * corpus's pair set IS the full pair set filtered to survivors); the
+    * quality gate applies the raw (unrounded) quality formula, identical
+    * IEEE ops in the same order as the TextStats kernel.
+    */
+  def cleanCorpusSql(threshold: Double, minQuality: Double,
+                     numHashes: Int = 16, bands: Int = 4,
+                     seed: Long = 42L): String =
+    s"""WITH ${minhashPairCtes(threshold, numHashes, bands, seed)},
+       |exact_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+       |losers AS (
+       |  SELECT DISTINCT p.b_id AS doc_id FROM pairs p
+       |  JOIN exact_keep a ON a.doc_id = p.a_id
+       |  JOIN exact_keep b ON b.doc_id = p.b_id),
+       |surv AS (
+       |  SELECT c.doc_id, c.text FROM corpus c
+       |  JOIN exact_keep k ON k.doc_id = c.doc_id
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |t AS (SELECT doc_id, text,
+       |             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       |      FROM surv),
+       |m AS (SELECT doc_id,
+       |             CAST(len(toks) AS DOUBLE) AS n,
+       |             CASE WHEN len(toks) > 0 THEN
+       |               CAST(len(list_filter(toks, x -> list_contains(
+       |                 ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+       |                 / CAST(len(toks) AS DOUBLE)
+       |             ELSE 0.0 END AS ratio,
+       |             CASE WHEN len(text) > 0 THEN
+       |               CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |                 / CAST(len(text) AS DOUBLE)
+       |             ELSE 0.0 END AS punct
+       |      FROM t)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens
+       |FROM m
+       |WHERE least(n / 50.0, 1.0) * (0.5 + 0.5 * least(ratio * 5.0, 1.0)) *
+       |      greatest(1.0 - punct * 3.0, 0.0) >= $minQuality
+       |ORDER BY doc_id""".stripMargin
+
   /** dedup_clusters_minhash oracle: the same LSH-verified pair set as
     * [[minhashSql]], closed transitively by a recursive CTE — min reachable
     * doc_id per node, singletons their own component (the exact contract of

@@ -1254,6 +1254,17 @@ object SparkEntry {
 
     // cluster-based survivor selection: one representative (min id) per
     // transitive near-dup chain — the Pipeline form a 100 TB clean uses
+    // the END-TO-END pipeline composition (Pipeline.cleanCorpus):
+    // exact dedup -> minhash near-dedup ON the exact survivors ->
+    // annotate -> raw-quality gate — every stage's mirror composed into
+    // ONE oracle (restricting the pair set to exact survivors is sound
+    // because band buckets are per-document: removing docs only removes
+    // pairs)
+    "clean_corpus" -> ((s, dir) =>
+      graft.ops.Pipeline.cleanCorpus(docsWithNearDups(s, dir), "doc_id", "text",
+          nearDupThreshold = 0.8, minQuality = 0.1)
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"))),
+
     "dedup_survivors" -> ((s, dir) =>
       graft.ops.Pipeline.dropNearDuplicateClusters(
           docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.8)
@@ -2647,6 +2658,8 @@ object SparkEntry {
              |FROM h ORDER BY doc_id""".stripMargin
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
+        "clean_corpus" -> DuckMirror.cleanCorpusSql(threshold = 0.8,
+          minQuality = 0.1),
         "dedup_clusters_minhash" -> DuckMirror.minhashClustersSql(threshold = 0.8),
         "dedup_survivors" ->
           s"""WITH x AS (${DuckMirror.minhashClustersSql(threshold = 0.8)})
