@@ -749,6 +749,29 @@ object SparkEntry {
       s.sql("SELECT id, payload FROM st_cat.replica")
     }),
 
+    // LOG COMPACTION: truncate the ingest prefix (replaced by a state
+    // snapshot), keep the delete tail at its ORIGINAL global positions —
+    // the batch CDC read serves exactly the retained tail, seq numbers
+    // undisturbed, so checkpointed readers past the compaction point
+    // continue unaffected
+    "dsv2_cdc_compacted" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("cdcc_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val ingested = CollectionStores.get("cdcc_store").logSize("embeddings")
+      CollectionStores.update("cdcc_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.removed("embeddings", Set("3", "13", "23"))
+            .compacted("embeddings", ingested)
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "cdcc_store").option("collection", "embeddings")
+        .option("cdc", "true").option("partitions", "4").load()
+        .select(col("_op"), col("_seq"), col("id"))
+    }),
+
     // TIME TRAVEL: after deletes, read the collection AS OF the
     // change-log position before them (asOfSeq) — the deleted rows are
     // back, exactly the original ingest. Point-in-time audit reads served
@@ -1838,6 +1861,17 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings WHERE vec_id NOT IN (3, 13, 23) ORDER BY id""".stripMargin,
+
+    // the retained tail: the 3 tombstones at global positions n..n+2
+    // (n = ingest count), id-sorted like any removal batch
+    "dsv2_cdc_compacted" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
+        |SELECT 'delete' AS _op,
+        |       CAST(n.c + row_number() OVER (ORDER BY d.id) - 1 AS BIGINT) AS _seq,
+        |       d.id
+        |FROM (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings
+        |      WHERE vec_id IN (3, 13, 23)) d, n
+        |ORDER BY _seq""".stripMargin,
 
     // as of the pre-delete log position, every ingested row is present
     "dsv2_time_travel" ->

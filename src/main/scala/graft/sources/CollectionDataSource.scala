@@ -86,6 +86,11 @@ trait CollectionStore extends Serializable {
     throw new UnsupportedOperationException(
       s"${getClass.getName} keeps no change log; streaming reads unsupported")
 
+  /** First log position still replayable (> 0 once the log has been
+    * COMPACTED — a fresh streaming read starts here, not at 0).
+    */
+  def logStart(collection: String): Long = 0L
+
   /** Log entries [from, until) in ingest order (each upsert appears once,
     * including re-upserts of an existing id, and each delete appears as a
     * tombstone — CDC semantics). Entries carry their log position in
@@ -141,7 +146,9 @@ object CollectionStores {
 final class InMemoryCollectionStore(
     descriptors: Map[String, CollectionDescriptor],
     data: Map[String, IndexedSeq[Point]],
-    log: Map[String, IndexedSeq[LogEntry]] = Map.empty) extends CollectionStore {
+    log: Map[String, IndexedSeq[LogEntry]] = Map.empty,
+    logBase: Map[String, Long] = Map.empty,
+    snapshots: Map[String, IndexedSeq[Point]] = Map.empty) extends CollectionStore {
 
   /** Points materialized from the backing index by [[queryPoints]] since
     * this store instance was sealed — the observable cost model of the
@@ -197,26 +204,65 @@ final class InMemoryCollectionStore(
       s"collection '$collection' already holds points")
     new InMemoryCollectionStore(descriptors.updated(collection, desc),
       data.updated(collection, IndexedSeq.empty),
-      log.updated(collection, IndexedSeq.empty))
+      log.updated(collection, IndexedSeq.empty), logBase, snapshots)
   }
 
   /** A new store without `collection` — the catalog's DROP TABLE. */
   def withoutCollection(collection: String): InMemoryCollectionStore =
     new InMemoryCollectionStore(descriptors - collection, data - collection,
-      log - collection)
+      log - collection, logBase - collection, snapshots - collection)
 
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
   // a `single`-built store (no recorded history) reports its sealed
-  // contents as one batch of upserts — the replay that reproduces it
+  // contents as one batch of upserts — the replay that reproduces it.
+  // RETAINED entries only: positions baseOf(c) .. logSize(c).
   private def logOf(collection: String): IndexedSeq[LogEntry] =
     log.getOrElse(collection, data(collection).map(LogEntry(LogOps.Upsert, _)))
 
-  override def logSize(collection: String): Long = logOf(collection).size.toLong
+  private def baseOf(collection: String): Long =
+    logBase.getOrElse(collection, 0L)
 
-  override def logEntries(collection: String, from: Long, until: Long): Iterator[LogEntry] =
-    logOf(collection).iterator.slice(from.toInt, until.toInt).zipWithIndex
+  override def logStart(collection: String): Long = baseOf(collection)
+
+  override def logSize(collection: String): Long =
+    baseOf(collection) + logOf(collection).size.toLong
+
+  override def logEntries(collection: String, from: Long, until: Long): Iterator[LogEntry] = {
+    val base = baseOf(collection)
+    if (from < base)
+      throw new IllegalStateException(
+        s"log positions [$from, $base) of '$collection' were compacted away; " +
+          s"replay must start at $base or from a fresh snapshot")
+    logOf(collection).iterator
+      .slice((from - base).toInt, (until - base).toInt).zipWithIndex
       .map { case (e, i) => e.copy(seq = from + i) }
+  }
+
+  /** A new store whose `collection` change log is COMPACTED up to global
+    * position `upTo` (exclusive): the dropped prefix is replaced by a
+    * point SNAPSHOT of the state at `upTo` (the checkpoint every real
+    * log-structured store pairs with truncation — Delta checkpoints,
+    * Kafka compacted topics), and every RETAINED entry keeps its global
+    * position, so checkpointed CDC readers past `upTo` are undisturbed.
+    * Readers needing positions before `upTo` (a stream restarting from
+    * an older checkpoint, an asOfSeq time travel into the dropped range)
+    * fail LOUDLY instead of silently replaying partial history. Bounds
+    * the log memory of a long-lived collection by snapshot + tail.
+    */
+  def compacted(collection: String, upTo: Long): InMemoryCollectionStore = {
+    val base = baseOf(collection)
+    if (upTo <= base) this
+    else {
+      require(upTo <= logSize(collection),
+        s"cannot compact '$collection' past its log head (${logSize(collection)}), got $upTo")
+      val snap = stateAt(collection, upTo)
+      new InMemoryCollectionStore(descriptors, data,
+        log.updated(collection, logOf(collection).drop((upTo - base).toInt)),
+        logBase.updated(collection, upTo),
+        snapshots.updated(collection, snap))
+    }
+  }
 
   /** A new store with `pts` upserted into `collection` (point-id
     * semantics, like the reference backend: an incoming id REPLACES the
@@ -233,7 +279,8 @@ final class InMemoryCollectionStore(
     new InMemoryCollectionStore(descriptors,
       data.updated(collection, merged.sortBy(_.id).toIndexedSeq),
       log.updated(collection,
-        logOf(collection) ++ deduped.map(LogEntry(LogOps.Upsert, _))))
+        logOf(collection) ++ deduped.map(LogEntry(LogOps.Upsert, _))),
+      logBase, snapshots)
   }
 
   /** The collection's contents AS OF log position `seq` (exclusive) —
@@ -244,11 +291,19 @@ final class InMemoryCollectionStore(
     * connector surface (the `asOfSeq` read option) is what carries over.
     */
   def stateAt(collection: String, seq: Long): IndexedSeq[Point] = {
+    val base = baseOf(collection)
+    if (seq < base)
+      throw new IllegalStateException(
+        s"state of '$collection' at position $seq predates the compaction " +
+          s"point $base; that history is gone")
     val m = scala.collection.mutable.HashMap.empty[String, Point]
-    logOf(collection).take(math.min(seq, Int.MaxValue.toLong).toInt).foreach { e =>
-      if (e.op == LogOps.Delete) m.remove(e.point.id)
-      else m(e.point.id) = e.point
-    }
+    snapshots.getOrElse(collection, IndexedSeq.empty)
+      .foreach(p => m(p.id) = p)
+    logOf(collection)
+      .take(math.min(seq - base, Int.MaxValue.toLong).toInt).foreach { e =>
+        if (e.op == LogOps.Delete) m.remove(e.point.id)
+        else m(e.point.id) = e.point
+      }
     m.values.toIndexedSeq.sortBy(_.id)
   }
 
@@ -270,7 +325,8 @@ final class InMemoryCollectionStore(
       log.updated(collection,
         logOf(collection)
           ++ deduped.map(LogEntry(LogOps.Upsert, _))
-          ++ dropped.map(p => LogEntry(LogOps.Delete, Point(p.id, None)))))
+          ++ dropped.map(p => LogEntry(LogOps.Delete, Point(p.id, None)))),
+      logBase, snapshots)
   }
 
   /** A new store with `ids` deleted from `collection` — point-id delete
@@ -288,7 +344,8 @@ final class InMemoryCollectionStore(
       data.updated(collection, data(collection).filterNot(p => ids(p.id))),
       log.updated(collection,
         logOf(collection) ++ hit.map(p =>
-          LogEntry(LogOps.Delete, Point(p.id, None)))))
+          LogEntry(LogOps.Delete, Point(p.id, None)))),
+      logBase, snapshots)
   }
 
   override def queryPoints(collection: String, from: Long, until: Long,
@@ -1320,11 +1377,14 @@ final class CdcScan(
     s"CollectionCdcScan($storeName.$collection)"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // [logStart, logSize): a compacted log serves only its retained tail
+    // (positions are global and preserved across compaction)
+    val start = CollectionStores.get(storeName).logStart(collection)
     val total = CollectionStores.get(storeName).logSize(collection)
-    if (total == 0L) Array.empty
+    if (total <= start) Array.empty
     else {
-      val per = math.max(1L, (total + partitions - 1) / partitions)
-      (0L until total by per).map(s =>
+      val per = math.max(1L, (total - start + partitions - 1) / partitions)
+      (start until total by per).map(s =>
         CollectionInputPartition(s, math.min(s + per, total)): InputPartition
       ).toArray
     }
@@ -1345,7 +1405,12 @@ final class CollectionMicroBatchStream(
     cdc: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override def initialOffset(): Offset = LogOffset(0L)
+  // a fresh query starts at the first REPLAYABLE position (the
+  // compaction point once the log has been truncated; 0 otherwise). A
+  // restart from a checkpoint that predates a later compaction fails
+  // loudly in logEntries — silent partial replay would be data loss.
+  override def initialOffset(): Offset =
+    LogOffset(CollectionStores.get(storeName).logStart(collection))
 
   /** Log head pinned at query start under Trigger.AvailableNow: the
     * bounded run drains exactly the entries present when it began (in

@@ -447,6 +447,54 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(now === live)
   }
 
+  test("log compaction: positions preserved, snapshot serves history, pre-base fails loudly") {
+    CollectionStores.register("tcomp",
+      InMemoryCollectionStore.single("c", desc, mkPoints(4)))
+    CollectionStores.update("tcomp") {
+      case m: InMemoryCollectionStore => m.removed("c", Set("1"))
+      case o => o
+    }
+    // log: 4 seal upserts + tombstone(1) = positions 0..4; compact to 5
+    CollectionStores.update("tcomp") {
+      case m: InMemoryCollectionStore => m.compacted("c", 5L)
+      case o => o
+    }
+    CollectionStores.update("tcomp") {
+      case m: InMemoryCollectionStore =>
+        m.appended("c", IndexedSeq(Point("9", Some("""{"late":1}"""))))
+      case o => o
+    }
+    val store = CollectionStores.get("tcomp").asInstanceOf[InMemoryCollectionStore]
+    // global positions survive compaction: head = 6, start = 5
+    assert(store.logSize("c") === 6)
+    assert(store.logStart("c") === 5)
+    val tail = store.logEntries("c", 5, 6).toSeq
+    assert(tail.map(_.seq) === Seq(5L))
+    assert(tail.head.point.id === "9")
+    // dropped positions refuse loudly (no silent partial replay)
+    intercept[IllegalStateException] { store.logEntries("c", 0, 6).toSeq }
+    // time travel: at the compaction point the snapshot serves the state
+    assert(store.stateAt("c", 5L).map(_.id) === Seq("0", "2", "3"))
+    assert(store.stateAt("c", 6L).map(_.id) === Seq("0", "2", "3", "9"))
+    intercept[IllegalStateException] { store.stateAt("c", 4L) }
+    // a FRESH streaming read starts at the compaction point and sees
+    // exactly the retained tail
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-comp-ckpt").toString
+    val q = spark.readStream.format("graft.sources.CollectionDataSource")
+      .option("store", "tcomp").option("collection", "c")
+      .option("cdc", "true").load()
+      .select("_op", "_seq", "id")
+      .writeStream.format("memory").queryName("comp_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("comp_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows === Seq(("upsert", 5L, "9")))
+  }
+
   test("streaming read replays the upsert log and streams new batch writes") {
     CollectionStores.register("t7",
       InMemoryCollectionStore.single("c", desc, mkPoints(3)))
