@@ -329,6 +329,14 @@ final class InMemoryCollectionStore(
       logBase, snapshots)
   }
 
+  /** A new store with `collection` emptied — TRUNCATE. Equivalent to
+    * [[removed]] of every current id, but the enumeration happens HERE
+    * (the store owns its ids); the DELETE surface must not page every id
+    * through the driver just to throw the rows away.
+    */
+  def truncated(collection: String): InMemoryCollectionStore =
+    removed(collection, data(collection).map(_.id).toSet)
+
   /** A new store with `ids` deleted from `collection` — point-id delete
     * semantics like the reference backend (deleting an absent id is a
     * no-op). Each id actually present is removed from the sealed index
@@ -576,17 +584,13 @@ final class CollectionTable(storeName: String, collection: String,
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     // `DELETE FROM t` (no WHERE) arrives as [AlwaysTrue], not as an empty
-    // array — both mean truncate; AlwaysTrue conjuncts otherwise drop out
+    // array — both mean truncate (a STORE-side operation: the ids never
+    // page through the driver); AlwaysTrue conjuncts otherwise drop out
     val idSets = predicates.flatMap(CdcSchema.idsOfPredicate)
-    val ids: Set[String] =
-      if (idSets.isEmpty)
-        CollectionStores.get(storeName)
-          .queryPoints(collection, 0L, Long.MaxValue, withPayload = false,
-            vectorFields = Seq.empty, limit = None)
-          .map(_.id).toSet // truncate: every current id
-      else idSets.reduce(_ intersect _) // conjunction of id predicates
     CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore => mem.removed(collection, ids)
+      case mem: InMemoryCollectionStore =>
+        if (idSets.isEmpty) mem.truncated(collection)
+        else mem.removed(collection, idSets.reduce(_ intersect _))
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local deletes")
     }
