@@ -89,6 +89,23 @@ object KernelProperties extends Properties("graft.kernels") {
       sa.zip(sab).forall { case (x, y) => y <= x }
     }
 
+  property("lsh_signature equals the per-plane v_dot composition on random vectors") =
+    forAll(for {
+      dim <- Gen.choose(1, 32)
+      nbits <- Gen.oneOf(8, 16, 64)
+      v <- Gen.listOfN(dim, Gen.choose(-100.0, 100.0))
+    } yield (dim, nbits, v)) { case (dim, nbits, v) =>
+      val fused = HyperplaneSignature(arr(v), dim, nbits, 42L)
+        .eval(null).asInstanceOf[Long]
+      val planes = graft.ops.Ann.lshPlanes(dim, nbits, 42L)
+      val composed = planes.zipWithIndex.map { case (p, i) =>
+        if (DotProduct(arr(v), arr(p)).eval(null).asInstanceOf[Double] >= 0)
+          1L << i
+        else 0L
+      }.reduce(_ | _)
+      fused == composed
+    }
+
   property("simhash of identical inputs matches; hamming <= 64") =
     forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
       val s1 = SimHash64(larr(hs)).eval(null).asInstanceOf[Long]
