@@ -299,38 +299,38 @@ object DuckMirror {
     * Returns (chainText, finalAsgIndex).
     */
   private def ivfChain(corpusSql: String, dim: Int, nlist: Int,
-                       maxIter: Int, seed: Long): (String, Int) = {
+                       maxIter: Int, seed: Long, sfx: String = ""): (String, Int) = {
     val s = graft.ops.Ann.CentroidQuantScale
     def asg(t: Int, cents: String): String =
-      s"""asg$t AS (
+      s"""asg$t$sfx AS (
          |  SELECT id, v, cluster FROM (
          |    SELECT e.id, e.v, c.cluster,
          |           ROW_NUMBER() OVER (PARTITION BY e.id
          |             ORDER BY ${euclidSql("e.v", "c.c", dim)}, c.cluster) AS rn
-         |    FROM corpus e CROSS JOIN $cents c)
+         |    FROM corpus$sfx e CROSS JOIN $cents c)
          |  WHERE rn = 1)""".stripMargin
     val iters = (1 to maxIter).map { t =>
-      val prev = s"cents${t - 1}"
+      val prev = s"cents${t - 1}$sfx"
       s"""${asg(t, prev)},
-         |sums$t AS (
+         |sums$t$sfx AS (
          |  SELECT cluster, j AS d,
          |         SUM(CAST(floor(v[j] * $s) AS HUGEINT)) AS sm,
          |         COUNT(*) AS n
-         |  FROM asg$t, range(1, ${dim + 1}) r(j) GROUP BY cluster, j),
-         |cents$t AS (
+         |  FROM asg$t$sfx, range(1, ${dim + 1}) r(j) GROUP BY cluster, j),
+         |cents$t$sfx AS (
          |  SELECT p.cluster, COALESCE(nc.c, p.c) AS c
          |  FROM $prev p LEFT JOIN (
          |    SELECT cluster, list(sm::DOUBLE / n / $s ORDER BY d) AS c
-         |    FROM sums$t GROUP BY cluster) nc USING (cluster))""".stripMargin
+         |    FROM sums$t$sfx GROUP BY cluster) nc USING (cluster))""".stripMargin
     }
     val finalAsg = maxIter + 1
     val text =
-      s"""corpus AS (
+      s"""corpus$sfx AS (
          |$corpusSql),
-         |cents0 AS (
+         |cents0$sfx AS (
          |  SELECT ROW_NUMBER() OVER (ORDER BY md5(id || '$seed'), id) - 1 AS cluster, v AS c
-         |  FROM (SELECT id, v FROM corpus ORDER BY md5(id || '$seed'), id LIMIT $nlist)),
-         |${(iters :+ asg(finalAsg, s"cents$maxIter")).mkString(",\n")}""".stripMargin
+         |  FROM (SELECT id, v FROM corpus$sfx ORDER BY md5(id || '$seed'), id LIMIT $nlist)),
+         |${(iters :+ asg(finalAsg, s"cents$maxIter$sfx")).mkString(",\n")}""".stripMargin
     (text, finalAsg)
   }
 
@@ -407,6 +407,59 @@ object DuckMirror {
        |           ORDER BY ${euclid("e.v", "c.c")}, c.cluster) AS rn
        |  FROM corpus e CROSS JOIN cents0 c)
        |WHERE rn = 1 ORDER BY id""".stripMargin
+  }
+
+  /** ann_pq oracle: the FULL product-quantization pipeline mirror — per
+    * subspace, the same md5-init + DECIMAL-quantized Lloyd's chain as
+    * [[ivfSql]] (suffixed `_s{m}`, run on the sliced corpus; the seed
+    * order keys on the unsliced id so all subspaces seed from the same
+    * rows, like Pq.fit), then codes = per-subspace argmin assignment, ADC
+    * table = exact subspace dots of the query against each codebook
+    * centroid (list_reduce, the kernels' sequential order), approximate
+    * score = the m table lookups summed left-to-right, candidateK cut by
+    * (approx DESC, id), exact-dot rerank of the survivors.
+    */
+  def pqSql(queryVecId: Int, k: Int, candidateK: Int, dim: Int, m: Int,
+            ksub: Int, maxIter: Int, seed: Long): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    def dotSql(a: String, b: String, d: Int): String =
+      s"list_reduce(list_transform(range(1, ${d + 1}), j -> ($a[j]) * ($b[j])), (x, y) -> x + y)"
+    val chains = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      ivfChain(
+        s"  SELECT id, list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM base",
+        sub, ksub, maxIter, seed, sfx = s"_s$mi")
+    }
+    val finalAsg = chains.head._2
+    val qs = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      s"qs$mi AS (SELECT list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM q)"
+    }
+    val adcs = (0 until m).map { mi =>
+      s"""adc$mi AS (
+         |  SELECT c.cluster, ${dotSql("c.c", "s.v", sub)} AS t
+         |  FROM cents$maxIter${s"_s$mi"} c, qs$mi s)""".stripMargin
+    }
+    val asgJoins = (1 until m)
+      .map(mi => s"JOIN asg$finalAsg${s"_s$mi"} a$mi USING (id)").mkString(" ")
+    val adcJoins = (0 until m)
+      .map(mi => s"JOIN adc$mi ON adc$mi.cluster = a$mi.cluster").mkString(" ")
+    val approxExpr = (1 until m).foldLeft("adc0.t")((acc, mi) => s"($acc + adc$mi.t)")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${chains.map(_._1).mkString(",\n")},
+       |q AS (SELECT v FROM base WHERE vec_id = $queryVecId),
+       |${qs.mkString(",\n")},
+       |${adcs.mkString(",\n")},
+       |approx AS (
+       |  SELECT a0.id, $approxExpr AS approx
+       |  FROM asg$finalAsg${"_s0"} a0 $asgJoins $adcJoins),
+       |cand AS (SELECT id FROM approx ORDER BY approx DESC, id LIMIT $candidateK)
+       |SELECT b.id, ROUND(${dotSql("b.v", "q.v", dim)}, 6) AS score
+       |FROM base b JOIN cand USING (id), q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
   /** CTE chain shared by [[minhashSql]] and [[minhashClustersSql]]:

@@ -94,6 +94,28 @@ object SparkEntry {
         .localCheckpoint()
     })
 
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Pq.PqModel, DataFrame)]
+
+  /** Stored PQ model + codes table for the corpus of `dir`: 4 subspaces
+    * x 16-centroid codebooks trained by the shared seeded Lloyd's, codes
+    * (id, pcode) materialized ONCE at ingest — at dim=64 the codes table
+    * is 4 bytes of quantized payload per row vs 256 for the float vector.
+    * The PQ analog of [[storedCodes]]; [[graft.ops.Pq.searchPqStored]]
+    * serves from it without touching the full-precision column until the
+    * rerank.
+    */
+  private def pqStore(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) =
+    pqCache.getOrElseUpdate(dir, {
+      val corpus = homD(s, dir).select("id", "vector")
+      val dim = corpus.select(size(col("vector"))).head().getInt(0)
+      val model = graft.ops.Pq.fit(corpus, "id", "vector", dim,
+        m = 4, ksub = 16, maxIter = 1, seed = 42L)
+      val codes = graft.ops.Pq.encode(corpus, "vector", model)
+        .select("id", "pcode").localCheckpoint()
+      (model, codes)
+    })
+
   /** Per-band LSH index of the corpus of `dir`: the [[graft.ops.Ann
     * .lshBandIndex]] layout written `partitionBy("band", "bandkey")` to
     * parquet ONCE (the production multi-hash-table serving layout; an
@@ -124,6 +146,7 @@ object SparkEntry {
     storedLshSignatures(s, dir)
     ivfStored(s, dir)
     lshBandStore(s, dir)
+    pqStore(s, dir)
     ()
   }
 
@@ -1503,6 +1526,22 @@ object SparkEntry {
         k = 10, nprobe = 2, candidateK = 100)
     }),
 
+    // product quantization serving: the candidate stage scans ONLY the
+    // stored (id, pcode) codes table — 4 bytes of quantized payload per
+    // row vs 256 for the vector column — and scores each row as 4 array
+    // lookups into the broadcast ADC table (pure codegen, no per-row
+    // vector math); the exact-dot rerank of the candidateK survivors then
+    // reads just those ids from full precision. Fully oracled: the
+    // per-subspace Lloyd's codebooks are the same DECIMAL-quantized
+    // deterministic fit the IVF mirror re-derives
+    "ann_pq" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (model, codes) = SparkEntry.pqStore(s, dir)
+      graft.ops.Pq.searchPqStored(codes, homD(s, dir).select("id", "vector"),
+        "id", "vector", model, q, k = 10, candidateK = 100)
+    }),
+
     // grouped search (reference search-groups surface): top-2 per payload
     // label by cosine — score map-side against the broadcast query vector,
     // rank inside a PARTITIONED window (shuffles scored (label,id,score)
@@ -2242,6 +2281,12 @@ object SparkEntry {
     "ann_ivf_quantized" -> DuckMirror.ivfSql(
       queryVecId = 9, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, metric = "dot"),
+
+    // product quantization: per-subspace Lloyd's codebooks, argmin codes,
+    // ADC candidate cut, exact-dot rerank — the whole pipeline re-derived
+    "ann_pq" -> DuckMirror.pqSql(
+      queryVecId = 11, k = 10, candidateK = 100, dim = 64, m = 4,
+      ksub = 16, maxIter = 1, seed = 42L),
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

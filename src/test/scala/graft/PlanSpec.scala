@@ -79,6 +79,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ann_pq: candidate stage reads stored codes only, ADC is pure lookups") {
+    val p = plan("ann_pq")
+    // candidate pass scans the materialized (id, pcode) frame — exactly
+    // ONE parquet scan in the plan: the rerank-side vector fetch
+    assert(count(p, "Scan parquet") == 1, s"expected 1 parquet scan:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"stored-codes scan missing:\n$p")
+    // ADC scoring is table lookups — no vector kernel over the codes scan
+    assert(!p.contains("v_dot_i8"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("dedup_exact shuffles fingerprints, not texts") {
     val p = plan("dedup_exact")
     // text column must not survive past the partial aggregate into the
