@@ -97,6 +97,25 @@ object SparkEntry {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Pq.PqModel, DataFrame)]
 
+  private val textIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Double)]
+
+  /** Stored inverted index over the documents corpus of `dir`: postings
+    * written `partitionBy("tb")` ONCE (term-bucket hash partitions — the
+    * production retrieval layout) plus the two corpus stats captured at
+    * ingest. Queries partition-prune to their terms' buckets
+    * ([[graft.ops.TextIndex.searchPostings]]).
+    */
+  private def textIndexStore(s: SparkSession, dir: String): (DataFrame, Long, Double) =
+    textIdxCache.getOrElseUpdate(dir, {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-text-index").toString
+      graft.ops.TextIndex.buildPostings(d, "doc_id", "text", nBuckets = 32)
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      val (n, avglen) = graft.ops.TextIndex.corpusStats(d, "doc_id", "text")
+      (s.read.parquet(path), n, avglen)
+    })
+
   /** Stored PQ model + codes table for the corpus of `dir`: 4 subspaces
     * x 16-centroid codebooks trained by the shared seeded Lloyd's, codes
     * (id, pcode) materialized ONCE at ingest — at dim=64 the codes table
@@ -147,6 +166,7 @@ object SparkEntry {
     ivfStored(s, dir)
     lshBandStore(s, dir)
     pqStore(s, dir)
+    textIndexStore(s, dir)
     ()
   }
 
@@ -1331,6 +1351,17 @@ object SparkEntry {
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
 
+    // inverted-index retrieval — the SERVING path of bm25_rank: postings
+    // built once at ingest and stored partitionBy(tb), the query's literal
+    // term buckets partition-prune the read (BucketingSpec), dfs aggregate
+    // from the pruned postings themselves, scores match the full-scan
+    // formula bit for bit
+    "inverted_search" -> ((s, dir) => {
+      val (postings, n, avglen) = SparkEntry.textIndexStore(s, dir)
+      graft.ops.TextIndex.searchPostings(postings, n, avglen,
+        Seq("window", "batch", "scan"), k = 15, nBuckets = 32)
+    }),
+
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
 
@@ -2500,6 +2531,32 @@ object SparkEntry {
         |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
         |         4) AS bm25
         |FROM m, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // same formula as bm25_rank (terms window/batch/scan), restricted to
+    // docs matching >= 1 term — the candidate set the pruned index yields
+    "inverted_search" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS len,
+        |             len(list_filter(toks, x -> x = 'window')) AS tf0,
+        |             len(list_filter(toks, x -> x = 'batch')) AS tf1,
+        |             len(list_filter(toks, x -> x = 'scan'))  AS tf2
+        |      FROM t),
+        |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen,
+        |             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM m)
+        |SELECT doc_id,
+        |       ROUND(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
+        |         4) AS bm25
+        |FROM m, s
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
 
     "top_bigrams" ->
       """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

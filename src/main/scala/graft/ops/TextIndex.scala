@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Inverted text index — the serving-path counterpart of
+  * [[TextAnalysis.bm25]].
+  *
+  * bm25() computes relevance by scanning every document per query; that is
+  * the right plan exactly once. A retrieval workload builds the index ONCE
+  * at ingest: postings (term, doc_id, tf, dl) with the document length
+  * denormalized into the row (Lucene's norm-in-posting layout — scoring
+  * never joins a doc-stats table), written `partitionBy(tb)` where tb is a
+  * hash bucket of the term. A query's literal term buckets then
+  * partition-prune the index read to |terms| bucket directories — at
+  * 100 TB the difference between touching the whole index and the few
+  * buckets the query terms hash into. Term buckets (not raw terms) keep
+  * the partition count bounded by `nBuckets` regardless of vocabulary
+  * size.
+  *
+  * Scoring over the pruned postings reproduces bm25() exactly: per-term
+  * document frequencies aggregate from the pruned rows themselves (a
+  * term's postings are unique per doc, so the pruned df IS the corpus df),
+  * corpus-level N/avglen are two numbers captured at ingest, and the
+  * per-term score sum uses the same left-to-right fold — absent terms
+  * contribute an exact 0.0, so candidate scores equal full-scan scores
+  * bit for bit.
+  */
+object TextIndex {
+
+  /** The shared tokenizer: case-folded whitespace split, empties dropped —
+    * the same convention as TextAnalysis (and the DuckDB oracles).
+    */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Term bucket of a term column: the partition key of the index layout.
+    * xxhash64 is layout-internal (never compared against an oracle — it
+    * only decides FILE placement), so the fastest stable hash wins.
+    */
+  def termBucket(termCol: Column, nBuckets: Int): Column =
+    pmod(xxhash64(termCol), lit(nBuckets.toLong)).cast(IntegerType)
+
+  /** Build the postings table: one row per (term, doc) with tf and the
+    * denormalized doc length. One tokenize pass, one explode, one
+    * partial-agg'd groupBy — O(tokens) work, shuffled on (term, doc).
+    */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast(LongType))
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("term"), nBuckets))
+
+  /** Corpus stats captured at ingest: (N docs, mean token count). Token
+    * counts are integers, so the double mean is exact and
+    * order-independent in any engine.
+    */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String): (Long, Double) = {
+    val r = df.select(size(tokens(col(textCol))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avglen")).head()
+    (r.getLong(0), r.getDouble(1))
+  }
+
+  /** Serve a term query from the stored index: literal (tb, term)
+    * predicates prune the read to the query terms' buckets, per-doc tf
+    * pivots out of the pruned postings, dfs aggregate from the same rows,
+    * and the BM25 sum matches [[TextAnalysis.bm25]] term for term.
+    */
+  def searchPostings(postings: DataFrame, n: Long, avglen: Double,
+                     terms: Seq[String], k: Int, nBuckets: Int,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     roundTo: Int = 4): DataFrame = {
+    require(terms.nonEmpty)
+    val spark = postings.sparkSession
+    // the query terms' buckets — same hash the ingest used; model-sized
+    // driver work (one row over |terms| literals)
+    val tbs = spark.range(1)
+      .select(terms.map(t => termBucket(lit(t), nBuckets)): _*)
+      .head().toSeq.map(_.asInstanceOf[Int]).distinct
+    val pruned = postings
+      .filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val dfRow = broadcast(pruned.agg(
+      sum(when(col("term") === terms.head, 1L).otherwise(0L)).as("__df0"),
+      terms.indices.tail.map(i =>
+        sum(when(col("term") === terms(i), 1L).otherwise(0L)).as(s"__df$i")): _*))
+    val perDoc = pruned.groupBy(col("doc_id"), col("dl"))
+      .agg(max(when(col("term") === terms.head, col("tf"))).as("__tf0"),
+        terms.indices.tail.map(i =>
+          max(when(col("term") === terms(i), col("tf"))).as(s"__tf$i")): _*)
+    val score = terms.indices.map { i =>
+      val tf = coalesce(col(s"__tf$i"), lit(0L)).cast(DoubleType)
+      val idf = log(lit(1.0) +
+        (lit(n.toDouble) - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / lit(avglen)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(dfRow)
+      .select(col("doc_id"), round(score, roundTo).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

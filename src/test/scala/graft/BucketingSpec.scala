@@ -143,4 +143,29 @@ class BucketingSpec extends AnyFunSuite {
     val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got === expected)
   }
+
+  test("inverted index: query terms partition-prune to their hash buckets") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-text-index-spec").toString
+    graft.ops.TextIndex.buildPostings(docs, "doc_id", "text", nBuckets = 32)
+      .write.mode("overwrite").partitionBy("tb").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val (n, avglen) = graft.ops.TextIndex.corpusStats(docs, "doc_id", "text")
+
+    val terms = Seq("window", "batch", "scan")
+    val res = graft.ops.TextIndex.searchPostings(postings, n, avglen,
+      terms, k = 15, nBuckets = 32)
+    // the literal tb IN (...) must reach the read as a partition filter —
+    // the query touches its terms' bucket directories, not the whole index
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [tb"), p)
+    // and the pruned serving path reproduces the full-scan scorer exactly
+    val expected = graft.ops.TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .filter(col("bm25") > 0.0)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(15)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
 }
