@@ -409,6 +409,42 @@ object DuckMirror {
        |WHERE rn = 1 ORDER BY id""".stripMargin
   }
 
+  /** line_dedup oracle: the C4-style line-level dedup composition — the
+    * line-structured corpus (8-token lines, exact-dup docs planted at
+    * +1000000, a boilerplate line appended to doc_id % 4 = 0), first
+    * occurrence per line fingerprint (rolling-hash mirror) by (doc, pos),
+    * documents reassembled from kept lines in order, output as kept-count
+    * + fingerprint of the rebuilt text.
+    */
+  def lineDedupSql(boiler: String): String = {
+    val lineFp = rollingHashUnsignedSql("line")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM base),
+       |lt AS (SELECT doc_id,
+       |         list_transform(range(0, greatest(CAST(ceil(len(toks) / 8.0) AS INTEGER), 1)),
+       |                        g -> array_to_string(toks[g * 8 + 1 : g * 8 + 8], ' ')) AS ll
+       |       FROM tok),
+       |lined AS (SELECT doc_id,
+       |            CASE WHEN doc_id % 4 = 0
+       |                 THEN array_to_string(ll, chr(10)) || chr(10) || '$boiler'
+       |                 ELSE array_to_string(ll, chr(10)) END AS text
+       |          FROM lt),
+       |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       |l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos FROM l0),
+       |f AS (SELECT doc_id, line, pos, $lineFp AS fp FROM l),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM f),
+       |k AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |             string_agg(line, chr(10) ORDER BY pos) AS txt
+       |      FROM r WHERE rn = 1 GROUP BY doc_id)
+       |SELECT b.doc_id, COALESCE(k.n_kept, 0) AS n_kept,
+       |       ${signed64(rollingHashUnsignedSql("COALESCE(k.txt, '')"))} AS text_fp
+       |FROM (SELECT doc_id FROM base) b LEFT JOIN k USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** ann_pq oracle: the FULL product-quantization pipeline mirror — per
     * subspace, the same md5-init + DECIMAL-quantized Lloyd's chain as
     * [[ivfSql]] (suffixed `_s{m}`, run on the sliced corpus; the seed

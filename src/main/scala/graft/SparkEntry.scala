@@ -250,6 +250,29 @@ object SparkEntry {
         concat(col("text"), lit(" zzz")).as("text"), col("lang"), col("source")))
   }
 
+  /** The boilerplate line planted for the line-dedup gate (appended to
+    * doc_id % 4 == 0 in BOTH engines).
+    */
+  private val BoilerLine = "subscribe to our newsletter for daily updates"
+
+  /** Documents re-rendered with a deterministic LINE structure (8-token
+    * lines joined by newline; same arithmetic in the DuckDB mirror) over
+    * the exact-dup corpus, plus [[BoilerLine]] appended to doc_id % 4 == 0
+    * — the line-level-dedup test shape: whole-doc duplicates AND a
+    * boilerplate line repeated across unrelated docs.
+    */
+  private def lineStructuredDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nLines = greatest(ceil(size(toks) / lit(8.0)).cast(IntegerType), lit(1))
+    val lines = transform(sequence(lit(0), nLines - 1),
+      g => array_join(slice(toks, g * lit(8) + lit(1), lit(8)), " "))
+    docsWithExactDups(s, dir)
+      .select(col("doc_id"), array_join(lines, "\n").as("__t"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("__t"), lit("\n" + BoilerLine))).otherwise(col("__t")).as("text"))
+  }
+
   /** Embeddings corpus (double vectors) with planted near-duplicate vectors
     * (vec_id % 5 == 0 re-appears as vec_id + 100000, scaled by 0.99).
     */
@@ -1350,6 +1373,14 @@ object SparkEntry {
           Seq("spark", "join", "merge"))
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)),
+
+    // line-level dedup (the C4/CCNet rule): duplicate lines survive only
+    // at their first (doc, pos) occurrence corpus-wide; docs reassemble
+    // from kept lines in order. Catches cross-doc boilerplate that
+    // whole-document dedup never sees; fully oracled via the rolling-hash
+    // mirror (planted: whole-doc dups + a banner line on doc_id % 4 == 0)
+    "line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(lineStructuredDocs(s, dir), "doc_id", "text")),
 
     // inverted-index retrieval — the SERVING path of bm25_rank: postings
     // built once at ingest and stored partitionBy(tb), the query's literal
@@ -2531,6 +2562,8 @@ object SparkEntry {
         |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
         |         4) AS bm25
         |FROM m, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
 
     // same formula as bm25_rank (terms window/batch/scan), restricted to
     // docs matching >= 1 term — the candidate set the pruned index yields

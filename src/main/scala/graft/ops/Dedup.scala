@@ -50,6 +50,44 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"), col("fp"))
 
+  /** Line-level exact dedup (the C4/CCNet rule): a line that appears
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * (min (doc, position)); every document is reassembled from its kept
+    * lines in original order. This is how web-scale pipelines strip
+    * boilerplate (nav bars, cookie banners, footers) that exact
+    * whole-document dedup never sees.
+    *
+    * Scale shape: lines shuffle ONCE on their 64-bit fingerprint (the
+    * keep/drop decision is a per-fingerprint window over tiny groups —
+    * never an all-pairs join), then kept lines shuffle ONCE back to their
+    * document for reassembly. O(corpus lines) end to end; the fingerprint
+    * keys the first shuffle, so dominant-duplicate lines skew a single
+    * key's group only by its occurrence count (bounded by doc count, and
+    * AQE skew-split covers the pathological banner-on-every-page case).
+    * Output is (id, n_kept, fingerprint of the rebuilt text) — the
+    * rebuilt text itself stays distributed.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__fp", fingerprint64(col("line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc, col("pos").asc)
+    val kept = lines.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("__text"))
+    // fully-deduplicated docs (every line seen earlier) come back empty,
+    // not absent
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        fingerprint64(coalesce(col("__text"), lit(""))).as("text_fp"))
+  }
+
   /** MinHash signature: H universal-hash mins over word-shingle hashes.
     * Both stages are native one-pass codegen kernels: word_shingle_hashes
     * never materializes shingle strings, and MinHashSignature computes all

@@ -22,6 +22,24 @@ class DedupSpec extends AnyFunSuite {
     assert(dupGroups.filter(col("keeper") >= 1000000).count() === 0)
   }
 
+  test("dedupLines keeps a duplicated line only at its first occurrence") {
+    val df = Seq(
+      (1L, "a b\nbanner line\nc d"),
+      (2L, "banner line\ne f"),
+      (3L, "a b\nbanner line\nc d") // whole-doc duplicate of 1
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc1 keeps all 3 lines; doc2 loses the banner; doc3 loses everything
+    assert(out.map(x => (x._1, x._2)).toSeq == Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+    val fpOf = (s: String) => spark.range(1)
+      .select(graft.functions.fingerprint64(lit(s))).head().getLong(0)
+    assert(out(0)._3 == fpOf("a b\nbanner line\nc d"))
+    assert(out(1)._3 == fpOf("e f"))
+    assert(out(2)._3 == fpOf(""))
+  }
+
   test("minhash candidates include all identical-text pairs") {
     val d = docs.select(col("doc_id"), col("text"))
     val planted = d.filter(col("doc_id") % 10 === 0)
