@@ -255,6 +255,13 @@ object SparkEntry {
     */
   private val BoilerLine = "subscribe to our newsletter for daily updates"
 
+  /** Target mixture for the mix_sources gate — 8 of the 20 sources with
+    * deliberately skewed weights (the rest drop out).
+    */
+  private val MixTargets: Seq[(String, Double)] = Seq(
+    "src0" -> 0.30, "src1" -> 0.25, "src2" -> 0.15, "src3" -> 0.10,
+    "src4" -> 0.10, "src5" -> 0.05, "src6" -> 0.03, "src7" -> 0.02)
+
   /** Documents re-rendered with a deterministic LINE structure (8-token
     * lines joined by newline; same arithmetic in the DuckDB mirror) over
     * the exact-dup corpus, plus [[BoilerLine]] appended to doc_id % 4 == 0
@@ -955,6 +962,16 @@ object SparkEntry {
       Search.stratifiedSample(docs(s, dir), "doc_id", "lang",
           fraction = 0.25, seed = 42L)
         .select(col("doc_id"), col("lang"))),
+
+    // target-mixture rebalancing: per-source acceptance rates derived
+    // from target weight / natural proportion (scaled so the
+    // most-upweighted source keeps everything), accept decision via the
+    // engine-stable md5 permutation — the data-mixing step of a training
+    // pipeline, exactly reproducible at any layout
+    "mix_sources" -> ((s, dir) =>
+      Search.mixSources(docs(s, dir), "doc_id", "source",
+          MixTargets, seed = 42L)
+        .select(col("doc_id"), col("source"))),
 
     // deterministic 80/10/10 split assignment: split = f(doc_id, seed),
     // stable under any partitioning/engine/rerun (dataset governance)
@@ -2660,6 +2677,26 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT)
         |      < 288230376151711744
         |ORDER BY doc_id""".stripMargin,
+
+    // the mirror re-derives counts, ratios, and 60-bit thresholds with
+    // the operator's exact double arithmetic (floor == toLong truncation
+    // for positive rates), then applies the same md5-permutation accept
+    "mix_sources" -> {
+      val vals = MixTargets.map { case (s0, w) =>
+        s"('$s0', ${java.lang.Double.toString(w)}::DOUBLE)" }.mkString(", ")
+      s"""WITH counts AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM counts),
+         |tw(source, w) AS (VALUES $vals),
+         |r AS (SELECT c.source, t.w / (c.c / tot.total) AS ratio
+         |      FROM counts c JOIN tw t ON t.source = c.source, tot),
+         |m AS (SELECT MAX(ratio) AS mr FROM r),
+         |thr AS (SELECT source, CAST(floor((ratio / mr) * 1152921504606846976) AS BIGINT) AS thr
+         |        FROM r, m)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN thr ON thr.source = d.source
+         |WHERE CAST(CAST(('0x' || substring(md5(d.source || '|mix|' || CAST(d.doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT) < thr.thr
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "split_assign" -> {
       // thresholds computed by the SAME Scala arithmetic the operator uses

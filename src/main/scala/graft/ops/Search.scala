@@ -274,6 +274,42 @@ object Search {
     df.filter(bucket < lit((fraction * (1L << 60)).toLong))
   }
 
+  /** Rebalance a corpus toward a TARGET source mixture — the data-mixing
+    * step of a training pipeline (e.g. "30% web, 25% code, 5% forums"
+    * regardless of the crawl's natural proportions). Per-source acceptance
+    * rates derive from target weight over natural proportion, scaled so
+    * the most-upweighted source keeps everything (pure downsampling — no
+    * row duplication); sources absent from `targets` are dropped. The
+    * accept decision is the same engine-stable md5 permutation as
+    * [[stratifiedSample]] (domain-separated), so the mixture is exactly
+    * reproducible on any cluster layout or engine. One model-sized
+    * aggregate (source counts) feeds the thresholds; the filter itself is
+    * pure map-side.
+    */
+  def mixSources(df: DataFrame, idCol: String, sourceCol: String,
+                 targets: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "target weights must be positive")
+    val counts = df.groupBy(col(sourceCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val ratios = targets.collect { case (src, w) if counts.contains(src) =>
+      src -> w / (counts(src) / total) }
+    require(ratios.nonEmpty, "no target source present in the data")
+    val maxRatio = ratios.map(_._2).max
+    val thresholds = ratios.map { case (src, r) =>
+      src -> ((r / maxRatio) * (1L << 60)).toLong }
+    val bucket = conv(substring(
+      md5(concat(col(sourceCol), lit("|mix|"), col(idCol).cast("string"),
+        lit(seed.toString))), 1, 15), 16, 10).cast("long")
+    // per-source threshold as a literal when-chain (bounded by the source
+    // vocabulary — model state); untargeted sources fall through to -1,
+    // which no 60-bit bucket is below
+    val thr = thresholds.foldLeft(lit(-1L): Column) { case (acc, (src, t)) =>
+      when(col(sourceCol) === src, lit(t)).otherwise(acc) }
+    df.filter(bucket < thr)
+  }
+
   /** Cumulative 60-bit thresholds for [[assignSplit]] — exposed so an
     * external oracle can reproduce the exact boundaries.
     */

@@ -152,4 +152,25 @@ class SearchSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("mixSources: most-upweighted source keeps all, others scale, rest drop") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val targets = Seq("src0" -> 0.4, "src1" -> 0.1)
+    val out = Search.mixSources(docs, "doc_id", "source", targets, seed = 7L)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only targeted sources survive
+    assert(bySrc.keySet.subsetOf(targets.map(_._1).toSet))
+    // uniform natural counts: src0 has 4x src1's weight, so src0 keeps
+    // everything (rate 1.0) and src1 keeps ~1/4
+    assert(bySrc("src0") == natural("src0"))
+    val frac = bySrc.getOrElse("src1", 0L).toDouble / natural("src1")
+    assert(frac > 0.1 && frac < 0.45, s"src1 kept $frac")
+    // deterministic under the same seed
+    val again = Search.mixSources(docs, "doc_id", "source", targets, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
