@@ -707,6 +707,30 @@ object SparkEntry {
       s.sql("SELECT id, payload FROM ctas_cat.evens")
     }),
 
+    // schema evolution through the catalog: ALTER TABLE ADD COLUMNS
+    // appends a NEW vector field as a descriptor-only change (no data
+    // rewrite at any scale — the heterogeneity rule already decodes the
+    // field as NULL on pre-alter points); post-alter inserts carry it
+    "dsv2_alter" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("alter_store",
+        new InMemoryCollectionStore(Map.empty, Map.empty))
+      s.conf.set("spark.sql.catalog.alter_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.alter_cat.store", "alter_store")
+      s.sql("DROP TABLE IF EXISTS alter_cat.prof")
+      s.sql("CREATE TABLE alter_cat.prof (id STRING, payload STRING, emb ARRAY<FLOAT>)")
+      s.sql("INSERT INTO alter_cat.prof VALUES " +
+        "('a', NULL, array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))), " +
+        "('b', '{\"k\":1}', array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))")
+      s.sql("ALTER TABLE alter_cat.prof ADD COLUMNS (emb2 ARRAY<FLOAT>)")
+      s.sql("INSERT INTO alter_cat.prof VALUES " +
+        "('c', NULL, array(CAST(5.0 AS FLOAT), CAST(6.0 AS FLOAT)), " +
+        "array(CAST(7.0 AS FLOAT), CAST(8.0 AS FLOAT)))")
+      s.sql("SELECT * FROM alter_cat.prof")
+        .select(col("id"), col("payload"),
+          vq6(col("emb")).as("emb_q6"), vq6(col("emb2")).as("emb2_q6"))
+    }),
+
     // SQL DELETE through the catalog (SupportsDeleteV2): the reference
     // client's delete-points call as Spark DDL — deletes resolve by id
     // through the store's TOMBSTONE path (the sealed index shrinks AND
@@ -1908,6 +1932,13 @@ object SparkEntry {
         |         to_json({'label': label}) AS payload
         |  FROM embeddings)
         |WHERE id > '29' ORDER BY id LIMIT 10""".stripMargin,
+
+    "dsv2_alter" ->
+      """SELECT * FROM (VALUES
+        |  ('a', NULL, '1000000,2000000', NULL),
+        |  ('b', '{"k":1}', '3000000,4000000', NULL),
+        |  ('c', NULL, '5000000,6000000', '7000000,8000000'))
+        |t(id, payload, emb_q6, emb2_q6) ORDER BY id""".stripMargin,
 
     "dsv2_delete_sql" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

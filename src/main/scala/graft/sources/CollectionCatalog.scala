@@ -104,9 +104,59 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
     dropped
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "collection field configs are immutable once created")
+  /** ALTER TABLE ... ADD COLUMNS — the one schema evolution a collection
+    * supports: appending NEW vector fields. Existing points simply lack
+    * the field and decode as NULL (the standing heterogeneity rule), so
+    * no data rewrite happens — this is a descriptor-only change, which is
+    * exactly why it is safe at any scale. Everything else (drop, rename,
+    * type change, repositioning) would silently change the meaning of
+    * stored points and is rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireFlat(ident.namespace())
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "collection schemas have no nested columns")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "new collection fields always append (FIRST/AFTER not supported)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"collections only support ADD COLUMNS (new vector fields); got $other")
+    }
+    // validate the additions through the same schema->descriptor rules as
+    // CREATE TABLE: a minimal (id, payload, <adds>) schema must parse
+    val newFields = CollectionDescriptor.fromSchema(ident.name(),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.StringType, nullable = true)) ++ adds)).fields
+    CollectionStores.update(storeName) {
+      case mem: InMemoryCollectionStore =>
+        if (!mem.collectionNames.contains(ident.name()))
+          throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+        val old = mem.collectionInfo(ident.name())
+        if (!old.named)
+          throw new UnsupportedOperationException(
+            "an unnamed single-vector collection cannot gain fields")
+        val taken = old.schema.fieldNames.toSet
+        val newPhysical = CollectionDescriptor(ident.name(), newFields)
+          .schema.fieldNames.drop(2) // id, payload
+        val clash = newPhysical.filter(taken.contains) ++
+          newFields.map(_.name).filter(f => old.fields.exists(_.name == f))
+        if (clash.nonEmpty)
+          throw new IllegalArgumentException(
+            s"column(s) ${clash.distinct.mkString(", ")} already exist in '${ident.name()}'")
+        mem.withFieldConfig(ident.name(), old.copy(fields = old.fields ++ newFields))
+      case other => throw new UnsupportedOperationException(
+        s"store ${other.getClass.getName} does not accept local DDL")
+    }
+    new CollectionTable(storeName, ident.name(), partitions)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

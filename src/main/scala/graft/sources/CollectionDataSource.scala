@@ -212,6 +212,19 @@ final class InMemoryCollectionStore(
     new InMemoryCollectionStore(descriptors - collection, data - collection,
       log - collection, logBase - collection, snapshots - collection)
 
+  /** A new store with `collection`'s field config replaced — the
+    * catalog's ALTER TABLE (schema evolution). Points are untouched:
+    * existing points simply lack any newly added field and decode as
+    * NULL, the collection's standing heterogeneity rule.
+    */
+  def withFieldConfig(collection: String,
+                      desc: CollectionDescriptor): InMemoryCollectionStore = {
+    require(descriptors.contains(collection),
+      s"unknown collection '$collection'")
+    new InMemoryCollectionStore(descriptors.updated(collection, desc),
+      data, log, logBase, snapshots)
+  }
+
   override def pointCount(collection: String): Long = data(collection).size.toLong
 
   // a `single`-built store (no recorded history) reports its sealed

@@ -89,6 +89,35 @@ class CollectionCatalogSpec extends AnyFunSuite {
     assert(!CollectionStores.get("cat_store").collectionNames.contains("fresh"))
   }
 
+  test("ALTER TABLE ADD COLUMNS appends fields; destructive changes reject") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS cat_test.evolve")
+    spark.sql("CREATE TABLE cat_test.evolve (id STRING, payload STRING, emb ARRAY<FLOAT>)")
+    spark.sql("INSERT INTO cat_test.evolve VALUES ('a', NULL, array(CAST(1.0 AS FLOAT)))")
+    // append a dense field AND a sparse pair in one ALTER
+    spark.sql(
+      """ALTER TABLE cat_test.evolve
+        |ADD COLUMNS (emb2 ARRAY<FLOAT>, tg_indices ARRAY<INT>, tg_values ARRAY<FLOAT>)""".stripMargin)
+    assert(CollectionStores.get("cat_store").collectionInfo("evolve").fields ===
+      Seq(DenseField("emb", 0), DenseField("emb2", 0), SparseField("tg")))
+    // pre-alter rows decode the new fields as NULL; post-alter rows carry them
+    spark.sql(
+      """INSERT INTO cat_test.evolve VALUES
+        |  ('b', NULL, array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT)),
+        |   array(1), array(CAST(0.5 AS FLOAT)))""".stripMargin)
+    val back = spark.sql("SELECT * FROM cat_test.evolve ORDER BY id").collect()
+    assert(back(0).isNullAt(3) && back(0).isNullAt(4) && back(0).isNullAt(5))
+    assert(back(1).getSeq[Float](3) === Seq(3.0f))
+    assert(back(1).getSeq[Int](4) === Seq(1))
+    // duplicate names, drops, and renames are rejected
+    assert(intercept[Exception](
+      spark.sql("ALTER TABLE cat_test.evolve ADD COLUMNS (emb ARRAY<FLOAT>)"))
+      .getMessage.toLowerCase.contains("exist"))
+    intercept[Exception](spark.sql("ALTER TABLE cat_test.evolve DROP COLUMN emb"))
+    intercept[Exception](spark.sql("ALTER TABLE cat_test.evolve RENAME COLUMN emb TO e"))
+    spark.sql("DROP TABLE cat_test.evolve")
+  }
+
   test("a single dense column named `vector` infers the UNNAMED collection") {
     val d = CollectionDescriptor.fromSchema("u",
       Collections.homogeneousDescriptor.schema)
