@@ -498,6 +498,65 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivfpq oracle: [[pqSql]]'s codebook/code/ADC mirror composed with
+    * the maxIter=0 IVF coarse quantizer (suffix `_ivf`) — candidates rank
+    * by ADC only inside the `nprobe` clusters nearest the query, then the
+    * exact-dot rerank of the candidateK survivors.
+    */
+  def ivfPqSql(queryVecId: Int, k: Int, candidateK: Int, dim: Int, m: Int,
+               ksub: Int, pqMaxIter: Int, nlist: Int, nprobe: Int,
+               seed: Long): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    def dotSql(a: String, b: String, d: Int): String =
+      s"list_reduce(list_transform(range(1, ${d + 1}), j -> ($a[j]) * ($b[j])), (x, y) -> x + y)"
+    val chains = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      ivfChain(
+        s"  SELECT id, list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM base",
+        sub, ksub, pqMaxIter, seed, sfx = s"_s$mi")
+    }
+    val finalAsg = chains.head._2
+    val (ivfChainText, ivfFinalAsg) = ivfChain(
+      "  SELECT id, v FROM base", dim, nlist, 0, seed, sfx = "_ivf")
+    val qs = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      s"qs$mi AS (SELECT list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM q)"
+    }
+    val adcs = (0 until m).map { mi =>
+      s"""adc$mi AS (
+         |  SELECT c.cluster, ${dotSql("c.c", "s.v", sub)} AS t
+         |  FROM cents$pqMaxIter${s"_s$mi"} c, qs$mi s)""".stripMargin
+    }
+    val asgJoins = (1 until m)
+      .map(mi => s"JOIN asg$finalAsg${s"_s$mi"} a$mi USING (id)").mkString(" ")
+    val adcJoins = (0 until m)
+      .map(mi => s"JOIN adc$mi ON adc$mi.cluster = a$mi.cluster").mkString(" ")
+    val approxExpr = (1 until m).foldLeft("adc0.t")((acc, mi) => s"($acc + adc$mi.t)")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${chains.map(_._1).mkString(",\n")},
+       |$ivfChainText,
+       |q AS (SELECT v FROM base WHERE vec_id = $queryVecId),
+       |probed AS (
+       |  SELECT c.cluster FROM cents0_ivf c, q
+       |  ORDER BY ${euclidSql("c.c", "q.v", dim)}, c.cluster
+       |  LIMIT $nprobe),
+       |${qs.mkString(",\n")},
+       |${adcs.mkString(",\n")},
+       |approx AS (
+       |  SELECT a0.id, $approxExpr AS approx
+       |  FROM asg$finalAsg${"_s0"} a0 $asgJoins
+       |  JOIN asg${ivfFinalAsg}_ivf ai USING (id)
+       |  JOIN probed p ON p.cluster = ai.cluster
+       |  $adcJoins),
+       |cand AS (SELECT id FROM approx ORDER BY approx DESC, id LIMIT $candidateK)
+       |SELECT b.id, ROUND(${dotSql("b.v", "q.v", dim)}, 6) AS score
+       |FROM base b JOIN cand USING (id), q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** CTE chain shared by [[minhashSql]] and [[minhashClustersSql]]:
     * corpus -> shingle hashes -> minhash signature -> banded candidates ->
     * Jaccard-verified `pairs(a_id, b_id, jaccard)`.

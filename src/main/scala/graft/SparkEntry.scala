@@ -97,6 +97,23 @@ object SparkEntry {
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Pq.PqModel, DataFrame)]
 
+  /** IVF-PQ codes store: the [[pqStore]] codes tagged with the `#probe`
+    * index's coarse cluster and written `partitionBy("cluster")` — the
+    * production IVF-PQ layout where a query reads nprobe/nlist of the
+    * files AND each file holds m-byte codes instead of vectors.
+    */
+  private def ivfPqStore(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#ivfpq", {
+      val (model, _) = pqStore(s, dir)
+      val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
+        graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-codes").toString
+      graft.ops.Pq.encode(idx.clustered, "vector", model)
+        .select("id", "pcode", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      s.read.parquet(path)
+    })
+
   private val textIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Double)]
 
@@ -166,6 +183,7 @@ object SparkEntry {
     ivfStored(s, dir)
     lshBandStore(s, dir)
     pqStore(s, dir)
+    ivfPqStore(s, dir)
     textIndexStore(s, dir)
     ()
   }
@@ -1645,6 +1663,20 @@ object SparkEntry {
         "id", "vector", model, q, k = 10, candidateK = 100)
     }),
 
+    // IVF-PQ — the standard production ANN stack composed: the candidate
+    // scan partition-prunes to the nprobe coarse clusters AND reads
+    // m-byte PQ codes (the two cost levers multiply); ADC ranks inside
+    // the probed clusters, exact-dot rerank reads the equally-pruned
+    // full-precision store for just the candidate ids
+    "ann_ivfpq" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (model, _) = SparkEntry.pqStore(s, dir)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Pq.searchIvfPqStored(SparkEntry.ivfPqStore(s, dir), cents,
+        stored, "id", "vector", model, q, k = 10, nprobe = 2, candidateK = 50)
+    }),
+
     // grouped search (reference search-groups surface): top-2 per payload
     // label by cosine — score map-side against the broadcast query vector,
     // rank inside a PARTITIONED window (shuffles scored (label,id,score)
@@ -2397,6 +2429,12 @@ object SparkEntry {
     "ann_pq" -> DuckMirror.pqSql(
       queryVecId = 11, k = 10, candidateK = 100, dim = 64, m = 4,
       ksub = 16, maxIter = 1, seed = 42L),
+
+    // IVF-PQ: the pq mirror composed with the maxIter=0 coarse quantizer
+    // — ADC candidates restricted to the nprobe probed clusters
+    "ann_ivfpq" -> DuckMirror.ivfPqSql(
+      queryVecId = 13, k = 10, candidateK = 50, dim = 64, m = 4,
+      ksub = 16, pqMaxIter = 1, nlist = 8, nprobe = 2, seed = 42L),
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

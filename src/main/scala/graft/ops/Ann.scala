@@ -64,8 +64,8 @@ object Ann {
     * serving paths; tie-break on cluster id matches the IvfIndex.search
     * plan form and the DuckDB mirror.
     */
-  private def probedClusters(centroids: DataFrame, query: Column,
-                             nprobe: Int): Seq[Int] =
+  private[ops] def probedClusters(centroids: DataFrame, query: Column,
+                                  nprobe: Int): Seq[Int] =
     centroids
       .withColumn("cdist", v_euclid(col("centroid"), query))
       .orderBy(col("cdist").asc, col("cluster").asc)

@@ -127,4 +127,34 @@ object Pq {
       .limit(k)
       .select(col(idCol).as("id"), col("score"))
   }
+
+  /** IVF-PQ — the standard production ANN stack, composed from this
+    * module and the IVF coarse quantizer: `codes` is the PQ codes table
+    * tagged with the coarse cluster and written `partitionBy("cluster")`,
+    * so a query reads nprobe/nlist of the FILES and each file holds
+    * m-byte codes instead of vectors (the two cost levers multiply:
+    * nprobe/nlist x dim*4/m bytes). Probe selection is the bounded
+    * centroid-table resolve ([[Ann.probedClusters]]); candidates rank by
+    * ADC inside the probed clusters only; the exact-dot rerank reads the
+    * equally-pruned full-precision store for just the candidate ids.
+    */
+  def searchIvfPqStored(codes: DataFrame, centroids: DataFrame,
+                        full: DataFrame, idCol: String, vecCol: String,
+                        model: PqModel, query: Seq[Double], k: Int,
+                        nprobe: Int, candidateK: Int,
+                        roundTo: Int = 6): DataFrame = {
+    val probed = Ann.probedClusters(centroids, vec(query), nprobe)
+    val cands = codes.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), approxScore(model, query).as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("score", round(v_dot(col(vecCol), vec(query)), roundTo))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("id"), col("score"))
+  }
 }

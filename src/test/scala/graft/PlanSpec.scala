@@ -197,6 +197,19 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "TakeOrderedAndProject") == 2, p)
   }
 
+  test("ann_ivfpq: codes AND rerank scans partition-prune to the probed clusters") {
+    val df = SparkEntry.queries("ann_ivfpq")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // PQ-codes scan and full-precision rerank scan each carry the
+    // probed-cluster partition filter — nprobe/nlist of the files in both
+    // layouts, and the candidate files hold m-byte codes, not vectors
+    assert(count(p, "PartitionFilters: [cluster") == 2, p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "TakeOrderedAndProject") == 2, p)
+  }
+
   test("dedup_embedding_lsh: corpus vectors never shuffle - candidates broadcast into verify") {
     val df = SparkEntry.queries("dedup_embedding_lsh")(spark, TestSpark.sfDir)
     df.collect()
