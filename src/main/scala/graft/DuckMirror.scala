@@ -156,6 +156,34 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_lsh_multiprobe oracle: [[lshSql]]'s candidate predicate widened
+    * to 1-bit multiprobe — a row is a candidate when any band's key
+    * equals the query's key OR any single-bit flip of it
+    * (Ann.multiprobeKeys). Band keys are < 2^r, so the xor runs in plain
+    * BIGINT.
+    */
+  def lshMultiprobeSql(queryVecId: Int, k: Int, dim: Int, nbits: Int,
+                       bands: Int, seed: Long): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    val bandEq = (0 until bands).flatMap { b =>
+      val sKey = s"CAST(${lshBandKey("s.bucket", b, r)} AS BIGINT)"
+      val qKey = s"CAST(${lshBandKey("q.bucket", b, r)} AS BIGINT)"
+      (s"$sKey = $qKey") +:
+        (0 until r).map(j => s"$sKey = xor($qKey, ${1L << j})")
+    }.mkString(" OR ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId)
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId AND ($bandEq)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** dedup_embedding_lsh oracle: the near-dup embeddings corpus signed
     * under the same inlined hyperplane family as [[lshSql]], banded into
     * `bands` sub-signatures, candidates on exact band equality (a < b),

@@ -1778,6 +1778,20 @@ object SparkEntry {
         "id", "vector", q, k = 10)
     }),
 
+    // 1-bit multiprobe over the SAME per-band index: each band probes its
+    // own key plus every single-bit flip — bands*(1+r) point lookups,
+    // still zero signature scans, wider candidates, same exact-cosine
+    // rerank. The recall dial of a served LSH index (probe more buckets
+    // instead of storing more tables); recall curve in BASELINE.md
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 17)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchLshStoredMultiprobe(
+        SparkEntry.lshBandStore(s, dir),
+        SparkEntry.storedLshSignatures(s, dir).filter(col("id") =!= "17"),
+        "id", "vector", q, k = 10)
+    }),
+
     // int8-quantized candidate search + full-precision rerank; with a
     // candidate margin the exact top-k is recovered, so the dot_topk-style
     // oracle applies (scores are the EXACT rerank scores)
@@ -2435,6 +2449,12 @@ object SparkEntry {
     "ann_ivfpq" -> DuckMirror.ivfPqSql(
       queryVecId = 13, k = 10, candidateK = 50, dim = 64, m = 4,
       ksub = 16, pqMaxIter = 1, nlist = 8, nprobe = 2, seed = 42L),
+
+    // multiprobe: the lshSql candidate predicate widened to Hamming-1
+    // band keys — candidate set and rerank arithmetic mirror exactly
+    "ann_lsh_multiprobe" -> DuckMirror.lshMultiprobeSql(
+      queryVecId = 17, k = 10, dim = 64, nbits = 16, bands = 4,
+      seed = 42L),
 
     "group_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

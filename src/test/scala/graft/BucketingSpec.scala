@@ -144,6 +144,32 @@ class BucketingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("multiprobe LSH: Hamming-1 keys stay partition lookups, never worse per rank") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+      .select("id", "vector")
+    val sigs = graft.ops.Ann.lshBuckets(corpus, "vector", 64, nbits = 16)
+    val dir = Files.createTempDirectory("graft-lsh-mp-spec").toString
+    graft.ops.Ann.lshBandIndex(sigs.select("id", "bucket"), "id", nbits = 16)
+      .write.mode("overwrite").partitionBy("band", "bandkey").parquet(dir)
+    val bandIndex = spark.read.parquet(dir)
+
+    val q = corpus.filter(col("id") === "11")
+      .select(col("vector")).head().getSeq[Double](0)
+    val multi = graft.ops.Ann.searchLshStoredMultiprobe(bandIndex, sigs,
+      "id", "vector", q, k = 5)
+    val p = multi.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*band""".r.findFirstIn(p).isDefined, p)
+    // the multiprobe candidate set contains the single-probe set, so the
+    // top-k score at every rank is >= the single-probe score at that rank
+    val single = graft.ops.Ann.searchLshStoredPartitioned(bandIndex, sigs,
+      "id", "vector", q, k = 5).collect().map(_.getDouble(1))
+    val wide = multi.collect().map(_.getDouble(1))
+    assert(wide.length >= single.length)
+    single.zip(wide).foreach { case (s, w) => assert(w >= s, s"$w < $s") }
+  }
+
   test("inverted index: query terms partition-prune to their hash buckets") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
     val dir = Files.createTempDirectory("graft-text-index-spec").toString
