@@ -173,15 +173,54 @@ object ScaleProbe {
         df.collect().map(_.getString(0)).toSet
       val truth = qids.map(id => id ->
         top(graft.ops.Ann.bruteForce(corpus, "id", "v", vec(qvecs(id)), 10))).toMap
-      def meanRecall(tag: String)(method: String => DataFrame): Unit = {
-        val r = qids.map(id => top(method(id)).intersect(truth(id)).size / 10.0)
+      def meanRecallVs(truthMap: Map[String, Set[String]], tag: String)(
+          method: String => DataFrame): Unit = {
+        val r = qids.map(id => top(method(id)).intersect(truthMap(id)).size / 10.0)
         println(f"[probe] recall@10 $tag: ${r.sum / r.size}%.3f")
       }
+      def meanRecall(tag: String)(method: String => DataFrame): Unit =
+        meanRecallVs(truth, tag)(method)
       for (nprobe <- Seq(1, 2, 4, 8))
         meanRecall(s"ivf nlist=8 nprobe=$nprobe")(id =>
           idx.search(vec(qvecs(id)), 10, nprobe))
       meanRecall("lsh nbits=16 bands=4")(id =>
         graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      // multiprobe: same index, Hamming-1 band keys — the recall a user
+      // buys with bands*(1+r) point lookups instead of bands
+      val bandIdx = graft.ops.Ann
+        .lshBandIndex(sigs.select(col("id"), col("bucket")), "id").persist()
+      bandIdx.count()
+      meanRecall("lsh multiprobe hamming-1")(id =>
+        graft.ops.Ann.searchLshStoredMultiprobe(bandIdx, sigs, "id", "v",
+          qvecs(id), 10))
+      // PQ: dot-metric truth (the rerank metric); candidateK is the
+      // margin dial — ADC-only (ck=10) shows the raw quantization loss,
+      // rerank margins show how cheaply exactness comes back for 16x
+      // smaller candidate-stage bytes (64 floats -> 4 codes + 16x16
+      // codebook amortized)
+      val dotTruth = qids.map(id => id ->
+        top(graft.ops.Ann.bruteForce(corpus, "id", "v", vec(qvecs(id)), 10,
+          metric = "dot"))).toMap
+      val pq = graft.ops.Pq.fit(corpus, "id", "v", dim = 64, m = 4,
+        ksub = 16, maxIter = 1, seed = 42L)
+      val pcodes = graft.ops.Pq.encode(corpus, "v", pq)
+        .select("id", "pcode").persist()
+      pcodes.count()
+      for (ck <- Seq(10, 50, 100, 200))
+        meanRecallVs(dotTruth, s"pq m=4 ksub=16 candidateK=$ck")(id =>
+          graft.ops.Pq.searchPqStored(pcodes, corpus, "id", "v", pq,
+            qvecs(id), 10, ck))
+      // the compression/recall dial: m=8 doubles code bytes (4 -> 8 per
+      // row, still 32x smaller than the vector) and halves subspace dim
+      val pq8 = graft.ops.Pq.fit(corpus, "id", "v", dim = 64, m = 8,
+        ksub = 16, maxIter = 1, seed = 42L)
+      val pcodes8 = graft.ops.Pq.encode(corpus, "v", pq8)
+        .select("id", "pcode").persist()
+      pcodes8.count()
+      for (ck <- Seq(10, 50, 100))
+        meanRecallVs(dotTruth, s"pq m=8 ksub=16 candidateK=$ck")(id =>
+          graft.ops.Pq.searchPqStored(pcodes8, corpus, "id", "v", pq8,
+            qvecs(id), 10, ck))
       // drift recovery: a drifted cohort (every third vector re-embedded,
       // +1.5/dim, fresh d-prefixed ids) joins the corpus. Serving from the
       // STALE index (old centroids, drifted points assigned incrementally
