@@ -62,6 +62,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming PQ ingest: streamed points get the batch codes") {
+    import org.apache.spark.sql.types._
+    // codebooks trained offline (batch); NEW points then stream in and
+    // are encoded by the same map-side per-subspace argmin — ingest-time
+    // quantization runs unbounded, no rebuild, no shuffle
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast(ArrayType(DoubleType)))
+      .select("id", "vector")
+    val model = graft.ops.Pq.fit(corpus, "id", "vector", dim = 64, m = 4,
+      ksub = 8, maxIter = 0, seed = 42L)
+    val dir = Files.createTempDirectory("graft-pq-ingest")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", LongType)))
+    val streamed = spark.readStream.schema(embSchema).parquet(dir.toString)
+      .select(col("vec_id").cast(StringType).as("id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("vector"))
+    val q = graft.ops.Pq.encode(streamed, "vector", model)
+      .select("id", "pcode")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_ingest_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val got = m(spark.table("pq_ingest_out"))
+    val expected = m(graft.ops.Pq.encode(corpus, "vector", model)
+      .select("id", "pcode"))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val dir = Files.createTempDirectory("graft-stream-join")
     Files.copy(
