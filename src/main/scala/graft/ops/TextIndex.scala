@@ -65,6 +65,28 @@ object TextIndex {
     (r.getLong(0), r.getDouble(1))
   }
 
+  /** Per-segment stats that MERGE — the incremental-maintenance form of
+    * [[corpusStats]]: (doc count, total token count). Both are exact
+    * integers, so segments written by independent ingest batches
+    * (Lucene-style) recombine without error: merged avglen =
+    * sum(tokens) / sum(docs), bit-equal to a from-scratch corpusStats.
+    * Postings themselves are per-(term, doc) rows, so a doc's postings
+    * live wholly in its arrival segment and the query-time df aggregate
+    * over all segments IS the corpus df — nothing to reconcile.
+    */
+  def segmentStats(df: DataFrame, idCol: String, textCol: String): (Long, Long) = {
+    val r = df.select(size(tokens(col(textCol))).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Fold segment stats into the (N, avglen) the scorer takes. */
+  def mergedStats(segs: Seq[(Long, Long)]): (Long, Double) = {
+    val n = segs.map(_._1).sum
+    require(n > 0, "no documents indexed")
+    (n, segs.map(_._2).sum.toDouble / n)
+  }
+
   /** Serve a term query from the stored index: literal (tb, term)
     * predicates prune the read to the query terms' buckets, per-doc tf
     * pivots out of the pruned postings, dfs aggregate from the same rows,

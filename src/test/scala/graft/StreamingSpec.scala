@@ -99,6 +99,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("inverted index maintains incrementally: streamed segments == batch build") {
+    import org.apache.spark.sql.types._
+    // two disjoint doc cohorts arrive as separate micro-batches; each
+    // batch writes its own postings SEGMENT (Lucene-style) plus mergeable
+    // stats — query-time results over the union of segments must equal a
+    // from-scratch batch build over the whole corpus
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val shifted = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val inDir = Files.createTempDirectory("graft-tidx-in")
+    docs.coalesce(1).write.mode("append").parquet(inDir.toString)
+    shifted.coalesce(1).write.mode("append").parquet(inDir.toString)
+    val segBase = Files.createTempDirectory("graft-tidx-segs")
+    val stats = scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      .writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.ops.TextIndex.buildPostings(batch, "doc_id", "text", nBuckets = 32)
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(s"$segBase/seg$id")
+        stats.put(id, graft.ops.TextIndex.segmentStats(batch, "doc_id", "text"))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(stats.size >= 2, s"expected >= 2 micro-batches, got ${stats.size}")
+    // each segment is its own partitioned table root; the serving frame
+    // is their union (pruning applies per branch)
+    val segs = stats.keys.toSeq.sorted
+      .map(id => spark.read.parquet(s"$segBase/seg$id"))
+      .reduce(_ unionByName _)
+    val (n, avglen) = graft.ops.TextIndex.mergedStats(stats.values.toSeq)
+    val terms = Seq("window", "batch", "scan")
+    val got = graft.ops.TextIndex.searchPostings(segs, n, avglen, terms,
+      k = 15, nBuckets = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val all = docs.union(shifted)
+    val (bn, bavg) = graft.ops.TextIndex.corpusStats(all, "doc_id", "text")
+    assert((bn, bavg) === ((n, avglen)))
+    val want = graft.ops.TextIndex.searchPostings(
+      graft.ops.TextIndex.buildPostings(all, "doc_id", "text", nBuckets = 32),
+      bn, bavg, terms, k = 15, nBuckets = 32)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+  }
+
   test("stream-stream interval join emits exactly the batch join's pairs") {
     val dir = Files.createTempDirectory("graft-stream-join")
     Files.copy(
