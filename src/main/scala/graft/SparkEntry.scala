@@ -1520,6 +1520,17 @@ object SparkEntry {
           round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
           round(avg(col("n_chars")), 6).as("avg_chars"))),
 
+    // curriculum stratification: quartile boundaries of the token-count
+    // distribution from ONE exact-percentile agg (model state, inlined as
+    // literals), bin assignment pure map-side CASE — no global sort, no
+    // window; at scale the boundary step swaps to percentile_approx
+    "quality_bins" -> ((s, dir) =>
+      TextAnalysis.percentileBins(
+        docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
+          .select(col("doc_id"),
+            TextAnalysis.tokenCountOf(col("__st")).as("n_tokens")),
+        "n_tokens", Seq(0.25, 0.5, 0.75))),
+
     // explicit salting for a known-hot join key: fact rows spread over 8
     // deterministic salt buckets, dim replicated per salt — result equals
     // the unsalted join (the oracle IS the unsalted join)
@@ -2724,6 +2735,23 @@ object SparkEntry {
         |       ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
         |       ROUND(AVG(n_chars), 6) AS avg_chars
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // quantile_cont mirrors Spark's exact interpolated percentile (the
+    // corpus_stats-proven pairing), boundaries rounded before comparison
+    "quality_bins" ->
+      """WITH t AS (SELECT doc_id,
+        |                  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+        |           FROM documents),
+        |b AS (SELECT ROUND(quantile_cont(n_tokens, 0.25), 6) AS b1,
+        |             ROUND(quantile_cont(n_tokens, 0.5), 6) AS b2,
+        |             ROUND(quantile_cont(n_tokens, 0.75), 6) AS b3
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |       CASE WHEN n_tokens <= b1 THEN 0
+        |            WHEN n_tokens <= b2 THEN 1
+        |            WHEN n_tokens <= b3 THEN 2
+        |            ELSE 3 END AS bin
+        |FROM t, b ORDER BY doc_id""".stripMargin,
 
     "skew_join" ->
       """WITH w(event_type, weight) AS (VALUES

@@ -127,6 +127,32 @@ object TextAnalysis {
     scored.select(col(idCol), round(score, roundTo).as("bm25"))
   }
 
+  /** Curriculum-style stratification: bin every row by where its metric
+    * falls among the corpus percentile boundaries `probs` (bin 0 = lowest
+    * stratum, probs.length = top). ONE exact-percentile aggregate yields
+    * the boundaries — model state (|probs| doubles), collected once and
+    * inlined as literals — then bin assignment is a pure map-side CASE:
+    * no global sort, no window, no second shuffle. At 100 TB the
+    * boundary step swaps to percentile_approx with the binning path
+    * unchanged. Boundaries are rounded (6 dp default) before comparison
+    * so any engine re-deriving them lands on the same cut values — the
+    * same convention the scoring gates use for rank boundaries.
+    */
+  def percentileBins(df: DataFrame, metricCol: String, probs: Seq[Double],
+                     roundTo: Int = 6): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1))
+    val cuts = df
+      .agg(expr(s"percentile($metricCol, array(${probs.mkString(", ")}))").as("c"))
+      .head().getSeq[Double](0)
+      .map(c => new java.math.BigDecimal(c)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue)
+    val bin = cuts.zipWithIndex.reverse
+      .foldLeft(lit(cuts.length): Column) { case (acc, (c, i)) =>
+        when(col(metricCol) <= lit(c), lit(i)).otherwise(acc)
+      }
+    df.withColumn("bin", bin.cast(IntegerType))
+  }
+
   /** Per-document repetition signal (the Gopher-style duplicate-n-gram
     * rule): fraction of word `width`-shingles that are repeats of an
     * earlier shingle in the same document — 1 - distinct/total, 0 for

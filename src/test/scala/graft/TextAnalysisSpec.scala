@@ -301,6 +301,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.forall(_._5 <= 2))
   }
 
+  test("percentileBins: monotone in the metric, quartiles roughly balanced") {
+    val t = Tables.load(spark, TestSpark.sfDir, "documents")
+      .withColumn("__st", TextAnalysis.stats(col("text")))
+      .select(col("doc_id"), TextAnalysis.tokenCountOf(col("__st")).as("m"))
+    val out = TextAnalysis.percentileBins(t, "m", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getAs[Number](1).longValue(), r.getInt(2)))
+    // strict value partition: equal metrics share a bin, so every value
+    // in bin b sorts strictly below every value in bin b+1
+    val byBin = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for (b <- 0 until 3; hi <- byBin.get(b + 1); lo <- byBin.get(b))
+      assert(lo.max < hi.min, s"bin $b overlaps ${b + 1}")
+    for (b <- 0 to 3) {
+      val n = byBin.getOrElse(b, Array.empty[Long]).length
+      assert(n > out.length / 8 && n < out.length / 2,
+        s"bin $b holds $n of ${out.length}")
+    }
+  }
+
   test("analyze produces the full projection on real documents") {
     val out = TextAnalysis.analyze(
       Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
