@@ -26,9 +26,11 @@ import graft.functions._
   * candidateK survivors restores exact ordering, the same
   * margin-over-approximation contract as [[Quant.searchStoredCodes]].
   *
-  * The reference's backend exposes scalar/product quantization as
-  * collection config (Qdrant quantization_config); this is that surface
-  * re-expressed as Spark-native batch ops over a stored codes table.
+  * The reference's backend exposes quantization as collection config
+  * (`/root/reference/tests/bin/config.yaml:217-219` — the storage-side
+  * compression knob its HNSW index reads through); this is that surface
+  * re-expressed as Spark-native batch ops over a stored codes table, the
+  * compression tier the int8 path ([[Quant]]) opens.
   */
 object Pq {
 
@@ -52,6 +54,8 @@ object Pq {
   def fit(df: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
           ksub: Int, maxIter: Int, seed: Long): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(ksub >= 1 && ksub <= 256,
+      s"ksub $ksub outside [1, 256] — a code must fit one byte")
     val sub = dim / m
     val books = (0 until m).map { mi =>
       val sliced = df.select(col(idCol),

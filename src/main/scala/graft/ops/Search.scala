@@ -290,6 +290,8 @@ object Search {
                  targets: Seq[(String, Double)], seed: Long): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "target weights must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "a source may appear only once in the target mixture")
     val counts = df.groupBy(col(sourceCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble

@@ -136,7 +136,10 @@ object TextAnalysis {
     * boundary step swaps to percentile_approx with the binning path
     * unchanged. Boundaries are rounded (6 dp default) before comparison
     * so any engine re-deriving them lands on the same cut values — the
-    * same convention the scoring gates use for rank boundaries.
+    * same convention the scoring gates use for rank boundaries. A NULL
+    * metric is excluded from the boundary estimate (percentile skips
+    * nulls) and falls through every `<=` into the TOP bin — filter nulls
+    * first if that is not the intent.
     */
   def percentileBins(df: DataFrame, metricCol: String, probs: Seq[Double],
                      roundTo: Int = 6): DataFrame = {

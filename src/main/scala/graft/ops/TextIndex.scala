@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Inverted text index — the serving-path counterpart of
-  * [[TextAnalysis.bm25]].
+  * [[TextAnalysis.bm25]] (the heavy form behind the reference's
+  * MATCH_TEXT full-text surface,
+  * `/root/reference/tests/bin/tests.sql:209-214`).
   *
   * bm25() computes relevance by scanning every document per query; that is
   * the right plan exactly once. A retrieval workload builds the index ONCE
@@ -96,7 +98,9 @@ object TextIndex {
                      terms: Seq[String], k: Int, nBuckets: Int,
                      k1: Double = 1.2, b: Double = 0.75,
                      roundTo: Int = 4): DataFrame = {
-    require(terms.nonEmpty)
+    require(terms.nonEmpty, "query needs at least one term")
+    require(terms.distinct == terms,
+      s"duplicate query terms would double-count their score contribution: $terms")
     val spark = postings.sparkSession
     // the query terms' buckets — same hash the ingest used; model-sized
     // driver work (one row over |terms| literals)
