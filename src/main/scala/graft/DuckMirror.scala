@@ -216,6 +216,39 @@ object DuckMirror {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** contrastive_pairs oracle: the [[embeddingLshSql]] verified pairs as
+    * POSITIVES, plus one deterministic NEGATIVE per anchor drawn from the
+    * md5-ordered corpus sample (list literal indexed by the anchor's
+    * domain-separated md5 bucket mod sampleSize); degenerate draws
+    * filtered, duplicates collapsed — Search.contrastivePairs mirrored
+    * stage by stage.
+    */
+  def contrastiveSql(threshold: Double, dim: Int, sampleSize: Int,
+                     seed: Long, nbits: Int = 16, bands: Int = 4): String = {
+    val inner = embeddingLshSql(threshold, dim, nbits, bands, seed)
+    val idxExpr = "CAST(CAST(CAST(('0x' || substring(md5('neg|' || " +
+      s"CAST(p.a_id AS VARCHAR) || '$seed'), 1, 15)) AS UBIGINT) AS BIGINT) " +
+      s"% $sampleSize AS INTEGER) + 1"
+    s"""WITH pairs AS (
+       |  SELECT a_id, b_id FROM ($inner)),
+       |corpus AS (SELECT vec_id FROM embeddings
+       |           UNION ALL
+       |           SELECT vec_id + 100000 FROM embeddings WHERE vec_id % 5 = 0),
+       |samp AS (
+       |  SELECT list(vec_id ORDER BY k, vec_id) AS s FROM (
+       |    SELECT vec_id, md5(CAST(vec_id AS VARCHAR) || '$seed') AS k
+       |    FROM corpus ORDER BY k, vec_id LIMIT $sampleSize)),
+       |neg AS (
+       |  SELECT DISTINCT p.a_id AS anchor, samp.s[$idxExpr] AS other
+       |  FROM pairs p, samp
+       |  WHERE samp.s[$idxExpr] <> p.a_id AND samp.s[$idxExpr] <> p.b_id)
+       |SELECT anchor, other, label FROM (
+       |  SELECT a_id AS anchor, b_id AS other, 'pos' AS label FROM pairs
+       |  UNION ALL
+       |  SELECT anchor, other, 'neg' AS label FROM neg)
+       |ORDER BY label, anchor, other""".stripMargin
+  }
+
   /** RollingHash64 (31x + c over SH0, mod 2^64) of an arbitrary VARCHAR
     * expression, as an UNSIGNED HUGEINT — compute it once in an inner CTE
     * and wrap the resulting column with [[signed64]] for the kernel's

@@ -1370,6 +1370,19 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(embWithNearDups(s, dir), "vec_id", "v",
         threshold = 0.999)),
 
+    // contrastive training pairs: the dedup pipeline's verified near-dup
+    // pairs become POSITIVES; each anchor draws a deterministic NEGATIVE
+    // from a broadcast md5-ordered sample (in-batch-negatives pattern) —
+    // layout/engine/rerun-stable, map-side after one model-sized collect
+    "contrastive_pairs" -> ((s, dir) => {
+      val emb = embWithNearDups(s, dir)
+      val pairs = Dedup.embeddingNearDupLsh(emb, "vec_id", "v",
+          threshold = 0.999)
+        .select(col("a_id"), col("b_id"))
+      Search.contrastivePairs(pairs, emb.select(col("vec_id")), "vec_id",
+        sampleSize = 64, seed = 42L)
+    }),
+
     // the SAME pipeline at PRODUCTION band sizing (nbits=64 / bands=4 —
     // 16-bit band keys, 65536 buckets per band): the Dedup.scala sizing
     // contract as measured evidence — random-pair collision volume drops
@@ -2652,6 +2665,10 @@ object SparkEntry {
     "dedup_embedding_lsh64" ->
       DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64,
         nbits = 64, bands = 4),
+
+    "contrastive_pairs" ->
+      DuckMirror.contrastiveSql(threshold = 0.999, dim = 64,
+        sampleSize = 64, seed = 42L),
 
     "token_count" ->
       """SELECT doc_id,

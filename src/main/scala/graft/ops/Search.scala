@@ -274,6 +274,42 @@ object Search {
     df.filter(bucket < lit((fraction * (1L << 60)).toLong))
   }
 
+  /** Contrastive training-pair generation: turn verified near-duplicate
+    * pairs (the dedup pipeline's output) into (anchor, other, label)
+    * rows — each pair yields a POSITIVE, and each anchor draws a
+    * deterministic NEGATIVE from a small md5-ordered corpus sample
+    * (broadcast as a literal array; the in-batch-negatives pattern).
+    * The negative choice is a pure function of (anchor, seed) — same
+    * pairs on any layout, any engine, any rerun — and degenerate draws
+    * (the anchor itself, or its positive partner) are filtered rather
+    * than re-drawn, keeping the arithmetic oracle-exact. Map-side after
+    * one model-sized sample collect; the pair frame never reshuffles.
+    */
+  def contrastivePairs(pairs: DataFrame, corpus: DataFrame, idCol: String,
+                       sampleSize: Int, seed: Long): DataFrame = {
+    require(sampleSize > 0)
+    val sample = corpus
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(seed.toString))),
+        col(idCol))
+      .limit(sampleSize)
+      .select(col(idCol)).collect().map(_.getAs[Number](0).longValue())
+    require(sample.length == sampleSize,
+      s"corpus holds only ${sample.length} ids; asked for $sampleSize")
+    val sLit = array(sample.toIndexedSeq.map(v => lit(v)): _*)
+    val pos = pairs.select(col("a_id").as("anchor"), col("b_id").as("other"),
+      lit("pos").as("label"))
+    val idx = (conv(substring(md5(concat(lit("neg|"),
+        col("a_id").cast("string"), lit(seed.toString))), 1, 15), 16, 10)
+      .cast("long") % sampleSize).cast("int")
+    val neg = pairs
+      .select(col("a_id").as("anchor"), col("b_id"),
+        element_at(sLit, idx + 1).as("other"))
+      .filter(col("other") =!= col("anchor") && col("other") =!= col("b_id"))
+      .select(col("anchor"), col("other"), lit("neg").as("label"))
+      .distinct()
+    pos.unionByName(neg)
+  }
+
   /** Rebalance a corpus toward a TARGET source mixture — the data-mixing
     * step of a training pipeline (e.g. "30% web, 25% code, 5% forums"
     * regardless of the crawl's natural proportions). Per-source acceptance
