@@ -61,6 +61,19 @@ object ScaleProbe {
           c.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
           c.filter(col("doc_id") % 97 === 0), "text").count()
       }
+      // line dedup over the replicated corpus: replication multiplies the
+      // duplicate-line volume (every line of every copy collides), the
+      // worst case for the per-fingerprint window — growth should stay
+      // ~linear in total lines
+      time(s"line_dedup x$n") {
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val nLines = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+        val lined = c.select(col("doc_id"),
+          array_join(transform(sequence(lit(0), nLines - 1),
+            g => array_join(slice(toks, g * lit(8) + lit(1), lit(8)), " ")),
+            "\n").as("text"))
+        graft.ops.Dedup.dedupLines(lined, "doc_id", "text").count()
+      }
       c.unpersist()
     } }
     // 8x/16x flatness sweep (recorded in BASELINE.md): dedup_clusters'
