@@ -234,6 +234,27 @@ object ScaleProbe {
         meanRecallVs(dotTruth, s"pq m=8 ksub=16 candidateK=$ck")(id =>
           graft.ops.Pq.searchPqStored(pcodes8, corpus, "id", "v", pq8,
             qvecs(id), 10, ck))
+      // residual vs raw codebooks at the same budget (m=4), nprobe=nlist
+      // so IVF pruning costs nothing and the gap isolates the quantizer
+      val clustered = idx.clustered
+      val rawCodes = graft.ops.Pq.encode(clustered, "v", pq)
+        .select("id", "pcode", "cluster").persist()
+      rawCodes.count()
+      val resFrame = graft.ops.Pq.residuals(clustered, idx.centroids, "v")
+        .select(col("id"), col("cluster"), col("__res"))
+      val pqRes = graft.ops.Pq.fit(resFrame, "id", "__res", dim = 64, m = 4,
+        ksub = 16, maxIter = 1, seed = 42L)
+      val resCodes = graft.ops.Pq.encode(resFrame, "__res", pqRes)
+        .select("id", "pcode", "cluster").persist()
+      resCodes.count()
+      for (ck <- Seq(50, 100)) {
+        meanRecallVs(dotTruth, s"ivfpq RAW m=4 nprobe=8 ck=$ck")(id =>
+          graft.ops.Pq.searchIvfPqStored(rawCodes, idx.centroids, clustered,
+            "id", "v", pq, qvecs(id), 10, nprobe = 8, ck))
+        meanRecallVs(dotTruth, s"ivfpq RESIDUAL m=4 nprobe=8 ck=$ck")(id =>
+          graft.ops.Pq.searchIvfPqResidual(resCodes, idx.centroids, clustered,
+            "id", "v", pqRes, qvecs(id), 10, nprobe = 8, ck))
+      }
       // drift recovery: a drifted cohort (every third vector re-embedded,
       // +1.5/dim, fresh d-prefixed ids) joins the corpus. Serving from the
       // STALE index (old centroids, drifted points assigned incrementally

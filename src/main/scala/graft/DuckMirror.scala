@@ -618,6 +618,75 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivfpq_residual oracle: textbook residual IVF-PQ — the maxIter=0
+    * coarse chain assigns every point, residuals (v - centroid[cluster])
+    * feed the per-subspace Lloyd's codebook chains, and a row's
+    * approximate score is dot(q, centroid[cluster]) + the ADC sum over
+    * RAW query slices (dot(q, cent + recon) decomposes exactly).
+    */
+  def ivfPqResidualSql(queryVecId: Int, k: Int, candidateK: Int, dim: Int,
+                       m: Int, ksub: Int, pqMaxIter: Int, nlist: Int,
+                       nprobe: Int, seed: Long): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    def dotSql(a: String, b: String, d: Int): String =
+      s"list_reduce(list_transform(range(1, ${d + 1}), j -> ($a[j]) * ($b[j])), (x, y) -> x + y)"
+    val (ivfChainText, ivfFinalAsg) = ivfChain(
+      "  SELECT id, v FROM base", dim, nlist, 0, seed, sfx = "_ivf")
+    val chains = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      ivfChain(
+        s"  SELECT id, list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM res",
+        sub, ksub, pqMaxIter, seed, sfx = s"_s$mi")
+    }
+    val finalAsg = chains.head._2
+    val qs = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      s"qs$mi AS (SELECT list_transform(range($lo, ${lo + sub}), j -> v[j]) AS v FROM q)"
+    }
+    val adcs = (0 until m).map { mi =>
+      s"""adc$mi AS (
+         |  SELECT c.cluster, ${dotSql("c.c", "s.v", sub)} AS t
+         |  FROM cents$pqMaxIter${s"_s$mi"} c, qs$mi s)""".stripMargin
+    }
+    val asgJoins = (1 until m)
+      .map(mi => s"JOIN asg$finalAsg${s"_s$mi"} a$mi USING (id)").mkString(" ")
+    val adcJoins = (0 until m)
+      .map(mi => s"JOIN adc$mi ON adc$mi.cluster = a$mi.cluster").mkString(" ")
+    val approxExpr = (1 until m).foldLeft("adc0.t")((acc, mi) => s"($acc + adc$mi.t)")
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |$ivfChainText,
+       |res AS (
+       |  SELECT b.id, a.cluster,
+       |         list_transform(range(1, ${dim + 1}), j -> b.v[j] - c.c[j]) AS v
+       |  FROM base b
+       |  JOIN asg${ivfFinalAsg}_ivf a USING (id)
+       |  JOIN cents0_ivf c ON c.cluster = a.cluster),
+       |${chains.map(_._1).mkString(",\n")},
+       |q AS (SELECT v FROM base WHERE vec_id = $queryVecId),
+       |probed AS (
+       |  SELECT c.cluster FROM cents0_ivf c, q
+       |  ORDER BY ${euclidSql("c.c", "q.v", dim)}, c.cluster
+       |  LIMIT $nprobe),
+       |cd AS (
+       |  SELECT c.cluster, ${dotSql("q.v", "c.c", dim)} AS t
+       |  FROM cents0_ivf c JOIN probed USING (cluster), q),
+       |${qs.mkString(",\n")},
+       |${adcs.mkString(",\n")},
+       |approx AS (
+       |  SELECT a0.id, cd.t + $approxExpr AS approx
+       |  FROM asg$finalAsg${"_s0"} a0 $asgJoins
+       |  JOIN res r USING (id)
+       |  JOIN cd ON cd.cluster = r.cluster
+       |  $adcJoins),
+       |cand AS (SELECT id FROM approx ORDER BY approx DESC, id LIMIT $candidateK)
+       |SELECT b.id, ROUND(${dotSql("b.v", "q.v", dim)}, 6) AS score
+       |FROM base b JOIN cand USING (id), q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** CTE chain shared by [[minhashSql]] and [[minhashClustersSql]]:
     * corpus -> shingle hashes -> minhash signature -> banded candidates ->
     * Jaccard-verified `pairs(a_id, b_id, jaccard)`.

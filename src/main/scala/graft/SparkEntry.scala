@@ -114,6 +114,27 @@ object SparkEntry {
       s.read.parquet(path)
     })
 
+  /** Residual IVF-PQ store: codebooks fit on (vector - coarse centroid)
+    * residuals — the textbook IVF-PQ form — codes written
+    * `partitionBy("cluster")` like [[ivfPqStore]]. Same pruned cost
+    * shape, less quantization error per code byte (BASELINE.md recall).
+    */
+  private def ivfPqResidualStore(s: SparkSession, dir: String): (graft.ops.Pq.PqModel, DataFrame) =
+    pqCache.getOrElseUpdate(s"$dir#res", {
+      val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
+        graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      val res = graft.ops.Pq.residuals(idx.clustered, idx.centroids, "vector")
+        .select(col("id"), col("cluster"), col("__res"))
+      val dim = res.select(size(col("__res"))).head().getInt(0)
+      val model = graft.ops.Pq.fit(res, "id", "__res", dim,
+        m = 4, ksub = 16, maxIter = 1, seed = 42L)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-res").toString
+      graft.ops.Pq.encode(res, "__res", model)
+        .select("id", "pcode", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      (model, s.read.parquet(path))
+    })
+
   private val textIdxCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, Long, Double)]
 
@@ -184,6 +205,7 @@ object SparkEntry {
     lshBandStore(s, dir)
     pqStore(s, dir)
     ivfPqStore(s, dir)
+    ivfPqResidualStore(s, dir)
     textIndexStore(s, dir)
     ()
   }
@@ -1701,6 +1723,20 @@ object SparkEntry {
         stored, "id", "vector", model, q, k = 10, nprobe = 2, candidateK = 50)
     }),
 
+    // residual IVF-PQ — the textbook form: codebooks quantize
+    // (vector - coarse centroid) residuals, and the approximate score is
+    // dot(q, centroid[cluster]) (a per-probed-cluster literal) plus the
+    // standard ADC sum over RAW query slices (the dot decomposes
+    // exactly); same pruned file cost, less error per code byte
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 19)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (model, codes) = SparkEntry.ivfPqResidualStore(s, dir)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Pq.searchIvfPqResidual(codes, cents, stored, "id", "vector",
+        model, q, k = 10, nprobe = 2, candidateK = 50)
+    }),
+
     // grouped search (reference search-groups surface): top-2 per payload
     // label by cosine — score map-side against the broadcast query vector,
     // rank inside a PARTITIONED window (shuffles scored (label,id,score)
@@ -2472,6 +2508,12 @@ object SparkEntry {
     // — ADC candidates restricted to the nprobe probed clusters
     "ann_ivfpq" -> DuckMirror.ivfPqSql(
       queryVecId = 13, k = 10, candidateK = 50, dim = 64, m = 4,
+      ksub = 16, pqMaxIter = 1, nlist = 8, nprobe = 2, seed = 42L),
+
+    // residual form: coarse chain -> residual CTE -> codebook chains,
+    // approx = per-cluster dot literal + ADC sum, composed in one mirror
+    "ann_ivfpq_residual" -> DuckMirror.ivfPqResidualSql(
+      queryVecId = 19, k = 10, candidateK = 50, dim = 64, m = 4,
       ksub = 16, pqMaxIter = 1, nlist = 8, nprobe = 2, seed = 42L),
 
     // multiprobe: the lshSql candidate predicate widened to Hamming-1

@@ -132,6 +132,65 @@ object Pq {
       .select(col(idCol).as("id"), col("score"))
   }
 
+  /** Residuals of a clustered corpus against its coarse centroids:
+    * `__res` = vector - centroid[cluster], the quantity textbook IVF-PQ
+    * quantizes (residuals are smaller and better-centered than raw
+    * vectors, so the same codebook budget buys less quantization error).
+    * The centroid table enters as a 2-D array literal (model state);
+    * the subtraction is a codegen zip_with — map-side, streams unbounded.
+    */
+  def residuals(clustered: DataFrame, centroids: DataFrame,
+                vecCol: String): DataFrame = {
+    val cents = centroids.orderBy(col("cluster"))
+      .select(col("centroid").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0))
+    val lit2d = array(cents.toIndexedSeq.map(c => vec(c)): _*)
+    clustered.withColumn("__res",
+      zip_with(col(vecCol), element_at(lit2d, col("cluster") + 1),
+        (a, b) => a - b))
+  }
+
+  /** Residual IVF-PQ serving: with residual codebooks, a row's
+    * approximate dot is dot(q, centroid[cluster]) — one per-cluster
+    * literal, driver-computed over the probed set — plus the standard
+    * ADC sum over the residual codebooks (the tables still dot RAW query
+    * slices: dot(q, cent + recon) = dot(q, cent) + sum_m dot(q_m,
+    * book_m[code_m])). Same pruned-files cost shape as
+    * [[searchIvfPqStored]], better approximation per code byte.
+    */
+  def searchIvfPqResidual(codes: DataFrame, centroids: DataFrame,
+                          full: DataFrame, idCol: String, vecCol: String,
+                          model: PqModel, query: Seq[Double], k: Int,
+                          nprobe: Int, candidateK: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val probed = Ann.probedClusters(centroids, vec(query), nprobe)
+    val centMap = centroids.orderBy(col("cluster"))
+      .select(col("cluster"), col("centroid").cast(ArrayType(DoubleType)))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cdot(c: Int): Double = {
+      val cent = centMap(c)
+      var s = 0.0
+      var j = 0
+      while (j < cent.length) { s += query(j) * cent(j); j += 1 }
+      s
+    }
+    val cdotCol = probed.foldLeft(lit(0.0): Column)((acc, c) =>
+      when(col("cluster") === c, lit(cdot(c))).otherwise(acc))
+    val cands = codes.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol),
+        (cdotCol + approxScore(model, query)).as("__approx"))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("score", round(v_dot(col(vecCol), vec(query)), roundTo))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("id"), col("score"))
+  }
+
   /** IVF-PQ — the standard production ANN stack, composed from this
     * module and the IVF coarse quantizer: `codes` is the PQ codes table
     * tagged with the coarse cluster and written `partitionBy("cluster")`,
