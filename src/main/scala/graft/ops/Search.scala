@@ -296,18 +296,25 @@ object Search {
     require(sample.length == sampleSize,
       s"corpus holds only ${sample.length} ids; asked for $sampleSize")
     val sLit = array(sample.toIndexedSeq.map(v => lit(v)): _*)
-    val pos = pairs.select(col("a_id").as("anchor"), col("b_id").as("other"),
-      lit("pos").as("label"))
     val idx = (conv(substring(md5(concat(lit("neg|"),
         col("a_id").cast("string"), lit(seed.toString))), 1, 15), 16, 10)
       .cast("long") % sampleSize).cast("int")
-    val neg = pairs
+    // ONE pass over the (expensive) pair frame: each pair row explodes
+    // into its positive and its drawn negative — a union of two branches
+    // would re-evaluate the whole upstream verify pipeline per branch.
+    // distinct() collapses repeated negatives only: positives are unique
+    // pairs, and a pos/neg tuple can never collide (labels differ).
+    pairs
       .select(col("a_id").as("anchor"), col("b_id"),
-        element_at(sLit, idx + 1).as("other"))
-      .filter(col("other") =!= col("anchor") && col("other") =!= col("b_id"))
-      .select(col("anchor"), col("other"), lit("neg").as("label"))
+        element_at(sLit, idx + 1).as("__negid"))
+      .select(col("anchor"), col("b_id"), explode(array(
+        struct(col("b_id").as("other"), lit("pos").as("label")),
+        struct(col("__negid").as("other"), lit("neg").as("label")))).as("e"))
+      .filter(col("e.label") === "pos" ||
+        (col("e.other") =!= col("anchor") && col("e.other") =!= col("b_id")))
+      .select(col("anchor"), col("e.other").as("other"),
+        col("e.label").as("label"))
       .distinct()
-    pos.unionByName(neg)
   }
 
   /** Rebalance a corpus toward a TARGET source mixture — the data-mixing
