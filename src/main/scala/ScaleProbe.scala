@@ -12,7 +12,7 @@ object ScaleProbe {
     * cleanly, indistinguishable from a successful probe).
     */
   val sectionNames: Seq[String] =
-    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl")
+    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl", "skew")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -371,6 +371,42 @@ object ScaleProbe {
         CollectionStores.get(dstName).pointCount("embeddings")
       }
       CollectionStores.remove(srcName); CollectionStores.remove(dstName)
+    }
+    // Skew probe: a fact table where ONE key owns half the rows, joined
+    // to a small dim with broadcast disabled (forcing the shuffle join a
+    // 100 TB dim size would force) — plain shuffle join puts half the
+    // table in one task; salting spreads the hot key over saltFactor
+    // buckets. AQE's skew-split covers the same case at runtime; the
+    // salt is the plan-level fix when the hot keys are KNOWN.
+    section("skew") {
+      val n = 4000000L
+      val fact = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+        col("id").as("payload"))
+        .persist()
+      fact.count()
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("attr"))
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevSkew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (skewJoin <- Seq(false, true)) {
+          spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+          time(s"plain shuffle join (AQE skewJoin=$skewJoin)") {
+            fact.join(dim, Seq("k")).groupBy(col("attr")).count().count()
+          }
+        }
+        time("salted join (saltFactor=32)") {
+          graft.ops.Skew.saltedJoin(fact, dim, "k", saltFactor = 32)
+            .groupBy(col("attr")).count().count()
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+      }
+      fact.unpersist()
     }
     spark.stop()
   }
