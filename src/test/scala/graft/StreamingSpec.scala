@@ -62,6 +62,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming quality filtering: the Gopher verdicts match batch") {
+    import org.apache.spark.sql.types._
+    // the cleaning pipeline's quality gate is map-side, so the same
+    // transform filters an unbounded ingest stream verdict-for-verdict
+    val dir = Files.createTempDirectory("graft-gopher-stream")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id"), col("text"))
+    val q = graft.ops.TextAnalysis.gopherFilter(streamed, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val got = m(spark.table("gopher_out"))
+    val expected = m(graft.ops.TextAnalysis.gopherFilter(docs, "doc_id", "text"))
+    assert(got === expected)
+    assert(got.nonEmpty && got.values.exists(identity))
+  }
+
   test("streaming PQ ingest: streamed points get the batch codes") {
     import org.apache.spark.sql.types._
     // codebooks trained offline (batch); NEW points then stream in and
