@@ -1755,6 +1755,21 @@ object SparkEntry {
         .select(col("label"), col("id"), col("score"))
     }),
 
+    // ingest-time L2 normalization: the stored-unit-vector step every
+    // cosine-serving pipeline wants (then dot == cosine at query time);
+    // map-side composed built-ins over the sequential v_dot kernel
+    "vector_normalize" -> ((s, dir) =>
+      hom(s, dir).select(col("id"),
+        vq6(v_normalize(col("vector"))).as("unit_q6"))),
+
+    // ColBERT-to-dense bridge: mean-pool the multi-vector into one
+    // embedding (pool at ingest, serve cheap dense search, keep the multi
+    // column for MaxSim rerank); left-fold sum both engines share
+    "multi_pool" -> ((s, dir) =>
+      Tables.load(s, dir, "embeddings").select(col("vec_id"),
+        vq6(v_mean_pool(
+          multi_vector_from_flat(col("embedding"), lit(4)))).as("pooled_q6"))),
+
     // scroll pagination (reference scroll surface): stable id order,
     // limit+offset — the PARITY form (mirrors Qdrant scroll semantics)
     "scroll_page" -> ((s, dir) =>
@@ -2536,6 +2551,19 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY vec_id LIMIT 10 OFFSET 20""".stripMargin,
+
+    "vector_normalize" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+         |       ${duckVq6("list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), y -> y * y), (a, b) -> a + b)))")} AS unit_q6
+         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // chunk -> left-fold zip-sum -> /count, the exact v_mean_pool order
+    // (the kernel's zero init + e1 is bit-equal to starting at e1)
+    "multi_pool" ->
+      s"""SELECT vec_id,
+         |       ${duckVq6("list_transform(list_reduce(list_transform(range(0, 4), g -> list_transform(range(1, 17), j -> v[g * 16 + j])), (a, b) -> list_transform(range(1, 17), j -> a[j] + b[j])), x -> x / 4)")} AS pooled_q6
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |ORDER BY vec_id""".stripMargin,
 
     "scroll_keyset" ->
       """SELECT doc_id, lang, source

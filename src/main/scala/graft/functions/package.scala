@@ -67,6 +67,33 @@ package object functions {
   /** Gaussian decay boost in (0, 1]: exp(-ln2 * (dist/scale)^2), = 0.5 at
     * dist = scale (V_GAUSS_DECAY, tests.sql:294-300).
     */
+  /** L2-normalized copy of a dense vector (composed built-ins: the norm
+    * runs through the sequential v_dot kernel, the division is
+    * element-wise exact). A zero vector passes through unchanged rather
+    * than dividing to NaN — the ingest-time normalization step every
+    * cosine-serving pipeline wants stored, not recomputed per query.
+    */
+  def v_normalize(v: Column): Column = {
+    val n = F.sqrt(v_dot(v, v))
+    F.when(n === 0, v.cast(ArrayType(DoubleType)))
+      .otherwise(F.transform(v, x => x / n))
+  }
+
+  /** Mean-pool a multi-vector (array<array<float>>) into one dense
+    * vector: per-dimension sum over the token vectors (left fold — the
+    * order every engine reproduces) divided by the token count. NULL/
+    * empty input pools to NULL. The ColBERT-to-single-vector bridge: pool
+    * once at ingest, serve cheap dense search, keep the multi column for
+    * MaxSim rerank.
+    */
+  def v_mean_pool(m: Column): Column = {
+    val zero = F.transform(F.element_at(m, 1), _ => F.lit(0.0))
+    val summed = F.aggregate(m, zero,
+      (acc, v) => F.zip_with(acc, v, (a, b) => a + b))
+    F.when(F.size(m) <= 0, F.lit(null).cast(ArrayType(DoubleType)))
+      .otherwise(F.transform(summed, x => x / F.size(m)))
+  }
+
   def v_gauss_decay(dist: Column, scale: Column): Column =
     F.exp(F.lit(-math.log(2.0)) * F.pow(dist / scale, 2))
 
