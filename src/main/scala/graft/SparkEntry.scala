@@ -79,6 +79,17 @@ object SparkEntry {
         .select("id", "v8_codes", "v8_scale")
         .localCheckpoint())
 
+  /** Stored binary-quantization bits (the 1-bit tier below [[storedCodes]]):
+    * (id, v1_bits) with sign bits packed ONCE at ingest — the candidate
+    * stage of [[graft.ops.Quant.searchStoredBits]] scans only this frame.
+    */
+  private def storedBits(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#bq",
+      graft.ops.Quant.packSignColumn(
+          hom(s, dir).select("id", "vector"), "vector", "v1")
+        .select("id", "v1_bits")
+        .localCheckpoint())
+
   /** Stored LSH signatures for the corpus of `dir`: (id, vector, bucket)
     * with the 16-bit hyperplane signature computed ONCE at ingest — the
     * LSH analog of [[storedCodes]] (in production this is a signature
@@ -1889,6 +1900,62 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // binary-quantized (1 bit/dim) candidate search + full-precision
+    // rerank over bits packed once at ingest. Unlike quantized_search the
+    // oracle mirrors the CANDIDATE stage too (Hamming = per-dim
+    // sign-mismatch count, ties by id), so the gate is deterministic at
+    // any recall level — no margin assumption
+    "bq_search" -> ((s, dir) => {
+      val corpus = hom(s, dir).select("id", "vector").filter(col("id") =!= "7")
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      graft.ops.Quant.searchStoredBits(
+          SparkEntry.storedBits(s, dir).filter(col("id") =!= "7"), corpus,
+          "id", "vector", "v1_bits", qvec, k = 100, candidateK = 100)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // facet API: top-N payload values by count under a filter
+    "facet_counts" -> ((s, dir) =>
+      Search.facet(
+        hom(s, dir).filter(col("id").cast(LongType) % 3 =!= 0),
+        col("payload"), "label", topN = 5)),
+
+    // search-matrix API: pairwise top-5 neighbours within a 20-point
+    // deterministic sample
+    "distance_matrix" -> ((s, dir) =>
+      Search.distanceMatrix(homD(s, dir), "id", "vector",
+        sampleN = 20, perPoint = 5, seed = 42, metric = "dot")),
+
+    // order_by scroll: one page ordered by (payload field, id) starting
+    // strictly after a (value, id) keyset
+    "scroll_order_by" -> ((s, dir) =>
+      hom(s, dir)
+        .withColumn("label", json_get_int(col("payload"), "label"))
+        .transform(d => Search.scrollByField(
+          d.select(col("id"), col("label")),
+          col("label"), col("id"), lit(1), lit("17"), n = 10))),
+
+    // deterministic training-shard manifest: md5-permutation shard
+    // assignment (engine-independent, layout-independent) + per-shard
+    // stats — the export step that turns a cleaned corpus into N
+    // equal-ish shards a trainer can stream
+    "shard_export" -> ((s, dir) => {
+      val shard = (conv(substring(md5(concat(col("doc_id").cast(StringType),
+        lit("#7"))), 1, 15), 16, 10).cast(LongType) % 8).as("shard")
+      docs(s, dir)
+        .select(shard, col("doc_id"), col("n_chars"))
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.featuresOf(s, dir)
         .select(col("id"), col("format"), col("nBytes"))),
@@ -3010,6 +3077,51 @@ object SparkEntry {
         |       ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 7
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // mirrors BOTH stages: Hamming distance re-derived as the per-dim
+    // sign-mismatch count (bit i set iff x_i > 0 on both engines), then
+    // exact-dot rerank over the candidate page
+    "bq_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |c AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |             CAST(e.embedding AS DOUBLE[]) AS v,
+        |             len(list_filter(range(1, len(e.embedding) + 1),
+        |                 i -> (CAST(e.embedding AS DOUBLE[])[i] > 0) <> (q.qv[i] > 0))) AS ham
+        |      FROM embeddings e, q WHERE e.vec_id <> 7
+        |      ORDER BY ham ASC, id ASC LIMIT 100)
+        |SELECT c.id, ROUND(list_inner_product(c.v, q.qv), 6) AS score
+        |FROM c, q
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "facet_counts" ->
+      """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+        |FROM embeddings WHERE vec_id % 3 <> 0
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    // rank on the UNROUNDED inner product (the engine rounds after the
+    // window filter), round only in the projection
+    "distance_matrix" ->
+      """WITH s AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |                  CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR) || '42'), id LIMIT 20)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       ROUND(list_inner_product(a.v, b.v), 6) AS score
+        |FROM s a JOIN s b ON a.id <> b.id
+        |QUALIFY row_number() OVER (PARTITION BY a.id
+        |          ORDER BY list_inner_product(a.v, b.v) DESC, b.id ASC) <= 5""".stripMargin,
+
+    "scroll_order_by" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS INTEGER) AS label
+        |FROM embeddings
+        |WHERE label > 1 OR (label = 1 AND CAST(vec_id AS VARCHAR) > '17')
+        |ORDER BY label ASC, id ASC LIMIT 10""".stripMargin,
+
+    "shard_export" ->
+      """SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "lang_id" ->
       """WITH t AS (SELECT doc_id,

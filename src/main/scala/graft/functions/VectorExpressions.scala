@@ -840,6 +840,82 @@ case class DotProductI8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Static kernel for [[PackSignBits]] — one pass, no boxing. */
+object SignBitsKernel {
+  def pack(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val words = new Array[Long]((n + 63) >> 6)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (v > 0) words(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var d = 0
+    while (i < n) { d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    d
+  }
+}
+
+/** Binary quantization: array<float|double> -> array<bigint> of packed sign
+  * bits (bit i of word i/64 set iff x_i > 0) — 32x smaller than float32.
+  * The qdrant feature this re-expresses is binary quantization
+  * (docs: qdrant.tech/documentation/guides/quantization, the 1-bit tier
+  * below the scalar int8 tier of /root/reference's host engine); at 100 TB
+  * the packed column is what the candidate stage scans.
+  */
+case class PackSignBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pack_sign_bits"
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(child), "pack_sign_bits")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected override def nullSafeEval(input: Any): Any =
+    SignBitsKernel.pack(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SignBitsKernel.pack($a, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): PackSignBits = copy(child = c)
+}
+
+/** popcount(xor) over the common prefix of two packed sign-bit arrays ->
+  * int. With [[PackSignBits]] on both sides this equals the number of
+  * dimensions whose signs disagree, so rank order matches the float-domain
+  * sign-mismatch count exactly while scanning 1/32 of the bytes.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "v_hamming"
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"v_hamming expects array<bigint>, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  protected override def nullSafeEval(l: Any, r: Any): Any =
+    SignBitsKernel.hamming(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SignBitsKernel.hamming($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
+    copy(left = l, right = r)
+}
+
 /** Static kernel for [[TextStats]]: one pass over the UTF-8 bytes. */
 object TextStatsKernel {
   /** Raw FNV-1a (ASCII case-folded) of a word — the token hash the kernel

@@ -165,6 +165,16 @@ package object functions {
   def v_dot_i8(a: Column, b: Column): Column =
     Bridge.column(DotProductI8(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Binary quantization: array<float|double> -> array<bigint> packed
+    * sign bits (bit i set iff x_i > 0).
+    */
+  def pack_sign_bits(vec: Column): Column =
+    Bridge.column(PackSignBits(Bridge.expression(vec)))
+
+  /** popcount(xor) over two packed sign-bit arrays -> int. */
+  def v_hamming(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(Bridge.expression(a), Bridge.expression(b)))
+
   /** Element-wise vector average aggregate (centroid): array column ->
     * array<double>. Partial-aggregates map-side; see VectorAvg scaladoc.
     */

@@ -95,4 +95,42 @@ object Quant {
     searchStoredCodes(
       quantizeColumn(df, vecCol, "__v"), df, idCol, vecCol,
       "__v_codes", "__v_scale", query, k, candidateK)
+
+  // ---- binary quantization (1 bit/dim) ------------------------------------
+
+  /** Add `{out}_bits` (array<bigint> packed sign bits) — the 1-bit tier
+    * below int8: 32x less scan bandwidth than float32. Run once at ingest
+    * and persist, like [[quantizeColumn]].
+    */
+  def packSignColumn(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn(s"${out}_bits", pack_sign_bits(col(vecCol)))
+
+  /** Binary-quantized candidate search + full-precision rerank over STORED
+    * packed bits: candidates are the `candidateK` lowest Hamming distances
+    * (popcount-xor over the packed words — ties broken by id so the result
+    * is deterministic for any recall level), reranked by exact dot against
+    * the full-precision frame. Same two-stage shape as
+    * [[searchStoredCodes]]: the candidate scan touches ONLY the bit column
+    * (1/32 of the bytes), the rerank fetches `candidateK` rows by id via a
+    * broadcast semi-join.
+    */
+  def searchStoredBits(bits: DataFrame, full: DataFrame,
+                       idCol: String, vecCol: String, bitsCol: String,
+                       query: Seq[Double], k: Int, candidateK: Int): DataFrame = {
+    val q = bits.sparkSession.range(1).select(vec(query).as("__qv"))
+    val qq = broadcast(q.select(pack_sign_bits(col("__qv")).as("__qb")))
+    val cands = bits.select(col(idCol), col(bitsCol))
+      .crossJoin(qq)
+      .withColumn("__ham", v_hamming(col(bitsCol), col("__qb")))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", v_dot(col(vecCol), col("__qv")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

@@ -256,6 +256,58 @@ object Search {
     df.orderBy(md5(concat(col("id").cast("string"), lit(seed.toString))),
       col("id")).limit(n)
 
+  /** Facet counts over a payload key (the reference host's facet API:
+    * top-N distinct values of a payload field by match count, under an
+    * optional filter already applied to `df`). One partial-aggregating
+    * groupBy + a TakeOrdered of N (count desc, value asc) — no full sort;
+    * at 100 TB the map-side combine means the shuffle carries one row per
+    * (partition, value), not per point.
+    */
+  def facet(df: DataFrame, payloadCol: Column, key: String, topN: Int): DataFrame =
+    df.select(get_json_object(payloadCol, s"$$.$key").as("value"))
+      .filter(col("value").isNotNull)
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(topN)
+
+  /** Distance matrix (the reference host's search-matrix API): take a
+    * deterministic sample of `sampleN` points (same md5 permutation as
+    * [[randomSample]]), and for each return its `perPoint` nearest
+    * neighbours WITHIN the sample by `metric`, ties broken by neighbour
+    * id. The sample is tiny by construction, so both sides of the pairwise
+    * join broadcast — the corpus is scanned once (TakeOrdered for the
+    * sample) and the O(sampleN^2) score happens on one executor's worth of
+    * rows regardless of corpus size.
+    */
+  def distanceMatrix(df: DataFrame, idCol: String, vecCol: String,
+                     sampleN: Int, perPoint: Int, seed: Long,
+                     metric: String = "dot"): DataFrame = {
+    val s = randomSample(df.select(col(idCol), col(vecCol)), sampleN, seed)
+    val a = s.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = s.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("__score").desc, col("id_b").asc)
+    a.join(broadcast(b), col("id_a") =!= col("id_b"))
+      .withColumn("__score", similarity(col("__va"), col("__vb"), metric))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perPoint)
+      .select(col("id_a"), col("id_b"), round(col("__score"), 6).as("score"))
+  }
+
+  /** Order-by scroll (the reference host's order_by scroll API): one page
+    * of `df` ordered by (`orderCol`, `idCol`), starting strictly after the
+    * keyset `(afterValue, afterId)`. The keyset predicate is a map-side
+    * filter and the page a TakeOrderedAndProject — no OFFSET re-scan of
+    * skipped rows, the same pagination posture as the id-keyset scroll.
+    */
+  def scrollByField(df: DataFrame, orderCol: Column, idCol: Column,
+                    afterValue: Column, afterId: Column, n: Int): DataFrame =
+    df.filter(orderCol > afterValue ||
+        (orderCol === afterValue && idCol > afterId))
+      .orderBy(orderCol.asc, idCol.asc)
+      .limit(n)
+
   /** Deterministic stratified sampling: keep ~`fraction` of the rows of
     * every stratum, chosen by a data-derived md5 permutation — a pure
     * map-side FILTER (no shuffle, no per-group state), reproducible on any

@@ -42,4 +42,48 @@ class QuantSpec extends AnyFunSuite {
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("pack_sign_bits + v_hamming equals the float-domain sign-mismatch count") {
+    // the packed-word popcount must reproduce counting dims where the
+    // signs disagree — the property the bq oracle relies on
+    val got = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.id") < col("b.id")).limit(200)
+      .select(
+        v_hamming(pack_sign_bits(col("a.vector")),
+                  pack_sign_bits(col("b.vector"))).as("ham"),
+        aggregate(
+          zip_with(col("a.vector"), col("b.vector"),
+            (x, y) => ((x > 0f) =!= (y > 0f)).cast("int")),
+          lit(0), (acc, v) => acc + v).as("direct"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r))
+  }
+
+  test("pack_sign_bits packs ceil(n/64) words; hamming with self is 0") {
+    val df = Seq(
+      Seq.fill(64)(1f), Seq.fill(65)(-1f), Seq(0f, 1f, -2f)).toDF("vector")
+    val rows = df.select(size(pack_sign_bits(col("vector"))).as("w"),
+      v_hamming(pack_sign_bits(col("vector")), pack_sign_bits(col("vector"))).as("h"))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 1))
+    assert(rows.forall(_.getInt(1) == 0))
+    // zero is NOT a set bit (x > 0 strictly): the 3-dim vector packs 0b010
+    val word = df.filter(size(col("vector")) === 3)
+      .select(pack_sign_bits(col("vector"))).head().getSeq[Long](0)
+    assert(word == Seq(2L))
+  }
+
+  test("binary-quantized search matches the hamming-candidate + rerank composition") {
+    val qvec = corpus.filter(col("id") === "0")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    val bits = Quant.packSignColumn(corpus, "vector", "v1")
+      .select("id", "v1_bits")
+    val got = Quant.searchStoredBits(bits, corpus, "id", "vector", "v1_bits",
+      qvec, k = 10, candidateK = 50).collect()
+    assert(got.length == 10)
+    // scores are exact full-precision dots (the rerank stage), descending
+    val scores = got.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
 }

@@ -173,4 +173,41 @@ class SearchSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("facet counts the payload values, most frequent first") {
+    val df = Seq("a", "a", "a", "b", "b", "c")
+      .map(v => s"""{"k":"$v"}""").toDF("payload")
+    val got = Search.facet(df, col("payload"), "k", topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L)))
+    // rows whose payload lacks the key don't contribute a NULL facet
+    val miss = Seq("""{"k":"a"}""", """{"other":1}""").toDF("payload")
+    assert(Search.facet(miss, col("payload"), "k", 10).count() == 1)
+  }
+
+  test("distanceMatrix returns perPoint neighbours per sampled id, symmetric pairs scored equally") {
+    val m = Search.distanceMatrix(homD, "id", "vector",
+      sampleN = 10, perPoint = 3, seed = 42)
+    val rows = m.collect()
+    assert(rows.length == 30) // 10 sampled points x 3 neighbours
+    val perA = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perA.values.forall(_ == 3) && perA.size == 10)
+    // dot is symmetric: where both directions survived the top-3 cut the
+    // scores must agree
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    byPair.foreach { case ((a, b), s) =>
+      byPair.get((b, a)).foreach(s2 => assert(s2 == s, s"($a,$b)")) }
+    // the sampled-side join broadcasts (no shuffle of the corpus)
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("scrollByField pages strictly after the (value, id) keyset in (value, id) order") {
+    val df = Seq((3, "a"), (1, "b"), (1, "c"), (2, "a"), (1, "a"))
+      .toDF("v", "id")
+    val page = Search.scrollByField(df, col("v"), col("id"),
+      lit(1), lit("b"), n = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(page == Seq((1, "c"), (2, "a"), (3, "a")))
+  }
 }
