@@ -90,6 +90,21 @@ object SparkEntry {
         .select("id", "v1_bits")
         .localCheckpoint())
 
+  /** Multitenant layout for the corpus of `dir`: the collection written
+    * `partitionBy(tenant)` ONCE (tenant = "t" + payload label — prefixed
+    * so partition-value inference keeps the column a string), read back
+    * so tenant predicates prune statically ([[graft.ops.Tenant]]).
+    */
+  private def tenantStore(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#tenant", {
+      val path = java.nio.file.Files.createTempDirectory("graft-tenant").toString
+      graft.ops.Tenant.writeLayout(
+        hom(s, dir).select(col("id"), col("vector"),
+          concat(lit("t"), json_get_int(col("payload"), "label")).as("tenant")),
+        "tenant", path)
+      graft.ops.Tenant.readLayout(s, path)
+    })
+
   /** Stored LSH signatures for the corpus of `dir`: (id, vector, bucket)
     * with the 16-bit hyperplane signature computed ONCE at ingest — the
     * LSH analog of [[storedCodes]] (in production this is a signature
@@ -1917,6 +1932,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // multitenant serving: the tenant predicate is a STATIC partition
+    // filter over the partitionBy(tenant) layout — the scan reads one
+    // tenant's files (pruning asserted in BucketingSpec); the query
+    // point's exclusion is this query's predicate
+    "tenant_search" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 21)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      graft.ops.Tenant.searchTenant(
+        SparkEntry.tenantStore(s, dir).filter(col("id") =!= "21"),
+        "tenant", "t2", "id", "vector", vec(q), k = 10)
+    }),
+
+    // the admin view of the tenant layout: per-tenant point counts
+    "tenant_stats" -> ((s, dir) =>
+      graft.ops.Tenant.tenantStats(SparkEntry.tenantStore(s, dir), "tenant")),
+
     // facet API: top-N payload values by count under a filter
     "facet_counts" -> ((s, dir) =>
       Search.facet(
@@ -3097,6 +3128,17 @@ object SparkEntry {
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings WHERE vec_id % 3 <> 0
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    "tenant_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 21)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.label = 2 AND e.vec_id <> 21
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "tenant_stats" ->
+      """SELECT 't' || CAST(label AS VARCHAR) AS tenant, count(*) AS n_points
+        |FROM embeddings GROUP BY 1 ORDER BY tenant""".stripMargin,
 
     // rank on the UNROUNDED inner product (the engine rounds after the
     // window filter), round only in the projection

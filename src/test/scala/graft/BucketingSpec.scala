@@ -194,4 +194,38 @@ class BucketingSpec extends AnyFunSuite {
     val got = res.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected)
   }
+
+  test("tenant layout: a tenant's search partition-prunes to that tenant's files") {
+    import graft.functions._
+    val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), col("vector"),
+        concat(lit("t"), json_get_int(col("payload"), "label")).as("tenant"))
+    val dir = Files.createTempDirectory("graft-tenant-spec").toString
+    graft.ops.Tenant.writeLayout(corpus, "tenant", dir)
+    val layout = graft.ops.Tenant.readLayout(spark, dir)
+
+    // partition-value inference must keep the column a string
+    assert(layout.schema("tenant").dataType.typeName == "string")
+
+    val q = corpus.filter(col("id") === "0")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+    val res = graft.ops.Tenant.searchTenant(
+      layout, "tenant", "t1", "id", "vector", vec(q), k = 5)
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && p.contains("tenant"), p)
+
+    // the pruned result equals the unpartitioned filter + topK
+    val expected = graft.ops.Search.topK(
+        corpus.filter(col("tenant") === "t1"), col("vector"), vec(q), k = 5)
+      .select("id", "score").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+
+    // per-tenant cost scales with the tenant, not the collection: the
+    // scan's data size is the one tenant's slice
+    val rows = res.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    val tenantRows = corpus.filter(col("tenant") === "t1").count()
+    assert(rows <= tenantRows, s"scan read $rows rows, tenant has $tenantRows")
+  }
 }
