@@ -234,6 +234,17 @@ object ScaleProbe {
         meanRecallVs(dotTruth, s"pq m=8 ksub=16 candidateK=$ck")(id =>
           graft.ops.Pq.searchPqStored(pcodes8, corpus, "id", "v", pq8,
             qvecs(id), 10, ck))
+      // binary quantization: the 1-bit tier (32x smaller than float32;
+      // 8 bytes/row vs pq m=8's 8 code bytes but with NO codebook and a
+      // popcount candidate stage) — candidateK is the only recall dial
+      val bits = graft.ops.Quant.packSignColumn(corpus, "v", "b")
+        .select("id", "b_bits").persist()
+      bits.count()
+      for (ck <- Seq(50, 100, 200, 500))
+        meanRecallVs(dotTruth, s"bq 1bit candidateK=$ck")(id =>
+          graft.ops.Quant.searchStoredBits(bits, corpus, "id", "v", "b_bits",
+            qvecs(id), 10, ck))
+      bits.unpersist()
       // residual vs raw codebooks at the same budget (m=4), nprobe=nlist
       // so IVF pruning costs nothing and the gap isolates the quantizer
       val clustered = idx.clustered
