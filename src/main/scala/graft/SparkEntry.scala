@@ -1932,6 +1932,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // snapshot/restore round-trip: the hetero collection exported
+    // (parquet points + descriptor manifest), restored under a NEW name
+    // into a NEW store, and the full 5-field value check of dsv2_hetero
+    // re-run THROUGH the restored connector — same oracle
+    "dsv2_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("snap_src_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      val path = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      graft.collections.Snapshot.create(s, "snap_src_store", "hetero", path)
+      graft.collections.Snapshot
+        .restore(s, path, "snap_restore_store", "hetero_restored")
+        .select(
+          col("id"), col("payload"),
+          vq6(col("text_embedding")).as("text_embedding_q6"),
+          vq6(col("image_embedding")).as("image_embedding_q6"),
+          vq6(col("audio_embedding")).as("audio_embedding_q6"),
+          array_join(transform(col("multi_embeddings"), sv => vq6(sv)), ";")
+            .as("multi_q6"),
+          iarr(col("keywords_indices")).as("keywords_indices_s"),
+          vq6(col("keywords_values")).as("keywords_values_q6"))
+    }),
+
     // multitenant serving: the tenant predicate is a STATIC partition
     // filter over the partitionBy(tenant) layout — the scan reads one
     // tenant's files (pruning asserted in BucketingSpec); the query
@@ -3128,6 +3152,21 @@ object SparkEntry {
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings WHERE vec_id % 3 <> 0
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    "dsv2_snapshot" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload,
+        |       CASE WHEN vec_id % 3 IN (0, 1) THEN ${duckVq6("embedding")} END AS text_embedding_q6,
+        |       CASE WHEN vec_id % 3 IN (1, 2) THEN ${duckVq6("embedding")} END AS image_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 2 THEN ${duckVq6("embedding")} END AS audio_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 0 THEN
+        |         ${duckVq6("embedding")} || ';' || ${duckVq6("list_reverse(embedding)")}
+        |       END AS multi_q6,
+        |       CASE WHEN vec_id % 3 <> 1 THEN
+        |         array_to_string(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> CAST(i - 1 AS VARCHAR)), ',')
+        |       END AS keywords_indices_s,
+        |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "tenant_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 21)

@@ -1,0 +1,80 @@
+package graft.collections
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Collection snapshot / restore — the reference host's snapshot API
+  * (create a portable archive of a collection's config + points, restore
+  * it elsewhere) re-expressed in Spark's storage model: the points as
+  * parquet (written distributed, one file per partition — at 100 TB the
+  * snapshot IS a parquet dataset, not a tar stream through one node) plus
+  * a descriptor manifest that preserves what the data alone cannot
+  * (per-field dim and metric; `CollectionDescriptor.fromSchema` would
+  * default those).
+  */
+object Snapshot {
+
+  private def manifest(desc: CollectionDescriptor): String = {
+    val fields = desc.fields.map {
+      case DenseField(n, d, m) => s"field=dense|$n|$d|$m"
+      case MultiField(n, d)    => s"field=multi|$n|$d|"
+      case SparseField(n)      => s"field=sparse|$n||"
+    }
+    (Seq(s"name=${desc.name}", s"named=${desc.named}") ++ fields).mkString("\n")
+  }
+
+  private[graft] def parseManifest(text: String, newName: String): CollectionDescriptor = {
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    def valueOf(key: String): String = lines
+      .collectFirst { case l if l.startsWith(s"$key=") => l.stripPrefix(s"$key=") }
+      .getOrElse(throw new IllegalArgumentException(s"manifest missing '$key='"))
+    val fields = lines.filter(_.startsWith("field=")).map { l =>
+      l.stripPrefix("field=").split("\\|", -1) match {
+        case Array("dense", n, d, m)  => DenseField(n, d.toInt, m)
+        case Array("multi", n, d, _)  => MultiField(n, d.toInt)
+        case Array("sparse", n, _, _) => SparseField(n)
+        case other => throw new IllegalArgumentException(
+          s"bad manifest field line: ${other.mkString("|")}")
+      }
+    }
+    CollectionDescriptor(newName, fields, named = valueOf("named").toBoolean)
+  }
+
+  /** Snapshot `collection` of the registered store `storeName` to `path`:
+    * `path/points` (parquet, full decoded frame through the connector —
+    * the read is partitioned and filter/projection-free) and
+    * `path/MANIFEST` (descriptor).
+    */
+  def create(spark: SparkSession, storeName: String, collection: String,
+             path: String): Unit = {
+    import graft.sources.CollectionStores
+    val desc = CollectionStores.get(storeName).collectionInfo(collection)
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", storeName).option("collection", collection)
+      .option("partitions", "4").load()
+      .write.mode("overwrite").parquet(s"$path/points")
+    Files.write(Paths.get(path, "MANIFEST"),
+      manifest(desc).getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Restore the snapshot at `path` as collection `newName`, registering
+    * the rebuilt store as `newStoreName`. Dim and metric come from the
+    * manifest, not schema inference, so a restored collection serves
+    * exactly like the original.
+    */
+  def restore(spark: SparkSession, path: String, newStoreName: String,
+              newName: String): DataFrame = {
+    import graft.sources.{CollectionStores, InMemoryCollectionStore}
+    val text = new String(Files.readAllBytes(Paths.get(path, "MANIFEST")),
+      StandardCharsets.UTF_8)
+    val desc = parseManifest(text, newName)
+    val points = spark.read.parquet(s"$path/points")
+    CollectionStores.register(newStoreName,
+      InMemoryCollectionStore.fromRows(points, newName, desc))
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", newStoreName).option("collection", newName)
+      .option("partitions", "4").load()
+  }
+}

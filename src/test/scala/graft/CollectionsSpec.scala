@@ -112,4 +112,33 @@ class CollectionsSpec extends AnyFunSuite {
     assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"), plan)
     assert(df.count() === 3)
   }
+
+  test("snapshot/restore round-trips points AND config the schema can't carry") {
+    import graft.sources._
+    val src = Collections.heterogeneous(spark, TestSpark.sfDir).limit(30)
+    CollectionStores.register("snap_spec_src", InMemoryCollectionStore.fromRows(
+      src, "hetero", Collections.heterogeneousDescriptor))
+    val path = java.nio.file.Files.createTempDirectory("graft-snap-spec").toString
+    Snapshot.create(spark, "snap_spec_src", "hetero", path)
+    val restored = Snapshot.restore(spark, path, "snap_spec_dst", "hetero2")
+
+    // descriptor survives EXACTLY — including the per-field metrics that
+    // fromSchema-style inference would default to cosine
+    val desc = CollectionStores.get("snap_spec_dst").collectionInfo("hetero2")
+    assert(desc.fields === Collections.heterogeneousDescriptor.fields)
+    assert(desc.name === "hetero2" && desc.named)
+    assert(desc.fields.collect { case DenseField(n, _, m) => n -> m }
+      .toMap.apply("image_embedding") === "dot")
+
+    // every point, every field round-trips (NULL absences included)
+    val a = src.orderBy("id").collect().map(_.toString).toSeq
+    val b = restored.select(src.columns.map(col): _*)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(a === b)
+
+    // the manifest parser rejects corrupt field lines
+    intercept[IllegalArgumentException] {
+      Snapshot.parseManifest("name=x\nnamed=true\nfield=weird|a|b|c", "x")
+    }
+  }
 }
