@@ -264,6 +264,13 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Shared polygon of the geo_polygon gate: (lat, lon) vertices, chosen
+    * off the integer data grid so no point sits on an edge. ONE list
+    * feeds both the engine predicate and the generated oracle SQL.
+    */
+  private val GeoPoly: Seq[(Double, Double)] = Seq(
+    (10.5, 20.5), (80.5, 10.5), (140.5, 60.5), (90.5, 170.5), (20.5, 120.5))
+
   /** Vector rendered as a comma-joined string of round(x*1e6) integers.
     * The driver's compare hashes scalar cells (array cells break its sort),
     * so queries that OUTPUT a vector serialize it; `floor(x*1e6 + 0.5)` is
@@ -1187,6 +1194,33 @@ object SparkEntry {
     "discover" -> ((s, dir) =>
       Search.discover(hom(s, dir), "vector", targetId = "0",
         context = Seq(("1", 0.5), ("2", -0.25)), k = 10)),
+
+    // the target-less context form of the discovery API: pairwise
+    // hinge score, 0 = inside every positive half-space
+    "context_search" -> ((s, dir) =>
+      Search.contextSearch(hom(s, dir), "vector",
+        pairs = Seq(("1", "2"), ("3", "4")), k = 10)),
+
+    // geo_bounding_box filter over the synthetic (lat, lon) derivation
+    // the haversine gate established — a pure map-side predicate
+    "geo_box" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          col("user_id").cast(DoubleType).as("lat"),
+          (col("event_id") % 180).cast(DoubleType).as("lon"))
+        .filter(graft.ops.Geo.inBoundingBox(col("lat"), col("lon"),
+          south = 10, north = 40, west = 20, east = 60))),
+
+    // geo_polygon filter: ray-cast containment, the SQL mirror GENERATED
+    // from the same vertex list (Geo.polygonSql) so both engines run the
+    // identical per-edge doubles
+    "geo_polygon" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          col("user_id").cast(DoubleType).as("lat"),
+          (col("event_id") % 180).cast(DoubleType).as("lon"))
+        .filter(graft.ops.Geo.pointInPolygon(col("lat"), col("lon"),
+          SparkEntry.GeoPoly))),
 
     "rrf_fusion" -> ((s, dir) => {
       val df = hom(s, dir).select("id", "vector")
@@ -2461,6 +2495,37 @@ object SparkEntry {
         |           + 0.5 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.v)
         |           + -0.25 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.v), 6) AS score
         |FROM embeddings e, t, c1, c2 WHERE e.vec_id NOT IN (0, 1, 2)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "geo_box" ->
+      """SELECT event_id, CAST(user_id AS DOUBLE) AS lat,
+        |       CAST(event_id % 180 AS DOUBLE) AS lon
+        |FROM events
+        |WHERE CAST(user_id AS DOUBLE) >= 10 AND CAST(user_id AS DOUBLE) <= 40
+        |  AND CAST(event_id % 180 AS DOUBLE) >= 20 AND CAST(event_id % 180 AS DOUBLE) <= 60
+        |ORDER BY event_id""".stripMargin,
+
+    "geo_polygon" ->
+      s"""SELECT event_id, CAST(user_id AS DOUBLE) AS lat,
+         |       CAST(event_id % 180 AS DOUBLE) AS lon
+         |FROM events
+         |WHERE ${graft.ops.Geo.polygonSql("CAST(user_id AS DOUBLE)",
+                   "CAST(event_id % 180 AS DOUBLE)", GeoPoly)}
+         |ORDER BY event_id""".stripMargin,
+
+    // left-assoc 0.0 + least(...) chain mirrors the foldLeft(lit(0.0))
+    "context_search" ->
+      """WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     n1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+        |     p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3),
+        |     n2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 4)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(0.0
+        |           + least(0.0, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p1.v)
+        |                      - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n1.v))
+        |           + least(0.0, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p2.v)
+        |                      - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n2.v)), 6) AS score
+        |FROM embeddings e, p1, n1, p2, n2 WHERE e.vec_id NOT IN (1, 2, 3, 4)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "rrf_fusion" ->

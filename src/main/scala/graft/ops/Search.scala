@@ -184,6 +184,36 @@ object Search {
       .limit(k)
   }
 
+  /** Context search — the target-less half of the discovery API: each
+    * (positive, negative) pair contributes min(0, sim(pos) - sim(neg)),
+    * so a point "inside" every pair's positive half-space scores 0 (the
+    * maximum) and each violated pair subtracts its margin. Same plan
+    * shape as [[discover]]: one 1-row broadcast per context vector, the
+    * score a map-side column fold, top-k via TakeOrderedAndProject.
+    */
+  def contextSearch(df: DataFrame, vecColName: String,
+                    pairs: Seq[(String, String)], k: Int,
+                    metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    val ctxIds = pairs.flatMap(p => Seq(p._1, p._2))
+    val base = df.filter(!col("id").isin(ctxIds: _*))
+    val withVecs = pairs.zipWithIndex.foldLeft(base) {
+      case (acc, ((pid, nid), i)) =>
+        acc.crossJoin(broadcast(
+            df.filter(col("id") === lit(pid)).select(col(vecColName).as(s"__p$i"))))
+          .crossJoin(broadcast(
+            df.filter(col("id") === lit(nid)).select(col(vecColName).as(s"__n$i"))))
+    }
+    val score = pairs.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      acc + least(lit(0.0),
+        similarity(col(vecColName), col(s"__p$i"), metric) -
+          similarity(col(vecColName), col(s"__n$i"), metric))
+    }
+    withVecs.withColumn("score", round(score, roundTo))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** V_FUSION RRF: reciprocal-rank fusion of N scored branches
     * (id, score_i). rank_i = dense rank by score desc (id tiebreak),
     * fused = sum over branches present of 1/(rrfK + rank_i); ids missing
