@@ -1201,6 +1201,11 @@ object SparkEntry {
       Search.contextSearch(hom(s, dir), "vector",
         pairs = Seq(("1", "2"), ("3", "4")), k = 10)),
 
+    // corpus-LM quality proxy: average unigram log-probability per doc,
+    // position-ordered fold so the float sum is layout-deterministic
+    "unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
+
     // geo_bounding_box filter over the synthetic (lat, lon) derivation
     // the haversine gate established — a pure map-side predicate
     "geo_box" -> ((s, dir) =>
@@ -2496,6 +2501,24 @@ object SparkEntry {
         |           + -0.25 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.v), 6) AS score
         |FROM embeddings e, t, c1, c2 WHERE e.vec_id NOT IN (0, 1, 2)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // [0.0] || lp makes list_reduce the same 0.0-seeded left fold as the
+    // engine's aggregate(_, 0.0, +); ln(cnt/total) is the identical
+    // double on both engines (the bm25 idf precedent)
+    "unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+        |                   list_filter(string_split_regex(lower(text), '\s+'),
+        |                               x -> x <> '') AS ls
+        |            FROM documents),
+        |t AS (SELECT doc_id, unnest(ls) AS tok, unnest(range(0, len(ls))) AS pos FROM tk),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS total FROM t),
+        |j AS (SELECT t.doc_id, t.pos, ln(CAST(v.cnt AS DOUBLE) / total) AS logp
+        |      FROM t, v, n WHERE t.tok = v.tok),
+        |a AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(lp) AS INTEGER) AS n_toks,
+        |       ROUND(list_reduce([0.0] || lp, (x, y) -> x + y) / len(lp), 6) AS avg_logprob
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "geo_box" ->
       """SELECT event_id, CAST(user_id AS DOUBLE) AS lat,

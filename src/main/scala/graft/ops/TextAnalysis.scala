@@ -499,6 +499,38 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Per-document average unigram log-probability under the corpus's own
+    * unigram LM — the classic cheap LM-quality proxy for training-data
+    * filtering (rare-token soup scores low, plain prose scores high).
+    *
+    * Two passes in one plan: token counts (one partial-aggregating
+    * shuffle on token — at 100 TB the vocab frame is Zipf-small compared
+    * to the corpus), then a token->count join and a per-document ORDERED
+    * fold (array_sort(collect_list(struct(pos, logp))) then a
+    * left-assoc sum) so the floating sum is position-deterministic on any
+    * partitioning — groupBy sum of doubles would not be. The 1-row total
+    * broadcasts.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("logp",
+        log(col("cnt").cast(DoubleType) / col("total")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
+      .select(col(idCol),
+        size(col("__lp")).as("n_toks"),
+        round(
+          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
+            size(col("__lp")), 6).as("avg_logprob"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -327,4 +327,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.count() === 500)
     assert(out.filter(col("fingerprint").isNull).count() === 0)
   }
+
+  test("unigramLogProb: frequent-token prose outscores rare-token soup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the mat"),
+      (3L, "zyx qwv jkl pqr xxq zzt")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(out.values.forall(_._1 == 6))
+    // every token of doc 3 is a hapax -> strictly lower avg logprob
+    assert(out(3L)._2 < out(1L)._2 && out(3L)._2 < out(2L)._2, out)
+    // all probabilities < 1 -> negative scores
+    assert(out.values.forall(_._2 < 0))
+  }
 }
