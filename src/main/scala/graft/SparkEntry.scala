@@ -2011,6 +2011,24 @@ object SparkEntry {
     "tenant_stats" -> ((s, dir) =>
       graft.ops.Tenant.tenantStats(SparkEntry.tenantStore(s, dir), "tenant")),
 
+    // three-tier cascade: 1-bit Hamming page (200) -> int8 approx cut
+    // (50) -> exact top-10. The oracle mirrors ALL THREE stages including
+    // the int8 scale/round arithmetic — the first value-pin of the
+    // quantizer itself (quantized_search pins only the margin contract)
+    "cascade_rerank" -> ((s, dir) => {
+      val corpus = hom(s, dir).select("id", "vector").filter(col("id") =!= "23")
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 23)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      graft.ops.Quant.cascadeSearch(
+          SparkEntry.storedBits(s, dir).filter(col("id") =!= "23"),
+          SparkEntry.storedCodes(s, dir).filter(col("id") =!= "23"),
+          corpus, "id", "vector", "v1_bits", "v8_codes", "v8_scale", qvec,
+          k = 50, midK = 50, candidateK = 200)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
     // facet API: top-N payload values by count under a filter
     "facet_counts" -> ((s, dir) =>
       Search.facet(
@@ -2031,6 +2049,16 @@ object SparkEntry {
         .transform(d => Search.scrollByField(
           d.select(col("id"), col("label")),
           col("label"), col("id"), lit(1), lit("17"), n = 10))),
+
+    // rendezvous (HRW) resharding: argmax-of-hash assignment, so growing
+    // 8 -> 9 shards moves only the rows the NEW shard wins (~1/9) —
+    // resharding as incremental copy, not full reshuffle
+    "rendezvous_reshard" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id")
+      val a8 = graft.ops.Pipeline.rendezvousAssign(base, "doc_id", 8, "s8")
+      val a9 = graft.ops.Pipeline.rendezvousAssign(base, "doc_id", 9, "s9")
+      a8.join(a9, "doc_id").withColumn("moved", col("s8") =!= col("s9"))
+    }),
 
     // deterministic training-shard manifest: md5-permutation shard
     // assignment (engine-independent, layout-independent) + per-shard
@@ -3236,6 +3264,29 @@ object SparkEntry {
         |FROM c, q
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
+    // all three cascade stages mirrored: sign-mismatch Hamming page,
+    // int8 quantizer (scale = float32(absmax/127), HALF-AWAY rounding,
+    // (intsum * sA) * sB approx-dot — the exact kernel arithmetic), then
+    // exact-dot rerank. No margin assumption anywhere.
+    "cascade_rerank" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 23),
+        |qs AS (SELECT qv, CAST(CAST(list_max(list_transform(qv, x -> abs(x))) / 127.0 AS FLOAT) AS DOUBLE) AS s FROM q),
+        |qc AS (SELECT qv, s, list_transform(qv, x -> CASE WHEN x >= 0 THEN floor(x / s + 0.5) ELSE ceil(x / s - 0.5) END) AS c FROM qs),
+        |e AS (SELECT CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id <> 23),
+        |s1 AS (SELECT e.id, e.v,
+        |              len(list_filter(range(1, len(e.v) + 1),
+        |                  i -> (e.v[i] > 0) <> (q.qv[i] > 0))) AS ham
+        |       FROM e, q ORDER BY ham ASC, id ASC LIMIT 200),
+        |es AS (SELECT id, v, CAST(CAST(list_max(list_transform(v, x -> abs(x))) / 127.0 AS FLOAT) AS DOUBLE) AS s FROM s1),
+        |ec AS (SELECT id, v, s, list_transform(v, x -> CASE WHEN x >= 0 THEN floor(x / s + 0.5) ELSE ceil(x / s - 0.5) END) AS c FROM es),
+        |s2 AS (SELECT ec.id, ec.v,
+        |              (list_reduce(list_transform(range(1, len(ec.c) + 1),
+        |                  i -> ec.c[i] * qc.c[i]), (a, b) -> a + b) * ec.s) * qc.s AS approx
+        |       FROM ec, qc ORDER BY approx DESC, id ASC LIMIT 50)
+        |SELECT s2.id, ROUND(list_inner_product(s2.v, q.qv), 6) AS score
+        |FROM s2, q ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
     "facet_counts" ->
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings WHERE vec_id % 3 <> 0
@@ -3285,6 +3336,18 @@ object SparkEntry {
         |FROM embeddings
         |WHERE label > 1 OR (label = 1 AND CAST(vec_id AS VARCHAR) > '17')
         |ORDER BY label ASC, id ASC LIMIT 10""".stripMargin,
+
+    "rendezvous_reshard" ->
+      """WITH s AS (SELECT doc_id, i,
+        |                  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)) AS h
+        |           FROM documents, range(0, 9) r(i)),
+        |a8 AS (SELECT doc_id, CAST(arg_max(i, h) AS INTEGER) AS s8
+        |       FROM s WHERE i < 8 GROUP BY doc_id),
+        |a9 AS (SELECT doc_id, CAST(arg_max(i, h) AS INTEGER) AS s9
+        |       FROM s GROUP BY doc_id)
+        |SELECT a8.doc_id, a8.s8, a9.s9, a8.s8 <> a9.s9 AS moved
+        |FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+        |ORDER BY a8.doc_id""".stripMargin,
 
     "shard_export" ->
       """SELECT CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15)) AS UBIGINT) AS BIGINT) % 8 AS shard,

@@ -66,4 +66,23 @@ object Pipeline {
     val near = dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
     annotate(near, idCol, textCol).filter(col("quality") >= minQuality)
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: shard(row) =
+    * argmax over shards of md5(id # shard). Unlike the mod-N assignment
+    * ([[graft.SparkEntry]]'s shard_export), growing N -> N+1 moves only
+    * ~1/(N+1) of the rows (the ones the NEW shard wins) — the property
+    * that makes resharding a 100 TB dataset an incremental copy instead
+    * of a full reshuffle. Pure map-side arithmetic until one
+    * partial-aggregating argmax per row; deterministic on any engine
+    * (md5 hex compares bytewise in both).
+    */
+  def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
+                       out: String = "shard"): DataFrame = {
+    require(nShards >= 1)
+    df.withColumn("__i", explode(sequence(lit(0), lit(nShards - 1))))
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit("#"),
+        col("__i").cast("string"))))
+      .groupBy(df.columns.map(col): _*)
+      .agg(max_by(col("__i"), col("__h")).cast("int").as(out))
+  }
 }

@@ -133,4 +133,47 @@ object Quant {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Three-tier cascade — the oversample-and-rescore serving pattern:
+    * 1-bit Hamming candidates (`candidateK`, scans 1/32 of the bytes) ->
+    * int8 approximate-dot cut (`midK`, 1/4 of the bytes, touches only the
+    * candidateK winners) -> exact full-precision top-k (touches only the
+    * midK winners). Each stage reads ITS OWN stored artifact and fetches
+    * the next stage's rows by broadcast id semi-join, so per-query bytes
+    * shrink geometrically while every stage stays deterministic (id
+    * tiebreaks). The driver gate mirrors ALL THREE stages in DuckDB —
+    * including the int8 scale/round arithmetic — so the cascade is
+    * value-pinned, not margin-assumed.
+    */
+  def cascadeSearch(bits: DataFrame, quantized: DataFrame, full: DataFrame,
+                    idCol: String, vecCol: String, bitsCol: String,
+                    codesCol: String, scaleCol: String,
+                    query: Seq[Double], k: Int, midK: Int,
+                    candidateK: Int): DataFrame = {
+    val q = bits.sparkSession.range(1).select(vec(query).as("__qv"))
+    val qb = broadcast(q.select(pack_sign_bits(col("__qv")).as("__qb")))
+    val (qCodes, qScale) = quantize(col("__qv"))
+    val qq = broadcast(q.select(qCodes.as("__qc"), qScale.as("__qs")))
+    val c1 = bits.select(col(idCol), col(bitsCol))
+      .crossJoin(qb)
+      .withColumn("__ham", v_hamming(col(bitsCol), col("__qb")))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    val c2 = quantized.select(col(idCol), col(codesCol), col(scaleCol))
+      .join(broadcast(c1), Seq(idCol))
+      .crossJoin(qq)
+      .withColumn("__approx", dotQuantized(
+        col(codesCol), col(scaleCol), col("__qc"), col("__qs")))
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(midK)
+      .select(col(idCol))
+    full.select(col(idCol), col(vecCol))
+      .join(broadcast(c2), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", v_dot(col(vecCol), col("__qv")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }
