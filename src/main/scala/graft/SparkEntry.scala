@@ -90,6 +90,16 @@ object SparkEntry {
         .select("id", "v1_bits")
         .localCheckpoint())
 
+  /** Stored Matryoshka prefix (first 16 dims) for the corpus of `dir` —
+    * the MRL serving artifact: the candidate stage reads 1/4 of the
+    * vector bytes.
+    */
+  private def storedPrefix(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#mrl",
+      hom(s, dir).select(col("id"),
+        slice(col("vector"), 1, 16).as("v16"))
+        .localCheckpoint())
+
   /** Multitenant layout for the corpus of `dir`: the collection written
     * `partitionBy(tenant)` ONCE (tenant = "t" + payload label — prefixed
     * so partition-value inference keeps the column a string), read back
@@ -1232,6 +1242,29 @@ object SparkEntry {
       val b1 = Search.topKById(df, "vector", "0", 50, "cosine").select("id", "score")
       val b2 = Search.topKById(df, "vector", "1", 50, "dot").select("id", "score")
       Search.fuseRRF(Seq(b1, b2), k = 20)
+    }),
+
+    // the distribution-based alternative to RRF over the same branches:
+    // per-branch 3-sigma normalization from EXACT micro-integer moments
+    "dbsf_fusion" -> ((s, dir) => {
+      val df = hom(s, dir).select("id", "vector")
+      val b1 = Search.topKById(df, "vector", "0", 50, "cosine").select("id", "score")
+      val b2 = Search.topKById(df, "vector", "1", 50, "dot").select("id", "score")
+      Search.fuseDBSF(Seq(b1, b2), k = 20)
+    }),
+
+    // Matryoshka serving: 16-dim stored-prefix candidates (1/4 of the
+    // bytes), full 64-dim exact rerank; oracle mirrors BOTH stages
+    "matryoshka_search" -> ((s, dir) => {
+      val corpus = hom(s, dir).select("id", "vector").filter(col("id") =!= "29")
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 29)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Search.matryoshkaSearch(
+          SparkEntry.storedPrefix(s, dir).filter(col("id") =!= "29"), corpus,
+          "id", "vector", "v16", qvec, prefixDim = 16, k = 50, candidateK = 50)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
     }),
 
     "prefetch_rerank" -> ((s, dir) => {
@@ -2596,6 +2629,46 @@ object SparkEntry {
         |       ROUND(COALESCE(1.0 / (60 + b1.rn), 0) + COALESCE(1.0 / (60 + b2.rn), 0), 6) AS fused_score
         |FROM b1 FULL OUTER JOIN b2 ON b1.id = b2.id
         |ORDER BY fused_score DESC, id ASC LIMIT 20""".stripMargin,
+
+    // micro-integer moments (exact BIGINT sums) -> identical double
+    // normalization arithmetic on both engines
+    "dbsf_fusion" ->
+      """WITH q0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+        |     q1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     b1 AS (SELECT id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS si FROM (
+        |       SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q0.v), 6) AS score
+        |       FROM embeddings e, q0 WHERE e.vec_id <> 0
+        |       ORDER BY score DESC, id ASC LIMIT 50)),
+        |     b2 AS (SELECT id, CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS si FROM (
+        |       SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q1.v), 6) AS score
+        |       FROM embeddings e, q1 WHERE e.vec_id <> 1
+        |       ORDER BY score DESC, id ASC LIMIT 50)),
+        |     s1 AS (SELECT CAST(SUM(si) AS DOUBLE) / COUNT(*) AS mean,
+        |                   CAST(SUM(si * si) AS DOUBLE) / COUNT(*) AS ex2 FROM b1),
+        |     s2 AS (SELECT CAST(SUM(si) AS DOUBLE) / COUNT(*) AS mean,
+        |                   CAST(SUM(si * si) AS DOUBLE) / COUNT(*) AS ex2 FROM b2),
+        |     z1 AS (SELECT id, (CAST(si AS DOUBLE) - mean + 3.0 * sqrt(ex2 - mean * mean))
+        |                       / (6.0 * sqrt(ex2 - mean * mean)) AS z FROM b1, s1),
+        |     z2 AS (SELECT id, (CAST(si AS DOUBLE) - mean + 3.0 * sqrt(ex2 - mean * mean))
+        |                       / (6.0 * sqrt(ex2 - mean * mean)) AS z FROM b2, s2)
+        |SELECT COALESCE(z1.id, z2.id) AS id,
+        |       ROUND(COALESCE(z1.z, 0.0) + COALESCE(z2.z, 0.0), 6) AS fused_score
+        |FROM z1 FULL OUTER JOIN z2 ON z1.id = z2.id
+        |ORDER BY fused_score DESC, id ASC LIMIT 20""".stripMargin,
+
+    // both stages mirrored: 16-dim prefix dot candidates, full rerank
+    "matryoshka_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 29),
+        |c AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |             CAST(e.embedding AS DOUBLE[]) AS v,
+        |             list_inner_product(CAST(e.embedding AS DOUBLE[])[1:16], q.qv[1:16]) AS ps
+        |      FROM embeddings e, q WHERE e.vec_id <> 29
+        |      ORDER BY ps DESC, id ASC LIMIT 50)
+        |SELECT c.id, ROUND(list_inner_product(c.v, q.qv), 6) AS score
+        |FROM c, q
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "prefetch_rerank" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -184,6 +184,69 @@ object Search {
       .limit(k)
   }
 
+  /** Distribution-based score fusion (the reference host's `dbsf` option
+    * beside RRF): each branch's scores are normalized to
+    * (score - (mean - 3sd)) / (6sd) using that branch's own distribution,
+    * then summed (absent-in-branch contributes 0). The moments are
+    * computed over EXACT micro-integer scores (branch scores arrive
+    * 6dp-rounded, so floor(s*1e6+0.5) is lossless): integer sums are
+    * order-independent, which makes the fused output identical on any
+    * partitioning — a double avg/stddev would not be. The 1-row stats
+    * frame broadcasts per branch.
+    */
+  def fuseDBSF(branches: Seq[DataFrame], k: Int, roundTo: Int = 6): DataFrame = {
+    val normed = branches.zipWithIndex.map { case (b, i) =>
+      val micro = b.select(col("id"),
+        floor(col("score") * 1e6 + lit(0.5)).cast("long").as("__si"))
+      val stats = micro.agg(
+        sum(col("__si")).as("__s1"),
+        sum(col("__si") * col("__si")).as("__s2"),
+        count(lit(1)).as("__n"))
+      val mean = col("__s1").cast("double") / col("__n")
+      val ex2 = col("__s2").cast("double") / col("__n")
+      val sd = sqrt(ex2 - mean * mean)
+      micro.crossJoin(broadcast(stats))
+        .select(col("id"),
+          ((col("__si").cast("double") - mean + lit(3.0) * sd) /
+            (lit(6.0) * sd)).as(s"__z$i"))
+    }
+    val joined = normed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val fused = normed.indices.map(i => coalesce(col(s"__z$i"), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("fused_score", round(fused, roundTo))
+      .select(col("id"), col("fused_score"))
+      .orderBy(col("fused_score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Matryoshka (MRL) two-stage search: candidates scored on the first
+    * `prefixDim` dimensions from a PREFIX frame materialized once at
+    * ingest (at scale a stored column — reading 1/4 of the vector bytes
+    * is the point), exact full-dimension rerank over the `candidateK`
+    * winners via broadcast id fetch. Ties broken by id at both stages, so
+    * the result is deterministic at any recall level.
+    */
+  def matryoshkaSearch(prefix: DataFrame, full: DataFrame,
+                       idCol: String, vecCol: String, prefixCol: String,
+                       query: Seq[Double], prefixDim: Int, k: Int,
+                       candidateK: Int): DataFrame = {
+    val q = full.sparkSession.range(1).select(vec(query).as("__qv"))
+    val qp = broadcast(q.select(slice(col("__qv"), 1, prefixDim).as("__qp")))
+    val cands = prefix.select(col(idCol), col(prefixCol))
+      .crossJoin(qp)
+      .withColumn("__ps", v_dot(col(prefixCol), col("__qp")))
+      .orderBy(col("__ps").desc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", v_dot(col(vecCol), col("__qv")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Context search — the target-less half of the discovery API: each
     * (positive, negative) pair contributes min(0, sim(pos) - sim(neg)),
     * so a point "inside" every pair's positive half-space scores 0 (the

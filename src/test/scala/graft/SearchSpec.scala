@@ -174,6 +174,48 @@ class SearchSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("fuseDBSF is layout-independent and favors the branch-agreed id") {
+    import graft.ops.Search
+    val b1 = Seq(("a", 0.9), ("b", 0.8), ("c", 0.1)).toDF("id", "score")
+    val b2 = Seq(("a", 0.7), ("c", 0.6), ("d", 0.2)).toDF("id", "score")
+    val fused = Search.fuseDBSF(Seq(b1, b2), k = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // "a" tops both branches' distributions -> highest fused z
+    assert(fused.head._1 == "a", fused)
+    assert(fused.map(_._1).toSet == Set("a", "b", "c", "d"))
+    // exact-integer moments: identical values under a different layout
+    val fused2 = Search.fuseDBSF(
+      Seq(b1.repartition(7), b2.repartition(3)), k = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(fused2 == fused)
+  }
+
+  test("matryoshkaSearch reranks prefix candidates with full-precision scores") {
+    import graft.ops.Search
+    val q = homD.filter(col("id") === "0").head().getSeq[Double](2)
+    val prefix = homD.select(col("id"), slice(col("vector"), 1, 16).as("v16"))
+    val got = Search.matryoshkaSearch(
+      prefix.filter(col("id") =!= "0"), homD.filter(col("id") =!= "0"),
+      "id", "vector", "v16", q, prefixDim = 16, k = 10, candidateK = 100)
+    val rows = got.collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // equals the independently-composed two-stage reference: prefix-dot
+    // top-100 ids, exact-dot top-10 among them (no recall assumption —
+    // on uniform vectors a 16-dim prefix is a weak proxy by design)
+    val candIds = homD.filter(col("id") =!= "0")
+      .select(col("id"),
+        v_dot(slice(col("vector"), 1, 16), vec(q.take(16))).as("ps"))
+      .orderBy(col("ps").desc, col("id").asc).limit(100)
+      .select("id").as[String].collect().toSet
+    val expect = graft.ops.Ann.bruteForce(
+        homD.filter(col("id").isin(candIds.toSeq: _*)), "id", "vector",
+        vec(q), 10, "dot")
+      .select("id").as[String].collect().toSeq
+    assert(rows.map(_.getString(0)).toSeq == expect)
+  }
+
   test("facet counts the payload values, most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c")
       .map(v => s"""{"k":"$v"}""").toDF("payload")
