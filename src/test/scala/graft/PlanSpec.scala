@@ -223,4 +223,38 @@ class PlanSpec extends AnyFunSuite {
     val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
     assert(!exch.contains("a_v") && !exch.contains("b_v"), exch)
   }
+
+  test("bq_search: candidate stage is take-ordered over packed bits; rerank joins broadcast") {
+    val p = plan("bq_search")
+    // two TakeOrdered stages (hamming page, exact rerank), no global sort
+    assert(count(p, "TakeOrderedAndProject") >= 2, p)
+    assert(!p.contains("SortExec"), p)
+    // candidate ids flow into the full-precision fetch as a broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("cascade_rerank: three take-ordered tiers, id fetches broadcast, no shuffle of the corpus") {
+    val p = plan("cascade_rerank")
+    // hamming page -> int8 cut -> exact top-k
+    assert(count(p, "TakeOrderedAndProject") >= 3, p)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("SortExec"), p)
+    // no hash exchange carries vector payloads — candidate id sets move,
+    // vectors are fetched in place
+    val exch = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString
+    assert(!exch.contains("vector"), exch)
+  }
+
+  test("facet_counts: partial aggregation before the exchange, top-N take-ordered") {
+    val p = plan("facet_counts")
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("matryoshka_search: prefix candidates take-ordered, full vectors only in rerank") {
+    val p = plan("matryoshka_search")
+    assert(count(p, "TakeOrderedAndProject") >= 2, p)
+    assert(!p.contains("SortExec"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
