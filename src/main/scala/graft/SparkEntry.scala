@@ -1211,6 +1211,21 @@ object SparkEntry {
       Search.contextSearch(hom(s, dir), "vector",
         pairs = Seq(("1", "2"), ("3", "4")), k = 10)),
 
+    // per-label element-wise centroid as a DISTRIBUTED frame (nothing
+    // collected): the Lloyd's-update DECIMAL arithmetic applied to
+    // arbitrary groups — the oracle mirrors the quantize/sum/divide chain
+    "label_centroids" -> ((s, dir) =>
+      Ann.groupCentroids(
+        Tables.load(s, dir, "embeddings")
+          .select(col("label"), dvec(col("embedding")).as("v")),
+        "label", "v")),
+
+    // rolling 3-event sum/count per user (ROWS frame): DECIMAL
+    // accumulation makes the running sums engine-portable
+    "rolling_avg" -> ((s, dir) =>
+      graft.ops.TimeSeries.rollingSum(
+        events(s, dir), "user_id", "ts", "event_id", "value", window = 3)),
+
     // corpus-LM quality proxy: average unigram log-probability per doc,
     // position-ordered fold so the float sum is layout-deterministic
     "unigram_logprob" -> ((s, dir) =>
@@ -2562,6 +2577,25 @@ object SparkEntry {
         |           + -0.25 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c2.v), 6) AS score
         |FROM embeddings e, t, c1, c2 WHERE e.vec_id NOT IN (0, 1, 2)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // floor(x * 2^40) HUGEINT sums (order-independent), then the same
+    // (sum / n) / S division chain as the engine
+    "label_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS d, count(*) AS n,
+        |       ROUND(CAST(SUM(CAST(floor(v[i + 1] * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+        |             / count(*) / 1099511627776.0, 6) AS mean
+        |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     range(0, 64) r(i)
+        |GROUP BY label, i ORDER BY label, d""".stripMargin,
+
+    "rolling_avg" ->
+      """SELECT event_id, user_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS roll_sum,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // [0.0] || lp makes list_reduce the same 0.0-seeded left fold as the
     // engine's aggregate(_, 0.0, +); ln(cnt/total) is the identical

@@ -203,6 +203,28 @@ object Ann {
     */
   val CentroidQuantScale: Long = 1L << 40
 
+  /** Per-group element-wise vector mean (label centroids, user profiles,
+    * cluster summaries) as a DISTRIBUTED frame — unlike [[fitCentroids]]
+    * nothing is collected, so group count is unbounded. Same
+    * order-independent arithmetic as the Lloyd's update: elements
+    * quantize to floor(x * 2^40), sums accumulate in DECIMAL with
+    * map-side partials, one shuffle carries (group, dim) partial rows
+    * instead of vectors. Output one row per (group, d): the oracle
+    * mirrors the division chain exactly.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val S = CentroidQuantScale.toDouble
+    df.select(col(groupCol),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("d", "x")))
+      .groupBy(col(groupCol), col("d"))
+      .agg(sum(floor(col("x") * lit(S)).cast(DecimalType(38, 0))).as("__s"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("d"), col("n"),
+        round(col("__s").cast(DoubleType) / col("n") / lit(S), roundTo)
+          .as("mean"))
+  }
+
   /** Lloyd's KMeans built from the engine's own kernels: assignment is a
     * codegen'd argmin over broadcast centroid literals (v_euclid); the
     * recompute step sums quantized elements in DECIMAL (see

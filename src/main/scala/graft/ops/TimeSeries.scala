@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType, StructType}
 
 /** Time-series operators: sessionization and as-of joins — the two shapes
   * event pipelines always need and plain SQL joins express badly.
@@ -81,5 +81,24 @@ object TimeSeries {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightCols.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
+  }
+
+  /** Rolling window aggregate per key: sum + count of `valueCol` over the
+    * last `window` rows ordered by (`tsCol`, `tieCol`). The value
+    * accumulates in exact DECIMAL, so the running sums are
+    * order-independent and engine-portable (the user_stats_final money
+    * rule applied to a ROWS frame); one shuffle on the key, the frame
+    * walk is a single pass per partition.
+    */
+  def rollingSum(df: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(-(window - 1), 0)
+    df.select(col(tieCol), col(keyCol),
+      sum(col(valueCol).cast(DecimalType(18, 4))).over(w)
+        .cast(StringType).as("roll_sum"),
+      count(lit(1)).over(w).as("n"))
   }
 }
