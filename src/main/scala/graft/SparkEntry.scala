@@ -686,6 +686,38 @@ object SparkEntry {
     // cosine kernel ranks the store-decoded vectors — the heterogeneous
     // analog of dsv2_vector_search (reference e2e.rs:214-238 searches a
     // named field of the same collection shape)
+    // the flagship hybrid shape THROUGH the connector: dense (named
+    // field) + sparse branches from the same store round-trip, fused by
+    // RRF — reference e2e hybrid query re-expressed
+    "dsv2_hybrid" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("hy_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      val base = s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "hy_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+      val qd = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val dense = base
+        .filter(col("id") =!= "0" && col("text_embedding").isNotNull)
+        .select(col("id"),
+          round(v_cosine(dvec(col("text_embedding")), vec(qd)), 6).as("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(50)
+      val sp = base
+        .select(col("id"), col("keywords_indices").as("ki"),
+          col("keywords_values").cast(ArrayType(DoubleType)).as("kv"))
+        .filter(col("ki").isNotNull)
+      val qs = sp.filter(col("id") === "0")
+        .select(col("ki").as("qi"), col("kv").as("qv"))
+      val sparse = sp.filter(col("id") =!= "0").crossJoin(broadcast(qs))
+        .withColumn("score",
+          round(v_sparse_dot(col("ki"), col("kv"), col("qi"), col("qv")), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc).limit(50)
+      Search.fuseRRF(Seq(dense, sparse), k = 20)
+    }),
+
     "dsv2_hetero_search" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("hs_store", InMemoryCollectionStore.fromRows(
@@ -2388,6 +2420,27 @@ object SparkEntry {
 
     // sparse keywords field holds the strictly-positive embedding
     // positions; present where vec_id % 3 <> 1 (query = vec_id 0's)
+    // dense branch = dsv2_hetero_search mirror, sparse branch =
+    // dsv2_sparse_search mirror, fused with the rrf_fusion formula
+    "dsv2_hybrid" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |b1 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 IN (0, 1)
+        |  ORDER BY score DESC, id ASC LIMIT 50)),
+        |b2 AS (SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |               i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                    THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 <> 1
+        |  ORDER BY score DESC, id ASC LIMIT 50))
+        |SELECT COALESCE(b1.id, b2.id) AS id,
+        |       ROUND(COALESCE(1.0 / (60 + b1.rn), 0) + COALESCE(1.0 / (60 + b2.rn), 0), 6) AS fused_score
+        |FROM b1 FULL OUTER JOIN b2 ON b1.id = b2.id
+        |ORDER BY fused_score DESC, id ASC LIMIT 20""".stripMargin,
+
     "dsv2_sparse_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,

@@ -117,6 +117,8 @@ object Quant {
   def searchStoredBits(bits: DataFrame, full: DataFrame,
                        idCol: String, vecCol: String, bitsCol: String,
                        query: Seq[Double], k: Int, candidateK: Int): DataFrame = {
+    require(k >= 1 && k <= candidateK,
+      s"searchStoredBits needs 1 <= k <= candidateK, got k=$k candidateK=$candidateK")
     val q = bits.sparkSession.range(1).select(vec(query).as("__qv"))
     val qq = broadcast(q.select(pack_sign_bits(col("__qv")).as("__qb")))
     val cands = bits.select(col(idCol), col(bitsCol))
@@ -150,6 +152,8 @@ object Quant {
                     codesCol: String, scaleCol: String,
                     query: Seq[Double], k: Int, midK: Int,
                     candidateK: Int): DataFrame = {
+    require(k >= 1 && k <= midK && midK <= candidateK,
+      s"cascadeSearch needs 1 <= k <= midK <= candidateK, got k=$k midK=$midK candidateK=$candidateK")
     val q = bits.sparkSession.range(1).select(vec(query).as("__qv"))
     val qb = broadcast(q.select(pack_sign_bits(col("__qv")).as("__qb")))
     val (qCodes, qScale) = quantize(col("__qv"))

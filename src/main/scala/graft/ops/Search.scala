@@ -195,6 +195,7 @@ object Search {
     * frame broadcasts per branch.
     */
   def fuseDBSF(branches: Seq[DataFrame], k: Int, roundTo: Int = 6): DataFrame = {
+    require(branches.nonEmpty, "fuseDBSF needs at least one branch")
     val normed = branches.zipWithIndex.map { case (b, i) =>
       val micro = b.select(col("id"),
         floor(col("score") * 1e6 + lit(0.5)).cast("long").as("__si"))
@@ -230,6 +231,8 @@ object Search {
                        idCol: String, vecCol: String, prefixCol: String,
                        query: Seq[Double], prefixDim: Int, k: Int,
                        candidateK: Int): DataFrame = {
+    require(prefixDim >= 1 && k >= 1 && k <= candidateK,
+      s"matryoshkaSearch needs prefixDim >= 1 and 1 <= k <= candidateK, got prefixDim=$prefixDim k=$k candidateK=$candidateK")
     val q = full.sparkSession.range(1).select(vec(query).as("__qv"))
     val qp = broadcast(q.select(slice(col("__qv"), 1, prefixDim).as("__qp")))
     val cands = prefix.select(col(idCol), col(prefixCol))
@@ -356,13 +359,15 @@ object Search {
     * at 100 TB the map-side combine means the shuffle carries one row per
     * (partition, value), not per point.
     */
-  def facet(df: DataFrame, payloadCol: Column, key: String, topN: Int): DataFrame =
+  def facet(df: DataFrame, payloadCol: Column, key: String, topN: Int): DataFrame = {
+    require(topN >= 1, s"facet needs topN >= 1, got $topN")
     df.select(get_json_object(payloadCol, s"$$.$key").as("value"))
       .filter(col("value").isNotNull)
       .groupBy(col("value"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("value").asc)
       .limit(topN)
+  }
 
   /** Distance matrix (the reference host's search-matrix API): take a
     * deterministic sample of `sampleN` points (same md5 permutation as

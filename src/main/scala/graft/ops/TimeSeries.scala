@@ -92,6 +92,7 @@ object TimeSeries {
     */
   def rollingSum(df: DataFrame, keyCol: String, tsCol: String,
                  tieCol: String, valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"rollingSum needs window >= 1, got $window")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col(tieCol).asc)

@@ -216,6 +216,25 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == expect)
   }
 
+  test("new operators reject malformed arguments eagerly") {
+    import graft.ops.{Quant, Search, TimeSeries}
+    val df = Seq(("a", Seq(1f))).toDF("id", "vector")
+    intercept[IllegalArgumentException] {
+      Quant.searchStoredBits(df, df, "id", "vector", "b", Seq(1.0), k = 20, candidateK = 10) }
+    intercept[IllegalArgumentException] {
+      Quant.cascadeSearch(df, df, df, "id", "vector", "b", "c", "s",
+        Seq(1.0), k = 10, midK = 5, candidateK = 20) }
+    intercept[IllegalArgumentException] {
+      Search.matryoshkaSearch(df, df, "id", "vector", "p", Seq(1.0), 0, 10, 20) }
+    intercept[IllegalArgumentException] { Search.fuseDBSF(Seq.empty, k = 5) }
+    intercept[IllegalArgumentException] {
+      Search.facet(df, col("id"), "k", topN = 0) }
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingSum(df, "id", "id", "id", "id", window = 0) }
+    intercept[IllegalArgumentException] {
+      graft.ops.Geo.pointInPolygon(col("id"), col("id"), Seq((0.0, 0.0))) }
+  }
+
   test("facet counts the payload values, most frequent first") {
     val df = Seq("a", "a", "a", "b", "b", "c")
       .map(v => s"""{"k":"$v"}""").toDF("payload")
