@@ -417,6 +417,35 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** ann_ivfbq oracle: the maxIter=0 coarse chain prunes to the nprobe
+    * probed clusters, the candidate page is the per-dimension
+    * sign-mismatch count (= the engine's packed-word Hamming distance),
+    * the rerank is exact cosine over the candidate page. Mirrors every
+    * stage — no margin assumption.
+    */
+  def ivfBqSql(queryVecId: Int, k: Int, candidateK: Int, dim: Int,
+               nlist: Int, nprobe: Int, seed: Long): String = {
+    val (chain, finalAsg) = ivfChain(
+      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings""".stripMargin,
+      dim, nlist, 0, seed)
+    s"""WITH $chain,
+       |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),
+       |probed AS (
+       |  SELECT c.cluster FROM cents0 c, q
+       |  ORDER BY ${euclidSql("c.c", "q.qv", dim)}, c.cluster
+       |  LIMIT $nprobe),
+       |cand AS (
+       |  SELECT t.id, t.v,
+       |         len(list_filter(range(1, ${dim + 1}),
+       |             i -> (t.v[i] > 0) <> (q.qv[i] > 0))) AS ham
+       |  FROM asg$finalAsg t JOIN probed USING (cluster), q
+       |  ORDER BY ham ASC, id ASC LIMIT $candidateK)
+       |SELECT cand.id, ROUND(list_cosine_similarity(cand.v, q.qv), 6) AS score
+       |FROM cand, q
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   /** ann_ivf_refit oracle: the index-maintenance REFIT — the corpus plus
     * a DRIFTED cohort (every vec_id % 3 = 0 re-embedded, shifted +1.5 per
     * dimension under a fresh 'd'-prefixed id) is refit from scratch

@@ -90,6 +90,20 @@ object SparkEntry {
         .select("id", "v1_bits")
         .localCheckpoint())
 
+  /** IVF-partitioned sign bits: the `#probe` index's clusters carrying
+    * 1-bit rows, written partitionBy(cluster) — a query reads
+    * nprobe/nlist of the files AND each row is 1/32 width.
+    */
+  private def ivfBqBits(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#ivfbq", {
+      val (_, stored, _) = ivfStored(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfbq-bits").toString
+      graft.ops.Quant.packSignColumn(stored, "vector", "v1")
+        .select("id", "v1_bits", "cluster")
+        .write.mode("overwrite").partitionBy("cluster").parquet(path)
+      s.read.parquet(path)
+    })
+
   /** Stored Matryoshka prefix (first 16 dims) for the corpus of `dir` —
     * the MRL serving artifact: the candidate stage reads 1/4 of the
     * vector bytes.
@@ -2091,6 +2105,17 @@ object SparkEntry {
     "tenant_stats" -> ((s, dir) =>
       graft.ops.Tenant.tenantStats(SparkEntry.tenantStore(s, dir), "tenant")),
 
+    // IVF + BQ: coarse quantizer prunes to nprobe/nlist of the
+    // partitioned 1-bit files, Hamming page, exact rerank — the cheapest
+    // tier that still partition-prunes; every stage oracle-mirrored
+    "ann_ivfbq" -> ((s, dir) => {
+      val (cent, stored, _) = SparkEntry.ivfStored(s, dir)
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 31)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchIvfBqStored(SparkEntry.ivfBqBits(s, dir), cent, stored,
+        "id", "vector", "v1_bits", qvec, k = 10, nprobe = 2, candidateK = 100)
+    }),
+
     // three-tier cascade: 1-bit Hamming page (200) -> int8 approx cut
     // (50) -> exact top-10. The oracle mirrors ALL THREE stages including
     // the int8 scale/round arithmetic — the first value-pin of the
@@ -2928,6 +2953,11 @@ object SparkEntry {
     "ann_ivfpq_residual" -> DuckMirror.ivfPqResidualSql(
       queryVecId = 19, k = 10, candidateK = 50, dim = 64, m = 4,
       ksub = 16, pqMaxIter = 1, nlist = 8, nprobe = 2, seed = 42L),
+
+    // IVF coarse chain + sign-mismatch Hamming page + exact rerank
+    "ann_ivfbq" -> DuckMirror.ivfBqSql(
+      queryVecId = 31, k = 10, candidateK = 100, dim = 64, nlist = 8,
+      nprobe = 2, seed = 42L),
 
     // multiprobe: the lshSql candidate predicate widened to Hamming-1
     // band keys — candidate set and rerank arithmetic mirror exactly

@@ -193,6 +193,41 @@ object Ann {
       .select(col(idCol).as("id"), col("score"))
   }
 
+  /** IVF + binary quantization: the coarse quantizer prunes the read to
+    * nprobe/nlist of the PARTITIONED bit files (static literal-IN
+    * pruning, like [[searchIvfStoredQuantized]]), the candidate stage is
+    * the popcount-XOR Hamming page over 1/32-width rows, and the exact
+    * rerank fetches candidateK full vectors from the probed clusters by
+    * broadcast id join. Per-query bytes: (nprobe/nlist) x (1/32) of the
+    * corpus plus candidateK full rows — the cheapest serving tier that
+    * still partition-prunes.
+    */
+  def searchIvfBqStored(storedBits: DataFrame, centroids: DataFrame,
+                        full: DataFrame, idCol: String, vecCol: String,
+                        bitsCol: String, query: Seq[Double], k: Int,
+                        nprobe: Int, candidateK: Int,
+                        metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    val qv = vec(query)
+    val probed = probedClusters(centroids, qv, nprobe)
+    val q = storedBits.sparkSession.range(1).select(qv.as("__qv"))
+    val qb = broadcast(q.select(pack_sign_bits(col("__qv")).as("__qb")))
+    val cands = storedBits
+      .filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(bitsCol))
+      .crossJoin(qb)
+      .withColumn("__ham", v_hamming(col(bitsCol), col("__qb")))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    full.filter(col("cluster").isin(probed: _*))
+      .select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("score", round(Search.similarity(col(vecCol), qv, metric), roundTo))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol).as("id"), col("score"))
+  }
+
   /** Quantization scale for the exact centroid update: elements quantize
     * to floor(x * 2^40) before summing. x*2^40 is a pure exponent shift
     * (exact in IEEE), floor is exact, and the integer sums accumulate in

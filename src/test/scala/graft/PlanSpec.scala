@@ -245,6 +245,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!exch.contains("vector"), exch)
   }
 
+  test("ann_ivfbq: bit scan AND rerank scan both partition-prune to the probed clusters") {
+    val p = plan("ann_ivfbq")
+    assert(count(p, "PartitionFilters: [cluster") == 2, p)
+    assert(!p.contains("SortExec"), p)
+  }
+
   test("facet_counts: partial aggregation before the exchange, top-N take-ordered") {
     val p = plan("facet_counts")
     assert(count(p, "HashAggregate") >= 2, p)
