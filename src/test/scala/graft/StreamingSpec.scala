@@ -319,4 +319,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("streaming label centroids converge to the batch DECIMAL means") {
+    import org.apache.spark.sql.types._
+    // the groupCentroids aggregate runs incrementally (DECIMAL partial
+    // sums merge associatively in update state); after a full pass the
+    // complete-mode table equals the batch frame EXACTLY — the
+    // order-independence claim proven under micro-batched arrival
+    // write the corpus as 4 files so maxFilesPerTrigger=1 forces FOUR
+    // micro-batches — partial DECIMAL states really merge across batches
+    val dir = Files.createTempDirectory("graft-centroid-stream")
+    Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .repartition(4).write.mode("overwrite").parquet(dir.toString)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val streamed = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .select(col("label").cast(LongType).as("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val q = graft.ops.Ann.groupCentroids(streamed, "label", "v")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("centroid_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val got = m(spark.table("centroid_stream_out"))
+    val expected = m(graft.ops.Ann.groupCentroids(
+      Tables.load(spark, TestSpark.sfDir, "embeddings")
+        .select(col("label").cast(LongType).as("label"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v")),
+      "label", "v"))
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
 }
