@@ -1444,6 +1444,14 @@ object SparkEntry {
         .orderBy(col("relevance").desc, col("doc_id").asc)
         .limit(20)),
 
+    // consecutive-token phrase occurrences (MATCH_PHRASE) — the pattern
+    // string is generated ONCE (phraseRegex) for both engines
+    "phrase_match" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("n_hits", match_phrase(col("text"), "the data"))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_hits"))),
+
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)),
 
@@ -2875,6 +2883,15 @@ object SparkEntry {
         |       )) / 1000.0, 2) AS km
         |FROM events
         |ORDER BY km ASC, event_id ASC LIMIT 50""".stripMargin,
+
+    "phrase_match" -> {
+      val pat = graft.functions.phraseRegex(Seq("the", "data"))
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(lower(text), '$pat')) AS INTEGER) AS n_hits
+         |FROM documents
+         |WHERE len(regexp_extract_all(lower(text), '$pat')) > 0
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "match_text" ->
       """SELECT doc_id,

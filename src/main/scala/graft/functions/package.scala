@@ -261,6 +261,27 @@ package object functions {
     hits.cast(DoubleType) / F.lit(terms.length.toDouble)
   }
 
+  /** MATCH_PHRASE: occurrences of the exact (whitespace-normalized,
+    * case-folded) token sequence in the text — consecutive-token
+    * semantics MATCH_TEXT's bag-of-terms scoring can't express. Compiles
+    * to one regexp_count (codegen'd); the oracle runs the IDENTICAL
+    * pattern through DuckDB's regexp engine.
+    */
+  def match_phrase(text: Column, phrase: String): Column = {
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+    require(terms.nonEmpty,
+      "match_phrase expects a phrase with at least one term, got an empty/whitespace-only string")
+    F.regexp_count(F.lower(text), F.lit(phraseRegex(terms)))
+  }
+
+  /** The shared phrase pattern: metachar-escaped terms joined by \s+ —
+    * ONE definition feeds the engine column and the DuckDB oracle.
+    * Escaping is per-character (not \Q...\E, which RE2 lacks) so Java's
+    * regex and DuckDB's RE2 read the pattern identically.
+    */
+  def phraseRegex(terms: Seq[String]): String =
+    terms.map(_.replaceAll("""([\\.\[\]{}()*+?^$|])""", """\\$1""")).mkString("\\s+")
+
   // ---- SQL registration ---------------------------------------------------
 
   /** Register the vector kernels + JSON aliases as SQL functions so the
