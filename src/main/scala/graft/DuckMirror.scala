@@ -417,6 +417,40 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** mmr oracle: the greedy maximal-marginal-relevance selection UNROLLED
+    * as k chained one-row CTEs — step t picks argmax of
+    * lambda*rel - (1-lambda)*greatest(sim to steps 1..t-1), ties by id.
+    * The lambda literals are rendered from the SAME Scala doubles the
+    * engine multiplies with (including the 1-lambda rounding error), so
+    * every comparison is over identical IEEE values.
+    */
+  def mmrSql(queryVecId: Int, k: Int, candidateK: Int, lambda: Double): String = {
+    require(k >= 1)
+    val l = java.lang.Double.toString(lambda)
+    val m = java.lang.Double.toString(1 - lambda)
+    val steps = (2 to k).map { t =>
+      val sims = (1 until t).map(i =>
+        s"list_cosine_similarity(c.v, (SELECT v FROM cand WHERE id = (SELECT id FROM s$i)))")
+      val taken = (1 until t).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+      s"""s$t AS (
+         |  SELECT id, $l * rel - $m * greatest(${sims.mkString(", ")}) AS mmr
+         |  FROM cand c WHERE id NOT IN ($taken)
+         |  ORDER BY mmr DESC, id LIMIT 1)""".stripMargin
+    }
+    val out = (1 to k).map(t => s"SELECT $t AS rank, id, ROUND(mmr, 6) AS mmr FROM s$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $queryVecId),
+       |cand AS (
+       |  SELECT CAST(e.vec_id AS VARCHAR) AS id, CAST(e.embedding AS DOUBLE[]) AS v,
+       |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> $queryVecId
+       |  ORDER BY rel DESC, id LIMIT $candidateK),
+       |s1 AS (SELECT id, rel AS mmr FROM cand ORDER BY rel DESC, id LIMIT 1),
+       |${steps.mkString(",\n")}
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   /** ann_ivfbq oracle: the maxIter=0 coarse chain prunes to the nprobe
     * probed clusters, the candidate page is the per-dimension
     * sign-mismatch count (= the engine's packed-word Hamming distance),

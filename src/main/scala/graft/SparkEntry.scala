@@ -1257,6 +1257,16 @@ object SparkEntry {
       Search.contextSearch(hom(s, dir), "vector",
         pairs = Seq(("1", "2"), ("3", "4")), k = 10)),
 
+    // MMR diversified top-k: engine kernels score the page + sim matrix,
+    // the driver runs only the O(candidateK * k) greedy over that
+    // model-state; the oracle re-derives the selection as unrolled CTEs
+    "mmr_select" -> ((s, dir) =>
+      Search.mmrSelect(homD(s, dir).filter(col("id") =!= "37"),
+        "id", "vector",
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") === 37)
+          .select(dvec(col("embedding"))).head().getSeq[Double](0),
+        k = 5, candidateK = 20, lambda = 0.7)),
+
     // per-label element-wise centroid as a DISTRIBUTED frame (nothing
     // collected): the Lloyd's-update DECIMAL arithmetic applied to
     // arbitrary groups — the oracle mirrors the quantize/sum/divide chain
@@ -2716,6 +2726,9 @@ object SparkEntry {
          |WHERE ${graft.ops.Geo.polygonSql("CAST(user_id AS DOUBLE)",
                    "CAST(event_id % 180 AS DOUBLE)", GeoPoly)}
          |ORDER BY event_id""".stripMargin,
+
+    "mmr_select" -> DuckMirror.mmrSql(
+      queryVecId = 37, k = 5, candidateK = 20, lambda = 0.7),
 
     // left-assoc 0.0 + least(...) chain mirrors the foldLeft(lit(0.0))
     "context_search" ->

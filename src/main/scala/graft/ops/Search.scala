@@ -250,6 +250,59 @@ object Search {
       .select(col(idCol), col("score"))
   }
 
+  /** Maximal-marginal-relevance diversified top-k: greedily pick the
+    * candidate maximizing lambda*rel - (1-lambda)*max(sim to already
+    * selected). The candidate page and the candidateK^2 sim matrix are
+    * computed by the ENGINE kernels (one TakeOrdered scan + one broadcast
+    * self-join over candidateK rows — the corpus is never touched again);
+    * only the greedy selection over that k-bounded model state runs on
+    * the driver, so the loop cost is O(candidateK * k) comparisons on
+    * already-computed doubles. First pick = highest relevance; ties at
+    * every step break by id. The oracle re-derives the same selection as
+    * an unrolled CTE chain ([[graft.DuckMirror.mmrSql]]).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecColName: String,
+                query: Seq[Double], k: Int, candidateK: Int,
+                lambda: Double, metric: String = "cosine",
+                roundTo: Int = 6): DataFrame = {
+    require(k >= 1 && k <= candidateK && lambda >= 0 && lambda <= 1,
+      s"mmrSelect needs 1 <= k <= candidateK and lambda in [0,1], got k=$k candidateK=$candidateK lambda=$lambda")
+    val spark = df.sparkSession
+    val cand = df
+      .select(col(idCol).as("id"), col(vecColName).as("__v"))
+      .crossJoin(broadcast(spark.range(1).select(vec(query).as("__qv"))))
+      .withColumn("rel", round(similarity(col("__v"), col("__qv"), metric), roundTo))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(candidateK)
+      .select(col("id"), col("__v"), col("rel"))
+      .cache()
+    val rels = cand.select("id", "rel").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sims = cand.as("a").crossJoin(broadcast(cand.as("b")))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        similarity(col("a.__v"), col("b.__v"), metric).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    cand.unpersist()
+    val remaining = scala.collection.mutable.SortedSet.empty[String] ++ rels.keys
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
+    while (picked.length < k && remaining.nonEmpty) {
+      var bestId: String = null
+      var bestScore = Double.NegativeInfinity
+      for (c <- remaining) { // SortedSet: ascending id, so ties keep the first
+        val score =
+          if (picked.isEmpty) rels(c)
+          else lambda * rels(c) -
+            (1 - lambda) * picked.iterator.map(p => sims((c, p._2))).max
+        if (score > bestScore) { bestScore = score; bestId = c }
+      }
+      picked += ((picked.length + 1, bestId, BigDecimal(bestScore)
+        .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      remaining -= bestId
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "id", "mmr")
+  }
+
   /** Context search — the target-less half of the discovery API: each
     * (positive, negative) pair contributes min(0, sim(pos) - sim(neg)),
     * so a point "inside" every pair's positive half-space scores 0 (the

@@ -216,6 +216,25 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSeq == expect)
   }
 
+  test("mmrSelect demotes near-duplicates that plain top-k would keep") {
+    import graft.ops.Search
+    // b is an almost-copy of a; c is orthogonal-ish but still relevant
+    val df = Seq(
+      ("a", Seq(1.0, 0.0, 0.0)),
+      ("b", Seq(0.999, 0.001, 0.0)),
+      ("c", Seq(0.5, 0.85, 0.0))).toDF("id", "vector")
+    val q = Seq(1.0, 0.05, 0.0)
+    val plain = Search.topK(df, col("vector"), vec(q), 2).select("id")
+      .as[String].collect().toSeq
+    assert(plain.toSet == Set("a", "b")) // relevance alone keeps the duplicate
+    val mmr = Search.mmrSelect(df, "id", "vector", q,
+      k = 2, candidateK = 3, lambda = 0.5)
+    val got = mmr.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((1, plain.head), (2, "c")), got.mkString(","))
+    // ranks are 1..k in selection order
+    assert(mmr.columns.toSeq == Seq("rank", "id", "mmr"))
+  }
+
   test("new operators reject malformed arguments eagerly") {
     import graft.ops.{Quant, Search, TimeSeries}
     val df = Seq(("a", Seq(1f))).toDF("id", "vector")
