@@ -12,7 +12,7 @@ object ScaleProbe {
     * cleanly, indistinguishable from a successful probe).
     */
   val sectionNames: Seq[String] =
-    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl", "skew")
+    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl", "skew", "tenant")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -418,6 +418,35 @@ object ScaleProbe {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
       }
       fact.unpersist()
+    }
+    section("tenant") {
+      // the multitenancy posture: total data grows (more tenants), the
+      // per-tenant slice stays constant -> a tenant's query cost must be
+      // FLAT in collection size. Wall time AND rows actually read are
+      // printed; the static partition filter is what keeps both flat.
+      import graft.functions.vec
+      val base = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("vector"))
+      val q = base.filter(col("id") === "0")
+        .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      for (n <- Seq(4, 8, 16)) {
+        val df = (0 until n).map(i => base.select(
+            concat(lit(s"t$i#"), col("id")).as("id"), col("vector"),
+            lit(s"t$i").as("tenant"))).reduce(_ unionByName _)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-tenant-$n").toString
+        graft.ops.Tenant.writeLayout(df, "tenant", dir)
+        val layout = graft.ops.Tenant.readLayout(spark, dir)
+        val t0 = System.nanoTime()
+        val res = graft.ops.Tenant.searchTenant(
+          layout, "tenant", "t0", "id", "vector", vec(q), k = 10)
+        val rows = res.collect().length
+        val wall = (System.nanoTime() - t0) / 1e9
+        val scanned = res.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        println(f"[probe] tenant n=$n total=${df.count()} one-tenant query: " +
+          f"$wall%.2f s, scanned=$scanned rows, top=$rows")
+      }
     }
     spark.stop()
   }
