@@ -1462,6 +1462,12 @@ object SparkEntry {
         .filter(col("n_hits") > 0)
         .select(col("doc_id"), col("n_hits"))),
 
+    // the INDEXED phrase path: token-position adjacency joins over
+    // term-pruned postings (token semantics, vs the regex scan above)
+    "phrase_index" -> ((s, dir) =>
+      graft.ops.TextIndex.phraseMatch(
+        docs(s, dir), "doc_id", "text", Seq("the", "data"))),
+
     "window_agg_events" -> ((s, dir) =>
       EventsStream.windowedAggBatch(s, dir)),
 
@@ -2905,6 +2911,18 @@ object SparkEntry {
          |WHERE len(regexp_extract_all(lower(text), '$pat')) > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // positions over the UNFILTERED split (empties keep their slot, like
+    // posexplode), one (doc, pos) equi-join per adjacent term pair
+    "phrase_index" ->
+      """WITH t AS (SELECT doc_id, unnest(ls) AS tok, unnest(range(0, len(ls))) AS pos
+        |           FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ls
+        |                 FROM documents)),
+        |a AS (SELECT doc_id, pos FROM t WHERE tok = 'the'),
+        |b AS (SELECT doc_id, pos - 1 AS pos FROM t WHERE tok = 'data')
+        |SELECT a.doc_id, count(*) AS n_hits
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "match_text" ->
       """SELECT doc_id,

@@ -129,4 +129,29 @@ object TextIndex {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Positional phrase match — the indexed counterpart of the
+    * regexp-scan `match_phrase`: tokenize once (whitespace split, case
+    * fold; empty tokens KEEP their position so adjacency means adjacency
+    * in the raw split), keep only the phrase's terms (at scale these
+    * come out of positional postings, so the join inputs are term-pruned
+    * slivers of the corpus), and count adjacency chains with one
+    * equi-join per consecutive term pair on (doc, position).
+    */
+  def phraseMatch(df: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch needs at least one term")
+    val toks = df.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val first = toks.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val chained = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (term, i)) =>
+        acc.join(
+          toks.filter(col("tok") === term)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    chained.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
 }
