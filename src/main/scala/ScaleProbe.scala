@@ -244,6 +244,24 @@ object ScaleProbe {
         meanRecallVs(dotTruth, s"bq 1bit candidateK=$ck")(id =>
           graft.ops.Quant.searchStoredBits(bits, corpus, "id", "v", "b_bits",
             qvecs(id), 10, ck))
+      // cascade: the bq page feeding an int8 cut — recall of the
+      // composed tiers vs candidate budget (midK fixed at half the page)
+      val codes = graft.ops.Quant.quantizeColumn(corpus, "v", "q8")
+        .select("id", "q8_codes", "q8_scale").persist()
+      codes.count()
+      for (ck <- Seq(100, 200, 500))
+        meanRecallVs(dotTruth, s"cascade bits->i8->full candidateK=$ck midK=${ck / 2}")(id =>
+          graft.ops.Quant.cascadeSearch(bits, codes, corpus, "id", "v",
+            "b_bits", "q8_codes", "q8_scale", qvecs(id), 10, ck / 2, ck))
+      codes.unpersist()
+      // Matryoshka: prefix-dim candidates (16 of 64 dims = 1/4 bytes)
+      val pref = corpus.select(col("id"), slice(col("v"), 1, 16).as("p16")).persist()
+      pref.count()
+      for (ck <- Seq(50, 100, 200))
+        meanRecallVs(dotTruth, s"matryoshka d=16/64 candidateK=$ck")(id =>
+          graft.ops.Search.matryoshkaSearch(pref, corpus, "id", "v", "p16",
+            qvecs(id), 16, 10, ck))
+      pref.unpersist()
       bits.unpersist()
       // residual vs raw codebooks at the same budget (m=4), nprobe=nlist
       // so IVF pruning costs nothing and the gap isolates the quantizer

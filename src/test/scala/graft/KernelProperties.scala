@@ -241,4 +241,31 @@ object KernelProperties extends Properties("graft.kernels") {
       // the IDENTICAL physical schema (what reads/writes dispatch on)
       graft.collections.CollectionDescriptor.fromSchema("c", d.schema).schema == d.schema
     }
+
+  // vectors spanning the word boundaries that matter for sign packing
+  private val signVec: Gen[List[Double]] = for {
+    n <- Gen.oneOf(Gen.choose(1, 5), Gen.oneOf(63, 64, 65, 127, 128, 129))
+    a <- Gen.listOfN(n, Gen.oneOf(Gen.choose(-10.0, 10.0), Gen.const(0.0)))
+  } yield a
+
+  property("pack_sign_bits + hamming equals the per-dim sign-mismatch count") =
+    forAll(signVec, signVec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val pa = PackSignBits(arr(a)).eval(null)
+      val pb = PackSignBits(arr(b)).eval(null)
+      val got = HammingDistance(Literal.create(pa, ArrayType(LongType, false)),
+        Literal.create(pb, ArrayType(LongType, false))).eval(null)
+      val want = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      got == want
+    }
+
+  property("packed word count is ceil(n/64) and self-hamming is 0") =
+    forAll(signVec) { a =>
+      val p = PackSignBits(arr(a)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val lit = Literal.create(p, ArrayType(LongType, false))
+      p.numElements() == (a.length + 63) / 64 &&
+        HammingDistance(lit, lit).eval(null) == 0
+    }
 }
