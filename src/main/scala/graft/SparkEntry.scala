@@ -821,6 +821,25 @@ object SparkEntry {
     // CTAS (create, then write through the table's own WriteBuilder,
     // dropping on failure) against CollectionCatalog.createTable, with
     // the descriptor derived from the SELECT's schema
+    // plain INSERT INTO ... SELECT through the catalog — completes the
+    // SQL DML matrix (INSERT / UPDATE / DELETE / MERGE / CTAS / ALTER /
+    // TRUNCATE all gated)
+    "dsv2_insert_sql" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("ins_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.conf.set("spark.sql.catalog.ins_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.ins_cat.store", "ins_store")
+      s.sql("DROP TABLE IF EXISTS ins_cat.picked")
+      s.sql("CREATE TABLE ins_cat.picked (id STRING, payload STRING, vector ARRAY<FLOAT>)")
+      s.sql(
+        """INSERT INTO ins_cat.picked
+          |SELECT id, payload, vector FROM ins_cat.embeddings
+          |WHERE id LIKE '%7'""".stripMargin)
+      s.sql("SELECT id, payload FROM ins_cat.picked")
+    }),
+
     "dsv2_ctas" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("ctas_store", InMemoryCollectionStore.fromRows(
@@ -2415,6 +2434,13 @@ object SparkEntry {
         |         label
         |  FROM embeddings)
         |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
+
+    "dsv2_insert_sql" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings
+        |WHERE CAST(vec_id AS VARCHAR) LIKE '%7'
+        |ORDER BY id""".stripMargin,
 
     "dsv2_stream_table" ->
       """SELECT id, payload FROM (
