@@ -2208,6 +2208,13 @@ object SparkEntry {
       a8.join(a9, "doc_id").withColumn("moved", col("s8") =!= col("s9"))
     }),
 
+    // importance sampling: keep probability proportional to doc length
+    // (the max-length doc at rate 0.8), md5-permutation decided — a
+    // map-side filter after one broadcast max
+    "weighted_sample" -> ((s, dir) =>
+      Search.weightedSample(docs(s, dir).select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), maxRate = 0.8, seed = 11L)),
+
     // deterministic training-shard manifest: md5-permutation shard
     // assignment (engine-independent, layout-independent) + per-shard
     // stats — the export step that turns a cleaned corpus into N
@@ -3600,6 +3607,15 @@ object SparkEntry {
         |FROM embeddings
         |WHERE label > 1 OR (label = 1 AND CAST(vec_id AS VARCHAR) > '17')
         |ORDER BY label ASC, id ASC LIMIT 10""".stripMargin,
+
+    // same 60-bit md5 bucket; threshold re-derived with the identical
+    // double chain ((w / wmax * rate) * 2^60, floor -> BIGINT)
+    "weighted_sample" ->
+      """WITH m AS (SELECT CAST(max(n_chars) AS DOUBLE) AS wmax FROM documents)
+        |SELECT doc_id, n_chars FROM documents, m
+        |WHERE CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '11'), 1, 15)) AS UBIGINT) AS BIGINT)
+        |      < CAST(floor(CAST(n_chars AS DOUBLE) / wmax * 0.8 * 1152921504606846976.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
 
     "rendezvous_reshard" ->
       """WITH s AS (SELECT doc_id, i,

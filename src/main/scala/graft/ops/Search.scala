@@ -459,6 +459,29 @@ object Search {
       .orderBy(orderCol.asc, idCol.asc)
       .limit(n)
 
+  /** Deterministic WEIGHTED (importance) sampling: keep each row with
+    * probability proportional to `weightCol` (scaled so the max-weight
+    * row is kept with probability `maxRate`), decided by the same
+    * data-derived md5 permutation as [[stratifiedSample]] — a map-side
+    * filter after one broadcast max, reproducible on any layout or
+    * engine. The quality-weighted downsampling step of training-data
+    * pipelines ("keep good documents more often") without per-partition
+    * RNG.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     maxRate: Double, seed: Long): DataFrame = {
+    require(maxRate > 0 && maxRate <= 1, s"maxRate in (0,1], got $maxRate")
+    val mx = df.agg(max(weightCol).cast("double").as("__wmax"))
+    val bucket = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(seed.toString))), 1, 15),
+      16, 10).cast("long")
+    df.crossJoin(broadcast(mx))
+      .filter(bucket < floor(
+        weightCol.cast("double") / col("__wmax") * lit(maxRate) *
+          lit((1L << 60).toDouble)).cast("long"))
+      .drop("__wmax")
+  }
+
   /** Deterministic stratified sampling: keep ~`fraction` of the rows of
     * every stratum, chosen by a data-derived md5 permutation — a pure
     * map-side FILTER (no shuffle, no per-group state), reproducible on any
