@@ -886,4 +886,69 @@ object DuckMirror {
        |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id)
        |SELECT id AS doc_id, min(comp) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Unrolled-CTE mirror of [[graft.ops.Graph.pageRank]] over the
+    * lineitem supplier<->part graph (part ids offset by 1000000). Every
+    * arithmetic step is DuckDB `//` floor division on positive integers —
+    * identical to the engine's `div` — so ranks are bit-equal longs.
+    * DuckDB SUM over BIGINT widens to HUGEINT; the cast back to BIGINT
+    * keeps the iteration (and the output) in the engine's type.
+    */
+  def pageRankSql(iterations: Int, dampNum: Int = 85, k: Int = 10): String = {
+    val scale = graft.ops.Graph.Scale
+    val base = s"($scale * ${100 - dampNum} // 100) // (SELECT nn FROM p)"
+    val iters = (1 to iterations).map { i =>
+      s"""r$i AS (SELECT n.id, $base + (COALESCE(c.m, 0) * $dampNum) // 100 AS r
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(SUM(r.r // d.outdeg) AS BIGINT) AS m
+         |    FROM e JOIN r${i - 1} r ON e.src = r.id JOIN d ON d.src = e.src
+         |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+    }
+    s"""WITH pr AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk FROM lineitem),
+       |e AS (SELECT sk AS src, pk AS dst FROM pr UNION ALL SELECT pk, sk FROM pr),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |p AS (SELECT COUNT(*) AS nn FROM n),
+       |r0 AS (SELECT id, $scale // (SELECT nn FROM p) AS r FROM n),
+       |${iters.mkString(",\n")}
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r$iterations
+       |ORDER BY rank_scaled DESC, id ASC LIMIT $k""".stripMargin
+  }
+
+  /** Shared CTE chain of the span-dedup oracles — mirrors
+    * [[graft.ops.Dedup.duplicatedSpans]] (w = 3) over the exact-dup corpus
+    * with `phrase` appended to doc_id % 4 == 0: token 3-shingles with
+    * 0-based positions, cross-document duplicated shingles, and
+    * gaps-and-islands merged `spans(doc_id, span_start, span_end,
+    * span_len)`. Also exposes `t(doc_id, toks)` for token counts.
+    */
+  def spanCtes(phrase: String): String =
+    s"""c0 AS (SELECT doc_id, text FROM documents
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+       |c AS (SELECT doc_id,
+       |             CASE WHEN doc_id % 4 = 0 THEN text || ' $phrase' ELSE text END AS text
+       |      FROM c0),
+       |t AS (SELECT doc_id,
+       |             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       |      FROM c),
+       |s0 AS (SELECT doc_id,
+       |              list_transform(range(1, len(toks) - 1),
+       |                j -> array_to_string(toks[j:j+2], ' ')) AS shl
+       |       FROM t),
+       |sh0 AS (SELECT doc_id, unnest(shl) AS s, unnest(range(1, len(shl) + 1)) AS p1 FROM s0),
+       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM sh0),
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+       |h AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+       |isl AS (SELECT doc_id, pos,
+       |               SUM(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |        FROM (SELECT doc_id, pos,
+       |                     max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+       |              FROM h) hh),
+       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       |                 max(pos) + 3 - min(pos) AS span_len
+       |          FROM isl GROUP BY doc_id, island)""".stripMargin
 }

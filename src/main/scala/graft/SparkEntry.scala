@@ -352,6 +352,38 @@ object SparkEntry {
     */
   private val BoilerLine = "subscribe to our newsletter for daily updates"
 
+  /** The 9-token phrase planted for the span-dedup gates (appended to
+    * doc_id % 4 == 0 of the exact-dup corpus in BOTH engines): gives the
+    * substring-level dedup a cross-document duplicated REGION that is not
+    * a whole-document duplicate.
+    */
+  private val SharedPhrase = "the quick brown fox jumps over the lazy dog"
+
+  /** Exact-dup corpus with [[SharedPhrase]] appended to doc_id % 4 == 0 —
+    * the span-dedup test shape: full-document duplicate spans (from the
+    * planted exact dups) plus a short shared tail phrase across unrelated
+    * docs. 1000000 % 4 == 0, so a planted duplicate carries the phrase iff
+    * its original does — in both engines.
+    */
+  private def docsWithSharedPhrase(s: SparkSession, dir: String): DataFrame =
+    docsWithExactDups(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + SharedPhrase)))
+        .otherwise(col("text")).as("text"))
+
+  /** Documents corpus with planted TYPO variants (doc_id % 7 == 0
+    * re-appears as doc_id + 2000000 with the 11th character replaced by
+    * '~') — edit distance 1 from the original, same lang/source/prefix
+    * block; built identically in both engines.
+    */
+  private def docsWithTypos(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("~"),
+          expr("substring(text, 12)")).as("text"),
+        col("lang"), col("source")))
+  }
+
   /** Target mixture for the mix_sources gate — 8 of the 20 sources with
     * deliberately skewed weights (the rest drop out).
     */
@@ -2251,8 +2283,173 @@ object SparkEntry {
     })
   )
 
+  /** Corpus-analytics and layout operators beyond the per-document
+    * pipeline: substring-span dedup, fuzzy dedup, link-graph scoring,
+    * OLAP grouping forms, multi-dimensional layout, temperature mixing.
+    */
+  private val analyticsOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // substring-level dedup (Lee et al.): token 3-shingles occurring in
+    // >= 2 docs mark duplicated ranges; touching ranges merge into maximal
+    // spans per doc. Planted: whole-doc dups (full-doc spans) + the shared
+    // tail phrase (tail spans) — output is token-index intervals
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docsWithSharedPhrase(s, dir), "doc_id", "text",
+        w = 3)),
+
+    // the corpus-health roll-up of dedup_spans: how much of each affected
+    // document is duplicated text (span count, duplicated tokens, ratio)
+    "span_stats" -> ((s, dir) =>
+      Dedup.spanStats(docsWithSharedPhrase(s, dir), "doc_id", "text", w = 3)),
+
+    // fuzzy (edit-distance) dedup: Levenshtein <= 2 on 60-char prefixes
+    // within (lang, source, 8-char-prefix) blocks — catches the planted
+    // single-character typo variants exact/minhash dedup both miss
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyPairs(docsWithTypos(s, dir), "doc_id", "text",
+        Seq("lang", "source"), prefixLen = 8, capLen = 60, maxDist = 2)),
+
+    // link-graph quality scoring: integer-scaled PageRank (5 iterations,
+    // d=0.85) over the undirected supplier<->part co-purchase graph; ranks
+    // are scaled longs updated with pure integer arithmetic, so the result
+    // is layout/order/engine independent
+    "pagerank_topk" -> ((s, dir) => {
+      val e = graft.ops.Graph.undirectedEdges(
+        Tables.load(s, dir, "lineitem"), "l_suppkey", "l_partkey", 1000000L)
+      graft.ops.Graph.pageRank(e, iterations = 5)
+        .orderBy(col("rank_scaled").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // OLAP grouping forms over lineitem — DECIMAL-accumulated quantity so
+    // the super-aggregate rows are order-independent; gid disambiguates
+    // NULL group cells from NULL data
+    "rollup_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(LongType).as("gid"))),
+
+    "cube_agg" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast(LongType).as("gid"))),
+
+    "grouping_sets_agg" -> ((s, dir) => {
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |       COUNT(*) AS n
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // z-order (Morton) clustering evidence: rows keyed by the interleaved
+    // 10+10-bit key of (l_partkey, l_suppkey) mod 1024; per 64-key bucket,
+    // the bounding box of BOTH dimensions stays small — the file-skipping
+    // property ZORDER BY layouts buy (the key expression is emitted by the
+    // same Scala loop as the oracle's SQL)
+    "zorder_key" -> ((s, dir) => {
+      val x = (col("l_partkey") % 1024).cast(LongType)
+      val y = (col("l_suppkey") % 1024).cast(LongType)
+      Tables.load(s, dir, "lineitem")
+        .select(graft.ops.Layout.zorderKey(x, y, 10).as("zkey"),
+          x.as("x"), y.as("y"))
+        .groupBy(shiftright(col("zkey"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    }),
+
+    // temperature-scaled source mixing (T=2): per-source quota
+    // proportional to sqrt(count) — the multilingual-rebalancing rule —
+    // with exact integer quotas and the md5 permutation picking rows
+    "temperature_sample" -> ((s, dir) =>
+      Search.temperatureSample(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", k = 200, seed = 11L)
+        .select("doc_id", "source")),
+
+    // domain histogram over planted URLs — the crawl-side provenance
+    // aggregate (dedup-by-domain, robots audits, domain mixing all start
+    // here); regexp capture-group extraction is identical in both engines
+    "domain_counts" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" see https://site"),
+              (col("doc_id") % 5).cast(StringType), lit(".example.org/page")))
+            .otherwise(col("text")).as("text"))
+        .select(regexp_extract(col("text"),
+          "https://([a-z0-9.]+)/", 1).as("domain"))
+        .filter(col("domain") =!= "")
+        .groupBy(col("domain")).agg(count(lit(1)).as("n"))),
+
+    // per-user inter-event gap profile: lag() deltas in exact integer
+    // MICROSECONDS (unix_micros — second-granularity epoch would have to
+    // round the sub-second part, which engines do differently), aggregated
+    // per user — the sessionization diagnostic; (ts, event_id) ordering
+    // makes ties deterministic
+    "lead_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap")).as("sum_gap_us"),
+          max(col("gap")).as("max_gap_us"))
+    }),
+
+    // grouped continuous percentiles of document length — the corpus
+    // length-profile report; interpolation is one IEEE multiply-add on
+    // exact integers, identical in both engines
+    "doc_quantiles" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("docs_q")
+      s.sql(
+        """SELECT lang,
+          |       percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+          |       percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+          |       percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+          |FROM docs_q GROUP BY lang""".stripMargin)
+    }),
+
+    // Pearson correlation per group WITHOUT the order-dependent built-in:
+    // centi-integer moments (2-dp money grid) summed exactly, combined in
+    // one fixed double expression — the engine's stddev recipe extended to
+    // covariance; bit-equal on any layout or engine
+    "corr_stats" -> ((s, dir) => {
+      val x = floor(col("l_quantity") * 100 + lit(0.5)).cast(LongType)
+      val y = floor(col("l_extendedprice") * 100 + lit(0.5)).cast(LongType)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy(col("l_returnflag"))
+        // per-row products fit a long; the SUMS go through exact DECIMAL
+        // (sum of cents-squared passes 2^63 at sf >= 0.1)
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sx2"),
+          sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("sy2"))
+        .select(col("l_returnflag"),
+          round((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+            col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+            (sqrt(col("n").cast(DoubleType) * col("sx2").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+             sqrt(col("n").cast(DoubleType) * col("sy2").cast(DoubleType) -
+               col("sy").cast(DoubleType) * col("sy").cast(DoubleType))), 6)
+            .as("corr_qty_price"))
+    })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    scanAndJson ++ denseSearch ++ compositeSearch ++ relational ++ pipelineOps
+    scanAndJson ++ denseSearch ++ compositeSearch ++ relational ++
+      pipelineOps ++ analyticsOps
 
   // ---- DuckDB oracle SQL --------------------------------------------------
 
@@ -3654,9 +3851,143 @@ object SparkEntry {
         |FROM sc ORDER BY doc_id""".stripMargin
   )
 
+  private val oracleAnalytics: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH ${DuckMirror.spanCtes(SharedPhrase)}
+         |SELECT doc_id, span_start, span_end, span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "span_stats" ->
+      s"""WITH ${DuckMirror.spanCtes(SharedPhrase)},
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT sp.doc_id AS doc_id, COUNT(*) AS n_spans,
+         |       CAST(SUM(sp.span_len) AS BIGINT) AS dup_tokens,
+         |       nt.n_tokens AS n_tokens,
+         |       ROUND(CAST(SUM(sp.span_len) AS DOUBLE) /
+         |             CAST(nt.n_tokens AS DOUBLE), 6) AS dup_ratio
+         |FROM spans sp JOIN nt ON sp.doc_id = nt.doc_id
+         |GROUP BY sp.doc_id, nt.n_tokens ORDER BY doc_id""".stripMargin,
+
+    "dedup_fuzzy" ->
+      """WITH c AS (SELECT doc_id, text, lang, source FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 2000000,
+        |                  substring(text, 1, 10) || '~' || substring(text, 12),
+        |                  lang, source
+        |           FROM documents WHERE doc_id % 7 = 0),
+        |b AS (SELECT doc_id, substring(text, 1, 60) AS t,
+        |             substring(text, 1, 8) AS blk, lang, source FROM c)
+        |SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |       CAST(levenshtein(a.t, b2.t) AS BIGINT) AS dist
+        |FROM b a JOIN b b2
+        |  ON a.lang = b2.lang AND a.source = b2.source AND a.blk = b2.blk
+        | AND a.doc_id < b2.doc_id
+        |WHERE levenshtein(a.t, b2.t) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "pagerank_topk" -> DuckMirror.pageRankSql(iterations = 5),
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "zorder_key" -> {
+      val z = graft.ops.Layout.zorderSql("l_partkey % 1024", "l_suppkey % 1024", 10)
+      s"""WITH z AS (SELECT $z AS zkey,
+         |                  l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |           FROM lineitem)
+         |SELECT zkey >> 14 AS zbucket, COUNT(*) AS n,
+         |       min(x) AS min_x, max(x) AS max_x,
+         |       min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "domain_counts" ->
+      """WITH c AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 3 = 0
+        |                       THEN text || ' see https://site' ||
+        |                            CAST(doc_id % 5 AS VARCHAR) || '.example.org/page'
+        |                       ELSE text END AS text
+        |           FROM documents),
+        |d AS (SELECT regexp_extract(text, 'https://([a-z0-9.]+)/', 1) AS domain FROM c)
+        |SELECT domain, COUNT(*) AS n FROM d WHERE domain <> ''
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "lead_lag" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |       max(gap) AS max_gap_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "doc_quantiles" ->
+      """SELECT lang,
+        |       percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS p25,
+        |       percentile_cont(0.5)  WITHIN GROUP (ORDER BY n_chars) AS p50,
+        |       percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS p75
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x * y) AS sxy, SUM(x * x) AS sx2, SUM(y * y) AS sy2
+        |  FROM m GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |             (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) -
+        |                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |              sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) -
+        |                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |         AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "temperature_sample" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source,
+        |             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS ssq
+        |      FROM cnt),
+        |t AS (SELECT CAST(SUM(ssq) AS BIGINT) AS tot FROM w),
+        |q AS (SELECT source, (200 * ssq) // tot AS quota FROM w, t),
+        |r AS (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR) || '11'),
+        |                        doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+  )
+
   def oracleSql: Map[String, String] =
     oracleScanAndJson ++ oracleDense ++ oracleComposite ++
-      oracleRelational ++ oraclePipeline ++ Map(
+      oracleRelational ++ oraclePipeline ++ oracleAnalytics ++ Map(
         "dedup_simhash" -> DuckMirror.simhashSql(maxDist = 3),
         "pii_scrub" -> {
           import graft.ops.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}

@@ -531,4 +531,104 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
   }
+
+  /** Cross-document duplicated SPANS — the substring-level dedup of
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better"), re-expressed as relational Spark: a token w-shingle that
+    * occurs in more than one document marks its token range as duplicated,
+    * and overlapping-or-touching duplicated ranges within a document merge
+    * into maximal spans (gaps-and-islands over the per-document window).
+    *
+    * Returns (doc_id, span_start, span_end, span_len) with token-index
+    * bounds, end exclusive. A run of consecutive duplicated shingles of
+    * length L yields ONE span of L + w - 1 tokens.
+    *
+    * Scale shape: posexplode is map-side; the duplicated-shingle set is one
+    * partial-aggregating groupBy on the shingle (production swaps the
+    * string key for a 128-bit hash — same shuffle, fixed-width key); the
+    * island merge is a per-document window (never a global sort). The
+    * all-pairs doc x doc comparison of suffix-array dedup never appears.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3): DataFrame = {
+    require(w >= 1, s"duplicatedSpans needs w >= 1, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val sh = filter(
+      transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(w)))),
+      s => length(s) > 0)
+    val shingled = df
+      .select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "sh")))
+    val dup = shingled.groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("sh"))
+    val hits = shingled.join(dup, "sh")
+      .select(col("id"), col("pos").cast(LongType).as("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(w.toLong)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = hits
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** Per-document roll-up of [[duplicatedSpans]]: how much of each document
+    * is duplicated text (the corpus-health number substring dedup reports).
+    * Returns (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio) for
+    * documents that have at least one duplicated span; dup_ratio is a
+    * 6-dp-rounded double of two exact integers (deterministic IEEE).
+    */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 3): DataFrame = {
+    val nTok = df.select(col(idCol).as(idCol),
+      size(filter(tokens(col(textCol)), t => length(t) > 0))
+        .cast(LongType).as("n_tokens"))
+    duplicatedSpans(df, idCol, textCol, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_tokens"))
+      .join(nTok, idCol)
+      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        round(col("dup_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("dup_ratio"))
+  }
+
+  /** Fuzzy (edit-distance) near-duplicate pairs: Levenshtein distance at
+    * most `maxDist` between length-capped prefixes, compared only WITHIN a
+    * blocking key of (blockCols..., first `prefixLen` chars) — the
+    * fuzzy-title/fuzzy-url dedup rule. Distances are integers, so the
+    * operator is exactly mirrorable; the cap bounds the O(len^2) DP cell
+    * count per pair.
+    *
+    * Same blocked-quadratic contract as [[ngramJaccardPairs]]: sound when
+    * blocks are bounded (prefix blocks shatter a corpus finely); the
+    * unblocked scale path for free-position edits is [[minhashCandidates]].
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+                 blockCols: Seq[String], prefixLen: Int = 8,
+                 capLen: Int = 60, maxDist: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && capLen >= prefixLen && maxDist >= 0,
+      s"fuzzyPairs needs 1 <= prefixLen <= capLen and maxDist >= 0, " +
+        s"got prefixLen=$prefixLen capLen=$capLen maxDist=$maxDist")
+    val base = df.select((Seq(col(idCol).as("id"),
+      substring(col(textCol), 1, capLen).as("t"),
+      substring(col(textCol), 1, prefixLen).as("blk")) ++
+      blockCols.map(col)): _*)
+    val cond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.blk") === col("b.blk"))).reduce(_ && _) &&
+      col("a.id") < col("b.id")
+    base.as("a").join(base.as("b"), cond)
+      .withColumn("dist", levenshtein(col("a.t"), col("b.t")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("dist").cast(LongType).as("dist"))
+  }
 }

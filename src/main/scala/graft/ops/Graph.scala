@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph operators over edge-list DataFrames.
+  *
+  * PageRank here is the link-quality signal a training-data pipeline uses
+  * to score crawled documents (OPIC/harmonic-centrality stand-ins all share
+  * this shape). The ranks are held as SCALED LONGS (1e12 = mass 1.0) and
+  * every per-iteration update is integer arithmetic (`div`, floor), so the
+  * result is bit-identical regardless of partitioning, layout, or
+  * accumulation order — the same determinism recipe as the engine's
+  * DECIMAL-quantized IVF centroid updates.
+  *
+  * Scale shape per iteration: ONE shuffle (contributions groupBy dst; the
+  * rank join is co-partitioned with the edge table after the first
+  * iteration) and a per-iteration localCheckpoint that truncates the
+  * lineage — the same iterative-plan hygiene as
+  * [[Dedup.connectedComponents]]. Driver state is one scalar (node count).
+  */
+object Graph {
+
+  /** Rank mass 1.0 in scaled-long units. */
+  val Scale: Long = 1000000000000L
+
+  /** Undirected edge list (both directions) from a distinct pair column
+    * set — e.g. the supplier<->part co-purchase graph of `lineitem`.
+    * `dstOffset` lifts the dst id space so bipartite ids never collide.
+    */
+  def undirectedEdges(df: DataFrame, srcCol: String, dstCol: String,
+                      dstOffset: Long): DataFrame = {
+    val pairs = df.select(col(srcCol).cast(LongType).as("s"),
+      (col(dstCol).cast(LongType) + dstOffset).as("d")).distinct()
+    pairs.select(col("s").as("src"), col("d").as("dst"))
+      .union(pairs.select(col("d").as("src"), col("s").as("dst")))
+  }
+
+  /** Integer-scaled PageRank over an edge list with columns (src, dst).
+    *
+    * Update rule (all integer ops, damping d = `dampNum`/100):
+    *   contrib(e)  = rank(src) div outdeg(src)
+    *   rank'(v)    = (Scale * (100 - dampNum) / 100) div N
+    *               + (sum contrib into v) * dampNum div 100
+    * Nodes with no in-edges keep the base term. Dangling mass is dropped
+    * (an undirected edge list has none); total mass therefore decays
+    * slightly per iteration, which is harmless for RANKING and keeps the
+    * update order-free.
+    *
+    * Returns (id, rank_scaled) for every node.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               dampNum: Int = 85): DataFrame = {
+    require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100,
+      s"pageRank damping numerator must be in [0,100], got $dampNum")
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val base = (Scale * (100 - dampNum) / 100) / n
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("id"), lit(Scale / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.join(outdeg, col("id") === col("src"))
+          .select(col("src").as("cs"),
+            expr("rank div outdeg").as("contrib")),
+          col("src") === col("cs"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("m"))
+      ranks = nodes
+        .join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"coalesce(m, 0L) * $dampNum div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("rank").as("rank_scaled"))
+  }
+}

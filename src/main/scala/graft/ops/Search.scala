@@ -581,6 +581,41 @@ object Search {
     df.filter(bucket < thr)
   }
 
+  /** Temperature-scaled source mixing at T = 2: each source's quota is
+    * proportional to sqrt(count) (the up-weight-the-tail rule multilingual
+    * corpora use), with EXACT integer quotas — sqrt weights quantized to
+    * micro-integers (floor(sqrt(n) * 1e6), one IEEE op each, engine
+    * stable), summed exactly, and quota_s = k * w_s div total. Rows are
+    * chosen per source by the md5 permutation with an id tiebreak, so the
+    * selected set is a pure function of (data, k, seed).
+    *
+    * Shape: one partial-aggregating count, a broadcast quota join, and a
+    * per-source row_number window (one shuffle). The window is exact-k
+    * (manifest-grade); when approximate rates suffice at extreme scale,
+    * the threshold-filter form ([[mixSources]]) avoids the window
+    * entirely.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"temperatureSample needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val weights = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(sourceCol),
+        floor(sqrt(col("__n").cast("double")) * lit(1e6)).cast("long")
+          .as("__ssq"))
+    val tot = weights.agg(sum(col("__ssq")).as("__tot"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .select(col(sourceCol), expr(s"($k * __ssq) div __tot").as("__quota"))
+    val rn = row_number().over(Window.partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit("temp|"), col(idCol).cast("string"),
+        lit(seed.toString))), col(idCol)))
+    df.withColumn("__rn", rn)
+      .join(broadcast(quotas), sourceCol)
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Cumulative 60-bit thresholds for [[assignSplit]] — exposed so an
     * external oracle can reproduce the exact boundaries.
     */

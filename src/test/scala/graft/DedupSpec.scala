@@ -260,4 +260,68 @@ class DedupSpec extends AnyFunSuite {
     }
     comp.values.foreach(rep => assert(comp(rep) == rep))
   }
+
+  test("duplicatedSpans finds shared regions and merges touching ranges") {
+    // docs 1 and 2 share an 8-token middle run; doc 3 is unrelated
+    val d = Seq(
+      (1L, "aa bb cc one two three four five six seven eight xx yy"),
+      (2L, "pp qq one two three four five six seven eight rr ss tt"),
+      (3L, "totally different words with no overlap at all here now"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: tokens 3..10 duplicated -> one merged span [3, 11)
+    assert(spans.contains((1L, 3L, 11L, 8L)), spans.toSeq)
+    // doc 2: tokens 2..9 duplicated -> one merged span [2, 10)
+    assert(spans.contains((2L, 2L, 10L, 8L)), spans.toSeq)
+    assert(!spans.exists(_._1 == 3L), "unrelated doc got a span")
+    assert(spans.length == 2, "runs of duplicated shingles must merge to ONE span")
+  }
+
+  test("duplicatedSpans keeps spans separated by a gap distinct") {
+    val d = Seq(
+      (1L, "one two three GAP1 GAP2 GAP3 four five six"),
+      (2L, "one two three MID1 MID2 MID3 four five six"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(d, "doc_id", "text", w = 3)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spans.toSet == Set((0L, 3L), (6L, 9L)), spans.toSeq)
+  }
+
+  test("spanStats reports the duplicated fraction") {
+    val d = Seq(
+      (1L, "one two three four xx yy zz ww"),
+      (2L, "one two three four aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val st = Dedup.spanStats(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // shared 4-token prefix -> one span of 4 tokens over 8
+    assert(st(1L) == ((1L, 4L, 8L, 0.5)), st)
+    assert(st(2L) == ((1L, 4L, 8L, 0.5)), st)
+  }
+
+  test("fuzzyPairs matches single-edit variants and respects maxDist") {
+    val d = Seq(
+      (1L, "the colorful parrot flew away", "en", "s"),
+      (2L, "the colourful parrot flew away", "en", "s"),  // 1 insertion
+      (3L, "the colorful parrot flew home", "en", "s"),   // 4 edits at tail
+      (4L, "the colorful parrot flew away", "de", "s"))   // other block
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.fuzzyPairs(d, "doc_id", "text", Seq("lang", "source"),
+      prefixLen = 8, capLen = 60, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 1L)), pairs)
+  }
+
+  test("fuzzyPairs gate: every planted typo variant pairs with its source at dist 1") {
+    val out = SparkEntry.queries("dedup_fuzzy")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = out.filter(_._2 >= 2000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (a, b, dist) =>
+      if (b == a + 2000000L) assert(dist == 1L, s"variant of $a at dist $dist")
+    }
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a 4-node path graph 1-2-3-4 plus a hub 5 connected to everything:
+  // the hub must out-rank every path node
+  private def edges = Graph.undirectedEdges(
+    Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L)).toDF("a", "b"),
+    "a", "b", dstOffset = 0L)
+
+  test("pageRank ranks the hub above path nodes and conserves no more than total mass") {
+    val r = Graph.pageRank(edges, iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(r(5L) > r.filterKeys(_ != 5L).values.max,
+      s"hub should dominate: $r")
+    // integer floors only lose mass, never create it
+    assert(r.values.sum <= Graph.Scale, s"mass grew: $r")
+    assert(r.values.sum > Graph.Scale / 2, s"mass collapsed: $r")
+  }
+
+  test("pageRank is invariant to edge-list partitioning and row order") {
+    val a = Graph.pageRank(edges.repartition(7), iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRank(
+        edges.orderBy(col("dst").desc).repartition(2), iterations = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("symmetric graph converges toward the uniform rank") {
+    // a 4-cycle is vertex-transitive: all ranks must be EXACTLY equal
+    val cyc = Graph.undirectedEdges(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b"),
+      "a", "b", dstOffset = 0L)
+    val r = Graph.pageRank(cyc, iterations = 3)
+      .collect().map(_.getLong(1)).distinct
+    assert(r.length == 1, s"vertex-transitive graph got uneven ranks: ${r.toSeq}")
+  }
+
+  test("undirectedEdges offsets the dst id space and emits both directions") {
+    val e = Graph.undirectedEdges(Seq((1L, 1L)).toDF("a", "b"), "a", "b",
+      dstOffset = 100L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e == Set((1L, 101L), (101L, 1L)))
+  }
+}

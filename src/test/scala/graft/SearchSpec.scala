@@ -290,4 +290,25 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(page == Seq((1, "c"), (2, "a"), (3, "a")))
   }
+
+  test("temperatureSample takes exact sqrt-proportional quotas, stable under repartition") {
+    // sources of size 400, 100, 25: sqrt weights 20:10:5 -> quotas of
+    // k=70 are 40, 20, 10 exactly (micro-integer sqrt is exact on squares)
+    val rows = (1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "mid")) ++
+      (2001 to 2025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    val got = Search.temperatureSample(df, "id", "src", k = 70, seed = 7L)
+    val bySrc = got.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 40L, "mid" -> 20L, "small" -> 10L), bySrc)
+    val a = got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Search.temperatureSample(df.repartition(13), "id", "src",
+      k = 70, seed = 7L).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "selection must be layout-independent")
+    // changing the seed changes the picks (permutation actually used)
+    val c = Search.temperatureSample(df, "id", "src", k = 70, seed = 8L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a != c)
+  }
 }
