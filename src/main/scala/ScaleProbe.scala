@@ -12,7 +12,8 @@ object ScaleProbe {
     * cleanly, indistinguishable from a successful probe).
     */
   val sectionNames: Seq[String] =
-    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl", "skew", "tenant")
+    Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
+      "skew", "tenant", "layout", "sketch")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -464,6 +465,68 @@ object ScaleProbe {
           .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
         println(f"[probe] tenant n=$n total=${df.count()} one-tenant query: " +
           f"$wall%.2f s, scanned=$scanned rows, top=$rows")
+      }
+    }
+    section("layout") {
+      // what z-order buys at the FILE level: write lineitem z-ordered vs
+      // sorted-by-partkey, run the same two-sided range predicate, and
+      // count parquet row groups whose min/max stats admit the range.
+      // The probe reads the per-file (min, max) of both dims back from the
+      // written files — the exact stats a 100 TB scan would prune on.
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select((col("l_partkey") % 1024).cast("long").as("x"),
+          (col("l_suppkey") % 1024).cast("long").as("y"))
+      def pruneFraction(df: DataFrame, tag: String): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-layout-$tag").toString
+        df.write.mode("overwrite").parquet(dir)
+        val stats = spark.read.parquet(dir)
+          .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+          .groupBy("f")
+          .agg(min("x").as("x0"), max("x").as("x1"),
+            min("y").as("y0"), max("y").as("y1"))
+          .collect()
+        // 1/8-wide range predicates: x-only, y-only, and both dims; a file
+        // is admitted when its [min, max] stats intersect every predicate.
+        // The number that matters is the WORST column: a linear sort is
+        // perfect on its leading column and useless (100%) on the other,
+        // z-order is moderately selective on BOTH.
+        val (lo, hi) = (448L, 576L)
+        def admitted(needX: Boolean, needY: Boolean): Int = stats.count { r =>
+          val (x0, x1, y0, y1) =
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+          (!needX || !(x1 < lo || x0 > hi)) && (!needY || !(y1 < lo || y0 > hi))
+        }
+        val n = stats.length
+        println(f"[probe] layout $tag: files=$n admitted " +
+          f"xOnly=${admitted(true, false)} (${100.0 * admitted(true, false) / n}%.0f%%) " +
+          f"yOnly=${admitted(false, true)} (${100.0 * admitted(false, true) / n}%.0f%%) " +
+          f"both=${admitted(true, true)} (${100.0 * admitted(true, true) / n}%.0f%%)")
+      }
+      pruneFraction(graft.ops.Layout
+        .zorderLayout(li, "x", "y", bits = 10, numPartitions = 32)
+        .select("x", "y"), "zorder")
+      pruneFraction(li.repartitionByRange(32, col("x"))
+        .sortWithinPartitions("x"), "linear-x")
+    }
+    section("sketch") {
+      // approximate aggregates a 100 TB report would use instead of exact
+      // shuffles: HLL distinct + t-digest quantiles vs their exact values.
+      // Engine-side only (no oracle — approximation is engine-specific);
+      // the probe records the observed relative error.
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val exact = docs.select(countDistinct(col("text")).as("d"),
+        expr("percentile(n_chars, 0.5)").as("p50")).head()
+      for (rsd <- Seq(0.05, 0.01)) {
+        val t0 = System.nanoTime()
+        val approx = docs.select(
+          approx_count_distinct(col("text"), rsd).as("d"),
+          expr("approx_percentile(n_chars, 0.5, 1000)").as("p50")).head()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val err = math.abs(approx.getLong(0) - exact.getLong(0)).toDouble /
+          exact.getLong(0)
+        println(f"[probe] sketch rsd=$rsd: approxDistinct=${approx.getLong(0)} " +
+          f"exact=${exact.getLong(0)} relErr=$err%.4f " +
+          f"p50=${approx.getLong(1)} exactP50=${exact.getDouble(1)}%.1f $wall%.2f s")
       }
     }
     spark.stop()

@@ -922,7 +922,10 @@ object DuckMirror {
     * gaps-and-islands merged `spans(doc_id, span_start, span_end,
     * span_len)`. Also exposes `t(doc_id, toks)` for token counts.
     */
-  def spanCtes(phrase: String): String =
+  /** The planted span-dedup corpus + token 3-shingle positions:
+    * `c(doc_id, text)`, `t(doc_id, toks)`, `sh(doc_id, s, pos)`.
+    */
+  private def spanBaseCtes(phrase: String): String =
     s"""c0 AS (SELECT doc_id, text FROM documents
        |       UNION ALL
        |       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
@@ -937,18 +940,57 @@ object DuckMirror {
        |                j -> array_to_string(toks[j:j+2], ' ')) AS shl
        |       FROM t),
        |sh0 AS (SELECT doc_id, unnest(shl) AS s, unnest(range(1, len(shl) + 1)) AS p1 FROM s0),
-       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM sh0),
-       |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
-       |h AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
-       |isl AS (SELECT doc_id, pos,
+       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM sh0)""".stripMargin
+
+  /** Gaps-and-islands merge (w = 3) of hit CTE `src(doc_id, pos)` into
+    * `out(doc_id, span_start, span_end, span_len)`.
+    */
+  private def islandCtes(src: String, out: String): String =
+    s"""${out}_i AS (SELECT doc_id, pos,
        |               SUM(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
        |                 OVER (PARTITION BY doc_id ORDER BY pos
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
        |        FROM (SELECT doc_id, pos,
        |                     max(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
-       |              FROM h) hh),
-       |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
-       |                 max(pos) + 3 - min(pos) AS span_len
-       |          FROM isl GROUP BY doc_id, island)""".stripMargin
+       |              FROM $src) ${out}_h),
+       |$out AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       |                max(pos) + 3 - min(pos) AS span_len
+       |         FROM ${out}_i GROUP BY doc_id, island)""".stripMargin
+
+  def spanCtes(phrase: String): String =
+    s"""${spanBaseCtes(phrase)},
+       |dup AS (SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+       |h AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+       |${islandCtes("h", "spans")}""".stripMargin
+
+  /** Mirror of [[graft.ops.Dedup.stripDuplicatedSpans]] (w = 3) over the
+    * planted span corpus: foreign hits (occurrences outside the shingle's
+    * min-doc owner) merge to spans, surviving tokens reassemble in
+    * position order, and the kept text is fingerprinted with the engine's
+    * rolling hash.
+    */
+  def spanStripSql(phrase: String): String =
+    s"""WITH ${spanBaseCtes(phrase)},
+       |own AS (SELECT s, min(doc_id) AS owner FROM sh
+       |        GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2),
+       |fh AS (SELECT sh.doc_id, sh.pos FROM sh JOIN own USING (s)
+       |       WHERE sh.doc_id <> own.owner),
+       |${islandCtes("fh", "fspans")},
+       |tok0 AS (SELECT doc_id, unnest(toks) AS tok,
+       |                unnest(range(1, len(toks) + 1)) AS p1 FROM t),
+       |tok AS (SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS pos, tok FROM tok0),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM fspans f
+       |                           WHERE f.doc_id = tok.doc_id
+       |                             AND tok.pos >= f.span_start
+       |                             AND tok.pos < f.span_end)),
+       |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |              array_to_string(list(tok ORDER BY pos), ' ') AS kt
+       |       FROM kept GROUP BY doc_id),
+       |fp0 AS (SELECT doc_id, n_kept,
+       |               ${rollingHashUnsignedSql("kt")} AS hu
+       |        FROM re)
+       |SELECT doc_id, n_kept, ${signed64("hu")} AS kept_fp
+       |FROM fp0 ORDER BY doc_id""".stripMargin
 }

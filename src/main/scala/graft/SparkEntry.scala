@@ -2302,6 +2302,14 @@ object SparkEntry {
     "span_stats" -> ((s, dir) =>
       Dedup.spanStats(docsWithSharedPhrase(s, dir), "doc_id", "text", w = 3)),
 
+    // the actionable substring dedup: duplicated spans REMOVED, one copy
+    // (the min-doc owner's) kept corpus-wide; output value-checks the
+    // reconstruction via kept-token count + rolling-hash fingerprint —
+    // planted whole-doc copies lose every token and drop out
+    "span_strip" -> ((s, dir) =>
+      Dedup.stripDuplicatedSpans(docsWithSharedPhrase(s, dir), "doc_id",
+        "text", w = 3)),
+
     // fuzzy (edit-distance) dedup: Levenshtein <= 2 on 60-char prefixes
     // within (lang, source, 8-char-prefix) blocks — catches the planted
     // single-character typo variants exact/minhash dedup both miss
@@ -3867,6 +3875,8 @@ object SparkEntry {
          |             CAST(nt.n_tokens AS DOUBLE), 6) AS dup_ratio
          |FROM spans sp JOIN nt ON sp.doc_id = nt.doc_id
          |GROUP BY sp.doc_id, nt.n_tokens ORDER BY doc_id""".stripMargin,
+
+    "span_strip" -> DuckMirror.spanStripSql(SharedPhrase),
 
     "dedup_fuzzy" ->
       """WITH c AS (SELECT doc_id, text, lang, source FROM documents

@@ -549,34 +549,54 @@ object Dedup {
     * island merge is a per-document window (never a global sort). The
     * all-pairs doc x doc comparison of suffix-array dedup never appears.
     */
-  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      w: Int = 3): DataFrame = {
-    require(w >= 1, s"duplicatedSpans needs w >= 1, got $w")
-    import org.apache.spark.sql.expressions.Window
-    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+  /** Whitespace tokens with empties dropped — the span-dedup token base. */
+  private def cleanToks(textCol: String): Column =
+    filter(tokens(col(textCol)), t => length(t) > 0)
+
+  /** (id, pos, sh): every token w-shingle of every document with its
+    * 0-based start position — map-side posexplode.
+    */
+  private def shingledPositions(df: DataFrame, idCol: String,
+                                textCol: String, w: Int): DataFrame = {
+    val toks = cleanToks(textCol)
     val sh = filter(
       transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
         i => concat_ws(" ", slice(toks, i, lit(w)))),
       s => length(s) > 0)
-    val shingled = df
-      .select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "sh")))
+    df.select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "sh")))
+  }
+
+  /** Gaps-and-islands merge of hit positions `(id, pos)` into maximal
+    * token spans `(id, span_start, span_end)` — end exclusive, touching
+    * ranges merged; a per-document window, never a global sort.
+    */
+  private def mergeIslands(hits: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(w.toLong)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+      .select(col("id"), col("span_start"), col("span_end"))
+  }
+
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3): DataFrame = {
+    require(w >= 1, s"duplicatedSpans needs w >= 1, got $w")
+    val shingled = shingledPositions(df, idCol, textCol, w)
     val dup = shingled.groupBy(col("sh"))
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select(col("sh"))
     val hits = shingled.join(dup, "sh")
       .select(col("id"), col("pos").cast(LongType).as("pos"))
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + lit(w.toLong)).over(
-      byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = hits
-      .withColumn("new_island",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
-      .withColumn("island", sum(col("new_island")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(col("id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+    mergeIslands(hits, w)
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_len"))
   }
@@ -599,6 +619,56 @@ object Dedup {
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
         round(col("dup_tokens").cast(DoubleType) /
           col("n_tokens").cast(DoubleType), 6).as("dup_ratio"))
+  }
+
+  /** The ACTIONABLE form of [[duplicatedSpans]]: rebuild each document with
+    * its duplicated spans REMOVED, keeping exactly one copy of every
+    * duplicated region corpus-wide — the transform substring-dedup
+    * pipelines actually apply (Lee et al. §4: drop all but one occurrence).
+    *
+    * Ownership rule (deterministic, relational): each duplicated shingle's
+    * canonical copy lives in the MIN doc id that contains it; occurrences
+    * in any other doc are "foreign" and their token ranges are stripped
+    * (touching ranges merged first). A document whose every token is
+    * foreign-duplicated (a planted whole-doc copy) drops out entirely.
+    *
+    * Returns (doc_id, n_kept, kept_fp): surviving token count and the
+    * 64-bit rolling-hash fingerprint of the space-rejoined kept text —
+    * enough for an oracle to value-check the reconstruction without
+    * shipping full texts.
+    *
+    * Scale shape: two shuffles over (shingle, id) pairs (ownership groupBy
+    * + the hit join), a per-doc window, and a per-doc range anti-join of
+    * tokens against the doc's FEW merged spans; reassembly is a per-doc
+    * sort_array over kept (pos, token) structs — never a global sort.
+    */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           w: Int = 3): DataFrame = {
+    require(w >= 1, s"stripDuplicatedSpans needs w >= 1, got $w")
+    val shingled = shingledPositions(df, idCol, textCol, w)
+    val owners = shingled.groupBy(col("sh"))
+      .agg(min(col("id")).as("owner"), countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("sh"), col("owner"))
+    val foreign = shingled.join(owners, "sh")
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos").cast(LongType).as("pos"))
+    val spans = mergeIslands(foreign, w)
+      .select(col("id").as("sid"), col("span_start"), col("span_end"))
+    val toksOf = df.select(col(idCol).as("id"),
+      posexplode(cleanToks(textCol)).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast(LongType).as("pos"), col("tok"))
+    val kept = toksOf.join(spans,
+      col("id") === col("sid") &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("__kept_text"))
+      .select(col("id").as(idCol), col("n_kept"),
+        graft.functions.fingerprint64(col("__kept_text")).as("kept_fp"))
   }
 
   /** Fuzzy (edit-distance) near-duplicate pairs: Levenshtein distance at

@@ -302,6 +302,35 @@ class DedupSpec extends AnyFunSuite {
     assert(st(2L) == ((1L, 4L, 8L, 0.5)), st)
   }
 
+  test("stripDuplicatedSpans keeps one copy of each duplicated region") {
+    val d = Seq(
+      (1L, "aa bb one two three four cc dd"),   // owner of the shared run
+      (2L, "pp qq one two three four rr ss"),   // foreign copy -> stripped
+      (3L, "totally unrelated words here now")) // untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 keeps all 8 tokens; doc 2 loses the 4 shared ones; doc 3 intact
+    assert(out == Map(1L -> 8L, 2L -> 4L, 3L -> 5L), out)
+    // fingerprint of doc 2's survivors equals the hash of the rejoined text
+    val fp = Dedup.stripDuplicatedSpans(d, "doc_id", "text", w = 3)
+      .filter(col("doc_id") === 2L).head().getLong(2)
+    val expect = spark.range(1)
+      .select(graft.functions.fingerprint64(lit("pp qq rr ss"))).head().getLong(0)
+    assert(fp == expect)
+  }
+
+  test("stripDuplicatedSpans drops whole-document copies entirely") {
+    val d = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),  // exact copy, higher id
+      (3L, "something else entirely okay here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(d, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 6L, 3L -> 5L), out)
+  }
+
   test("fuzzyPairs matches single-edit variants and respects maxDist") {
     val d = Seq(
       (1L, "the colorful parrot flew away", "en", "s"),

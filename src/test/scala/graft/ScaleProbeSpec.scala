@@ -19,6 +19,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     // the source-level guard inside section(...) keeps the list in sync;
     // here we pin the externally documented names
     assert(ScaleProbe.sectionNames.toSet ===
-      Set("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl", "skew", "tenant"))
+      Set("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
+        "skew", "tenant", "layout", "sketch"))
   }
 }
