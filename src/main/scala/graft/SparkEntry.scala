@@ -2414,6 +2414,49 @@ object SparkEntry {
           max(col("gap")).as("max_gap_us"))
     }),
 
+    // conversion funnel view -> click -> purchase: each step's timestamp
+    // must strictly follow the user's previous step (exact integer
+    // microseconds); per-step reached-user counts — the product-analytics
+    // shape over the events table. Per-user aggregates + user-keyed joins
+    // (co-partitioned, no skew: one row per user per step).
+    "funnel_steps" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("t") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("t") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t3"))
+      v.agg(count(lit(1)).as("users")).select(lit("1_view").as("step"), col("users"))
+        .unionByName(c.agg(count(lit(1)).as("users"))
+          .select(lit("2_click").as("step"), col("users")))
+        .unionByName(p.agg(count(lit(1)).as("users"))
+          .select(lit("3_purchase").as("step"), col("users")))
+    }),
+
+    // retention cohorts: users bucketed by first-seen day, activity
+    // counted per (cohort day, day offset) — all integer date arithmetic
+    "retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("c0"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("c0").cast(StringType).as("cohort"),
+          datediff(col("d"), col("c0")).cast(LongType).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // degree distribution of the supplier<->part graph — the structural
+    // sanity report run before any graph algorithm at scale
+    "graph_degrees" -> ((s, dir) =>
+      graft.ops.Graph.undirectedEdges(
+          Tables.load(s, dir, "lineitem"), "l_suppkey", "l_partkey", 1000000L)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))),
+
     // grouped continuous percentiles of document length — the corpus
     // length-profile report; interpolation is one IEEE multiply-add on
     // exact integers, identical in both engines
@@ -3951,6 +3994,36 @@ object SparkEntry {
         |       max(gap) AS max_gap_us
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view'
+        |      GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS step, COUNT(*) AS users FROM v
+        |UNION ALL SELECT '2_click', COUNT(*) FROM c
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+        |ORDER BY step""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |co AS (SELECT user_id, min(d) AS c0 FROM e GROUP BY user_id)
+        |SELECT CAST(c0 AS VARCHAR) AS cohort,
+        |       date_diff('day', c0, d) AS day_offset,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM e JOIN co USING (user_id)
+        |GROUP BY c0, date_diff('day', c0, d)
+        |ORDER BY cohort, day_offset""".stripMargin,
+
+    "graph_degrees" ->
+      """WITH pr AS (SELECT DISTINCT l_suppkey AS sk, l_partkey + 1000000 AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk AS dst FROM pr UNION ALL SELECT pk, sk FROM pr),
+        |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src)
+        |SELECT degree, COUNT(*) AS n_nodes FROM d
+        |GROUP BY degree ORDER BY degree""".stripMargin,
 
     "doc_quantiles" ->
       """SELECT lang,

@@ -9,6 +9,14 @@ import org.apache.spark.sql.types._
 final case class UserState(n: Long, total: Double)
 /** Per-batch emitted update of a user's running totals. */
 final case class UserUpdate(user_id: Long, n: Long, total: Double)
+/** Per-user gap-profile state for [[EventsStream.runningUserGaps]]:
+  * last seen event time plus running (count, sum, max) of gaps, all in
+  * exact integer microseconds. `lastT = Long.MinValue` = no event yet.
+  */
+final case class GapState(lastT: Long, n: Long, sum: Long, mx: Long)
+/** Per-batch emitted update of a user's gap profile. */
+final case class GapUpdate(user_id: Long, n_gaps: Long, sum_gap_us: Long,
+                           max_gap_us: Long)
 
 /** Structured Streaming surface over the `events` table.
   *
@@ -95,6 +103,40 @@ object EventsStream {
           rows.foreach { case (_, v) => n += 1; total += v }
           state.update(UserState(n, total))
           UserUpdate(uid, n, total)
+      }
+  }
+
+  /** The lead_lag gate's per-user gap profile as CUSTOM STREAMING STATE:
+    * one GapState per user folds each micro-batch's events (sorted by
+    * event time within the batch) onto the last seen timestamp, emitting
+    * the running (count, sum, max) of inter-event gaps in exact integer
+    * microseconds — so the final state equals the batch window-function
+    * computation bit for bit (the aggregates are insensitive to the order
+    * of equal timestamps: a tie contributes gap 0 either way).
+    *
+    * Arrival contract: per-key event-time-ordered ACROSS micro-batches
+    * (a time-ordered replayable log); within a batch any order is fine.
+    * State is one fixed-size record per user, partitioned by key.
+    */
+  def runningUserGaps(events: DataFrame): Dataset[GapUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast(LongType), unix_micros(col("ts")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L, 0L))
+          rows.map(_._2).toSeq.sorted.foreach { t =>
+            if (st.lastT == Long.MinValue) st = st.copy(lastT = t)
+            else {
+              val g = t - st.lastT
+              st = GapState(t, st.n + 1, st.sum + g, math.max(st.mx, g))
+            }
+          }
+          state.update(st)
+          GapUpdate(uid, st.n, st.sum, st.mx)
       }
   }
 

@@ -357,4 +357,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === expected)
   }
+
+  test("streaming per-user gap profile equals the batch window computation") {
+    // events written as FOUR ts-range files; maxFilesPerTrigger=1 replays
+    // them as four time-ordered micro-batches (file source processes in
+    // path order; repartitionByRange puts ascending ts ranges in ascending
+    // part files) — the arrival contract runningUserGaps documents
+    val dir = Files.createTempDirectory("graft-gap-stream")
+    // write each quartile as its own append (staggered mtimes): the file
+    // source orders by modification time, not part-file name
+    val raw = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    val cuts = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val bounds = (Long.MinValue +: cuts.map(_.toLong)) :+ Long.MaxValue
+    bounds.sliding(2).foreach {
+      case Array(lo, hi) =>
+        raw.filter(col("ts") > lo && col("ts") <= hi)
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+        Thread.sleep(1100)
+      case _ =>
+    }
+    val streamed = graft.streaming.EventsStream.runningUserGaps(
+      graft.streaming.EventsStream.normalize(
+        spark.readStream.schema(graft.streaming.EventsStream.eventsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(dir.toString)))
+    val q = streamed.toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("gap_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // final state per user = the update with the most gaps (monotone)
+    val got = spark.table("gap_stream_out").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).maxBy(_._1) }
+      .filter(_._2._1 > 0L)
+    val expected = SparkEntry.queries("lead_lag")(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
 }
