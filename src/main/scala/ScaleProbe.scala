@@ -13,7 +13,7 @@ object ScaleProbe {
     */
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
-      "skew", "tenant", "layout", "sketch")
+      "skew", "tenant", "layout", "sketch", "spans")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -465,6 +465,20 @@ object ScaleProbe {
           .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
         println(f"[probe] tenant n=$n total=${df.count()} one-tenant query: " +
           f"$wall%.2f s, scanned=$scanned rows, top=$rows")
+      }
+    }
+    section("spans") {
+      // substring-span dedup scaling: the shingle groupBy + per-doc window
+      // must scale near-linearly in corpus size (the hit join carries only
+      // duplicated-shingle occurrences). Replicated copies double every
+      // shingle's occurrence count without adding distinct keys.
+      for (n <- Seq(1, 2, 4)) {
+        val c = corpus(n)
+        val t0 = System.nanoTime()
+        val spans = graft.ops.Dedup.duplicatedSpans(c, "doc_id", "text", w = 3)
+        val rows = spans.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] spans n=$n docs=${c.count()} spans=$rows $wall%.1f s")
       }
     }
     section("layout") {

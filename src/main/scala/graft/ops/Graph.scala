@@ -50,24 +50,57 @@ object Graph {
     *
     * Returns (id, rank_scaled) for every node.
     */
-  def pageRank(edges: DataFrame, iterations: Int,
-               dampNum: Int = 85): DataFrame = {
-    require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
-    require(dampNum >= 0 && dampNum <= 100,
-      s"pageRank damping numerator must be in [0,100], got $dampNum")
+  /** See class docs. `checkpointEvery` bounds lineage depth: iteration
+    * plans nest until a localCheckpoint truncates them every that-many
+    * rounds (per-iteration checkpointing costs more than it saves at
+    * shallow depths; deep runs need the truncation or planning goes
+    * quadratic — the [[Dedup.connectedComponents]] trade, parameterized).
+    * The per-iteration rank table is node-sized (model-scale next to the
+    * edge list), so it BROADCASTS into the edge join: the only shuffle
+    * per iteration is the contribution groupBy(dst).
+    */
+  /** Materialized graph structure: checkpointed edges, node set, node
+    * count, and out-degrees — the load-once artifact every graph
+    * algorithm call shares (in production this is the stored adjacency
+    * table; rebuilding it per query would re-shuffle the edge list).
+    */
+  final case class EdgeModel(edges: DataFrame, nodes: DataFrame,
+                             n: Long, outdeg: DataFrame)
+
+  def materialize(edges: DataFrame): EdgeModel = {
     val e = edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count()
-    require(n > 0, "pageRank needs a non-empty edge list")
+    require(n > 0, "graph materialize needs a non-empty edge list")
+    EdgeModel(e, nodes, n,
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint())
+  }
+
+  def pageRank(edges: DataFrame, iterations: Int): DataFrame =
+    pageRank(materialize(edges), iterations)
+
+  def pageRank(edges: DataFrame, iterations: Int, dampNum: Int): DataFrame =
+    pageRank(materialize(edges), iterations, dampNum)
+
+  def pageRank(m: EdgeModel, iterations: Int,
+               dampNum: Int = 85, checkpointEvery: Int = 8): DataFrame = {
+    require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
+    require(dampNum >= 0 && dampNum <= 100,
+      s"pageRank damping numerator must be in [0,100], got $dampNum")
+    require(checkpointEvery >= 1,
+      s"pageRank needs checkpointEvery >= 1, got $checkpointEvery")
+    val e = m.edges
+    val nodes = m.nodes
+    val n = m.n
     val base = (Scale * (100 - dampNum) / 100) / n
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = m.outdeg
     var ranks = nodes.select(col("id"), lit(Scale / n).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = e
-        .join(ranks.join(outdeg, col("id") === col("src"))
+        .join(broadcast(ranks.join(outdeg, col("id") === col("src"))
           .select(col("src").as("cs"),
-            expr("rank div outdeg").as("contrib")),
+            expr("rank div outdeg").as("contrib"))),
           col("src") === col("cs"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("m"))
@@ -76,7 +109,8 @@ object Graph {
         .select(col("id"),
           (lit(base) + expr(s"coalesce(m, 0L) * $dampNum div 100"))
             .as("rank"))
-        .localCheckpoint()
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("rank").as("rank_scaled"))
   }

@@ -531,6 +531,42 @@ object TextAnalysis {
             size(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** Light suffix-stripping stem rules, applied in order to a lowercased
+    * token. ONE list drives both engines: each entry is (anchored RE2
+    * pattern with one capture group, suffix appended after the group) —
+    * [[lightStem]] renders Java-regex `$1` replacements, the DuckDB mirror
+    * renders `\1`. Anchored patterns match at most once, so Spark's
+    * replace-all and DuckDB's replace-first behave identically. This is a
+    * deliberately rule-transparent stemmer (vocabulary folding for
+    * retrieval), not Porter.
+    */
+  val StemRules: Seq[(String, String)] = Seq(
+    ("^([a-z]{3,})ies$", "y"),        // studies -> study
+    ("^([a-z]{3,})sses$", "ss"),      // classes -> class
+    ("^([a-z]{4,})ing$", ""),         // processing -> process
+    ("^([a-z]{4,})ed$", ""),          // merged -> merg
+    ("^([a-z]{2,}[a-ru-z])s$", ""))   // dogs -> dog (keeps -ss, -us)
+
+  /** Apply [[StemRules]] to a single lowercased token column. */
+  def lightStem(token: Column): Column =
+    StemRules.foldLeft(token) { case (c, (pat, suffix)) =>
+      regexp_replace(c, pat, "$1" + suffix)
+    }
+
+  /** Stemmed vocabulary: explode lowercased tokens, fold with
+    * [[lightStem]], count, keep the top-k (count desc, term asc) — one
+    * partial-aggregating shuffle + a TakeOrdered, like the raw vocab op.
+    */
+  def stemmedVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"stemmedVocab needs k >= 1, got $k")
+    df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+      .select(lightStem(col("tok")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

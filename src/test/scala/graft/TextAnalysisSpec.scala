@@ -328,6 +328,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.filter(col("fingerprint").isNull).count() === 0)
   }
 
+  test("lightStem folds the documented suffix families and nothing shorter") {
+    import spark.implicits._
+    val cases = Seq(
+      ("studies", "study"), ("classes", "class"), ("processing", "process"),
+      ("merged", "merg"), ("dogs", "dog"),
+      ("ties", "tie"),
+      // guards: short stems and -ss/-us words stay put
+      ("its", "its"), ("sing", "sing"), ("bed", "bed"),
+      ("class", "class"), ("bus", "bus"), ("is", "is"),
+      // non-alpha tokens untouched
+      ("42", "42"), ("a1s", "a1s"))
+    val got = cases.map(_._1).toDF("tok")
+      .select(col("tok"), TextAnalysis.lightStem(col("tok")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, wanted $want")
+    }
+  }
+
+  test("stemmedVocab folds plural/inflected forms into one term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "query queries querying queried"),
+      (2L, "query queries shard shards")).toDF("doc_id", "text")
+    val got = TextAnalysis.stemmedVocab(docs, "text", k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // query x2 + queries->query x2 + querying->query = 5;
+    // queried -> queri (the documented light -ed behavior);
+    // shard + shards->shard = 2
+    assert(got("query") == 5L, got)
+    assert(got("shard") == 2L, got)
+    assert(got("queri") == 1L, got)
+    assert(!got.contains("queries") && !got.contains("shards"))
+  }
+
   test("unigramLogProb: frequent-token prose outscores rare-token soup") {
     import spark.implicits._
     val docs = Seq(
