@@ -199,6 +199,18 @@ object ScaleProbe {
           idx.search(vec(qvecs(id)), 10, nprobe))
       meanRecall("lsh nbits=16 bands=4")(id =>
         graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      // graph tier: LSH entries + one adjacency hop — recall vs the same
+      // entry budget without the graph shows what the stored edges buy
+      val adj = graft.ops.Ann.buildKnnGraph(corpus, "id", "v", dim = 64,
+        m = 8).persist()
+      adj.count()
+      for (h <- Seq(1, 2, 3))
+        meanRecall(s"knn-graph m=8 entryK=3 hops=$h")(id =>
+          graft.ops.Ann.searchKnnGraph(adj, sigs.filter(col("id") =!= id),
+            "id", "v", qvecs(id), 10, entryK = 3, hops = h))
+      meanRecall("knn-graph full-bucket rerank baseline")(id =>
+        graft.ops.Ann.searchLshStored(sigs.filter(col("id") =!= id),
+          "id", "v", qvecs(id), 10))
       // multiprobe: same index, Hamming-1 band keys — the recall a user
       // buys with bands*(1+r) point lookups instead of bands
       val bandIdx = graft.ops.Ann

@@ -162,6 +162,56 @@ object DuckMirror {
     * (Ann.multiprobeKeys). Band keys are < 2^r, so the xor runs in plain
     * BIGINT.
     */
+  /** Mirror of the whole k-NN-graph pipeline (build + serve):
+    * band-matched candidate edges -> per-node top-`m` by rounded cosine
+    * (string-id tiebreaks, like the engine) -> `entryK` exact-scored LSH
+    * entries -> one-hop expansion -> exact rerank.
+    */
+  def knnGraphSql(queryVecId: Int, k: Int, entryK: Int, m: Int, dim: Int,
+                  nbits: Int, bands: Int, seed: Long,
+                  hops: Int = 1): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    def bandEq(x: String, y: String) = (0 until bands).map(b =>
+      s"${lshBandKey(s"$x.bucket", b, r)} = ${lshBandKey(s"$y.bucket", b, r)}")
+      .mkString(" OR ")
+    val frontier = (1 to hops).map(i =>
+      s"""f$i AS (SELECT id FROM f${i - 1}
+         |        UNION
+         |        SELECT adj.nbr FROM adj JOIN f${i - 1} ON adj.src = f${i - 1}.id)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId),
+       |entries AS (
+       |  SELECT CAST(s.vec_id AS VARCHAR) AS id
+       |  FROM sigs s, q
+       |  WHERE s.vec_id <> $queryVecId AND (${bandEq("s", "q")})
+       |  ORDER BY ROUND(list_cosine_similarity(s.v, q.v), 6) DESC,
+       |           CAST(s.vec_id AS VARCHAR)
+       |  LIMIT $entryK),
+       |adj AS (
+       |  SELECT src, nbr FROM (
+       |    SELECT CAST(a.vec_id AS VARCHAR) AS src,
+       |           CAST(b.vec_id AS VARCHAR) AS nbr,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      CAST(b.vec_id AS VARCHAR)) AS rn
+       |    FROM sigs a, sigs b
+       |    WHERE a.vec_id <> b.vec_id AND (${bandEq("a", "b")})) t
+       |  WHERE rn <= $m),
+       |f0 AS (SELECT id FROM entries),
+       |$frontier
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId
+       |  AND CAST(s.vec_id AS VARCHAR) IN (SELECT id FROM f$hops)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   def lshMultiprobeSql(queryVecId: Int, k: Int, dim: Int, nbits: Int,
                        bands: Int, seed: Long): String = {
     val r = nbits / bands

@@ -157,6 +157,19 @@ object SparkEntry {
         .localCheckpoint()
     })
 
+  /** Stored k-NN graph adjacency of `dir`'s collection (top-8 LSH-proposed
+    * neighbors per node by exact cosine) — the graph-ANN serving artifact,
+    * built once per dir like the IVF layouts.
+    */
+  private val knnGraphCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.getOrElseUpdate(dir,
+      graft.ops.Ann.buildKnnGraph(
+        storedLshSignatures(s, dir).select("id", "vector"), "id", "vector",
+        dim = 64, m = 8).localCheckpoint())
+
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Pq.PqModel, DataFrame)]
 
@@ -2053,6 +2066,21 @@ object SparkEntry {
       Ann.searchLshStored(
         SparkEntry.storedLshSignatures(s, dir).filter(col("id") =!= "3"),
         "id", "vector", q, k = 10)
+    }),
+
+    // graph-based ANN (the HNSW-family topology, relationally): LSH band
+    // match picks 3 exact-scored entry points, TWO hops through the stored
+    // top-8 adjacency widen the beam (the stored edges reach candidates
+    // outside the query's own band buckets — measured past the full-bucket
+    // rerank at hops=3, ScaleProbe recall), union reranks exactly — the
+    // whole pipeline (edge proposal, per-node truncation, frontier
+    // expansion, rerank) is deterministic and mirrored stage for stage
+    "ann_knn_graph" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchKnnGraph(knnGraph(s, dir),
+        storedLshSignatures(s, dir).filter(col("id") =!= "3"),
+        "id", "vector", q, k = 10, entryK = 3, hops = 2)
     }),
 
     // incremental IVF maintenance: assign points against the EXISTING
@@ -4226,6 +4254,9 @@ object SparkEntry {
         "decontam_bloom" -> DuckMirror.decontamSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L),
+        "ann_knn_graph" -> DuckMirror.knnGraphSql(queryVecId = 3, k = 10,
+          entryK = 3, m = 8, dim = 64, nbits = 16, bands = 4, seed = 42L,
+          hops = 2),
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
           dim = 64, nbits = 16, bands = 4, seed = 42L),
         "ann_ivf_assign" -> DuckMirror.ivfAssignSql(dim = 64, nlist = 8,

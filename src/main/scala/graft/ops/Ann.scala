@@ -552,4 +552,83 @@ object Ann {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** k-NN GRAPH tier — the graph-based serving topology of the HNSW
+    * family, built relationally: LSH band buckets propose candidate
+    * edges (never all-pairs), each node keeps its top-`m` neighbors by
+    * exact rounded cosine (id tiebreak), and the adjacency table is the
+    * stored artifact queries expand through. Build cost: one banded
+    * shuffle + bucket-local pair expansion + a per-node window — the
+    * same shapes as the LSH dedup path, so it scales the same way.
+    * Returns (src, nbr, sim).
+    */
+  def buildKnnGraph(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    m: Int, nbits: Int = 16, bands: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    require(m >= 1, s"buildKnnGraph needs m >= 1, got $m")
+    require(bands >= 1 && nbits % bands == 0,
+      s"nbits must divide into bands, got nbits=$nbits bands=$bands")
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = lshBuckets(base, "v", dim, nbits, seed)
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
+        .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+    val ids = col("ids")
+    val undirected = banded.groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          b => struct(a.as("src"), b.as("nbr")))))).as("p"))
+      .select(col("p.src"), col("p.nbr"))
+      .distinct()
+    val pairs = undirected
+      .union(undirected.select(col("nbr").as("src"), col("src").as("nbr")))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("nbr").asc)
+    pairs
+      .join(base.select(col("id").as("src"), col("v").as("__sv")), "src")
+      .join(base.select(col("id").as("nbr"), col("v").as("__nv")), "nbr")
+      .withColumn("sim", round(v_cosine(col("__sv"), col("__nv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select(col("src"), col("nbr"), col("sim"))
+  }
+
+  /** Serve from the k-NN graph: LSH band match picks `entryK` entry
+    * points (exact-scored), ONE hop through the adjacency table widens
+    * the beam, and the union reranks exactly. Entry ids and the expanded
+    * candidate set are both model-sized -> broadcast; the corpus is
+    * touched only by the band filter and the final semi-join, never
+    * shuffled. (A deeper beam = more hops; production graph-ANN pays one
+    * adjacency lookup per hop, exactly this shape.)
+    */
+  def searchKnnGraph(adj: DataFrame, sigs: DataFrame, idCol: String,
+                     vecCol: String, query: Seq[Double], k: Int,
+                     entryK: Int, hops: Int = 1, nbits: Int = 16,
+                     bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && entryK >= 1 && hops >= 1,
+      s"searchKnnGraph needs k, entryK, hops >= 1, " +
+        s"got k=$k entryK=$entryK hops=$hops")
+    val entries = searchLshStored(sigs, idCol, vecCol, query, entryK,
+      nbits, bands, seed).select(col(idCol).as("__eid"))
+    // frontier expansion: each hop is one adjacency lookup over a
+    // broadcast (model-sized) frontier — beam width <= entryK * m^hops
+    var cands = entries.select(col("__eid").as(idCol)).distinct()
+    for (_ <- 1 to hops) {
+      val hop = adj.join(broadcast(cands.select(col(idCol).as("__eid"))),
+        col("src") === col("__eid"))
+        .select(col("nbr").as(idCol))
+      cands = cands.union(hop).distinct()
+    }
+    sigs.join(broadcast(cands), Seq(idCol), "left_semi")
+      .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

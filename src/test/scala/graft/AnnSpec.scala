@@ -72,4 +72,46 @@ class AnnSpec extends AnyFunSuite {
     // inside the exact top-50
     assert((lsh -- brute).isEmpty, s"LSH returned far points: ${lsh -- brute}")
   }
+
+  test("buildKnnGraph: adjacency bounded by m, sims exact, neighbors band-proposed") {
+    import org.apache.spark.sql.functions._
+    val corpus = Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), col("vector"))
+    val adj = Ann.buildKnnGraph(corpus, "id", "vector", dim = 64, m = 4)
+    val perSrc = adj.groupBy("src").count().collect().map(_.getLong(1))
+    assert(perSrc.nonEmpty && perSrc.forall(_ <= 4))
+    // stored sims equal a fresh exact computation for a sample edge
+    val e = adj.orderBy(col("src"), col("nbr")).head()
+    val (src, nbr, sim) = (e.getString(0), e.getString(1), e.getDouble(2))
+    val fresh = corpus.filter(col("id") === src).as("a")
+      .crossJoin(corpus.filter(col("id") === nbr).as("b"))
+      .select(round(graft.functions.v_cosine(col("a.vector"), col("b.vector")), 6))
+      .head().getDouble(0)
+    assert(sim == fresh)
+  }
+
+  test("searchKnnGraph: one-hop beam at least matches entries-only rerank") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val corpus = Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"), col("vector"))
+    val sigs = Ann.lshBuckets(corpus, "vector", 64, nbits = 16)
+      .filter(col("id") =!= "3")
+    val adj = Ann.buildKnnGraph(corpus, "id", "vector", dim = 64, m = 8)
+    val graphTop = Ann.searchKnnGraph(adj, sigs, "id", "vector", q,
+      k = 5, entryK = 3).collect().map(r => r.getString(0) -> r.getDouble(1))
+    val entriesOnly = Ann.searchLshStored(sigs, "id", "vector", q, k = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(graphTop.length == 5)
+    // the beam contains the entry points' pool, so the graph top-3 scores
+    // dominate (>=) the entries' scores pointwise
+    graphTop.take(3).zip(entriesOnly).foreach { case ((_, g), (_, s)) =>
+      assert(g >= s, s"graph beam lost score: $g < $s")
+    }
+    // and the expansion genuinely widened the candidate set beyond the
+    // 3 entries (5 results need >= 5 candidates)
+    assert(graphTop.map(_._1).toSet.size == 5)
+  }
 }
