@@ -17,15 +17,19 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), read as a nanos long under
-    // spark.sql.legacy.parquet.nanosAsLong; normalize to a microsecond
-    // TimestampType column so downstream code sees a real timestamp.
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    // Normalize events.ts to a microsecond TimestampType whatever the
+    // store delivered: legacy TIMESTAMP(NANOS) files arrive as a nanos
+    // long under spark.sql.legacy.parquet.nanosAsLong; current files are
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ (the
+    // session timezone is pinned to UTC so the cast keeps the micros).
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integral DIV, not double '/': a double quotient near an integer
         // boundary can round UP before the cast truncates, off-by-one µs
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

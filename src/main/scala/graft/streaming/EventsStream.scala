@@ -29,20 +29,30 @@ final case class GapUpdate(user_id: Long, n_gaps: Long, sum_gap_us: Long,
   */
 object EventsStream {
 
-  /** events schema as stored (ts read as raw nanos under nanosAsLong). */
+  /** events schema as stored (parquet TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false) → TIMESTAMP_NTZ).
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** nanos-long ts -> microsecond TimestampType (integral DIV: double
-    * division rounds up across integer boundaries at epoch-nano scale).
+  /** Normalize `ts` to a microsecond TimestampType whatever form the
+    * store delivered: raw nanos long (legacy TIMESTAMP(NANOS) files under
+    * nanosAsLong — integral DIV, double division rounds up across integer
+    * boundaries at epoch-nano scale), TIMESTAMP_NTZ (current files; the
+    * session timezone is pinned to UTC so the cast preserves the stored
+    * micros bit-for-bit), or already a timestamp.
     */
   def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** The shared transform: tumbling 1-hour window per event_type with
     * count/sum. Watermark bounds state: late data beyond 2 hours is
@@ -121,7 +131,8 @@ object EventsStream {
   def runningUserGaps(events: DataFrame): Dataset[GapUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col("user_id").cast(LongType), unix_micros(col("ts")))
+    normalize(events)
+      .select(col("user_id").cast(LongType), unix_micros(col("ts")))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

@@ -366,12 +366,16 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-gap-stream")
     // write each quartile as its own append (staggered mtimes): the file
     // source orders by modification time, not part-file name
+    // quantile-split on an epoch-micros shadow column so the written
+    // part files keep the store's own ts type (eventsSchema must match)
     val raw = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
-    val cuts = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      .withColumn("__t", unix_micros(col("ts").cast(
+        org.apache.spark.sql.types.TimestampType)))
+    val cuts = raw.stat.approxQuantile("__t", Array(0.25, 0.5, 0.75), 0.0)
     val bounds = (Long.MinValue +: cuts.map(_.toLong)) :+ Long.MaxValue
     bounds.sliding(2).foreach {
       case Array(lo, hi) =>
-        raw.filter(col("ts") > lo && col("ts") <= hi)
+        raw.filter(col("__t") > lo && col("__t") <= hi).drop("__t")
           .coalesce(1).write.mode("append").parquet(dir.toString)
         Thread.sleep(1100)
       case _ =>
