@@ -13,7 +13,7 @@ object ScaleProbe {
     */
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
-      "skew", "tenant", "layout", "sketch", "spans")
+      "skew", "tenant", "layout", "sketch", "spans", "planner")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -492,6 +492,57 @@ object ScaleProbe {
         val rows = spans.count()
         val wall = (System.nanoTime() - t0) / 1e9
         println(f"[probe] spans n=$n docs=${c.count()} spans=$rows $wall%.1f s")
+      }
+    }
+    // cardinality-planned filtered search: corpus xN, the SAME selective
+    // filter (one label of ten). The covering pre-filter path scans
+    // EXACTLY the filter's matching rows (value-pruned postings); the
+    // post-filter path scans nprobe/nlist of the cluster files. Rows
+    // actually read are printed next to wall time — the slopes, not the
+    // local-mode constants, are the 100 TB evidence for where the
+    // full_scan_threshold dial should sit.
+    section("planner") {
+      import graft.functions.vec
+      import graft.ops.{Ann, Planner}
+      val homBase = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .withColumn("vector", col("vector").cast("array<double>"))
+      val q = homBase.filter(col("id") === "3")
+        .select(col("vector")).head().getSeq[Double](0)
+      def run(tag: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val rows = df.collect().length
+        val wall = (System.nanoTime() - t0) / 1e9
+        val scanned = df.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        println(f"[probe] $tag: $wall%.2f s, scanned=$scanned rows, top=$rows")
+      }
+      for (n <- Seq(1, 2, 4)) {
+        val c = (0 until n).map(i =>
+          homBase.select(concat(col("id"), lit(s"_$i")).as("id"),
+            col("payload"), col("vector"))).reduce(_ union _)
+        val idx = Ann.buildIvf(c, "id", "vector", nlist = 8, maxIter = 0)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-planner-$n").toString
+        idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+        val stored = spark.read.parquet(dir)
+        val pidx = Planner.buildPayloadIndex(c, "id",
+          graft.functions.json_get_int(col("payload"), "label"),
+          covering = Seq("vector"))
+        val pre = Planner.choose(pidx, Seq(7L), 0.2)
+        println(s"[probe] planner x$n estimate=${pre.estimate}/${pre.total} " +
+          s"prefilter=${pre.prefilter}")
+        run(s"planner prefilter x$n (label=7)",
+          Planner.searchFilteredPlanned(stored, idx.centroids, pidx,
+            "id", "vector", Seq(7L),
+            graft.functions.json_get_int(col("payload"), "label") === 7L,
+            vec(q), k = 10, nprobe = 2))
+        run(s"planner postfilter x$n (labels 0-4, nprobe=2)",
+          Planner.searchFilteredPlanned(stored, idx.centroids, pidx,
+            "id", "vector", Seq(0L, 1L, 2L, 3L, 4L),
+            graft.functions.json_get_int(col("payload"), "label")
+              .isin(0L, 1L, 2L, 3L, 4L),
+            vec(q), k = 10, nprobe = 2))
+        idx.clustered.unpersist()
       }
     }
     section("layout") {

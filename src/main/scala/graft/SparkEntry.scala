@@ -64,6 +64,23 @@ object SparkEntry {
       (idx.centroids, s.read.parquet(path), s.read.parquet(qpath))
     })
 
+  /** Payload (keyword) index over the homogeneous collection's `label`
+    * field: value-partitioned postings + model-sized per-value counts —
+    * the artifact [[graft.ops.Planner]]'s cardinality-based filtered
+    * search plans against. COVERING (carries the vector), so a selective
+    * filter serves from its own value partitions without touching the
+    * corpus. Built once per dir (an ingest-time batch job, like the IVF
+    * store).
+    */
+  private val payloadIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Planner.PayloadIndex]
+
+  private def payloadIndex(s: SparkSession, dir: String): graft.ops.Planner.PayloadIndex =
+    payloadIdxCache.getOrElseUpdate(dir,
+      graft.ops.Planner.buildPayloadIndex(homD(s, dir), "id",
+        graft.functions.json_get_int(col("payload"), "label"),
+        covering = Seq("vector")))
+
   /** Stored int8 codes for the FULL homogeneous corpus of `dir`,
     * quantized ONCE (the ingest step of the quantize-at-ingest pipeline;
     * in production this frame is the parquet codes table). localCheckpoint
@@ -283,6 +300,7 @@ object SparkEntry {
     ivfPqStore(s, dir)
     ivfPqResidualStore(s, dir)
     textIndexStore(s, dir)
+    payloadIndex(s, dir)
     ()
   }
 
@@ -1291,6 +1309,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // sparse search under the IDF modifier (the backend's Modifier::Idf):
+    // query values scaled by BM25-idf of each term's stored document
+    // frequency, then the SAME sparse dot kernel — rare terms dominate.
+    // The idf factors quantize at 1e-6 on both sides (vq6 recipe), so the
+    // oracle re-derives them bit-identically from its own df counts
+    "sparse_idf_search" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val base = e.select(col("vec_id").cast(StringType).as("id"),
+        ki.as("ki"), kv.as("kv"))
+      val qRow = base.filter(col("id") === "0")
+        .select(col("ki"), col("kv")).head()
+      Search.sparseIdfSearch(base, "id", "ki", "kv",
+        qRow.getSeq[Int](0), qRow.getSeq[Double](1), k = 10)
+    }),
+
     "colbert_maxsim" -> ((s, dir) => {
       val e = hom(s, dir)
         .withColumn("multi", array(col("vector"), reverse(col("vector"))))
@@ -1921,6 +1955,43 @@ object SparkEntry {
       val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
       Ann.searchIvfStored(stored, cents, "id", "vector", vec(q),
         k = 10, nprobe = 2).select("id", "score")
+    }),
+
+    // cardinality-planned filtered search (the backend's query planner,
+    // qdrant full_scan_threshold): ONE label (~10% < the 20% dial) goes
+    // PRE-filter — value-pruned postings resolve the id set, broadcast
+    // into the exact rerank; result is the exact filtered top-k
+    "ann_filtered_pre" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Planner.searchFilteredPlanned(stored, cents,
+        SparkEntry.payloadIndex(s, dir), "id", "vector", Seq(7L),
+        json_get_int(col("payload"), "label") === 7L,
+        vec(q), k = 10, nprobe = 8)
+    }),
+
+    // the SAME planner, loose filter (5 labels ~50% > dial) goes
+    // POST-filter: statically pruned IVF scan, predicate inside the probed
+    // clusters; nprobe = nlist makes the ANN path exact, so the oracle
+    // value-checks the post-filter plan end-to-end too
+    "ann_filtered_post" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 9)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Planner.searchFilteredPlanned(stored, cents,
+        SparkEntry.payloadIndex(s, dir), "id", "vector",
+        Seq(0L, 1L, 2L, 3L, 4L),
+        json_get_int(col("payload"), "label").isin(0L, 1L, 2L, 3L, 4L),
+        vec(q), k = 10, nprobe = 8)
+    }),
+
+    // the payload index's own contents: per-value counts read back from
+    // the value-partitioned postings — the stats the planner estimates
+    // from, value-checked against the corpus
+    "payload_index_stats" -> ((s, dir) => {
+      val pidx = SparkEntry.payloadIndex(s, dir)
+      pidx.postings.groupBy(col("value")).agg(count(lit(1)).as("n"))
     }),
 
     // BATCHED serving over the same pruned store: 3 query vectors, ONE
@@ -2968,6 +3039,26 @@ object SparkEntry {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
+    // idf re-derived per dimension from the oracle's own document
+    // frequencies; FLOOR(x*1e6 + 0.5)/1e6 mirrors the engine's
+    // quantization, and the 0.0 CASE arms keep list_sum's ascending fold
+    // bit-identical to the sparse kernel's merge order
+    "sparse_idf_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |idf AS (
+        |  SELECT list(FLOOR(LN((t.n - t.nt + 0.5) / (t.nt + 0.5) + 1) * 1e6 + 0.5) / 1e6
+        |              ORDER BY t.i) AS f
+        |  FROM (SELECT r.i AS i,
+        |               (SELECT COUNT(*) FROM embeddings e2 WHERE e2.embedding[r.i] > 0) AS nt,
+        |               (SELECT COUNT(*) FROM embeddings) AS n
+        |        FROM range(1, 65) r(i)) t)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                  THEN CAST(e.embedding[i] AS DOUBLE) * (q.qv[i] * idf.f[i]) ELSE 0.0 END)), 6) AS score
+        |FROM embeddings e, q, idf
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
     "colbert_maxsim" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
         |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
@@ -3323,6 +3414,27 @@ object SparkEntry {
     "ann_ivf_bucketed" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L),
+
+    // planned filtered search: both dispatch arms are exact top-k over the
+    // filtered set (pre-filter by construction; post-filter because
+    // nprobe = nlist), so one SQL shape mirrors each
+    "ann_filtered_pre" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.label = 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "ann_filtered_post" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 9)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.label IN (0, 1, 2, 3, 4)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "payload_index_stats" ->
+      """SELECT CAST(label AS BIGINT) AS value, COUNT(*) AS n
+        |FROM embeddings GROUP BY label ORDER BY value""".stripMargin,
 
     "ann_ivf_batch" -> DuckMirror.ivfBatchSql(
       queryVecIds = Seq(5, 7, 11), k = 10, dim = 64, nlist = 8, nprobe = 2,

@@ -648,4 +648,41 @@ object Search {
     df.withColumn("split",
       chained.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
   }
+
+  /** Sparse search with the IDF modifier — the reference backend's
+    * `Modifier::Idf` on a sparse field: each query term's value is scaled
+    * by idf(t) = ln((N - n(t) + 0.5) / (n(t) + 0.5) + 1) (BM25's idf),
+    * where n(t) is the stored field's document frequency of index t, and
+    * scoring is then the plain sparse dot product. Rare terms dominate;
+    * a term present in every document contributes ~nothing.
+    *
+    * Scale shape: the df counts resolve with ONE aggregation restricted
+    * to the QUERY's terms (explode + filter + groupBy), collected bounded
+    * by the query's term count — index-statistics state, like the
+    * centroid table, not a corpus pass per term. The idf factors are
+    * quantized to 1e-6 (`floor(x*1e6 + 0.5)` — pure IEEE arithmetic, the
+    * vq6 recipe) so an engine re-deriving them (the DuckDB mirror) lands
+    * on bit-identical scaled query values; scoring reuses the codegen
+    * [[graft.functions.v_sparse_dot]] kernel unchanged.
+    */
+  def sparseIdfSearch(df: DataFrame, idCol: String, idxCol: String,
+                      valCol: String, qIdx: Seq[Int], qVal: Seq[Double],
+                      k: Int, roundTo: Int = 6): DataFrame = {
+    require(qIdx.length == qVal.length, "query indices/values length mismatch")
+    val n = df.count()
+    val dfCounts = df.select(explode(col(idxCol)).as("t"))
+      .filter(col("t").isin(qIdx: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("nt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val scaled = qIdx.zip(qVal).map { case (t, v) =>
+      val nt = dfCounts.getOrElse(t, 0L).toDouble
+      v * q6(math.log((n - nt + 0.5) / (nt + 0.5) + 1))
+    }
+    df.select(col(idCol).as("id"),
+        round(v_sparse_dot(col(idxCol), col(valCol),
+          typedLit(qIdx), typedLit(scaled)), roundTo).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections.Collections
+import graft.functions._
+import graft.ops.{Ann, Planner}
+
+/** Cardinality-planned filtered search: dispatch decisions, partition
+  * pruning of the payload postings, the broadcast/shuffle id-join flip,
+  * and pre/post-filter path agreement at nprobe = nlist.
+  */
+class PlannerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Collections.homogeneous(spark, TestSpark.sfDir)
+    .withColumn("vector", col("vector").cast("array<double>"))
+
+  private lazy val setup: (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, Planner.PayloadIndex) = {
+    val idx = Ann.buildIvf(corpus, "id", "vector", nlist = 4)
+    val dir = Files.createTempDirectory("graft-planner-ivf").toString
+    idx.clustered.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val pidx = Planner.buildPayloadIndex(corpus, "id",
+      json_get_int(col("payload"), "label"))
+    (stored, idx.centroids, pidx)
+  }
+
+  private def queryVec: Seq[Double] =
+    corpus.filter(col("id") === "0").head().getSeq[Double](2)
+
+  test("payload index stats cover the corpus and estimate exactly") {
+    val (_, _, pidx) = setup
+    assert(pidx.total === corpus.count())
+    val expected = corpus
+      .groupBy(json_get_int(col("payload"), "label").as("v")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pidx.stats.toMap === expected)
+    assert(pidx.estimate(Seq(3L)) === expected(3L))
+    // duplicate values in the filter list must not double-count
+    assert(pidx.estimate(Seq(3L, 3L)) === expected(3L))
+    assert(pidx.estimate(Seq(99L)) === 0L)
+  }
+
+  test("dispatch flips on estimated cardinality vs full-scan threshold") {
+    val (_, _, pidx) = setup
+    // one label of ten (~10%) is under a 20% threshold -> pre-filter
+    assert(Planner.choose(pidx, Seq(7L), 0.2).prefilter)
+    // five labels (~50%) exceed it -> post-filter
+    assert(!Planner.choose(pidx, Seq(0L, 1L, 2L, 3L, 4L), 0.2).prefilter)
+    // the SAME filter flips with the dial
+    assert(Planner.choose(pidx, Seq(0L, 1L, 2L, 3L, 4L), 0.6).prefilter)
+    intercept[IllegalArgumentException] { Planner.choose(pidx, Seq(1L), 0.0) }
+  }
+
+  test("pre-filter path: postings scan partition-prunes to the filter values") {
+    val (stored, cents, pidx) = setup
+    val pruned = pidx.postings.filter(col("value").isin(1L, 2L))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [value"), p)
+    assert(pruned.select("value").distinct().collect()
+      .map(_.getLong(0)).toSet.subsetOf(Set(1L, 2L)))
+    // and the planned search (selective filter) broadcasts the id set
+    val res = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", Seq(7L),
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the broadcast is the PLANNER's decision (estimate <= broadcastLimit
+    // -> explicit hint), not a size-statistics accident
+    assert(res.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // exact over the filtered set: equals brute force on the filtered corpus
+    val exact = Ann.bruteForce(
+      corpus.filter(json_get_int(col("payload"), "label") === 7L),
+      "id", "vector", vec(queryVec), k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(res.collect().map(_.getString(0)).toSeq === exact)
+  }
+
+  test("pre-filter id join drops the broadcast hint above broadcastLimit") {
+    val (stored, cents, pidx) = setup
+    val res = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", Seq(7L),
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4, broadcastLimit = 1L)
+    // above the limit the planner must NOT force a broadcast — the id
+    // frame joins under whatever strategy size statistics/AQE pick (a
+    // test-scale id set still broadcasts from observed size, so the
+    // assertable planner artifact is the absent hint, not the join node)
+    assert(!res.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // same answer either way
+    val hinted = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", Seq(7L),
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4)
+    assert(res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      hinted.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
+
+  test("covering index: pre-filter serves from its own value partitions only") {
+    val (stored, cents, pidx) = setup
+    val cidx = Planner.buildPayloadIndex(corpus, "id",
+      json_get_int(col("payload"), "label"), covering = Seq("vector"))
+    val res = Planner.searchFilteredPlanned(stored, cents, cidx,
+      "id", "vector", Seq(7L),
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4)
+    res.collect()
+    val plan = res.queryExecution.executedPlan
+    val ps = plan.toString
+    // no join at all, and the scan statically prunes to the filter value
+    assert(!ps.contains("Join"), ps)
+    assert("PartitionFilters: \\[[^\\]]*value".r.findFirstIn(ps).isDefined, ps)
+    // scan work is EXACTLY the filter's matching rows — the covering
+    // index's contract (the id-only form instead scans the corpus for
+    // its semi-join)
+    val scanned = plan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    val matching = corpus
+      .filter(json_get_int(col("payload"), "label") === 7L).count()
+    assert(scanned === matching, s"scanned $scanned vs matching $matching")
+    // and the answer is the id-only path's exact result
+    val viaJoin = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", Seq(7L),
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4)
+    assert(res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      viaJoin.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+  }
+
+  test("post-filter path equals pre-filter exactly when every cluster is probed") {
+    val (stored, cents, pidx) = setup
+    val values = Seq(0L, 1L, 2L, 3L, 4L)
+    val pred = json_get_int(col("payload"), "label").isin(values: _*)
+    val post = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", values, pred, vec(queryVec), k = 10, nprobe = 4,
+      fullScanThreshold = 0.2)
+    // dispatch went post-filter (asserted above); with nprobe = nlist the
+    // pruned scan covers the corpus, so the answer is the exact filtered top-k
+    val pre = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", values, pred, vec(queryVec), k = 10, nprobe = 4,
+      fullScanThreshold = 0.6)
+    assert(post.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      pre.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
+    // and the post-filter scan partition-prunes when probing fewer clusters
+    val probedOne = Planner.searchFilteredPlanned(stored, cents, pidx,
+      "id", "vector", values, pred, vec(queryVec), k = 10, nprobe = 1,
+      fullScanThreshold = 0.2)
+    val p = probedOne.queryExecution.executedPlan.toString
+    // single-probe pruning prints as [isnotnull(cluster#n), (cluster#n = c)]
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p).isDefined, p)
+  }
+}

@@ -311,4 +311,32 @@ class SearchSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a != c)
   }
+
+  test("sparseIdfSearch: ubiquitous terms are discounted, rare terms rank") {
+    // term 1 appears in EVERY doc -> idf(nt=4,n=4) = ln(0.5/4.5 + 1) ~
+    // 0.105; term 2 in two of four -> idf = ln 2 ~ 0.693. Doc d puts 5.0
+    // on the ubiquitous term: PLAIN sparse dot would rank it first
+    // (5.0 > a's 2.0), idf demotes it below a's rare-term hit
+    // (5 * 0.105 = 0.53 < 0.105 + 0.693 = 0.80).
+    val rows = Seq(
+      ("a", Seq(1, 2), Seq(1.0, 1.0)),
+      ("b", Seq(1, 2), Seq(1.0, 0.5)),
+      ("c", Seq(1, 3), Seq(1.0, 1.0)),
+      ("d", Seq(1), Seq(5.0)))
+    val df = rows.toDF("id", "ki", "kv")
+    val got = Search.sparseIdfSearch(df, "id", "ki", "kv",
+      qIdx = Seq(1, 2), qVal = Seq(1.0, 1.0), k = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq === Seq("a", "d", "b", "c"), got.toSeq)
+    // the exact quantized arithmetic (idf factors floor-quantized at 1e-6
+    // before scaling — the oracle-mirrorable recipe)
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val idfCommon = q6(math.log((4 - 4 + 0.5) / (4 + 0.5) + 1))
+    val idfRare = q6(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1))
+    val byId = got.toMap
+    assert(math.abs(byId("a") - (idfCommon + idfRare)) < 2e-6, byId("a"))
+    assert(math.abs(byId("d") - 5.0 * idfCommon) < 2e-6, byId("d"))
+    assert(math.abs(byId("b") - (idfCommon + 0.5 * idfRare)) < 2e-6)
+    assert(math.abs(byId("c") - idfCommon) < 2e-6)
+  }
 }
