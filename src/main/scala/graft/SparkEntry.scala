@@ -81,6 +81,42 @@ object SparkEntry {
         graft.functions.json_get_int(col("payload"), "label"),
         covering = Seq("vector")))
 
+  /** Stored geo-cell layout of the events-derived (lat, lon) points —
+    * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
+    * box queries partition-prune to their cover cells. Written once per
+    * dir at ingest, like every stored index here.
+    */
+  private val geoStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def geoStore(s: SparkSession, dir: String): DataFrame =
+    geoStoreCache.getOrElseUpdate(dir, {
+      val pts = Tables.load(s, dir, "events").select(col("event_id"),
+        col("user_id").cast(DoubleType).as("lat"),
+        (col("event_id") % 180).cast(DoubleType).as("lon"))
+      val path = java.nio.file.Files.createTempDirectory("graft-geo-cells").toString
+      graft.ops.Geo.writeCellLayout(pts, "lat", "lon", bits = 4, path)
+      graft.ops.Geo.readCellLayout(s, path)
+    })
+
+  /** Corpus-calibrated (quantile-clipped) int8 artifacts of `dir`: the
+    * two-double calibration + stored (codes, csum) — the backend's
+    * scalar quantization with `quantile: 0.99`, quantized once at
+    * ingest like [[storedCodes]].
+    */
+  private val calibCache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Quant.I8Calibration, DataFrame)]
+
+  private def calibratedStore(s: SparkSession, dir: String): (graft.ops.Quant.I8Calibration, DataFrame) =
+    calibCache.getOrElseUpdate(dir, {
+      val cal = graft.ops.Quant.calibrate(homD(s, dir), "vector", quantile = 0.99)
+      val codes = graft.ops.Quant.quantizeColumnCalibrated(
+          homD(s, dir).select("id", "vector"), "vector", "cal", cal)
+        .select("id", "cal_codes", "cal_csum")
+        .localCheckpoint()
+      (cal, codes)
+    })
+
   /** Stored int8 codes for the FULL homogeneous corpus of `dir`,
     * quantized ONCE (the ingest step of the quantize-at-ingest pipeline;
     * in production this frame is the parquet codes table). localCheckpoint
@@ -301,6 +337,8 @@ object SparkEntry {
     ivfPqResidualStore(s, dir)
     textIndexStore(s, dir)
     payloadIndex(s, dir)
+    geoStore(s, dir)
+    calibratedStore(s, dir)
     ()
   }
 
@@ -1408,6 +1446,14 @@ object SparkEntry {
         .filter(graft.ops.Geo.inBoundingBox(col("lat"), col("lon"),
           south = 10, north = 40, west = 20, east = 60))),
 
+    // the SAME box served from the stored geo-cell index: cover cells
+    // partition-prune the scan (the geo payload index of the backend),
+    // exact predicate inside — identical answer, index-shaped cost
+    "geo_cell_search" -> ((s, dir) =>
+      graft.ops.Geo.searchBox(SparkEntry.geoStore(s, dir), "lat", "lon",
+          south = 10, north = 40, west = 20, east = 60, bits = 4)
+        .select(col("event_id"), col("lat"), col("lon"))),
+
     // geo_polygon filter: ray-cast containment, the SQL mirror GENERATED
     // from the same vertex list (Geo.polygonSql) so both engines run the
     // identical per-edge doubles
@@ -1661,7 +1707,25 @@ object SparkEntry {
         .withColumn("payload", to_json(struct(array(col("lang"), col("source")).as("tags"))))
         .select(col("doc_id"),
           json_contains_value(col("payload"), "tags", "en").as("has_en"),
-          json_contains_value(col("payload"), "tags", "src3").as("has_src3")))
+          json_contains_value(col("payload"), "tags", "src3").as("has_src3"))),
+
+    // the backend's NESTED filter: conditions binding to ONE element of
+    // an array-of-objects payload (key = 'src7' AND even, inside the
+    // same element). The payload JSON derives deterministically from
+    // documents; the oracle re-states the nested semantics from base
+    // columns — flat per-condition matching would admit extra rows
+    // (JsonSpec pins the distinction)
+    "nested_filter" -> ((s, dir) => {
+      val elem = StructType(Seq(
+        StructField("key", StringType), StructField("even", BooleanType)))
+      docs(s, dir)
+        .withColumn("payload", to_json(array(
+          struct(col("lang").as("key"), (col("n_chars") % 2 === 0).as("even")),
+          struct(col("source").as("key"), (col("n_chars") % 3 === 0).as("even")))))
+        .filter(graft.ops.Json.nestedExists(col("payload"), elem,
+          x => x.getField("key") === "src7" && x.getField("even")))
+        .select(col("doc_id"))
+    })
   )
 
   /** Training-data pipeline operators: dedup, text analysis, ANN, media. */
@@ -2230,6 +2294,23 @@ object SparkEntry {
       graft.ops.Quant.searchStoredCodes(
           SparkEntry.storedCodes(s, dir).filter(col("id") =!= "7"), corpus,
           "id", "vector", "v8_codes", "v8_scale", qvec, k = 100, candidateK = 100)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(10)
+    }),
+
+    // corpus-calibrated (quantile-clipped 0.99) scalar quantization — the
+    // backend's `quantile` dial: ONE affine mapping for the collection,
+    // candidate stage on stored (codes, csum), exact rerank. The oracle
+    // re-derives the calibration from its own percentiles, re-encodes
+    // every vector, and reproduces the affine approximate dot with the
+    // same parenthesization — the full quantizer arithmetic is pinned
+    "quantized_calibrated" -> ((s, dir) => {
+      val (cal, codes) = SparkEntry.calibratedStore(s, dir)
+      val qvec = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      graft.ops.Quant.searchCalibrated(codes, homD(s, dir), "id", "vector",
+          "cal_codes", "cal_csum", cal, dim = 64, qvec, k = 100, candidateK = 100)
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("score").desc, col("id").asc)
         .limit(10)
@@ -3167,6 +3248,15 @@ object SparkEntry {
         |  AND CAST(event_id % 180 AS DOUBLE) >= 20 AND CAST(event_id % 180 AS DOUBLE) <= 60
         |ORDER BY event_id""".stripMargin,
 
+    // the pruned index path must return the plain filter's exact rows
+    "geo_cell_search" ->
+      """SELECT event_id, CAST(user_id AS DOUBLE) AS lat,
+        |       CAST(event_id % 180 AS DOUBLE) AS lon
+        |FROM events
+        |WHERE CAST(user_id AS DOUBLE) >= 10 AND CAST(user_id AS DOUBLE) <= 40
+        |  AND CAST(event_id % 180 AS DOUBLE) >= 20 AND CAST(event_id % 180 AS DOUBLE) <= 60
+        |ORDER BY event_id""".stripMargin,
+
     "geo_polygon" ->
       s"""SELECT event_id, CAST(user_id AS DOUBLE) AS lat,
          |       CAST(event_id % 180 AS DOUBLE) AS lon
@@ -3600,7 +3690,15 @@ object SparkEntry {
       """SELECT doc_id,
         |       list_contains(CAST(json_extract(to_json({'tags': [lang, source]}), '$.tags') AS VARCHAR[]), 'en') AS has_en,
         |       list_contains(CAST(json_extract(to_json({'tags': [lang, source]}), '$.tags') AS VARCHAR[]), 'src3') AS has_src3
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // nested semantics from first principles: the only element whose key
+    // can be 'src7' is the source element, whose `even` flag is
+    // n_chars % 3 = 0 — both conditions on the SAME element
+    "nested_filter" ->
+      """SELECT doc_id FROM documents
+        |WHERE source = 'src7' AND n_chars % 3 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 
   private val oraclePipeline: Map[String, String] = Map(
@@ -3948,6 +4046,35 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // full calibrated-quantizer mirror: quantile bounds re-derived
+    // (q6-quantized like the engine), every vector re-encoded with the
+    // identical clip/floor affine, the approximate dot reproduced with
+    // the engine's parenthesization, then the same margin-100 rerank
+    "quantized_calibrated" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 13),
+        |cal AS (SELECT FLOOR(quantile_cont(x, 0.01) * 1e6 + 0.5) / 1e6 AS lo,
+        |               FLOOR(quantile_cont(x, 0.99) * 1e6 + 0.5) / 1e6 AS hi
+        |        FROM (SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)),
+        |p AS (SELECT lo, hi, (hi - lo) / 255.0 AS s FROM cal),
+        |pm AS (SELECT lo, hi, s, lo + 128.0 * s AS m FROM p),
+        |cs AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              CAST(e.embedding AS DOUBLE[]) AS v,
+        |              list_transform(CAST(e.embedding AS DOUBLE[]),
+        |                x -> FLOOR((LEAST(GREATEST(x, pm.lo), pm.hi) - pm.lo) / pm.s + 0.5) - 128) AS c
+        |       FROM embeddings e, pm),
+        |qs AS (SELECT list_transform(q.qv,
+        |                x -> FLOOR((LEAST(GREATEST(x, pm.lo), pm.hi) - pm.lo) / pm.s + 0.5) - 128) AS qc
+        |       FROM q, pm),
+        |cand AS (SELECT cs.id, cs.v,
+        |                list_inner_product(cs.c, qs.qc) * (pm.s * pm.s)
+        |                + (pm.s * pm.m) * (list_sum(cs.c) + list_sum(qs.qc))
+        |                + (64 * pm.m) * pm.m AS approx
+        |         FROM cs, qs, pm
+        |         ORDER BY approx DESC, id ASC LIMIT 100)
+        |SELECT cand.id, ROUND(list_inner_product(cand.v, q.qv), 6) AS score
+        |FROM cand, q
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // mirrors BOTH stages: Hamming distance re-derived as the per-dim

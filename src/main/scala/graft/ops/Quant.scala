@@ -180,4 +180,100 @@ object Quant {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  // -- corpus-calibrated (quantile-clipped) scalar quantization ------------
+  //
+  // The backend's scalar quantization with its `quantile` dial: ONE affine
+  // int8 mapping for the whole collection, bounds taken at the corpus-wide
+  // [1-q, q] component quantiles so a handful of outlier components don't
+  // blow up everyone's resolution (per-vector max-abs — `quantize` above —
+  // gives outlier VECTORS their own scale but spends half the code range
+  // on them when outliers sit inside otherwise-normal vectors). Codes
+  // decode as x̂ = s·c + m (s = (hi-lo)/255, m = lo + 128s), so the
+  // approximate dot needs each vector's CODE SUM next to its codes —
+  // precomputed at ingest, the standard trick:
+  //   dot(x̂, ŷ) = s²·Σcx·cy + s·m·(Σcx + Σcy) + d·m².
+  // Calibration is model state (two q6-quantized doubles from one exact
+  // percentile aggregation) — any engine re-deriving it (the DuckDB
+  // oracle does) lands on bit-identical codes.
+
+  final case class I8Calibration(lo: Double, hi: Double) {
+    require(hi > lo, s"degenerate calibration [$lo, $hi]")
+    val scale: Double = (hi - lo) / 255.0
+    /** Decoded value of code 0 (the affine midpoint). */
+    val zero: Double = lo + 128.0 * scale
+
+    /** Driver-side code of one component — the exact mirror of the
+      * ingest column expression (same clip/floor arithmetic).
+      */
+    def codeOf(x: Double): Int =
+      (math.floor((math.min(math.max(x, lo), hi) - lo) / scale + 0.5) - 128).toInt
+  }
+
+  /** Corpus-wide calibration at `quantile` (e.g. 0.99 clips the top and
+    * bottom 1% of component values). Exact percentile — deterministic on
+    * any layout — with bounds q6-quantized (`floor(x*1e6 + 0.5)`) so
+    * re-derivations agree bit-for-bit.
+    */
+  def calibrate(df: DataFrame, vecCol: String,
+                quantile: Double = 0.99): I8Calibration = {
+    require(quantile > 0.5 && quantile < 1.0,
+      s"quantile must be in (0.5, 1), got $quantile")
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val r = df
+      .select(explode(col(vecCol).cast(ArrayType(DoubleType))).as("x"))
+      .agg(expr(s"percentile(x, ${1 - quantile})").as("lo"),
+        expr(s"percentile(x, $quantile)").as("hi"))
+      .head()
+    I8Calibration(q6(r.getDouble(0)), q6(r.getDouble(1)))
+  }
+
+  /** Ingest: add `{out}_codes` (array<tinyint>, calibrated affine codes)
+    * and `{out}_csum` (code sum — the precomputed term of the approximate
+    * dot). The HOFs run once at ingest; serving reads stored columns.
+    */
+  def quantizeColumnCalibrated(df: DataFrame, vecCol: String, out: String,
+                               cal: I8Calibration): DataFrame = {
+    val codes = transform(col(vecCol).cast(ArrayType(DoubleType)),
+      x => (floor((least(greatest(x, lit(cal.lo)), lit(cal.hi)) - lit(cal.lo))
+        / lit(cal.scale) + lit(0.5)) - lit(128)).cast(ByteType))
+    df.withColumn(s"${out}_codes", codes)
+      .withColumn(s"${out}_csum",
+        aggregate(col(s"${out}_codes"), lit(0L), (a, c) => a + c))
+  }
+
+  /** Calibrated-domain top-k + full-precision rerank over STORED codes:
+    * the candidate stage scans only (codes, csum) — 4x less bandwidth AND
+    * a shared scale (no per-row scale multiply); the approximate dot is
+    * the codegen int8 kernel plus scalar affine terms. candidateK is the
+    * recall margin, as in [[searchStoredCodes]].
+    */
+  def searchCalibrated(codes: DataFrame, full: DataFrame,
+                       idCol: String, vecCol: String,
+                       codesCol: String, csumCol: String,
+                       cal: I8Calibration, dim: Int,
+                       query: Seq[Double], k: Int, candidateK: Int): DataFrame = {
+    val qCodes = query.map(cal.codeOf)
+    val qSum = qCodes.map(_.toLong).sum
+    val s2 = cal.scale * cal.scale
+    val sm = cal.scale * cal.zero
+    val mm = dim * cal.zero * cal.zero
+    // ((dot·s²) + (sm·(csum + qsum))) + mm — the oracle renders the SAME
+    // parenthesization so the double arithmetic is bit-identical
+    val approx = v_dot_i8(col(codesCol), typedLit(qCodes.map(_.toByte))) * lit(s2) +
+      lit(sm) * (col(csumCol) + lit(qSum)).cast(DoubleType) + lit(mm)
+    val cands = codes.select(col(idCol), col(codesCol), col(csumCol))
+      .withColumn("__approx", approx)
+      .orderBy(col("__approx").desc, col(idCol).asc)
+      .limit(candidateK)
+      .select(col(idCol))
+    val q = codes.sparkSession.range(1).select(vec(query).as("__qv"))
+    full.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .withColumn("score", v_dot(col(vecCol), col("__qv")))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

@@ -52,4 +52,50 @@ class GeoSpec extends AnyFunSuite {
     assert("CAST\\(\\(\\(".r.findAllIn(sql).length == 4, sql)
     assert(sql.endsWith("% 2 = 1"), sql)
   }
+
+  test("geo cell: column and driver cell arithmetic agree, covers contain the box") {
+    // deterministic pseudo-random points across (and beyond) the globe —
+    // includes out-of-range lat (the clamp path)
+    val pts = (0 until 500).map { i =>
+      (((i * 37) % 260) - 100.0, ((i * 53) % 400) - 200.0)
+    }
+    val bits = 4
+    val colCells = pts.toDF("lat", "lon")
+      .withColumn("cell", Geo.cellCol(col("lat"), col("lon"), bits))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (la, lo) =>
+      assert(colCells((la, lo)) === Geo.cellOf(la, lo, bits), s"($la, $lo)")
+    }
+    // cover containment: every point INSIDE the box has its cell in the
+    // box's cover (the property pruning correctness rests on)
+    val (s0, n0, w0, e0) = (10.0, 40.0, 20.0, 60.0)
+    val cover = Geo.coverCells(s0, n0, w0, e0, bits).toSet
+    pts.filter { case (la, lo) => la >= s0 && la <= n0 && lo >= w0 && lo <= e0 }
+      .foreach { case (la, lo) =>
+        assert(cover.contains(Geo.cellOf(la, lo, bits)), s"($la, $lo)")
+      }
+  }
+
+  test("geo cell layout: box query partition-prunes and equals the plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-spec").toString
+    val pts = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .select(col("event_id"),
+        col("user_id").cast("double").as("lat"),
+        (col("event_id") % 180).cast("double").as("lon"))
+    Geo.writeCellLayout(pts, "lat", "lon", bits = 4, dir)
+    val layout = Geo.readCellLayout(spark, dir)
+    val res = Geo.searchBox(layout, "lat", "lon", 10, 40, 20, 60, bits = 4)
+    res.collect()
+    val p = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined, p)
+    // pruned result == the plain full-scan filter
+    val expected = pts.filter(Geo.inBoundingBox(col("lat"), col("lon"), 10, 40, 20, 60))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = res.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected)
+    // and the scan touches only cover-cell partitions
+    val cover = Geo.coverCells(10, 40, 20, 60, bits = 4).toSet
+    val touched = res.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(touched.subsetOf(cover), s"touched $touched not in cover $cover")
+  }
 }

@@ -86,4 +86,43 @@ class QuantSpec extends AnyFunSuite {
     val scores = got.map(_.getDouble(1)).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("calibrated quantization: quantile clip bounds, code mirror, outlier robustness") {
+    // corpus of well-behaved components plus ONE vector with a huge
+    // outlier component: per-vector max-abs quantization collapses that
+    // vector's resolution to ~max/127; quantile calibration clips the
+    // outlier and keeps 255 levels for the normal range
+    val dim = 8
+    val rows = (0 until 100).map { i =>
+      (i.toString, (0 until dim).map(d => math.sin(i * dim + d)).toSeq)
+    } :+ ("out", Seq.fill(dim)(0.1).updated(0, 1000.0))
+    val df = rows.toDF("id", "vector")
+    val cal = Quant.calibrate(df, "vector", quantile = 0.99)
+    // the 99% quantile ignores the single 1000.0 (1 of 808 components)
+    assert(cal.hi < 2.0, s"outlier leaked into calibration: $cal")
+    assert(cal.lo > -2.0, cal.toString)
+    // column codes == the driver-side mirror arithmetic
+    val coded = Quant.quantizeColumnCalibrated(df, "vector", "c", cal)
+    val sample = coded.filter(col("id") === "3")
+      .select(col("vector"), col("c_codes"), col("c_csum")).head()
+    val vs = sample.getSeq[Double](0)
+    val cs = sample.getSeq[Byte](1)
+    vs.zip(cs).foreach { case (x, c) =>
+      assert(c.toInt === cal.codeOf(x), s"x=$x")
+    }
+    assert(sample.getLong(2) === cs.map(_.toLong).sum)
+    // clip boundaries land on the code range ends
+    assert(cal.codeOf(cal.lo) === -128 && cal.codeOf(cal.hi - 1e-12) >= 126)
+    assert(cal.codeOf(-1e18) === -128 && cal.codeOf(1e18) === 127)
+    // full-margin search == exact brute-force ranking (the margin contract)
+    val q = rows(5)._2
+    val got = Quant.searchCalibrated(coded.select("id", "c_codes", "c_csum"),
+      df, "id", "vector", "c_codes", "c_csum", cal, dim, q,
+      k = 5, candidateK = rows.length).collect().map(_.getString(0)).toSeq
+    val exact = Ann.bruteForce(
+      df.withColumn("vector", col("vector").cast("array<double>")),
+      "id", "vector", vec(q), k = 5, metric = "dot")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === exact)
+  }
 }
