@@ -2058,6 +2058,19 @@ object SparkEntry {
       pidx.postings.groupBy(col("value")).agg(count(lit(1)).as("n"))
     }),
 
+    // the integer index's RANGE condition through the same planner:
+    // label BETWEEN 8 AND 9 (~20% < a 0.25 dial) -> pre-filter, the range
+    // predicate prunes the postings partitions exactly like the IN
+    "ann_filtered_range" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 5)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Planner.searchFilteredRange(stored, cents,
+        SparkEntry.payloadIndex(s, dir), "id", "vector", lo = 8L, hi = 9L,
+        json_get_int(col("payload"), "label").between(8L, 9L),
+        vec(q), k = 10, nprobe = 8, fullScanThreshold = 0.25)
+    }),
+
     // BATCHED serving over the same pruned store: 3 query vectors, ONE
     // statically pruned scan of the union of their probed clusters, each
     // row scored only against the queries that probed its cluster, ranked
@@ -3525,6 +3538,13 @@ object SparkEntry {
     "payload_index_stats" ->
       """SELECT CAST(label AS BIGINT) AS value, COUNT(*) AS n
         |FROM embeddings GROUP BY label ORDER BY value""".stripMargin,
+
+    "ann_filtered_range" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.label BETWEEN 8 AND 9
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "ann_ivf_batch" -> DuckMirror.ivfBatchSql(
       queryVecIds = Seq(5, 7, 11), k = 10, dim = 64, nlist = 8, nprobe = 2,

@@ -56,6 +56,12 @@ object Planner {
       */
     def estimate(values: Seq[Long]): Long =
       values.distinct.map(v => byValue.getOrElse(v, 0L)).sum
+
+    /** Estimated rows matching `value BETWEEN lo AND hi` (inclusive) —
+      * the integer-index RANGE condition; same stats, same exactness.
+      */
+    def estimateRange(lo: Long, hi: Long): Long =
+      stats.collect { case (v, n) if v >= lo && v <= hi => n }.sum
   }
 
   /** Build the payload index: one shuffle (the partitioned write), one
@@ -114,13 +120,44 @@ object Planner {
                             fullScanThreshold: Double = 0.2,
                             broadcastLimit: Long = 100000L,
                             metric: String = "cosine",
-                            roundTo: Int = 6): DataFrame = {
-    val c = choose(idx, values, fullScanThreshold)
+                            roundTo: Int = 6): DataFrame =
+    serve(stored, centroids, idx, idCol, vecCol,
+      col("value").isin(values: _*), choose(idx, values, fullScanThreshold),
+      rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
+
+  /** The RANGE form of the filter (the integer payload index's
+    * `value BETWEEN lo AND hi` condition): same plan dispatch, same
+    * serving arms — a range predicate on the postings' partition column
+    * prunes statically just like the literal IN.
+    */
+  def searchFilteredRange(stored: DataFrame, centroids: DataFrame,
+                          idx: PayloadIndex, idCol: String, vecCol: String,
+                          lo: Long, hi: Long, rowPredicate: Column,
+                          query: Column, k: Int, nprobe: Int,
+                          fullScanThreshold: Double = 0.2,
+                          broadcastLimit: Long = 100000L,
+                          metric: String = "cosine",
+                          roundTo: Int = 6): DataFrame = {
+    require(fullScanThreshold > 0 && fullScanThreshold <= 1,
+      s"fullScanThreshold must be a fraction in (0, 1], got $fullScanThreshold")
+    val est = idx.estimateRange(lo, hi)
+    serve(stored, centroids, idx, idCol, vecCol,
+      col("value") >= lo && col("value") <= hi,
+      PlanChoice(est <= fullScanThreshold * idx.total, est, idx.total),
+      rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
+  }
+
+  private def serve(stored: DataFrame, centroids: DataFrame,
+                    idx: PayloadIndex, idCol: String, vecCol: String,
+                    postingsPred: Column, c: PlanChoice,
+                    rowPredicate: Column, query: Column, k: Int, nprobe: Int,
+                    broadcastLimit: Long, metric: String,
+                    roundTo: Int): DataFrame = {
     if (c.prefilter && idx.covering.contains(vecCol)) {
       // covering index: the filter's value partitions ARE the candidate
       // set — scan only them (static pruning, PlannerSpec), score, top-k.
       // Zero joins, zero corpus touch: scan work = matching rows.
-      idx.postings.filter(col("value").isin(values: _*))
+      idx.postings.filter(postingsPred)
         .select(col("id"),
           round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
         .orderBy(col("score").desc, col("id").asc)
@@ -130,7 +167,7 @@ object Planner {
       // exact-score only those rows. Broadcast the id set while it is
       // small; beyond broadcastLimit a shuffled semi-join keeps both
       // sides distributed (left_semi either way).
-      val ids = idx.postings.filter(col("value").isin(values: _*))
+      val ids = idx.postings.filter(postingsPred)
         .select(col("id"))
       val idFrame = if (c.estimate <= broadcastLimit) broadcast(ids) else ids
       stored.join(idFrame, stored(idCol) === idFrame("id"), "left_semi")

@@ -133,6 +133,28 @@ class PlannerSpec extends AnyFunSuite {
       viaJoin.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq)
   }
 
+  test("range condition: estimate exact, postings range-prune, result exact") {
+    val (stored, cents, pidx) = setup
+    val expected = corpus
+      .filter(json_get_int(col("payload"), "label").between(3L, 5L)).count()
+    assert(pidx.estimateRange(3L, 5L) === expected)
+    assert(pidx.estimateRange(100L, 200L) === 0L)
+    // range predicate on the partition column prunes statically
+    val pruned = pidx.postings.filter(col("value") >= 3L && col("value") <= 5L)
+    val p = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*value".r.findFirstIn(p).isDefined, p)
+    // the planned range search (selective) returns the exact filtered top-k
+    val res = Planner.searchFilteredRange(stored, cents, pidx,
+      "id", "vector", lo = 7L, hi = 7L,
+      json_get_int(col("payload"), "label") === 7L,
+      vec(queryVec), k = 10, nprobe = 4)
+    val exact = graft.ops.Ann.bruteForce(
+      corpus.filter(json_get_int(col("payload"), "label") === 7L),
+      "id", "vector", vec(queryVec), k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(res.collect().map(_.getString(0)).toSeq === exact)
+  }
+
   test("post-filter path equals pre-filter exactly when every cluster is probed") {
     val (stored, cents, pidx) = setup
     val values = Seq(0L, 1L, 2L, 3L, 4L)
