@@ -1386,6 +1386,20 @@ object SparkEntry {
         posVecs = recLitPos, negVecs = recLitNeg, k = 10)
         .select("id", "score")),
 
+    // recommend with lookup_from: positive examples resolved from ANOTHER
+    // collection's named vector field (the hetero collection's
+    // text_embedding), scored over THIS collection — example resolution
+    // is a bounded by-id fetch (2 rows), cross-collection like the
+    // backend's lookup_from, so no example exclusion applies here
+    "recommend_lookup_from" -> ((s, dir) => {
+      val het = Collections.heterogeneous(s, dir)
+      val pos = Seq("0", "3").map(id => het.filter(col("id") === id)
+        .select(dvec(col("text_embedding"))).head().getSeq[Double](0).toSeq)
+      Search.recommendVectors(hom(s, dir), "vector",
+        posVecs = pos, negVecs = Nil, k = 10)
+        .select("id", "score")
+    }),
+
     // named-field recommend (tests.sql:107-114): same composition against a
     // heterogeneous named vector field (NULL on rows lacking the field)
     // with that field's declared metric (image_embedding -> dot)
@@ -2161,6 +2175,29 @@ object SparkEntry {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 2)
         .select(col("label"), col("id"), col("score"))
+    }),
+
+    // grouped search WITH LOOKUP (the reference backend's with_lookup):
+    // each group's key is a point id in a lookup collection whose payload
+    // rides along with the group. The grouped result (groups x group_size
+    // rows — bounded) BROADCASTS into the lookup scan, never the reverse:
+    // at 100 TB the lookup collection is corpus-sized, the group table is
+    // model-sized
+    "group_search_lookup" -> ((s, dir) => {
+      val df = hom(s, dir)
+      val q = qvecOf(df, "0")
+      val scored = df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .select(col("id"),
+          get_json_object(col("payload"), "$.label").as("label"),
+          round(v_cosine(col("vector"), col("__qvec")), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("score").desc, col("id").asc)
+      val groups = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("label"), col("id"), col("score"))
+      df.select(col("id").as("label"), col("payload").as("lookup_payload"))
+        .join(broadcast(groups), Seq("label"))
+        .select(col("label"), col("id"), col("score"), col("lookup_payload"))
     }),
 
     // ingest-time L2 normalization: the stored-unit-vector step every
@@ -3166,6 +3203,18 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.vec_id <> 0)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
+    // lookup_from mirror: the hetero text_embedding of ids 0/3 IS the
+    // embeddings row (vec_id % 3 = 0 subset), so the oracle averages the
+    // base vectors directly; no exclusion (cross-collection examples)
+    "recommend_lookup_from" ->
+      """WITH pc AS (SELECT list(x ORDER BY i) AS v FROM (
+        |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
+        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id IN (0, 3) GROUP BY i))
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pc.v), 6) AS score
+        |FROM embeddings e, pc
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
     "recommend" ->
       """WITH pc AS (SELECT list(x ORDER BY i) AS v FROM (
         |       SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS x
@@ -3595,6 +3644,20 @@ object SparkEntry {
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, id) AS rn
         |      FROM sc)
         |SELECT label, id, score FROM r WHERE rn <= 2 ORDER BY label, id""".stripMargin,
+
+    "group_search_lookup" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |              CAST(e.label AS VARCHAR) AS label,
+        |              ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |       FROM embeddings e, q WHERE e.vec_id <> 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY score DESC, id) AS rn
+        |      FROM sc),
+        |g AS (SELECT label, id, score FROM r WHERE rn <= 2)
+        |SELECT g.label, g.id, g.score,
+        |       to_json({'label': l.label}) AS lookup_payload
+        |FROM g JOIN embeddings l ON CAST(l.vec_id AS VARCHAR) = g.label
+        |ORDER BY g.label, g.id""".stripMargin,
 
     "scroll_page" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
