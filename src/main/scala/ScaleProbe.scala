@@ -13,7 +13,7 @@ object ScaleProbe {
     */
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
-      "skew", "tenant", "layout", "sketch", "spans", "planner")
+      "skew", "tenant", "layout", "sketch", "spans", "planner", "geo")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -268,6 +268,19 @@ object ScaleProbe {
           graft.ops.Quant.cascadeSearch(bits, codes, corpus, "id", "v",
             "b_bits", "q8_codes", "q8_scale", qvecs(id), 10, ck / 2, ck))
       codes.unpersist()
+      // corpus-calibrated (quantile-clipped) int8: the shared-scale
+      // affine tier — same candidate-bytes budget as per-vector int8 but
+      // ONE scale for the collection; candidateK is the recall dial
+      val cal = graft.ops.Quant.calibrate(corpus, "v", quantile = 0.99)
+      val calCodes = graft.ops.Quant
+        .quantizeColumnCalibrated(corpus, "v", "cal", cal)
+        .select("id", "cal_codes", "cal_csum").persist()
+      calCodes.count()
+      for (ck <- Seq(10, 50, 100))
+        meanRecallVs(dotTruth, s"calibrated-i8 q=0.99 candidateK=$ck")(id =>
+          graft.ops.Quant.searchCalibrated(calCodes, corpus, "id", "v",
+            "cal_codes", "cal_csum", cal, 64, qvecs(id), 10, ck))
+      calCodes.unpersist()
       // Matryoshka: prefix-dim candidates (16 of 64 dims = 1/4 bytes)
       val pref = corpus.select(col("id"), slice(col("v"), 1, 16).as("p16")).persist()
       pref.count()
@@ -543,6 +556,37 @@ object ScaleProbe {
               .isin(0L, 1L, 2L, 3L, 4L),
             vec(q), k = 10, nprobe = 2))
         idx.clustered.unpersist()
+      }
+    }
+    // geo cell index: the corpus grows Nx with every added replica's
+    // points OUTSIDE the query box (lat shifted off-globe clamps to the
+    // boundary cells, which the box's cover never includes) — rows
+    // scanned by the pruned box query must stay FLAT, the tenant-probe
+    // property in the spatial dimension.
+    section("geo") {
+      import graft.ops.Geo
+      val evBase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .select(col("event_id"),
+          col("user_id").cast("double").as("lat"),
+          (col("event_id") % 180).cast("double").as("lon"))
+      for (n <- Seq(1, 2, 4)) {
+        val pts = (0 until n).map(i => evBase.select(
+          (col("event_id") + lit(i * 100000000L)).as("event_id"),
+          (col("lat") + lit(if (i == 0) 0.0 else 1000.0 * i)).as("lat"),
+          col("lon"))).reduce(_ union _)
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-geo-$n").toString
+        Geo.writeCellLayout(pts, "lat", "lon", bits = 4, dir)
+        val layout = Geo.readCellLayout(spark, dir)
+        val t0 = System.nanoTime()
+        val res = Geo.searchBox(layout, "lat", "lon", 10, 40, 20, 60, bits = 4)
+        val hits = res.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val r2 = Geo.searchBox(layout, "lat", "lon", 10, 40, 20, 60, bits = 4)
+        r2.collect()
+        val scanned = r2.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        println(f"[probe] geo x$n total=${pts.count()} box query: $wall%.2f s, " +
+          f"scanned=$scanned rows, hits=$hits")
       }
     }
     section("layout") {
