@@ -70,15 +70,34 @@ object Planner {
     */
   def buildPayloadIndex(df: DataFrame, idCol: String, value: Column,
                         covering: Seq[String] = Nil): PayloadIndex = {
-    val spark = df.sparkSession
-    val p = df.select(value.cast(LongType).as("value") +:
-      col(idCol).as("id") +: covering.map(col): _*)
     val dir = java.nio.file.Files.createTempDirectory("graft-payload-idx").toString
-    p.write.mode("overwrite").partitionBy("value").parquet(dir)
-    // partition-column type inference reads the directory names back as
-    // INTEGER when they fit; normalize to long (the cast unwraps inside
-    // partition filters, so value-pruning survives — asserted in
-    // PlannerSpec)
+    writePayloadIndex(df, idCol, value, covering, dir)
+    readPayloadIndex(df.sparkSession, dir, covering)
+  }
+
+  /** Write postings `partitionBy(value)` to `dir`. `mode = "append"` is
+    * the INCREMENTAL maintenance path (the payload-index analog of
+    * [[Ann.assignToCentroids]]): new points' files land only in their
+    * own value directories — existing files are never rewritten, so
+    * ingest keeps the index current without a rebuild; rebuild only to
+    * compact small files, not for correctness (PlannerSpec pins
+    * append == rebuild for both stats and search results).
+    */
+  def writePayloadIndex(df: DataFrame, idCol: String, value: Column,
+                        covering: Seq[String], dir: String,
+                        mode: String = "overwrite"): Unit =
+    df.select(value.cast(LongType).as("value") +:
+        col(idCol).as("id") +: covering.map(col): _*)
+      .write.mode(mode).partitionBy("value").parquet(dir)
+
+  /** Read a stored index back: postings (partition column normalized to
+    * long — type inference reads small value directories as INTEGER; the
+    * cast unwraps inside partition filters so value-pruning survives) +
+    * freshly collected stats. Called once per maintenance cycle, not per
+    * query.
+    */
+  def readPayloadIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       covering: Seq[String] = Nil): PayloadIndex = {
     val postings = spark.read.parquet(dir)
       .withColumn("value", col("value").cast(LongType))
     val stats = postings.groupBy(col("value")).agg(count(lit(1)).as("n"))

@@ -155,6 +155,40 @@ class PlannerSpec extends AnyFunSuite {
     assert(res.collect().map(_.getString(0)).toSeq === exact)
   }
 
+  test("incremental append: touched value partitions gain files, untouched don't, results equal a rebuild") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-pidx-append").toString
+    val valueOf = json_get_int(col("payload"), "label")
+    val n = corpus.count()
+    val cut = n / 2
+    val base = corpus.filter(col("id").cast("long") < cut)
+    val delta = corpus.filter(col("id").cast("long") >= cut &&
+      valueOf.isin(7L, 8L))
+    assert(delta.count() > 0, s"empty delta at corpus size $n")
+    Planner.writePayloadIndex(base, "id", valueOf, Seq("vector"), dir)
+    def files(v: Long): Int =
+      Paths.get(dir, s"value=$v").toFile.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val before3 = files(3L)
+    val before7 = files(7L)
+    Planner.writePayloadIndex(delta, "id", valueOf, Seq("vector"), dir,
+      mode = "append")
+    // append touched ONLY the delta's value directories
+    assert(files(3L) === before3, "untouched partition gained files")
+    assert(files(7L) > before7, "appended partition did not grow")
+    // stats and search over the appended index == a from-scratch rebuild
+    val appended = Planner.readPayloadIndex(spark, dir, Seq("vector"))
+    val rebuilt = Planner.buildPayloadIndex(base.unionByName(delta), "id",
+      valueOf, Seq("vector"))
+    assert(appended.stats === rebuilt.stats)
+    val (stored, cents, _) = setup
+    def top(i: Planner.PayloadIndex) =
+      Planner.searchFilteredPlanned(stored, cents, i, "id", "vector",
+        Seq(7L), valueOf === 7L, vec(queryVec), k = 10, nprobe = 4)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(top(appended) === top(rebuilt))
+  }
+
   test("post-filter path equals pre-filter exactly when every cluster is probed") {
     val (stored, cents, pidx) = setup
     val values = Seq(0L, 1L, 2L, 3L, 4L)
