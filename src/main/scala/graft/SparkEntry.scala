@@ -687,6 +687,29 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TOP-K PUSHDOWN through the connector: the scan itself is the scored
+    // query (`search.*` read options -> CollectionSearchScan -> store
+    // .searchPoints) — the reference's architecture, where the ANN search
+    // executes inside the backend and the table returns scored points
+    // (/root/reference/src/table.rs:279-305). No full-collection decode
+    // happens above the scan; PlanSpec asserts the plan carries the query.
+    "dsv2_topk_pushdown" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("topk_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "topk_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // COUNT(*) through the connector resolves as a store metadata hit
     // (CollectionCountScan, asserted in CollectionDataSourceSpec) — the
     // cardinality call every catalog issues, without scanning a point
@@ -2889,6 +2912,17 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 4
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // rank on RAW similarity (the store ranks unrounded, id tiebreak) and
+    // round only for output — mirrors the pushed scan's contract exactly
+    "dsv2_topk_pushdown" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     "dsv2_stream_pipeline" ->
       """SELECT id, '{"etl":1,"orig":' || payload || '}' AS payload FROM (

@@ -45,6 +45,77 @@ object LogOps {
   val Delete = "delete"
 }
 
+/** A pushed top-k vector query: the scan IS a scored search, exactly the
+  * reference's architecture where the table's scan executes `QueryPoints`
+  * with the query embedded and the backend returns scored points
+  * (/root/reference/src/table.rs:279-302) — no full-collection decode ever
+  * happens above the scan. `metric` is one of `cosine` / `dot` / `euclid`;
+  * ranking is best-first (descending score for cosine/dot, ascending
+  * distance for euclid), ties broken by id ascending in UTF-8 byte order
+  * (Spark string semantics).
+  */
+final case class SearchSpec(field: String, query: Array[Double],
+                            metric: String, k: Int) {
+  require(k > 0, s"search.k must be positive, got $k")
+  require(SearchSpec.Metrics(metric),
+    s"search.metric must be one of ${SearchSpec.Metrics.mkString("/")}, got '$metric'")
+  /** Compact display form for plan descriptions / EXPLAIN assertions. */
+  def describe: String = s"$metric($field, dim=${query.length}, k=$k)"
+}
+
+object SearchSpec {
+  val Metrics: Set[String] = Set("cosine", "dot", "euclid")
+  val ScoreCol = "_score"
+
+  /** Parse the `search.*` read options; None when no search is pushed.
+    * `search.vector` is a comma-joined list of doubles (shortest
+    * round-trip `Double.toString` forms parse back exactly).
+    */
+  def fromOptions(o: CaseInsensitiveStringMap): Option[SearchSpec] =
+    Option(o.get("search.field")).map { field =>
+      val vec = Option(o.get("search.vector")).getOrElse(
+        throw new IllegalArgumentException(
+          "search.field requires search.vector (comma-joined doubles)"))
+      SearchSpec(field,
+        vec.split(",").map(s => java.lang.Double.parseDouble(s.trim)),
+        Option(o.get("search.metric")).getOrElse("cosine"),
+        o.getInt("search.k", 10))
+    }
+
+  /** `true` when a larger score is better under `metric` (euclid ranks
+    * smallest-distance-first).
+    */
+  def descending(metric: String): Boolean = metric != "euclid"
+
+  /** The metric kernel, bit-identical to the codegen expressions in
+    * graft.functions (same sequential accumulation order), so a pushed
+    * search scores exactly like the above-the-scan `v_cosine`/`v_dot`/
+    * `v_euclid` form it replaces. Returns None for a zero-norm cosine
+    * (the expression's NULL case — such points cannot rank).
+    */
+  def score(metric: String, a: Array[Float], q: Array[Double]): Option[Double] = {
+    val n = math.min(a.length, q.length)
+    metric match {
+      case "dot" =>
+        var i = 0; var s = 0.0
+        while (i < n) { s += a(i).toDouble * q(i); i += 1 }
+        Some(s)
+      case "euclid" =>
+        var i = 0; var s = 0.0
+        while (i < n) { val d = a(i).toDouble - q(i); s += d * d; i += 1 }
+        Some(math.sqrt(s))
+      case _ =>
+        var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val x = a(i).toDouble; val y = q(i)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) None else Some(dot / denom)
+    }
+  }
+}
+
 /** The "remote collection service" abstraction — the analog of the
   * reference's `Arc<Qdrant>` gRPC client (/root/reference/src/table.rs:84).
   * `queryPoints` receives the NARROWED fetch spec exactly like the
@@ -77,6 +148,58 @@ trait CollectionStore extends Serializable {
                   limit: Option[Int],
                   idFilter: Option[Set[String]] = None,
                   idLower: Option[String] = None): Iterator[Point]
+
+  /** Serve a pushed top-k vector query (see [[SearchSpec]]): the best `k`
+    * points of `collection` under the spec's metric, best-first with id
+    * tiebreak, each paired with its raw score. Only the requested payload/
+    * vector pieces are populated (same narrowing contract as
+    * [[queryPoints]]). Default: a brute-force streaming top-k over
+    * `queryPoints` (O(n log k) heap, never materializes the collection) —
+    * every store supports search; a capable backend overrides this with
+    * its ANN index, exactly as the reference's backend serves `QueryPoints`
+    * from HNSW (/root/reference/src/table.rs:279-302).
+    */
+  def searchPoints(collection: String, spec: SearchSpec,
+                   withPayload: Boolean,
+                   vectorFields: Seq[String]): Seq[(Point, Double)] = {
+    val desc = SearchSpec.descending(spec.metric)
+    // worst-first ordering for the bounded heap: the head is the candidate
+    // to evict. Ties prefer evicting the LATER id (so earlier ids win).
+    val worstFirst = new Ordering[(Point, Double)] {
+      def compare(x: (Point, Double), y: (Point, Double)): Int = {
+        val byScore =
+          if (desc) java.lang.Double.compare(x._2, y._2)
+          else java.lang.Double.compare(y._2, x._2)
+        if (byScore != 0) byScore
+        else {
+          // later id = worse; UTF-8 byte order (Spark string semantics)
+          if (SparkStringOrder.gt(x._1.id, y._1.id)) -1
+          else if (SparkStringOrder.gt(y._1.id, x._1.id)) 1
+          else 0
+        }
+      }
+    }
+    val heap = new scala.collection.mutable.PriorityQueue[(Point, Double)]()(
+      worstFirst.reverse)
+    val fetchFields = (vectorFields :+ spec.field).distinct
+    queryPoints(collection, 0L, pointCount(collection), withPayload,
+        fetchFields, None)
+      .foreach { p =>
+        p.dense.get(spec.field).flatMap(v =>
+            SearchSpec.score(spec.metric, v, spec.query)).foreach { s =>
+          if (heap.size < spec.k) heap.enqueue((p, s))
+          else if (worstFirst.compare((p, s), heap.head) > 0) {
+            heap.dequeue(); heap.enqueue((p, s))
+          }
+        }
+      }
+    val keep = vectorFields.toSet
+    val drained: List[(Point, Double)] = heap.dequeueAll.toList
+    drained.reverse.map { case (p, s) =>
+      // drop the scored field if the fetch spec did not request it
+      (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s)
+    }
+  }
 
   /** Change-log length for `collection` — the micro-batch streaming
     * source's offset domain. A store that cannot replay its history
@@ -520,7 +643,14 @@ object FetchSpec {
 class CollectionDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = CollectionStores.get(options.get("store"))
-    store.collectionInfo(options.get("collection")).schema
+    val base = store.collectionInfo(options.get("collection")).schema
+    // a pushed search (`search.*` options) makes the scan a scored query:
+    // the schema gains a trailing `_score` double (the reference's
+    // ScoredPoint.score, /root/reference/src/table.rs:305)
+    if (SearchSpec.fromOptions(options).isDefined)
+      StructType(base.fields :+
+        StructField(SearchSpec.ScoreCol, DoubleType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -528,7 +658,8 @@ class CollectionDataSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     new CollectionTable(opts.get("store"), opts.get("collection"),
       math.max(1, opts.getInt("partitions", 4)),
-      cdc = opts.getBoolean("cdc", false))
+      cdc = opts.getBoolean("cdc", false),
+      search = SearchSpec.fromOptions(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -542,7 +673,8 @@ class CollectionDataSource extends TableProvider {
   * change-data-capture loop, reference-backend deletes included.
   */
 final class CollectionTable(storeName: String, collection: String,
-                            partitions: Int, cdc: Boolean = false)
+                            partitions: Int, cdc: Boolean = false,
+                            search: Option[SearchSpec] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -552,7 +684,11 @@ final class CollectionTable(storeName: String, collection: String,
   override def name(): String =
     if (cdc) s"$storeName.$collection.cdc" else s"$storeName.$collection"
   override def schema(): StructType =
-    if (cdc) CdcSchema.of(descriptor) else descriptor.schema
+    if (cdc) CdcSchema.of(descriptor)
+    else if (search.isDefined)
+      StructType(descriptor.schema.fields :+
+        StructField(SearchSpec.ScoreCol, DoubleType, nullable = false))
+    else descriptor.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ).asJava
@@ -564,6 +700,11 @@ final class CollectionTable(storeName: String, collection: String,
     val asOf = Option(options.get("asOfSeq")).map(_.toLong)
     if (cdc)
       new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
+    else if (search.isDefined)
+      // the scan IS the query: a pushed top-k search serves scored points
+      // straight from the store — no full-collection decode above the scan
+      new CollectionSearchScanBuilder(storeName, collection, descriptor,
+        search.get)
     else asOf match {
       // TIME TRAVEL (read option asOfSeq=N): the collection's contents as
       // of change-log position N, reconstructed by replaying the log
@@ -1047,6 +1188,96 @@ final class CollectionCountScan(storeName: String, collection: String,
           override def close(): Unit = ()
         }
     }
+}
+
+/** ScanBuilder of a pushed top-k search (read options `search.*`): column
+  * pruning narrows the fetch like the plain scan; a pushed LIMIT tightens
+  * k. Filters are NOT pushed — a filtered search composes above the scored
+  * scan (post-filter semantics); pre-filter search is the payload-index
+  * planner's territory.
+  */
+final class CollectionSearchScanBuilder(
+    storeName: String, collection: String,
+    descriptor: CollectionDescriptor, spec: SearchSpec)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private val fullSchema = StructType(descriptor.schema.fields :+
+    StructField(SearchSpec.ScoreCol, DoubleType, nullable = false))
+  private var prunedSchema: StructType = fullSchema
+  private var k: Int = spec.k
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedSchema = requiredSchema
+
+  override def pushLimit(n: Int): Boolean = { k = math.min(k, n); true }
+
+  override def build(): Scan =
+    new CollectionSearchScan(storeName, collection, descriptor,
+      prunedSchema, spec.copy(k = k))
+}
+
+/** A scored top-k scan: ONE partition holding the k best points — the
+  * result of the store-side query, model-sized by construction (the
+  * reference likewise consumes one `QueryPoints` response stream,
+  * /root/reference/src/table.rs:279-305). Reports k rows to Catalyst so a
+  * join against search results broadcasts.
+  */
+final class CollectionSearchScan(
+    storeName: String, collection: String, descriptor: CollectionDescriptor,
+    pruned: StructType, spec: SearchSpec)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private val pointCols = StructType(
+    pruned.fields.filterNot(_.name == SearchSpec.ScoreCol))
+  val fetchSpec: FetchSpec = FetchSpec.fromSchema(pointCols, descriptor)
+
+  override def readSchema(): StructType = pruned
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionSearchScan($storeName.$collection, search=${spec.describe}, " +
+      s"payload=${fetchSpec.withPayload}, " +
+      s"vectors=[${fetchSpec.vectorFields.mkString(",")}])"
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = math.min(
+      CollectionStores.get(storeName).pointCount(collection), spec.k.toLong)
+    val rowWidth = pruned.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows * rowWidth)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CollectionInputPartition(0L, spec.k.toLong))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val store = storeName
+    val coll = collection
+    val desc = descriptor
+    val schema = pruned
+    val fetch = fetchSpec
+    val s = spec
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val decoder = new ScoredPointDecoder(desc, schema)
+          private val it = CollectionStores.get(store)
+            .searchPoints(coll, s, fetch.withPayload, fetch.vectorFields)
+            .iterator
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) { current = decoder.decode(it.next()); true }
+            else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 final class CollectionScan(
@@ -1642,6 +1873,32 @@ final class LogEntryDecoder(descriptor: CollectionDescriptor, pruned: StructType
         case 1 => out(i) = e.seq
         case _ => out(i) = pointVals(pi); pi += 1
       }
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+}
+
+/** (Point, score) -> InternalRow for a pruned search schema: `_score`
+  * decodes from the pair, every other column through the shared
+  * [[PointDecoder]] — the ScoredPoint face of the A6 decode spine.
+  */
+final class ScoredPointDecoder(descriptor: CollectionDescriptor,
+                               pruned: StructType) extends Serializable {
+  private val pointCols =
+    StructType(pruned.fields.filterNot(_.name == SearchSpec.ScoreCol))
+  private val pd = new PointDecoder(descriptor, pointCols)
+  private val isScore: Array[Boolean] =
+    pruned.fieldNames.map(_ == SearchSpec.ScoreCol)
+
+  def decode(scored: (Point, Double)): InternalRow = {
+    val pointVals = pd.decodeValues(scored._1)
+    val out = new Array[Any](isScore.length)
+    var i = 0
+    var pi = 0
+    while (i < isScore.length) {
+      if (isScore(i)) out(i) = scored._2
+      else { out(i) = pointVals(pi); pi += 1 }
       i += 1
     }
     InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))

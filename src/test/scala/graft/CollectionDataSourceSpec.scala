@@ -730,4 +730,44 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(df.select(element_at(col("vector"), 1)).orderBy(col("id").cast("int"))
       .collect().map(_.getFloat(0)).toSeq === Seq(0f, 1f, 2f, 3f, 4f, 5f))
   }
+
+  private def searchDf(metric: String, k: Int) = {
+    CollectionStores.register("ts",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "ts").option("collection", "c")
+      .option("search.field", "text_embedding")
+      .option("search.vector", "1.0,0.0")
+      .option("search.metric", metric).option("search.k", k.toString).load()
+  }
+
+  private def searchScanOf(df: org.apache.spark.sql.DataFrame): CollectionSearchScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[CollectionSearchScan]
+    }.get
+
+  test("pushed top-k search: the scan serves scored points best-first") {
+    // dot against (1,0) scores i for point i; i%3==2 lacks the field and
+    // cannot rank (NULL-field contract) -> 19,18,16,15,13
+    val dot = searchDf("dot", 5).select("id", "_score").collect()
+    assert(dot.map(_.getString(0)).toSeq === Seq("19", "18", "16", "15", "13"))
+    assert(dot.map(_.getDouble(1)).toSeq === Seq(19.0, 18.0, 16.0, 15.0, 13.0))
+    // euclid ranks smallest distance first
+    val eu = searchDf("euclid", 3).select("id", "_score").collect()
+    assert(eu.map(_.getString(0)).toSeq === Seq("0", "1", "3"))
+  }
+
+  test("pushed top-k search: LIMIT tightens k store-side, projection narrows the fetch") {
+    val lim = searchDf("dot", 10).limit(2)
+    val scan = searchScanOf(lim)
+    assert(scan.description().contains("k=2"), scan.description())
+    assert(lim.count() === 2)
+    // id + _score projection ships NO vectors from the store
+    val pruned = searchDf("dot", 4).select("id", "_score")
+    val scan2 = searchScanOf(pruned)
+    assert(scan2.fetchSpec === FetchSpec(withPayload = false, Seq.empty))
+    assert(scan2.readSchema().fieldNames.toSeq === Seq("id", "_score"))
+    // statistics report k rows so joins against search results broadcast
+    assert(scan2.estimateStatistics().numRows().getAsLong === 4L)
+  }
 }

@@ -26,6 +26,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortExec"), p)
   }
 
+  test("dsv2_topk_pushdown: the scan IS the scored query - no sort or score project above it") {
+    val p = plan("dsv2_topk_pushdown")
+    // the scan node carries the pushed query (metric, field, k)
+    assert(p.contains("CollectionSearchScan"), p)
+    assert(p.contains("search=cosine(vector, dim=64, k=12)"), p)
+    // top-k executed store-side: nothing above the scan sorts or ranks
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+    // no full-collection decode: the only vector column read is the
+    // scored field inside the scan; the output projection is id + score
+    assert(!p.contains("v_cosine"), p)
+  }
+
   test("q1_agg: partial aggregation before the shuffle") {
     val p = plan("q1_agg")
     // two HashAggregates (partial + final) around one Exchange
