@@ -283,6 +283,23 @@ object SparkEntry {
       (s.read.parquet(path), n, avglen)
     })
 
+  /** Inverted SPARSE index of the embeddings corpus of `dir`: dimension
+    * postings ([[graft.ops.SparseIndex.buildPostings]]) written
+    * `partitionBy("db")` once at ingest — the Qdrant sparse-index analog
+    * of [[textIndexStore]]. Serving prunes to the query's dim buckets.
+    */
+  private def sparseIndexStore(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#sparseidx", {
+      val e = Tables.load(s, dir, "embeddings")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val base = e.select(col("vec_id").cast(StringType).as("id"),
+        ki.as("ki"), kv.as("kv"))
+      val path = java.nio.file.Files.createTempDirectory("graft-sparse-idx").toString
+      graft.ops.SparseIndex.buildPostings(base, "id", "ki", "kv", nBuckets = 16)
+        .write.mode("overwrite").partitionBy("db").parquet(path)
+      s.read.parquet(path)
+    })
+
   /** Stored PQ model + codes table for the corpus of `dir`: 4 subspaces
     * x 16-centroid codebooks trained by the shared seeded Lloyd's, codes
     * (id, pcode) materialized ONCE at ingest — at dim=64 the codes table
@@ -352,6 +369,7 @@ object SparkEntry {
     geoStore(s, dir)
     calibratedStore(s, dir)
     lshPairStore(s, dir)
+    sparseIndexStore(s, dir)
     ()
   }
 
@@ -1383,6 +1401,20 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // the SAME query served from the stored inverted dimension index
+    // (SparseIndex): partition-pruned to the query dims' buckets, exact
+    // ascending-dim fold — scores bit-identical to the kernel scan above,
+    // so this gate shares sparse_search's brute-force oracle shape
+    "sparse_inverted_search" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(ki.as("ki"), kv.as("kv")).head()
+      graft.ops.SparseIndex.searchPostings(sparseIndexStore(s, dir),
+        qRow.getSeq[Int](0), qRow.getSeq[Double](1), k = 10, nBuckets = 16,
+        excludeId = Some("0"))
+    }),
+
     // sparse search under the IDF modifier (the backend's Modifier::Idf):
     // query values scaled by BM25-idf of each term's stored document
     // frequency, then the SAME sparse dot kernel — rare terms dominate.
@@ -2307,6 +2339,19 @@ object SparkEntry {
         "id", "vector", q, k = 10, entryK = 3, hops = 2)
     }),
 
+    // DEEP graph serving (hops=3) under per-hop BEAM pruning: each hop
+    // keeps the top-8 unvisited neighbors by max(frontier_score * stored
+    // sim) — no vector touched during expansion, visited grows by <=beam
+    // per hop instead of *m per hop, so deep walks stay model-sized
+    // (the unpruned frontier would be entryK * m^3 = 1536 wide here)
+    "ann_knn_graph_hops" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchKnnGraph(knnGraph(s, dir),
+        storedLshSignatures(s, dir).filter(col("id") =!= "3"),
+        "id", "vector", q, k = 10, entryK = 3, hops = 3, beam = 8)
+    }),
+
     // incremental IVF maintenance: assign points against the EXISTING
     // centroid table (no rebuild) — the path by which streamed-in points
     // join a served index; pure map-side argmin over broadcast centroid
@@ -3218,6 +3263,21 @@ object SparkEntry {
         |             i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
         |                  THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // index-served sparse search is EXACT (ascending-dim fold = the
+    // kernel's merge order), so the oracle is the same brute-force scan
+    // as sparse_search — except docs with NO overlapping dim (dot = 0)
+    // never enter the index result, so the oracle keeps positives only
+    "sparse_inverted_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         ROUND(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |               i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                    THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)), 6) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> 0)
+        |WHERE score > 0
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // idf re-derived per dimension from the oracle's own document
@@ -4630,6 +4690,9 @@ object SparkEntry {
         "ann_knn_graph" -> DuckMirror.knnGraphSql(queryVecId = 3, k = 10,
           entryK = 3, m = 8, dim = 64, nbits = 16, bands = 4, seed = 42L,
           hops = 2),
+        "ann_knn_graph_hops" -> DuckMirror.knnGraphBeamSql(queryVecId = 3,
+          k = 10, entryK = 3, m = 8, dim = 64, nbits = 16, bands = 4,
+          seed = 42L, hops = 3, beam = 8),
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
           dim = 64, nbits = 16, bands = 4, seed = 42L),
         "ann_ivf_assign" -> DuckMirror.ivfAssignSql(dim = 64, nlist = 8,

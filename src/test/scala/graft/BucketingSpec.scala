@@ -195,6 +195,39 @@ class BucketingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("sparse inverted index: query dims partition-prune; scores equal the kernel scan") {
+    import graft.functions._
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val sparse = e.select(col("vec_id").cast("string").as("id"),
+      filter(transform(col("embedding"), (x, i) => struct(i.as("i"), x.as("x"))),
+        s => s("x") > lit(0f)).as("__s"))
+      .select(col("id"),
+        transform(col("__s"), s => s("i").cast("int")).as("ki"),
+        transform(col("__s"), s => s("x").cast("double")).as("kv"))
+    val dir = Files.createTempDirectory("graft-sparse-idx-spec").toString
+    graft.ops.SparseIndex.buildPostings(sparse, "id", "ki", "kv", nBuckets = 16)
+      .write.mode("overwrite").partitionBy("db").parquet(dir)
+    val postings = spark.read.parquet(dir)
+
+    val q = sparse.filter(col("id") === "3").select("ki", "kv").head()
+    val (qi, qv) = (q.getSeq[Int](0), q.getSeq[Double](1))
+    val res = graft.ops.SparseIndex.searchPostings(postings, qi, qv,
+      k = 10, nBuckets = 16, excludeId = Some("3"))
+    // the literal db IN (...) must reach the read as a partition filter
+    val p = res.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [db"), p)
+    // index serving is EXACT: equals the brute-force sorted-merge kernel
+    val expected = sparse.filter(col("id") =!= "3")
+      .withColumn("score", round(v_sparse_dot(col("ki"), col("kv"),
+        typedLit(qi), typedLit(qv)), 6))
+      .filter(col("score") > 0.0)
+      .select("id", "score")
+      .orderBy(col("score").desc, col("id").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val got = res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+  }
+
   test("tenant layout: a tenant's search partition-prunes to that tenant's files") {
     import graft.functions._
     val corpus = graft.collections.Collections.homogeneous(spark, TestSpark.sfDir)
