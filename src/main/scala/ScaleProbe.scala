@@ -209,6 +209,13 @@ object ScaleProbe {
         meanRecall(s"knn-graph m=8 entryK=3 hops=$h")(id =>
           graft.ops.Ann.searchKnnGraph(adj, sigs.filter(col("id") =!= id),
             "id", "v", qvecs(id), 10, entryK = 3, hops = h))
+      // beam-pruned deep walk: visited grows by <=beam per hop instead of
+      // *m — the recall each beam width retains of the unpruned union
+      // (whose width at hops=3 would be entryK * m^3)
+      for (h <- Seq(2, 3); b <- Seq(4, 8, 16))
+        meanRecall(s"knn-graph beam=$b entryK=3 hops=$h")(id =>
+          graft.ops.Ann.searchKnnGraph(adj, sigs.filter(col("id") =!= id),
+            "id", "v", qvecs(id), 10, entryK = 3, hops = h, beam = b))
       meanRecall("knn-graph full-bucket rerank baseline")(id =>
         graft.ops.Ann.searchLshStored(sigs.filter(col("id") =!= id),
           "id", "v", qvecs(id), 10))

@@ -212,6 +212,67 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of the BEAM-PRUNED deep-graph serving path
+    * (Ann.searchKnnGraph with beam > 0): same build as [[knnGraphSql]]
+    * but the adjacency keeps its stored rounded sims, entries carry
+    * their exact scores, and each unrolled hop keeps only the top-`beam`
+    * unvisited neighbors ranked by max(frontier_score * stored_sim)
+    * (VARCHAR id tiebreak — the engine's String.valueOf ordering).
+    * Products of 6-dp-rounded doubles are bit-identical across engines,
+    * so the beam selection and the final exact rerank both hash-match.
+    */
+  def knnGraphBeamSql(queryVecId: Int, k: Int, entryK: Int, m: Int,
+                      dim: Int, nbits: Int, bands: Int, seed: Long,
+                      hops: Int, beam: Int): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    def bandEq(x: String, y: String) = (0 until bands).map(b =>
+      s"${lshBandKey(s"$x.bucket", b, r)} = ${lshBandKey(s"$y.bucket", b, r)}")
+      .mkString(" OR ")
+    val hopCtes = (1 to hops).map { i =>
+      s"""f$i AS (
+         |  SELECT nbr AS id, approx AS score FROM (
+         |    SELECT adj.nbr, MAX(f.score * adj.sim) AS approx
+         |    FROM adj JOIN f${i - 1} f ON adj.src = f.id
+         |    WHERE adj.nbr NOT IN (SELECT id FROM v${i - 1})
+         |    GROUP BY adj.nbr)
+         |  ORDER BY approx DESC, nbr LIMIT $beam),
+         |v$i AS (SELECT id FROM v${i - 1} UNION SELECT id FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId),
+       |entries AS (
+       |  SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |         ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |  FROM sigs s, q
+       |  WHERE s.vec_id <> $queryVecId AND (${bandEq("s", "q")})
+       |  ORDER BY score DESC, id
+       |  LIMIT $entryK),
+       |adj AS (
+       |  SELECT src, nbr, sim FROM (
+       |    SELECT CAST(a.vec_id AS VARCHAR) AS src,
+       |           CAST(b.vec_id AS VARCHAR) AS nbr,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      CAST(b.vec_id AS VARCHAR)) AS rn
+       |    FROM sigs a, sigs b
+       |    WHERE a.vec_id <> b.vec_id AND (${bandEq("a", "b")})) t
+       |  WHERE rn <= $m),
+       |f0 AS (SELECT id, score FROM entries),
+       |v0 AS (SELECT id FROM entries),
+       |$hopCtes
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId
+       |  AND CAST(s.vec_id AS VARCHAR) IN (SELECT id FROM v$hops)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   def lshMultiprobeSql(queryVecId: Int, k: Int, dim: Int, nbits: Int,
                        bands: Int, seed: Long): String = {
     val r = nbits / bands

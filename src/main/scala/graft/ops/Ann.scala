@@ -600,35 +600,78 @@ object Ann {
   }
 
   /** Serve from the k-NN graph: LSH band match picks `entryK` entry
-    * points (exact-scored), ONE hop through the adjacency table widens
-    * the beam, and the union reranks exactly. Entry ids and the expanded
-    * candidate set are both model-sized -> broadcast; the corpus is
-    * touched only by the band filter and the final semi-join, never
-    * shuffled. (A deeper beam = more hops; production graph-ANN pays one
-    * adjacency lookup per hop, exactly this shape.)
+    * points (exact-scored), each hop through the adjacency table widens
+    * the candidate set, and the union reranks exactly. Entry ids and the
+    * expanded candidate set are both model-sized -> broadcast; the corpus
+    * is touched only by the band filter and the final semi-join, never
+    * shuffled. Production graph-ANN pays one adjacency lookup per hop,
+    * exactly this shape.
+    *
+    * `beam <= 0` (the default) unions every neighbor each hop — width
+    * grows as entryK * m^hops, fine for 1-2 hops. `beam > 0` switches to
+    * BEAM-PRUNED expansion: each hop keeps only the top-`beam` unvisited
+    * neighbors ranked by an approximate score max(frontier_score *
+    * stored_sim) computed purely from the adjacency's stored similarities
+    * — no vector is touched during expansion, and the visited set grows
+    * by at most `beam` per hop, so deep walks (hops >= 3) stay
+    * model-sized instead of geometric. The frontier is driver-side model
+    * state (<= entryK + beam*hops ids); each hop is one literal-IN-pruned
+    * pass over the adjacency collecting <= |frontier| * m rows. Ties in
+    * the approximate ranking break on the id's string form (the
+    * adjacency's sims are rounded to 6 dp, so products are reproducible
+    * across engines).
     */
   def searchKnnGraph(adj: DataFrame, sigs: DataFrame, idCol: String,
                      vecCol: String, query: Seq[Double], k: Int,
                      entryK: Int, hops: Int = 1, nbits: Int = 16,
-                     bands: Int = 4, seed: Long = 42L): DataFrame = {
+                     bands: Int = 4, seed: Long = 42L,
+                     beam: Int = 0): DataFrame = {
     require(k >= 1 && entryK >= 1 && hops >= 1,
       s"searchKnnGraph needs k, entryK, hops >= 1, " +
         s"got k=$k entryK=$entryK hops=$hops")
-    val entries = searchLshStored(sigs, idCol, vecCol, query, entryK,
-      nbits, bands, seed).select(col(idCol).as("__eid"))
-    // frontier expansion: each hop is one adjacency lookup over a
-    // broadcast (model-sized) frontier — beam width <= entryK * m^hops
-    var cands = entries.select(col("__eid").as(idCol)).distinct()
-    for (_ <- 1 to hops) {
-      val hop = adj.join(broadcast(cands.select(col(idCol).as("__eid"))),
-        col("src") === col("__eid"))
-        .select(col("nbr").as(idCol))
-      cands = cands.union(hop).distinct()
+    val rerank = (candSigs: DataFrame) =>
+      candSigs
+        .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
+        .select(col(idCol), col("score"))
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+    if (beam <= 0) {
+      val entries = searchLshStored(sigs, idCol, vecCol, query, entryK,
+        nbits, bands, seed).select(col(idCol).as("__eid"))
+      // frontier expansion: each hop is one adjacency lookup over a
+      // broadcast (model-sized) frontier — width <= entryK * m^hops
+      var cands = entries.select(col("__eid").as(idCol)).distinct()
+      for (_ <- 1 to hops) {
+        val hop = adj.join(broadcast(cands.select(col(idCol).as("__eid"))),
+          col("src") === col("__eid"))
+          .select(col("nbr").as(idCol))
+        cands = cands.union(hop).distinct()
+      }
+      rerank(sigs.join(broadcast(cands), Seq(idCol), "left_semi"))
+    } else {
+      // beam-pruned expansion. The per-hop collect is bounded model
+      // state (|frontier| * m adjacency rows), not a data pass; the
+      // adjacency read prunes on a literal IN over the frontier ids.
+      var frontier: Seq[(Any, Double)] =
+        searchLshStored(sigs, idCol, vecCol, query, entryK, nbits, bands,
+          seed).collect().toSeq.map(r => (r.get(0), r.getDouble(1)))
+      var visited: Set[Any] = frontier.map(_._1).toSet
+      for (_ <- 1 to hops if frontier.nonEmpty) {
+        val fScores = frontier.toMap
+        val rows = adj
+          .filter(col("src").isin(frontier.map(_._1): _*) &&
+            !col("nbr").isin(visited.toSeq: _*))
+          .select(col("src"), col("nbr"), col("sim"))
+          .collect()
+        frontier = rows.groupBy(_.get(1)).toSeq
+          .map { case (nbr, rs) =>
+            (nbr, rs.map(r => fScores(r.get(0)) * r.getDouble(2)).max)
+          }
+          .sortBy { case (id, s) => (-s, String.valueOf(id)) }
+          .take(beam)
+        visited ++= frontier.map(_._1)
+      }
+      rerank(sigs.filter(col(idCol).isin(visited.toSeq: _*)))
     }
-    sigs.join(broadcast(cands), Seq(idCol), "left_semi")
-      .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
-      .select(col(idCol), col("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
-      .limit(k)
   }
 }
