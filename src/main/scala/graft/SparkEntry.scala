@@ -81,6 +81,48 @@ object SparkEntry {
         graft.functions.json_get_int(col("payload"), "label"),
         covering = Seq("vector")))
 
+  /** The payload index's incremental-maintenance cycle CLOSED
+    * (append -> compact): half the corpus written as the base index, the
+    * other half appended as a delta batch (small files land in the
+    * touched value partitions), then [[graft.ops.Planner.compactPayloadIndex]]
+    * rewrites every multi-file partition back to ONE file. Built once
+    * per dir like the other stored artifacts; the helper asserts the
+    * post-compaction file bound so the gate fails loudly if compaction
+    * ever regresses, and the gate's search result proves contents
+    * survive the rewrite bit-for-bit.
+    */
+  private def compactedPayloadIndex(s: SparkSession, dir: String): graft.ops.Planner.PayloadIndex =
+    payloadIdxCache.getOrElseUpdate(s"$dir#compact", {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-pidx-compact").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(idxDir)
+      }))
+      val corpus = homD(s, dir)
+      val valueOf = graft.functions.json_get_int(col("payload"), "label")
+      val cut = corpus.count() / 2
+      graft.ops.Planner.writePayloadIndex(
+        corpus.filter(col("id").cast(LongType) < cut), "id", valueOf,
+        Seq("vector"), idxDir.toString)
+      graft.ops.Planner.writePayloadIndex(
+        corpus.filter(col("id").cast(LongType) >= cut), "id", valueOf,
+        Seq("vector"), idxDir.toString, mode = "append")
+      graft.ops.Planner.compactPayloadIndex(s, idxDir.toString)
+      Option(idxDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("value="))
+        .foreach { p =>
+          val n = Option(p.listFiles()).getOrElse(Array.empty)
+            .count(f => f.isFile && f.getName.endsWith(".parquet"))
+          require(n == 1, s"compaction left $n files in ${p.getName}")
+        }
+      graft.ops.Planner.readPayloadIndex(s, idxDir.toString, Seq("vector"))
+    })
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -2143,6 +2185,21 @@ object SparkEntry {
       pidx.postings.groupBy(col("value")).agg(count(lit(1)).as("n"))
     }),
 
+    // the maintenance cycle closed: base write + appended delta batch +
+    // per-partition COMPACTION (file count back to 1, asserted in the
+    // cached helper), then the covering pre-filter search served straight
+    // from the compacted partitions — same oracle as ann_filtered_pre,
+    // because compaction must change the files and NOTHING else
+    "payload_index_compact" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Planner.searchFilteredPlanned(stored, cents,
+        SparkEntry.compactedPayloadIndex(s, dir), "id", "vector", Seq(7L),
+        json_get_int(col("payload"), "label") === 7L,
+        vec(q), k = 10, nprobe = 8)
+    }),
+
     // the integer index's RANGE condition through the same planner:
     // label BETWEEN 8 AND 9 (~20% < a 0.25 dial) -> pre-filter, the range
     // predicate prunes the postings partitions exactly like the IN
@@ -3697,6 +3754,16 @@ object SparkEntry {
     "payload_index_stats" ->
       """SELECT CAST(label AS BIGINT) AS value, COUNT(*) AS n
         |FROM embeddings GROUP BY label ORDER BY value""".stripMargin,
+
+    // compaction is file-layout-only: the served result is identical to
+    // the uncompacted covering pre-filter, so the oracle is the same
+    // exact filtered top-k
+    "payload_index_compact" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.label = 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "ann_filtered_range" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5)

@@ -66,21 +66,37 @@ object Planner {
 
   /** Build the payload index: one shuffle (the partitioned write), one
     * model-sized collect (per-value counts). An ingest-time batch job —
-    * serving never rebuilds it.
+    * serving never rebuilds it. `dir` is the index location; when empty a
+    * temp directory is created and registered for deletion on JVM exit
+    * (the demo/test convenience — production callers pass an explicit
+    * path, the artifact is meant to outlive the job).
     */
   def buildPayloadIndex(df: DataFrame, idCol: String, value: Column,
-                        covering: Seq[String] = Nil): PayloadIndex = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-payload-idx").toString
-    writePayloadIndex(df, idCol, value, covering, dir)
-    readPayloadIndex(df.sparkSession, dir, covering)
+                        covering: Seq[String] = Nil,
+                        dir: String = ""): PayloadIndex = {
+    val target =
+      if (dir.nonEmpty) dir
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-payload-idx")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp.toFile)))
+        tmp.toString
+      }
+    writePayloadIndex(df, idCol, value, covering, target)
+    readPayloadIndex(df.sparkSession, target, covering)
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
   }
 
   /** Write postings `partitionBy(value)` to `dir`. `mode = "append"` is
     * the INCREMENTAL maintenance path (the payload-index analog of
     * [[Ann.assignToCentroids]]): new points' files land only in their
     * own value directories — existing files are never rewritten, so
-    * ingest keeps the index current without a rebuild; rebuild only to
-    * compact small files, not for correctness (PlannerSpec pins
+    * ingest keeps the index current without a rebuild; when small files
+    * accumulate, [[compactPayloadIndex]] rewrites the touched partitions
+    * in place — never needed for correctness (PlannerSpec pins
     * append == rebuild for both stats and search results).
     */
   def writePayloadIndex(df: DataFrame, idCol: String, value: Column,
@@ -101,8 +117,62 @@ object Planner {
     val postings = spark.read.parquet(dir)
       .withColumn("value", col("value").cast(LongType))
     val stats = postings.groupBy(col("value")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      .collect().map { r =>
+        // a NULL indexed value lands in __HIVE_DEFAULT_PARTITION__ and
+        // reads back as null; silently unboxing it would merge those rows
+        // into value 0's cardinality — fail loudly instead (index a
+        // non-null field or normalize before writePayloadIndex)
+        require(!r.isNullAt(0),
+          s"payload index at $dir has null-valued postings " +
+            "(__HIVE_DEFAULT_PARTITION__): the indexed field is nullable " +
+            "— normalize or filter nulls before writePayloadIndex")
+        (r.getLong(0), r.getLong(1))
+      }.toSeq.sortBy(_._1)
     PayloadIndex(postings, stats, covering)
+  }
+
+  /** COMPACTION — the other half of the incremental-maintenance cycle:
+    * [[writePayloadIndex]]`(mode = "append")` lands each ingest batch as
+    * new files inside the touched value directories, so a hot partition
+    * accumulates one small file per batch. Compaction rewrites a value
+    * partition's accumulated files into ONE file with identical contents
+    * — stats and search results are unchanged (PlannerSpec pins both)
+    * and the per-partition file count returns to 1. `values` restricts
+    * the pass to the named partitions (the maintenance-cycle form:
+    * compact only what ingest touched); empty compacts every partition
+    * that has more than one file. The vocabulary loop is model-sized
+    * (one keyword field's distinct values); each rewrite reads only its
+    * own partition directory. The file swap is a local-filesystem move
+    * here — on a real cluster that step is the table format's atomic
+    * commit (the DSv2 sink's overwrite does it transactionally).
+    */
+  def compactPayloadIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, values: Seq[Long] = Nil): Unit = {
+    import java.io.File
+    def parquetFiles(d: File): Array[File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val partDirs = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("value="))
+      .filter(f => values.isEmpty ||
+        values.contains(f.getName.stripPrefix("value=").toLong))
+      .filter(f => parquetFiles(f).length > 1)
+    partDirs.foreach { part =>
+      val tmp = new File(part.getParentFile, "." + part.getName + ".compact")
+      deleteTree(tmp)
+      // partition-dir read: schema excludes the value column (it lives in
+      // the directory name), so the rewritten file drops straight back in
+      spark.read.parquet(part.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val compacted = parquetFiles(tmp)
+      require(compacted.length == 1,
+        s"expected one compacted file in $tmp, found ${compacted.length}")
+      Option(part.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).foreach(f => f.delete(): Unit)
+      val dest = new File(part, compacted.head.getName)
+      require(compacted.head.renameTo(dest), s"rename to $dest failed")
+      deleteTree(tmp)
+    }
   }
 
   /** The dispatch decision, exposed so callers (and specs) can see WHY a

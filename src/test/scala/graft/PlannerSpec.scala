@@ -189,6 +189,75 @@ class PlannerSpec extends AnyFunSuite {
     assert(top(appended) === top(rebuilt))
   }
 
+  test("compaction: per-partition file count returns to 1, stats and search results unchanged") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-pidx-compact").toString
+    val valueOf = json_get_int(col("payload"), "label")
+    val n = corpus.count()
+    val cut = n / 2
+    val base = corpus.filter(col("id").cast("long") < cut)
+    val delta = corpus.filter(col("id").cast("long") >= cut)
+    Planner.writePayloadIndex(base, "id", valueOf, Seq("vector"), dir)
+    Planner.writePayloadIndex(delta, "id", valueOf, Seq("vector"), dir,
+      mode = "append")
+    def files(v: Long): Int =
+      Paths.get(dir, s"value=$v").toFile.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val vals = Planner.readPayloadIndex(spark, dir, Seq("vector"))
+      .stats.map(_._1)
+    assert(vals.exists(files(_) > 1), "append produced no multi-file partition")
+    val before = Planner.readPayloadIndex(spark, dir, Seq("vector"))
+    val (stored, cents, _) = setup
+    def top(i: Planner.PayloadIndex) =
+      Planner.searchFilteredPlanned(stored, cents, i, "id", "vector",
+        Seq(7L), valueOf === 7L, vec(queryVec), k = 10, nprobe = 4)
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val topBefore = top(before)
+    Planner.compactPayloadIndex(spark, dir)
+    // every value partition is back to one file, contents identical
+    vals.foreach(v => assert(files(v) === 1, s"value=$v not compacted"))
+    val after = Planner.readPayloadIndex(spark, dir, Seq("vector"))
+    assert(after.stats === before.stats)
+    assert(top(after) === topBefore)
+    // a second pass is a no-op (nothing left above one file)
+    Planner.compactPayloadIndex(spark, dir)
+    assert(Planner.readPayloadIndex(spark, dir, Seq("vector")).stats === before.stats)
+  }
+
+  test("compaction restricted to named values touches only those partitions") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-pidx-compact2").toString
+    val valueOf = json_get_int(col("payload"), "label")
+    val n = corpus.count()
+    val cut = n / 2
+    Planner.writePayloadIndex(corpus.filter(col("id").cast("long") < cut),
+      "id", valueOf, Nil, dir)
+    Planner.writePayloadIndex(corpus.filter(col("id").cast("long") >= cut),
+      "id", valueOf, Nil, dir, mode = "append")
+    def files(v: Long): Int =
+      Paths.get(dir, s"value=$v").toFile.listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val before3 = files(3L)
+    assume(before3 > 1 && files(7L) > 1)
+    Planner.compactPayloadIndex(spark, dir, values = Seq(7L))
+    assert(files(7L) === 1, "named partition not compacted")
+    assert(files(3L) === before3, "unnamed partition was touched")
+  }
+
+  test("readPayloadIndex fails loudly on null-valued postings") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-pidx-null").toString
+    // every third row's label nulled: those land in the hive default
+    // partition and must be rejected at read, not folded into value 0
+    val nullable = when(col("id").cast("long") % 3 === 0, lit(null))
+      .otherwise(json_get_int(col("payload"), "label"))
+    Planner.writePayloadIndex(corpus, "id", nullable, Nil, dir)
+    val e = intercept[IllegalArgumentException] {
+      Planner.readPayloadIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("null-valued postings"))
+  }
+
   test("post-filter path equals pre-filter exactly when every cluster is probed") {
     val (stored, cents, pidx) = setup
     val values = Seq(0L, 1L, 2L, 3L, 4L)
