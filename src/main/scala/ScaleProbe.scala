@@ -13,7 +13,8 @@ object ScaleProbe {
     */
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
-      "skew", "tenant", "layout", "sketch", "spans", "planner", "geo")
+      "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
+      "drift")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -564,6 +565,63 @@ object ScaleProbe {
             vec(q), k = 10, nprobe = 2))
         idx.clustered.unpersist()
       }
+    }
+    // IVF re-fit drift policy: the drift statistic (assignment-distance
+    // quantiles of a batch vs the build-time profile) probed under
+    // injected shift, alongside the quantity it predicts — recall of the
+    // STALE index on the drifted cohort vs a refit. The table turns the
+    // re-fit threshold into a measured dial: ratios ~1 ⇒ keep assigning
+    // incrementally; ratios past the dial ⇒ schedule ann_ivf_refit.
+    section("drift") {
+      import graft.functions.vec
+      import graft.ops.Ann
+      val c = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("vector").cast("array<double>").as("v"))
+        .persist()
+      val total = c.count()
+      val idx = Ann.buildIvf(c, "id", "v", nlist = 8, maxIter = 5)
+      val probs = Seq(0.5, 0.9, 0.99)
+      val buildQ = Ann.assignmentDistanceQuantiles(c, "v", idx.centroids, probs)
+      println("[probe] drift build profile p50/p90/p99 = " +
+        buildQ.map(x => f"$x%.3f").mkString(" / "))
+      val qids = (0 until 10).map(i => (i * 211 % 2000).toString)
+      for (s <- Seq(0.0, 0.5, 1.5, 3.0)) {
+        val drifted = c.select(concat(lit("d"), col("id")).as("id"),
+          transform(col("v"), x => x + lit(s)).as("v"))
+        val rep = Ann.driftStatistic(drifted, "v", idx.centroids, buildQ, probs)
+        val combined = c.union(drifted).persist(); combined.count()
+        // stale serving: drifted points assigned to the OLD centroids
+        val stale = Ann.assignToCentroids(combined, "v", idx.centroids)
+          .persist(); stale.count()
+        val maxShare = stale.groupBy(col("cluster")).count()
+          .agg(max(col("count"))).head().getLong(0).toDouble / (2 * total)
+        val refit = Ann.buildIvf(combined, "id", "v", nlist = 8, maxIter = 5)
+        // queries drawn from the DRIFTED cohort; the self-match ranks
+        // first in truth and in both serving paths, so it cancels
+        def recall(search: Seq[Double] => DataFrame): Double = {
+          val r = qids.map { qid =>
+            val qv = drifted.filter(col("id") === s"d$qid")
+              .select(col("v")).head().getSeq[Double](0).toSeq
+            val truth = Ann.bruteForce(combined, "id", "v", vec(qv), 10)
+              .collect().map(_.getString(0)).toSet
+            search(qv).collect().map(_.getString(0)).toSet
+              .intersect(truth).size / 10.0
+          }
+          r.sum / r.size
+        }
+        val staleR = recall(qv => Ann.searchIvfStored(
+          stale, idx.centroids, "id", "v", vec(qv), 10, nprobe = 2))
+        val refitR = recall(qv => refit.search(vec(qv), 10, nprobe = 2))
+        println(f"[probe] drift shift=+$s%.1f/dim ratio p50/p90/p99 = " +
+          rep.ratios.map(x => f"$x%.2f").mkString(" / ") +
+          f" maxRatio=${rep.maxRatio}%.2f refit@1.2=${rep.shouldRefit()} " +
+          f"staleMaxClusterShare=$maxShare%.2f " +
+          f"recall stale=$staleR%.3f refit=$refitR%.3f")
+        stale.unpersist(); combined.unpersist()
+        refit.clustered.unpersist()
+      }
+      c.unpersist(): Unit
     }
     // geo cell index: the corpus grows Nx with every added replica's
     // points OUTSIDE the query box (lat shifted off-globe clamps to the

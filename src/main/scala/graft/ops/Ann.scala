@@ -335,6 +335,62 @@ object Ann {
     assignClusters(df, vecCol, cents)
   }
 
+  /** Each row's distance to its nearest centroid ("adist") alongside the
+    * assignment — the raw signal the drift statistic quantizes. Same
+    * map-side argmin as [[assignToCentroids]], one extra column.
+    */
+  def assignmentDistances(df: DataFrame, vecCol: String,
+                          centroids: DataFrame): DataFrame = {
+    val cents = centroids.orderBy(col("cluster"))
+      .select(col("centroid").cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val v = col(vecCol)
+    val ds = array(cents.toIndexedSeq.map(c => v_euclid(v, vec(c.toIndexedSeq))): _*)
+    df.withColumn("adist", array_min(ds))
+      .withColumn("cluster",
+        (array_position(ds, array_min(ds)) - 1).cast(IntegerType))
+  }
+
+  /** Assignment-distance quantiles of `df` against an existing centroid
+    * table — approx_percentile (bounded sketch memory), because this runs
+    * over arbitrarily large corpora/batches as a monitoring pass. At
+    * build time this is the reference profile; at maintenance time the
+    * same call over an incoming batch yields the comparison.
+    */
+  def assignmentDistanceQuantiles(df: DataFrame, vecCol: String,
+                                  centroids: DataFrame,
+                                  probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                                  accuracy: Int = 10000): Seq[Double] =
+    assignmentDistances(df, vecCol, centroids)
+      .agg(percentile_approx(col("adist"),
+        array(probs.map(lit): _*), lit(accuracy)).as("q"))
+      .head().getSeq[Double](0).toSeq
+
+  /** The re-fit decision made MEASURABLE: per-quantile ratio of a batch's
+    * assignment distances to the build-time profile. Ratio ~1 means the
+    * batch still lives where the centroids were fit; ratios >> 1 mean
+    * points land far from every centroid — the coarse quantizer no longer
+    * covers the distribution, recall at fixed nprobe decays, and the
+    * operator should schedule [[buildIvf]] (ann_ivf_refit's path). The
+    * ScaleProbe `drift` section records the ratio curve under injected
+    * shift so the threshold is a measured dial, not a guess.
+    */
+  final case class DriftReport(probs: Seq[Double], buildQ: Seq[Double],
+                               batchQ: Seq[Double]) {
+    require(probs.length == buildQ.length && probs.length == batchQ.length,
+      "probs/buildQ/batchQ must align")
+    val ratios: Seq[Double] =
+      buildQ.zip(batchQ).map { case (b, c) => if (b == 0) 1.0 else c / b }
+    val maxRatio: Double = ratios.max
+    def shouldRefit(threshold: Double = 1.2): Boolean = maxRatio >= threshold
+  }
+
+  def driftStatistic(batch: DataFrame, vecCol: String, centroids: DataFrame,
+                     buildQ: Seq[Double],
+                     probs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DriftReport =
+    DriftReport(probs, buildQ,
+      assignmentDistanceQuantiles(batch, vecCol, centroids, probs))
+
   /** Build an IVF index with nlist centroids (native Lloyd's, fixed seed). */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
                seed: Long = 42L, maxIter: Int = 10): IvfIndex = {

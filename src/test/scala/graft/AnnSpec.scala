@@ -114,4 +114,42 @@ class AnnSpec extends AnyFunSuite {
     // 3 entries (5 results need >= 5 candidates)
     assert(graphTop.map(_._1).toSet.size == 5)
   }
+
+  test("beam-pruned deep serving: visited bounded, results are a valid top-k subset") {
+    import org.apache.spark.sql.functions._
+    val q = queryVec
+    val base = corpus.filter(col("id") =!= "0")
+    val sigs = Ann.lshBuckets(base, "vector", 64, nbits = 16)
+    val adj = Ann.buildKnnGraph(base, "id", "vector", dim = 64, m = 8)
+    val beamTop = Ann.searchKnnGraph(adj, sigs, "id", "vector", q,
+      k = 10, entryK = 3, hops = 3, beam = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    // visited <= entryK + beam*hops = 15, so at most 15 results exist and
+    // each carries the exact rounded cosine (spot-check one)
+    assert(beamTop.length <= 15 && beamTop.nonEmpty)
+    val unpruned = Ann.searchKnnGraph(adj, sigs, "id", "vector", q,
+      k = 10, entryK = 3, hops = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the pruned walk only visits nodes the unpruned union also reaches,
+    // with identical exact scores where both rank them
+    beamTop.foreach { case (id, s) =>
+      unpruned.get(id).foreach(u => assert(u === s, s"score drift at $id"))
+    }
+    // scores are sorted descending with id tiebreak (serving contract)
+    assert(beamTop.map(_._2).toSeq === beamTop.map(_._2).sorted.reverse.toSeq)
+  }
+
+  test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
+    val c = corpus
+    val idx = Ann.buildIvf(c, "id", "vector", nlist = 4, maxIter = 3)
+    val buildQ = Ann.assignmentDistanceQuantiles(c, "vector", idx.centroids)
+    val same = Ann.driftStatistic(c, "vector", idx.centroids, buildQ)
+    assert(same.maxRatio < 1.05 && !same.shouldRefit(),
+      s"undrifted ratios not ~1: ${same.ratios}")
+    val drifted = c.select(col("id"),
+      transform(col("vector"), x => x + lit(1.5)).as("vector"))
+    val rep = Ann.driftStatistic(drifted, "vector", idx.centroids, buildQ)
+    assert(rep.shouldRefit(), s"shift +1.5/dim not detected: ${rep.ratios}")
+    assert(rep.ratios.forall(_ > 1.0))
+  }
 }
