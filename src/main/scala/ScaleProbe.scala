@@ -14,7 +14,7 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift")
+      "drift", "cdc")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -565,6 +565,67 @@ object ScaleProbe {
             vec(q), k = 10, nprobe = 2))
         idx.clustered.unpersist()
       }
+    }
+    // CDC log compaction under growing churn history: a long-lived
+    // collection's change log scales with LIFETIME writes, not state —
+    // compaction replaces the prefix with a snapshot so replay cost is
+    // bounded by snapshot + retained tail. The probe grows churn history
+    // xN (same state size throughout), reads the full log vs the
+    // compacted tail vs the snapshot, and the curve should show full
+    // replay growing with history while tail and snapshot stay flat.
+    section("cdc") {
+      import graft.sources._
+      val hom = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("payload"), col("vector")).persist()
+      hom.count()
+      val churnSlice = hom.limit(200).persist(); churnSlice.count()
+      val churnIds = churnSlice.select("id").collect().map(_.getString(0)).toSet
+      for (n <- Seq(1, 2, 4, 8)) {
+        val store = s"cdcprobe_$n"
+        CollectionStores.register(store, InMemoryCollectionStore.fromRows(
+          hom, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor))
+        // churn: 4n rounds of delete + re-ingest of the same 200-id slice
+        // — history grows with n, surviving state does not
+        for (_ <- 1 to 4 * n) {
+          CollectionStores.update(store) {
+            case mem: InMemoryCollectionStore =>
+              mem.removed("embeddings", churnIds)
+            case other => other
+          }
+          churnSlice.write.format("graft.sources.CollectionDataSource")
+            .option("store", store).option("collection", "embeddings")
+            .mode("append").save()
+        }
+        def cdcRead() = spark.read
+          .format("graft.sources.CollectionDataSource")
+          .option("store", store).option("collection", "embeddings")
+          .option("cdc", "true").option("partitions", "8").load()
+        val size = CollectionStores.get(store).logSize("embeddings")
+        val t0 = System.nanoTime()
+        val full = cdcRead().count()
+        val fullW = (System.nanoTime() - t0) / 1e9
+        // compact away everything but the last churn round (tail = 400)
+        CollectionStores.update(store) {
+          case mem: InMemoryCollectionStore =>
+            mem.compacted("embeddings", size - 400)
+          case other => other
+        }
+        val t1 = System.nanoTime()
+        val tail = cdcRead().count()
+        val tailW = (System.nanoTime() - t1) / 1e9
+        // the snapshot a fresh reader bootstraps from: state, not history
+        val t2 = System.nanoTime()
+        val snap = spark.read.format("graft.sources.CollectionDataSource")
+          .option("store", store).option("collection", "embeddings")
+          .option("partitions", "8").load().count()
+        val snapW = (System.nanoTime() - t2) / 1e9
+        println(f"[probe] cdc x$n history=$size replay full=$full ($fullW%.2f s) " +
+          f"compacted tail=$tail ($tailW%.2f s) snapshot=$snap ($snapW%.2f s)")
+        CollectionStores.remove(store)
+      }
+      churnSlice.unpersist(); hom.unpersist(): Unit
     }
     // IVF re-fit drift policy: the drift statistic (assignment-distance
     // quantiles of a batch vs the build-time profile) probed under
