@@ -16,10 +16,18 @@ object Geo {
   /** lat in [south, north] AND lon in [west, east] (simple box; no
     * antimeridian wrap). Inclusive bounds, matching a BETWEEN.
     */
+  /** Box membership. `west > east` is the ANTIMERIDIAN-crossing box (the
+    * backend's geo_bounding_box wrap convention: left lon > right lon):
+    * the longitude condition becomes the OR of the two arcs.
+    */
   def inBoundingBox(lat: Column, lon: Column,
                     south: Double, north: Double,
-                    west: Double, east: Double): Column =
-    lat >= south && lat <= north && lon >= west && lon <= east
+                    west: Double, east: Double): Column = {
+    val lonIn =
+      if (west <= east) lon >= west && lon <= east
+      else lon >= west || lon <= east
+    lat >= south && lat <= north && lonIn
+  }
 
   /** Ray-casting point-in-polygon: cast a ray to +infinity longitude and
     * count edge crossings; odd = inside. `poly` is (lat, lon) vertices in
@@ -111,12 +119,20 @@ object Geo {
     */
   def coverCells(south: Double, north: Double, west: Double, east: Double,
                  bits: Int): Seq[Long] = {
-    require(south <= north && west <= east, "empty box")
-    val la0 = cellIndex1D(south, 90.0, 180.0, bits)
-    val la1 = cellIndex1D(north, 90.0, 180.0, bits)
-    val lo0 = cellIndex1D(west, 180.0, 360.0, bits)
-    val lo1 = cellIndex1D(east, 180.0, 360.0, bits)
-    (for (la <- la0 to la1; lo <- lo0 to lo1) yield morton(la, lo, bits)).sorted
+    require(south <= north, "empty box")
+    if (west > east)
+      // antimeridian crossing: the union of the two arcs' covers — each
+      // arc is an ordinary west <= east box, so correctness reduces to
+      // the pinned single-arc property
+      (coverCells(south, north, west, 180.0, bits) ++
+        coverCells(south, north, -180.0, east, bits)).distinct.sorted
+    else {
+      val la0 = cellIndex1D(south, 90.0, 180.0, bits)
+      val la1 = cellIndex1D(north, 90.0, 180.0, bits)
+      val lo0 = cellIndex1D(west, 180.0, 360.0, bits)
+      val lo1 = cellIndex1D(east, 180.0, 360.0, bits)
+      (for (la <- la0 to la1; lo <- lo0 to lo1) yield morton(la, lo, bits)).sorted
+    }
   }
 
   /** Write the geo-cell layout: rows partitioned by cell (the stored geo

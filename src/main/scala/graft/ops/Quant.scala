@@ -210,20 +210,50 @@ object Quant {
       (math.floor((math.min(math.max(x, lo), hi) - lo) / scale + 0.5) - 128).toInt
   }
 
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   /** Corpus-wide calibration at `quantile` (e.g. 0.99 clips the top and
     * bottom 1% of component values). Exact percentile — deterministic on
     * any layout — with bounds q6-quantized (`floor(x*1e6 + 0.5)`) so
     * re-derivations agree bit-for-bit.
+    *
+    * BOUNDED-CORPUS path: Spark's exact percentile buffers every exploded
+    * component per aggregation (n·dim doubles), which is the oracle's
+    * price — only the exact quantile is re-derivable bit-identically by
+    * another engine. Calibrate on a bounded sample (a quantile is
+    * estimated well from a fraction of a large corpus), or use
+    * [[calibrateApprox]] when the calibration pass itself must scan an
+    * unbounded corpus.
     */
   def calibrate(df: DataFrame, vecCol: String,
                 quantile: Double = 0.99): I8Calibration = {
     require(quantile > 0.5 && quantile < 1.0,
       s"quantile must be in (0.5, 1), got $quantile")
-    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
     val r = df
       .select(explode(col(vecCol).cast(ArrayType(DoubleType))).as("x"))
       .agg(expr(s"percentile(x, ${1 - quantile})").as("lo"),
         expr(s"percentile(x, $quantile)").as("hi"))
+      .head()
+    I8Calibration(q6(r.getDouble(0)), q6(r.getDouble(1)))
+  }
+
+  /** UNBOUNDED-corpus calibration: approx_percentile's bounded sketch
+    * (KLL-style, memory ~accuracy, never n·dim) instead of the exact
+    * buffer. The returned bounds are within 1/accuracy rank error of the
+    * exact ones — quantization clipping is insensitive at that scale —
+    * but NOT bit-identical across engines, so gates that hash-match a
+    * DuckDB re-derivation must keep using [[calibrate]] (on a bounded
+    * sample); this is the production ingest path at 100 TB.
+    */
+  def calibrateApprox(df: DataFrame, vecCol: String,
+                      quantile: Double = 0.99,
+                      accuracy: Int = 10000): I8Calibration = {
+    require(quantile > 0.5 && quantile < 1.0,
+      s"quantile must be in (0.5, 1), got $quantile")
+    val r = df
+      .select(explode(col(vecCol).cast(ArrayType(DoubleType))).as("x"))
+      .agg(percentile_approx(col("x"), lit(1 - quantile), lit(accuracy)).as("lo"),
+        percentile_approx(col("x"), lit(quantile), lit(accuracy)).as("hi"))
       .head()
     I8Calibration(q6(r.getDouble(0)), q6(r.getDouble(1)))
   }

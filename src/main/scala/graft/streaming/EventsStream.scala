@@ -69,11 +69,24 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Unbounded source: file-stream over a directory of events parquet. */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema)
+  /** Unbounded source: file-stream over a directory of events parquet.
+    * The declared schema must match the files' PHYSICAL ts type: current
+    * generations store TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ), legacy
+    * ones TIMESTAMP(NANOS) (reads as raw nanos longs under the session's
+    * nanosAsLong flag). One batch footer peek at stream-definition time
+    * picks the matching variant, and [[normalize]] dispatches on whatever
+    * type flowed in — so both file generations stream, matching the batch
+    * path (Tables.load). A directory MIXING generations must be migrated
+    * first: a file-stream declares exactly one schema.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
+  }
 
   /** Start the streaming query into an in-memory sink (for tests/demo);
     * production would write a Delta/parquet sink with checkpointing in

@@ -98,4 +98,47 @@ class GeoSpec extends AnyFunSuite {
     val touched = res.select("cell").distinct().collect().map(_.getLong(0)).toSet
     assert(touched.subsetOf(cover), s"touched $touched not in cover $cover")
   }
+
+  test("antimeridian box (west > east): membership wraps, cover is the two arcs' union") {
+    val bits = 4
+    val (s0, n0, w0, e0) = (-30.0, 30.0, 150.0, -150.0) // crosses 180
+    // membership: the wrap form equals the OR of the two plain arcs
+    val pts = (0 until 500).map { i =>
+      (((i * 37) % 160) - 80.0, ((i * 53) % 360) - 180.0)
+    }
+    val df = pts.toDF("lat", "lon")
+    val wrapped = df.filter(Geo.inBoundingBox(col("lat"), col("lon"), s0, n0, w0, e0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val arcs = df.filter(
+      Geo.inBoundingBox(col("lat"), col("lon"), s0, n0, w0, 180.0) ||
+        Geo.inBoundingBox(col("lat"), col("lon"), s0, n0, -180.0, e0))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(wrapped === arcs)
+    assert(wrapped.exists(_._2 > 150) && wrapped.exists(_._2 < -150),
+      "test box failed to catch points on both sides of the antimeridian")
+    // cover containment still holds for the wrapped box
+    val cover = Geo.coverCells(s0, n0, w0, e0, bits).toSet
+    wrapped.foreach { case (la, lo) =>
+      assert(cover.contains(Geo.cellOf(la, lo, bits)), s"($la, $lo)")
+    }
+    // and the cover is the union of the arcs' covers, no more
+    assert(cover === (Geo.coverCells(s0, n0, w0, 180.0, bits).toSet ++
+      Geo.coverCells(s0, n0, -180.0, e0, bits).toSet))
+  }
+
+  test("antimeridian box query over the stored layout equals the plain wrap filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geo-am").toString
+    val pts = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .select(col("event_id"),
+        (((col("event_id") * 37) % 160) - 80).cast("double").as("lat"),
+        ((col("event_id") % 360) - 180).cast("double").as("lon"))
+    Geo.writeCellLayout(pts, "lat", "lon", bits = 4, dir)
+    val layout = Geo.readCellLayout(spark, dir)
+    val res = Geo.searchBox(layout, "lat", "lon", -30, 30, 150, -150, bits = 4)
+    val expected = pts
+      .filter(Geo.inBoundingBox(col("lat"), col("lon"), -30, 30, 150, -150))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = res.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected && got.nonEmpty)
+  }
 }

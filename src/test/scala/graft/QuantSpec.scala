@@ -125,4 +125,27 @@ class QuantSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got === exact)
   }
+
+  test("calibrateApprox tracks the exact calibration within sketch tolerance") {
+    val c = corpus.withColumn("vector", col("vector").cast("array<double>"))
+    val exact = Quant.calibrate(c, "vector", quantile = 0.99)
+    val approx = Quant.calibrateApprox(c, "vector", quantile = 0.99)
+    // at accuracy=10000 over ~128k components the rank error is tiny, so
+    // the clip bounds agree to well under the distribution's spread
+    val spread = exact.hi - exact.lo
+    assert(math.abs(approx.lo - exact.lo) < 0.05 * spread,
+      s"lo drift: $approx vs $exact")
+    assert(math.abs(approx.hi - exact.hi) < 0.05 * spread,
+      s"hi drift: $approx vs $exact")
+    // and the resulting codes agree on almost every component (only
+    // values inside the tiny bound gap can code differently)
+    val ce = Quant.quantizeColumnCalibrated(c, "vector", "e", exact)
+    val ca = Quant.quantizeColumnCalibrated(c, "vector", "a", approx)
+    val joined = ce.select("id", "e_codes")
+      .join(ca.select("id", "a_codes"), "id")
+      .select(explode(zip_with(col("e_codes"), col("a_codes"),
+        (x, y) => abs(x.cast("int") - y.cast("int")))).as("d"))
+    val maxD = joined.agg(max(col("d"))).head().getInt(0)
+    assert(maxD <= 2, s"approx calibration shifted codes by $maxD levels")
+  }
 }

@@ -22,6 +22,50 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ranks are a permutation of 1..n under any partitioning and skew") {
+    import spark.implicits._
+    // partition counts bracketing the session's shuffle.partitions (32),
+    // including the degenerate 1 and a count above the row count of the
+    // smallest frame — empty partitions must not corrupt offsets
+    for (parts <- Seq(1, 3, 8, 32, 64); skewed <- Seq(false, true)) {
+      val n = 557 // prime: never divides evenly into any partition count
+      val base =
+        if (skewed)
+          // one dominant key (~80% of rows) + unique tail; ties broken by id
+          spark.range(0, n).select(
+            when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+            col("id"))
+        else
+          spark.range(0, n).select((col("id") * 193 % n).as("k"), col("id"))
+      val ranked = Ranks.withGlobalRowNumber(base.repartition(parts), "rn",
+        col("k").asc, col("id").asc)
+      val rns = ranked.select("rn").collect().map(_.getLong(0)).sorted
+      assert(rns.toSeq == (1L to n).toSeq,
+        s"parts=$parts skewed=$skewed: ranks not a permutation of 1..$n")
+      // and the order is the requested total order
+      val ordered = ranked.orderBy("rn")
+        .select("k", "id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(ordered.toSeq == ordered.toSeq.sorted,
+        s"parts=$parts skewed=$skewed: rank order != sort order")
+    }
+  }
+
+  test("property: ranks survive a shuffle-fed input under AQE coalescing") {
+    import spark.implicits._
+    // the hazard VERDICT flagged: AQE may coalesce the shuffle feeding
+    // the sort, so partition bounds exist only at runtime — the eager
+    // localCheckpoint must freeze ONE set of bounds for both the count
+    // pass and the ranked projection
+    val n = 2000L
+    val agg = spark.range(0, n * 3)
+      .select((col("id") % n).as("k"))
+      .groupBy("k").count() // shuffle + AQE coalesce feeds the rank
+    val ranked = Ranks.withGlobalRowNumber(agg, "rn",
+      col("count").desc, col("k").asc)
+    val rns = ranked.select("rn").collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to n).toSeq)
+  }
+
   test("fuseRRF carries no unpartitioned window (single-partition bottleneck)") {
     val p = SparkEntry.queries("rrf_fusion")(spark, TestSpark.sfDir)
     p.collect() // AQE: finalize the plan

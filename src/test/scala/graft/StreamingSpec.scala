@@ -27,6 +27,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("legacy nanos-long ts files stream: declared schema follows the files' physical type") {
+    // stage a LEGACY-generation directory: ts as raw nanos longs (the
+    // shape TIMESTAMP(NANOS) files take under nanosAsLong), which the
+    // TIMESTAMP_NTZ-hardcoded schema used to reject at source planning
+    val dir = Files.createTempDirectory("graft-stream-legacy")
+    val legacy = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .withColumn("ts",
+        (unix_micros(col("ts").cast("timestamp")) * 1000L).cast("long"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    legacy.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = EventsStream.startToMemory(spark, dir.toString, "stream_legacy")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_legacy")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventsStream.windowedAggBatch(spark, TestSpark.sfDir)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming IVF maintenance: streamed points get the batch assignment") {
     import org.apache.spark.sql.types._
     // index built offline (batch); NEW points then stream in and are
