@@ -123,6 +123,32 @@ object SparkEntry {
       graft.ops.Planner.readPayloadIndex(s, idxDir.toString, Seq("vector"))
     })
 
+  /** The cold parquet-backed [[graft.sources.ParquetCollectionStore]] of
+    * `dir`'s homogeneous collection — sealed once per dir (ranged by id
+    * into 4 files, the ingest-time batch job), registered for deletion
+    * on exit like the other temp fixtures.
+    */
+  private val parquetStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetBackedStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetStoreCache.getOrElseUpdate(dir, {
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft-pq-collection").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(pqDir)
+      }))
+      graft.sources.ParquetCollectionStore.write(
+        hom(s, dir).select("id", "payload", "vector"), pqDir.toString)
+      new graft.sources.ParquetCollectionStore(pqDir.toString, "embeddings",
+        Collections.homogeneousDescriptor)
+    })
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -753,6 +779,41 @@ object SparkEntry {
     // executes inside the backend and the table returns scored points
     // (/root/reference/src/table.rs:279-305). No full-collection decode
     // happens above the scan; PlanSpec asserts the plan carries the query.
+    // the SECOND CollectionStore implementation behind the same
+    // connector: a cold parquet-backed collection (the store handle is a
+    // path + footers; executors read shared storage directly, nothing
+    // ships through the driver). Same oracle as dsv2_scan — swapping the
+    // backend under the seam must change nothing above it
+    "dsv2_parquet_store" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_store",
+        SparkEntry.parquetBackedStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // pushed top-k THROUGH the parquet-backed store: the scan is a scored
+    // query served by the store's streaming-heap search over its own
+    // files (id + vector columns only — the requested schema never
+    // decodes payload bytes). Same oracle as dsv2_topk_pushdown
+    "dsv2_parquet_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_search_store",
+        SparkEntry.parquetBackedStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_search_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     "dsv2_topk_pushdown" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("topk_store", InMemoryCollectionStore.fromRows(
@@ -1569,6 +1630,17 @@ object SparkEntry {
           (col("event_id") % 180).cast(DoubleType).as("lon"))
         .filter(graft.ops.Geo.inBoundingBox(col("lat"), col("lon"),
           south = 10, north = 40, west = 20, east = 60))),
+
+    // the ANTIMERIDIAN form (west > east wraps — the backend's
+    // geo_bounding_box convention when left lon > right lon): the
+    // longitude condition becomes the OR of the two arcs
+    "geo_box_wrap" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          col("user_id").cast(DoubleType).as("lat"),
+          ((col("event_id") % 360) - 180).cast(DoubleType).as("lon"))
+        .filter(graft.ops.Geo.inBoundingBox(col("lat"), col("lon"),
+          south = 0, north = 90, west = 150, east = -150))),
 
     // the SAME box served from the stored geo-cell index: cover cells
     // partition-prune the scan (the geo payload index of the backend),
@@ -3017,6 +3089,22 @@ object SparkEntry {
 
     // rank on RAW similarity (the store ranks unrounded, id tiebreak) and
     // round only for output — mirrors the pushed scan's contract exactly
+    // cold store swap is invisible above the seam: same oracles as the
+    // in-memory-backed dsv2_scan / dsv2_topk_pushdown
+    "dsv2_parquet_store" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_parquet_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
     "dsv2_topk_pushdown" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
         |top AS (
@@ -3475,6 +3563,15 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(user_id AS DOUBLE) >= 10 AND CAST(user_id AS DOUBLE) <= 40
         |  AND CAST(event_id % 180 AS DOUBLE) >= 20 AND CAST(event_id % 180 AS DOUBLE) <= 60
+        |ORDER BY event_id""".stripMargin,
+
+    "geo_box_wrap" ->
+      """SELECT event_id, CAST(user_id AS DOUBLE) AS lat,
+        |       CAST(event_id % 360 - 180 AS DOUBLE) AS lon
+        |FROM events
+        |WHERE CAST(user_id AS DOUBLE) >= 0 AND CAST(user_id AS DOUBLE) <= 90
+        |  AND (CAST(event_id % 360 - 180 AS DOUBLE) >= 150
+        |       OR CAST(event_id % 360 - 180 AS DOUBLE) <= -150)
         |ORDER BY event_id""".stripMargin,
 
     // the pruned index path must return the plain filter's exact rows

@@ -770,4 +770,88 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // statistics report k rows so joins against search results broadcast
     assert(scan2.estimateStatistics().numRows().getAsLong === 4L)
   }
+
+  private lazy val pqFixture: (String, ParquetCollectionStore) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-store").toString
+    ParquetCollectionStore.write(
+      Collections.homogeneous(spark, TestSpark.sfDir), dir, numFiles = 4)
+    (dir, new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor))
+  }
+
+  test("parquet-backed store: connector round-trip equals the collection frame") {
+    val (_, store) = pqFixture
+    CollectionStores.register("pq_spec", store)
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_spec").option("collection", "embeddings")
+      .option("partitions", "4").load()
+    val got = df.select("id", "payload", "vector").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val want = Collections.homogeneous(spark, TestSpark.sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("parquet store: row windows open only overlapping files, keyset bound skips by footer stats") {
+    val (_, store) = pqFixture
+    val n = store.pointCount("embeddings")
+    assert(n > 0)
+    // a narrow window deep in the sequence touches at most 2 of 4 files
+    // (2 only when it straddles a range boundary) and as many row groups
+    store.filesOpened.set(0); store.rowGroupsRead.set(0)
+    val mid = n / 2
+    val got = store.queryPoints("embeddings", mid, mid + 5, withPayload = true,
+      Seq("vector"), None).toList
+    assert(got.length === 5)
+    assert(store.filesOpened.get() <= 2, s"opened ${store.filesOpened.get()}")
+    assert(store.rowGroupsRead.get() <= 2)
+    // keyset bound at the global max id: every file's footer max proves
+    // it empty — zero IO
+    // ids are ASCII digits, where Java string order == UTF-8 byte order
+    val globalMax = store.queryPoints("embeddings", 0, n, false, Nil, None)
+      .map(_.id).max
+    store.filesOpened.set(0)
+    val none = store.queryPoints("embeddings", 0, n, false, Nil, None,
+      None, Some(globalMax)).toList
+    assert(none.isEmpty)
+    assert(store.filesOpened.get() === 0,
+      s"keyset-skippable files were opened: ${store.filesOpened.get()}")
+    // narrowing: payload not requested -> not decoded
+    val bare = store.queryPoints("embeddings", 0, 3, withPayload = false,
+      Nil, None).toList
+    assert(bare.nonEmpty)
+    assert(bare.forall(p => p.payload.isEmpty && p.dense.isEmpty))
+  }
+
+  test("parquet store: no change log, streaming read fails loudly") {
+    val (_, store) = pqFixture
+    val e = intercept[UnsupportedOperationException] {
+      store.logSize("embeddings")
+    }
+    assert(e.getMessage.contains("no change log"))
+  }
+
+  test("pushed top-k over the parquet-backed store equals above-the-scan scoring") {
+    val (_, store) = pqFixture
+    CollectionStores.register("pq_spec_topk", store)
+    val frame = Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+    val q = frame.filter(col("id") === "3")
+      .select(col("vector")).head().getSeq[Double](0)
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_spec_topk").option("collection", "embeddings")
+      .option("search.field", "vector")
+      .option("search.vector", q.map(_.toString).mkString(","))
+      .option("search.metric", "dot").option("search.k", "5")
+      .load().select("id", "_score")
+    val got = df.collect().map(_.getString(0)).toSeq
+    val want = graft.ops.Ann.bruteForce(frame, "id", "vector",
+      graft.functions.vec(q), k = 5, metric = "dot")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === want)
+  }
 }

@@ -20,6 +20,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     // here we pin the externally documented names
     assert(ScaleProbe.sectionNames.toSet ===
       Set("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
-        "skew", "tenant", "layout", "sketch", "spans", "planner", "geo"))
+        "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
+        "drift", "cdc"))
   }
 }
