@@ -14,7 +14,7 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift", "cdc")
+      "drift", "cdc", "sparse")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -564,6 +564,55 @@ object ScaleProbe {
               .isin(0L, 1L, 2L, 3L, 4L),
             vec(q), k = 10, nprobe = 2))
         idx.clustered.unpersist()
+      }
+    }
+    // Sparse inverted index under dimension-space growth: replicas add
+    // postings in FRESH dimension buckets (dims shifted +64 per replica,
+    // nBuckets > max dim so shifted dims land in their own partitions) —
+    // the tenant-probe property in the sparse dimension: rows scanned by
+    // a base-dims query must stay FLAT as the index grows xN.
+    section("sparse") {
+      import graft.ops.SparseIndex
+      val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val pos = filter(
+        transform(col("embedding"), (x, i) => struct(i.as("i"), x.as("x"))),
+        s => s("x") > lit(0f))
+      val ki = transform(pos, s => s("i").cast("int"))
+      val kv = transform(pos, s => s("x").cast("double"))
+      val nBuckets = 256
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(ki.as("ki"), kv.as("kv")).head()
+      val (qi, qv) = (qRow.getSeq[Int](0), qRow.getSeq[Double](1))
+      for (n <- Seq(1, 2, 4)) {
+        val c = (0 until n).map(i => e.select(
+          concat(col("vec_id").cast("string"), lit(s"_$i")).as("id"),
+          transform(ki, d => d + lit(64 * i)).as("ki"), kv.as("kv")))
+          .reduce(_ union _)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-sparse-probe-$n").toString
+        SparseIndex.buildPostings(c, "id", "ki", "kv", nBuckets)
+          .write.mode("overwrite").partitionBy("db").parquet(dir)
+        val postings = spark.read.parquet(dir)
+        val total = postings.count()
+        val res = SparseIndex.searchPostings(postings, qi, qv, k = 10,
+          nBuckets = nBuckets, excludeId = Some("0_0"))
+        val t0 = System.nanoTime()
+        res.collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // unwrap AQE recursively: the final plan's leaves are query-stage
+        // wrappers; the scans (and their metrics) live inside them
+        def scanRows(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanRows(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scanRows(s.plan)
+          case leaf if leaf.children.isEmpty =>
+            leaf.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case o => o.children.map(scanRows).sum
+        }
+        val scanned = scanRows(res.queryExecution.executedPlan)
+        println(f"[probe] sparse x$n postings=$total pruned-scan=$scanned rows " +
+          f"($wall%.2f s)")
       }
     }
     // CDC log compaction under growing churn history: a long-lived
