@@ -12,6 +12,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -11,9 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * driver-side registerAll call required.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.SqlBuilders.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    // the corpus's ->/->> JSON operators, mapped onto json_get /
+    // json_as_text before delegation (see ArrowSql for the grammar rules)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
 }

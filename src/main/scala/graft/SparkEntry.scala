@@ -1483,6 +1483,25 @@ object SparkEntry {
           |         (SELECT vector FROM c WHERE id = '5')), 6) AS score
           |FROM c WHERE id <> '5'
           |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin)
+    }),
+
+    // the corpus's ->/->> JSON OPERATORS as real SQL syntax (tests.sql:
+    // 56-58,219-224) via the injected GraftSqlParser: tight-form arrows
+    // rewrite to json_get/json_as_text pre-delegation, chains nest —
+    // requires the session built with spark.sql.extensions (Verify/Bench
+    // are; ArrowSql + ExtensionsSpec pin the grammar rules)
+    "sql_arrow_ops" -> ((s, dir) => {
+      hom(s, dir).select(col("id"),
+        to_json(struct(struct(
+          json_get_int(col("payload"), "label").as("label")).as("meta")))
+          .as("payload"))
+        .createOrReplaceTempView("arrow_corpus")
+      s.sql(
+        """SELECT id, payload->'meta'->'label' AS label_json,
+          |       payload->>'meta' AS meta_text
+          |FROM arrow_corpus
+          |WHERE payload->'meta'->>'label' = '7'
+          |ORDER BY id""".stripMargin)
     })
   )
 
@@ -3397,7 +3416,16 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 5
-        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // arrow-operator semantics: ->'label' extracts the scalar as text,
+    // ->>'meta' the nested object's raw JSON text (to_json formatting
+    // matches Spark's, as the dsv2 payload oracles already rely on)
+    "sql_arrow_ops" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       CAST(label AS VARCHAR) AS label_json,
+        |       to_json({'label': label}) AS meta_text
+        |FROM embeddings WHERE label = 7 ORDER BY id""".stripMargin
   )
 
   private val oracleComposite: Map[String, String] = Map(
