@@ -149,6 +149,27 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The wire-protocol fixture of `dir`: an in-process
+    * [[graft.sources.CollectionHttpServer]] fronting the homogeneous
+    * collection, started once per dir (the offline stand-in for a live
+    * backend node — what a production deployment keeps is the CLIENT,
+    * [[graft.sources.RestCollectionStore]], which carries only this URL).
+    */
+  private val restFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def restBackedUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(dir, {
+      val backend = s"rest_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        graft.sources.InMemoryCollectionStore.fromRows(
+          hom(s, dir).select("id", "payload", "vector"),
+          "embeddings", Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      srv.baseUrl
+    })
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -806,6 +827,42 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_search_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the THIRD CollectionStore implementation — the WIRE protocol: an
+    // HTTP/JSON client (RestCollectionStore) dialing an in-process server
+    // fronting the same collection, the reference's defining deployment
+    // shape (its client is dialed from a URL, /root/reference/src/
+    // table.rs:48). Same oracle as dsv2_scan: the network hop must be
+    // invisible above the CollectionStore seam
+    "dsv2_rest_store" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_store",
+        new RestCollectionStore(SparkEntry.restBackedUrl(s, dir)))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // pushed top-k THROUGH the wire: the scan ships the scored query to
+    // the remote service (`points/query`), scored points come back — the
+    // reference's architecture end-to-end, network included. Same oracle
+    // as dsv2_topk_pushdown
+    "dsv2_rest_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_search_store",
+        new RestCollectionStore(SparkEntry.restBackedUrl(s, dir)))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_search_store").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -3116,6 +3173,21 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_parquet_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // wire-protocol swap is equally invisible: same oracles again
+    "dsv2_rest_store" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_rest_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
         |top AS (
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,

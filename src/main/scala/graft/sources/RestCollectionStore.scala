@@ -1,0 +1,521 @@
+package graft.sources
+
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.collections.{CollectionDescriptor, DenseField, MultiField, SparseField, VectorFieldSpec}
+
+/** JSON wire forms for the REST collection protocol, modeled on the
+  * public Qdrant REST API the reference's gRPC client talks to
+  * (/root/reference/src/table.rs:48 `Qdrant::from_url("http://...")`;
+  * the reference uses the gRPC port of the same service — this engine
+  * speaks the HTTP/JSON surface, same resources, same semantics):
+  *
+  *   - collection info: `config.params.vectors` maps field name to
+  *     `{"size": dim, "distance": "Cosine"}` (a bare config object for an
+  *     unnamed single-vector collection), multi-vector fields carry
+  *     `multivector_config.comparator = "max_sim"`, sparse fields live
+  *     under `config.params.sparse_vectors` — Qdrant's published
+  *     collection-config shape.
+  *   - points: `{"id", "payload", "vector": {name: <dense [..] | multi
+  *     [[..]] | sparse {"indices": [...], "values": [...]}>}}` — the
+  *     named-vectors point shape. Parse dispatch is DESCRIPTOR-keyed
+  *     (never value-shape-guessed): an empty dense `[]` and an empty
+  *     multi `[]` are indistinguishable on the wire, exactly the §1.3
+  *     name-suffix hazard this engine already fixes in its decoder.
+  *
+  * One documented deviation: `payload` crosses the wire as the RAW JSON
+  * TEXT (a JSON string value), not a re-parsed object. The engine's
+  * payload column is a JSON string and the oracle gates compare it
+  * byte-for-byte — re-serializing through an object tree could reorder
+  * keys or normalize number forms and silently corrupt payload fidelity.
+  * String escaping round-trips the exact bytes.
+  */
+private[sources] object CollectionWire {
+
+  /** Engine metric name -> Qdrant distance name (and back, total). */
+  private val toDistance = Map("cosine" -> "Cosine", "dot" -> "Dot", "euclid" -> "Euclid")
+  private val fromDistance = toDistance.map(_.swap)
+
+  private def num(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+
+  private def long(v: JValue): Long = v match {
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) => d.toLong
+    case JDecimal(d) => d.toLong
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
+
+  private def floats(v: JValue): Array[Float] = v match {
+    case JArray(xs) => xs.map(x => num(x).toFloat).toArray
+    case other => throw new IllegalArgumentException(s"expected float array, got $other")
+  }
+
+  // Float -> Double widening is exact, so Double.toString's shortest
+  // round-trip form parses back to the identical float on the other side.
+  private def jFloats(a: Array[Float]): JArray =
+    JArray(a.toList.map(f => JDouble(f.toDouble)))
+
+  def okEnvelope(result: JValue): String =
+    JsonMethods.compact(JObject("result" -> result, "status" -> JString("ok")))
+
+  def errEnvelope(msg: String): String =
+    JsonMethods.compact(JObject("status" -> JObject("error" -> JString(msg))))
+
+  /** Unwrap `{"result": ..., "status": "ok"}`. */
+  def result(body: String): JValue = JsonMethods.parse(body) \ "result"
+
+  def errorOf(body: String): String =
+    JsonMethods.parse(body) \ "status" \ "error" match {
+      case JString(m) => m
+      case _ => body.take(200)
+    }
+
+  // ---- collection info ----------------------------------------------------
+
+  private def denseConfig(f: DenseField): JObject =
+    JObject("size" -> JInt(f.dim),
+      "distance" -> JString(toDistance.getOrElse(f.metric, f.metric)))
+
+  def descriptorJson(desc: CollectionDescriptor, points: Long): JValue = {
+    val dense = desc.fields.collect { case f: DenseField => f }
+    val multi = desc.fields.collect { case f: MultiField => f }
+    val sparse = desc.fields.collect { case f: SparseField => f }
+    val vectors: JValue =
+      if (!desc.named && dense.size == 1 && multi.isEmpty)
+        // unnamed single-vector collection: a bare config object (Qdrant's
+        // shape); "name" is an extension key carrying the internal field
+        // name so the descriptor round-trips exactly
+        denseConfig(dense.head) ~~ ("name" -> JString(dense.head.name))
+      else JObject(
+        (dense.map(f => f.name -> (denseConfig(f): JValue)) ++
+          multi.map(f => f.name -> (JObject("size" -> JInt(f.dim),
+            "distance" -> JString("Cosine"),
+            "multivector_config" -> JObject(
+              "comparator" -> JString("max_sim"))): JValue))).toList)
+    JObject(
+      "config" -> JObject("params" -> JObject(
+        "vectors" -> vectors,
+        "sparse_vectors" -> JObject(
+          sparse.map(f => f.name -> (JObject(): JValue)).toList))),
+      "points_count" -> JLong(points))
+  }
+
+  private implicit class ObjOps(o: JObject) {
+    def ~~(kv: (String, JValue)): JObject = JObject(o.obj :+ kv)
+  }
+
+  def parseDescriptor(name: String, result: JValue): CollectionDescriptor = {
+    val params = result \ "config" \ "params"
+    def fieldOf(n: String, cfg: JValue): VectorFieldSpec = {
+      val dim = long(cfg \ "size").toInt
+      cfg \ "multivector_config" match {
+        case JNothing | JNull => cfg \ "distance" match {
+          case JString(d) => DenseField(n, dim, fromDistance.getOrElse(d, d))
+          case _ => DenseField(n, dim)
+        }
+        case _ => MultiField(n, dim)
+      }
+    }
+    val (named, denseMulti) = params \ "vectors" match {
+      case o @ JObject(kvs) if (o \ "size") != JNothing =>
+        // bare config = unnamed single-vector collection
+        val n = o \ "name" match { case JString(s) => s; case _ => "vector" }
+        (false, Seq(fieldOf(n, o)))
+      case JObject(kvs) => (true, kvs.map { case (n, cfg) => fieldOf(n, cfg) })
+      case JNothing | JNull => (true, Seq.empty)
+      case other => throw new IllegalArgumentException(s"bad vectors config: $other")
+    }
+    val sparse = params \ "sparse_vectors" match {
+      case JObject(kvs) => kvs.map { case (n, _) => SparseField(n) }
+      case _ => Seq.empty
+    }
+    CollectionDescriptor(name, denseMulti ++ sparse, named)
+  }
+
+  // ---- points -------------------------------------------------------------
+
+  def pointJson(p: Point, score: Option[Double] = None): JValue = {
+    val vec = JObject(
+      p.dense.toList.sortBy(_._1).map { case (n, v) => n -> (jFloats(v): JValue) } ++
+        p.multi.toList.sortBy(_._1).map { case (n, vs) =>
+          n -> (JArray(vs.toList.map(jFloats)): JValue)
+        } ++
+        p.sparse.toList.sortBy(_._1).map { case (n, (is, vs)) =>
+          n -> (JObject("indices" -> JArray(is.toList.map(i => JInt(i))),
+            "values" -> jFloats(vs)): JValue)
+        })
+    val base = List("id" -> (JString(p.id): JValue)) ++
+      p.payload.map(pl => "payload" -> (JString(pl): JValue)) ++
+      (if (vec.obj.isEmpty) Nil else List("vector" -> (vec: JValue))) ++
+      score.map(s => "score" -> (JDouble(s): JValue))
+    JObject(base)
+  }
+
+  /** Descriptor-keyed point parse: field kind decides how the wire value
+    * decodes, never the value's shape.
+    */
+  def parsePoint(desc: CollectionDescriptor, v: JValue): Point = {
+    val id = v \ "id" match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"point without string id: $other")
+    }
+    val payload = v \ "payload" match { case JString(s) => Some(s); case _ => None }
+    val kinds: Map[String, VectorFieldSpec] = desc.fields.map(f => f.name -> f).toMap
+    var dense = Map.empty[String, Array[Float]]
+    var multi = Map.empty[String, Array[Array[Float]]]
+    var sparse = Map.empty[String, (Array[Int], Array[Float])]
+    v \ "vector" match {
+      case JObject(kvs) => kvs.foreach { case (n, fv) =>
+        kinds.get(n) match {
+          case Some(_: DenseField) => dense += n -> floats(fv)
+          case Some(_: MultiField) => multi += n -> (fv match {
+            case JArray(rows) => rows.map(floats).toArray
+            case other => throw new IllegalArgumentException(s"bad multi vector: $other")
+          })
+          case Some(_: SparseField) => sparse += n -> ((fv \ "indices" match {
+            case JArray(is) => is.map(i => long(i).toInt).toArray
+            case other => throw new IllegalArgumentException(s"bad sparse indices: $other")
+          }, floats(fv \ "values")))
+          case None => throw new IllegalArgumentException(
+            s"collection '${desc.name}' has no vector field '$n'")
+        }
+      }
+      case JNothing | JNull => ()
+      case other => throw new IllegalArgumentException(s"bad vector map: $other")
+    }
+    Point(id, payload, dense, multi, sparse)
+  }
+
+  def parseScored(desc: CollectionDescriptor, v: JValue): (Point, Double) =
+    (parsePoint(desc, v), num(v \ "score"))
+
+  def logEntryJson(e: LogEntry): JValue =
+    JObject("op" -> JString(e.op), "seq" -> JLong(e.seq),
+      "point" -> pointJson(e.point))
+
+  def parseLogEntry(desc: CollectionDescriptor, v: JValue): LogEntry =
+    LogEntry(v \ "op" match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"bad log op: $other")
+    }, parsePoint(desc, v \ "point"), long(v \ "seq"))
+
+  def optLong(v: JValue): Option[Long] =
+    v match { case JNothing | JNull => None; case x => Some(long(x)) }
+
+  def optStr(v: JValue): Option[String] =
+    v match { case JString(s) => Some(s); case _ => None }
+
+  def longOf(v: JValue): Long = long(v)
+}
+
+/** The THIRD [[CollectionStore]] implementation: a serializable HTTP/JSON
+  * CLIENT dialing a remote collection service — the store shape a real
+  * cluster deploys, exactly as the reference holds a `qdrant_client`
+  * handle dialed from a URL (/root/reference/src/table.rs:48,84). The
+  * instance carries only the base URL (+ page size): executors
+  * deserialize it and open their own connections, nothing tunnels
+  * through the driver.
+  *
+  * Surface: scans (windowed, narrowed, id-filtered, keyset-bounded),
+  * pushed top-k search (served server-side — the scan IS the scored
+  * query, the reference's architecture), collection catalog, and the CDC
+  * log (so connector STREAMING reads run unchanged over the wire).
+  * Writes/DML are not part of the wire protocol here — the reference's
+  * own `insert_into` is `todo!()` (/root/reference/src/table.rs:186-193);
+  * the connector fails loudly, its standing contract for stores that
+  * don't accept local mutation.
+  *
+  * Scale shape: one HTTP request per `pageSize` window of the partition's
+  * row range, so a partition never buffers more than a page of JSON —
+  * the paging analog of the reference's per-partition gRPC query stream.
+  * Filters/limits ship IN the request (the server honors them before
+  * paging), so a keyset page costs O(page) transferred points at any
+  * scroll depth, same contract the in-memory seek asserts.
+  */
+final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
+    extends CollectionStore {
+  require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+
+  @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
+  // descriptor cache: parse dispatch is descriptor-keyed; one info call
+  // per (client instance, collection), not one per page
+  @transient private lazy val descCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CollectionDescriptor]()
+
+  private def get(path: String): String =
+    send(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET().build())
+
+  private def post(path: String, body: JValue): String =
+    send(HttpRequest.newBuilder(URI.create(baseUrl + path))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
+      .build())
+
+  private def send(req: HttpRequest): String = {
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
+    resp.statusCode() match {
+      case 200 => resp.body()
+      // mirror the store contract's exception kinds so callers above the
+      // seam observe identical failures whichever backend is registered
+      case 404 => throw new IllegalArgumentException(CollectionWire.errorOf(resp.body()))
+      case 501 => throw new UnsupportedOperationException(CollectionWire.errorOf(resp.body()))
+      case code => throw new RuntimeException(
+        s"collection service $code at ${req.uri()}: ${CollectionWire.errorOf(resp.body())}")
+    }
+  }
+
+  private def descriptor(collection: String): CollectionDescriptor =
+    descCache.computeIfAbsent(collection, c => collectionInfo(c))
+
+  override def collectionInfo(collection: String): CollectionDescriptor =
+    CollectionWire.parseDescriptor(collection,
+      CollectionWire.result(get(s"/collections/$collection")))
+
+  override def collectionNames: Seq[String] =
+    CollectionWire.result(get("/collections")) \ "collections" match {
+      case JArray(cs) => cs.flatMap(c => CollectionWire.optStr(c \ "name"))
+      case _ => Seq.empty
+    }
+
+  override def pointCount(collection: String): Long =
+    CollectionWire.longOf(
+      CollectionWire.result(post(s"/collections/$collection/points/count",
+        JObject())) \ "count")
+
+  override def queryPoints(collection: String, from: Long, until: Long,
+                           withPayload: Boolean, vectorFields: Seq[String],
+                           limit: Option[Int],
+                           idFilter: Option[Set[String]] = None,
+                           idLower: Option[String] = None): Iterator[Point] = {
+    val desc = descriptor(collection)
+    var remaining = limit
+    Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until).flatMap { lo =>
+      if (remaining.exists(_ <= 0)) Iterator.empty
+      else {
+        val hi = math.min(lo + pageSize, until)
+        val filter = JObject(
+          idFilter.toList.map(ids =>
+            "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
+            idLower.toList.map(b => "id_gt" -> (JString(b): JValue)))
+        val body = JObject(List(
+          "range" -> (JArray(List(JLong(lo), JLong(hi))): JValue),
+          "with_payload" -> (JBool(withPayload): JValue),
+          "with_vector" -> (JArray(vectorFields.toList.map(JString(_))): JValue)) ++
+          remaining.map(n => "limit" -> (JInt(n): JValue)) ++
+          (if (filter.obj.isEmpty) Nil else List("filter" -> (filter: JValue))))
+        val pts = CollectionWire.result(
+          post(s"/collections/$collection/points/scroll", body)) \ "points" match {
+          case JArray(ps) => ps.map(CollectionWire.parsePoint(desc, _))
+          case _ => Nil
+        }
+        remaining = remaining.map(_ - pts.length)
+        pts.iterator
+      }
+    }
+  }
+
+  override def searchPoints(collection: String, spec: SearchSpec,
+                            withPayload: Boolean,
+                            vectorFields: Seq[String]): Seq[(Point, Double)] = {
+    val desc = descriptor(collection)
+    val body = JObject(
+      "query" -> JArray(spec.query.toList.map(JDouble(_))),
+      "using" -> JString(spec.field),
+      "limit" -> JInt(spec.k),
+      "params" -> JObject("metric" -> JString(spec.metric)),
+      "with_payload" -> JBool(withPayload),
+      "with_vector" -> JArray(vectorFields.toList.map(JString(_))))
+    CollectionWire.result(
+      post(s"/collections/$collection/points/query", body)) \ "points" match {
+      case JArray(ps) => ps.map(CollectionWire.parseScored(desc, _))
+      case _ => Seq.empty
+    }
+  }
+
+  override def logStart(collection: String): Long =
+    CollectionWire.longOf(
+      CollectionWire.result(get(s"/collections/$collection/log/info")) \ "start")
+
+  override def logSize(collection: String): Long =
+    CollectionWire.longOf(
+      CollectionWire.result(get(s"/collections/$collection/log/info")) \ "size")
+
+  override def logEntries(collection: String, from: Long, until: Long): Iterator[LogEntry] = {
+    val desc = descriptor(collection)
+    // page like queryPoints: an epoch's entry range never buffers more
+    // than a page of JSON client-side
+    Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until).flatMap { lo =>
+      val hi = math.min(lo + pageSize, until)
+      CollectionWire.result(
+        get(s"/collections/$collection/log?from=$lo&until=$hi")) \ "entries" match {
+        case JArray(es) => es.map(CollectionWire.parseLogEntry(desc, _)).iterator
+        case _ => Iterator.empty
+      }
+    }
+  }
+}
+
+/** In-process HTTP server fronting a registered [[CollectionStore]] —
+  * the service side of the wire protocol (the stand-in for a live Qdrant
+  * node in this offline sandbox; the CLIENT above is what a production
+  * deployment keeps). Resolves the store from [[CollectionStores]] BY
+  * NAME on every request, so catalog DDL and write commits that swap the
+  * registered store are visible to remote readers immediately.
+  *
+  * The narrowing contract is enforced server-side: the inner store's
+  * `queryPoints`/`searchPoints` already strip un-requested payload and
+  * vector fields, so un-asked-for bytes never reach the wire (asserted
+  * over raw HTTP in RestCollectionStoreSpec, not just narrated).
+  */
+final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  private val server = HttpServer.create(
+    new InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+  // DAEMON worker threads: the server is infrastructure, not work — it
+  // must never keep the JVM alive once main() returns (a non-daemon pool
+  // deadlocks exit: the JVM waits on the pool, and the shutdown hook that
+  // would stop the pool only runs at exit)
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize,
+    (r: Runnable) => { val t = new Thread(r, "collection-http"); t.setDaemon(true); t })
+  server.setExecutor(pool)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def start(): this.type = {
+    // the JDK HttpServer dispatcher thread inherits daemon status from the
+    // CREATING thread — start from a short-lived daemon thread so the
+    // dispatcher can't pin the JVM either
+    val starter = new Thread(() => server.start(), "collection-http-start")
+    starter.setDaemon(true)
+    starter.start()
+    starter.join()
+    this
+  }
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def port: Int = server.getAddress.getPort
+  def baseUrl: String = s"http://127.0.0.1:$port"
+
+  private def store: CollectionStore = CollectionStores.get(storeName)
+
+  private def handle(ex: HttpExchange): Unit = {
+    val (code, body) =
+      try {
+        val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+        (200, route(ex.getRequestMethod, segs, ex))
+      } catch {
+        case e: IllegalArgumentException =>
+          (404, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("not found")))
+        case e: UnsupportedOperationException =>
+          (501, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("unsupported")))
+        case e: Throwable =>
+          (500, CollectionWire.errEnvelope(
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def readBody(ex: HttpExchange): JValue = {
+    val raw = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    if (raw.isEmpty) JObject() else JsonMethods.parse(raw)
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+      .filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i) -> java.net.URLDecoder.decode(kv.substring(i + 1), UTF_8)
+      }.toMap
+
+  private def route(method: String, segs: List[String], ex: HttpExchange): String =
+    (method, segs) match {
+      case ("GET", "collections" :: Nil) =>
+        CollectionWire.okEnvelope(JObject("collections" -> JArray(
+          store.collectionNames.toList.map(n => JObject("name" -> JString(n))))))
+
+      case ("GET", "collections" :: c :: Nil) =>
+        CollectionWire.okEnvelope(
+          CollectionWire.descriptorJson(store.collectionInfo(c), store.pointCount(c)))
+
+      case ("POST", "collections" :: c :: "points" :: "count" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections, not a raw key error
+        CollectionWire.okEnvelope(JObject("count" -> JLong(store.pointCount(c))))
+
+      case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>
+        val b = readBody(ex)
+        val (from, until) = b \ "range" match {
+          case JArray(lo :: hi :: Nil) =>
+            (CollectionWire.longOf(lo), CollectionWire.longOf(hi))
+          case _ => (0L, store.pointCount(c))
+        }
+        val fields = b \ "with_vector" match {
+          case JArray(fs) => fs.flatMap(f => CollectionWire.optStr(f))
+          case _ => Seq.empty
+        }
+        val idFilter = b \ "filter" \ "has_id" match {
+          case JArray(ids) => Some(ids.flatMap(i => CollectionWire.optStr(i)).toSet)
+          case _ => None
+        }
+        val pts = store.queryPoints(c, from, until,
+          b \ "with_payload" == JBool(true), fields,
+          CollectionWire.optLong(b \ "limit").map(_.toInt),
+          idFilter, CollectionWire.optStr(b \ "filter" \ "id_gt"))
+        CollectionWire.okEnvelope(JObject("points" ->
+          JArray(pts.map(p => CollectionWire.pointJson(p)).toList)))
+
+      case ("POST", "collections" :: c :: "points" :: "query" :: Nil) =>
+        val b = readBody(ex)
+        val query = b \ "query" match {
+          case JArray(xs) => xs.map {
+            case JDouble(d) => d
+            case JInt(i) => i.toDouble
+            case JDecimal(d) => d.toDouble
+            case other => throw new IllegalArgumentException(s"bad query component: $other")
+          }.toArray
+          case other => throw new IllegalArgumentException(s"missing query vector: $other")
+        }
+        val using = CollectionWire.optStr(b \ "using").getOrElse(
+          throw new IllegalArgumentException("missing 'using' (vector field name)"))
+        val metric = CollectionWire.optStr(b \ "params" \ "metric").getOrElse("cosine")
+        val k = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
+        val fields = b \ "with_vector" match {
+          case JArray(fs) => fs.flatMap(f => CollectionWire.optStr(f))
+          case _ => Seq.empty
+        }
+        val scored = store.searchPoints(c, SearchSpec(using, query, metric, k),
+          b \ "with_payload" == JBool(true), fields)
+        CollectionWire.okEnvelope(JObject("points" -> JArray(
+          scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
+
+      case ("GET", "collections" :: c :: "log" :: "info" :: Nil) =>
+        CollectionWire.okEnvelope(JObject(
+          "start" -> JLong(store.logStart(c)), "size" -> JLong(store.logSize(c))))
+
+      case ("GET", "collections" :: c :: "log" :: Nil) =>
+        val qp = queryParams(ex)
+        val from = qp.getOrElse("from",
+          throw new IllegalArgumentException("log requires from=")).toLong
+        val until = qp.getOrElse("until",
+          throw new IllegalArgumentException("log requires until=")).toLong
+        CollectionWire.okEnvelope(JObject("entries" -> JArray(
+          store.logEntries(c, from, until).map(CollectionWire.logEntryJson).toList)))
+
+      case (m, p) =>
+        throw new IllegalArgumentException(s"no route $m /${p.mkString("/")}")
+    }
+}

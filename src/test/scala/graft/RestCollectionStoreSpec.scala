@@ -1,0 +1,228 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+import graft.sources._
+
+/** The wire-protocol backend: a [[RestCollectionStore]] HTTP/JSON client
+  * dialing a [[CollectionHttpServer]] that fronts the in-memory store —
+  * the remote-deployment shape of the connector (the reference's defining
+  * integration is a client dialed from a URL, /root/reference/src/
+  * table.rs:48). Every test asserts CLIENT == INNER parity: the wire hop
+  * must be invisible above the [[CollectionStore]] seam.
+  */
+class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+
+  private val desc = CollectionDescriptor("c", Seq(
+    DenseField("text_embedding", 2),
+    MultiField("multi", 2),
+    SparseField("keywords")))
+
+  private def mkPoints(n: Int): IndexedSeq[Point] =
+    (0 until n).map { i =>
+      Point(
+        id = f"$i%03d",
+        payload = if (i % 4 == 0) None else Some(s"""{"i": $i, "s": "a\"b\\\\c"}"""),
+        dense = if (i % 3 != 2) Map("text_embedding" -> Array(i.toFloat, i + 0.5f)) else Map.empty,
+        multi = if (i % 3 == 0) Map("multi" -> Array(Array(1f, 2f), Array(3f, i.toFloat))) else Map.empty,
+        sparse = if (i % 2 == 0) Map("keywords" -> (Array(1, 5), Array(0.1f, i * 0.9f))) else Map.empty)
+    }
+
+  private lazy val inner = InMemoryCollectionStore.single("c", desc, mkPoints(20))
+  private lazy val server: CollectionHttpServer = {
+    CollectionStores.register("rest_inner_spec", inner)
+    new CollectionHttpServer("rest_inner_spec").start()
+  }
+  private lazy val client = new RestCollectionStore(server.baseUrl)
+
+  override def afterAll(): Unit = server.stop()
+
+  /** Structural point form (arrays compare by reference otherwise). */
+  private def key(p: Point) = (p.id, p.payload,
+    p.dense.view.mapValues(_.toSeq).toMap,
+    p.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+    p.sparse.view.mapValues { case (i, v) => (i.toSeq, v.toSeq) }.toMap)
+
+  private val allFields = Seq("text_embedding", "multi", "keywords")
+
+  test("full fetch round-trips every point exactly (payload bytes, all vector kinds)") {
+    val got = client.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    assert(got === want)
+    assert(got.size === 20)
+  }
+
+  test("narrowed fetch: un-requested payload/fields never cross the wire") {
+    val got = client.queryPoints("c", 0, 20, withPayload = false, Seq("text_embedding"), None).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = false, Seq("text_embedding"), None).map(key).toSeq
+    assert(got === want)
+    assert(got.forall(p => p._2.isEmpty && p._4.isEmpty && p._5.isEmpty))
+    // the RAW response bytes, not just the parsed client view: the
+    // narrowing contract is about what ships, so assert on the wire
+    val raw = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(server.baseUrl + "/collections/c/points/scroll"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"range":[0,20],"with_payload":false,"with_vector":["text_embedding"]}"""))
+        .build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    assert(!raw.contains("payload"))
+    assert(!raw.contains("keywords") && !raw.contains("multi"))
+    assert(raw.contains("text_embedding"))
+  }
+
+  test("window + id filter + keyset bound + limit all apply server-side") {
+    def both(from: Long, until: Long, limit: Option[Int],
+             ids: Option[Set[String]], lower: Option[String]) = {
+      val g = client.queryPoints("c", from, until, withPayload = true, allFields,
+        limit, ids, lower).map(key).toSeq
+      val w = inner.queryPoints("c", from, until, withPayload = true, allFields,
+        limit, ids, lower).map(key).toSeq
+      assert(g === w, s"from=$from until=$until limit=$limit ids=$ids lower=$lower")
+      g
+    }
+    assert(both(5, 15, None, None, None).size === 10)
+    assert(both(0, 20, Some(4), None, None).size === 4)
+    assert(both(0, 20, None, Some(Set("003", "007", "019")), None).size === 3)
+    assert(both(0, 20, None, None, Some("014")).map(_._1) === Seq("015", "016", "017", "018", "019"))
+    // filter applies BEFORE limit — the seam's documented order
+    assert(both(0, 20, Some(2), None, Some("010")).map(_._1) === Seq("011", "012"))
+  }
+
+  test("client paging is invisible: pageSize crossing results and limits") {
+    val paged = new RestCollectionStore(server.baseUrl, pageSize = 3)
+    val g = paged.queryPoints("c", 1, 19, withPayload = true, allFields,
+      Some(7), None, Some("004")).map(key).toSeq
+    val w = inner.queryPoints("c", 1, 19, withPayload = true, allFields,
+      Some(7), None, Some("004")).map(key).toSeq
+    assert(g === w)
+    assert(g.size === 7)
+  }
+
+  test("pushed search is served server-side with identical ranking and scores") {
+    for (metric <- Seq("cosine", "dot", "euclid")) {
+      val spec = SearchSpec("text_embedding", Array(1.0, 0.5), metric, 5)
+      val g = client.searchPoints("c", spec, withPayload = true, Seq("text_embedding"))
+      val w = inner.searchPoints("c", spec, withPayload = true, Seq("text_embedding"))
+      assert(g.map { case (p, s) => (key(p), s) } ===
+        w.map { case (p, s) => (key(p), s) }, metric)
+      assert(g.size === 5)
+    }
+  }
+
+  test("collection catalog round-trips: names, counts, descriptors") {
+    assert(client.collectionNames === inner.collectionNames)
+    assert(client.pointCount("c") === 20L)
+    assert(client.collectionInfo("c") === desc)
+    // unnamed single-vector collection: the bare-config wire shape
+    val unnamed = CollectionDescriptor("u", Seq(DenseField("emb", 4, "dot")), named = false)
+    CollectionStores.register("rest_inner_spec",
+      new InMemoryCollectionStore(
+        Map("c" -> desc, "u" -> unnamed),
+        Map("c" -> mkPoints(20), "u" -> IndexedSeq.empty)))
+    try {
+      val fresh = new RestCollectionStore(server.baseUrl) // un-cached descriptor
+      assert(fresh.collectionInfo("u") === unnamed)
+      assert(fresh.collectionNames === Seq("c", "u"))
+    } finally CollectionStores.register("rest_inner_spec", inner)
+  }
+
+  test("CDC log replays over the wire: upserts, tombstones, seq, compaction") {
+    val log = inner
+      .appended("c", IndexedSeq(Point("900", Some("""{"late":1}"""))))
+      .removed("c", Set("003"))
+    CollectionStores.register("rest_log_spec", log)
+    val srv = new CollectionHttpServer("rest_log_spec").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl, pageSize = 8)
+      assert(c.logStart("c") === log.logStart("c"))
+      assert(c.logSize("c") === log.logSize("c"))
+      val g = c.logEntries("c", 0, log.logSize("c"))
+        .map(e => (e.op, e.seq, key(e.point))).toSeq
+      val w = log.logEntries("c", 0, log.logSize("c"))
+        .map(e => (e.op, e.seq, key(e.point))).toSeq
+      assert(g === w)
+      assert(g.last._1 === LogOps.Delete)
+      // compacted store: the wire reports the moved log start and refuses
+      // pre-compaction replay exactly like the inner store
+      val compacted = log.compacted("c", 10L)
+      CollectionStores.register("rest_log_spec", compacted)
+      assert(c.logStart("c") === 10L)
+      val tail = c.logEntries("c", 10L, c.logSize("c")).map(e => (e.op, e.seq, key(e.point))).toSeq
+      val tailW = compacted.logEntries("c", 10L, compacted.logSize("c"))
+        .map(e => (e.op, e.seq, key(e.point))).toSeq
+      assert(tail === tailW)
+      val err = intercept[RuntimeException](c.logEntries("c", 0, 5).toList)
+      assert(err.getMessage.contains("compacted"))
+    } finally srv.stop()
+  }
+
+  test("error contract: 404 unknown collection, 501 no change log") {
+    val e = intercept[IllegalArgumentException](client.pointCount("nope"))
+    assert(e.getMessage.contains("nope"))
+    // a store with no change log -> 501 on the wire -> the seam's
+    // UnsupportedOperationException resurfaces client-side
+    object NoLog extends CollectionStore {
+      def collectionInfo(c: String): CollectionDescriptor = desc
+      def pointCount(c: String): Long = 0L
+      def queryPoints(c: String, from: Long, until: Long, withPayload: Boolean,
+                      vectorFields: Seq[String], limit: Option[Int],
+                      idFilter: Option[Set[String]], idLower: Option[String]): Iterator[Point] =
+        Iterator.empty
+    }
+    CollectionStores.register("rest_nolog_spec", NoLog)
+    val srv = new CollectionHttpServer("rest_nolog_spec").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      intercept[UnsupportedOperationException](c.logSize("c"))
+    } finally srv.stop()
+  }
+
+  test("connector scan and pushed top-k run unchanged over the REST store") {
+    CollectionStores.register("rest_dsv2_spec", client)
+    val viaRest = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_dsv2_spec").option("collection", "c")
+      .option("partitions", "3").load()
+    CollectionStores.register("rest_dsv2_direct", inner)
+    val direct = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_dsv2_direct").option("collection", "c")
+      .option("partitions", "3").load()
+    assert(viaRest.schema === direct.schema)
+    assert(viaRest.orderBy("id").collect().toSeq === direct.orderBy("id").collect().toSeq)
+    // the scored-scan path: search options -> client.searchPoints -> wire
+    val restTop = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_dsv2_spec").option("collection", "c")
+      .option("search.field", "text_embedding")
+      .option("search.vector", "1.0,0.5")
+      .option("search.metric", "cosine").option("search.k", "4").load()
+      .select(col("id"), round(col("_score"), 6).as("score"))
+    val directTop = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_dsv2_direct").option("collection", "c")
+      .option("search.field", "text_embedding")
+      .option("search.vector", "1.0,0.5")
+      .option("search.metric", "cosine").option("search.k", "4").load()
+      .select(col("id"), round(col("_score"), 6).as("score"))
+    assert(restTop.collect().toSeq === directTop.collect().toSeq)
+  }
+
+  test("connector STREAMING read replays the store's CDC log over the wire") {
+    CollectionStores.register("rest_stream_spec", client)
+    val out = java.nio.file.Files.createTempDirectory("graft-rest-stream").toString
+    val q = spark.readStream.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_stream_spec").option("collection", "c")
+      .option("maxRowsPerBatch", "7").load()
+      .writeStream.format("memory").queryName("rest_cdc")
+      .option("checkpointLocation", out + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("rest_cdc").count()
+    assert(got === inner.logSize("c"))
+  }
+}
