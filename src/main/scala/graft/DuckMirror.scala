@@ -535,6 +535,55 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** SemDeDup oracle: the [[ivfChain]] re-derives the engine's k-means
+    * (same md5 seed-point init, same DECIMAL-quantized updates, same
+    * first-min tiebreak), over the SAME planted-near-dup corpus as the
+    * dedup_embedding gates; pairs then meet only inside a cluster and
+    * compare by rounded cosine. `survivors = true` adds the paper's
+    * keep-outliers policy: rounded centroid-similarity comparison, id
+    * tiebreak, greedy pairwise drop — every comparison over values both
+    * engines compute identically.
+    */
+  def semanticSql(threshold: Double, dim: Int, nlist: Int, maxIter: Int,
+                  seed: Long, survivors: Boolean = false): String = {
+    val corpus =
+      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(vec_id + 100000 AS VARCHAR) AS id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99)
+        |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+    val (chain, finalAsg) = ivfChain(corpus, dim, nlist, maxIter, seed)
+    val t = java.lang.Double.toString(threshold)
+    if (!survivors)
+      s"""WITH $chain,
+         |num AS (SELECT c.vec_id, a.v, a.cluster
+         |        FROM asg$finalAsg a JOIN corpus c USING (id))
+         |SELECT CAST(a.cluster AS INTEGER) AS cluster,
+         |       a.vec_id AS a_id, b.vec_id AS b_id,
+         |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+         |FROM num a JOIN num b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= $t
+         |ORDER BY a_id, b_id""".stripMargin
+    else
+      s"""WITH $chain,
+         |tagged AS (
+         |  SELECT c.vec_id, a.v, a.cluster,
+         |         ROUND(list_cosine_similarity(a.v, ct.c), 6) AS csim
+         |  FROM asg$finalAsg a JOIN corpus c USING (id)
+         |  JOIN cents$maxIter ct ON a.cluster = ct.cluster),
+         |drops AS (
+         |  SELECT DISTINCT CASE WHEN a.csim > b.csim THEN a.vec_id
+         |                       ELSE b.vec_id END AS vec_id
+         |  FROM tagged a JOIN tagged b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= $t)
+         |SELECT t.vec_id, CAST(t.cluster AS INTEGER) AS cluster, t.csim
+         |FROM tagged t
+         |WHERE t.vec_id NOT IN (SELECT vec_id FROM drops)
+         |ORDER BY t.vec_id""".stripMargin
+  }
+
   /** mmr oracle: the greedy maximal-marginal-relevance selection UNROLLED
     * as k chained one-row CTEs — step t picks argmax of
     * lambda*rel - (1-lambda)*greatest(sim to steps 1..t-1), ties by id.

@@ -2049,6 +2049,31 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via k-means cluster
+    // blocking — the SAME coarse quantizer that serves IVF search doubles
+    // as the dedup blocker (one offline fit, two consumers). Pairs meet
+    // only within a cluster: one shuffle on the cluster key, quadratic
+    // bounded by cluster size (k scales with the corpus). The oracle
+    // re-derives the full k-means chain in SQL, so clustering AND pair
+    // selection are value-checked end-to-end
+    "dedup_semantic" -> ((s, dir) => {
+      val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#sem",
+        Ann.buildIvf(embWithNearDups(s, dir), "vec_id", "v",
+          nlist = 8, maxIter = 2))
+      Dedup.semanticDedupPairs(idx.clustered, "vec_id", "v", threshold = 0.999)
+    }),
+
+    // the paper's survivor policy: of each dup pair KEEP the member less
+    // similar to its cluster centroid (keep-outliers, SemDeDup §4),
+    // deterministic via rounded csim + id tiebreak
+    "dedup_semantic_keep" -> ((s, dir) => {
+      val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#sem",
+        Ann.buildIvf(embWithNearDups(s, dir), "vec_id", "v",
+          nlist = 8, maxIter = 2))
+      Dedup.semanticDedup(idx.clustered, idx.centroids, "vec_id", "v",
+        threshold = 0.999)
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.8)),
@@ -4226,6 +4251,14 @@ object SparkEntry {
 
     "dedup_embedding_lsh" ->
       DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64),
+
+    "dedup_semantic" ->
+      DuckMirror.semanticSql(threshold = 0.999, dim = 64, nlist = 8,
+        maxIter = 2, seed = 42L),
+
+    "dedup_semantic_keep" ->
+      DuckMirror.semanticSql(threshold = 0.999, dim = 64, nlist = 8,
+        maxIter = 2, seed = 42L, survivors = true),
 
     "dedup_embedding_lsh64" ->
       DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64,

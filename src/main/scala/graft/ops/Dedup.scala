@@ -532,6 +532,73 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cosine"))
   }
 
+  /** SemDeDup cluster-blocked semantic near-duplicate PAIRS (Abbas et
+    * al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): k-means-cluster the
+    * embedding space, then compare ONLY within clusters — the published
+    * answer to "the all-pairs cosine join does not exist at corpus
+    * scale": with k chosen so clusters stay bounded (the paper uses
+    * k=50,000 on LAION), the within-cluster quadratic is a constant per
+    * cluster and the join is one shuffle on the cluster key.
+    *
+    * Input is a fitted index's `clustered` frame (the offline batch
+    * artifact of [[Ann.buildIvf]] — cluster assignment is the SAME
+    * coarse quantizer serving IVF search, built once, shared). Recall
+    * caveat inherent to the method: a dup pair straddling a cluster
+    * boundary is missed; the paper accepts this (and it is why the
+    * threshold is set high).
+    */
+  def semanticDedupPairs(clustered: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = clustered.select(col("cluster"),
+      col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val b = clustered.select(col("cluster"),
+      col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(v_cosine(col("a_v"), col("b_v")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** SemDeDup survivor selection: of each qualifying pair, KEEP the
+    * member LESS similar to its cluster centroid — the paper's
+    * keep-outliers policy (§4: keeping low-centroid-similarity examples
+    * outperformed random/high), made deterministic and engine-mirrorable
+    * by comparing ROUNDED centroid similarities with an id tiebreak.
+    * Greedy pairwise (both members of a mutual-dup chain can drop except
+    * the chain's minimum): for the transitive-closure variant feed
+    * [[semanticDedupPairs]] into [[connectedComponents]] instead.
+    *
+    * Returns survivors as (idCol, cluster, csim). Scale shape: centroid
+    * join is broadcast (model state), the pair join shuffles once on
+    * cluster, and the final anti-join shuffles on id — drops are NOT
+    * broadcast (a saturated corpus can drop most of itself).
+    */
+  def semanticDedup(clustered: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String, threshold: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val tagged = clustered.join(broadcast(centroids), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        col(vecCol).as("__v"),
+        round(v_cosine(col(vecCol), col("centroid")), roundTo).as("csim"))
+    val a = tagged.select(col("cluster"), col(idCol).as("a_id"),
+      col("__v").as("a_v"), col("csim").as("a_c"))
+    val b = tagged.select(col("cluster"), col(idCol).as("b_id"),
+      col("__v").as("b_v"), col("csim").as("b_c"))
+    val drops = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(v_cosine(col("a_v"), col("b_v")), roundTo) >= threshold)
+      .select(
+        // equal rounded csim falls through to b_id — the larger id of the
+        // pair (a_id < b_id holds by the join filter)
+        when(col("a_c") > col("b_c"), col("a_id"))
+          .otherwise(col("b_id")).as(idCol))
+      .distinct()
+    tagged.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"), col("csim"))
+  }
+
   /** Cross-document duplicated SPANS — the substring-level dedup of
     * Lee et al. ("Deduplicating Training Data Makes Language Models
     * Better"), re-expressed as relational Spark: a token w-shingle that

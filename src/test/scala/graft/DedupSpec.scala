@@ -150,6 +150,67 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.999))
   }
 
+  test("semanticDedupPairs finds planted copies inside their k-means cluster") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * lit(0.99)).as("v"))
+    val idx = graft.ops.Ann.buildIvf(e.union(planted), "vec_id", "v",
+      nlist = 4, maxIter = 2)
+    val pairs = Dedup.semanticDedupPairs(idx.clustered, "vec_id", "v",
+      threshold = 0.999)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // a 0.99-scaled copy sits at euclid distance 0.01*|v| from its
+    // source — argmin assignment puts both in the same cluster, so
+    // cluster blocking loses NO planted pair here; cosine is exactly 1
+    assert(pairs.count { case (a, b, _) => b == a + 100000 } ===
+      e.filter(col("vec_id") % 5 === 0).count())
+    assert(pairs.forall(_._3 >= 0.999))
+    // and every pair really was cluster-local: re-join the assignment
+    val asg = idx.clustered.select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pairs.forall { case (a, b, _) => asg(a) == asg(b) })
+  }
+
+  test("semanticDedup keeps the low-centroid-similarity member of each pair") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("v"), x => x * lit(0.99)).as("v"))
+    val all = e.union(planted)
+    val idx = graft.ops.Ann.buildIvf(all, "vec_id", "v", nlist = 4, maxIter = 2)
+    val kept = Dedup.semanticDedup(idx.clustered, idx.centroids, "vec_id", "v",
+      threshold = 0.999)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.semanticDedupPairs(idx.clustered, "vec_id", "v",
+      threshold = 0.999).collect().map(r => (r.getLong(1), r.getLong(2)))
+    // exactly one member of every qualifying pair survives
+    pairs.foreach { case (a, b) =>
+      assert(keptIds.contains(a) ^ keptIds.contains(b), s"pair ($a,$b)")
+    }
+    // non-duplicated rows all survive
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(all.count() - keptIds.size === (inPairs -- keptIds).size)
+    // the survivor policy really is keep-LOWER-csim (paper's
+    // keep-outliers): verify against the independently computed csim
+    val tagged = idx.clustered.join(
+        org.apache.spark.sql.functions.broadcast(idx.centroids), Seq("cluster"))
+      .select(col("vec_id"),
+        round(graft.functions.v_cosine(col("v"), col("centroid")), 6).as("csim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case (a, b) =>
+      val keptId = if (keptIds.contains(a)) a else b
+      val dropId = if (keptIds.contains(a)) b else a
+      assert(tagged(keptId) < tagged(dropId) ||
+        (tagged(keptId) == tagged(dropId) && keptId < dropId),
+        s"pair ($a,$b): kept $keptId csim=${tagged(keptId)} vs ${tagged(dropId)}")
+    }
+  }
+
   test("dropNearDuplicateClusters keeps one representative per transitive chain") {
     // a~b and b~c are verified pairs; a~c need not be — cluster-based
     // survivor selection must still keep ONLY a of the chain
