@@ -237,6 +237,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!exch.contains("a_v") && !exch.contains("b_v"), exch)
   }
 
+  test("dedup_semantic: pairs meet on the cluster key; no cartesian anywhere") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, TestSpark.sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the within-cluster pair join is keyed (hash) on cluster — the
+    // SemDeDup contract: the all-pairs join never materializes
+    assert(p.contains("cluster"), p)
+    // keyed join only (broadcast-hash or shuffle-hash/sort-merge on the
+    // key are all fine at scale); what must NEVER appear is an unkeyed
+    // pair product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bq_search: candidate stage is take-ordered over packed bits; rerank joins broadcast") {
     val p = plan("bq_search")
     // two TakeOrdered stages (hamming page, exact rerank), no global sort
