@@ -170,6 +170,17 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** One server fronting the WRITABLE remote collection (registry name
+    * `rest_write_backend`): gates reset the backend to an empty
+    * collection per invocation — the server resolves the store by name
+    * per request, so the swap is immediately visible.
+    */
+  private lazy val restWriteUrl: String = {
+    val srv = new graft.sources.CollectionHttpServer("rest_write_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv.baseUrl
+  }
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -869,6 +880,28 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "12")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // WRITES over the wire: the connector's batch write commits through
+    // the REST client (PUT points — Qdrant's upsert surface), the remote
+    // service owns the RMW, and the read-back round-trips through the
+    // same wire. Same oracle as dsv2_write: remote ingest must be
+    // indistinguishable from local ingest above the seam
+    "dsv2_rest_write" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_write_backend",
+        InMemoryCollectionStore.single(
+          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      CollectionStores.register("rest_write_store",
+        new RestCollectionStore(SparkEntry.restWriteUrl))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_write_store").option("collection", "embeddings")
+        .mode("append").save()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_write_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     }),
 
     "dsv2_topk_pushdown" -> ((s, dir) => {
@@ -3207,6 +3240,11 @@ object SparkEntry {
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // wire-protocol swap is equally invisible: same oracles again
+    "dsv2_rest_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
     "dsv2_rest_store" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload

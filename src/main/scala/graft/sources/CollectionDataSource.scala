@@ -745,6 +745,13 @@ final class CollectionTable(storeName: String, collection: String,
       case mem: InMemoryCollectionStore =>
         if (idSets.isEmpty) mem.truncated(collection)
         else mem.removed(collection, idSets.reduce(_ intersect _))
+      case rest: RestCollectionStore =>
+        // remote backend: the delete ships over the wire and the SERVICE
+        // owns the RMW (truncate enumerates ids server-side — they never
+        // page through this client)
+        if (idSets.isEmpty) rest.truncate(collection)
+        else rest.deletePoints(collection, idSets.reduce(_ intersect _))
+        rest
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local deletes")
     }
@@ -963,6 +970,21 @@ final class CollectionWrite(
           else throw new IllegalArgumentException(
             s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
         }
+      case rest: RestCollectionStore =>
+        // remote backend: each same-op run ships as one wire batch, the
+        // SERVICE applies it atomically in order — the connector's
+        // upsert/tombstone semantics land unchanged on the other side
+        // (streaming epochs included: the replayed-epoch guard fires
+        // BEFORE sealEpoch, so a replay never reaches the wire)
+        runs.foreach { case (op, ps) =>
+          if (op == LogOps.Upsert)
+            rest.upsertPoints(collection, ps.sortBy(_.id).toIndexedSeq)
+          else if (op == LogOps.Delete)
+            rest.deletePoints(collection, ps.map(_.id).toSet)
+          else throw new IllegalArgumentException(
+            s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
+        }
+        rest
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local commits; " +
           "a remote store acks per-writer upserts instead")

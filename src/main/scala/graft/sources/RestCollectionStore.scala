@@ -263,6 +263,12 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
       .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
       .build())
 
+  private def put(path: String, body: JValue): String =
+    send(HttpRequest.newBuilder(URI.create(baseUrl + path))
+      .header("Content-Type", "application/json")
+      .PUT(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
+      .build())
+
   private def send(req: HttpRequest): String = {
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
     resp.statusCode() match {
@@ -342,6 +348,36 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
       case JArray(ps) => ps.map(CollectionWire.parseScored(desc, _))
       case _ => Seq.empty
     }
+  }
+
+  /** Upsert a batch of points (Qdrant's `PUT /collections/{c}/points`
+    * shape): point-id semantics server-side — an incoming id replaces the
+    * stored point, the batch lands atomically in the collection AND its
+    * change log. Called by the connector's write-commit path; each wire
+    * batch is one atomic server-side commit.
+    */
+  def upsertPoints(collection: String, pts: Seq[Point]): Unit = {
+    put(s"/collections/$collection/points", JObject("points" ->
+      JArray(pts.toList.map(p => CollectionWire.pointJson(p)))))
+    ()
+  }
+
+  /** Delete by point ids (Qdrant's points/delete shape); absent ids are
+    * no-ops, present ids tombstone into the change log.
+    */
+  def deletePoints(collection: String, ids: Set[String]): Unit = {
+    post(s"/collections/$collection/points/delete", JObject("points" ->
+      JArray(ids.toList.sorted.map(JString(_)))))
+    ()
+  }
+
+  /** Empty the collection (`DELETE FROM t` with no WHERE): the server
+    * enumerates and tombstones its own ids — they never page through the
+    * client.
+    */
+  def truncate(collection: String): Unit = {
+    post(s"/collections/$collection/points/delete", JObject("all" -> JBool(true)))
+    ()
   }
 
   override def logStart(collection: String): Long =
@@ -501,6 +537,39 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           b \ "with_payload" == JBool(true), fields)
         CollectionWire.okEnvelope(JObject("points" -> JArray(
           scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
+
+      case ("PUT", "collections" :: c :: "points" :: Nil) =>
+        val desc = store.collectionInfo(c)
+        val pts = readBody(ex) \ "points" match {
+          case JArray(ps) => ps.map(CollectionWire.parsePoint(desc, _))
+          case other => throw new IllegalArgumentException(s"missing points: $other")
+        }
+        // one atomic RMW on the fronted store (mutation happens HERE —
+        // the client ships batches, the service owns commit atomicity)
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore =>
+            mem.appended(c, pts.sortBy(_.id).toIndexedSeq)
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept upserts")
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("POST", "collections" :: c :: "points" :: "delete" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore =>
+            if (b \ "all" == JBool(true)) mem.truncated(c)
+            else b \ "points" match {
+              case JArray(ids) =>
+                mem.removed(c, ids.flatMap(i => CollectionWire.optStr(i)).toSet)
+              case other => throw new IllegalArgumentException(
+                s"points/delete requires points ids or all=true: $other")
+            }
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept deletes")
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("GET", "collections" :: c :: "log" :: "info" :: Nil) =>
         CollectionWire.okEnvelope(JObject(

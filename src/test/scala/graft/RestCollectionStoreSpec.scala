@@ -211,6 +211,69 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(restTop.collect().toSeq === directTop.collect().toSeq)
   }
 
+  test("connector writes commit over the wire: upsert, delete, truncate") {
+    import spark.implicits._
+    CollectionStores.register("rest_write_inner",
+      InMemoryCollectionStore.single("w",
+        CollectionDescriptor("w", Seq(DenseField("v", 2))), IndexedSeq.empty))
+    val srv = new CollectionHttpServer("rest_write_inner").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      CollectionStores.register("rest_write_client", c)
+      // batch write THROUGH the connector -> client -> wire -> inner store
+      Seq(("a", """{"k":1}""", Seq(1f, 2f)), ("b", """{"k":2}""", Seq(3f, 4f)))
+        .toDF("id", "payload", "v")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_write_client").option("collection", "w")
+        .mode("append").save()
+      assert(c.pointCount("w") === 2L)
+      // upsert semantics: re-writing an id replaces it
+      Seq(("a", """{"k":9}""", Seq(5f, 6f))).toDF("id", "payload", "v")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_write_client").option("collection", "w")
+        .mode("append").save()
+      val pts = c.queryPoints("w", 0, 10, withPayload = true, Seq("v"), None).toSeq
+      assert(pts.map(_.id) === Seq("a", "b"))
+      assert(pts.head.payload === Some("""{"k":9}"""))
+      assert(pts.head.dense("v").toSeq === Seq(5f, 6f))
+      // the change log saw all three upserts (CDC replays remote ingest)
+      assert(c.logSize("w") === 3L)
+      // client-direct delete + truncate round-trip
+      c.deletePoints("w", Set("a"))
+      assert(c.pointCount("w") === 1L)
+      c.truncate("w")
+      assert(c.pointCount("w") === 0L)
+      assert(c.logSize("w") === 5L) // 3 upserts + 2 tombstones
+    } finally srv.stop()
+  }
+
+  test("connector STREAMING write commits epochs over the wire") {
+    import spark.implicits._
+    CollectionStores.register("rest_swrite_inner",
+      InMemoryCollectionStore.single("w",
+        CollectionDescriptor("w", Seq(DenseField("v", 2))), IndexedSeq.empty))
+    val srv = new CollectionHttpServer("rest_swrite_inner").start()
+    try {
+      CollectionStores.register("rest_swrite_client",
+        new RestCollectionStore(srv.baseUrl))
+      val src = (0 until 20).map(i => (i.toString, s"""{"i":$i}""", Seq(i.toFloat, 0f)))
+        .toDF("id", "payload", "v")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rest-swrite").toString
+      src.write.mode("overwrite").parquet(tmp + "/in")
+      val q = spark.readStream.schema(src.schema).parquet(tmp + "/in")
+        .writeStream.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_swrite_client").option("collection", "w")
+        .option("checkpointLocation", tmp + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val c = new RestCollectionStore(srv.baseUrl)
+      assert(c.pointCount("w") === 20L)
+      assert(c.queryPoints("w", 0, 30, withPayload = true, Seq("v"), None)
+        .map(_.id).toSeq === (0 until 20).map(_.toString).sorted)
+    } finally srv.stop()
+  }
+
   test("connector STREAMING read replays the store's CDC log over the wire") {
     CollectionStores.register("rest_stream_spec", client)
     val out = java.nio.file.Files.createTempDirectory("graft-rest-stream").toString
