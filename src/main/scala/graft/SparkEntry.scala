@@ -81,6 +81,20 @@ object SparkEntry {
         graft.functions.json_get_int(col("payload"), "label"),
         covering = Seq("vector")))
 
+  /** KEYWORD payload index over the derived string field
+    * `'L' || label` — the string-valued sibling of [[payloadIndex]]
+    * (the backend's `field_schema: "keyword"`), covering the vector
+    * column; built once per dir like every stored artifact.
+    */
+  private val keywordIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Planner.KeywordIndex]
+
+  private def keywordIndex(s: SparkSession, dir: String): graft.ops.Planner.KeywordIndex =
+    keywordIdxCache.getOrElseUpdate(dir,
+      graft.ops.Planner.buildKeywordIndex(homD(s, dir), "id",
+        concat(lit("L"), graft.functions.json_get_str(col("payload"), "label")),
+        covering = Seq("vector")))
+
   /** The payload index's incremental-maintenance cycle CLOSED
     * (append -> compact): half the corpus written as the base index, the
     * other half appended as a delta batch (small files land in the
@@ -2368,6 +2382,20 @@ object SparkEntry {
         vec(q), k = 10, nprobe = 8)
     }),
 
+    // the KEYWORD index (string-valued — the backend's most common
+    // payload index type): same planner, same covering pre-filter arm,
+    // over value partitions keyed by the derived string 'L'||label. The
+    // oracle rebuilds the same derived keyword in SQL
+    "ann_filtered_keyword" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      val (cents, stored, _) = SparkEntry.ivfStored(s, dir)
+      graft.ops.Planner.searchFilteredKeyword(stored, cents,
+        SparkEntry.keywordIndex(s, dir), "id", "vector", Seq("L3"),
+        concat(lit("L"), graft.functions.json_get_str(col("payload"), "label")) === "L3",
+        vec(q), k = 10, nprobe = 8)
+    }),
+
     // the SAME planner, loose filter (5 labels ~50% > dial) goes
     // POST-filter: statically pruned IVF scan, predicate inside the probed
     // clusters; nprobe = nlist makes the ANN path exact, so the oracle
@@ -4002,6 +4030,13 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.label = 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "ann_filtered_keyword" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 11)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE 'L' || CAST(e.label AS VARCHAR) = 'L3'
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "ann_filtered_post" ->

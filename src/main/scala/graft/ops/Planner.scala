@@ -180,6 +180,94 @@ object Planner {
     * `fullScanThreshold` of the corpus (qdrant's `full_scan_threshold`
     * dial, expressed as a fraction rather than an absolute point count).
     */
+  /** KEYWORD payload index — the string-valued sibling of [[PayloadIndex]]
+    * (the backend's most common index type: `field_schema: "keyword"`).
+    * Same layout (postings `partitionBy(value)`, per-value counts as
+    * model state — a keyword field's vocabulary), same plan dispatch,
+    * same serving arms. Values must be non-null AND non-empty: parquet's
+    * Hive-style partition encoding folds BOTH into the default partition,
+    * and [[readKeywordIndex]] fails loudly when it finds one (normalize
+    * or filter before writing). Arbitrary other characters are safe —
+    * the partition codec percent-escapes them and decodes on read.
+    */
+  final case class KeywordIndex(postings: DataFrame, stats: Seq[(String, Long)],
+                                covering: Seq[String] = Nil) {
+    lazy val total: Long = stats.map(_._2).sum
+    private lazy val byValue = stats.toMap
+    /** Estimated rows matching `value IN (values)` — exact while the
+      * index covers every row.
+      */
+    def estimate(values: Seq[String]): Long =
+      values.distinct.map(v => byValue.getOrElse(v, 0L)).sum
+  }
+
+  def buildKeywordIndex(df: DataFrame, idCol: String, value: Column,
+                        covering: Seq[String] = Nil,
+                        dir: String = ""): KeywordIndex = {
+    val target =
+      if (dir.nonEmpty) dir
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-keyword-idx")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(tmp.toFile)))
+        tmp.toString
+      }
+    writeKeywordIndex(df, idCol, value, covering, target)
+    readKeywordIndex(df.sparkSession, target, covering)
+  }
+
+  /** Same write contract as [[writePayloadIndex]]: `mode = "append"` is
+    * incremental maintenance, [[compactPayloadIndex]] rewrites
+    * accumulated delta files (it walks `value=` partition directories —
+    * the layout is identical, so it serves both index kinds).
+    */
+  def writeKeywordIndex(df: DataFrame, idCol: String, value: Column,
+                        covering: Seq[String], dir: String,
+                        mode: String = "overwrite"): Unit =
+    df.select(value.cast(StringType).as("value") +:
+        col(idCol).as("id") +: covering.map(col): _*)
+      .write.mode(mode).partitionBy("value").parquet(dir)
+
+  def readKeywordIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       covering: Seq[String] = Nil): KeywordIndex = {
+    // cast unwraps partition-type inference (an all-numeric keyword
+    // vocabulary would infer int) while keeping value-pruning intact
+    val postings = spark.read.parquet(dir)
+      .withColumn("value", col("value").cast(StringType))
+    val stats = postings.groupBy(col("value")).agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"keyword index at $dir has null/empty-valued postings " +
+            "(__HIVE_DEFAULT_PARTITION__): keyword values must be non-null " +
+            "and non-empty — normalize or filter before writeKeywordIndex")
+        (r.getString(0), r.getLong(1))
+      }.toSeq.sortBy(_._1)
+    KeywordIndex(postings, stats, covering)
+  }
+
+  def chooseKeyword(idx: KeywordIndex, values: Seq[String],
+                    fullScanThreshold: Double): PlanChoice = {
+    require(fullScanThreshold > 0 && fullScanThreshold <= 1,
+      s"fullScanThreshold must be a fraction in (0, 1], got $fullScanThreshold")
+    val est = idx.estimate(values)
+    PlanChoice(est <= fullScanThreshold * idx.total, est, idx.total)
+  }
+
+  /** Keyword-filtered top-k: identical plan dispatch and serving arms as
+    * [[searchFilteredPlanned]], over the string-valued index.
+    */
+  def searchFilteredKeyword(stored: DataFrame, centroids: DataFrame,
+                            idx: KeywordIndex, idCol: String, vecCol: String,
+                            values: Seq[String], rowPredicate: Column,
+                            query: Column, k: Int, nprobe: Int,
+                            fullScanThreshold: Double = 0.2,
+                            broadcastLimit: Long = 100000L,
+                            metric: String = "cosine",
+                            roundTo: Int = 6): DataFrame =
+    serve(stored, centroids, idx.postings, idx.covering, idCol, vecCol,
+      col("value").isin(values: _*),
+      chooseKeyword(idx, values, fullScanThreshold),
+      rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
+
   final case class PlanChoice(prefilter: Boolean, estimate: Long, total: Long)
 
   def choose(idx: PayloadIndex, values: Seq[Long],
@@ -210,7 +298,7 @@ object Planner {
                             broadcastLimit: Long = 100000L,
                             metric: String = "cosine",
                             roundTo: Int = 6): DataFrame =
-    serve(stored, centroids, idx, idCol, vecCol,
+    serve(stored, centroids, idx.postings, idx.covering, idCol, vecCol,
       col("value").isin(values: _*), choose(idx, values, fullScanThreshold),
       rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
 
@@ -230,23 +318,24 @@ object Planner {
     require(fullScanThreshold > 0 && fullScanThreshold <= 1,
       s"fullScanThreshold must be a fraction in (0, 1], got $fullScanThreshold")
     val est = idx.estimateRange(lo, hi)
-    serve(stored, centroids, idx, idCol, vecCol,
+    serve(stored, centroids, idx.postings, idx.covering, idCol, vecCol,
       col("value") >= lo && col("value") <= hi,
       PlanChoice(est <= fullScanThreshold * idx.total, est, idx.total),
       rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
   }
 
   private def serve(stored: DataFrame, centroids: DataFrame,
-                    idx: PayloadIndex, idCol: String, vecCol: String,
+                    postings: DataFrame, covering: Seq[String],
+                    idCol: String, vecCol: String,
                     postingsPred: Column, c: PlanChoice,
                     rowPredicate: Column, query: Column, k: Int, nprobe: Int,
                     broadcastLimit: Long, metric: String,
                     roundTo: Int): DataFrame = {
-    if (c.prefilter && idx.covering.contains(vecCol)) {
+    if (c.prefilter && covering.contains(vecCol)) {
       // covering index: the filter's value partitions ARE the candidate
       // set — scan only them (static pruning, PlannerSpec), score, top-k.
       // Zero joins, zero corpus touch: scan work = matching rows.
-      idx.postings.filter(postingsPred)
+      postings.filter(postingsPred)
         .select(col("id"),
           round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
         .orderBy(col("score").desc, col("id").asc)
@@ -256,7 +345,7 @@ object Planner {
       // exact-score only those rows. Broadcast the id set while it is
       // small; beyond broadcastLimit a shuffled semi-join keeps both
       // sides distributed (left_semi either way).
-      val ids = idx.postings.filter(postingsPred)
+      val ids = postings.filter(postingsPred)
         .select(col("id"))
       val idFrame = if (c.estimate <= broadcastLimit) broadcast(ids) else ids
       stored.join(idFrame, stored(idCol) === idFrame("id"), "left_semi")

@@ -258,6 +258,52 @@ class PlannerSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null-valued postings"))
   }
 
+  test("keyword index: stats, dispatch, covering pre-filter pruned by string value") {
+    val (stored, cents, _) = setup
+    val kw = concat(lit("L"), json_get_str(col("payload"), "label"))
+    val kidx = Planner.buildKeywordIndex(corpus, "id", kw,
+      covering = Seq("vector"))
+    // vocabulary stats: one row per distinct keyword, exact estimates
+    val expected = corpus.groupBy(kw.as("v")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kidx.stats.toMap === expected)
+    assert(kidx.total === corpus.count())
+    assert(kidx.estimate(Seq("L3", "L3")) === expected("L3"))
+    assert(kidx.estimate(Seq("nope")) === 0L)
+    assert(Planner.chooseKeyword(kidx, Seq("L7"), 0.2).prefilter)
+    assert(!Planner.chooseKeyword(kidx,
+      Seq("L0", "L1", "L2", "L3", "L4"), 0.2).prefilter)
+    // covering pre-filter: result equals the brute-force filtered top-k,
+    // and the postings scan partition-prunes on the STRING value
+    val q = queryVec
+    val res = Planner.searchFilteredKeyword(stored, cents, kidx, "id",
+      "vector", Seq("L3"), kw === "L3", vec(q), k = 5, nprobe = 4)
+    val p = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*value".r.findFirstIn(p).isDefined, p)
+    val brute = corpus.filter(kw === "L3")
+      .select(col("id"), round(v_cosine(col("vector"), vec(q)), 6).as("score"))
+      .orderBy(col("score").desc, col("id").asc).limit(5)
+    assert(res.collect().toSeq === brute.collect().toSeq)
+  }
+
+  test("keyword index round-trips escaped values and rejects empty/null ones") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-kidx-esc").toString
+    val df = Seq(("1", "a b/c"), ("2", "a b/c"), ("3", "x=y"))
+      .toDF("id", "kw")
+    Planner.writeKeywordIndex(df, "id", col("kw"), Nil, dir)
+    val idx = Planner.readKeywordIndex(spark, dir)
+    // hive partition escaping (space, slash, equals) decodes back exactly
+    assert(idx.stats === Seq(("a b/c", 2L), ("x=y", 1L)))
+    val dir2 = Files.createTempDirectory("graft-kidx-null").toString
+    Planner.writeKeywordIndex(
+      Seq(("1", "ok"), ("2", "")).toDF("id", "kw"), "id", col("kw"), Nil, dir2)
+    val e = intercept[IllegalArgumentException] {
+      Planner.readKeywordIndex(spark, dir2)
+    }
+    assert(e.getMessage.contains("null/empty"))
+  }
+
   test("post-filter path equals pre-filter exactly when every cluster is probed") {
     val (stored, cents, pidx) = setup
     val values = Seq(0L, 1L, 2L, 3L, 4L)
