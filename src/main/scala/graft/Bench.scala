@@ -75,9 +75,12 @@ object Bench {
     // head of the (100+-entry) per-query line — round 9 lost the ~21
     // alphabetically-earliest medians. Persist the full map to a committed
     // file so per-query regression tracking never depends on capture limits.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_QUERIES.json"),
-      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}}
+    // filtered (SPARK_GRAFT_ONLY) profiling runs must not clobber the
+    // committed full-suite artifact with a partial map
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}}
 """.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
