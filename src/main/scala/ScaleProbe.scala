@@ -14,7 +14,7 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift", "cdc", "sparse")
+      "drift", "cdc", "sparse", "rest", "semantic")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -824,6 +824,75 @@ object ScaleProbe {
         println(f"[probe] sketch rsd=$rsd: approxDistinct=${approx.getLong(0)} " +
           f"exact=${exact.getLong(0)} relErr=$err%.4f " +
           f"p50=${approx.getLong(1)} exactP50=${exact.getDouble(1)}%.1f $wall%.2f s")
+      }
+    }
+    // Wire-protocol serving under replication: the client's full scan is
+    // transfer-bound (linear in N — every point crosses the wire once),
+    // a keyset page costs O(page) at ANY scroll depth (the server seeks,
+    // the client requests only the page), and a pushed top-k ships k
+    // points however large the collection grows (scoring stays
+    // server-side). The curve should show scan ~N, keyset flat across
+    // depths, search growing only with server-side scoring, not
+    // transfer.
+    section("rest") {
+      import graft.sources._
+      val homR = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("payload"), col("vector"))
+      for (n <- Seq(1, 2, 4)) {
+        val c = (0 until n).map(i => homR.select(
+          concat(col("id"), lit(f"_$i%02d")).as("id"),
+          col("payload"), col("vector"))).reduce(_ union _)
+        CollectionStores.register(s"restprobe_$n",
+          InMemoryCollectionStore.fromRows(c, "embeddings",
+            graft.collections.Collections.homogeneousDescriptor))
+        val srv = new CollectionHttpServer(s"restprobe_$n").start()
+        try {
+          val client = new RestCollectionStore(srv.baseUrl, pageSize = 2048)
+          val total = client.pointCount("embeddings")
+          time(s"rest scan x$n (total=$total)") {
+            client.queryPoints("embeddings", 0, total,
+              withPayload = true, Seq("vector"), None).length.toLong
+          }
+          for (frac <- Seq(0.1, 0.5, 0.9)) {
+            val at = (total * frac).toLong
+            val bound = client.queryPoints("embeddings", at, at + 1,
+              withPayload = false, Nil, None).next().id
+            time(f"rest keyset x$n depth=$frac%.1f") {
+              client.queryPoints("embeddings", 0, total, withPayload = false,
+                Nil, Some(100), None, Some(bound)).length.toLong
+            }
+          }
+          time(s"rest search x$n") {
+            client.searchPoints("embeddings",
+              SearchSpec("vector", qv.toArray, "cosine", 10),
+              withPayload = false, Seq.empty).length.toLong
+          }
+        } finally { srv.stop(); CollectionStores.remove(s"restprobe_$n") }
+      }
+    }
+    // SemDeDup's one knob made measurable: within-cluster pair volume is
+    // sum(cluster_size^2)/2 — with nlist FIXED while the corpus grows xN
+    // cluster sizes grow ~N and the join goes quadratic; with nlist
+    // scaled ~N cluster sizes stay constant and cost stays ~linear (the
+    // paper's k-scales-with-corpus prescription). Replicas are exact
+    // copies, so true-dup density is identical between the two arms —
+    // the cost difference is purely the blocking design.
+    section("semantic") {
+      val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = (0 until n).map(i => e.select(
+          (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+          .reduce(_ union _)
+        for ((tag, nlist) <- Seq("fixed" -> 16, "scaled" -> 16 * n)) {
+          val idx = graft.ops.Ann.buildIvf(c, "vec_id", "v", nlist, maxIter = 2)
+          time(s"semantic $tag x$n nlist=$nlist") {
+            graft.ops.Dedup.semanticDedupPairs(idx.clustered, "vec_id", "v",
+              threshold = 0.999).count()
+          }
+          idx.clustered.unpersist()
+        }
       }
     }
     spark.stop()
