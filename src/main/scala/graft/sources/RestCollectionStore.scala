@@ -77,10 +77,12 @@ private[sources] object CollectionWire {
   def result(body: String): JValue = JsonMethods.parse(body) \ "result"
 
   def errorOf(body: String): String =
-    JsonMethods.parse(body) \ "status" \ "error" match {
+    // a gateway/proxy error body is not necessarily our JSON envelope —
+    // never let error EXTRACTION throw over the error itself
+    try JsonMethods.parse(body) \ "status" \ "error" match {
       case JString(m) => m
       case _ => body.take(200)
-    }
+    } catch { case _: Exception => body.take(200) }
 
   // ---- collection info ----------------------------------------------------
 
@@ -244,9 +246,12 @@ private[sources] object CollectionWire {
   * paging), so a keyset page costs O(page) transferred points at any
   * scroll depth, same contract the in-memory seek asserts.
   */
-final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
+final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
+                                maxRetries: Int = 3,
+                                retryBackoffMs: Long = 50L)
     extends CollectionStore {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+  require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
 
   @transient private lazy val http: HttpClient = HttpClient.newHttpClient()
   // descriptor cache: parse dispatch is descriptor-keyed; one info call
@@ -255,31 +260,68 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
     new java.util.concurrent.ConcurrentHashMap[String, CollectionDescriptor]()
 
   private def get(path: String): String =
-    send(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET().build())
+    send(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET().build(),
+      retries = maxRetries)
 
+  /** Read-only POSTs (scroll/query/count) are idempotent — safe to retry
+    * like GETs.
+    */
   private def post(path: String, body: JValue): String =
     send(HttpRequest.newBuilder(URI.create(baseUrl + path))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
-      .build())
+      .build(), retries = maxRetries)
 
-  private def put(path: String, body: JValue): String =
+  /** Mutations are NEVER auto-retried: an upsert replay is id-idempotent
+    * for the sealed state but appends duplicate CDC log entries, and a
+    * delete replay double-logs tombstones — the caller (the connector's
+    * commit path) owns retry/replay semantics, exactly as it does with
+    * the local store.
+    */
+  private def mutate(method: String, path: String, body: JValue): String = {
+    val bytes = HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8)
     send(HttpRequest.newBuilder(URI.create(baseUrl + path))
       .header("Content-Type", "application/json")
-      .PUT(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
-      .build())
+      .method(method, bytes).build(), retries = 0)
+  }
 
-  private def send(req: HttpRequest): String = {
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8))
-    resp.statusCode() match {
-      case 200 => resp.body()
-      // mirror the store contract's exception kinds so callers above the
-      // seam observe identical failures whichever backend is registered
-      case 404 => throw new IllegalArgumentException(CollectionWire.errorOf(resp.body()))
-      case 501 => throw new UnsupportedOperationException(CollectionWire.errorOf(resp.body()))
-      case code => throw new RuntimeException(
-        s"collection service $code at ${req.uri()}: ${CollectionWire.errorOf(resp.body())}")
+  /** Bounded transient-failure retry: connect/transport errors and
+    * gateway-style statuses (502/503/504) back off and retry up to
+    * `retries` times; every other status maps immediately. 500 stays
+    * fail-fast — this server uses it for deterministic handler errors
+    * (e.g. compacted-log replay), where a retry can only waste time.
+    */
+  private def send(req: HttpRequest, retries: Int): String = {
+    var attempt = 0
+    var out: String = null
+    while (out == null) {
+      val resp =
+        try Some(http.send(req, HttpResponse.BodyHandlers.ofString(UTF_8)))
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= retries) throw e
+            None
+        }
+      resp match {
+        case None =>
+          attempt += 1
+          Thread.sleep(retryBackoffMs * attempt)
+        case Some(r) => r.statusCode() match {
+          case 200 => out = r.body()
+          case 502 | 503 | 504 if attempt < retries =>
+            attempt += 1
+            Thread.sleep(retryBackoffMs * attempt)
+          // mirror the store contract's exception kinds so callers above
+          // the seam observe identical failures whichever backend is
+          // registered
+          case 404 => throw new IllegalArgumentException(CollectionWire.errorOf(r.body()))
+          case 501 => throw new UnsupportedOperationException(CollectionWire.errorOf(r.body()))
+          case code => throw new RuntimeException(
+            s"collection service $code at ${req.uri()}: ${CollectionWire.errorOf(r.body())}")
+        }
+      }
     }
+    out
   }
 
   private def descriptor(collection: String): CollectionDescriptor =
@@ -357,7 +399,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
     * batch is one atomic server-side commit.
     */
   def upsertPoints(collection: String, pts: Seq[Point]): Unit = {
-    put(s"/collections/$collection/points", JObject("points" ->
+    mutate("PUT", s"/collections/$collection/points", JObject("points" ->
       JArray(pts.toList.map(p => CollectionWire.pointJson(p)))))
     ()
   }
@@ -366,7 +408,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
     * no-ops, present ids tombstone into the change log.
     */
   def deletePoints(collection: String, ids: Set[String]): Unit = {
-    post(s"/collections/$collection/points/delete", JObject("points" ->
+    mutate("POST", s"/collections/$collection/points/delete", JObject("points" ->
       JArray(ids.toList.sorted.map(JString(_)))))
     ()
   }
@@ -376,7 +418,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096)
     * client.
     */
   def truncate(collection: String): Unit = {
-    post(s"/collections/$collection/points/delete", JObject("all" -> JBool(true)))
+    mutate("POST", s"/collections/$collection/points/delete",
+      JObject("all" -> JBool(true)))
     ()
   }
 

@@ -274,6 +274,70 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("transient failures retry on reads; mutations stay fail-fast") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // a gateway that 503s the first two requests of each path+method,
+    // then proxies to the real server — the transient-outage shape
+    val flaky = HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    val fails = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val mutationsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    flaky.createContext("/", (ex: HttpExchange) => {
+      val key = ex.getRequestMethod + " " + ex.getRequestURI.getPath
+      val n = fails.merge(key, 1, (a, b) => a + b)
+      if (ex.getRequestMethod != "GET") mutationsSeen.incrementAndGet()
+      if (n <= 2) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        // proxy: replay against the healthy server
+        val c = HttpClient.newHttpClient()
+        val b = new String(ex.getRequestBody.readAllBytes())
+        val req = HttpRequest.newBuilder(
+            URI.create(server.baseUrl + ex.getRequestURI.toString))
+          .method(ex.getRequestMethod,
+            if (b.isEmpty) HttpRequest.BodyPublishers.noBody()
+            else HttpRequest.BodyPublishers.ofString(b))
+          .build()
+        val resp = c.send(req, HttpResponse.BodyHandlers.ofString())
+        val bytes = resp.body().getBytes("UTF-8")
+        ex.sendResponseHeaders(resp.statusCode(), bytes.length.toLong)
+        ex.getResponseBody.write(bytes); ex.close()
+      }
+    })
+    flaky.start()
+    try {
+      val url = s"http://127.0.0.1:${flaky.getAddress.getPort}"
+      // reads ride out the outage (2 x 503 then success)
+      val c = new RestCollectionStore(url, maxRetries = 3, retryBackoffMs = 1L)
+      assert(c.pointCount("c") === 20L)
+      // with retries disabled the same outage surfaces immediately
+      val strict = new RestCollectionStore(url, maxRetries = 0)
+      val e = intercept[RuntimeException](strict.collectionNames)
+      assert(e.getMessage.contains("503"))
+      // mutations never auto-retry: one wire attempt, the 503 surfaces
+      val before = mutationsSeen.get()
+      intercept[RuntimeException](c.deletePoints("c", Set("007")))
+      assert(mutationsSeen.get() === before + 1)
+    } finally flaky.stop(0)
+  }
+
+  test("snapshot/restore of a REMOTE collection composes through the connector") {
+    CollectionStores.register("rest_snap_src", client)
+    val path = java.nio.file.Files.createTempDirectory("graft-rest-snap").toString
+    graft.collections.Snapshot.create(spark, "rest_snap_src", "c", path)
+    val restored = graft.collections.Snapshot.restore(
+      spark, path, "rest_snap_restored", "c2")
+    assert(CollectionStores.get("rest_snap_restored").collectionInfo("c2").fields
+      === desc.fields)
+    assert(restored.count() === 20L)
+    CollectionStores.register("rest_snap_direct", inner)
+    val direct = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_snap_direct").option("collection", "c")
+      .option("partitions", "3").load()
+    assert(restored.orderBy("id").collect().toSeq ===
+      direct.orderBy("id").collect().toSeq)
+  }
+
   test("connector STREAMING read replays the store's CDC log over the wire") {
     CollectionStores.register("rest_stream_spec", client)
     val out = java.nio.file.Files.createTempDirectory("graft-rest-stream").toString
