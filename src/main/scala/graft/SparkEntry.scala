@@ -918,6 +918,27 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // BATCHED queries over the wire (the backend's points/query/batch):
+    // 3 query specs, ONE round trip, per-spec top-k ranked server-side
+    // with the same raw-score/id contract as the single-query path
+    "dsv2_rest_batch" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val client = new RestCollectionStore(SparkEntry.restBackedUrl(s, dir))
+      val qs = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), dvec(col("embedding")))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toString, r.getSeq[Double](1).toArray))
+      val specs = qs.map { case (_, v) => SearchSpec("vector", v, "cosine", 5) }
+      val res = client.searchPointsBatch("embeddings", specs.toIndexedSeq,
+        withPayload = false, Seq.empty)
+      qs.zip(res).flatMap { case ((qid, _), hits) =>
+        hits.map { case (p, score) => (qid, p.id, score) }
+      }.toIndexedSeq.toDF("query_id", "id", "score")
+        .withColumn("score", round(col("score"), 6))
+    }),
+
     "dsv2_topk_pushdown" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("topk_store", InMemoryCollectionStore.fromRows(
@@ -3277,6 +3298,23 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // per-spec rank on RAW similarity (the server ranks unrounded, id
+    // tiebreak), round only for output — same contract as the single
+    // pushed query
+    "dsv2_rest_batch" ->
+      """WITH scored AS (
+        |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+        |         CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q),
+        |top AS (
+        |  SELECT query_id, id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, id, ROUND(s, 6) AS score FROM top WHERE rn <= 5
+        |ORDER BY query_id, score DESC, id""".stripMargin,
 
     "dsv2_rest_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),

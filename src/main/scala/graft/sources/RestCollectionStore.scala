@@ -392,6 +392,35 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** BATCHED scored queries (Qdrant's `points/query/batch` surface): N
+    * query specs answered in ONE round trip — at N queries per trip the
+    * per-request latency amortizes across the batch, the wire analog of
+    * [[graft.ops.Search.batchTopK]]'s one-pass cost shape. Results come
+    * back per spec, in spec order, each with the same ranking contract
+    * as [[searchPoints]].
+    */
+  def searchPointsBatch(collection: String, specs: Seq[SearchSpec],
+                        withPayload: Boolean,
+                        vectorFields: Seq[String]): Seq[Seq[(Point, Double)]] = {
+    val desc = descriptor(collection)
+    val body = JObject(
+      "searches" -> JArray(specs.toList.map(sp => JObject(
+        "query" -> JArray(sp.query.toList.map(JDouble(_))),
+        "using" -> JString(sp.field),
+        "limit" -> JInt(sp.k),
+        "params" -> JObject("metric" -> JString(sp.metric))): JValue)),
+      "with_payload" -> JBool(withPayload),
+      "with_vector" -> JArray(vectorFields.toList.map(JString(_))))
+    CollectionWire.result(
+      post(s"/collections/$collection/points/query/batch", body)) match {
+      case JArray(results) => results.map(r => r \ "points" match {
+        case JArray(ps) => ps.map(CollectionWire.parseScored(desc, _))
+        case _ => Seq.empty[(Point, Double)]
+      })
+      case _ => Seq.empty
+    }
+  }
+
   /** Upsert a batch of points (Qdrant's `PUT /collections/{c}/points`
     * shape): point-id semantics server-side — an incoming id replaces the
     * stored point, the batch lands atomically in the collection AND its
@@ -580,6 +609,38 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           b \ "with_payload" == JBool(true), fields)
         CollectionWire.okEnvelope(JObject("points" -> JArray(
           scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
+
+      case ("POST", "collections" :: c :: "points" :: "query" :: "batch" :: Nil) =>
+        val b = readBody(ex)
+        val withPayload = b \ "with_payload" == JBool(true)
+        val fields = b \ "with_vector" match {
+          case JArray(fs) => fs.flatMap(f => CollectionWire.optStr(f))
+          case _ => Seq.empty
+        }
+        val searches = b \ "searches" match {
+          case JArray(ss) => ss
+          case other => throw new IllegalArgumentException(s"missing searches: $other")
+        }
+        val results = searches.map { sb =>
+          val query = sb \ "query" match {
+            case JArray(xs) => xs.map {
+              case JDouble(d) => d
+              case JInt(i) => i.toDouble
+              case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(s"bad query component: $other")
+            }.toArray
+            case other => throw new IllegalArgumentException(s"missing query vector: $other")
+          }
+          val using = CollectionWire.optStr(sb \ "using").getOrElse(
+            throw new IllegalArgumentException("missing 'using' in batch entry"))
+          val metric = CollectionWire.optStr(sb \ "params" \ "metric").getOrElse("cosine")
+          val k = CollectionWire.optLong(sb \ "limit").map(_.toInt).getOrElse(10)
+          val scored = store.searchPoints(c, SearchSpec(using, query, metric, k),
+            withPayload, fields)
+          JObject("points" -> JArray(
+            scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)): JValue
+        }
+        CollectionWire.okEnvelope(JArray(results))
 
       case ("PUT", "collections" :: c :: "points" :: Nil) =>
         val desc = store.collectionInfo(c)

@@ -274,6 +274,22 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("batched queries: one round trip, per-spec results equal the single-query path") {
+    val specs = Seq(
+      SearchSpec("text_embedding", Array(1.0, 0.5), "cosine", 4),
+      SearchSpec("text_embedding", Array(-1.0, 2.0), "dot", 3),
+      SearchSpec("text_embedding", Array(0.0, 1.0), "euclid", 5))
+    val batched = client.searchPointsBatch("c", specs,
+      withPayload = true, Seq("text_embedding"))
+    assert(batched.size === specs.size)
+    specs.zip(batched).foreach { case (sp, got) =>
+      val single = client.searchPoints("c", sp, withPayload = true,
+        Seq("text_embedding"))
+      assert(got.map { case (p, s) => (key(p), s) } ===
+        single.map { case (p, s) => (key(p), s) }, sp.metric)
+    }
+  }
+
   test("transient failures retry on reads; mutations stay fail-fast") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     // a gateway that 503s the first two requests of each path+method,
@@ -336,6 +352,21 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("partitions", "3").load()
     assert(restored.orderBy("id").collect().toSeq ===
       direct.orderBy("id").collect().toSeq)
+  }
+
+  test("catalog SQL resolves a REMOTE collection by table name") {
+    // the TableCatalog's store entry can BE the wire client: plain SQL
+    // addresses the remote collection, catalog listings come from the
+    // service's /collections, and pushdown still narrows the wire fetch
+    CollectionStores.register("rest_cat_store", client)
+    spark.conf.set("spark.sql.catalog.rest_cat",
+      "graft.sources.CollectionCatalog")
+    spark.conf.set("spark.sql.catalog.rest_cat.store", "rest_cat_store")
+    val out = spark.sql(
+      "SELECT id FROM rest_cat.c WHERE id > '017' ORDER BY id")
+    assert(out.collect().map(_.getString(0)).toSeq === Seq("018", "019"))
+    assert(spark.sql("SHOW TABLES IN rest_cat").collect()
+      .map(_.getString(1)).contains("c"))
   }
 
   test("connector STREAMING read replays the store's CDC log over the wire") {
