@@ -535,6 +535,77 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** BPE training mirror: the full Sennrich loop UNROLLED — per merge
+    * step, a weighted adjacent-pair count, the deterministic argmax
+    * (count DESC, pair ascending), and the greedy left-to-right merge
+    * re-derived with run windows (consecutive match positions — only
+    * possible for self-pairs — merge at even offsets within their run,
+    * exactly the engine's sequential fold). `trace = true` returns the
+    * chosen merge table (the model); otherwise the top-`vocabTop` final
+    * word segmentations.
+    */
+  private def bpeChain(numMerges: Int): String = {
+    val base =
+      """words AS MATERIALIZED (
+        |  SELECT t AS word, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(
+        |          string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t
+        |        FROM documents)
+        |  GROUP BY t),
+        |syms0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |         list_concat(
+        |           list_transform(range(1, length(word)+1), i -> word[i]),
+        |           ['</w>']) AS s
+        |  FROM words)""".stripMargin
+    val iters = (1 to numMerges).map { t =>
+      val p = t - 1
+      s"""pairs$t AS MATERIALIZED (
+         |  SELECT s[i] AS x, s[i+1] AS y, SUM(cnt) AS c
+         |  FROM syms$p, UNNEST(range(1, len(s))) AS u(i)
+         |  GROUP BY x, y),
+         |best$t AS MATERIALIZED (SELECT x, y, c FROM pairs$t ORDER BY c DESC, x ASC, y ASC LIMIT 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT w.word, u.i,
+         |         ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY u.i) AS rn
+         |  FROM syms$p w, UNNEST(range(1, len(s))) AS u(i), best$t b
+         |  WHERE s[i] = b.x AND s[i+1] = b.y),
+         |sel$t AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |           ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) AS k
+         |    FROM m$t)
+         |  WHERE (k - 1) % 2 = 0),
+         |syms$t AS MATERIALIZED (
+         |  SELECT q.word, q.cnt,
+         |         list(CASE WHEN s1.i IS NOT NULL THEN q.cur || q.nxt
+         |                   ELSE q.cur END ORDER BY q.i)
+         |           FILTER (WHERE s0.i IS NULL) AS s
+         |  FROM (SELECT w.word, w.cnt, u.i, w.s[u.i] AS cur, w.s[u.i+1] AS nxt
+         |        FROM syms$p w, UNNEST(range(1, len(s)+1)) AS u(i)) q
+         |  LEFT JOIN sel$t s1 ON s1.word = q.word AND s1.i = q.i
+         |  LEFT JOIN sel$t s0 ON s0.word = q.word AND s0.i = q.i - 1
+         |  GROUP BY q.word, q.cnt)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
+  def bpeSql(numMerges: Int, trace: Boolean, vocabTop: Int = 30): String = {
+    val chain = bpeChain(numMerges)
+    if (trace) {
+      val rows = (1 to numMerges).map(t =>
+        s"SELECT $t AS step, x AS merge_left, y AS merge_right, " +
+          s"CAST(c AS BIGINT) AS pair_count FROM best$t")
+      s"""WITH $chain
+         |${rows.mkString("\nUNION ALL ")}
+         |ORDER BY step""".stripMargin
+    } else
+      s"""WITH $chain
+         |SELECT word, cnt, list_aggr(s, 'string_agg', ' ') AS segmented
+         |FROM syms$numMerges
+         |ORDER BY cnt DESC, word ASC LIMIT $vocabTop""".stripMargin
+  }
+
   /** SemDeDup oracle: the [[ivfChain]] re-derives the engine's k-means
     * (same md5 seed-point init, same DECIMAL-quantized updates, same
     * first-min tiebreak), over the SAME planted-near-dup corpus as the

@@ -195,6 +195,17 @@ object SparkEntry {
     srv.baseUrl
   }
 
+  /** Trained BPE model of `dir`'s documents (8 merges): training is the
+    * offline batch job, built once per dir; both bpe gates consume the
+    * one artifact (the merge table is the MODEL a tokenizer ships).
+    */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[graft.ops.Bpe.Merge], DataFrame)]
+
+  private def bpeModel(s: SparkSession, dir: String): (Seq[graft.ops.Bpe.Merge], DataFrame) =
+    bpeCache.getOrElseUpdate(dir,
+      graft.ops.Bpe.trainMerges(docs(s, dir), "text", numMerges = 8))
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -2265,6 +2276,28 @@ object SparkEntry {
     "subword_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    // BPE vocabulary TRAINING (Sennrich et al. 2016): 8 merges trained
+    // distributed over the word-frequency table — per step one weighted
+    // pair-count groupBy + a one-row argmax collect (model state) + a
+    // map-side greedy merge. The oracle UNROLLS the full loop (pair
+    // counts, deterministic argmax, run-window greedy merge), so the
+    // trained MODEL is value-checked step by step
+    "bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.bpeModel(s, dir)._1
+        .map(m => (m.step, m.left, m.right, m.count))
+        .toDF("step", "merge_left", "merge_right", "pair_count")
+    }),
+
+    // the trained segmentation itself: top-30 words by frequency with
+    // their final subword split — the vocab a tokenizer would export
+    "bpe_vocab" -> ((s, dir) => {
+      val (_, syms) = SparkEntry.bpeModel(s, dir)
+      syms.select(col("word"), col("cnt"),
+          array_join(col("s"), " ").as("segmented"))
+        .orderBy(col("cnt").desc, col("word").asc).limit(30)
+    }),
 
     // per-language corpus statistics: exact interpolated percentiles of the
     // token-count distribution (one partial-agg shuffle; the percentile
@@ -4443,6 +4476,10 @@ object SparkEntry {
         |      FROM t)
         |SELECT gram, COUNT(*) AS n
         |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "bpe_merges" -> DuckMirror.bpeSql(numMerges = 8, trace = true),
+
+    "bpe_vocab" -> DuckMirror.bpeSql(numMerges = 8, trace = false),
 
     "subword_count" ->
       """SELECT doc_id,

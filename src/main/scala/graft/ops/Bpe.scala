@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed BPE vocabulary TRAINING (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units" — the public
+  * byte-pair-encoding recipe every subword tokenizer pipeline trains):
+  * start from characters (+ an end-of-word marker), then repeatedly
+  * merge the most frequent adjacent symbol pair. The engine's existing
+  * `subwordCount` COUNTS with a fixed segmenter; this module TRAINS the
+  * merge table itself — the corpus-scale step of building a tokenizer.
+  *
+  * Spark-first shape (the same reduction Sennrich's reference
+  * implementation makes): training runs over the DISTINCT-WORD frequency
+  * table, not the corpus — one O(corpus) shuffle builds (word, cnt),
+  * and every iteration after that touches only the vocabulary (bounded
+  * by distinct words, millions at web scale — a small frame beside the
+  * corpus). Per iteration: one partial-aggregating groupBy over adjacent
+  * symbol pairs (weighted by word count) + a ONE-ROW collect (the argmax
+  * is model state, like a centroid update), then a map-side merge of the
+  * chosen pair. Plans are re-rooted with localCheckpoint every few
+  * iterations so lineage stays bounded (the connectedComponents lesson).
+  *
+  * The merge rule is pinned GREEDY LEFT-TO-RIGHT, non-overlapping (what
+  * a sequential scan does; overlap only matters for self-pairs like
+  * (a,a) on "aaa"): equivalent to "within each run of consecutive match
+  * positions, merge the even offsets" — the form the DuckDB oracle
+  * re-derives with window functions, so training is value-checked
+  * end-to-end (DuckMirror.bpeSql).
+  */
+object Bpe {
+
+  /** End-of-word marker appended to every word's symbol sequence
+    * (Sennrich's `</w>`): lets a merge distinguish word-final subwords.
+    */
+  val EndOfWord = "</w>"
+
+  /** One chosen merge: at `step`, (`left`, `right`) was the most
+    * frequent adjacent pair with summed word-count `count` (ties broken
+    * by left, then right, ascending — deterministic cross-engine).
+    */
+  final case class Merge(step: Int, left: String, right: String, count: Long)
+
+  /** (word, cnt) frequency table: lowercase whitespace tokens, empties
+    * dropped — identical to the engine's other text kernels and the
+    * oracle's `string_split_regex` mirror. The ONE corpus-sized shuffle
+    * of training.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** A word's initial symbol sequence: its characters + [[EndOfWord]]. */
+  def charSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** Adjacent-pair explode of a symbol column: (x, y) rows, one per
+    * position (overlapping pairs counted, like the reference recipe).
+    * `sequence(1, n-1)` would DESCEND for n = 1 (Spark generates
+    * backwards when start > stop) — the single-symbol guard keeps such
+    * words pairless instead of exploding [1, 0].
+    */
+  private def adjacentPairs(s: Column): Column = {
+    val idx = when(size(s) > lit(1), sequence(lit(1), size(s) - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    transform(idx, i => struct(
+      element_at(s, i).as("x"), element_at(s, i + 1).as("y")))
+  }
+
+  /** Greedy left-to-right merge of the pair (a, b) in a symbol array —
+    * the sequential fold: an element extends the accumulator unless the
+    * accumulator's last element is `a` and it is `b`, in which case the
+    * two fuse. A fused symbol (`a+b`) can never re-match `a` within the
+    * same pass (that would need `b` empty), so the fold is exactly the
+    * non-overlapping greedy rule the oracle mirrors with run windows.
+    */
+  def mergePair(s: Column, a: String, b: String): Column =
+    aggregate(s, array().cast(ArrayType(StringType)),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `numMerges` merges over `df(textCol)`. Returns the ordered
+    * merge table (the MODEL — what a tokenizer ships) and the final
+    * (word, cnt, s) vocabulary frame. Stops early if no adjacent pair
+    * remains (every word fully fused).
+    */
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
+                  checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var syms = wordCounts(df, textCol)
+      .select(col("word"), col("cnt"), charSymbols(col("word")).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var t = 1
+    var done = false
+    while (t <= numMerges && !done) {
+      val best = syms
+        .select(col("cnt"), explode(adjacentPairs(col("s"))).as("p"))
+        .groupBy(col("p.x"), col("p.y"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(t, a, b, c)
+        syms = syms.withColumn("s", mergePair(col("s"), a, b))
+        if (t % checkpointEvery == 0) syms = syms.localCheckpoint()
+        t += 1
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  /** ENCODE with a trained model: apply the merge table in training
+    * order to a symbol column — the map-side serving path (runs
+    * unbounded; the model is a literal fold, no join, no shuffle).
+    */
+  def applyMerges(s: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(s)((c, m) => mergePair(c, m.left, m.right))
+
+  /** Segment a text column with a trained model: (token, n_subwords)
+    * per word position is overkill for most pipelines — this returns
+    * the per-row SUBWORD COUNT under the trained vocabulary, the
+    * sequence-length statistic packing/budgeting actually consumes.
+    */
+  def subwordCountTrained(df: DataFrame, textCol: String,
+                          merges: Seq[Merge], out: String): DataFrame =
+    df.withColumn(out,
+      aggregate(
+        transform(filter(split(lower(col(textCol)), "\\s+"),
+          t => length(t) > 0),
+          w => size(applyMerges(charSymbols(w), merges))),
+        lit(0L), (acc, n) => acc + n))
+}
