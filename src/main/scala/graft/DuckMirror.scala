@@ -535,6 +535,62 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** DSIR mirror (Dsir.importanceWeights): hashed unigram+bigram feature
+    * buckets re-derived with the ShingleKernel arithmetic (w=1 and w=2
+    * polynomial combines + xorshift32, Java-signed floorMod into
+    * `buckets`), add-alpha bucket models over the target (doc_id % mod
+    * = 0) and raw (rest) corpora, and the per-doc position-ordered fold
+    * of ln-ratio weights, 6dp at the end — the engine's float-sum
+    * convention. Smoothing denominators add the SAME Scala-rendered
+    * `alpha*buckets` double literal the engine divides by.
+    */
+  def dsirSql(buckets: Int, alpha: Double, mod: Int): String = {
+    val k1 = (Sh0 * Golden) % M64
+    val c2 = (Sh0 * Golden % M64 * Golden) % M64
+    val a = java.lang.Double.toString(alpha)
+    val aB = java.lang.Double.toString(alpha * buckets)
+    def bucketOf(u: String): String =
+      s"(((${toSigned(u)} % $buckets) + $buckets) % $buckets)"
+    def fbOf(sfx: String, src: String): String =
+      s"""th$sfx AS MATERIALIZED (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
+         |    t -> $fnvOfT) AS th
+         |  FROM $src),
+         |fb$sfx AS MATERIALIZED (
+         |  SELECT doc_id, list_concat(
+         |    list_transform(
+         |      list_transform(th, t -> CAST(($k1::HUGEINT + t) % $M64::HUGEINT AS UBIGINT)),
+         |      u -> ${bucketOf("xor(u, u >> 32)")}),
+         |    list_transform(
+         |      list_transform(range(1, len(th)), j ->
+         |        CAST(($c2::HUGEINT + (${mulMod(Golden, "th[j]")}) + th[j + 1]) % $M64::HUGEINT AS UBIGINT)),
+         |      u -> ${bucketOf("xor(u, u >> 32)")})) AS fb
+         |  FROM th$sfx)""".stripMargin
+    s"""WITH tgtc AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % $mod = 0),
+       |rawc AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % $mod <> 0),
+       |${fbOf("t", "tgtc")},
+       |${fbOf("r", "rawc")},
+       |rawF AS MATERIALIZED (
+       |  SELECT doc_id, unnest(fb) AS b, unnest(range(0, len(fb))) AS pos FROM fbr),
+       |tgtF AS MATERIALIZED (SELECT unnest(fb) AS b FROM fbt),
+       |rc AS MATERIALIZED (SELECT b, COUNT(*) AS rc FROM rawF GROUP BY b),
+       |tc AS MATERIALIZED (SELECT b, COUNT(*) AS tc FROM tgtF GROUP BY b),
+       |tot AS MATERIALIZED (SELECT
+       |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM rawF) AS rt,
+       |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgtF) AS tt),
+       |w AS MATERIALIZED (
+       |  SELECT b,
+       |         ln((CAST(COALESCE(tc, 0) AS DOUBLE) + $a) / (tt + $aB)) -
+       |         ln((CAST(COALESCE(rc, 0) AS DOUBLE) + $a) / (rt + $aB)) AS w
+       |  FROM rc FULL OUTER JOIN tc USING (b), tot),
+       |j AS (SELECT f.doc_id, f.pos, w.w FROM rawF f JOIN w USING (b)),
+       |agg AS (SELECT doc_id, list(w ORDER BY pos) AS lw FROM j GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(lw) AS INTEGER) AS n_features,
+       |       ROUND(list_reduce(list_concat([0.0], lw), (x, y) -> x + y), 6) AS logratio
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE training mirror: the full Sennrich loop UNROLLED — per merge
     * step, a weighted adjacent-pair count, the deterministic argmax
     * (count DESC, pair ascending), and the greedy left-to-right merge

@@ -1776,6 +1776,20 @@ object SparkEntry {
     "unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
 
+    // DSIR data selection (Xie et al. 2023): score every raw doc by the
+    // hashed-ngram log importance weight against a target subset
+    // (doc_id % 7 == 0 as the "high-quality" stand-in). Models are
+    // bucket-count aggregates (model state), scoring is one broadcast
+    // join + per-doc ordered fold — the oracle re-derives hash, models,
+    // and fold
+    "dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Dsir.importanceWeights(
+        d.filter(col("doc_id") % 7 =!= 0),
+        d.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", buckets = 4096)
+    }),
+
     // geo_bounding_box filter over the synthetic (lat, lon) derivation
     // the haversine gate established — a pure map-side predicate
     "geo_box" -> ((s, dir) =>
@@ -3804,6 +3818,8 @@ object SparkEntry {
     // [0.0] || lp makes list_reduce the same 0.0-seeded left fold as the
     // engine's aggregate(_, 0.0, +); ln(cnt/total) is the identical
     // double on both engines (the bm25 idf precedent)
+    "dsir_weights" -> DuckMirror.dsirSql(buckets = 4096, alpha = 0.5, mod = 7),
+
     "unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
         |                   list_filter(string_split_regex(lower(text), '\s+'),
