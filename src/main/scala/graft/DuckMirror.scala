@@ -591,6 +591,37 @@ object DuckMirror {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** bigram_logprob mirror (TextAnalysis.bigramLogProb): add-alpha
+    * smoothed bigram LM with head-count denominators and a corpus-vocab
+    * smoothing term, per-doc position-ordered ln fold, 6dp mean.
+    */
+  def bigramLmSql(alpha: Double): String = {
+    val a = java.lang.Double.toString(alpha)
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |bi AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM tk, UNNEST(range(1, len(ts))) AS u(i)),
+       |heads AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+       |big AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+       |v AS MATERIALIZED (
+       |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vv
+       |  FROM (SELECT unnest(ts) AS t FROM tk)),
+       |j AS (
+       |  SELECT bi.doc_id, bi.pos,
+       |         ln((CAST(big.c2 AS DOUBLE) + $a) /
+       |            (CAST(heads.c1 AS DOUBLE) + ($a * v.vv))) AS logp
+       |  FROM bi
+       |  JOIN big USING (w1, w2)
+       |  JOIN heads USING (w1), v),
+       |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(lp) AS INTEGER) AS n_bigrams,
+       |       ROUND(list_reduce(list_concat([0.0], lp), (x, y) -> x + y) / len(lp), 6) AS avg_logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE training mirror: the full Sennrich loop UNROLLED — per merge
     * step, a weighted adjacent-pair count, the deterministic argmax
     * (count DESC, pair ascending), and the greedy left-to-right merge

@@ -1776,6 +1776,12 @@ object SparkEntry {
     "unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
 
+    // add-alpha smoothed bigram LM fluency score (the rung above the
+    // unigram proxy): heads/bigram counts are Zipf-small model frames,
+    // the per-doc sum folds in position order
+    "bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
+
     // DSIR data selection (Xie et al. 2023): score every raw doc by the
     // hashed-ngram log importance weight against a target subset
     // (doc_id % 7 == 0 as the "high-quality" stand-in). Models are
@@ -3819,6 +3825,8 @@ object SparkEntry {
     // engine's aggregate(_, 0.0, +); ln(cnt/total) is the identical
     // double on both engines (the bm25 idf precedent)
     "dsir_weights" -> DuckMirror.dsirSql(buckets = 4096, alpha = 0.5, mod = 7),
+
+    "bigram_logprob" -> DuckMirror.bigramLmSql(alpha = 0.5),
 
     "unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,

@@ -531,6 +531,51 @@ object TextAnalysis {
             size(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** Add-alpha smoothed BIGRAM LM scorer — the next rung of the LM-
+    * quality ladder above [[unigramLogProb]] (the KenLM-style fluency
+    * proxy training pipelines threshold on): per document, the mean of
+    * ln p̂(w_i | w_{i-1}) with p̂ = (c(w1 w2) + α) / (c(w1 ·) + α·V),
+    * where c(w1 ·) counts w1 as a bigram HEAD and V is the corpus
+    * vocabulary size (a model scalar). Same scale shape as the unigram
+    * scorer: model frames are vocab/bigram-vocab sized (Zipf-small beside
+    * the corpus), the per-doc sum folds in position order so the float
+    * arithmetic is partitioning-deterministic, rounding happens once at
+    * the end. Documents with fewer than two tokens have no bigrams and
+    * are absent from the output.
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"))
+    val bi = toks.select(col(idCol),
+        posexplode(when(size(col("ts")) > 1,
+            transform(sequence(lit(1), size(col("ts")) - 1),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as(Seq("pos", "bg")))
+      .select(col(idCol), col("pos"), col("bg.w1"), col("bg.w2"))
+    val heads = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // vocabulary size: ONE distinct-count over tokens — model state; the
+    // smoothed denominator term is computed here as a double and inlined
+    // so the oracle divides by the identical literal
+    val v = toks.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")))
+      .head().getLong(0).toDouble
+    val aV = alpha * v
+    bi.join(big, Seq("w1", "w2")).join(heads, Seq("w1"))
+      .withColumn("logp",
+        log((col("c2").cast(DoubleType) + alpha) /
+          (col("c1").cast(DoubleType) + aV)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
+      .select(col(idCol),
+        size(col("__lp")).as("n_bigrams"),
+        round(
+          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
+            size(col("__lp")), 6).as("avg_logprob"))
+  }
+
   /** Light suffix-stripping stem rules, applied in order to a lowercased
     * token. ONE list drives both engines: each entry is (anchored RE2
     * pattern with one capture group, suffix appended after the group) —
