@@ -115,6 +115,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(identity))
   }
 
+  test("streaming BPE encode: streamed docs get the batch subword counts") {
+    import org.apache.spark.sql.types._
+    // the merge table is trained OFFLINE (batch — the model a tokenizer
+    // ships); encode is a literal fold with no shuffle, so the same
+    // expression tokenizes an unbounded ingest stream count-for-count
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val (merges, _) = graft.ops.Bpe.trainMerges(docs, "text", numMerges = 4)
+    val dir = Files.createTempDirectory("graft-bpe-stream")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .select(col("doc_id"), col("text"))
+    val q = graft.ops.Bpe.subwordCountTrained(streamed, "text", merges, "n")
+      .select("doc_id", "n")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bpe_stream_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = graft.ops.Bpe
+      .subwordCountTrained(docs, "text", merges, "n")
+      .select("doc_id", "n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming PQ ingest: streamed points get the batch codes") {
     import org.apache.spark.sql.types._
     // codebooks trained offline (batch); NEW points then stream in and
