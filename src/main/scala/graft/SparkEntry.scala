@@ -1531,6 +1531,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // the backend's FORMULA query (score-boosting rescore: arbitrary
+    // arithmetic over similarity, decay functions, and payload fields) —
+    // re-expressed Spark-first: the Column algebra IS the formula
+    // language, every term codegen'd in one projection. Weighted cosine
+    // + gauss decay + payload-condition boost, ranked on the rounded
+    // blend like the reference's rescore stage
+    "formula_rescore" -> ((s, dir) => {
+      val df = hom(s, dir)
+      val q = qvecOf(df, "0")
+      df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("score", round(
+          lit(0.6) * v_cosine(col("vector"), col("__qvec")) +
+            lit(0.3) * v_gauss_decay(
+              v_euclid(col("vector"), col("__qvec")), lit(3.0)) +
+            lit(0.1) * when(json_get_int(col("payload"), "label") <= 4,
+              lit(1.0)).otherwise(lit(0.0)), 6))
+        .select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(15)
+    }),
+
     "random_sample" -> ((s, dir) =>
       Search.randomSample(hom(s, dir), 20, seed = 42L).select("id")),
 
@@ -3650,6 +3671,16 @@ object SparkEntry {
         |             pow(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) / 3.0, 2)), 6) AS decay
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin,
+
+    "formula_rescore" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(0.6 * list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+        |             + 0.3 * exp(-0.6931471805599453 *
+        |                   pow(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) / 3.0, 2))
+        |             + 0.1 * (CASE WHEN e.label <= 4 THEN 1.0 ELSE 0.0 END), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, id ASC LIMIT 15""".stripMargin,
 
     "named_field_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
