@@ -591,6 +591,69 @@ object DuckMirror {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** nb_classify mirror (Classify.naiveBayes trained and scored on the
+    * documents table with `lang` classes): the FULL chain — hashed
+    * unigram+bigram feature buckets (same arithmetic as [[dsirSql]]),
+    * per-(bucket, class) add-alpha weights over every observed bucket x
+    * every class, per-(doc, class) position-ordered ln fold + ln prior,
+    * 6dp round, then the argmax (score desc, class asc). Smoothing
+    * denominators add the SAME Scala-rendered `alpha*buckets` double
+    * literal the engine inlines.
+    */
+  def nbSql(buckets: Int, alpha: Double): String = {
+    val k1 = (Sh0 * Golden) % M64
+    val c2 = (Sh0 * Golden % M64 * Golden) % M64
+    val a = java.lang.Double.toString(alpha)
+    val aB = java.lang.Double.toString(alpha * buckets)
+    def bucketOf(u: String): String =
+      s"(((${toSigned(u)} % $buckets) + $buckets) % $buckets)"
+    s"""WITH th AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_transform(
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
+       |    t -> $fnvOfT) AS th
+       |  FROM documents),
+       |fb AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_concat(
+       |    list_transform(
+       |      list_transform(th, t -> CAST(($k1::HUGEINT + t) % $M64::HUGEINT AS UBIGINT)),
+       |      u -> ${bucketOf("xor(u, u >> 32)")}),
+       |    list_transform(
+       |      list_transform(range(1, len(th)), j ->
+       |        CAST(($c2::HUGEINT + (${mulMod(Golden, "th[j]")}) + th[j + 1]) % $M64::HUGEINT AS UBIGINT)),
+       |      u -> ${bucketOf("xor(u, u >> 32)")})) AS fb
+       |  FROM th),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id, lang AS cls, unnest(fb) AS b,
+       |         unnest(range(0, len(fb))) AS pos FROM fb),
+       |tn AS MATERIALIZED (SELECT cls, COUNT(*) AS tn FROM f GROUP BY cls),
+       |pri AS MATERIALIZED (
+       |  SELECT lang AS cls,
+       |         ln(CAST(COUNT(*) AS DOUBLE) /
+       |            CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)) AS prior
+       |  FROM documents GROUP BY lang),
+       |cnt AS MATERIALIZED (SELECT b, cls, COUNT(*) AS c FROM f GROUP BY b, cls),
+       |w AS MATERIALIZED (
+       |  SELECT bk.b, tn.cls,
+       |         ln((CAST(COALESCE(cnt.c, 0) AS DOUBLE) + $a) /
+       |            (CAST(tn.tn AS DOUBLE) + $aB)) AS w
+       |  FROM (SELECT DISTINCT b FROM f) bk
+       |  CROSS JOIN tn
+       |  LEFT JOIN cnt ON cnt.b = bk.b AND cnt.cls = tn.cls),
+       |j AS (SELECT f.doc_id, f.pos, w.cls, w.w FROM f JOIN w ON f.b = w.b),
+       |agg AS (SELECT doc_id, cls, list(w ORDER BY pos) AS lw
+       |        FROM j GROUP BY doc_id, cls),
+       |tot AS (
+       |  SELECT agg.doc_id, agg.cls,
+       |         ROUND(list_reduce(list_concat([0.0], lw), (x, y) -> x + y)
+       |               + pri.prior, 6) AS score
+       |  FROM agg JOIN pri ON pri.cls = agg.cls),
+       |rk AS (SELECT *, row_number() OVER
+       |         (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+       |       FROM tot)
+       |SELECT doc_id, cls AS pred, score FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** bigram_logprob mirror (TextAnalysis.bigramLogProb): add-alpha
     * smoothed bigram LM with head-count denominators and a corpus-vocab
     * smoothing term, per-doc position-ordered ln fold, 6dp mean.

@@ -1497,6 +1497,13 @@ object SparkEntry {
       Search.topKById(hom(s, dir).select("id", "vector"), "vector", "2", 10,
         metric = "euclid").select("id", "score")),
 
+    // the backend Distance enum's fourth metric (Cosine/Dot/Euclid are
+    // declared in the reference's collections, e2e.rs:66,135,139;
+    // Manhattan completes the public enum) — same codegen kernel family
+    "manhattan_topk" -> ((s, dir) =>
+      Search.topKById(hom(s, dir).select("id", "vector"), "vector", "3", 10,
+        metric = "manhattan").select("id", "score")),
+
     "within_radius_agg" -> ((s, dir) => {
       val df = hom(s, dir)
       val q = qvecOf(df, "0")
@@ -1526,6 +1533,21 @@ object SparkEntry {
       df.filter(col("id") =!= "0").crossJoin(broadcast(q))
         .withColumn("decay",
           round(v_gauss_decay(v_euclid(col("vector"), col("__qvec")), lit(3.0)), 6))
+        .select(col("id"), col("decay"))
+        .orderBy(col("decay").desc, col("id").asc)
+        .limit(20)
+    }),
+
+    // the other two decay kernels of the backend's formula family
+    // (exp_decay / lin_decay; gauss_decay above) blended in one codegen
+    // projection — same midpoint-0.5 convention, decay(scale) = 0.5
+    "decay_rescore" -> ((s, dir) => {
+      val df = hom(s, dir)
+      val q = qvecOf(df, "0")
+      df.filter(col("id") =!= "0").crossJoin(broadcast(q))
+        .withColumn("decay", round(
+          lit(0.5) * v_exp_decay(v_euclid(col("vector"), col("__qvec")), lit(3.0)) +
+            lit(0.5) * v_lin_decay(v_euclid(col("vector"), col("__qvec")), lit(3.0)), 6))
         .select(col("id"), col("decay"))
         .orderBy(col("decay").desc, col("id").asc)
         .limit(20)
@@ -3648,6 +3670,15 @@ object SparkEntry {
         |FROM embeddings e, q WHERE e.vec_id <> 2
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
+    "manhattan_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(-list_sum(list_transform(
+        |           list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+        |           p -> ABS(p[1] - p[2]))), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 3
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
     "within_radius_agg" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT CAST(e.label AS BIGINT) AS label, COUNT(*) AS n
@@ -3669,6 +3700,17 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(exp(-0.6931471805599453 *
         |             pow(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv) / 3.0, 2)), 6) AS decay
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin,
+
+    "decay_rescore" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(0.5 * exp(-0.6931471805599453 *
+        |               ABS(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)) / 3.0)
+        |           + 0.5 * GREATEST(0.0, 1.0 -
+        |               ABS(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)) / (2.0 * 3.0)),
+        |             6) AS decay
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY decay DESC, id ASC LIMIT 20""".stripMargin,
 

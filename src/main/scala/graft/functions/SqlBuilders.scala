@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayContains, ArrayDistinct, ArrayIntersect, Asin, Cast, Coalesce,
-  Cos, CreateArray, CreateNamedStruct, Divide, Exp, Expression,
-  GetJsonObject, GetStructField, IsNotNull, JsonObjectKeys,
+  Abs, Add, ArrayContains, ArrayDistinct, ArrayIntersect, Asin, Cast,
+  Coalesce, Cos, CreateArray, CreateNamedStruct, Divide, Exp, Expression,
+  GetJsonObject, GetStructField, Greatest, IsNotNull, JsonObjectKeys,
   LengthOfJsonArray, LessThan, Literal, Lower, Multiply, Pow, Sin, Size,
   Sqrt, StringSplit, Subtract, UnaryMinus}
 import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet}
@@ -58,8 +58,9 @@ private[graft] object SqlBuilders {
       case "cosine" => Subtract(Literal(1.0), CosineSimilarity(a, b))
       case "dot"    => UnaryMinus(DotProduct(a, b))
       case "euclid" | "euclidean" | "l2" => EuclideanDistance(a, b)
+      case "manhattan" | "l1" => ManhattanDistance(a, b)
       case m => throw new AnalysisException("USER_RAISED_EXCEPTION",
-        Map("errorMessage" -> s"$fn: unknown metric '$m' (cosine|dot|euclid)"))
+        Map("errorMessage" -> s"$fn: unknown metric '$m' (cosine|dot|euclid|manhattan)"))
     }
 
   // V_DISTANCE(a, b, 'metric') / V_WITHIN(a, b, r[, 'metric']): the metric
@@ -129,6 +130,7 @@ private[graft] object SqlBuilders {
     "v_dot" -> (es => DotProduct(es(0), es(1))),
     "v_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "v_euclid" -> (es => EuclideanDistance(es(0), es(1))),
+    "v_manhattan" -> (es => ManhattanDistance(es(0), es(1))),
     "v_sparse_dot" -> (es => SparseDotProduct(es(0), es(1), es(2), es(3))),
     "v_maxsim" -> (es => MaxSim(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
@@ -141,6 +143,14 @@ private[graft] object SqlBuilders {
       Literal(litString(es(2), "v_within", "radius").toDouble))),
     "v_gauss_decay" -> (es =>
       Exp(Multiply(Literal(-math.log(2.0)), Pow(Divide(es(0), es(1)), Two)))),
+    // the other two decay kernels of the backend's formula-query family
+    // (gauss_decay / exp_decay / lin_decay share the midpoint-0.5
+    // convention: decay(scale) = 0.5, decay(0) = 1)
+    "v_exp_decay" -> (es =>
+      Exp(Multiply(Literal(-math.log(2.0)), Divide(Abs(es(0)), es(1))))),
+    "v_lin_decay" -> (es =>
+      Greatest(Seq(Literal(0.0),
+        Subtract(Literal(1.0), Divide(Abs(es(0)), Multiply(Two, es(1))))))),
     // 4-scalar form, or the corpus's two-point form (tests.sql:295-299)
     // where each point is a POINT(...) struct OR a JSON location object
     // (payload->'geo'->'location' = {"lat":..,"lon":..})

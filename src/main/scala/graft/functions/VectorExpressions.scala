@@ -181,6 +181,48 @@ case class EuclideanDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Manhattan (L1) distance sum(|a_i - b_i|) -> double — the fourth
+  * variant of the backend's `Distance` enum (the reference's collections
+  * are declared with `Distance::Cosine/Dot/Euclid` in
+  * /root/reference/tests/e2e.rs:66,135,139; Manhattan is the remaining
+  * public variant of the same enum). Same codegen shape as
+  * [[EuclideanDistance]]: one fused loop, no allocation.
+  */
+case class ManhattanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = checkVecs(Seq(left, right), "v_manhattan")
+  override def prettyName: String = "v_manhattan"
+
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var s = 0.0
+    while (i < n) { s += math.abs(getL(a, i) - getR(b, i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += java.lang.Math.abs((${accessor(left.dataType, a, i)}) - (${accessor(right.dataType, b, i)}));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ManhattanDistance =
+    copy(left = l, right = r)
+}
+
 /** Sparse dot product over two (indices, values) pairs with ascending,
   * de-duplicated indices (the two-column sparse convention of
   * /root/reference/src/arrow/schema.rs:91-107). Sorted-merge, O(n1+n2).

@@ -33,6 +33,14 @@ package object functions {
   def v_euclid(a: Column, b: Column): Column =
     Bridge.column(EuclideanDistance(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Manhattan (L1) distance — the backend `Distance` enum's fourth
+    * variant (reference collections declare Cosine/Dot/Euclid in
+    * /root/reference/tests/e2e.rs:66,135,139; Manhattan completes the
+    * public enum).
+    */
+  def v_manhattan(a: Column, b: Column): Column =
+    Bridge.column(ManhattanDistance(Bridge.expression(a), Bridge.expression(b)))
+
   /** V_DISTANCE with an explicit metric name: cosine | dot | euclid.
     * For 'cosine' this returns the cosine DISTANCE (1 - similarity), matching
     * the "V_DISTANCE(...) < r" filter shape of tests.sql:42-51; 'dot' returns
@@ -43,6 +51,7 @@ package object functions {
       case "cosine" => F.lit(1.0) - v_cosine(a, b)
       case "dot"    => -v_dot(a, b)
       case "euclid" | "euclidean" | "l2" => v_euclid(a, b)
+      case "manhattan" | "l1" => v_manhattan(a, b)
       case m => throw new IllegalArgumentException(s"unknown metric '$m'")
     }
 
@@ -96,6 +105,20 @@ package object functions {
 
   def v_gauss_decay(dist: Column, scale: Column): Column =
     F.exp(F.lit(-math.log(2.0)) * F.pow(dist / scale, 2))
+
+  /** Exponential decay exp(-ln2 * |x| / scale) — the backend formula
+    * query's exp_decay kernel under the same midpoint-0.5 convention as
+    * [[v_gauss_decay]]: decay(0) = 1, decay(scale) = 0.5.
+    */
+  def v_exp_decay(dist: Column, scale: Column): Column =
+    F.exp(F.lit(-math.log(2.0)) * F.abs(dist) / scale)
+
+  /** Linear decay max(0, 1 - |x| / (2*scale)) — the backend formula
+    * query's lin_decay kernel; midpoint-0.5 convention (decay(scale) =
+    * 0.5), reaching exactly 0 at 2*scale.
+    */
+  def v_lin_decay(dist: Column, scale: Column): Column =
+    F.greatest(F.lit(0.0), F.lit(1.0) - F.abs(dist) / (F.lit(2.0) * scale))
 
   /** Haversine distance in meters between (lat1,lon1) and (lat2,lon2) in
     * degrees (V_GEO_DISTANCE, tests.sql:295-299). Pure column math — codegen'd.

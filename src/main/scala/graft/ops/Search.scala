@@ -24,6 +24,7 @@ object Search {
       case "cosine" => v_cosine(vec, query)
       case "dot"    => v_dot(vec, query)
       case "euclid" | "euclidean" | "l2" => -v_euclid(vec, query)
+      case "manhattan" | "l1" => -v_manhattan(vec, query)
       case m => throw new IllegalArgumentException(s"unknown metric '$m'")
     }
 

@@ -172,6 +172,34 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(f === Seq(2.0, 4.0))
   }
 
+  test("manhattan distance matches reference math through codegen") {
+    val pairs = randomPairs(13L, 50)
+    val df = pairs.toDF("a", "b").select(v_manhattan(col("a"), col("b")))
+    df.collect().zip(pairs).foreach { case (r, (a, b)) =>
+      val ref = a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      assert(math.abs(r.getDouble(0) - ref) < 1e-9)
+    }
+    // metric dispatch: v_distance + Search.similarity (negated) agree
+    val d = Seq((Seq(1.0, 2.0), Seq(4.0, 0.0))).toDF("a", "b")
+    assert(d.select(v_distance(col("a"), col("b"), "manhattan")).head().getDouble(0) === 5.0)
+    assert(d.select(v_distance(col("a"), col("b"), "l1")).head().getDouble(0) === 5.0)
+  }
+
+  test("exp/lin decay kernels: midpoint-0.5 convention and bounds") {
+    val df = Seq(0.0, 1.5, 3.0, 6.0, 9.0, -3.0).toDF("d")
+      .select(col("d"),
+        v_exp_decay(col("d"), lit(3.0)).as("e"),
+        v_lin_decay(col("d"), lit(3.0)).as("l"))
+    val m = df.collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m(0.0) === ((1.0, 1.0)))                      // decay(0) = 1
+    assert(math.abs(m(3.0)._1 - 0.5) < 1e-12)            // decay(scale) = 0.5
+    assert(math.abs(m(3.0)._2 - 0.5) < 1e-12)
+    assert(m(6.0)._2 === 0.0)                            // lin hits 0 at 2*scale
+    assert(m(9.0)._2 === 0.0)                            // and stays clamped
+    assert(m(6.0)._1 > 0.0)                              // exp never reaches 0
+    assert(m(-3.0) === m(3.0))                           // |x| symmetry
+  }
+
   test("SQL registration: corpus call shapes work via spark.sql") {
     graft.functions.registerAll(spark)
     Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
@@ -187,6 +215,13 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(r2.getDouble(1) - math.sqrt(8.0)) < 1e-9)
     assert(r2.getBoolean(2) === true)   // sqrt(8) < 5
     assert(r2.getBoolean(3) === true)   // cosine distance of parallel-ish vecs
+    val r4 = spark.sql(
+      """SELECT v_manhattan(a, b) m, v_distance(a, b, 'manhattan') dm,
+        |       v_exp_decay(v_euclid(a, b), 10.0) ed,
+        |       v_lin_decay(v_euclid(a, b), 10.0) ld FROM vt""".stripMargin).head()
+    assert(r4.getDouble(0) === 4.0 && r4.getDouble(1) === 4.0)
+    assert(r4.getDouble(2) > 0.5 && r4.getDouble(2) < 1.0)  // sqrt(8) < scale
+    assert(r4.getDouble(3) > 0.5 && r4.getDouble(3) < 1.0)
     // JSON aliases
     Seq(("""{"k": 7, "s": "x"}""")).toDF("j").createOrReplaceTempView("jt")
     val r3 = spark.sql(
