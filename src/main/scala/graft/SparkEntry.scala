@@ -206,6 +206,18 @@ object SparkEntry {
     bpeCache.getOrElseUpdate(dir,
       graft.ops.Bpe.trainMerges(docs(s, dir), "text", numMerges = 8))
 
+  /** Trained NB classifier of `dir`'s lang-labeled documents — fitting
+    * is the offline batch job (one corpus pass; counts localCheckpoint
+    * as model state), classification is the serving path the gate
+    * measures.
+    */
+  private val nbCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Classify.NbModel]
+
+  private def nbModel(s: SparkSession, dir: String): graft.ops.Classify.NbModel =
+    nbCache.getOrElseUpdate(dir,
+      graft.ops.Classify.train(docs(s, dir), "text", "lang", buckets = 512))
+
   /** Stored geo-cell layout of the events-derived (lat, lon) points —
     * the geo payload index ([[graft.ops.Geo.writeCellLayout]], bits=4):
     * box queries partition-prune to their cover cells. Written once per
@@ -495,6 +507,7 @@ object SparkEntry {
     calibratedStore(s, dir)
     lshPairStore(s, dir)
     sparseIndexStore(s, dir)
+    nbModel(s, dir)
     ()
   }
 
@@ -1838,6 +1851,17 @@ object SparkEntry {
         d.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", buckets = 4096)
     }),
+
+    // trained document classifier (the DCLM/FineWeb-style curation
+    // stage): multinomial NB over hashed n-gram buckets, trained on the
+    // lang-labeled corpus (OFFLINE — warmOffline fits the model once,
+    // like the IVF/PQ/BPE artifacts) and classifying the same corpus —
+    // the gate measures the SERVING path: one feature pass, one
+    // broadcast join against the (bucket -> class-weight array) model,
+    // map-side argmax
+    "nb_classify" -> ((s, dir) =>
+      graft.ops.Classify.classify(docs(s, dir), nbModel(s, dir),
+        "doc_id", "text")),
 
     // geo_bounding_box filter over the synthetic (lat, lon) derivation
     // the haversine gate established — a pure map-side predicate
@@ -3898,6 +3922,8 @@ object SparkEntry {
     // engine's aggregate(_, 0.0, +); ln(cnt/total) is the identical
     // double on both engines (the bm25 idf precedent)
     "dsir_weights" -> DuckMirror.dsirSql(buckets = 4096, alpha = 0.5, mod = 7),
+
+    "nb_classify" -> DuckMirror.nbSql(buckets = 512, alpha = 0.5),
 
     "bigram_logprob" -> DuckMirror.bigramLmSql(alpha = 0.5),
 

@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,81 +16,105 @@ import org.apache.spark.sql.types._
   * `buckets` dimension so model size is `buckets * classes`, never
   * vocabulary-sized). Spark-first cost shape:
   *
-  *   - TRAIN: one feature pass + one partial-aggregating groupBy per
-  *     (bucket, class) — the model is a ≤ buckets*classes row table plus
-  *     per-class scalars (token totals, doc priors), all model state.
-  *   - SCORE: one feature pass over the scored corpus, a BROADCAST join
-  *     against the weight table, one (doc, class) partial agg, and a
-  *     per-doc window over `classes` rows for the argmax. The corpus
-  *     never shuffles by anything wider than (doc_id, class).
+  *   - TRAIN (offline, like every stored index here): one feature pass
+  *     + one partial-aggregating (bucket, class) groupBy; everything
+  *     downstream of that ≤ buckets*classes rows — token totals and doc
+  *     priors are derived from the counts table / a no-explode doc agg,
+  *     so the corpus is read exactly once.
+  *   - CLASSIFY (the serving path): one feature pass over the scored
+  *     corpus, a BROADCAST join against the (bucket -> per-class weight
+  *     ARRAY) table — one joined row per FEATURE, not per
+  *     feature*class — one per-doc partial agg folding the arrays, and
+  *     a map-side argmax over the class array. No window, nothing ever
+  *     shuffles wider than (doc, classes-array).
   *
-  * Float determinism (the oracle contract): per-(doc, class) feature
-  * weights fold in feature-position order; the class prior adds LAST;
-  * the total rounds to 6dp before the argmax, ties broken by class name
-  * ascending — bit-reproducible in any engine (DuckMirror.nbSql).
+  * Float determinism (the oracle contract): each class's feature
+  * weights fold in feature-position order (the element-wise array fold
+  * adds every class's weight in the same sequence a per-class fold
+  * would); the class prior adds LAST; totals round to 6dp before the
+  * argmax; ties break to the first class in ascending name order —
+  * bit-reproducible in any engine (DuckMirror.nbSql).
   */
 object Classify {
 
-  /** Train on `train` (labeled: `labelCol` string classes) and classify
-    * `score`: returns (idCol, pred, score) — the argmax class per scored
-    * document and its rounded log-posterior Σ ln p̂(b|c) + ln p̂(c).
-    * Add-`alpha` smoothing over the bucketed feature space; documents
-    * with no tokens carry no evidence and are absent from the output.
+  /** A trained model: `classes` ascending, parallel `priors` (ln of doc
+    * frequency), the (bucket, per-class weight array) table — model
+    * state, ≤ `buckets` rows, broadcast into classification — and the
+    * `buckets` modulus the features were hashed into (classification
+    * must fold with the same modulus).
     */
+  final case class NbModel(classes: Seq[String], priors: Seq[Double],
+                           weights: DataFrame, buckets: Int)
+
+  private def feats(d: DataFrame, keep: Seq[Column], textCol: String,
+                    buckets: Int) = d.select(
+    keep :+ posexplode(Dsir.featureBuckets(col(textCol), buckets))
+      .as(Seq("pos", "b")): _*)
+
+  /** Fit the model on `labeled` (`labelCol` string classes) with
+    * add-`alpha` smoothing: ln p̂(b|c) = ln((count(b,c) + alpha) /
+    * (tokens_c + alpha*buckets)) for EVERY observed bucket x class
+    * (absent pairs smooth to the floor — unseen-feature evidence counts
+    * against a class), priors ln(docs_c / docs).
+    */
+  def train(labeled: DataFrame, textCol: String, labelCol: String,
+            buckets: Int, alpha: Double = 0.5): NbModel = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val trF = feats(labeled, Seq(col(labelCol).as("__cls")), textCol, buckets)
+    // the ONE corpus-sized aggregation; everything below is model-sized
+    val counts = trF.groupBy(col("b"), col("__cls"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val tokenTotals = counts.groupBy(col("__cls")).agg(sum(col("c")).as("tn"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // priors over ALL training docs (empty docs still count) — a
+    // no-explode aggregate over the labeled frame
+    val docCounts = labeled.groupBy(col(labelCol)).agg(count(lit(1)).as("dc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val nDocs = docCounts.map(_._2).sum.toDouble
+    val classes = docCounts.map(_._1)
+    val priors = docCounts.map { case (_, dc) => math.log(dc.toDouble / nDocs) }
+    // per-class smoothed denominators inline as exact double literals,
+    // so the oracle divides by the bit-identical values
+    val dens = classes.map(c =>
+      tokenTotals.getOrElse(c, 0L).toDouble + alpha * buckets)
+    val ws = array(classes.zip(dens).map { case (c, den) =>
+      log((coalesce(max(when(col("__cls") === c, col("c"))), lit(0L))
+        .cast(DoubleType) + alpha) / lit(den))
+    }: _*)
+    NbModel(classes, priors, counts.groupBy(col("b")).agg(ws.as("ws")), buckets)
+  }
+
+  /** Classify `score` under `model`: (idCol, pred, score) — the argmax
+    * class per document and its rounded log-posterior Σ ln p̂(b|c) +
+    * ln p̂(c). Documents with no tokens (or none of the model's buckets)
+    * carry no evidence and are absent from the output.
+    */
+  def classify(score: DataFrame, model: NbModel, idCol: String,
+               textCol: String): DataFrame = {
+    val n = model.classes.length
+    val zero = array(Seq.fill(n)(lit(0.0)): _*)
+    val priorsLit = array(model.priors.map(lit(_)): _*)
+    val classesLit = array(model.classes.map(lit(_)): _*)
+    val scF = feats(score, Seq(col(idCol)), textCol, model.buckets)
+    scF.join(broadcast(model.weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("ws")))).as("__lw"))
+      .select(col(idCol),
+        zip_with(
+          aggregate(col("__lw"), zero,
+            (acc, x) => zip_with(acc, x("ws"), (a, b) => a + b)),
+          priorsLit, (s, p) => round(s + p, 6)).as("__tot"))
+      .select(col(idCol),
+        element_at(classesLit,
+          array_position(col("__tot"), array_max(col("__tot"))).cast(IntegerType))
+          .as("pred"),
+        array_max(col("__tot")).as("score"))
+  }
+
+  /** One-shot convenience: fit on `train` and classify `score`. */
   def naiveBayes(train: DataFrame, score: DataFrame, idCol: String,
                  textCol: String, labelCol: String, buckets: Int,
-                 alpha: Double = 0.5): DataFrame = {
-    require(buckets > 0, s"buckets must be positive, got $buckets")
-    val spark = train.sparkSession
-
-    def feats(d: DataFrame, keep: Seq[String]) = d.select(
-      keep.map(col) :+
-        posexplode(Dsir.featureBuckets(col(textCol), buckets))
-          .as(Seq("pos", "b")): _*)
-
-    val trF = feats(train, Seq(labelCol)).withColumnRenamed(labelCol, "__cls")
-
-    // model state: per-class token totals (smoothed denominators) and
-    // per-class doc counts (priors over ALL training docs, empty included)
-    val tokenTotals = trF.groupBy(col("__cls")).agg(count(lit(1)).as("tn"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val docCounts = train.groupBy(col(labelCol)).agg(count(lit(1)).as("dc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val nDocs = docCounts.map(_._2).sum.toDouble
-    // the per-class scalars inline as exact double literals, so the
-    // oracle divides/adds the bit-identical values
-    val classRows = docCounts.map { case (c, dc) =>
-      Row(c, tokenTotals.getOrElse(c, 0L).toDouble + alpha * buckets,
-        math.log(dc.toDouble / nDocs))
-    }
-    val classDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(classRows, 1),
-      StructType(Seq(StructField("__cls", StringType),
-        StructField("__den", DoubleType), StructField("__prior", DoubleType))))
-
-    // weight table: EVERY observed bucket x EVERY class (absent pairs
-    // smooth to alpha/den — the cross join is what makes unseen-feature
-    // evidence count against a class)
-    val counts = trF.groupBy(col("b"), col("__cls")).agg(count(lit(1)).as("c"))
-    val wtab = counts.select("b").distinct()
-      .crossJoin(broadcast(classDf))
-      .join(counts, Seq("b", "__cls"), "left")
-      .select(col("b"), col("__cls"), col("__prior"),
-        log((coalesce(col("c"), lit(0L)).cast(DoubleType) + alpha) / col("__den"))
-          .as("w"))
-
-    val scF = feats(score, Seq(idCol))
-    scF.join(broadcast(wtab), Seq("b"))
-      .groupBy(col(idCol), col("__cls"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__lw"),
-        first(col("__prior")).as("__prior"))
-      .select(col(idCol), col("__cls"),
-        round(aggregate(col("__lw"), lit(0.0), (acc, x) => acc + x("w")) +
-          col("__prior"), 6).as("score"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol))
-          .orderBy(col("score").desc, col("__cls").asc)))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__cls").as("pred"), col("score"))
-  }
+                 alpha: Double = 0.5): DataFrame =
+    classify(score, this.train(train, textCol, labelCol, buckets, alpha),
+      idCol, textCol)
 }
