@@ -2173,6 +2173,29 @@ object SparkEntry {
       Dedup.exactDedup(docsWithExactDups(s, dir), "doc_id", "text")
         .select(col("keeper"), col("n_copies"))),
 
+    // URL-level dedup (the CCNet/RefinedWeb FIRST pass): raw URLs
+    // derived deterministically with planted aliasing — host case,
+    // www. prefixes, :443 ports, trailing slashes, utm params, query
+    // param order — so syntactically distinct raw strings collapse to
+    // one canonical key; one codegen projection + one partial-agg
+    // groupBy
+    "dedup_url" -> ((s, dir) => {
+      val raw = concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 40).cast(StringType),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(col("doc_id") % 4 === 1, lit("?b=2&a=1"))
+          .when(col("doc_id") % 4 === 2, lit("?a=1&b=2"))
+          .otherwise(lit("")))
+      graft.ops.Url.dedupByUrl(
+        docs(s, dir).withColumn("url", raw), "doc_id", "url")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         Seq("lang", "source"), threshold = 0.8)),
@@ -4457,6 +4480,43 @@ object SparkEntry {
         |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM c GROUP BY text ORDER BY keeper""".stripMargin,
+
+    "dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+        |    '.Example.COM' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |    '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |         WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+        |         WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
+        |         ELSE '' END AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS u FROM raw),
+        |c2 AS (SELECT doc_id, lower(split_part(u, '://', 1)) AS scheme,
+        |              split_part(u, '://', 2) AS rest FROM c1),
+        |c3 AS (SELECT doc_id, scheme, rest,
+        |              split_part(rest, '/', 1) AS host0 FROM c2),
+        |c4 AS (SELECT doc_id, scheme,
+        |        regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+        |                       ':(80|443)$', '') AS host,
+        |        substr(rest, len(host0) + 1) AS pathq FROM c3),
+        |c5 AS (SELECT doc_id, scheme, host,
+        |        regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+        |        split_part(pathq, '?', 2) AS query FROM c4),
+        |c6 AS (SELECT doc_id, scheme || '://' || host || path ||
+        |        CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS url
+        |       FROM (SELECT doc_id, scheme, host, path,
+        |               array_to_string(list_sort(list_filter(
+        |                 string_split(query, '&'),
+        |                 p -> p <> '' AND p NOT LIKE 'utm\_%' ESCAPE '\')), '&') AS q2
+        |             FROM c5) q)
+        |SELECT url, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM c6 GROUP BY url ORDER BY url""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH c AS (SELECT doc_id, text, lang, source FROM documents

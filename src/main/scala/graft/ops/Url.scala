@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level deduplication — the first pass of the public web-pipeline
+  * recipes (CCNet / RefinedWeb / FineWeb all dedup by normalized URL
+  * before any content pass: it is the only dedup that costs one string
+  * kernel per row). Canonicalization folds the high-frequency aliasing
+  * sources — scheme/host case, `www.` prefixes, default ports, trailing
+  * slashes, fragment anchors, tracking parameters, query-parameter
+  * order — so syntactically different fetches of the same resource
+  * collapse to one key.
+  *
+  * Pure column algebra (one codegen projection, no UDF): the exact
+  * convention is value-checked against a DuckDB mirror, so it is pinned
+  * engine-neutrally. Convention (documented, oracle-enforced):
+  * URLs carry a scheme (`x://`), at most one `?`, and `#` starts the
+  * fragment. Dedup is one partial-aggregating groupBy on the canonical
+  * key — at 100 TB the shuffle carries (url, id) pairs once, and
+  * map-side combine reduces planted-duplicate-heavy corpora before the
+  * exchange.
+  */
+object Url {
+
+  /** Canonical form:
+    *   - drop everything from the first `#` (fragment)
+    *   - scheme and host lowercase; strip a leading `www.`; strip a
+    *     default `:80`/`:443` port
+    *   - strip trailing `/` runs from the path
+    *   - drop empty and `utm_`-prefixed query params, sort the rest
+    *     byte-order, re-join with `&`; drop the `?` when none survive
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = substring_index(noFrag, "://", -1)
+    val host0 = substring_index(rest, "/", 1)
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(80|443)$", "")
+    val pathq = rest.substr(length(host0) + 1, lit(1 << 20))
+    val path = regexp_replace(substring_index(pathq, "?", 1), "/+$", "")
+    val query = when(instr(pathq, "?") > 0,
+      pathq.substr(instr(pathq, "?") + 1, lit(1 << 20))).otherwise(lit(""))
+    val params = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= lit("") && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
+  /** Collapse `df` to one row per canonical URL: (url, n, keep_id) with
+    * `keep_id` = the minimum id (first-crawled-wins under monotonic
+    * ids) and `n` the collapsed count. Join survivors back on `keep_id`
+    * to materialize the deduped corpus.
+    */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("url"), col(idCol))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+}
