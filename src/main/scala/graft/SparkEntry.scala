@@ -980,6 +980,30 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // search PAGINATION + SCORE CUT through the connector — the
+    // backend's offset / score_threshold query params: the store serves
+    // page 2 (offset=4, k=6) of the >=0.25 slice in ONE scored fetch
+    // (offset deepens the heap, threshold filters before insertion);
+    // nothing above the scan re-sorts or re-filters
+    "dsv2_search_page" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("page_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 5)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "page_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "6")
+        .option("search.offset", "4")
+        .option("search.scoreThreshold", "0.25")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // COUNT(*) through the connector resolves as a store metadata hit
     // (CollectionCountScan, asserted in CollectionDataSourceSpec) — the
     // cardinality call every catalog issues, without scanning a point
@@ -3475,6 +3499,16 @@ object SparkEntry {
         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
         |  FROM embeddings e, q
         |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_search_page" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) >= 0.25
+        |  ORDER BY s DESC, id ASC LIMIT 6 OFFSET 4)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     "dsv2_stream_pipeline" ->

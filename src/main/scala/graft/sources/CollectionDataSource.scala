@@ -55,12 +55,24 @@ object LogOps {
   * (Spark string semantics).
   */
 final case class SearchSpec(field: String, query: Array[Double],
-                            metric: String, k: Int) {
+                            metric: String, k: Int,
+                            offset: Int = 0,
+                            scoreThreshold: Option[Double] = None) {
   require(k > 0, s"search.k must be positive, got $k")
+  require(offset >= 0, s"search.offset must be >= 0, got $offset")
   require(SearchSpec.Metrics(metric),
     s"search.metric must be one of ${SearchSpec.Metrics.mkString("/")}, got '$metric'")
   /** Compact display form for plan descriptions / EXPLAIN assertions. */
-  def describe: String = s"$metric($field, dim=${query.length}, k=$k)"
+  def describe: String = s"$metric($field, dim=${query.length}, k=$k)" +
+    (if (offset > 0) s", offset=$offset" else "") +
+    scoreThreshold.map(t => s", threshold=$t").getOrElse("")
+
+  /** Does raw score `s` pass the threshold? The backend's
+    * `score_threshold` convention: a MINIMUM for similarity metrics
+    * (higher = better), a MAXIMUM for euclid distance.
+    */
+  def passes(s: Double): Boolean = scoreThreshold.forall(t =>
+    if (SearchSpec.descending(metric)) s >= t else s <= t)
 }
 
 object SearchSpec {
@@ -79,7 +91,10 @@ object SearchSpec {
       SearchSpec(field,
         vec.split(",").map(s => java.lang.Double.parseDouble(s.trim)),
         Option(o.get("search.metric")).getOrElse("cosine"),
-        o.getInt("search.k", 10))
+        o.getInt("search.k", 10),
+        o.getInt("search.offset", 0),
+        Option(o.get("search.scoreThreshold"))
+          .map(java.lang.Double.parseDouble))
     }
 
   /** `true` when a larger score is better under `metric` (euclid ranks
@@ -181,13 +196,19 @@ trait CollectionStore extends Serializable {
     }
     val heap = new scala.collection.mutable.PriorityQueue[(Point, Double)]()(
       worstFirst.reverse)
+    // the heap holds the PAGE WINDOW: offset skipped rows + k returned
+    // (the backend's search pagination — offset is a deeper top, not a
+    // second scan); threshold filters BEFORE insertion so below-cut
+    // points never occupy capacity
+    val capacity = spec.k + spec.offset
     val fetchFields = (vectorFields :+ spec.field).distinct
     queryPoints(collection, 0L, pointCount(collection), withPayload,
         fetchFields, None)
       .foreach { p =>
         p.dense.get(spec.field).flatMap(v =>
-            SearchSpec.score(spec.metric, v, spec.query)).foreach { s =>
-          if (heap.size < spec.k) heap.enqueue((p, s))
+            SearchSpec.score(spec.metric, v, spec.query))
+          .filter(spec.passes).foreach { s =>
+          if (heap.size < capacity) heap.enqueue((p, s))
           else if (worstFirst.compare((p, s), heap.head) > 0) {
             heap.dequeue(); heap.enqueue((p, s))
           }
@@ -195,7 +216,7 @@ trait CollectionStore extends Serializable {
       }
     val keep = vectorFields.toSet
     val drained: List[(Point, Double)] = heap.dequeueAll.toList
-    drained.reverse.map { case (p, s) =>
+    drained.reverse.drop(spec.offset).map { case (p, s) =>
       // drop the scored field if the fetch spec did not request it
       (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s)
     }

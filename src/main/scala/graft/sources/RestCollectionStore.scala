@@ -378,13 +378,15 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                             withPayload: Boolean,
                             vectorFields: Seq[String]): Seq[(Point, Double)] = {
     val desc = descriptor(collection)
-    val body = JObject(
-      "query" -> JArray(spec.query.toList.map(JDouble(_))),
+    val body = JObject(List(
+      "query" -> (JArray(spec.query.toList.map(JDouble(_))): JValue),
       "using" -> JString(spec.field),
       "limit" -> JInt(spec.k),
       "params" -> JObject("metric" -> JString(spec.metric)),
       "with_payload" -> JBool(withPayload),
-      "with_vector" -> JArray(vectorFields.toList.map(JString(_))))
+      "with_vector" -> JArray(vectorFields.toList.map(JString(_)))) ++
+      (if (spec.offset > 0) List("offset" -> (JInt(spec.offset): JValue)) else Nil) ++
+      spec.scoreThreshold.map(t => "score_threshold" -> (JDouble(t): JValue)).toList)
     CollectionWire.result(
       post(s"/collections/$collection/points/query", body)) \ "points" match {
       case JArray(ps) => ps.map(CollectionWire.parseScored(desc, _))
@@ -404,11 +406,13 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                         vectorFields: Seq[String]): Seq[Seq[(Point, Double)]] = {
     val desc = descriptor(collection)
     val body = JObject(
-      "searches" -> JArray(specs.toList.map(sp => JObject(
-        "query" -> JArray(sp.query.toList.map(JDouble(_))),
+      "searches" -> JArray(specs.toList.map(sp => JObject(List(
+        "query" -> (JArray(sp.query.toList.map(JDouble(_))): JValue),
         "using" -> JString(sp.field),
         "limit" -> JInt(sp.k),
-        "params" -> JObject("metric" -> JString(sp.metric))): JValue)),
+        "params" -> JObject("metric" -> JString(sp.metric))) ++
+        (if (sp.offset > 0) List("offset" -> (JInt(sp.offset): JValue)) else Nil) ++
+        sp.scoreThreshold.map(t => "score_threshold" -> (JDouble(t): JValue)).toList): JValue)),
       "with_payload" -> JBool(withPayload),
       "with_vector" -> JArray(vectorFields.toList.map(JString(_))))
     CollectionWire.result(
@@ -601,11 +605,19 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           throw new IllegalArgumentException("missing 'using' (vector field name)"))
         val metric = CollectionWire.optStr(b \ "params" \ "metric").getOrElse("cosine")
         val k = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
+        val off = CollectionWire.optLong(b \ "offset").map(_.toInt).getOrElse(0)
+        val thr = b \ "score_threshold" match {
+          case JDouble(t) => Some(t)
+          case JInt(t) => Some(t.toDouble)
+          case JDecimal(t) => Some(t.toDouble)
+          case _ => None
+        }
         val fields = b \ "with_vector" match {
           case JArray(fs) => fs.flatMap(f => CollectionWire.optStr(f))
           case _ => Seq.empty
         }
-        val scored = store.searchPoints(c, SearchSpec(using, query, metric, k),
+        val scored = store.searchPoints(c,
+          SearchSpec(using, query, metric, k, off, thr),
           b \ "with_payload" == JBool(true), fields)
         CollectionWire.okEnvelope(JObject("points" -> JArray(
           scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
@@ -635,7 +647,15 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
             throw new IllegalArgumentException("missing 'using' in batch entry"))
           val metric = CollectionWire.optStr(sb \ "params" \ "metric").getOrElse("cosine")
           val k = CollectionWire.optLong(sb \ "limit").map(_.toInt).getOrElse(10)
-          val scored = store.searchPoints(c, SearchSpec(using, query, metric, k),
+          val off = CollectionWire.optLong(sb \ "offset").map(_.toInt).getOrElse(0)
+          val thr = sb \ "score_threshold" match {
+            case JDouble(t) => Some(t)
+            case JInt(t) => Some(t.toDouble)
+            case JDecimal(t) => Some(t.toDouble)
+            case _ => None
+          }
+          val scored = store.searchPoints(c,
+            SearchSpec(using, query, metric, k, off, thr),
             withPayload, fields)
           JObject("points" -> JArray(
             scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)): JValue

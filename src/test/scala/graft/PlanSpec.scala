@@ -39,6 +39,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("v_cosine"), p)
   }
 
+  test("dsv2_search_page: offset and threshold ride the pushed query, nothing re-filters above") {
+    val p = plan("dsv2_search_page")
+    assert(p.contains("CollectionSearchScan"), p)
+    assert(p.contains("search=cosine(vector, dim=64, k=6), offset=4, threshold=0.25"), p)
+    // pagination + cut are store-side: no sort, rank, or score filter above
+    assert(!p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+    assert(!p.contains("FilterExec"), p)
+  }
+
   test("q1_agg: partial aggregation before the shuffle") {
     val p = plan("q1_agg")
     // two HashAggregates (partial + final) around one Exchange

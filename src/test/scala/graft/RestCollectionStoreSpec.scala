@@ -116,6 +116,35 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("search offset and score_threshold cross the wire with client==inner parity") {
+    // offset pages INTO the ranking: page 2 of 2s continues page 1 of 4
+    val whole = SearchSpec("text_embedding", Array(1.0, 0.5), "cosine", 4)
+    val page2 = SearchSpec("text_embedding", Array(1.0, 0.5), "cosine", 2, offset = 2)
+    val w = inner.searchPoints("c", whole, withPayload = false, Seq.empty)
+    val g = client.searchPoints("c", page2, withPayload = false, Seq.empty)
+    assert(g.map { case (p, s) => (p.id, s) } ===
+      w.drop(2).map { case (p, s) => (p.id, s) })
+    // threshold: client == inner, every survivor clears the cut
+    val cut = w(1)._2 // between rank 1 and 2 exclusive of later ranks
+    val thr = SearchSpec("text_embedding", Array(1.0, 0.5), "cosine", 10,
+      scoreThreshold = Some(cut))
+    val gt = client.searchPoints("c", thr, withPayload = false, Seq.empty)
+    val wt = inner.searchPoints("c", thr, withPayload = false, Seq.empty)
+    assert(gt.map { case (p, s) => (p.id, s) } ===
+      wt.map { case (p, s) => (p.id, s) })
+    assert(gt.forall(_._2 >= cut) && gt.nonEmpty)
+    // euclid flips the threshold direction: a MAXIMUM distance
+    val ed = inner.searchPoints("c",
+      SearchSpec("text_embedding", Array(1.0, 0.5), "euclid", 20),
+      withPayload = false, Seq.empty)
+    val ecut = ed(2)._2
+    val et = client.searchPoints("c",
+      SearchSpec("text_embedding", Array(1.0, 0.5), "euclid", 20,
+        scoreThreshold = Some(ecut)),
+      withPayload = false, Seq.empty)
+    assert(et.forall(_._2 <= ecut) && et.size === 3)
+  }
+
   test("collection catalog round-trips: names, counts, descriptors") {
     assert(client.collectionNames === inner.collectionNames)
     assert(client.pointCount("c") === 20L)
