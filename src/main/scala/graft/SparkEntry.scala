@@ -920,6 +920,18 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // FACET over the wire (the backend's points/facet API): the remote
+    // service owns the payload pass, only the (value, count) hit list
+    // crosses back — the admin/faceted-navigation call every catalog UI
+    // issues, servable from a payload index without touching the corpus
+    "dsv2_rest_facet" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val client = new RestCollectionStore(SparkEntry.restBackedUrl(s, dir))
+      client.facetCounts("embeddings", "label", limit = 5)
+        .toDF("value", "n")
+    }),
+
     // WRITES over the wire: the connector's batch write commits through
     // the REST client (PUT points — Qdrant's upsert surface), the remote
     // service owns the RMW, and the read-back round-trips through the
@@ -3465,6 +3477,11 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_rest_facet" ->
+      """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+        |FROM embeddings
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
 
     // per-spec rank on RAW similarity (the server ranks unrounded, id
     // tiebreak), round only for output — same contract as the single

@@ -222,6 +222,43 @@ trait CollectionStore extends Serializable {
     }
   }
 
+  /** FACET over a payload key (the backend's `/points/facet` API):
+    * exact counts of each distinct scalar value of top-level `key`
+    * across the collection, top `limit` by count desc (value ascending
+    * — Spark string order — on ties). Values render as the engine's
+    * `json_get` renders scalars (numbers/bools unquoted, strings raw);
+    * points without the key, with a null value, or with a non-scalar
+    * value carry no hit. Default: one payload-only pass over
+    * [[queryPoints]] (the exact-facet semantics); a capable backend
+    * serves this from its payload index — [[graft.ops.Planner]]'s
+    * index stats are precisely this table.
+    */
+  def facetCounts(collection: String, key: String, limit: Int): Seq[(String, Long)] = {
+    require(limit > 0, s"facet limit must be positive, got $limit")
+    import org.json4s._
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    queryPoints(collection, 0L, pointCount(collection),
+        withPayload = true, Seq.empty, None)
+      .foreach { p =>
+        for {
+          j <- p.payload
+          parsed <- org.json4s.jackson.JsonMethods.parseOpt(j)
+          v <- parsed \ key match {
+            case JString(s) => Some(s)
+            case JInt(i) => Some(i.toString)
+            case JLong(l) => Some(l.toString)
+            case JDouble(d) => Some(d.toString)
+            case JDecimal(d) => Some(d.toString)
+            case JBool(b) => Some(b.toString)
+            case _ => None // absent, null, or non-scalar
+          }
+        } counts.update(v, counts.getOrElse(v, 0L) + 1L)
+      }
+    counts.toSeq.sortWith { case ((v1, n1), (v2, n2)) =>
+      if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
+    }.take(limit)
+  }
+
   /** Change-log length for `collection` — the micro-batch streaming
     * source's offset domain. A store that cannot replay its history
     * (no change log) does not support streaming reads.
@@ -258,6 +295,8 @@ private[sources] object SparkStringOrder {
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) > 0
+
+  def lt(a: String, b: String): Boolean = gt(b, a)
 }
 
 /** JVM-local store registry. In local[*] (one JVM) executors see the

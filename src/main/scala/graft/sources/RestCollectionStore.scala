@@ -394,6 +394,26 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** FACET over the wire (Qdrant's `points/facet` surface): the service
+    * owns the payload pass (or serves from its index) — only the
+    * (value, count) hit list crosses back, in the seam's ranking order.
+    */
+  override def facetCounts(collection: String, key: String,
+                           limit: Int): Seq[(String, Long)] = {
+    require(limit > 0, s"facet limit must be positive, got $limit")
+    CollectionWire.result(post(s"/collections/$collection/points/facet",
+      JObject("key" -> JString(key), "limit" -> JInt(limit)))) \ "hits" match {
+      case JArray(hs) => hs.map { h =>
+        val v = CollectionWire.optStr(h \ "value").getOrElse(
+          throw new IllegalArgumentException(s"facet hit without value: $h"))
+        val n = CollectionWire.optLong(h \ "count").getOrElse(
+          throw new IllegalArgumentException(s"facet hit without count: $h"))
+        (v, n)
+      }
+      case _ => Seq.empty
+    }
+  }
+
   /** BATCHED scored queries (Qdrant's `points/query/batch` surface): N
     * query specs answered in ONE round trip — at N queries per trip the
     * per-request latency amortizes across the batch, the wire analog of
@@ -567,6 +587,17 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
       case ("POST", "collections" :: c :: "points" :: "count" :: Nil) =>
         store.collectionInfo(c) // 404 for unknown collections, not a raw key error
         CollectionWire.okEnvelope(JObject("count" -> JLong(store.pointCount(c))))
+
+      case ("POST", "collections" :: c :: "points" :: "facet" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("facet requires 'key'"))
+        val limit = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
+        CollectionWire.okEnvelope(JObject("hits" -> JArray(
+          store.facetCounts(c, key, limit).map { case (v, n) =>
+            JObject("value" -> JString(v), "count" -> JLong(n)): JValue
+          }.toList)))
 
       case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>
         val b = readBody(ex)

@@ -145,6 +145,36 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(et.forall(_._2 <= ecut) && et.size === 3)
   }
 
+  test("facet crosses the wire with client==inner parity") {
+    // "c"'s payloads are deliberately MALFORMED JSON (the byte-fidelity
+    // fixture) — facet must skip them all rather than fail
+    assert(client.facetCounts("c", "i", limit = 10) === Seq.empty)
+    // a clean-payload collection: mod-3 classes with planted counts
+    val fdesc = CollectionDescriptor("f", Seq(DenseField("v", 2)))
+    val fpts = (0 until 12).map { i =>
+      Point(f"$i%03d",
+        payload =
+          if (i == 11) None
+          else Some(s"""{"m": ${i % 3}, "t": "c${i % 3}"}"""),
+        dense = Map("v" -> Array(i.toFloat, 1f)),
+        multi = Map.empty, sparse = Map.empty)
+    }
+    val finner = InMemoryCollectionStore.single("f", fdesc, fpts.toIndexedSeq)
+    CollectionStores.register("rest_facet_spec", finner)
+    val fsrv = new CollectionHttpServer("rest_facet_spec").start()
+    try {
+      val fclient = new RestCollectionStore(fsrv.baseUrl)
+      val g = fclient.facetCounts("f", "m", limit = 10)
+      assert(g === finner.facetCounts("f", "m", limit = 10))
+      // 0,3,6,9 -> "0"x4; 1,4,7,10 -> "1"x4; 2,5,8 -> "2"x3 (11 is null)
+      assert(g === Seq("0" -> 4L, "1" -> 4L, "2" -> 3L))
+      // string-valued key, limit truncation, unknown key
+      assert(fclient.facetCounts("f", "t", limit = 2) ===
+        Seq("c0" -> 4L, "c1" -> 4L))
+      assert(fclient.facetCounts("f", "nope", limit = 5) === Seq.empty)
+    } finally fsrv.stop()
+  }
+
   test("collection catalog round-trips: names, counts, descriptors") {
     assert(client.collectionNames === inner.collectionNames)
     assert(client.pointCount("c") === 20L)
