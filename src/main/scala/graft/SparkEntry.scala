@@ -2202,6 +2202,24 @@ object SparkEntry {
     })
   )
 
+  /** Deterministically messy raw URLs derived from the documents table —
+    * planted aliasing (host case, www. prefixes, :443 ports, trailing
+    * slashes, utm params, query order) shared by the dedup_url and
+    * url_host_filter gates; the oracles re-derive the same strings.
+    */
+  private def rawUrl: Column = concat(
+    lit("https://"),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+    lit(".Example.COM"),
+    when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+    lit("/docs/"), (col("doc_id") % 40).cast(StringType),
+    when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+      .when(col("doc_id") % 4 === 1, lit("?b=2&a=1"))
+      .when(col("doc_id") % 4 === 2, lit("?a=1&b=2"))
+      .otherwise(lit("")))
+
   /** Training-data pipeline operators: dedup, text analysis, ANN, media. */
   private val pipelineOps: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -2215,22 +2233,19 @@ object SparkEntry {
     // param order — so syntactically distinct raw strings collapse to
     // one canonical key; one codegen projection + one partial-agg
     // groupBy
-    "dedup_url" -> ((s, dir) => {
-      val raw = concat(
-        lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
-        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
-        lit(".Example.COM"),
-        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
-        lit("/docs/"), (col("doc_id") % 40).cast(StringType),
-        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
-          .when(col("doc_id") % 4 === 1, lit("?b=2&a=1"))
-          .when(col("doc_id") % 4 === 2, lit("?a=1&b=2"))
-          .otherwise(lit("")))
+    "dedup_url" -> ((s, dir) =>
       graft.ops.Url.dedupByUrl(
-        docs(s, dir).withColumn("url", raw), "doc_id", "url")
-    }),
+        docs(s, dir).withColumn("url", rawUrl), "doc_id", "url")),
+
+    // domain-blocklist filtering (the OTHER half of the URL stage:
+    // RefinedWeb/FineWeb drop curated domains before any content work):
+    // the blocklist is model state inlined as one codegen predicate —
+    // no join, no shuffle, a free rider on the first corpus scan
+    "url_host_filter" -> ((s, dir) =>
+      graft.ops.Url.filterBlockedHosts(
+        docs(s, dir).withColumn("url", rawUrl), "url",
+        Seq("src3.example.com", "src7.example.com", "blocked.example.net"))
+        .select(col("doc_id"), graft.ops.Url.hostOf(col("url")).as("host"))),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
@@ -4568,6 +4583,14 @@ object SparkEntry {
         |             FROM c5) q)
         |SELECT url, COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM c6 GROUP BY url ORDER BY url""".stripMargin,
+
+    // the derivation's canonical host is lower(source) || '.example.com'
+    // by construction (the dedup_url oracle validates the full
+    // canonicalization chain; this one value-checks the FILTER)
+    "url_host_filter" ->
+      """SELECT doc_id, lower(source) || '.example.com' AS host
+        |FROM documents WHERE source NOT IN ('src3', 'src7')
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH c AS (SELECT doc_id, text, lang, source FROM documents

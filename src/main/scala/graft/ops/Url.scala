@@ -58,4 +58,29 @@ object Url {
     df.select(canonicalizeUrl(col(urlCol)).as("url"), col(idCol))
       .groupBy(col("url"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** The canonical host of a URL (lowercase, `www.`/default-port
+    * stripped) — the blocklist key of the URL-filtering stage.
+    */
+  def hostOf(u: Column): Column = {
+    val rest = substring_index(substring_index(u, "#", 1), "://", -1)
+    regexp_replace(regexp_replace(
+      lower(substring_index(rest, "/", 1)), "^www\\.", ""), ":(80|443)$", "")
+  }
+
+  /** Drop rows whose canonical host is on `blocked` or under a blocked
+    * domain (suffix match on dot boundaries: blocking `example.com`
+    * blocks `a.example.com` but not `notexample.com`) — the public
+    * web-pipeline blocklist pass (RefinedWeb/FineWeb filter on curated
+    * domain lists before any content work). The blocklist is model
+    * state: it inlines as one codegen OR-chain per row, no join, no
+    * shuffle — at 100 TB this is a free rider on the first corpus scan.
+    */
+  def filterBlockedHosts(df: DataFrame, urlCol: String,
+                         blocked: Seq[String]): DataFrame = {
+    val h = hostOf(col(urlCol))
+    val hit = blocked.map(b => h === b || h.endsWith("." + b))
+      .foldLeft(lit(false))(_ || _)
+    df.filter(!hit)
+  }
 }

@@ -115,6 +115,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(identity))
   }
 
+  test("streaming URL dedup: canonicalize is map-side, first fetch per key survives") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // URL canonicalization is one codegen projection, so the web
+    // pipeline's first dedup pass runs on the ingest stream itself:
+    // canonical key + dropDuplicates keyed state = first-crawled-wins
+    val src = Files.createTempDirectory("graft-url-stream")
+    val raws = Seq(
+      (1L, "https://WWW.Example.com/a?b=2&a=1"),
+      (2L, "https://example.com:443/a/?a=1&b=2&utm_campaign=z"),
+      (3L, "https://example.com/a?a=1&b=2#frag"),
+      (4L, "https://example.com/b?a=1&b=2"),
+      (5L, "https://other.example.com/b"))
+    raws.toDF("id", "url").repartition(1)
+      .write.mode("overwrite").parquet(src.toString)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType)))
+    val streamed = spark.readStream.schema(schema).parquet(src.toString)
+      .withColumn("canon", graft.ops.Url.canonicalizeUrl(col("url")))
+      .dropDuplicates("canon")
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("url_dedup_out")
+      .select("canon").collect().map(_.getString(0)).toSet
+    // one survivor per canonical key, same key set as the batch dedup
+    val batch = graft.ops.Url.dedupByUrl(raws.toDF("id", "url"), "id", "url")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept === batch)
+    assert(kept.size === 3)
+  }
+
   test("streaming BPE encode: streamed docs get the batch subword counts") {
     import org.apache.spark.sql.types._
     // the merge table is trained OFFLINE (batch — the model a tokenizer

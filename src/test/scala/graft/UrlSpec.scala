@@ -43,6 +43,20 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://example.com/a?utmx=1") === "https://example.com/a?utmx=1")
   }
 
+  test("blocklist drops hosts and subdomains on dot boundaries only") {
+    val df = Seq(
+      (1L, "https://WWW.Bad.example/x"),
+      (2L, "https://sub.bad.example/x"),
+      (3L, "https://notbad.example/x"),
+      (4L, "https://good.example:443/x")
+    ).toDF("id", "url")
+    val kept = Url.filterBlockedHosts(df, "url", Seq("bad.example"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L)) // www.+case and subdomain blocked; prefix-similar host survives
+    assert(Seq(Tuple1("https://WWW.A.B:443/p?q=1")).toDF("url")
+      .select(Url.hostOf(col("url"))).head().getString(0) === "a.b")
+  }
+
   test("aliased fetches collapse to one key, distinct resources do not") {
     val df = Seq(
       (1L, "https://WWW.Example.com/a?b=2&a=1"),
