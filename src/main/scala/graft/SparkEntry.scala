@@ -184,6 +184,37 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** One registered store holding BOTH generations of the homogeneous
+    * collection (`embeddings` and the reindexed `embeddings_v2`) — the
+    * alias-swap fixture: built once per dir, the gate only flips the
+    * alias (the zero-downtime production move the alias API exists for).
+    */
+  private val aliasStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def aliasStoreOf(s: SparkSession, dir: String): String =
+    aliasStoreCache.getOrElseUpdate(dir, {
+      import graft.sources._
+      val d1 = Collections.homogeneousDescriptor.copy(name = "embeddings")
+      val d2 = Collections.homogeneousDescriptor.copy(name = "embeddings_v2")
+      val v2 = hom(s, dir).select(col("id"),
+        concat(lit("""{"v":2,"orig":"""), col("payload"), lit("}")).as("payload"),
+        col("vector"))
+      def pts(df: DataFrame, coll: String,
+              d: graft.collections.CollectionDescriptor) = {
+        val st = InMemoryCollectionStore.fromRows(df, coll, d)
+        st.queryPoints(coll, 0L, st.pointCount(coll),
+          withPayload = true, Seq("vector"), None).toIndexedSeq
+      }
+      val name = s"alias_store_${Integer.toHexString(dir.hashCode)}"
+      CollectionStores.register(name, new InMemoryCollectionStore(
+        Map("embeddings" -> d1, "embeddings_v2" -> d2),
+        Map("embeddings" -> pts(hom(s, dir).select("id", "payload", "vector"),
+            "embeddings", d1),
+          "embeddings_v2" -> pts(v2, "embeddings_v2", d2))))
+      name
+    })
+
   /** One server fronting the WRITABLE remote collection (registry name
     * `rest_write_backend`): gates reset the backend to an empty
     * collection per invocation — the server resolves the store by name
@@ -918,6 +949,24 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "12")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // collection ALIASES (the backend's zero-downtime swap API): readers
+    // address the alias `live`; the reindexed generation goes live with
+    // ONE atomic alias update — the gate reads through the alias AFTER
+    // the swap and must see only the new generation (both generations
+    // pre-built offline; the gate measures the flip + the aliased read)
+    "dsv2_alias_swap" -> ((s, dir) => {
+      import graft.sources._
+      import graft.sources.AliasedCollectionStore._
+      val store = SparkEntry.aliasStoreOf(s, dir)
+      updateAliases(store, Seq(CreateAlias("live", "embeddings")))
+      updateAliases(store, Seq(
+        DeleteAlias("live"), CreateAlias("live", "embeddings_v2")))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", store).option("collection", "live")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     }),
 
     // FACET over the wire (the backend's points/facet API): the remote
@@ -3497,6 +3546,11 @@ object SparkEntry {
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    "dsv2_alias_swap" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       '{"v":2,"orig":' || to_json({'label': label}) || '}' AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     // per-spec rank on RAW similarity (the server ranks unrounded, id
     // tiebreak), round only for output — same contract as the single

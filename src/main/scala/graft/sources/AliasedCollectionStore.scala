@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.collections.CollectionDescriptor
+
+/** Collection ALIASES — the backend's zero-downtime indirection (Qdrant's
+  * alias API: production readers address an alias; a reindex builds a new
+  * collection out-of-band, then one atomic alias update flips every
+  * reader to it — the pattern its docs prescribe for embedding-model
+  * upgrades). Re-expressed at the `CollectionStore` seam as a wrapper
+  * that works over ANY store implementation (in-memory, parquet, wire):
+  * every call resolves the collection name through the alias map ONCE
+  * (aliases point at collections, not at other aliases — same
+  * single-level rule as the backend), and the swap is an atomic
+  * [[CollectionStores.update]] replacing the wrapper, so concurrent
+  * readers see either wholly-old or wholly-new resolution, never a mix.
+  */
+final class AliasedCollectionStore(
+    val inner: CollectionStore,
+    val aliases: Map[String, String]) extends CollectionStore {
+
+  require(aliases.valuesIterator.forall(t => !aliases.contains(t)),
+    s"aliases must point at collections, not at other aliases: $aliases")
+
+  private def r(collection: String): String =
+    aliases.getOrElse(collection, collection)
+
+  override def collectionInfo(collection: String): CollectionDescriptor =
+    inner.collectionInfo(r(collection))
+  override def pointCount(collection: String): Long =
+    inner.pointCount(r(collection))
+  /** Aliases are listable names: SHOW TABLES through the catalog sees
+    * them next to the concrete collections, exactly like the backend's
+    * alias listing.
+    */
+  override def collectionNames: Seq[String] =
+    (inner.collectionNames ++ aliases.keys).distinct.sorted
+  override def queryPoints(collection: String, from: Long, until: Long,
+                           withPayload: Boolean, vectorFields: Seq[String],
+                           limit: Option[Int],
+                           idFilter: Option[Set[String]] = None,
+                           idLower: Option[String] = None): Iterator[Point] =
+    inner.queryPoints(r(collection), from, until, withPayload, vectorFields,
+      limit, idFilter, idLower)
+  override def searchPoints(collection: String, spec: SearchSpec,
+                            withPayload: Boolean,
+                            vectorFields: Seq[String]): Seq[(Point, Double)] =
+    inner.searchPoints(r(collection), spec, withPayload, vectorFields)
+  override def facetCounts(collection: String, key: String,
+                           limit: Int): Seq[(String, Long)] =
+    inner.facetCounts(r(collection), key, limit)
+  override def logSize(collection: String): Long = inner.logSize(r(collection))
+  override def logStart(collection: String): Long = inner.logStart(r(collection))
+  override def logEntries(collection: String, from: Long,
+                          until: Long): Iterator[LogEntry] =
+    inner.logEntries(r(collection), from, until)
+}
+
+object AliasedCollectionStore {
+
+  /** One alias action (the backend's `update_aliases` request carries a
+    * list of these, applied as one atomic batch).
+    */
+  sealed trait AliasAction
+  final case class CreateAlias(alias: String, collection: String) extends AliasAction
+  final case class DeleteAlias(alias: String) extends AliasAction
+
+  /** Apply `actions` to registered store `storeName` ATOMICALLY: deletes
+    * and (re)creations land as one wrapper swap — a reader either sees
+    * the full old alias map or the full new one. Creating an alias that
+    * exists re-points it (the backend's swap idiom is delete+create in
+    * one batch; plain re-create does the same here).
+    */
+  def updateAliases(storeName: String, actions: Seq[AliasAction]): Unit =
+    CollectionStores.update(storeName) { s =>
+      val (inner, current) = s match {
+        case a: AliasedCollectionStore => (a.inner, a.aliases)
+        case other => (other, Map.empty[String, String])
+      }
+      val next = actions.foldLeft(current) {
+        case (m, CreateAlias(a, c)) => m.updated(a, c)
+        case (m, DeleteAlias(a)) => m - a
+      }
+      if (next.isEmpty) inner else new AliasedCollectionStore(inner, next)
+    }
+
+  /** The alias map of registered store `storeName` (empty when none). */
+  def listAliases(storeName: String): Map[String, String] =
+    CollectionStores.get(storeName) match {
+      case a: AliasedCollectionStore => a.aliases
+      case _ => Map.empty
+    }
+}

@@ -394,6 +394,34 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** Alias update over the wire (Qdrant's `update_aliases` surface): the
+    * batch lands atomically server-side. A mutation — never auto-retried
+    * (same contract as every write on this client).
+    */
+  def updateAliases(actions: Seq[AliasedCollectionStore.AliasAction]): Unit = {
+    val body = JObject("actions" -> JArray(actions.toList.map {
+      case AliasedCollectionStore.CreateAlias(a, c) =>
+        JObject("create_alias" -> JObject(
+          "alias_name" -> JString(a), "collection_name" -> JString(c))): JValue
+      case AliasedCollectionStore.DeleteAlias(a) =>
+        JObject("delete_alias" -> JObject("alias_name" -> JString(a))): JValue
+    }))
+    CollectionWire.result(mutate("POST", "/collections/aliases", body))
+    ()
+  }
+
+  /** The service's alias map (alias -> collection), idempotent read. */
+  def listAliases(): Map[String, String] =
+    CollectionWire.result(get("/aliases")) \ "aliases" match {
+      case JArray(as) => as.flatMap { a =>
+        for {
+          n <- CollectionWire.optStr(a \ "alias_name")
+          c <- CollectionWire.optStr(a \ "collection_name")
+        } yield n -> c
+      }.toMap
+      case _ => Map.empty
+    }
+
   /** FACET over the wire (Qdrant's `points/facet` surface): the service
     * owns the payload pass (or serves from its index) — only the
     * (value, count) hit list crosses back, in the seam's ranking order.
@@ -579,6 +607,43 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
       case ("GET", "collections" :: Nil) =>
         CollectionWire.okEnvelope(JObject("collections" -> JArray(
           store.collectionNames.toList.map(n => JObject("name" -> JString(n))))))
+
+      // alias surface (the backend's zero-downtime swap API): one atomic
+      // batch of create/delete actions lands as one wrapper swap on the
+      // fronted store — remote readers see wholly-old or wholly-new
+      case ("POST", "collections" :: "aliases" :: Nil) =>
+        val b = readBody(ex)
+        val actions = b \ "actions" match {
+          case JArray(as) => as.map { a =>
+            (a \ "create_alias", a \ "delete_alias") match {
+              case (JObject(_), _) =>
+                AliasedCollectionStore.CreateAlias(
+                  CollectionWire.optStr(a \ "create_alias" \ "alias_name")
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"create_alias requires alias_name: $a")),
+                  CollectionWire.optStr(a \ "create_alias" \ "collection_name")
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"create_alias requires collection_name: $a")))
+              case (_, JObject(_)) =>
+                AliasedCollectionStore.DeleteAlias(
+                  CollectionWire.optStr(a \ "delete_alias" \ "alias_name")
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"delete_alias requires alias_name: $a")))
+              case _ => throw new IllegalArgumentException(s"bad alias action: $a")
+            }
+          }
+          case other => throw new IllegalArgumentException(s"missing actions: $other")
+        }
+        AliasedCollectionStore.updateAliases(storeName, actions)
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("GET", "aliases" :: Nil) =>
+        CollectionWire.okEnvelope(JObject("aliases" -> JArray(
+          AliasedCollectionStore.listAliases(storeName).toList.sortBy(_._1)
+            .map { case (a, c) =>
+              JObject("alias_name" -> JString(a),
+                "collection_name" -> JString(c)): JValue
+            })))
 
       case ("GET", "collections" :: c :: Nil) =>
         CollectionWire.okEnvelope(
