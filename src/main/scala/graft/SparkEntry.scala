@@ -226,6 +226,16 @@ object SparkEntry {
     srv.baseUrl
   }
 
+  /** One server fronting the remote-DDL backend (registry name
+    * `rest_ddl_backend`): gates reset the backend per invocation so
+    * CREATE TABLE is re-runnable.
+    */
+  private lazy val restDdlUrl: String = {
+    val srv = new graft.sources.CollectionHttpServer("rest_ddl_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv.baseUrl
+  }
+
   /** Trained BPE model of `dir`'s documents (8 merges): training is the
     * offline batch job, built once per dir; both bpe gates consume the
     * one artifact (the merge table is the MODEL a tokenizer ships).
@@ -949,6 +959,30 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "12")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // SQL DDL against a REMOTE backend: CREATE TABLE ships the vectors
+    // config over the wire (the service owns the atomic existence
+    // check), INSERT commits via the wire upsert, the read-back
+    // round-trips — the full SQL table lifecycle against a remote node
+    "dsv2_rest_ddl" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_ddl_backend",
+        InMemoryCollectionStore.single("seed",
+          Collections.homogeneousDescriptor.copy(name = "seed"),
+          IndexedSeq.empty))
+      CollectionStores.register("rest_ddl_store",
+        new RestCollectionStore(SparkEntry.restDdlUrl))
+      s.conf.set("spark.sql.catalog.rddl_cat", "graft.sources.CollectionCatalog")
+      s.conf.set("spark.sql.catalog.rddl_cat.store", "rest_ddl_store")
+      s.sql("DROP TABLE IF EXISTS rddl_cat.remote_docs")
+      s.sql("CREATE TABLE rddl_cat.remote_docs " +
+        "(id STRING, payload STRING, vector ARRAY<FLOAT>)")
+      hom(s, dir).select("id", "payload", "vector")
+        .createOrReplaceTempView("__rddl_src")
+      s.sql("INSERT INTO rddl_cat.remote_docs " +
+        "SELECT id, payload, vector FROM __rddl_src WHERE CAST(id AS BIGINT) % 5 = 0")
+      s.sql("SELECT id, payload FROM rddl_cat.remote_docs ORDER BY id")
     }),
 
     // collection ALIASES (the backend's zero-downtime swap API): readers
@@ -3551,6 +3585,11 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       '{"v":2,"orig":' || to_json({'label': label}) || '}' AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_rest_ddl" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY id""".stripMargin,
 
     // per-spec rank on RAW similarity (the server ranks unrounded, id
     // tiebreak), round only for output — same contract as the single

@@ -76,14 +76,27 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
     // is check-then-act — two concurrent CREATEs of the same name could
     // both pass and the loser's (empty) collection would be silently
     // replaced instead of raising TableAlreadyExistsException.
-    CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore =>
-        if (mem.collectionNames.contains(ident.name()))
-          throw new TableAlreadyExistsException(
-            ident.namespace().toSeq :+ ident.name())
-        mem.withCollection(ident.name(), desc)
-      case other => throw new UnsupportedOperationException(
-        s"store ${other.getClass.getName} does not accept local DDL")
+    CollectionStores.get(storeName) match {
+      // REMOTE DDL: the wire client ships the config and the SERVICE owns
+      // the atomic existence check — plain SQL `CREATE TABLE` against a
+      // remote backend, the same path its native clients use
+      case rest: RestCollectionStore =>
+        try rest.createCollection(desc)
+        catch {
+          case _: IllegalStateException =>
+            throw new TableAlreadyExistsException(
+              ident.namespace().toSeq :+ ident.name())
+        }
+      case _ =>
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore =>
+            if (mem.collectionNames.contains(ident.name()))
+              throw new TableAlreadyExistsException(
+                ident.namespace().toSeq :+ ident.name())
+            mem.withCollection(ident.name(), desc)
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept local DDL")
+        }
     }
     new CollectionTable(storeName, ident.name(), partitions)
   }
@@ -94,12 +107,17 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
     // one computeIfPresent step so concurrent DROPs report exactly one
     // `true`.
     var dropped = false
-    CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore =>
-        if (!mem.collectionNames.contains(ident.name())) { dropped = false; mem }
-        else { dropped = true; mem.withoutCollection(ident.name()) }
-      case other => throw new UnsupportedOperationException(
-        s"store ${other.getClass.getName} does not accept local DDL")
+    CollectionStores.get(storeName) match {
+      case rest: RestCollectionStore =>
+        dropped = rest.deleteCollection(ident.name())
+      case _ =>
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore =>
+            if (!mem.collectionNames.contains(ident.name())) { dropped = false; mem }
+            else { dropped = true; mem.withoutCollection(ident.name()) }
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept local DDL")
+        }
     }
     dropped
   }

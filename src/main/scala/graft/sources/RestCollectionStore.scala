@@ -315,6 +315,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
           // the seam observe identical failures whichever backend is
           // registered
           case 404 => throw new IllegalArgumentException(CollectionWire.errorOf(r.body()))
+          case 409 => throw new IllegalStateException(CollectionWire.errorOf(r.body()))
           case 501 => throw new UnsupportedOperationException(CollectionWire.errorOf(r.body()))
           case code => throw new RuntimeException(
             s"collection service $code at ${req.uri()}: ${CollectionWire.errorOf(r.body())}")
@@ -392,6 +393,32 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       case JArray(ps) => ps.map(CollectionWire.parseScored(desc, _))
       case _ => Seq.empty
     }
+  }
+
+  /** CREATE a collection remotely (Qdrant's `PUT /collections/{name}`):
+    * ships the descriptor's vectors/sparse config in the same wire shape
+    * [[collectionInfo]] reads back, so DDL round-trips exactly. The
+    * SERVICE owns the existence check (an existing name raises
+    * IllegalStateException — the already-exists contract the catalog
+    * maps to its SQL exception). A mutation — never auto-retried.
+    */
+  def createCollection(desc: CollectionDescriptor): Unit = {
+    val cfg = CollectionWire.descriptorJson(desc, 0L) \ "config" \ "params"
+    CollectionWire.result(mutate("PUT", s"/collections/${desc.name}", cfg))
+    descCache.remove(desc.name)
+    ()
+  }
+
+  /** DROP a collection remotely (Qdrant's `DELETE /collections/{name}`):
+    * returns false when the name did not exist (the catalog's dropTable
+    * contract), true when the service removed it.
+    */
+  def deleteCollection(name: String): Boolean = {
+    descCache.remove(name)
+    try {
+      CollectionWire.result(mutate("DELETE", s"/collections/$name", JObject()))
+      true
+    } catch { case _: IllegalArgumentException => false } // 404 = absent
   }
 
   /** Alias update over the wire (Qdrant's `update_aliases` surface): the
@@ -577,6 +604,8 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
       } catch {
         case e: IllegalArgumentException =>
           (404, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("not found")))
+        case e: IllegalStateException =>
+          (409, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("conflict")))
         case e: UnsupportedOperationException =>
           (501, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("unsupported")))
         case e: Throwable =>
@@ -644,6 +673,32 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
               JObject("alias_name" -> JString(a),
                 "collection_name" -> JString(c)): JValue
             })))
+
+      // remote DDL (the backend's create/delete collection surface): the
+      // SERVICE owns the existence check inside the atomic registry
+      // update, so two concurrent remote CREATEs of one name cannot both
+      // win; the body is the same config shape collection info reads back
+      case ("PUT", "collections" :: c :: Nil) =>
+        val desc = CollectionWire.parseDescriptor(c,
+          JObject("config" -> JObject("params" -> readBody(ex))))
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore =>
+            if (mem.collectionNames.contains(c))
+              throw new IllegalStateException(s"collection '$c' already exists")
+            mem.withCollection(c, desc)
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept DDL")
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("DELETE", "collections" :: c :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        CollectionStores.update(storeName) {
+          case mem: InMemoryCollectionStore => mem.withoutCollection(c)
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} does not accept DDL")
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("GET", "collections" :: c :: Nil) =>
         CollectionWire.okEnvelope(

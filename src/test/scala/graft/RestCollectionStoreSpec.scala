@@ -175,6 +175,38 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally fsrv.stop()
   }
 
+  test("remote DDL: create/delete collections over the wire with exact config round-trip") {
+    val store = InMemoryCollectionStore.single("seed",
+      CollectionDescriptor("seed", Seq(DenseField("v", 2))), IndexedSeq.empty)
+    CollectionStores.register("rest_ddl_spec", store)
+    val srv = new CollectionHttpServer("rest_ddl_spec").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      // a full multi-kind descriptor survives the create -> info round trip
+      val desc = CollectionDescriptor("made", Seq(
+        DenseField("emb", 4, "dot"), MultiField("colbert", 3),
+        SparseField("terms")))
+      c.createCollection(desc)
+      assert(c.collectionInfo("made") === desc)
+      assert(c.pointCount("made") === 0L)
+      assert(c.collectionNames.contains("made"))
+      // duplicate create: the service's atomic existence check says no
+      intercept[IllegalStateException] { c.createCollection(desc) }
+      // unnamed single-vector collections keep their shape too
+      val un = CollectionDescriptor("bare", Seq(DenseField("vec", 8, "euclid")),
+        named = false)
+      c.createCollection(un)
+      assert(c.collectionInfo("bare") === un)
+      // delete: true once, false for the now-absent name
+      assert(c.deleteCollection("made") === true)
+      assert(c.deleteCollection("made") === false)
+      assert(!c.collectionNames.contains("made"))
+    } finally {
+      srv.stop()
+      CollectionStores.remove("rest_ddl_spec")
+    }
+  }
+
   test("collection catalog round-trips: names, counts, descriptors") {
     assert(client.collectionNames === inner.collectionNames)
     assert(client.pointCount("c") === 20L)
