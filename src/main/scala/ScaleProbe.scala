@@ -14,7 +14,7 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift", "cdc", "sparse", "rest", "semantic")
+      "drift", "cdc", "sparse", "rest", "semantic", "classify")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -48,6 +48,30 @@ object ScaleProbe {
         s"section '$name' missing from ScaleProbe.sectionNames")
       if (only.forall(_ == name)) body
     }
+    // NB classifier cost shape: the model is FIXED-size (buckets x
+    // classes) whatever the corpus, so TRAIN grows ~linearly in tokens
+    // (one feature pass + one partial agg) and CLASSIFY per-doc cost
+    // stays flat under replication (one feature pass + a broadcast join
+    // against the same model) — classifying xN with a model trained on
+    // x1 is exactly the production shape (fit on a seed, score the pool)
+    section("classify") {
+      val model = graft.ops.Classify.train(corpus(1), "text", "lang",
+        buckets = 512)
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = corpus(n).persist(); c.count()
+        time(s"classify x$n") {
+          graft.ops.Classify.classify(c, model, "doc_id", "text").count()
+        }
+        c.unpersist()
+      }
+      for (n <- Seq(1, 4)) {
+        time(s"train x$n") {
+          graft.ops.Classify.train(corpus(n), "text", "lang",
+            buckets = 512).weights.count()
+        }
+      }
+    }
+
     section("dedup") { for (n <- Seq(1, 2, 4)) {
       val c = corpus(n).persist(); c.count()
       time(s"minhash x$n") {
