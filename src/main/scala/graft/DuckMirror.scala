@@ -327,6 +327,42 @@ object DuckMirror {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** decontam_embedding oracle (Dedup.embeddingContaminated over the
+    * planted near-dup construction: corpus = the embeddings table,
+    * benchmark = the 0.99-scaled copies of vec_id % 5 = 0): both sides
+    * sign under the same hyperplane chain as [[embeddingLshSql]],
+    * candidates meet per (band, bandkey), verified hits dedup on the
+    * (cid, bid, cosine) triple, then per-corpus-id max + count.
+    */
+  def embeddingDecontamSql(threshold: Double, dim: Int, nbits: Int = 16,
+                           bands: Int = 4, seed: Long = 42L): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    def bandSelects(src: String) = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${lshBandKey("bucket", b, r)} AS bandkey FROM $src")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bm AS (SELECT vec_id + 100000 AS vec_id,
+       |              list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99) AS v
+       |       FROM embeddings WHERE vec_id % 5 = 0),
+       |csigs AS (SELECT vec_id, v, $bitExprs AS bucket FROM c),
+       |bsigs AS (SELECT vec_id, v, $bitExprs AS bucket FROM bm),
+       |cbands AS (
+       |  ${bandSelects("csigs")}),
+       |bbands AS (
+       |  ${bandSelects("bsigs")}),
+       |hits AS (
+       |  SELECT DISTINCT cb.vec_id AS cid, bb.vec_id AS bid,
+       |         ROUND(list_cosine_similarity(cc.v, cm.v), 6) AS cosine
+       |  FROM cbands cb
+       |  JOIN bbands bb ON cb.band = bb.band AND cb.bandkey = bb.bandkey
+       |  JOIN c cc ON cc.vec_id = cb.vec_id
+       |  JOIN bm cm ON cm.vec_id = bb.vec_id
+       |  WHERE ROUND(list_cosine_similarity(cc.v, cm.v), 6) >= $threshold)
+       |SELECT cid AS id, MAX(cosine) AS max_cosine, COUNT(*) AS n_hits
+       |FROM hits GROUP BY cid ORDER BY id""".stripMargin
+  }
+
   /** contrastive_pairs oracle: the [[embeddingLshSql]] verified pairs as
     * POSITIVES, plus one deterministic NEGATIVE per anchor drawn from the
     * md5-ordered corpus sample (list literal indexed by the anchor's

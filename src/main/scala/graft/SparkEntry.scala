@@ -2372,6 +2372,19 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // cross-corpus embedding DECONTAMINATION: the embedding analog of
+    // decontam — eval-set paraphrases sharing no n-grams still scrub.
+    // Corpus = the embeddings table; benchmark = the planted scaled
+    // copies (cosine 1.0 with their originals). Benchmark broadcasts;
+    // verify is map-side; only verified hits shuffle
+    "decontam_embedding" -> ((s, dir) => {
+      val all = embWithNearDups(s, dir)
+      Dedup.embeddingContaminated(
+        all.filter(col("vec_id") < 100000), "vec_id", "v",
+        all.filter(col("vec_id") >= 100000), "vec_id", "v",
+        threshold = 0.999, nbits = 64, bands = 4)
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup via k-means cluster
     // blocking — the SAME coarse quantizer that serves IVF search doubles
     // as the dedup blocker (one offline fit, two consumers). Pairs meet
@@ -4756,6 +4769,10 @@ object SparkEntry {
 
     "dedup_embedding_lsh64" ->
       DuckMirror.embeddingLshSql(threshold = 0.999, dim = 64,
+        nbits = 64, bands = 4),
+
+    "decontam_embedding" ->
+      DuckMirror.embeddingDecontamSql(threshold = 0.999, dim = 64,
         nbits = 64, bands = 4),
 
     "contrastive_pairs" ->

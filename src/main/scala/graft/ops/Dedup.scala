@@ -519,6 +519,62 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus embedding DECONTAMINATION — the embedding analog of
+    * [[TextAnalysis.contaminatedDocs]] (n-gram decontam): flag `corpus`
+    * rows whose embedding cosine-near-dups ANY `benchmark` row, so
+    * eval-set paraphrases that shared no n-grams still get scrubbed
+    * before training. Both sides sign under the SAME hyperplane family;
+    * candidates meet only inside (band, bandkey) buckets, so the
+    * all-pairs cross join never materializes. The benchmark side is
+    * small by definition (an eval set) and BROADCASTS — the corpus is
+    * touched by one signature pass and shuffles nothing: band-bucket
+    * matching and the exact-cosine verify are both map-side against the
+    * broadcast benchmark. Output: ONE row per contaminated corpus id
+    * with its worst (max) verified cosine and the hit count.
+    */
+  def embeddingContaminated(corpus: DataFrame, idCol: String, vecCol: String,
+                            benchmark: DataFrame, benchIdCol: String,
+                            benchVecCol: String, threshold: Double,
+                            nbits: Int = 16, bands: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    require(nbits % bands == 0,
+      s"nbits ($nbits) must be divisible by bands ($bands)")
+    val r = nbits / bands
+    val mask = (1L << r) - 1
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val b = benchmark.select(col(benchIdCol).as("id"), col(benchVecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val probe = c.select(size(col("v"))).take(1)
+    if (probe.isEmpty || b.select(lit(1)).take(1).isEmpty)
+      c.select(col("id"), lit(0.0).as("max_cosine"), lit(0L).as("n_hits"))
+        .limit(0)
+    else {
+      val dim = probe(0).getInt(0)
+      def banded(base: DataFrame, as: String): DataFrame =
+        graft.ops.Ann.lshBuckets(base, "v", dim, nbits, seed)
+          .select(col("id").as(as), col("v").as(s"${as}_v"),
+            explode(array((0 until bands).map(bd =>
+              struct(lit(bd).as("band"),
+                shiftright(col("bucket"), bd * r).bitwiseAND(lit(mask))
+                  .as("bandkey"))): _*)).as("bk"))
+          .select(col(as), col(s"${as}_v"),
+            col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      // verify FIRST (map-side against the broadcast — multi-band
+      // collisions recompute the same cosine, but nothing shuffles),
+      // then dedup only the verified hit set (tiny) before counting
+      banded(c, "cid")
+        .join(broadcast(banded(b, "bid")), Seq("band", "bandkey"))
+        .withColumn("cosine", round(v_cosine(col("cid_v"), col("bid_v")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("cid"), col("bid"), col("cosine"))
+        .distinct()
+        .groupBy(col("cid"))
+        .agg(max(col("cosine")).as("max_cosine"), count(lit(1)).as("n_hits"))
+        .select(col("cid").as("id"), col("max_cosine"), col("n_hits"))
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        blockCols: Seq[String], threshold: Double): DataFrame = {

@@ -414,4 +414,31 @@ class DedupSpec extends AnyFunSuite {
       if (b == a + 2000000L) assert(dist == 1L, s"variant of $a at dist $dist")
     }
   }
+
+  test("embeddingContaminated flags corpus rows near-dupping any benchmark row") {
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.5, 0.5, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 1.0))
+    ).toDF("id", "v")
+    // benchmark: a scaled copy of 1 (cosine 1.0) and an unrelated axis
+    val bench = Seq(
+      (100L, Seq(0.9, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 0.0, 0.0, 1.0))
+    ).toDF("id", "v")
+    val out = Dedup.embeddingContaminated(corpus, "id", "v", bench, "id", "v",
+      threshold = 0.999, nbits = 16, bands = 16) // 1-bit bands: recall 1.0
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.contains(1L) && out(1L)._1 === 1.0)
+    assert(!out.contains(2L) && !out.contains(3L))
+    // 4 has cosine 1/sqrt(2) ~ 0.707 with 101 - below threshold
+    assert(!out.contains(4L))
+    // empty benchmark: nothing flags, schema intact
+    val none = Dedup.embeddingContaminated(corpus, "id", "v",
+      bench.limit(0), "id", "v", threshold = 0.9)
+    assert(none.columns.toSeq === Seq("id", "max_cosine", "n_hits"))
+    assert(none.count() === 0L)
+  }
 }
