@@ -39,6 +39,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("v_cosine"), p)
   }
 
+  test("nb_classify: the model joins broadcast, nothing sort-merges") {
+    val p = plan("nb_classify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_url: canonical key aggregates partially before the exchange") {
+    val p = plan("dedup_url")
+    assert(p.contains("HashAggregate"), p)
+    // map-side combine on the canonical key: a partial-mode aggregate
+    // appears BELOW the shuffle
+    val ex = p.indexOf("Exchange")
+    val agg = p.indexOf("HashAggregate")
+    assert(ex >= 0 && agg >= 0, p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("dsv2_search_page: offset and threshold ride the pushed query, nothing re-filters above") {
     val p = plan("dsv2_search_page")
     assert(p.contains("CollectionSearchScan"), p)
