@@ -3159,6 +3159,18 @@ object SparkEntry {
           d.select(col("id"), col("label")),
           col("label"), col("id"), lit(1), lit("17"), n = 10))),
 
+    // budget-bounded selection ("fill the token budget with the best
+    // docs"): ONE distributed prefix sum — range sort, per-partition
+    // totals as model state, partition-keyed window (state bounded per
+    // partition, never a single-partition global window) — then a
+    // map-side cumulative cut
+    "budget_select" -> ((s, dir) =>
+      graft.ops.Ranks.selectWithinBudget(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        tokens = col("n_chars"), budget = 60000L,
+        (col("n_chars") % 91).desc, col("doc_id").asc)
+        .select(col("doc_id"), col("cum_tokens"))),
+
     // rendezvous (HRW) resharding: argmax-of-hash assignment, so growing
     // 8 -> 9 shards moves only the rows the NEW shard wins (~1/9) —
     // resharding as incremental copy, not full reshuffle
@@ -5170,6 +5182,15 @@ object SparkEntry {
         |FROM embeddings
         |WHERE label > 1 OR (label = 1 AND CAST(vec_id AS VARCHAR) > '17')
         |ORDER BY label ASC, id ASC LIMIT 10""".stripMargin,
+
+    "budget_select" ->
+      """SELECT doc_id, cum_tokens FROM (
+        |  SELECT doc_id,
+        |         CAST(SUM(n_chars) OVER (
+        |           ORDER BY (n_chars % 91) DESC, doc_id ASC) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 60000 ORDER BY doc_id""".stripMargin,
 
     // same 60-bit md5 bucket; threshold re-derived with the identical
     // double chain ((w / wmax * rate) * 2^60, floor -> BIGINT)

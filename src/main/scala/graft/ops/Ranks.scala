@@ -57,4 +57,59 @@ object Ranks {
           + col("__mid").bitwiseAND(lit(LocalMask)) + lit(1L))
       .drop("__mid")
   }
+
+  /** `df` plus a global RUNNING SUM (`sumName`, long) of `valueCol` in
+    * `sortCols` order — the distributed prefix sum, same architecture as
+    * [[withGlobalRowNumber]]: range-sort once, per-partition TOTALS come
+    * back as one row per partition (model state) and re-enter as a
+    * prefix-offset array literal; the within-partition running sum is a
+    * window keyed on the PHYSICAL partition id, so its state is bounded
+    * by one partition's rows and no single-partition global window ever
+    * exists. Costs the sort exchange plus one partition-id-keyed window
+    * exchange; `valueCol` must be integral (cast to long).
+    *
+    * This is the primitive under budget-bounded selection ("take the
+    * best documents until the token budget is spent") — see
+    * [[selectWithinBudget]].
+    */
+  def withRunningSum(df: DataFrame, sumName: String, valueCol: Column,
+                     sortCols: Column*): DataFrame = {
+    val sorted = df.orderBy(sortCols: _*)
+      .withColumn("__v", valueCol.cast(org.apache.spark.sql.types.LongType))
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val sums = sorted
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxPid = sums.keys.foldLeft(0L)(math.max)
+    val offsets = new Array[Long](maxPid.toInt + 1)
+    var acc = 0L
+    (0L to maxPid).foreach { p =>
+      offsets(p.toInt) = acc; acc += sums.getOrElse(p, 0L)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shiftright(col("__mid"), 33))
+      .orderBy(col("__mid"))
+    sorted
+      .withColumn(sumName,
+        element_at(lit(offsets),
+          (shiftright(col("__mid"), 33) + 1).cast(IntegerType))
+          + sum(col("__v")).over(w))
+      .drop("__mid", "__v")
+  }
+
+  /** Budget-bounded greedy selection: the best rows by `qualityCols`
+    * order whose cumulative `tokens` stay within `budget` — the "fill
+    * the training-token budget with the highest-quality documents" step
+    * of a curation pipeline, as one distributed prefix sum + a map-side
+    * cut. Make the order strict (tiebreak on a unique id) for a
+    * deterministic selection.
+    */
+  def selectWithinBudget(df: DataFrame, tokens: Column, budget: Long,
+                         qualityCols: Column*): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    withRunningSum(df, "cum_tokens", tokens, qualityCols: _*)
+      .filter(col("cum_tokens") <= budget)
+  }
 }

@@ -66,6 +66,43 @@ class RanksSpec extends AnyFunSuite {
     assert(rns.toSeq == (1L to n).toSeq)
   }
 
+  test("property: running sum matches the local prefix sum under any partitioning") {
+    import spark.implicits._
+    for (parts <- Seq(1, 3, 8, 32)) {
+      val n = 557
+      val base = spark.range(0, n).select(
+        (col("id") * 193 % n).as("k"), (col("id") % 37 + 1).as("v"), col("id"))
+      val summed = Ranks.withRunningSum(base.repartition(parts), "cum",
+        col("v"), col("k").asc, col("id").asc)
+        .orderBy(col("k").asc, col("id").asc)
+        .select("v", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the cumulative column IS the local scan of v in the same order
+      var acc = 0L
+      summed.foreach { case (v, cum) =>
+        acc += v
+        assert(cum === acc, s"parts=$parts: prefix sum diverged at $acc")
+      }
+    }
+  }
+
+  test("selectWithinBudget takes the best-first prefix that fits, deterministically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5L), (2L, 9L, 7L), (3L, 8L, 4L), (4L, 7L, 100L), (5L, 6L, 1L)
+    ).toDF("id", "q", "tok")
+    // greedy by quality: 5 + 7 + 4 = 16 fits in 20; adding 100 busts —
+    // and the cut is a PREFIX cut (4 blocks even though 5 would fit)
+    val got = Ranks.selectWithinBudget(df.repartition(3), col("tok"), 20L,
+      col("q").desc, col("id").asc)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L))
+    // zero budget selects nothing; full budget selects everything
+    assert(Ranks.selectWithinBudget(df, col("tok"), 0L,
+      col("q").desc).count() === 0L)
+    assert(Ranks.selectWithinBudget(df, col("tok"), 1000L,
+      col("q").desc).count() === 5L)
+  }
+
   test("fuseRRF carries no unpartitioned window (single-partition bottleneck)") {
     val p = SparkEntry.queries("rrf_fusion")(spark, TestSpark.sfDir)
     p.collect() // AQE: finalize the plan
