@@ -1236,6 +1236,90 @@ object DuckMirror {
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
 
+  /** decontam_minhash oracle (Dedup.minhashContaminated: corpus = the
+    * documents table, benchmark = the ' zzz'-appended variants of
+    * doc_id % 7 = 0): the [[minhashSql]] chain duplicated per SIDE with
+    * suffixed CTEs, candidates joined ACROSS sides on exact
+    * sub-signature equality, Jaccard verified over each side's distinct
+    * w=1 token-hash set, then per-corpus-id max + count.
+    */
+  def minhashDecontamSql(threshold: Double, numHashes: Int = 16,
+                         bands: Int = 4, seed: Long = 42L): String = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val (cas, cbs) = MinHashSignature.coefficients(numHashes, seed)
+    val k1 = (Sh0 * Golden) % M64
+    val g2 = (Golden * Golden) % M64
+    val c3 = (Sh0 * Golden % M64 * Golden % M64 * Golden) % M64
+    val hs = 0 until numHashes
+    def chain(s: String, src: String): String = {
+      val v0 = hs.map(i => s"((${mulMod(u64(cas(i)), "x")}) + ${u64(cbs(i))}::HUGEINT) % $M64::HUGEINT AS c$i").mkString(",\n    ")
+      val v1 = hs.map(i => s"xor(CAST(c$i AS UBIGINT), CAST(c$i AS UBIGINT) >> 33) AS c$i").mkString(",\n    ")
+      val v2 = hs.map(i => s"${mulMod(MixC, s"CAST(c$i AS HUGEINT)")} AS c$i").mkString(",\n    ")
+      val v3 = hs.map(i => s"xor(CAST(c$i AS UBIGINT), CAST(c$i AS UBIGINT) >> 33) AS c$i").mkString(",\n    ")
+      val sgn = hs.map(i => s"${toSigned(s"c$i")} AS c$i").mkString(",\n    ")
+      val mins = hs.map(i => s"MIN(c$i) AS m$i").mkString(", ")
+      s"""th$s AS (
+         |  SELECT doc_id, list_transform(
+         |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0),
+         |    t -> $fnvOfT) AS th
+         |  FROM $src),
+         |sh1a$s AS (
+         |  SELECT doc_id, list_transform(th, t -> CAST(($k1::HUGEINT + t) % $M64::HUGEINT AS UBIGINT)) AS v
+         |  FROM th$s),
+         |sh1$s AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS hs1 FROM sh1a$s),
+         |sh3a$s AS (
+         |  SELECT doc_id, list_transform(range(1, len(th) - 1), j ->
+         |    CAST(($c3::HUGEINT + (${mulMod(g2, "th[j]")}) + (${mulMod(Golden, "th[j + 1]")}) + th[j + 2]) % $M64::HUGEINT AS UBIGINT)) AS v
+         |  FROM th$s),
+         |sh3$s AS (SELECT doc_id, list_transform(v, u -> xor(u, u >> 32)) AS v FROM sh3a$s),
+         |srows$s AS (SELECT doc_id, CAST(unnest(v) AS HUGEINT) AS x FROM sh3$s),
+         |v0$s AS (SELECT doc_id,
+         |    $v0
+         |  FROM srows$s),
+         |v1$s AS (SELECT doc_id,
+         |    $v1
+         |  FROM v0$s),
+         |v2$s AS (SELECT doc_id,
+         |    $v2
+         |  FROM v1$s),
+         |v3$s AS (SELECT doc_id,
+         |    $v3
+         |  FROM v2$s),
+         |sgn$s AS (SELECT doc_id,
+         |    $sgn
+         |  FROM v3$s),
+         |sig$s AS (SELECT doc_id, $mins FROM sgn$s GROUP BY doc_id)""".stripMargin
+    }
+    def bandSelects(s: String) = (0 until bands).map { b =>
+      val ks = (0 until r).map(k => s"m${b * r + k} AS k$k").mkString(", ")
+      s"SELECT doc_id, $b AS band, $ks FROM sig$s"
+    }.mkString("\n  UNION ALL\n  ")
+    val kEq = (0 until r).map(k => s"a.k$k = b.k$k").mkString(" AND ")
+    s"""WITH cc AS (SELECT doc_id, text FROM documents),
+       |bc AS (SELECT doc_id + 1000000 AS doc_id, text || ' zzz' AS text
+       |       FROM documents WHERE doc_id % 7 = 0),
+       |${chain("c", "cc")},
+       |${chain("b", "bc")},
+       |cbands AS (
+       |  ${bandSelects("c")}),
+       |bbands AS (
+       |  ${bandSelects("b")}),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS cid, b.doc_id AS bid
+       |  FROM cbands a JOIN bbands b ON a.band = b.band AND $kEq),
+       |tsc AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1c),
+       |tsb AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1b),
+       |hits AS (SELECT * FROM (
+       |  SELECT cid,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
+       |  FROM cands JOIN tsc ta ON ta.doc_id = cid JOIN tsb tb ON tb.doc_id = bid)
+       |  WHERE jaccard >= $threshold)
+       |SELECT cid AS id, MAX(jaccard) AS max_jaccard, COUNT(*) AS n_hits
+       |FROM hits GROUP BY cid ORDER BY id""".stripMargin
+  }
+
   /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions
     * (a_i*x + b_i then the murmur3 finalizer, signed MIN) -> 4 bands of 4
     * joined on exact sub-signature equality -> true-Jaccard verify over the

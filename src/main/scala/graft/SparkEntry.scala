@@ -2372,6 +2372,19 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // cross-corpus MinHash decontamination: the fuzzy-text member of the
+    // decontam family — near-verbatim rewrites (the planted ' zzz'
+    // variants) that break exact shingles but keep Jaccard high flag
+    // against the broadcast benchmark
+    "decontam_minhash" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.minhashContaminated(d, "doc_id", "text",
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" zzz")).as("text")),
+        "doc_id", "text", threshold = 0.8)
+    }),
+
     // cross-corpus embedding DECONTAMINATION: the embedding analog of
     // decontam — eval-set paraphrases sharing no n-grams still scrub.
     // Corpus = the embeddings table; benchmark = the planted scaled
@@ -4786,6 +4799,9 @@ object SparkEntry {
     "decontam_embedding" ->
       DuckMirror.embeddingDecontamSql(threshold = 0.999, dim = 64,
         nbits = 64, bands = 4),
+
+    "decontam_minhash" ->
+      DuckMirror.minhashDecontamSql(threshold = 0.8),
 
     "contrastive_pairs" ->
       DuckMirror.contrastiveSql(threshold = 0.999, dim = 64,

@@ -208,6 +208,54 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Cross-corpus MinHash DECONTAMINATION — the fuzzy-text member of the
+    * decontam family ([[TextAnalysis.contaminatedDocs]] catches exact
+    * n-gram overlap, [[embeddingContaminated]] catches semantic
+    * paraphrase; this catches NEAR-VERBATIM rewrites — benchmark items
+    * with light edits that break exact shingles but keep Jaccard high).
+    * Flags `corpus` rows whose token-set Jaccard with ANY `benchmark`
+    * row clears `threshold`: both sides sign under the same minhash
+    * family, candidates meet per (band, bandkey) with the benchmark side
+    * BROADCAST (an eval set is small by definition), true Jaccard
+    * verifies over the w=1 token-hash sets, and only (candidate ids +
+    * the corpus side's token sets) ever shuffle. One row per
+    * contaminated corpus id: worst (max) verified Jaccard + hit count.
+    */
+  def minhashContaminated(corpus: DataFrame, idCol: String, textCol: String,
+                          benchmark: DataFrame, benchIdCol: String,
+                          benchTextCol: String, threshold: Double,
+                          numHashes: Int = 16, shingleWidth: Int = 3,
+                          bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, id: String, text: String, as: String) =
+      df.select(col(id).as(as),
+        minhashSignature(col(text), numHashes, shingleWidth).as("sig"))
+        .select(col(as),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"),
+              b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+            .as(Seq("band", "bandkey")))
+    val cands = banded(corpus, idCol, textCol, "cid")
+      .join(broadcast(banded(benchmark, benchIdCol, benchTextCol, "bid")),
+        Seq("band", "bandkey"))
+      .select(col("cid"), col("bid")).distinct()
+    val cToks = corpus.select(col(idCol).as("cid"),
+      sortedTokenHashSet(col(textCol)).as("c_toks"))
+    val bToks = benchmark.select(col(benchIdCol).as("bid"),
+      sortedTokenHashSet(col(benchTextCol)).as("b_toks"))
+    cands
+      .join(cToks, "cid")
+      .join(broadcast(bToks), "bid")
+      .withColumn("jaccard",
+        round(jaccardSortedSets(col("c_toks"), col("b_toks")), 6))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("cid"))
+      .agg(max(col("jaccard")).as("max_jaccard"), count(lit(1)).as("n_hits"))
+      .select(col("cid").as("id"), col("max_jaccard"), col("n_hits"))
+  }
+
   /** SimHash per document: 64-bit signature over the w=1 shingle token
     * hashes (same native tokenize+hash kernel as minhash/fingerprint, so
     * one DuckDB arithmetic mirror oracles every hash-dedup operator).

@@ -441,4 +441,24 @@ class DedupSpec extends AnyFunSuite {
     assert(none.columns.toSeq === Seq("id", "max_cosine", "n_hits"))
     assert(none.count() === 0L)
   }
+
+  test("minhashContaminated flags near-verbatim benchmark rewrites only") {
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet pink brown black")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      // doc 1 with one appended token: high Jaccard, must flag
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa zzz"),
+      // unrelated benchmark item: must not flag anyone
+      (101L, "totally different benchmark content entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashContaminated(corpus, "doc_id", "text",
+      bench, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L)._1 > 0.9 && out(1L)._2 === 1L)
+  }
 }
