@@ -3184,6 +3184,16 @@ object SparkEntry {
         (col("n_chars") % 91).desc, col("doc_id").asc)
         .select(col("doc_id"), col("cum_tokens"))),
 
+    // per-source token caps ("no domain contributes more than B"): the
+    // keyed form — a plain partitioned window, one shuffle on source
+    "budget_select_by_source" -> ((s, dir) =>
+      graft.ops.Ranks.selectWithinBudgetBy(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = col("source"), tokens = col("n_chars"),
+        budgetPerGroup = 4000L,
+        (col("n_chars") % 91).desc, col("doc_id").asc)
+        .select(col("doc_id"), col("source"), col("cum_tokens"))),
+
     // rendezvous (HRW) resharding: argmax-of-hash assignment, so growing
     // 8 -> 9 shards moves only the rows the NEW shard wins (~1/9) —
     // resharding as incremental copy, not full reshuffle
@@ -5207,6 +5217,15 @@ object SparkEntry {
         |           AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 60000 ORDER BY doc_id""".stripMargin,
+
+    "budget_select_by_source" ->
+      """SELECT doc_id, source, cum_tokens FROM (
+        |  SELECT doc_id, source,
+        |         CAST(SUM(n_chars) OVER (PARTITION BY source
+        |           ORDER BY (n_chars % 91) DESC, doc_id ASC) AS BIGINT)
+        |           AS cum_tokens
+        |  FROM documents)
+        |WHERE cum_tokens <= 4000 ORDER BY doc_id""".stripMargin,
 
     // same 60-bit md5 bucket; threshold re-derived with the identical
     // double chain ((w / wmax * rate) * 2^60, floor -> BIGINT)

@@ -112,4 +112,26 @@ object Ranks {
     withRunningSum(df, "cum_tokens", tokens, qualityCols: _*)
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** PER-GROUP budget-bounded selection ("no domain contributes more
+    * than B tokens" — the per-source cap the public curation recipes
+    * apply so one crawl domain cannot dominate the mixture): within each
+    * `groupCol` key, the best rows by `qualityCols` whose cumulative
+    * `tokens` fit `budgetPerGroup`. Unlike the global form this needs no
+    * offset machinery — the running sum is a plain KEY-PARTITIONED
+    * window (state bounded per group, shuffles once on the group key),
+    * so it scales as any keyed aggregation does; skewed groups fall
+    * under the same AQE skew handling as every keyed op here.
+    */
+  def selectWithinBudgetBy(df: DataFrame, groupCol: Column, tokens: Column,
+                           budgetPerGroup: Long,
+                           qualityCols: Column*): DataFrame = {
+    require(budgetPerGroup >= 0,
+      s"budgetPerGroup must be non-negative, got $budgetPerGroup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(qualityCols: _*)
+    df.withColumn("cum_tokens",
+        sum(tokens.cast(org.apache.spark.sql.types.LongType)).over(w))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+  }
 }
