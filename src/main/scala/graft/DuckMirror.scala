@@ -841,6 +841,31 @@ object DuckMirror {
          |ORDER BY t.vec_id""".stripMargin
   }
 
+  /** cluster_sample oracle (Search.clusterBalancedSample over the
+    * dedup_semantic coarse quantizer): the [[semanticSql]] k-means chain
+    * re-derived, then k rows per cluster by the md5 permutation.
+    */
+  def clusterSampleSql(dim: Int, nlist: Int, maxIter: Int, seed: Long,
+                       k: Int, sampleSeed: Long): String = {
+    val corpus =
+      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(vec_id + 100000 AS VARCHAR) AS id,
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.99)
+        |  FROM embeddings WHERE vec_id % 5 = 0""".stripMargin
+    val (chain, finalAsg) = ivfChain(corpus, dim, nlist, maxIter, seed)
+    s"""WITH $chain,
+       |num AS (SELECT c.vec_id, a.cluster
+       |        FROM asg$finalAsg a JOIN corpus c USING (id)),
+       |rk AS (SELECT vec_id, cluster, row_number() OVER (
+       |         PARTITION BY cluster
+       |         ORDER BY md5(CAST(vec_id AS VARCHAR) || '$sampleSeed'), vec_id) AS rn
+       |       FROM num)
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster
+       |FROM rk WHERE rn <= $k ORDER BY vec_id""".stripMargin
+  }
+
   /** mmr oracle: the greedy maximal-marginal-relevance selection UNROLLED
     * as k chained one-row CTEs — step t picks argmax of
     * lambda*rel - (1-lambda)*greatest(sim to steps 1..t-1), ties by id.

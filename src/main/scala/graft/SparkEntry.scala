@@ -2405,6 +2405,18 @@ object SparkEntry {
     // bounded by cluster size (k scales with the corpus). The oracle
     // re-derives the full k-means chain in SQL, so clustering AND pair
     // selection are value-checked end-to-end
+    // cluster-balanced (diversity) sampling: cap each embedding-space
+    // region's contribution — k per coarse cluster, SAME quantizer the
+    // IVF/SemDeDup artifacts use (one offline fit, three consumers)
+    "cluster_sample" -> ((s, dir) => {
+      val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#sem",
+        Ann.buildIvf(embWithNearDups(s, dir), "vec_id", "v",
+          nlist = 8, maxIter = 2))
+      Search.clusterBalancedSample(idx.clustered, "vec_id", "cluster",
+        k = 5, seed = 42L)
+        .select(col("vec_id"), col("cluster").cast(IntegerType).as("cluster"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       val idx = SparkEntry.ivfCache.getOrElseUpdate(s"$dir#sem",
         Ann.buildIvf(embWithNearDups(s, dir), "vec_id", "v",
@@ -4812,6 +4824,10 @@ object SparkEntry {
 
     "decontam_minhash" ->
       DuckMirror.minhashDecontamSql(threshold = 0.8),
+
+    "cluster_sample" ->
+      DuckMirror.clusterSampleSql(dim = 64, nlist = 8, maxIter = 2,
+        seed = 42L, k = 5, sampleSeed = 42L),
 
     "contrastive_pairs" ->
       DuckMirror.contrastiveSql(threshold = 0.999, dim = 64,

@@ -406,6 +406,26 @@ object Search {
     df.orderBy(md5(concat(col("id").cast("string"), lit(seed.toString))),
       col("id")).limit(n)
 
+  /** Cluster-balanced (diversity) sample: `k` rows PER cluster by the
+    * engine-stable md5 permutation — the same coarse quantizer that
+    * serves IVF search doubles as the diversity blocker, so the sample
+    * spreads across the embedding space instead of following density
+    * (the companion move to SemDeDup: dedup removes within-cluster
+    * redundancy, this CAPS each region's contribution). A keyed window:
+    * state bounded per cluster, one shuffle on the cluster key; the
+    * md5 draw is layout/engine/rerun-stable like [[randomSample]].
+    */
+  def clusterBalancedSample(clustered: DataFrame, idCol: String,
+                            clusterCol: String, k: Int,
+                            seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    clustered.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(clusterCol)).orderBy(
+          md5(concat(col(idCol).cast("string"), lit(seed.toString))),
+          col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Facet counts over a payload key (the reference host's facet API:
     * top-N distinct values of a payload field by match count, under an
     * optional filter already applied to `df`). One partial-aggregating

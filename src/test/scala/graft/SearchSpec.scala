@@ -339,4 +339,18 @@ class SearchSpec extends AnyFunSuite {
     assert(math.abs(byId("b") - (idfCommon + 0.5 * idfRare)) < 2e-6)
     assert(math.abs(byId("c") - idfCommon) < 2e-6)
   }
+
+  test("clusterBalancedSample caps each cluster at k, deterministically") {
+    import graft.ops.Search
+    val df = (0 until 40).map(i => (i.toLong, i % 3)).toDF("id", "cluster")
+    val a = Search.clusterBalancedSample(df.repartition(7), "id", "cluster",
+      k = 4, seed = 9L).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Search.clusterBalancedSample(df, "id", "cluster",
+      k = 4, seed = 9L).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)                                  // layout-stable
+    assert(a.groupBy(_._2).forall(_._2.size == 4))   // exactly k per cluster
+    val more = Search.clusterBalancedSample(df, "id", "cluster",
+      k = 100, seed = 9L).count()
+    assert(more === 40L)                             // k past size = whole cluster
+  }
 }
