@@ -459,6 +459,22 @@ object DuckMirror {
        |       ${repRatioSql("v")} AS rep_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
+  /** novelty_score oracle (TextAnalysis.noveltyScore): per-doc distinct
+    * w=3 shingles -> corpus document frequencies -> fraction with
+    * df = 1, 6dp.
+    */
+  def noveltySql: String =
+    s"""WITH $docsSh3,
+       |pd AS (SELECT doc_id, unnest(list_distinct(v)) AS h FROM sh3),
+       |dfq AS (SELECT h, COUNT(*) AS df FROM pd GROUP BY h)
+       |SELECT pd.doc_id,
+       |       COUNT(*) AS n_distinct,
+       |       CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |       ROUND(CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*), 6) AS novelty
+       |FROM pd JOIN dfq USING (h)
+       |GROUP BY pd.doc_id ORDER BY doc_id""".stripMargin
+
   /** quality_filter oracle: the Gopher-style composite rule
     * (TextAnalysis.gopherFilter) — token bounds, mean chars/token bounds,
     * repetition bound, verdict on the ROUNDED metrics like the Spark side.

@@ -2372,6 +2372,12 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // n-gram novelty: fraction of a doc's distinct shingles unseen in
+    // any other doc — the inverse boilerplate signal; (hash, id) longs
+    // shuffle, the text never does
+    "novelty_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.noveltyScore(docs(s, dir), "doc_id", "text")),
+
     // cross-corpus MinHash decontamination: the fuzzy-text member of the
     // decontam family — near-verbatim rewrites (the planted ' zzz'
     // variants) that break exact shingles but keep Jaccard high flag
@@ -4828,6 +4834,8 @@ object SparkEntry {
     "cluster_sample" ->
       DuckMirror.clusterSampleSql(dim = 64, nlist = 8, maxIter = 2,
         seed = 42L, k = 5, sampleSeed = 42L),
+
+    "novelty_score" -> DuckMirror.noveltySql,
 
     "contrastive_pairs" ->
       DuckMirror.contrastiveSql(threshold = 0.999, dim = 64,

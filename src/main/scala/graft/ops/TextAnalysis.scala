@@ -187,6 +187,29 @@ object TextAnalysis {
         size(array_distinct(col("__sh"))).as("n_distinct"),
         repRatioOf(col("__sh")).as("rep_ratio"))
 
+  /** Document NOVELTY: per document, the fraction of its DISTINCT word
+    * `width`-shingles that appear in NO other document — the inverse
+    * signal of boilerplate (high = unique content, low = templated or
+    * copied; the rare-n-gram lens on memorization risk). Cost shape:
+    * one ShingleKernel pass, explode of per-doc distinct hashes, one
+    * partial-aggregating groupBy on the 64-bit hash for document
+    * frequencies, one (hash, id)-longs join back, one per-doc agg — the
+    * text itself never shuffles. Documents with fewer than `width`
+    * tokens have no shingles and are absent from the output.
+    */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String,
+                   width: Int = 3): DataFrame = {
+    val perDoc = df.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), width))).as("__h"))
+    val dfreq = perDoc.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    perDoc.join(dfreq, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("__df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast(DoubleType) / col("n_distinct"), 6))
+  }
+
   /** Benchmark decontamination: corpus documents sharing ANY word
     * `width`-shingle with the benchmark set — the n-gram-overlap rule used
     * to scrub eval data out of training corpora. The exploded rows carry

@@ -377,4 +377,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     // all probabilities < 1 -> negative scores
     assert(out.values.forall(_._2 < 0))
   }
+
+  test("noveltyScore: unique content scores 1, fully-copied content 0") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // all shingles unique
+      (2L, "one two three four five"),              // copied by doc 3
+      (3L, "one two three four five"),              // exact copy
+      (4L, "x y")                                   // < width tokens: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
+  }
 }
