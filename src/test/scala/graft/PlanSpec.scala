@@ -39,6 +39,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("v_cosine"), p)
   }
 
+  test("novelty_score: partial aggregation on both shuffles, no cartesian") {
+    // at test scale the df table broadcasts (it is small there); at
+    // corpus scale both sides hash-exchange on __h and ReuseExchange
+    // dedups the identical shingle-pass subtrees — what must hold at
+    // EVERY scale: partial aggs before each exchange, no cartesian
+    val p = plan("novelty_score")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
   test("nb_classify: the model joins broadcast, nothing sort-merges") {
     val p = plan("nb_classify")
     assert(p.contains("BroadcastHashJoin"), p)
