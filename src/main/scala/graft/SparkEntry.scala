@@ -2372,6 +2372,12 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // SOFT dedup: every copy kept, downweighted by multiplicity (1/n) —
+    // the sampling-weight alternative to dropping; composes with
+    // weighted sampling for the selection step
+    "dedup_weights" -> ((s, dir) =>
+      Dedup.softDedupWeights(docsWithExactDups(s, dir), "doc_id", "text")),
+
     // n-gram novelty: fraction of a doc's distinct shingles unseen in
     // any other doc — the inverse boilerplate signal; (hash, id) longs
     // shuffle, the text never does
@@ -4836,6 +4842,15 @@ object SparkEntry {
         seed = 42L, k = 5, sampleSeed = 42L),
 
     "novelty_score" -> DuckMirror.noveltySql,
+
+    "dedup_weights" ->
+      """WITH c AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |n AS (SELECT text, COUNT(*) AS n_copies FROM c GROUP BY text)
+        |SELECT c.doc_id AS id, n.n_copies,
+        |       ROUND(CAST(1.0 AS DOUBLE) / n.n_copies, 6) AS weight
+        |FROM c JOIN n USING (text) ORDER BY id""".stripMargin,
 
     "contrastive_pairs" ->
       DuckMirror.contrastiveSql(threshold = 0.999, dim = 64,

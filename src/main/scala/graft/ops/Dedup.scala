@@ -50,6 +50,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"), col("fp"))
 
+  /** SOFT dedup: keep every copy but DOWNWEIGHT it by its duplicate
+    * multiplicity (w = 1/n) — the sampling-weight alternative to
+    * dropping (repeated upsampling of duplicated text measurably hurts
+    * LMs; soft dedup keeps the distribution support while equalizing
+    * each distinct text's total mass). Composes with
+    * [[graft.ops.Search.weightedSample]] for the selection step. One
+    * fingerprint pass + one partial-agg groupBy + a (fp, id)-longs join
+    * back; the text never shuffles.
+    */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), fingerprint64(col(textCol)).as("__fp"))
+    val counts = fp.groupBy(col("__fp")).agg(count(lit(1)).as("n_copies"))
+    fp.join(counts, "__fp")
+      .select(col("id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+  }
+
   /** Line-level exact dedup (the C4/CCNet rule): a line that appears
     * anywhere else in the corpus survives only at its FIRST occurrence
     * (min (doc, position)); every document is reassembled from its kept

@@ -85,6 +85,25 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("property: running sum survives a shuffle-fed input under AQE coalescing") {
+    import spark.implicits._
+    // same hazard class as the rank test above: AQE may coalesce the
+    // shuffle feeding the sort, so the eager localCheckpoint must
+    // freeze ONE set of partition bounds for both the totals pass and
+    // the windowed projection
+    val n = 2000L
+    val agg = spark.range(0, n * 3)
+      .select((col("id") % n).as("k"))
+      .groupBy("k").count() // shuffle + AQE coalesce feeds the prefix sum
+    val summed = Ranks.withRunningSum(agg, "cum",
+      col("count"), col("count").desc, col("k").asc)
+      .orderBy(col("count").desc, col("k").asc)
+      .select("count", "cum").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    summed.foreach { case (v, cum) => acc += v; assert(cum === acc) }
+    assert(acc === n * 3)
+  }
+
   test("selectWithinBudget takes the best-first prefix that fits, deterministically") {
     import spark.implicits._
     val df = Seq(
