@@ -76,8 +76,19 @@ object AliasedCollectionStore {
         case a: AliasedCollectionStore => (a.inner, a.aliases)
         case other => (other, Map.empty[String, String])
       }
+      // existence checks against enumerable stores (a store that cannot
+      // list collections reports none — then the wrapper's own
+      // single-level rule is the only enforceable invariant)
+      val names = inner.collectionNames.toSet
       val next = actions.foldLeft(current) {
-        case (m, CreateAlias(a, c)) => m.updated(a, c)
+        case (m, CreateAlias(a, c)) =>
+          if (names.nonEmpty) {
+            require(names.contains(c),
+              s"alias '$a' targets unknown collection '$c'")
+            require(!names.contains(a),
+              s"'$a' is a collection name; aliases may not shadow collections")
+          }
+          m.updated(a, c)
         case (m, DeleteAlias(a)) => m - a
       }
       if (next.isEmpty) inner else new AliasedCollectionStore(inner, next)
@@ -88,5 +99,37 @@ object AliasedCollectionStore {
     CollectionStores.get(storeName) match {
       case a: AliasedCollectionStore => a.aliases
       case _ => Map.empty
+    }
+
+  /** Resolve `collection` through `store`'s alias map (identity for
+    * un-wrapped stores): MUTATING paths must write to the TARGET
+    * collection so a write through an alias lands exactly where a read
+    * through it looks — the backend's writes-through-alias contract.
+    */
+  def resolve(store: CollectionStore, collection: String): String =
+    store match {
+      case a: AliasedCollectionStore => a.aliases.getOrElse(collection, collection)
+      case _ => collection
+    }
+
+  /** Is `name` an alias on `store`? (DDL guards: a collection may not be
+    * created under, or dropped via, an alias name.)
+    */
+  def isAlias(store: CollectionStore, name: String): Boolean = store match {
+    case a: AliasedCollectionStore => a.aliases.contains(name)
+    case _ => false
+  }
+
+  /** Alias-preserving mutation: apply `f` to the UNDERLYING store
+    * (unwrapping one alias layer, rewrapping with the same alias map) —
+    * every registry-mutating path goes through this so an aliased store
+    * accepts the same writes its bare inner store does.
+    */
+  def mapInner(store: CollectionStore)
+              (f: CollectionStore => CollectionStore): CollectionStore =
+    store match {
+      case a: AliasedCollectionStore =>
+        new AliasedCollectionStore(f(a.inner), a.aliases)
+      case other => f(other)
     }
 }

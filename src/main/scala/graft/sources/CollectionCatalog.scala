@@ -88,14 +88,21 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
               ident.namespace().toSeq :+ ident.name())
         }
       case _ =>
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore =>
-            if (mem.collectionNames.contains(ident.name()))
-              throw new TableAlreadyExistsException(
-                ident.namespace().toSeq :+ ident.name())
-            mem.withCollection(ident.name(), desc)
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept local DDL")
+        CollectionStores.update(storeName) { s0 =>
+          // an alias name already resolves for readers — CREATE under it
+          // is an existence conflict, same as a concrete collection
+          if (AliasedCollectionStore.isAlias(s0, ident.name()))
+            throw new TableAlreadyExistsException(
+              ident.namespace().toSeq :+ ident.name())
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              if (mem.collectionNames.contains(ident.name()))
+                throw new TableAlreadyExistsException(
+                  ident.namespace().toSeq :+ ident.name())
+              mem.withCollection(ident.name(), desc)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept local DDL")
+          }
         }
     }
     new CollectionTable(storeName, ident.name(), partitions)
@@ -111,12 +118,19 @@ class CollectionCatalog extends TableCatalog with SupportsNamespaces {
       case rest: RestCollectionStore =>
         dropped = rest.deleteCollection(ident.name())
       case _ =>
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore =>
-            if (!mem.collectionNames.contains(ident.name())) { dropped = false; mem }
-            else { dropped = true; mem.withoutCollection(ident.name()) }
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept local DDL")
+        CollectionStores.update(storeName) { s0 =>
+          // DROP via an alias is rejected (delete the alias instead) —
+          // silently dropping the target would strand every other alias
+          if (AliasedCollectionStore.isAlias(s0, ident.name()))
+            throw new UnsupportedOperationException(
+              s"'${ident.name()}' is an alias; remove the alias or drop its target")
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              if (!mem.collectionNames.contains(ident.name())) { dropped = false; mem }
+              else { dropped = true; mem.withoutCollection(ident.name()) }
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept local DDL")
+          }
         }
     }
     dropped

@@ -801,19 +801,24 @@ final class CollectionTable(storeName: String, collection: String,
     // array — both mean truncate (a STORE-side operation: the ids never
     // page through the driver); AlwaysTrue conjuncts otherwise drop out
     val idSets = predicates.flatMap(CdcSchema.idsOfPredicate)
-    CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore =>
-        if (idSets.isEmpty) mem.truncated(collection)
-        else mem.removed(collection, idSets.reduce(_ intersect _))
-      case rest: RestCollectionStore =>
-        // remote backend: the delete ships over the wire and the SERVICE
-        // owns the RMW (truncate enumerates ids server-side — they never
-        // page through this client)
-        if (idSets.isEmpty) rest.truncate(collection)
-        else rest.deletePoints(collection, idSets.reduce(_ intersect _))
-        rest
-      case other => throw new UnsupportedOperationException(
-        s"store ${other.getClass.getName} does not accept local deletes")
+    CollectionStores.update(storeName) { s0 =>
+      // writes through an alias land on the resolved target collection,
+      // and the alias wrapper survives the mutation untouched
+      val coll = AliasedCollectionStore.resolve(s0, collection)
+      AliasedCollectionStore.mapInner(s0) {
+        case mem: InMemoryCollectionStore =>
+          if (idSets.isEmpty) mem.truncated(coll)
+          else mem.removed(coll, idSets.reduce(_ intersect _))
+        case rest: RestCollectionStore =>
+          // remote backend: the delete ships over the wire and the SERVICE
+          // owns the RMW (truncate enumerates ids server-side — they never
+          // page through this client)
+          if (idSets.isEmpty) rest.truncate(coll)
+          else rest.deletePoints(coll, idSets.reduce(_ intersect _))
+          rest
+        case other => throw new UnsupportedOperationException(
+          s"store ${other.getClass.getName} does not accept local deletes")
+      }
     }
   }
 
@@ -1018,15 +1023,17 @@ final class CollectionWrite(
       else { runs += ((e.op, scala.collection.mutable.ArrayBuffer(e.point))); () }
     }
     // atomic RMW: concurrent commits to the same store must both survive
-    CollectionStores.update(storeName) {
+    CollectionStores.update(storeName) { s0 =>
+      val coll = AliasedCollectionStore.resolve(s0, collection)
+      AliasedCollectionStore.mapInner(s0) {
       case mem: InMemoryCollectionStore =>
         runs.foldLeft(mem) { case (m, (op, ps)) =>
           if (op == LogOps.Upsert)
             // seal in id order (stable sort: same-id entries keep their
             // seq order, so last-wins dedupe honors it)
-            m.appended(collection, ps.sortBy(_.id).toIndexedSeq)
+            m.appended(coll, ps.sortBy(_.id).toIndexedSeq)
           else if (op == LogOps.Delete)
-            m.removed(collection, ps.map(_.id).toSet)
+            m.removed(coll, ps.map(_.id).toSet)
           else throw new IllegalArgumentException(
             s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
         }
@@ -1038,9 +1045,9 @@ final class CollectionWrite(
         // BEFORE sealEpoch, so a replay never reaches the wire)
         runs.foreach { case (op, ps) =>
           if (op == LogOps.Upsert)
-            rest.upsertPoints(collection, ps.sortBy(_.id).toIndexedSeq)
+            rest.upsertPoints(coll, ps.sortBy(_.id).toIndexedSeq)
           else if (op == LogOps.Delete)
-            rest.deletePoints(collection, ps.map(_.id).toSet)
+            rest.deletePoints(coll, ps.map(_.id).toSet)
           else throw new IllegalArgumentException(
             s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
         }
@@ -1048,6 +1055,7 @@ final class CollectionWrite(
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local commits; " +
           "a remote store acks per-writer upserts instead")
+      }
     }
   }
 
@@ -1586,11 +1594,14 @@ final class CollectionReplaceWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val pts = CollectionWriteBuffers.drain(writeId).map(_.point)
-    CollectionStores.update(storeName) {
-      case mem: InMemoryCollectionStore =>
-        mem.replacedWith(collection, pts)
-      case other => throw new UnsupportedOperationException(
-        s"store ${other.getClass.getName} does not accept local rewrites")
+    CollectionStores.update(storeName) { s0 =>
+      val coll = AliasedCollectionStore.resolve(s0, collection)
+      AliasedCollectionStore.mapInner(s0) {
+        case mem: InMemoryCollectionStore =>
+          mem.replacedWith(coll, pts)
+        case other => throw new UnsupportedOperationException(
+          s"store ${other.getClass.getName} does not accept local rewrites")
+      }
     }
   }
 

@@ -681,22 +681,34 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
       case ("PUT", "collections" :: c :: Nil) =>
         val desc = CollectionWire.parseDescriptor(c,
           JObject("config" -> JObject("params" -> readBody(ex))))
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore =>
-            if (mem.collectionNames.contains(c))
-              throw new IllegalStateException(s"collection '$c' already exists")
-            mem.withCollection(c, desc)
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept DDL")
+        CollectionStores.update(storeName) { s0 =>
+          // DDL addresses CONCRETE names: an alias name conflicts
+          if (AliasedCollectionStore.isAlias(s0, c))
+            throw new IllegalStateException(s"'$c' is an alias")
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              if (mem.collectionNames.contains(c))
+                throw new IllegalStateException(s"collection '$c' already exists")
+              mem.withCollection(c, desc)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept DDL")
+          }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("DELETE", "collections" :: c :: Nil) =>
         store.collectionInfo(c) // 404 for unknown collections
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore => mem.withoutCollection(c)
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept DDL")
+        CollectionStores.update(storeName) { s0 =>
+          // dropping VIA an alias is rejected: delete the alias, or
+          // address the concrete collection (the backend's rule)
+          if (AliasedCollectionStore.isAlias(s0, c))
+            throw new IllegalStateException(
+              s"'$c' is an alias; delete the alias or address its target")
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore => mem.withoutCollection(c)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept DDL")
+          }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
@@ -814,35 +826,42 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
         CollectionWire.okEnvelope(JArray(results))
 
       case ("PUT", "collections" :: c :: "points" :: Nil) =>
-        val desc = store.collectionInfo(c)
+        val desc = store.collectionInfo(c) // resolves through aliases
         val pts = readBody(ex) \ "points" match {
           case JArray(ps) => ps.map(CollectionWire.parsePoint(desc, _))
           case other => throw new IllegalArgumentException(s"missing points: $other")
         }
         // one atomic RMW on the fronted store (mutation happens HERE —
-        // the client ships batches, the service owns commit atomicity)
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore =>
-            mem.appended(c, pts.sortBy(_.id).toIndexedSeq)
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept upserts")
+        // the client ships batches, the service owns commit atomicity);
+        // writes through an alias land on the resolved target
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              mem.appended(coll, pts.sortBy(_.id).toIndexedSeq)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept upserts")
+          }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("POST", "collections" :: c :: "points" :: "delete" :: Nil) =>
         store.collectionInfo(c) // 404 for unknown collections
         val b = readBody(ex)
-        CollectionStores.update(storeName) {
-          case mem: InMemoryCollectionStore =>
-            if (b \ "all" == JBool(true)) mem.truncated(c)
-            else b \ "points" match {
-              case JArray(ids) =>
-                mem.removed(c, ids.flatMap(i => CollectionWire.optStr(i)).toSet)
-              case other => throw new IllegalArgumentException(
-                s"points/delete requires points ids or all=true: $other")
-            }
-          case other => throw new UnsupportedOperationException(
-            s"store ${other.getClass.getName} does not accept deletes")
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              if (b \ "all" == JBool(true)) mem.truncated(coll)
+              else b \ "points" match {
+                case JArray(ids) =>
+                  mem.removed(coll, ids.flatMap(i => CollectionWire.optStr(i)).toSet)
+                case other => throw new IllegalArgumentException(
+                  s"points/delete requires points ids or all=true: $other")
+              }
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept deletes")
+          }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 

@@ -61,6 +61,41 @@ class AliasSpec extends AnyFunSuite {
     CollectionStores.remove("alias_t2")
   }
 
+  test("writes through an alias land on the target; DDL via an alias is rejected") {
+    CollectionStores.register("alias_t4", twoGen)
+    val srv = new CollectionHttpServer("alias_t4").start()
+    try {
+      val client = new RestCollectionStore(srv.baseUrl)
+      client.updateAliases(Seq(CreateAlias("live", "a")))
+      // wire upsert addressed to the ALIAS: the service resolves it and
+      // the point lands in collection a (visible via alias AND target)
+      client.upsertPoints("live", Seq(pt("9", "old")))
+      assert(client.pointCount("live") === 3L)
+      assert(client.pointCount("a") === 3L)
+      assert(client.pointCount("b") === 3L) // untouched
+      // delete through the alias too
+      client.deletePoints("live", Set("9"))
+      assert(client.pointCount("a") === 2L)
+      // the wrapper (and its alias map) survive every mutation
+      assert(client.listAliases() === Map("live" -> "a"))
+      // DDL guards: create under, or drop via, an alias name
+      intercept[IllegalStateException] {
+        client.createCollection(CollectionDescriptor("live", Seq(DenseField("v", 2))))
+      }
+      intercept[IllegalStateException] { client.deleteCollection("live") }
+      // alias validity: unknown target / shadowing a collection name
+      intercept[IllegalArgumentException] {
+        client.updateAliases(Seq(CreateAlias("x", "no_such")))
+      }
+      intercept[IllegalArgumentException] {
+        client.updateAliases(Seq(CreateAlias("b", "a")))
+      }
+    } finally {
+      srv.stop()
+      CollectionStores.remove("alias_t4")
+    }
+  }
+
   test("aliases cross the wire: remote create, read-through, list, swap") {
     CollectionStores.register("alias_t3", twoGen)
     val srv = new CollectionHttpServer("alias_t3").start()
