@@ -449,6 +449,16 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       case _ => Map.empty
     }
 
+  /** Aliases pointing at ONE collection (Qdrant's per-collection alias
+    * listing), idempotent read.
+    */
+  def listCollectionAliases(collection: String): Seq[String] =
+    CollectionWire.result(
+      get(s"/collections/$collection/aliases")) \ "aliases" match {
+      case JArray(as) => as.flatMap(a => CollectionWire.optStr(a \ "alias_name"))
+      case _ => Seq.empty
+    }
+
   /** FACET over the wire (Qdrant's `points/facet` surface): the service
     * owns the payload pass (or serves from its index) — only the
     * (value, count) hit list crosses back, in the seam's ranking order.
@@ -665,6 +675,16 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
         }
         AliasedCollectionStore.updateAliases(storeName, actions)
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("GET", "collections" :: c :: "aliases" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        CollectionWire.okEnvelope(JObject("aliases" -> JArray(
+          AliasedCollectionStore.listAliases(storeName).toList
+            .filter(_._2 == c).sortBy(_._1)
+            .map { case (a, t) =>
+              JObject("alias_name" -> JString(a),
+                "collection_name" -> JString(t)): JValue
+            })))
 
       case ("GET", "aliases" :: Nil) =>
         CollectionWire.okEnvelope(JObject("aliases" -> JArray(

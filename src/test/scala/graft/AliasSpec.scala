@@ -107,7 +107,11 @@ class AliasSpec extends AnyFunSuite {
       assert(gen(client, "live").forall(_.contains("old")))
       // SHOW TABLES over the wire lists the alias
       assert(client.collectionNames === Seq("a", "b", "live"))
+      // per-collection alias listing (the other Qdrant alias read)
+      assert(client.listCollectionAliases("a") === Seq("live"))
+      assert(client.listCollectionAliases("b") === Seq.empty)
       client.updateAliases(Seq(DeleteAlias("live"), CreateAlias("live", "b")))
+      assert(client.listCollectionAliases("b") === Seq("live"))
       assert(client.pointCount("live") === 3L)
       assert(gen(client, "live").forall(_.contains("new")))
       // a scored search through the alias serves the aliased generation
