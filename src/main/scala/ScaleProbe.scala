@@ -14,7 +14,7 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift", "cdc", "sparse", "rest", "semantic", "classify")
+      "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -69,6 +69,41 @@ object ScaleProbe {
           graft.ops.Classify.train(corpus(n), "text", "lang",
             buckets = 512).weights.count()
         }
+      }
+    }
+
+    // round-11 curation ops under replication: URL dedup and novelty are
+    // one-to-two-shuffle aggregations (linear), minhash decontam holds a
+    // FIXED benchmark while the corpus grows (the production shape — its
+    // broadcast side never scales with N), and the budget prefix sum
+    // adds one sort + one partition-keyed window
+    section("curation") {
+      val bench = base.select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = corpus(n).persist(); c.count()
+        time(s"url_dedup x$n") {
+          val url = concat(lit("https://"), col("source"),
+            lit(".example.com/d/"), (col("doc_id") % 1000).cast("string"))
+          graft.ops.Url.dedupByUrl(c.withColumn("url", url),
+            "doc_id", "url").count()
+        }
+        time(s"novelty x$n") {
+          graft.ops.TextAnalysis.noveltyScore(c, "doc_id", "text").count()
+        }
+        time(s"decontam_minhash x$n") {
+          graft.ops.Dedup.minhashContaminated(c, "doc_id", "text",
+            bench, "doc_id", "text", threshold = 0.8).count()
+        }
+        time(s"budget_select x$n") {
+          graft.ops.Ranks.selectWithinBudget(
+            c.select(col("doc_id"), length(col("text")).as("tok")),
+            col("tok"), budget = 1000000L * n,
+            (col("doc_id") % 91).desc, col("doc_id").asc).count()
+        }
+        c.unpersist()
       }
     }
 
