@@ -3261,6 +3261,20 @@ object SparkEntry {
     // explode of a video decoder (sampling arithmetic + batch shape real,
     // frame extractor stubbed as deterministic byte slices — oracled on
     // frame count, timestamps, and per-frame byte length)
+    // cross-media frame dedup: byte-identical sampled frames collapse —
+    // the multimodal analog of exact text dedup (re-encoded copies share
+    // frames); planted duplicate media rows collide on every frame
+    "multimodal_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = docsWithExactDups(s, dir).select(
+        col("doc_id").cast(StringType).as("id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("fake").as("format"), lit(0).as("width"), lit(0).as("height"),
+        (length(col("text")).cast(LongType) * 10L).as("durationMs"))
+      Multimodal.dedupFrames(
+        Multimodal.sampleFrames(media.as[Multimodal.MediaRow]))
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       import s.implicits._
       Multimodal.sampleFrames(
@@ -5112,6 +5126,24 @@ object SparkEntry {
     // frame sampling mirror: durationMs = n_chars*10, everyMs = 1000,
     // maxFrames = 8 -> nf = min(8, max(1, n_chars // 100)) frames of
     // octet_length(text) // nf bytes each at 1000ms steps
+    "multimodal_frame_dedup" -> {
+      val rh = DuckMirror.signed64(DuckMirror.rollingHashUnsignedSql("fb"))
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         |m AS (SELECT CAST(doc_id AS VARCHAR) AS id, text,
+         |             strlen(text) AS b,
+         |             LEAST(8, GREATEST(1, (strlen(text) * 10) // 1000)) AS nf
+         |      FROM c),
+         |fr AS (SELECT id,
+         |              substr(text, CAST(i * (b // nf) AS INTEGER) + 1,
+         |                     CAST(b // nf AS INTEGER)) AS fb
+         |       FROM m, range(0, 8) r(i) WHERE i < nf),
+         |fp AS (SELECT id, $rh AS frame_fp FROM fr)
+         |SELECT frame_fp, COUNT(*) AS n_frames, MIN(id) AS keeper
+         |FROM fp GROUP BY frame_fp ORDER BY frame_fp""".stripMargin
+    },
+
     "multimodal_frames" ->
       """WITH m AS (SELECT CAST(doc_id AS VARCHAR) AS id,
         |                  strlen(text) AS b,

@@ -152,6 +152,23 @@ object Multimodal {
     }
   }
 
+  /** Cross-media FRAME dedup: byte-identical sampled frames collapse to
+    * one fingerprint group — the multimodal analog of exact text dedup
+    * (re-encoded copies of the same clip share frames even when file
+    * containers differ; a near-dup variant would swap this fingerprint
+    * for a perceptual hash behind the same [[Decoder]] seam). One
+    * rolling-hash pass per frame, one partial-aggregating groupBy on the
+    * 64-bit fingerprint — frame BYTES never shuffle, only (fp, id)
+    * pairs. Output: (frame_fp, n_frames, keeper = min media id).
+    */
+  def dedupFrames(frames: Dataset[MediaFrame]): DataFrame =
+    frames.toDF()
+      .select(col("id"),
+        graft.functions.fingerprint64(decode(col("frame"), "UTF-8"))
+          .as("frame_fp"))
+      .groupBy(col("frame_fp"))
+      .agg(count(lit(1)).as("n_frames"), min(col("id")).as("keeper"))
+
   /** Resize: metadata-true, payload-STUBBED — the output byte length
     * scales with the pixel ratio (a real kernel decodes, resamples, and
     * re-encodes), width/height metadata update for downstream consumers.

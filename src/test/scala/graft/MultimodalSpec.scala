@@ -96,4 +96,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("a").media.length === 250) // 1000 * (50*50)/(100*100)
     assert(out("z").media.length === 0)   // unknown source pixels -> empty stub
   }
+
+  test("dedupFrames collapses byte-identical frames across media rows") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow("a", "hello world bytes here".getBytes("UTF-8"),
+        "fake", 0, 0, 2000L),
+      // exact copy under another id: every frame collides
+      Multimodal.MediaRow("b", "hello world bytes here".getBytes("UTF-8"),
+        "fake", 0, 0, 2000L),
+      Multimodal.MediaRow("c", "completely different payload".getBytes("UTF-8"),
+        "fake", 0, 0, 2000L)
+    ).toDS()
+    val out = Multimodal.dedupFrames(Multimodal.sampleFrames(media))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // a and b yield identical frames (2 each): two fp groups of n=2, keeper a
+    val dups = out.filter(_._2 == 2L)
+    assert(dups.length === 2 && dups.forall(_._3 == "a"))
+    // c's frames are singletons
+    assert(out.filter(_._2 == 1L).forall(_._3 == "c"))
+  }
 }
