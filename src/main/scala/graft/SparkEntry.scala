@@ -1982,6 +1982,14 @@ object SparkEntry {
       graft.ops.Classify.classify(docs(s, dir), nbModel(s, dir),
         "doc_id", "text")),
 
+    // the SAME classifier as one codegen projection: the weight table
+    // collects (model state) and re-enters as a map literal — no join,
+    // no shuffle, runs unchanged on an unbounded stream (StreamingSpec);
+    // same oracle as nb_classify: the two serving forms are bit-equal
+    "nb_classify_map" -> ((s, dir) =>
+      graft.ops.Classify.classifyMapSide(docs(s, dir), nbModel(s, dir),
+        "doc_id", "text")),
+
     // geo_bounding_box filter over the synthetic (lat, lon) derivation
     // the haversine gate established — a pure map-side predicate
     "geo_box" -> ((s, dir) =>
@@ -4192,6 +4200,8 @@ object SparkEntry {
     "dsir_weights" -> DuckMirror.dsirSql(buckets = 4096, alpha = 0.5, mod = 7),
 
     "nb_classify" -> DuckMirror.nbSql(buckets = 512, alpha = 0.5),
+
+    "nb_classify_map" -> DuckMirror.nbSql(buckets = 512, alpha = 0.5),
 
     "bigram_logprob" -> DuckMirror.bigramLmSql(alpha = 0.5),
 

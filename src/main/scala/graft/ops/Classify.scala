@@ -111,6 +111,42 @@ object Classify {
         array_max(col("__tot")).as("score"))
   }
 
+  /** MAP-SIDE classification: the weight table COLLECTS to the driver
+    * (model state — ≤ buckets rows of class-weight arrays) and re-enters
+    * as one map literal, so scoring is a single codegen projection: no
+    * join, no aggregation, NO SHUFFLE — which means it runs unchanged on
+    * an unbounded Structured-Streaming ingest (StreamingSpec proves
+    * stream == batch prediction-for-prediction). Bit-identical to
+    * [[classify]]: features fold in the same position order (absent
+    * buckets filter out exactly as the inner join drops them), the prior
+    * adds last, 6dp round, first-max argmax.
+    */
+  def classifyMapSide(score: DataFrame, model: NbModel, idCol: String,
+                      textCol: String): DataFrame = {
+    val n = model.classes.length
+    val weights: Map[Long, Seq[Double]] = model.weights.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val wLit = typedLit(weights)
+    val zero = array(Seq.fill(n)(lit(0.0)): _*)
+    val priorsLit = array(model.priors.map(lit(_)): _*)
+    val classesLit = array(model.classes.map(lit(_)): _*)
+    val feats = filter(
+      Dsir.featureBuckets(col(textCol), model.buckets),
+      b => element_at(wLit, b).isNotNull)
+    score.select(col(idCol), feats.as("__fb"))
+      .filter(size(col("__fb")) > 0)
+      .select(col(idCol),
+        zip_with(
+          aggregate(col("__fb"), zero,
+            (acc, b) => zip_with(acc, element_at(wLit, b), (a, w) => a + w)),
+          priorsLit, (s, p) => round(s + p, 6)).as("__tot"))
+      .select(col(idCol),
+        element_at(classesLit,
+          array_position(col("__tot"), array_max(col("__tot"))).cast(IntegerType))
+          .as("pred"),
+        array_max(col("__tot")).as("score"))
+  }
+
   /** One-shot convenience: fit on `train` and classify `score`. */
   def naiveBayes(train: DataFrame, score: DataFrame, idCol: String,
                  textCol: String, labelCol: String, buckets: Int,

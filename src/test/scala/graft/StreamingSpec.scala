@@ -150,6 +150,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.size === 3)
   }
 
+  test("streaming classification: streamed docs get the batch NB predictions") {
+    import org.apache.spark.sql.types._
+    // the model trains OFFLINE (batch); map-side serving is one codegen
+    // projection, so the SAME classifier labels an unbounded ingest
+    // stream prediction-for-prediction
+    val dir = Files.createTempDirectory("graft-nb-stream")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val model = graft.ops.Classify.train(docs, "text", "lang", buckets = 256)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = graft.ops.Classify.classifyMapSide(streamed, model, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nb_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pred", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val got = m(spark.table("nb_stream_out"))
+    val expected = m(graft.ops.Classify.classify(docs, model, "doc_id", "text"))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streaming BPE encode: streamed docs get the batch subword counts") {
     import org.apache.spark.sql.types._
     // the merge table is trained OFFLINE (batch — the model a tokenizer
