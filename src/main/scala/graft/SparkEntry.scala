@@ -2386,6 +2386,11 @@ object SparkEntry {
     "dedup_weights" -> ((s, dir) =>
       Dedup.softDedupWeights(docsWithExactDups(s, dir), "doc_id", "text")),
 
+    // character entropy: the compressibility proxy of the public
+    // quality-signal suites — map-side, engine-pinned float-sum order
+    "char_entropy" -> ((s, dir) =>
+      graft.ops.TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")),
+
     // n-gram novelty: fraction of a doc's distinct shingles unseen in
     // any other doc — the inverse boilerplate signal; (hash, id) longs
     // shuffle, the text never does
@@ -4866,6 +4871,30 @@ object SparkEntry {
         seed = 42L, k = 5, sampleSeed = 42L),
 
     "novelty_score" -> DuckMirror.noveltySql,
+
+    // run-length form on BOTH sides (sort, diff run-end positions):
+    // same terms in the same ascending-char order as the per-distinct
+    // formulation, O(n log n) instead of O(n * alphabet)
+    "char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         list_sort(list_transform(range(1, length(text) + 1),
+        |                                  i -> text[i])) AS s
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, n,
+        |         list_filter(range(1, len(s) + 1),
+        |                     i -> i = len(s) OR s[i + 1] <> s[i]) AS ends
+        |  FROM ch)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n,
+        |       CASE WHEN n > 0 THEN 0.0 + ROUND(-list_reduce(
+        |         list_concat([0.0], list_transform(range(1, len(ends) + 1),
+        |           k -> (CAST(ends[k] - CASE WHEN k = 1 THEN 0
+        |                                     ELSE ends[k - 1] END AS DOUBLE) / n)
+        |                * ln(CAST(ends[k] - CASE WHEN k = 1 THEN 0
+        |                                         ELSE ends[k - 1] END AS DOUBLE) / n))),
+        |         (x, y) -> x + y), 6) END AS entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "dedup_weights" ->
       """WITH c AS (SELECT doc_id, text FROM documents

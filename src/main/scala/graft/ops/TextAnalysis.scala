@@ -187,6 +187,48 @@ object TextAnalysis {
         size(array_distinct(col("__sh"))).as("n_distinct"),
         repRatioOf(col("__sh")).as("rep_ratio"))
 
+  /** Character-level Shannon entropy per document — the compressibility
+    * proxy of the public quality-signal suites (Dolma/RedPajama ship a
+    * compression-ratio signal for the same purpose: near-zero-entropy
+    * text is padding/repetition, near-maximal is mojibake or binary
+    * noise; natural language sits in a band). Pure column algebra, one
+    * map-side pass: per distinct character (sorted, so the float SUM
+    * order is engine-pinned) count occurrences and fold -Σ p ln p;
+    * O(len · alphabet) comparisons per doc inside codegen, no shuffle.
+    * Empty documents carry NULL (no distribution to measure).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Single-pass run-length fold over the SORTED char array. The sorted
+    // array is referenced exactly once (as the aggregate input): nested
+    // higher-order formulations that index into it per lambda element
+    // re-inline the sort under Catalyst's lambda substitution and go
+    // O(n^3) — measured as a multi-minute hang on 500 x 550-char docs.
+    // Accumulator = (entropy-sum so far, current run length, prev char);
+    // runs close in ascending char order, so the float-sum order matches
+    // the oracle's sorted run-length reduce term for term.
+    val n = length(col(textCol)).cast(DoubleType)
+    def runTerm(r: Column): Column =
+      when(r > 0, (r.cast(DoubleType) / n) * log(r.cast(DoubleType) / n))
+        .otherwise(lit(0.0))
+    val s = array_sort(transform(sequence(lit(1), length(col(textCol))),
+      i => col(textCol).substr(i, lit(1))))
+    val zero = struct(lit(0.0).as("acc"), lit(0L).as("run"),
+      lit(null).cast(StringType).as("prev"))
+    val ent = aggregate(s, zero,
+      (st, ch) => when(st.getField("prev").isNotNull &&
+          st.getField("prev") === ch,
+        struct(st.getField("acc").as("acc"),
+          (st.getField("run") + 1L).as("run"), ch.as("prev")))
+        .otherwise(struct(
+          (st.getField("acc") + runTerm(st.getField("run"))).as("acc"),
+          lit(1L).as("run"), ch.as("prev"))),
+      st => -(st.getField("acc") + runTerm(st.getField("run"))))
+    // + 0.0 flushes IEEE negative zero (constant-symbol docs yield -0.0
+    // from the negated sum on both engines; repr-sensitive compares care)
+    df.select(col(idCol), length(col(textCol)).as("n"),
+      when(length(col(textCol)) > 0, round(ent, 6) + lit(0.0)).as("entropy"))
+  }
+
   /** Document NOVELTY: per document, the fraction of its DISTINCT word
     * `width`-shingles that appear in NO other document — the inverse
     * signal of boilerplate (high = unique content, low = templated or

@@ -390,4 +390,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
   }
+
+  test("charEntropy: uniform text maximal, constant text zero, empty NULL") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "abcd"),        // uniform over 4 chars: ln(4)
+      (2L, "aaaa"),        // single symbol: 0
+      (3L, ""),            // empty: NULL
+      // document-sized input: guards against the O(n^3) lambda-inlining
+      // hang the first formulation had (fine at 4 chars, minutes at 550)
+      (4L, "ab" * 300)     // uniform over 2 chars: ln(2)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out(1L).get - math.log(4.0)) < 1e-6)
+    assert(out(2L).get === 0.0 || out(2L).get === -0.0)
+    assert(out(3L) === None)
+    assert(math.abs(out(4L).get - math.log(2.0)) < 1e-6)
+  }
 }
