@@ -2479,6 +2479,20 @@ object SparkEntry {
         threshold = 0.8)
         .select(col("id").as("doc_id"), col("component"))),
 
+    // leakage-safe splits: split keyed on the near-dup CLUSTER label, so
+    // no cluster straddles train/test (the reason dedup runs before
+    // splitting — near-dups across the boundary leak eval content);
+    // cluster labels from the same CC chain as dedup_clusters, split
+    // assignment map-side on the component key
+    "split_by_cluster" -> ((s, dir) => {
+      val clusters = Dedup.dedupClusters(docsWithNearDups(s, dir),
+          "doc_id", "text", Seq("lang", "source"), threshold = 0.8)
+        .select(col("id").as("doc_id"), col("component"))
+      Search.assignSplitByGroup(clusters, "component",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+        .select(col("doc_id"), col("component"), col("split"))
+    }),
+
     // cluster-based survivor selection: one representative (min id) per
     // transitive near-dup chain — the Pipeline form a 100 TB clean uses
     // the END-TO-END pipeline composition (Pipeline.cleanCorpus):
@@ -4733,6 +4747,34 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
   )
 
+  /** Shared CTE chain of the dedup_clusters / split_by_cluster oracles:
+    * the planted-near-dup corpus, blocked n-gram Jaccard pairs at 0.8,
+    * symmetric edges, and the recursive min-label reachability — ONE text
+    * so the two gates provably close over the same cluster labels.
+    */
+  private val NearDupClustersCte: String =
+    """WITH RECURSIVE c AS (SELECT doc_id, text, lang, source FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text || ' zzz', lang, source
+      |           FROM documents WHERE doc_id % 7 = 0),
+      |     t AS (SELECT doc_id, lang, source,
+      |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      |           FROM c),
+      |     p AS (SELECT * FROM (
+      |       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS j
+      |       FROM t a JOIN t b
+      |         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+      |       WHERE ROUND(j, 6) >= 0.8),
+      |     e AS (SELECT a_id AS s, b_id AS d FROM p
+      |           UNION ALL
+      |           SELECT b_id, a_id FROM p),
+      |     reach(id, comp) AS (
+      |       SELECT doc_id, doc_id FROM c
+      |       UNION
+      |       SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id)""".stripMargin
+
   private val oraclePipeline: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH c AS (SELECT doc_id, text FROM documents
@@ -4806,29 +4848,30 @@ object SparkEntry {
     // exact transitive closure: min reachable doc_id per node over the
     // same near-dup pair edges the Spark side propagates labels on
     "dedup_clusters" ->
-      """WITH RECURSIVE c AS (SELECT doc_id, text, lang, source FROM documents
-        |           UNION ALL
-        |           SELECT doc_id + 1000000, text || ' zzz', lang, source
-        |           FROM documents WHERE doc_id % 7 = 0),
-        |     t AS (SELECT doc_id, lang, source,
-        |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
-        |           FROM c),
-        |     p AS (SELECT * FROM (
-        |       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |              CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-        |              CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS j
-        |       FROM t a JOIN t b
-        |         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-        |       WHERE ROUND(j, 6) >= 0.8),
-        |     e AS (SELECT a_id AS s, b_id AS d FROM p
-        |           UNION ALL
-        |           SELECT b_id, a_id FROM p),
-        |     reach(id, comp) AS (
-        |       SELECT doc_id, doc_id FROM c
-        |       UNION
-        |       SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id)
-        |SELECT id AS doc_id, min(comp) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      (NearDupClustersCte +
+        """
+          |SELECT id AS doc_id, min(comp) AS component
+          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // the SAME transitive closure, then split = f(component, seed): every
+    // cluster member shares the component key, so no cluster straddles a
+    // split boundary (thresholds from the identical Scala arithmetic)
+    "split_by_cluster" -> {
+      val ts = graft.ops.Search.splitThresholds(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      NearDupClustersCte +
+        s""",
+           |     comp AS (SELECT id AS doc_id, min(comp) AS component
+           |              FROM reach GROUP BY id),
+           |     sb AS (SELECT doc_id, component,
+           |                   CAST(CAST(('0x' || substring(md5('split|' || CAST(component AS VARCHAR) || '7'), 1, 15)) AS UBIGINT) AS BIGINT) AS b
+           |            FROM comp)
+           |SELECT doc_id, component,
+           |       CASE WHEN b < ${ts(0)} THEN 'train'
+           |            WHEN b < ${ts(1)} THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM sb ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_embedding" ->
       """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -670,6 +670,20 @@ object Search {
       chained.fold(lit(splits.last._1))(_.otherwise(lit(splits.last._1))))
   }
 
+  /** LEAKAGE-SAFE split assignment: the split is a pure function of a
+    * GROUP key (near-dup cluster label, url host, author id, ...) rather
+    * than the row id, so every member of a group lands in the SAME split.
+    * This is why dedup clustering runs before splitting in a training
+    * pipeline: splitting near-duplicates across train/test leaks test
+    * content into training and inflates eval. Same md5 permutation and
+    * thresholds as [[assignSplit]] — map-side, no shuffle; the group
+    * column must be engine-stable (a [[Dedup.connectedComponents]] label
+    * is: min id of the cluster).
+    */
+  def assignSplitByGroup(df: DataFrame, groupCol: String,
+                         splits: Seq[(String, Double)], seed: Long): DataFrame =
+    assignSplit(df, groupCol, splits, seed)
+
   /** Sparse search with the IDF modifier — the reference backend's
     * `Modifier::Idf` on a sparse field: each query term's value is scaled
     * by idf(t) = ln((N - n(t) + 0.5) / (n(t) + 0.5) + 1) (BM25's idf),

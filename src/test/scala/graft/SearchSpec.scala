@@ -127,6 +127,25 @@ class SearchSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("assignSplitByGroup: no group straddles a split; id-keyed split would") {
+    // groups of 3 consecutive ids — the shape of near-dup clusters
+    val df = spark.range(0, 3000)
+      .selectExpr("id", "id div 3 as component")
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val byGroup = Search.assignSplitByGroup(df, "component", splits, 42L)
+    // leakage-safety: every group maps to exactly one split
+    val perGroup = byGroup.groupBy("component")
+      .agg(countDistinct("split").as("k"))
+      .agg(max("k")).head().getLong(0)
+    assert(perGroup === 1L)
+    // the property is NOT vacuous: the id-keyed split DOES straddle groups
+    val naive = Search.assignSplit(df, "id", splits, 42L)
+    val naivePerGroup = naive.groupBy("component")
+      .agg(countDistinct("split").as("k"))
+      .agg(max("k")).head().getLong(0)
+    assert(naivePerGroup > 1L)
+  }
+
   test("randomSample is deterministic under a fixed seed") {
     val a = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq
     val b = Search.randomSample(homD, 10, 42L).select("id").as[String].collect().toSeq
