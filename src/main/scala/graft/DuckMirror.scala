@@ -1518,6 +1518,47 @@ object DuckMirror {
     * position order, and the kept text is fingerprinted with the engine's
     * rolling hash.
     */
+  /** CTE chain of the span-decontamination oracles: shingle positions of
+    * the PLAIN documents table, benchmark = `doc_id % mod == 0` (the
+    * doc-level decontam oracle's split), hits = corpus shingles present
+    * in the benchmark shingle set, islands merged at w = 3.
+    */
+  def decontamSpanCtes(mod: Int): String =
+    s"""t AS (SELECT doc_id,
+       |             list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+       |      FROM documents),
+       |${sh3Of("documents")},
+       |shp AS (SELECT doc_id, unnest(v) AS s, unnest(range(1, len(v) + 1)) AS p1 FROM sh3),
+       |sh AS (SELECT doc_id, s, CAST(p1 - 1 AS BIGINT) AS pos FROM shp),
+       |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % $mod = 0),
+       |h AS (SELECT doc_id, pos FROM sh WHERE doc_id % $mod <> 0
+       |      AND s IN (SELECT s FROM bs)),
+       |${islandCtes("h", "spans")}""".stripMargin
+
+  /** Mirror of [[graft.ops.Dedup.stripContaminatedSpans]] (w = 3): corpus
+    * docs rebuilt with their benchmark-overlapping spans removed, kept
+    * text fingerprinted with the engine's rolling hash.
+    */
+  def decontamSpanStripSql(mod: Int): String =
+    s"""WITH ${decontamSpanCtes(mod)},
+       |tok0 AS (SELECT doc_id, unnest(toks) AS tok,
+       |                unnest(range(1, len(toks) + 1)) AS p1 FROM t
+       |         WHERE doc_id % $mod <> 0),
+       |tok AS (SELECT doc_id, CAST(p1 - 1 AS BIGINT) AS pos, tok FROM tok0),
+       |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM spans f
+       |                           WHERE f.doc_id = tok.doc_id
+       |                             AND tok.pos >= f.span_start
+       |                             AND tok.pos < f.span_end)),
+       |re AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |              array_to_string(list(tok ORDER BY pos), ' ') AS kt
+       |       FROM kept GROUP BY doc_id),
+       |fp0 AS (SELECT doc_id, n_kept,
+       |               ${rollingHashUnsignedSql("kt")} AS hu
+       |        FROM re)
+       |SELECT doc_id, n_kept, ${signed64("hu")} AS kept_fp
+       |FROM fp0 ORDER BY doc_id""".stripMargin
+
   def spanStripSql(phrase: String): String =
     s"""WITH ${spanBaseCtes(phrase)},
        |own AS (SELECT s, min(doc_id) AS owner FROM sh

@@ -2583,6 +2583,25 @@ object SparkEntry {
           d.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    // SPAN-level decontamination: instead of dropping whole contaminated
+    // docs, localize the benchmark-overlapping token ranges (3-gram hit
+    // positions merged gaps-and-islands) — the surgical protocol; bench
+    // shingle set broadcast, zero corpus shuffle before the island window
+    "decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminatedSpans(d.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 97 === 0), "text", w = 3)
+    }),
+
+    // the actionable form: corpus docs rebuilt with contaminated spans
+    // stripped; clean docs pass through whole — output value-checks the
+    // reconstruction via kept-token count + rolling-hash fingerprint
+    "decontam_span_strip" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.stripContaminatedSpans(d.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 97 === 0), "text", w = 3)
+    }),
+
     // the same decontamination BLOOM-prefiltered (the shape for benchmark
     // sets too big to broadcast as a hash set): a 64 Kbit bloom literal
     // thins the corpus shingles map-side, the exact semi-join removes the
@@ -5706,6 +5725,11 @@ object SparkEntry {
         "decontam" -> DuckMirror.decontamSql(mod = 97),
         // bloom prefilter is result-invariant: identical oracle
         "decontam_bloom" -> DuckMirror.decontamSql(mod = 97),
+        "decontam_spans" ->
+          s"""WITH ${DuckMirror.decontamSpanCtes(mod = 97)}
+             |SELECT doc_id, span_start, span_end, span_len
+             |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+        "decontam_span_strip" -> DuckMirror.decontamSpanStripSql(mod = 97),
         "ann_lsh" -> DuckMirror.lshSql(queryVecId = 3, k = 10, dim = 64,
           nbits = 16, bands = 4, seed = 42L),
         "ann_knn_graph" -> DuckMirror.knnGraphSql(queryVecId = 3, k = 10,

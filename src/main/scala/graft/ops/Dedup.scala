@@ -847,6 +847,18 @@ object Dedup {
       .select(col("id"), col("pos").cast(LongType).as("pos"))
     val spans = mergeIslands(foreign, w)
       .select(col("id").as("sid"), col("span_start"), col("span_end"))
+    stripSpansAndFingerprint(df, idCol, textCol, spans)
+  }
+
+  /** Shared reassembly tail of [[stripDuplicatedSpans]] /
+    * [[stripContaminatedSpans]]: drop each doc's tokens inside its
+    * `spans` ranges (sid, span_start, span_end), rejoin survivors in
+    * position order, fingerprint. Per-doc range anti-join against FEW
+    * merged spans; the rebuild is a per-doc sort_array, never global.
+    */
+  private def stripSpansAndFingerprint(df: DataFrame, idCol: String,
+                                       textCol: String,
+                                       spans: DataFrame): DataFrame = {
     val toksOf = df.select(col(idCol).as("id"),
       posexplode(cleanToks(textCol)).as(Seq("pos", "tok")))
       .select(col("id"), col("pos").cast(LongType).as("pos"), col("tok"))
@@ -861,6 +873,51 @@ object Dedup {
           s => s.getField("tok"))).as("__kept_text"))
       .select(col("id").as(idCol), col("n_kept"),
         graft.functions.fingerprint64(col("__kept_text")).as("kept_fp"))
+  }
+
+  /** SPAN-level benchmark decontamination: the token ranges of `df` that
+    * overlap any word `w`-shingle of the `bench` corpus — the surgical
+    * form of doc-level decontamination ([[graft.ops.TextAnalysis
+    * .contaminatedDocs]] drops whole documents; this localizes the
+    * contaminated substrings so the rest of the document survives, the
+    * n-gram-overlap protocol of the public eval-decontamination suites).
+    * Same shingle kernel, hit semantics = membership in the benchmark
+    * shingle set; touching hits merge gaps-and-islands into maximal
+    * spans. Returns (id, span_start, span_end, span_len), token-index
+    * bounds, end exclusive.
+    *
+    * Scale shape: the corpus side is one kernel pass + posexplode
+    * (map-side); the benchmark shingle set is distinct-aggregated and
+    * BROADCAST (eval benchmarks are model-sized next to a training
+    * corpus — the same asymmetry doc-level decontam exploits), so no
+    * corpus shuffle at all before the per-doc island window.
+    */
+  def contaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        w: Int = 3): DataFrame = {
+    require(w >= 1, s"contaminatedSpans needs w >= 1, got $w")
+    val benchSh = bench.select(
+      explode(graft.functions.word_shingle_hashes(col(benchTextCol), w))
+        .as("sh")).distinct()
+    val hits = shingledPositions(df, idCol, textCol, w)
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("id"), col("pos").cast(LongType).as("pos"))
+    mergeIslands(hits, w)
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+  }
+
+  /** The ACTIONABLE form of [[contaminatedSpans]]: rebuild each document
+    * with its benchmark-overlapping spans REMOVED (docs with no
+    * contamination pass through whole). Output contract matches
+    * [[stripDuplicatedSpans]]: (id, n_kept, kept_fp).
+    */
+  def stripContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             w: Int = 3): DataFrame = {
+    val spans = contaminatedSpans(df, idCol, textCol, bench, benchTextCol, w)
+      .select(col(idCol).as("sid"), col("span_start"), col("span_end"))
+    stripSpansAndFingerprint(df, idCol, textCol, spans)
   }
 
   /** Fuzzy (edit-distance) near-duplicate pairs: Levenshtein distance at

@@ -392,6 +392,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 6L, 3L -> 5L), out)
   }
 
+  test("contaminatedSpans localizes benchmark overlap; strip removes only it") {
+    val corpus = Seq(
+      (1L, "intro words the quick brown fox closing remark"), // mid overlap
+      (2L, "the quick brown fox"),                            // fully contaminated
+      (3L, "nothing in common at all here"))                  // clean
+      .toDF("doc_id", "text")
+    val bench = Seq("eval asks about the quick brown fox today")
+      .toDF("text")
+    val spans = Dedup.contaminatedSpans(corpus, "doc_id", "text", bench, "text", w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: shingle hits at token pos 2,3 -> span [2, 6); doc 2: [0, 4)
+    assert(spans === Set((1L, 2L, 6L), (2L, 0L, 4L)), spans)
+    val kept = Dedup.stripContaminatedSpans(corpus, "doc_id", "text", bench, "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 keeps the 4 tokens outside the span; doc 2 drops out whole;
+    // doc 3 passes through untouched
+    assert(kept === Map(1L -> 4L, 3L -> 6L), kept)
+  }
+
   test("fuzzyPairs matches single-edit variants and respects maxDist") {
     val d = Seq(
       (1L, "the colorful parrot flew away", "en", "s"),
