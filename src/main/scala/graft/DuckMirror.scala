@@ -511,6 +511,17 @@ object DuckMirror {
        |SELECT DISTINCT ch.doc_id FROM ch JOIN bh USING (h)
        |ORDER BY doc_id""".stripMargin
 
+  /** decontam_verdicts oracle: per-doc boolean — any shingle of the doc
+    * present in the benchmark (`doc_id % mod = 0`) shingle set.
+    */
+  def decontamVerdictSql(mod: Int): String =
+    s"""WITH $docsSh3,
+       |bh AS (SELECT DISTINCT unnest(v) AS h FROM sh3 WHERE doc_id % $mod = 0),
+       |bl AS (SELECT list(h) AS hs FROM bh)
+       |SELECT doc_id,
+       |       len(list_intersect(COALESCE(v, []::UBIGINT[]), bl.hs)) > 0 AS contaminated
+       |FROM sh3, bl WHERE doc_id % $mod <> 0 ORDER BY doc_id""".stripMargin
+
   /** ann_ivf / ann_ivf_probe oracle: the FULL IVF pipeline mirror —
     * seeded init (nlist smallest md5(id||seed), Ann.fitCentroids), then
     * `maxIter` Lloyd's rounds of { argmin euclid assignment (first-min

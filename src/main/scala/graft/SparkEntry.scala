@@ -2583,6 +2583,16 @@ object SparkEntry {
           d.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    // ingest-time decontamination verdicts: benchmark shingles as a
+    // bounded array literal, one map-side arrays_overlap per doc — no
+    // join/agg/state, so the same expression runs on an unbounded ingest
+    // stream (StreamingSpec proves stream == batch verdict parity)
+    "decontam_verdicts" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.decontamVerdicts(d.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", d.filter(col("doc_id") % 97 === 0), "text")
+    }),
+
     // SPAN-level decontamination: instead of dropping whole contaminated
     // docs, localize the benchmark-overlapping token ranges (3-gram hit
     // positions merged gaps-and-islands) — the surgical protocol; bench
@@ -5725,6 +5735,7 @@ object SparkEntry {
         "decontam" -> DuckMirror.decontamSql(mod = 97),
         // bloom prefilter is result-invariant: identical oracle
         "decontam_bloom" -> DuckMirror.decontamSql(mod = 97),
+        "decontam_verdicts" -> DuckMirror.decontamVerdictSql(mod = 97),
         "decontam_spans" ->
           s"""WITH ${DuckMirror.decontamSpanCtes(mod = 97)}
              |SELECT doc_id, span_start, span_end, span_len

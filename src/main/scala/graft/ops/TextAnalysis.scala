@@ -272,6 +272,30 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** Map-side decontamination VERDICTS — the ingest-time form: the
+    * benchmark's distinct shingle hashes collect ONCE into a sorted
+    * array literal (bounded model state, the same class as centroids /
+    * NB weights — eval benchmarks are model-sized next to a training
+    * corpus) and every document's verdict is one arrays_overlap against
+    * it. No join, no aggregation, no keyed state — so the IDENTICAL
+    * expression filters an unbounded ingest stream in append mode
+    * (StreamingSpec proves verdict parity with [[contaminatedDocs]]).
+    * Returns (id, contaminated) for EVERY corpus doc. When the benchmark
+    * outgrows a comfortable literal, [[contaminatedDocsBloom]]'s
+    * bit-array is the constant-size fallback.
+    */
+  def decontamVerdicts(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       width: Int = 3): DataFrame = {
+    val hashes: Array[Long] = benchmark
+      .select(explode(word_shingle_hashes(col(benchTextCol), width)).as("__h"))
+      .distinct().orderBy(col("__h"))
+      .collect().map(_.getLong(0))
+    corpus.select(col(idCol),
+      arrays_overlap(word_shingle_hashes(col(textCol), width),
+        typedlit(hashes)).as("contaminated"))
+  }
+
   /** Bloom-PREFILTERED decontamination — the shape [[contaminatedDocs]]
     * takes when the benchmark side outgrows a comfortable broadcast hash
     * set: the benchmark's distinct shingle hashes fold into a fixed-size

@@ -115,6 +115,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(identity))
   }
 
+  test("streaming ingest decontamination: verdicts match the batch semi-join") {
+    import org.apache.spark.sql.types._
+    // the benchmark shingle set is bounded model state compiled into a
+    // map-side arrays_overlap, so decontamination runs AT INGEST on the
+    // unbounded stream — no join, no state
+    val dir = Files.createTempDirectory("graft-decontam-stream")
+    Files.copy(
+      Paths.get(s"${TestSpark.sfDir}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val streamed = spark.readStream.schema(schema).parquet(dir.toString)
+      .filter(col("doc_id") % 97 =!= 0)
+    val q = graft.ops.TextAnalysis.decontamVerdicts(streamed, "doc_id", "text",
+        bench, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_stream_out")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch truth from the broadcast semi-join form
+    val contaminated = graft.ops.TextAnalysis.contaminatedDocs(
+        d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", bench, "text")
+      .collect().map(_.getLong(0)).toSet
+    val corpusIds = d.filter(col("doc_id") % 97 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet === corpusIds)
+    assert(got.filter(_._2).keySet === contaminated)
+    assert(contaminated.nonEmpty && got.exists(!_._2))
+  }
+
   test("streaming URL dedup: canonicalize is map-side, first fetch per key survives") {
     import org.apache.spark.sql.types._
     import spark.implicits._
