@@ -1296,7 +1296,25 @@ object DuckMirror {
     * w=1 token-hash set, then per-corpus-id max + count.
     */
   def minhashDecontamSql(threshold: Double, numHashes: Int = 16,
-                         bands: Int = 4, seed: Long = 42L): String = {
+                         bands: Int = 4, seed: Long = 42L): String =
+    minhashCrossSql(threshold, numHashes, bands, seed,
+      """SELECT cid AS id, MAX(jaccard) AS max_jaccard, COUNT(*) AS n_hits
+        |FROM hits GROUP BY cid ORDER BY id""".stripMargin)
+
+  /** neardup_ingest oracle — the PAIR-level view of the same cross-side
+    * chain (Dedup.nearDupsAgainstIndex: incoming = the planted variants,
+    * index = the documents corpus): every verified (incoming, stored)
+    * pair with its Jaccard.
+    */
+  def minhashProbePairsSql(threshold: Double, numHashes: Int = 16,
+                           bands: Int = 4, seed: Long = 42L): String =
+    minhashCrossSql(threshold, numHashes, bands, seed,
+      """SELECT bid AS in_id, cid AS hit_id, jaccard
+        |FROM hits ORDER BY in_id, hit_id""".stripMargin)
+
+  private def minhashCrossSql(threshold: Double, numHashes: Int,
+                              bands: Int, seed: Long,
+                              finalSelect: String): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val (cas, cbs) = MinHashSignature.coefficients(numHashes, seed)
@@ -1363,13 +1381,12 @@ object DuckMirror {
        |tsc AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1c),
        |tsb AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1b),
        |hits AS (SELECT * FROM (
-       |  SELECT cid,
+       |  SELECT cid, bid,
        |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
        |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
        |  FROM cands JOIN tsc ta ON ta.doc_id = cid JOIN tsb tb ON tb.doc_id = bid)
        |  WHERE jaccard >= $threshold)
-       |SELECT cid AS id, MAX(jaccard) AS max_jaccard, COUNT(*) AS n_hits
-       |FROM hits GROUP BY cid ORDER BY id""".stripMargin
+       |$finalSelect""".stripMargin
   }
 
   /** dedup_minhash oracle: w=3 shingle hashes -> 16 minhash functions

@@ -2583,6 +2583,20 @@ object SparkEntry {
           d.filter(col("doc_id") % 97 === 0), "text")
     }),
 
+    // ONLINE near-dup check at ingest: incoming docs (the planted
+    // variants) probe the banded MinHash index of the already-ingested
+    // corpus — map-side signature on the probe side, (band, bandkey)
+    // equi-join, exact-Jaccard verify over stored token sets; the same
+    // plan runs stream-static (StreamingSpec proves pair parity)
+    "neardup_ingest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val incoming = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text"))
+      Dedup.nearDupsAgainstIndex(incoming, "doc_id", "text",
+        Dedup.minhashBandIndex(d, "doc_id", "text"), threshold = 0.8)
+    }),
+
     // ingest-time decontamination verdicts: benchmark shingles as a
     // bounded array literal, one map-side arrays_overlap per doc — no
     // join/agg/state, so the same expression runs on an unbounded ingest
@@ -5736,6 +5750,7 @@ object SparkEntry {
         // bloom prefilter is result-invariant: identical oracle
         "decontam_bloom" -> DuckMirror.decontamSql(mod = 97),
         "decontam_verdicts" -> DuckMirror.decontamVerdictSql(mod = 97),
+        "neardup_ingest" -> DuckMirror.minhashProbePairsSql(threshold = 0.8),
         "decontam_spans" ->
           s"""WITH ${DuckMirror.decontamSpanCtes(mod = 97)}
              |SELECT doc_id, span_start, span_end, span_len

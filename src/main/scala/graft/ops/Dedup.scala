@@ -273,6 +273,64 @@ object Dedup {
       .select(col("cid").as("id"), col("max_jaccard"), col("n_hits"))
   }
 
+  /** Banded MinHash INDEX of an ingested corpus — the stored artifact an
+    * ONLINE near-dup check probes: one row per (band, bandkey) with the
+    * doc's verification token set alongside, so a probe resolves
+    * candidates AND verifies without touching the original texts. Built
+    * once per ingest (warm/offline, like the LSH band store); written
+    * `partitionBy("band", "bandkey")` in production so probes
+    * partition-prune to their own keys.
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 16, shingleWidth: Int = 3,
+                       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"),
+        sortedTokenHashSet(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"),
+            b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+          .as(Seq("band", "bandkey")))
+  }
+
+  /** ONLINE near-dup check: verified near-dup pairs between `incoming`
+    * documents and a STATIC [[minhashBandIndex]] — "does this new doc
+    * near-dup anything already ingested?", the first-write-wins dedup
+    * decision made AT INGEST instead of by a later batch sweep. The
+    * incoming side is pure map-side (signature + band keys + token set —
+    * one kernel pass), candidates meet on (band, bandkey) equi-join
+    * against the index, exact Jaccard verifies over precomputed token
+    * sets, and multi-band hits collapse to one pair. Stream-safe: with a
+    * streaming `incoming` this is a stream-static join plus a keyed
+    * dropDuplicates — StreamingSpec proves stream == batch pair parity.
+    */
+  def nearDupsAgainstIndex(incoming: DataFrame, idCol: String,
+                           textCol: String, index: DataFrame,
+                           threshold: Double, numHashes: Int = 16,
+                           shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val rowsPerBand = numHashes / bands
+    val probe = incoming.select(col(idCol).as("in_id"),
+        minhashSignature(col(textCol), numHashes, shingleWidth).as("sig"),
+        sortedTokenHashSet(col(textCol)).as("in_toks"))
+      .select(col("in_id"), col("in_toks"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"),
+            b * rowsPerBand + lit(1), lit(rowsPerBand)))))
+          .as(Seq("band", "bandkey")))
+    probe.join(index, Seq("band", "bandkey"))
+      .withColumn("jaccard",
+        round(jaccardSortedSets(col("in_toks"), col("toks")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("in_id"), col("id").as("hit_id"), col("jaccard"))
+      .dropDuplicates("in_id", "hit_id")
+  }
+
   /** SimHash per document: 64-bit signature over the w=1 shingle token
     * hashes (same native tokenize+hash kernel as minhash/fingerprint, so
     * one DuckDB arithmetic mirror oracles every hash-dedup operator).

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
 import graft.streaming.EventsStream
 
 class StreamingSpec extends AnyFunSuite {
@@ -113,6 +114,41 @@ class StreamingSpec extends AnyFunSuite {
     val expected = m(graft.ops.TextAnalysis.gopherFilter(docs, "doc_id", "text"))
     assert(got === expected)
     assert(got.nonEmpty && got.values.exists(identity))
+  }
+
+  test("streaming near-dup check: stream-static index probe matches batch pairs") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // the banded MinHash index is a static ingest artifact; an unbounded
+    // stream of new docs probes it with a stream-static join — the
+    // first-write-wins dedup decision made AT INGEST
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val index = Dedup.minhashBandIndex(d, "doc_id", "text").localCheckpoint()
+    val incoming = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+    val src = Files.createTempDirectory("graft-neardup-stream")
+    incoming.repartition(2).write.mode("overwrite").parquet(src.toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val streamed = spark.readStream.schema(schema).parquet(src.toString)
+    val q = Dedup.nearDupsAgainstIndex(streamed, "doc_id", "text", index,
+        threshold = 0.8)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("in_id", "hit_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = pairs(spark.table("neardup_stream_out"))
+    val expected = pairs(Dedup.nearDupsAgainstIndex(incoming, "doc_id",
+      "text", index, threshold = 0.8))
+    assert(got === expected)
+    // every planted variant finds its source doc in the index
+    assert(expected.map(_._1).size === incoming.count())
   }
 
   test("streaming ingest decontamination: verdicts match the batch semi-join") {
