@@ -1016,9 +1016,12 @@ object DuckMirror {
     * documents reassembled from kept lines in order, output as kept-count
     * + fingerprint of the rebuilt text.
     */
-  def lineDedupSql(boiler: String): String = {
-    val lineFp = rollingHashUnsignedSql("line")
-    s"""WITH base AS (
+  /** The line-structured corpus shared by the line-level oracles: the
+    * exact-dup base rebuilt as 8-token lines with [[graft.SparkEntry]]'s
+    * BoilerLine appended to doc_id % 4 == 0 — CTEs `base`..`lined`.
+    */
+  private def lineCorpusCtes(boiler: String): String =
+    s"""base AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
@@ -1031,7 +1034,63 @@ object DuckMirror {
        |            CASE WHEN doc_id % 4 = 0
        |                 THEN array_to_string(ll, chr(10)) || chr(10) || '$boiler'
        |                 ELSE array_to_string(ll, chr(10)) END AS text
-       |          FROM lt),
+       |          FROM lt)""".stripMargin
+
+  /** [[lineCorpusCtes]] plus the line-rules DECORATION (mirror of
+    * SparkEntry.decoratedLineDocs): bullets on even lines of
+    * doc_id % 5 == 0, '...' on every 4th line of doc_id % 3 == 0, first
+    * line re-appended for doc_id % 6 == 0. Ends with `dls(doc_id, ls)`.
+    */
+  private def decoratedLineCtes(boiler: String): String =
+    s"""${lineCorpusCtes(boiler)},
+       |dl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
+       |dec0 AS (SELECT doc_id, list_transform(range(0, len(ls)), i ->
+       |           (CASE WHEN doc_id % 5 = 0 AND i % 2 = 0 THEN '- ' || ls[i + 1] ELSE ls[i + 1] END) ||
+       |           (CASE WHEN doc_id % 3 = 0 AND i % 4 = 0 THEN '...' ELSE '' END)) AS ls
+       |         FROM dl),
+       |dtxt AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0
+       |                 THEN array_to_string(ls, chr(10)) || chr(10) || ls[1]
+       |                 ELSE array_to_string(ls, chr(10)) END AS text FROM dec0),
+       |dls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM dtxt)""".stripMargin
+
+  /** line_rules oracle: Gopher's duplicate/bullet/ellipsis line fractions
+    * (TextAnalysis.gopherLineRules) over the decorated line corpus; keep
+    * compares the ROUNDED fractions, like the engine.
+    */
+  def lineRulesSql(boiler: String, maxDupLine: Double = 0.3,
+                   maxBullet: Double = 0.9,
+                   maxEllipsis: Double = 0.3): String =
+    s"""WITH ${decoratedLineCtes(boiler)},
+       |fr AS (SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+       |         ROUND(CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls), 6) AS dup_line_frac,
+       |         ROUND(CAST(len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE) / len(ls), 6) AS bullet_frac,
+       |         ROUND(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE) / len(ls), 6) AS ellipsis_frac
+       |       FROM dls)
+       |SELECT doc_id, n_lines, dup_line_frac, bullet_frac, ellipsis_frac,
+       |       dup_line_frac <= $maxDupLine AND bullet_frac <= $maxBullet
+       |         AND ellipsis_frac <= $maxEllipsis AS keep
+       |FROM fr ORDER BY doc_id""".stripMargin
+
+  /** line_dedup_doc oracle: within-doc first-occurrence line dedup
+    * (TextAnalysis.dedupLinesWithinDoc) — kept = lines at their own
+    * first-position index, rebuilt text fingerprinted.
+    */
+  def lineDedupDocSql(boiler: String): String =
+    s"""WITH ${decoratedLineCtes(boiler)},
+       |k AS (SELECT doc_id,
+       |        list_transform(
+       |          list_filter(range(0, len(ls)), i -> list_position(ls, ls[i + 1]) = i + 1),
+       |          i -> ls[i + 1]) AS kept
+       |      FROM dls),
+       |kt AS (SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       |              array_to_string(kept, chr(10)) AS kt FROM k),
+       |fp0 AS (SELECT doc_id, n_kept_lines, ${rollingHashUnsignedSql("kt")} AS hu FROM kt)
+       |SELECT doc_id, n_kept_lines, ${signed64("hu")} AS text_fp
+       |FROM fp0 ORDER BY doc_id""".stripMargin
+
+  def lineDedupSql(boiler: String): String = {
+    val lineFp = rollingHashUnsignedSql("line")
+    s"""WITH ${lineCorpusCtes(boiler)},
        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined),
        |l AS (SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS pos FROM l0),
        |f AS (SELECT doc_id, line, pos, $lineFp AS fp FROM l),

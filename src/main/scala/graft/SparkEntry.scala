@@ -714,6 +714,26 @@ object SparkEntry {
           concat(col("__t"), lit("\n" + BoilerLine))).otherwise(col("__t")).as("text"))
   }
 
+  /** [[lineStructuredDocs]] DECORATED for the line-rules gates: '- '
+    * bullets on even lines of doc_id % 5 == 0, '...' endings on every 4th
+    * line of doc_id % 3 == 0, and the (decorated) first line re-appended
+    * for doc_id % 6 == 0 — a planted within-doc duplicate. Same
+    * arithmetic in the DuckDB mirror (DuckMirror.decoratedLineCtes).
+    */
+  private def decoratedLineDocs(s: SparkSession, dir: String): DataFrame = {
+    val dec = transform(split(col("text"), "\n"), (l, i) => concat(
+      when(col("doc_id") % 5 === 0 && i % 2 === 0,
+        concat(lit("- "), l)).otherwise(l),
+      when(col("doc_id") % 3 === 0 && i % 4 === 0,
+        lit("...")).otherwise(lit(""))))
+    lineStructuredDocs(s, dir)
+      .select(col("doc_id"), array_join(dec, "\n").as("__t"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("__t"), lit("\n"), element_at(split(col("__t"), "\n"), 1)))
+          .otherwise(col("__t")).as("text"))
+  }
+
   /** Embeddings corpus (double vectors) with planted near-duplicate vectors
     * (vec_id % 5 == 0 re-appears as vec_id + 100000, scaled by 0.99).
     */
@@ -2581,6 +2601,17 @@ object SparkEntry {
     // doc — ONE ShingleKernel pass, zero shuffle
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
+
+    // Gopher's LINE-level rules (duplicate/bullet/ellipsis line fractions
+    // vs published thresholds) over the decorated line corpus — map-side
+    "line_rules" -> ((s, dir) =>
+      TextAnalysis.gopherLineRules(decoratedLineDocs(s, dir), "doc_id", "text")),
+
+    // within-doc repetition removal: a doc's own repeated lines dropped,
+    // first occurrence kept in order — map-side fold, no shuffle (the
+    // cross-corpus first-occurrence rule is line_dedup)
+    "line_dedup_doc" -> ((s, dir) =>
+      TextAnalysis.dedupLinesWithinDoc(decoratedLineDocs(s, dir), "doc_id", "text")),
 
     // benchmark decontamination: docs sharing any word 3-gram with the
     // (deterministic doc_id % 97 == 0) benchmark subset — explode to
@@ -5032,6 +5063,8 @@ object SparkEntry {
         |FROM m, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
+    "line_rules" -> DuckMirror.lineRulesSql(BoilerLine),
+    "line_dedup_doc" -> DuckMirror.lineDedupDocSql(BoilerLine),
 
     // same formula as bm25_rank (terms window/batch/scan), restricted to
     // docs matching >= 1 term — the candidate set the pruned index yields

@@ -429,6 +429,54 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("mean_chars_per_token"),
         col("rep_ratio"), col("keep"))
 
+  /** Gopher's LINE-level quality rules (the half of the repetition suite
+    * [[gopherFilter]]'s shingle signals don't cover): per document, the
+    * fraction of duplicate lines, of bullet-point lines, and of
+    * ellipsis-terminated lines, each against its published threshold
+    * (duplicate <= 30%, bullets <= 90%, ellipsis <= 30%). One map-side
+    * projection over the split lines — no shuffle, streams unbounded.
+    */
+  def gopherLineRules(df: DataFrame, idCol: String, textCol: String,
+                      maxDupLine: Double = 0.3, maxBullet: Double = 0.9,
+                      maxEllipsis: Double = 0.3): DataFrame = {
+    val ls = col("__ls")
+    val nl = size(ls).cast(DoubleType)
+    val dup = round((size(ls) - size(array_distinct(ls))).cast(DoubleType) / nl, 6)
+    val bul = round(size(filter(ls, l =>
+      l.startsWith("- ") || l.startsWith("* "))).cast(DoubleType) / nl, 6)
+    val ell = round(size(filter(ls, l =>
+      l.endsWith("..."))).cast(DoubleType) / nl, 6)
+    df.withColumn("__ls", split(col(textCol), "\n"))
+      .select(col(idCol), size(ls).as("n_lines"),
+        dup.as("dup_line_frac"), bul.as("bullet_frac"),
+        ell.as("ellipsis_frac"))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLine &&
+          col("bullet_frac") <= maxBullet &&
+          col("ellipsis_frac") <= maxEllipsis)
+  }
+
+  /** WITHIN-document line dedup — the repetition-removal transform (C4's
+    * cross-corpus first-occurrence rule is [[graft.ops.Dedup.dedupLines]];
+    * this drops a doc's own repeated lines, keeping first occurrence in
+    * order). Pure map-side fold over the split lines — no shuffle, no
+    * state; O(lines^2) comparisons per doc, bounded by doc size. Output
+    * value-checks the rebuild: (id, n_kept_lines, text_fp).
+    */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val kept = aggregate(col("__ls"),
+      array().cast(ArrayType(StringType)),
+      (acc, l) => when(array_contains(acc, l), acc)
+        .otherwise(concat(acc, array(l))))
+    df.withColumn("__ls", split(col(textCol), "\n"))
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        size(col("__kept")).cast(LongType).as("n_kept_lines"),
+        graft.functions.fingerprint64(array_join(col("__kept"), "\n"))
+          .as("text_fp"))
+  }
+
   /** Concat-then-chunk sequence packing — the LLM-pretraining step that
     * concatenates documents into a token stream and slices fixed-size
     * training windows: within each `groupCol` stream, documents ordered

@@ -391,6 +391,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
   }
 
+  test("gopherLineRules: duplicate/bullet/ellipsis fractions and verdicts") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "a b\na b\nc d\na b"),            // 2 of 4 lines duplicate -> fail
+      (2L, "- one\n- two\n- three\nplain"),  // 3/4 bullets -> under 0.9, keep
+      (3L, "done...\nnot this one\nmore..."),// 2/3 ellipsis -> fail
+      (4L, "clean text\nno tricks here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherLineRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)), r.getBoolean(5))).toMap
+    assert(out(1L) === ((0.5, 0.0, 0.0), false))
+    assert(out(2L) === ((0.0, 0.75, 0.0), true))
+    assert(out(3L)._1._3 > 0.3 && !out(3L)._2)
+    assert(out(4L) === ((0.0, 0.0, 0.0), true))
+  }
+
+  test("dedupLinesWithinDoc keeps first occurrence in order") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "x\ny\nx\nz\ny"),
+      (2L, "a\nb"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLinesWithinDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === 2L)
+    val expect = spark.range(1)
+      .select(graft.functions.fingerprint64(lit("x\ny\nz"))).head().getLong(0)
+    assert(out(1L)._2 === expect)
+  }
+
   test("charEntropy: uniform text maximal, constant text zero, empty NULL") {
     import graft.ops.TextAnalysis
     val df = Seq(
