@@ -2799,6 +2799,12 @@ object SparkEntry {
       Search.recommendBestScore(hom(s, dir), "vector",
         posIds = Seq("1", "2"), negIds = Seq("3"), k = 10)),
 
+    // the backend's third recommend strategy: every example pulls —
+    // sum of positive sims minus sum of negative sims, map-side literals
+    "recommend_sum" -> ((s, dir) =>
+      Search.recommendSumScores(hom(s, dir), "vector",
+        posIds = Seq("1", "2"), negIds = Seq("3"), k = 10)),
+
     // the same IVF probe machinery with deterministic seed-point centroids
     // (maxIter=0): every stage — init permutation, cluster assignment,
     // probe selection, rerank — is reproduced by the DuckDB oracle, so the
@@ -3295,6 +3301,12 @@ object SparkEntry {
     // deterministic sample
     "distance_matrix" -> ((s, dir) =>
       Search.distanceMatrix(homD(s, dir), "id", "vector",
+        sampleN = 20, perPoint = 5, seed = 42, metric = "dot")),
+
+    // the matrix API's second wire format: pair ends as POSITIONS in the
+    // sampled-ids list (dense-matrix-ready offsets), same sample + pairs
+    "distance_matrix_offsets" -> ((s, dir) =>
+      Search.distanceMatrixOffsets(homD(s, dir), "id", "vector",
         sampleN = 20, perPoint = 5, seed = 42, metric = "dot")),
 
     // order_by scroll: one page ordered by (payload field, id) starting
@@ -4575,6 +4587,18 @@ object SparkEntry {
         |WHERE e.vec_id NOT IN (1, 2, 3)
         |ORDER BY score DESC, id LIMIT 10""".stripMargin,
 
+    "recommend_sum" ->
+      """WITH p1 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 1),
+        |     p2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 2),
+        |     n3 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 3)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p1.v)
+        |              + list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p2.v))
+        |             - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), n3.v), 6) AS score
+        |FROM embeddings e, p1, p2, n3
+        |WHERE e.vec_id NOT IN (1, 2, 3)
+        |ORDER BY score DESC, id LIMIT 10""".stripMargin,
+
     // IVF serving path end-to-end: seed-point centroids from the md5
     // permutation, sequential-sum euclid assignment (first-min index),
     // nprobe=2 cluster selection, cosine rerank — every stage value-equal
@@ -5438,6 +5462,20 @@ object SparkEntry {
         |SELECT a.id AS id_a, b.id AS id_b,
         |       ROUND(list_inner_product(a.v, b.v), 6) AS score
         |FROM s a JOIN s b ON a.id <> b.id
+        |QUALIFY row_number() OVER (PARTITION BY a.id
+        |          ORDER BY list_inner_product(a.v, b.v) DESC, b.id ASC) <= 5""".stripMargin,
+
+    "distance_matrix_offsets" ->
+      """WITH s AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+        |                  CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR) || '42'), id LIMIT 20),
+        |     r AS (SELECT id, v,
+        |                  row_number() OVER (ORDER BY md5(id || '42'), id) - 1 AS off
+        |           FROM s)
+        |SELECT a.off AS off_row, b.off AS off_col,
+        |       ROUND(list_inner_product(a.v, b.v), 6) AS score
+        |FROM r a JOIN r b ON a.id <> b.id
         |QUALIFY row_number() OVER (PARTITION BY a.id
         |          ORDER BY list_inner_product(a.v, b.v) DESC, b.id ASC) <= 5""".stripMargin,
 

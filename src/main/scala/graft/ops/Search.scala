@@ -155,6 +155,38 @@ object Search {
       .limit(k)
   }
 
+  /** V_RECOMMEND sum_scores strategy (the third strategy of the backend's
+    * recommend API, alongside average_vector and best_score): score =
+    * sum over positive examples of sim(v, p) minus sum over negative
+    * examples of sim(v, n) — every example pulls, unlike best_score's
+    * winner-take-all. Example vectors resolve eagerly to literals
+    * (model state); scoring is one map-side projection, zero joins.
+    */
+  def recommendSumScores(df: DataFrame, vecColName: String,
+                         posIds: Seq[String], negIds: Seq[String], k: Int,
+                         metric: String = "cosine", roundTo: Int = 6): DataFrame = {
+    require(posIds.nonEmpty, "V_RECOMMEND(sum_scores) needs at least one positive example")
+    val all = (posIds ++ negIds).distinct
+    val found = df.filter(col("id").isin(all: _*))
+      .select(col("id"),
+        col(vecColName).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val missing = all.filterNot(found.contains)
+    require(missing.isEmpty,
+      s"V_RECOMMEND(sum_scores): example points not found: [${missing.mkString(",")}]")
+    val posSum = posIds.map(id => similarity(col(vecColName), vec(found(id)), metric))
+      .reduce((a, b) => a + b)
+    val negSum = negIds.map(id => similarity(col(vecColName), vec(found(id)), metric))
+      .reduceOption((a, b) => a + b)
+    val score = negSum.fold(posSum)(n => posSum - n)
+    df.filter(!col("id").isin(all: _*))
+      .withColumn("score", round(score, roundTo))
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** V_DISCOVER([target_id], [(ctx_id, weight), ...]): target-plus-context
     * scoring — score = sim(v, target) + sum_i w_i * sim(v, ctx_i). The
     * reference declares the call shape only (tests.sql:121-137, roadmap);
@@ -465,6 +497,30 @@ object Search {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perPoint)
       .select(col("id_a"), col("id_b"), round(col("__score"), 6).as("score"))
+  }
+
+  /** The OFFSETS output shape of the backend's distance-matrix API (its
+    * second wire format next to pairs): each end of a pair reported as
+    * the point's POSITION in the sampled-ids list (the md5 permutation
+    * draw order [[randomSample]] uses) instead of the id itself — the
+    * form a client feeds straight into a dense matrix. Same sample, same
+    * top-`perPoint` pairs as [[distanceMatrix]]; the rank attaches with
+    * one window over the model-sized sample.
+    */
+  def distanceMatrixOffsets(df: DataFrame, idCol: String, vecCol: String,
+                            sampleN: Int, perPoint: Int, seed: Long,
+                            metric: String = "dot"): DataFrame = {
+    val ranked = randomSample(df.select(col(idCol)), sampleN, seed)
+      .withColumn("__off", row_number().over(Window.orderBy(
+        md5(concat(col(idCol).cast("string"), lit(seed.toString))),
+        col(idCol))) - 1)
+    val pairs = distanceMatrix(df, idCol, vecCol, sampleN, perPoint, seed, metric)
+    pairs
+      .join(broadcast(ranked.select(col(idCol).as("id_a"), col("__off").as("off_row"))), "id_a")
+      .join(broadcast(ranked.select(col(idCol).as("id_b"), col("__off").as("off_col"))), "id_b")
+      .select(col("off_row").cast(org.apache.spark.sql.types.LongType),
+        col("off_col").cast(org.apache.spark.sql.types.LongType),
+        col("score"))
   }
 
   /** Order-by scroll (the reference host's order_by scroll API): one page
