@@ -1053,6 +1053,49 @@ object SparkEntry {
     // service owns the RMW, and the read-back round-trips through the
     // same wire. Same oracle as dsv2_write: remote ingest must be
     // indistinguishable from local ingest above the seam
+    // PARTIAL payload update (the backend's set_payload): merge a patch
+    // into selected points' payloads — unmentioned fields survive, other
+    // points untouched, rewritten points logged as CDC upserts; the
+    // read-back projects the patched VALUES through the json surface
+    "dsv2_set_payload" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("patch_store", InMemoryCollectionStore.fromRows(
+        Collections.homogeneous(s, dir), "embeddings",
+        Collections.homogeneousDescriptor))
+      CollectionStores.update("patch_store") {
+        case mem: InMemoryCollectionStore => mem.payloadPatched("embeddings",
+          Set("0", "10", "20", "30", "40"),
+          """{"label":99,"reviewed":true}""")
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "patch_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"),
+          json_get_int(col("payload"), "label").as("label"),
+          json_get_bool(col("payload"), "reviewed").as("reviewed"))
+    }),
+
+    // the same set_payload shipped OVER THE WIRE: only the patch and the
+    // id list cross; the service owns the read-modify-write
+    "dsv2_rest_set_payload" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_write_backend",
+        InMemoryCollectionStore.fromRows(
+          Collections.homogeneous(s, dir), "embeddings",
+          Collections.homogeneousDescriptor))
+      val client = new RestCollectionStore(SparkEntry.restWriteUrl)
+      client.setPayload("embeddings", Set("0", "10", "20", "30", "40"),
+        """{"label":99,"reviewed":true}""")
+      CollectionStores.register("rest_patch_store", client)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_patch_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"),
+          json_get_int(col("payload"), "label").as("label"),
+          json_get_bool(col("payload"), "reviewed").as("reviewed"))
+    }),
+
     "dsv2_rest_write" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("rest_write_backend",
@@ -3662,6 +3705,18 @@ object SparkEntry {
     s"array_to_string(list_transform(CAST($expr AS DOUBLE[]), " +
       "x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')"
 
+  /** Shared oracle of the two set_payload gates: expected VALUES after
+    * the patch ({"label":99,"reviewed":true} on vec_id 0,10,20,30,40),
+    * read through the json surface so payload serialization order never
+    * enters the compare.
+    */
+  private val SetPayloadOracle: String =
+    """SELECT CAST(vec_id AS VARCHAR) AS id,
+      |       CAST(CASE WHEN vec_id IN (0, 10, 20, 30, 40) THEN 99
+      |                 ELSE label END AS INTEGER) AS label,
+      |       CASE WHEN vec_id IN (0, 10, 20, 30, 40) THEN true END AS reviewed
+      |FROM embeddings ORDER BY id""".stripMargin
+
   private val oracleScanAndJson: Map[String, String] = Map(
     "scan_select_star" ->
       s"""SELECT CAST(vec_id AS VARCHAR) AS id,
@@ -3735,6 +3790,12 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // both set_payload forms (in-process and over-the-wire) share one
+    // oracle: patched ids carry the new values, unmentioned fields and
+    // unselected points survive
+    "dsv2_set_payload" -> SetPayloadOracle,
+    "dsv2_rest_set_payload" -> SetPayloadOracle,
 
     "dsv2_stream_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -541,6 +541,31 @@ final class InMemoryCollectionStore(
     * (nothing happened). Tombstones seal in id order, matching
     * [[appended]]'s per-batch ordering.
     */
+  /** The backend's set_payload: merge `patch`'s top-level fields into each
+    * selected point's payload (unselected points untouched; unmentioned
+    * fields survive — PARTIAL update, unlike the copy-on-write UPDATE
+    * path which rewrites whole rows). The change log records each
+    * rewritten point as an upsert, so CDC readers replay the patch.
+    */
+  def payloadPatched(collection: String, ids: Set[String],
+                     patch: String): InMemoryCollectionStore = {
+    val touched = scala.collection.mutable.ArrayBuffer.empty[Point]
+    val next = data(collection).map { p =>
+      if (ids(p.id)) {
+        val np = p.copy(payload =
+          Some(CollectionWire.mergePayload(p.payload, patch)))
+        touched += np
+        np
+      } else p
+    }
+    if (touched.isEmpty) this
+    else new InMemoryCollectionStore(descriptors,
+      data.updated(collection, next),
+      log.updated(collection,
+        logOf(collection) ++ touched.map(LogEntry(LogOps.Upsert, _))),
+      logBase, snapshots)
+  }
+
   def removed(collection: String, ids: Set[String]): InMemoryCollectionStore = {
     val hit = data(collection).filter(p => ids(p.id))
     if (hit.isEmpty) this

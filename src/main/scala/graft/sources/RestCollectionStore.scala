@@ -37,6 +37,30 @@ import graft.collections.{CollectionDescriptor, DenseField, MultiField, SparseFi
   */
 private[sources] object CollectionWire {
 
+  /** Deterministic JSON-object payload merge — the backend's set_payload
+    * semantics: base fields keep their positions (patched ones replaced
+    * in place), patch-only fields append in patch order. A point with no
+    * payload starts from the empty object.
+    */
+  def mergePayload(base: Option[String], patch: String): String = {
+    val pf = JsonMethods.parse(patch) match {
+      case JObject(kvs) => kvs
+      case other => throw new IllegalArgumentException(
+        s"set_payload patch must be a JSON object, got $other")
+    }
+    val bf = base.map(JsonMethods.parse(_)) match {
+      case Some(JObject(kvs)) => kvs
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(
+        s"cannot patch non-object payload $other")
+    }
+    val replaced = bf.map { case (k, v) =>
+      k -> pf.collectFirst { case (pk, pv) if pk == k => pv }.getOrElse(v)
+    }
+    val added = pf.filterNot { case (k, _) => bf.exists(_._1 == k) }
+    JsonMethods.compact(JsonMethods.render(JObject(replaced ++ added)))
+  }
+
   /** Engine metric name -> Qdrant distance name (and back, total). */
   private val toDistance = Map("cosine" -> "Cosine", "dot" -> "Dot", "euclid" -> "Euclid")
   private val fromDistance = toDistance.map(_.swap)
@@ -531,6 +555,17 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** The backend's set_payload over the wire: merge `patch`'s fields into
+    * the selected points' payloads server-side (the service owns the RMW;
+    * only the patch and the id list cross the wire).
+    */
+  def setPayload(collection: String, ids: Set[String], patch: String): Unit = {
+    mutate("POST", s"/collections/$collection/points/payload", JObject(
+      "payload" -> JsonMethods.parse(patch),
+      "points" -> JArray(ids.toList.sorted.map(JString(_)))))
+    ()
+  }
+
   /** Empty the collection (`DELETE FROM t` with no WHERE): the server
     * enumerates and tombstones its own ids — they never page through the
     * client.
@@ -861,6 +896,26 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
               mem.appended(coll, pts.sortBy(_.id).toIndexedSeq)
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept upserts")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("POST", "collections" :: c :: "points" :: "payload" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val patch = JsonMethods.compact(JsonMethods.render(b \ "payload"))
+        val ids = b \ "points" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"set_payload needs a points id list, got $other")
+        }
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              mem.payloadPatched(coll, ids, patch)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept payload patches")
           }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))

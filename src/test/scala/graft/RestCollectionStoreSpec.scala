@@ -254,6 +254,42 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("set_payload over the wire: partial merge, CDC upserts, bad patch rejected") {
+    // well-formed JSON payloads (the opaque-bytes fixtures of mkPoints are
+    // deliberately malformed; a patch on those must and does fail loudly)
+    val pts = IndexedSeq(
+      Point("001", Some("""{"i": 1, "s": "keep"}""")),
+      Point("002", Some("""{"i": 2}""")),
+      Point("004", None))
+    val base = InMemoryCollectionStore.single("c", desc, pts)
+    CollectionStores.register("rest_patch_spec", base)
+    val srv = new CollectionHttpServer("rest_patch_spec").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      c.setPayload("c", Set("001", "004"), """{"i": 99, "fresh": "yes"}""")
+      val got = CollectionStores.get("rest_patch_spec")
+        .queryPoints("c", 0, 8, withPayload = true, Nil, None)
+        .map(p => p.id -> p.payload).toMap
+      // 001: i replaced in place, s survives, fresh appends
+      assert(got("001") === Some("""{"i":99,"s":"keep","fresh":"yes"}"""))
+      // 004 had NO payload: the patch becomes the payload
+      assert(got("004") === Some("""{"i":99,"fresh":"yes"}"""))
+      // unselected points untouched
+      assert(got("002") === Some("""{"i": 2}"""))
+      // the rewritten points appended to the change log as upserts
+      val mem = CollectionStores.get("rest_patch_spec")
+        .asInstanceOf[InMemoryCollectionStore]
+      val tail = mem.logEntries("c", mem.logSize("c") - 2, mem.logSize("c"))
+        .map(e => (e.op, e.point.id)).toSeq
+      assert(tail === Seq((LogOps.Upsert, "001"), (LogOps.Upsert, "004")))
+      // a non-object patch fails loudly, mutating nothing
+      intercept[RuntimeException](c.setPayload("c", Set("002"), """[1,2]"""))
+      assert(CollectionStores.get("rest_patch_spec")
+        .queryPoints("c", 0, 8, withPayload = true, Nil, None)
+        .map(p => p.id -> p.payload).toMap.apply("002") === got("002"))
+    } finally srv.stop()
+  }
+
   test("error contract: 404 unknown collection, 501 no change log") {
     val e = intercept[IllegalArgumentException](client.pointCount("nope"))
     assert(e.getMessage.contains("nope"))
