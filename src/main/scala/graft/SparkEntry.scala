@@ -1076,6 +1076,28 @@ object SparkEntry {
           json_get_bool(col("payload"), "reviewed").as("reviewed"))
     }),
 
+    // the other two payload mutations: delete_payload drops named fields
+    // (point keeps an — possibly empty — payload object), clear_payload
+    // removes the payload entirely (reads back NULL); same CDC contract
+    "dsv2_delete_payload" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pdel_store", InMemoryCollectionStore.fromRows(
+        Collections.homogeneous(s, dir), "embeddings",
+        Collections.homogeneousDescriptor))
+      CollectionStores.update("pdel_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.payloadKeysDeleted("embeddings", Set("0", "10", "20"), Set("label"))
+            .payloadCleared("embeddings", Set("30", "40"))
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pdel_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"),
+          json_get_int(col("payload"), "label").as("label"),
+          col("payload").isNull.as("cleared"))
+    }),
+
     // the same set_payload shipped OVER THE WIRE: only the patch and the
     // id list cross; the service owns the read-modify-write
     "dsv2_rest_set_payload" -> ((s, dir) => {
@@ -3796,6 +3818,13 @@ object SparkEntry {
     // unselected points survive
     "dsv2_set_payload" -> SetPayloadOracle,
     "dsv2_rest_set_payload" -> SetPayloadOracle,
+
+    "dsv2_delete_payload" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       CAST(CASE WHEN vec_id IN (0, 10, 20, 30, 40) THEN NULL
+        |                 ELSE label END AS INTEGER) AS label,
+        |       vec_id IN (30, 40) AS cleared
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_stream_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -548,15 +548,20 @@ final class InMemoryCollectionStore(
     * rewritten point as an upsert, so CDC readers replay the patch.
     */
   def payloadPatched(collection: String, ids: Set[String],
-                     patch: String): InMemoryCollectionStore = {
+                     patch: String): InMemoryCollectionStore =
+    payloadRewritten(collection, ids,
+      base => Some(CollectionWire.mergePayload(base, patch)))
+
+  /** The backend's delete_payload / clear_payload: shared rewrite loop
+    * with [[payloadPatched]] — `f` maps each selected point's payload to
+    * its replacement; rewritten points log as CDC upserts.
+    */
+  private def payloadRewritten(collection: String, ids: Set[String],
+                               f: Option[String] => Option[String]): InMemoryCollectionStore = {
     val touched = scala.collection.mutable.ArrayBuffer.empty[Point]
     val next = data(collection).map { p =>
-      if (ids(p.id)) {
-        val np = p.copy(payload =
-          Some(CollectionWire.mergePayload(p.payload, patch)))
-        touched += np
-        np
-      } else p
+      if (ids(p.id)) { val np = p.copy(payload = f(p.payload)); touched += np; np }
+      else p
     }
     if (touched.isEmpty) this
     else new InMemoryCollectionStore(descriptors,
@@ -565,6 +570,16 @@ final class InMemoryCollectionStore(
         logOf(collection) ++ touched.map(LogEntry(LogOps.Upsert, _))),
       logBase, snapshots)
   }
+
+  /** Drop the named top-level payload fields from the selected points. */
+  def payloadKeysDeleted(collection: String, ids: Set[String],
+                         keys: Set[String]): InMemoryCollectionStore =
+    payloadRewritten(collection, ids,
+      CollectionWire.deletePayloadKeys(_, keys))
+
+  /** Remove the selected points' payloads entirely (clear_payload). */
+  def payloadCleared(collection: String, ids: Set[String]): InMemoryCollectionStore =
+    payloadRewritten(collection, ids, _ => None)
 
   def removed(collection: String, ids: Set[String]): InMemoryCollectionStore = {
     val hit = data(collection).filter(p => ids(p.id))

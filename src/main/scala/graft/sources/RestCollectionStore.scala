@@ -61,6 +61,21 @@ private[sources] object CollectionWire {
     JsonMethods.compact(JsonMethods.render(JObject(replaced ++ added)))
   }
 
+  /** The backend's delete_payload: drop the named top-level fields from a
+    * payload (remaining fields keep their order). A payload left with no
+    * fields renders as the empty object — the point still HAS a payload,
+    * matching the backend's distinction from clear_payload.
+    */
+  def deletePayloadKeys(base: Option[String], keys: Set[String]): Option[String] =
+    base.map { b =>
+      JsonMethods.parse(b) match {
+        case JObject(kvs) => JsonMethods.compact(JsonMethods.render(
+          JObject(kvs.filterNot { case (k, _) => keys(k) })))
+        case other => throw new IllegalArgumentException(
+          s"cannot delete keys from non-object payload $other")
+      }
+    }
+
   /** Engine metric name -> Qdrant distance name (and back, total). */
   private val toDistance = Map("cosine" -> "Cosine", "dot" -> "Dot", "euclid" -> "Euclid")
   private val fromDistance = toDistance.map(_.swap)
@@ -566,6 +581,26 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** The backend's delete_payload over the wire: drop the named fields
+    * from the selected points' payloads server-side.
+    */
+  def deletePayload(collection: String, ids: Set[String],
+                    keys: Set[String]): Unit = {
+    mutate("POST", s"/collections/$collection/points/payload/delete", JObject(
+      "keys" -> JArray(keys.toList.sorted.map(JString(_))),
+      "points" -> JArray(ids.toList.sorted.map(JString(_)))))
+    ()
+  }
+
+  /** The backend's clear_payload over the wire: remove the selected
+    * points' payloads entirely.
+    */
+  def clearPayload(collection: String, ids: Set[String]): Unit = {
+    mutate("POST", s"/collections/$collection/points/payload/clear", JObject(
+      "points" -> JArray(ids.toList.sorted.map(JString(_)))))
+    ()
+  }
+
   /** Empty the collection (`DELETE FROM t` with no WHERE): the server
     * enumerates and tombstones its own ids — they never page through the
     * client.
@@ -914,6 +949,47 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           AliasedCollectionStore.mapInner(s0) {
             case mem: InMemoryCollectionStore =>
               mem.payloadPatched(coll, ids, patch)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept payload patches")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("POST", "collections" :: c :: "points" :: "payload" :: "delete" :: Nil) =>
+        store.collectionInfo(c)
+        val b = readBody(ex)
+        val keys = b \ "keys" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"delete_payload needs a keys list, got $other")
+        }
+        val ids = b \ "points" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"delete_payload needs a points id list, got $other")
+        }
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              mem.payloadKeysDeleted(coll, ids, keys)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept payload patches")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("POST", "collections" :: c :: "points" :: "payload" :: "clear" :: Nil) =>
+        store.collectionInfo(c)
+        val ids = readBody(ex) \ "points" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"clear_payload needs a points id list, got $other")
+        }
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore => mem.payloadCleared(coll, ids)
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept payload patches")
           }

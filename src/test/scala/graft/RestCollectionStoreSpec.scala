@@ -287,6 +287,15 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(CollectionStores.get("rest_patch_spec")
         .queryPoints("c", 0, 8, withPayload = true, Nil, None)
         .map(p => p.id -> p.payload).toMap.apply("002") === got("002"))
+      // delete_payload drops named fields (empty object stays a payload);
+      // clear_payload removes the payload entirely
+      c.deletePayload("c", Set("001"), Set("i", "fresh"))
+      c.clearPayload("c", Set("002"))
+      val after = CollectionStores.get("rest_patch_spec")
+        .queryPoints("c", 0, 8, withPayload = true, Nil, None)
+        .map(p => p.id -> p.payload).toMap
+      assert(after("001") === Some("""{"s":"keep"}"""))
+      assert(after("002") === None)
     } finally srv.stop()
   }
 
