@@ -1076,6 +1076,32 @@ object SparkEntry {
           json_get_bool(col("payload"), "reviewed").as("reviewed"))
     }),
 
+    // PARTIAL vector mutations: update_vectors replaces only the carried
+    // fields (payload and other fields survive — unlike upsert);
+    // delete_vectors drops named fields, which decode as NULL on read
+    "dsv2_update_vectors" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("vup_store", InMemoryCollectionStore.fromRows(
+        Collections.homogeneous(s, dir), "embeddings",
+        Collections.homogeneousDescriptor))
+      val ups = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 10, 20))
+        .select(col("vec_id").cast(StringType).as("id"),
+          reverse(col("embedding")).as("v"))
+        .collect().map(r => Point(r.getString(0), None,
+          dense = Map("vector" -> r.getSeq[Float](1).toArray))).toSeq
+      CollectionStores.update("vup_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.vectorsUpdated("embeddings", ups)
+            .vectorsDeleted("embeddings", Set("30", "40"), Set("vector"))
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "vup_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"), vq6(col("vector")).as("vector_q6"))
+    }),
+
     // the other two payload mutations: delete_payload drops named fields
     // (point keeps an — possibly empty — payload object), clear_payload
     // removes the payload entirely (reads back NULL); same CDC contract
@@ -3825,6 +3851,15 @@ object SparkEntry {
         |                 ELSE label END AS INTEGER) AS label,
         |       vec_id IN (30, 40) AS cleared
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_update_vectors" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+         |       to_json({'label': label}) AS payload,
+         |       CASE WHEN vec_id IN (30, 40) THEN NULL
+         |            WHEN vec_id IN (0, 10, 20)
+         |              THEN ${duckVq6("list_reverse(embedding)")}
+         |            ELSE ${duckVq6("embedding")} END AS vector_q6
+         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_stream_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

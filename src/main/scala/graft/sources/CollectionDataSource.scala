@@ -552,15 +552,16 @@ final class InMemoryCollectionStore(
     payloadRewritten(collection, ids,
       base => Some(CollectionWire.mergePayload(base, patch)))
 
-  /** The backend's delete_payload / clear_payload: shared rewrite loop
-    * with [[payloadPatched]] — `f` maps each selected point's payload to
-    * its replacement; rewritten points log as CDC upserts.
+  /** Shared rewrite loop of every PARTIAL point mutation (payload
+    * set/delete/clear, vector update/delete): `f` maps each selected
+    * point to its replacement in place (id order preserved); rewritten
+    * points log as CDC upserts, so change-log readers replay the edit.
     */
-  private def payloadRewritten(collection: String, ids: Set[String],
-                               f: Option[String] => Option[String]): InMemoryCollectionStore = {
+  private def pointsRewritten(collection: String, ids: Set[String],
+                              f: Point => Point): InMemoryCollectionStore = {
     val touched = scala.collection.mutable.ArrayBuffer.empty[Point]
     val next = data(collection).map { p =>
-      if (ids(p.id)) { val np = p.copy(payload = f(p.payload)); touched += np; np }
+      if (ids(p.id)) { val np = f(p); touched += np; np }
       else p
     }
     if (touched.isEmpty) this
@@ -570,6 +571,35 @@ final class InMemoryCollectionStore(
         logOf(collection) ++ touched.map(LogEntry(LogOps.Upsert, _))),
       logBase, snapshots)
   }
+
+  private def payloadRewritten(collection: String, ids: Set[String],
+                               f: Option[String] => Option[String]): InMemoryCollectionStore =
+    pointsRewritten(collection, ids, p => p.copy(payload = f(p.payload)))
+
+  /** The backend's update_vectors: replace ONLY the vector fields each
+    * update point carries — fields absent from the update survive (unlike
+    * upsert, which replaces the whole point). Update payloads are ignored
+    * (payload edits go through the payload mutations).
+    */
+  def vectorsUpdated(collection: String,
+                     updates: Seq[Point]): InMemoryCollectionStore = {
+    val byId = updates.map(p => p.id -> p).toMap
+    pointsRewritten(collection, byId.keySet, { p =>
+      val u = byId(p.id)
+      p.copy(dense = p.dense ++ u.dense, multi = p.multi ++ u.multi,
+        sparse = p.sparse ++ u.sparse)
+    })
+  }
+
+  /** The backend's delete_vectors: drop the NAMED vector fields from the
+    * selected points (remaining fields and the payload survive; the
+    * field decodes as NULL on read, the standing heterogeneity rule).
+    */
+  def vectorsDeleted(collection: String, ids: Set[String],
+                     fields: Set[String]): InMemoryCollectionStore =
+    pointsRewritten(collection, ids, p =>
+      p.copy(dense = p.dense -- fields, multi = p.multi -- fields,
+        sparse = p.sparse -- fields))
 
   /** Drop the named top-level payload fields from the selected points. */
   def payloadKeysDeleted(collection: String, ids: Set[String],

@@ -581,6 +581,27 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** The backend's update_vectors over the wire: each update point
+    * carries only the vector fields to replace; other fields and the
+    * payload survive server-side.
+    */
+  def updateVectors(collection: String, updates: Seq[Point]): Unit = {
+    mutate("PUT", s"/collections/$collection/points/vectors", JObject("points" ->
+      JArray(updates.toList.map(p => CollectionWire.pointJson(p)))))
+    ()
+  }
+
+  /** The backend's delete_vectors over the wire: drop the named vector
+    * fields from the selected points.
+    */
+  def deleteVectors(collection: String, ids: Set[String],
+                    fields: Set[String]): Unit = {
+    mutate("POST", s"/collections/$collection/points/vectors/delete", JObject(
+      "vectors" -> JArray(fields.toList.sorted.map(JString(_))),
+      "points" -> JArray(ids.toList.sorted.map(JString(_)))))
+    ()
+  }
+
   /** The backend's delete_payload over the wire: drop the named fields
     * from the selected points' payloads server-side.
     */
@@ -931,6 +952,47 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
               mem.appended(coll, pts.sortBy(_.id).toIndexedSeq)
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept upserts")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("PUT", "collections" :: c :: "points" :: "vectors" :: Nil) =>
+        val desc = store.collectionInfo(c)
+        val ups = readBody(ex) \ "points" match {
+          case JArray(ps) => ps.map(CollectionWire.parsePoint(desc, _))
+          case other => throw new IllegalArgumentException(
+            s"update_vectors needs a points list, got $other")
+        }
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore => mem.vectorsUpdated(coll, ups)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept vector updates")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      case ("POST", "collections" :: c :: "points" :: "vectors" :: "delete" :: Nil) =>
+        store.collectionInfo(c)
+        val b = readBody(ex)
+        val fields = b \ "vectors" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"delete_vectors needs a vectors name list, got $other")
+        }
+        val ids = b \ "points" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case other => throw new IllegalArgumentException(
+            s"delete_vectors needs a points id list, got $other")
+        }
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore =>
+              mem.vectorsDeleted(coll, ids, fields)
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} does not accept vector updates")
           }
         }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))

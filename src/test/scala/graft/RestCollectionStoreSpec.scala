@@ -299,6 +299,38 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("vector mutations over the wire: update merges named fields, delete drops them") {
+    val pts = IndexedSeq(
+      Point("001", Some("""{"i": 1}"""),
+        dense = Map("text_embedding" -> Array(1f, 2f)),
+        sparse = Map("keywords" -> (Array(1), Array(0.5f)))),
+      Point("002", None, dense = Map("text_embedding" -> Array(3f, 4f))))
+    val base = InMemoryCollectionStore.single("c", desc, pts)
+    CollectionStores.register("rest_vec_spec", base)
+    val srv = new CollectionHttpServer("rest_vec_spec").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      c.updateVectors("c", Seq(
+        Point("001", None, dense = Map("text_embedding" -> Array(9f, 8f)))))
+      c.deleteVectors("c", Set("002"), Set("text_embedding"))
+      val after = CollectionStores.get("rest_vec_spec")
+        .queryPoints("c", 0, 8, withPayload = true, allFields, None)
+        .map(key).toList.sortBy(_._1)
+      // 001: carried field replaced; payload and the sparse field SURVIVE
+      assert(after(0) === key(Point("001", Some("""{"i": 1}"""),
+        dense = Map("text_embedding" -> Array(9f, 8f)),
+        sparse = Map("keywords" -> (Array(1), Array(0.5f))))))
+      // 002: named field dropped entirely
+      assert(after(1) === key(Point("002", None)))
+      // both edits logged as upserts for CDC replay
+      val mem = CollectionStores.get("rest_vec_spec")
+        .asInstanceOf[InMemoryCollectionStore]
+      val tail = mem.logEntries("c", mem.logSize("c") - 2, mem.logSize("c"))
+        .map(e => (e.op, e.point.id)).toSeq
+      assert(tail === Seq((LogOps.Upsert, "001"), (LogOps.Upsert, "002")))
+    } finally srv.stop()
+  }
+
   test("error contract: 404 unknown collection, 501 no change log") {
     val e = intercept[IllegalArgumentException](client.pointCount("nope"))
     assert(e.getMessage.contains("nope"))
