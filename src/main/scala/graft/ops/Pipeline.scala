@@ -51,9 +51,20 @@ object Pipeline {
     * list, not the corpus).
     */
   def dropNearDuplicateClusters(df: DataFrame, idCol: String, textCol: String,
-                                threshold: Double): DataFrame = {
-    val reps = Dedup.dedupClustersMinhash(df, idCol, textCol, threshold)
-      .filter(col("id") === col("component"))
+                                threshold: Double): DataFrame =
+    survivorsFromClusters(df, idCol,
+      Dedup.dedupClustersMinhash(df, idCol, textCol, threshold))
+
+  /** Survivor selection from PRECOMPUTED cluster labels — the form a
+    * production pipeline runs: cluster labeling is one offline batch
+    * stage whose output (id, component) its consumers read (this
+    * selection, leakage-safe splits, contrastive pair-gen), so the CC
+    * propagation is paid once per ingest, not once per consumer. Keeps
+    * the min-id representative (the label) of every cluster.
+    */
+  def survivorsFromClusters(df: DataFrame, idCol: String,
+                            clusters: DataFrame): DataFrame = {
+    val reps = clusters.filter(col("id") === col("component"))
       .select(col("id").as(idCol))
     df.join(reps, Seq(idCol), "left_semi")
   }
