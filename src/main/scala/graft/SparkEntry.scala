@@ -2708,6 +2708,35 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
 
+    // embedding-column hygiene: per-label counts of wrong-dimension, NaN,
+    // and all-zero vectors + exact-quantized mean norm — the pre-index
+    // check of an embedding batch (planted: truncated / zeroed / NaN'd
+    // cohorts); one projection + one partial-agg shuffle
+    "embedding_hygiene" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      val planted = e.withColumn("v",
+        when(col("vec_id") % 101 === 0, slice(col("v"), 1, 32))
+          .when(col("vec_id") % 103 === 0, transform(col("v"), _ => lit(0.0)))
+          .when(col("vec_id") % 107 === 0,
+            concat(array(lit(Double.NaN)), slice(col("v"), 2, 63)))
+          .otherwise(col("v")))
+      graft.ops.Profile.embeddingHygiene(planted, "label", "v",
+        expectedDim = 64)
+    }),
+
+    // per-source quality percentile rank: the fair cross-source
+    // thresholding form (an absolute cut over-prunes weak sources); a
+    // keyed window over (source), rank on the ROUNDED score + id tiebreak
+    "quality_pct_by_source" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir).select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("pct", round(percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("q"), col("doc_id"))), 6))
+    }),
+
     // Gopher's LINE-level rules (duplicate/bullet/ellipsis line fractions
     // vs published thresholds) over the decorated line corpus — map-side
     "line_rules" -> ((s, dir) =>
@@ -5229,6 +5258,52 @@ object SparkEntry {
     "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
     "line_rules" -> DuckMirror.lineRulesSql(BoilerLine),
     "line_dedup_doc" -> DuckMirror.lineDedupDocSql(BoilerLine),
+
+    "embedding_hygiene" ->
+      """WITH c AS (SELECT vec_id, label,
+        |             CASE WHEN vec_id % 101 = 0 THEN (CAST(embedding AS DOUBLE[]))[1:32]
+        |                  WHEN vec_id % 103 = 0 THEN list_transform(CAST(embedding AS DOUBLE[]), x -> 0.0)
+        |                  WHEN vec_id % 107 = 0 THEN list_concat(['nan'::DOUBLE], (CAST(embedding AS DOUBLE[]))[2:64])
+        |                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |           FROM embeddings),
+        |m AS (SELECT label, len(v) AS dim,
+        |             list_reduce(list_concat([0.0], list_transform(v, x -> x * x)),
+        |                         (a, b) -> a + b) AS n2
+        |      FROM c),
+        |g AS (SELECT label, COUNT(*) AS n,
+        |             CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |             CAST(SUM(CASE WHEN isnan(n2) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+        |             CAST(SUM(CASE WHEN NOT isnan(n2) AND n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |             SUM(CASE WHEN isnan(n2) THEN 0
+        |                      ELSE CAST(floor(sqrt(n2) * 1000000 + 0.5) AS BIGINT) END) AS nq
+        |      FROM m GROUP BY label)
+        |SELECT label, n, n_bad_dim, n_nan, n_zero,
+        |       ROUND(CAST(nq AS DOUBLE) / 1000000 / (n - n_nan), 6) AS avg_norm
+        |FROM g ORDER BY label""".stripMargin,
+
+    "quality_pct_by_source" ->
+      """WITH t AS (SELECT doc_id, source, text,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, source,
+        |             CAST(len(toks) AS DOUBLE) AS n,
+        |             CASE WHEN len(toks) > 0 THEN
+        |               CAST(len(list_filter(toks, x -> list_contains(
+        |                 ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |                 / CAST(len(toks) AS DOUBLE)
+        |             ELSE 0.0 END AS ratio,
+        |             CASE WHEN len(text) > 0 THEN
+        |               CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |                 / CAST(len(text) AS DOUBLE)
+        |             ELSE 0.0 END AS punct
+        |      FROM t),
+        |q AS (SELECT doc_id, source,
+        |             ROUND(least(n / 50.0, 1.0) * (0.5 + 0.5 * least(ratio * 5.0, 1.0)) *
+        |                   greatest(1.0 - punct * 3.0, 0.0), 6) AS q
+        |      FROM m)
+        |SELECT doc_id, source, q,
+        |       ROUND(PERCENT_RANK() OVER (PARTITION BY source ORDER BY q, doc_id), 6) AS pct
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // same formula as bm25_rank (terms window/batch/scan), restricted to
     // docs matching >= 1 term — the candidate set the pruned index yields

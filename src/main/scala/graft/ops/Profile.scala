@@ -17,6 +17,36 @@ import org.apache.spark.sql.types._
   */
 object Profile {
 
+  /** Embedding-column hygiene report — the first check an embedding
+    * pipeline runs before indexing a new batch: per group, how many
+    * vectors have the wrong dimension, contain NaN, or are all-zero
+    * (un-normalizable), plus the mean L2 norm (a drifting norm flags an
+    * encoder change). One map-side projection then one partial-agg
+    * shuffle; the mean accumulates floor(norm * 1e6) LONGS (exact,
+    * order-independent — safe under AQE replanning and any partitioning),
+    * divided back once.
+    */
+  def embeddingHygiene(df: DataFrame, groupCol: String, vecCol: String,
+                       expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    val norm2 = aggregate(v, lit(0.0), (a, x) => a + x * x)
+    df.select(col(groupCol), size(v).as("__dim"), norm2.as("__n2"),
+        exists(v, x => isnan(x)).as("__nan"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dim") =!= expectedDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("__nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(!col("__nan") && col("__n2") === 0.0, 1L).otherwise(0L))
+          .as("n_zero"),
+        sum(when(col("__nan"), lit(0L))
+          .otherwise(floor(sqrt(col("__n2")) * lit(1e6) + lit(0.5))
+            .cast(LongType))).as("__nq"))
+      .withColumn("avg_norm",
+        round(col("__nq").cast(DoubleType) / lit(1e6) /
+          (col("n") - col("n_nan")).cast(DoubleType), 6))
+      .drop("__nq")
+  }
+
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "tableProfile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
