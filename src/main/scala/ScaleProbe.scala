@@ -103,6 +103,17 @@ object ScaleProbe {
             col("tok"), budget = 1000000L * n,
             (col("doc_id") % 91).desc, col("doc_id").asc).count()
         }
+        // online near-dup check: the INDEX grows xN while the incoming
+        // batch stays fixed — the ingest shape. Probe cost = one map-side
+        // pass over the fixed batch + a band-key join whose candidate
+        // volume is bounded by LSH bucket design, so it should grow far
+        // slower than the index (with a stored partitionBy(band, bandkey)
+        // layout the join becomes pruned point lookups)
+        time(s"neardup_ingest x$n") {
+          val idx = graft.ops.Dedup.minhashBandIndex(c, "doc_id", "text")
+          graft.ops.Dedup.nearDupsAgainstIndex(bench, "doc_id", "text",
+            idx, threshold = 0.8).count()
+        }
         c.unpersist()
       }
     }

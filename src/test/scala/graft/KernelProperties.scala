@@ -268,4 +268,35 @@ object KernelProperties extends Properties("graft.kernels") {
       p.numElements() == (a.length + 63) / 64 &&
         HammingDistance(lit, lit).eval(null) == 0
     }
+
+  // mixed ASCII + multi-byte code points (the kernel iterates code
+  // points, not UTF-16 units or bytes)
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    2 -> Gen.oneOf("é", "ß", "中", "文", "🙂"))).map(_.mkString)
+
+  property("char entropy matches the naive distribution formula") =
+    forAll(textGen) { s =>
+      val got = CharEntropyKernel.entropy(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) got == 0.0
+      else {
+        val n = cps.length.toDouble
+        val want = -cps.groupBy(identity).values
+          .map(g => g.length / n * math.log(g.length / n)).sum
+        math.abs(got - want) < 1e-9 &&
+          got >= -1e-12 && got <= math.log(n) + 1e-9
+      }
+    }
+
+  property("char entropy is permutation-invariant (exactly — the kernel sorts)") =
+    forAll(textGen) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+      // permute CODE POINTS, not UTF-16 units (a char shuffle would split
+      // surrogate pairs and change the multiset)
+      val cps = scala.util.Random.shuffle(s.codePoints().toArray.toList).toArray
+      val shuffled = new String(cps, 0, cps.length)
+      CharEntropyKernel.entropy(u(s)) == CharEntropyKernel.entropy(u(shuffled))
+    }
 }
