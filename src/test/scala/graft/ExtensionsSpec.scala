@@ -21,6 +21,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .head()
     assert(within.getBoolean(0))
     assert(s2.sql("SELECT json_get_int('{\"k\": 7}', 'k')").head().getLong(0) == 7L)
+    assert(math.abs(s2.sql("SELECT char_entropy('abcd')").head().getDouble(0)
+      - math.log(4.0)) < 1e-9)
   }
 
   test("ArrowSql rewrite: tight JSON operators map, lambdas and strings survive") {
