@@ -2708,6 +2708,20 @@ object SparkEntry {
     "doc_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir), "doc_id", "text")),
 
+    // Unicode NFC normalization: decomposed sequences (e + combining
+    // acute) fold to precomposed forms so hashing/dedup treats visually
+    // identical text identically — the first transform of a cleaning
+    // pipeline; kernel fast-path skips already-normalized text (planted:
+    // combining-mark suffixes on doc_id % 9 == 0)
+    "nfc_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), lit(" café ångström")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("nfc", graft.functions.nfc_normalize(col("text")))
+        .select(col("doc_id"), col("nfc"),
+          (col("nfc") =!= col("text")).as("changed"))),
+
     // embedding-column hygiene: per-label counts of wrong-dimension, NaN,
     // and all-zero vectors + exact-quantized mean norm — the pre-index
     // check of an embedding batch (planted: truncated / zeroed / NaN'd
@@ -5258,6 +5272,19 @@ object SparkEntry {
     "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
     "line_rules" -> DuckMirror.lineRulesSql(BoilerLine),
     "line_dedup_doc" -> DuckMirror.lineDedupDocSql(BoilerLine),
+
+    // the planted suffix is DECOMPOSED (combining marks, built from
+    // chr() so the SQL text stays ASCII): cafe+U+0301 a+U+030A ...
+    "nfc_normalize" ->
+      """WITH c AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 9 = 0
+        |                  THEN text || ' cafe' || chr(769) || ' a' || chr(778) ||
+        |                       'ngstro' || chr(776) || 'm'
+        |                  ELSE text END AS text
+        |           FROM documents)
+        |SELECT doc_id, nfc_normalize(text) AS nfc,
+        |       nfc_normalize(text) <> text AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "embedding_hygiene" ->
       """WITH c AS (SELECT vec_id, label,

@@ -136,6 +136,7 @@ private[graft] object SqlBuilders {
     "simhash64" -> (es => SimHash64(es(0))),
     "fingerprint64" -> (es => RollingHash64(es(0))),
     "char_entropy" -> (es => CharEntropy(es(0))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "v_distance" -> (es =>
       distanceExpr(es(0), es(1), metricOf(es(2), "v_distance"), "v_distance")),
     "v_within" -> (es => LessThan(

@@ -1013,6 +1013,41 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
 }
 
+/** Unicode NFC normalization (canonical compose) — the first transform of
+  * a text-cleaning pipeline: decomposed sequences (e + combining acute)
+  * fold to their precomposed forms so downstream hashing/dedup treats
+  * visually identical text identically. java.text.Normalizer under a
+  * codegen call; DuckDB's nfc_normalize is the oracle twin.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"nfc_normalize expects string, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcKernel.nfc(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcKernel.nfc($s);")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
+object NfcKernel {
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    // fast path: NFC-normalized already (true for ~all real text) — skip
+    // the rebuild and return the input buffer untouched
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object TextStatsKernel {
   /** Raw FNV-1a (ASCII case-folded) of a word — the token hash the kernel
     * matches profile words against.

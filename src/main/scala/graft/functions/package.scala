@@ -164,6 +164,10 @@ package object functions {
   def char_entropy(text: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(text)))
 
+  /** Unicode NFC normalization (canonical compose). */
+  def nfc_normalize(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+
   /** Common-element count of two sorted, distinct string or bigint arrays
     * (one codegen'd merge pass; see SortedIntersectCount).
     */

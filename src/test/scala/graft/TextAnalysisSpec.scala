@@ -391,6 +391,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0))
   }
 
+  test("nfc_normalize composes decomposed marks; NFC text passes through") {
+    val df = Seq(
+      (1L, "café"),   // e + combining acute -> precomposed é
+      (2L, "café"),    // already NFC
+      (3L, "plain ascii")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.nfc_normalize(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "café")
+    assert(out(2L) === "café")
+    assert(out(3L) === "plain ascii")
+  }
+
   test("gopherLineRules: duplicate/bullet/ellipsis fractions and verdicts") {
     import graft.ops.TextAnalysis
     val df = Seq(
