@@ -2722,6 +2722,18 @@ object SparkEntry {
         .select(col("doc_id"), col("nfc"),
           (col("nfc") =!= col("text")).as("changed"))),
 
+    // accent stripping: NFD + drop combining marks, so café/café/cafe
+    // collide — the aggressive key-normalization for match/dedup keys;
+    // planted suffix mixes PRECOMPOSED (å, ö, ü) and DECOMPOSED (e+mark)
+    "strip_accents" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" cafe\u0301 ångström mühle")))
+            .otherwise(col("text")).as("text"))
+        .withColumn("stripped", graft.functions.strip_accents(col("text")))
+        .select(col("doc_id"), col("stripped"),
+          (col("stripped") =!= col("text")).as("changed"))),
+
     // embedding-column hygiene: per-label counts of wrong-dimension, NaN,
     // and all-zero vectors + exact-quantized mean norm — the pre-index
     // check of an embedding batch (planted: truncated / zeroed / NaN'd
@@ -5272,6 +5284,19 @@ object SparkEntry {
     "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
     "line_rules" -> DuckMirror.lineRulesSql(BoilerLine),
     "line_dedup_doc" -> DuckMirror.lineDedupDocSql(BoilerLine),
+
+    // chr(229/246/252) = precomposed å/ö/ü, chr(769) = combining acute —
+    // the same mixed planted suffix as the engine side
+    "strip_accents" ->
+      """WITH c AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 11 = 0
+        |                  THEN text || ' cafe' || chr(769) || ' ' || chr(229) ||
+        |                       'ngstr' || chr(246) || 'm m' || chr(252) || 'hle'
+        |                  ELSE text END AS text
+        |           FROM documents)
+        |SELECT doc_id, strip_accents(text) AS stripped,
+        |       strip_accents(text) <> text AS changed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the planted suffix is DECOMPOSED (combining marks, built from
     // chr() so the SQL text stays ASCII): cafe+U+0301 a+U+030A ...

@@ -137,6 +137,7 @@ private[graft] object SqlBuilders {
     "fingerprint64" -> (es => RollingHash64(es(0))),
     "char_entropy" -> (es => CharEntropy(es(0))),
     "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    "strip_accents" -> (es => StripAccents(es(0))),
     "v_distance" -> (es =>
       distanceExpr(es(0), es(1), metricOf(es(2), "v_distance"), "v_distance")),
     "v_within" -> (es => LessThan(

@@ -1046,6 +1046,49 @@ object NfcKernel {
     else org.apache.spark.unsafe.types.UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  def stripAccents(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    // ASCII fast path: nothing to decompose, return the input untouched
+    val bytes = s.getBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { ascii = bytes(i) >= 0; i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Accent stripping — the aggressive cousin of [[NfcNormalize]] for
+  * match/dedup keys: canonical-decompose (NFD), then drop every
+  * non-spacing combining mark, so café/café/cafe collide. ASCII input
+  * takes a zero-copy fast path.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"strip_accents expects string, got ${dt.catalogString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    NfcKernel.stripAccents(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NfcKernel.stripAccents($s);")
+
+  override protected def withNewChildInternal(c: Expression): StripAccents = copy(child = c)
 }
 
 object TextStatsKernel {

@@ -168,6 +168,10 @@ package object functions {
   def nfc_normalize(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))
 
+  /** Accent stripping: NFD decompose, drop combining marks. */
+  def strip_accents(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
+
   /** Common-element count of two sorted, distinct string or bigint arrays
     * (one codegen'd merge pass; see SortedIntersectCount).
     */

@@ -405,6 +405,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === "plain ascii")
   }
 
+  test("strip_accents drops marks from composed AND decomposed forms; ASCII zero-copy") {
+    val df = Seq(
+      (1L, "cafe\u0301"),   // decomposed e + U+0301
+      (2L, "café"),         // precomposed
+      (3L, "mühle ångström"),
+      (4L, "plain")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.strip_accents(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "cafe")
+    assert(out(2L) === "cafe")
+    assert(out(3L) === "muhle angstrom")
+    assert(out(4L) === "plain")
+  }
+
   test("gopherLineRules: duplicate/bullet/ellipsis fractions and verdicts") {
     import graft.ops.TextAnalysis
     val df = Seq(
