@@ -23,6 +23,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(s2.sql("SELECT json_get_int('{\"k\": 7}', 'k')").head().getLong(0) == 7L)
     assert(math.abs(s2.sql("SELECT char_entropy('abcd')").head().getDouble(0)
       - math.log(4.0)) < 1e-9)
+    assert(s2.sql("SELECT strip_accents(nfc_normalize('café'))")
+      .head().getString(0) === "cafe")
   }
 
   test("ArrowSql rewrite: tight JSON operators map, lambdas and strings survive") {
