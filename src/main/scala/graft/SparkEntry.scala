@@ -2463,6 +2463,15 @@ object SparkEntry {
       graft.ops.Url.dedupByUrl(
         docs(s, dir).withColumn("url", rawUrl), "doc_id", "url")),
 
+    // domain balancing: at most k docs per canonical host (the cap that
+    // keeps boilerplate-heavy megasites from drowning the mixture) —
+    // ONE keyed window over the host, survivors by the seeded md5 draw
+    "url_host_cap" -> ((s, dir) =>
+      graft.ops.Url.capPerHost(
+          docs(s, dir).withColumn("url", rawUrl), "doc_id", "url",
+          k = 15, seed = 42L)
+        .select(col("doc_id"), graft.ops.Url.hostOf(col("url")).as("host"))),
+
     // domain-blocklist filtering (the OTHER half of the URL stage:
     // RefinedWeb/FineWeb drop curated domains before any content work):
     // the blocklist is model state inlined as one codegen predicate —
@@ -5129,6 +5138,18 @@ object SparkEntry {
       """SELECT doc_id, lower(source) || '.example.com' AS host
         |FROM documents WHERE source NOT IN ('src3', 'src7')
         |ORDER BY doc_id""".stripMargin,
+
+    // same host simplification as url_host_filter (the rawUrl convention
+    // canonicalizes to lower(source).example.com); survivors = the k
+    // smallest md5 draws per host, the engine's permutation
+    "url_host_cap" ->
+      """WITH h AS (SELECT doc_id, lower(source) || '.example.com' AS host
+        |           FROM documents),
+        |r AS (SELECT doc_id, host,
+        |             row_number() OVER (PARTITION BY host
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id) AS rn
+        |      FROM h)
+        |SELECT doc_id, host FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH c AS (SELECT doc_id, text, lang, source FROM documents

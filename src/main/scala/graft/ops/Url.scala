@@ -68,6 +68,26 @@ object Url {
       lower(substring_index(rest, "/", 1)), "^www\\.", ""), ":(80|443)$", "")
   }
 
+  /** Domain balancing — cap each canonical host's contribution at `k`
+    * documents (the web-pipeline counter to boilerplate-heavy megasites
+    * drowning the mixture; the public pipelines cap per-domain document
+    * share before quality work). Which k survive is the engine-stable
+    * md5 draw of [[graft.ops.Search.clusterBalancedSample]], keyed here
+    * on the host: ONE keyed window, state bounded per host, no global
+    * sort; seeded, so a re-crawl keeps the same survivors.
+    */
+  def capPerHost(df: DataFrame, idCol: String, urlCol: String, k: Int,
+                 seed: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__host", hostOf(col(urlCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__host")).orderBy(
+          md5(concat(col(idCol).cast("string"), lit(seed.toString))),
+          col(idCol))))
+      .filter(col("__rn") <= k).drop("__rn", "__host")
+  }
+
   /** Drop rows whose canonical host is on `blocked` or under a blocked
     * domain (suffix match on dot boundaries: blocking `example.com`
     * blocks `a.example.com` but not `notexample.com`) — the public

@@ -392,6 +392,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 6L, 3L -> 5L), out)
   }
 
+  test("minhashBandIndex maintains incrementally: append == rebuild; probes agree") {
+    val d = docs.select(col("doc_id"), col("text")).limit(200).localCheckpoint()
+    val base = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 =!= 0)
+    def rows(ix: org.apache.spark.sql.DataFrame) = ix
+      .select(col("id"), col("band"), col("bandkey"),
+        array_join(transform(col("toks"), _.cast("string")), ",").as("t"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .toSet
+    // signature rows are per-doc map-side state: a new batch's rows APPEND
+    // (partition-wise at the stored layout) — no rebuild, no read of the
+    // existing index
+    val incremental = Dedup.minhashBandIndex(base, "doc_id", "text")
+      .union(Dedup.minhashBandIndex(batch, "doc_id", "text"))
+    val rebuilt = Dedup.minhashBandIndex(d, "doc_id", "text")
+    assert(rows(incremental) === rows(rebuilt))
+    // and a probe against the incremental index returns the same pairs
+    val probe = d.limit(5).select((col("doc_id") + 900000L).as("doc_id"),
+      col("text"))
+    def pairs(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.nearDupsAgainstIndex(probe, "doc_id", "text", ix, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(incremental) === pairs(rebuilt))
+    assert(pairs(rebuilt).nonEmpty) // the copies find their sources
+  }
+
   test("contaminatedSpans localizes benchmark overlap; strip removes only it") {
     val corpus = Seq(
       (1L, "intro words the quick brown fox closing remark"), // mid overlap

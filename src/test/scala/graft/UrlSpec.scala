@@ -70,4 +70,22 @@ class UrlSpec extends AnyFunSuite {
       "https://example.com/a?a=1&b=2" -> ((3L, 1L)),
       "https://example.com/b?a=1&b=2" -> ((1L, 4L))))
   }
+
+  test("capPerHost: at most k per canonical host, seed-stable, layout-independent") {
+    val rows = (0L until 40L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "WWW.Big.com" else "small.org"}/p/$i"))
+    val df = rows.toDF("id", "url")
+    val a = Url.capPerHost(df.repartition(7), "id", "url", k = 5, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Url.capPerHost(df.repartition(2), "id", "url", k = 5, seed = 1L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)           // layout cannot move a row in or out
+    assert(a.size === 10)     // 5 from each of the two hosts
+    assert(a.count(_ % 2 == 0) === 5 && a.count(_ % 2 == 1) === 5)
+    // a different seed draws a different committee (same sizes)
+    val c = Url.capPerHost(df, "id", "url", k = 5, seed = 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(c.size === 10)
+    assert(c != a)
+  }
 }
