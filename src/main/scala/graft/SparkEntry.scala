@@ -2772,6 +2772,13 @@ object SparkEntry {
             .orderBy(col("q"), col("doc_id"))), 6))
     }),
 
+    // flagged-wordlist filter: blocklist-vocabulary density vs threshold
+    // (the list is policy — a benign demo list here); rides the ONE
+    // TextStats kernel pass as a profile, map-side, streams unbounded
+    "flagged_terms" -> ((s, dir) =>
+      TextAnalysis.flaggedTermFilter(docs(s, dir), "doc_id", "text",
+        flagged = Seq("slow", "broken", "spill"), maxRatio = 0.03)),
+
     // Gopher's LINE-level rules (duplicate/bullet/ellipsis line fractions
     // vs published thresholds) over the decorated line corpus — map-side
     "line_rules" -> ((s, dir) =>
@@ -5303,6 +5310,25 @@ object SparkEntry {
         |FROM m, s ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "line_dedup" -> DuckMirror.lineDedupSql(BoilerLine),
+    "flagged_terms" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |             CAST(len(list_filter(toks, x ->
+        |               list_contains(['slow', 'broken', 'spill'], x))) AS BIGINT) AS flagged_occ,
+        |             CAST(len(list_filter(['slow', 'broken', 'spill'], w ->
+        |               list_contains(toks, w))) AS BIGINT) AS flagged_distinct
+        |      FROM t),
+        |r AS (SELECT doc_id, n_tokens, flagged_occ, flagged_distinct,
+        |             CASE WHEN n_tokens > 0
+        |                  THEN ROUND(CAST(flagged_occ AS DOUBLE) / n_tokens, 6)
+        |                  ELSE 0.0 END AS flagged_ratio
+        |      FROM m)
+        |SELECT doc_id, n_tokens, flagged_occ, flagged_distinct, flagged_ratio,
+        |       flagged_ratio <= 0.03 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "line_rules" -> DuckMirror.lineRulesSql(BoilerLine),
     "line_dedup_doc" -> DuckMirror.lineDedupDocSql(BoilerLine),
 

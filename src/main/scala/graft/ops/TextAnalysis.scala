@@ -127,6 +127,33 @@ object TextAnalysis {
     scored.select(col(idCol), round(score, roundTo).as("bm25"))
   }
 
+  /** Flagged-wordlist filter — the blocklist-vocabulary stage of the
+    * public web pipelines (RefinedWeb/C4 drop or downweight pages whose
+    * flagged-term density crosses a threshold; the list itself is policy,
+    * supplied by the caller). The list rides the ONE TextStats kernel
+    * pass as a profile (<= 64 words, matched case-folded), so the filter
+    * is a free rider on the stats scan: occurrences, distinct flagged
+    * terms, density, and the keep verdict per doc — map-side, no shuffle,
+    * streams unbounded.
+    */
+  def flaggedTermFilter(df: DataFrame, idCol: String, textCol: String,
+                        flagged: Seq[String],
+                        maxRatio: Double = 0.05): DataFrame = {
+    require(flagged.nonEmpty && flagged.length <= 64,
+      s"flaggedTermFilter needs 1..64 words, got ${flagged.length}")
+    val st = text_stats(col(textCol), Seq(flagged))
+    df.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st").getField("n_tokens").cast(LongType).as("n_tokens"),
+        col("__st").getField("occ").getItem(0).cast(LongType).as("flagged_occ"),
+        col("__st").getField("dist").getItem(0).cast(LongType).as("flagged_distinct"))
+      .withColumn("flagged_ratio",
+        when(col("n_tokens") > 0,
+          round(col("flagged_occ").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6)).otherwise(lit(0.0)))
+      .withColumn("keep", col("flagged_ratio") <= maxRatio)
+  }
+
   /** Curriculum-style stratification: bin every row by where its metric
     * falls among the corpus percentile boundaries `probs` (bin 0 = lowest
     * stratum, probs.length = top). ONE exact-percentile aggregate yields
