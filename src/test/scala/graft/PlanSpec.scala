@@ -328,4 +328,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortExec"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("map-side quality signals: no shuffle at all (entropy, flags, lines, NFC)") {
+    for (q <- Seq("char_entropy", "flagged_terms", "line_rules",
+        "line_dedup_doc", "nfc_normalize", "strip_accents",
+        "decontam_verdicts")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("url_host_cap: exactly one exchange - the host-keyed window") {
+    val p = plan("url_host_cap")
+    assert(count(p, "Exchange") == 1, p)
+    assert(!p.contains("BroadcastExchange"), p)
+  }
+
+  test("neardup_ingest: probe side never sort-merges; token sets move once") {
+    val p = plan("neardup_ingest")
+    // the (band, bandkey) candidate join may hash or broadcast at this
+    // size; what must NEVER appear is a cartesian of probe x index
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("embedding_hygiene: partial aggregation before the one exchange") {
+    val p = plan("embedding_hygiene")
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(count(p, "Exchange") == 1, p)
+  }
 }
