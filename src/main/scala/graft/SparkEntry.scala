@@ -2077,6 +2077,12 @@ object SparkEntry {
 
     // rolling 3-event sum/count per user (ROWS frame): DECIMAL
     // accumulation makes the running sums engine-portable
+    // daily volume anomaly: per event_type, each day's count as a
+    // z-score vs that type's own daily distribution — variance from
+    // EXACT integer moments, so the float score is engine-identical
+    "events_zscore" -> ((s, dir) =>
+      graft.ops.TimeSeries.dailyZScore(events(s, dir), "event_type", "ts")),
+
     "rolling_avg" -> ((s, dir) =>
       graft.ops.TimeSeries.rollingSum(
         events(s, dir), "user_id", "ts", "event_id", "value", window = 3)),
@@ -4509,6 +4515,24 @@ object SparkEntry {
         |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     range(0, 64) r(i)
         |GROUP BY label, i ORDER BY label, d""".stripMargin,
+
+    // identical float op order: (x - s/n) / sqrt((s2 - s*s/n)/(n-1)),
+    // every input an exact integer sum
+    "events_zscore" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  COUNT(*) AS n_events
+        |           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |m AS (SELECT event_type, COUNT(*) AS mn,
+        |             SUM(n_events) AS s, SUM(n_events * n_events) AS s2
+        |      FROM d GROUP BY event_type)
+        |SELECT d.event_type, d.day, CAST(d.n_events AS BIGINT) AS n_events,
+        |       CASE WHEN m.mn > 1 AND
+        |                 (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(mn AS DOUBLE)) / (CAST(mn AS DOUBLE) - 1.0) > 0
+        |            THEN ROUND((CAST(d.n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(mn AS DOUBLE)) /
+        |                       sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(mn AS DOUBLE)) / (CAST(mn AS DOUBLE) - 1.0)), 6)
+        |       END AS z
+        |FROM d JOIN m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
 
     "rolling_avg" ->
       """SELECT event_id, user_id,

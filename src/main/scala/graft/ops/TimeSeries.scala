@@ -83,6 +83,37 @@ object TimeSeries {
         rightCols.map(c => col("__r").getField(c).as(s"asof_$c")): _*)
   }
 
+  /** Per-key daily volume anomaly score: each (key, day)'s event count as
+    * a z-score against that key's own daily distribution — the ops-health
+    * lens over an event stream (a spiking z flags an incident or a bot).
+    * The variance comes from EXACT integer moments (n, Σx, Σx² of the
+    * daily counts are long sums — order-independent, engine-identical),
+    * composed into sample variance (Σx² − (Σx)²/n)/(n−1) with one pinned
+    * float op order, so the score is bit-reproducible anywhere. Two
+    * partial-agg shuffles (day counts, per-key moments — the second over
+    * key cardinality only); the moments broadcast back.
+    */
+  def dailyZScore(df: DataFrame, keyCol: String, tsCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = daily.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("n_events")).as("__s"),
+      sum(col("n_events") * col("n_events")).as("__s2"))
+    val n = col("__n").cast(org.apache.spark.sql.types.DoubleType)
+    val mean = col("__s").cast(org.apache.spark.sql.types.DoubleType) / n
+    val variance = (col("__s2").cast(org.apache.spark.sql.types.DoubleType) -
+      col("__s").cast(org.apache.spark.sql.types.DoubleType) * col("__s").cast(org.apache.spark.sql.types.DoubleType) / n) /
+      (n - lit(1.0))
+    daily.join(broadcast(moments), keyCol)
+      .withColumn("z",
+        when(col("__n") > 1 && variance > 0,
+          round((col("n_events").cast(org.apache.spark.sql.types.DoubleType) - mean) /
+            sqrt(variance), roundTo)))
+      .select(col(keyCol), col("day"), col("n_events"), col("z"))
+  }
+
   /** Rolling window aggregate per key: sum + count of `valueCol` over the
     * last `window` rows ordered by (`tsCol`, `tieCol`). The value
     * accumulates in exact DECIMAL, so the running sums are
