@@ -1638,6 +1638,34 @@ object SparkEntry {
         .select(col("_op"), col("_seq"), col("id"), col("payload"))
     }),
 
+    // NET CHANGE SET between two versions, served FROM the change log
+    // (the change-data-feed shape): slice the log past the base version,
+    // last op per id wins — no snapshot join, cost scales with the log
+    // slice, not the collection
+    "dsv2_version_diff" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("vdiff_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val base = CollectionStores.get("vdiff_store").logSize("embeddings")
+      CollectionStores.update("vdiff_store") {
+        case mem: InMemoryCollectionStore =>
+          mem.removed("embeddings", Set("3", "13"))
+            .payloadPatched("embeddings", Set("7", "17"), """{"reviewed":true}""")
+            .appended("embeddings", IndexedSeq(Point("zz_new",
+              Some("""{"label":-1}"""),
+              dense = Map("vector" -> Array.fill(64)(0.5f)))))
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "vdiff_store").option("collection", "embeddings")
+        .option("cdc", "true").option("partitions", "4").load()
+        .filter(col("_seq") >= base)
+        .groupBy(col("id"))
+        .agg(max_by(col("_op"), col("_seq")).as("final_op"),
+          count(lit(1)).as("n_entries"))
+    }),
+
     // the dsv2_stream_pipeline shape expressed PURELY in table names:
     // readStream.table -> transform -> writeStream.toTable, both ends
     // resolving through the TableCatalog to the same CollectionTable the
@@ -3936,6 +3964,17 @@ object SparkEntry {
     // unselected points survive
     "dsv2_set_payload" -> SetPayloadOracle,
     "dsv2_rest_set_payload" -> SetPayloadOracle,
+
+    // the change set is fully determined by the gate's scripted edits
+    "dsv2_version_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('3', 'delete', CAST(1 AS BIGINT)),
+        |  ('13', 'delete', CAST(1 AS BIGINT)),
+        |  ('7', 'upsert', CAST(1 AS BIGINT)),
+        |  ('17', 'upsert', CAST(1 AS BIGINT)),
+        |  ('zz_new', 'upsert', CAST(1 AS BIGINT)))
+        |  AS t(id, final_op, n_entries)
+        |ORDER BY id""".stripMargin,
 
     "dsv2_delete_payload" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
