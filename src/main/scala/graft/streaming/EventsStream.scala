@@ -107,6 +107,37 @@ object EventsStream {
   def windowedAggBatch(spark: SparkSession, sfDir: String): DataFrame =
     windowedAgg(spark.read.parquet(s"$sfDir/events.parquet"))
 
+  /** ONLINE per-host crawl-budget cap: admit the first `k` documents per
+    * canonical host ON THE INGEST STREAM, drop the rest — the streaming
+    * counterpart of [[graft.ops.Url.capPerHost]] (which draws a seeded
+    * committee over a finished corpus; an unbounded ingest must decide
+    * per arrival, so first-k-wins is the online policy). State is ONE
+    * counter per host via flatMapGroupsWithState; within a micro-batch
+    * admission is id-ordered so replays are deterministic. Emits the
+    * admitted (host, id) rows in append mode.
+    */
+  def cappedHostAdmissions(df: org.apache.spark.sql.DataFrame,
+                           idCol: String, urlCol: String,
+                           k: Int): Dataset[(String, Long)] = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(graft.ops.Url.hostOf(col(urlCol)).as("host"),
+        col(idCol).cast(LongType).as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, k - admitted).toInt
+          val keep = rows.map(_._2).toSeq.sorted.take(room)
+          state.update(admitted + keep.length)
+          keep.iterator.map(id => (host, id))
+      }
+  }
+
   /** Custom streaming state: per-user running (count, sum) via
     * mapGroupsWithState. State is partitioned by key across executors and
     * checkpointable; each micro-batch folds its rows into the key's state

@@ -116,6 +116,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.exists(identity))
   }
 
+  test("streaming host cap: first k per host admitted across micro-batches") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // two hosts, 20 docs each, arriving over two ordered files — the
+    // crawl-budget decision must be made per arrival, with state carrying
+    // the admitted count across micro-batches
+    val src = Files.createTempDirectory("graft-hostcap-stream")
+    def urlOf(i: Long) =
+      s"https://${if (i % 2 == 0) "big.com" else "small.org"}/p/$i"
+    val all = (0L until 40L).map(i => (i, urlOf(i)))
+    all.filter(_._1 < 20).toDF("id", "url").repartition(1)
+      .write.parquet(src.toString + "/f=1")
+    all.filter(_._1 >= 20).toDF("id", "url").repartition(1)
+      .write.parquet(src.toString + "/f=2")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("url", StringType)))
+    val streamed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString + "/f=*")
+    val q = EventsStream.cappedHostAdmissions(streamed, "id", "url", k = 7)
+      .toDF("host", "id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hostcap_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hostcap_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byHost = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exactly k admitted per host, and they are the FIRST arrivals
+    assert(byHost("big.com") === (0L until 14L by 2).toSet)
+    assert(byHost("small.org") === (1L until 15L by 2).toSet)
+    assert(got.length === 14)
+  }
+
   test("streaming near-dup check: stream-static index probe matches batch pairs") {
     import org.apache.spark.sql.types._
     import spark.implicits._
