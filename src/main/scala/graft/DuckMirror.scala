@@ -1290,7 +1290,7 @@ object DuckMirror {
     * Jaccard-verified `pairs(a_id, b_id, jaccard)`.
     */
   private def minhashPairCtes(threshold: Double, numHashes: Int, bands: Int,
-                              seed: Long): String = {
+                              seed: Long, cmp: String = ">="): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val (as, bs) = MinHashSignature.coefficients(numHashes, seed)
@@ -1344,7 +1344,7 @@ object DuckMirror {
        |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
        |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
        |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
-       |  WHERE jaccard >= $threshold)""".stripMargin
+       |  WHERE jaccard $cmp $threshold)""".stripMargin
   }
 
   /** decontam_minhash oracle (Dedup.minhashContaminated: corpus = the
@@ -1454,6 +1454,15 @@ object DuckMirror {
     * distinct w=1 shingle-hash sets (Dedup.minhashDedup; the Spark side
     * bands on xxhash64 of the sub-signature, equal up to ~2^-64 collisions).
     */
+  /** hard_negatives oracle: the SAME chain, candidates that FAILED the
+    * verification cut — band-collided yet dissimilar pairs.
+    */
+  def minhashHardNegativesSql(threshold: Double, numHashes: Int = 16,
+                              bands: Int = 4, seed: Long = 42L): String =
+    s"""WITH ${minhashPairCtes(threshold, numHashes, bands, seed, cmp = "<")}
+       |SELECT a_id, b_id, jaccard FROM pairs
+       |ORDER BY a_id, b_id""".stripMargin
+
   def minhashSql(threshold: Double, numHashes: Int = 16, bands: Int = 4,
                  seed: Long = 42L): String =
     s"""WITH ${minhashPairCtes(threshold, numHashes, bands, seed)}

@@ -2558,6 +2558,15 @@ object SparkEntry {
     // unsigned band arithmetic on both engine and oracle
     "dedup_embedding_lsh64" -> ((s, dir) => lshPairStore(s, dir)),
 
+    // hard negatives for contrastive training: band-collided candidate
+    // pairs that FAILED the Jaccard cut — "looks similar to the sketch,
+    // isn't" — mined for free as the verification join's rejects
+    // bands=8 (r=2) deliberately widens the LSH net so dissimilar pairs
+    // collide often enough to mine from — the point of negative mining
+    "hard_negatives" -> ((s, dir) =>
+      Dedup.minhashHardNegatives(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.8, bands = 8)),
+
     // SOFT dedup: every copy kept, downweighted by multiplicity (1/n) —
     // the sampling-weight alternative to dropping; composes with
     // weighted sampling for the selection step
@@ -6168,6 +6177,8 @@ object SparkEntry {
              |FROM h ORDER BY doc_id""".stripMargin
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
+        "hard_negatives" -> DuckMirror.minhashHardNegativesSql(threshold = 0.8,
+          bands = 8),
         "clean_corpus" -> DuckMirror.cleanCorpusSql(threshold = 0.8,
           minQuality = 0.1),
         "dedup_clusters_minhash" -> DuckMirror.minhashClustersSql(threshold = 0.8),

@@ -211,17 +211,39 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 16,
-                   shingleWidth: Int = 3, bands: Int = 4): DataFrame = {
+                   shingleWidth: Int = 3, bands: Int = 4): DataFrame =
+    verifiedCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+      .filter(col("jaccard") >= threshold)
+
+  /** HARD NEGATIVES for contrastive training: candidate pairs that
+    * collided in an LSH band yet FAILED the Jaccard cut — "looks similar
+    * to the sketch, isn't" is exactly the hard-negative definition, and
+    * the dedup pipeline produces them as a byproduct (the verification
+    * join's rejects), so mining costs nothing beyond keeping the other
+    * side of the filter. Pairs with [[Search.contrastivePairs]]'
+    * positives: same corpus pass yields both sides of the training pair.
+    */
+  def minhashHardNegatives(df: DataFrame, idCol: String, textCol: String,
+                           threshold: Double, numHashes: Int = 16,
+                           shingleWidth: Int = 3, bands: Int = 4): DataFrame =
+    verifiedCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+      .filter(col("jaccard") < threshold)
+
+  /** Shared verification join of [[minhashDedup]] / [[minhashHardNegatives]]:
+    * every banded candidate pair with its exact Jaccard (unfiltered).
+    * tokenize+hash once per ROW; the join then only moves (id, sorted
+    * hash-set) pairs and merge-counts longs.
+    */
+  private def verifiedCandidates(df: DataFrame, idCol: String,
+                                 textCol: String, numHashes: Int,
+                                 shingleWidth: Int, bands: Int): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
-    // tokenize+hash once per ROW; the candidate verification join then
-    // only moves (id, sorted hash-set) pairs and merge-counts longs
     val toks = df.select(col(idCol).as("id"),
       sortedTokenHashSet(col(textCol)).as("toks"))
     cands
       .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
       .withColumn("jaccard", round(jaccardSortedSets(col("a_toks"), col("b_toks")), 6))
-      .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 

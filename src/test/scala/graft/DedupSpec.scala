@@ -76,6 +76,17 @@ class DedupSpec extends AnyFunSuite {
     assert(plantedPairs.forall(_._3 === 1.0))
   }
 
+  test("minhashHardNegatives is exactly the verification join's reject side") {
+    val d = docs.select(col("doc_id"), col("text"))
+    val dup = Dedup.minhashDedup(d, "doc_id", "text", threshold = 0.8, bands = 8)
+    val neg = Dedup.minhashHardNegatives(d, "doc_id", "text", threshold = 0.8, bands = 8)
+    // disjoint, and every negative is genuinely below the cut
+    val negs = neg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(negs.forall(_._3 < 0.8))
+    val dups = dup.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.forall { case (a, b, _) => !dups.contains((a, b)) })
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within small distance") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
