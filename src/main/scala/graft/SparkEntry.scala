@@ -2411,6 +2411,23 @@ object SparkEntry {
           (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("lag_us"))
     }),
 
+    // keyless point-in-interval join: errors landing inside 2h incident
+    // windows opened by big purchases — NO equi key, the shape Spark
+    // plans as an O(N·M) BroadcastNestedLoopJoin; intervalJoin's
+    // time-chunk rewrite runs it as a hash equi-join on the chunk id
+    "interval_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val incidents = e.filter(col("event_type") === "purchase" && col("value") > 300)
+        .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"))
+      graft.ops.TimeSeries.intervalJoin(errors, "ts", incidents,
+          "start_ts", "end_ts", Seq("incident_id"), bucket = "1 hour")
+        .groupBy(col("iv_incident_id").as("incident_id"))
+        .agg(count(lit(1)).as("n_errors"), min(col("event_id")).as("first_error"))
+    }),
+
     // wide-format per-language source counts (groupBy + pivot with an
     // explicit value list — map-side partial aggregation, one shuffle)
     "pivot_stats" -> ((s, dir) =>
@@ -5096,6 +5113,17 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       epoch_ns(MAX(ts)) // 1000 - epoch_ns(MIN(ts)) // 1000 AS span_us
         |FROM i GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    // naive inequality join — the semantics intervalJoin's chunked
+    // equi-join rewrite must reproduce exactly (half-open [start, end))
+    "interval_join" ->
+      """WITH i AS (SELECT event_id AS incident_id, ts AS s,
+        |                  ts + INTERVAL 2 HOURS AS e
+        |           FROM events WHERE event_type = 'purchase' AND value > 300),
+        |     p AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+        |SELECT i.incident_id, COUNT(*) AS n_errors, MIN(p.event_id) AS first_error
+        |FROM i JOIN p ON p.ts >= i.s AND p.ts < i.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "asof_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

@@ -133,4 +133,57 @@ object TimeSeries {
         .cast(StringType).as("roll_sum"),
       count(lit(1)).over(w).as("n"))
   }
+
+  /** Keyless point-in-interval join: every `points` row whose `tsCol`
+    * falls in `[startCol, endCol)` of an `intervals` row — with NO equi
+    * key to hash on. Spark's native plan for a pure range predicate is
+    * BroadcastNestedLoopJoin (every point compared against every
+    * interval, O(N·M)); this rewrite buckets time into `bucket`-sized
+    * chunks and turns the range predicate into an ordinary hash EQUI
+    * join on the chunk id: each interval explodes into the chunks it
+    * covers (≤ len/bucket + 1 rows, bounded by the interval length),
+    * each point maps to exactly ONE chunk, and the containment filter
+    * runs only within a chunk. Work is Σ_b |points_b|·|chunks_b| — the
+    * nested loop's N·M never materializes, and the shuffle is a plain
+    * equi-join AQE can skew-split when one time chunk runs hot. Because
+    * a point lives in exactly one chunk, each matching (point, interval)
+    * pair meets exactly once — no dedup pass. Pick `bucket` near the
+    * typical interval length: much smaller multiplies the interval
+    * explosion, much larger widens the per-chunk candidate set.
+    *
+    * Output: all `points` columns plus each requested interval column
+    * prefixed `iv_` (collision-proof when both sides share names).
+    * Interval bounds are half-open `[start, end)`; empty or inverted
+    * intervals match nothing.
+    */
+  def intervalJoin(points: DataFrame, tsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   intervalCols: Seq[String],
+                   bucket: String = "1 hour"): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(bucket))
+    require(iv.months == 0, s"bucket '$bucket' uses months; pass a fixed-length bucket")
+    val bUs = iv.days * 86400000000L + iv.microseconds
+    require(bUs > 0, s"bucket '$bucket' must be positive")
+    // floor-division chunk id ((us - floorMod(us, b)) / b) — correct on
+    // pre-epoch timestamps too, and pure long arithmetic (no double
+    // rounding at epoch-micro scale)
+    def chunkOf(us: Column): Column =
+      ((us - pmod(us, lit(bUs))) / lit(bUs)).cast(org.apache.spark.sql.types.LongType)
+    val p = points
+      .withColumn("__pt_us", unix_micros(col(tsCol)))
+      .withColumn("__chunk", chunkOf(col("__pt_us")))
+    val i = intervals
+      .withColumn("__s_us", unix_micros(col(startCol)))
+      .withColumn("__e_us", unix_micros(col(endCol)))
+      .filter(col("__e_us") > col("__s_us"))
+      .withColumn("__chunk",
+        explode(sequence(chunkOf(col("__s_us")), chunkOf(col("__e_us") - 1))))
+    p.as("p").join(i.as("i"),
+        col("p.__chunk") === col("i.__chunk") &&
+          col("p.__pt_us") >= col("i.__s_us") &&
+          col("p.__pt_us") < col("i.__e_us"))
+      .select(points.columns.toSeq.map(c => col(s"p.$c")) ++
+        intervalCols.map(c => col(s"i.$c").as(s"iv_$c")): _*)
+  }
 }

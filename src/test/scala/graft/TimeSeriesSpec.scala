@@ -67,4 +67,47 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 2L, 1000L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
+
+  test("intervalJoin matches [start, end) exactly, once per pair, across chunk shapes") {
+    import spark.implicits._
+    val H = 3600000000L // 1h in us
+    // points at: interval start (in), interval end (OUT — half-open),
+    // mid-interval, far outside; intervals: sub-bucket, exactly one
+    // bucket, spanning 3 buckets, overlapping another (point 5 in both),
+    // and an empty interval (matches nothing)
+    val points = Seq((1L, 0L), (2L, 10 * H), (3L, 10 * H + H / 2), (4L, 99 * H),
+        (5L, 20 * H + 1))
+      .toDF("pid", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val intervals = Seq(
+        (100L, 0L, H / 4),            // sub-bucket: contains point 1 (at start)
+        (101L, 9 * H, 10 * H),        // point 2 at end -> excluded
+        (102L, 10 * H, 13 * H),       // 3 buckets: points 2 (start) and 3
+        (103L, 20 * H, 21 * H),       // overlaps 104: point 5 in both
+        (104L, 19 * H, 22 * H),
+        (105L, 50 * H, 50 * H))       // empty
+      .toDF("iid", "s", "e")
+      .withColumn("start_ts", timestamp_micros(col("s")))
+      .withColumn("end_ts", timestamp_micros(col("e"))).drop("s", "e")
+    val out = TimeSeries.intervalJoin(points, "ts", intervals,
+        "start_ts", "end_ts", Seq("iid"), bucket = "1 hour")
+      .select("pid", "iv_iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length, "pair emitted more than once")
+    assert(out.toSet == Set((1L, 100L), (2L, 102L), (3L, 102L),
+      (5L, 103L), (5L, 104L)))
+  }
+
+  test("intervalJoin plans as a hash equi-join, not a nested loop") {
+    import spark.implicits._
+    val points = Seq((1L, 0L)).toDF("pid", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val intervals = Seq((100L, 0L, 1L))
+      .toDF("iid", "s", "e")
+      .withColumn("start_ts", timestamp_micros(col("s")))
+      .withColumn("end_ts", timestamp_micros(col("e"))).drop("s", "e")
+    val plan = TimeSeries.intervalJoin(points, "ts", intervals,
+        "start_ts", "end_ts", Seq("iid"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range predicate fell back to a nested loop:\n$plan")
+  }
 }
