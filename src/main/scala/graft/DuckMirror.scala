@@ -1290,7 +1290,19 @@ object DuckMirror {
     * Jaccard-verified `pairs(a_id, b_id, jaccard)`.
     */
   private def minhashPairCtes(threshold: Double, numHashes: Int, bands: Int,
-                              seed: Long, cmp: String = ">="): String = {
+                              seed: Long, cmp: String = ">="): String =
+    s"""${minhashCandCtes(numHashes, bands, seed)},
+       |pairs AS (SELECT * FROM (
+       |  SELECT a_id, b_id,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
+       |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
+       |  WHERE jaccard $cmp $threshold)""".stripMargin
+
+  /** The chain up to banded candidates + token sets — shared by the
+    * Jaccard pairs above and the containment pairs below.
+    */
+  private def minhashCandCtes(numHashes: Int, bands: Int, seed: Long): String = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val (as, bs) = MinHashSignature.coefficients(numHashes, seed)
@@ -1338,14 +1350,29 @@ object DuckMirror {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND $kEq AND a.doc_id < b.doc_id),
-       |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1),
-       |pairs AS (SELECT * FROM (
-       |  SELECT a_id, b_id,
-       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
-       |               CAST(len(ta.ts) + len(tb.ts) - len(list_intersect(ta.ts, tb.ts)) AS DOUBLE), 6) AS jaccard
-       |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
-       |  WHERE jaccard $cmp $threshold)""".stripMargin
+       |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1)""".stripMargin
   }
+
+  /** doc_containment oracle (Dedup.containmentPairs): same banded
+    * candidates, each unordered pair emitted in BOTH orientations with
+    * |src ∩ dst| / |src|.
+    */
+  def containmentSql(threshold: Double, numHashes: Int = 16,
+                     bands: Int = 8, seed: Long = 42L): String =
+    s"""WITH ${minhashCandCtes(numHashes, bands, seed)},
+       |cboth AS (
+       |  SELECT a_id AS src_id, b_id AS dst_id,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |               CAST(len(ta.ts) AS DOUBLE), 6) AS containment
+       |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id
+       |  UNION ALL
+       |  SELECT b_id, a_id,
+       |         ROUND(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE) /
+       |               CAST(len(tb.ts) AS DOUBLE), 6)
+       |  FROM cands JOIN tsets ta ON ta.doc_id = a_id JOIN tsets tb ON tb.doc_id = b_id)
+       |SELECT src_id, dst_id, containment FROM cboth
+       |WHERE containment >= $threshold
+       |ORDER BY src_id, dst_id""".stripMargin
 
   /** decontam_minhash oracle (Dedup.minhashContaminated: corpus = the
     * documents table, benchmark = the ' zzz'-appended variants of

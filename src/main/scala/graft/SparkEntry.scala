@@ -2578,6 +2578,14 @@ object SparkEntry {
     // hard negatives for contrastive training: band-collided candidate
     // pairs that FAILED the Jaccard cut — "looks similar to the sketch,
     // isn't" — mined for free as the verification join's rejects
+    // asymmetric containment |src∩dst|/|src| over the banded candidates:
+    // the quote/excerpt relation — the ' zzz' near-dup corpus pins the
+    // asymmetry (original fully inside its variant at 1.0, the variant
+    // a token short of the reverse)
+    "doc_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.99, bands = 8)),
+
     // bands=8 (r=2) deliberately widens the LSH net so dissimilar pairs
     // collide often enough to mine from — the point of negative mining
     "hard_negatives" -> ((s, dir) =>
@@ -6206,6 +6214,8 @@ object SparkEntry {
         },
         "dedup_minhash" -> DuckMirror.minhashSql(threshold = 0.8),
         "hard_negatives" -> DuckMirror.minhashHardNegativesSql(threshold = 0.8,
+          bands = 8),
+        "doc_containment" -> DuckMirror.containmentSql(threshold = 0.99,
           bands = 8),
         "clean_corpus" -> DuckMirror.cleanCorpusSql(threshold = 0.8,
           minQuality = 0.1),

@@ -229,6 +229,45 @@ object Dedup {
     verifiedCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
       .filter(col("jaccard") < threshold)
 
+  /** Asymmetric CONTAINMENT near-dup pairs: `(src, dst)` where
+    * |src ∩ dst| / |src| >= threshold over the w=1 token-hash sets —
+    * "src is (mostly) a subset of dst", the quote/excerpt/boilerplate
+    * relation Jaccard misses when sizes differ (a half-length excerpt of
+    * a doc has Jaccard ~0.5 but containment 1.0). Candidates come from
+    * the same MinHash banding as [[minhashDedup]] — widen with more
+    * bands (r=2 collides Jaccard-0.5 pairs w.p. ~0.9 at bands=8) since
+    * banding recalls by JACCARD, not containment: an excerpt much
+    * shorter than 1/threshold-ish of its source dilutes Jaccard below
+    * the banding floor and needs a containment-aware index (LSH
+    * Ensemble) — out of scope, documented not hidden. Each unordered
+    * candidate pair is verified once and emitted in BOTH orientations
+    * (one intersection count serves both), so the quadratic work equals
+    * minhashDedup's.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, numHashes: Int = 16,
+                       shingleWidth: Int = 3, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, shingleWidth, bands)
+    val toks = df.select(col(idCol).as("id"),
+      sortedTokenHashSet(col(textCol)).as("toks"))
+    def contain(inter: Column, own: Column): Column =
+      round(when(size(own) > 0,
+        inter / size(own).cast(DoubleType)).otherwise(lit(0.0)), 6)
+    cands
+      .join(toks.select(col("id").as("a_id"), col("toks").as("a_toks")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      .withColumn("__i", sorted_intersect_count(col("a_toks"), col("b_toks"))
+        .cast(DoubleType))
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          contain(col("__i"), col("a_toks")).as("containment")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          contain(col("__i"), col("b_toks")).as("containment")))).as("p"))
+      .select(col("p.src_id").as("src_id"), col("p.dst_id").as("dst_id"),
+        col("p.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Shared verification join of [[minhashDedup]] / [[minhashHardNegatives]]:
     * every banded candidate pair with its exact Jaccard (unfiltered).
     * tokenize+hash once per ROW; the join then only moves (id, sorted

@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite {
     assert(negs.forall { case (a, b, _) => !dups.contains((a, b)) })
   }
 
+  test("containmentPairs is asymmetric: excerpt fully inside its source, not vice versa") {
+    val d = docs.select(col("doc_id"), col("text"))
+    // excerpt = first half of each 10th doc's words: token set a subset
+    // of the source's -> containment(excerpt -> source) = 1.0, while the
+    // source keeps tokens the excerpt lacks -> reverse well below 1
+    val excerpts = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        array_join(slice(split(col("text"), "\\s+"), lit(1),
+          (size(split(col("text"), "\\s+")) / 2).cast("int")), " ").as("text"))
+    val out = Dedup.containmentPairs(d.union(excerpts), "doc_id", "text",
+        threshold = 0.0, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val found = out.keys.filter { case (s, t) => s == t + 2000000 }
+    assert(found.nonEmpty, "no excerpt pair survived banding")
+    found.foreach { k =>
+      assert(out(k) == 1.0, s"excerpt $k not fully contained: ${out(k)}")
+      // repeated words mean half the WORDS can still cover most DISTINCT
+      // tokens — the reverse just has to be strictly partial
+      assert(out((k._2, k._1)) < 1.0, s"reverse containment not asymmetric")
+    }
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within small distance") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
