@@ -1353,6 +1353,27 @@ object DuckMirror {
        |tsets AS (SELECT doc_id, list_distinct(hs1) AS ts FROM sh1)""".stripMargin
   }
 
+  /** rand_projection oracle (Quant.projectColumn): the SAME seeded ±1
+    * sign matrix (embedded as literals — the model is driver-side state
+    * in both engines) and the SAME pinned left-to-right fold, so the
+    * doubles match bit-for-bit.
+    */
+  def randProjectionSql(inDim: Int = 64, outDim: Int = 16,
+                        seed: Long = 42L): String = {
+    val scale = java.lang.Double.toString(1.0 / math.sqrt(outDim.toDouble))
+    val cols = (0 until outDim).map { j =>
+      val terms = (0 until inDim).map { i =>
+        val s = java.lang.Double.toString(graft.ops.Quant.projectionSign(seed, j, i))
+        s"e[${i + 1}] * ($s)"
+      }.mkString(" + ")
+      s"($terms) * $scale + 0.0 AS p$j"
+    }.mkString(",\n       |       ").stripMargin
+    s"""SELECT vec_id,
+       |       $cols
+       |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** doc_containment oracle (Dedup.containmentPairs): same banded
     * candidates, each unordered pair emitted in BOTH orientations with
     * |src ∩ dst| / |src|.

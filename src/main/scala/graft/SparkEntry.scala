@@ -2215,6 +2215,17 @@ object SparkEntry {
       Search.fuseDBSF(Seq(b1, b2), k = 20)
     }),
 
+    // Johnson–Lindenstrauss sign projection 64 -> 16: the projection
+    // matrix is seeded ±1 literals (model state inlined — no broadcast,
+    // no shuffle, fuses into the scan's codegen pass); oracle replays the
+    // identical left-to-right fold bit-for-bit
+    "rand_projection" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      graft.ops.Quant.projectColumn(e, "embedding", "__p", inDim = 64, outDim = 16)
+        .select(col("vec_id") +:
+          (0 until 16).map(j => element_at(col("__p"), j + 1).as(s"p$j")): _*)
+    }),
+
     // Matryoshka serving: 16-dim stored-prefix candidates (1/4 of the
     // bytes), full 64-dim exact rerank; oracle mirrors BOTH stages
     "matryoshka_search" -> ((s, dir) => {
@@ -4739,6 +4750,8 @@ object SparkEntry {
         |       ROUND(COALESCE(z1.z, 0.0) + COALESCE(z2.z, 0.0), 6) AS fused_score
         |FROM z1 FULL OUTER JOIN z2 ON z1.id = z2.id
         |ORDER BY fused_score DESC, id ASC LIMIT 20""".stripMargin,
+
+    "rand_projection" -> DuckMirror.randProjectionSql(inDim = 64, outDim = 16),
 
     // both stages mirrored: 16-dim prefix dot candidates, full rerank
     "matryoshka_search" ->

@@ -306,4 +306,47 @@ object Quant {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** splitmix64 finalizer — the deterministic, engine-independent source
+    * of the projection signs (computed driver-side only; executors see
+    * literals).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The ±1 entry of the seeded sign matrix at (output j, input i). */
+  def projectionSign(seed: Long, j: Int, i: Int): Double =
+    if ((mix64(seed * 1000003L + j.toLong * 7919L + i.toLong) & 1L) == 0L) 1.0 else -1.0
+
+  /** Johnson–Lindenstrauss sign random projection: out_j =
+    * (Σ_i v_i · s_ji) / √outDim with s_ji ∈ {±1} seeded — the
+    * dimensionality-reduction step that makes downstream ANN/clustering
+    * cheaper (pairwise distances preserved within (1±ε) w.h.p. for
+    * outDim ~ log n / ε², Achlioptas 2001's database-friendly variant).
+    * The projection MATRIX is model state inlined as ±1.0 literals: the
+    * whole op is one map-side codegen'd projection — no shuffle, no
+    * broadcast, nothing to fit in memory but the row. Term order is the
+    * pinned left-to-right fold (((v₁s₁ + v₂s₂) + v₃s₃)…)·scale + 0.0, so
+    * any engine replaying the same order reproduces it bit-for-bit (the
+    * trailing + 0.0 flushes −0.0). O(inDim·outDim) multiply-adds per row
+    * — at 100 TB this beats a dense matmul library call because it fuses
+    * into the scan's whole-stage-codegen pass with zero data movement.
+    */
+  def projectColumn(df: DataFrame, vecCol: String, out: String,
+                    inDim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims $inDim -> $outDim")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        element_at(col("__pv"), i + 1) * lit(projectionSign(seed, j, i))
+      }.reduce(_ + _) * lit(scale) + lit(0.0)
+    }
+    df.withColumn("__pv", col(vecCol).cast(ArrayType(DoubleType)))
+      .withColumn(out, array(comps: _*))
+      .drop("__pv")
+  }
 }

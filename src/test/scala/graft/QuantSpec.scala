@@ -148,4 +148,33 @@ class QuantSpec extends AnyFunSuite {
     val maxD = joined.agg(max(col("d"))).head().getInt(0)
     assert(maxD <= 2, s"approx calibration shifted codes by $maxD levels")
   }
+
+  test("projectColumn preserves pairwise distances within JL tolerance") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .limit(40)
+    val p = Quant.projectColumn(e, "embedding", "proj", inDim = 64, outDim = 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("proj"))
+    val dists = p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        sqrt(aggregate(zip_with(col("a.v"), col("b.v"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)).as("d"),
+        sqrt(aggregate(zip_with(col("a.proj"), col("b.proj"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)).as("pd"))
+      .filter(col("d") > 0)
+      .select((col("pd") / col("d")).as("ratio"))
+      .agg(min("ratio"), max("ratio")).head()
+    // outDim 16 is a coarse sketch: ratios stay in a broad but bounded
+    // band around 1 (the point is "distances survive", not precision)
+    assert(dists.getDouble(0) > 0.3 && dists.getDouble(1) < 2.0,
+      s"JL ratios out of band: $dists")
+  }
+
+  test("projectColumn plans map-side: no exchange, stays in codegen") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val plan = Quant.projectColumn(e, "embedding", "proj", inDim = 64, outDim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    assert(plan.startsWith("*("), s"projection fell out of codegen:\n$plan")
+  }
 }
