@@ -2103,6 +2103,17 @@ object SparkEntry {
           .select(col("label"), dvec(col("embedding")).as("v")),
         "label", "v")),
 
+    // distribution drift between snapshots (even vs odd vec_ids standing
+    // in for ingest v0/v1): per-label centroid cosine from exact integer
+    // sums — vectors never shuffle, only (label, dim) partials
+    "centroid_drift" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), dvec(col("embedding")).as("v"))
+      Ann.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "label", "v")
+    }),
+
     // rolling 3-event sum/count per user (ROWS frame): DECIMAL
     // accumulation makes the running sums engine-portable
     // daily volume anomaly: per event_type, each day's count as a
@@ -4592,6 +4603,28 @@ object SparkEntry {
 
     // floor(x * 2^40) HUGEINT sums (order-independent), then the same
     // (sum / n) / S division chain as the engine
+    // the label_centroids mean arithmetic per snapshot, lifted to exact
+    // 1e6-longs; dot/norms integer sums; one pinned float chain at the end
+    "centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |ca AS (SELECT label, i AS d,
+        |         CAST(floor(ROUND(CAST(SUM(CAST(floor(v[i + 1] * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+        |                          / count(*) / 1099511627776.0, 6) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |       FROM (SELECT * FROM e WHERE vec_id % 2 = 0), range(0, 64) r(i)
+        |       GROUP BY label, i),
+        |cb AS (SELECT label, i AS d,
+        |         CAST(floor(ROUND(CAST(SUM(CAST(floor(v[i + 1] * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+        |                          / count(*) / 1099511627776.0, 6) * 1000000.0 + 0.5) AS BIGINT) AS m
+        |       FROM (SELECT * FROM e WHERE vec_id % 2 = 1), range(0, 64) r(i)
+        |       GROUP BY label, i)
+        |SELECT ca.label,
+        |       ROUND(CAST(SUM(ca.m * cb.m) AS DOUBLE)
+        |             / sqrt(CAST(SUM(ca.m * ca.m) AS DOUBLE))
+        |             / sqrt(CAST(SUM(cb.m * cb.m) AS DOUBLE)), 6) AS cos_sim
+        |FROM ca JOIN cb ON ca.label = cb.label AND ca.d = cb.d
+        |GROUP BY ca.label ORDER BY ca.label""".stripMargin,
+
     "label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS d, count(*) AS n,
         |       ROUND(CAST(SUM(CAST(floor(v[i + 1] * 1099511627776.0) AS HUGEINT)) AS DOUBLE)

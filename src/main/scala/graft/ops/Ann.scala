@@ -260,6 +260,34 @@ object Ann {
           .as("mean"))
   }
 
+  /** Embedding-distribution DRIFT between two corpus snapshots: per-group
+    * cosine similarity of the snapshots' centroids — the monitoring lens
+    * that catches a class's embedding mass moving between ingest versions
+    * (encoder swap, data shift) before it degrades retrieval. Each
+    * snapshot pays one [[groupCentroids]] partial-agg shuffle of
+    * (group, dim) rows (vectors never move); the join and cosine run over
+    * the model-sized centroid tables. The 6-decimal centroid means are
+    * lifted to exact 1e6-scaled longs, so dot and norms are
+    * order-independent integer sums and the final score — one pinned
+    * dot/√na/√nb float chain — is engine-bit-identical.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    def m6(df: DataFrame, out: String) =
+      groupCentroids(df, groupCol, vecCol)
+        .select(col(groupCol), col("d"),
+          floor(col("mean") * lit(1e6) + lit(0.5)).cast(LongType).as(out))
+    m6(a, "ma").join(m6(b, "mb"), Seq(groupCol, "d"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("ma") * col("mb")).as("__dot"),
+        sum(col("ma") * col("ma")).as("__na"),
+        sum(col("mb") * col("mb")).as("__nb"))
+      .select(col(groupCol),
+        round(col("__dot").cast(DoubleType) /
+          sqrt(col("__na").cast(DoubleType)) /
+          sqrt(col("__nb").cast(DoubleType)), 6).as("cos_sim"))
+  }
+
   /** Lloyd's KMeans built from the engine's own kernels: assignment is a
     * codegen'd argmin over broadcast centroid literals (v_euclid); the
     * recompute step sums quantized elements in DECIMAL (see

@@ -152,4 +152,21 @@ class AnnSpec extends AnyFunSuite {
     assert(rep.shouldRefit(), s"shift +1.5/dim not detected: ${rep.ratios}")
     assert(rep.ratios.forall(_ > 1.0))
   }
+
+  test("centroidDrift: identical snapshots score 1.0; a shifted class drops") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+    val same = Ann.centroidDrift(e, e, "label", "v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(same.values.forall(_ == 1.0), s"self-drift != 1: $same")
+    // shift ONLY label 3's vectors by +2 in every dim in snapshot B
+    val shifted = e.withColumn("v",
+      when(col("label") === 3, transform(col("v"), x => x + lit(2.0)))
+        .otherwise(col("v")))
+    val d = Ann.centroidDrift(e, shifted, "label", "v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(d(3) < 0.999, s"shifted class not flagged: ${d(3)}")
+    assert(d.filterNot(_._1 == 3).values.forall(_ == 1.0),
+      s"unshifted classes moved: $d")
+  }
 }
