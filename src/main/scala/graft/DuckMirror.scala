@@ -819,6 +819,21 @@ object DuckMirror {
          |ORDER BY cnt DESC, word ASC LIMIT $vocabTop""".stripMargin
   }
 
+  /** bpe_encode oracle (Bpe.subwordCountTrained): the full training
+    * chain re-derives the merges AND each distinct word's final
+    * segmentation; a doc's token count is then the sum of its words'
+    * segment lengths — identical to the engine's map-side greedy fold
+    * because both apply the same merges in the same order per word.
+    */
+  def bpeEncodeSql(numMerges: Int): String =
+    s"""WITH ${bpeChain(numMerges)},
+       |w AS (SELECT doc_id, unnest(list_filter(
+       |        string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS word
+       |      FROM documents)
+       |SELECT w.doc_id, CAST(SUM(len(s.s)) AS BIGINT) AS n_bpe_tokens
+       |FROM w JOIN syms$numMerges s ON s.word = w.word
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
   /** SemDeDup oracle: the [[ivfChain]] re-derives the engine's k-means
     * (same md5 seed-point init, same DECIMAL-quantized updates, same
     * first-min tiebreak), over the SAME planted-near-dup corpus as the

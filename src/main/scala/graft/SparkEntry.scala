@@ -2961,6 +2961,17 @@ object SparkEntry {
         .toDF("step", "merge_left", "merge_right", "pair_count")
     }),
 
+    // corpus ENCODE under the trained model: per-doc token count via the
+    // vocab join (each distinct word segmented ONCE at train time, then a
+    // broadcast model join — Zipf makes the per-occurrence fold redundant
+    // work) — the sequence-length statistic packing/budgeting consumes
+    "bpe_encode" -> ((s, dir) => {
+      val syms = bpeModel(s, dir)._2
+      graft.ops.Bpe.encodeTokenCounts(
+        docs(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", syms)
+    }),
+
     // the trained segmentation itself: top-30 words by frequency with
     // their final subword split — the vocab a tokenizer would export
     "bpe_vocab" -> ((s, dir) => {
@@ -5597,6 +5608,8 @@ object SparkEntry {
     "bpe_merges" -> DuckMirror.bpeSql(numMerges = 8, trace = true),
 
     "bpe_vocab" -> DuckMirror.bpeSql(numMerges = 8, trace = false),
+
+    "bpe_encode" -> DuckMirror.bpeEncodeSql(numMerges = 8),
 
     "subword_count" ->
       """SELECT doc_id,

@@ -74,4 +74,21 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.length <= 3)
     assert(syms.head().getSeq[String](2).length === 1)
   }
+
+  test("encodeTokenCounts (vocab join) == subwordCountTrained (fold); OOV falls back to chars") {
+    import spark.implicits._
+    val corpus = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(50)
+    val (merges, syms) = Bpe.trainMerges(corpus, "text", numMerges = 8)
+    val viaJoin = Bpe.encodeTokenCounts(corpus, "doc_id", "text", syms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFold = Bpe.subwordCountTrained(corpus, "text", merges, "n")
+      .select(col("doc_id"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaJoin == viaFold)
+    // a doc of only unseen words: char-level fallback len+1 per word
+    val oov = Seq((999L, "zzzq xq")).toDF("doc_id", "text")
+    val n = Bpe.encodeTokenCounts(oov, "doc_id", "text", syms).head().getLong(1)
+    assert(n == (4 + 1) + (2 + 1), s"OOV fallback got $n")
+  }
 }
