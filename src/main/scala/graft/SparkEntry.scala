@@ -2122,6 +2122,11 @@ object SparkEntry {
     "events_zscore" -> ((s, dir) =>
       graft.ops.TimeSeries.dailyZScore(events(s, dir), "event_type", "ts")),
 
+    // median/MAD robust twin of events_zscore: a real incident can't
+    // poison the baseline; exact medians are safe (groups = day counts)
+    "mad_outliers" -> ((s, dir) =>
+      graft.ops.TimeSeries.dailyRobustZScore(events(s, dir), "event_type", "ts")),
+
     "rolling_avg" -> ((s, dir) =>
       graft.ops.TimeSeries.rollingSum(
         events(s, dir), "user_id", "ts", "event_id", "value", window = 3)),
@@ -4660,6 +4665,24 @@ object SparkEntry {
         |                       sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(mn AS DOUBLE)) / (CAST(mn AS DOUBLE) - 1.0)), 6)
         |       END AS z
         |FROM d JOIN m USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // medians over integer day-counts are k or k+.5 — exact doubles —
+    // so the single pinned float chain matches Spark bit-for-bit
+    "mad_outliers" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                  COUNT(*) AS n_events
+        |           FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |m AS (SELECT event_type, median(n_events) AS med FROM d GROUP BY event_type),
+        |a AS (SELECT d.event_type, d.day, d.n_events, m.med,
+        |             ABS(d.n_events - m.med) AS dev
+        |      FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY event_type)
+        |SELECT a.event_type, a.day, CAST(a.n_events AS BIGINT) AS n_events,
+        |       CASE WHEN md.mad > 0
+        |            THEN ROUND((a.n_events - a.med) / (1.4826 * md.mad), 6)
+        |       END AS robust_z
+        |FROM a JOIN md USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
 
     "rolling_avg" ->

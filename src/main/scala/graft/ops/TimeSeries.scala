@@ -114,6 +114,35 @@ object TimeSeries {
       .select(col(keyCol), col("day"), col("n_events"), col("z"))
   }
 
+  /** ROBUST daily anomaly score: (x − median) / (1.4826·MAD) — the
+    * median/MAD twin of [[dailyZScore]] that a real incident can't
+    * poison (one 100× spike day inflates the mean AND the stddev enough
+    * to mask itself from a z-score; the medians don't move). Exact
+    * percentile is safe here because the per-key group is the key's DAY
+    * COUNT (~30–365 rows), not the corpus — bounded regardless of data
+    * scale; the two median frames are model-sized (a row per key) and
+    * broadcast back. Integer day-counts make every median k or k+0.5 —
+    * exactly representable — so the one pinned float chain at the end is
+    * engine-bit-identical. Zero MAD (a perfectly constant key) yields
+    * NULL rather than ±∞.
+    */
+  def dailyRobustZScore(df: DataFrame, keyCol: String, tsCol: String,
+                        roundTo: Int = 6): DataFrame = {
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily.groupBy(col(keyCol))
+      .agg(expr("percentile(n_events, 0.5)").as("__med"))
+    val dev = daily.join(broadcast(med), Seq(keyCol))
+      .withColumn("__dev", abs(col("n_events") - col("__med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), Seq(keyCol))
+      .select(col(keyCol), col("day"), col("n_events"),
+        when(col("__mad") > 0,
+          round((col("n_events") - col("__med")) / (lit(1.4826) * col("__mad")),
+            roundTo)).as("robust_z"))
+  }
+
   /** Rolling window aggregate per key: sum + count of `valueCol` over the
     * last `window` rows ordered by (`tsCol`, `tieCol`). The value
     * accumulates in exact DECIMAL, so the running sums are

@@ -68,6 +68,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 1000L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
 
+  test("dailyRobustZScore flags the spike a classic z-score masks") {
+    import spark.implicits._
+    // 9 quiet days (8..12 events) + one 1000-event incident day: the
+    // spike inflates mean AND stddev enough to keep its own z under ~3,
+    // while median/MAD don't move
+    val counts = Seq(8, 9, 10, 11, 12, 9, 10, 11, 10, 1000)
+    val rows = counts.zipWithIndex.flatMap { case (n, d) =>
+      (0 until n).map(i => ("a", 86400000000L * d + i))
+    }
+    val df = rows.toDF("k", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val robust = TimeSeries.dailyRobustZScore(df, "k", "ts")
+      .filter(col("n_events") === 1000).head().getDouble(3)
+    val classic = TimeSeries.dailyZScore(df, "k", "ts")
+      .filter(col("n_events") === 1000).head().getDouble(3)
+    assert(robust > 100, s"MAD score too tame: $robust")
+    assert(classic < 5, s"expected the z-score to mask the spike: $classic")
+    // constant keys yield NULL, not ±inf
+    val const = (0 until 5).flatMap(d => (0 until 7).map(i => ("c", 86400000000L * d + i)))
+      .toDF("k", "t").withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    assert(TimeSeries.dailyRobustZScore(const, "k", "ts")
+      .collect().forall(_.isNullAt(3)))
+  }
+
   test("intervalJoin matches [start, end) exactly, once per pair, across chunk shapes") {
     import spark.implicits._
     val H = 3600000000L // 1h in us
