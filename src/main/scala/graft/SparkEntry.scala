@@ -1880,6 +1880,12 @@ object SparkEntry {
           fraction = 0.25, seed = 42L)
         .select(col("doc_id"), col("lang"))),
 
+    // balanced training set: EXACTLY 40 docs per language by the same
+    // engine-stable md5 draw (fractions keep skew; quotas equalize it)
+    "quota_sample" -> ((s, dir) =>
+      Search.quotaSample(docs(s, dir), "doc_id", "lang", n = 40, seed = 42L)
+        .select(col("doc_id"), col("lang"))),
+
     // target-mixture rebalancing: per-source acceptance rates derived
     // from target weight / natural proportion (scaled so the
     // most-upweighted source keeps everything), accept decision via the
@@ -2530,6 +2536,21 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(docsWithExactDups(s, dir), "doc_id", "text")
         .select(col("keeper"), col("n_copies"))),
+
+    // priority canonical selection: crawl copies (source 'zsrc_crawl')
+    // lose to the original even at lower ids; curated re-ingests
+    // ('a_curated') WIN despite higher ids — source rank, then id
+    "dedup_priority" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val crawl = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+          lit("zsrc_crawl").as("source"))
+      val curated = d.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+          lit("a_curated").as("source"))
+      Dedup.exactDedupByPriority(d.union(crawl).union(curated),
+        "doc_id", "text", "source")
+    }),
 
     // URL-level dedup (the CCNet/RefinedWeb FIRST pass): raw URLs
     // derived deterministically with planted aliasing — host case,
@@ -5289,6 +5310,21 @@ object SparkEntry {
         |SELECT min(doc_id) AS keeper, COUNT(*) AS n_copies
         |FROM c GROUP BY text ORDER BY keeper""".stripMargin,
 
+    "dedup_priority" ->
+      """WITH c AS (SELECT doc_id, text, source FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, text, 'zsrc_crawl'
+        |           FROM documents WHERE doc_id % 10 = 0
+        |           UNION ALL
+        |           SELECT doc_id + 2000000, text, 'a_curated'
+        |           FROM documents WHERE doc_id % 10 = 5),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY text ORDER BY source, doc_id) AS rk,
+        |        COUNT(*) OVER (PARTITION BY text) AS n_copies
+        |      FROM c)
+        |SELECT doc_id AS keeper, source AS keeper_priority, n_copies
+        |FROM r WHERE rk = 1 ORDER BY keeper""".stripMargin,
+
     "dedup_url" ->
       """WITH raw AS (
         |  SELECT doc_id,
@@ -5710,6 +5746,14 @@ object SparkEntry {
         |WHERE CAST(CAST(('0x' || substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || '42'), 1, 15)) AS UBIGINT) AS BIGINT)
         |      < 288230376151711744
         |ORDER BY doc_id""".stripMargin,
+
+    "quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '42'), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 40 ORDER BY doc_id""".stripMargin,
 
     // the mirror re-derives counts, ratios, and 60-bit thresholds with
     // the operator's exact double arithmetic (floor == toLong truncation

@@ -50,6 +50,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .select(col("keeper"), col("n_copies"), col("fp"))
 
+  /** Exact dedup with PRIORITY canonical selection: within an identical-
+    * text group the keeper is the copy minimizing (priority, id) —
+    * "prefer the curated source over the crawl" instead of min-id. One
+    * `min(struct)` aggregate: struct ordering is lexicographic and
+    * combines map-side like any min, so the pass costs exactly what
+    * [[exactDedup]] does (one fingerprint shuffle, text never moves).
+    */
+  def exactDedupByPriority(df: DataFrame, idCol: String, textCol: String,
+                           priorityCol: String): DataFrame =
+    df.withColumn("fp", fingerprint64(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(struct(col(priorityCol).as("p"), col(idCol).as("id"))).as("__k"),
+        count(lit(1)).as("n_copies"))
+      .select(col("__k.id").as("keeper"),
+        col("__k.p").as("keeper_priority"), col("n_copies"))
+
   /** SOFT dedup: keep every copy but DOWNWEIGHT it by its duplicate
     * multiplicity (w = 1/n) — the sampling-weight alternative to
     * dropping (repeated upsampling of duplicated text measurably hurts

@@ -577,6 +577,27 @@ object Search {
     df.filter(bucket < lit((fraction * (1L << 60)).toLong))
   }
 
+  /** Fixed-QUOTA per-stratum sample: exactly min(n, |stratum|) rows per
+    * stratum, chosen by the engine-stable md5 permutation — the
+    * balanced-training-set builder ([[stratifiedSample]]'s fraction
+    * keeps group skew; a quota equalizes it). One shuffle on the stratum
+    * key; the per-stratum order is the window's ordinary partition sort.
+    * When quota << stratum size at extreme scale, pre-filter with a
+    * coarse [[stratifiedSample]] threshold to bound the sorted set — the
+    * result is identical as long as the retained fraction safely exceeds
+    * the quota.
+    */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+                  n: Int, seed: Long): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(seed.toString))).asc,
+        col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Contrastive training-pair generation: turn verified near-duplicate
     * pairs (the dedup pipeline's output) into (anchor, other, label)
     * rows — each pair yields a POSITIVE, and each anchor draws a

@@ -87,6 +87,19 @@ class DedupSpec extends AnyFunSuite {
     assert(negs.forall { case (a, b, _) => !dups.contains((a, b)) })
   }
 
+  test("exactDedupByPriority: best (priority, id) wins, not min id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text here", "b_web"),
+      (2L, "same text here", "c_crawl"),
+      (9L, "same text here", "a_curated"),   // highest id, best source -> keeper
+      (5L, "another doc", "c_crawl"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.exactDedupByPriority(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((9L, "a_curated", 3L), (5L, "c_crawl", 1L)))
+  }
+
   test("containmentPairs is asymmetric: excerpt fully inside its source, not vice versa") {
     val d = docs.select(col("doc_id"), col("text"))
     // excerpt = first half of each 10th doc's words: token set a subset

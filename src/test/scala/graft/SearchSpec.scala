@@ -372,4 +372,21 @@ class SearchSpec extends AnyFunSuite {
       k = 100, seed = 9L).count()
     assert(more === 40L)                             // k past size = whole cluster
   }
+
+  test("quotaSample takes exactly min(n, stratum size) per stratum, deterministically") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"))
+    val sizes = d.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Search.quotaSample(d, "doc_id", "lang", n = 40, seed = 1L)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == sizes.map { case (l, c) => l -> math.min(40L, c) })
+    // pure function of (id, seed): a rerun picks the same rows
+    val a = Search.quotaSample(d, "doc_id", "lang", 40, 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Search.quotaSample(d.orderBy(col("doc_id").desc), "doc_id", "lang", 40, 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
