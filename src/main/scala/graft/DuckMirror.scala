@@ -1001,6 +1001,47 @@ object DuckMirror {
       s"SELECT $q AS query_id, t.* FROM (\n${ivfSql(q, k, dim, nlist, nprobe, maxIter, seed)}\n) t")
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, score DESC, id")
 
+  /** ann_recall_eval oracle (Ann.recallAtK): both rankings re-derived —
+    * exact brute force over the corpus and the IVF probe path from the
+    * same ivfChain — then per-query overlap/k.
+    */
+  def recallEvalSql(queryMod: Int, queryRem: Int, k: Int, dim: Int,
+                    nlist: Int, nprobe: Int, maxIter: Int,
+                    seed: Long): String = {
+    val (chain, finalAsg) = ivfChain(
+      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings""".stripMargin,
+      dim, nlist, maxIter, seed)
+    s"""WITH $chain,
+       |q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, v AS qv
+       |      FROM corpus WHERE vec_id % $queryMod = $queryRem),
+       |exact AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT q.query_id, t.id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ROUND(list_cosine_similarity(t.v, q.qv), 6) DESC, t.id) AS rn
+       |    FROM corpus t, q) WHERE rn <= $k),
+       |probed AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT q.query_id, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${euclidSql("c.c", "q.qv", dim)}, c.cluster) AS rn
+       |    FROM cents$maxIter c, q) WHERE rn <= $nprobe),
+       |approx AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT p.query_id, t.id,
+       |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |             ORDER BY ROUND(list_cosine_similarity(t.v, q.qv), 6) DESC, t.id) AS rn
+       |    FROM asg$finalAsg t JOIN probed p USING (cluster)
+       |         JOIN q ON q.query_id = p.query_id)
+       |  WHERE rn <= $k)
+       |SELECT e.query_id,
+       |       ROUND(CAST(SUM(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k.0, 6) AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.id = e.id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   /** ann_ivf_assign oracle: the maxIter=0 seed centroids (same md5
     * permutation init as [[ivfSql]]) and ONE argmin-euclid assignment of
     * the full corpus — the incremental-maintenance path's arithmetic,

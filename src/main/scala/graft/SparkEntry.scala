@@ -3231,6 +3231,20 @@ object SparkEntry {
         qids.map(q => q -> qvecs(q)), k = 10, nprobe = 2)
     }),
 
+    // ANN recall@10 eval: the IVF probe path (as served) scored against
+    // exact brute force per query, on a deterministic query sample —
+    // "is nprobe=2 enough?" answered with a measured number
+    "ann_recall_eval" -> ((s, dir) => {
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 5)
+        .select(col("vec_id"), dvec(col("embedding"))).collect()
+        .map(r => r.getAs[Number](0).intValue() -> r.getSeq[Double](1)).toSeq
+        .sortBy(_._1)
+      val (cents, stored, _) = ivfStored(s, dir)
+      Ann.recallAtK(stored, cents, homD(s, dir), "id", "vector",
+        queries, k = 10, nprobe = 2)
+    }),
+
     // the full production serving stack composed: partition-pruned read of
     // the int8 cluster store (nprobe/nlist of the files, ~4x fewer bytes
     // per file), approximate-dot candidates, exact-dot rerank of the 100
@@ -5076,6 +5090,10 @@ object SparkEntry {
 
     "ann_ivf_batch" -> DuckMirror.ivfBatchSql(
       queryVecIds = Seq(5, 7, 11), k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L),
+
+    "ann_recall_eval" -> DuckMirror.recallEvalSql(
+      queryMod = 50, queryRem = 5, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L),
 
     // IVF + int8 composition: the int8 candidate stage with margin 100

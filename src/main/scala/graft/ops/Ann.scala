@@ -150,6 +150,36 @@ object Ann {
       .orderBy(col("query_id").asc, col("score").desc, col("id").asc)
   }
 
+  /** ANN QUALITY EVAL: recall@k of the IVF probe path against exact
+    * brute force, per query — the harness that answers "is nprobe=2
+    * good enough for this corpus?" with a measured number instead of
+    * folklore, run on a SAMPLE of queries (the exact side is the
+    * deliberate ground-truth crossJoin — that cost is the point, and it
+    * scales with |sample|·|corpus|, not queries²). Both sides reuse the
+    * serving operators ([[searchIvfStoredBatch]], [[Search.batchTopK]]),
+    * so the eval measures exactly what production executes; the join +
+    * per-query recall agg are query-count-sized.
+    */
+  def recallAtK(stored: DataFrame, centroids: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String,
+                queries: Seq[(Int, Seq[Double])], k: Int, nprobe: Int,
+                metric: String = "cosine"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("query_id", "qv")
+    val exact = Search.batchTopK(
+        corpus.select(col(idCol).as("id"), col(vecCol)), col(vecCol),
+        qdf, "query_id", "qv", k, metric)
+      .select(col("query_id"), col("id"))
+    val approx = searchIvfStoredBatch(stored, centroids, idCol, vecCol,
+        queries, k, nprobe, metric)
+      .select(col("query_id"), col("id"), lit(1L).as("__hit"))
+    exact.join(approx, Seq("query_id", "id"), "left")
+      .groupBy(col("query_id"))
+      .agg(round(sum(coalesce(col("__hit"), lit(0L))).cast(DoubleType) /
+        lit(k.toDouble), 6).as("recall"))
+  }
+
   /** The full production ANN serving stack: IVF partition pruning AND
     * int8 scan bandwidth, composed. `storedCodes` is the clustered corpus
     * quantized at ingest and written `partitionBy("cluster")` —

@@ -153,6 +153,22 @@ class AnnSpec extends AnyFunSuite {
     assert(rep.ratios.forall(_ > 1.0))
   }
 
+  test("recallAtK: probing every cluster scores exactly 1.0; partial probes within (0,1]") {
+    val idx = Ann.buildIvf(corpus, "id", "vector", nlist = 4)
+    val queries = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .filter(col("vec_id") % 100 === 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getAs[Number](0).intValue() -> r.getSeq[Double](1)).toSeq
+    val full = Ann.recallAtK(idx.clustered, idx.centroids, corpus, "id", "vector",
+        queries, k = 10, nprobe = 4)
+      .collect().map(_.getDouble(1))
+    assert(full.nonEmpty && full.forall(_ == 1.0), full.toSeq.toString)
+    val partial = Ann.recallAtK(idx.clustered, idx.centroids, corpus, "id", "vector",
+        queries, k = 10, nprobe = 1)
+      .collect().map(_.getDouble(1))
+    assert(partial.forall(r => r > 0.0 && r <= 1.0))
+  }
+
   test("centroidDrift: identical snapshots score 1.0; a shifted class drops") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
       .select(col("label"), col("embedding").cast("array<double>").as("v"))
