@@ -2128,6 +2128,21 @@ object SparkEntry {
     "events_zscore" -> ((s, dir) =>
       graft.ops.TimeSeries.dailyZScore(events(s, dir), "event_type", "ts")),
 
+    // salted pseudonymization: map-side, joinability-preserving (same
+    // salt → same pseudonym across tables), nothing reversible stored
+    "anonymize_ids" -> ((s, dir) =>
+      events(s, dir).select(col("event_id"),
+        graft.ops.Privacy.pseudonym(col("user_id"), "s1").as("uid"))),
+
+    // k-anonymity release gate: rows whose (event_type, day) combo has
+    // fewer than 60 peers are suppressed before export
+    "k_anon_filter" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonSuppress(
+          events(s, dir).select(col("event_id"), col("event_type"),
+            to_date(col("ts")).as("day")),
+          Seq("event_type", "day"), k = 60)
+        .select(col("event_id"), col("event_type"), col("day"))),
+
     // median/MAD robust twin of events_zscore: a real incident can't
     // poison the baseline; exact medians are safe (groups = day counts)
     "mad_outliers" -> ((s, dir) =>
@@ -4701,6 +4716,18 @@ object SparkEntry {
         |       END AS z
         |FROM d JOIN m USING (event_type)
         |ORDER BY event_type, day""".stripMargin,
+
+    "anonymize_ids" ->
+      """SELECT event_id,
+        |       substring(md5('s1' || '|' || CAST(user_id AS VARCHAR)), 1, 16) AS uid
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "k_anon_filter" ->
+      """WITH r AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+        |                  COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n
+        |           FROM events)
+        |SELECT event_id, event_type, day FROM r WHERE n >= 60
+        |ORDER BY event_id""".stripMargin,
 
     // medians over integer day-counts are k or k+.5 — exact doubles —
     // so the single pinned float chain matches Spark bit-for-bit
