@@ -3078,6 +3078,26 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // per-language Pareto frontier on (token cost, stopword-quality):
+    // the efficient set a budget-constrained selector picks from; one
+    // numeric-RANGE window instead of the quadratic dominance self-join
+    "pareto_front" -> ((s, dir) =>
+      graft.ops.Pipeline.paretoFront(
+        docs(s, dir).withColumn("__st", TextAnalysis.stats(col("text")))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast(LongType).as("cost"),
+            round(TextAnalysis.stopwordRatioOf(col("__st")), 6).as("value")),
+        Seq("lang"), "cost", "value")),
+
+    // classifier eval: predicted-vs-labeled confusion matrix in ONE
+    // corpus pass (prediction inline, no self-join), one partial-agg
+    // shuffle over the tiny (lang, pred) grid
+    "lang_confusion" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))),
@@ -5782,6 +5802,27 @@ object SparkEntry {
         |             greatest(1.0 - punct * 3.0, 0.0), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // the quality_score ratio CTE + token cost, then the same
+    // strictly-lower-cost RANGE window dominance test
+    "pareto_front" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |             CAST(len(toks) AS BIGINT) AS cost,
+        |             ROUND(CASE WHEN len(toks) > 0 THEN
+        |                     CAST(len(list_filter(toks, x -> list_contains(
+        |                       ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+        |                       / CAST(len(toks) AS DOUBLE)
+        |                   ELSE 0.0 END, 6) AS value
+        |      FROM t),
+        |s AS (SELECT doc_id, lang, cost, value,
+        |             MAX(value) OVER (PARTITION BY lang ORDER BY cost
+        |               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mv
+        |      FROM m)
+        |SELECT doc_id, lang, cost, value FROM s
+        |WHERE mv IS NULL OR mv <= value ORDER BY doc_id""".stripMargin,
+
     "random_sample" ->
       """SELECT id FROM (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings)
         |ORDER BY md5(id || '42'), id LIMIT 20""".stripMargin,
@@ -6124,23 +6165,40 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "lang_id" ->
-      """WITH t AS (SELECT doc_id,
-        |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
-        |           FROM documents),
-        |     sc AS (SELECT doc_id,
-        |                   len(list_intersect(toks, ['the','and','of','to','is','that','for','with'])) AS s_en,
-        |                   len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
-        |                   len(list_intersect(toks, ['el','la','que','de','los','es','una','para'])) AS s_es,
-        |                   len(list_intersect(toks, ['le','la','les','des','est','une','dans','pour'])) AS s_fr
-        |            FROM t)
-        |SELECT doc_id,
-        |       CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
-        |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
-        |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
-        |            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
-        |            ELSE 'und' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin
+      s"""WITH $langIdPredCtes
+        |SELECT doc_id, lang_pred FROM pred ORDER BY doc_id""".stripMargin,
+
+    // classifier EVAL harness: the same prediction chain, cross-tabbed
+    // against the labeled lang — the confusion matrix a pipeline
+    // monitors before trusting the cheap heuristic at scale
+    "lang_confusion" ->
+      s"""WITH $langIdPredCtes
+        |SELECT d.lang, p.lang_pred, COUNT(*) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY d.lang, p.lang_pred
+        |ORDER BY d.lang, p.lang_pred""".stripMargin
   )
+
+  /** Shared CTE chain of the lang_id / lang_confusion oracles: `pred`
+    * (doc_id, lang_pred) re-derives [[TextAnalysis.langId]].
+    */
+  private def langIdPredCtes: String =
+    """t AS (SELECT doc_id,
+      |                  list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+      |           FROM documents),
+      |     sc AS (SELECT doc_id,
+      |                   len(list_intersect(toks, ['the','and','of','to','is','that','for','with'])) AS s_en,
+      |                   len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit'])) AS s_de,
+      |                   len(list_intersect(toks, ['el','la','que','de','los','es','una','para'])) AS s_es,
+      |                   len(list_intersect(toks, ['le','la','les','des','est','une','dans','pour'])) AS s_fr
+      |            FROM t),
+      |pred AS (SELECT doc_id,
+      |       CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+      |            WHEN s_de = greatest(s_en, s_de, s_es, s_fr) AND s_de > 0 THEN 'de'
+      |            WHEN s_es = greatest(s_en, s_de, s_es, s_fr) AND s_es > 0 THEN 'es'
+      |            WHEN s_fr = greatest(s_en, s_de, s_es, s_fr) AND s_fr > 0 THEN 'fr'
+      |            ELSE 'und' END AS lang_pred
+      |FROM sc)""".stripMargin
 
   private val oracleAnalytics: Map[String, String] = Map(
     "dedup_spans" ->

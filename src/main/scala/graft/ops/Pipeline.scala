@@ -96,4 +96,27 @@ object Pipeline {
       .groupBy(df.columns.map(col): _*)
       .agg(max_by(col("__i"), col("__h")).cast("int").as(out))
   }
+
+  /** 2-D PARETO FRONT (skyline) selection per group: keep rows no other
+    * row STRICTLY dominates — ∃A with cost_A < cost_B AND value_A >
+    * value_B kills B ("a shorter doc with higher quality exists"). The
+    * data-selection lens when two objectives trade off (quality vs
+    * token budget): the survivors ARE the efficient frontier a
+    * budget-constrained selector walks. One numeric-RANGE window — max
+    * value over strictly-lower cost — replaces the naive quadratic
+    * dominance self-join: O(n log n) sort per group, no pair
+    * materialization, AQE-splittable like any window. `costCol` must be
+    * numeric (RANGE frame); ties in cost see only strictly cheaper rows,
+    * which is exactly strict dominance.
+    */
+  def paretoFront(df: DataFrame, groupCols: Seq[String], costCol: String,
+                  valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(costCol).asc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__mv", max(col(valueCol)).over(w))
+      .filter(col("__mv").isNull || col("__mv") <= col(valueCol))
+      .drop("__mv")
+  }
 }

@@ -27,4 +27,18 @@ class PipelineSpec extends AnyFunSuite {
     j.unpersist()
     ()
   }
+
+  test("paretoFront window form == brute-force strict dominance") {
+    // deterministic scatter incl. cost ties and equal values
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"g${i % 2}", (i * 37 % 25).toLong, ((i * 53 % 11) / 10.0))
+    }
+    val df = rows.toDF("id", "g", "cost", "value")
+    val got = graft.ops.Pipeline.paretoFront(df, Seq("g"), "cost", "value")
+      .select("id").as[Long].collect().toSet
+    val expected = rows.filter { case (_, g, c, v) =>
+      !rows.exists { case (_, g2, c2, v2) => g2 == g && c2 < c && v2 > v }
+    }.map(_._1).toSet
+    assert(got == expected)
+  }
 }
