@@ -81,6 +81,21 @@ object SparkEntry {
         graft.functions.json_get_int(col("payload"), "label"),
         covering = Seq("vector")))
 
+  /** DATETIME payload index over events: the backend's
+    * `field_schema: "datetime"` stores timestamps as integers and serves
+    * range conditions from the index — here the same integer postings
+    * keyed on epoch-day (`datediff(ts, 1970-01-01)`), partition-pruned
+    * by BETWEEN exactly like the label index. Built once per dir.
+    */
+  private val eventsDayIdxCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.Planner.PayloadIndex]
+
+  private def eventsDayIndex(s: SparkSession, dir: String): graft.ops.Planner.PayloadIndex =
+    eventsDayIdxCache.getOrElseUpdate(dir,
+      graft.ops.Planner.buildPayloadIndex(
+        Tables.load(s, dir, "events"), "event_id",
+        datediff(col("ts").cast(DateType), lit("1970-01-01").cast(DateType))))
+
   /** KEYWORD payload index over the derived string field
     * `'L' || label` — the string-valued sibling of [[payloadIndex]]
     * (the backend's `field_schema: "keyword"`), covering the vector
@@ -2128,6 +2143,32 @@ object SparkEntry {
     "events_zscore" -> ((s, dir) =>
       graft.ops.TimeSeries.dailyZScore(events(s, dir), "event_type", "ts")),
 
+    // the backend's datetime_range payload condition (gte/lt bounds on a
+    // timestamp field): a plain codegen'd range predicate the parquet
+    // reader receives as min/max-prunable PushedFilters — at 100 TB a
+    // time-partitioned layout turns this into partition pruning for free
+    "datetime_range_agg" -> ((s, dir) =>
+      events(s, dir)
+        .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-20 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+        .orderBy(col("event_type"))),
+
+    // the datetime INDEX: Qdrant's `field_schema: "datetime"` stores the
+    // field as an integer timestamp and serves range conditions from the
+    // index — here the integer payload index keyed on epoch-DAY, so the
+    // range scan reads ONLY the matching value partitions (partition
+    // pruning asserted in PlannerSpec); counts come straight from the
+    // postings, the base table is never touched
+    "datetime_index_range" -> ((s, dir) =>
+      eventsDayIndex(s, dir).postings
+        .filter(col("value").between(19732L, 19741L))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("value").as("day"), col("n"))
+        .orderBy(col("day"))),
+
     // salted pseudonymization: map-side, joinability-preserving (same
     // salt → same pseudonym across tables), nothing reversible stored
     "anonymize_ids" -> ((s, dir) =>
@@ -3693,6 +3734,23 @@ object SparkEntry {
         (col("n_chars") % 91).desc, col("doc_id").asc)
         .select(col("doc_id"), col("source"), col("cum_tokens"))),
 
+    // deterministic per-epoch training order: md5(salt:epoch:id)
+    // permutation + distributed global rank — rerun-stable positions,
+    // one range-sort per epoch, no single-partition window
+    "epoch_shuffle" -> ((s, dir) =>
+      graft.ops.Layout.epochShuffle(
+        docs(s, dir).select("doc_id"), "doc_id", epochs = 2, salt = "ep")
+        .orderBy(col("epoch"), col("pos"))),
+
+    // fair source interleaving (anti-clumping order): round r serves
+    // every source's r-th doc; within-source ranks from ONE global sort
+    // minus model-sized per-source offsets, never a per-source window
+    "interleave_sources" -> ((s, dir) =>
+      graft.ops.Layout.interleaveBySource(
+        docs(s, dir).select("doc_id", "source"), "doc_id", "source",
+        salt = "il")
+        .orderBy(col("pos"))),
+
     // rendezvous (HRW) resharding: argmax-of-hash assignment, so growing
     // 8 -> 9 shards moves only the rows the NEW shard wins (~1/9) —
     // resharding as incremental copy, not full reshuffle
@@ -4718,6 +4776,20 @@ object SparkEntry {
         |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |     range(0, 64) r(i)
         |GROUP BY label, i ORDER BY label, d""".stripMargin,
+
+    "datetime_range_agg" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "datetime_index_range" ->
+      """SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |       COUNT(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS DATE) - DATE '1970-01-01' BETWEEN 19732 AND 19741
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     // identical float op order: (x - s/n) / sqrt((s2 - s*s/n)/(n-1)),
     // every input an exact integer sum
@@ -6127,6 +6199,31 @@ object SparkEntry {
         |           AS cum_tokens
         |  FROM documents)
         |WHERE cum_tokens <= 60000 ORDER BY doc_id""".stripMargin,
+
+    "epoch_shuffle" ->
+      """SELECT doc_id, 0 AS epoch,
+        |       row_number() OVER (
+        |         ORDER BY md5('ep' || ':' || '0' || ':' || CAST(doc_id AS VARCHAR)),
+        |                  doc_id) AS pos
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1 AS epoch,
+        |       row_number() OVER (
+        |         ORDER BY md5('ep' || ':' || '1' || ':' || CAST(doc_id AS VARCHAR)),
+        |                  doc_id) AS pos
+        |FROM documents
+        |ORDER BY epoch, pos""".stripMargin,
+
+    "interleave_sources" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5('il' || ':' || CAST(doc_id AS VARCHAR)),
+        |                    doc_id) AS rnd
+        |  FROM documents)
+        |SELECT doc_id, source, rnd,
+        |       row_number() OVER (ORDER BY rnd, source) AS pos
+        |FROM r ORDER BY pos""".stripMargin,
 
     "budget_select_by_source" ->
       """SELECT doc_id, source, cum_tokens FROM (

@@ -44,6 +44,51 @@ object Layout {
     }.mkString("(", " | ", ")")
   }
 
+  /** Deterministic per-epoch training order: for each epoch e the corpus
+    * is globally permuted by md5(salt:e:id) — a rerun-, layout- and
+    * engine-stable shuffle (the same md5-permutation trick as the
+    * sampling ops), with positions assigned by the distributed rank
+    * (range-sort + per-partition offsets), NEVER a single-partition
+    * row_number window. One distributed sort per epoch; epochs union
+    * cheaply (no barrier between them at execution time).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   salt: String): DataFrame = {
+    require(epochs >= 1, s"epochShuffle needs epochs >= 1, got $epochs")
+    (0 until epochs).map { e =>
+      val keyed = df.select(col(idCol), lit(e).as("epoch"),
+        md5(concat_ws(":", lit(salt), lit(e.toString),
+          col(idCol).cast(StringType))).as("__h"))
+      Ranks.withGlobalRowNumber(keyed, "pos", col("__h").asc, col(idCol).asc)
+        .drop("__h")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Fair source interleaving — the anti-clumping training order: round
+    * r serves every source's r-th document (sources with fewer docs drop
+    * out of later rounds), so no contiguous window over-represents one
+    * source. Scale shape: the within-source rank comes from ONE global
+    * distributed sort by (source, md5-hash, id) minus the per-source
+    * offset (`min(globalRank)` per source — a model-sized broadcast
+    * frame, NOT a per-source window partition, which would put a whole
+    * source's corpus share in one task); the final position is a second
+    * distributed rank by (round, source). Two sorts total, both
+    * range-partitioned.
+    */
+  def interleaveBySource(df: DataFrame, idCol: String, srcCol: String,
+                         salt: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(srcCol),
+      md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))).as("__h"))
+    val ranked = Ranks.withGlobalRowNumber(keyed, "__g",
+      col(srcCol).asc, col("__h").asc, col(idCol).asc)
+    val offsets = ranked.groupBy(col(srcCol)).agg(min(col("__g")).as("__min"))
+    val inSource = ranked.join(broadcast(offsets), srcCol)
+      .withColumn("rnd", col("__g") - col("__min") + lit(1L))
+      .drop("__g", "__min", "__h")
+    Ranks.withGlobalRowNumber(inSource, "pos",
+      col("rnd").asc, col(srcCol).asc)
+  }
+
   /** Writer-input layout: rows range-partitioned and sorted by the Morton
     * key of (xCol mod 2^bits, yCol mod 2^bits). Each output file then
     * covers a bounded rectangle in (x, y) — the property the spec asserts

@@ -25,6 +25,48 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).distinct.length == 256)
   }
 
+  test("epochShuffle: per-epoch positions are permutations, epochs differ, layout-stable") {
+    val ids = (1L to 200L).toDF("id")
+    val out = Layout.epochShuffle(ids, "id", epochs = 2, salt = "t")
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to 200L))
+      assert(rows.map(_._2).distinct.length === 200)
+    }
+    // the two epochs are different permutations (md5 keyed on epoch)
+    val e0 = byEpoch(0).sortBy(_._3).map(_._2).toSeq
+    val e1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    assert(e0 !== e1)
+    // positions don't depend on the input partitioning
+    val again = Layout.epochShuffle(ids.repartition(7), "id", 2, "t")
+      .filter(col("epoch") === 0).collect()
+      .sortBy(_.getLong(2)).map(_.getLong(0)).toSeq
+    assert(again === e0)
+  }
+
+  test("interleaveBySource: each full round holds every source exactly once") {
+    val df = (for (s <- 0 until 4; i <- 0 until 30)
+      yield (s * 100L + i, s"s$s")).toDF("id", "src")
+    val out = Layout.interleaveBySource(df, "id", "src", salt = "t").collect()
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to 120L))
+    // rnd r occupies positions (r-1)*4+1 .. r*4 and holds all 4 sources
+    out.groupBy(_.getAs[Long]("rnd")).foreach { case (r, rows) =>
+      assert(rows.map(_.getAs[String]("src")).distinct.length === 4, s"round $r")
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq ===
+        ((r - 1) * 4 + 1 to r * 4).toSeq, s"round $r")
+    }
+    // uneven sources: the short source drops out of later rounds only
+    val uneven = (for (s <- 0 until 3; i <- 0 until (if (s == 2) 5 else 20))
+      yield (s * 100L + i, s"s$s")).toDF("id", "src")
+    val got = Layout.interleaveBySource(uneven, "id", "src", "t").collect()
+    val lastShort = got.filter(_.getAs[String]("src") == "s2")
+      .map(_.getAs[Long]("rnd")).max
+    assert(lastShort === 5L)
+    assert(got.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to 45L))
+  }
+
   test("zorderSql emits the same key via DuckDB-compatible integer ops (Spark-evaluated)") {
     // Spark parses the same operator set (>>, &, <<, |), so evaluating the
     // generated SQL string in Spark pins the two emitters to one bit spec

@@ -45,6 +45,26 @@ class PlannerSpec extends AnyFunSuite {
     assert(pidx.estimate(Seq(99L)) === 0L)
   }
 
+  test("datetime (epoch-day) index: range scan partition-prunes and counts match the base table") {
+    val events = Tables.load(spark, TestSpark.sfDir, "events")
+    val didx = Planner.buildPayloadIndex(events, "event_id",
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")))
+    val pruned = didx.postings.filter(col("value").between(19732L, 19736L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*value".r.findFirstIn(plan).isDefined, plan)
+    val fromIndex = pruned.groupBy("value").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromBase = events
+      .filter(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromIndex === fromBase)
+    // estimateRange agrees with the served slice
+    assert(didx.estimateRange(19732L, 19736L) === fromBase.values.sum)
+  }
+
   test("dispatch flips on estimated cardinality vs full-scan threshold") {
     val (_, _, pidx) = setup
     // one label of ten (~10%) is under a 20% threshold -> pre-filter
