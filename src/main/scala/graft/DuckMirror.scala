@@ -721,7 +721,29 @@ object DuckMirror {
     * smoothed bigram LM with head-count denominators and a corpus-vocab
     * smoothing term, per-doc position-ordered ln fold, 6dp mean.
     */
-  def bigramLmSql(alpha: Double): String = {
+  def bigramLmSql(alpha: Double): String =
+    s"""${bigramLmChain(alpha)}
+       |SELECT doc_id, CAST(len(lp) AS INTEGER) AS n_bigrams,
+       |       ROUND(list_reduce(list_concat([0.0], lp), (x, y) -> x + y) / len(lp), 6) AS avg_logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** The fluency FILTER over the same model: docs whose rounded mean
+    * bigram log-probability clears `threshold`, with the source joined
+    * back — chain text shared with [[bigramLmSql]] so both gates score
+    * with one model definition.
+    */
+  def bigramLmFilterSql(alpha: Double, threshold: Double): String =
+    s"""${bigramLmChain(alpha)},
+       |sc AS (
+       |  SELECT doc_id,
+       |         ROUND(list_reduce(list_concat([0.0], lp), (x, y) -> x + y) / len(lp), 6) AS avg_logprob
+       |  FROM agg)
+       |SELECT sc.doc_id, d.source, sc.avg_logprob
+       |FROM sc JOIN documents d USING (doc_id)
+       |WHERE sc.avg_logprob >= ${java.lang.Double.toString(threshold)}
+       |ORDER BY sc.doc_id""".stripMargin
+
+  private def bigramLmChain(alpha: Double): String = {
     val a = java.lang.Double.toString(alpha)
     s"""WITH tk AS MATERIALIZED (
        |  SELECT doc_id,
@@ -742,10 +764,7 @@ object DuckMirror {
        |  FROM bi
        |  JOIN big USING (w1, w2)
        |  JOIN heads USING (w1), v),
-       |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
-       |SELECT doc_id, CAST(len(lp) AS INTEGER) AS n_bigrams,
-       |       ROUND(list_reduce(list_concat([0.0], lp), (x, y) -> x + y) / len(lp), 6) AS avg_logprob
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)""".stripMargin
   }
 
   /** BPE training mirror: the full Sennrich loop UNROLLED — per merge

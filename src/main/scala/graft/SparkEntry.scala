@@ -2204,6 +2204,19 @@ object SparkEntry {
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
 
+    // the LM score USED as a curation filter (the CCNet/KenLM recipe:
+    // drop disfluent docs below a perplexity cut) — thresholding on the
+    // ROUNDED score both engines compute identically, source joined back
+    // for the downstream mixture ops
+    "perplexity_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bigramLogProb(d, "doc_id", "text")
+        .filter(col("avg_logprob") >= -3.39)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR data selection (Xie et al. 2023): score every raw doc by the
     // hashed-ngram log importance weight against a target subset
     // (doc_id % 7 == 0 as the "high-quality" stand-in). Models are
@@ -2863,6 +2876,12 @@ object SparkEntry {
 
     "top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(docs(s, dir), "text", k = 20)),
+
+    // duplicated-span census (which 5-grams repeat across docs, and how
+    // widely): per-doc distinct grams map-side, ONE (doc, gram) shuffle,
+    // document frequency >= 2, TakeOrdered top-k
+    "dup_ngram_top" -> ((s, dir) =>
+      TextAnalysis.topDuplicatedNgrams(docs(s, dir), "text", n = 5, k = 20)),
 
     // boilerplate normalization over a corpus with planted URLs/HTML
     // (doc_id % 3 == 0): strip counts + fingerprint of the normalized
@@ -4859,6 +4878,9 @@ object SparkEntry {
 
     "bigram_logprob" -> DuckMirror.bigramLmSql(alpha = 0.5),
 
+    "perplexity_filter" ->
+      DuckMirror.bigramLmFilterSql(alpha = 0.5, threshold = -3.39),
+
     "unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
         |                   list_filter(string_split_regex(lower(text), '\s+'),
@@ -5800,6 +5822,17 @@ object SparkEntry {
         |      FROM t)
         |SELECT gram, COUNT(*) AS n
         |FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "dup_ngram_top" ->
+      """WITH tk AS (SELECT doc_id,
+        |                   list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ts
+        |            FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS ngram
+        |      FROM tk, UNNEST(range(1, len(ts) - 5 + 2)) AS u(i)
+        |      WHERE len(ts) >= 5)
+        |SELECT ngram, COUNT(*) AS n_docs
+        |FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "bpe_merges" -> DuckMirror.bpeSql(numMerges = 8, trace = true),
 

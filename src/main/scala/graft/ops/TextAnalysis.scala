@@ -588,6 +588,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Cross-document duplicated n-gram census — the corpus diagnostic
+    * behind substring-dedup tuning (which spans are worth deduplicating,
+    * and how widespread are they): the top-k word n-grams by DOCUMENT
+    * frequency among those appearing in >= 2 documents. Per-doc grams
+    * are distinct'd map-side (`array_distinct` before the explode), so
+    * the one shuffle carries at most one row per (doc, distinct gram)
+    * and the count IS document frequency; top-k is a per-partition heap
+    * (TakeOrdered), never a global sort.
+    */
+  def topDuplicatedNgrams(df: DataFrame, textCol: String, n: Int,
+                          k: Int): DataFrame = {
+    require(n >= 2, s"topDuplicatedNgrams needs n >= 2, got $n")
+    val toks = col("__toks")
+    df.select(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+        .as("__toks"))
+      .select(explode(
+        when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast(ArrayType(StringType))))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Corpus vocabulary: top-k tokens by total occurrence count, with
     * document frequency. Two-level aggregation — (token, doc) partial
     * counts collapse duplicates map-side before the token-level shuffle,

@@ -8,6 +8,23 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("topDuplicatedNgrams: document frequency of distinct grams, df>=2 only") {
+    val docs = Seq(
+      "a b c d e f",       // shares "a b c" with doc 2 and 3
+      "x a b c y z",
+      "a b c a b c q q",   // repeated gram counts ONCE for this doc
+      "totally different words here now").toDF("text")
+    val got = TextAnalysis.topDuplicatedNgrams(docs, "text", n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a b c") === 3L)   // per-doc distinct: doc 3 contributes 1
+    assert(!got.contains("d e f"))          // df = 1 filtered
+    assert(got.values.forall(_ >= 2L))
+    // docs shorter than n emit nothing
+    val short = TextAnalysis.topDuplicatedNgrams(
+      Seq("a b", "a b").toDF("text"), "text", n = 3, k = 5)
+    assert(short.count() === 0L)
+  }
+
   test("tokenCount counts whitespace tokens") {
     val r = Seq("one two  three\tfour").toDF("t")
       .select(TextAnalysis.tokenCount(col("t"))).head().getInt(0)
