@@ -14,7 +14,8 @@ object ScaleProbe {
   val sectionNames: Seq[String] =
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-      "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation")
+      "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
+      "ordering")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -113,6 +114,26 @@ object ScaleProbe {
           val idx = graft.ops.Dedup.minhashBandIndex(c, "doc_id", "text")
           graft.ops.Dedup.nearDupsAgainstIndex(bench, "doc_id", "text",
             idx, threshold = 0.8).count()
+        }
+        c.unpersist()
+      }
+    }
+
+    // training-order layout ops: both are distributed range-sorts (plus a
+    // model-sized offset pass), so per-row cost should stay FLAT as the
+    // corpus replicates — the property that distinguishes them from a
+    // single-partition row_number window, which would collapse to one
+    // task and grow linearly in wall-clock
+    section("ordering") {
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = corpus(n).select("doc_id", "source").persist(); c.count()
+        time(s"epoch_shuffle x$n") {
+          graft.ops.Layout.epochShuffle(c.select("doc_id"), "doc_id",
+            epochs = 2, salt = "probe").count()
+        }
+        time(s"interleave x$n") {
+          graft.ops.Layout.interleaveBySource(c, "doc_id", "source",
+            salt = "probe").count()
         }
         c.unpersist()
       }

@@ -1925,6 +1925,20 @@ object SparkEntry {
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
           "lang", budgetTokens = 1024L)),
 
+    // packing-efficiency report over the seq_pack layout: per packed
+    // sequence, doc count / token load / fill ratio vs the 1024 budget
+    // (first-fit-by-offset packs may overflow where a doc straddles the
+    // boundary — the fill column is the metric that says whether the
+    // budget or the doc-length distribution needs tuning). One extra
+    // partial-agg shuffle over the pack frame
+    "pack_stats" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+          "lang", budgetTokens = 1024L)
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        .withColumn("fill", round(col("tokens") / lit(1024.0), 6))
+        .orderBy(col("lang"), col("seq_id"))),
+
     // context-window chunking: 16-token windows every 8 tokens (50%
     // overlap) — one map-side generate+explode, no shuffle
     "chunk_docs" -> ((s, dir) =>
@@ -3730,6 +3744,16 @@ object SparkEntry {
         .transform(d => Search.scrollByField(
           d.select(col("id"), col("label")),
           col("label"), col("id"), lit(1), lit("17"), n = 10))),
+
+    // order_by scroll, direction=desc: the keyset walks DOWN the value
+    // order from (8, '21'); same TakeOrdered page shape as the asc form
+    "scroll_order_by_desc" -> ((s, dir) =>
+      hom(s, dir)
+        .withColumn("label", json_get_int(col("payload"), "label"))
+        .transform(d => Search.scrollByField(
+          d.select(col("id"), col("label")),
+          col("label"), col("id"), lit(8), lit("21"), n = 10,
+          descending = true))),
 
     // budget-bounded selection ("fill the token budget with the best
     // docs"): ONE distributed prefix sum — range sort, per-partition
@@ -5993,6 +6017,22 @@ object SparkEntry {
         |       CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
 
+    "pack_stats" ->
+      """WITH t AS (SELECT lang, doc_id,
+        |                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tokens,
+        |             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t),
+        |p AS (SELECT lang, CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id,
+        |             n_tokens
+        |      FROM c)
+        |SELECT lang, seq_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        |       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 1024.0, 6) AS fill
+        |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin,
+
     "chunk_docs" ->
       """WITH t AS (SELECT doc_id,
         |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
@@ -6223,6 +6263,12 @@ object SparkEntry {
         |FROM embeddings
         |WHERE label > 1 OR (label = 1 AND CAST(vec_id AS VARCHAR) > '17')
         |ORDER BY label ASC, id ASC LIMIT 10""".stripMargin,
+
+    "scroll_order_by_desc" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(label AS INTEGER) AS label
+        |FROM embeddings
+        |WHERE label < 8 OR (label = 8 AND CAST(vec_id AS VARCHAR) > '21')
+        |ORDER BY label DESC, id ASC LIMIT 10""".stripMargin,
 
     "budget_select" ->
       """SELECT doc_id, cum_tokens FROM (

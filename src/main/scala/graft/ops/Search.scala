@@ -530,11 +530,20 @@ object Search {
     * skipped rows, the same pagination posture as the id-keyset scroll.
     */
   def scrollByField(df: DataFrame, orderCol: Column, idCol: Column,
-                    afterValue: Column, afterId: Column, n: Int): DataFrame =
-    df.filter(orderCol > afterValue ||
-        (orderCol === afterValue && idCol > afterId))
-      .orderBy(orderCol.asc, idCol.asc)
-      .limit(n)
+                    afterValue: Column, afterId: Column, n: Int,
+                    descending: Boolean = false): DataFrame =
+    if (descending)
+      // the backend's order_by direction=desc: the keyset moves DOWN the
+      // value order; ids still tiebreak ascending within an equal value
+      df.filter(orderCol < afterValue ||
+          (orderCol === afterValue && idCol > afterId))
+        .orderBy(orderCol.desc, idCol.asc)
+        .limit(n)
+    else
+      df.filter(orderCol > afterValue ||
+          (orderCol === afterValue && idCol > afterId))
+        .orderBy(orderCol.asc, idCol.asc)
+        .limit(n)
 
   /** Deterministic WEIGHTED (importance) sampling: keep each row with
     * probability proportional to `weightCol` (scaled so the max-weight

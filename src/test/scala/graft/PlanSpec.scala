@@ -39,6 +39,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("v_cosine"), p)
   }
 
+  test("datetime_range_agg: ts range reaches the parquet scan as pushed filters") {
+    val p = plan("datetime_range_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts") ||
+      "PushedFilters: \\[[^\\]]*ts".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("epoch_shuffle / interleave_sources: distributed range sort, no single-partition exchange") {
+    Seq("epoch_shuffle", "interleave_sources").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+      assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+        s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+  }
+
   test("novelty_score: partial aggregation on both shuffles, no cartesian") {
     // at test scale the df table broadcasts (it is small there); at
     // corpus scale both sides hash-exchange on __h and ReuseExchange
