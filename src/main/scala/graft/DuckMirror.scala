@@ -743,6 +743,44 @@ object DuckMirror {
        |WHERE sc.avg_logprob >= ${java.lang.Double.toString(threshold)}
        |ORDER BY sc.doc_id""".stripMargin
 
+  /** Held-out LM eval mirror: model CTEs over the train split, LEFT
+    * joins + COALESCE(count, 0) for unseen heads/bigrams — the exact
+    * add-alpha floor the engine's left-join scoring produces.
+    */
+  def bigramLmHoldoutSql(alpha: Double, modelPred: String,
+                         scorePred: String): String = {
+    val a = java.lang.Double.toString(alpha)
+    s"""WITH tkm AS MATERIALIZED (
+       |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents WHERE $modelPred),
+       |bim AS MATERIALIZED (
+       |  SELECT ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM tkm, UNNEST(range(1, len(ts))) AS u(i)),
+       |heads AS MATERIALIZED (SELECT w1, COUNT(*) AS c1 FROM bim GROUP BY w1),
+       |big AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bim GROUP BY w1, w2),
+       |v AS MATERIALIZED (
+       |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vv
+       |  FROM (SELECT unnest(ts) AS t FROM tkm)),
+       |tks AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ts
+       |  FROM documents WHERE $scorePred),
+       |bis AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, ts[i] AS w1, ts[i + 1] AS w2
+       |  FROM tks, UNNEST(range(1, len(ts))) AS u(i)),
+       |j AS (
+       |  SELECT bis.doc_id, bis.pos,
+       |         ln((CAST(COALESCE(big.c2, 0) AS DOUBLE) + $a) /
+       |            (CAST(COALESCE(heads.c1, 0) AS DOUBLE) + ($a * v.vv))) AS logp
+       |  FROM bis
+       |  LEFT JOIN big USING (w1, w2)
+       |  LEFT JOIN heads USING (w1), v),
+       |agg AS (SELECT doc_id, list(logp ORDER BY pos) AS lp FROM j GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(lp) AS INTEGER) AS n_bigrams,
+       |       ROUND(list_reduce(list_concat([0.0], lp), (x, y) -> x + y) / len(lp), 6) AS avg_logprob
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   private def bigramLmChain(alpha: Double): String = {
     val a = java.lang.Double.toString(alpha)
     s"""WITH tk AS MATERIALIZED (

@@ -2218,6 +2218,17 @@ object SparkEntry {
     "bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
 
+    // HELD-OUT LM eval: the model fits on the train split (doc_id%5!=0),
+    // the held-out fifth is scored against it — unseen heads/bigrams hit
+    // the add-alpha floor via left joins, so eval scores degrade
+    // continuously instead of dropping rows
+    "lm_holdout" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bigramLogProbAgainst(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text")
+    }),
+
     // the LM score USED as a curation filter (the CCNet/KenLM recipe:
     // drop disfluent docs below a perplexity cut) — thresholding on the
     // ROUNDED score both engines compute identically, source joined back
@@ -4904,6 +4915,9 @@ object SparkEntry {
 
     "perplexity_filter" ->
       DuckMirror.bigramLmFilterSql(alpha = 0.5, threshold = -3.39),
+
+    "lm_holdout" -> DuckMirror.bigramLmHoldoutSql(alpha = 0.5,
+      modelPred = "doc_id % 5 <> 0", scorePred = "doc_id % 5 = 0"),
 
     "unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,

@@ -750,6 +750,54 @@ object TextAnalysis {
             size(col("__lp")), 6).as("avg_logprob"))
   }
 
+  /** HELD-OUT bigram LM scoring — the eval-side twin of
+    * [[bigramLogProb]]: the model (head counts, bigram counts, vocab
+    * scalar) fits on `model`, the documents of `df` are scored against
+    * it. Unseen heads/bigrams fall back to the add-alpha floor via LEFT
+    * joins + coalesce(count, 0) — exactly the smoothing the training
+    * formula implies at c=0, so scores degrade continuously instead of
+    * dropping rows. Same scale shape: model frames Zipf-small, per-doc
+    * position-ordered fold, one rounding at the end. The train/eval
+    * split version of the CCNet recipe ("fit the LM on clean text, score
+    * the candidate pool").
+    */
+  def bigramLogProbAgainst(model: DataFrame, df: DataFrame, idCol: String,
+                           textCol: String,
+                           alpha: Double = 0.5): DataFrame = {
+    def toksOf(d: DataFrame, cols: Column*): DataFrame =
+      d.select(cols :+
+        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"): _*)
+    def bigramsOf(t: DataFrame, cols: Column*): DataFrame =
+      t.select(cols :+
+          posexplode(when(size(col("ts")) > 1,
+              transform(sequence(lit(1), size(col("ts")) - 1),
+                i => struct(element_at(col("ts"), i).as("w1"),
+                  element_at(col("ts"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as(Seq("pos", "bg")): _*)
+        .withColumn("w1", col("bg.w1")).withColumn("w2", col("bg.w2"))
+        .drop("bg")
+    val mbi = bigramsOf(toksOf(model))
+    val heads = mbi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = mbi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val v = toksOf(model).select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0).toDouble
+    val aV = alpha * v
+    bigramsOf(toksOf(df, col(idCol)), col(idCol))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .withColumn("logp",
+        log((coalesce(col("c2"), lit(0L)).cast(DoubleType) + alpha) /
+          (coalesce(col("c1"), lit(0L)).cast(DoubleType) + aV)))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
+      .select(col(idCol),
+        size(col("__lp")).as("n_bigrams"),
+        round(
+          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
+            size(col("__lp")), 6).as("avg_logprob"))
+  }
+
   /** Light suffix-stripping stem rules, applied in order to a lowercased
     * token. ONE list drives both engines: each entry is (anchored RE2
     * pattern with one capture group, suffix appended after the group) —

@@ -8,6 +8,28 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bigramLogProbAgainst: seen bigrams match in-corpus scoring; unseen hit the add-alpha floor") {
+    val model = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // vocab = {a,b,c} -> V=3; heads: a->3, b->2; bigrams: (a,b)->3, (b,a)->1, (b,c)->1
+    val alpha = 0.5
+    val scored = TextAnalysis.bigramLogProbAgainst(
+      model, Seq((10L, "a b"), (11L, "z q")).toDF("doc_id", "text"),
+      "doc_id", "text", alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val aV = alpha * 3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(scored(10L) === r6(math.log((3 + alpha) / (3 + aV))))
+    // fully unseen head AND bigram: ln(alpha / (0 + alpha*V))
+    assert(scored(11L) === r6(math.log(alpha / aV)))
+    // scoring the model corpus against itself equals bigramLogProb
+    val self = TextAnalysis.bigramLogProb(model, "doc_id", "text", alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val against = TextAnalysis.bigramLogProbAgainst(model, model,
+      "doc_id", "text", alpha)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self === against)
+  }
+
   test("topDuplicatedNgrams: document frequency of distinct grams, df>=2 only") {
     val docs = Seq(
       "a b c d e f",       // shares "a b c" with doc 2 and 3
