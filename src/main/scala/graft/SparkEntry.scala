@@ -1284,6 +1284,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // the count API's FILTERED form (exact=true): COUNT(*) over a keyset
+    // slice composes the pushed id predicate with the pushed CountStar —
+    // the store walks the narrowed id range with payload/vectors off and
+    // ships ONE row (CollectionFilteredCountScan, plan-asserted)
+    "dsv2_count_filtered" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("countf_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "countf_store").option("collection", "embeddings")
+        .load()
+        .filter(col("id") > "55")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // the STREAMING read path: a bounded (AvailableNow) replay of the
     // store's upsert log through the connector's micro-batch CDC source —
     // one clean ingest replays as exactly the collection contents
@@ -4280,6 +4296,10 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_count" -> "SELECT COUNT(*) AS n FROM embeddings",
+
+    "dsv2_count_filtered" ->
+      """SELECT COUNT(*) AS n FROM embeddings
+        |WHERE CAST(vec_id AS VARCHAR) > '55'""".stripMargin,
 
     "dsv2_vector_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 4)

@@ -1240,22 +1240,25 @@ final class CollectionScanBuilder(
   private var accepted: Array[sources.Filter] = Array.empty
   private var countStar: Boolean = false
 
-  /** COUNT(*) with no grouping and no pushed predicate/limit is answered
-    * from the store's point count — a metadata hit, zero points shipped
-    * (the collection-cardinality call every catalog/UI issues; at scale
-    * the difference between a gRPC info call and a full scan). Exactly
-    * ONE CountStar: [[CollectionCountScan.readSchema]] emits one column,
-    * and Spark asserts the scan's column count against the pushed
+  /** COUNT(*) with no grouping and no pushed limit is answered by the
+    * store — the backend's `count` API in BOTH its forms: with no pushed
+    * predicate it is a pure metadata hit (the collection-cardinality
+    * call every catalog/UI issues; zero points shipped), with pushed id
+    * filters it is the FILTERED count (`exact: true` semantics) served
+    * by iterating the SAME narrowed id slice the filtered scan would
+    * read — no payload, no vectors, nothing decoded above the scan.
+    * Exactly ONE CountStar: the scan's readSchema emits one column, and
+    * Spark asserts the scan's column count against the pushed
     * Aggregation — `SELECT COUNT(*), COUNT(*)` must decline (Spark then
     * aggregates the scanned rows as usual), as must any other aggregate
-    * or a count over a filtered/limited scan.
+    * or a count over a limited scan.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
       agg.aggregateExpressions.forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      idFilter.isEmpty && idLower.isEmpty && limit.isEmpty
+      limit.isEmpty
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -1307,8 +1310,10 @@ final class CollectionScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = accepted
 
   override def build(): Scan =
-    if (countStar)
+    if (countStar && idFilter.isEmpty && idLower.isEmpty)
       new CollectionCountScan(storeName, collection, prunedSchema)
+    else if (countStar)
+      new CollectionFilteredCountScan(storeName, collection, idFilter, idLower)
     else
       new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
         partitions, idFilter, idLower, maxRowsPerBatch)
@@ -1345,6 +1350,58 @@ final class CollectionCountScan(storeName: String, collection: String,
             }
           override def get(): InternalRow =
             InternalRow(CollectionStores.get(store).pointCount(coll))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** Complete COUNT(*) pushdown over pushed id filters — the backend's
+  * `count` API with a filter (`exact: true`): the reader walks the SAME
+  * narrowed id slice the filtered scan would produce (id set / keyset
+  * lower bound served store-side), with payload and vectors both
+  * switched off, and ships ONE row back. Count cost is O(matching ids),
+  * never a collection scan, and nothing is decoded.
+  */
+final class CollectionFilteredCountScan(
+    storeName: String, collection: String,
+    idFilter: Option[Set[String]], idLower: Option[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = idFilter.map(s => s"ids=${s.size}").toSeq ++
+      idLower.map(l => s"id>'$l'").toSeq
+    s"CollectionFilteredCountScan($storeName.$collection, ${f.mkString(", ")})"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CollectionInputPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val store = storeName
+      private val coll = collection
+      private val ids = idFilter
+      private val lower = idLower
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false
+            else {
+              emitted = true
+              true
+            }
+          override def get(): InternalRow = {
+            val s = CollectionStores.get(store)
+            val it = s.queryPoints(coll, 0L, s.pointCount(coll),
+              withPayload = false, vectorFields = Nil,
+              limit = None, idFilter = ids, idLower = lower)
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            InternalRow(n)
+          }
           override def close(): Unit = ()
         }
     }

@@ -155,10 +155,25 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("CollectionCountScan"), p)
     assert(df.head().getLong(0) === 20L)
-    // a filtered count is NOT pushed (the store count ignores predicates)
+    // a count over PUSHED id filters is ALSO complete-pushed — the
+    // filtered-count scan walks the narrowed id slice store-side
     val filtered = readDf().filter(col("id").isin("3", "7")).agg(count(lit(1)))
-    assert(!filtered.queryExecution.executedPlan.toString.contains("CollectionCountScan"))
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("CollectionFilteredCountScan"), fp)
     assert(filtered.head().getLong(0) === 2L)
+    // keyset form: id > '15' matches 16..19 plus '2'..'9' lexicographically
+    val keyset = readDf().filter(col("id") > "15").agg(count(lit(1)))
+    val kp = keyset.queryExecution.executedPlan.toString
+    assert(kp.contains("CollectionFilteredCountScan"), kp)
+    assert(keyset.head().getLong(0) ===
+      (0 until 20).map(_.toString).count(_ > "15").toLong)
+    // a missing id counts 0, and a NON-pushed predicate (payload) still
+    // declines complete pushdown — Spark aggregates the scanned rows
+    assert(readDf().filter(col("id").isin("3", "nope")).agg(count(lit(1)))
+      .head().getLong(0) === 1L)
+    val residual = readDf().filter(col("payload").isNotNull).agg(count(lit(1)))
+    assert(!residual.queryExecution.executedPlan.toString
+      .contains("CollectionFilteredCountScan"))
   }
 
   test("keyset + limit together: the store pages BEFORE limiting") {
