@@ -164,6 +164,24 @@ trait CollectionStore extends Serializable {
                   idFilter: Option[Set[String]] = None,
                   idLower: Option[String] = None): Iterator[Point]
 
+  /** COUNT of the points a filtered scan would produce — the backend's
+    * `points/count` API with `exact: true`: id-set and keyset-lower
+    * conditions compose exactly like [[queryPoints]]'s. Default: walk
+    * the narrowed slice with payload/vectors off and count (O(matching
+    * ids), nothing decoded); a capable backend answers from its id
+    * index in one call — the wire client ships ONE request either way.
+    */
+  def countMatching(collection: String,
+                    idFilter: Option[Set[String]] = None,
+                    idLower: Option[String] = None): Long = {
+    val it = queryPoints(collection, 0L, pointCount(collection),
+      withPayload = false, vectorFields = Nil, limit = None,
+      idFilter = idFilter, idLower = idLower)
+    var n = 0L
+    while (it.hasNext) { it.next(); n += 1 }
+    n
+  }
+
   /** Serve a pushed top-k vector query (see [[SearchSpec]]): the best `k`
     * points of `collection` under the spec's metric, best-first with id
     * tiebreak, each paired with its raw score. Only the requested payload/
@@ -1393,15 +1411,9 @@ final class CollectionFilteredCountScan(
               emitted = true
               true
             }
-          override def get(): InternalRow = {
-            val s = CollectionStores.get(store)
-            val it = s.queryPoints(coll, 0L, s.pointCount(coll),
-              withPayload = false, vectorFields = Nil,
-              limit = None, idFilter = ids, idLower = lower)
-            var n = 0L
-            while (it.hasNext) { it.next(); n += 1 }
-            InternalRow(n)
-          }
+          override def get(): InternalRow =
+            InternalRow(CollectionStores.get(store)
+              .countMatching(coll, ids, lower))
           override def close(): Unit = ()
         }
     }

@@ -382,6 +382,26 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       CollectionWire.result(post(s"/collections/$collection/points/count",
         JObject())) \ "count")
 
+  /** Filtered count in ONE round trip (the backend's `points/count` with
+    * a filter, exact=true) — the default would scroll the narrowed slice
+    * page by page over the wire; the service answers with a single
+    * number instead.
+    */
+  override def countMatching(collection: String,
+                             idFilter: Option[Set[String]] = None,
+                             idLower: Option[String] = None): Long = {
+    val filter = JObject(
+      idFilter.toList.map(ids =>
+        "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
+        idLower.toList.map(b => "id_gt" -> (JString(b): JValue)))
+    val body =
+      if (filter.obj.isEmpty) JObject()
+      else JObject(List("filter" -> (filter: JValue)))
+    CollectionWire.longOf(
+      CollectionWire.result(post(s"/collections/$collection/points/count",
+        body)) \ "count")
+  }
+
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
                            limit: Option[Int],
@@ -829,7 +849,19 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
 
       case ("POST", "collections" :: c :: "points" :: "count" :: Nil) =>
         store.collectionInfo(c) // 404 for unknown collections, not a raw key error
-        CollectionWire.okEnvelope(JObject("count" -> JLong(store.pointCount(c))))
+        val b = readBody(ex)
+        // same filter vocabulary as scroll: has_id set + keyset lower.
+        // No filter = the metadata-hit count; with one = the backend
+        // count API's exact filtered form (countMatching)
+        val ids = b \ "filter" \ "has_id" match {
+          case JArray(vs) => Some(vs.flatMap(i => CollectionWire.optStr(i)).toSet)
+          case _ => None
+        }
+        val lower = CollectionWire.optStr(b \ "filter" \ "id_gt")
+        val n =
+          if (ids.isEmpty && lower.isEmpty) store.pointCount(c)
+          else store.countMatching(c, ids, lower)
+        CollectionWire.okEnvelope(JObject("count" -> JLong(n)))
 
       case ("POST", "collections" :: c :: "points" :: "facet" :: Nil) =>
         store.collectionInfo(c) // 404 for unknown collections

@@ -145,6 +145,29 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(et.forall(_._2 <= ecut) && et.size === 3)
   }
 
+  test("filtered count crosses the wire in one call with client==inner parity") {
+    // unfiltered stays the metadata-hit form
+    assert(client.countMatching("c") === inner.pointCount("c"))
+    // id-set, keyset, and their conjunction — each one POST, same number
+    // the default slice-walk produces
+    val ids = Some(Set("003", "007", "019", "nope"))
+    assert(client.countMatching("c", ids) === inner.countMatching("c", ids))
+    assert(client.countMatching("c", ids) === 3L)
+    assert(client.countMatching("c", idLower = Some("015")) ===
+      inner.countMatching("c", idLower = Some("015")))
+    assert(client.countMatching("c", ids, Some("005")) === 2L)
+    // and the connector's pushed COUNT over a REST store serves from it
+    import org.apache.spark.sql.functions._
+    CollectionStores.register("rest_client_spec_count", client)
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "rest_client_spec_count")
+      .option("collection", "c").load()
+    val counted = df.filter(col("id") > "015").agg(count(lit(1)))
+    assert(counted.queryExecution.executedPlan.toString
+      .contains("CollectionFilteredCountScan"))
+    assert(counted.head().getLong(0) === 4L)
+  }
+
   test("facet crosses the wire with client==inner parity") {
     // "c"'s payloads are deliberately MALFORMED JSON (the byte-fidelity
     // fixture) — facet must skip them all rather than fail
