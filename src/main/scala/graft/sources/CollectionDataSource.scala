@@ -395,6 +395,36 @@ final class InMemoryCollectionStore(
 
   override def collectionNames: Seq[String] = descriptors.keys.toSeq.sorted
 
+  /** Index-aware filtered count: an id SET counts by membership probes
+    * (O(|set|) against a hash index), a keyset bound alone counts the
+    * sealed sorted tail as `length - seek` (O(log n), ZERO points
+    * touched). Only the conjunction of set + bound walks the set; the
+    * default slice-walk remains the unsorted-collection fallback.
+    */
+  override def countMatching(collection: String,
+                             idFilter: Option[Set[String]] = None,
+                             idLower: Option[String] = None): Long = {
+    val pts = data.getOrElse(collection,
+      throw new IllegalArgumentException(s"unknown collection '$collection'"))
+    (idFilter, idLower) match {
+      case (Some(ids), lower) =>
+        val present = idsOf(collection)
+        ids.count(id => present.contains(id) &&
+          lower.forall(b => SparkStringOrder.gt(id, b))).toLong
+      case (None, Some(bound)) if isSorted(collection) =>
+        (pts.length - seekPastId(pts, bound)).toLong
+      case (None, Some(bound)) =>
+        pts.count(p => SparkStringOrder.gt(p.id, bound)).toLong
+      case (None, None) => pts.length.toLong
+    }
+  }
+
+  // id hash index per collection, built lazily once (membership probes
+  // for the id-set count and point lookups)
+  private val idSets = new ConcurrentHashMap[String, Set[String]]()
+  private def idsOf(collection: String): Set[String] =
+    idSets.computeIfAbsent(collection, c => data(c).iterator.map(_.id).toSet)
+
   /** A new store with an (empty) collection added — the catalog's
     * CREATE TABLE. Replaces any existing descriptor of the same name
     * only if the collection is empty (no silent data loss).

@@ -174,6 +174,16 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     val residual = readDf().filter(col("payload").isNotNull).agg(count(lit(1)))
     assert(!residual.queryExecution.executedPlan.toString
       .contains("CollectionFilteredCountScan"))
+    // the in-memory store's index-aware count: keyset tail and id-set
+    // membership answer WITHOUT materializing points
+    val store = CollectionStores.get("t1")
+      .asInstanceOf[InMemoryCollectionStore]
+    val before = store.pointsTouched.get()
+    assert(store.countMatching("c", idLower = Some("15")) ===
+      (0 until 20).map(_.toString).count(_ > "15").toLong)
+    assert(store.countMatching("c",
+      Some(Set("3", "7", "nope")), Some("5")) === 1L)
+    assert(store.pointsTouched.get() === before)
   }
 
   test("keyset + limit together: the store pages BEFORE limiting") {
