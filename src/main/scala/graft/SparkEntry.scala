@@ -2891,6 +2891,21 @@ object SparkEntry {
     // ONE oracle (restricting the pair set to exact survivors is sound
     // because band buckets are per-document: removing docs only removes
     // pairs)
+    // dataset-versioning diff between two corpus snapshots: old lacks
+    // %7==3 (-> added), has %7==5 docs new dropped (-> removed), and
+    // carries altered text for %7==1 (-> changed); two map-side
+    // fingerprint passes + ONE full-outer id join of longs
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val old = d.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1, concat(col("text"), lit(" OLD")))
+            .otherwise(col("text")).as("text"))
+      val nw = d.filter(col("doc_id") % 7 =!= 5).select("doc_id", "text")
+      graft.ops.Pipeline.corpusDiff(old, nw, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "clean_corpus" -> ((s, dir) =>
       graft.ops.Pipeline.cleanCorpus(docsWithNearDups(s, dir), "doc_id", "text",
           nearDupThreshold = 0.8, minQuality = 0.1)
@@ -6140,6 +6155,22 @@ object SparkEntry {
          |FROM (
          |  SELECT doc_id, ${DuckMirror.rollingHashUnsignedSql("text")} AS h
          |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_diff" ->
+      s"""WITH ot AS (SELECT doc_id,
+         |                   CASE WHEN doc_id % 7 = 1 THEN text || ' OLD'
+         |                        ELSE text END AS t
+         |            FROM documents WHERE doc_id % 7 <> 3),
+         |o AS (SELECT doc_id, ${DuckMirror.rollingHashUnsignedSql("t")} AS fpo FROM ot),
+         |n AS (SELECT doc_id, ${DuckMirror.rollingHashUnsignedSql("text")} AS fpn
+         |      FROM documents WHERE doc_id % 7 <> 5)
+         |SELECT doc_id,
+         |       CASE WHEN fpo IS NULL THEN 'added'
+         |            WHEN fpn IS NULL THEN 'removed'
+         |            WHEN fpo <> fpn THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM o FULL JOIN n USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     // multimodal stub features: nBytes = UTF-8 byte length of the synthetic

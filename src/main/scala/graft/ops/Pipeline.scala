@@ -27,6 +27,28 @@ object Pipeline {
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
       .withColumn("fingerprint", TextAnalysis.fingerprint(col(textCol)))
 
+  /** Corpus snapshot DIFF — the dataset-versioning primitive ("what
+    * changed between crawl N-1 and crawl N"): each side reduces to
+    * (id, content fingerprint) map-side, ONE full-outer id join decides
+    * added / removed / changed / unchanged per document. At 100 TB the
+    * join carries two longs per doc (never text), and with both
+    * snapshots bucketed by id it is co-located. Fingerprint equality
+    * stands in for content equality (the standard dataset-diff trade;
+    * both engines hash identically, so the verdicts agree bit-for-bit).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    import graft.functions.fingerprint64
+    val o = oldDf.select(col(idCol), fingerprint64(col(textCol)).as("__fpo"))
+    val n = newDf.select(col(idCol), fingerprint64(col(textCol)).as("__fpn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__fpo").isNull, lit("added"))
+          .when(col("__fpn").isNull, lit("removed"))
+          .when(col("__fpo") =!= col("__fpn"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Keep one representative per exact-duplicate group (smallest id). */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepers = Dedup.exactDedup(df, idCol, textCol)
