@@ -1962,6 +1962,22 @@ object SparkEntry {
       TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
           "lang", budgetTokens = 1024L)),
 
+    // the END-TO-END ordering pipeline in one gate: Gopher quality
+    // filter -> deterministic md5 training order -> token-budget packing
+    // (the filter is map-side, the order+pack is ONE distributed range
+    // sort + the partition-offset running sum — no global window)
+    "mix_pack" -> ((s, dir) => {
+      val kept = TextAnalysis.gopherFilter(docs(s, dir), "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
+      val hashed = kept.withColumn("__h",
+        md5(concat(lit("mp:"), col("doc_id").cast(StringType))))
+      graft.ops.Ranks.withRunningSum(hashed, "cum", col("n_tokens"),
+          col("__h").asc, col("doc_id").asc)
+        .withColumn("seq_id", expr("(cum - n_tokens) DIV 1024"))
+        .select(col("doc_id"), col("cum"), col("seq_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // packing-efficiency report over the seq_pack layout: per packed
     // sequence, doc count / token load / fill ratio vs the 1024 budget
     // (first-fit-by-offset packs may overflow where a doc straddles the
@@ -6088,6 +6104,20 @@ object SparkEntry {
         |       CAST(cum - n_tokens AS BIGINT) AS token_offset,
         |       CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
+
+    "mix_pack" -> {
+      val g = DuckMirror.gopherSql(minTokens = 50L, maxTokens = 5000L,
+        minMeanLen = 3.0, maxMeanLen = 10.0, maxRep = 0.2)
+      s"""WITH g AS (SELECT doc_id, n_tokens FROM ($g) WHERE keep),
+         |c AS (SELECT doc_id, n_tokens,
+         |             SUM(n_tokens) OVER (
+         |               ORDER BY md5('mp:' || CAST(doc_id AS VARCHAR)), doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM g)
+         |SELECT doc_id, CAST(cum AS BIGINT) AS cum,
+         |       CAST((cum - n_tokens) // 1024 AS BIGINT) AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "pack_stats" ->
       """WITH t AS (SELECT lang, doc_id,

@@ -21,6 +21,7 @@ class ScaleProbeSpec extends AnyFunSuite {
     assert(ScaleProbe.sectionNames.toSet ===
       Set("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
         "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
-        "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation"))
+        "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
+        "ordering"))
   }
 }
