@@ -496,6 +496,47 @@ object SparkEntry {
       (s.read.parquet(path), n, avglen)
     })
 
+  /** The configured-tokenizer index of the documents corpus: same layout
+    * as [[textIndexStore]] but built under an explicit
+    * [[graft.ops.TextIndex.TokenizerConfig]] (the backend's
+    * `TextIndexParams` — tokenizer type, lowercase, token length bounds,
+    * stopwords). The config only changes the map-side token lambda;
+    * every downstream shape (partitionBy(tb), pruning, BM25 serving) is
+    * shared with the default index.
+    */
+  private[graft] val textCfg = graft.ops.TextIndex.TokenizerConfig(
+    tokenizer = "word", lowercase = true,
+    minTokenLen = 4, maxTokenLen = 6,
+    stopwords = Seq("table", "value"))
+
+  private[graft] def textIndexCfgStore(s: SparkSession, dir: String): (DataFrame, Long, Double) =
+    textIdxCache.getOrElseUpdate(s"$dir#cfg", {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-text-index-cfg").toString
+      graft.ops.TextIndex.buildPostings(d, "doc_id", "text", nBuckets = 32, cfg = textCfg)
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      val (n, avglen) = graft.ops.TextIndex.corpusStats(d, "doc_id", "text", cfg = textCfg)
+      (s.read.parquet(path), n, avglen)
+    })
+
+  /** The PREFIX index of the documents corpus: word tokens expanded to
+    * their length-3..5 prefixes at ingest, so a prefix query is an EXACT
+    * term lookup — partition-pruned by term bucket like every other
+    * index read; no LIKE scan exists at query time.
+    */
+  private[graft] val prefixCfg = graft.ops.TextIndex.TokenizerConfig(
+    tokenizer = "prefix", lowercase = true,
+    minTokenLen = 3, maxTokenLen = 5)
+
+  private[graft] def textPrefixStore(s: SparkSession, dir: String): DataFrame =
+    textIdxCache.getOrElseUpdate(s"$dir#prefix", {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft-text-index-prefix").toString
+      graft.ops.TextIndex.buildPostings(d, "doc_id", "text", nBuckets = 32, cfg = prefixCfg)
+        .write.mode("overwrite").partitionBy("tb").parquet(path)
+      (s.read.parquet(path), 0L, 0.0)
+    })._1
+
   /** Inverted SPARSE index of the embeddings corpus of `dir`: dimension
     * postings ([[graft.ops.SparseIndex.buildPostings]]) written
     * `partitionBy("db")` once at ingest — the Qdrant sparse-index analog
@@ -600,6 +641,8 @@ object SparkEntry {
     ivfPqStore(s, dir)
     ivfPqResidualStore(s, dir)
     textIndexStore(s, dir)
+    textIndexCfgStore(s, dir)
+    textPrefixStore(s, dir)
     payloadIndex(s, dir)
     geoStore(s, dir)
     calibratedStore(s, dir)
@@ -2967,6 +3010,33 @@ object SparkEntry {
       val (postings, n, avglen) = SparkEntry.textIndexStore(s, dir)
       graft.ops.TextIndex.searchPostings(postings, n, avglen,
         Seq("window", "batch", "scan"), k = 15, nBuckets = 32)
+    }),
+
+    // BM25 over the CONFIGURED index (word tokenizer, lowercase,
+    // token length in [4, 6], stopwords {table, value} — the backend's
+    // TextIndexParams): dl/df/n all shift under the config, the serving
+    // path and plan are byte-identical to inverted_search
+    "text_index_config" -> ((s, dir) => {
+      val (postings, n, avglen) = SparkEntry.textIndexCfgStore(s, dir)
+      graft.ops.TextIndex.searchPostings(postings, n, avglen,
+        graft.ops.TextIndex.normalizeTerms(Seq("Window", "batch", "scan"),
+          SparkEntry.textCfg), k = 15, nBuckets = 32)
+    }),
+
+    // prefix query served as an EXACT term lookup on the prefix-expanded
+    // index (tokenizer=prefix, prefixes of length 3..5 indexed at
+    // ingest): tf counts the tokens extending the prefix; the read is
+    // partition-pruned to the query term's bucket — no LIKE scan
+    "text_prefix_search" -> ((s, dir) => {
+      val postings = SparkEntry.textPrefixStore(s, dir)
+      val term = graft.ops.TextIndex.normalizeTerms(Seq("val"),
+        SparkEntry.prefixCfg).head
+      postings
+        .filter(col("tb") === graft.ops.TextIndex.termBucket(lit(term), 32) &&
+          col("term") === term)
+        .select(col("doc_id"), col("tf"))
+        .orderBy(col("tf").desc, col("doc_id").asc)
+        .limit(12)
     }),
 
     "top_bigrams" -> ((s, dir) =>
@@ -5924,6 +5994,47 @@ object SparkEntry {
         |FROM m, s
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // inverted_search's formula under the CONFIGURED tokenizer: word
+    // split on non-alphanumerics, len in [4,6], stopwords dropped —
+    // dl/df/n all re-derive from the filtered token lists
+    "text_index_config" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                              x -> len(x) >= 4 AND len(x) <= 6
+        |                                   AND x NOT IN ('table', 'value')) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS len,
+        |             len(list_filter(toks, x -> x = 'window')) AS tf0,
+        |             len(list_filter(toks, x -> x = 'batch')) AS tf1,
+        |             len(list_filter(toks, x -> x = 'scan'))  AS tf2
+        |      FROM t),
+        |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen,
+        |             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM m)
+        |SELECT doc_id,
+        |       ROUND(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
+        |         4) AS bm25
+        |FROM m, s
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the prefix index serves term='val' by exact equality; the oracle
+    // re-derives tf as the count of tokens EXTENDING the prefix (len>=3
+    // is the index's min prefix depth; LIKE 'val%' implies len>=3)
+    "text_prefix_search" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'),
+        |                              x -> len(x) >= 3) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(list_filter(toks, x -> x LIKE 'val%')) AS tf FROM t)
+        |SELECT doc_id, tf FROM m WHERE tf > 0
+        |ORDER BY tf DESC, doc_id LIMIT 12""".stripMargin,
 
     "top_bigrams" ->
       """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks

@@ -37,6 +37,84 @@ object TextIndex {
   def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
 
+  /** Configurable tokenizer — the backend's full-text index parameters
+    * (`TextIndexParams`: tokenizer type, `lowercase`, `min_token_len` /
+    * `max_token_len`, stopwords; reference surface MATCH_TEXT,
+    * `/root/reference/tests/bin/tests.sql:209-214`). The default is
+    * exactly [[tokens]], so config-built indexes and the legacy path
+    * share every downstream shape.
+    *
+    * Tokenizers: `whitespace` splits on runs of whitespace; `word`
+    * splits on runs of non-alphanumerics (Unicode classes, so the same
+    * RE2 pattern runs verbatim in the oracle); `prefix` is `word`
+    * followed by expansion of each token into its prefixes of length
+    * `minTokenLen..min(len, maxTokenLen)` — the index form that serves
+    * prefix queries by EXACT term equality (still partition-prunable by
+    * term bucket; a LIKE scan never happens at query time).
+    */
+  case class TokenizerConfig(
+      tokenizer: String = "whitespace",
+      lowercase: Boolean = true,
+      minTokenLen: Int = 1,
+      maxTokenLen: Int = Int.MaxValue,
+      stopwords: Seq[String] = Nil) {
+    require(Set("whitespace", "word", "prefix")(tokenizer),
+      s"unknown tokenizer: $tokenizer")
+    require(minTokenLen >= 1 && maxTokenLen >= minTokenLen,
+      s"bad token length bounds [$minTokenLen, $maxTokenLen]")
+  }
+
+  /** The word-tokenizer split pattern — shared verbatim with the DuckDB
+    * oracle (RE2 understands the same Unicode classes).
+    */
+  val WordSplit = "[^\\p{L}\\p{N}]+"
+
+  /** Tokenize under `cfg`. All filtering is map-side column logic inside
+    * whole-stage codegen — the config never changes the plan shape, only
+    * the lambda bodies.
+    */
+  def tokensWith(textCol: Column, cfg: TokenizerConfig): Column = {
+    val isPrefix = cfg.tokenizer == "prefix"
+    val cased = if (cfg.lowercase) lower(textCol) else textCol
+    val base = split(cased, if (cfg.tokenizer == "whitespace") "\\s+" else WordSplit)
+    // the max bound DROPS over-long tokens for word/whitespace, but for
+    // prefix it caps EXPANSION DEPTH (the backend convention — a long
+    // token still serves prefix queries up to max_token_len chars)
+    val bounded = filter(base, t =>
+      length(t) >= cfg.minTokenLen &&
+        (if (isPrefix) lit(true) else length(t) <= cfg.maxTokenLen))
+    val kept =
+      if (cfg.stopwords.isEmpty) bounded
+      else filter(bounded, t => !t.isin(cfg.stopwords: _*))
+    if (!isPrefix) kept
+    else flatten(transform(kept, t =>
+      transform(
+        sequence(lit(cfg.minTokenLen),
+          least(length(t), lit(cfg.maxTokenLen))),
+        n => substring(t, lit(1), n))))
+  }
+
+  /** Normalize QUERY terms under the same config the index was built
+    * with — the driver-side mirror of [[tokensWith]]'s per-token rules
+    * (a query term is already one token; the split never applies). A
+    * term the index could never contain (too short/long before prefix
+    * expansion bounds, a stopword) is a caller error, loudly.
+    */
+  def normalizeTerms(terms: Seq[String], cfg: TokenizerConfig): Seq[String] = {
+    val out = terms.map(t => if (cfg.lowercase) t.toLowerCase else t)
+    out.foreach { t =>
+      // under `prefix` the same bound holds for a different reason: the
+      // index stores prefixes of length minTokenLen..maxTokenLen, so a
+      // longer query term has no posting rows to match
+      require(t.length >= cfg.minTokenLen && t.length <= cfg.maxTokenLen,
+        s"query term '$t' outside the index's token length bounds " +
+          s"[${cfg.minTokenLen}, ${cfg.maxTokenLen}]")
+      require(!cfg.stopwords.contains(t),
+        s"query term '$t' is a stopword of the index config — it has no postings")
+    }
+    out
+  }
+
   /** Term bucket of a term column: the partition key of the index layout.
     * xxhash64 is layout-internal (never compared against an oracle — it
     * only decides FILE placement), so the fastest stable hash wins.
@@ -49,8 +127,9 @@ object TextIndex {
     * partial-agg'd groupBy — O(tokens) work, shuffled on (term, doc).
     */
   def buildPostings(df: DataFrame, idCol: String, textCol: String,
-                    nBuckets: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+                    nBuckets: Int,
+                    cfg: TokenizerConfig = TokenizerConfig()): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokensWith(col(textCol), cfg).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast(LongType))
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -61,8 +140,9 @@ object TextIndex {
     * counts are integers, so the double mean is exact and
     * order-independent in any engine.
     */
-  def corpusStats(df: DataFrame, idCol: String, textCol: String): (Long, Double) = {
-    val r = df.select(size(tokens(col(textCol))).cast(LongType).as("dl"))
+  def corpusStats(df: DataFrame, idCol: String, textCol: String,
+                  cfg: TokenizerConfig = TokenizerConfig()): (Long, Double) = {
+    val r = df.select(size(tokensWith(col(textCol), cfg)).cast(LongType).as("dl"))
       .agg(count(lit(1)).as("n"), avg(col("dl")).as("avglen")).head()
     (r.getLong(0), r.getDouble(1))
   }

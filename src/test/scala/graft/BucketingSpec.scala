@@ -195,6 +195,59 @@ class BucketingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("tokenizer config: word split, length bounds, stopwords, prefix expansion") {
+    import graft.ops.TextIndex
+    import spark.implicits._
+    val df = Seq((1L, "The quick-BROWN fox!! a to valley value tables")).toDF("id", "text")
+    val cfg = TextIndex.TokenizerConfig(tokenizer = "word", lowercase = true,
+      minTokenLen = 3, maxTokenLen = 5, stopwords = Seq("fox"))
+    val toks = df.select(TextIndex.tokensWith(col("text"), cfg)).head().getSeq[String](0)
+    // a/to drop by min, valley/tables by max, fox by stopword; case folds
+    assert(toks === Seq("the", "quick", "brown", "value"))
+
+    // prefix: expansion capped at maxTokenLen — a LONG token still serves
+    // prefix queries up to depth 4 instead of being dropped
+    val pcfg = TextIndex.TokenizerConfig(tokenizer = "prefix",
+      minTokenLen = 2, maxTokenLen = 4)
+    val ptoks = df.select(TextIndex.tokensWith(lit("Brown a"), pcfg)).head().getSeq[String](0)
+    assert(ptoks === Seq("br", "bro", "brow"))
+
+    // query-term normalization mirrors the per-token rules and fails
+    // LOUDLY on terms the index can never contain
+    assert(TextIndex.normalizeTerms(Seq("Quick"), cfg) === Seq("quick"))
+    intercept[IllegalArgumentException](TextIndex.normalizeTerms(Seq("fox"), cfg))
+    intercept[IllegalArgumentException](TextIndex.normalizeTerms(Seq("ab"), cfg))
+    intercept[IllegalArgumentException](TextIndex.normalizeTerms(Seq("toolong"), pcfg))
+  }
+
+  test("prefix index: prefix query is an exact pruned term lookup matching the LIKE scan") {
+    import graft.ops.TextIndex
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val dir = Files.createTempDirectory("graft-text-prefix-spec").toString
+    val cfg = TextIndex.TokenizerConfig(tokenizer = "prefix", lowercase = true,
+      minTokenLen = 3, maxTokenLen = 5)
+    TextIndex.buildPostings(docs, "doc_id", "text", nBuckets = 32, cfg = cfg)
+      .write.mode("overwrite").partitionBy("tb").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val term = "val"
+    val res = postings
+      .filter(col("tb") === TextIndex.termBucket(lit(term), 32) && col("term") === term)
+      .select(col("doc_id"), col("tf"))
+    val p = res.queryExecution.executedPlan.toString
+    // the bucket expression constant-folds to a literal equality that
+    // reaches the read as a partition filter
+    assert("PartitionFilters: \\[[^\\]]*tb#".r.findFirstIn(p).isDefined, p)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle form: tf = tokens EXTENDING the prefix, from a raw LIKE scan
+    val expected = docs
+      .select(col("doc_id"),
+        size(filter(TextIndex.tokens(col("text")), t => t.like("val%")))
+          .cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("sparse inverted index: query dims partition-prune; scores equal the kernel scan") {
     import graft.functions._
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
