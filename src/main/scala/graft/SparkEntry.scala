@@ -919,6 +919,21 @@ object SparkEntry {
           col("__k").isNotNull.as("has_k"),
           col("__m").isNotNull.as("has_missing"))),
 
+    // the backend filter DSL's full boolean surface in one predicate:
+    // must (AND) + min_should (at least 2 of 4 conditions) + must_not
+    // (AND NOT) — min_should compiles to a codegen'd integer sum, so the
+    // whole filter stays one map-side predicate over the scan
+    "min_should_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("n_chars") < lit(900) &&
+          graft.functions.min_should(2,
+            col("lang") === "en",
+            col("source").isin("src0", "src1"),
+            col("n_chars") > 200,
+            col("text").contains("vector")) &&
+          !(col("source") === "src5"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
+
     // GROUP BY a JSON-extracted value with COUNT/MAX/AVG (tests.sql:233-242)
     "json_group_agg" -> ((s, dir) =>
       events(s, dir)
@@ -2924,6 +2939,15 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       clusterStore(s, dir).select(col("doc_id"), col("component"))),
 
+    // duplication-structure observability: the cluster-size histogram
+    // (how many near-dup clusters of each size — the first diagnostic a
+    // pipeline operator reads after a dedup pass). Two partial-agg
+    // shuffles over (component) then (sz) longs; the texts never move
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      clusterStore(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))),
+
     // scale-true clusters: MinHash-LSH verified pairs (banded buckets, no
     // all-pairs join) -> connected components — the composition that holds
     // at 100 TB, where blocking-key quadratics don't
@@ -4343,6 +4367,16 @@ object SparkEntry {
         |       json_extract_string(props, '$.missing') IS NOT NULL AS has_missing
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "min_should_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE n_chars < 900
+        |  AND (CASE WHEN lang = 'en' THEN 1 ELSE 0 END +
+        |       CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END +
+        |       CASE WHEN n_chars > 200 THEN 1 ELSE 0 END +
+        |       CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END) >= 2
+        |  AND NOT (source = 'src5')
+        |ORDER BY doc_id""".stripMargin,
+
     "dsv2_scan" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
@@ -5747,6 +5781,16 @@ object SparkEntry {
         """
           |SELECT id AS doc_id, min(comp) AS component
           |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // the SAME closure folded twice: per-component sizes, then the
+    // size histogram
+    "dedup_cluster_sizes" ->
+      (NearDupClustersCte +
+        """,
+          |     comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+          |     c2 AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp)
+          |SELECT sz, COUNT(*) AS n_clusters
+          |FROM c2 GROUP BY sz ORDER BY sz""".stripMargin),
 
     // the SAME transitive closure, then split = f(component, seed): every
     // cluster member shares the component key, so no cluster straddles a

@@ -270,6 +270,17 @@ package object functions {
   def has_field(json: Column, keys: String*): Column =
     F.get_json_object(json, path(keys)).isNotNull
 
+  /** The backend filter DSL's `min_should` combinator: at least `n` of
+    * `conds` hold. A NULL condition counts as not-satisfied (three-valued
+    * OR would leak NULL through the sum — filters must be decisive).
+    * Plain integer arithmetic inside whole-stage codegen; composes with
+    * must/must_not (AND / AND NOT) for the full boolean surface.
+    */
+  def min_should(n: Int, conds: Column*): Column = {
+    require(conds.nonEmpty, "min_should needs at least one condition")
+    conds.map(c => F.when(c, 1).otherwise(0)).reduce(_ + _) >= F.lit(n)
+  }
+
   /** json_length at path: array element count OR object key count (the
     * reference json pack's dual semantics, udfs.rs:13-16); NULL for
     * scalars/absent values under either form.

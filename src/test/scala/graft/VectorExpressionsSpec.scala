@@ -231,4 +231,16 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(r3.getString(1) === "x")
     assert(r3.getBoolean(2) && !r3.getBoolean(3))
   }
+
+  test("min_should: at-least-n semantics; NULL conditions count as unsatisfied") {
+    import graft.functions.min_should
+    val df = Seq((1, Some("en"), 10), (2, Some("de"), 300),
+      (3, None, 300), (4, Some("en"), 300)).toDF("id", "lang", "n")
+    def sel(n: Int) = df.filter(min_should(n,
+        col("lang") === "en", col("n") > 200))
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(sel(1) === Set(1, 2, 3, 4))   // row 3: NULL lang cond -> 0, n cond -> 1
+    assert(sel(2) === Set(4))
+    intercept[IllegalArgumentException](min_should(1))
+  }
 }
