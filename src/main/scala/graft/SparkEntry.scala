@@ -1099,6 +1099,28 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // FILTERED search OVER THE WIRE: query + `must` filter ship together
+    // (`points/query` with a filter object), the SERVICE filters before
+    // ranking, and only the k matching scored points cross the network.
+    // Same oracle as dsv2_filtered_search — the network hop must be
+    // invisible
+    "dsv2_rest_filtered_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_fs_store",
+        new RestCollectionStore(SparkEntry.restBackedUrl(s, dir)))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_fs_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .option("filter", "label:gte:2")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // SQL DDL against a REMOTE backend: CREATE TABLE ships the vectors
     // config over the wire (the service owns the atomic existence
     // check), INSERT commits via the wire upsert, the read-back
@@ -1300,6 +1322,62 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the backend's payload filter DSL (`must` match/range conditions)
+    // evaluated BY THE STORE: the `filter` read option narrows the scan
+    // at the seam — non-matching points never surface (and over the
+    // wire, never leave the service)
+    "dsv2_payload_filter" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pf_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pf_store").option("collection", "embeddings")
+        .option("partitions", "4")
+        .option("filter", "label:gte:2;label:lt:5")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // COUNT(*) + payload filter = the backend count API's full-filter
+    // exact form: the pushed CountStar composes with the `must`
+    // conditions into CollectionFilteredCountScan — ONE row crosses the
+    // scan boundary, no payload ever decodes above it
+    "dsv2_payload_count" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pfc_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pfc_store").option("collection", "embeddings")
+        .option("filter", "label:gte:2;label:lt:5")
+        .load()
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // FILTERED vector search — the backend's defining query form
+    // (`query_points` with query AND filter): the store restricts
+    // candidates BEFORE ranking, so the result is the true top-k of the
+    // matching subset (k full rows), not a post-filtered short page of
+    // the global top-k
+    "dsv2_filtered_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("fs_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "fs_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .option("filter", "label:gte:2")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -4519,6 +4597,35 @@ object SparkEntry {
         |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
         |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_payload_filter" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE label >= 2 AND label < 5 ORDER BY id""".stripMargin,
+
+    "dsv2_payload_count" ->
+      "SELECT COUNT(*) AS n FROM embeddings WHERE label >= 2 AND label < 5",
+
+    // the filter applies BEFORE ranking: top-12 OF THE MATCHING SUBSET
+    "dsv2_filtered_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  WHERE e.label >= 2
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_rest_filtered_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  WHERE e.label >= 2
         |  ORDER BY s DESC, id ASC LIMIT 12)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 

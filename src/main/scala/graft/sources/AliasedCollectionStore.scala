@@ -45,6 +45,31 @@ final class AliasedCollectionStore(
                             withPayload: Boolean,
                             vectorFields: Seq[String]): Seq[(Point, Double)] =
     inner.searchPoints(r(collection), spec, withPayload, vectorFields)
+  // the filtered variants delegate too, so an inner store's server-side
+  // filter evaluation (e.g. the wire client's) survives aliasing
+  override def queryPointsFiltered(collection: String, from: Long, until: Long,
+                                   withPayload: Boolean, vectorFields: Seq[String],
+                                   limit: Option[Int],
+                                   idFilter: Option[Set[String]] = None,
+                                   idLower: Option[String] = None,
+                                   conds: Seq[PayloadCondition] = Nil): Iterator[Point] =
+    inner.queryPointsFiltered(r(collection), from, until, withPayload,
+      vectorFields, limit, idFilter, idLower, conds)
+  override def countMatching(collection: String,
+                             idFilter: Option[Set[String]] = None,
+                             idLower: Option[String] = None): Long =
+    inner.countMatching(r(collection), idFilter, idLower)
+  override def countMatchingFiltered(collection: String,
+                                     idFilter: Option[Set[String]] = None,
+                                     idLower: Option[String] = None,
+                                     conds: Seq[PayloadCondition] = Nil): Long =
+    inner.countMatchingFiltered(r(collection), idFilter, idLower, conds)
+  override def searchPointsFiltered(collection: String, spec: SearchSpec,
+                                    withPayload: Boolean,
+                                    vectorFields: Seq[String],
+                                    conds: Seq[PayloadCondition]): Seq[(Point, Double)] =
+    inner.searchPointsFiltered(r(collection), spec, withPayload, vectorFields,
+      conds)
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] =
     inner.facetCounts(r(collection), key, limit)

@@ -131,6 +131,82 @@ object SearchSpec {
   }
 }
 
+/** One `must` condition of the backend's filter DSL, evaluated
+  * STORE-SIDE over a point's payload — the other half of the filter
+  * vocabulary next to the id set / keyset bound: `eq` is the backend's
+  * `match` (keyword / integer / bool equality), `gt`/`gte`/`lt`/`lte`
+  * its numeric `range`. `key` addresses a TOP-LEVEL payload field.
+  *
+  * Decisive semantics (a filter must admit or reject, never null out):
+  * an absent payload, absent key, null value, or non-scalar value
+  * matches NOTHING; a range op over a non-numeric value matches
+  * nothing. `eq` compares numerically when both sides are numbers
+  * (payload `3` matches value "3" and "3.0"), as strings otherwise.
+  */
+final case class PayloadCondition(key: String, op: String, value: String) {
+  require(PayloadCondition.Ops(op),
+    s"filter op must be one of ${PayloadCondition.Ops.mkString("/")}, got '$op'")
+  require(key.nonEmpty, "filter key must be non-empty")
+
+  private val numValue: Option[Double] =
+    try Some(java.lang.Double.parseDouble(value)) catch { case _: Exception => None }
+
+  def describe: String = s"$key $op $value"
+
+  def matches(p: Point): Boolean = {
+    import org.json4s._
+    p.payload.exists { j =>
+      org.json4s.jackson.JsonMethods.parseOpt(j).exists { parsed =>
+        parsed \ key match {
+          case JString(s) =>
+            if (op == "eq") numValue match {
+              // a numeric condition value never string-matches: the
+              // backend's match is typed (keyword vs integer)
+              case Some(_) => false
+              case None => s == value
+            } else false
+          case JBool(b) => op == "eq" && b.toString == value
+          case JInt(i) => numMatch(i.toDouble)
+          case JLong(l) => numMatch(l.toDouble)
+          case JDouble(d) => numMatch(d)
+          case JDecimal(d) => numMatch(d.toDouble)
+          case _ => false // absent, null, array, object
+        }
+      }
+    }
+  }
+
+  private def numMatch(x: Double): Boolean = numValue.exists { v =>
+    op match {
+      case "eq" => x == v
+      case "gt" => x > v
+      case "gte" => x >= v
+      case "lt" => x < v
+      case "lte" => x <= v
+    }
+  }
+}
+
+object PayloadCondition {
+  val Ops: Set[String] = Set("eq", "gt", "gte", "lt", "lte")
+
+  /** The read-option / display encoding: `key:op:value` conditions
+    * joined by `;` (a conjunction — the filter DSL's `must` list).
+    * Values may contain `:`; keys may not.
+    */
+  def parseList(s: String): Seq[PayloadCondition] =
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":", 3) match {
+        case Array(k, o, v) => PayloadCondition(k.trim, o.trim, v)
+        case _ => throw new IllegalArgumentException(
+          s"bad filter condition '$part' (expected key:op:value)")
+      }
+    }
+
+  def serializeList(conds: Seq[PayloadCondition]): String =
+    conds.map(c => s"${c.key}:${c.op}:${c.value}").mkString(";")
+}
+
 /** The "remote collection service" abstraction — the analog of the
   * reference's `Arc<Qdrant>` gRPC client (/root/reference/src/table.rs:84).
   * `queryPoints` receives the NARROWED fetch spec exactly like the
@@ -182,6 +258,52 @@ trait CollectionStore extends Serializable {
     n
   }
 
+  /** [[queryPoints]] narrowed further by payload `must` conditions —
+    * the backend's filtered scroll. Default: fetch WITH payload (the
+    * conditions need it), evaluate client-side, then honor the caller's
+    * narrowing by stripping payloads it did not ask for; `limit` applies
+    * AFTER the conditions (filter-then-limit, like the id filters). A
+    * capable backend overrides this to evaluate the conditions
+    * server-side — the wire client ships them in the scroll filter and
+    * only matching points cross the network.
+    */
+  def queryPointsFiltered(collection: String, from: Long, until: Long,
+                          withPayload: Boolean, vectorFields: Seq[String],
+                          limit: Option[Int],
+                          idFilter: Option[Set[String]] = None,
+                          idLower: Option[String] = None,
+                          conds: Seq[PayloadCondition] = Nil): Iterator[Point] =
+    if (conds.isEmpty)
+      queryPoints(collection, from, until, withPayload, vectorFields, limit,
+        idFilter, idLower)
+    else {
+      val matching = queryPoints(collection, from, until,
+          withPayload = true, vectorFields, None, idFilter, idLower)
+        .filter(p => conds.forall(_.matches(p)))
+      val narrowed =
+        if (withPayload) matching else matching.map(_.copy(payload = None))
+      limit.fold(narrowed)(n => narrowed.take(n))
+    }
+
+  /** [[countMatching]] with payload conditions — the backend's filtered
+    * count (`exact: true`) in its full-filter form. Default walks the
+    * filtered iterator with vectors off; the wire client answers in one
+    * round trip instead.
+    */
+  def countMatchingFiltered(collection: String,
+                            idFilter: Option[Set[String]] = None,
+                            idLower: Option[String] = None,
+                            conds: Seq[PayloadCondition] = Nil): Long =
+    if (conds.isEmpty) countMatching(collection, idFilter, idLower)
+    else {
+      val it = queryPointsFiltered(collection, 0L, pointCount(collection),
+        withPayload = false, vectorFields = Nil, limit = None,
+        idFilter = idFilter, idLower = idLower, conds = conds)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      n
+    }
+
   /** Serve a pushed top-k vector query (see [[SearchSpec]]): the best `k`
     * points of `collection` under the spec's metric, best-first with id
     * tiebreak, each paired with its raw score. Only the requested payload/
@@ -194,7 +316,21 @@ trait CollectionStore extends Serializable {
     */
   def searchPoints(collection: String, spec: SearchSpec,
                    withPayload: Boolean,
-                   vectorFields: Seq[String]): Seq[(Point, Double)] = {
+                   vectorFields: Seq[String]): Seq[(Point, Double)] =
+    searchPointsFiltered(collection, spec, withPayload, vectorFields, Nil)
+
+  /** [[searchPoints]] restricted to points passing payload `must`
+    * conditions — the backend's FILTERED vector search, its defining
+    * query form (`query_points` with both `query` and `filter`): the
+    * filter applies BEFORE ranking, so the result is the true top-k of
+    * the matching subset, not a post-filtered page of the global top-k
+    * (which could come up short). Default evaluates the conditions in
+    * the same streaming pass that scores; the wire client ships them
+    * with the query and the service filters server-side.
+    */
+  def searchPointsFiltered(collection: String, spec: SearchSpec,
+                           withPayload: Boolean, vectorFields: Seq[String],
+                           conds: Seq[PayloadCondition]): Seq[(Point, Double)] = {
     val desc = SearchSpec.descending(spec.metric)
     // worst-first ordering for the bounded heap: the head is the candidate
     // to evict. Ties prefer evicting the LATER id (so earlier ids win).
@@ -220,8 +356,8 @@ trait CollectionStore extends Serializable {
     // points never occupy capacity
     val capacity = spec.k + spec.offset
     val fetchFields = (vectorFields :+ spec.field).distinct
-    queryPoints(collection, 0L, pointCount(collection), withPayload,
-        fetchFields, None)
+    queryPointsFiltered(collection, 0L, pointCount(collection), withPayload,
+        fetchFields, None, conds = conds)
       .foreach { p =>
         p.dense.get(spec.field).flatMap(v =>
             SearchSpec.score(spec.metric, v, spec.query))
@@ -876,13 +1012,22 @@ final class CollectionTable(storeName: String, collection: String,
     // log entries (read option; 0/absent = all available)
     val maxRows = Option(options.get("maxRowsPerBatch")).map(_.toLong).filter(_ > 0)
     val asOf = Option(options.get("asOfSeq")).map(_.toLong)
-    if (cdc)
+    // payload `must` conditions (read option `filter`, `key:op:value`
+    // conjunctions) — evaluated by the STORE, exactly like the pushed id
+    // filters: matching points are the only ones that surface (and, for
+    // the wire client, the only ones that cross the network)
+    val conds = Option(options.get("filter"))
+      .map(PayloadCondition.parseList).getOrElse(Nil)
+    if (cdc) {
+      if (conds.nonEmpty) throw new UnsupportedOperationException(
+        "payload filters are not supported on the CDC read face " +
+          "(tombstones carry no payload to evaluate)")
       new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
-    else if (search.isDefined)
+    } else if (search.isDefined)
       // the scan IS the query: a pushed top-k search serves scored points
       // straight from the store — no full-collection decode above the scan
       new CollectionSearchScanBuilder(storeName, collection, descriptor,
-        search.get)
+        search.get, conds)
     else asOf match {
       // TIME TRAVEL (read option asOfSeq=N): the collection's contents as
       // of change-log position N, reconstructed by replaying the log
@@ -890,11 +1035,14 @@ final class CollectionTable(storeName: String, collection: String,
       // face of the CDC log's history. Column pruning only: a
       // point-in-time audit read, not a serving path.
       case Some(seq) =>
+        if (conds.nonEmpty) throw new UnsupportedOperationException(
+          "payload filters are not supported on the time-travel read " +
+            "(an audit read reconstructs the full snapshot)")
         new HistoricalScanBuilder(storeName, collection, descriptor, seq,
           partitions)
       case None =>
         new CollectionScanBuilder(storeName, collection, descriptor, partitions,
-          maxRows)
+          maxRows, conds)
     }
   }
 
@@ -1276,7 +1424,8 @@ final class CollectionDataWriter(descriptor: CollectionDescriptor,
 final class CollectionScanBuilder(
     storeName: String, collection: String,
     descriptor: CollectionDescriptor, partitions: Int,
-    maxRowsPerBatch: Option[Long] = None)
+    maxRowsPerBatch: Option[Long] = None,
+    conds: Seq[PayloadCondition] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1358,13 +1507,14 @@ final class CollectionScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = accepted
 
   override def build(): Scan =
-    if (countStar && idFilter.isEmpty && idLower.isEmpty)
+    if (countStar && idFilter.isEmpty && idLower.isEmpty && conds.isEmpty)
       new CollectionCountScan(storeName, collection, prunedSchema)
     else if (countStar)
-      new CollectionFilteredCountScan(storeName, collection, idFilter, idLower)
+      new CollectionFilteredCountScan(storeName, collection, idFilter, idLower,
+        conds)
     else
       new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
-        partitions, idFilter, idLower, maxRowsPerBatch)
+        partitions, idFilter, idLower, maxRowsPerBatch, conds)
 }
 
 /** Complete COUNT(*) pushdown: one partition, one row, the store's point
@@ -1412,14 +1562,17 @@ final class CollectionCountScan(storeName: String, collection: String,
   */
 final class CollectionFilteredCountScan(
     storeName: String, collection: String,
-    idFilter: Option[Set[String]], idLower: Option[String])
+    idFilter: Option[Set[String]], idLower: Option[String],
+    conds: Seq[PayloadCondition] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
   override def description(): String = {
     val f = idFilter.map(s => s"ids=${s.size}").toSeq ++
-      idLower.map(l => s"id>'$l'").toSeq
+      idLower.map(l => s"id>'$l'").toSeq ++
+      (if (conds.isEmpty) Nil
+       else Seq(s"filter=[${conds.map(_.describe).mkString(" AND ")}]"))
     s"CollectionFilteredCountScan($storeName.$collection, ${f.mkString(", ")})"
   }
 
@@ -1432,6 +1585,7 @@ final class CollectionFilteredCountScan(
       private val coll = collection
       private val ids = idFilter
       private val lower = idLower
+      private val cs = conds
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
@@ -1443,7 +1597,7 @@ final class CollectionFilteredCountScan(
             }
           override def get(): InternalRow =
             InternalRow(CollectionStores.get(store)
-              .countMatching(coll, ids, lower))
+              .countMatchingFiltered(coll, ids, lower, cs))
           override def close(): Unit = ()
         }
     }
@@ -1451,13 +1605,16 @@ final class CollectionFilteredCountScan(
 
 /** ScanBuilder of a pushed top-k search (read options `search.*`): column
   * pruning narrows the fetch like the plain scan; a pushed LIMIT tightens
-  * k. Filters are NOT pushed — a filtered search composes above the scored
-  * scan (post-filter semantics); pre-filter search is the payload-index
-  * planner's territory.
+  * k. SQL-level filters are NOT pushed (they compose above the scored
+  * scan, post-filter semantics); payload `must` conditions arrive via the
+  * `filter` READ OPTION and ride the query itself — the backend's
+  * PRE-filter search, where the filter restricts the candidate set
+  * before ranking.
   */
 final class CollectionSearchScanBuilder(
     storeName: String, collection: String,
-    descriptor: CollectionDescriptor, spec: SearchSpec)
+    descriptor: CollectionDescriptor, spec: SearchSpec,
+    conds: Seq[PayloadCondition] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -1473,7 +1630,7 @@ final class CollectionSearchScanBuilder(
 
   override def build(): Scan =
     new CollectionSearchScan(storeName, collection, descriptor,
-      prunedSchema, spec.copy(k = k))
+      prunedSchema, spec.copy(k = k), conds)
 }
 
 /** A scored top-k scan: ONE partition holding the k best points — the
@@ -1484,7 +1641,8 @@ final class CollectionSearchScanBuilder(
   */
 final class CollectionSearchScan(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
-    pruned: StructType, spec: SearchSpec)
+    pruned: StructType, spec: SearchSpec,
+    conds: Seq[PayloadCondition] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -1496,6 +1654,8 @@ final class CollectionSearchScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"CollectionSearchScan($storeName.$collection, search=${spec.describe}, " +
+      (if (conds.isEmpty) ""
+       else s"filter=[${conds.map(_.describe).mkString(" AND ")}], ") +
       s"payload=${fetchSpec.withPayload}, " +
       s"vectors=[${fetchSpec.vectorFields.mkString(",")}])"
 
@@ -1521,12 +1681,14 @@ final class CollectionSearchScan(
     val schema = pruned
     val fetch = fetchSpec
     val s = spec
+    val cs = conds
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private val decoder = new ScoredPointDecoder(desc, schema)
           private val it = CollectionStores.get(store)
-            .searchPoints(coll, s, fetch.withPayload, fetch.vectorFields)
+            .searchPointsFiltered(coll, s, fetch.withPayload,
+              fetch.vectorFields, cs)
             .iterator
           private var current: InternalRow = _
           override def next(): Boolean =
@@ -1544,7 +1706,8 @@ final class CollectionScan(
     pruned: StructType, limit: Option[Int], partitions: Int,
     idFilter: Option[Set[String]] = None,
     idLower: Option[String] = None,
-    maxRowsPerBatch: Option[Long] = None)
+    maxRowsPerBatch: Option[Long] = None,
+    conds: Seq[PayloadCondition] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1617,7 +1780,9 @@ final class CollectionScan(
     s"CollectionScan($storeName.$collection, payload=${fetchSpec.withPayload}, " +
       s"vectors=[${fetchSpec.vectorFields.mkString(",")}], limit=$limit, " +
       s"idFilter=${idFilter.fold("none")(ids => ids.toSeq.sorted.mkString("{", ",", "}"))}, " +
-      s"idLower=${idLower.getOrElse("none")})"
+      s"idLower=${idLower.getOrElse("none")}" +
+      (if (conds.isEmpty) ")"
+       else s", filter=[${conds.map(_.describe).mkString(" AND ")}])")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = CollectionStores.get(storeName).pointCount(collection)
@@ -1627,7 +1792,7 @@ final class CollectionScan(
     // full range and apply filter-then-limit. Runtime id filters arrive
     // BEFORE this call (the DSv2 contract), so they participate too.
     val bound =
-      if (effectiveIdFilter.isDefined || idLower.isDefined) total
+      if (effectiveIdFilter.isDefined || idLower.isDefined || conds.nonEmpty) total
       else limit.fold(total)(n => math.min(total, n.toLong))
     val per = math.max(1L, (bound + partitions - 1) / partitions)
     (0L until bound by per).map(start =>
@@ -1637,7 +1802,7 @@ final class CollectionScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CollectionReaderFactory(storeName, collection, descriptor, pruned,
-      fetchSpec, limit, effectiveIdFilter, idLower)
+      fetchSpec, limit, effectiveIdFilter, idLower, conds)
 
   /** Streaming READ of the collection: a micro-batch CDC stream over the
     * store's upsert log. Offsets are log positions; each batch replays
@@ -1653,9 +1818,9 @@ final class CollectionScan(
     // always empty here — but if a future Spark version (or any other
     // code path) pushes them first, silently ignoring them would return
     // unfiltered rows. Fail loudly instead.
-    if (idFilter.isDefined || idLower.isDefined || limit.isDefined)
+    if (idFilter.isDefined || idLower.isDefined || limit.isDefined || conds.nonEmpty)
       throw new UnsupportedOperationException(
-        "pushed id filters / limit are not supported on the streaming (CDC) read path")
+        "pushed id/payload filters / limit are not supported on the streaming (CDC) read path")
     new CollectionMicroBatchStream(storeName, collection, descriptor, pruned,
       partitions, maxRowsPerBatch)
   }
@@ -2047,13 +2212,14 @@ final case class CollectionInputPartition(from: Long, until: Long) extends Input
 final class CollectionReaderFactory(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, limit: Option[Int],
-    idFilter: Option[Set[String]], idLower: Option[String])
+    idFilter: Option[Set[String]], idLower: Option[String],
+    conds: Seq[PayloadCondition] = Nil)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CollectionInputPartition]
     new CollectionPartitionReader(storeName, collection, descriptor, pruned,
-      fetch, p, limit, idFilter, idLower)
+      fetch, p, limit, idFilter, idLower, conds)
   }
 }
 
@@ -2170,12 +2336,13 @@ final class ScoredPointDecoder(descriptor: CollectionDescriptor,
 final class CollectionPartitionReader(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
-    limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String])
+    limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String],
+    conds: Seq[PayloadCondition] = Nil)
     extends PartitionReader[InternalRow] {
 
-  private val it = CollectionStores.get(storeName).queryPoints(
+  private val it = CollectionStores.get(storeName).queryPointsFiltered(
     collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
-    limit, idFilter, idLower)
+    limit, idFilter, idLower, conds)
 
   private val decoder = new PointDecoder(descriptor, pruned)
   private var current: InternalRow = _

@@ -259,6 +259,30 @@ private[sources] object CollectionWire {
     v match { case JString(s) => Some(s); case _ => None }
 
   def longOf(v: JValue): Long = long(v)
+
+  /** Payload `must` conditions on the wire: the filter object's `must`
+    * list, one `{key, op, value}` per condition — both directions, so
+    * the service evaluates EXACTLY the conditions the client composed.
+    */
+  def condsJson(conds: Seq[PayloadCondition]): List[(String, JValue)] =
+    if (conds.isEmpty) Nil
+    else List("must" -> (JArray(conds.toList.map(c =>
+      JObject("key" -> JString(c.key), "op" -> JString(c.op),
+        "value" -> JString(c.value)): JValue)): JValue))
+
+  def parseConds(filter: JValue): Seq[PayloadCondition] =
+    filter \ "must" match {
+      case JArray(cs) => cs.map { c =>
+        PayloadCondition(
+          optStr(c \ "key").getOrElse(
+            throw new IllegalArgumentException(s"must condition missing key: $c")),
+          optStr(c \ "op").getOrElse(
+            throw new IllegalArgumentException(s"must condition missing op: $c")),
+          optStr(c \ "value").getOrElse(
+            throw new IllegalArgumentException(s"must condition missing value: $c")))
+      }
+      case _ => Nil
+    }
 }
 
 /** The THIRD [[CollectionStore]] implementation: a serializable HTTP/JSON
@@ -389,11 +413,22 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     */
   override def countMatching(collection: String,
                              idFilter: Option[Set[String]] = None,
-                             idLower: Option[String] = None): Long = {
+                             idLower: Option[String] = None): Long =
+    countMatchingFiltered(collection, idFilter, idLower, Nil)
+
+  /** Full-filter count in ONE round trip: payload `must` conditions ship
+    * in the same filter object as the id vocabulary and the SERVICE
+    * evaluates them — the count never pages points over the wire.
+    */
+  override def countMatchingFiltered(collection: String,
+                                     idFilter: Option[Set[String]] = None,
+                                     idLower: Option[String] = None,
+                                     conds: Seq[PayloadCondition] = Nil): Long = {
     val filter = JObject(
       idFilter.toList.map(ids =>
         "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
-        idLower.toList.map(b => "id_gt" -> (JString(b): JValue)))
+        idLower.toList.map(b => "id_gt" -> (JString(b): JValue)) ++
+        CollectionWire.condsJson(conds))
     val body =
       if (filter.obj.isEmpty) JObject()
       else JObject(List("filter" -> (filter: JValue)))
@@ -406,7 +441,21 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                            withPayload: Boolean, vectorFields: Seq[String],
                            limit: Option[Int],
                            idFilter: Option[Set[String]] = None,
-                           idLower: Option[String] = None): Iterator[Point] = {
+                           idLower: Option[String] = None): Iterator[Point] =
+    queryPointsFiltered(collection, from, until, withPayload, vectorFields,
+      limit, idFilter, idLower, Nil)
+
+  /** Filtered scroll over the wire: payload `must` conditions ride the
+    * same per-page filter object, the SERVICE evaluates them, and only
+    * matching points cross the network — the whole reason the filter
+    * DSL exists at the protocol layer.
+    */
+  override def queryPointsFiltered(collection: String, from: Long, until: Long,
+                                   withPayload: Boolean, vectorFields: Seq[String],
+                                   limit: Option[Int],
+                                   idFilter: Option[Set[String]] = None,
+                                   idLower: Option[String] = None,
+                                   conds: Seq[PayloadCondition] = Nil): Iterator[Point] = {
     val desc = descriptor(collection)
     var remaining = limit
     Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until).flatMap { lo =>
@@ -416,7 +465,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
         val filter = JObject(
           idFilter.toList.map(ids =>
             "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
-            idLower.toList.map(b => "id_gt" -> (JString(b): JValue)))
+            idLower.toList.map(b => "id_gt" -> (JString(b): JValue)) ++
+            CollectionWire.condsJson(conds))
         val body = JObject(List(
           "range" -> (JArray(List(JLong(lo), JLong(hi))): JValue),
           "with_payload" -> (JBool(withPayload): JValue),
@@ -436,7 +486,18 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
 
   override def searchPoints(collection: String, spec: SearchSpec,
                             withPayload: Boolean,
-                            vectorFields: Seq[String]): Seq[(Point, Double)] = {
+                            vectorFields: Seq[String]): Seq[(Point, Double)] =
+    searchPointsFiltered(collection, spec, withPayload, vectorFields, Nil)
+
+  /** FILTERED search over the wire — the backend's `query_points` with
+    * both `query` and `filter`: the service restricts candidates BEFORE
+    * ranking, so k matching points come back (never a post-filtered
+    * short page) and non-matching points never cross the network.
+    */
+  override def searchPointsFiltered(collection: String, spec: SearchSpec,
+                                    withPayload: Boolean,
+                                    vectorFields: Seq[String],
+                                    conds: Seq[PayloadCondition]): Seq[(Point, Double)] = {
     val desc = descriptor(collection)
     val body = JObject(List(
       "query" -> (JArray(spec.query.toList.map(JDouble(_))): JValue),
@@ -445,6 +506,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       "params" -> JObject("metric" -> JString(spec.metric)),
       "with_payload" -> JBool(withPayload),
       "with_vector" -> JArray(vectorFields.toList.map(JString(_)))) ++
+      (if (conds.isEmpty) Nil
+       else List("filter" -> (JObject(CollectionWire.condsJson(conds)): JValue))) ++
       (if (spec.offset > 0) List("offset" -> (JInt(spec.offset): JValue)) else Nil) ++
       spec.scoreThreshold.map(t => "score_threshold" -> (JDouble(t): JValue)).toList)
     CollectionWire.result(
@@ -858,9 +921,10 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case _ => None
         }
         val lower = CollectionWire.optStr(b \ "filter" \ "id_gt")
+        val conds = CollectionWire.parseConds(b \ "filter")
         val n =
-          if (ids.isEmpty && lower.isEmpty) store.pointCount(c)
-          else store.countMatching(c, ids, lower)
+          if (ids.isEmpty && lower.isEmpty && conds.isEmpty) store.pointCount(c)
+          else store.countMatchingFiltered(c, ids, lower, conds)
         CollectionWire.okEnvelope(JObject("count" -> JLong(n)))
 
       case ("POST", "collections" :: c :: "points" :: "facet" :: Nil) =>
@@ -889,10 +953,13 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case JArray(ids) => Some(ids.flatMap(i => CollectionWire.optStr(i)).toSet)
           case _ => None
         }
-        val pts = store.queryPoints(c, from, until,
+        // payload `must` conditions evaluate HERE, server-side: the page
+        // that goes back over the wire holds matching points only
+        val pts = store.queryPointsFiltered(c, from, until,
           b \ "with_payload" == JBool(true), fields,
           CollectionWire.optLong(b \ "limit").map(_.toInt),
-          idFilter, CollectionWire.optStr(b \ "filter" \ "id_gt"))
+          idFilter, CollectionWire.optStr(b \ "filter" \ "id_gt"),
+          CollectionWire.parseConds(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" ->
           JArray(pts.map(p => CollectionWire.pointJson(p)).toList)))
 
@@ -922,9 +989,10 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case JArray(fs) => fs.flatMap(f => CollectionWire.optStr(f))
           case _ => Seq.empty
         }
-        val scored = store.searchPoints(c,
+        val scored = store.searchPointsFiltered(c,
           SearchSpec(using, query, metric, k, off, thr),
-          b \ "with_payload" == JBool(true), fields)
+          b \ "with_payload" == JBool(true), fields,
+          CollectionWire.parseConds(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" -> JArray(
           scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
 

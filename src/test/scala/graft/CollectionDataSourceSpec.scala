@@ -879,4 +879,68 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(got === want)
   }
+
+  test("payload filter: must conditions narrow the scan store-side, decisively") {
+    CollectionStores.register("tpf",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    def read(f: String) = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "tpf").option("collection", "c")
+      .option("filter", f).load()
+    // range conjunction; i%4==0 points carry NO payload -> excluded (8)
+    assert(read("i:gte:5;i:lt:12").select("id").collect().map(_.getString(0)).toSet
+      === Set("5", "6", "7", "9", "10", "11"))
+    assert(read("i:eq:7").select("id").collect().map(_.getString(0)).toSeq === Seq("7"))
+    assert(read("zzz:eq:1").count() === 0)         // absent key matches nothing
+    assert(read("i:eq:notanumber").count() === 0)  // typed match: number vs string
+    // the plan carries the pushed conditions
+    assert(read("i:gte:5").queryExecution.executedPlan.toString
+      .contains("filter=[i gte 5]"))
+    // COUNT(*) composes into the filtered count scan: one row crosses
+    val cdf = read("i:gte:5;i:lt:12").agg(count(lit(1)))
+    assert(cdf.head().getLong(0) === 6L)
+    assert(cdf.queryExecution.executedPlan.toString
+      .contains("CollectionFilteredCountScan"))
+    // seam narrowing: evaluation needs payload internally, but the
+    // caller's narrowed fetch is still honored on the way out
+    val store = CollectionStores.get("tpf")
+    val conds = Seq(PayloadCondition("i", "gte", "5"), PayloadCondition("i", "lt", "12"))
+    val pts = store.queryPointsFiltered("c", 0, 20, withPayload = false,
+      Nil, None, conds = conds).toSeq
+    assert(pts.map(_.id).toSet === Set("5", "6", "7", "9", "10", "11"))
+    assert(pts.forall(_.payload.isEmpty))
+    // filter-then-limit, like the id vocabulary
+    assert(store.queryPointsFiltered("c", 0, 20, withPayload = false,
+      Nil, Some(3), conds = conds).map(_.id).toSeq === Seq("5", "6", "7"))
+    // condition-string contract
+    intercept[IllegalArgumentException](PayloadCondition.parseList("i:like:5"))
+    intercept[IllegalArgumentException](PayloadCondition.parseList("noop"))
+    assert(PayloadCondition.parseList("a:eq:x:y").head.value === "x:y")
+    // the CDC face refuses payload filters loudly (tombstones carry none)
+    intercept[UnsupportedOperationException] {
+      spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", "tpf").option("collection", "c")
+        .option("cdc", "true").option("filter", "i:eq:1").load().collect()
+    }
+  }
+
+  test("filtered search is the true top-k of the MATCHING subset (pre-filter)") {
+    CollectionStores.register("tfs",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    val store = CollectionStores.get("tfs")
+    val spec = SearchSpec("text_embedding", Array(1.0, 0.0), "cosine", 3)
+    val global = store.searchPoints("c", spec, withPayload = false, Nil).map(_._1.id)
+    assert(global === Seq("19", "18", "16"))
+    val filtered = store.searchPointsFiltered("c", spec, withPayload = false,
+      Nil, Seq(PayloadCondition("i", "lte", "9"))).map(_._1.id)
+    // DISJOINT from the global page: post-filtering it would return nothing
+    assert(filtered === Seq("9", "7", "6"))
+    // same through the connector: filter + search options ride together
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "tfs").option("collection", "c")
+      .option("search.field", "text_embedding").option("search.vector", "1.0,0.0")
+      .option("search.metric", "cosine").option("search.k", "3")
+      .option("filter", "i:lte:9").load()
+    assert(df.select("id").collect().map(_.getString(0)).toSeq === Seq("9", "7", "6"))
+    assert(df.queryExecution.executedPlan.toString.contains("filter=[i lte 9]"))
+  }
 }

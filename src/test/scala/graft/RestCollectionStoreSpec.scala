@@ -198,6 +198,57 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally fsrv.stop()
   }
 
+  test("payload must conditions evaluate SERVER-side: scroll, count, search parity") {
+    // malformed-payload fixture first: conditions must skip unparseable
+    // payloads decisively (match nothing), never fail the request
+    assert(client.queryPointsFiltered("c", 0, 20, withPayload = true, Nil,
+      None, conds = Seq(PayloadCondition("i", "gte", "0"))).toSeq === Seq.empty)
+    // a clean-payload collection for the real parity checks
+    val fdesc = CollectionDescriptor("pf", Seq(DenseField("v", 2)))
+    val fpts = (0 until 20).map { i =>
+      Point(f"$i%03d",
+        payload = if (i % 4 == 0) None
+          else Some(s"""{"i": $i, "t": "c${i % 3}"}"""),
+        dense = Map("v" -> Array(i.toFloat, 1f)),
+        multi = Map.empty, sparse = Map.empty)
+    }
+    val finner = InMemoryCollectionStore.single("pf", fdesc, fpts.toIndexedSeq)
+    CollectionStores.register("rest_pf_spec", finner)
+    val fsrv = new CollectionHttpServer("rest_pf_spec").start()
+    try {
+      val fclient = new RestCollectionStore(fsrv.baseUrl, pageSize = 6)
+      val conds = Seq(PayloadCondition("i", "gte", "5"),
+        PayloadCondition("i", "lt", "12"))
+      // scroll: paging + server-side filter, client == inner
+      val got = fclient.queryPointsFiltered("pf", 0, 20, withPayload = true,
+        Seq("v"), None, conds = conds).map(key).toSeq
+      val want = finner.queryPointsFiltered("pf", 0, 20, withPayload = true,
+        Seq("v"), None, conds = conds).map(key).toSeq
+      assert(got === want)
+      assert(got.map(_._1) === Seq("005", "006", "007", "009", "010", "011"))
+      // string match on the keyword field
+      assert(fclient.queryPointsFiltered("pf", 0, 20, withPayload = false,
+        Nil, None, conds = Seq(PayloadCondition("t", "eq", "c1")))
+        .map(_.id).toSeq ===
+        finner.queryPointsFiltered("pf", 0, 20, withPayload = false,
+          Nil, None, conds = Seq(PayloadCondition("t", "eq", "c1")))
+          .map(_.id).toSeq)
+      // count: ONE round trip, same number
+      assert(fclient.countMatchingFiltered("pf", conds = conds) ===
+        finner.countMatchingFiltered("pf", conds = conds))
+      assert(fclient.countMatchingFiltered("pf", conds = conds) === 6L)
+      // filtered search: filter BEFORE ranking, identical scored pages
+      val spec = SearchSpec("v", Array(1.0, 0.0), "cosine", 3)
+      val sg = fclient.searchPointsFiltered("pf", spec, withPayload = false,
+        Nil, Seq(PayloadCondition("i", "lte", "9")))
+      val sw = finner.searchPointsFiltered("pf", spec, withPayload = false,
+        Nil, Seq(PayloadCondition("i", "lte", "9")))
+      assert(sg.map { case (p, s) => (p.id, s) } ===
+        sw.map { case (p, s) => (p.id, s) })
+      assert(sg.map(_._1.id) === Seq("009", "007", "006"))
+    } finally fsrv.stop()
+  }
+
   test("remote DDL: create/delete collections over the wire with exact config round-trip") {
     val store = InMemoryCollectionStore.single("seed",
       CollectionDescriptor("seed", Seq(DenseField("v", 2))), IndexedSeq.empty)
