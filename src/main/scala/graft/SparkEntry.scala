@@ -1343,6 +1343,42 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // the FULL filter object: must + must_not + min_should conjoin into
+    // one store-side predicate (the backend's complete boolean filter
+    // vocabulary) — labels {0,1,6,7,8}: lt 9, not 3, and at least one of
+    // (lte 1, gte 6)
+    "dsv2_filter_boolean" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("bf_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "bf_store").option("collection", "embeddings")
+        .option("partitions", "4")
+        .option("filter", "label:lt:9")
+        .option("filter.not", "label:eq:3")
+        .option("filter.minShould", "1|label:lte:1;label:gte:6")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // the same boolean filter SERIALIZED over the wire (must / must_not /
+    // min_should objects in the scroll filter), evaluated by the service.
+    // Same oracle as dsv2_filter_boolean
+    "dsv2_rest_filter_boolean" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_bf_store",
+        new RestCollectionStore(SparkEntry.restBackedUrl(s, dir)))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_bf_store").option("collection", "embeddings")
+        .option("partitions", "4")
+        .option("filter", "label:lt:9")
+        .option("filter.not", "label:eq:3")
+        .option("filter.minShould", "1|label:lte:1;label:gte:6")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
     // COUNT(*) + payload filter = the backend count API's full-filter
     // exact form: the pushed CountStar composes with the `must`
     // conditions into CollectionFilteredCountScan — ONE row crosses the
@@ -4607,6 +4643,24 @@ object SparkEntry {
 
     "dsv2_payload_count" ->
       "SELECT COUNT(*) AS n FROM embeddings WHERE label >= 2 AND label < 5",
+
+    "dsv2_filter_boolean" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings
+        |WHERE label < 9 AND NOT (label = 3)
+        |  AND (CASE WHEN label <= 1 THEN 1 ELSE 0 END +
+        |       CASE WHEN label >= 6 THEN 1 ELSE 0 END) >= 1
+        |ORDER BY id""".stripMargin,
+
+    "dsv2_rest_filter_boolean" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings
+        |WHERE label < 9 AND NOT (label = 3)
+        |  AND (CASE WHEN label <= 1 THEN 1 ELSE 0 END +
+        |       CASE WHEN label >= 6 THEN 1 ELSE 0 END) >= 1
+        |ORDER BY id""".stripMargin,
 
     // the filter applies BEFORE ranking: top-12 OF THE MATCHING SUBSET
     "dsv2_filtered_search" ->

@@ -52,9 +52,9 @@ final class AliasedCollectionStore(
                                    limit: Option[Int],
                                    idFilter: Option[Set[String]] = None,
                                    idLower: Option[String] = None,
-                                   conds: Seq[PayloadCondition] = Nil): Iterator[Point] =
+                                   pfilter: PayloadFilter = PayloadFilter.Empty): Iterator[Point] =
     inner.queryPointsFiltered(r(collection), from, until, withPayload,
-      vectorFields, limit, idFilter, idLower, conds)
+      vectorFields, limit, idFilter, idLower, pfilter)
   override def countMatching(collection: String,
                              idFilter: Option[Set[String]] = None,
                              idLower: Option[String] = None): Long =
@@ -62,14 +62,14 @@ final class AliasedCollectionStore(
   override def countMatchingFiltered(collection: String,
                                      idFilter: Option[Set[String]] = None,
                                      idLower: Option[String] = None,
-                                     conds: Seq[PayloadCondition] = Nil): Long =
-    inner.countMatchingFiltered(r(collection), idFilter, idLower, conds)
+                                     pfilter: PayloadFilter = PayloadFilter.Empty): Long =
+    inner.countMatchingFiltered(r(collection), idFilter, idLower, pfilter)
   override def searchPointsFiltered(collection: String, spec: SearchSpec,
                                     withPayload: Boolean,
                                     vectorFields: Seq[String],
-                                    conds: Seq[PayloadCondition]): Seq[(Point, Double)] =
+                                    pfilter: PayloadFilter): Seq[(Point, Double)] =
     inner.searchPointsFiltered(r(collection), spec, withPayload, vectorFields,
-      conds)
+      pfilter)
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] =
     inner.facetCounts(r(collection), key, limit)

@@ -207,6 +207,68 @@ object PayloadCondition {
     conds.map(c => s"${c.key}:${c.op}:${c.value}").mkString(";")
 }
 
+/** The backend's full filter object: `must` (every condition holds),
+  * `must_not` (none holds — a point whose field is ABSENT passes, the
+  * backend's negation convention), and `min_should` (at least
+  * `min_count` of the conditions hold — the wire form of the engine's
+  * `functions.min_should`). All three clauses conjoin.
+  */
+final case class PayloadFilter(
+    must: Seq[PayloadCondition] = Nil,
+    mustNot: Seq[PayloadCondition] = Nil,
+    minShould: Option[(Int, Seq[PayloadCondition])] = None) {
+  minShould.foreach { case (n, cs) =>
+    require(n >= 1 && cs.nonEmpty && n <= cs.length,
+      s"min_should needs 1 <= min_count <= |conditions|, got $n of ${cs.length}")
+  }
+
+  def isEmpty: Boolean = must.isEmpty && mustNot.isEmpty && minShould.isEmpty
+  def nonEmpty: Boolean = !isEmpty
+
+  def matches(p: Point): Boolean =
+    must.forall(_.matches(p)) &&
+      mustNot.forall(c => !c.matches(p)) &&
+      minShould.forall { case (n, cs) => cs.count(_.matches(p)) >= n }
+
+  def describe: String = {
+    val parts =
+      (if (must.isEmpty) Nil
+       else Seq(must.map(_.describe).mkString(" AND "))) ++
+        mustNot.map(c => s"NOT ${c.describe}") ++
+        minShould.map { case (n, cs) =>
+          s"$n of (${cs.map(_.describe).mkString(", ")})"
+        }
+    parts.mkString(" AND ")
+  }
+}
+
+object PayloadFilter {
+  val Empty: PayloadFilter = PayloadFilter()
+
+  def mustAll(conds: Seq[PayloadCondition]): PayloadFilter =
+    PayloadFilter(must = conds)
+
+  /** The read-option encoding: `filter` = must conjunction, `filter.not`
+    * = must_not list, `filter.minShould` = `min_count|cond;cond;...`
+    * (all three in [[PayloadCondition.parseList]] syntax).
+    */
+  def fromOptions(o: CaseInsensitiveStringMap): PayloadFilter = {
+    val must = Option(o.get("filter"))
+      .map(PayloadCondition.parseList).getOrElse(Nil)
+    val not = Option(o.get("filter.not"))
+      .map(PayloadCondition.parseList).getOrElse(Nil)
+    val ms = Option(o.get("filter.minShould")).map { s =>
+      s.split("\\|", 2) match {
+        case Array(n, conds) =>
+          (n.trim.toInt, PayloadCondition.parseList(conds))
+        case _ => throw new IllegalArgumentException(
+          s"bad filter.minShould '$s' (expected min_count|key:op:value;...)")
+      }
+    }
+    PayloadFilter(must, not, ms)
+  }
+}
+
 /** The "remote collection service" abstraction — the analog of the
   * reference's `Arc<Qdrant>` gRPC client (/root/reference/src/table.rs:84).
   * `queryPoints` receives the NARROWED fetch spec exactly like the
@@ -272,14 +334,14 @@ trait CollectionStore extends Serializable {
                           limit: Option[Int],
                           idFilter: Option[Set[String]] = None,
                           idLower: Option[String] = None,
-                          conds: Seq[PayloadCondition] = Nil): Iterator[Point] =
-    if (conds.isEmpty)
+                          pfilter: PayloadFilter = PayloadFilter.Empty): Iterator[Point] =
+    if (pfilter.isEmpty)
       queryPoints(collection, from, until, withPayload, vectorFields, limit,
         idFilter, idLower)
     else {
       val matching = queryPoints(collection, from, until,
           withPayload = true, vectorFields, None, idFilter, idLower)
-        .filter(p => conds.forall(_.matches(p)))
+        .filter(pfilter.matches)
       val narrowed =
         if (withPayload) matching else matching.map(_.copy(payload = None))
       limit.fold(narrowed)(n => narrowed.take(n))
@@ -293,12 +355,12 @@ trait CollectionStore extends Serializable {
   def countMatchingFiltered(collection: String,
                             idFilter: Option[Set[String]] = None,
                             idLower: Option[String] = None,
-                            conds: Seq[PayloadCondition] = Nil): Long =
-    if (conds.isEmpty) countMatching(collection, idFilter, idLower)
+                            pfilter: PayloadFilter = PayloadFilter.Empty): Long =
+    if (pfilter.isEmpty) countMatching(collection, idFilter, idLower)
     else {
       val it = queryPointsFiltered(collection, 0L, pointCount(collection),
         withPayload = false, vectorFields = Nil, limit = None,
-        idFilter = idFilter, idLower = idLower, conds = conds)
+        idFilter = idFilter, idLower = idLower, pfilter = pfilter)
       var n = 0L
       while (it.hasNext) { it.next(); n += 1 }
       n
@@ -317,7 +379,8 @@ trait CollectionStore extends Serializable {
   def searchPoints(collection: String, spec: SearchSpec,
                    withPayload: Boolean,
                    vectorFields: Seq[String]): Seq[(Point, Double)] =
-    searchPointsFiltered(collection, spec, withPayload, vectorFields, Nil)
+    searchPointsFiltered(collection, spec, withPayload, vectorFields,
+      PayloadFilter.Empty)
 
   /** [[searchPoints]] restricted to points passing payload `must`
     * conditions — the backend's FILTERED vector search, its defining
@@ -330,7 +393,7 @@ trait CollectionStore extends Serializable {
     */
   def searchPointsFiltered(collection: String, spec: SearchSpec,
                            withPayload: Boolean, vectorFields: Seq[String],
-                           conds: Seq[PayloadCondition]): Seq[(Point, Double)] = {
+                           pfilter: PayloadFilter): Seq[(Point, Double)] = {
     val desc = SearchSpec.descending(spec.metric)
     // worst-first ordering for the bounded heap: the head is the candidate
     // to evict. Ties prefer evicting the LATER id (so earlier ids win).
@@ -357,7 +420,7 @@ trait CollectionStore extends Serializable {
     val capacity = spec.k + spec.offset
     val fetchFields = (vectorFields :+ spec.field).distinct
     queryPointsFiltered(collection, 0L, pointCount(collection), withPayload,
-        fetchFields, None, conds = conds)
+        fetchFields, None, pfilter = pfilter)
       .foreach { p =>
         p.dense.get(spec.field).flatMap(v =>
             SearchSpec.score(spec.metric, v, spec.query))
@@ -1016,10 +1079,9 @@ final class CollectionTable(storeName: String, collection: String,
     // conjunctions) — evaluated by the STORE, exactly like the pushed id
     // filters: matching points are the only ones that surface (and, for
     // the wire client, the only ones that cross the network)
-    val conds = Option(options.get("filter"))
-      .map(PayloadCondition.parseList).getOrElse(Nil)
+    val pf = PayloadFilter.fromOptions(options)
     if (cdc) {
-      if (conds.nonEmpty) throw new UnsupportedOperationException(
+      if (pf.nonEmpty) throw new UnsupportedOperationException(
         "payload filters are not supported on the CDC read face " +
           "(tombstones carry no payload to evaluate)")
       new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
@@ -1027,7 +1089,7 @@ final class CollectionTable(storeName: String, collection: String,
       // the scan IS the query: a pushed top-k search serves scored points
       // straight from the store — no full-collection decode above the scan
       new CollectionSearchScanBuilder(storeName, collection, descriptor,
-        search.get, conds)
+        search.get, pf)
     else asOf match {
       // TIME TRAVEL (read option asOfSeq=N): the collection's contents as
       // of change-log position N, reconstructed by replaying the log
@@ -1035,14 +1097,14 @@ final class CollectionTable(storeName: String, collection: String,
       // face of the CDC log's history. Column pruning only: a
       // point-in-time audit read, not a serving path.
       case Some(seq) =>
-        if (conds.nonEmpty) throw new UnsupportedOperationException(
+        if (pf.nonEmpty) throw new UnsupportedOperationException(
           "payload filters are not supported on the time-travel read " +
             "(an audit read reconstructs the full snapshot)")
         new HistoricalScanBuilder(storeName, collection, descriptor, seq,
           partitions)
       case None =>
         new CollectionScanBuilder(storeName, collection, descriptor, partitions,
-          maxRows, conds)
+          maxRows, pf)
     }
   }
 
@@ -1425,7 +1487,7 @@ final class CollectionScanBuilder(
     storeName: String, collection: String,
     descriptor: CollectionDescriptor, partitions: Int,
     maxRowsPerBatch: Option[Long] = None,
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1507,14 +1569,14 @@ final class CollectionScanBuilder(
   override def pushedFilters(): Array[sources.Filter] = accepted
 
   override def build(): Scan =
-    if (countStar && idFilter.isEmpty && idLower.isEmpty && conds.isEmpty)
+    if (countStar && idFilter.isEmpty && idLower.isEmpty && pfilter.isEmpty)
       new CollectionCountScan(storeName, collection, prunedSchema)
     else if (countStar)
       new CollectionFilteredCountScan(storeName, collection, idFilter, idLower,
-        conds)
+        pfilter)
     else
       new CollectionScan(storeName, collection, descriptor, prunedSchema, limit,
-        partitions, idFilter, idLower, maxRowsPerBatch, conds)
+        partitions, idFilter, idLower, maxRowsPerBatch, pfilter)
 }
 
 /** Complete COUNT(*) pushdown: one partition, one row, the store's point
@@ -1563,7 +1625,7 @@ final class CollectionCountScan(storeName: String, collection: String,
 final class CollectionFilteredCountScan(
     storeName: String, collection: String,
     idFilter: Option[Set[String]], idLower: Option[String],
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
@@ -1571,8 +1633,8 @@ final class CollectionFilteredCountScan(
   override def description(): String = {
     val f = idFilter.map(s => s"ids=${s.size}").toSeq ++
       idLower.map(l => s"id>'$l'").toSeq ++
-      (if (conds.isEmpty) Nil
-       else Seq(s"filter=[${conds.map(_.describe).mkString(" AND ")}]"))
+      (if (pfilter.isEmpty) Nil
+       else Seq(s"filter=[${pfilter.describe}]"))
     s"CollectionFilteredCountScan($storeName.$collection, ${f.mkString(", ")})"
   }
 
@@ -1585,7 +1647,7 @@ final class CollectionFilteredCountScan(
       private val coll = collection
       private val ids = idFilter
       private val lower = idLower
-      private val cs = conds
+      private val cs = pfilter
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
           private var emitted = false
@@ -1614,7 +1676,7 @@ final class CollectionFilteredCountScan(
 final class CollectionSearchScanBuilder(
     storeName: String, collection: String,
     descriptor: CollectionDescriptor, spec: SearchSpec,
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -1630,7 +1692,7 @@ final class CollectionSearchScanBuilder(
 
   override def build(): Scan =
     new CollectionSearchScan(storeName, collection, descriptor,
-      prunedSchema, spec.copy(k = k), conds)
+      prunedSchema, spec.copy(k = k), pfilter)
 }
 
 /** A scored top-k scan: ONE partition holding the k best points — the
@@ -1642,7 +1704,7 @@ final class CollectionSearchScanBuilder(
 final class CollectionSearchScan(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, spec: SearchSpec,
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -1654,8 +1716,8 @@ final class CollectionSearchScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"CollectionSearchScan($storeName.$collection, search=${spec.describe}, " +
-      (if (conds.isEmpty) ""
-       else s"filter=[${conds.map(_.describe).mkString(" AND ")}], ") +
+      (if (pfilter.isEmpty) ""
+       else s"filter=[${pfilter.describe}], ") +
       s"payload=${fetchSpec.withPayload}, " +
       s"vectors=[${fetchSpec.vectorFields.mkString(",")}])"
 
@@ -1681,7 +1743,7 @@ final class CollectionSearchScan(
     val schema = pruned
     val fetch = fetchSpec
     val s = spec
-    val cs = conds
+    val cs = pfilter
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
@@ -1707,7 +1769,7 @@ final class CollectionScan(
     idFilter: Option[Set[String]] = None,
     idLower: Option[String] = None,
     maxRowsPerBatch: Option[Long] = None,
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
@@ -1781,8 +1843,8 @@ final class CollectionScan(
       s"vectors=[${fetchSpec.vectorFields.mkString(",")}], limit=$limit, " +
       s"idFilter=${idFilter.fold("none")(ids => ids.toSeq.sorted.mkString("{", ",", "}"))}, " +
       s"idLower=${idLower.getOrElse("none")}" +
-      (if (conds.isEmpty) ")"
-       else s", filter=[${conds.map(_.describe).mkString(" AND ")}])")
+      (if (pfilter.isEmpty) ")"
+       else s", filter=[${pfilter.describe}])")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val total = CollectionStores.get(storeName).pointCount(collection)
@@ -1792,7 +1854,7 @@ final class CollectionScan(
     // full range and apply filter-then-limit. Runtime id filters arrive
     // BEFORE this call (the DSv2 contract), so they participate too.
     val bound =
-      if (effectiveIdFilter.isDefined || idLower.isDefined || conds.nonEmpty) total
+      if (effectiveIdFilter.isDefined || idLower.isDefined || pfilter.nonEmpty) total
       else limit.fold(total)(n => math.min(total, n.toLong))
     val per = math.max(1L, (bound + partitions - 1) / partitions)
     (0L until bound by per).map(start =>
@@ -1802,7 +1864,7 @@ final class CollectionScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CollectionReaderFactory(storeName, collection, descriptor, pruned,
-      fetchSpec, limit, effectiveIdFilter, idLower, conds)
+      fetchSpec, limit, effectiveIdFilter, idLower, pfilter)
 
   /** Streaming READ of the collection: a micro-batch CDC stream over the
     * store's upsert log. Offsets are log positions; each batch replays
@@ -1818,7 +1880,7 @@ final class CollectionScan(
     // always empty here — but if a future Spark version (or any other
     // code path) pushes them first, silently ignoring them would return
     // unfiltered rows. Fail loudly instead.
-    if (idFilter.isDefined || idLower.isDefined || limit.isDefined || conds.nonEmpty)
+    if (idFilter.isDefined || idLower.isDefined || limit.isDefined || pfilter.nonEmpty)
       throw new UnsupportedOperationException(
         "pushed id/payload filters / limit are not supported on the streaming (CDC) read path")
     new CollectionMicroBatchStream(storeName, collection, descriptor, pruned,
@@ -2213,13 +2275,13 @@ final class CollectionReaderFactory(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, limit: Option[Int],
     idFilter: Option[Set[String]], idLower: Option[String],
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CollectionInputPartition]
     new CollectionPartitionReader(storeName, collection, descriptor, pruned,
-      fetch, p, limit, idFilter, idLower, conds)
+      fetch, p, limit, idFilter, idLower, pfilter)
   }
 }
 
@@ -2337,12 +2399,12 @@ final class CollectionPartitionReader(
     storeName: String, collection: String, descriptor: CollectionDescriptor,
     pruned: StructType, fetch: FetchSpec, part: CollectionInputPartition,
     limit: Option[Int], idFilter: Option[Set[String]], idLower: Option[String],
-    conds: Seq[PayloadCondition] = Nil)
+    pfilter: PayloadFilter = PayloadFilter.Empty)
     extends PartitionReader[InternalRow] {
 
   private val it = CollectionStores.get(storeName).queryPointsFiltered(
     collection, part.from, part.until, fetch.withPayload, fetch.vectorFields,
-    limit, idFilter, idLower, conds)
+    limit, idFilter, idLower, pfilter)
 
   private val decoder = new PointDecoder(descriptor, pruned)
   private var current: InternalRow = _

@@ -260,29 +260,51 @@ private[sources] object CollectionWire {
 
   def longOf(v: JValue): Long = long(v)
 
-  /** Payload `must` conditions on the wire: the filter object's `must`
-    * list, one `{key, op, value}` per condition — both directions, so
-    * the service evaluates EXACTLY the conditions the client composed.
+  /** The payload filter object on the wire — `must` / `must_not` lists
+    * plus `min_should` `{min_count, conditions}`, one `{key, op, value}`
+    * per condition, both directions: the service evaluates EXACTLY the
+    * filter the client composed.
     */
-  def condsJson(conds: Seq[PayloadCondition]): List[(String, JValue)] =
-    if (conds.isEmpty) Nil
-    else List("must" -> (JArray(conds.toList.map(c =>
+  private def condList(conds: Seq[PayloadCondition]): JValue =
+    JArray(conds.toList.map(c =>
       JObject("key" -> JString(c.key), "op" -> JString(c.op),
-        "value" -> JString(c.value)): JValue)): JValue))
+        "value" -> JString(c.value)): JValue))
 
-  def parseConds(filter: JValue): Seq[PayloadCondition] =
-    filter \ "must" match {
+  def filterJson(pf: PayloadFilter): List[(String, JValue)] =
+    (if (pf.must.isEmpty) Nil else List("must" -> condList(pf.must))) ++
+      (if (pf.mustNot.isEmpty) Nil
+       else List("must_not" -> condList(pf.mustNot))) ++
+      pf.minShould.toList.map { case (n, cs) =>
+        "min_should" -> (JObject("min_count" -> JInt(n),
+          "conditions" -> condList(cs)): JValue)
+      }
+
+  private def parseCondList(v: JValue, clause: String): Seq[PayloadCondition] =
+    v match {
       case JArray(cs) => cs.map { c =>
         PayloadCondition(
           optStr(c \ "key").getOrElse(
-            throw new IllegalArgumentException(s"must condition missing key: $c")),
+            throw new IllegalArgumentException(s"$clause condition missing key: $c")),
           optStr(c \ "op").getOrElse(
-            throw new IllegalArgumentException(s"must condition missing op: $c")),
+            throw new IllegalArgumentException(s"$clause condition missing op: $c")),
           optStr(c \ "value").getOrElse(
-            throw new IllegalArgumentException(s"must condition missing value: $c")))
+            throw new IllegalArgumentException(s"$clause condition missing value: $c")))
       }
       case _ => Nil
     }
+
+  def parseFilter(filter: JValue): PayloadFilter =
+    PayloadFilter(
+      parseCondList(filter \ "must", "must"),
+      parseCondList(filter \ "must_not", "must_not"),
+      filter \ "min_should" match {
+        case JNothing | JNull => None
+        case ms => Some((
+          optLong(ms \ "min_count").getOrElse(
+            throw new IllegalArgumentException(s"min_should missing min_count: $ms"))
+            .toInt,
+          parseCondList(ms \ "conditions", "min_should")))
+      })
 }
 
 /** The THIRD [[CollectionStore]] implementation: a serializable HTTP/JSON
@@ -414,7 +436,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   override def countMatching(collection: String,
                              idFilter: Option[Set[String]] = None,
                              idLower: Option[String] = None): Long =
-    countMatchingFiltered(collection, idFilter, idLower, Nil)
+    countMatchingFiltered(collection, idFilter, idLower, PayloadFilter.Empty)
 
   /** Full-filter count in ONE round trip: payload `must` conditions ship
     * in the same filter object as the id vocabulary and the SERVICE
@@ -423,12 +445,12 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   override def countMatchingFiltered(collection: String,
                                      idFilter: Option[Set[String]] = None,
                                      idLower: Option[String] = None,
-                                     conds: Seq[PayloadCondition] = Nil): Long = {
+                                     pfilter: PayloadFilter = PayloadFilter.Empty): Long = {
     val filter = JObject(
       idFilter.toList.map(ids =>
         "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
         idLower.toList.map(b => "id_gt" -> (JString(b): JValue)) ++
-        CollectionWire.condsJson(conds))
+        CollectionWire.filterJson(pfilter))
     val body =
       if (filter.obj.isEmpty) JObject()
       else JObject(List("filter" -> (filter: JValue)))
@@ -443,7 +465,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                            idFilter: Option[Set[String]] = None,
                            idLower: Option[String] = None): Iterator[Point] =
     queryPointsFiltered(collection, from, until, withPayload, vectorFields,
-      limit, idFilter, idLower, Nil)
+      limit, idFilter, idLower, PayloadFilter.Empty)
 
   /** Filtered scroll over the wire: payload `must` conditions ride the
     * same per-page filter object, the SERVICE evaluates them, and only
@@ -455,7 +477,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                    limit: Option[Int],
                                    idFilter: Option[Set[String]] = None,
                                    idLower: Option[String] = None,
-                                   conds: Seq[PayloadCondition] = Nil): Iterator[Point] = {
+                                   pfilter: PayloadFilter = PayloadFilter.Empty): Iterator[Point] = {
     val desc = descriptor(collection)
     var remaining = limit
     Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until).flatMap { lo =>
@@ -466,7 +488,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
           idFilter.toList.map(ids =>
             "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
             idLower.toList.map(b => "id_gt" -> (JString(b): JValue)) ++
-            CollectionWire.condsJson(conds))
+            CollectionWire.filterJson(pfilter))
         val body = JObject(List(
           "range" -> (JArray(List(JLong(lo), JLong(hi))): JValue),
           "with_payload" -> (JBool(withPayload): JValue),
@@ -487,7 +509,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   override def searchPoints(collection: String, spec: SearchSpec,
                             withPayload: Boolean,
                             vectorFields: Seq[String]): Seq[(Point, Double)] =
-    searchPointsFiltered(collection, spec, withPayload, vectorFields, Nil)
+    searchPointsFiltered(collection, spec, withPayload, vectorFields,
+      PayloadFilter.Empty)
 
   /** FILTERED search over the wire — the backend's `query_points` with
     * both `query` and `filter`: the service restricts candidates BEFORE
@@ -497,7 +520,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   override def searchPointsFiltered(collection: String, spec: SearchSpec,
                                     withPayload: Boolean,
                                     vectorFields: Seq[String],
-                                    conds: Seq[PayloadCondition]): Seq[(Point, Double)] = {
+                                    pfilter: PayloadFilter): Seq[(Point, Double)] = {
     val desc = descriptor(collection)
     val body = JObject(List(
       "query" -> (JArray(spec.query.toList.map(JDouble(_))): JValue),
@@ -506,8 +529,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       "params" -> JObject("metric" -> JString(spec.metric)),
       "with_payload" -> JBool(withPayload),
       "with_vector" -> JArray(vectorFields.toList.map(JString(_)))) ++
-      (if (conds.isEmpty) Nil
-       else List("filter" -> (JObject(CollectionWire.condsJson(conds)): JValue))) ++
+      (if (pfilter.isEmpty) Nil
+       else List("filter" -> (JObject(CollectionWire.filterJson(pfilter)): JValue))) ++
       (if (spec.offset > 0) List("offset" -> (JInt(spec.offset): JValue)) else Nil) ++
       spec.scoreThreshold.map(t => "score_threshold" -> (JDouble(t): JValue)).toList)
     CollectionWire.result(
@@ -921,10 +944,10 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case _ => None
         }
         val lower = CollectionWire.optStr(b \ "filter" \ "id_gt")
-        val conds = CollectionWire.parseConds(b \ "filter")
+        val pf = CollectionWire.parseFilter(b \ "filter")
         val n =
-          if (ids.isEmpty && lower.isEmpty && conds.isEmpty) store.pointCount(c)
-          else store.countMatchingFiltered(c, ids, lower, conds)
+          if (ids.isEmpty && lower.isEmpty && pf.isEmpty) store.pointCount(c)
+          else store.countMatchingFiltered(c, ids, lower, pf)
         CollectionWire.okEnvelope(JObject("count" -> JLong(n)))
 
       case ("POST", "collections" :: c :: "points" :: "facet" :: Nil) =>
@@ -959,7 +982,7 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           b \ "with_payload" == JBool(true), fields,
           CollectionWire.optLong(b \ "limit").map(_.toInt),
           idFilter, CollectionWire.optStr(b \ "filter" \ "id_gt"),
-          CollectionWire.parseConds(b \ "filter"))
+          CollectionWire.parseFilter(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" ->
           JArray(pts.map(p => CollectionWire.pointJson(p)).toList)))
 
@@ -992,7 +1015,7 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
         val scored = store.searchPointsFiltered(c,
           SearchSpec(using, query, metric, k, off, thr),
           b \ "with_payload" == JBool(true), fields,
-          CollectionWire.parseConds(b \ "filter"))
+          CollectionWire.parseFilter(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" -> JArray(
           scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)))
 

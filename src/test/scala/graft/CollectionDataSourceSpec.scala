@@ -903,14 +903,15 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // seam narrowing: evaluation needs payload internally, but the
     // caller's narrowed fetch is still honored on the way out
     val store = CollectionStores.get("tpf")
-    val conds = Seq(PayloadCondition("i", "gte", "5"), PayloadCondition("i", "lt", "12"))
+    val pf = PayloadFilter.mustAll(Seq(
+      PayloadCondition("i", "gte", "5"), PayloadCondition("i", "lt", "12")))
     val pts = store.queryPointsFiltered("c", 0, 20, withPayload = false,
-      Nil, None, conds = conds).toSeq
+      Nil, None, pfilter = pf).toSeq
     assert(pts.map(_.id).toSet === Set("5", "6", "7", "9", "10", "11"))
     assert(pts.forall(_.payload.isEmpty))
     // filter-then-limit, like the id vocabulary
     assert(store.queryPointsFiltered("c", 0, 20, withPayload = false,
-      Nil, Some(3), conds = conds).map(_.id).toSeq === Seq("5", "6", "7"))
+      Nil, Some(3), pfilter = pf).map(_.id).toSeq === Seq("5", "6", "7"))
     // condition-string contract
     intercept[IllegalArgumentException](PayloadCondition.parseList("i:like:5"))
     intercept[IllegalArgumentException](PayloadCondition.parseList("noop"))
@@ -923,6 +924,35 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("filter object: must_not and min_should compose with must") {
+    CollectionStores.register("tbf",
+      InMemoryCollectionStore.single("c", desc, mkPoints(20)))
+    def read(opts: (String, String)*) =
+      opts.foldLeft(spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", "tbf").option("collection", "c")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+    // payload-carrying i in 0..11: {1,2,3,5,6,7,9,10,11}; must_not drops 7,
+    // min_should(1 of: lte 2, gte 10) keeps {1,2,10,11}
+    val df = read("filter" -> "i:lt:12", "filter.not" -> "i:eq:7",
+      "filter.minShould" -> "1|i:lte:2;i:gte:10")
+    assert(df.select("id").collect().map(_.getString(0)).toSet ===
+      Set("1", "2", "10", "11"))
+    // the full boolean filter shows in the plan
+    assert(df.queryExecution.executedPlan.toString.contains("NOT i eq 7"))
+    assert(df.queryExecution.executedPlan.toString.contains("1 of ("))
+    // must_not ALONE admits absent-payload points — the backend's
+    // negation convention (points WITHOUT the matching value pass)
+    assert(read("filter.not" -> "i:lt:100").select("id")
+      .collect().map(_.getString(0)).toSet === Set("0", "4", "8", "12", "16"))
+    // min_should bounds guard
+    intercept[IllegalArgumentException](PayloadFilter(
+      minShould = Some((3, Seq(PayloadCondition("i", "eq", "1"))))))
+    // COUNT(*) composes with the full object too
+    assert(read("filter.not" -> "i:lt:100").agg(count(lit(1)))
+      .head().getLong(0) === 5L)
+  }
+
   test("filtered search is the true top-k of the MATCHING subset (pre-filter)") {
     CollectionStores.register("tfs",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
@@ -931,7 +961,8 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     val global = store.searchPoints("c", spec, withPayload = false, Nil).map(_._1.id)
     assert(global === Seq("19", "18", "16"))
     val filtered = store.searchPointsFiltered("c", spec, withPayload = false,
-      Nil, Seq(PayloadCondition("i", "lte", "9"))).map(_._1.id)
+      Nil, PayloadFilter.mustAll(Seq(PayloadCondition("i", "lte", "9"))))
+      .map(_._1.id)
     // DISJOINT from the global page: post-filtering it would return nothing
     assert(filtered === Seq("9", "7", "6"))
     // same through the connector: filter + search options ride together

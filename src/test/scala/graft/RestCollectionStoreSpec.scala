@@ -202,7 +202,8 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // malformed-payload fixture first: conditions must skip unparseable
     // payloads decisively (match nothing), never fail the request
     assert(client.queryPointsFiltered("c", 0, 20, withPayload = true, Nil,
-      None, conds = Seq(PayloadCondition("i", "gte", "0"))).toSeq === Seq.empty)
+      None, pfilter = PayloadFilter.mustAll(
+        Seq(PayloadCondition("i", "gte", "0")))).toSeq === Seq.empty)
     // a clean-payload collection for the real parity checks
     val fdesc = CollectionDescriptor("pf", Seq(DenseField("v", 2)))
     val fpts = (0 until 20).map { i =>
@@ -217,35 +218,48 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fsrv = new CollectionHttpServer("rest_pf_spec").start()
     try {
       val fclient = new RestCollectionStore(fsrv.baseUrl, pageSize = 6)
-      val conds = Seq(PayloadCondition("i", "gte", "5"),
-        PayloadCondition("i", "lt", "12"))
+      val pf = PayloadFilter.mustAll(Seq(PayloadCondition("i", "gte", "5"),
+        PayloadCondition("i", "lt", "12")))
       // scroll: paging + server-side filter, client == inner
       val got = fclient.queryPointsFiltered("pf", 0, 20, withPayload = true,
-        Seq("v"), None, conds = conds).map(key).toSeq
+        Seq("v"), None, pfilter = pf).map(key).toSeq
       val want = finner.queryPointsFiltered("pf", 0, 20, withPayload = true,
-        Seq("v"), None, conds = conds).map(key).toSeq
+        Seq("v"), None, pfilter = pf).map(key).toSeq
       assert(got === want)
       assert(got.map(_._1) === Seq("005", "006", "007", "009", "010", "011"))
       // string match on the keyword field
+      val tEq = PayloadFilter.mustAll(Seq(PayloadCondition("t", "eq", "c1")))
       assert(fclient.queryPointsFiltered("pf", 0, 20, withPayload = false,
-        Nil, None, conds = Seq(PayloadCondition("t", "eq", "c1")))
-        .map(_.id).toSeq ===
+        Nil, None, pfilter = tEq).map(_.id).toSeq ===
         finner.queryPointsFiltered("pf", 0, 20, withPayload = false,
-          Nil, None, conds = Seq(PayloadCondition("t", "eq", "c1")))
-          .map(_.id).toSeq)
+          Nil, None, pfilter = tEq).map(_.id).toSeq)
       // count: ONE round trip, same number
-      assert(fclient.countMatchingFiltered("pf", conds = conds) ===
-        finner.countMatchingFiltered("pf", conds = conds))
-      assert(fclient.countMatchingFiltered("pf", conds = conds) === 6L)
+      assert(fclient.countMatchingFiltered("pf", pfilter = pf) ===
+        finner.countMatchingFiltered("pf", pfilter = pf))
+      assert(fclient.countMatchingFiltered("pf", pfilter = pf) === 6L)
       // filtered search: filter BEFORE ranking, identical scored pages
       val spec = SearchSpec("v", Array(1.0, 0.0), "cosine", 3)
+      val le9 = PayloadFilter.mustAll(Seq(PayloadCondition("i", "lte", "9")))
       val sg = fclient.searchPointsFiltered("pf", spec, withPayload = false,
-        Nil, Seq(PayloadCondition("i", "lte", "9")))
+        Nil, le9)
       val sw = finner.searchPointsFiltered("pf", spec, withPayload = false,
-        Nil, Seq(PayloadCondition("i", "lte", "9")))
+        Nil, le9)
       assert(sg.map { case (p, s) => (p.id, s) } ===
         sw.map { case (p, s) => (p.id, s) })
       assert(sg.map(_._1.id) === Seq("009", "007", "006"))
+      // the FULL boolean object round-trips: must + must_not + min_should
+      val bf = PayloadFilter(
+        must = Seq(PayloadCondition("i", "lt", "12")),
+        mustNot = Seq(PayloadCondition("i", "eq", "7")),
+        minShould = Some((1, Seq(PayloadCondition("i", "lte", "2"),
+          PayloadCondition("i", "gte", "10")))))
+      assert(fclient.queryPointsFiltered("pf", 0, 20, withPayload = false,
+        Nil, None, pfilter = bf).map(_.id).toSeq ===
+        finner.queryPointsFiltered("pf", 0, 20, withPayload = false,
+          Nil, None, pfilter = bf).map(_.id).toSeq)
+      assert(fclient.countMatchingFiltered("pf", pfilter = bf) ===
+        finner.countMatchingFiltered("pf", pfilter = bf))
+      assert(fclient.countMatchingFiltered("pf", pfilter = bf) === 4L)
     } finally fsrv.stop()
   }
 
