@@ -1379,6 +1379,61 @@ object SparkEntry {
         .select(col("id"), col("payload"))
     }),
 
+    // IsEmpty through the filter DSL: points whose payload field is
+    // MISSING (no payload at all, absent key, null, or []) — the
+    // backend's is_empty condition; label-0 points get NULL payloads in
+    // this fixture
+    "dsv2_filter_empty" -> ((s, dir) => {
+      import graft.sources._
+      val src = hom(s, dir).select(col("id"),
+        when(json_get_int(col("payload"), "label") === 0, lit(null))
+          .otherwise(col("payload")).as("payload"),
+        col("vector"))
+      CollectionStores.register("fe_store", InMemoryCollectionStore.fromRows(
+        src, "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "fe_store").option("collection", "embeddings")
+        .option("partitions", "4")
+        .option("filter", "label:empty:")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // MatchAny (keyword IN) through the filter DSL: label in {2, 5, 7},
+    // one store-side condition — the backend's match-any form
+    "dsv2_filter_match_any" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("fa_store", InMemoryCollectionStore.fromRows(
+        hom(s, dir).select("id", "payload", "vector"),
+        "embeddings", Collections.homogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "fa_store").option("collection", "embeddings")
+        .option("partitions", "4")
+        .option("filter", "label:match_any:2|5|7")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // MatchText through the filter DSL over a PAYLOAD-ONLY collection
+    // (documents as points): full-text token match on a payload field,
+    // evaluated store-side — the backend's text condition on a
+    // text-indexed field
+    "dsv2_filter_text" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("docs", Seq())
+      val src = docs(s, dir).select(
+        col("doc_id").cast(StringType).as("id"),
+        to_json(struct(col("lang"), col("source"), col("text"))).as("payload"))
+      CollectionStores.register("ft_store",
+        InMemoryCollectionStore.fromRows(src, "docs", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "ft_store").option("collection", "docs")
+        .option("partitions", "4")
+        .option("filter", "text:match_text:vector batch")
+        .load()
+        .select(col("id"), json_get_str(col("payload"), "source").as("source"))
+    }),
+
     // COUNT(*) + payload filter = the backend count API's full-filter
     // exact form: the pushed CountStar composes with the `must`
     // conditions into CollectionFilteredCountScan — ONE row crosses the
@@ -4643,6 +4698,24 @@ object SparkEntry {
 
     "dsv2_payload_count" ->
       "SELECT COUNT(*) AS n FROM embeddings WHERE label >= 2 AND label < 5",
+
+    "dsv2_filter_empty" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id, CAST(NULL AS VARCHAR) AS payload
+        |FROM embeddings WHERE label = 0 ORDER BY id""".stripMargin,
+
+    "dsv2_filter_match_any" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE label IN (2, 5, 7) ORDER BY id""".stripMargin,
+
+    "dsv2_filter_text" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents)
+        |SELECT CAST(doc_id AS VARCHAR) AS id, source FROM t
+        |WHERE len(list_filter(toks, x -> x = 'vector')) > 0
+        |  AND len(list_filter(toks, x -> x = 'batch')) > 0
+        |ORDER BY id""".stripMargin,
 
     "dsv2_filter_boolean" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -151,44 +151,75 @@ final case class PayloadCondition(key: String, op: String, value: String) {
   private val numValue: Option[Double] =
     try Some(java.lang.Double.parseDouble(value)) catch { case _: Exception => None }
 
+  // match_any alternatives, split once; each compares with eq typing
+  private val anyValues: Seq[String] =
+    if (op == "match_any") value.split("\\|").toSeq else Nil
+  private val anyNums: Seq[Double] = anyValues.flatMap(v =>
+    try Some(java.lang.Double.parseDouble(v)) catch { case _: Exception => None })
+
+  // match_text query tokens (case-folded whitespace split, the engine's
+  // shared tokenizer convention)
+  private val textTokens: Seq[String] =
+    if (op == "match_text") value.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    else Nil
+
   def describe: String = s"$key $op $value"
 
   def matches(p: Point): Boolean = {
     import org.json4s._
-    p.payload.exists { j =>
-      org.json4s.jackson.JsonMethods.parseOpt(j).exists { parsed =>
-        parsed \ key match {
-          case JString(s) =>
-            if (op == "eq") numValue match {
-              // a numeric condition value never string-matches: the
-              // backend's match is typed (keyword vs integer)
-              case Some(_) => false
-              case None => s == value
-            } else false
-          case JBool(b) => op == "eq" && b.toString == value
-          case JInt(i) => numMatch(i.toDouble)
-          case JLong(l) => numMatch(l.toDouble)
-          case JDouble(d) => numMatch(d)
-          case JDecimal(d) => numMatch(d.toDouble)
-          case _ => false // absent, null, array, object
+    // the field's JSON value, when the payload exists and parses; an
+    // unparseable payload reads as "no fields" (decisive, never throws)
+    val field: Option[JValue] = p.payload
+      .flatMap(j => org.json4s.jackson.JsonMethods.parseOpt(j))
+      .map(_ \ key)
+    op match {
+      // IsEmpty: missing payload, missing key, null, or [] all match
+      case "empty" =>
+        field.forall(v => v == JNothing || v == JNull || v == JArray(Nil))
+      // IsNull: the key is PRESENT with a null value (stricter than empty)
+      case "isnull" => field.exists(_ == JNull)
+      case _ => field.exists {
+        case JString(s) => op match {
+          case "eq" => numValue.isEmpty && s == value
+          // MatchAny: keyword IN — any alternative equal (typed per
+          // element like eq, so "2|x" matches string "x" but not "2")
+          case "match_any" => anyValues.filter(a =>
+            (try { java.lang.Double.parseDouble(a); false }
+             catch { case _: Exception => true })).contains(s)
+          // MatchText: every query token appears among the field's
+          // case-folded whitespace tokens (the backend's full-text
+          // match on a text field)
+          case "match_text" =>
+            val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+            textTokens.nonEmpty && textTokens.forall(toks)
+          case _ => false
         }
+        case JBool(b) =>
+          (op == "eq" && b.toString == value) ||
+            (op == "match_any" && anyValues.contains(b.toString))
+        case JInt(i) => numMatch(i.toDouble)
+        case JLong(l) => numMatch(l.toDouble)
+        case JDouble(d) => numMatch(d)
+        case JDecimal(d) => numMatch(d.toDouble)
+        case _ => false // absent, null, array, object
       }
     }
   }
 
-  private def numMatch(x: Double): Boolean = numValue.exists { v =>
-    op match {
-      case "eq" => x == v
-      case "gt" => x > v
-      case "gte" => x >= v
-      case "lt" => x < v
-      case "lte" => x <= v
-    }
+  private def numMatch(x: Double): Boolean = op match {
+    case "match_any" => anyNums.exists(_ == x)
+    case "gt" => numValue.exists(x > _)
+    case "gte" => numValue.exists(x >= _)
+    case "lt" => numValue.exists(x < _)
+    case "lte" => numValue.exists(x <= _)
+    case "eq" => numValue.exists(_ == x)
+    case _ => false
   }
 }
 
 object PayloadCondition {
-  val Ops: Set[String] = Set("eq", "gt", "gte", "lt", "lte")
+  val Ops: Set[String] = Set("eq", "gt", "gte", "lt", "lte",
+    "match_any", "match_text", "empty", "isnull")
 
   /** The read-option / display encoding: `key:op:value` conditions
     * joined by `;` (a conjunction — the filter DSL's `must` list).

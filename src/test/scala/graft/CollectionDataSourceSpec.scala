@@ -924,6 +924,36 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("condition vocabulary: empty, isnull, match_any, match_text") {
+    def c(key: String, op: String, v: String) = PayloadCondition(key, op, v)
+    def pt(payload: Option[String]) = Point("x", payload)
+    // IsEmpty: no payload, unparseable payload, absent key, null, []
+    assert(c("k", "empty", "").matches(pt(None)))
+    assert(c("k", "empty", "").matches(pt(Some("not json"))))
+    assert(c("k", "empty", "").matches(pt(Some("""{"other": 1}"""))))
+    assert(c("k", "empty", "").matches(pt(Some("""{"k": null}"""))))
+    assert(c("k", "empty", "").matches(pt(Some("""{"k": []}"""))))
+    assert(!c("k", "empty", "").matches(pt(Some("""{"k": 0}"""))))
+    assert(!c("k", "empty", "").matches(pt(Some("""{"k": [1]}"""))))
+    // IsNull is stricter: the key must be PRESENT with a null value
+    assert(c("k", "isnull", "").matches(pt(Some("""{"k": null}"""))))
+    assert(!c("k", "isnull", "").matches(pt(None)))
+    assert(!c("k", "isnull", "").matches(pt(Some("""{"other": 1}"""))))
+    // MatchAny: typed per alternative — numeric matches numeric,
+    // keyword matches keyword, never across
+    assert(c("k", "match_any", "2|5|x").matches(pt(Some("""{"k": 5}"""))))
+    assert(c("k", "match_any", "2|5|x").matches(pt(Some("""{"k": "x"}"""))))
+    assert(!c("k", "match_any", "2|5|x").matches(pt(Some("""{"k": "2"}"""))))
+    assert(!c("k", "match_any", "2|5|x").matches(pt(Some("""{"k": 7}"""))))
+    // MatchText: every query token must appear among the field's tokens
+    val doc = pt(Some("""{"t": "Fast vector scan over batch data"}"""))
+    assert(c("t", "match_text", "vector batch").matches(doc))
+    assert(c("t", "match_text", "FAST data").matches(doc))  // case-folded
+    assert(!c("t", "match_text", "vector missing").matches(doc))
+    assert(!c("t", "match_text", "vec").matches(doc))       // token, not substring
+    assert(!c("t", "match_text", "vector").matches(pt(Some("""{"t": 3}"""))))
+  }
+
   test("filter object: must_not and min_should compose with must") {
     CollectionStores.register("tbf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
