@@ -1434,6 +1434,167 @@ object SparkEntry {
         .select(col("id"), json_get_str(col("payload"), "source").as("source"))
     }),
 
+    // ValuesCount condition: the number of values under a payload key
+    // (array length, 1 for a scalar) against a bound — the backend's
+    // values_count range form. `tags` carries doc_id % 4 values (an
+    // EMPTY array when 0, so the zero-count row is represented, not
+    // absent); the filter keeps counts >= 2.
+    "dsv2_filter_values_count" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("docs", Seq())
+      val src = docs(s, dir).select(
+        col("doc_id").cast(StringType).as("id"),
+        to_json(struct(
+          when(col("doc_id") % 4 === 0, array().cast(ArrayType(LongType)))
+            .otherwise(sequence(lit(1L), col("doc_id") % 4)).as("tags"),
+          col("source"))).as("payload"))
+      CollectionStores.register("vc_store",
+        InMemoryCollectionStore.fromRows(src, "docs", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "vc_store").option("collection", "docs")
+        .option("partitions", "4")
+        .option("filter", "tags:values_count:gte:2")
+        .load()
+        .select(col("id"), json_get_str(col("payload"), "source").as("source"))
+    }),
+
+    // HasVector condition: filter on the PRESENCE of a named vector
+    // field — the backend's has_vector, meaningful exactly for
+    // heterogeneous collections where points carry disjoint field
+    // subsets (image_embedding exists where vec_id % 3 IN (1, 2))
+    "dsv2_filter_has_vector" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("hv_store", InMemoryCollectionStore.fromRows(
+        Collections.heterogeneous(s, dir),
+        "hetero", Collections.heterogeneousDescriptor))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "hv_store").option("collection", "hetero")
+        .option("partitions", "4")
+        .option("filter", "image_embedding:has_vector:")
+        .load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // DatetimeRange condition: RFC 3339 bounds over a datetime payload
+    // string — the backend's datetime_range. Half-open [Jan 10, Jan 20)
+    // window over the events timeline; the store parses the payload's
+    // microsecond-precision strings, the oracle compares native
+    // timestamps — equality of the two decisions is the test.
+    "dsv2_filter_datetime" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("events", Seq())
+      val src = events(s, dir).select(
+        col("event_id").cast(StringType).as("id"),
+        to_json(struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created"),
+          col("event_type"))).as("payload"))
+      CollectionStores.register("dtf_store",
+        InMemoryCollectionStore.fromRows(src, "events", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "dtf_store").option("collection", "events")
+        .option("partitions", "4")
+        .option("filter",
+          "created:dt_gte:2024-01-10T00:00:00;created:dt_lt:2024-01-20T00:00:00")
+        .load()
+        .select(col("id"),
+          json_get_str(col("payload"), "event_type").as("event_type"))
+    }),
+
+    // MatchPhrase condition: query tokens CONSECUTIVE in the field's
+    // token sequence (match_text's unordered bag is not phrase
+    // semantics) — the backend's phrase match on a text-indexed field
+    "dsv2_filter_phrase" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("docs", Seq())
+      val src = docs(s, dir).select(
+        col("doc_id").cast(StringType).as("id"),
+        to_json(struct(col("source"), col("text"))).as("payload"))
+      CollectionStores.register("ph_store",
+        InMemoryCollectionStore.fromRows(src, "docs", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "ph_store").option("collection", "docs")
+        .option("partitions", "4")
+        .option("filter", "text:phrase:the data")
+        .load()
+        .select(col("id"), json_get_str(col("payload"), "source").as("source"))
+    }),
+
+    // GeoRadius condition: haversine distance from a center against a
+    // `{lat, lon}` payload object — the backend's geo_radius filter,
+    // evaluated store-side with term-for-term the same IEEE ops as
+    // `v_geo_distance` (the oracle mirrors the formula literally)
+    "dsv2_filter_geo_radius" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("events", Seq())
+      val src = events(s, dir).select(
+        col("event_id").cast(StringType).as("id"),
+        to_json(struct(
+          struct(
+            (col("user_id") % 90).cast(DoubleType).as("lat"),
+            (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
+          col("event_type"))).as("payload"))
+      CollectionStores.register("gr_store",
+        InMemoryCollectionStore.fromRows(src, "events", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "gr_store").option("collection", "events")
+        .option("partitions", "4")
+        .option("filter", "loc:geo_radius:48.8566,2.3522,2000000")
+        .load()
+        .select(col("id"),
+          json_get_str(col("payload"), "event_type").as("event_type"))
+    }),
+
+    // GeoBoundingBox condition with the ANTIMERIDIAN wrap (left lon >
+    // right lon — the backend's convention): longitude membership is the
+    // OR of the two arcs, latitude a plain BETWEEN
+    "dsv2_filter_geo_box" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("events", Seq())
+      val src = events(s, dir).select(
+        col("event_id").cast(StringType).as("id"),
+        to_json(struct(
+          struct(
+            (col("user_id") % 90).cast(DoubleType).as("lat"),
+            (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
+          col("event_type"))).as("payload"))
+      CollectionStores.register("gb_store",
+        InMemoryCollectionStore.fromRows(src, "events", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "gb_store").option("collection", "events")
+        .option("partitions", "4")
+        .option("filter", "loc:geo_box:70,170,10,20")
+        .load()
+        .select(col("id"),
+          json_get_str(col("payload"), "event_type").as("event_type"))
+    }),
+
+    // Nested condition: ONE array element satisfies ALL sub-conditions
+    // (per-element scoping — the backend's nested filter). Each doc's
+    // `items` carries a decoy element (tag=meta, n=n_chars, large) and
+    // the probed element (tag=alt, n=doc_id%100): evaluating the
+    // sub-conditions independently across elements would match nearly
+    // every row; the correct same-element form keeps exactly n>=50.
+    "dsv2_filter_nested" -> ((s, dir) => {
+      import graft.sources._
+      val dsc = graft.collections.CollectionDescriptor("docs", Seq())
+      val src = docs(s, dir).select(
+        col("doc_id").cast(StringType).as("id"),
+        to_json(struct(
+          array(
+            struct(lit("meta").as("tag"), col("n_chars").as("n")),
+            struct(lit("alt").as("tag"), (col("doc_id") % 100).as("n")))
+            .as("items"),
+          col("source"))).as("payload"))
+      CollectionStores.register("nf_store",
+        InMemoryCollectionStore.fromRows(src, "docs", dsc))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "nf_store").option("collection", "docs")
+        .option("partitions", "4")
+        .option("filter", "items:nested:tag|eq|alt&n|gte|50")
+        .load()
+        .select(col("id"), json_get_str(col("payload"), "source").as("source"))
+    }),
+
     // COUNT(*) + payload filter = the backend count API's full-filter
     // exact form: the pushed CountStar composes with the `must`
     // conditions into CollectionFilteredCountScan — ONE row crosses the
@@ -4716,6 +4877,59 @@ object SparkEntry {
         |WHERE len(list_filter(toks, x -> x = 'vector')) > 0
         |  AND len(list_filter(toks, x -> x = 'batch')) > 0
         |ORDER BY id""".stripMargin,
+
+    "dsv2_filter_values_count" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, source
+        |FROM documents WHERE doc_id % 4 >= 2 ORDER BY id""".stripMargin,
+
+    // image_embedding populated where vec_id % 3 IN (1, 2) — the hetero
+    // collection's field assignment (see dsv2_hetero)
+    "dsv2_filter_has_vector" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings WHERE vec_id % 3 IN (1, 2) ORDER BY id""".stripMargin,
+
+    "dsv2_filter_datetime" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id, event_type
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY id""".stripMargin,
+
+    // tokens CONSECUTIVE <=> whitespace-bounded 'the' then \s+ then
+    // whitespace-bounded 'data' (tokens are maximal non-space runs)
+    "dsv2_filter_phrase" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, source
+        |FROM documents
+        |WHERE regexp_matches(lower(text), '(^|\s)the\s+data(\s|$)')
+        |ORDER BY id""".stripMargin,
+
+    // the haversine mirrored term-for-term from the store-side kernel
+    // (PayloadCondition.haversineMeters): dLat/dLon halved inside sin,
+    // (cos * cos) * sin^2 association, 12742000.0 = 2 * 6371000.0
+    "dsv2_filter_geo_radius" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id, event_type
+        |FROM events
+        |WHERE 12742000.0 * asin(sqrt(
+        |        pow(sin(((CAST(user_id % 90 AS DOUBLE) - 48.8566) * 0.017453292519943295) / 2), 2) +
+        |        cos(48.8566 * 0.017453292519943295) *
+        |        cos(CAST(user_id % 90 AS DOUBLE) * 0.017453292519943295) *
+        |        pow(sin(((CAST(event_id % 180 AS DOUBLE) - 2.3522) * 0.017453292519943295) / 2), 2)
+        |      )) <= 2000000.0
+        |ORDER BY id""".stripMargin,
+
+    // wrap box (left 170 > right 20): lon in [170, 180] OR [-180, 20]
+    "dsv2_filter_geo_box" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id, event_type
+        |FROM events
+        |WHERE (user_id % 90) BETWEEN 10 AND 70
+        |  AND ((event_id % 180) >= 170 OR (event_id % 180) <= 20)
+        |ORDER BY id""".stripMargin,
+
+    // same-element scoping: only the tag='alt' element's n counts
+    "dsv2_filter_nested" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, source
+        |FROM documents WHERE doc_id % 100 >= 50 ORDER BY id""".stripMargin,
 
     "dsv2_filter_boolean" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -157,27 +157,144 @@ final case class PayloadCondition(key: String, op: String, value: String) {
   private val anyNums: Seq[Double] = anyValues.flatMap(v =>
     try Some(java.lang.Double.parseDouble(v)) catch { case _: Exception => None })
 
-  // match_text query tokens (case-folded whitespace split, the engine's
-  // shared tokenizer convention)
+  // match_text / phrase query tokens (case-folded whitespace split, the
+  // engine's shared tokenizer convention)
   private val textTokens: Seq[String] =
-    if (op == "match_text") value.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    if (op == "match_text" || op == "phrase")
+      value.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     else Nil
+
+  // values_count comparator: value is `cmp:n` (cmp in gt/gte/lt/lte/eq)
+  private val countCmp: Option[(String, Long)] =
+    if (op != "values_count") None
+    else value.split(":", 2) match {
+      case Array(c, n) if Set("gt", "gte", "lt", "lte", "eq")(c) =>
+        Some((c, n.trim.toLong))
+      case _ => throw new IllegalArgumentException(
+        s"values_count expects cmp:n (cmp in gt/gte/lt/lte/eq), got '$value'")
+    }
+
+  // datetime bound, parsed once (RFC 3339 with offset, local datetime,
+  // or plain date — the backend's datetime_range accepted forms)
+  private val dtBound: Option[Long] =
+    if (!op.startsWith("dt_")) None
+    else Some(PayloadCondition.parseDatetime(value).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op expects an RFC 3339 datetime or date, got '$value'")))
+
+  // geo arguments: geo_radius = `lat,lon,meters`; geo_box =
+  // `top,left,bottom,right` (the backend's top_left + bottom_right)
+  private val geoArgs: Array[Double] =
+    if (op != "geo_radius" && op != "geo_box") Array.empty
+    else {
+      val xs = value.split(",").map(s => java.lang.Double.parseDouble(s.trim))
+      val want = if (op == "geo_radius") 3 else 4
+      require(xs.length == want,
+        s"$op expects $want comma-separated numbers, got '$value'")
+      xs
+    }
+
+  // nested sub-conditions: `subkey|op|val` joined by `&` — ALL must hold
+  // on the SAME array element (the backend's nested condition, restricted
+  // to scalar sub-ops; a full recursive filter would need a structured
+  // encoding the key:op:value wire triple doesn't carry)
+  private val nestedConds: Seq[PayloadCondition] =
+    if (op != "nested") Nil
+    else value.split("&").toSeq.map { part =>
+      part.split("\\|", 3) match {
+        case Array(k, o, v) if PayloadCondition.NestedOps(o.trim) =>
+          PayloadCondition(k.trim, o.trim, v)
+        case Array(_, o, _) => throw new IllegalArgumentException(
+          s"nested sub-op must be one of ${PayloadCondition.NestedOps.mkString("/")}, got '$o'")
+        case _ => throw new IllegalArgumentException(
+          s"bad nested sub-condition '$part' (expected subkey|op|value)")
+      }
+    }
+  require(op != "nested" || nestedConds.nonEmpty,
+    "nested needs at least one sub-condition")
 
   def describe: String = s"$key $op $value"
 
   def matches(p: Point): Boolean = {
     import org.json4s._
+    // HasVector inspects the point's vector fields, not the payload:
+    // `key` names the vector field (heterogeneous collections carry
+    // disjoint subsets; value is unused)
+    if (op == "has_vector")
+      return p.dense.contains(key) || p.multi.contains(key) ||
+        p.sparse.contains(key)
     // the field's JSON value, when the payload exists and parses; an
     // unparseable payload reads as "no fields" (decisive, never throws)
     val field: Option[JValue] = p.payload
       .flatMap(j => org.json4s.jackson.JsonMethods.parseOpt(j))
       .map(_ \ key)
+    matchesValue(field)
+  }
+
+  /** Evaluate against an already-extracted field value — the shared body
+    * of [[matches]] and the nested condition's per-element evaluation.
+    */
+  private[sources] def matchesValue(field: Option[org.json4s.JValue]): Boolean = {
+    import org.json4s._
     op match {
       // IsEmpty: missing payload, missing key, null, or [] all match
       case "empty" =>
         field.forall(v => v == JNothing || v == JNull || v == JArray(Nil))
       // IsNull: the key is PRESENT with a null value (stricter than empty)
       case "isnull" => field.exists(_ == JNull)
+      // ValuesCount: the number of values under the key — array length,
+      // 1 for a present scalar; a missing/null key matches nothing (the
+      // backend's values_count does not treat absence as 0)
+      case "values_count" => field.exists {
+        case JNothing | JNull => false
+        case JArray(xs) => countOk(xs.length.toLong)
+        case _ => countOk(1L)
+      }
+      // DatetimeRange bound: payload value must be a parseable datetime
+      // string; unparseable or non-string values match nothing
+      case "dt_gt" | "dt_gte" | "dt_lt" | "dt_lte" => field.exists {
+        case JString(s) => PayloadCondition.parseDatetime(s).exists { t =>
+          val b = dtBound.get
+          op match {
+            case "dt_gt" => t > b
+            case "dt_gte" => t >= b
+            case "dt_lt" => t < b
+            case _ => t <= b
+          }
+        }
+        case _ => false
+      }
+      // GeoRadius / GeoBoundingBox: the field is a {lat, lon} object (the
+      // backend's geo point payload shape); haversine term-for-term the
+      // same IEEE ops as `functions.v_geo_distance` / `Geo.inBoundingBox`
+      case "geo_radius" => field.exists(v =>
+        PayloadCondition.latLonOf(v).exists { case (la, lo) =>
+          PayloadCondition.haversineMeters(geoArgs(0), geoArgs(1), la, lo) <=
+            geoArgs(2)
+        })
+      case "geo_box" => field.exists(v =>
+        PayloadCondition.latLonOf(v).exists { case (la, lo) =>
+          val (top, left, bottom, right) =
+            (geoArgs(0), geoArgs(1), geoArgs(2), geoArgs(3))
+          // left > right is the antimeridian-crossing box (the backend's
+          // wrap convention): the longitude test becomes the OR of arcs
+          val lonIn =
+            if (left <= right) lo >= left && lo <= right
+            else lo >= left || lo <= right
+          la >= bottom && la <= top && lonIn
+        })
+      // Nested: ONE array element satisfies ALL sub-conditions (the
+      // backend's nested condition — per-element scoping is the whole
+      // point; evaluating sub-conditions independently across elements
+      // would accept rows no single element justifies)
+      case "nested" => field.exists {
+        case JArray(elems) => elems.exists {
+          case o: JObject =>
+            nestedConds.forall(c => c.matchesValue(Some(o \ c.key)))
+          case _ => false
+        }
+        case _ => false
+      }
       case _ => field.exists {
         case JString(s) => op match {
           case "eq" => numValue.isEmpty && s == value
@@ -192,6 +309,13 @@ final case class PayloadCondition(key: String, op: String, value: String) {
           case "match_text" =>
             val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
             textTokens.nonEmpty && textTokens.forall(toks)
+          // MatchPhrase: the query tokens appear CONSECUTIVELY in the
+          // field's token sequence (match_text's unordered bag is not
+          // enough for quoted-phrase semantics)
+          case "phrase" =>
+            val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+            textTokens.nonEmpty && toks.length >= textTokens.length &&
+              toks.sliding(textTokens.length).exists(_ == textTokens)
           case _ => false
         }
         case JBool(b) =>
@@ -204,6 +328,14 @@ final case class PayloadCondition(key: String, op: String, value: String) {
         case _ => false // absent, null, array, object
       }
     }
+  }
+
+  private def countOk(n: Long): Boolean = countCmp.exists {
+    case ("gt", b) => n > b
+    case ("gte", b) => n >= b
+    case ("lt", b) => n < b
+    case ("lte", b) => n <= b
+    case (_, b) => n == b
   }
 
   private def numMatch(x: Double): Boolean = op match {
@@ -219,7 +351,66 @@ final case class PayloadCondition(key: String, op: String, value: String) {
 
 object PayloadCondition {
   val Ops: Set[String] = Set("eq", "gt", "gte", "lt", "lte",
-    "match_any", "match_text", "empty", "isnull")
+    "match_any", "match_text", "empty", "isnull",
+    "values_count", "has_vector", "dt_gt", "dt_gte", "dt_lt", "dt_lte",
+    "phrase", "geo_radius", "geo_box", "nested")
+
+  /** Sub-ops a nested condition may carry (the `subkey|op|value` mini
+    * syntax reserves `|` and `&`, which match_any / nested values use).
+    */
+  val NestedOps: Set[String] = Set("eq", "gt", "gte", "lt", "lte",
+    "empty", "isnull")
+
+  /** Datetime string -> epoch micros: RFC 3339 with offset, local
+    * datetime (UTC-assumed, the engine's session convention), or plain
+    * date at midnight. None when unparseable (decisive filters).
+    */
+  def parseDatetime(s: String): Option[Long] = {
+    import java.time._
+    def micros(i: Instant): Long =
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    try Some(micros(OffsetDateTime.parse(s).toInstant)) catch {
+      case _: Exception =>
+        try Some(micros(LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)))
+        catch {
+          case _: Exception =>
+            try Some(micros(LocalDate.parse(s).atStartOfDay
+              .toInstant(ZoneOffset.UTC)))
+            catch { case _: Exception => None }
+        }
+    }
+  }
+
+  /** A payload geo value -> (lat, lon): the backend's `{lat, lon}` object
+    * form. Anything else (missing members, non-numeric) matches nothing.
+    */
+  def latLonOf(v: org.json4s.JValue): Option[(Double, Double)] = {
+    import org.json4s._
+    def num(j: JValue): Option[Double] = j match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case _ => None
+    }
+    for { la <- num(v \ "lat"); lo <- num(v \ "lon") } yield (la, lo)
+  }
+
+  /** Haversine meters — term-for-term the float ops of
+    * `functions.v_geo_distance` (SqlBuilders.geoDistance) so the stored
+    * filter and the engine expression decide boundaries identically.
+    */
+  def haversineMeters(lat1: Double, lon1: Double,
+                      lat2: Double, lon2: Double): Double = {
+    val d2r = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * d2r
+    val dLon = (lon2 - lon1) * d2r
+    val h = math.pow(math.sin(dLat / 2.0), 2.0) +
+      math.cos(lat1 * d2r) * math.cos(lat2 * d2r) *
+        math.pow(math.sin(dLon / 2.0), 2.0)
+    2 * 6371000.0 * math.asin(math.sqrt(h))
+  }
 
   /** The read-option / display encoding: `key:op:value` conditions
     * joined by `;` (a conjunction — the filter DSL's `must` list).
@@ -260,6 +451,14 @@ final case class PayloadFilter(
     must.forall(_.matches(p)) &&
       mustNot.forall(c => !c.matches(p)) &&
       minShould.forall { case (n, cs) => cs.count(_.matches(p)) >= n }
+
+  /** Vector fields the filter must SEE to evaluate (`has_vector`
+    * conditions inspect field presence): stores widen their internal
+    * fetch by these, whatever the caller's narrowing.
+    */
+  def vectorFieldsNeeded: Seq[String] =
+    (must ++ mustNot ++ minShould.toSeq.flatMap(_._2))
+      .filter(_.op == "has_vector").map(_.key).distinct
 
   def describe: String = {
     val parts =
@@ -370,11 +569,24 @@ trait CollectionStore extends Serializable {
       queryPoints(collection, from, until, withPayload, vectorFields, limit,
         idFilter, idLower)
     else {
+      // has_vector conditions inspect vector-field PRESENCE: the
+      // internal fetch widens to include them, the caller's narrowing
+      // is restored on the way out (same contract as the payload)
+      val needVf = pfilter.vectorFieldsNeeded.filterNot(vectorFields.contains)
       val matching = queryPoints(collection, from, until,
-          withPayload = true, vectorFields, None, idFilter, idLower)
+          withPayload = true, vectorFields ++ needVf, None, idFilter, idLower)
         .filter(pfilter.matches)
+      val stripped =
+        if (needVf.isEmpty) matching
+        else {
+          val keep = vectorFields.toSet
+          matching.map(p => p.copy(
+            dense = p.dense.filter { case (k, _) => keep(k) },
+            multi = p.multi.filter { case (k, _) => keep(k) },
+            sparse = p.sparse.filter { case (k, _) => keep(k) }))
+        }
       val narrowed =
-        if (withPayload) matching else matching.map(_.copy(payload = None))
+        if (withPayload) stripped else stripped.map(_.copy(payload = None))
       limit.fold(narrowed)(n => narrowed.take(n))
     }
 

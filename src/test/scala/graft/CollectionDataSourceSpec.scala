@@ -954,6 +954,78 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(!c("t", "match_text", "vector").matches(pt(Some("""{"t": 3}"""))))
   }
 
+  test("condition vocabulary: values_count, has_vector, datetime, phrase, geo, nested") {
+    def c(key: String, op: String, v: String) = PayloadCondition(key, op, v)
+    def pt(payload: Option[String]) = Point("x", payload)
+    // ValuesCount: array length; a present scalar counts 1; an empty
+    // array counts 0; a missing/null key matches NOTHING (not 0)
+    assert(c("k", "values_count", "gte:2").matches(pt(Some("""{"k": [1, 2]}"""))))
+    assert(!c("k", "values_count", "gte:2").matches(pt(Some("""{"k": [1]}"""))))
+    assert(c("k", "values_count", "eq:1").matches(pt(Some("""{"k": "solo"}"""))))
+    assert(c("k", "values_count", "lt:1").matches(pt(Some("""{"k": []}"""))))
+    assert(!c("k", "values_count", "lte:5").matches(pt(Some("""{"other": 1}"""))))
+    assert(!c("k", "values_count", "lte:5").matches(pt(None)))
+    intercept[IllegalArgumentException](c("k", "values_count", "between:2"))
+    // HasVector: presence of the named vector field, any vector kind
+    val vp = Point("1", None, dense = Map("a" -> Array(1f)),
+      sparse = Map("s" -> (Array(0), Array(1f))))
+    assert(c("a", "has_vector", "").matches(vp))
+    assert(c("s", "has_vector", "").matches(vp))
+    assert(!c("b", "has_vector", "").matches(vp))
+    // Datetime: offset / local / date-only forms all parse; an
+    // unparseable payload value matches nothing; a bad bound fails fast
+    assert(c("t", "dt_gte", "2024-01-10").matches(pt(Some("""{"t": "2024-01-10T00:00:00"}"""))))
+    assert(c("t", "dt_lt", "2024-01-10T00:00:01").matches(pt(Some("""{"t": "2024-01-10T00:00:00.999999"}"""))))
+    assert(c("t", "dt_gt", "2024-01-09T23:00:00+00:00").matches(pt(Some("""{"t": "2024-01-10T00:00:00"}"""))))
+    assert(!c("t", "dt_gte", "2024-01-10").matches(pt(Some("""{"t": "not a date"}"""))))
+    intercept[IllegalArgumentException](c("t", "dt_gte", "bogus"))
+    // Phrase: consecutive, ordered, case-folded tokens
+    val doc = pt(Some("""{"t": "Fast vector scan over batch data"}"""))
+    assert(c("t", "phrase", "vector scan").matches(doc))
+    assert(c("t", "phrase", "FAST Vector").matches(doc))
+    assert(!c("t", "phrase", "vector batch").matches(doc))
+    assert(!c("t", "phrase", "scan vector").matches(doc))
+    // Geo radius + box, including the antimeridian wrap and a
+    // missing-member location (matches nothing, decisively)
+    val paris = pt(Some("""{"loc": {"lat": 48.8566, "lon": 2.3522}}"""))
+    assert(c("loc", "geo_radius", "48.8, 2.3, 50000").matches(paris))
+    assert(!c("loc", "geo_radius", "40.7, -74.0, 50000").matches(paris))
+    assert(!c("loc", "geo_radius", "48.8,2.3,50000")
+      .matches(pt(Some("""{"loc": {"lat": 48.8}}"""))))
+    assert(c("loc", "geo_box", "50,0,40,10").matches(paris))
+    val fiji = pt(Some("""{"loc": {"lat": -17.7, "lon": 178.0}}"""))
+    assert(c("loc", "geo_box", "0,170,-30,-170").matches(fiji))
+    assert(!c("loc", "geo_box", "0,-170,-30,170").matches(fiji))
+    intercept[IllegalArgumentException](c("loc", "geo_radius", "1,2"))
+    // Nested: ALL sub-conditions must hold on the SAME element
+    val items = pt(Some("""{"items": [{"tag": "a", "n": 1}, {"tag": "b", "n": 9}]}"""))
+    assert(c("items", "nested", "tag|eq|b&n|gte|5").matches(items))
+    assert(!c("items", "nested", "tag|eq|a&n|gte|5").matches(items))
+    assert(!c("items", "nested", "tag|eq|c").matches(items))
+    assert(!c("items", "nested", "tag|eq|a").matches(pt(Some("""{"items": 3}"""))))
+    intercept[IllegalArgumentException](c("items", "nested", "tag|match_any|a"))
+    intercept[IllegalArgumentException](c("items", "nested", ""))
+  }
+
+  test("has_vector filter widens the internal fetch; caller narrowing restored") {
+    CollectionStores.register("thv",
+      InMemoryCollectionStore.single("c", desc, mkPoints(12)))
+    // projection asks for NO vectors; the filter still sees presence
+    val df = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "thv").option("collection", "c")
+      .option("filter", "text_embedding:has_vector:")
+      .load().select("id")
+    assert(df.collect().map(_.getString(0)).toSet ===
+      (0 until 12).filter(_ % 3 != 2).map(_.toString).toSet)
+    // and the store-level contract: widened internally, stripped out
+    val pts = CollectionStores.get("thv").queryPointsFiltered(
+      "c", 0, 12, withPayload = false, Nil, None,
+      pfilter = PayloadFilter.mustAll(Seq(
+        PayloadCondition("text_embedding", "has_vector", "")))).toSeq
+    assert(pts.nonEmpty && pts.forall(p =>
+      p.dense.isEmpty && p.multi.isEmpty && p.sparse.isEmpty))
+  }
+
   test("filter object: must_not and min_should compose with must") {
     CollectionStores.register("tbf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
