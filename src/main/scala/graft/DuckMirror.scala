@@ -576,8 +576,16 @@ object DuckMirror {
     (text, finalAsg)
   }
 
+  /** `rawOrder = false` (the engine-side IVF gates): rank by the ROUNDED
+    * score, the [[graft.ops.Ann.IvfIndex.search]] convention. `rawOrder =
+    * true` (the store-served dsv2 search gates): rank by the RAW score
+    * with id tiebreak — the [[graft.sources.CollectionStore]] heap's
+    * convention — and round only for display, like the dsv2_parquet_search
+    * oracle.
+    */
   def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
-             maxIter: Int, seed: Long, metric: String = "cosine"): String = {
+             maxIter: Int, seed: Long, metric: String = "cosine",
+             rawOrder: Boolean = false): String = {
     val scoreFn = metric match {
       case "cosine" => "list_cosine_similarity"
       case "dot" => "list_inner_product"
@@ -587,15 +595,25 @@ object DuckMirror {
       """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings""".stripMargin,
       dim, nlist, maxIter, seed)
-    s"""WITH $chain,
-       |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),
-       |probed AS (
-       |  SELECT c.cluster FROM cents$maxIter c, q
-       |  ORDER BY ${euclidSql("c.c", "q.qv", dim)}, c.cluster
-       |  LIMIT $nprobe)
-       |SELECT t.id, ROUND($scoreFn(t.v, q.qv), 6) AS score
-       |FROM asg$finalAsg t JOIN probed USING (cluster), q
-       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+    val head =
+      s"""WITH $chain,
+         |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),
+         |probed AS (
+         |  SELECT c.cluster FROM cents$maxIter c, q
+         |  ORDER BY ${euclidSql("c.c", "q.qv", dim)}, c.cluster
+         |  LIMIT $nprobe)""".stripMargin
+    if (!rawOrder)
+      s"""$head
+         |SELECT t.id, ROUND($scoreFn(t.v, q.qv), 6) AS score
+         |FROM asg$finalAsg t JOIN probed USING (cluster), q
+         |ORDER BY score DESC, id LIMIT $k""".stripMargin
+    else
+      s"""$head,
+         |top AS (
+         |  SELECT t.id, $scoreFn(t.v, q.qv) AS s
+         |  FROM asg$finalAsg t JOIN probed USING (cluster), q
+         |  ORDER BY s DESC, t.id ASC LIMIT $k)
+         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin
   }
 
   /** DSIR mirror (Dsir.importanceWeights): hashed unigram+bigram feature

@@ -198,6 +198,40 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  private val parquetIvfStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  /** The parquet-backed store WITH its IVF sidecar: same primary layout
+    * as [[parquetBackedStore]], plus the cluster-partitioned replica +
+    * centroid store [[graft.sources.ParquetCollectionStore.writeIvfSidecar]]
+    * lays down — opened at nprobe=2, so pushed top-k serves probe-pruned
+    * without touching the primary files. Reuses the deterministic
+    * maxIter=0 IVF fit (the `#probe` cache key ann_ivf_probe/_bucketed
+    * share), so the DuckDB chain mirrors every stage.
+    */
+  private def parquetIvfStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetIvfStoreCache.getOrElseUpdate(dir, {
+      val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
+        graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      val pqDir = java.nio.file.Files
+        .createTempDirectory("graft-pq-ivf-collection").toFile
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(pqDir)
+      }))
+      graft.sources.ParquetCollectionStore.write(
+        hom(s, dir).select("id", "payload", "vector"), pqDir.toString)
+      graft.sources.ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "vector", "cluster"),
+        idx.centroids, pqDir.toString, field = "vector")
+      new graft.sources.ParquetCollectionStore(pqDir.toString, "embeddings",
+        Collections.homogeneousDescriptor, ivfNprobe = 2)
+    })
+
   /** The wire-protocol fixture of `dir`: an in-process
     * [[graft.sources.CollectionHttpServer]] fronting the homogeneous
     * collection, started once per dir (the offline stand-in for a live
@@ -1059,6 +1093,32 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // IVF serving INSIDE the store: the scan pushes the top-k query
+    // through the CollectionStore seam and the parquet BACKEND answers it
+    // from its sidecar index — centroid probe (a model-sized store read)
+    // then a cluster-partition-pruned corpus read; the primary files are
+    // never opened (spec-asserted via the filesOpened counters). This is
+    // the reference's architecture end-to-end (scan = QueryPoints served
+    // from the backend's own index, /root/reference/src/table.rs:279-302)
+    // with the index ON SHARED STORAGE: at 100 TB a query reads
+    // nprobe/nlist of the corpus instead of all of it. Deterministic
+    // maxIter=0 chain, so the oracle value-checks the probed result.
+    "dsv2_parquet_ivf_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivf_store",
+        SparkEntry.parquetIvfStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivf_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -4790,6 +4850,13 @@ object SparkEntry {
         |  FROM embeddings e, q
         |  ORDER BY s DESC, id ASC LIMIT 12)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the probed chain (same deterministic stages as ann_ivf_bucketed)
+    // under the dsv2 search convention: RAW-score ranking, round-for-
+    // display — the store heap's ordering
+    "dsv2_parquet_ivf_search" -> DuckMirror.ivfSql(
+      queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, rawOrder = true),
 
     // wire-protocol swap is equally invisible: same oracles again
     "dsv2_rest_write" ->

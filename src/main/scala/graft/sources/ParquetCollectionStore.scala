@@ -56,7 +56,8 @@ import graft.collections.{CollectionDescriptor, DenseField}
   */
 final class ParquetCollectionStore(
     dir: String, collection: String,
-    descriptor: CollectionDescriptor) extends CollectionStore {
+    descriptor: CollectionDescriptor,
+    ivfNprobe: Int = 0) extends CollectionStore {
 
   /** Decode/IO counters for specs and probes (JVM-local, like the
     * in-memory store's `pointsTouched`).
@@ -196,6 +197,94 @@ final class ParquetCollectionStore(
     } finally in.close()
   }
 
+  // ---------------------------------------------------------------- IVF --
+
+  /** The IVF sidecar, when [[ParquetCollectionStore.writeIvfSidecar]] laid
+    * one down under `dir/_ivf` AND this store was opened with
+    * `ivfNprobe > 0`: `field` is the dense field the sidecar indexes,
+    * `centroids` a tiny store-layout parquet (id = zero-padded cluster,
+    * vector = centroid), `points` the corpus re-laid-out
+    * `partitionBy(cluster)`. A pushed top-k on that field then serves
+    * PROBE-PRUNED: nearest `ivfNprobe` centroids picked from the
+    * model-sized centroid store, only those clusters' files opened —
+    * the primary corpus files are never touched (asserted via the
+    * [[filesOpened]] counters in CollectionDataSourceSpec). This is the
+    * store-side analog of the backend serving `QueryPoints` from its own
+    * index (/root/reference/src/table.rs:279-302) rather than the
+    * engine scoring above the scan — at 100 TB the difference is reading
+    * nprobe/nlist of the corpus per query instead of all of it.
+    */
+  private case class IvfSidecar(field: String,
+                                centroidStore: ParquetCollectionStore)
+
+  @transient private lazy val ivfSidecar: Option[IvfSidecar] = {
+    val marker = new java.io.File(s"$dir/_ivf/field.txt")
+    if (ivfNprobe <= 0 || !marker.isFile) None
+    else {
+      val field = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      Some(IvfSidecar(field, new ParquetCollectionStore(
+        s"$dir/_ivf/centroids", collection, descriptor)))
+    }
+  }
+
+  /** Per-cluster sub-stores, created lazily ONLY for probed clusters (an
+    * unprobed cluster's files are never listed, let alone opened) and
+    * cached across queries — footer metadata loads once per cluster.
+    */
+  @transient private lazy val clusterStores =
+    scala.collection.concurrent.TrieMap.empty[String, ParquetCollectionStore]
+
+  /** Probed clusters touched since JVM start, for specs/probes. */
+  def ivfClustersTouched: Seq[String] = clusterStores.keys.toSeq.sorted
+
+  private def clusterStoreFor(value: String): Option[ParquetCollectionStore] = {
+    val sub = new java.io.File(s"$dir/_ivf/points/cluster=$value")
+    if (!sub.isDirectory) None // empty cluster: no partition directory
+    else Some(clusterStores.getOrElseUpdate(value, new ParquetCollectionStore(
+      sub.getAbsolutePath, collection, descriptor)))
+  }
+
+  /** Pushed top-k: IVF-probed when the sidecar covers the queried field,
+    * brute-force over [[queryPoints]] otherwise. The probed path is the
+    * backend's ANN semantics — recall < 1 by construction, higher
+    * `ivfNprobe` = higher recall — and composes with the payload filter
+    * (conditions evaluate inside the probed clusters' scoring pass,
+    * BEFORE ranking, same as the base contract). Probe selection is
+    * itself a store search: nearest-centroid = euclid top-`nprobe` over
+    * the centroid store, ties on cluster ascending (the zero-padded ids
+    * sort numerically), identical to [[graft.ops.Ann.IvfIndex.search]]'s
+    * probe rule — so the pruned result equals the engine-side bucketed
+    * path row for row.
+    */
+  override def searchPointsFiltered(c: String, spec: SearchSpec,
+                                    withPayload: Boolean,
+                                    vectorFields: Seq[String],
+                                    pfilter: PayloadFilter): Seq[(Point, Double)] =
+    ivfSidecar.filter(_.field == spec.field) match {
+      case None => super.searchPointsFiltered(c, spec, withPayload,
+        vectorFields, pfilter)
+      case Some(sc) =>
+        val probed = sc.centroidStore.searchPoints(collection,
+          SearchSpec(spec.field, spec.query, "euclid", ivfNprobe),
+          withPayload = false, vectorFields = Nil)
+        // the page window (offset + k) per cluster, offset applied after
+        // the merge — same pagination semantics as the base heap
+        val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+        val merged = probed.flatMap { case (cent, _) =>
+          val value = java.lang.Long.parseLong(cent.id).toString
+          clusterStoreFor(value).toSeq.flatMap(
+            _.searchPointsFiltered(c, window, withPayload, vectorFields,
+              pfilter))
+        }
+        val best = merged.sortWith { case ((pa, sa), (pb, sb)) =>
+          val desc = SearchSpec.descending(spec.metric)
+          if (sa != sb) { if (desc) sa > sb else sa < sb }
+          else SparkStringOrder.gt(pb.id, pa.id)
+        }
+        best.drop(spec.offset).take(spec.k)
+    }
+
   /** Group -> Point: list decode dispatches on the file's list encoding
     * (3-level standard `list.element` wrappers vs 2-level repeated
     * primitives) and element width (float/double), so files written by
@@ -256,4 +345,42 @@ object ParquetCollectionStore {
     df.repartitionByRange(numFiles, col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(dir)
+
+  /** Lay an IVF sidecar under `dir/_ivf` so a store opened with
+    * `ivfNprobe > 0` serves pushed top-k on `field` probe-pruned.
+    *
+    *  - `clustered`: the corpus WITH its cluster assignment (an
+    *    [[graft.ops.Ann.IvfIndex]]'s `clustered` frame — id, payload?,
+    *    the stored vector column, `cluster`), written
+    *    `partitionBy(cluster)`: one shuffle at build time buys
+    *    every query reading nprobe/nlist of the corpus;
+    *  - `centroids`: the model table (`cluster`, `centroid`), sealed in
+    *    the STORE row layout (id = zero-padded cluster so string order
+    *    is numeric order, vector = centroid as float — exact for
+    *    seed-point centroids; Lloyd's-refined centroids round to float,
+    *    which only perturbs probe choice at decision boundaries).
+    *
+    * Vectors are narrowed to array<float> — the layout contract — so
+    * stored bytes and scores are identical whether a row is read from
+    * the primary files or a cluster partition.
+    */
+  def writeIvfSidecar(clustered: DataFrame, centroids: DataFrame,
+                      dir: String, field: String,
+                      vectorColumn: String = "vector"): Unit = {
+    import org.apache.spark.sql.functions.{format_string, lit}
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    clustered
+      .withColumn(vectorColumn, col(vectorColumn).cast(ArrayType(FloatType)))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/_ivf/points")
+    centroids.select(
+        format_string("%05d", col("cluster")).as("id"),
+        lit(null).cast(StringType).as("payload"),
+        col("centroid").cast(ArrayType(FloatType)).as(vectorColumn))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_ivf/centroids")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
+      field.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
 }

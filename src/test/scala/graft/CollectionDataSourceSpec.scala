@@ -880,6 +880,106 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  private lazy val pqIvfFixture: (graft.ops.Ann.IvfIndex, ParquetCollectionStore) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-ivf-spec").toString
+    val frame = Collections.homogeneous(spark, TestSpark.sfDir)
+    val frameD = frame.withColumn("vector", col("vector").cast("array<double>"))
+    val idx = graft.ops.Ann.buildIvf(frameD, "id", "vector",
+      nlist = 8, maxIter = 0)
+    ParquetCollectionStore.write(frame, dir, numFiles = 4)
+    ParquetCollectionStore.writeIvfSidecar(
+      idx.clustered.select("id", "payload", "vector", "cluster"),
+      idx.centroids, dir, field = "vector")
+    (idx, new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2))
+  }
+
+  /** Driver-side replication of the probed exact top-k: nearest-2
+    * centroids by euclid (ties on cluster asc), raw-score ranking inside
+    * the probed clusters via the SAME SearchSpec.score arithmetic the
+    * store runs — independent of every engine serving path.
+    */
+  private def ivfExpected(idx: graft.ops.Ann.IvfIndex, q: Array[Double],
+                          k: Int, pred: String => Boolean = _ => true): Seq[String] = {
+    val cents = idx.centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def euclid(a: Array[Double]) =
+      math.sqrt(a.zip(q).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val probed = cents.sortBy { case (c, v) => (euclid(v), c) }
+      .take(2).map(_._1).toSet
+    idx.clustered.select("id", "vector", "cluster").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .filter(t => probed(t._3) && pred(t._1))
+      .map { case (id, v, _) =>
+        (id, SearchSpec.score("cosine", v.map(_.toFloat), q).get)
+      }
+      .sortWith { case ((ia, sa), (ib, sb)) =>
+        // ASCII-digit ids: Scala string order == Spark UTF-8 byte order
+        if (sa != sb) sa > sb else ia < ib }
+      .take(k).map(_._1).toSeq
+  }
+
+  test("IVF sidecar: pushed top-k is probe-pruned — primary files untouched, nprobe clusters read") {
+    val (idx, store) = pqIvfFixture
+    CollectionStores.register("pq_ivf_spec", store)
+    val q = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") === "3")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    val got = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_ivf_spec").option("collection", "embeddings")
+      .option("search.field", "vector")
+      .option("search.vector", q.map(_.toString).mkString(","))
+      .option("search.metric", "cosine").option("search.k", "5")
+      .load().select("id").collect().map(_.getString(0)).toSeq
+    assert(got === ivfExpected(idx, q, k = 5))
+    // the scale contract: the PRIMARY corpus files were never opened —
+    // the query read the model-sized centroid store plus exactly the
+    // nprobe probed cluster partitions
+    assert(store.filesOpened.get() === 0L)
+    assert(store.ivfClustersTouched.size === 2)
+  }
+
+  test("IVF sidecar: payload filter composes inside the probed pass; nprobe=0 store falls back to brute force") {
+    val (idx, store) = pqIvfFixture
+    CollectionStores.register("pq_ivf_spec_f", store)
+    val q = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") === "7")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    def search(storeName: String, extra: Map[String, String] = Map.empty) = {
+      val r = spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", storeName).option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector", q.map(_.toString).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "5")
+      extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }
+        .load().select("id").collect().map(_.getString(0)).toSeq
+    }
+    // filtered probed search: the filter restricts BEFORE ranking, inside
+    // the probed clusters — true top-k of the matching probed subset
+    val labels = Collections.homogeneous(spark, TestSpark.sfDir)
+      .select(col("id"),
+        graft.functions.json_get_int(col("payload"), "label").as("l"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotF = search("pq_ivf_spec_f", Map("filter" -> "label:gte:2"))
+    assert(gotF === ivfExpected(idx, q, k = 5, pred = id => labels(id) >= 2L))
+    // same directory opened WITHOUT nprobe: the sidecar is inert and the
+    // pushed search brute-forces the primary files (exact global top-k)
+    val (dir, _) = pqFixture
+    val brute = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor)
+    CollectionStores.register("pq_ivf_spec_b", brute)
+    val gotB = search("pq_ivf_spec_b")
+    val frameD = Collections.homogeneous(spark, TestSpark.sfDir)
+      .withColumn("vector", col("vector").cast("array<double>"))
+    val want = graft.ops.Ann.bruteForce(frameD, "id", "vector",
+      graft.functions.vec(q.toSeq), k = 5, metric = "cosine")
+      .collect().map(_.getString(0)).toSeq
+    assert(gotB === want)
+    assert(brute.filesOpened.get() > 0L)
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
