@@ -15,7 +15,7 @@ object ScaleProbe {
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-      "ordering")
+      "ordering", "storeivf")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -49,6 +49,58 @@ object ScaleProbe {
         s"section '$name' missing from ScaleProbe.sectionNames")
       if (only.forall(_ == name)) body
     }
+    // store-served IVF cost shape: the corpus (and its sidecar) grows xN
+    // while the QUERY's read stays nprobe/nlist of it — probed serve time
+    // should grow ~8x slower than brute-force serve time, and the PRIMARY
+    // corpus files must never open on the probed path (the counters
+    // printed after each row prove it). Centroids stay nlist rows however
+    // large the corpus: the probe-selection read is model-sized at 100 TB.
+    section("storeivf") {
+      import graft.sources.{ParquetCollectionStore, SearchSpec}
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          to_json(struct(col("label"))).as("payload"),
+          col("embedding").as("vector"))
+      def embN(n: Int): DataFrame = (0 until n).map(i =>
+        emb.select(
+          (col("id").cast("long") + lit(i * 10000000L)).cast("string").as("id"),
+          col("payload"), col("vector"))).reduce(_ union _)
+      val q = emb.filter(col("id") === "7")
+        .select(col("vector").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = embN(n)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-ivf-x$n").toString
+        val idx = graft.ops.Ann.buildIvf(
+          c.withColumn("vector", col("vector").cast("array<double>")),
+          "id", "vector", nlist = 8, maxIter = 0)
+        ParquetCollectionStore.write(c, dir, numFiles = 8)
+        ParquetCollectionStore.writeIvfSidecar(
+          idx.clustered.select("id", "payload", "vector", "cluster"),
+          idx.centroids, dir, field = "vector")
+        idx.clustered.unpersist()
+        val probed = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor, ivfNprobe = 2)
+        val brute = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor)
+        time(s"store_ivf_probed x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            probed.searchPoints("embeddings", spec, withPayload = false,
+              vectorFields = Nil).size.toLong).sum
+        }
+        time(s"store_ivf_brute x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            brute.searchPoints("embeddings", spec, withPayload = false,
+              vectorFields = Nil).size.toLong).sum
+        }
+        println(s"[probe] x$n files opened: probed primary=" +
+          s"${probed.filesOpened.get} (clusters=${probed.ivfClustersTouched.size}) " +
+          s"brute primary=${brute.filesOpened.get}")
+      }
+    }
+
     // NB classifier cost shape: the model is FIXED-size (buckets x
     // classes) whatever the corpus, so TRAIN grows ~linearly in tokens
     // (one feature pass + one partial agg) and CLASSIFY per-doc cost

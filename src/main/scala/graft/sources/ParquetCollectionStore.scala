@@ -371,6 +371,15 @@ object ParquetCollectionStore {
     import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
     clustered
       .withColumn(vectorColumn, col(vectorColumn).cast(ArrayType(FloatType)))
+      // co-locate each cluster into ONE shuffle partition before the
+      // partitioned write: without this, partitionBy fans every upstream
+      // partition across every cluster directory and a probe pays
+      // O(shuffle.partitions) file opens per cluster — measured 2x
+      // SLOWER than brute force at 8x corpus growth in the storeivf
+      // probe. One file per cluster is right until a cluster outgrows a
+      // task; then pre-split by a salted key sized to the target file
+      // size (the standard partitioned-write knob), not by accident.
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$dir/_ivf/points")
     centroids.select(
