@@ -228,6 +228,11 @@ object SparkEntry {
       graft.sources.ParquetCollectionStore.writeIvfSidecar(
         idx.clustered.select("id", "payload", "vector", "cluster"),
         idx.centroids, pqDir.toString, field = "vector")
+      // the payload index on `label` (covering — carries the vector), so
+      // a selective filtered search serves from its value partitions
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        hom(s, dir).select("id", "payload", "vector"), pqDir.toString,
+        key = "label", kind = "int")
       new graft.sources.ParquetCollectionStore(pqDir.toString, "embeddings",
         Collections.homogeneousDescriptor, ivfNprobe = 2)
     })
@@ -1115,6 +1120,31 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_ivf_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the payload index as the ACCESS PATH, store-side: a filtered
+    // search whose must condition hits the indexed key (label, ~10% <
+    // the 20% full_scan_threshold dial) serves from the index's value
+    // partitions — exact top-k of the matching subset, NEITHER the
+    // primary corpus files NOR the IVF clusters touched (spec-asserted).
+    // The store now carries qdrant's two index families (vector +
+    // payload) and dispatches between pre-filter / probed / full-scan
+    // arms by the same cardinality rule as the engine-side Planner.
+    "dsv2_parquet_prefilter_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivf_store2",
+        SparkEntry.parquetIvfStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivf_store2").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -4857,6 +4887,18 @@ object SparkEntry {
     "dsv2_parquet_ivf_search" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, rawOrder = true),
+
+    // the pre-filter arm is EXACT over the matching subset, so the
+    // oracle is a plain WHERE before the raw-rank top-k
+    "dsv2_parquet_prefilter_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 11),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q WHERE e.label = 3
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // wire-protocol swap is equally invisible: same oracles again
     "dsv2_rest_write" ->

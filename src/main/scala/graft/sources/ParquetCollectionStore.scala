@@ -261,29 +261,184 @@ final class ParquetCollectionStore(
                                     withPayload: Boolean,
                                     vectorFields: Seq[String],
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
-    ivfSidecar.filter(_.field == spec.field) match {
-      case None => super.searchPointsFiltered(c, spec, withPayload,
-        vectorFields, pfilter)
-      case Some(sc) =>
-        val probed = sc.centroidStore.searchPoints(collection,
-          SearchSpec(spec.field, spec.query, "euclid", ivfNprobe),
-          withPayload = false, vectorFields = Nil)
-        // the page window (offset + k) per cluster, offset applied after
-        // the merge — same pagination semantics as the base heap
-        val window = spec.copy(k = spec.k + spec.offset, offset = 0)
-        val merged = probed.flatMap { case (cent, _) =>
-          val value = java.lang.Long.parseLong(cent.id).toString
-          clusterStoreFor(value).toSeq.flatMap(
-            _.searchPointsFiltered(c, window, withPayload, vectorFields,
-              pfilter))
-        }
-        val best = merged.sortWith { case ((pa, sa), (pb, sb)) =>
-          val desc = SearchSpec.descending(spec.metric)
-          if (sa != sb) { if (desc) sa > sb else sa < sb }
-          else SparkStringOrder.gt(pb.id, pa.id)
-        }
-        best.drop(spec.offset).take(spec.k)
+    prefilterServe(c, spec, withPayload, vectorFields, pfilter)
+      .orElse(ivfServe(c, spec, withPayload, vectorFields, pfilter))
+      .getOrElse(super.searchPointsFiltered(c, spec, withPayload,
+        vectorFields, pfilter))
+
+  private def ivfServe(c: String, spec: SearchSpec, withPayload: Boolean,
+                       vectorFields: Seq[String],
+                       pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    ivfSidecar.filter(_.field == spec.field).map { sc =>
+      val probed = sc.centroidStore.searchPoints(collection,
+        SearchSpec(spec.field, spec.query, "euclid", ivfNprobe),
+        withPayload = false, vectorFields = Nil)
+      // the page window (offset + k) per cluster, offset applied after
+      // the merge — same pagination semantics as the base heap
+      val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+      val merged = probed.flatMap { case (cent, _) =>
+        val value = java.lang.Long.parseLong(cent.id).toString
+        clusterStoreFor(value).toSeq.flatMap(
+          _.searchPointsFiltered(c, window, withPayload, vectorFields,
+            pfilter))
+      }
+      mergeBest(spec, merged)
     }
+
+  /** Best-first merge of per-partition search pages: raw-score ranking,
+    * id-ascending tiebreak (the base heap's ordering), then the page
+    * window (drop offset, take k).
+    */
+  private def mergeBest(spec: SearchSpec,
+                        merged: Seq[(Point, Double)]): Seq[(Point, Double)] = {
+    val desc = SearchSpec.descending(spec.metric)
+    merged.sortWith { case ((pa, sa), (pb, sb)) =>
+      if (sa != sb) { if (desc) sa > sb else sa < sb }
+      else SparkStringOrder.gt(pb.id, pa.id)
+    }.drop(spec.offset).take(spec.k)
+  }
+
+  // ------------------------------------------------------- payload index --
+
+  /** The payload-index sidecar, when
+    * [[ParquetCollectionStore.writePayloadSidecar]] laid one down under
+    * `dir/_pidx`: the corpus value-partitioned by ONE indexed payload
+    * key (`kind` = `int` | `keyword`, the engine-side
+    * [[graft.ops.Planner]] dichotomy). A filtered search/count whose
+    * `must` list carries a servable condition on that key reads ONLY the
+    * matching value partitions — the backend's payload index making the
+    * filter the ACCESS PATH, qdrant's pre-filter arm at the store seam.
+    *
+    * Servable ops are exactly those that match only via a PRESENT scalar
+    * value (`eq`/`gt`/`gte`/`lt`/`lte`/`match_any`): rows whose key is
+    * absent/null/non-scalar are excluded from the sidecar AND can never
+    * match such a condition (decisive semantics), so partition pruning
+    * is sound. Ops that can match absent keys (`empty`) are not
+    * servable. Candidate partitions are decided by evaluating THE SAME
+    * [[PayloadCondition.matchesValue]] the row path runs, against each
+    * partition's typed value — one semantics, two layouts.
+    */
+  private case class PayloadSidecar(key: String, kind: String) {
+    private val root = s"$dir/_pidx/points"
+
+    /** Decoded `value=` partition values, sorted. Spark percent-escapes
+      * special characters in partition dirs; `__HIVE_DEFAULT_PARTITION__`
+      * (nulls) never appears because the writer drops null values.
+      */
+    lazy val values: Seq[String] = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("value="))
+      .map(f => unescape(f.getName.substring("value=".length)))
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__").sorted
+
+    private def unescape(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(ch); i += 1 }
+      }
+      sb.toString
+    }
+
+    private val stores =
+      scala.collection.concurrent.TrieMap.empty[String, ParquetCollectionStore]
+
+    def storeFor(v: String): Option[ParquetCollectionStore] = {
+      val sub = new java.io.File(s"$root/value=$v")
+      if (!sub.isDirectory) None
+      else Some(stores.getOrElseUpdate(v, new ParquetCollectionStore(
+        sub.getAbsolutePath, collection, descriptor)))
+    }
+
+    def rowsOf(v: String): Long =
+      storeFor(v).map(_.pointCount(collection)).getOrElse(0L)
+
+    def servable(cond: PayloadCondition): Boolean =
+      cond.key == key && PayloadSidecarOps(cond.op)
+
+    def valuesMatching(cond: PayloadCondition): Seq[String] =
+      values.filter(v => cond.matchesValue(Some(jval(v))))
+
+    private def jval(v: String): org.json4s.JValue = kind match {
+      case "int" => org.json4s.JInt(BigInt(v))
+      case _ => org.json4s.JString(v)
+    }
+
+    /** Value partitions whose DATA was read (footer-only selectivity
+      * counts — `rowsOf` — don't qualify: the dial may weigh every
+      * candidate partition's row count and still reject the arm without
+      * decoding a byte).
+      */
+    def valuesTouched: Seq[String] = stores.toSeq
+      .filter(_._2.filesOpened.get() > 0).map(_._1).sorted
+  }
+
+  private val PayloadSidecarOps: Set[String] =
+    Set("eq", "gt", "gte", "lt", "lte", "match_any")
+
+  @transient private lazy val payloadSidecar: Option[PayloadSidecar] = {
+    val marker = new java.io.File(s"$dir/_pidx/meta.txt")
+    if (!marker.isFile) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      Some(PayloadSidecar(lines(0), lines(1)))
+    }
+  }
+
+  /** Value partitions read since JVM start, for specs/probes. */
+  def payloadValuesTouched: Seq[String] =
+    payloadSidecar.map(_.valuesTouched).getOrElse(Nil)
+
+  /** Serve a FILTERED search from the payload sidecar when a `must`
+    * condition is servable AND selective (matched partitions hold at
+    * most [[prefilterMaxFraction]] of the corpus — qdrant's
+    * `full_scan_threshold` dial): exact brute-force top-k over only the
+    * matching value partitions, the FULL filter re-evaluated per point
+    * (residual conditions compose; re-checking the indexed one is
+    * harmless). Above the dial, fall through to the IVF probe (filter
+    * evaluated inside the probed pass — the post-filter arm) or the
+    * base full scan.
+    */
+  private def prefilterServe(c: String, spec: SearchSpec,
+                             withPayload: Boolean, vectorFields: Seq[String],
+                             pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    payloadSidecar.flatMap { sc =>
+      pfilter.must.find(sc.servable).flatMap { cond =>
+        val dirs = sc.valuesMatching(cond)
+        val matched = dirs.map(sc.rowsOf).sum
+        if (matched > ParquetCollectionStore.prefilterMaxFraction *
+            pointCount(collection)) None
+        else {
+          val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+          val merged = dirs.flatMap(v => sc.storeFor(v).toSeq.flatMap(
+            _.searchPointsFiltered(c, window, withPayload, vectorFields,
+              pfilter)))
+          Some(mergeBest(spec, merged))
+        }
+      }
+    }
+
+  /** Filtered count from the value partitions when a `must` condition is
+    * servable — no selectivity dial (a pruned count never reads more
+    * than the full walk), full filter re-evaluated per point, id-set /
+    * keyset conditions composed by the sub-stores.
+    */
+  override def countMatchingFiltered(c: String,
+                                     idFilter: Option[Set[String]],
+                                     idLower: Option[String],
+                                     pfilter: PayloadFilter): Long =
+    payloadSidecar.flatMap { sc =>
+      pfilter.must.find(sc.servable).map { cond =>
+        sc.valuesMatching(cond).map(v => sc.storeFor(v)
+          .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
+          .getOrElse(0L)).sum
+      }
+    }.getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
 
   /** Group -> Point: list decode dispatches on the file's list encoding
     * (3-level standard `list.element` wrappers vs 2-level repeated
@@ -391,5 +546,40 @@ object ParquetCollectionStore {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
       field.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Selectivity dial for the payload-index pre-filter arm: serve from
+    * value partitions only when they hold at most this fraction of the
+    * corpus — the same 20% the engine-side [[graft.ops.Planner]] uses
+    * (qdrant's `full_scan_threshold` analog).
+    */
+  val prefilterMaxFraction: Double = 0.2
+
+  /** Lay a payload-index sidecar under `dir/_pidx`: the collection
+    * value-partitioned by top-level payload key `key` (`kind` = `int` |
+    * `keyword`), one file per value (the co-location discipline
+    * [[writeIvfSidecar]] documents), null/absent values DROPPED — rows
+    * without the key can never match a servable condition, so they are
+    * dead weight in an index whose point is making the filter the access
+    * path. Include the vector columns in `df` (a COVERING index) so a
+    * pre-filtered search serves entirely from its partitions.
+    */
+  def writePayloadSidecar(df: DataFrame, dir: String, key: String,
+                          kind: String = "int"): Unit = {
+    import org.apache.spark.sql.types.StringType
+    val value = kind match {
+      case "int" =>
+        graft.functions.json_get_int(col("payload"), key).cast(StringType)
+      case "keyword" => graft.functions.json_get_str(col("payload"), key)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported index kind '$other'")
+    }
+    df.withColumn("value", value).filter(col("value").isNotNull)
+      .repartition(col("value"))
+      .write.mode("overwrite").partitionBy("value")
+      .parquet(s"$dir/_pidx/points")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_pidx/meta.txt"),
+      s"$key\n$kind".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 }

@@ -890,6 +890,9 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     ParquetCollectionStore.writeIvfSidecar(
       idx.clustered.select("id", "payload", "vector", "cluster"),
       idx.centroids, dir, field = "vector")
+    ParquetCollectionStore.writePayloadSidecar(
+      frame.select("id", "payload", "vector"), dir,
+      key = "label", kind = "int")
     (idx, new ParquetCollectionStore(dir, "embeddings",
       Collections.homogeneousDescriptor, ivfNprobe = 2))
   }
@@ -978,6 +981,58 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(gotB === want)
     assert(brute.filesOpened.get() > 0L)
+  }
+
+  test("payload-index sidecar: selective filtered search serves from value partitions — exact, primary and IVF untouched") {
+    val (_, store) = pqIvfFixture
+    CollectionStores.register("pq_pidx_spec", store)
+    val q = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") === "11")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    val frame = Collections.homogeneous(spark, TestSpark.sfDir)
+    val rows = frame.select(col("id"),
+        col("vector").cast("array<double>"),
+        graft.functions.json_get_int(col("payload"), "label").as("l"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    // EXACT filtered top-k over the whole corpus (the pre-filter arm is
+    // not approximate): every label==3 row ranked, raw scores, id ties
+    val expected = rows.filter(_._3 == 3L)
+      .map { case (id, v, _) =>
+        (id, SearchSpec.score("cosine", v.map(_.toFloat), q).get) }
+      .sortWith { case ((ia, sa), (ib, sb)) =>
+        if (sa != sb) sa > sb else ia < ib }
+      .take(5).map(_._1).toSeq
+    val clustersBefore = store.ivfClustersTouched.size
+    val got = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_pidx_spec").option("collection", "embeddings")
+      .option("filter", "label:eq:3")
+      .option("search.field", "vector")
+      .option("search.vector", q.map(_.toString).mkString(","))
+      .option("search.metric", "cosine").option("search.k", "5")
+      .load().select("id").collect().map(_.getString(0)).toSeq
+    assert(got === expected)
+    assert(store.filesOpened.get() === 0L)                      // primary
+    assert(store.ivfClustersTouched.size === clustersBefore)    // no probe
+    assert(store.payloadValuesTouched === Seq("3"))             // ONE value
+    // unselective servable condition (label >= 0 matches everything):
+    // the 20% dial rejects the pre-filter arm and the IVF probe serves
+    val gotAll = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_pidx_spec").option("collection", "embeddings")
+      .option("filter", "label:gte:0")
+      .option("search.field", "vector")
+      .option("search.vector", q.map(_.toString).mkString(","))
+      .option("search.metric", "cosine").option("search.k", "5")
+      .load().select("id").collect().map(_.getString(0)).toSeq
+    assert(gotAll === ivfExpected(pqIvfFixture._1, q, k = 5))
+    assert(store.payloadValuesTouched === Seq("3"))             // unchanged
+    // filtered COUNT serves from the index too — no dial, exact, and
+    // the primary files stay closed
+    val f = PayloadFilter(Seq(PayloadCondition("label", "eq", "3")), Nil, None)
+    assert(store.countMatchingFiltered("embeddings", None, None, f)
+      === rows.count(_._3 == 3L).toLong)
+    assert(store.filesOpened.get() === 0L)
   }
 
   test("payload filter: must conditions narrow the scan store-side, decisively") {
