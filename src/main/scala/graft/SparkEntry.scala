@@ -1153,6 +1153,22 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // filtered COUNT(*) pushdown landing on the payload index: the
+    // aggregate collapses to CollectionFilteredCountScan, the store
+    // answers from the index's value partitions (footer row counts +
+    // residual-free condition — no corpus bytes decoded), one row
+    // crosses the scan
+    "dsv2_parquet_indexed_count" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivf_store3",
+        SparkEntry.parquetIvfStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivf_store3").option("collection", "embeddings")
+        .option("filter", "label:gte:7")
+        .load()
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // the THIRD CollectionStore implementation — the WIRE protocol: an
     // HTTP/JSON client (RestCollectionStore) dialing an in-process server
     // fronting the same collection, the reference's defining deployment
@@ -4899,6 +4915,9 @@ object SparkEntry {
         |  FROM embeddings e, q WHERE e.label = 3
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_parquet_indexed_count" ->
+      "SELECT count(*) AS n FROM embeddings WHERE label >= 7",
 
     // wire-protocol swap is equally invisible: same oracles again
     "dsv2_rest_write" ->

@@ -425,8 +425,14 @@ final class ParquetCollectionStore(
 
   /** Filtered count from the value partitions when a `must` condition is
     * servable — no selectivity dial (a pruned count never reads more
-    * than the full walk), full filter re-evaluated per point, id-set /
-    * keyset conditions composed by the sub-stores.
+    * than the full walk). When EVERY clause is carried by the partition
+    * value (all `must` conditions servable, no `must_not`/`min_should`/
+    * id conditions), the count is a FOOTER sum over the matching
+    * partitions' intersection — zero corpus bytes decoded, the payload
+    * index answering `points/count` the way the in-memory store's value
+    * index does. Otherwise the matching partitions are walked with the
+    * full filter re-evaluated per point (id-set / keyset conditions
+    * composed by the sub-stores).
     */
   override def countMatchingFiltered(c: String,
                                      idFilter: Option[Set[String]],
@@ -434,9 +440,16 @@ final class ParquetCollectionStore(
                                      pfilter: PayloadFilter): Long =
     payloadSidecar.flatMap { sc =>
       pfilter.must.find(sc.servable).map { cond =>
-        sc.valuesMatching(cond).map(v => sc.storeFor(v)
-          .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
-          .getOrElse(0L)).sum
+        val indexOnly = idFilter.isEmpty && idLower.isEmpty &&
+          pfilter.mustNot.isEmpty && pfilter.minShould.isEmpty &&
+          pfilter.must.forall(sc.servable)
+        if (indexOnly)
+          pfilter.must.map(m => sc.valuesMatching(m).toSet)
+            .reduce(_ intersect _).toSeq.map(sc.rowsOf).sum
+        else
+          sc.valuesMatching(cond).map(v => sc.storeFor(v)
+            .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
+            .getOrElse(0L)).sum
       }
     }.getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
 

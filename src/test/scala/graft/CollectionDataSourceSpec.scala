@@ -1033,6 +1033,15 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.countMatchingFiltered("embeddings", None, None, f)
       === rows.count(_._3 == 3L).toLong)
     assert(store.filesOpened.get() === 0L)
+    // the fully-index-served count is a FOOTER sum: no value partition's
+    // data opened beyond what the earlier search already read
+    assert(store.payloadValuesTouched === Seq("3"))
+    // a residual clause (must_not) forces the per-point walk — still
+    // pruned to the matching partitions, still exact
+    val fr = PayloadFilter(Seq(PayloadCondition("label", "eq", "3")),
+      Seq(PayloadCondition("label", "eq", "99")), None)
+    assert(store.countMatchingFiltered("embeddings", None, None, fr)
+      === rows.count(_._3 == 3L).toLong)
   }
 
   test("payload filter: must conditions narrow the scan store-side, decisively") {
