@@ -1044,6 +1044,35 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       === rows.count(_._3 == 3L).toLong)
   }
 
+  test("payload-index sidecar: keyword kind — typed eq and match_any prune by string value") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx-kw").toString
+    val df = Seq(
+      ("1", """{"source":"web"}"""),
+      ("2", """{"source":"books"}"""),
+      ("3", """{"source":"web"}"""),
+      ("4", """{"source":"wiki"}"""),
+      ("5", """{"source":"3"}"""),     // numeric-LOOKING string value
+      ("6", """{"other":1}""")         // no source: dropped from the index
+    ).toDF("id", "payload")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    ParquetCollectionStore.writePayloadSidecar(df, dir,
+      key = "source", kind = "keyword")
+    val store = new ParquetCollectionStore(dir, "kw",
+      graft.collections.CollectionDescriptor("kw", Seq()))
+    def cnt(must: Seq[PayloadCondition]) =
+      store.countMatchingFiltered("kw", None, None,
+        PayloadFilter(must, Nil, None))
+    assert(cnt(Seq(PayloadCondition("source", "eq", "web"))) === 2L)
+    // typed eq: a numeric-parsing probe NEVER matches a string value —
+    // partition selection must apply the same rule the row path does
+    assert(cnt(Seq(PayloadCondition("source", "eq", "3"))) === 0L)
+    assert(cnt(Seq(PayloadCondition("source", "match_any", "web|wiki"))) === 3L)
+    // every count above is index-carried: footer sums only, no data read
+    assert(store.filesOpened.get() === 0L)
+    assert(store.payloadValuesTouched === Nil)
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
