@@ -56,7 +56,7 @@ object ScaleProbe {
     // printed after each row prove it). Centroids stay nlist rows however
     // large the corpus: the probe-selection read is model-sized at 100 TB.
     section("storeivf") {
-      import graft.sources.{ParquetCollectionStore, SearchSpec}
+      import graft.sources.{ParquetCollectionStore, PayloadCondition, PayloadFilter, SearchSpec}
       val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
         .select(col("vec_id").cast("string").as("id"),
           to_json(struct(col("label"))).as("payload"),
@@ -80,6 +80,8 @@ object ScaleProbe {
         ParquetCollectionStore.writeIvfSidecar(
           idx.clustered.select("id", "payload", "vector", "cluster"),
           idx.centroids, dir, field = "vector")
+        ParquetCollectionStore.writePayloadSidecar(c, dir,
+          key = "label", kind = "int")
         idx.clustered.unpersist()
         val probed = new ParquetCollectionStore(dir, "embeddings",
           graft.collections.Collections.homogeneousDescriptor, ivfNprobe = 2)
@@ -95,8 +97,23 @@ object ScaleProbe {
             brute.searchPoints("embeddings", spec, withPayload = false,
               vectorFields = Nil).size.toLong).sum
         }
+        // the payload-index pre-filter arm: one label (~10% of the
+        // corpus, under the 20% dial) becomes the access path — the read
+        // is its single value partition, growing at a tenth of the
+        // corpus's rate, and the count variant is footer-only
+        val pf = PayloadFilter(
+          Seq(PayloadCondition("label", "eq", "3")), Nil, None)
+        time(s"store_prefilter x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            probed.searchPointsFiltered("embeddings", spec,
+              withPayload = false, vectorFields = Nil, pf).size.toLong).sum
+        }
+        time(s"store_indexed_count x$n") {
+          probed.countMatchingFiltered("embeddings", None, None, pf)
+        }
         println(s"[probe] x$n files opened: probed primary=" +
-          s"${probed.filesOpened.get} (clusters=${probed.ivfClustersTouched.size}) " +
+          s"${probed.filesOpened.get} (clusters=${probed.ivfClustersTouched.size}, " +
+          s"values=${probed.payloadValuesTouched.mkString(",")}) " +
           s"brute primary=${brute.filesOpened.get}")
       }
     }
