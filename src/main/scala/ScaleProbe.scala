@@ -15,7 +15,7 @@ object ScaleProbe {
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-      "ordering", "storeivf")
+      "ordering", "storeivf", "pqlog")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -832,6 +832,67 @@ object ScaleProbe {
         val snapW = (System.nanoTime() - t2) / 1e9
         println(f"[probe] cdc x$n history=$size replay full=$full ($fullW%.2f s) " +
           f"compacted tail=$tail ($tailW%.2f s) snapshot=$snap ($snapW%.2f s)")
+        CollectionStores.remove(store)
+      }
+      churnSlice.unpersist(); hom.unpersist(): Unit
+    }
+    // the LAKEHOUSE changelog's cost shape: churn history (delete +
+    // re-upsert segments) grows xN while surviving state stays fixed.
+    // Full replay must grow with history; the compacted tail replay and
+    // the snapshot (primary-files) read must stay FLAT — segment files
+    // position themselves by name, so a tail read never opens compacted
+    // or non-overlapping segments, and compaction is an O(dropped-files)
+    // metadata operation (primaries are already the checkpoint).
+    section("pqlog") {
+      import graft.sources._
+      val hom = graft.collections.Collections
+        .homogeneous(spark, "/root/testdata/sf0.1")
+        .select(col("id"), col("payload"), col("vector")).persist()
+      hom.count()
+      val churnSlice = hom.limit(200).persist(); churnSlice.count()
+      val churnIds = churnSlice.select("id").collect().map(_.getString(0)).toSet
+      for (n <- Seq(1, 2, 4, 8)) {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-pqlog-probe-$n").toString
+        ParquetCollectionStore.write(hom, dir, numFiles = 4, withLog = true)
+        val store = s"pqlogprobe_$n"
+        CollectionStores.register(store, new ParquetCollectionStore(dir,
+          "embeddings", graft.collections.Collections.homogeneousDescriptor))
+        for (_ <- 1 to 4 * n) {
+          CollectionStores.update(store) {
+            case pq: ParquetCollectionStore =>
+              pq.removed("embeddings", churnIds)
+            case other => other
+          }
+          churnSlice.write.format("graft.sources.CollectionDataSource")
+            .option("store", store).option("collection", "embeddings")
+            .mode("append").save()
+        }
+        def cdcRead() = spark.read
+          .format("graft.sources.CollectionDataSource")
+          .option("store", store).option("collection", "embeddings")
+          .option("cdc", "true").option("partitions", "8").load()
+        val size = CollectionStores.get(store).logSize("embeddings")
+        val t0 = System.nanoTime()
+        val full = cdcRead().count()
+        val fullW = (System.nanoTime() - t0) / 1e9
+        val tC = System.nanoTime()
+        CollectionStores.update(store) {
+          case pq: ParquetCollectionStore =>
+            pq.compacted("embeddings", size - 400)
+          case other => other
+        }
+        val compW = (System.nanoTime() - tC) / 1e9
+        val t1 = System.nanoTime()
+        val tail = cdcRead().count()
+        val tailW = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val snap = spark.read.format("graft.sources.CollectionDataSource")
+          .option("store", store).option("collection", "embeddings")
+          .option("partitions", "8").load().count()
+        val snapW = (System.nanoTime() - t2) / 1e9
+        println(f"[probe] pqlog x$n history=$size replay full=$full ($fullW%.2f s) " +
+          f"compact=($compW%.2f s) tail=$tail ($tailW%.2f s) snapshot=$snap ($snapW%.2f s)")
         CollectionStores.remove(store)
       }
       churnSlice.unpersist(); hom.unpersist(): Unit

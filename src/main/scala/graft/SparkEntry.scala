@@ -237,6 +237,40 @@ object SparkEntry {
         Collections.homogeneousDescriptor, ivfNprobe = 2)
     })
 
+  /** A log-enabled parquet store of `dir`'s homogeneous collection:
+    * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
+    * sealing the ingest. The CACHED form backs read-only gates
+    * (streaming read, pipeline source); mutation gates take a FRESH dir
+    * per invocation via [[freshParquetLogStore]] so re-runs replay the
+    * same history.
+    */
+  private val parquetLogStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def tempStoreDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d)
+    }))
+    d.toString
+  }
+
+  private def freshParquetLogStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore = {
+    val pqDir = tempStoreDir("graft-pq-log")
+    graft.sources.ParquetCollectionStore.write(
+      hom(s, dir).select("id", "payload", "vector"), pqDir, withLog = true)
+    new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+      Collections.homogeneousDescriptor)
+  }
+
+  private def parquetLogStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetLogStoreCache.getOrElseUpdate(dir, freshParquetLogStore(s, dir))
+
   /** The wire-protocol fixture of `dir`: an in-process
     * [[graft.sources.CollectionHttpServer]] fronting the homogeneous
     * collection, started once per dir (the offline stand-in for a live
@@ -1167,6 +1201,88 @@ object SparkEntry {
         .option("filter", "label:gte:7")
         .load()
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // the STREAMING read path over the LAKEHOUSE backend: the parquet
+    // store's _log sidecar replays through the connector's micro-batch
+    // CDC source exactly like the in-memory log (same oracle as
+    // dsv2_stream_read) — segment files position themselves by name, so
+    // the bounded run opens only the segments it replays
+    "dsv2_parquet_stream_read" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pql_stream",
+        SparkEntry.parquetLogStore(s, dir))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-pql-gate").toString
+      val sink = s"pql_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "pql_stream").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
+    // LOG COMPACTION on the lakehouse backend: COW deletes append
+    // tombstone segments, compaction truncates the ingest prefix
+    // (the PRIMARY files are the checkpoint — no separate snapshot) and
+    // the retained tail replays at its ORIGINAL global positions — same
+    // oracle as the in-memory dsv2_cdc_compacted
+    "dsv2_parquet_cdc_compacted" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pql_cdcc",
+        SparkEntry.freshParquetLogStore(s, dir))
+      val ingested = CollectionStores.get("pql_cdcc").logSize("embeddings")
+      CollectionStores.update("pql_cdcc") {
+        case pq: ParquetCollectionStore =>
+          pq.removed("embeddings", Set("3", "13", "23"))
+            .compacted("embeddings", ingested)
+        case other => other
+      }
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pql_cdcc").option("collection", "embeddings")
+        .option("cdc", "true").option("partitions", "4").load()
+        .select(col("_op"), col("_seq"), col("id"))
+    }),
+
+    // collection-to-collection ETL with BOTH ends on the lakehouse
+    // backend: stream the parquet log out, transform, stream INTO an
+    // empty parquet collection — each epoch commits as one COW batch +
+    // log segment, so the sink is itself CDC-replayable. Same oracle as
+    // dsv2_stream_pipeline
+    "dsv2_parquet_stream_pipeline" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pql_etl_src",
+        SparkEntry.parquetLogStore(s, dir))
+      val dstDir = SparkEntry.tempStoreDir("graft-pq-etl-dst")
+      ParquetCollectionStore.initEmpty(dstDir)
+      CollectionStores.register("pql_etl_dst", new ParquetCollectionStore(
+        dstDir, "embeddings", Collections.homogeneousDescriptor))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-pql-etl-ckpt").toString
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "pql_etl_src").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .filter(json_get_int(col("payload"), "label") % 2 === 0)
+        .select(col("id"),
+          concat(lit("""{"etl":1,"orig":"""), col("payload"), lit("}")).as("payload"),
+          col("vector"))
+        .writeStream.format("graft.sources.CollectionDataSource")
+        .option("store", "pql_etl_dst").option("collection", "embeddings")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pql_etl_dst").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     }),
 
     // the THIRD CollectionStore implementation — the WIRE protocol: an
@@ -4865,6 +4981,30 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // lakehouse backend swap is invisible above the seam: the parquet
+    // log's replay/compaction/pipeline share the in-memory forms' oracles
+    "dsv2_parquet_stream_read" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_parquet_cdc_compacted" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM embeddings)
+        |SELECT 'delete' AS _op,
+        |       CAST(n.c + row_number() OVER (ORDER BY d.id) - 1 AS BIGINT) AS _seq,
+        |       d.id
+        |FROM (SELECT CAST(vec_id AS VARCHAR) AS id FROM embeddings
+        |      WHERE vec_id IN (3, 13, 23)) d, n
+        |ORDER BY _seq""".stripMargin,
+
+    "dsv2_parquet_stream_pipeline" ->
+      """SELECT id, '{"etl":1,"orig":' || payload || '}' AS payload FROM (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         to_json({'label': label}) AS payload,
+        |         label
+        |  FROM embeddings)
+        |WHERE label % 2 = 0 ORDER BY id""".stripMargin,
 
     "dsv2_count" -> "SELECT COUNT(*) AS n FROM embeddings",
 

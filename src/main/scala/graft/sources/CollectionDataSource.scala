@@ -1387,6 +1387,9 @@ final class CollectionTable(storeName: String, collection: String,
           if (idSets.isEmpty) rest.truncate(coll)
           else rest.deletePoints(coll, idSets.reduce(_ intersect _))
           rest
+        case pq: ParquetCollectionStore =>
+          if (idSets.isEmpty) pq.truncated(coll)
+          else pq.removed(coll, idSets.reduce(_ intersect _))
         case other => throw new UnsupportedOperationException(
           s"store ${other.getClass.getName} does not accept local deletes")
       }
@@ -1623,6 +1626,18 @@ final class CollectionWrite(
             s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
         }
         rest
+      case pq: ParquetCollectionStore =>
+        // lakehouse backend: each run is one COW batch (only the primary
+        // files whose id range the batch touches rewrite) + one log
+        // segment, so the CDC stream over this store replays the commit
+        runs.foldLeft(pq) { case (p, (op, ps)) =>
+          if (op == LogOps.Upsert)
+            p.appended(coll, ps.sortBy(_.id).toIndexedSeq)
+          else if (op == LogOps.Delete)
+            p.removed(coll, ps.map(_.id).toSet)
+          else throw new IllegalArgumentException(
+            s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
+        }
       case other => throw new UnsupportedOperationException(
         s"store ${other.getClass.getName} does not accept local commits; " +
           "a remote store acks per-writer upserts instead")

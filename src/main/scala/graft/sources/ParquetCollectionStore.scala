@@ -47,8 +47,22 @@ import graft.collections.{CollectionDescriptor, DenseField}
   *  - a keyset bound (`idLower`) skips whole files and row groups whose
   *    id-column statistics max sorts at or below the bound — the
   *    footer-level analog of the in-memory store's sorted seek;
-  *  - no change log: streaming reads fail loudly per the base contract
-  *    (cold storage replays state, not history).
+  *  - WITH the [[ParquetLog]] change-log sidecar (`dir/_log`, laid down
+  *    by [[ParquetCollectionStore.write]]`(withLog = true)` or any
+  *    mutation), streaming reads, CDC replay, compaction, and the
+  *    connector's write path all serve over this backend; withOUT it,
+  *    streaming reads fail loudly per the base contract (pure cold
+  *    storage replays state, not history) and mutations are refused.
+  *
+  * Mutations are copy-on-write at FILE granularity (the Iceberg/Delta
+  * COW discipline): an upsert/delete batch rewrites only the primary
+  * files whose id range it touches (the ranged layout makes that a
+  * footer-stats decision), appends one log segment, and returns a fresh
+  * store instance — primary files always hold the CURRENT state, so the
+  * batch read path never pays replay. NOTE: the IVF/payload sidecars
+  * index the state they were built from; mutating a store with sidecars
+  * leaves them stale until the offline rebuild job reruns (the standard
+  * index-refresh discipline; qdrant's optimizer fills the same role).
   *
   * Rows of one row group are buffered during decode (bounded by row-group
   * sizing, the standard parquet memory unit), never the file or the
@@ -318,18 +332,29 @@ final class ParquetCollectionStore(
     * [[PayloadCondition.matchesValue]] the row path runs, against each
     * partition's typed value — one semantics, two layouts.
     */
-  private case class PayloadSidecar(key: String, kind: String) {
+  private case class PayloadSidecar(key: String, kind: String,
+                                    covered: Set[String]) {
     private val root = s"$dir/_pidx/points"
 
-    /** Decoded `value=` partition values, sorted. Spark percent-escapes
-      * special characters in partition dirs; `__HIVE_DEFAULT_PARTITION__`
+    /** Partition dir suffix per decoded RAW-JSON value. The raw form is
+      * TYPE-TAGGED (`"3"` is a JSON string, `3` a number, `true` a bool
+      * — [[ParquetCollectionStore.writePayloadSidecar]] writes it), so
+      * the index is type-COMPLETE over scalar values of the key: every
+      * row a servable condition can match lives in some partition, and
+      * [[valuesMatching]]'s typed evaluation is a sound pruning rule.
+      * Spark percent-escapes special characters in partition dirs (the
+      * quote of a string value included) — the listing keeps the
+      * escaped name for path lookups. `__HIVE_DEFAULT_PARTITION__`
       * (nulls) never appears because the writer drops null values.
       */
-    lazy val values: Seq[String] = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("value="))
-      .map(f => unescape(f.getName.substring("value=".length)))
-      .filter(_ != "__HIVE_DEFAULT_PARTITION__").sorted
+    lazy val valueDirs: Map[String, String] =
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("value="))
+        .map(f => unescape(f.getName.substring("value=".length)) -> f.getName)
+        .filter(_._1 != "__HIVE_DEFAULT_PARTITION__").toMap
+
+    lazy val values: Seq[String] = valueDirs.keys.toSeq.sorted
 
     private def unescape(s: String): String = {
       val sb = new StringBuilder; var i = 0
@@ -346,12 +371,13 @@ final class ParquetCollectionStore(
     private val stores =
       scala.collection.concurrent.TrieMap.empty[String, ParquetCollectionStore]
 
-    def storeFor(v: String): Option[ParquetCollectionStore] = {
-      val sub = new java.io.File(s"$root/value=$v")
-      if (!sub.isDirectory) None
-      else Some(stores.getOrElseUpdate(v, new ParquetCollectionStore(
-        sub.getAbsolutePath, collection, descriptor)))
-    }
+    def storeFor(v: String): Option[ParquetCollectionStore] =
+      valueDirs.get(v).flatMap { dn =>
+        val sub = new java.io.File(s"$root/$dn")
+        if (!sub.isDirectory) None
+        else Some(stores.getOrElseUpdate(v, new ParquetCollectionStore(
+          sub.getAbsolutePath, collection, descriptor)))
+      }
 
     def rowsOf(v: String): Long =
       storeFor(v).map(_.pointCount(collection)).getOrElse(0L)
@@ -359,13 +385,21 @@ final class ParquetCollectionStore(
     def servable(cond: PayloadCondition): Boolean =
       cond.key == key && PayloadSidecarOps(cond.op)
 
+    /** Candidate partitions: evaluate THE SAME typed
+      * [[PayloadCondition.matchesValue]] the row path runs, against each
+      * partition's raw-JSON value parsed to its true type — one
+      * semantics, two layouts. A numeric probe selects number
+      * partitions, never the numeric-LOOKING string `"3"`, and vice
+      * versa (the type-coercion hole the raw-tagged layout closes).
+      */
     def valuesMatching(cond: PayloadCondition): Seq[String] =
       values.filter(v => cond.matchesValue(Some(jval(v))))
 
-    private def jval(v: String): org.json4s.JValue = kind match {
-      case "int" => org.json4s.JInt(BigInt(v))
-      case _ => org.json4s.JString(v)
-    }
+    private def jval(v: String): org.json4s.JValue =
+      // raw JSON scalar -> typed value; a legacy unquoted keyword dir
+      // (pre-raw layouts) fails the parse and reads as the string it is
+      org.json4s.jackson.JsonMethods.parseOpt(v)
+        .getOrElse(org.json4s.JString(v))
 
     /** Value partitions whose DATA was read (footer-only selectivity
       * counts — `rowsOf` — don't qualify: the dial may weigh every
@@ -386,7 +420,13 @@ final class ParquetCollectionStore(
       val lines = new String(
         java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      Some(PayloadSidecar(lines(0), lines(1)))
+      // line 3 = the covered vector COLUMNS (may be empty: a count-only
+      // index); a legacy 2-line meta reads as non-covering — the
+      // pre-filter search arm skips it rather than serving short results
+      val covered =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
+        else Set.empty[String]
+      Some(PayloadSidecar(lines(0), lines(1), covered))
     }
   }
 
@@ -408,7 +448,11 @@ final class ParquetCollectionStore(
                              withPayload: Boolean, vectorFields: Seq[String],
                              pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     payloadSidecar.flatMap { sc =>
-      pfilter.must.find(sc.servable).flatMap { cond =>
+      // the arm only serves when the sidecar COVERS the queried vector
+      // column — a count-only (non-covering) index must not silently
+      // return vector-less short results (meta.txt line 3 records this)
+      if (!sc.covered.contains(columnOf(spec.field))) None
+      else pfilter.must.find(sc.servable).flatMap { cond =>
         val dirs = sc.valuesMatching(cond)
         val matched = dirs.map(sc.rowsOf).sum
         if (matched > ParquetCollectionStore.prefilterMaxFraction *
@@ -452,6 +496,192 @@ final class ParquetCollectionStore(
             .getOrElse(0L)).sum
       }
     }.getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
+
+  // ------------------------------------------------------- change log --
+
+  private def logDir = new java.io.File(s"$dir/_log")
+  private def logEnabled: Boolean = logDir.isDirectory
+
+  /** Stored column name -> vector FIELD name (segment/primary decode). */
+  private def colToField: Map[String, String] =
+    descriptor.fields.collect { case DenseField(n, _, _) => columnOf(n) -> n }
+      .toMap
+
+  private def denseColumns: Seq[String] =
+    descriptor.fields.collect { case DenseField(n, _, _) => columnOf(n) }
+
+  override def logStart(c: String): Long = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    if (!logEnabled) super.logStart(c) else ParquetLog.base(logDir)
+  }
+
+  override def logSize(c: String): Long = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    if (!logEnabled) super.logSize(c) else ParquetLog.head(logDir)
+  }
+
+  /** Replay [from, until): segment files position themselves by NAME, so
+    * a tail read opens only tail segments — replay cost is O(tail), flat
+    * however long the churn history grows (the ScaleProbe `pqlog` row).
+    */
+  override def logEntries(c: String, from: Long, until: Long): Iterator[LogEntry] = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    if (!logEnabled) super.logEntries(c, from, until)
+    else {
+      val b = ParquetLog.base(logDir)
+      if (from < b)
+        throw new IllegalStateException(
+          s"log positions [$from, $b) of '$collection' were compacted away; " +
+            s"replay must start at $b or from a fresh snapshot")
+      val c2f = colToField
+      ParquetLog.segments(logDir).iterator
+        .filter(m => m.end > from && m.start < until)
+        .flatMap(m => ParquetLog.readSegment(m.path, from, until, c2f))
+    }
+  }
+
+  private def requireLog(what: String): Unit =
+    require(logEnabled,
+      s"$what on a parquet store requires the _log changelog sidecar " +
+        s"(seal with write(withLog = true) or initEmpty); '$dir' has none")
+
+  /** Index of the primary file an incoming id lands in: the first file
+    * whose id-stats max sorts at or above it (ranged layout), the last
+    * file when the id sorts past every range (append tail). -1 = empty.
+    */
+  private def targetFile(metas: Seq[FileMeta], id: String): Int = {
+    if (metas.isEmpty) return -1
+    val i = metas.indexWhere(m =>
+      m.maxId.exists(mx => !SparkStringOrder.gt(id, mx)))
+    if (i < 0) metas.length - 1 else i
+  }
+
+  /** A fresh instance on the same dir (lazy footer/sidecar metadata
+    * reloads; IO counters reset — mutations change the files).
+    */
+  private def reopened: ParquetCollectionStore =
+    new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe)
+
+  /** UPSERT `pts` (point-id semantics: an incoming id replaces the
+    * stored point; last occurrence wins within the batch) — the DSv2
+    * write-commit path over the lakehouse backend. COW: only primary
+    * files whose id range the batch touches are rewritten; the batch
+    * also seals as one log segment (id order, matching the in-memory
+    * store's replay contract).
+    */
+  def appended(c: String, pts: IndexedSeq[Point]): ParquetCollectionStore = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    requireLog("appended")
+    if (pts.isEmpty) return this
+    val deduped = pts.groupBy(_.id).view.mapValues(_.last).values.toIndexedSeq
+      .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+    val metas = fileMetas
+    val fields = descriptor.fields.collect { case DenseField(n, _, _) => n }
+    if (metas.isEmpty) {
+      ParquetLog.writePrimary(new java.io.File(dir, "part-00000.parquet"),
+        deduped, denseColumns, columnOf)
+    } else {
+      deduped.groupBy(p => targetFile(metas, p.id)).foreach {
+        case (idx, batch) =>
+          val fm = metas(idx)
+          val old = queryPoints(c, fm.start, fm.start + fm.rows,
+            withPayload = true, fields, None).toIndexedSeq
+          val incoming = batch.map(_.id).toSet
+          val merged = (old.filterNot(p => incoming(p.id)) ++ batch)
+            .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+          ParquetLog.writePrimary(new java.io.File(fm.path), merged,
+            denseColumns, columnOf)
+      }
+    }
+    ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
+      deduped.map(LogEntry(LogOps.Upsert, _)), denseColumns, columnOf): Unit
+    reopened
+  }
+
+  /** DELETE by id set: rewrite only the primary files whose range can
+    * hold a hit, seal the hits as one tombstone segment (stored order).
+    */
+  def removed(c: String, ids: Set[String]): ParquetCollectionStore = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    requireLog("removed")
+    val fields = descriptor.fields.collect { case DenseField(n, _, _) => n }
+    val hits = Seq.newBuilder[String]
+    fileMetas.foreach { fm =>
+      // footer-stats prune: skip files that cannot hold any target id
+      val mayHit = fm.maxId.forall(mx =>
+        ids.exists(id => !SparkStringOrder.gt(id, mx)))
+      if (mayHit) {
+        val old = queryPoints(c, fm.start, fm.start + fm.rows,
+          withPayload = true, fields, None).toIndexedSeq
+        val (dropped, kept) = old.partition(p => ids(p.id))
+        if (dropped.nonEmpty) {
+          hits ++= dropped.map(_.id)
+          val f = new java.io.File(fm.path)
+          if (kept.isEmpty) {
+            new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+            f.delete(): Unit
+          } else ParquetLog.writePrimary(f, kept, denseColumns, columnOf)
+        }
+      }
+    }
+    val hit = hits.result()
+    if (hit.isEmpty) this
+    else {
+      ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
+        hit.map(id => LogEntry(LogOps.Delete, Point(id, None))),
+        denseColumns, columnOf): Unit
+      reopened
+    }
+  }
+
+  /** `DELETE FROM t` — drop every point (tombstones logged so CDC
+    * readers see the truncation as history, not silence).
+    */
+  def truncated(c: String): ParquetCollectionStore = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    val all = queryPoints(c, 0L, pointCount(c), withPayload = false,
+      Nil, None).map(_.id).toSet
+    if (all.isEmpty) this else removed(c, all)
+  }
+
+  /** COMPACT the change log up to global position `upTo` (exclusive):
+    * segments wholly below are deleted, a straddling one is rewritten to
+    * its retained suffix, retained entries keep their global positions
+    * (checkpointed CDC readers past `upTo` are undisturbed), and readers
+    * needing dropped positions fail loudly in [[logEntries]]. The
+    * primary files already hold the head state (COW keeps them current),
+    * so — unlike the in-memory store — no separate snapshot is written:
+    * the primaries ARE the checkpoint. Bounds log storage of a
+    * long-lived collection by state + tail.
+    */
+  def compacted(c: String, upTo: Long): ParquetCollectionStore = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    requireLog("compacted")
+    val b = ParquetLog.base(logDir)
+    if (upTo <= b) return this
+    val headPos = ParquetLog.head(logDir)
+    require(upTo <= headPos,
+      s"cannot compact '$collection' past its log head ($headPos), got $upTo")
+    val c2f = colToField
+    ParquetLog.segments(logDir).foreach { m =>
+      if (m.end <= upTo) {
+        val f = new java.io.File(m.path)
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        f.delete(): Unit
+      } else if (m.start < upTo) {
+        // straddling segment: rewrite the retained suffix at its
+        // ORIGINAL positions, then drop the old file
+        val retained = ParquetLog.readSegment(m.path, upTo, m.end, c2f)
+        val f = new java.io.File(m.path)
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        f.delete(): Unit
+        ParquetLog.appendSegment(logDir, upTo, retained, denseColumns,
+          columnOf): Unit
+      }
+    }
+    ParquetLog.writeBase(logDir, upTo)
+    reopened
+  }
 
   /** Group -> Point: list decode dispatches on the file's list encoding
     * (3-level standard `list.element` wrappers vs 2-level repeated
@@ -509,10 +739,34 @@ object ParquetCollectionStore {
     * property footer-level keyset skipping rests on). One shuffle —
     * an ingest-time batch job, like every stored layout here.
     */
-  def write(df: DataFrame, dir: String, numFiles: Int = 4): Unit =
+  def write(df: DataFrame, dir: String, numFiles: Int = 4,
+            withLog: Boolean = false): Unit = {
     df.repartitionByRange(numFiles, col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(dir)
+    if (withLog) {
+      // the initial-ingest changelog: one segment per primary file,
+      // sealing its enumeration positions as upserts — written by the
+      // CLUSTER (one task per file), the driver only lists footers
+      val denseCols = df.columns.toSeq.filterNot(Set("id", "payload"))
+      val metas = ParquetLog.primaryMetas(dir)
+      val logPath = s"$dir/_log"
+      new java.io.File(logPath).mkdirs()
+      if (metas.nonEmpty)
+        df.sparkSession.sparkContext
+          .parallelize(metas, metas.size)
+          .foreach { case (path, start, _) =>
+            ParquetLog.mirrorPrimary(path, logPath, start, denseCols)
+          }
+    }
+  }
+
+  /** Create an EMPTY log-enabled collection dir — the writable sink
+    * target of a streaming pipeline over the lakehouse backend.
+    */
+  def initEmpty(dir: String): Unit = {
+    new java.io.File(s"$dir/_log").mkdirs(): Unit
+  }
 
   /** Lay an IVF sidecar under `dir/_ivf` so a store opened with
     * `ivfNprobe > 0` serves pushed top-k on `field` probe-pruned.
@@ -579,20 +833,33 @@ object ParquetCollectionStore {
     */
   def writePayloadSidecar(df: DataFrame, dir: String, key: String,
                           kind: String = "int"): Unit = {
-    import org.apache.spark.sql.types.StringType
-    val value = kind match {
-      case "int" =>
-        graft.functions.json_get_int(col("payload"), key).cast(StringType)
-      case "keyword" => graft.functions.json_get_str(col("payload"), key)
-      case other =>
-        throw new IllegalArgumentException(s"unsupported index kind '$other'")
-    }
+    import org.apache.spark.sql.functions.when
+    require(kind == "int" || kind == "keyword",
+      s"unsupported index kind '$kind'")
+    // TYPE-TAGGED extraction: the partition value is the field's RAW
+    // JSON scalar form — `"3"` (a string) and `3` (a number) land in
+    // DIFFERENT partitions (get_json_object alone coerces both to the
+    // bare text '3', the silent-miss hole). The index is therefore
+    // type-COMPLETE over scalar values: every row any servable condition
+    // can match is in the sidecar, and valuesMatching's typed partition
+    // evaluation is sound. Non-scalars (objects, arrays, JSON null) are
+    // dropped — the servable ops can never match them. `kind` is kept
+    // as declared metadata (the Planner dichotomy); the layout no
+    // longer depends on it.
+    val raw = org.apache.spark.sql.functions.expr(
+      s"to_json(try_variant_get(try_parse_json(payload), '$$.$key'))")
+    val value = when(raw.isNotNull && raw =!= "null" &&
+      !raw.startsWith("{") && !raw.startsWith("["), raw)
     df.withColumn("value", value).filter(col("value").isNotNull)
       .repartition(col("value"))
       .write.mode("overwrite").partitionBy("value")
       .parquet(s"$dir/_pidx/points")
+    // meta line 3: the covered vector columns — the pre-filter search
+    // arm serves only fields the sidecar actually carries
+    val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_pidx/meta.txt"),
-      s"$key\n$kind".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      s"$key\n$kind\n$covered"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 }

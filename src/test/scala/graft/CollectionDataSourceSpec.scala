@@ -1073,6 +1073,85 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.payloadValuesTouched === Nil)
   }
 
+  test("payload-index sidecar: mixed JSON types under one key partition by type — no coercion holes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx-mixed").toString
+    // the ADVICE round-11 hole: numbers and numeric-LOOKING strings
+    // coexisting under one key must never cross-contaminate partitions
+    val df = Seq(
+      ("1", """{"label":3}"""),        // JSON number
+      ("2", """{"label":"3"}"""),      // JSON string, numeric-looking
+      ("3", """{"label":3}"""),
+      ("4", """{"label":"x"}"""),
+      ("5", """{"label":3.5}"""),      // JSON float
+      ("6", """{"label":true}""")      // JSON bool
+    ).toDF("id", "payload")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    ParquetCollectionStore.writePayloadSidecar(df, dir,
+      key = "label", kind = "int")
+    val store = new ParquetCollectionStore(dir, "mx",
+      graft.collections.CollectionDescriptor("mx", Seq()))
+    def cnt(c: PayloadCondition) =
+      store.countMatchingFiltered("mx", None, None, PayloadFilter(Seq(c), Nil, None))
+    // numeric eq hits ONLY the number rows; string eq would previously
+    // have been absorbed into the same coerced partition
+    assert(cnt(PayloadCondition("label", "eq", "3")) === 2L)
+    // range spans number AND float rows, never the string "3"
+    assert(cnt(PayloadCondition("label", "gte", "3")) === 3L)
+    assert(cnt(PayloadCondition("label", "eq", "x")) === 1L)
+    assert(cnt(PayloadCondition("label", "eq", "true")) === 1L)
+    assert(cnt(PayloadCondition("label", "match_any", "3|x")) === 3L)
+    // all of the above are footer-only: the index answers, no data read
+    assert(store.filesOpened.get() === 0L)
+    // ... and each count equals the row-path walk (one semantics)
+    val byWalk = new ParquetCollectionStore(dir, "mx",
+      graft.collections.CollectionDescriptor("mx", Seq()))
+    // hide the sidecar from the walk by filtering through the base trait
+    def walk(c: PayloadCondition): Long = {
+      val pf = PayloadFilter(Seq(c), Nil, None)
+      byWalk.queryPointsFiltered("mx", 0L, byWalk.pointCount("mx"),
+        withPayload = false, Nil, None, pfilter = pf).size.toLong
+    }
+    assert(walk(PayloadCondition("label", "eq", "3")) === 2L)
+    assert(walk(PayloadCondition("label", "gte", "3")) === 3L)
+  }
+
+  test("payload-index sidecar: non-covering index never serves the pre-filter search arm") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx-cover").toString
+    val desc = graft.collections.CollectionDescriptor("cv",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = Seq(
+      ("1", """{"g":1}""", Array(1.0f, 0.0f)),
+      ("2", """{"g":1}""", Array(0.9f, 0.1f)),
+      ("3", """{"g":2}""", Array(0.0f, 1.0f)),
+      ("4", """{"g":2}""", Array(0.1f, 0.9f)),
+      ("5", """{"g":2}""", Array(0.2f, 0.8f)),
+      ("6", """{"g":3}""", Array(0.5f, 0.5f)),
+      ("7", """{"g":3}""", Array(0.6f, 0.4f)),
+      ("8", """{"g":3}""", Array(0.7f, 0.3f)),
+      ("9", """{"g":3}""", Array(0.8f, 0.2f)),
+      ("10", """{"g":3}""", Array(0.85f, 0.15f))
+    ).toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    // a COUNT-ONLY sidecar: id + payload, no vector column
+    ParquetCollectionStore.writePayloadSidecar(df.select("id", "payload"),
+      dir, key = "g", kind = "int")
+    val store = new ParquetCollectionStore(dir, "cv", desc)
+    val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "1")), Nil, None)
+    // counts still serve from the index (no vectors needed)...
+    assert(store.countMatchingFiltered("cv", None, None, pf) === 2L)
+    // ...but a filtered SEARCH must NOT serve from the vector-less
+    // partitions (it would return empty/short) — it falls through to the
+    // full pass and returns the true filtered top-k
+    val got = store.searchPointsFiltered("cv",
+      SearchSpec("vector", Array(1.0, 0.0), "cosine", 2),
+      withPayload = false, vectorFields = Nil, pfilter = pf)
+    assert(got.map(_._1.id) === Seq("1", "2"))
+    assert(store.payloadValuesTouched.isEmpty ||
+      store.filesOpened.get() > 0) // served by the full pass, not the index
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
