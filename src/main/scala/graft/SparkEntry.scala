@@ -200,6 +200,8 @@ object SparkEntry {
 
   private val parquetIvfStoreCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+  private val parquetIvfDirCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The parquet-backed store WITH its IVF sidecar: same primary layout
     * as [[parquetBackedStore]], plus the cluster-partitioned replica +
@@ -215,6 +217,7 @@ object SparkEntry {
         graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
       val pqDir = java.nio.file.Files
         .createTempDirectory("graft-pq-ivf-collection").toFile
+      parquetIvfDirCache.put(dir, pqDir.toString): Unit
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
@@ -233,9 +236,24 @@ object SparkEntry {
       graft.sources.ParquetCollectionStore.writePayloadSidecar(
         hom(s, dir).select("id", "payload", "vector"), pqDir.toString,
         key = "label", kind = "int")
+      // the int8 candidate tier beside the cluster replica (inert for
+      // stores opened without a candidate margin)
+      graft.sources.ParquetCollectionStore.writeIvfQuantizedSidecar(
+        idx.clustered.select("id", "vector", "cluster"), pqDir.toString)
       new graft.sources.ParquetCollectionStore(pqDir.toString, "embeddings",
         Collections.homogeneousDescriptor, ivfNprobe = 2)
     })
+
+  /** The same IVF-sidecar'd directory opened WITH the quantized
+    * candidate margin: pushed dot top-k serves int8-candidates +
+    * exact-rerank, both stages cluster-pruned.
+    */
+  private def parquetIvfQuantizedStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore = {
+    parquetIvfStore(s, dir) // ensure the directory + sidecars exist
+    val pqDir = parquetIvfDirCache(dir)
+    new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 100)
+  }
 
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
@@ -270,6 +288,34 @@ object SparkEntry {
 
   private def parquetLogStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
     parquetLogStoreCache.getOrElseUpdate(dir, freshParquetLogStore(s, dir))
+
+  /** The SPARSE lakehouse collection of `dir`: the embeddings corpus
+    * (minus the query point, the oracle's exclusion) re-expressed as the
+    * two-column sparse layout (`kw_indices`/`kw_values` from the
+    * positive embedding components), sealed to parquet WITH the
+    * dim-bucketed postings sidecar — pushed sparse top-k serves from
+    * pruned buckets, the primaries only feed the winners' fetch.
+    */
+  private val parquetSparseStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetSparseStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetSparseStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-sparse")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val df = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id").cast(StringType).as("id"),
+          lit(null).cast(StringType).as("payload"),
+          ki.as("kw_indices"),
+          kv.cast(ArrayType(FloatType)).as("kw_values"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeSparseSidecar(
+        df, pqDir, "kw", nBuckets = 16)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        graft.collections.CollectionDescriptor("embeddings",
+          Seq(graft.collections.SparseField("kw"))))
+    })
 
   /** The wire-protocol fixture of `dir`: an in-process
     * [[graft.sources.CollectionHttpServer]] fronting the homogeneous
@@ -1183,6 +1229,57 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // SPARSE top-k pushed THROUGH the connector to the lakehouse store:
+    // the scan ships qdrant's {indices, values} query form, the store
+    // answers from its dim-bucketed postings sidecar (the scan IS the
+    // index query, the sparse leg of /root/reference/src/table.rs:279-302)
+    // — only the query dims' buckets are read, the primary files feed
+    // just the winners' fetch. Scores are the same ascending-dim fold as
+    // the v_sparse_dot kernel, so the brute oracle reproduces them
+    "dsv2_parquet_sparse_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_sparse_store",
+        SparkEntry.parquetSparseStore(s, dir))
+      val (ki, kv) = sparseOf(col("embedding"))
+      val qRow = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(ki.as("qi"), kv.as("qv")).head()
+      val qi = qRow.getSeq[Int](0)
+      val qv = qRow.getSeq[Double](1)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_sparse_store").option("collection", "embeddings")
+        .option("search.field", "kw")
+        .option("search.sparseIndices", qi.mkString(","))
+        .option("search.vector",
+          qv.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the QUANTIZED serving tier inside the store: pushed dot top-k runs
+    // int8 candidates over the codes sidecar of the probed clusters
+    // (~4x fewer bytes than the full-precision replica) then an exact
+    // rerank of only the winners — with candidateK=100 margin the result
+    // equals the exact top-10 of the probed clusters, so the same
+    // deterministic maxIter=0 mirror oracles it (the ann_ivf_quantized
+    // argument, now store-served). Spec asserts both stages are
+    // cluster-pruned and the candidate read is the codes files.
+    "dsv2_parquet_ivf_quantized" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivfq_store",
+        SparkEntry.parquetIvfQuantizedStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 9)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivfq_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "dot").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -5043,6 +5140,29 @@ object SparkEntry {
     "dsv2_parquet_ivf_search" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, rawOrder = true),
+
+    // sparse_inverted_search's brute mirror in the dsv2 raw-rank form
+    // (the store ranks unrounded, rounds for display); the 0.0 CASE arms
+    // keep list_sum's ascending fold identical to the sorted-merge
+    // kernel, and s > 0 is exactly "shares a nonzero dim"
+    "dsv2_parquet_sparse_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |           list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |                 i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+        |                      THEN CAST(e.embedding[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)) AS s
+        |    FROM embeddings e, q WHERE e.vec_id <> 0)
+        |  WHERE s > 0 ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the quantized tier's candidate margin must contain the exact dot
+    // top-10 of the probed clusters — same mirror as ann_ivf_quantized,
+    // raw-rank form (the store serves raw scores, rounds for display)
+    "dsv2_parquet_ivf_quantized" -> DuckMirror.ivfSql(
+      queryVecId = 9, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, metric = "dot", rawOrder = true),
 
     // the pre-filter arm is EXACT over the matching subset, so the
     // oracle is a plain WHERE before the raw-rank top-k

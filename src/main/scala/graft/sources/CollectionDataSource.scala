@@ -57,13 +57,28 @@ object LogOps {
 final case class SearchSpec(field: String, query: Array[Double],
                             metric: String, k: Int,
                             offset: Int = 0,
-                            scoreThreshold: Option[Double] = None) {
+                            scoreThreshold: Option[Double] = None,
+                            sparseIndices: Option[Array[Int]] = None) {
   require(k > 0, s"search.k must be positive, got $k")
   require(offset >= 0, s"search.offset must be >= 0, got $offset")
   require(SearchSpec.Metrics(metric),
     s"search.metric must be one of ${SearchSpec.Metrics.mkString("/")}, got '$metric'")
+  // a SPARSE query: `query` holds the nonzero VALUES, `sparseIndices`
+  // their strictly-ascending dimensions (the two-array convention);
+  // dot is the sparse comparator (the backend's sparse vectors have no
+  // other metric)
+  sparseIndices.foreach { qi =>
+    require(qi.length == query.length,
+      s"search.sparseIndices length ${qi.length} != values length ${query.length}")
+    require(qi.toSeq.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"search.sparseIndices must be strictly ascending")
+    require(metric == "dot",
+      s"sparse search supports only the dot metric, got '$metric'")
+  }
   /** Compact display form for plan descriptions / EXPLAIN assertions. */
-  def describe: String = s"$metric($field, dim=${query.length}, k=$k)" +
+  def describe: String =
+    (if (sparseIndices.isDefined) s"sparse_$metric" else metric) +
+    s"($field, dim=${query.length}, k=$k)" +
     (if (offset > 0) s", offset=$offset" else "") +
     scoreThreshold.map(t => s", threshold=$t").getOrElse("")
 
@@ -88,13 +103,17 @@ object SearchSpec {
       val vec = Option(o.get("search.vector")).getOrElse(
         throw new IllegalArgumentException(
           "search.field requires search.vector (comma-joined doubles)"))
+      val sparseIdx = Option(o.get("search.sparseIndices"))
+        .map(_.split(",").map(s => java.lang.Integer.parseInt(s.trim)))
       SearchSpec(field,
         vec.split(",").map(s => java.lang.Double.parseDouble(s.trim)),
-        Option(o.get("search.metric")).getOrElse("cosine"),
+        Option(o.get("search.metric"))
+          .getOrElse(if (sparseIdx.isDefined) "dot" else "cosine"),
         o.getInt("search.k", 10),
         o.getInt("search.offset", 0),
         Option(o.get("search.scoreThreshold"))
-          .map(java.lang.Double.parseDouble))
+          .map(java.lang.Double.parseDouble),
+        sparseIdx)
     }
 
   /** `true` when a larger score is better under `metric` (euclid ranks
@@ -128,6 +147,27 @@ object SearchSpec {
         val denom = math.sqrt(na) * math.sqrt(nb)
         if (denom == 0.0) None else Some(dot / denom)
     }
+  }
+
+  /** Sparse dot — the sorted-merge multiply-accumulate of the codegen
+    * `v_sparse_dot` kernel (ascending matched-dim order), so a pushed
+    * sparse search scores bit-identically to the engine expression AND
+    * to the postings-index fold ([[graft.ops.SparseIndex]], which sums
+    * contributions in the same ascending order). None when no dimension
+    * matches: such points share nothing with the query and never enter
+    * the result (the inverted-index semantics — they'd score an exact
+    * 0.0 and, with nonnegative values, cannot out-rank a match).
+    */
+  def scoreSparse(di: Array[Int], dv: Array[Float],
+                  qi: Array[Int], qv: Array[Double]): Option[Double] = {
+    var i = 0; var j = 0; var s = 0.0; var matched = false
+    while (i < di.length && j < qi.length) {
+      if (di(i) == qi(j)) {
+        s += dv(i).toDouble * qv(j); matched = true; i += 1; j += 1
+      } else if (di(i) < qi(j)) i += 1
+      else j += 1
+    }
+    if (matched) Some(s) else None
   }
 }
 
@@ -662,12 +702,19 @@ trait CollectionStore extends Serializable {
     // points never occupy capacity
     val capacity = spec.k + spec.offset
     val fetchFields = (vectorFields :+ spec.field).distinct
+    // dense vs sparse comparator, dispatched once (a sparse spec scores
+    // the point's (indices, values) pair with the sorted-merge kernel)
+    val scoreOf: Point => Option[Double] = spec.sparseIndices match {
+      case Some(qi) => p => p.sparse.get(spec.field).flatMap {
+        case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+      }
+      case None => p => p.dense.get(spec.field).flatMap(v =>
+        SearchSpec.score(spec.metric, v, spec.query))
+    }
     queryPointsFiltered(collection, 0L, pointCount(collection), withPayload,
         fetchFields, None, pfilter = pfilter)
       .foreach { p =>
-        p.dense.get(spec.field).flatMap(v =>
-            SearchSpec.score(spec.metric, v, spec.query))
-          .filter(spec.passes).foreach { s =>
+        scoreOf(p).filter(spec.passes).foreach { s =>
           if (heap.size < capacity) heap.enqueue((p, s))
           else if (worstFirst.compare((p, s), heap.head) > 0) {
             heap.dequeue(); heap.enqueue((p, s))
@@ -678,7 +725,8 @@ trait CollectionStore extends Serializable {
     val drained: List[(Point, Double)] = heap.dequeueAll.toList
     drained.reverse.drop(spec.offset).map { case (p, s) =>
       // drop the scored field if the fetch spec did not request it
-      (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s)
+      (p.copy(dense = p.dense.view.filterKeys(keep).toMap,
+        sparse = p.sparse.view.filterKeys(keep).toMap), s)
     }
   }
 

@@ -71,13 +71,16 @@ import graft.collections.{CollectionDescriptor, DenseField}
 final class ParquetCollectionStore(
     dir: String, collection: String,
     descriptor: CollectionDescriptor,
-    ivfNprobe: Int = 0) extends CollectionStore {
+    ivfNprobe: Int = 0,
+    ivfCandidateK: Int = 0) extends CollectionStore {
 
   /** Decode/IO counters for specs and probes (JVM-local, like the
     * in-memory store's `pointsTouched`).
     */
   @transient lazy val filesOpened = new AtomicLong(0L)
   @transient lazy val rowGroupsRead = new AtomicLong(0L)
+  /** Int8-codes files read by the quantized candidate stage. */
+  @transient lazy val codesFilesOpened = new AtomicLong(0L)
 
   private def conf = new Configuration()
 
@@ -144,13 +147,25 @@ final class ParquetCollectionStore(
     (for (m <- maxId; b <- idLower) yield !SparkStringOrder.gt(m, b))
       .getOrElse(false)
 
+  /** Physical columns of one requested vector field: dense -> one
+    * float-list column; sparse -> the `{name}_indices`/`{name}_values`
+    * pair (the collection layout's two-column convention). Multi fields
+    * are not in the cold layout (documented store scope).
+    */
+  private def fieldCols(f: String): Either[(String, String), (String, String, String)] =
+    descriptor.fields.find(_.name == f) match {
+      case Some(graft.collections.SparseField(n)) =>
+        Right((f, s"${n}_indices", s"${n}_values"))
+      case _ => Left(f -> columnOf(f))
+    }
+
   override def queryPoints(c: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
                            limit: Option[Int],
                            idFilter: Option[Set[String]] = None,
                            idLower: Option[String] = None): Iterator[Point] = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
-    val vecCols = vectorFields.distinct.map(f => f -> columnOf(f))
+    val vecCols = vectorFields.distinct.map(fieldCols)
     val base = fileMetas.iterator.flatMap { fm =>
       if (fm.start + fm.rows <= from || fm.start >= until) Iterator.empty
       else if (skippableByBound(fm.maxId, idLower)) Iterator.empty
@@ -167,7 +182,8 @@ final class ParquetCollectionStore(
     * keyset bound, rows buffered one row group at a time.
     */
   private def readFile(fm: FileMeta, from: Long, until: Long,
-                       withPayload: Boolean, vecCols: Seq[(String, String)],
+                       withPayload: Boolean,
+                       vecCols: Seq[Either[(String, String), (String, String, String)]],
                        idLower: Option[String]): Iterator[Point] = {
     val in = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(fm.path), conf))
@@ -175,7 +191,10 @@ final class ParquetCollectionStore(
     try {
       val fileSchema = in.getFooter.getFileMetaData.getSchema
       val keep = Seq("id") ++ (if (withPayload) Seq("payload") else Nil) ++
-        vecCols.map(_._2)
+        vecCols.flatMap {
+          case Left((_, cn)) => Seq(cn)
+          case Right((_, ic, vc)) => Seq(ic, vc)
+        }
       val requested = new MessageType(fileSchema.getName,
         fileSchema.getFields.asScala.filter(t => keep.contains(t.getName)).asJava)
       in.setRequestedSchema(requested)
@@ -183,7 +202,10 @@ final class ParquetCollectionStore(
       def fieldIdx(name: String): Int = requested.getFieldIndex(name)
       val idIdx = fieldIdx("id")
       val payIdx = if (withPayload) Some(fieldIdx("payload")) else None
-      val vecIdx = vecCols.map { case (f, cn) => (f, fieldIdx(cn)) }
+      val vecIdx = vecCols.collect { case Left((f, cn)) => (f, fieldIdx(cn)) }
+      val sparseIdx = vecCols.collect {
+        case Right((f, ic, vc)) => (f, fieldIdx(ic), fieldIdx(vc))
+      }
       val out = Seq.newBuilder[Point]
       var rgStart = fm.start
       fm.blocks.foreach { b =>
@@ -202,7 +224,7 @@ final class ParquetCollectionStore(
             val g = rr.read()
             val gi = bStart + i
             if (gi >= from && gi < until)
-              out += decode(g, idIdx, payIdx, vecIdx)
+              out += decode(g, idIdx, payIdx, vecIdx, sparseIdx)
             i += 1
           }
         }
@@ -275,10 +297,91 @@ final class ParquetCollectionStore(
                                     withPayload: Boolean,
                                     vectorFields: Seq[String],
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
-    prefilterServe(c, spec, withPayload, vectorFields, pfilter)
+    sparseServe(c, spec, withPayload, vectorFields, pfilter)
+      .orElse(prefilterServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(ivfServe(c, spec, withPayload, vectorFields, pfilter))
       .getOrElse(super.searchPointsFiltered(c, spec, withPayload,
         vectorFields, pfilter))
+
+  // --------------------------------------------------- sparse postings --
+
+  /** Postings files read by the sparse pruned serve. */
+  @transient lazy val sparseFilesOpened = new AtomicLong(0L)
+
+  /** The sparse postings sidecar, when
+    * [[ParquetCollectionStore.writeSparseSidecar]] laid one down under
+    * `dir/_sparse`: one posting row per (dim, id, value) partitioned by
+    * dim bucket (`db = dim % nBuckets`, [[graft.ops.SparseIndex]]'s
+    * layout). A pushed SPARSE top-k reads only the buckets the query's
+    * nonzero dims fall into — the scan IS the index query, qdrant's
+    * sparse inverted index at the store seam
+    * (/root/reference/src/table.rs:279-302's architecture for the
+    * sparse leg). Contributions fold in ascending-dim order, the exact
+    * sorted-merge sequence of the `v_sparse_dot` kernel and the base
+    * heap's [[SearchSpec.scoreSparse]] — three layouts, one score.
+    */
+  private case class SparseSidecar(field: String, nBuckets: Int)
+
+  @transient private lazy val sparseSidecar: Option[SparseSidecar] = {
+    val marker = new java.io.File(s"$dir/_sparse/meta.txt")
+    if (!marker.isFile) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      Some(SparseSidecar(lines(0), lines(1).toInt))
+    }
+  }
+
+  private def sparseServe(c: String, spec: SearchSpec, withPayload: Boolean,
+                          vectorFields: Seq[String],
+                          pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    spec.sparseIndices.flatMap { qi =>
+      sparseSidecar
+        .filter(sc => sc.field == spec.field && pfilter.isEmpty)
+        .map { sc =>
+          val qv = spec.query
+          val qPos = qi.zipWithIndex.toMap
+          val buckets = qi.map(d => ((d % sc.nBuckets) + sc.nBuckets) %
+            sc.nBuckets).distinct
+          // per-id matched postings from ONLY the query dims' buckets
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Double)]]
+          buckets.foreach { b =>
+            val sub = new java.io.File(s"$dir/_sparse/points/db=$b")
+            Option(sub.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .foreach { f =>
+                sparseFilesOpened.incrementAndGet()
+                ParquetLog.readPostingRows(f.getAbsolutePath).foreach {
+                  case (id, dim, v) => qPos.get(dim).foreach { j =>
+                    acc.getOrElseUpdate(id,
+                      scala.collection.mutable.ArrayBuffer.empty) +=
+                      ((dim, v * qv(j)))
+                  }
+                }
+              }
+          }
+          // exact dot: ascending-dim fold per candidate, then rank
+          val scored = acc.iterator.map { case (id, contribs) =>
+            val sorted = contribs.sortBy(_._1)
+            var s = 0.0
+            sorted.foreach { case (_, cv) => s += cv }
+            (id, s)
+          }.filter { case (_, s) => spec.passes(s) }.toSeq
+          val window = spec.k + spec.offset
+          val top = scored.sortWith { case ((ia, sa), (ib, sb)) =>
+            if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+          }.take(window)
+          // fetch the winners' requested pieces from the primary files
+          val ids = top.map(_._1).toSet
+          val pts = queryPoints(c, 0L, pointCount(c), withPayload,
+            vectorFields, None, idFilter = Some(ids))
+            .map(p => p.id -> p).toMap
+          mergeBest(spec, top.flatMap { case (id, s) =>
+            pts.get(id).map(p => (p, s)) })
+        }
+    }
 
   private def ivfServe(c: String, spec: SearchSpec, withPayload: Boolean,
                        vectorFields: Seq[String],
@@ -290,14 +393,96 @@ final class ParquetCollectionStore(
       // the page window (offset + k) per cluster, offset applied after
       // the merge — same pagination semantics as the base heap
       val window = spec.copy(k = spec.k + spec.offset, offset = 0)
-      val merged = probed.flatMap { case (cent, _) =>
-        val value = java.lang.Long.parseLong(cent.id).toString
-        clusterStoreFor(value).toSeq.flatMap(
-          _.searchPointsFiltered(c, window, withPayload, vectorFields,
-            pfilter))
+      val clusters = probed.map { case (cent, _) =>
+        java.lang.Long.parseLong(cent.id).toString
       }
+      // the QUANTIZED candidate tier, when the codes sidecar exists and
+      // the store was opened with a candidate margin: approximate-int8
+      // candidates from the ~4x-smaller codes files, exact rerank reads
+      // only the probed clusters for the winners. Restricted to the
+      // metric the int8 domain approximates (dot) and to unfiltered
+      // queries — anything else serves full-precision probed.
+      val merged =
+        if (ivfCandidateK >= window.k && spec.metric == "dot" &&
+            pfilter.isEmpty && new java.io.File(s"$dir/_ivf/codes").isDirectory)
+          quantizedClusterSearch(c, window, withPayload, vectorFields, clusters)
+        else clusters.flatMap(v => clusterStoreFor(v).toSeq.flatMap(
+          _.searchPointsFiltered(c, window, withPayload, vectorFields,
+            pfilter)))
       mergeBest(spec, merged)
     }
+
+  /** Per-vector symmetric int8 quantization of the query — the SAME
+    * arithmetic as the engine kernel ([[graft.functions.QuantKernel]]:
+    * scale = float32(absMax/127), HALF_UP rounding), so store-served
+    * candidates rank exactly like [[graft.ops.Ann.searchIvfStoredQuantized]]'s.
+    */
+  private def quantizeQuery(q: Array[Double]): (Array[Byte], Float) = {
+    var absMax = 0.0
+    var i = 0
+    while (i < q.length) {
+      val v = math.abs(q(i)); if (v > absMax) absMax = v; i += 1
+    }
+    val scaleF = (absMax / 127.0).toFloat
+    val codes = new Array[Byte](q.length)
+    if (scaleF > 0f) {
+      i = 0
+      while (i < q.length) {
+        val v = q(i) / scaleF.toDouble
+        codes(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toByte
+        i += 1
+      }
+    }
+    (codes, scaleF)
+  }
+
+  /** Candidate stage over the int8 codes partitions of the probed
+    * clusters (bytes read = nprobe/nlist of the corpus / ~4), then an
+    * exact rerank that fetches ONLY the candidate ids from the probed
+    * cluster partitions. With `ivfCandidateK` comfortably above the page
+    * window (the quantized-search margin argument) the result equals the
+    * full-precision probed serve row for row.
+    */
+  private def quantizedClusterSearch(c: String, window: SearchSpec,
+                                     withPayload: Boolean,
+                                     vectorFields: Seq[String],
+                                     clusters: Seq[String]): Seq[(Point, Double)] = {
+    val (qc, qs) = quantizeQuery(window.query)
+    val scored = clusters.flatMap { v =>
+      val sub = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
+      Option(sub.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          codesFilesOpened.incrementAndGet()
+          ParquetLog.readCodeRows(f.getAbsolutePath)
+        }
+        .map { case (id, codes, scale) =>
+          var s = 0L
+          val n = math.min(codes.length, qc.length)
+          var i = 0
+          while (i < n) { s += codes(i) * qc(i); i += 1 }
+          (v, id, s.toDouble * scale.toDouble * qs.toDouble)
+        }
+    }
+    val cands = scored.sortWith { case ((_, ia, sa), (_, ib, sb)) =>
+      if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+    }.take(ivfCandidateK)
+    val keep = vectorFields.toSet
+    val fetchFields = (vectorFields :+ window.field).distinct
+    cands.groupBy(_._1).toSeq.flatMap { case (v, rows) =>
+      val ids = rows.map(_._2).toSet
+      clusterStoreFor(v).toSeq.flatMap { sub =>
+        sub.queryPoints(c, 0L, sub.pointCount(c), withPayload, fetchFields,
+            None, idFilter = Some(ids))
+          .flatMap { p =>
+            p.dense.get(window.field)
+              .flatMap(vv => SearchSpec.score(window.metric, vv, window.query))
+              .filter(window.passes)
+              .map(s => (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s))
+          }
+      }
+    }
+  }
 
   /** Best-first merge of per-partition search pages: raw-score ranking,
     * id-ascending tiebreak (the base heap's ordering), then the page
@@ -540,10 +725,14 @@ final class ParquetCollectionStore(
     }
   }
 
-  private def requireLog(what: String): Unit =
+  private def requireLog(what: String): Unit = {
     require(logEnabled,
       s"$what on a parquet store requires the _log changelog sidecar " +
         s"(seal with write(withLog = true) or initEmpty); '$dir' has none")
+    require(descriptor.fields.forall(_.isInstanceOf[DenseField]),
+      s"$what supports dense-field collections only (the COW rewrite " +
+        "does not yet re-seal sparse/multi columns)")
+  }
 
   /** Index of the primary file an incoming id lands in: the first file
     * whose id-stats max sorts at or above it (ranged layout), the last
@@ -560,7 +749,8 @@ final class ParquetCollectionStore(
     * reloads; IO counters reset — mutations change the files).
     */
   private def reopened: ParquetCollectionStore =
-    new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe)
+    new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe,
+      ivfCandidateK)
 
   /** UPSERT `pts` (point-id semantics: an incoming id replaces the
     * stored point; last occurrence wins within the batch) — the DSv2
@@ -689,45 +879,71 @@ final class ParquetCollectionStore(
     * any conforming writer decode.
     */
   private def decode(g: Group, idIdx: Int, payIdx: Option[Int],
-                     vecIdx: Seq[(String, Int)]): Point = {
+                     vecIdx: Seq[(String, Int)],
+                     sparseIdx: Seq[(String, Int, Int)] = Seq.empty): Point = {
     val id = g.getString(idIdx, 0)
     val payload = payIdx.flatMap(pi =>
       if (g.getFieldRepetitionCount(pi) == 0) None
       else Some(g.getString(pi, 0)))
     val dense = vecIdx.flatMap { case (field, vi) =>
       if (g.getFieldRepetitionCount(vi) == 0) None
-      else {
-        val listG = g.getGroup(vi, 0).asInstanceOf[Group]
-        val inner = listG.getType.getType(0)
-        val n = listG.getFieldRepetitionCount(0)
-        val arr = new Array[Float](n)
-        var i = 0
-        if (inner.isPrimitive) {
-          val isFloat = inner.asPrimitiveType().getPrimitiveTypeName ==
-            org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT
-          while (i < n) {
-            arr(i) = if (isFloat) listG.getFloat(0, i)
-                     else listG.getDouble(0, i).toFloat
-            i += 1
-          }
-        } else {
-          while (i < n) {
-            val w = listG.getGroup(0, i).asInstanceOf[Group]
-            if (w.getFieldRepetitionCount(0) > 0) {
-              val el = w.getType.getType(0).asPrimitiveType()
-              arr(i) = el.getPrimitiveTypeName match {
-                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
-                  w.getFloat(0, 0)
-                case _ => w.getDouble(0, 0).toFloat
-              }
-            }
-            i += 1
+      else Some(field -> decodeFloatList(g.getGroup(vi, 0).asInstanceOf[Group]))
+    }.toMap
+    val sparse = sparseIdx.flatMap { case (field, ii, vi) =>
+      if (g.getFieldRepetitionCount(ii) == 0 ||
+          g.getFieldRepetitionCount(vi) == 0) None
+      else Some(field -> ((
+        decodeIntList(g.getGroup(ii, 0).asInstanceOf[Group]),
+        decodeFloatList(g.getGroup(vi, 0).asInstanceOf[Group]))))
+    }.toMap
+    Point(id, payload, dense, sparse = sparse)
+  }
+
+  private def decodeFloatList(listG: Group): Array[Float] = {
+    val inner = listG.getType.getType(0)
+    val n = listG.getFieldRepetitionCount(0)
+    val arr = new Array[Float](n)
+    var i = 0
+    if (inner.isPrimitive) {
+      val isFloat = inner.asPrimitiveType().getPrimitiveTypeName ==
+        org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT
+      while (i < n) {
+        arr(i) = if (isFloat) listG.getFloat(0, i)
+                 else listG.getDouble(0, i).toFloat
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val w = listG.getGroup(0, i).asInstanceOf[Group]
+        if (w.getFieldRepetitionCount(0) > 0) {
+          val el = w.getType.getType(0).asPrimitiveType()
+          arr(i) = el.getPrimitiveTypeName match {
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+              w.getFloat(0, 0)
+            case _ => w.getDouble(0, 0).toFloat
           }
         }
-        Some(field -> arr)
+        i += 1
       }
-    }.toMap
-    Point(id, payload, dense)
+    }
+    arr
+  }
+
+  private def decodeIntList(listG: Group): Array[Int] = {
+    val inner = listG.getType.getType(0)
+    val n = listG.getFieldRepetitionCount(0)
+    val arr = new Array[Int](n)
+    var i = 0
+    if (inner.isPrimitive) {
+      while (i < n) { arr(i) = listG.getInteger(0, i); i += 1 }
+    } else {
+      while (i < n) {
+        val w = listG.getGroup(0, i).asInstanceOf[Group]
+        if (w.getFieldRepetitionCount(0) > 0) arr(i) = w.getInteger(0, 0)
+        i += 1
+      }
+    }
+    arr
   }
 }
 
@@ -813,6 +1029,55 @@ object ParquetCollectionStore {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
       field.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Lay the QUANTIZED candidate tier beside the IVF sidecar
+    * (`dir/_ivf/codes`): per-cluster int8 codes files — (id, codes,
+    * scale), [[graft.ops.Quant]]'s symmetric per-vector scheme over the
+    * float-narrowed stored vector — co-located one shuffle partition per
+    * cluster like the full-precision replica. A store opened with
+    * `ivfNprobe > 0` AND `ivfCandidateK > 0` then serves pushed dot
+    * top-k in two pruned stages: approximate candidates from the ~4x
+    * smaller codes files of the probed clusters, exact rerank fetching
+    * only the winners from the full-precision cluster partitions — the
+    * reference backend's scalar-quantization storage tier
+    * (qdrant's `quantization_config: scalar int8`) at the store seam.
+    */
+  def writeIvfQuantizedSidecar(clustered: DataFrame, dir: String,
+                               vectorColumn: String = "vector"): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    graft.ops.Quant.quantizeColumn(
+        clustered.withColumn(vectorColumn,
+          col(vectorColumn).cast(ArrayType(FloatType))),
+        vectorColumn, "v8")
+      .filter(col("v8_codes").isNotNull)
+      .select(col("id"), col("v8_codes").as("codes"),
+        col("v8_scale").as("scale"), col("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$dir/_ivf/codes")
+  }
+
+  /** Lay a sparse postings sidecar under `dir/_sparse` so a pushed
+    * SPARSE top-k on `field` serves bucket-pruned: one posting row per
+    * (dim, id, value) via [[graft.ops.SparseIndex.buildPostings]],
+    * written `partitionBy(db)` with `db = dim % nBuckets` and each
+    * bucket co-located into one shuffle partition (the sidecar
+    * co-location discipline — a query opens |query-dim buckets| files,
+    * not |shuffle partitions| x that). `df` must carry `id` and the
+    * field's `{name}_indices`/`{name}_values` columns.
+    */
+  def writeSparseSidecar(df: DataFrame, dir: String, field: String,
+                         nBuckets: Int = 16): Unit = {
+    graft.ops.SparseIndex.buildPostings(df, "id",
+        s"${field}_indices", s"${field}_values", nBuckets)
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("db")
+      .parquet(s"$dir/_sparse/points")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_sparse/meta.txt"),
+      s"$field\n$nBuckets"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Selectivity dial for the payload-index pre-filter arm: serve from

@@ -272,6 +272,54 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** Rows of one int8-codes file — (id, codes, scale), the quantized
+    * candidate tier of the store's IVF sidecar. Codes decode from the
+    * Spark tinyint-list layout (3-level list of INT32-stored bytes).
+    */
+  def readCodeRows(path: String): Seq[(String, Array[Byte], Float)] = {
+    val out = Seq.newBuilder[(String, Array[Byte], Float)]
+    readGroups(path) { (g, schema) =>
+      val id = g.getString("id", 0)
+      val scale = g.getFloat(schema.getFieldIndex("scale"), 0)
+      val ci = schema.getFieldIndex("codes")
+      val codes =
+        if (g.getFieldRepetitionCount(ci) == 0) Array.empty[Byte]
+        else {
+          val listG = g.getGroup(ci, 0).asInstanceOf[Group]
+          val n = listG.getFieldRepetitionCount(0)
+          val arr = new Array[Byte](n)
+          var i = 0
+          val inner = listG.getType.getType(0)
+          if (inner.isPrimitive) {
+            while (i < n) { arr(i) = listG.getInteger(0, i).toByte; i += 1 }
+          } else {
+            while (i < n) {
+              val w = listG.getGroup(0, i).asInstanceOf[Group]
+              if (w.getFieldRepetitionCount(0) > 0)
+                arr(i) = w.getInteger(0, 0).toByte
+              i += 1
+            }
+          }
+          arr
+        }
+      out += ((id, codes, scale))
+    }
+    out.result()
+  }
+
+  /** Rows of one sparse-postings file — (id, dim, value), the
+    * dim-bucketed inverted-index sidecar layout.
+    */
+  def readPostingRows(path: String): Seq[(String, Int, Double)] = {
+    val out = Seq.newBuilder[(String, Int, Double)]
+    readGroups(path) { (g, schema) =>
+      out += ((g.getString("id", 0),
+        g.getInteger(schema.getFieldIndex("dim"), 0),
+        g.getDouble(schema.getFieldIndex("v"), 0)))
+    }
+    out.result()
+  }
+
   /** Mirror one PRIMARY file as the log segment sealing its enumeration
     * positions [start, start+rows) as upserts — the initial-ingest
     * changelog entry for that file. Runs executor-side (one task per

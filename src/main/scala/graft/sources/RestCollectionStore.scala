@@ -252,6 +252,37 @@ private[sources] object CollectionWire {
       case other => throw new IllegalArgumentException(s"bad log op: $other")
     }, parsePoint(desc, v \ "point"), long(v \ "seq"))
 
+  /** A wire query vector: qdrant's plain value array (dense) or the
+    * {indices, values} object (sparse) -> (values, sparse indices).
+    */
+  def parseQueryVec(j: JValue): (Array[Double], Option[Array[Int]]) = {
+    def nums(xs: List[JValue]): Array[Double] = xs.map {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"bad query component: $other")
+    }.toArray
+    j match {
+      case JArray(xs) => (nums(xs), None)
+      case o: JObject =>
+        val idx = o \ "indices" match {
+          case JArray(is) => is.map {
+            case JInt(i) => i.toInt
+            case JLong(l) => l.toInt
+            case other => throw new IllegalArgumentException(s"bad sparse index: $other")
+          }.toArray
+          case other => throw new IllegalArgumentException(s"missing sparse indices: $other")
+        }
+        val vals = o \ "values" match {
+          case JArray(vs) => nums(vs)
+          case other => throw new IllegalArgumentException(s"missing sparse values: $other")
+        }
+        (vals, Some(idx))
+      case other => throw new IllegalArgumentException(s"missing query vector: $other")
+    }
+  }
+
   def optLong(v: JValue): Option[Long] =
     v match { case JNothing | JNull => None; case x => Some(long(x)) }
 
@@ -522,8 +553,16 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                     vectorFields: Seq[String],
                                     pfilter: PayloadFilter): Seq[(Point, Double)] = {
     val desc = descriptor(collection)
+    // a SPARSE spec ships qdrant's two-array query object
+    // ({indices, values}); dense ships the plain value array
+    val queryJson: JValue = spec.sparseIndices match {
+      case Some(qi) => JObject(
+        "indices" -> JArray(qi.toList.map(i => JInt(BigInt(i)))),
+        "values" -> JArray(spec.query.toList.map(JDouble(_))))
+      case None => JArray(spec.query.toList.map(JDouble(_)))
+    }
     val body = JObject(List(
-      "query" -> (JArray(spec.query.toList.map(JDouble(_))): JValue),
+      "query" -> queryJson,
       "using" -> JString(spec.field),
       "limit" -> JInt(spec.k),
       "params" -> JObject("metric" -> JString(spec.metric)),
@@ -637,7 +676,12 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     val desc = descriptor(collection)
     val body = JObject(
       "searches" -> JArray(specs.toList.map(sp => JObject(List(
-        "query" -> (JArray(sp.query.toList.map(JDouble(_))): JValue),
+        "query" -> (sp.sparseIndices match {
+          case Some(qi) => JObject(
+            "indices" -> JArray(qi.toList.map(i => JInt(BigInt(i)))),
+            "values" -> JArray(sp.query.toList.map(JDouble(_)))): JValue
+          case None => JArray(sp.query.toList.map(JDouble(_))): JValue
+        }),
         "using" -> JString(sp.field),
         "limit" -> JInt(sp.k),
         "params" -> JObject("metric" -> JString(sp.metric))) ++
@@ -988,18 +1032,11 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
 
       case ("POST", "collections" :: c :: "points" :: "query" :: Nil) =>
         val b = readBody(ex)
-        val query = b \ "query" match {
-          case JArray(xs) => xs.map {
-            case JDouble(d) => d
-            case JInt(i) => i.toDouble
-            case JDecimal(d) => d.toDouble
-            case other => throw new IllegalArgumentException(s"bad query component: $other")
-          }.toArray
-          case other => throw new IllegalArgumentException(s"missing query vector: $other")
-        }
+        val (query, sparseIdx) = CollectionWire.parseQueryVec(b \ "query")
         val using = CollectionWire.optStr(b \ "using").getOrElse(
           throw new IllegalArgumentException("missing 'using' (vector field name)"))
-        val metric = CollectionWire.optStr(b \ "params" \ "metric").getOrElse("cosine")
+        val metric = CollectionWire.optStr(b \ "params" \ "metric")
+          .getOrElse(if (sparseIdx.isDefined) "dot" else "cosine")
         val k = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
         val off = CollectionWire.optLong(b \ "offset").map(_.toInt).getOrElse(0)
         val thr = b \ "score_threshold" match {
@@ -1013,7 +1050,7 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case _ => Seq.empty
         }
         val scored = store.searchPointsFiltered(c,
-          SearchSpec(using, query, metric, k, off, thr),
+          SearchSpec(using, query, metric, k, off, thr, sparseIdx),
           b \ "with_payload" == JBool(true), fields,
           CollectionWire.parseFilter(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" -> JArray(
@@ -1031,18 +1068,11 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           case other => throw new IllegalArgumentException(s"missing searches: $other")
         }
         val results = searches.map { sb =>
-          val query = sb \ "query" match {
-            case JArray(xs) => xs.map {
-              case JDouble(d) => d
-              case JInt(i) => i.toDouble
-              case JDecimal(d) => d.toDouble
-              case other => throw new IllegalArgumentException(s"bad query component: $other")
-            }.toArray
-            case other => throw new IllegalArgumentException(s"missing query vector: $other")
-          }
+          val (query, sparseIdx) = CollectionWire.parseQueryVec(sb \ "query")
           val using = CollectionWire.optStr(sb \ "using").getOrElse(
             throw new IllegalArgumentException("missing 'using' in batch entry"))
-          val metric = CollectionWire.optStr(sb \ "params" \ "metric").getOrElse("cosine")
+          val metric = CollectionWire.optStr(sb \ "params" \ "metric")
+            .getOrElse(if (sparseIdx.isDefined) "dot" else "cosine")
           val k = CollectionWire.optLong(sb \ "limit").map(_.toInt).getOrElse(10)
           val off = CollectionWire.optLong(sb \ "offset").map(_.toInt).getOrElse(0)
           val thr = sb \ "score_threshold" match {
@@ -1052,7 +1082,7 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
             case _ => None
           }
           val scored = store.searchPoints(c,
-            SearchSpec(using, query, metric, k, off, thr),
+            SearchSpec(using, query, metric, k, off, thr, sparseIdx),
             withPayload, fields)
           JObject("points" -> JArray(
             scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)): JValue

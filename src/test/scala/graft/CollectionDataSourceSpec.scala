@@ -880,8 +880,11 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  @volatile private var pqIvfDir: String = _ // set once by pqIvfFixture
+
   private lazy val pqIvfFixture: (graft.ops.Ann.IvfIndex, ParquetCollectionStore) = {
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-ivf-spec").toString
+    pqIvfDir = dir
     val frame = Collections.homogeneous(spark, TestSpark.sfDir)
     val frameD = frame.withColumn("vector", col("vector").cast("array<double>"))
     val idx = graft.ops.Ann.buildIvf(frameD, "id", "vector",
@@ -981,6 +984,57 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(gotB === want)
     assert(brute.filesOpened.get() > 0L)
+  }
+
+  test("quantized IVF sidecar: int8 candidates from codes files, exact rerank — equals full-precision probed serve") {
+    val (idx, _) = pqIvfFixture
+    val dir = pqIvfDir
+    ParquetCollectionStore.writeIvfQuantizedSidecar(
+      idx.clustered.select("id", "vector", "cluster"), dir)
+    val q = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") === "7")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    def searchOn(storeName: String, st: ParquetCollectionStore): Seq[(String, Double)] = {
+      CollectionStores.register(storeName, st)
+      spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", storeName).option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector", q.map(_.toString).mkString(","))
+        .option("search.metric", "dot").option("search.k", "6")
+        .load().select("id", "_score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    // full-precision probed serve = the oracle for the quantized tier
+    val fullSt = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2)
+    val want = searchOn("pq_q8_full", fullSt)
+    val qSt = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 60)
+    val got = searchOn("pq_q8_spec", qSt)
+    assert(got === want)
+    // candidate stage read the codes files; primaries never opened; the
+    // rerank touched only the probed clusters
+    assert(qSt.codesFilesOpened.get() > 0L)
+    assert(qSt.filesOpened.get() === 0L)
+    assert(qSt.ivfClustersTouched.size <= 2)
+    // full-precision store never touched codes
+    assert(fullSt.codesFilesOpened.get() === 0L)
+    // margin degenerating to k still returns k rows (weaker guarantee,
+    // same shape); a non-dot metric falls back to full precision
+    val tiny = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 6)
+    assert(searchOn("pq_q8_tiny", tiny).size === 6)
+    val cosSt = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 60)
+    CollectionStores.register("pq_q8_cos", cosSt)
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "pq_q8_cos").option("collection", "embeddings")
+      .option("search.field", "vector")
+      .option("search.vector", q.map(_.toString).mkString(","))
+      .option("search.metric", "cosine").option("search.k", "6")
+      .load().collect()
+    assert(cosSt.codesFilesOpened.get() === 0L)
   }
 
   test("payload-index sidecar: selective filtered search serves from value partitions — exact, primary and IVF untouched") {
