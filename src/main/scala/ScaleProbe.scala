@@ -380,6 +380,26 @@ object ScaleProbe {
       meanRecall("knn-graph full-bucket rerank baseline")(id =>
         graft.ops.Ann.searchLshStored(sigs.filter(col("id") =!= id),
           "id", "v", qvecs(id), 10))
+      // NN-DESCENT refinement: same m, same serve budget (entryK/hops/
+      // beam identical to the rows above) — recall deltas isolate what
+      // the neighbors-of-neighbors rounds add to ADJACENCY QUALITY,
+      // the ceiling the LSH edge proposal sets
+      for (rounds <- Seq(1, 2)) {
+        val refined = graft.ops.Ann.nnDescent(adj, corpus, "id", "v",
+          m = 8, rounds = rounds).persist()
+        refined.count()
+        for (h <- Seq(1, 2, 3))
+          meanRecall(s"knn-descent rounds=$rounds m=8 entryK=3 hops=$h")(id =>
+            graft.ops.Ann.searchKnnGraph(refined,
+              sigs.filter(col("id") =!= id),
+              "id", "v", qvecs(id), 10, entryK = 3, hops = h))
+        for (b <- Seq(8, 16))
+          meanRecall(s"knn-descent rounds=$rounds beam=$b hops=3")(id =>
+            graft.ops.Ann.searchKnnGraph(refined,
+              sigs.filter(col("id") =!= id),
+              "id", "v", qvecs(id), 10, entryK = 3, hops = 3, beam = b))
+        refined.unpersist(): Unit
+      }
       // multiprobe: same index, Hamming-1 band keys — the recall a user
       // buys with bands*(1+r) point lookups instead of bands
       val bandIdx = graft.ops.Ann

@@ -273,6 +273,81 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of the NN-DESCENT-refined graph pipeline (Ann.nnDescent +
+    * the plain-frontier serve): the LSH-banded adjacency seeds round 0
+    * (sims kept), each unrolled round composes 2-step neighbors through
+    * the UNDIRECTED edge view, unions the standing edges, and keeps each
+    * node's top-`m` by rounded cosine (VARCHAR id tiebreak) — then the
+    * same entry/hop/rerank serve as [[knnGraphSql]] over the refined
+    * adjacency. Every stage is deterministic, so the whole refined-graph
+    * answer hash-matches.
+    */
+  def knnDescentSql(queryVecId: Int, k: Int, entryK: Int, m: Int,
+                    dim: Int, nbits: Int, bands: Int, seed: Long,
+                    hops: Int, rounds: Int): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    def bandEq(x: String, y: String) = (0 until bands).map(b =>
+      s"${lshBandKey(s"$x.bucket", b, r)} = ${lshBandKey(s"$y.bucket", b, r)}")
+      .mkString(" OR ")
+    val descent = (1 to rounds).map { i =>
+      s"""u$i AS (SELECT src, nbr FROM a${i - 1}
+         |        UNION SELECT nbr AS src, src AS nbr FROM a${i - 1}),
+         |c$i AS (SELECT x.src AS src, y.nbr AS nbr
+         |        FROM u$i x JOIN u$i y ON x.nbr = y.src
+         |        WHERE x.src <> y.nbr
+         |        UNION SELECT src, nbr FROM a${i - 1}),
+         |a$i AS (
+         |  SELECT src, nbr, sim FROM (
+         |    SELECT c.src, c.nbr,
+         |           ROUND(list_cosine_similarity(sa.v, sb.v), 6) AS sim,
+         |           row_number() OVER (PARTITION BY c.src
+         |             ORDER BY ROUND(list_cosine_similarity(sa.v, sb.v), 6) DESC,
+         |                      c.nbr) AS rn
+         |    FROM c$i c
+         |    JOIN sigs sa ON CAST(sa.vec_id AS VARCHAR) = c.src
+         |    JOIN sigs sb ON CAST(sb.vec_id AS VARCHAR) = c.nbr) t
+         |  WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val frontier = (1 to hops).map(i =>
+      s"""f$i AS (SELECT id FROM f${i - 1}
+         |        UNION
+         |        SELECT adj.nbr FROM a$rounds adj JOIN f${i - 1} ON adj.src = f${i - 1}.id)""".stripMargin)
+      .mkString(",\n")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId),
+       |entries AS (
+       |  SELECT CAST(s.vec_id AS VARCHAR) AS id
+       |  FROM sigs s, q
+       |  WHERE s.vec_id <> $queryVecId AND (${bandEq("s", "q")})
+       |  ORDER BY ROUND(list_cosine_similarity(s.v, q.v), 6) DESC,
+       |           CAST(s.vec_id AS VARCHAR)
+       |  LIMIT $entryK),
+       |a0 AS (
+       |  SELECT src, nbr, sim FROM (
+       |    SELECT CAST(a.vec_id AS VARCHAR) AS src,
+       |           CAST(b.vec_id AS VARCHAR) AS nbr,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      CAST(b.vec_id AS VARCHAR)) AS rn
+       |    FROM sigs a, sigs b
+       |    WHERE a.vec_id <> b.vec_id AND (${bandEq("a", "b")})) t
+       |  WHERE rn <= $m),
+       |$descent,
+       |f0 AS (SELECT id FROM entries),
+       |$frontier
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId
+       |  AND CAST(s.vec_id AS VARCHAR) IN (SELECT id FROM f$hops)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   def lshMultiprobeSql(queryVecId: Int, k: Int, dim: Int, nbits: Int,
                        bands: Int, seed: Long): String = {
     val r = nbits / bands

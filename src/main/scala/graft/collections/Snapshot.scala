@@ -77,4 +77,26 @@ object Snapshot {
       .option("store", newStoreName).option("collection", newName)
       .option("partitions", "4").load()
   }
+
+  /** Restore the snapshot at `path` as a PARQUET-backed collection
+    * sealed under `dir` — the lakehouse restore: points re-seal into the
+    * ranged id-ordered store layout (a distributed write), the manifest
+    * drives the descriptor exactly as [[restore]]. Dense-field
+    * collections (the cold layout's scope).
+    */
+  def restoreParquet(spark: SparkSession, path: String, newStoreName: String,
+                     newName: String, dir: String): DataFrame = {
+    import graft.sources.{CollectionStores, ParquetCollectionStore}
+    val text = new String(Files.readAllBytes(Paths.get(path, "MANIFEST")),
+      StandardCharsets.UTF_8)
+    val desc = parseManifest(text, newName)
+    val points = spark.read.parquet(s"$path/points")
+      .select(desc.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    ParquetCollectionStore.write(points, dir)
+    CollectionStores.register(newStoreName,
+      new ParquetCollectionStore(dir, newName, desc))
+    spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", newStoreName).option("collection", newName)
+      .option("partitions", "4").load()
+  }
 }

@@ -224,13 +224,30 @@ package object functions {
     * array<array<_>>; NULL when the length is not divisible by count
     * (the reference errors; NULL is the columnar-friendly equivalent).
     */
-  def multi_vector_from_flat(flat: Column, count: Column): Column = {
+  def multi_vector_from_flat(flat: Column, count: Column): Column =
+    multi_vector_from_flat(flat, count, strict = false)
+
+  /** [[multi_vector_from_flat]] with the reference's ERROR semantics
+    * opt-in: `strict = true` raises (Spark's raise_error, a loud task
+    * failure) on an indivisible length instead of returning NULL —
+    * total parity with deserialize.rs:41-58's `Err(...)` for pipelines
+    * that want corruption to stop the job rather than thin the column.
+    */
+  def multi_vector_from_flat(flat: Column, count: Column,
+                             strict: Boolean): Column = {
     val n = F.size(flat)
     val dim = (n / count).cast(IntegerType)
+    val bad =
+      if (strict)
+        F.raise_error(F.concat(
+          F.lit("multi-vector length "), n.cast(StringType),
+          F.lit(" is not divisible into "), count.cast(StringType),
+          F.lit(" vectors")))
+      else F.lit(null)
     F.when(count > 0 && n % count === 0,
       F.transform(F.sequence(F.lit(0), count.cast(IntegerType) - 1),
         i => F.slice(flat, i * dim + F.lit(1), dim)))
-      .otherwise(F.lit(null))
+      .otherwise(bad)
   }
 
   /** JSON array containment (the corpus's `payload->'tags' @> '["x"]'`

@@ -163,18 +163,42 @@ object Ann {
   def recallAtK(stored: DataFrame, centroids: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String,
                 queries: Seq[(Int, Seq[Double])], k: Int, nprobe: Int,
-                metric: String = "cosine"): DataFrame = {
+                metric: String = "cosine"): DataFrame =
+    recallAtKWithTruth(
+      recallTruth(corpus, idCol, vecCol, queries, k, metric),
+      stored, centroids, idCol, vecCol, queries, k, nprobe, metric)
+
+  /** The EXACT per-query top-k — recall eval's ground truth. Inherently
+    * O(|queries| x |corpus|) brute force: materialize it ONCE offline
+    * beside the index artifacts (or over a sampled corpus slice at
+    * 100 TB) and feed [[recallAtKWithTruth]], so the recurring eval
+    * prices only the probe path + join, not the truth recompute.
+    */
+  def recallTruth(corpus: DataFrame, idCol: String, vecCol: String,
+                  queries: Seq[(Int, Seq[Double])], k: Int,
+                  metric: String = "cosine"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qdf = queries.toDF("query_id", "qv")
-    val exact = Search.batchTopK(
+    Search.batchTopK(
         corpus.select(col(idCol).as("id"), col(vecCol)), col(vecCol),
         qdf, "query_id", "qv", k, metric)
       .select(col("query_id"), col("id"))
+  }
+
+  /** [[recallAtK]] against a PRE-MATERIALIZED truth set ((query_id, id)
+    * rows from [[recallTruth]]) — the recurring-eval form.
+    */
+  def recallAtKWithTruth(truth: DataFrame, stored: DataFrame,
+                         centroids: DataFrame,
+                         idCol: String, vecCol: String,
+                         queries: Seq[(Int, Seq[Double])], k: Int,
+                         nprobe: Int,
+                         metric: String = "cosine"): DataFrame = {
     val approx = searchIvfStoredBatch(stored, centroids, idCol, vecCol,
         queries, k, nprobe, metric)
       .select(col("query_id"), col("id"), lit(1L).as("__hit"))
-    exact.join(approx, Seq("query_id", "id"), "left")
+    truth.join(approx, Seq("query_id", "id"), "left")
       .groupBy(col("query_id"))
       .agg(round(sum(coalesce(col("__hit"), lit(0L))).cast(DoubleType) /
         lit(k.toDouble), 6).as("recall"))
@@ -711,6 +735,48 @@ object Ann {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= m)
       .select(col("src"), col("nbr"), col("sim"))
+  }
+
+  /** NN-DESCENT refinement of a k-NN adjacency (Dong et al.'s
+    * neighbors-of-neighbors iteration, the build loop behind the NSG/
+    * HNSW-quality graph family): each round proposes every 2-step
+    * neighbor through the UNDIRECTED view of the current graph (my
+    * neighbor's neighbor is likely my neighbor), unions the standing
+    * edges, and keeps each node's exact top-`m` by rounded cosine.
+    * The LSH-proposed adjacency [[buildKnnGraph]] returns is the seed;
+    * its recall ceiling is set by bucket collisions — descent rounds
+    * recover edges LSH never proposed, at one bounded self-join + one
+    * per-node window per round (candidates <= (2m)^2 per node — NEVER
+    * all-pairs). Lineage is cut per round (localCheckpoint) like the
+    * connected-components loop.
+    */
+  def nnDescent(adj: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+                m: Int, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, s"nnDescent needs rounds >= 1, got $rounds")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    var cur = adj.select(col("src"), col("nbr"), col("sim"))
+    for (_ <- 1 to rounds) {
+      val und = cur.select(col("src"), col("nbr"))
+        .union(cur.select(col("nbr").as("src"), col("src").as("nbr")))
+      val cands = und.as("a")
+        .join(und.as("b"), col("a.nbr") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.nbr").as("nbr"))
+        .filter(col("src") =!= col("nbr"))
+        .distinct()
+        .union(cur.select(col("src"), col("nbr")))
+        .distinct()
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("sim").desc, col("nbr").asc)
+      cur = cands
+        .join(base.select(col("id").as("src"), col("v").as("__sv")), "src")
+        .join(base.select(col("id").as("nbr"), col("v").as("__nv")), "nbr")
+        .withColumn("sim", round(v_cosine(col("__sv"), col("__nv")), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= m)
+        .select(col("src"), col("nbr"), col("sim"))
+        .localCheckpoint()
+    }
+    cur
   }
 
   /** Serve from the k-NN graph: LSH band match picks `entryK` entry

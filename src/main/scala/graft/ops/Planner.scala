@@ -324,6 +324,90 @@ object Planner {
       rowPredicate, query, k, nprobe, broadcastLimit, metric, roundTo)
   }
 
+  /** Multi-index plan: which arm, and which index DRIVES the pre-filter
+    * intersection. qdrant keeps several payload indexes and estimates
+    * each condition's cardinality; the intersection's upper bound is the
+    * MINIMUM estimate, so the pre-filter arm is viable whenever the
+    * cheapest index alone is selective enough — the other condition only
+    * shrinks the set further.
+    */
+  final case class MultiPlanChoice(prefilter: Boolean, driveFirst: Boolean,
+                                   estA: Long, estB: Long, total: Long)
+
+  def chooseMulti(idxA: PayloadIndex, valuesA: Seq[Long],
+                  idxB: PayloadIndex, valuesB: Seq[Long],
+                  fullScanThreshold: Double): MultiPlanChoice = {
+    require(fullScanThreshold > 0 && fullScanThreshold <= 1,
+      s"fullScanThreshold must be a fraction in (0, 1], got $fullScanThreshold")
+    val estA = idxA.estimate(valuesA)
+    val estB = idxB.estimate(valuesB)
+    MultiPlanChoice(
+      math.min(estA, estB) <= fullScanThreshold * idxA.total,
+      estA <= estB, estA, estB, idxA.total)
+  }
+
+  /** Filtered top-k under a conjunction of TWO indexed conditions
+    * (`valueA IN valuesA AND valueB IN valuesB`), the multi-payload-index
+    * query qdrant plans by intersecting candidate sets. Pre-filter arm:
+    * both posting reads are value-pruned, the CHEAPER one drives (scans
+    * its matching partitions), the other resolves to an id set that
+    * semi-joins it — broadcast while small, shuffled beyond
+    * `broadcastLimit`. With a covering driver the corpus is never
+    * touched: scan work = driver's matching rows + the residual id read.
+    * Post-filter arm (both conditions unselective): the probed IVF scan
+    * with BOTH row predicates applied before ranking. `rowPredicateA/B`
+    * must be the row-level equivalents of the two value conditions.
+    */
+  def searchFilteredMulti(stored: DataFrame, centroids: DataFrame,
+                          idxA: PayloadIndex, valuesA: Seq[Long],
+                          rowPredicateA: Column,
+                          idxB: PayloadIndex, valuesB: Seq[Long],
+                          rowPredicateB: Column,
+                          idCol: String, vecCol: String,
+                          query: Column, k: Int, nprobe: Int,
+                          fullScanThreshold: Double = 0.2,
+                          broadcastLimit: Long = 100000L,
+                          metric: String = "cosine",
+                          roundTo: Int = 6): DataFrame = {
+    val c = chooseMulti(idxA, valuesA, idxB, valuesB, fullScanThreshold)
+    if (c.prefilter) {
+      val (drive, driveVals, resid, residVals, residEst) =
+        if (c.driveFirst) (idxA, valuesA, idxB, valuesB, c.estB)
+        else (idxB, valuesB, idxA, valuesA, c.estA)
+      val residIds = resid.postings
+        .filter(col("value").isin(residVals: _*)).select(col("id"))
+      val residFrame =
+        if (residEst <= broadcastLimit) broadcast(residIds) else residIds
+      val driven = drive.postings
+        .filter(col("value").isin(driveVals: _*))
+        .join(residFrame, Seq("id"), "left_semi")
+      if (drive.covering.contains(vecCol))
+        driven
+          .select(col("id"),
+            round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+      else {
+        val ids = driven.select(col("id"))
+        val idFrame = if (math.min(c.estA, c.estB) <= broadcastLimit)
+          broadcast(ids) else ids
+        stored.join(idFrame, stored(idCol) === idFrame("id"), "left_semi")
+          .select(col(idCol).as("id"),
+            round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+      }
+    } else {
+      val probed = Ann.probedClusters(centroids, query, nprobe)
+      stored.filter(col("cluster").isin(probed: _*))
+        .filter(rowPredicateA && rowPredicateB)
+        .select(col(idCol).as("id"),
+          round(Search.similarity(col(vecCol), query, metric), roundTo).as("score"))
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+  }
+
   private def serve(stored: DataFrame, centroids: DataFrame,
                     postings: DataFrame, covering: Seq[String],
                     idCol: String, vecCol: String,

@@ -188,26 +188,47 @@ final case class PayloadCondition(key: String, op: String, value: String) {
     s"filter op must be one of ${PayloadCondition.Ops.mkString("/")}, got '$op'")
   require(key.nonEmpty, "filter key must be non-empty")
 
-  private val numValue: Option[Double] =
-    try Some(java.lang.Double.parseDouble(value)) catch { case _: Exception => None }
+  // the value with escape pairs resolved — every terminal comparison /
+  // parse runs on this form (the option encoding's escape contract)
+  private val uvalue: String = PayloadCondition.unescapeValue(value)
 
-  // match_any alternatives, split once; each compares with eq typing
+  // `key:eq:"3"` — quoted probe: STRING-typed equality, never numeric
+  private val strProbe: Option[String] =
+    if (op == "eq") PayloadCondition.unquote(uvalue) else None
+
+  private val numValue: Option[Double] =
+    if (strProbe.isDefined) None
+    else try Some(java.lang.Double.parseDouble(uvalue))
+    catch { case _: Exception => None }
+
+  // match_any alternatives, split once (escape-aware); each compares
+  // with eq typing — a QUOTED alternative is string-typed like eq's
   private val anyValues: Seq[String] =
-    if (op == "match_any") value.split("\\|").toSeq else Nil
+    if (op == "match_any")
+      PayloadCondition.splitUnescaped(value, '|')
+        .map(PayloadCondition.unescapeValue)
+    else Nil
   private val anyNums: Seq[Double] = anyValues.flatMap(v =>
-    try Some(java.lang.Double.parseDouble(v)) catch { case _: Exception => None })
+    if (PayloadCondition.unquote(v).isDefined) None
+    else try Some(java.lang.Double.parseDouble(v))
+    catch { case _: Exception => None })
+  // string-typed alternatives: quoted (stripped) or non-numeric
+  private val anyStrs: Seq[String] = anyValues.flatMap(v =>
+    PayloadCondition.unquote(v).orElse(
+      try { java.lang.Double.parseDouble(v); None }
+      catch { case _: Exception => Some(v) }))
 
   // match_text / phrase query tokens (case-folded whitespace split, the
   // engine's shared tokenizer convention)
   private val textTokens: Seq[String] =
     if (op == "match_text" || op == "phrase")
-      value.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      uvalue.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     else Nil
 
   // values_count comparator: value is `cmp:n` (cmp in gt/gte/lt/lte/eq)
   private val countCmp: Option[(String, Long)] =
     if (op != "values_count") None
-    else value.split(":", 2) match {
+    else uvalue.split(":", 2) match {
       case Array(c, n) if Set("gt", "gte", "lt", "lte", "eq")(c) =>
         Some((c, n.trim.toLong))
       case _ => throw new IllegalArgumentException(
@@ -218,19 +239,27 @@ final case class PayloadCondition(key: String, op: String, value: String) {
   // or plain date — the backend's datetime_range accepted forms)
   private val dtBound: Option[Long] =
     if (!op.startsWith("dt_")) None
-    else Some(PayloadCondition.parseDatetime(value).getOrElse(
+    else Some(PayloadCondition.parseDatetime(uvalue).getOrElse(
       throw new IllegalArgumentException(
         s"$op expects an RFC 3339 datetime or date, got '$value'")))
 
   // geo arguments: geo_radius = `lat,lon,meters`; geo_box =
-  // `top,left,bottom,right` (the backend's top_left + bottom_right)
+  // `top,left,bottom,right` (the backend's top_left + bottom_right);
+  // geo_polygon = `lat1,lon1,lat2,lon2,...` (the exterior ring's
+  // vertices, >= 3 — the backend's polygon condition without interiors)
   private val geoArgs: Array[Double] =
-    if (op != "geo_radius" && op != "geo_box") Array.empty
+    if (op != "geo_radius" && op != "geo_box" && op != "geo_polygon")
+      Array.empty
     else {
-      val xs = value.split(",").map(s => java.lang.Double.parseDouble(s.trim))
-      val want = if (op == "geo_radius") 3 else 4
-      require(xs.length == want,
-        s"$op expects $want comma-separated numbers, got '$value'")
+      val xs = uvalue.split(",").map(s => java.lang.Double.parseDouble(s.trim))
+      if (op == "geo_polygon")
+        require(xs.length >= 6 && xs.length % 2 == 0,
+          s"geo_polygon expects >= 3 lat,lon vertex pairs, got '$value'")
+      else {
+        val want = if (op == "geo_radius") 3 else 4
+        require(xs.length == want,
+          s"$op expects $want comma-separated numbers, got '$value'")
+      }
       xs
     }
 
@@ -240,15 +269,17 @@ final case class PayloadCondition(key: String, op: String, value: String) {
   // encoding the key:op:value wire triple doesn't carry)
   private val nestedConds: Seq[PayloadCondition] =
     if (op != "nested") Nil
-    else value.split("&").toSeq.map { part =>
-      part.split("\\|", 3) match {
-        case Array(k, o, v) if PayloadCondition.NestedOps(o.trim) =>
-          PayloadCondition(k.trim, o.trim, v)
-        case Array(_, o, _) => throw new IllegalArgumentException(
-          s"nested sub-op must be one of ${PayloadCondition.NestedOps.mkString("/")}, got '$o'")
-        case _ => throw new IllegalArgumentException(
-          s"bad nested sub-condition '$part' (expected subkey|op|value)")
-      }
+    else PayloadCondition.splitUnescaped(value, '&').map { part =>
+      // escape-aware: `\&`/`\|` in a sub-value survive both splits and
+      // resolve in the sub-condition's own terminal unescape; a raw '|'
+      // past the op joins back into the value (the limit-3 convention)
+      val bits = PayloadCondition.splitUnescaped(part, '|')
+      if (bits.length >= 3 && PayloadCondition.NestedOps(bits(1).trim))
+        PayloadCondition(bits(0).trim, bits(1).trim, bits.drop(2).mkString("|"))
+      else if (bits.length >= 3) throw new IllegalArgumentException(
+        s"nested sub-op must be one of ${PayloadCondition.NestedOps.mkString("/")}, got '${bits(1)}'")
+      else throw new IllegalArgumentException(
+        s"bad nested sub-condition '$part' (expected subkey|op|value)")
     }
   require(op != "nested" || nestedConds.nonEmpty,
     "nested needs at least one sub-condition")
@@ -323,6 +354,13 @@ final case class PayloadCondition(key: String, op: String, value: String) {
             else lo >= left || lo <= right
           la >= bottom && la <= top && lonIn
         })
+      // GeoPolygon: ray-cast against the vertex list — term-for-term the
+      // IEEE ops of graft.ops.Geo.pointInPolygon (and its generated
+      // DuckDB SQL), so all three layouts decide boundaries identically
+      case "geo_polygon" => field.exists(v =>
+        PayloadCondition.latLonOf(v).exists { case (la, lo) =>
+          PayloadCondition.inPolygon(la, lo, geoArgs)
+        })
       // Nested: ONE array element satisfies ALL sub-conditions (the
       // backend's nested condition — per-element scoping is the whole
       // point; evaluating sub-conditions independently across elements
@@ -337,12 +375,16 @@ final case class PayloadCondition(key: String, op: String, value: String) {
       }
       case _ => field.exists {
         case JString(s) => op match {
-          case "eq" => numValue.isEmpty && s == value
+          // typed eq: an unquoted numeric probe never matches a string;
+          // a QUOTED probe (`"3"`) is string equality on the raw form
+          case "eq" => strProbe match {
+            case Some(q) => s == q
+            case None => numValue.isEmpty && s == uvalue
+          }
           // MatchAny: keyword IN — any alternative equal (typed per
-          // element like eq, so "2|x" matches string "x" but not "2")
-          case "match_any" => anyValues.filter(a =>
-            (try { java.lang.Double.parseDouble(a); false }
-             catch { case _: Exception => true })).contains(s)
+          // element like eq, so "2|x" matches string "x" but not "2",
+          // and the quoted `"2"|x` matches both strings)
+          case "match_any" => anyStrs.contains(s)
           // MatchText: every query token appears among the field's
           // case-folded whitespace tokens (the backend's full-text
           // match on a text field)
@@ -359,7 +401,10 @@ final case class PayloadCondition(key: String, op: String, value: String) {
           case _ => false
         }
         case JBool(b) =>
-          (op == "eq" && b.toString == value) ||
+          // quoted alternatives/probes keep their quotes in anyValues/
+          // uvalue comparison space, so they can never match a bool —
+          // string-typed by construction
+          (op == "eq" && strProbe.isEmpty && b.toString == uvalue) ||
             (op == "match_any" && anyValues.contains(b.toString))
         case JInt(i) => numMatch(i.toDouble)
         case JLong(l) => numMatch(l.toDouble)
@@ -393,7 +438,7 @@ object PayloadCondition {
   val Ops: Set[String] = Set("eq", "gt", "gte", "lt", "lte",
     "match_any", "match_text", "empty", "isnull",
     "values_count", "has_vector", "dt_gt", "dt_gte", "dt_lt", "dt_lte",
-    "phrase", "geo_radius", "geo_box", "nested")
+    "phrase", "geo_radius", "geo_box", "geo_polygon", "nested")
 
   /** Sub-ops a nested condition may carry (the `subkey|op|value` mini
     * syntax reserves `|` and `&`, which match_any / nested values use).
@@ -437,6 +482,27 @@ object PayloadCondition {
     for { la <- num(v \ "lat"); lo <- num(v \ "lon") } yield (la, lo)
   }
 
+  /** Ray-casting point-in-polygon over a flat `lat1,lon1,lat2,lon2,...`
+    * vertex array — the same per-edge arithmetic as
+    * [[graft.ops.Geo.pointInPolygon]] ((x2-x1) pre-computed, crossings
+    * summed, parity decides), so the stored filter and the engine
+    * expression agree bit-for-bit on edges.
+    */
+  def inPolygon(lat: Double, lon: Double, poly: Array[Double]): Boolean = {
+    val n = poly.length / 2
+    var crossings = 0
+    var i = 0
+    while (i < n) {
+      val y1 = poly(2 * i); val x1 = poly(2 * i + 1)
+      val j = (i + 1) % n
+      val y2 = poly(2 * j); val x2 = poly(2 * j + 1)
+      if (((y1 > lat) != (y2 > lat)) &&
+          (lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1)) crossings += 1
+      i += 1
+    }
+    crossings % 2 == 1
+  }
+
   /** Haversine meters — term-for-term the float ops of
     * `functions.v_geo_distance` (SqlBuilders.geoDistance) so the stored
     * filter and the engine expression decide boundaries identically.
@@ -454,10 +520,17 @@ object PayloadCondition {
 
   /** The read-option / display encoding: `key:op:value` conditions
     * joined by `;` (a conjunction — the filter DSL's `must` list).
-    * Values may contain `:`; keys may not.
+    * Values may contain `:`; keys may not. RESERVED characters in
+    * values: `;` (condition separator), `|` (match_any alternative /
+    * nested sub-condition field separator), `&` (nested sub-condition
+    * separator), `\` (the escape). A literal reserved character is
+    * written backslash-escaped (`\;` `\|` `\&` `\\`); escapes resolve at
+    * the innermost consumption point, so an escaped separator survives
+    * the outer splits. [[serializeList]] escapes; hand-authored option
+    * strings follow the same rule.
     */
   def parseList(s: String): Seq[PayloadCondition] =
-    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+    splitUnescaped(s, ';').map(_.trim).filter(_.nonEmpty).map { part =>
       part.split(":", 3) match {
         case Array(k, o, v) => PayloadCondition(k.trim, o.trim, v)
         case _ => throw new IllegalArgumentException(
@@ -466,7 +539,52 @@ object PayloadCondition {
     }
 
   def serializeList(conds: Seq[PayloadCondition]): String =
-    conds.map(c => s"${c.key}:${c.op}:${c.value}").mkString(";")
+    conds.map(c => s"${c.key}:${c.op}:${escapeValue(c.value)}").mkString(";")
+
+  /** Escape the reserved characters of the option encoding. */
+  private[sources] def escapeValue(s: String): String =
+    s.flatMap {
+      case c @ (';' | '|' | '&' | '\\') => s"\\$c"
+      case c => c.toString
+    }
+
+  /** Resolve `\x` escape pairs (terminal consumption of a value). */
+  private[sources] def unescapeValue(s: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split on an UNESCAPED separator; escape pairs pass through intact
+    * (each level of the encoding splits on its own separator and leaves
+    * inner escapes for the consumer).
+    */
+  private[sources] def splitUnescaped(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]; val sb = new StringBuilder; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        sb.append(ch).append(s.charAt(i + 1)); i += 2
+      } else if (ch == sep) { out += sb.toString; sb.clear(); i += 1 }
+      else { sb.append(ch); i += 1 }
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  /** One layer of double quotes -> a STRING-TYPED probe (`key:eq:"3"`):
+    * equality on the raw string, never numeric — the only way to express
+    * string equality against numeric-looking keyword values (unquoted
+    * numeric probes are number-typed by the eq rule).
+    */
+  private[sources] def unquote(s: String): Option[String] =
+    if (s.length >= 2 && s.startsWith("\"") && s.endsWith("\""))
+      Some(s.substring(1, s.length - 1))
+    else None
 }
 
 /** The backend's full filter object: `must` (every condition holds),

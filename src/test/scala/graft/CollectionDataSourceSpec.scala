@@ -1250,6 +1250,45 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("condition vocabulary: quoted string probes, escaping, geo_polygon") {
+    import graft.sources.{PayloadCondition => PC}
+    def hit(c: PayloadCondition, payload: String): Boolean =
+      c.matches(Point("x", Some(payload)))
+    // QUOTED probe: string equality on a numeric-looking keyword — the
+    // expressiveness hole the unquoted typed-eq rule leaves
+    assert(hit(PC("k", "eq", "\"3\""), """{"k":"3"}"""))
+    assert(!hit(PC("k", "eq", "\"3\""), """{"k":3}"""))     // never numbers
+    assert(!hit(PC("k", "eq", "3"), """{"k":"3"}"""))       // unquoted: typed
+    assert(hit(PC("k", "eq", "3"), """{"k":3}"""))
+    assert(hit(PC("k", "eq", "\"true\""), """{"k":"true"}"""))
+    assert(!hit(PC("k", "eq", "\"true\""), """{"k":true}"""))
+    // quoted match_any alternative is string-typed per element
+    assert(hit(PC("k", "match_any", "\"2\"|x"), """{"k":"2"}"""))
+    assert(!hit(PC("k", "match_any", "\"2\"|x"), """{"k":2}"""))
+    assert(hit(PC("k", "match_any", "2|x"), """{"k":2}"""))
+    // ESCAPING: reserved chars in values round-trip through the option
+    // encoding (serialize escapes, parse splits on unescaped only)
+    val weird = PC("k", "eq", "a;b|c&d\\e")
+    val parsed = PC.parseList(PC.serializeList(Seq(weird, PC("j", "eq", "z"))))
+    assert(parsed.size === 2)
+    assert(hit(parsed(0), """{"k":"a;b|c&d\\e"}"""))
+    assert(!hit(parsed(0), """{"k":"a"}"""))
+    // escaped '|' inside a match_any alternative is literal
+    val alts = PC.parseList("k:match_any:a\\|b|c")
+    assert(alts.size === 1)
+    assert(hit(alts(0), """{"k":"a|b"}"""))
+    assert(hit(alts(0), """{"k":"c"}"""))
+    assert(!hit(alts(0), """{"k":"a"}"""))
+    // geo_polygon: ray-cast containment, same arithmetic as the engine op
+    val tri = PC("loc", "geo_polygon", "0,0,10,0,0,10")
+    assert(hit(tri, """{"loc":{"lat":2.0,"lon":2.0}}"""))
+    assert(!hit(tri, """{"loc":{"lat":8.0,"lon":8.0}}"""))
+    assert(!hit(tri, """{"loc":{"lat":-1.0,"lon":2.0}}"""))
+    intercept[IllegalArgumentException] {
+      PC("loc", "geo_polygon", "0,0,10,0").matches(Point("x", None))
+    }
+  }
+
   test("condition vocabulary: empty, isnull, match_any, match_text") {
     def c(key: String, op: String, v: String) = PayloadCondition(key, op, v)
     def pt(payload: Option[String]) = Point("x", payload)

@@ -91,6 +91,20 @@ class CollectionsSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows(0).getSeq[Seq[Float]](0) === Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)))
     assert(rows(1).isNullAt(0))   // 5 % 2 != 0 -> NULL (reference errors)
+    // STRICT mode: the reference's error semantics opt-in — an
+    // indivisible length FAILS the job instead of thinning the column;
+    // divisible rows still split identically
+    val strictOk = Seq((Seq(1f, 2f, 3f, 4f), 2)).toDF("flat", "n")
+      .select(multi_vector_from_flat(col("flat"), col("n"), strict = true))
+      .collect()
+    assert(strictOk(0).getSeq[Seq[Float]](0) === Seq(Seq(1f, 2f), Seq(3f, 4f)))
+    val e = intercept[Exception] {
+      Seq((Seq(1f, 2f, 3f, 4f, 5f), 2)).toDF("flat", "n")
+        .select(multi_vector_from_flat(col("flat"), col("n"), strict = true))
+        .collect()
+    }
+    assert(e.getMessage.contains("not divisible") ||
+      Option(e.getCause).exists(_.getMessage.contains("not divisible")))
   }
 
   test("writeCollection/readCollection round-trips schema and NULLs") {

@@ -76,6 +76,52 @@ class PlannerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Planner.choose(pidx, Seq(1L), 0.0) }
   }
 
+  test("multi-index: cheaper index drives the intersection; arm flips with the min cardinality") {
+    val (stored, cents, pidx) = setup
+    // second index on a different key (id mod 7), covering like the first
+    val midx = Planner.buildPayloadIndex(corpus, "id",
+      pmod(col("id").cast("long"), lit(7L)), covering = Seq("vector"))
+    // ~10% (label) vs ~14% (mod7): label drives; min est under the dial
+    val c = Planner.chooseMulti(pidx, Seq(7L), midx, Seq(2L), 0.2)
+    assert(c.prefilter && c.driveFirst)
+    assert(c.estA === pidx.estimate(Seq(7L)))
+    // swap argument order: the OTHER index drives now
+    assert(!Planner.chooseMulti(midx, Seq(2L), pidx, Seq(7L), 0.2).driveFirst)
+    // one unselective condition does not kill the arm — the MIN decides
+    assert(Planner.chooseMulti(pidx, Seq(7L),
+      midx, Seq(0L, 1L, 2L, 3L, 4L, 5L), 0.2).prefilter)
+    // both unselective -> post-filter
+    assert(!Planner.chooseMulti(pidx, (0L to 8L), midx,
+      (0L to 5L), 0.2).prefilter)
+    // the served result is EXACT over the conjunction
+    val predA = json_get_int(col("payload"), "label") === 7L
+    val predB = pmod(col("id").cast("long"), lit(7L)) === 2L
+    val res = Planner.searchFilteredMulti(stored, cents,
+      pidx, Seq(7L), predA, midx, Seq(2L), predB,
+      "id", "vector", vec(queryVec), k = 10, nprobe = 4)
+    val exact = Ann.bruteForce(
+      corpus.filter(predA && predB), "id", "vector",
+      vec(queryVec), k = 10, metric = "cosine")
+    assert(res.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      exact.collect().map(r =>
+        (r.getString(0), math.rint(r.getDouble(1) * 1e6) / 1e6)).toSeq)
+    // both posting reads partition-prune; the residual set broadcasts
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*value".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // post-filter arm agrees with brute at nprobe = nlist (exact there)
+    val post = Planner.searchFilteredMulti(stored, cents,
+      pidx, (0L to 8L), json_get_int(col("payload"), "label") <= 8L,
+      midx, (0L to 5L), pmod(col("id").cast("long"), lit(7L)) <= 5L,
+      "id", "vector", vec(queryVec), k = 10, nprobe = 4)
+    val postExact = Ann.bruteForce(
+      corpus.filter(json_get_int(col("payload"), "label") <= 8L &&
+        pmod(col("id").cast("long"), lit(7L)) <= 5L),
+      "id", "vector", vec(queryVec), k = 10, metric = "cosine")
+    assert(post.collect().map(_.getString(0)).toSeq ===
+      postExact.collect().map(_.getString(0)).toSeq)
+  }
+
   test("pre-filter path: postings scan partition-prunes to the filter values") {
     val (stored, cents, pidx) = setup
     val pruned = pidx.postings.filter(col("value").isin(1L, 2L))
