@@ -299,6 +299,21 @@ object SparkEntry {
   private def parquetLogStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
     parquetLogStoreCache.getOrElseUpdate(dir, freshParquetLogStore(s, dir))
 
+  /** The HETEROGENEOUS collection sealed to the lakehouse layout (all
+    * three vector kinds + disjoint-subset NULLs), built once per dir.
+    */
+  private val parquetHeteroStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHeteroStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHeteroStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hetero")
+      graft.sources.ParquetCollectionStore.write(
+        Collections.heterogeneous(s, dir), pqDir)
+      new graft.sources.ParquetCollectionStore(pqDir, "hetero",
+        Collections.heterogeneousDescriptor)
+    })
+
   /** The SPARSE lakehouse collection of `dir`: the embeddings corpus
     * (minus the query point, the oracle's exclusion) re-expressed as the
     * two-column sparse layout (`kw_indices`/`kw_values` from the
@@ -1523,6 +1538,30 @@ object SparkEntry {
         .option("store", store).option("collection", "live")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
+    }),
+
+    // the FULL heterogeneous shape from the LAKEHOUSE backend: all three
+    // vector kinds (dense named fields, the ragged multi field, the
+    // two-column sparse pair) plus disjoint-subset NULLs decode from the
+    // cold parquet layout — the store now carries the complete
+    // collection data model, not just dense. Same oracle as dsv2_hetero:
+    // the backend swap must be invisible
+    "dsv2_parquet_hetero" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hetero_store",
+        SparkEntry.parquetHeteroStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hetero_store").option("collection", "hetero")
+        .option("partitions", "4").load()
+        .select(
+          col("id"), col("payload"),
+          vq6(col("text_embedding")).as("text_embedding_q6"),
+          vq6(col("image_embedding")).as("image_embedding_q6"),
+          vq6(col("audio_embedding")).as("audio_embedding_q6"),
+          array_join(transform(col("multi_embeddings"), sv => vq6(sv)), ";")
+            .as("multi_q6"),
+          iarr(col("keywords_indices")).as("keywords_indices_s"),
+          vq6(col("keywords_values")).as("keywords_values_q6"))
     }),
 
     // SNAPSHOT + RESTORE + ALIAS over the LAKEHOUSE backend: snapshot a
@@ -5527,6 +5566,22 @@ object SparkEntry {
     // view computes directly from parquet — same CASE structure, plus the
     // image (dense) and multi fields the view gate leaves unchecked
     "dsv2_hetero" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload,
+        |       CASE WHEN vec_id % 3 IN (0, 1) THEN ${duckVq6("embedding")} END AS text_embedding_q6,
+        |       CASE WHEN vec_id % 3 IN (1, 2) THEN ${duckVq6("embedding")} END AS image_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 2 THEN ${duckVq6("embedding")} END AS audio_embedding_q6,
+        |       CASE WHEN vec_id % 3 = 0 THEN
+        |         ${duckVq6("embedding")} || ';' || ${duckVq6("list_reverse(embedding)")}
+        |       END AS multi_q6,
+        |       CASE WHEN vec_id % 3 <> 1 THEN
+        |         array_to_string(list_transform(list_filter(range(1, len(embedding) + 1), i -> embedding[i] > 0), i -> CAST(i - 1 AS VARCHAR)), ',')
+        |       END AS keywords_indices_s,
+        |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // lakehouse backend swap invisible for the FULL collection shape
+    "dsv2_parquet_hetero" ->
       s"""SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
         |       CASE WHEN vec_id % 3 IN (0, 1) THEN ${duckVq6("embedding")} END AS text_embedding_q6,

@@ -149,14 +149,22 @@ final class ParquetCollectionStore(
 
   /** Physical columns of one requested vector field: dense -> one
     * float-list column; sparse -> the `{name}_indices`/`{name}_values`
-    * pair (the collection layout's two-column convention). Multi fields
-    * are not in the cold layout (documented store scope).
+    * pair (the collection layout's two-column convention); multi -> one
+    * nested float-list-list column. All three vector kinds serve from
+    * the cold layout.
     */
-  private def fieldCols(f: String): Either[(String, String), (String, String, String)] =
+  private sealed trait FieldCols
+  private case class DenseCol(field: String, col: String) extends FieldCols
+  private case class SparseCols(field: String, idxCol: String,
+                                valCol: String) extends FieldCols
+  private case class MultiCol(field: String, col: String) extends FieldCols
+
+  private def fieldCols(f: String): FieldCols =
     descriptor.fields.find(_.name == f) match {
       case Some(graft.collections.SparseField(n)) =>
-        Right((f, s"${n}_indices", s"${n}_values"))
-      case _ => Left(f -> columnOf(f))
+        SparseCols(f, s"${n}_indices", s"${n}_values")
+      case Some(graft.collections.MultiField(n, _)) => MultiCol(f, n)
+      case _ => DenseCol(f, columnOf(f))
     }
 
   override def queryPoints(c: String, from: Long, until: Long,
@@ -183,7 +191,7 @@ final class ParquetCollectionStore(
     */
   private def readFile(fm: FileMeta, from: Long, until: Long,
                        withPayload: Boolean,
-                       vecCols: Seq[Either[(String, String), (String, String, String)]],
+                       vecCols: Seq[FieldCols],
                        idLower: Option[String]): Iterator[Point] = {
     val in = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(fm.path), conf))
@@ -192,8 +200,9 @@ final class ParquetCollectionStore(
       val fileSchema = in.getFooter.getFileMetaData.getSchema
       val keep = Seq("id") ++ (if (withPayload) Seq("payload") else Nil) ++
         vecCols.flatMap {
-          case Left((_, cn)) => Seq(cn)
-          case Right((_, ic, vc)) => Seq(ic, vc)
+          case DenseCol(_, cn) => Seq(cn)
+          case SparseCols(_, ic, vc) => Seq(ic, vc)
+          case MultiCol(_, cn) => Seq(cn)
         }
       val requested = new MessageType(fileSchema.getName,
         fileSchema.getFields.asScala.filter(t => keep.contains(t.getName)).asJava)
@@ -202,9 +211,12 @@ final class ParquetCollectionStore(
       def fieldIdx(name: String): Int = requested.getFieldIndex(name)
       val idIdx = fieldIdx("id")
       val payIdx = if (withPayload) Some(fieldIdx("payload")) else None
-      val vecIdx = vecCols.collect { case Left((f, cn)) => (f, fieldIdx(cn)) }
+      val vecIdx = vecCols.collect { case DenseCol(f, cn) => (f, fieldIdx(cn)) }
       val sparseIdx = vecCols.collect {
-        case Right((f, ic, vc)) => (f, fieldIdx(ic), fieldIdx(vc))
+        case SparseCols(f, ic, vc) => (f, fieldIdx(ic), fieldIdx(vc))
+      }
+      val multiIdx = vecCols.collect {
+        case MultiCol(f, cn) => (f, fieldIdx(cn))
       }
       val out = Seq.newBuilder[Point]
       var rgStart = fm.start
@@ -224,7 +236,7 @@ final class ParquetCollectionStore(
             val g = rr.read()
             val gi = bStart + i
             if (gi >= from && gi < until)
-              out += decode(g, idIdx, payIdx, vecIdx, sparseIdx)
+              out += decode(g, idIdx, payIdx, vecIdx, sparseIdx, multiIdx)
             i += 1
           }
         }
@@ -687,13 +699,11 @@ final class ParquetCollectionStore(
   private def logDir = new java.io.File(s"$dir/_log")
   private def logEnabled: Boolean = logDir.isDirectory
 
-  /** Stored column name -> vector FIELD name (segment/primary decode). */
-  private def colToField: Map[String, String] =
-    descriptor.fields.collect { case DenseField(n, _, _) => columnOf(n) -> n }
-      .toMap
-
-  private def denseColumns: Seq[String] =
-    descriptor.fields.collect { case DenseField(n, _, _) => columnOf(n) }
+  /** Field -> physical-column codec for segment/primary encode+decode
+    * (all three vector kinds).
+    */
+  private def rowCodec: ParquetLog.RowCodec =
+    ParquetLog.RowCodec.fromDescriptor(descriptor)
 
   override def logStart(c: String): Long = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
@@ -718,10 +728,10 @@ final class ParquetCollectionStore(
         throw new IllegalStateException(
           s"log positions [$from, $b) of '$collection' were compacted away; " +
             s"replay must start at $b or from a fresh snapshot")
-      val c2f = colToField
+      val codec = rowCodec
       ParquetLog.segments(logDir).iterator
         .filter(m => m.end > from && m.start < until)
-        .flatMap(m => ParquetLog.readSegment(m.path, from, until, c2f))
+        .flatMap(m => ParquetLog.readSegment(m.path, from, until, codec))
     }
   }
 
@@ -729,9 +739,6 @@ final class ParquetCollectionStore(
     require(logEnabled,
       s"$what on a parquet store requires the _log changelog sidecar " +
         s"(seal with write(withLog = true) or initEmpty); '$dir' has none")
-    require(descriptor.fields.forall(_.isInstanceOf[DenseField]),
-      s"$what supports dense-field collections only (the COW rewrite " +
-        "does not yet re-seal sparse/multi columns)")
   }
 
   /** Index of the primary file an incoming id lands in: the first file
@@ -766,10 +773,10 @@ final class ParquetCollectionStore(
     val deduped = pts.groupBy(_.id).view.mapValues(_.last).values.toIndexedSeq
       .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
     val metas = fileMetas
-    val fields = descriptor.fields.collect { case DenseField(n, _, _) => n }
+    val fields = descriptor.fields.map(_.name)
     if (metas.isEmpty) {
       ParquetLog.writePrimary(new java.io.File(dir, "part-00000.parquet"),
-        deduped, denseColumns, columnOf)
+        deduped, rowCodec)
     } else {
       deduped.groupBy(p => targetFile(metas, p.id)).foreach {
         case (idx, batch) =>
@@ -780,11 +787,11 @@ final class ParquetCollectionStore(
           val merged = (old.filterNot(p => incoming(p.id)) ++ batch)
             .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
           ParquetLog.writePrimary(new java.io.File(fm.path), merged,
-            denseColumns, columnOf)
+            rowCodec)
       }
     }
     ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
-      deduped.map(LogEntry(LogOps.Upsert, _)), denseColumns, columnOf): Unit
+      deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec): Unit
     reopened
   }
 
@@ -810,7 +817,7 @@ final class ParquetCollectionStore(
           if (kept.isEmpty) {
             new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
             f.delete(): Unit
-          } else ParquetLog.writePrimary(f, kept, denseColumns, columnOf)
+          } else ParquetLog.writePrimary(f, kept, rowCodec)
         }
       }
     }
@@ -819,7 +826,7 @@ final class ParquetCollectionStore(
     else {
       ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
         hit.map(id => LogEntry(LogOps.Delete, Point(id, None))),
-        denseColumns, columnOf): Unit
+        rowCodec): Unit
       reopened
     }
   }
@@ -852,7 +859,7 @@ final class ParquetCollectionStore(
     val headPos = ParquetLog.head(logDir)
     require(upTo <= headPos,
       s"cannot compact '$collection' past its log head ($headPos), got $upTo")
-    val c2f = colToField
+    val codec = rowCodec
     ParquetLog.segments(logDir).foreach { m =>
       if (m.end <= upTo) {
         val f = new java.io.File(m.path)
@@ -861,12 +868,11 @@ final class ParquetCollectionStore(
       } else if (m.start < upTo) {
         // straddling segment: rewrite the retained suffix at its
         // ORIGINAL positions, then drop the old file
-        val retained = ParquetLog.readSegment(m.path, upTo, m.end, c2f)
+        val retained = ParquetLog.readSegment(m.path, upTo, m.end, codec)
         val f = new java.io.File(m.path)
         new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
         f.delete(): Unit
-        ParquetLog.appendSegment(logDir, upTo, retained, denseColumns,
-          columnOf): Unit
+        ParquetLog.appendSegment(logDir, upTo, retained, codec): Unit
       }
     }
     ParquetLog.writeBase(logDir, upTo)
@@ -880,7 +886,8 @@ final class ParquetCollectionStore(
     */
   private def decode(g: Group, idIdx: Int, payIdx: Option[Int],
                      vecIdx: Seq[(String, Int)],
-                     sparseIdx: Seq[(String, Int, Int)] = Seq.empty): Point = {
+                     sparseIdx: Seq[(String, Int, Int)] = Seq.empty,
+                     multiIdx: Seq[(String, Int)] = Seq.empty): Point = {
     val id = g.getString(idIdx, 0)
     val payload = payIdx.flatMap(pi =>
       if (g.getFieldRepetitionCount(pi) == 0) None
@@ -896,7 +903,26 @@ final class ParquetCollectionStore(
         decodeIntList(g.getGroup(ii, 0).asInstanceOf[Group]),
         decodeFloatList(g.getGroup(vi, 0).asInstanceOf[Group]))))
     }.toMap
-    Point(id, payload, dense, sparse = sparse)
+    val multi = multiIdx.flatMap { case (field, vi) =>
+      if (g.getFieldRepetitionCount(vi) == 0) None
+      else {
+        // array<array<float>>: the outer 3-level list's element wrappers
+        // each hold an inner float list
+        val outer = g.getGroup(vi, 0).asInstanceOf[Group]
+        val n = outer.getFieldRepetitionCount(0)
+        val arr = new Array[Array[Float]](n)
+        var i = 0
+        while (i < n) {
+          val w = outer.getGroup(0, i).asInstanceOf[Group]
+          arr(i) =
+            if (w.getFieldRepetitionCount(0) == 0) Array.empty[Float]
+            else decodeFloatList(w.getGroup(0, 0).asInstanceOf[Group])
+          i += 1
+        }
+        Some(field -> arr)
+      }
+    }.toMap
+    Point(id, payload, dense, multi = multi, sparse = sparse)
   }
 
   private def decodeFloatList(listG: Group): Array[Float] = {
@@ -963,8 +989,8 @@ object ParquetCollectionStore {
     if (withLog) {
       // the initial-ingest changelog: one segment per primary file,
       // sealing its enumeration positions as upserts — written by the
-      // CLUSTER (one task per file), the driver only lists footers
-      val denseCols = df.columns.toSeq.filterNot(Set("id", "payload"))
+      // CLUSTER (one task per file, the row codec inferred from each
+      // file's own schema), the driver only lists footers
       val metas = ParquetLog.primaryMetas(dir)
       val logPath = s"$dir/_log"
       new java.io.File(logPath).mkdirs()
@@ -972,7 +998,7 @@ object ParquetCollectionStore {
         df.sparkSession.sparkContext
           .parallelize(metas, metas.size)
           .foreach { case (path, start, _) =>
-            ParquetLog.mirrorPrimary(path, logPath, start, denseCols)
+            ParquetLog.mirrorPrimary(path, logPath, start)
           }
     }
   }

@@ -15,6 +15,8 @@ import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
+import graft.collections.{CollectionDescriptor, DenseField}
+
 /** The parquet store's CHANGE-LOG sidecar (`dir/_log`) — what turns the
   * cold lakehouse backend into a streamable one: an append-only sequence
   * of parquet SEGMENT files, each sealing a contiguous run of
@@ -74,34 +76,109 @@ private[sources] object ParquetLog {
 
   // ------------------------------------------------------------- schema --
 
-  /** Log-segment schema: positions + op + the collection's stored row
-    * shape (id, payload, one float-list column per dense field).
+  /** The stored row shape of a collection across ALL three vector kinds
+    * — dense (float list), sparse (`_indices` int list + `_values`
+    * float list), multi (nested float list) — mapping vector FIELD
+    * names to their physical columns. One codec drives the segment/
+    * primary schema, the Point encode, and the decode, so COW rewrites
+    * and changelog entries re-seal every kind, not just dense.
     */
-  def logSchema(denseCols: Seq[String]): MessageType =
+  final case class RowCodec(dense: Seq[(String, String)],
+                            sparse: Seq[(String, String, String)],
+                            multi: Seq[(String, String)]) {
+    def columns: Seq[String] = dense.map(_._2) ++
+      sparse.flatMap(s => Seq(s._2, s._3)) ++ multi.map(_._2)
+  }
+
+  object RowCodec {
+    def fromDescriptor(d: CollectionDescriptor): RowCodec = {
+      import graft.collections.{MultiField, SparseField}
+      RowCodec(
+        d.fields.collect { case DenseField(n, _, _) =>
+          n -> (if (d.named) n else "vector") },
+        d.fields.collect { case SparseField(n) =>
+          (n, s"${n}_indices", s"${n}_values") },
+        d.fields.collect { case MultiField(n, _) => n -> n })
+    }
+
+    /** Infer the codec from a stored file's SCHEMA (the mirror path —
+      * no descriptor in scope): nested list-of-list columns are multi,
+      * `X_indices`/`X_values` int/float list pairs are sparse, any
+      * other list column is dense. Field name = column name (the mirror
+      * re-seals bytes; the store's descriptor re-keys on read).
+      */
+    def fromMessageType(schema: MessageType): RowCodec = {
+      val names = schema.getFields.asScala.map(_.getName)
+        .filterNot(Set("id", "payload", "seq", "op")).toSeq
+      def isNested(c: String): Boolean = {
+        val t = schema.getType(schema.getFieldIndex(c))
+        !t.isPrimitive && {
+          val rep = t.asGroupType().getType(0)
+          !rep.isPrimitive && {
+            val el = rep.asGroupType().getType(0)
+            !el.isPrimitive // element itself is a list group -> multi
+          }
+        }
+      }
+      val sparsePairs = names.filter(_.endsWith("_indices")).flatMap { ic =>
+        val base = ic.stripSuffix("_indices")
+        if (names.contains(s"${base}_values"))
+          Some((base, ic, s"${base}_values"))
+        else None
+      }
+      val sparseCols = sparsePairs.flatMap(s => Seq(s._2, s._3)).toSet
+      val rest = names.filterNot(sparseCols)
+      val (multiCols, denseCols) = rest.partition(isNested)
+      RowCodec(denseCols.map(c => c -> c), sparsePairs,
+        multiCols.map(c => c -> c))
+    }
+  }
+
+  /** Log-segment schema: positions + op + the stored row shape. */
+  def logSchema(codec: RowCodec): MessageType =
     withRowFields(
       Types.buildMessage()
         .required(PrimitiveTypeName.INT64).named("seq")
         .required(PrimitiveTypeName.BINARY)
         .as(LogicalTypeAnnotation.stringType()).named("op"),
-      denseCols).named("graft_log")
+      codec).named("graft_log")
 
   /** Primary-file schema (the store row layout, matching what
     * [[ParquetCollectionStore.write]]'s Spark job lays down).
     */
-  def primarySchema(denseCols: Seq[String]): MessageType =
-    withRowFields(Types.buildMessage(), denseCols).named("graft_points")
+  def primarySchema(codec: RowCodec): MessageType =
+    withRowFields(Types.buildMessage(), codec).named("graft_points")
 
   private def withRowFields(b0: Types.GroupBuilder[MessageType],
-                            denseCols: Seq[String]): Types.GroupBuilder[MessageType] = {
+                            codec: RowCodec): Types.GroupBuilder[MessageType] = {
     var b = b0
       .required(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("id")
       .optional(PrimitiveTypeName.BINARY)
       .as(LogicalTypeAnnotation.stringType()).named("payload")
-    denseCols.foreach { c =>
-      b = b.optionalGroup().as(LogicalTypeAnnotation.listType())
+    def floatList(bb: Types.GroupBuilder[MessageType], c: String) =
+      bb.optionalGroup().as(LogicalTypeAnnotation.listType())
         .repeatedGroup()
         .optional(PrimitiveTypeName.FLOAT).named("element")
+        .named("list")
+        .named(c)
+    codec.dense.foreach { case (_, c) => b = floatList(b, c) }
+    codec.sparse.foreach { case (_, ic, vc) =>
+      b = b.optionalGroup().as(LogicalTypeAnnotation.listType())
+        .repeatedGroup()
+        .optional(PrimitiveTypeName.INT32).named("element")
+        .named("list")
+        .named(ic)
+      b = floatList(b, vc)
+    }
+    codec.multi.foreach { case (_, c) =>
+      b = b.optionalGroup().as(LogicalTypeAnnotation.listType())
+        .repeatedGroup()
+        .optionalGroup().as(LogicalTypeAnnotation.listType())
+        .repeatedGroup()
+        .optional(PrimitiveTypeName.FLOAT).named("element")
+        .named("list")
+        .named("element")
         .named("list")
         .named(c)
     }
@@ -130,17 +207,42 @@ private[sources] object ParquetLog {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  private def rowInto(g: Group, p: Point, denseCols: Seq[String],
-                      columnOf: String => String): Unit = {
+  private def floatsInto(g: Group, col: String, vec: Array[Float]): Unit = {
+    val outer = g.addGroup(col)
+    var i = 0
+    while (i < vec.length) {
+      outer.addGroup("list").add("element", vec(i)); i += 1
+    }
+  }
+
+  private def rowInto(g: Group, p: Point, codec: RowCodec): Unit = {
     g.add("id", p.id)
     p.payload.foreach(g.add("payload", _))
-    p.dense.foreach { case (field, vec) =>
-      val cn = columnOf(field)
-      if (denseCols.contains(cn)) {
+    codec.dense.foreach { case (field, cn) =>
+      p.dense.get(field).foreach(vec => floatsInto(g, cn, vec))
+    }
+    codec.sparse.foreach { case (field, ic, vc) =>
+      p.sparse.get(field).foreach { case (idx, vals) =>
+        val outer = g.addGroup(ic)
+        var i = 0
+        while (i < idx.length) {
+          outer.addGroup("list").add("element", idx(i)); i += 1
+        }
+        floatsInto(g, vc, vals)
+      }
+    }
+    codec.multi.foreach { case (field, cn) =>
+      p.multi.get(field).foreach { vecs =>
         val outer = g.addGroup(cn)
         var i = 0
-        while (i < vec.length) {
-          outer.addGroup("list").add("element", vec(i)); i += 1
+        while (i < vecs.length) {
+          val w = outer.addGroup("list")
+          val inner = w.addGroup("element")
+          var j = 0
+          while (j < vecs(i).length) {
+            inner.addGroup("list").add("element", vecs(i)(j)); j += 1
+          }
+          i += 1
         }
       }
     }
@@ -148,18 +250,17 @@ private[sources] object ParquetLog {
 
   /** Seal `entries` as ONE log segment at positions [start, start+n). */
   def appendSegment(logDir: File, start: Long, entries: Seq[LogEntry],
-                    denseCols: Seq[String],
-                    columnOf: String => String): Long = {
+                    codec: RowCodec): Long = {
     require(entries.nonEmpty, "empty log segment")
     logDir.mkdirs()
     val end = start + entries.size
-    val schema = logSchema(denseCols)
+    val schema = logSchema(codec)
     val fac = new SimpleGroupFactory(schema)
     val groups = entries.iterator.zipWithIndex.map { case (e, i) =>
       val g = fac.newGroup()
       g.add("seq", start + i)
       g.add("op", e.op)
-      rowInto(g, e.point, denseCols, columnOf)
+      rowInto(g, e.point, codec)
       g
     }
     writeGroups(new File(logDir, segFileName(start, end)), schema, groups)
@@ -167,13 +268,13 @@ private[sources] object ParquetLog {
   }
 
   /** Seal `points` as one PRIMARY store file (COW rewrite unit). */
-  def writePrimary(dest: File, points: Seq[Point], denseCols: Seq[String],
-                   columnOf: String => String): Unit = {
-    val schema = primarySchema(denseCols)
+  def writePrimary(dest: File, points: Seq[Point],
+                   codec: RowCodec): Unit = {
+    val schema = primarySchema(codec)
     val fac = new SimpleGroupFactory(schema)
     writeGroups(dest, schema, points.iterator.map { p =>
       val g = fac.newGroup()
-      rowInto(g, p, denseCols, columnOf)
+      rowInto(g, p, codec)
       g
     })
   }
@@ -213,25 +314,63 @@ private[sources] object ParquetLog {
     arr
   }
 
-  /** Decode one group's stored row columns into a Point. `colToField`
-    * maps stored column name -> vector field name.
-    */
+  /** Decode one group's stored row columns into a Point per `codec`. */
   private def decodePoint(g: Group, schema: MessageType,
-                          colToField: Map[String, String]): Point = {
+                          codec: RowCodec): Point = {
     val id = g.getString("id", 0)
     val payIdx = schema.getFieldIndex("payload")
     val payload =
       if (g.getFieldRepetitionCount(payIdx) == 0) None
       else Some(g.getString(payIdx, 0))
-    val dense = colToField.flatMap { case (cn, field) =>
+    def present(cn: String): Option[Int] =
       if (!schema.containsField(cn)) None
       else {
         val ci = schema.getFieldIndex(cn)
-        if (g.getFieldRepetitionCount(ci) == 0) None
-        else Some(field -> decodeFloats(g.getGroup(ci, 0).asInstanceOf[Group]))
+        if (g.getFieldRepetitionCount(ci) == 0) None else Some(ci)
+      }
+    val dense = codec.dense.flatMap { case (field, cn) =>
+      present(cn).map(ci =>
+        field -> decodeFloats(g.getGroup(ci, 0).asInstanceOf[Group]))
+    }.toMap
+    val sparse = codec.sparse.flatMap { case (field, ic, vc) =>
+      for (ii <- present(ic); vi <- present(vc)) yield field -> ((
+        decodeInts(g.getGroup(ii, 0).asInstanceOf[Group]),
+        decodeFloats(g.getGroup(vi, 0).asInstanceOf[Group])))
+    }.toMap
+    val multi = codec.multi.flatMap { case (field, cn) =>
+      present(cn).map { ci =>
+        val outer = g.getGroup(ci, 0).asInstanceOf[Group]
+        val n = outer.getFieldRepetitionCount(0)
+        val arr = new Array[Array[Float]](n)
+        var i = 0
+        while (i < n) {
+          val w = outer.getGroup(0, i).asInstanceOf[Group]
+          arr(i) =
+            if (w.getFieldRepetitionCount(0) == 0) Array.empty[Float]
+            else decodeFloats(w.getGroup(0, 0).asInstanceOf[Group])
+          i += 1
+        }
+        field -> arr
+      }
+    }.toMap
+    Point(id, payload, dense, multi = multi, sparse = sparse)
+  }
+
+  private def decodeInts(listG: Group): Array[Int] = {
+    val inner = listG.getType.getType(0)
+    val n = listG.getFieldRepetitionCount(0)
+    val arr = new Array[Int](n)
+    var i = 0
+    if (inner.isPrimitive) {
+      while (i < n) { arr(i) = listG.getInteger(0, i); i += 1 }
+    } else {
+      while (i < n) {
+        val w = listG.getGroup(0, i).asInstanceOf[Group]
+        if (w.getFieldRepetitionCount(0) > 0) arr(i) = w.getInteger(0, 0)
+        i += 1
       }
     }
-    Point(id, payload, dense)
+    arr
   }
 
   /** Stream a whole parquet file's groups (row-group at a time). */
@@ -254,21 +393,21 @@ private[sources] object ParquetLog {
 
   /** Entries of one segment restricted to positions [from, until). */
   def readSegment(path: String, from: Long, until: Long,
-                  colToField: Map[String, String]): Seq[LogEntry] = {
+                  codec: RowCodec): Seq[LogEntry] = {
     val out = Seq.newBuilder[LogEntry]
     readGroups(path) { (g, schema) =>
       val seq = g.getLong("seq", 0)
       if (seq >= from && seq < until)
         out += LogEntry(g.getString("op", 0),
-          decodePoint(g, schema, colToField), seq)
+          decodePoint(g, schema, codec), seq)
     }
     out.result()
   }
 
   /** All points of one primary/segment-shaped file (COW read side). */
-  def readPoints(path: String, colToField: Map[String, String]): Seq[Point] = {
+  def readPoints(path: String, codec: RowCodec): Seq[Point] = {
     val out = Seq.newBuilder[Point]
-    readGroups(path) { (g, schema) => out += decodePoint(g, schema, colToField) }
+    readGroups(path) { (g, schema) => out += decodePoint(g, schema, codec) }
     out.result()
   }
 
@@ -326,22 +465,27 @@ private[sources] object ParquetLog {
     * file) from [[ParquetCollectionStore.write]]: the changelog of a
     * 100 TB ingest is written by the cluster, not the driver.
     */
-  def mirrorPrimary(primaryPath: String, logDirPath: String, start: Long,
-                    denseCols: Seq[String]): Unit = {
+  def mirrorPrimary(primaryPath: String, logDirPath: String,
+                    start: Long): Unit = {
     val logDir = new File(logDirPath)
     logDir.mkdirs()
-    val schema = logSchema(denseCols)
+    // the codec comes from the primary file's OWN schema (columns mirror
+    // 1:1 — field name = column name for segment bytes; the store's
+    // descriptor re-keys on read)
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(primaryPath), conf))
+    val codec = try RowCodec.fromMessageType(
+      in.getFooter.getFileMetaData.getSchema) finally in.close()
+    val schema = logSchema(codec)
     val fac = new SimpleGroupFactory(schema)
-    // columns mirror 1:1 (field name = column name for segment bytes)
-    val colToField = denseCols.map(c => c -> c).toMap
-    val pts = readPoints(primaryPath, colToField)
+    val pts = readPoints(primaryPath, codec)
     val end = start + pts.size
     writeGroups(new File(logDir, segFileName(start, end)), schema,
       pts.iterator.zipWithIndex.map { case (p, i) =>
         val g = fac.newGroup()
         g.add("seq", start + i)
         g.add("op", LogOps.Upsert)
-        rowInto(g, p, denseCols, identity)
+        rowInto(g, p, codec)
         g
       })
   }

@@ -152,6 +152,53 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(dst.logSize("embeddings") === frame.count())
   }
 
+  test("heterogeneous COW: all three vector kinds survive mutation and changelog replay") {
+    val dir = freshDir("hetero")
+    val het = Collections.heterogeneous(spark, TestSpark.sfDir)
+    ParquetCollectionStore.write(het, dir, numFiles = 2, withLog = true)
+    val st0 = new ParquetCollectionStore(dir, "hetero",
+      Collections.heterogeneousDescriptor)
+    val n = st0.pointCount("hetero")
+    val fields = Collections.heterogeneousDescriptor.fields.map(_.name)
+    // upsert a point carrying dense + multi + sparse at once
+    val p = Point("zz_new", Some("""{"k":1}"""),
+      dense = Map("text_embedding" -> Array(1f, 2f, 3f)),
+      multi = Map("multi_embeddings" -> Array(Array(1f, 0f), Array(0f, 1f))),
+      sparse = Map("keywords" -> ((Array(2, 9), Array(0.5f, 0.25f)))))
+    val st1 = st0.appended("hetero", IndexedSeq(p))
+    assert(st1.pointCount("hetero") === n + 1)
+    val got = st1.queryPoints("hetero", 0L, n + 1, withPayload = true,
+      fields, None, idFilter = Some(Set("zz_new"))).next()
+    assert(got.dense("text_embedding").toSeq === Seq(1f, 2f, 3f))
+    assert(got.multi("multi_embeddings").map(_.toSeq).toSeq ===
+      Seq(Seq(1f, 0f), Seq(0f, 1f)))
+    assert(got.sparse("keywords")._1.toSeq === Seq(2, 9))
+    assert(got.sparse("keywords")._2.toSeq === Seq(0.5f, 0.25f))
+    // a PRE-EXISTING point in the rewritten file keeps every kind intact
+    // (the COW re-seal round-trips columns it did not touch)
+    val before = st0.queryPoints("hetero", 0L, n, withPayload = true,
+      fields, None).map(q => q.id ->
+        (q.dense.view.mapValues(_.toSeq).toMap,
+         q.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+         q.sparse.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap,
+         q.payload)).toMap
+    val after = st1.queryPoints("hetero", 0L, n + 1, withPayload = true,
+      fields, None).filter(_.id != "zz_new").map(q => q.id ->
+        (q.dense.view.mapValues(_.toSeq).toMap,
+         q.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+         q.sparse.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap,
+         q.payload)).toMap
+    assert(after === before)
+    // the changelog entry carries the full multi/sparse point too
+    val entry = st1.logEntries("hetero", n, n + 1).next()
+    assert(entry.point.multi("multi_embeddings").map(_.toSeq).toSeq ===
+      Seq(Seq(1f, 0f), Seq(0f, 1f)))
+    assert(entry.point.sparse("keywords")._1.toSeq === Seq(2, 9))
+    // delete it again: tombstone appended, state restored
+    val st2 = st1.removed("hetero", Set("zz_new"))
+    assert(st2.pointCount("hetero") === n)
+  }
+
   test("store without _log: streaming surface still fails loudly, mutations refused") {
     val dir = freshDir("nolog")
     ParquetCollectionStore.write(frame, dir, numFiles = 2)
