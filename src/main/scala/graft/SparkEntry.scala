@@ -314,6 +314,19 @@ object SparkEntry {
         Collections.heterogeneousDescriptor)
     })
 
+  /** The heterogeneous collection minus the query point, sealed cold —
+    * the pushed NAMED-FIELD search fixture (the oracle excludes vec 0
+    * before ranking, so the fixture does too).
+    */
+  private def parquetHeteroSearchStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHeteroStoreCache.getOrElseUpdate(s"$dir#hs", {
+      val pqDir = tempStoreDir("graft-pq-hetero-hs")
+      graft.sources.ParquetCollectionStore.write(
+        Collections.heterogeneous(s, dir).filter(col("id") =!= "0"), pqDir)
+      new graft.sources.ParquetCollectionStore(pqDir, "hetero",
+        Collections.heterogeneousDescriptor)
+    })
+
   /** The SPARSE lakehouse collection of `dir`: the embeddings corpus
     * (minus the query point, the oracle's exclusion) re-expressed as the
     * two-column sparse layout (`kw_indices`/`kw_values` from the
@@ -1562,6 +1575,28 @@ object SparkEntry {
             .as("multi_q6"),
           iarr(col("keywords_indices")).as("keywords_indices_s"),
           vq6(col("keywords_values")).as("keywords_values_q6"))
+    }),
+
+    // NAMED-FIELD pushed search over the LAKEHOUSE backend: the top-k
+    // query ships to the parquet store (no IVF sidecar on this field, so
+    // the store's streaming heap serves it), the fetch narrows to the ONE
+    // named dense field, rows lacking it never score — the reference's
+    // named-collection search leg with the cold store doing the ranking.
+    // Same oracle as dsv2_hetero_search: the backend swap is invisible
+    "dsv2_parquet_named_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_named_store",
+        SparkEntry.parquetHeteroSearchStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_named_store").option("collection", "hetero")
+        .option("search.field", "text_embedding")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
     // SNAPSHOT + RESTORE + ALIAS over the LAKEHOUSE backend: snapshot a
@@ -5595,6 +5630,15 @@ object SparkEntry {
         |       END AS keywords_indices_s,
         |       CASE WHEN vec_id % 3 <> 1 THEN ${duckVq6("list_filter(embedding, x -> x > 0)")} END AS keywords_values_q6
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // pushed named-field search served by the parquet store's streaming
+    // heap — same ranking contract as the in-memory form
+    "dsv2_parquet_named_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 IN (0, 1)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // named-field search over the store round-trip: text_embedding is
     // populated where vec_id % 3 IN (0, 1); NULL rows cannot match
