@@ -265,6 +265,34 @@ object SparkEntry {
       Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 100)
   }
 
+  /** The parquet store with TWO payload indexes — qdrant's
+    * one-index-per-indexed-field model: an int index on `label` and a
+    * keyword index on `parity` (vec_id % 2, independent of label), both
+    * covering. A filter touching both keys is planned ACROSS them by
+    * footer-estimated cardinality; the losing key's conditions apply
+    * residually inside the winning arm's partitions.
+    */
+  private val parquetMultiIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetMultiIndexStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetMultiIndexCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-multiidx")
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(col("label"),
+          when(col("vec_id") % 2 === 1, lit("odd")).otherwise(lit("even"))
+            .as("parity"))).as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "label", kind = "int")
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "parity", kind = "keyword")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor)
+    })
+
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
     * sealing the ingest. The CACHED form backs read-only gates
@@ -1296,6 +1324,33 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_ivf_store2").option("collection", "embeddings")
         .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // MULTIPLE payload indexes planned against each other, store-side:
+    // qdrant keeps one payload index PER indexed field, so a filter
+    // touching two indexed keys is a planning choice. The store carries
+    // an int index on `label` and a keyword index on `parity`; the
+    // filter hits both; the cheaper arm by footer-estimated cardinality
+    // (label=3, ~9% of rows, under the 20% dial — parity=odd is 50%)
+    // becomes the access path and the parity condition re-evaluates
+    // residually inside its partitions. Exact filtered top-k, primary
+    // files untouched (spec-asserted) — the engine Planner's
+    // cardinality rule (ann_filtered_multi) now at the store seam.
+    "dsv2_parquet_multi_index" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_midx_store",
+        SparkEntry.parquetMultiIndexStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_midx_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3;parity:eq:odd")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -5383,6 +5438,18 @@ object SparkEntry {
 
     "dsv2_parquet_indexed_count" ->
       "SELECT count(*) AS n FROM embeddings WHERE label >= 7",
+
+    // two payload indexes, cheapest-arm planning: the result is the
+    // plain conjunctive WHERE — access-path choice must be invisible
+    "dsv2_parquet_multi_index" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q WHERE e.label = 3 AND e.vec_id % 2 = 1
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // wire-protocol swap is equally invisible: same oracles again
     "dsv2_rest_write" ->

@@ -530,8 +530,8 @@ final class ParquetCollectionStore(
     * partition's typed value — one semantics, two layouts.
     */
   private case class PayloadSidecar(key: String, kind: String,
-                                    covered: Set[String]) {
-    private val root = s"$dir/_pidx/points"
+                                    covered: Set[String], base: String) {
+    private val root = s"$base/points"
 
     /** Partition dir suffix per decoded RAW-JSON value. The raw form is
       * TYPE-TAGGED (`"3"` is a JSON string, `3` a number, `true` a bool
@@ -610,8 +610,8 @@ final class ParquetCollectionStore(
   private val PayloadSidecarOps: Set[String] =
     Set("eq", "gt", "gte", "lt", "lte", "match_any")
 
-  @transient private lazy val payloadSidecar: Option[PayloadSidecar] = {
-    val marker = new java.io.File(s"$dir/_pidx/meta.txt")
+  private def readSidecarMeta(base: String): Option[PayloadSidecar] = {
+    val marker = new java.io.File(s"$base/meta.txt")
     if (!marker.isFile) None
     else {
       val lines = new String(
@@ -623,13 +623,38 @@ final class ParquetCollectionStore(
       val covered =
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
         else Set.empty[String]
-      Some(PayloadSidecar(lines(0), lines(1), covered))
+      Some(PayloadSidecar(lines(0), lines(1), covered, base))
     }
   }
 
-  /** Value partitions read since JVM start, for specs/probes. */
+  /** ALL payload-index sidecars: qdrant maintains one payload index PER
+    * indexed key, and so does the store — `_pidx/k_<key>/` per key
+    * ([[ParquetCollectionStore.writePayloadSidecar]]'s layout), plus the
+    * legacy single-index root layout (`_pidx/meta.txt`) read as-is.
+    * A filter touching several indexed keys becomes a planning choice:
+    * every servable arm's cardinality is estimated from footers and the
+    * cheapest becomes the access path ([[prefilterServe]]).
+    */
+  @transient private lazy val payloadSidecars: Seq[PayloadSidecar] = {
+    val root = new java.io.File(s"$dir/_pidx")
+    val keyed = Option(root.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("k_"))
+      .flatMap(f => readSidecarMeta(f.getAbsolutePath))
+    (keyed ++ readSidecarMeta(s"$dir/_pidx")).sortBy(_.key)
+  }
+
+  /** Indexed payload keys, for specs/probes. */
+  def payloadIndexKeys: Seq[String] = payloadSidecars.map(_.key)
+
+  /** Value partitions read since JVM start (all indexes), for
+    * specs/probes.
+    */
   def payloadValuesTouched: Seq[String] =
-    payloadSidecar.map(_.valuesTouched).getOrElse(Nil)
+    payloadSidecars.flatMap(_.valuesTouched).distinct.sorted
+
+  /** Value partitions of ONE key's index read since JVM start. */
+  def payloadValuesTouched(key: String): Seq[String] =
+    payloadSidecars.filter(_.key == key).flatMap(_.valuesTouched).sorted
 
   /** Serve a FILTERED search from the payload sidecar when a `must`
     * condition is servable AND selective (matched partitions hold at
@@ -641,28 +666,51 @@ final class ParquetCollectionStore(
     * evaluated inside the probed pass — the post-filter arm) or the
     * base full scan.
     */
-  private def prefilterServe(c: String, spec: SearchSpec,
-                             withPayload: Boolean, vectorFields: Seq[String],
-                             pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
-    payloadSidecar.flatMap { sc =>
-      // the arm only serves when the sidecar COVERS the queried vector
-      // column — a count-only (non-covering) index must not silently
-      // return vector-less short results (meta.txt line 3 records this)
-      if (!sc.covered.contains(columnOf(spec.field))) None
-      else pfilter.must.find(sc.servable).flatMap { cond =>
-        val dirs = sc.valuesMatching(cond)
-        val matched = dirs.map(sc.rowsOf).sum
-        if (matched > ParquetCollectionStore.prefilterMaxFraction *
-            pointCount(collection)) None
-        else {
-          val window = spec.copy(k = spec.k + spec.offset, offset = 0)
-          val merged = dirs.flatMap(v => sc.storeFor(v).toSeq.flatMap(
-            _.searchPointsFiltered(c, window, withPayload, vectorFields,
-              pfilter)))
-          Some(mergeBest(spec, merged))
-        }
+  /** One candidate access path: an index whose key appears in the `must`
+    * list, with the partitions surviving EVERY servable condition on
+    * that key (same-key conditions intersect — `label gte 2 AND label
+    * lte 4` reads only the overlap) and their footer row total. The
+    * residual conditions (other keys, non-servable ops) re-evaluate per
+    * point inside the arm.
+    */
+  private case class IndexArm(sc: PayloadSidecar, dirs: Seq[String],
+                              matched: Long)
+
+  private def indexArms(pfilter: PayloadFilter): Seq[IndexArm] =
+    payloadSidecars.flatMap { sc =>
+      val conds = pfilter.must.filter(sc.servable)
+      if (conds.isEmpty) None
+      else {
+        val dirs = conds.map(sc.valuesMatching(_).toSet).reduce(_ intersect _)
+          .toSeq.sorted
+        Some(IndexArm(sc, dirs, dirs.map(sc.rowsOf).sum))
       }
     }
+
+  private def prefilterServe(c: String, spec: SearchSpec,
+                             withPayload: Boolean, vectorFields: Seq[String],
+                             pfilter: PayloadFilter): Option[Seq[(Point, Double)]] = {
+    // the arm only serves when its sidecar COVERS the queried vector
+    // column — a count-only (non-covering) index must not silently
+    // return vector-less short results (meta.txt line 3 records this).
+    // Several indexed keys in the filter = several arms: the CHEAPEST
+    // (fewest footer-estimated matching rows) is the access path, the
+    // other conditions apply residually inside it — qdrant's
+    // multi-payload-index cardinality planning at the store seam
+    val arms = indexArms(pfilter)
+      .filter(_.sc.covered.contains(columnOf(spec.field)))
+    arms.sortBy(a => (a.matched, a.sc.key)).headOption.flatMap { arm =>
+      if (arm.matched > ParquetCollectionStore.prefilterMaxFraction *
+          pointCount(collection)) None
+      else {
+        val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+        val merged = arm.dirs.flatMap(v => arm.sc.storeFor(v).toSeq.flatMap(
+          _.searchPointsFiltered(c, window, withPayload, vectorFields,
+            pfilter)))
+        Some(mergeBest(spec, merged))
+      }
+    }
+  }
 
   /** Filtered count from the value partitions when a `must` condition is
     * servable — no selectivity dial (a pruned count never reads more
@@ -678,21 +726,26 @@ final class ParquetCollectionStore(
   override def countMatchingFiltered(c: String,
                                      idFilter: Option[Set[String]],
                                      idLower: Option[String],
-                                     pfilter: PayloadFilter): Long =
-    payloadSidecar.flatMap { sc =>
-      pfilter.must.find(sc.servable).map { cond =>
-        val indexOnly = idFilter.isEmpty && idLower.isEmpty &&
-          pfilter.mustNot.isEmpty && pfilter.minShould.isEmpty &&
-          pfilter.must.forall(sc.servable)
-        if (indexOnly)
-          pfilter.must.map(m => sc.valuesMatching(m).toSet)
-            .reduce(_ intersect _).toSeq.map(sc.rowsOf).sum
-        else
-          sc.valuesMatching(cond).map(v => sc.storeFor(v)
-            .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
-            .getOrElse(0L)).sum
+                                     pfilter: PayloadFilter): Long = {
+    // footer-only when ONE index carries every clause (all `must`
+    // conditions on its key, no residuals): the count is a footer sum
+    // over the partitions surviving all conditions — zero corpus bytes.
+    // Otherwise the cheapest arm's partitions are walked with the full
+    // filter re-evaluated per point (residual keys compose; the
+    // sub-stores fold id-set/keyset conditions in the same pass).
+    val residualFree = idFilter.isEmpty && idLower.isEmpty &&
+      pfilter.mustNot.isEmpty && pfilter.minShould.isEmpty
+    val arms = indexArms(pfilter)
+    val footer = arms.find(a =>
+      residualFree && pfilter.must.forall(a.sc.servable))
+    footer.map(_.matched).orElse {
+      arms.sortBy(a => (a.matched, a.sc.key)).headOption.map { arm =>
+        arm.dirs.map(v => arm.sc.storeFor(v)
+          .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
+          .getOrElse(0L)).sum
       }
     }.getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
+  }
 
   // ------------------------------------------------------- change log --
 
@@ -1113,17 +1166,22 @@ object ParquetCollectionStore {
     */
   val prefilterMaxFraction: Double = 0.2
 
-  /** Lay a payload-index sidecar under `dir/_pidx`: the collection
-    * value-partitioned by top-level payload key `key` (`kind` = `int` |
-    * `keyword`), one file per value (the co-location discipline
-    * [[writeIvfSidecar]] documents), null/absent values DROPPED — rows
-    * without the key can never match a servable condition, so they are
-    * dead weight in an index whose point is making the filter the access
-    * path. Include the vector columns in `df` (a COVERING index) so a
-    * pre-filtered search serves entirely from its partitions.
+  /** Lay a payload-index sidecar under `dir/_pidx/k_<key>`: the
+    * collection value-partitioned by top-level payload key `key` (`kind`
+    * = `int` | `keyword`), one file per value (the co-location
+    * discipline [[writeIvfSidecar]] documents), null/absent values
+    * DROPPED — rows without the key can never match a servable
+    * condition, so they are dead weight in an index whose point is
+    * making the filter the access path. Include the vector columns in
+    * `df` (a COVERING index) so a pre-filtered search serves entirely
+    * from its partitions. Call once PER KEY: each key gets its own
+    * index (qdrant's one-index-per-indexed-field model) and a filter
+    * touching several indexed keys is planned across them by estimated
+    * cardinality.
     */
   def writePayloadSidecar(df: DataFrame, dir: String, key: String,
                           kind: String = "int"): Unit = {
+    val base = s"$dir/_pidx/k_$key"
     import org.apache.spark.sql.functions.when
     require(kind == "int" || kind == "keyword",
       s"unsupported index kind '$kind'")
@@ -1144,12 +1202,12 @@ object ParquetCollectionStore {
     df.withColumn("value", value).filter(col("value").isNotNull)
       .repartition(col("value"))
       .write.mode("overwrite").partitionBy("value")
-      .parquet(s"$dir/_pidx/points")
+      .parquet(s"$base/points")
     // meta line 3: the covered vector columns — the pre-filter search
     // arm serves only fields the sidecar actually carries
     val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_pidx/meta.txt"),
+      java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$kind\n$covered"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }

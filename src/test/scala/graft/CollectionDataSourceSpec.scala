@@ -1206,6 +1206,59 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       store.filesOpened.get() > 0) // served by the full pass, not the index
   }
 
+  test("payload-index sidecars: one per key — a multi-key filter plans the cheapest arm") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx-multi").toString
+    val desc = graft.collections.CollectionDescriptor("mk",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    // g: 2 rows of 1, 8 rows of 2 — src: 1 row "rare", 9 rows "bulk"
+    val rows = (1 to 10).map { i =>
+      val g = if (i <= 2) 1 else 2
+      val src = if (i == 5) "rare" else "bulk"
+      (i.toString, s"""{"g":$g,"src":"$src"}""",
+        Array(1.0f - i * 0.05f, i * 0.05f))
+    }
+    val df = rows.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g", kind = "int")
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "src", kind = "keyword")
+    val store = new ParquetCollectionStore(dir, "mk", desc)
+    assert(store.payloadIndexKeys === Seq("g", "src"))
+    val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 3)
+    // both keys indexed, g=1 (2 rows) cheaper than src=bulk (9 rows):
+    // the g arm is the access path, src re-evaluated residually in it
+    val f1 = PayloadFilter(Seq(PayloadCondition("g", "eq", "1"),
+      PayloadCondition("src", "eq", "bulk")), Nil, None)
+    val got1 = store.searchPointsFiltered("mk", spec,
+      withPayload = false, vectorFields = Nil, pfilter = f1)
+    assert(got1.map(_._1.id) === Seq("1", "2"))
+    assert(store.payloadValuesTouched("g") === Seq("1"))
+    assert(store.payloadValuesTouched("src") === Nil)
+    assert(store.filesOpened.get() === 0L)        // primaries never opened
+    // reversed selectivity: g>=1 matches everything (over the 20% dial),
+    // src=rare is 1 row — the src arm serves, g applies residually
+    val f2 = PayloadFilter(Seq(PayloadCondition("g", "gte", "1"),
+      PayloadCondition("src", "eq", "rare")), Nil, None)
+    val got2 = store.searchPointsFiltered("mk", spec,
+      withPayload = false, vectorFields = Nil, pfilter = f2)
+    assert(got2.map(_._1.id) === Seq("5"))
+    // keyword partitions are keyed by the TYPE-TAGGED raw JSON value
+    assert(store.payloadValuesTouched("src") === Seq("\"rare\""))
+    assert(store.filesOpened.get() === 0L)
+    // same-key conditions INTERSECT partitions before any read:
+    // g>=1 AND g<=1 reads only the g=1 partition's footer
+    val fr = PayloadFilter(Seq(PayloadCondition("g", "gte", "1"),
+      PayloadCondition("g", "lte", "1")), Nil, None)
+    assert(store.countMatchingFiltered("mk", None, None, fr) === 2L)
+    // a multi-key count has no single index carrying every clause →
+    // the cheapest arm walks with the other key residual, still exact
+    // and still pruned to the arm's partitions
+    val fc = PayloadFilter(Seq(PayloadCondition("g", "eq", "2"),
+      PayloadCondition("src", "eq", "rare")), Nil, None)
+    assert(store.countMatchingFiltered("mk", None, None, fc) === 1L)
+    assert(store.filesOpened.get() === 0L)
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
