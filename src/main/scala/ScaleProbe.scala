@@ -15,7 +15,7 @@ object ScaleProbe {
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-      "ordering", "storeivf", "pqlog")
+      "ordering", "storeivf", "pqlog", "fresh")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -115,6 +115,56 @@ object ScaleProbe {
           s"${probed.filesOpened.get} (clusters=${probed.ivfClustersTouched.size}, " +
           s"values=${probed.payloadValuesTouched.mkString(",")}) " +
           s"brute primary=${brute.filesOpened.get}")
+      }
+    }
+
+    // index-freshness overlay cost shape: ONE store + IVF sidecar sealed
+    // at ingest, then mutation batches appended with NO rebuild — the
+    // probed serve must stay exact while paying only O(tail): replay
+    // opens tail segments alone (position-named), the folded tail is
+    // cached per (builtAt, head), and the per-query overlay is an
+    // in-memory mask + merge. Serve time should grow far slower than the
+    // tail (the fold caches) and the primaries must stay closed.
+    section("fresh") {
+      import graft.sources.{ParquetCollectionStore, Point, SearchSpec}
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          to_json(struct(col("label"))).as("payload"),
+          col("embedding").as("vector"))
+      val q = emb.filter(col("id") === "7")
+        .select(col("vector").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      val dir = java.nio.file.Files.createTempDirectory("probe-fresh").toString
+      val idx = graft.ops.Ann.buildIvf(
+        emb.withColumn("vector", col("vector").cast("array<double>")),
+        "id", "vector", nlist = 8, maxIter = 0)
+      ParquetCollectionStore.write(emb, dir, numFiles = 8, withLog = true)
+      ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "vector", "cluster"),
+        idx.centroids, dir, field = "vector")
+      idx.clustered.unpersist()
+      val seed = emb.limit(2048).collect().map(r =>
+        (r.getString(0), r.getSeq[Float](2).toArray))
+      var tail = 0
+      var store = new ParquetCollectionStore(dir, "embeddings",
+        graft.collections.Collections.homogeneousDescriptor, ivfNprobe = 2)
+      for (t <- Seq(0, 128, 512, 2048).map(math.min(_, seed.length)).distinct) {
+        if (t > tail) {
+          val batch = (tail until t).map { i =>
+            Point(s"${900000000L + i}", Some("""{"label":3}"""),
+              dense = Map("vector" -> seed(i)._2))
+          }.toIndexedSeq
+          store = store.appended("embeddings", batch)
+          tail = t
+        }
+        time(s"fresh_serve tail=$t (5 queries)") {
+          (1 to 5).map(_ =>
+            store.searchPoints("embeddings", spec, withPayload = false,
+              vectorFields = Nil).size.toLong).sum
+        }
+        println(s"[probe] tail=$t primary files opened: " +
+          s"${store.filesOpened.get} (clusters=${store.ivfClustersTouched.size})")
       }
     }
 

@@ -293,6 +293,41 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The parquet store MUTATED AFTER its payload index was built — the
+    * freshness fixture: the label index seals at ingest head, then a
+    * batch of new points (ids 100000+vec_id for vec_id < 5, label
+    * forced 3) is upserted and the label-3 points with vec_id % 7 == 0
+    * are deleted, with NO index rebuild. Sidecar-served reads must
+    * overlay the log tail to stay exact.
+    */
+  private val parquetFreshStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetFreshStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-fresh")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "label", kind = "int")
+      val sealedStore = new graft.sources.ParquetCollectionStore(
+        pqDir, "embeddings", Collections.homogeneousDescriptor)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val delIds = Tables.load(s, dir, "embeddings")
+        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast(StringType))
+        .collect().map(_.getString(0)).toSet
+      sealedStore.appended("embeddings", adds.toIndexedSeq)
+        .removed("embeddings", delIds)
+    })
+
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
     * sealing the ingest. The CACHED form backs read-only gates
@@ -1351,6 +1386,32 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_midx_store").option("collection", "embeddings")
         .option("filter", "label:eq:3;parity:eq:odd")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INDEX FRESHNESS under COW mutations: the store was upserted (5 new
+    // label-3 points) and deleted from (label-3 ids with vec_id % 7 == 0)
+    // AFTER the payload index was built, with no rebuild. The pre-filter
+    // arm overlays the log tail recorded past the index's freshness
+    // point: deleted ids masked out of the value partitions (window
+    // widened so the post-mask page stays exact), the upserted points
+    // scored from the in-memory tail and merged — qdrant's
+    // unindexed-segment model over the lakehouse backend. The oracle is
+    // the plain post-mutation WHERE: freshness must be invisible.
+    "dsv2_parquet_fresh_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_fresh_store",
+        SparkEntry.parquetFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_fresh_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -5438,6 +5499,26 @@ object SparkEntry {
 
     "dsv2_parquet_indexed_count" ->
       "SELECT count(*) AS n FROM embeddings WHERE label >= 7",
+
+    // post-mutation state expressed as plain SQL: original label-3 rows
+    // minus the deleted (vec_id % 7 == 0) plus the 5 upserts (ids
+    // 100000+vec_id, label forced 3) — the stale-index overlay must
+    // reproduce exactly this
+    "dsv2_parquet_fresh_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3 AND vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // two payload indexes, cheapest-arm planning: the result is the
     // plain conjunctive WHERE — access-path choice must be invisible

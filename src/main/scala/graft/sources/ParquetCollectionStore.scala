@@ -59,10 +59,18 @@ import graft.collections.{CollectionDescriptor, DenseField}
   * files whose id range it touches (the ranged layout makes that a
   * footer-stats decision), appends one log segment, and returns a fresh
   * store instance — primary files always hold the CURRENT state, so the
-  * batch read path never pays replay. NOTE: the IVF/payload sidecars
-  * index the state they were built from; mutating a store with sidecars
-  * leaves them stale until the offline rebuild job reruns (the standard
-  * index-refresh discipline; qdrant's optimizer fills the same role).
+  * batch read path never pays replay. The IVF/payload/sparse sidecars
+  * index the state they were built from and record the log position of
+  * the build (their FRESHNESS POINT); serving overlays the log tail
+  * past it — mutated ids masked out of index results (page windows
+  * widened by the mask so the post-mask page is still exact), upserted
+  * points scored from the in-memory tail and merged — so sidecar-served
+  * search stays EXACT between index rebuilds, qdrant's
+  * unindexed-segment model. Index-served COUNTS require an empty tail
+  * (a masked row's old payload is unknowable from the log) and fall
+  * back to the COW-current primaries otherwise; a tail compacted away
+  * (`compactLog` past the freshness point) disables the sidecar until
+  * the offline rebuild reruns — never silently stale, by construction.
   *
   * Rows of one row group are buffered during decode (bounded by row-group
   * sizing, the standard parquet memory unit), never the file or the
@@ -262,16 +270,20 @@ final class ParquetCollectionStore(
     * engine scoring above the scan — at 100 TB the difference is reading
     * nprobe/nlist of the corpus per query instead of all of it.
     */
-  private case class IvfSidecar(field: String,
+  private case class IvfSidecar(field: String, builtAt: Long,
                                 centroidStore: ParquetCollectionStore)
 
   @transient private lazy val ivfSidecar: Option[IvfSidecar] = {
     val marker = new java.io.File(s"$dir/_ivf/field.txt")
     if (ivfNprobe <= 0 || !marker.isFile) None
     else {
-      val field = new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      Some(IvfSidecar(field, new ParquetCollectionStore(
+      val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      // line 2 = the log position the build sealed (its freshness point);
+      // a legacy single-line meta has none and serves as-is
+      val builtAt =
+        if (lines.length > 1 && lines(1).nonEmpty) lines(1).toLong else -1L
+      Some(IvfSidecar(lines(0), builtAt, new ParquetCollectionStore(
         s"$dir/_ivf/centroids", collection, descriptor)))
     }
   }
@@ -332,7 +344,8 @@ final class ParquetCollectionStore(
     * sorted-merge sequence of the `v_sparse_dot` kernel and the base
     * heap's [[SearchSpec.scoreSparse]] — three layouts, one score.
     */
-  private case class SparseSidecar(field: String, nBuckets: Int)
+  private case class SparseSidecar(field: String, nBuckets: Int,
+                                   builtAt: Long)
 
   @transient private lazy val sparseSidecar: Option[SparseSidecar] = {
     val marker = new java.io.File(s"$dir/_sparse/meta.txt")
@@ -341,7 +354,10 @@ final class ParquetCollectionStore(
       val lines = new String(
         java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      Some(SparseSidecar(lines(0), lines(1).toInt))
+      // line 3 = the build's log position (freshness point); legacy -1
+      val builtAt =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
+      Some(SparseSidecar(lines(0), lines(1).toInt, builtAt))
     }
   }
 
@@ -351,7 +367,10 @@ final class ParquetCollectionStore(
     spec.sparseIndices.flatMap { qi =>
       sparseSidecar
         .filter(sc => sc.field == spec.field && pfilter.isEmpty)
-        .map { sc =>
+        .flatMap { sc =>
+          tailSince(sc.builtAt).map { tail => (sc, tail) }
+        }
+        .map { case (sc, tail) =>
           val qv = spec.query
           val qPos = qi.zipWithIndex.toMap
           val buckets = qi.map(d => ((d % sc.nBuckets) + sc.nBuckets) %
@@ -381,30 +400,38 @@ final class ParquetCollectionStore(
             sorted.foreach { case (_, cv) => s += cv }
             (id, s)
           }.filter { case (_, s) => spec.passes(s) }.toSeq
-          val window = spec.k + spec.offset
+          // window widened by the masked-id count (freshness overlay:
+          // masked postings can hold at most that many top slots)
+          val window = spec.k + spec.offset + tail.masked.size
           val top = scored.sortWith { case ((ia, sa), (ib, sb)) =>
             if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
-          }.take(window)
+          }.take(window).filterNot { case (id, _) => tail.masked(id) }
           // fetch the winners' requested pieces from the primary files
           val ids = top.map(_._1).toSet
           val pts = queryPoints(c, 0L, pointCount(c), withPayload,
             vectorFields, None, idFilter = Some(ids))
             .map(p => p.id -> p).toMap
           mergeBest(spec, top.flatMap { case (id, s) =>
-            pts.get(id).map(p => (p, s)) })
+            pts.get(id).map(p => (p, s)) } ++
+            tailScored(tail, spec, withPayload, vectorFields, pfilter))
         }
     }
 
   private def ivfServe(c: String, spec: SearchSpec, withPayload: Boolean,
                        vectorFields: Seq[String],
                        pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
-    ivfSidecar.filter(_.field == spec.field).map { sc =>
+    ivfSidecar.filter(_.field == spec.field).flatMap { sc =>
+      tailSince(sc.builtAt).map { tail =>
       val probed = sc.centroidStore.searchPoints(collection,
         SearchSpec(spec.field, spec.query, "euclid", ivfNprobe),
         withPayload = false, vectorFields = Nil)
       // the page window (offset + k) per cluster, offset applied after
-      // the merge — same pagination semantics as the base heap
-      val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+      // the merge — same pagination semantics as the base heap. Widened
+      // by the masked-id count: masked rows can occupy at most that many
+      // slots of a cluster's page, so the widening guarantees enough
+      // unmasked survivors for an exact post-mask page.
+      val window = spec.copy(k = spec.k + spec.offset + tail.masked.size,
+        offset = 0)
       val clusters = probed.map { case (cent, _) =>
         java.lang.Long.parseLong(cent.id).toString
       }
@@ -412,16 +439,21 @@ final class ParquetCollectionStore(
       // the store was opened with a candidate margin: approximate-int8
       // candidates from the ~4x-smaller codes files, exact rerank reads
       // only the probed clusters for the winners. Restricted to the
-      // metric the int8 domain approximates (dot) and to unfiltered
-      // queries — anything else serves full-precision probed.
+      // metric the int8 domain approximates (dot), to unfiltered
+      // queries, and to a mask-free tail (masked rows would erode the
+      // candidate margin) — anything else serves full-precision probed.
       val merged =
-        if (ivfCandidateK >= window.k && spec.metric == "dot" &&
-            pfilter.isEmpty && new java.io.File(s"$dir/_ivf/codes").isDirectory)
+        if (tail.masked.isEmpty && ivfCandidateK >= window.k &&
+            spec.metric == "dot" && pfilter.isEmpty &&
+            new java.io.File(s"$dir/_ivf/codes").isDirectory)
           quantizedClusterSearch(c, window, withPayload, vectorFields, clusters)
         else clusters.flatMap(v => clusterStoreFor(v).toSeq.flatMap(
           _.searchPointsFiltered(c, window, withPayload, vectorFields,
             pfilter)))
-      mergeBest(spec, merged)
+      val fresh = merged.filterNot { case (p, _) => tail.masked(p.id) } ++
+        tailScored(tail, spec, withPayload, vectorFields, pfilter)
+      mergeBest(spec, fresh)
+      }
     }
 
   /** Per-vector symmetric int8 quantization of the query — the SAME
@@ -509,6 +541,75 @@ final class ParquetCollectionStore(
     }.drop(spec.offset).take(spec.k)
   }
 
+  // ----------------------------------------------------- index freshness --
+
+  /** Mutations applied since a sidecar was built, folded to FINAL state
+    * per id: `masked` = every id the tail touched (its sidecar copy, if
+    * any, is outdated — deletes AND old versions of updates), `added` =
+    * the current point of each id whose last tail entry is an upsert.
+    * Bounded by churn since the last index build — qdrant's
+    * unindexed-segment discipline: new data is searchable immediately,
+    * and the optimizer (the offline sidecar rebuild) re-absorbs the
+    * tail into the index, resetting it to empty.
+    */
+  private case class LogTail(masked: Set[String], added: Seq[Point]) {
+    /** No mutations since build (masked ⊇ added ids, so one check). */
+    def isEmpty: Boolean = masked.isEmpty
+  }
+
+  private val FreshTail = LogTail(Set.empty, Nil)
+
+  @transient private lazy val tailCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Long), LogTail]
+
+  /** The log tail a sidecar built at log position `builtAt` must
+    * overlay to serve the CURRENT state. None = the tail is gone
+    * (compaction dropped positions below `builtAt`): the sidecar cannot
+    * serve exactly anymore and the caller falls back to the primary
+    * files, which COW keeps current. `builtAt < 0` = legacy meta without
+    * a build position: served as-is (the pre-freshness contract).
+    * Replay cost is O(tail) — segment files position by name — and the
+    * folded tail is cached per (builtAt, head).
+    */
+  private def tailSince(builtAt: Long): Option[LogTail] = {
+    if (builtAt < 0 || !logEnabled) return Some(FreshTail)
+    val head = ParquetLog.head(logDir)
+    if (head <= builtAt) Some(FreshTail)
+    else if (ParquetLog.base(logDir) > builtAt) None
+    else Some(tailCache.getOrElseUpdate((builtAt, head), {
+      val last = scala.collection.mutable.LinkedHashMap.empty[String, LogEntry]
+      logEntries(collection, builtAt, head).foreach(e => last.put(e.point.id, e))
+      LogTail(last.keysIterator.toSet,
+        last.valuesIterator.filter(_.op == LogOps.Upsert).map(_.point).toSeq)
+    }))
+  }
+
+  /** Tail points that match the filter, scored under the spec and shaped
+    * to the fetch contract — the in-memory leg merged into every
+    * sidecar-served page. No IO: upsert log entries carry full points.
+    */
+  private def tailScored(tail: LogTail, spec: SearchSpec,
+                         withPayload: Boolean, vectorFields: Seq[String],
+                         pfilter: PayloadFilter): Seq[(Point, Double)] = {
+    if (tail.added.isEmpty) return Nil
+    val keep = vectorFields.toSet
+    val scoreOf: Point => Option[Double] = spec.sparseIndices match {
+      case Some(qi) => p => p.sparse.get(spec.field).flatMap {
+        case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+      }
+      case None => p => p.dense.get(spec.field).flatMap(v =>
+        SearchSpec.score(spec.metric, v, spec.query))
+    }
+    tail.added.filter(pfilter.matches).flatMap { p =>
+      scoreOf(p).filter(spec.passes).map { s =>
+        (p.copy(payload = if (withPayload) p.payload else None,
+          dense = p.dense.view.filterKeys(keep).toMap,
+          sparse = p.sparse.view.filterKeys(keep).toMap,
+          multi = p.multi.view.filterKeys(keep).toMap), s)
+      }
+    }
+  }
+
   // ------------------------------------------------------- payload index --
 
   /** The payload-index sidecar, when
@@ -530,7 +631,8 @@ final class ParquetCollectionStore(
     * partition's typed value — one semantics, two layouts.
     */
   private case class PayloadSidecar(key: String, kind: String,
-                                    covered: Set[String], base: String) {
+                                    covered: Set[String], base: String,
+                                    builtAt: Long) {
     private val root = s"$base/points"
 
     /** Partition dir suffix per decoded RAW-JSON value. The raw form is
@@ -623,7 +725,10 @@ final class ParquetCollectionStore(
       val covered =
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
         else Set.empty[String]
-      Some(PayloadSidecar(lines(0), lines(1), covered, base))
+      // line 4 = the build's log position (freshness point); legacy -1
+      val builtAt =
+        if (lines.length > 3 && lines(3).nonEmpty) lines(3).toLong else -1L
+      Some(PayloadSidecar(lines(0), lines(1), covered, base, builtAt))
     }
   }
 
@@ -674,16 +779,18 @@ final class ParquetCollectionStore(
     * point inside the arm.
     */
   private case class IndexArm(sc: PayloadSidecar, dirs: Seq[String],
-                              matched: Long)
+                              matched: Long, tail: LogTail)
 
   private def indexArms(pfilter: PayloadFilter): Seq[IndexArm] =
     payloadSidecars.flatMap { sc =>
       val conds = pfilter.must.filter(sc.servable)
       if (conds.isEmpty) None
-      else {
+      // a sidecar whose since-build tail was compacted away cannot serve
+      // the current state — it drops out of the arm set entirely
+      else tailSince(sc.builtAt).map { tail =>
         val dirs = conds.map(sc.valuesMatching(_).toSet).reduce(_ intersect _)
           .toSeq.sorted
-        Some(IndexArm(sc, dirs, dirs.map(sc.rowsOf).sum))
+        IndexArm(sc, dirs, dirs.map(sc.rowsOf).sum, tail)
       }
     }
 
@@ -703,11 +810,17 @@ final class ParquetCollectionStore(
       if (arm.matched > ParquetCollectionStore.prefilterMaxFraction *
           pointCount(collection)) None
       else {
-        val window = spec.copy(k = spec.k + spec.offset, offset = 0)
+        // freshness overlay: window widened by the masked-id count,
+        // masked rows dropped post-merge, matching tail upserts merged
+        // in-memory — exact results while the index is stale
+        val window = spec.copy(
+          k = spec.k + spec.offset + arm.tail.masked.size, offset = 0)
         val merged = arm.dirs.flatMap(v => arm.sc.storeFor(v).toSeq.flatMap(
           _.searchPointsFiltered(c, window, withPayload, vectorFields,
             pfilter)))
-        Some(mergeBest(spec, merged))
+        val fresh = merged.filterNot { case (p, _) => arm.tail.masked(p.id) } ++
+          tailScored(arm.tail, spec, withPayload, vectorFields, pfilter)
+        Some(mergeBest(spec, fresh))
       }
     }
   }
@@ -735,7 +848,11 @@ final class ParquetCollectionStore(
     // sub-stores fold id-set/keyset conditions in the same pass).
     val residualFree = idFilter.isEmpty && idLower.isEmpty &&
       pfilter.mustNot.isEmpty && pfilter.minShould.isEmpty
-    val arms = indexArms(pfilter)
+    // counts only serve from indexes with an EMPTY since-build tail: a
+    // masked row's OLD payload (needed to adjust the count) is not in
+    // the log, so a stale index cannot answer exactly — the fallback
+    // full pass over the COW-current primaries can, and does
+    val arms = indexArms(pfilter).filter(_.tail.isEmpty)
     val footer = arms.find(a =>
       residualFree && pfilter.must.forall(a.sc.servable))
     footer.map(_.matched).orElse {
@@ -1107,7 +1224,21 @@ object ParquetCollectionStore {
       .write.mode("overwrite").parquet(s"$dir/_ivf/centroids")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
-      field.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      s"$field\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Log position a sidecar build seals as its FRESHNESS POINT: the
+    * current changelog head when `dir` carries one, 0 otherwise (an
+    * un-logged store cannot mutate, so its sidecars never go stale).
+    * Serving overlays the log tail past this position — masked ids
+    * dropped, upserted points merged in-memory — so sidecar-served
+    * reads stay EXACT between index rebuilds (qdrant's
+    * unindexed-segment model); the offline rebuild re-absorbs the tail.
+    */
+  private def logHeadOf(dir: String): Long = {
+    val ld = new java.io.File(s"$dir/_log")
+    if (ld.isDirectory) ParquetLog.head(ld) else 0L
   }
 
   /** Lay the QUANTIZED candidate tier beside the IVF sidecar
@@ -1155,7 +1286,7 @@ object ParquetCollectionStore {
       .parquet(s"$dir/_sparse/points")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_sparse/meta.txt"),
-      s"$field\n$nBuckets"
+      s"$field\n$nBuckets\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
@@ -1208,7 +1339,7 @@ object ParquetCollectionStore {
     val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/meta.txt"),
-      s"$key\n$kind\n$covered"
+      s"$key\n$kind\n$covered\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 }

@@ -1259,6 +1259,69 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.filesOpened.get() === 0L)
   }
 
+  test("sidecar freshness: COW mutations overlay the log tail — exact results, no rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fresh").toString
+    val desc = graft.collections.CollectionDescriptor("fr",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    // 10 points fanning from (1,0); g = i%5 (2 rows per value, at the
+    // 20% prefilter dial)
+    val df = (1 to 10).map { i =>
+      (i.toString, s"""{"g":${i % 5}}""",
+        Array(1.0f - i * 0.05f, i * 0.05f))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g", kind = "int")
+    // manual cluster split (1..5 | 6..10); query (1,0) probes cluster 0
+    val clustered = df.withColumn("cluster",
+      when(col("id").cast("int") <= 5, 0).otherwise(1))
+    val centroids = Seq((0, Array(0.9f, 0.15f)), (1, Array(0.6f, 0.4f)))
+      .toDF("cluster", "centroid")
+    ParquetCollectionStore.writeIvfSidecar(clustered, centroids, dir,
+      field = "vector")
+    val store = new ParquetCollectionStore(dir, "fr", desc, ivfNprobe = 1)
+    val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 3)
+    assert(store.searchPointsFiltered("fr", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter.Empty)
+      .map(_._1.id) === Seq("1", "2", "3"))
+    // mutate WITHOUT rebuilding the sidecars: a new best point, an
+    // update that demotes a former winner, a delete of another
+    val store2 = store.appended("fr", IndexedSeq(
+        Point("0", Some("""{"g":3}"""),
+          dense = Map("vector" -> Array(1.0f, 0.001f))),   // new global best
+        Point("2", Some("""{"g":1}"""),
+          dense = Map("vector" -> Array(0.0f, 1.0f)))))    // demoted
+      .removed("fr", Set("3"))
+    // probed serve stays EXACT: masked ids drop (window widened), the
+    // tail's upserts merge in-memory — "0" wins without being in any
+    // cluster partition, "2"/"3" vanish, "4" backfills the page
+    val after = store2.searchPointsFiltered("fr", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter.Empty)
+    assert(after.map(_._1.id) === Seq("0", "1", "4"))
+    assert(store2.filesOpened.get() === 0L)       // primaries never opened
+    // pre-filter arm freshness: g=3 partition holds {3, 8}; 3 is masked,
+    // the tail's "0" (g=3) joins, exact filtered top-2
+    val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "3")), Nil, None)
+    val filtered = store2.searchPointsFiltered("fr", spec.copy(k = 2),
+      withPayload = false, vectorFields = Nil, pfilter = pf)
+    assert(filtered.map(_._1.id) === Seq("0", "8"))
+    assert(store2.payloadValuesTouched("g") === Seq("3"))
+    assert(store2.filesOpened.get() === 0L)
+    // counts refuse a stale index (old payloads are unknowable from the
+    // log) and fall back to the COW-current primaries — still exact
+    assert(store2.countMatchingFiltered("fr", None, None, pf) === 2L)
+    assert(store2.filesOpened.get() > 0L)
+    // compacting the log PAST the freshness point disables the sidecars
+    // (the tail they need is gone) — serving falls back to the fresh
+    // primaries, never to silently stale index partitions
+    val store3 = store2.compacted("fr", store2.logSize("fr"))
+    val opened = store3.filesOpened.get()
+    assert(store3.searchPointsFiltered("fr", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter.Empty)
+      .map(_._1.id) === Seq("0", "1", "4"))
+    assert(store3.filesOpened.get() > opened)     // base pass, primaries read
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
