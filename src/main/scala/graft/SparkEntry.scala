@@ -439,6 +439,39 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** The BINARY-transport fixture of `dir`: a framed-protobuf
+    * [[graft.sources.CollectionGrpcServer]] fronting the homogeneous
+    * collection — the transport twin of [[restBackedUrl]], matching the
+    * transport the reference's client actually speaks (gRPC via
+    * qdrant-client, /root/reference/src/table.rs:133). What a production
+    * deployment keeps is the CLIENT, [[graft.sources.GrpcCollectionStore]],
+    * which carries only (host, port).
+    */
+  private val grpcFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int)]
+
+  private def grpcBackedAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(dir, {
+      val backend = s"grpc_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        graft.sources.InMemoryCollectionStore.fromRows(
+          hom(s, dir).select("id", "payload", "vector"),
+          "embeddings", Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      (srv.host, srv.port)
+    })
+
+  /** One binary-transport server fronting the writable remote collection
+    * (registry name `grpc_write_backend`): gates reset the backend per
+    * invocation, the server resolves the store by name per request.
+    */
+  private lazy val grpcWriteAddr: (String, Int) = {
+    val srv = new graft.sources.CollectionGrpcServer("grpc_write_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    (srv.host, srv.port)
+  }
+
   /** One registered store holding BOTH generations of the homogeneous
     * collection (`embeddings` and the reindexed `embeddings_v2`) — the
     * alias-swap fixture: built once per dir, the gate only flips the
@@ -1861,6 +1894,64 @@ object SparkEntry {
         .mode("append").save()
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "rest_write_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // the PROTOBUF transport twin of dsv2_rest_store: the same connector
+    // scan over a GrpcCollectionStore client — hand-sealed protobuf
+    // messages, length-delimited frames, a plain socket (the transport
+    // the reference's qdrant-client speaks, table.rs:133; gRPC's message
+    // framing without the HTTP/2 envelope). Same oracle: the transport
+    // swap must be invisible above the CollectionStore seam
+    "dsv2_grpc_store" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcBackedAddr(s, dir)
+      CollectionStores.register("grpc_store", new GrpcCollectionStore(h, p))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // pushed top-k through the BINARY wire: the scored query ships as a
+    // protobuf SearchPoints frame, scored points come back — same oracle
+    // as the JSON transport and the local store (dsv2_rest_search)
+    "dsv2_grpc_search" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcBackedAddr(s, dir)
+      CollectionStores.register("grpc_search_store",
+        new GrpcCollectionStore(h, p))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_search_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the connector's WRITE path over the binary wire: upsert batches
+    // ship as protobuf frames, the service owns commit atomicity, the
+    // read-back proves the round trip — the RemoteCollectionClient seam
+    // makes the two transports interchangeable in the write dispatch
+    "dsv2_grpc_write" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("grpc_write_backend",
+        InMemoryCollectionStore.single(
+          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val (h, p) = SparkEntry.grpcWriteAddr
+      CollectionStores.register("grpc_write_store",
+        new GrpcCollectionStore(h, p))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_write_store").option("collection", "embeddings")
+        .mode("append").save()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_write_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
     }),
@@ -5591,6 +5682,27 @@ object SparkEntry {
         |  FROM embeddings e, q
         |  ORDER BY s DESC, id ASC LIMIT 12)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the protobuf transport must reproduce the JSON transport's results
+    // byte-for-byte: same oracles, different wire
+    "dsv2_grpc_store" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_grpc_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_grpc_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_topk_pushdown" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),

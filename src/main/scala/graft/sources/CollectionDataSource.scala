@@ -908,6 +908,22 @@ trait CollectionStore extends Serializable {
       s"${getClass.getName} keeps no change log; streaming reads unsupported")
 }
 
+/** The mutation surface a REMOTE transport client exposes to the
+  * connector's write path: the SERVICE owns the read-modify-write (the
+  * client ships batches over the wire, commit atomicity lives on the
+  * other side), so the connector's store-update fold passes the client
+  * through unchanged. Both wire transports implement this —
+  * [[RestCollectionStore]] (HTTP/JSON) and [[GrpcCollectionStore]]
+  * (framed protobuf) — and the write path dispatches on the TRAIT:
+  * transports are interchangeable above this seam, exactly the property
+  * a transport variant must prove.
+  */
+trait RemoteCollectionClient extends CollectionStore {
+  def upsertPoints(collection: String, pts: Seq[Point]): Unit
+  def deletePoints(collection: String, ids: Set[String]): Unit
+  def truncate(collection: String): Unit
+}
+
 /** Spark string-comparison semantics for pushed predicates: the default
   * UTF8_BINARY collation compares the UTF-8 ENCODING bytewise unsigned.
   * Java's `String` ordering compares UTF-16 code units and disagrees for
@@ -1546,10 +1562,10 @@ final class CollectionTable(storeName: String, collection: String,
         case mem: InMemoryCollectionStore =>
           if (idSets.isEmpty) mem.truncated(coll)
           else mem.removed(coll, idSets.reduce(_ intersect _))
-        case rest: RestCollectionStore =>
-          // remote backend: the delete ships over the wire and the SERVICE
-          // owns the RMW (truncate enumerates ids server-side — they never
-          // page through this client)
+        case rest: RemoteCollectionClient =>
+          // remote backend (either wire transport): the delete ships over
+          // the wire and the SERVICE owns the RMW (truncate enumerates
+          // ids server-side — they never page through this client)
           if (idSets.isEmpty) rest.truncate(coll)
           else rest.deletePoints(coll, idSets.reduce(_ intersect _))
           rest
@@ -1777,12 +1793,12 @@ final class CollectionWrite(
           else throw new IllegalArgumentException(
             s"unknown _op '$op' (expected '${LogOps.Upsert}' or '${LogOps.Delete}')")
         }
-      case rest: RestCollectionStore =>
-        // remote backend: each same-op run ships as one wire batch, the
-        // SERVICE applies it atomically in order — the connector's
-        // upsert/tombstone semantics land unchanged on the other side
-        // (streaming epochs included: the replayed-epoch guard fires
-        // BEFORE sealEpoch, so a replay never reaches the wire)
+      case rest: RemoteCollectionClient =>
+        // remote backend (either wire transport): each same-op run ships
+        // as one wire batch, the SERVICE applies it atomically in order —
+        // the connector's upsert/tombstone semantics land unchanged on
+        // the other side (streaming epochs included: the replayed-epoch
+        // guard fires BEFORE sealEpoch, so a replay never reaches the wire)
         runs.foreach { case (op, ps) =>
           if (op == LogOps.Upsert)
             rest.upsertPoints(coll, ps.sortBy(_.id).toIndexedSeq)

@@ -365,7 +365,7 @@ private[sources] object CollectionWire {
 final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                 maxRetries: Int = 3,
                                 retryBackoffMs: Long = 50L)
-    extends CollectionStore {
+    extends CollectionStore with RemoteCollectionClient {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
   require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
 

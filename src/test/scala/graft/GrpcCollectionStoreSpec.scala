@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+import graft.sources._
+
+/** The BINARY wire transport: a [[GrpcCollectionStore]] framed-protobuf
+  * client dialing a [[CollectionGrpcServer]] fronting the in-memory
+  * store. Every test asserts CLIENT == INNER parity — the transport twin
+  * of RestCollectionStoreSpec: the reference's client speaks gRPC
+  * (/root/reference/src/table.rs:133 via qdrant-client), and the
+  * transport hop must be invisible above the [[CollectionStore]] seam
+  * whichever encoding carries it.
+  */
+class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+
+  private val desc = CollectionDescriptor("c", Seq(
+    DenseField("text_embedding", 2),
+    MultiField("multi", 2),
+    SparseField("keywords")))
+
+  private def mkPoints(n: Int): IndexedSeq[Point] =
+    (0 until n).map { i =>
+      Point(
+        id = f"$i%03d",
+        payload = if (i % 4 == 0) None else Some(s"""{"i": $i, "s": "a\"b\\\\c"}"""),
+        dense = if (i % 3 != 2) Map("text_embedding" -> Array(i.toFloat, i + 0.5f)) else Map.empty,
+        multi = if (i % 3 == 0) Map("multi" -> Array(Array(1f, 2f), Array(3f, i.toFloat))) else Map.empty,
+        sparse = if (i % 2 == 0) Map("keywords" -> (Array(1, 5), Array(0.1f, i * 0.9f))) else Map.empty)
+    }
+
+  private lazy val inner = InMemoryCollectionStore.single("c", desc, mkPoints(20))
+  private lazy val server: CollectionGrpcServer = {
+    CollectionStores.register("grpc_inner_spec", inner)
+    new CollectionGrpcServer("grpc_inner_spec").start()
+  }
+  private lazy val client = new GrpcCollectionStore(server.host, server.port)
+
+  override def afterAll(): Unit = server.stop()
+
+  private def key(p: Point) = (p.id, p.payload,
+    p.dense.view.mapValues(_.toSeq).toMap,
+    p.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+    p.sparse.view.mapValues { case (i, v) => (i.toSeq, v.toSeq) }.toMap)
+
+  private val allFields = Seq("text_embedding", "multi", "keywords")
+
+  test("protobuf primitives: varints, doubles, packed runs, unknown-field skip") {
+    val w = new PbWriter()
+      .int(1, 0L).int(2, 127L).int(3, 128L).int(4, Long.MaxValue)
+      .double(5, -0.0).double(6, Double.MinPositiveValue)
+      .string(7, "héllo;|&\\")
+      .packedFloats(8, Array(1.5f, -2.25f, Float.NaN))
+      .packedDoubles(9, Array(math.Pi, -1e300))
+      .packedInts(10, Array(0, 1, 300, Int.MaxValue))
+      .bool(11, b = true)
+    val r = new PbReader(w.toBytes)
+    var seen = Map.empty[Int, Any]
+    while (r.hasNext) r.readTag() match {
+      case (f, 0) => seen += f -> r.readRawVarint()
+      case (f, 1) => seen += f -> r.readDouble()
+      case (7, _) => seen += 7 -> r.readString()
+      case (8, _) => seen += 8 -> r.readPackedFloats().toSeq
+      case (9, _) => seen += 9 -> r.readPackedDoubles().toSeq
+      case (10, _) => seen += 10 -> r.readPackedInts().toSeq
+      case (_, wt) => r.skip(wt)
+    }
+    assert(seen(1) === 0L && seen(2) === 127L && seen(3) === 128L)
+    assert(seen(4) === Long.MaxValue)
+    assert(java.lang.Double.doubleToLongBits(seen(5).asInstanceOf[Double]) ===
+      java.lang.Double.doubleToLongBits(-0.0))
+    assert(seen(6) === Double.MinPositiveValue)
+    assert(seen(7) === "héllo;|&\\")
+    val fs = seen(8).asInstanceOf[Seq[Float]]
+    assert(fs(0) === 1.5f && fs(1) === -2.25f && fs(2).isNaN)
+    assert(seen(9) === Seq(math.Pi, -1e300))
+    assert(seen(10) === Seq(0, 1, 300, Int.MaxValue))
+    assert(seen(11) === 1L)
+    // an unknown field in the middle must not derail decoding
+    val w2 = new PbWriter().int(1, 7L).string(99, "future").int(2, 8L)
+    val r2 = new PbReader(w2.toBytes)
+    var a = 0L
+    var b = 0L
+    while (r2.hasNext) r2.readTag() match {
+      case (1, _) => a = r2.readRawVarint()
+      case (2, _) => b = r2.readRawVarint()
+      case (_, wt) => r2.skip(wt)
+    }
+    assert(a === 7L && b === 8L)
+  }
+
+  test("descriptor round-trips through the binary wire") {
+    assert(client.collectionInfo("c") === desc)
+    assert(client.collectionNames === Seq("c"))
+    intercept[IllegalArgumentException] { client.collectionInfo("nope") }
+  }
+
+  test("full fetch round-trips every point exactly (payload bytes, all vector kinds)") {
+    val got = client.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    assert(got === want)
+    assert(got.size === 20)
+  }
+
+  test("narrowed fetch: un-requested payload/fields never cross the wire") {
+    val got = client.queryPoints("c", 0, 20, withPayload = false,
+      Seq("text_embedding"), None).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = false,
+      Seq("text_embedding"), None).map(key).toSeq
+    assert(got === want)
+    assert(got.forall(p => p._2.isEmpty && p._4.isEmpty && p._5.isEmpty))
+  }
+
+  test("window + id filter + keyset bound + limit + payload filter apply server-side") {
+    val ids = Some(Set("003", "007", "011", "015"))
+    val got = client.queryPoints("c", 0, 20, withPayload = true, Nil, Some(2),
+      idFilter = ids, idLower = Some("004")).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = true, Nil, Some(2),
+      idFilter = ids, idLower = Some("004")).map(key).toSeq
+    assert(got === want)
+    assert(got.map(_._1) === Seq("007", "011"))
+    // payload-filter leg on a VALID-JSON fixture (mkPoints' payloads are
+    // deliberately gnarly non-JSON bytes for the fidelity tests — a
+    // filter over them matches nothing on either side, which would make
+    // this check vacuous)
+    CollectionStores.register("grpc_pf_spec",
+      InMemoryCollectionStore.single("p",
+        CollectionDescriptor("p", Seq(DenseField("v", 2))),
+        (0 until 12).map(i => Point(f"$i%02d", Some(s"""{"i":$i}"""),
+          dense = Map("v" -> Array(i.toFloat, 1f))))))
+    val srv = new CollectionGrpcServer("grpc_pf_spec").start()
+    try {
+      val cl = new GrpcCollectionStore(srv.host, srv.port)
+      val pfInner = CollectionStores.get("grpc_pf_spec")
+      val pf = PayloadFilter(Seq(PayloadCondition("i", "gte", "8")), Nil, None)
+      val fgot = cl.queryPointsFiltered("p", 0, 12, withPayload = true,
+        Nil, None, pfilter = pf).map(key).toSeq
+      val fwant = pfInner.queryPointsFiltered("p", 0, 12, withPayload = true,
+        Nil, None, pfilter = pf).map(key).toSeq
+      assert(fgot === fwant)
+      assert(fgot.map(_._1) === Seq("08", "09", "10", "11"))
+    } finally srv.stop()
+  }
+
+  test("paging is an enumeration-window loop: a tiny page size returns the same rows") {
+    val paged = new GrpcCollectionStore(server.host, server.port, pageSize = 3)
+    val got = paged.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = true, allFields, None).map(key).toSeq
+    assert(got === want)
+  }
+
+  test("pushed search parity: dense, sparse, threshold, offset, filtered") {
+    val dense = SearchSpec("text_embedding", Array(3.0, 3.5), "cosine", 5)
+    assert(client.searchPoints("c", dense, withPayload = true, Seq("text_embedding"))
+      .map { case (p, s) => (key(p), s) } ===
+      inner.searchPoints("c", dense, withPayload = true, Seq("text_embedding"))
+        .map { case (p, s) => (key(p), s) })
+    val paged = dense.copy(k = 3, offset = 2, scoreThreshold = Some(0.5))
+    assert(client.searchPoints("c", paged, withPayload = false, Nil)
+      .map { case (p, s) => (p.id, s) } ===
+      inner.searchPoints("c", paged, withPayload = false, Nil)
+        .map { case (p, s) => (p.id, s) })
+    val sparse = SearchSpec("keywords", Array(1.0, 2.0), "dot", 4,
+      sparseIndices = Some(Array(1, 5)))
+    assert(client.searchPoints("c", sparse, withPayload = false, Nil)
+      .map { case (p, s) => (p.id, s) } ===
+      inner.searchPoints("c", sparse, withPayload = false, Nil)
+        .map { case (p, s) => (p.id, s) })
+    val pf = PayloadFilter(Seq(PayloadCondition("i", "lte", "10")), Nil, None)
+    assert(client.searchPointsFiltered("c", dense, withPayload = false, Nil, pf)
+      .map { case (p, s) => (p.id, s) } ===
+      inner.searchPointsFiltered("c", dense, withPayload = false, Nil, pf)
+        .map { case (p, s) => (p.id, s) })
+  }
+
+  test("counts and facets answer in one round trip, exactly") {
+    assert(client.pointCount("c") === 20L)
+    assert(client.countMatching("c", idLower = Some("009")) ===
+      inner.countMatching("c", idLower = Some("009")))
+    val pf = PayloadFilter(Seq(PayloadCondition("i", "gt", "4")),
+      Seq(PayloadCondition("i", "eq", "7")), None)
+    assert(client.countMatchingFiltered("c", None, None, pf) ===
+      inner.countMatchingFiltered("c", None, None, pf))
+    assert(client.facetCounts("c", "i", 5) === inner.facetCounts("c", "i", 5))
+  }
+
+  test("mutations land as one atomic RMW on the fronted store; log replays over the wire") {
+    CollectionStores.register("grpc_mut_spec",
+      InMemoryCollectionStore.single("m",
+        CollectionDescriptor("m", Seq(DenseField("v", 2))), IndexedSeq.empty))
+    val srv = new CollectionGrpcServer("grpc_mut_spec").start()
+    try {
+      val cl = new GrpcCollectionStore(srv.host, srv.port)
+      cl.upsertPoints("m", Seq(
+        Point("a", Some("""{"x":1}"""), dense = Map("v" -> Array(1f, 0f))),
+        Point("b", None, dense = Map("v" -> Array(0f, 1f)))))
+      assert(cl.pointCount("m") === 2L)
+      cl.deletePoints("m", Set("a"))
+      assert(cl.queryPoints("m", 0, 2, withPayload = true, Seq("v"), None)
+        .map(_.id).toSeq === Seq("b"))
+      // the CDC surface crosses the wire too: upserts + tombstone
+      assert(cl.logSize("m") === 3L)
+      assert(cl.logEntries("m", 0, 3).map(e => (e.op, e.point.id)).toSeq ===
+        Seq(("upsert", "a"), ("upsert", "b"), ("delete", "a")))
+      cl.truncate("m")
+      assert(cl.pointCount("m") === 0L)
+      // error kinds survive the status mapping
+      intercept[IllegalArgumentException] { cl.pointCount("nope") }
+    } finally srv.stop()
+  }
+}
