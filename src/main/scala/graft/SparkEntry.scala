@@ -303,29 +303,54 @@ object SparkEntry {
   private val parquetFreshStoreCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
 
+  /** Build one mutated-after-index dir (the shared recipe of the
+    * freshness and optimizer fixtures) and return the final store.
+    */
+  private def buildMutatedStore(s: SparkSession, dir: String,
+                                prefix: String): graft.sources.ParquetCollectionStore = {
+    val pqDir = tempStoreDir(prefix)
+    val df = hom(s, dir).select("id", "payload", "vector")
+    graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+    graft.sources.ParquetCollectionStore.writePayloadSidecar(
+      df, pqDir, key = "label", kind = "int")
+    val sealedStore = new graft.sources.ParquetCollectionStore(
+      pqDir, "embeddings", Collections.homogeneousDescriptor)
+    val adds = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).cast(StringType).as("id"),
+        col("embedding").cast(ArrayType(FloatType)).as("v"))
+      .collect()
+      .map(r => graft.sources.Point(r.getString(0),
+        Some("""{"label":3}"""),
+        dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+    val delIds = Tables.load(s, dir, "embeddings")
+      .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+      .select(col("vec_id").cast(StringType))
+      .collect().map(_.getString(0)).toSet
+    sealedStore.appended("embeddings", adds.toIndexedSeq)
+      .removed("embeddings", delIds)
+  }
+
   private def parquetFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
-    parquetFreshStoreCache.getOrElseUpdate(dir, {
-      val pqDir = tempStoreDir("graft-pq-fresh")
-      val df = hom(s, dir).select("id", "payload", "vector")
-      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
-      graft.sources.ParquetCollectionStore.writePayloadSidecar(
-        df, pqDir, key = "label", kind = "int")
-      val sealedStore = new graft.sources.ParquetCollectionStore(
-        pqDir, "embeddings", Collections.homogeneousDescriptor)
-      val adds = Tables.load(s, dir, "embeddings")
-        .filter(col("vec_id") < 5)
-        .select((col("vec_id") + 100000).cast(StringType).as("id"),
-          col("embedding").cast(ArrayType(FloatType)).as("v"))
-        .collect()
-        .map(r => graft.sources.Point(r.getString(0),
-          Some("""{"label":3}"""),
-          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
-      val delIds = Tables.load(s, dir, "embeddings")
-        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
-        .select(col("vec_id").cast(StringType))
-        .collect().map(_.getString(0)).toSet
-      sealedStore.appended("embeddings", adds.toIndexedSeq)
-        .removed("embeddings", delIds)
+    parquetFreshStoreCache.getOrElseUpdate(dir,
+      buildMutatedStore(s, dir, "graft-pq-fresh"))
+
+  /** The same mutated dir taken through the OPTIMIZER
+    * ([[graft.sources.ParquetCollectionStore.optimize]]): the tail is
+    * re-absorbed into a rebuilt label index sealed at the current head,
+    * and the reopened store serves index-pruned again with an empty
+    * overlay — the full qdrant lifecycle (index, mutate, optimize).
+    */
+  private val parquetOptimizedCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetOptimizedStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetOptimizedCache.getOrElseUpdate(dir, {
+      val mutated = buildMutatedStore(s, dir, "graft-pq-opt")
+      val pqDir = mutated.dir
+      graft.sources.ParquetCollectionStore.optimize(s, pqDir)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor)
     })
 
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
@@ -1444,6 +1469,32 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_fresh_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the OPTIMIZER closing the freshness loop: same mutations as
+    // dsv2_parquet_fresh_search in a twin dir, then
+    // ParquetCollectionStore.optimize rebuilds the label index from the
+    // COW-current primaries and re-seals it at the current log head —
+    // the reopened store serves the filtered search index-pruned again
+    // with an EMPTY overlay tail (spec-asserted: footer-only counts
+    // return, the upserted points now live in value partitions). Same
+    // oracle as the fresh gate: index, mutate, optimize — results
+    // identical at every stage of the lifecycle
+    "dsv2_parquet_optimized" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_opt_store",
+        SparkEntry.parquetOptimizedStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_opt_store").option("collection", "embeddings")
         .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
@@ -5596,6 +5647,24 @@ object SparkEntry {
     // 100000+vec_id, label forced 3) — the stale-index overlay must
     // reproduce exactly this
     "dsv2_parquet_fresh_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3 AND vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // after the optimizer, the same post-mutation WHERE — the lifecycle
+    // stage (stale-index overlay vs rebuilt index) must be invisible
+    "dsv2_parquet_optimized" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 13),
         |base AS (

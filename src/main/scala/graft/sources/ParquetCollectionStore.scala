@@ -77,7 +77,7 @@ import graft.collections.{CollectionDescriptor, DenseField}
   * collection.
   */
 final class ParquetCollectionStore(
-    dir: String, collection: String,
+    val dir: String, collection: String,
     descriptor: CollectionDescriptor,
     ivfNprobe: Int = 0,
     ivfCandidateK: Int = 0) extends CollectionStore {
@@ -1226,6 +1226,81 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
       s"$field\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** The OPTIMIZER job — qdrant's optimizer re-absorbing the unindexed
+    * segment: rebuild every sidecar present under `dir` from the
+    * COW-current primary files (which always hold the head state) and
+    * re-seal each at the current log head, resetting its overlay tail to
+    * empty. Runs as an offline batch job, exactly like the initial
+    * sidecar builds:
+    *
+    *  - payload indexes: one rebuild per `_pidx/k_<key>` (a legacy
+    *    root-layout index is rebuilt into the keyed layout and its root
+    *    meta retired);
+    *  - sparse postings: same field/bucket parameters as the build;
+    *  - IVF (+ the int8 codes tier when present): a fresh deterministic
+    *    fit at the existing nlist (`maxIter` tunes refinement; 0 = the
+    *    seed-point fit the oracle gates mirror).
+    *
+    * Open stores cache sidecar metadata lazily — REOPEN after optimizing
+    * (the same discipline as after a mutation: COW returns fresh
+    * instances; optimize is driver-side, so the caller reopens).
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+               ivfMaxIter: Int = 0): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // primaries only: Spark's parquet listing skips _-prefixed sidecars
+    val df = spark.read.parquet(dir)
+    val pidxRoot = new java.io.File(s"$dir/_pidx")
+    val keyed = Option(pidxRoot.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("k_"))
+      .map(_.getAbsolutePath) ++
+      (if (new java.io.File(s"$dir/_pidx/meta.txt").isFile) Seq(s"$dir/_pidx")
+       else Nil)
+    keyed.foreach { base =>
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/meta.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val covered =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSeq
+        else Nil
+      writePayloadSidecar(
+        df.select((Seq("id", "payload") ++ covered).map(col): _*),
+        dir, key = lines(0), kind = lines(1))
+      // a legacy root-layout index was rebuilt into k_<key>: retire the
+      // root meta so the stale root partitions are never read again
+      if (base == s"$dir/_pidx")
+        java.nio.file.Files.delete(
+          java.nio.file.Paths.get(s"$base/meta.txt")): Unit
+    }
+    val sparseMeta = new java.io.File(s"$dir/_sparse/meta.txt")
+    if (sparseMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(sparseMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
+    }
+    val ivfMeta = new java.io.File(s"$dir/_ivf/field.txt")
+    if (ivfMeta.isFile) {
+      val field = new String(
+        java.nio.file.Files.readAllBytes(ivfMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n")(0).trim
+      val vecCol = if (df.columns.contains(field)) field else "vector"
+      val nlist = spark.read.parquet(s"$dir/_ivf/centroids").count().toInt
+      val idx = graft.ops.Ann.buildIvf(
+        df.withColumn(vecCol, col(vecCol).cast(ArrayType(DoubleType))),
+        "id", vecCol, nlist = nlist, maxIter = ivfMaxIter)
+      val cols = df.columns.toSeq :+ "cluster"
+      writeIvfSidecar(idx.clustered.select(cols.map(col): _*),
+        idx.centroids, dir, field = field, vectorColumn = vecCol)
+      if (new java.io.File(s"$dir/_ivf/codes").isDirectory)
+        writeIvfQuantizedSidecar(
+          idx.clustered.select(col("id"), col(vecCol), col("cluster")),
+          dir, vectorColumn = vecCol)
+      idx.clustered.unpersist(): Unit
+    }
   }
 
   /** Log position a sidecar build seals as its FRESHNESS POINT: the

@@ -1322,6 +1322,53 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store3.filesOpened.get() > opened)     // base pass, primaries read
   }
 
+  test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    val desc = graft.collections.CollectionDescriptor("op",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 10).map { i =>
+      (i.toString, s"""{"g":${i % 5}}""",
+        Array(1.0f - i * 0.05f, i * 0.05f))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g", kind = "int")
+    val clustered = df.withColumn("cluster",
+      when(col("id").cast("int") <= 5, 0).otherwise(1))
+    val centroids = Seq((0, Array(0.9f, 0.15f)), (1, Array(0.6f, 0.4f)))
+      .toDF("cluster", "centroid")
+    ParquetCollectionStore.writeIvfSidecar(clustered, centroids, dir,
+      field = "vector")
+    val store = new ParquetCollectionStore(dir, "op", desc, ivfNprobe = 1)
+      .appended("op", IndexedSeq(
+        Point("0", Some("""{"g":3}"""),
+          dense = Map("vector" -> Array(1.0f, 0.001f)))))
+      .removed("op", Set("3"))
+    // optimize rebuilds every sidecar from the current primaries, sealed
+    // at the current head: the reopened store's tail is EMPTY
+    ParquetCollectionStore.optimize(spark, dir, ivfMaxIter = 0)
+    val opt = new ParquetCollectionStore(dir, "op", desc, ivfNprobe = 2)
+    val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 3)
+    // the upserted "0" now serves from a CLUSTER partition (nprobe=2 of
+    // the refit covers both), the deleted "3" is simply absent
+    assert(opt.searchPointsFiltered("op", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter.Empty)
+      .map(_._1.id) === Seq("0", "1", "2"))
+    assert(opt.filesOpened.get() === 0L)          // primaries stay closed
+    // the pre-filter arm serves "0" from the rebuilt g=3 value partition
+    val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "3")), Nil, None)
+    assert(opt.searchPointsFiltered("op", spec.copy(k = 2),
+      withPayload = false, vectorFields = Nil, pfilter = pf)
+      .map(_._1.id) === Seq("0", "8"))
+    assert(opt.payloadValuesTouched("g") === Seq("3"))
+    assert(opt.filesOpened.get() === 0L)
+    // counts are footer-only again: the index carries the clause and the
+    // tail is empty, so not a byte of point data is decoded
+    assert(opt.countMatchingFiltered("op", None, None, pf) === 2L)
+    assert(opt.filesOpened.get() === 0L)
+    assert(store ne opt)                          // reopen discipline
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))
