@@ -303,6 +303,31 @@ object SparkEntry {
   private val parquetFreshStoreCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
 
+  /** The parquet store with a DATETIME payload index: payload carries a
+    * derived date string (`2024-01-01 + label*13 days`, 10 distinct
+    * values), the sidecar is count-only (id + payload), and datetime
+    * range bounds prune its value partitions by PARSED instant — the
+    * backend's `datetime` payload index kind served at the store seam.
+    */
+  private val parquetDtStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetDtStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetDtStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-dt")
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(date_format(
+          date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+            (col("label") * 13).cast("int")),
+          "yyyy-MM-dd").as("ts"))).as("payload"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "ts", kind = "datetime")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        graft.collections.CollectionDescriptor("embeddings", Seq()))
+    })
+
   /** Build one mutated-after-index dir (the shared recipe of the
     * freshness and optimizer fixtures) and return the final store.
     */
@@ -1571,6 +1596,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // datetime payload index at the store seam: the filter's dt-range
+    // bounds prune the index's value partitions by PARSED instant and
+    // the pushed COUNT answers from footers alone — qdrant's `datetime`
+    // index kind over the lakehouse backend (the engine-side epoch-day
+    // index, datetime_index_range, has the same dichotomy)
+    "dsv2_parquet_datetime_count" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_dt_store",
+        SparkEntry.parquetDtStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_dt_store").option("collection", "embeddings")
+        .option("filter", "ts:dt_gte:2024-02-01;ts:dt_lt:2024-04-01")
+        .load()
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // the STREAMING read path over the LAKEHOUSE backend: the parquet
     // store's _log sidecar replays through the connector's micro-batch
     // CDC source exactly like the in-memory log (same oracle as
@@ -2005,6 +2046,27 @@ object SparkEntry {
         .option("store", "grpc_write_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
+    }),
+
+    // batched queries over the BINARY wire: 3 protobuf spec frames, ONE
+    // round trip, per-spec top-k — same oracle as the JSON batch
+    "dsv2_grpc_batch" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val (h, p) = SparkEntry.grpcBackedAddr(s, dir)
+      val client = new GrpcCollectionStore(h, p)
+      val qs = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id"), dvec(col("embedding")))
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0).toString, r.getSeq[Double](1).toArray))
+      val specs = qs.map { case (_, v) => SearchSpec("vector", v, "cosine", 5) }
+      val res = client.searchPointsBatch("embeddings", specs.toIndexedSeq,
+        withPayload = false, Seq.empty)
+      qs.zip(res).flatMap { case ((qid, _), hits) =>
+        hits.map { case (p2, score) => (qid, p2.id, score) }
+      }.toIndexedSeq.toDF("query_id", "id", "score")
+        .withColumn("score", round(col("score"), 6))
     }),
 
     // BATCHED queries over the wire (the backend's points/query/batch):
@@ -5642,6 +5704,12 @@ object SparkEntry {
     "dsv2_parquet_indexed_count" ->
       "SELECT count(*) AS n FROM embeddings WHERE label >= 7",
 
+    // the derived date re-expressed in DuckDB date arithmetic
+    "dsv2_parquet_datetime_count" ->
+      """SELECT count(*) AS n FROM embeddings
+        |WHERE DATE '2024-01-01' + CAST(label * 13 AS INTEGER) >= DATE '2024-02-01'
+        |  AND DATE '2024-01-01' + CAST(label * 13 AS INTEGER) < DATE '2024-04-01'""".stripMargin,
+
     // post-mutation state expressed as plain SQL: original label-3 rows
     // minus the deleted (vec_id % 7 == 0) plus the 5 upserts (ids
     // 100000+vec_id, label forced 3) — the stale-index overlay must
@@ -5729,6 +5797,20 @@ object SparkEntry {
     // per-spec rank on RAW similarity (the server ranks unrounded, id
     // tiebreak), round only for output — same contract as the single
     // pushed query
+    "dsv2_grpc_batch" ->
+      """WITH scored AS (
+        |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+        |         CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                CAST(q.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id IN (0, 1, 2)) q),
+        |top AS (
+        |  SELECT query_id, id, s,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, id ASC) AS rn
+        |  FROM scored)
+        |SELECT query_id, id, ROUND(s, 6) AS score FROM top WHERE rn <= 5
+        |ORDER BY query_id, score DESC, id""".stripMargin,
+
     "dsv2_rest_batch" ->
       """WITH scored AS (
         |  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,

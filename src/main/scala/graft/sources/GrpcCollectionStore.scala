@@ -450,6 +450,42 @@ final class GrpcCollectionStore(host: String, port: Int,
     out.result()
   }
 
+  /** BATCHED queries in ONE round trip (the backend's query/batch):
+    * repeated spec frames out, per-spec ranked pages back — same
+    * contract as [[RestCollectionStore.searchPointsBatch]].
+    */
+  def searchPointsBatch(collection: String, specs: Seq[SearchSpec],
+                        withPayload: Boolean,
+                        vectorFields: Seq[String]): Seq[Seq[(Point, Double)]] = {
+    descriptor(collection): Unit
+    val w = new PbWriter().string(1, collection).bool(3, withPayload)
+    specs.foreach(sp => w.message(2, GrpcWire.encodeSpec(sp)))
+    vectorFields.foreach(w.string(4, _))
+    val r = new PbReader(call("search_batch", w))
+    val out = Seq.newBuilder[Seq[(Point, Double)]]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) =>
+        val b = r.readMessage()
+        val page = Seq.newBuilder[(Point, Double)]
+        while (b.hasNext) b.readTag() match {
+          case (1, _) =>
+            val m = b.readMessage()
+            var p: Point = null
+            var s = 0.0
+            while (m.hasNext) m.readTag() match {
+              case (1, _) => p = GrpcWire.decodePoint(m.readMessage())
+              case (2, _) => s = m.readDouble()
+              case (_, w2) => m.skip(w2)
+            }
+            page += ((p, s))
+          case (_, w2) => b.skip(w2)
+        }
+        out += page.result()
+      case (_, w2) => r.skip(w2)
+    }
+    out.result()
+  }
+
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     val r = new PbReader(call("facet", new PbWriter().string(1, collection)
@@ -708,6 +744,30 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
           w.message(1, new PbWriter()
             .message(1, GrpcWire.encodePoint(p)).double(2, s))
         }
+      w
+
+    case "search_batch" =>
+      var c = ""
+      val specs = Seq.newBuilder[SearchSpec]
+      var withPayload = false
+      val vf = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => specs += GrpcWire.decodeSpec(r.readMessage())
+        case (3, _) => withPayload = r.readRawVarint() != 0L
+        case (4, _) => vf += r.readString()
+        case (_, w) => r.skip(w)
+      }
+      val fields = vf.result()
+      val w = new PbWriter
+      specs.result().foreach { sp =>
+        val page = new PbWriter
+        store.searchPoints(c, sp, withPayload, fields).foreach {
+          case (p, s) => page.message(1, new PbWriter()
+            .message(1, GrpcWire.encodePoint(p)).double(2, s))
+        }
+        w.message(1, page)
+      }
       w
 
     case "facet" =>

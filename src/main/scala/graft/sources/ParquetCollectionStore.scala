@@ -709,8 +709,16 @@ final class ParquetCollectionStore(
       .filter(_._2.filesOpened.get() > 0).map(_._1).sorted
   }
 
+  /** Ops an index partition-prunes soundly: each matches ONLY via a
+    * present scalar value, and [[PayloadCondition.matchesValue]] decides
+    * per partition value exactly as it decides per row. The datetime
+    * bounds qualify — they match only parseable STRING values, which the
+    * type-tagged partitions carry verbatim (qdrant's `datetime` payload
+    * index kind at the store seam).
+    */
   private val PayloadSidecarOps: Set[String] =
-    Set("eq", "gt", "gte", "lt", "lte", "match_any")
+    Set("eq", "gt", "gte", "lt", "lte", "match_any",
+      "dt_gt", "dt_gte", "dt_lt", "dt_lte")
 
   private def readSidecarMeta(base: String): Option[PayloadSidecar] = {
     val marker = new java.io.File(s"$base/meta.txt")
@@ -1389,7 +1397,7 @@ object ParquetCollectionStore {
                           kind: String = "int"): Unit = {
     val base = s"$dir/_pidx/k_$key"
     import org.apache.spark.sql.functions.when
-    require(kind == "int" || kind == "keyword",
+    require(kind == "int" || kind == "keyword" || kind == "datetime",
       s"unsupported index kind '$kind'")
     // TYPE-TAGGED extraction: the partition value is the field's RAW
     // JSON scalar form — `"3"` (a string) and `3` (a number) land in

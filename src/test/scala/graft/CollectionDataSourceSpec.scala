@@ -1322,6 +1322,41 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store3.filesOpened.get() > opened)     // base pass, primaries read
   }
 
+  test("payload-index sidecar: datetime kind — range bounds prune by parsed instant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidx-dt").toString
+    val df = Seq(
+      ("1", """{"ts":"2024-01-15T00:00:00Z"}"""),
+      ("2", """{"ts":"2024-03-01T12:30:00Z"}"""),
+      ("3", """{"ts":"2024-06-30"}"""),          // plain date: midnight UTC
+      ("4", """{"ts":"2024-12-01T00:00:00Z"}"""),
+      ("5", """{"ts":"not a date"}"""),          // unparseable: never matches
+      ("6", """{"other":1}""")                   // no ts: dropped from index
+    ).toDF("id", "payload")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    ParquetCollectionStore.writePayloadSidecar(df, dir,
+      key = "ts", kind = "datetime")
+    val store = new ParquetCollectionStore(dir, "dt",
+      graft.collections.CollectionDescriptor("dt", Seq()))
+    def cnt(must: Seq[PayloadCondition]) =
+      store.countMatchingFiltered("dt", None, None,
+        PayloadFilter(must, Nil, None))
+    // half-open range across the partitions: parsed-instant comparison,
+    // footer-only (the index carries both clauses)
+    assert(cnt(Seq(PayloadCondition("ts", "dt_gte", "2024-03-01T00:00:00Z"),
+      PayloadCondition("ts", "dt_lt", "2024-12-01T00:00:00Z"))) === 2L)
+    assert(cnt(Seq(PayloadCondition("ts", "dt_gt", "2024-06-30T00:00:00Z"))) === 1L)
+    // boundary: the plain date parses to midnight, gte includes it
+    assert(cnt(Seq(PayloadCondition("ts", "dt_gte", "2024-06-30"))) === 2L)
+    assert(store.filesOpened.get() === 0L)
+    // parity with the row path, unparseable and absent excluded alike
+    val pf = PayloadFilter(
+      Seq(PayloadCondition("ts", "dt_lt", "2025-01-01")), Nil, None)
+    assert(cnt(pf.must) === 4L)
+    assert(store.queryPointsFiltered("dt", 0L, store.pointCount("dt"),
+      withPayload = false, Nil, None, pfilter = pf).size === 4)
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString

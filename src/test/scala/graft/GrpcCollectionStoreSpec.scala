@@ -175,6 +175,23 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { case (p, s) => (p.id, s) })
   }
 
+  test("batched queries: per-spec pages equal the single-query path, one round trip") {
+    val specs = IndexedSeq(
+      SearchSpec("text_embedding", Array(1.0, 1.0), "cosine", 3),
+      SearchSpec("text_embedding", Array(10.0, 0.5), "dot", 4, offset = 1),
+      SearchSpec("keywords", Array(2.0, 1.0), "dot", 2,
+        sparseIndices = Some(Array(1, 5))))
+    val got = client.searchPointsBatch("c", specs, withPayload = true,
+      Seq("text_embedding"))
+    assert(got.size === 3)
+    specs.zip(got).foreach { case (sp, page) =>
+      val single = inner.searchPoints("c", sp, withPayload = true,
+        Seq("text_embedding"))
+      assert(page.map { case (p, s) => (key(p), s) } ===
+        single.map { case (p, s) => (key(p), s) })
+    }
+  }
+
   test("counts and facets answer in one round trip, exactly") {
     assert(client.pointCount("c") === 20L)
     assert(client.countMatching("c", idLower = Some("009")) ===
