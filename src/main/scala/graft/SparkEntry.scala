@@ -328,6 +328,32 @@ object SparkEntry {
         graft.collections.CollectionDescriptor("embeddings", Seq()))
     })
 
+  /** The parquet store with a GEO payload index: payload carries a
+    * derived `{loc: {lat, lon}}` object (lattice from vec_id), the
+    * sidecar partitions by Morton cell (bits=6, covering), and a geo
+    * condition prunes the read to the query region's cover cells —
+    * qdrant's `geo` payload index kind at the store seam.
+    */
+  private val parquetGeoStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetGeoStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetGeoStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-geo")
+      val la = (col("vec_id") % 120).cast("double") - 60.0 + 0.25
+      val lo = ((col("vec_id") * 7) % 320).cast("double") - 160.0 + 0.25
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(struct(la.as("lat"), lo.as("lon")).as("loc")))
+          .as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeGeoSidecar(
+        df, pqDir, key = "loc", bits = 6)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor)
+    })
+
   /** Build one mutated-after-index dir (the shared recipe of the
     * freshness and optimizer fixtures) and return the final store.
     */
@@ -1596,6 +1622,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // GEO payload index at the store seam: a geo_box filter prunes the
+    // read to the cells whose grid rectangle intersects the box (the
+    // coverCells property), the exact predicate re-evaluates inside the
+    // pruned partitions, and the covering sidecar serves the filtered
+    // top-k with the primary files closed (spec-asserted) — qdrant's
+    // `geo` payload index kind over the lakehouse backend
+    "dsv2_parquet_geo_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_geo_store",
+        SparkEntry.parquetGeoStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 21)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_geo_store").option("collection", "embeddings")
+        .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // datetime payload index at the store seam: the filter's dt-range
     // bounds prune the index's value partitions by PARSED instant and
     // the pushed COUNT answers from footers alone — qdrant's `datetime`
@@ -2510,6 +2559,29 @@ object SparkEntry {
       val sink = s"cdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft.sources.CollectionDataSource")
         .option("store", "cdc_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
+    // CDC streaming over the BINARY wire: the micro-batch source's
+    // log_size/log_entries calls cross the protobuf transport — the
+    // upsert log replays through a remote client exactly as it does
+    // locally (same oracle as dsv2_stream_read; transport invisible)
+    "dsv2_grpc_stream_read" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcBackedAddr(s, dir)
+      CollectionStores.register("grpc_cdc_store", new GrpcCollectionStore(h, p))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-gcdc").toString
+      val sink = s"gcdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_cdc_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
         .writeStream.format("memory").queryName(sink)
@@ -5604,6 +5676,12 @@ object SparkEntry {
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
 
+    // CDC replay through the protobuf transport: same stream, same rows
+    "dsv2_grpc_stream_read" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
     // lakehouse backend swap is invisible above the seam: the parquet
     // log's replay/compaction/pipeline share the in-memory forms' oracles
     "dsv2_parquet_stream_read" ->
@@ -5703,6 +5781,24 @@ object SparkEntry {
 
     "dsv2_parquet_indexed_count" ->
       "SELECT count(*) AS n FROM embeddings WHERE label >= 7",
+
+    // the derived lattice re-expressed in DuckDB arithmetic; the box
+    // bounds are the filter's (top=10, left=-40, bottom=-10, right=20)
+    "dsv2_parquet_geo_search" ->
+      """WITH pts AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v,
+        |         (vec_id % 120) - 60 + 0.25 AS la,
+        |         ((vec_id * 7) % 320) - 160 + 0.25 AS lo
+        |  FROM embeddings),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 21),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s
+        |  FROM pts, q
+        |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // the derived date re-expressed in DuckDB date arithmetic
     "dsv2_parquet_datetime_count" ->

@@ -323,6 +323,7 @@ final class ParquetCollectionStore(
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
     sparseServe(c, spec, withPayload, vectorFields, pfilter)
       .orElse(prefilterServe(c, spec, withPayload, vectorFields, pfilter))
+      .orElse(geoServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(ivfServe(c, spec, withPayload, vectorFields, pfilter))
       .getOrElse(super.searchPointsFiltered(c, spec, withPayload,
         vectorFields, pfilter))
@@ -869,8 +870,133 @@ final class ParquetCollectionStore(
           .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
           .getOrElse(0L)).sum
       }
-    }.getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
+    }.orElse(geoCount(idFilter, idLower, pfilter))
+      .getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
   }
+
+  // --------------------------------------------------------- geo index --
+
+  /** The geo-cell sidecar, when
+    * [[ParquetCollectionStore.writeGeoSidecar]] laid one down under
+    * `dir/_gidx`: the corpus partitioned by [[graft.ops.Geo]] Morton
+    * cell of ONE payload key's `{lat, lon}` object — qdrant's `geo`
+    * payload index kind at the store seam. A filtered search/count
+    * whose `must` list carries a geo condition on that key reads ONLY
+    * the cells whose grid rectangle intersects the query region
+    * ([[graft.ops.Geo.coverCells]]' pinned cover property): the cover is
+    * a SUPERSET, so the exact predicate always re-evaluates per point
+    * inside the pruned partitions — pruning is an access-path choice,
+    * never a semantics change. Rows without a numeric `{lat, lon}`
+    * under the key are absent from the sidecar AND can never match a
+    * geo condition ([[PayloadCondition.latLonOf]]'s contract), so the
+    * pruning is sound.
+    */
+  private case class GeoSidecar(key: String, bits: Int,
+                                covered: Set[String], builtAt: Long) {
+    private val root = s"$dir/_gidx/points"
+
+    lazy val cellDirs: Map[Long, String] =
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(f => f.getName.substring("cell=".length).toLong -> f.getName)
+        .toMap
+
+    private val stores =
+      scala.collection.concurrent.TrieMap.empty[Long, ParquetCollectionStore]
+
+    def storeFor(c: Long): Option[ParquetCollectionStore] =
+      cellDirs.get(c).map { dn =>
+        stores.getOrElseUpdate(c, new ParquetCollectionStore(
+          s"$root/$dn", collection, descriptor))
+      }
+
+    def rowsOf(c: Long): Long =
+      storeFor(c).map(_.pointCount(collection)).getOrElse(0L)
+
+    def servable(cond: PayloadCondition): Boolean =
+      cond.key == key && ParquetCollectionStore.GeoSidecarOps(cond.op)
+
+    /** Cells that exist AND intersect the condition's conservative
+      * bounding region.
+      */
+    def cellsMatching(cond: PayloadCondition): Seq[Long] =
+      ParquetCollectionStore.geoCover(cond, bits).filter(cellDirs.contains)
+
+    def cellsTouched: Seq[Long] = stores.toSeq
+      .filter(_._2.filesOpened.get() > 0).map(_._1).sorted
+  }
+
+  @transient private lazy val geoSidecar: Option[GeoSidecar] = {
+    val marker = new java.io.File(s"$dir/_gidx/meta.txt")
+    if (!marker.isFile) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val covered =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
+        else Set.empty[String]
+      val builtAt =
+        if (lines.length > 3 && lines(3).nonEmpty) lines(3).toLong else -1L
+      Some(GeoSidecar(lines(0), lines(1).toInt, covered, builtAt))
+    }
+  }
+
+  /** Geo cells whose DATA was read since JVM start, for specs/probes. */
+  def geoCellsTouched: Seq[Long] =
+    geoSidecar.map(_.cellsTouched).getOrElse(Nil)
+
+  /** Serve a geo-filtered search from the cell partitions when a `must`
+    * condition is a servable geo condition AND its cover is selective
+    * (same 20% dial as the payload-index arm, estimated from footers).
+    * The full filter — the geo predicate included — re-evaluates per
+    * point inside the pruned read, so the cover's overshoot costs IO,
+    * never correctness.
+    */
+  private def geoServe(c: String, spec: SearchSpec,
+                       withPayload: Boolean, vectorFields: Seq[String],
+                       pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    geoSidecar
+      .filter(_.covered.contains(columnOf(spec.field)))
+      .flatMap { sc =>
+        pfilter.must.find(sc.servable).flatMap { cond =>
+          tailSince(sc.builtAt).flatMap { tail =>
+            val cells = sc.cellsMatching(cond)
+            val matched = cells.map(sc.rowsOf).sum
+            if (matched > ParquetCollectionStore.prefilterMaxFraction *
+                pointCount(collection)) None
+            else {
+              val window = spec.copy(
+                k = spec.k + spec.offset + tail.masked.size, offset = 0)
+              val merged = cells.flatMap(v => sc.storeFor(v).toSeq.flatMap(
+                _.searchPointsFiltered(c, window, withPayload, vectorFields,
+                  pfilter)))
+              val fresh =
+                merged.filterNot { case (p, _) => tail.masked(p.id) } ++
+                  tailScored(tail, spec, withPayload, vectorFields, pfilter)
+              Some(mergeBest(spec, fresh))
+            }
+          }
+        }
+      }
+
+  /** Geo-pruned filtered count: the cover partitions walked with the
+    * FULL filter (never footer-only — the cover is a superset by
+    * construction). Only with an empty since-build tail.
+    */
+  private def geoCount(idFilter: Option[Set[String]], idLower: Option[String],
+                       pfilter: PayloadFilter): Option[Long] =
+    geoSidecar.flatMap { sc =>
+      pfilter.must.find(sc.servable).flatMap { cond =>
+        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
+          sc.cellsMatching(cond).map(v => sc.storeFor(v)
+            .map(_.countMatchingFiltered(collection, idFilter, idLower,
+              pfilter))
+            .getOrElse(0L)).sum
+        }
+      }
+    }
 
   // ------------------------------------------------------- change log --
 
@@ -1283,6 +1409,13 @@ object ParquetCollectionStore {
         java.nio.file.Files.delete(
           java.nio.file.Paths.get(s"$base/meta.txt")): Unit
     }
+    val geoMeta = new java.io.File(s"$dir/_gidx/meta.txt")
+    if (geoMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(geoMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
+    }
     val sparseMeta = new java.io.File(s"$dir/_sparse/meta.txt")
     if (sparseMeta.isFile) {
       val lines = new String(
@@ -1309,6 +1442,79 @@ object ParquetCollectionStore {
           dir, vectorColumn = vecCol)
       idx.clustered.unpersist(): Unit
     }
+  }
+
+  /** Conditions the geo-cell sidecar prunes for. */
+  private[sources] val GeoSidecarOps: Set[String] =
+    Set("geo_radius", "geo_box", "geo_polygon")
+
+  /** Conservative cell cover of a geo condition's matching region —
+    * sorted, duplicate-free. Box covers exactly ([[graft.ops.Geo
+    * .coverCells]]' pinned property, antimeridian wrap included);
+    * radius and polygon cover through their bounding boxes (a SUPERSET:
+    * the exact predicate re-evaluates inside, so over-coverage costs IO
+    * only). The radius box uses 110 km/degree — slightly under the true
+    * meridian degree, so the degree window over-covers, never under.
+    */
+  private[sources] def geoCover(cond: PayloadCondition, bits: Int): Seq[Long] = {
+    val a = cond.value.split(",").map(_.trim.toDouble)
+    cond.op match {
+      case "geo_box" =>
+        // top, left, bottom, right (left > right = antimeridian wrap)
+        graft.ops.Geo.coverCells(a(2), a(0), a(1), a(3), bits)
+      case "geo_radius" =>
+        val (lat, lon, m) = (a(0), a(1), a(2))
+        val dLat = m / 110000.0
+        val south = math.max(-90.0, lat - dLat)
+        val north = math.min(90.0, lat + dLat)
+        // the tightest cosine on the latitude band decides the lon span;
+        // near the poles (or a span >= 360) fall back to the full ring
+        val cosMin = math.cos(math.toRadians(
+          math.min(90.0, math.max(math.abs(south), math.abs(north)))))
+        val dLon = if (cosMin <= 1e-9) 360.0 else m / (110000.0 * cosMin)
+        if (dLon >= 180.0 || lon - dLon < -180.0 || lon + dLon > 180.0)
+          graft.ops.Geo.coverCells(south, north, -180.0, 180.0, bits)
+        else
+          graft.ops.Geo.coverCells(south, north, lon - dLon, lon + dLon, bits)
+      case "geo_polygon" =>
+        val lats = a.indices.collect { case i if i % 2 == 0 => a(i) }
+        val lons = a.indices.collect { case i if i % 2 == 1 => a(i) }
+        graft.ops.Geo.coverCells(lats.min, lats.max, lons.min, lons.max, bits)
+      case other =>
+        throw new IllegalArgumentException(s"not a geo condition: $other")
+    }
+  }
+
+  /** Lay a geo-cell sidecar under `dir/_gidx`: the collection
+    * partitioned by the [[graft.ops.Geo.cellCol]] Morton cell of payload
+    * key `key`'s `{lat, lon}` object, one file per cell (the sidecar
+    * co-location discipline), rows without a castable lat AND lon
+    * DROPPED — they can never match a geo condition. Include the vector
+    * columns (a COVERING index) so a geo-filtered search serves entirely
+    * from the cell partitions. `bits` sets resolution: 2^bits x 2^bits
+    * grid cells over the globe.
+    */
+  def writeGeoSidecar(df: DataFrame, dir: String, key: String,
+                      bits: Int = 6): Unit = {
+    import org.apache.spark.sql.functions.expr
+    val base = s"$dir/_gidx"
+    val lat = expr(
+      s"cast(get_json_object(payload, '$$.$key.lat') as double)")
+    val lon = expr(
+      s"cast(get_json_object(payload, '$$.$key.lon') as double)")
+    df.withColumn("__lat", lat).withColumn("__lon", lon)
+      .filter(col("__lat").isNotNull && col("__lon").isNotNull)
+      .withColumn("cell",
+        graft.ops.Geo.cellCol(col("__lat"), col("__lon"), bits))
+      .drop("__lat", "__lon")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$base/points")
+    val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/meta.txt"),
+      s"$key\n$bits\n$covered\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Log position a sidecar build seals as its FRESHNESS POINT: the

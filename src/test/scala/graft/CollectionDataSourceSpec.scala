@@ -1357,6 +1357,75 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       withPayload = false, Nil, None, pfilter = pf).size === 4)
   }
 
+  test("geo-cell sidecar: geo conditions prune to cover cells — exact, primaries closed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gidx").toString
+    val desc = graft.collections.CollectionDescriptor("ge",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    // a dense far cluster (never in any query's cover — the bulk the
+    // index exists to skip) + 8 scattered points in/near the queries
+    val rows = (0 until 48).map { i =>
+      val (la, lo) =
+        if (i < 40) (60.0 + (i % 10) * 0.5, 100.0 + (i / 10) * 0.5)
+        else (-20.0 + (i - 40) * 8.0, -50.0 + (i - 40) * 12.0)
+      (i.toString, s"""{"loc":{"lat":$la,"lon":$lo},"g":${i % 3}}""",
+        Array(1.0f - i * 0.02f, i * 0.02f))
+    } :+ (("99", """{"g":1}""", Array(0.5f, 0.5f)))  // no loc: never matches
+    val df = rows.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    ParquetCollectionStore.writeGeoSidecar(df, dir, key = "loc", bits = 4)
+    val store = new ParquetCollectionStore(dir, "ge", desc)
+    val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 5)
+    def walkIds(cond: PayloadCondition): Seq[String] = {
+      val brute = new ParquetCollectionStore(dir, "ge", desc)
+      brute.searchPointsFiltered("ge", spec, withPayload = false,
+        vectorFields = Nil,
+        pfilter = PayloadFilter(Seq(cond), Nil, None)).map(_._1.id)
+    }
+    // box: pruned serve == the row-path walk, primaries never opened
+    val box = PayloadCondition("loc", "geo_box", "40,-60,-20,40")
+    val gotBox = store.searchPointsFiltered("ge", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter(Seq(box), Nil, None))
+      .map(_._1.id)
+    assert(gotBox === walkIds(box))
+    assert(gotBox.nonEmpty)
+    assert(store.filesOpened.get() === 0L)
+    assert(store.geoCellsTouched.nonEmpty)
+    // the far cluster's cells were never read — genuinely pruned
+    val clusterCell = graft.ops.Geo.cellOf(60.0, 100.0, bits = 4)
+    assert(!store.geoCellsTouched.contains(clusterCell))
+    // radius and polygon: the bounding-box cover is a superset, the
+    // exact predicate re-evaluates inside — results equal the walk
+    val rad = PayloadCondition("loc", "geo_radius", "0,0,3000000")
+    assert(store.searchPointsFiltered("ge", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter(Seq(rad), Nil, None))
+      .map(_._1.id) === walkIds(rad))
+    val poly = PayloadCondition("loc", "geo_polygon",
+      "-30,-80,50,-80,50,60,-30,60")
+    assert(store.searchPointsFiltered("ge", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter(Seq(poly), Nil, None))
+      .map(_._1.id) === walkIds(poly))
+    assert(store.filesOpened.get() === 0L)
+    // counts walk only the cover partitions with the full filter — a
+    // compound must (geo + scalar residual) stays exact
+    val pf = PayloadFilter(Seq(box, PayloadCondition("g", "eq", "1")),
+      Nil, None)
+    val expected = new ParquetCollectionStore(dir, "ge", desc)
+      .countMatchingFiltered("ge", None, None, pf)
+    assert(store.countMatchingFiltered("ge", None, None, pf) === expected)
+    assert(store.filesOpened.get() === 0L)
+    // a count-only (non-covering) geo index never serves the search arm
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-gidx2").toString
+    ParquetCollectionStore.write(df, dir2, numFiles = 2)
+    ParquetCollectionStore.writeGeoSidecar(df.select("id", "payload"),
+      dir2, key = "loc", bits = 4)
+    val st2 = new ParquetCollectionStore(dir2, "ge", desc)
+    assert(st2.searchPointsFiltered("ge", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter(Seq(box), Nil, None))
+      .map(_._1.id) === gotBox)
+    assert(st2.filesOpened.get() > 0L)            // the full pass served
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
