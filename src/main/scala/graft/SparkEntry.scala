@@ -354,6 +354,32 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The parquet store with a FULL-TEXT payload index: payload carries a
+    * derived body (`"alpha w<label> tag<vec_id%4>"`), the `_tidx`
+    * sidecar holds (id, token) postings bucketed by token hash, and a
+    * match_text condition's candidates come from the token-posting
+    * intersection with an id-stats-pruned primary fetch — qdrant's
+    * `text` payload index kind at the store seam.
+    */
+  private val parquetTextStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetTextStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetTextStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-text")
+      val body = concat(lit("alpha w"), col("label"),
+        lit(" tag"), col("vec_id") % 4)
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(body.as("body"))).as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeTextSidecar(
+        df, pqDir, key = "body")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor)
+    })
+
   /** Build one mutated-after-index dir (the shared recipe of the
     * freshness and optimizer fixtures) and return the final store.
     */
@@ -1637,6 +1663,29 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_geo_store").option("collection", "embeddings")
         .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // FULL-TEXT payload index at the store seam: the match_text filter's
+    // candidates are the intersection of its tokens' posting lists
+    // (read from only those tokens' hash buckets), fetched from the
+    // primaries with id-statistics pruning — qdrant's `text` index kind
+    // over the lakehouse backend; the token bag rule makes the
+    // intersection EXACT for match_text, so the plain WHERE oracles it
+    "dsv2_parquet_text_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_text_store",
+        SparkEntry.parquetTextStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 17)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_text_store").option("collection", "embeddings")
+        .option("filter", "body:match_text:w3 tag1")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -5797,6 +5846,18 @@ object SparkEntry {
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s
         |  FROM pts, q
         |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // token membership re-expressed as the derivation's plain WHERE
+    "dsv2_parquet_text_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 17),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  WHERE e.label = 3 AND e.vec_id % 4 = 1
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 

@@ -219,8 +219,10 @@ final case class PayloadCondition(key: String, op: String, value: String) {
       catch { case _: Exception => Some(v) }))
 
   // match_text / phrase query tokens (case-folded whitespace split, the
-  // engine's shared tokenizer convention)
-  private val textTokens: Seq[String] =
+  // engine's shared tokenizer convention); sources-visible so a text
+  // index can generate candidates with THE SAME tokens the row path
+  // evaluates
+  private[sources] val textTokens: Seq[String] =
     if (op == "match_text" || op == "phrase")
       uvalue.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     else Nil

@@ -98,9 +98,11 @@ final class ParquetCollectionStore(
   private def columnOf(field: String): String =
     if (descriptor.named) field else "vector"
 
-  private case class BlockMeta(rows: Long, maxId: Option[String])
+  private case class BlockMeta(rows: Long, minId: Option[String],
+                               maxId: Option[String])
   private case class FileMeta(path: String, start: Long, rows: Long,
-                              maxId: Option[String], blocks: Seq[BlockMeta])
+                              minId: Option[String], maxId: Option[String],
+                              blocks: Seq[BlockMeta])
 
   /** Footer metadata of the file sequence (row counts + id-column max
     * stats) — recomputed lazily per JVM; footers are a few KB per file.
@@ -121,6 +123,7 @@ final class ParquetCollectionStore(
             .flatMap(c => Option(c.getStatistics))
             .filter(s => s.hasNonNullValue)
           BlockMeta(b.getRowCount,
+            idStats.map(_.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8),
             idStats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
         }
         val rows = blocks.map(_.rows).sum
@@ -128,7 +131,11 @@ final class ParquetCollectionStore(
           Some(blocks.flatMap(_.maxId).maxBy(identity)(Ordering.fromLessThan(
             (a: String, b: String) => SparkStringOrder.gt(b, a))))
         else None
-        val m = FileMeta(f.getAbsolutePath, start, rows, maxId, blocks)
+        val minId = if (blocks.forall(_.minId.isDefined) && blocks.nonEmpty)
+          Some(blocks.flatMap(_.minId).minBy(identity)(Ordering.fromLessThan(
+            (a: String, b: String) => SparkStringOrder.gt(b, a))))
+        else None
+        val m = FileMeta(f.getAbsolutePath, start, rows, minId, maxId, blocks)
         start += rows
         m
       } finally in.close()
@@ -153,6 +160,18 @@ final class ParquetCollectionStore(
   private def skippableByBound(maxId: Option[String],
                                idLower: Option[String]): Boolean =
     (for (m <- maxId; b <- idLower) yield !SparkStringOrder.gt(m, b))
+      .getOrElse(false)
+
+  /** An id-set fetch skips any file/row group whose id statistics prove
+    * NO candidate falls in [min, max] — the footer-level form of a point
+    * lookup: fetching k ids from a ranged layout reads only the row
+    * groups that can hold them, however large the collection.
+    */
+  private def skippableByIds(minId: Option[String], maxId: Option[String],
+                             idFilter: Option[Set[String]]): Boolean =
+    (for (lo <- minId; hi <- maxId; ids <- idFilter) yield
+      !ids.exists(id =>
+        !SparkStringOrder.gt(lo, id) && !SparkStringOrder.gt(id, hi)))
       .getOrElse(false)
 
   /** Physical columns of one requested vector field: dense -> one
@@ -185,7 +204,8 @@ final class ParquetCollectionStore(
     val base = fileMetas.iterator.flatMap { fm =>
       if (fm.start + fm.rows <= from || fm.start >= until) Iterator.empty
       else if (skippableByBound(fm.maxId, idLower)) Iterator.empty
-      else readFile(fm, from, until, withPayload, vecCols, idLower)
+      else if (skippableByIds(fm.minId, fm.maxId, idFilter)) Iterator.empty
+      else readFile(fm, from, until, withPayload, vecCols, idLower, idFilter)
     }
     val lowered = idLower.fold(base)(b =>
       base.filter(p => SparkStringOrder.gt(p.id, b)))
@@ -200,7 +220,8 @@ final class ParquetCollectionStore(
   private def readFile(fm: FileMeta, from: Long, until: Long,
                        withPayload: Boolean,
                        vecCols: Seq[FieldCols],
-                       idLower: Option[String]): Iterator[Point] = {
+                       idLower: Option[String],
+                       idFilter: Option[Set[String]] = None): Iterator[Point] = {
     val in = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(fm.path), conf))
     filesOpened.incrementAndGet()
@@ -232,7 +253,8 @@ final class ParquetCollectionStore(
         val bStart = rgStart
         rgStart += b.rows
         val overlaps = bStart < until && bStart + b.rows > from &&
-          !skippableByBound(b.maxId, idLower)
+          !skippableByBound(b.maxId, idLower) &&
+          !skippableByIds(b.minId, b.maxId, idFilter)
         if (!overlaps) { in.skipNextRowGroup(); () }
         else {
           val pages = in.readNextRowGroup()
@@ -324,6 +346,7 @@ final class ParquetCollectionStore(
     sparseServe(c, spec, withPayload, vectorFields, pfilter)
       .orElse(prefilterServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(geoServe(c, spec, withPayload, vectorFields, pfilter))
+      .orElse(textServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(ivfServe(c, spec, withPayload, vectorFields, pfilter))
       .getOrElse(super.searchPointsFiltered(c, spec, withPayload,
         vectorFields, pfilter))
@@ -871,6 +894,7 @@ final class ParquetCollectionStore(
           .getOrElse(0L)).sum
       }
     }.orElse(geoCount(idFilter, idLower, pfilter))
+      .orElse(textCount(idFilter, idLower, pfilter))
       .getOrElse(super.countMatchingFiltered(c, idFilter, idLower, pfilter))
   }
 
@@ -994,6 +1018,133 @@ final class ParquetCollectionStore(
             .map(_.countMatchingFiltered(collection, idFilter, idLower,
               pfilter))
             .getOrElse(0L)).sum
+        }
+      }
+    }
+
+  // -------------------------------------------------------- text index --
+
+  /** Token-postings files read by the text-pruned serve. */
+  @transient lazy val textFilesOpened = new AtomicLong(0L)
+
+  /** The full-text sidecar, when
+    * [[ParquetCollectionStore.writeTextSidecar]] laid one down under
+    * `dir/_tidx`: one (id, token) posting per DISTINCT case-folded
+    * whitespace token of payload key `key`'s string value, partitioned
+    * by token hash bucket — qdrant's `text` payload index kind at the
+    * store seam. A `match_text` condition's candidates are the
+    * INTERSECTION of its tokens' posting lists (exactly the row path's
+    * all-tokens-present rule, so for match_text the candidate set IS the
+    * matching set); `phrase` shares the candidates (a phrase's rows are
+    * a subset of its bag-of-tokens rows) and the consecutive-sequence
+    * check re-evaluates per point. Candidates fetch from the PRIMARY
+    * files pruned by id statistics ([[skippableByIds]]): the ranged
+    * layout makes a k-id fetch read only the row groups that can hold
+    * them.
+    */
+  private case class TextSidecar(key: String, nBuckets: Int, builtAt: Long) {
+    private val root = s"$dir/_tidx/points"
+
+    def servable(cond: PayloadCondition): Boolean =
+      cond.key == key && (cond.op == "match_text" || cond.op == "phrase") &&
+        cond.textTokens.nonEmpty
+
+    /** token -> posting ids, read from ONLY the query tokens' buckets
+      * (one pass per bucket, several tokens served per pass).
+      */
+    def postingsOf(tokens: Seq[String]): Map[String, Set[String]] = {
+      val want = tokens.toSet
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.HashSet[String]]
+      want.map(t => ParquetCollectionStore.tokenBucket(t, nBuckets))
+        .toSeq.distinct.foreach { b =>
+          val sub = new java.io.File(s"$root/tb=$b")
+          Option(sub.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach { f =>
+              textFilesOpened.incrementAndGet()
+              ParquetLog.readTokenRows(f.getAbsolutePath).foreach {
+                case (id, tok) => if (want(tok))
+                  acc.getOrElseUpdate(tok,
+                    scala.collection.mutable.HashSet.empty) += id
+              }
+            }
+        }
+      acc.view.mapValues(_.toSet).toMap
+    }
+
+    /** All-token intersection — empty the moment any token is unknown. */
+    def candidates(cond: PayloadCondition): Set[String] = {
+      val post = postingsOf(cond.textTokens)
+      cond.textTokens.map(t => post.getOrElse(t, Set.empty[String]))
+        .reduce(_ intersect _)
+    }
+  }
+
+  @transient private lazy val textSidecar: Option[TextSidecar] = {
+    val marker = new java.io.File(s"$dir/_tidx/meta.txt")
+    if (!marker.isFile) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val builtAt =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
+      Some(TextSidecar(lines(0), lines(1).toInt, builtAt))
+    }
+  }
+
+  /** Serve a text-filtered search from the postings: candidate ids from
+    * the token intersection, an id-stats-pruned fetch of ONLY those rows
+    * from the primaries, the FULL filter re-evaluated per point (phrase
+    * order, other conditions), ranked under the spec. Selectivity dial
+    * as usual.
+    */
+  private def textServe(c: String, spec: SearchSpec,
+                        withPayload: Boolean, vectorFields: Seq[String],
+                        pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    textSidecar.filter(_ => spec.sparseIndices.isEmpty).flatMap { sc =>
+      pfilter.must.find(sc.servable).flatMap { cond =>
+        tailSince(sc.builtAt).flatMap { tail =>
+          val cands = sc.candidates(cond)
+          if (cands.size > ParquetCollectionStore.prefilterMaxFraction *
+              pointCount(collection)) None
+          else {
+            val keep = vectorFields.toSet
+            val fetchFields = (vectorFields :+ spec.field).distinct
+            val scored = queryPointsFiltered(c, 0L, pointCount(c),
+                withPayload = true, fetchFields, None,
+                idFilter = Some(cands -- tail.masked), pfilter = pfilter)
+              .flatMap { p =>
+                p.dense.get(spec.field)
+                  .flatMap(v => SearchSpec.score(spec.metric, v, spec.query))
+                  .filter(spec.passes)
+                  .map(s => (p.copy(
+                    payload = if (withPayload) p.payload else None,
+                    dense = p.dense.view.filterKeys(keep).toMap,
+                    sparse = p.sparse.view.filterKeys(keep).toMap), s))
+              }.toSeq
+            Some(mergeBest(spec, scored ++
+              tailScored(tail, spec, withPayload, vectorFields, pfilter)))
+          }
+        }
+      }
+    }
+
+  /** Text-pruned filtered count: the candidate intersection fetched
+    * payload-only with the full filter (phrase/residuals re-checked).
+    * Only with an empty since-build tail.
+    */
+  private def textCount(idFilter: Option[Set[String]], idLower: Option[String],
+                        pfilter: PayloadFilter): Option[Long] =
+    textSidecar.flatMap { sc =>
+      pfilter.must.find(sc.servable).flatMap { cond =>
+        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
+          val cands = sc.candidates(cond)
+          val narrowed = idFilter.fold(cands)(cands intersect _)
+          queryPointsFiltered(collection, 0L, pointCount(collection),
+            withPayload = false, Nil, None, idFilter = Some(narrowed),
+            idLower = idLower, pfilter = pfilter).size.toLong
         }
       }
     }
@@ -1423,6 +1574,13 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
     }
+    val textMeta = new java.io.File(s"$dir/_tidx/meta.txt")
+    if (textMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(textMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
+    }
     val ivfMeta = new java.io.File(s"$dir/_ivf/field.txt")
     if (ivfMeta.isFile) {
       val field = new String(
@@ -1514,6 +1672,41 @@ object ParquetCollectionStore {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$bits\n$covered\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Token -> bucket: Java String.hashCode (a stable, documented hash),
+    * floor-mod into nBuckets. Used identically at write (via the
+    * sidecar builder's closure) and at read, so a query token's bucket
+    * is a driver-side computation, never a scan.
+    */
+  private[sources] def tokenBucket(t: String, nBuckets: Int): Int =
+    java.lang.Math.floorMod(t.hashCode, nBuckets)
+
+  /** Lay a full-text sidecar under `dir/_tidx`: one (id, token) posting
+    * per DISTINCT case-folded whitespace token of payload key `key`'s
+    * string value (THE row path's tokenizer — PayloadCondition's
+    * match_text convention), partitioned by [[tokenBucket]] and
+    * co-located one file per bucket. Rows without a string value under
+    * the key carry no postings — they can never match a text condition.
+    */
+  def writeTextSidecar(df: DataFrame, dir: String, key: String,
+                       nBuckets: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{explode, expr, udf}
+    val base = s"$dir/_tidx"
+    val toks = expr(
+      s"array_distinct(filter(split(lower(get_json_object(payload, " +
+        s"'$$.$key')), '\\\\s+'), t -> t != ''))")
+    val bucketOf = udf((t: String) =>
+      tokenBucket(t, nBuckets)) // offline batch job: a UDF is fine here
+    df.select(col("id"), explode(toks).as("token"))
+      .withColumn("tb", bucketOf(col("token")))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$base/points")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/meta.txt"),
+      s"$key\n$nBuckets\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 

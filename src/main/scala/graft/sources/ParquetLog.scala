@@ -459,6 +459,18 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** One text-index posting row per (id, token) — the text sidecar's
+    * stored shape.
+    */
+  def readTokenRows(path: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    readGroups(path) { (g, schema) =>
+      out += ((g.getString("id", 0),
+        g.getString(schema.getFieldIndex("token"), 0)))
+    }
+    out.result()
+  }
+
   /** Mirror one PRIMARY file as the log segment sealing its enumeration
     * positions [start, start+rows) as upserts — the initial-ingest
     * changelog entry for that file. Runs executor-side (one task per

@@ -1426,6 +1426,55 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(st2.filesOpened.get() > 0L)            // the full pass served
   }
 
+  test("text sidecar: match_text/phrase serve from token postings + id-stats-pruned fetch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    val desc = graft.collections.CollectionDescriptor("tx",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    // ids zero-padded so the ranged layout's id stats are tight; a rare
+    // token pair lives in ONE file's range
+    val rows = (0 until 40).map { i =>
+      val words =
+        if (i == 7) "alpha beta gamma"
+        else if (i == 9) "gamma beta alpha"      // bag matches, order differs
+        else if (i % 3 == 0) s"alpha w$i filler"
+        else s"noise w$i other"
+      (f"$i%03d", s"""{"body":"$words"}""",
+        Array(1.0f - i * 0.02f, i * 0.02f))
+    }
+    val df = rows.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 4)
+    ParquetCollectionStore.writeTextSidecar(df, dir, key = "body")
+    val store = new ParquetCollectionStore(dir, "tx", desc)
+    val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 5)
+    def served(cond: PayloadCondition) =
+      store.searchPointsFiltered("tx", spec, withPayload = false,
+        vectorFields = Nil, pfilter = PayloadFilter(Seq(cond), Nil, None))
+        .map(_._1.id)
+    // match_text: the token intersection IS the matching set; the
+    // candidate fetch is id-stats PRUNED — ids 007/009 live in the first
+    // of 4 ranged files, the other 3 never open
+    val mt = PayloadCondition("body", "match_text", "beta alpha")
+    assert(served(mt) === Seq("007", "009"))
+    assert(store.filesOpened.get() === 1L)
+    // phrase: candidates shared, consecutive-order re-checked per point
+    val ph = PayloadCondition("body", "phrase", "alpha beta")
+    assert(served(ph) === Seq("007"))
+    assert(store.filesOpened.get() === 2L)        // one more pruned fetch
+    assert(store.textFilesOpened.get() > 0L)
+    // pruned count equals the row-path walk, residual conditions compose
+    val brute = new ParquetCollectionStore(dir, "tx", desc)
+    val pf = PayloadFilter(Seq(mt), Nil, None)
+    assert(store.countMatchingFiltered("tx", None, None, pf) ===
+      brute.queryPointsFiltered("tx", 0L, brute.pointCount("tx"),
+        withPayload = false, Nil, None, pfilter = pf).size.toLong)
+    // an unknown token's intersection is empty — zero candidates, zero
+    // primary reads, still exact
+    val before = store.filesOpened.get()
+    assert(served(PayloadCondition("body", "match_text", "alpha zzz")) === Nil)
+    assert(store.filesOpened.get() === before)
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
