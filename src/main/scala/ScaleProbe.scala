@@ -15,7 +15,7 @@ object ScaleProbe {
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-      "ordering", "storeivf", "pqlog", "fresh")
+      "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -165,6 +165,104 @@ object ScaleProbe {
         }
         println(s"[probe] tail=$t primary files opened: " +
           s"${store.filesOpened.get} (clusters=${store.ivfClustersTouched.size})")
+      }
+    }
+
+    // transport comparison: ONE backend, both wire clients. Scan cost is
+    // O(transfer) on both; the binary frames carry vectors as packed
+    // fixed32 (4 bytes/component) where JSON ships ~13 text bytes — the
+    // protobuf transport should scan measurably faster and search at
+    // parity (search ships k rows either way).
+    section("wire") {
+      import graft.sources._
+      import graft.collections.Collections
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          to_json(struct(col("label"))).as("payload"),
+          col("embedding").as("vector"))
+      CollectionStores.register("probe_wire",
+        InMemoryCollectionStore.fromRows(emb, "embeddings",
+          Collections.homogeneousDescriptor))
+      val http = new CollectionHttpServer("probe_wire").start()
+      val bin = new CollectionGrpcServer("probe_wire").start()
+      val rest = new RestCollectionStore(http.baseUrl)
+      val grpc = new GrpcCollectionStore(bin.host, bin.port)
+      val q = emb.filter(col("id") === "7")
+        .select(col("vector").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      for (_ <- 1 to 2) { // second round = warmed JIT, the honest number
+        time("wire rest_scan (full fetch x3)") {
+          (1 to 3).map(_ => rest.queryPoints("embeddings", 0L,
+            rest.pointCount("embeddings"), withPayload = true,
+            Seq("vector"), None).size.toLong).sum
+        }
+        time("wire grpc_scan (full fetch x3)") {
+          (1 to 3).map(_ => grpc.queryPoints("embeddings", 0L,
+            grpc.pointCount("embeddings"), withPayload = true,
+            Seq("vector"), None).size.toLong).sum
+        }
+        time("wire rest_search (x20)") {
+          (1 to 20).map(_ => rest.searchPoints("embeddings", spec,
+            withPayload = false, Nil).size.toLong).sum
+        }
+        time("wire grpc_search (x20)") {
+          (1 to 20).map(_ => grpc.searchPoints("embeddings", spec,
+            withPayload = false, Nil).size.toLong).sum
+        }
+      }
+      http.stop(); bin.stop()
+    }
+
+    // text-sidecar cost shape: the corpus grows xN but the queried
+    // tokens stay RARE (planted only on the original rows), so the
+    // candidate set is FIXED while postings grow linearly — serve cost
+    // should stay near-flat (2-of-16 posting buckets + a fixed
+    // id-stats-pruned fetch) while the brute filtered scan grows ~xN.
+    section("storetext") {
+      import graft.sources._
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("vid"),
+          col("label"), col("embedding"))
+      def corpusN(n: Int) = (0 until n).map(i =>
+        emb.select((col("vid") + lit(i * 10000000L)).as("vid"),
+          col("label"), col("embedding"))).reduce(_ union _)
+        .select(col("vid").cast("string").as("id"),
+          to_json(struct(concat(
+            lit("alpha w"), col("label"),
+            when(col("vid") < 2000, lit(" orig")).otherwise(lit(" rep")))
+            .as("body"))).as("payload"),
+          col("embedding").as("vector"))
+      val q = emb.filter(col("vid") === 7)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      val pf = PayloadFilter(Seq(
+        PayloadCondition("body", "match_text", "orig w3")), Nil, None)
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = corpusN(n)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-tidx-x$n").toString
+        ParquetCollectionStore.write(c, dir, numFiles = 8)
+        ParquetCollectionStore.writeTextSidecar(c, dir, key = "body")
+        val idx = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor)
+        val brute = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor)
+        // hide the sidecar from the brute arm by filtering via the base
+        // walk (same machine, same files — only the access path differs)
+        time(s"storetext pruned x$n (5 queries)") {
+          (1 to 5).map(_ => idx.searchPointsFiltered("embeddings", spec,
+            withPayload = false, vectorFields = Nil, pf).size.toLong).sum
+        }
+        time(s"storetext brute x$n (1 query)") {
+          brute.queryPointsFiltered("embeddings", 0L,
+            brute.pointCount("embeddings"), withPayload = false, Nil,
+            None, pfilter = pf).size.toLong
+        }
+        println(s"[probe] x$n pruned primary files=${idx.filesOpened.get} " +
+          s"postings files=${idx.textFilesOpened.get} " +
+          s"brute files=${brute.filesOpened.get}")
       }
     }
 

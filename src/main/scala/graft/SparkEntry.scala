@@ -354,6 +354,30 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The parquet store with a FLOAT payload index: payload carries a
+    * derived double (`label + vec_id % 10 / 16.0` — /16 is exact in
+    * binary, so both engines hold identical doubles), and range bounds
+    * prune the type-tagged value partitions — the float leg of qdrant's
+    * numeric index kinds.
+    */
+  private val parquetFloatStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetFloatStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetFloatStoreCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-float")
+      val score = col("label").cast("double") +
+        (col("vec_id") % 10).cast("double") / 16.0
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(score.as("score"))).as("payload"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "score", kind = "float")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        graft.collections.CollectionDescriptor("embeddings", Seq()))
+    })
+
   /** The parquet store with a FULL-TEXT payload index: payload carries a
     * derived body (`"alpha w<label> tag<vec_id%4>"`), the `_tidx`
     * sidecar holds (id, token) postings bucketed by token hash, and a
@@ -1669,6 +1693,21 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // FLOAT payload index at the store seam: range bounds over a double
+    // payload value prune the type-tagged partitions and the pushed
+    // COUNT is footer-only — the float leg of qdrant's numeric index
+    // kinds (the int leg is dsv2_parquet_indexed_count)
+    "dsv2_parquet_float_count" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_float_store",
+        SparkEntry.parquetFloatStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_float_store").option("collection", "embeddings")
+        .option("filter", "score:gte:3.25;score:lt:7.5")
+        .load()
+        .agg(count(lit(1)).as("n"))
     }),
 
     // FULL-TEXT payload index at the store seam: the match_text filter's
@@ -5848,6 +5887,13 @@ object SparkEntry {
         |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the derived double re-expressed in DuckDB arithmetic (exact: /16
+    // is a binary fraction)
+    "dsv2_parquet_float_count" ->
+      """SELECT count(*) AS n FROM embeddings
+        |WHERE label + (vec_id % 10) / 16.0 >= 3.25
+        |  AND label + (vec_id % 10) / 16.0 < 7.5""".stripMargin,
 
     // token membership re-expressed as the derivation's plain WHERE
     "dsv2_parquet_text_search" ->

@@ -1796,7 +1796,7 @@ object ParquetCollectionStore {
                           kind: String = "int"): Unit = {
     val base = s"$dir/_pidx/k_$key"
     import org.apache.spark.sql.functions.when
-    require(kind == "int" || kind == "keyword" || kind == "datetime",
+    require(Set("int", "keyword", "datetime", "float", "bool")(kind),
       s"unsupported index kind '$kind'")
     // TYPE-TAGGED extraction: the partition value is the field's RAW
     // JSON scalar form — `"3"` (a string) and `3` (a number) land in
