@@ -588,6 +588,17 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
+  /** One binary-transport server fronting the LAKEHOUSE backend
+    * (registry name `grpc_lake_backend` — gates register the parquet
+    * store there before dialing): remote node over cold storage, the
+    * production deployment shape.
+    */
+  private lazy val grpcLakeServer: graft.sources.CollectionGrpcServer = {
+    val srv = new graft.sources.CollectionGrpcServer("grpc_lake_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv
+  }
+
   /** One binary-transport server fronting the writable remote collection
     * (registry name `grpc_write_backend`): gates reset the backend per
     * invocation, the server resolves the store by name per request.
@@ -2159,6 +2170,56 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the FULL STACK in one line: connector scan -> protobuf wire ->
+    // service -> PARQUET store serving from its IVF sidecar. The pushed
+    // top-k crosses the wire as a protobuf frame, the lakehouse backend
+    // answers probe-pruned (primary files closed), k scored rows come
+    // back — a remote node over cold storage, which is exactly the
+    // production deployment shape. Same oracle as the local parquet
+    // serve: two seams (transport, storage) and zero result drift
+    "dsv2_grpc_lakehouse_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("grpc_lake_backend",
+        SparkEntry.parquetIvfStore(s, dir))
+      val srv = SparkEntry.grpcLakeServer
+      CollectionStores.register("grpc_lake_store",
+        new GrpcCollectionStore(srv.host, srv.port))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_lake_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the same stack with the payload index as the access path: the
+    // filter ships in the protobuf frame, the service's parquet store
+    // serves from the label index's value partitions — qdrant's
+    // pre-filter arm behind two seams, same oracle as the local form
+    "dsv2_grpc_lakehouse_prefilter" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("grpc_lake_backend",
+        SparkEntry.parquetIvfStore(s, dir))
+      val srv = SparkEntry.grpcLakeServer
+      CollectionStores.register("grpc_lake_store2",
+        new GrpcCollectionStore(srv.host, srv.port))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_lake_store2").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -5831,6 +5892,21 @@ object SparkEntry {
     "dsv2_parquet_ivf_search" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, rawOrder = true),
+
+    // the same serve behind the protobuf transport: identical mirrors
+    "dsv2_grpc_lakehouse_search" -> DuckMirror.ivfSql(
+      queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, rawOrder = true),
+
+    "dsv2_grpc_lakehouse_prefilter" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 11),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q WHERE e.label = 3
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // sparse_inverted_search's brute mirror in the dsv2 raw-rank form
     // (the store ranks unrounded, rounds for display); the 0.0 CASE arms

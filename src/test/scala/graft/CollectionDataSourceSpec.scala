@@ -1481,11 +1481,12 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     val desc = graft.collections.CollectionDescriptor("op",
       Seq(graft.collections.DenseField("vector", 2)), named = false)
     val df = (1 to 10).map { i =>
-      (i.toString, s"""{"g":${i % 5}}""",
+      (i.toString, s"""{"g":${i % 5},"body":"tokg${i % 5} w$i"}""",
         Array(1.0f - i * 0.05f, i * 0.05f))
     }.toDF("id", "payload", "vector")
     ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
     ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g", kind = "int")
+    ParquetCollectionStore.writeTextSidecar(df, dir, key = "body")
     val clustered = df.withColumn("cluster",
       when(col("id").cast("int") <= 5, 0).otherwise(1))
     val centroids = Seq((0, Array(0.9f, 0.15f)), (1, Array(0.6f, 0.4f)))
@@ -1519,6 +1520,13 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // tail is empty, so not a byte of point data is decoded
     assert(opt.countMatchingFiltered("op", None, None, pf) === 2L)
     assert(opt.filesOpened.get() === 0L)
+    // the TEXT sidecar was rebuilt too: the deleted "3" left its
+    // postings, the count serves from the fresh intersection (the
+    // upserted "0" has no body, so only "8" carries tokg3 now)
+    val tf = PayloadFilter(Seq(
+      PayloadCondition("body", "match_text", "tokg3")), Nil, None)
+    assert(opt.countMatchingFiltered("op", None, None, tf) === 1L)
+    assert(opt.textFilesOpened.get() > 0L)
     assert(store ne opt)                          // reopen discipline
   }
 

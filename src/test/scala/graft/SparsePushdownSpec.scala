@@ -106,4 +106,32 @@ class SparsePushdownSpec extends AnyFunSuite {
     val want = expected(20, 20).filter(_._1.toInt >= 10).take(5)
     assert(got.map(p => (p._1.id, p._2)) === want)
   }
+
+  test("sparse sidecar freshness: COW mutations overlay the postings until rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spfresh").toString
+    val rows = mkPoints(20).map { p =>
+      val (di, dv) = p.sparse("kw")
+      (p.id, p.payload.orNull, di.toSeq, dv.toSeq)
+    }
+    val df = rows.toDF("id", "payload", "kw_indices", "kw_values")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeSparseSidecar(df, dir, "kw", nBuckets = 8)
+    val spec = SearchSpec("kw", qVal, "dot", 5, sparseIndices = Some(qIdx))
+    val store = new ParquetCollectionStore(dir, "sp", desc)
+    val baseline = store.searchPoints("sp", spec,
+      withPayload = false, vectorFields = Nil)
+    val topId = baseline.head._1.id
+    // a dominant new point + the old winner deleted, NO rebuild: the
+    // postings-served page must reflect both from the log tail
+    val mutated = store.appended("sp", IndexedSeq(Point("98", None,
+        sparse = Map("kw" -> ((Array(2, 7), Array(100f, 100f)))))))
+      .removed("sp", Set(topId))
+    val after = mutated.searchPoints("sp", spec,
+      withPayload = false, vectorFields = Nil)
+    assert(after.head._1.id === "98")
+    assert(after.map(_._1.id) ===
+      "98" +: baseline.map(_._1.id).filterNot(_ == topId).take(4))
+    assert(mutated.sparseFilesOpened.get() > 0L)   // the postings served
+  }
 }
