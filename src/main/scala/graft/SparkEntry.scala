@@ -599,6 +599,16 @@ object SparkEntry {
     srv
   }
 
+  /** One binary-transport server fronting the WRITABLE lakehouse backend
+    * (registry name `grpc_lakew_backend`): gates register a fresh empty
+    * log-enabled parquet store there per invocation.
+    */
+  private lazy val grpcLakeWriteServer: graft.sources.CollectionGrpcServer = {
+    val srv = new graft.sources.CollectionGrpcServer("grpc_lakew_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv
+  }
+
   /** One binary-transport server fronting the writable remote collection
     * (registry name `grpc_write_backend`): gates reset the backend per
     * invocation, the server resolves the store by name per request.
@@ -2222,6 +2232,31 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // remote LAKEHOUSE writes: the connector's batches cross the
+    // protobuf wire and the SERVICE applies each as a COW batch + log
+    // segment on its parquet store — a writable cold-storage node. The
+    // read-back pages through the same client; fresh empty dir per
+    // invocation so re-runs replay the identical ingest
+    "dsv2_grpc_lakehouse_write" -> ((s, dir) => {
+      import graft.sources._
+      val pqDir = SparkEntry.tempStoreDir("graft-pq-grpcw")
+      ParquetCollectionStore.initEmpty(pqDir)
+      CollectionStores.register("grpc_lakew_backend",
+        new ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor))
+      val srv = SparkEntry.grpcLakeWriteServer
+      CollectionStores.register("grpc_lakew_store",
+        new GrpcCollectionStore(srv.host, srv.port))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_lakew_store").option("collection", "embeddings")
+        .mode("append").save()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_lakew_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     }),
 
     // the connector's WRITE path over the binary wire: upsert batches
@@ -6130,6 +6165,11 @@ object SparkEntry {
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     "dsv2_grpc_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    "dsv2_grpc_lakehouse_write" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,

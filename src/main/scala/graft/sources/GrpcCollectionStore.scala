@@ -801,6 +801,11 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
         AliasedCollectionStore.mapInner(s0) {
           case mem: InMemoryCollectionStore =>
             mem.appended(coll, batch.sortBy(_.id).toIndexedSeq)
+          // the remote LAKEHOUSE write: the service owns the COW batch
+          // (file-granular rewrite + one log segment), the wire client
+          // only ships points — a writable cold-storage node
+          case pq: ParquetCollectionStore =>
+            pq.appended(coll, batch.sortBy(_.id).toIndexedSeq)
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept upserts")
         }
@@ -821,6 +826,7 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
         val coll = AliasedCollectionStore.resolve(s0, c)
         AliasedCollectionStore.mapInner(s0) {
           case mem: InMemoryCollectionStore => mem.removed(coll, idSet)
+          case pq: ParquetCollectionStore => pq.removed(coll, idSet)
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept deletes")
         }
@@ -838,6 +844,7 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
         val coll = AliasedCollectionStore.resolve(s0, c)
         AliasedCollectionStore.mapInner(s0) {
           case mem: InMemoryCollectionStore => mem.truncated(coll)
+          case pq: ParquetCollectionStore => pq.truncated(coll)
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept truncation")
         }

@@ -1103,6 +1103,10 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
           AliasedCollectionStore.mapInner(s0) {
             case mem: InMemoryCollectionStore =>
               mem.appended(coll, pts.sortBy(_.id).toIndexedSeq)
+            // the remote LAKEHOUSE write (transport parity with the
+            // binary server): service-side COW batch + log segment
+            case pq: ParquetCollectionStore =>
+              pq.appended(coll, pts.sortBy(_.id).toIndexedSeq)
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept upserts")
           }
@@ -1222,6 +1226,14 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
               else b \ "points" match {
                 case JArray(ids) =>
                   mem.removed(coll, ids.flatMap(i => CollectionWire.optStr(i)).toSet)
+                case other => throw new IllegalArgumentException(
+                  s"points/delete requires points ids or all=true: $other")
+              }
+            case pq: ParquetCollectionStore =>
+              if (b \ "all" == JBool(true)) pq.truncated(coll)
+              else b \ "points" match {
+                case JArray(ids) =>
+                  pq.removed(coll, ids.flatMap(i => CollectionWire.optStr(i)).toSet)
                 case other => throw new IllegalArgumentException(
                   s"points/delete requires points ids or all=true: $other")
               }
