@@ -348,8 +348,12 @@ object SparkEntry {
           .as("payload"),
         col("embedding").as("vector"))
       graft.sources.ParquetCollectionStore.write(df, pqDir)
+      // bits sizes cells to the data density: at bits=6 this lattice
+      // spreads ~8 rows/cell and a box query opens ~88 tiny files
+      // (measured 0.8 s/query); bits=4 packs ~6 cover cells per query —
+      // the standard partition-sizing trade, chosen by measurement
       graft.sources.ParquetCollectionStore.writeGeoSidecar(
-        df, pqDir, key = "loc", bits = 6)
+        df, pqDir, key = "loc", bits = 4)
       new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
         Collections.homogeneousDescriptor)
     })

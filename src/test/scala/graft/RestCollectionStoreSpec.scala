@@ -639,4 +639,30 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = spark.table("rest_cdc").count()
     assert(got === inner.logSize("c"))
   }
+
+  test("remote LAKEHOUSE writes over JSON: the service applies COW batches to the parquet backend") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rest-lakew").toString
+    ParquetCollectionStore.initEmpty(dir)
+    val d2 = CollectionDescriptor("lw", Seq(DenseField("v", 2)))
+    CollectionStores.register("rest_lakew_backend",
+      new ParquetCollectionStore(dir, "lw", d2))
+    val srv = new CollectionHttpServer("rest_lakew_backend").start()
+    try {
+      val cl = new RestCollectionStore(srv.baseUrl)
+      cl.upsertPoints("lw", Seq(
+        Point("a", Some("""{"x":1}"""), dense = Map("v" -> Array(1f, 0f))),
+        Point("b", None, dense = Map("v" -> Array(0f, 1f)))))
+      assert(cl.pointCount("lw") === 2L)
+      cl.deletePoints("lw", Set("a"))
+      assert(cl.queryPoints("lw", 0, 2, withPayload = true, Seq("v"), None)
+        .map(_.id).toSeq === Seq("b"))
+      // the mutations landed as COW + log segments on DISK: a fresh
+      // store on the same dir replays the same state and history
+      val reopened = new ParquetCollectionStore(dir, "lw", d2)
+      assert(reopened.pointCount("lw") === 1L)
+      assert(reopened.logEntries("lw", 0, reopened.logSize("lw"))
+        .map(e => (e.op, e.point.id)).toSeq ===
+        Seq(("upsert", "a"), ("upsert", "b"), ("delete", "a")))
+    } finally srv.stop()
+  }
 }
