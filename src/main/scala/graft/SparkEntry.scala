@@ -2039,6 +2039,16 @@ object SparkEntry {
         .toDF("value", "n")
     }),
 
+    // the facet API over the binary wire — same oracle, different frames
+    "dsv2_grpc_facet" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val (h, p) = SparkEntry.grpcBackedAddr(s, dir)
+      val client = new GrpcCollectionStore(h, p)
+      client.facetCounts("embeddings", "label", limit = 5)
+        .toDF("value", "n")
+    }),
+
     // WRITES over the wire: the connector's batch write commits through
     // the REST client (PUT points — Qdrant's upsert surface), the remote
     // service owns the RMW, and the read-back round-trips through the
@@ -6090,6 +6100,11 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_rest_facet" ->
+      """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+        |FROM embeddings
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    "dsv2_grpc_facet" ->
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
