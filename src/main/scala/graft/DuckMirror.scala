@@ -660,16 +660,18 @@ object DuckMirror {
     */
   def ivfSql(queryVecId: Int, k: Int, dim: Int, nlist: Int, nprobe: Int,
              maxIter: Int, seed: Long, metric: String = "cosine",
-             rawOrder: Boolean = false): String = {
+             rawOrder: Boolean = false,
+             // the corpus the fit ran over — override for a SUBSET fit
+             // (e.g. a named hetero field populated on part of the ids)
+             corpusSql: String =
+               """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+                 |  FROM embeddings""".stripMargin): String = {
     val scoreFn = metric match {
       case "cosine" => "list_cosine_similarity"
       case "dot" => "list_inner_product"
       case other => throw new IllegalArgumentException(s"metric $other")
     }
-    val (chain, finalAsg) = ivfChain(
-      """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings""".stripMargin,
-      dim, nlist, maxIter, seed)
+    val (chain, finalAsg) = ivfChain(corpusSql, dim, nlist, maxIter, seed)
     val head =
       s"""WITH $chain,
          |q AS (SELECT v AS qv FROM corpus WHERE vec_id = $queryVecId),

@@ -507,6 +507,33 @@ object SparkEntry {
         Collections.heterogeneousDescriptor)
     })
 
+  /** The heterogeneous store with an IVF sidecar on the NAMED
+    * `text_embedding` field: the fit runs over the rows that HAVE the
+    * field (vec_id % 3 in {0, 1} — named collections populate fields on
+    * subsets by design), the cluster partitions carry exactly those
+    * rows, and a pushed top-k on the field serves probe-pruned. Rows
+    * without the field can never match that search, so the subset index
+    * is complete.
+    */
+  private def parquetHeteroIvfStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHeteroStoreCache.getOrElseUpdate(s"$dir#hivf", {
+      val pqDir = tempStoreDir("graft-pq-hetero-ivf")
+      val het = Collections.heterogeneous(s, dir)
+      graft.sources.ParquetCollectionStore.write(het, pqDir)
+      val sub = het.filter(col("text_embedding").isNotNull)
+        .select(col("id"), col("payload"),
+          dvec(col("text_embedding")).as("text_embedding"))
+      val idx = ivfCache.getOrElseUpdate(s"$dir#hetero",
+        graft.ops.Ann.buildIvf(sub, "id", "text_embedding",
+          nlist = 8, maxIter = 0))
+      graft.sources.ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "text_embedding", "cluster"),
+        idx.centroids, pqDir, field = "text_embedding",
+        vectorColumn = "text_embedding")
+      new graft.sources.ParquetCollectionStore(pqDir, "hetero",
+        Collections.heterogeneousDescriptor, ivfNprobe = 2)
+    })
+
   /** The heterogeneous collection minus the query point, sealed cold —
     * the pushed NAMED-FIELD search fixture (the oracle excludes vec 0
     * before ranking, so the fixture does too).
@@ -591,6 +618,16 @@ object SparkEntry {
       Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
       (srv.host, srv.port)
     })
+
+  /** One JSON-transport server fronting the LAKEHOUSE backend (registry
+    * name `rest_lake_backend`) — the transport twin of
+    * [[grpcLakeServer]].
+    */
+  private lazy val restLakeUrl: String = {
+    val srv = new graft.sources.CollectionHttpServer("rest_lake_backend").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv.baseUrl
+  }
 
   /** One binary-transport server fronting the LAKEHOUSE backend
     * (registry name `grpc_lake_backend` — gates register the parquet
@@ -2216,6 +2253,49 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "grpc_lake_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // NAMED-FIELD IVF serving: the sidecar indexes text_embedding over
+    // the rows that HAVE it (vec_id % 3 in {0,1}), a pushed top-k on
+    // the named field probes centroids and reads only the probed
+    // clusters — the subset-fit mirror reproduces every stage, so the
+    // named-collection path gets the same deterministic oracle as the
+    // homogeneous one
+    "dsv2_parquet_named_ivf" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hivf_store",
+        SparkEntry.parquetHeteroIvfStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 6)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hivf_store").option("collection", "hetero")
+        .option("search.field", "text_embedding")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // transport symmetry: the SAME lakehouse serve behind the JSON wire
+    // (rest server fronting the parquet store) — three backends, two
+    // transports, one oracle
+    "dsv2_rest_lakehouse_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_lake_backend",
+        SparkEntry.parquetIvfStore(s, dir))
+      CollectionStores.register("rest_lake_store",
+        new RestCollectionStore(SparkEntry.restLakeUrl))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_lake_store").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -5946,6 +6026,19 @@ object SparkEntry {
     "dsv2_grpc_lakehouse_search" -> DuckMirror.ivfSql(
       queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, rawOrder = true),
+
+    "dsv2_rest_lakehouse_search" -> DuckMirror.ivfSql(
+      queryVecId = 7, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, rawOrder = true),
+
+    // the SUBSET-fit mirror: the corpus is the rows carrying the named
+    // field (hetero populates text_embedding on vec_id % 3 in {0, 1})
+    "dsv2_parquet_named_ivf" -> DuckMirror.ivfSql(
+      queryVecId = 6, k = 10, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, rawOrder = true,
+      corpusSql =
+        """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings WHERE vec_id % 3 IN (0, 1)""".stripMargin),
 
     "dsv2_grpc_lakehouse_prefilter" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
