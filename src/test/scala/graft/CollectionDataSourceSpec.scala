@@ -1475,6 +1475,45 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.filesOpened.get() === before)
   }
 
+  test("named-field IVF sidecar: subset index serves probe-pruned, absent-field rows never matter") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nivf").toString
+    val desc = graft.collections.CollectionDescriptor("nv", Seq(
+      graft.collections.DenseField("a_vec", 2),
+      graft.collections.DenseField("b_vec", 2)))
+    // a_vec populated on even ids only; b_vec on all (the named-subset
+    // shape); manual clusters split a_vec's subset left/right
+    val rows = (0 until 20).map { i =>
+      (f"$i%03d", s"""{"i":$i}""",
+        if (i % 2 == 0) Array(1.0f - i * 0.04f, i * 0.04f) else null,
+        Array(0.5f, 0.5f))
+    }
+    val df = rows.toDF("id", "payload", "a_vec", "b_vec")
+    ParquetCollectionStore.write(df, dir, numFiles = 2)
+    val clustered = df.filter(col("a_vec").isNotNull)
+      .withColumn("cluster", when(col("id") < "010", 0).otherwise(1))
+    val centroids = Seq((0, Array(0.95f, 0.1f)), (1, Array(0.5f, 0.45f)))
+      .toDF("cluster", "centroid")
+    ParquetCollectionStore.writeIvfSidecar(clustered.select(
+        "id", "payload", "a_vec", "cluster"),
+      centroids, dir, field = "a_vec", vectorColumn = "a_vec")
+    val store = new ParquetCollectionStore(dir, "nv", desc, ivfNprobe = 1)
+    // query near (1, 0) probes cluster 0 (ids 000..008 even) only
+    val got = store.searchPoints("nv",
+      SearchSpec("a_vec", Array(1.0, 0.0), "cosine", 3),
+      withPayload = false, vectorFields = Nil)
+    assert(got.map(_._1.id) === Seq("000", "002", "004"))
+    assert(store.ivfClustersTouched === Seq("0"))  // probe-pruned
+    assert(store.filesOpened.get() === 0L)         // primaries closed
+    // a search on the OTHER named field ignores the a_vec sidecar and
+    // serves the full pass over all rows
+    val other = store.searchPoints("nv",
+      SearchSpec("b_vec", Array(1.0, 1.0), "cosine", 2),
+      withPayload = false, vectorFields = Nil)
+    assert(other.map(_._1.id) === Seq("000", "001"))
+    assert(store.filesOpened.get() > 0L)
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
