@@ -272,9 +272,11 @@ private[sources] object GrpcWire {
   * `(host, port)` and open their own connections.
   */
 final class GrpcCollectionStore(host: String, port: Int,
-                                pageSize: Int = 4096)
+                                pageSize: Int = 4096,
+                                timeoutMs: Int = 30000)
     extends CollectionStore with RemoteCollectionClient {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
+  require(timeoutMs > 0, s"timeoutMs must be positive, got $timeoutMs")
 
   @transient private lazy val descCache =
     new java.util.concurrent.ConcurrentHashMap[String, CollectionDescriptor]()
@@ -287,8 +289,13 @@ final class GrpcCollectionStore(host: String, port: Int,
     * failures whichever backend is registered.
     */
   private def call(method: String, body: PbWriter): Array[Byte] = {
-    val sock = new Socket(host, port)
+    // bounded failure: a wedged or half-closed server must surface a
+    // store-contract exception, never pin an executor thread (the REST
+    // twin bounds failures with retries; here connect + read timeouts)
+    val sock = new Socket()
     try {
+      sock.connect(new java.net.InetSocketAddress(host, port), timeoutMs)
+      sock.setSoTimeout(timeoutMs)
       val out = new java.io.BufferedOutputStream(sock.getOutputStream)
       GrpcWire.writeDelimited(out, method.getBytes(UTF_8))
       GrpcWire.writeDelimited(out, body.toBytes)
@@ -307,6 +314,11 @@ final class GrpcCollectionStore(host: String, port: Int,
         case s => throw new RuntimeException(
           s"collection grpc service status $s: ${new String(payload, UTF_8)}")
       }
+    } catch {
+      case e: java.net.SocketTimeoutException =>
+        throw new IllegalStateException(
+          s"collection grpc '$method' to $host:$port timed out " +
+            s"after ${timeoutMs}ms", e)
     } finally sock.close()
   }
 

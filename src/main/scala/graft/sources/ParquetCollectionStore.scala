@@ -1256,7 +1256,9 @@ final class ParquetCollectionStore(
   def removed(c: String, ids: Set[String]): ParquetCollectionStore = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
     requireLog("removed")
-    val fields = descriptor.fields.collect { case DenseField(n, _, _) => n }
+    // ALL field names (dense + sparse + multi): kept rows in a rewritten
+    // file must survive with every vector kind, exactly as appended() does.
+    val fields = descriptor.fields.map(_.name)
     val hits = Seq.newBuilder[String]
     fileMetas.foreach { fm =>
       // footer-stats prune: skip files that cannot hold any target id
@@ -1588,8 +1590,12 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n")(0).trim
       val vecCol = if (df.columns.contains(field)) field else "vector"
       val nlist = spark.read.parquet(s"$dir/_ivf/centroids").count().toInt
+      // a NAMED field may be subset-populated (hetero collections): the
+      // original build fits over rows carrying the field only — match it,
+      // else fitCentroids can seed from a null vector / emit null clusters
       val idx = graft.ops.Ann.buildIvf(
-        df.withColumn(vecCol, col(vecCol).cast(ArrayType(DoubleType))),
+        df.filter(col(vecCol).isNotNull)
+          .withColumn(vecCol, col(vecCol).cast(ArrayType(DoubleType))),
         "id", vecCol, nlist = nlist, maxIter = ivfMaxIter)
       val cols = df.columns.toSeq :+ "cluster"
       writeIvfSidecar(idx.clustered.select(cols.map(col): _*),

@@ -137,10 +137,14 @@ final class PbReader(buf: Array[Byte], from: Int, until: Int) {
   }
 
   private def readLenBounds(): (Int, Int) = {
-    val n = readRawVarint().toInt
-    require(n >= 0 && pos + n <= until, s"truncated length-delimited field ($n)")
-    val b = (pos, pos + n)
-    pos += n
+    // bound-check in Long BEFORE narrowing: a malformed length > 2^31
+    // must fail as "truncated", not alias to a small Int (and pos + n
+    // must never overflow the Int comparison into a vacuous pass)
+    val n = readRawVarint()
+    require(n >= 0L && n <= (until - pos).toLong,
+      s"truncated length-delimited field ($n)")
+    val b = (pos, pos + n.toInt)
+    pos += n.toInt
     b
   }
 

@@ -1569,6 +1569,47 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store ne opt)                          // reopen discipline
   }
 
+  test("optimizer: named-field IVF sidecar refits over rows carrying the field only") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt-named").toString
+    val ndesc = CollectionDescriptor("onv", Seq(
+      DenseField("a_vec", 2), DenseField("b_vec", 2)), named = true)
+    // a_vec populated on EVEN ids only (subset-populated named field);
+    // b_vec everywhere — the refit must skip the null-a_vec rows
+    val df = (0 until 12).map { i =>
+      val a = if (i % 2 == 0)
+        Array((10 - i) * 0.1f, i * 0.1f) else null
+      (f"$i%03d", s"""{"g":${i % 3}}""", a, Array(1.0f, i * 0.01f))
+    }.toDF("id", "payload", "a_vec", "b_vec")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    val sub = df.filter(col("a_vec").isNotNull)
+      .select(col("id"), col("payload"),
+        col("a_vec").cast(ArrayType(DoubleType)).as("a_vec"), col("b_vec"))
+    val idx = graft.ops.Ann.buildIvf(sub, "id", "a_vec", nlist = 2, maxIter = 0)
+    ParquetCollectionStore.writeIvfSidecar(
+      idx.clustered.select("id", "payload", "a_vec", "b_vec", "cluster"),
+      idx.centroids, dir, field = "a_vec", vectorColumn = "a_vec")
+    // mutate, then optimize: the named-field refit over the primaries
+    // must not seed from a null vector or emit null-cluster partitions
+    new ParquetCollectionStore(dir, "onv", ndesc)
+      .removed("onv", Set("002")): Unit
+    ParquetCollectionStore.optimize(spark, dir, ivfMaxIter = 0)
+    val clusterDirs = Option(
+      new java.io.File(s"$dir/_ivf/points").listFiles()).get
+      .filter(_.isDirectory).map(_.getName)
+    assert(!clusterDirs.exists(_.contains("HIVE_DEFAULT")),
+      s"null clusters written: ${clusterDirs.mkString(",")}")
+    // the rebuilt sidecar serves the named search: exact top-3 over the
+    // surviving a_vec rows (nprobe covers both clusters => exact)
+    val opt = new ParquetCollectionStore(dir, "onv", ndesc, ivfNprobe = 2)
+    val got = opt.searchPoints("onv",
+      SearchSpec("a_vec", Array(1.0, 0.0), "cosine", 3),
+      withPayload = false, vectorFields = Nil).map(_._1.id)
+    assert(got === Seq("000", "004", "006"))  // 002 deleted, odds absent
+    assert(opt.filesOpened.get() === 0L)      // serves from the sidecar
+  }
+
   test("payload filter: must conditions narrow the scan store-side, decisively") {
     CollectionStores.register("tpf",
       InMemoryCollectionStore.single("c", desc, mkPoints(20)))

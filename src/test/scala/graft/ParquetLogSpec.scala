@@ -194,9 +194,30 @@ class ParquetLogSpec extends AnyFunSuite {
     assert(entry.point.multi("multi_embeddings").map(_.toSeq).toSeq ===
       Seq(Seq(1f, 0f), Seq(0f, 1f)))
     assert(entry.point.sparse("keywords")._1.toSeq === Seq(2, 9))
-    // delete it again: tombstone appended, state restored
+    // delete it again: tombstone appended, state restored — and the
+    // DELETE rewrite must round-trip EVERY vector kind of the kept rows
+    // in the touched file (not just dense): after === before, fully
     val st2 = st1.removed("hetero", Set("zz_new"))
     assert(st2.pointCount("hetero") === n)
+    val afterDelete = st2.queryPoints("hetero", 0L, n, withPayload = true,
+      fields, None).map(q => q.id ->
+        (q.dense.view.mapValues(_.toSeq).toMap,
+         q.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+         q.sparse.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap,
+         q.payload)).toMap
+    assert(afterDelete === before)
+    // and a delete of a PRE-EXISTING id (forces a kept-rows rewrite of
+    // an original file) preserves the other rows' multi/sparse columns
+    val victim = before.keys.min
+    val st3 = st2.removed("hetero", Set(victim))
+    assert(st3.pointCount("hetero") === n - 1)
+    val afterVictim = st3.queryPoints("hetero", 0L, n, withPayload = true,
+      fields, None).map(q => q.id ->
+        (q.dense.view.mapValues(_.toSeq).toMap,
+         q.multi.view.mapValues(_.map(_.toSeq).toSeq).toMap,
+         q.sparse.view.mapValues(v => (v._1.toSeq, v._2.toSeq)).toMap,
+         q.payload)).toMap
+    assert(afterVictim === (before - victim))
   }
 
   test("store without _log: streaming surface still fails loudly, mutations refused") {
