@@ -15,7 +15,8 @@ object ScaleProbe {
     Seq("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-      "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext")
+      "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
+      "sharded")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -115,6 +116,72 @@ object ScaleProbe {
           s"${probed.filesOpened.get} (clusters=${probed.ivfClustersTouched.size}, " +
           s"values=${probed.payloadValuesTouched.mkString(",")}) " +
           s"brute primary=${brute.filesOpened.get}")
+      }
+    }
+
+    // scatter-gather cost shape: the SAME corpus behind N rendezvous-
+    // placed parquet shards — per-shard scan volume must be corpus/N
+    // (each shard's file opens = its own slice), an id lookup must open
+    // ONLY the owning shard, and the merged top-k must equal the flat
+    // store's page exactly. Wall time here is serial fan-out (one JVM);
+    // on a cluster the shards answer in parallel, so the per-shard
+    // volume column IS the latency story at 100 TB.
+    section("sharded") {
+      import graft.sources.{ParquetCollectionStore, SearchSpec, ShardedCollectionStore}
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          to_json(struct(col("label"))).as("payload"),
+          col("embedding").as("vector"))
+      val c = (0 until 4).map(i =>
+        emb.select(
+          (col("id").cast("long") + lit(i * 10000000L)).cast("string").as("id"),
+          col("payload"), col("vector"))).reduce(_ union _)
+      val total = c.count()
+      val q = emb.filter(col("id") === "7")
+        .select(col("vector").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      val desc = graft.collections.Collections.homogeneousDescriptor
+      var flatPage: Seq[String] = Nil
+      for (n <- Seq(1, 2, 4, 8)) {
+        // rendezvous-place once, write each shard's slice
+        val assigned = graft.ops.Pipeline.rendezvousAssign(c, "id", n)
+        val dirs = (0 until n).map { i =>
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"probe-shard-x$n-$i").toString
+          ParquetCollectionStore.write(
+            assigned.filter(col("shard") === i)
+              .select("id", "payload", "vector"),
+            dir, numFiles = 4)
+          dir
+        }
+        val sh = new ShardedCollectionStore(
+          dirs.map(new ParquetCollectionStore(_, "embeddings", desc)))
+        time(s"sharded_topk n=$n (5 queries)") {
+          (1 to 5).map(_ => sh.searchPoints("embeddings", spec,
+            withPayload = false, vectorFields = Nil).size.toLong).sum
+        }
+        val page = sh.searchPoints("embeddings", spec,
+          withPayload = false, vectorFields = Nil).map(_._1.id)
+        if (n == 1) flatPage = page
+        else require(page == flatPage,
+          s"sharded page diverged at n=$n: $page vs $flatPage")
+        time(s"sharded_scroll n=$n") {
+          var cnt = 0L
+          sh.queryPoints("embeddings", 0L, total, withPayload = false,
+            Nil, None).foreach(_ => cnt += 1)
+          cnt
+        }
+        val lookupId = "42"
+        sh.queryPoints("embeddings", 0L, total, withPayload = false, Nil,
+          None, idFilter = Some(Set(lookupId))).foreach(_ => ())
+        val opened = sh.shards.map(
+          _.asInstanceOf[ParquetCollectionStore].filesOpened.get())
+        val counts = sh.shards.map(_.pointCount("embeddings"))
+        println(s"[probe] n=$n per-shard points=${counts.mkString(",")} " +
+          s"(corpus/N=${total / n}) files-opened(after scrolls+lookup)=" +
+          s"${opened.mkString(",")} owner(42)=" +
+          s"${ShardedCollectionStore.assignShard(lookupId, n)}")
       }
     }
 

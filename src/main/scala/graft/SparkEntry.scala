@@ -1145,6 +1145,17 @@ object SparkEntry {
 
   private def dvec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
+  /** Rendezvous shard for n=3 as a Column — the seeding-side twin of
+    * [[graft.sources.ShardedCollectionStore.assignShard]] (md5 argmax,
+    * earlier index wins ties; pinned bit-identical to the scalar form
+    * via Pipeline.rendezvousAssign in ShardedCollectionStoreSpec).
+    */
+  private def shardOf3(id: Column): Column = {
+    val hs = (0 to 2).map(i => md5(concat(id.cast("string"), lit(s"#$i"))))
+    when(hs(0) >= hs(1) && hs(0) >= hs(2), 0)
+      .when(hs(1) >= hs(2), 1).otherwise(2)
+  }
+
   /** homogeneous collection with vector pre-cast to array<double>. */
   private def homD(s: SparkSession, dir: String): DataFrame =
     hom(s, dir).withColumn("vector", dvec(col("vector")))
@@ -2432,6 +2443,58 @@ object SparkEntry {
         .option("search.metric", "cosine").option("search.k", "12")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // SCATTER-GATHER serving: the same pushed top-k against a 3-shard
+    // store (members placed by the rendezvous hash — the backend's
+    // sharded-cluster architecture the single-node reference crate
+    // delegates to, /root/reference/src/table.rs:82-86). Each shard
+    // answers its local page; the wrapper merge-sorts and cuts to k —
+    // provably the unsharded result, so the oracle is dsv2_topk_pushdown's
+    "dsv2_sharded_search" -> ((s, dir) => {
+      import graft.sources._
+      val frame = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 3).map { i =>
+        InMemoryCollectionStore.fromRows(
+          frame.filter(shardOf3(col("id")) === i),
+          "embeddings", Collections.homogeneousDescriptor)
+      }
+      CollectionStores.register("sharded_store",
+        new ShardedCollectionStore(members))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the WRITE path against the sharded store: the connector commit
+    // routes each point to its rendezvous shard (writes never fan out),
+    // the read-back window-maps each scan partition onto shard slices —
+    // same oracle as dsv2_write: distribution must be invisible above
+    // the store seam
+    "dsv2_sharded_write" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_write_store",
+        new ShardedCollectionStore((0 until 3).map { _ =>
+          InMemoryCollectionStore.single(
+            "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty)
+        }))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_write_store")
+        .option("collection", "embeddings")
+        .mode("append").save()
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_write_store")
+        .option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
     }),
 
     // the backend's payload filter DSL (`must` match/range conditions)
@@ -6294,6 +6357,23 @@ object SparkEntry {
         |  FROM embeddings e, q
         |  ORDER BY s DESC, id ASC LIMIT 12)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // sharded serving shares the UNSHARDED oracles: distribution must be
+    // invisible — the merged shard pages ARE the global top-k, the
+    // routed write reads back as the whole corpus
+    "dsv2_sharded_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    "dsv2_sharded_write" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_payload_filter" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
