@@ -273,7 +273,8 @@ private[sources] object GrpcWire {
   */
 final class GrpcCollectionStore(host: String, port: Int,
                                 pageSize: Int = 4096,
-                                timeoutMs: Int = 30000)
+                                timeoutMs: Int = 30000,
+                                apiKey: Option[String] = None)
     extends CollectionStore with RemoteCollectionClient {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
   require(timeoutMs > 0, s"timeoutMs must be positive, got $timeoutMs")
@@ -299,6 +300,10 @@ final class GrpcCollectionStore(host: String, port: Int,
       val out = new java.io.BufferedOutputStream(sock.getOutputStream)
       GrpcWire.writeDelimited(out, method.getBytes(UTF_8))
       GrpcWire.writeDelimited(out, body.toBytes)
+      // keyed clients append the shared secret as a TRAILING frame (the
+      // framed-wire analog of qdrant's `api-key` gRPC metadata); a keyed
+      // server reads it before routing, an unkeyed server never looks
+      apiKey.foreach(k => GrpcWire.writeDelimited(out, k.getBytes(UTF_8)))
       out.flush()
       sock.shutdownOutput()
       val in = new java.io.BufferedInputStream(sock.getInputStream)
@@ -311,6 +316,7 @@ final class GrpcCollectionStore(host: String, port: Int,
         case 2 => throw new IllegalStateException(new String(payload, UTF_8))
         case 3 =>
           throw new UnsupportedOperationException(new String(payload, UTF_8))
+        case 5 => throw new SecurityException(new String(payload, UTF_8))
         case s => throw new RuntimeException(
           s"collection grpc service status $s: ${new String(payload, UTF_8)}")
       }
@@ -586,7 +592,8 @@ final class GrpcCollectionStore(host: String, port: Int,
   * JVM. Mutations land as one atomic RMW on the fronted store — the
   * service owns commit atomicity, the client ships batches.
   */
-final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
+final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
+                                 apiKey: Option[String] = None) {
 
   private val server = new ServerSocket(0, 64, InetAddress.getLoopbackAddress)
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize,
@@ -626,8 +633,24 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8) {
         try {
           val method = new String(GrpcWire.readDelimited(in), UTF_8)
           val body = GrpcWire.readDelimited(in)
+          // keyed server: the shared secret rides a trailing frame —
+          // absent (EOF after body) or mismatched both refuse BEFORE any
+          // routing; constant-time compare so the key isn't timing-probeable
+          apiKey.foreach { k =>
+            val sent =
+              try GrpcWire.readDelimited(in)
+              catch {
+                case _: IllegalArgumentException =>
+                  throw new SecurityException(
+                    "unauthorized: missing api-key frame")
+              }
+            if (!java.security.MessageDigest.isEqual(sent, k.getBytes(UTF_8)))
+              throw new SecurityException("unauthorized: invalid api-key")
+          }
           (0, route(method, new PbReader(body)).toBytes)
         } catch {
+          case e: SecurityException =>
+            (5, Option(e.getMessage).getOrElse("unauthorized").getBytes(UTF_8))
           case e: IllegalArgumentException =>
             (1, Option(e.getMessage).getOrElse("not found").getBytes(UTF_8))
           case e: IllegalStateException =>

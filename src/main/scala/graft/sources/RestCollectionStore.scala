@@ -364,7 +364,8 @@ private[sources] object CollectionWire {
   */
 final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                 maxRetries: Int = 3,
-                                retryBackoffMs: Long = 50L)
+                                retryBackoffMs: Long = 50L,
+                                apiKey: Option[String] = None)
     extends CollectionStore with RemoteCollectionClient {
   require(pageSize > 0, s"pageSize must be positive, got $pageSize")
   require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
@@ -375,17 +376,25 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   @transient private lazy val descCache =
     new java.util.concurrent.ConcurrentHashMap[String, CollectionDescriptor]()
 
+  /** Every request carries the shared-secret `api-key` header when the
+    * client is keyed — qdrant's standard REST auth scheme (the
+    * reference's client authenticates the same way,
+    * /root/reference/src/test_utils.rs:119-128).
+    */
+  private def keyed(b: HttpRequest.Builder): HttpRequest.Builder =
+    apiKey.fold(b)(k => b.header("api-key", k))
+
   private def get(path: String): String =
-    send(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET().build(),
+    send(keyed(HttpRequest.newBuilder(URI.create(baseUrl + path)).GET()).build(),
       retries = maxRetries)
 
   /** Read-only POSTs (scroll/query/count) are idempotent — safe to retry
     * like GETs.
     */
   private def post(path: String, body: JValue): String =
-    send(HttpRequest.newBuilder(URI.create(baseUrl + path))
+    send(keyed(HttpRequest.newBuilder(URI.create(baseUrl + path))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8)))
       .build(), retries = maxRetries)
 
   /** Mutations are NEVER auto-retried: an upsert replay is id-idempotent
@@ -396,9 +405,9 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     */
   private def mutate(method: String, path: String, body: JValue): String = {
     val bytes = HttpRequest.BodyPublishers.ofString(JsonMethods.compact(body), UTF_8)
-    send(HttpRequest.newBuilder(URI.create(baseUrl + path))
+    send(keyed(HttpRequest.newBuilder(URI.create(baseUrl + path))
       .header("Content-Type", "application/json")
-      .method(method, bytes).build(), retries = 0)
+      .method(method, bytes)).build(), retries = 0)
   }
 
   /** Bounded transient-failure retry: connect/transport errors and
@@ -430,6 +439,7 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
           // mirror the store contract's exception kinds so callers above
           // the seam observe identical failures whichever backend is
           // registered
+          case 401 => throw new SecurityException(CollectionWire.errorOf(r.body()))
           case 404 => throw new IllegalArgumentException(CollectionWire.errorOf(r.body()))
           case 409 => throw new IllegalStateException(CollectionWire.errorOf(r.body()))
           case 501 => throw new UnsupportedOperationException(CollectionWire.errorOf(r.body()))
@@ -817,7 +827,8 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   * vector fields, so un-asked-for bytes never reach the wire (asserted
   * over raw HTTP in RestCollectionStoreSpec, not just narrated).
   */
-final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
+final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
+                                 apiKey: Option[String] = None) {
   import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
   private val server = HttpServer.create(
@@ -847,11 +858,25 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8) {
 
   private def store: CollectionStore = CollectionStores.get(storeName)
 
+  /** Shared-secret check on EVERY request when the server is keyed —
+    * qdrant's `api-key` header scheme. Constant-time compare
+    * (MessageDigest.isEqual), so the key is not timing-probeable.
+    */
+  private def authorized(ex: HttpExchange): Boolean = apiKey.forall { k =>
+    Option(ex.getRequestHeaders.getFirst("api-key")).exists(sent =>
+      java.security.MessageDigest.isEqual(sent.getBytes(UTF_8), k.getBytes(UTF_8)))
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     val (code, body) =
       try {
-        val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
-        (200, route(ex.getRequestMethod, segs, ex))
+        if (!authorized(ex))
+          (401, CollectionWire.errEnvelope(
+            "unauthorized: missing or invalid api-key header"))
+        else {
+          val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+          (200, route(ex.getRequestMethod, segs, ex))
+        }
       } catch {
         case e: IllegalArgumentException =>
           (404, CollectionWire.errEnvelope(Option(e.getMessage).getOrElse("not found")))

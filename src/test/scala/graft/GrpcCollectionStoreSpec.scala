@@ -227,4 +227,40 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       intercept[IllegalArgumentException] { cl.pointCount("nope") }
     } finally srv.stop()
   }
+
+  test("api-key auth: keyed server refuses missing/wrong key frames, keyed client is unaffected") {
+    CollectionStores.register("grpc_auth_spec", inner)
+    val srv = new CollectionGrpcServer("grpc_auth_spec",
+      apiKey = Some("sekrit")).start()
+    try {
+      val keyed = new GrpcCollectionStore(srv.host, srv.port,
+        apiKey = Some("sekrit"))
+      assert(keyed.pointCount("c") === 20L)
+      assert(keyed.queryPoints("c", 0, 20, withPayload = true, allFields, None)
+        .map(key).toSeq ===
+        inner.queryPoints("c", 0, 20, withPayload = true, allFields, None)
+          .map(key).toSeq)
+      // no trailing key frame -> status 5 before any routing
+      val unkeyed = new GrpcCollectionStore(srv.host, srv.port)
+      val e1 = intercept[SecurityException] { unkeyed.pointCount("c") }
+      assert(e1.getMessage.contains("api-key"))
+      // wrong key -> same refusal
+      val wrong = new GrpcCollectionStore(srv.host, srv.port,
+        apiKey = Some("nope"))
+      intercept[SecurityException] { wrong.collectionNames }
+      // mutations refuse BEFORE touching the store
+      intercept[SecurityException] {
+        unkeyed.deletePoints("c", Set("000"))
+      }
+      assert(inner.pointCount("c") === 20L)
+      // an UNKEYED server ignores a client's trailing key frame (forward
+      // compatible: keyed clients can talk to open servers)
+      val open = new CollectionGrpcServer("grpc_auth_spec").start()
+      try {
+        val cl = new GrpcCollectionStore(open.host, open.port,
+          apiKey = Some("whatever"))
+        assert(cl.pointCount("c") === 20L)
+      } finally open.stop()
+    } finally srv.stop()
+  }
 }

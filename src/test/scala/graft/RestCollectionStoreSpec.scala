@@ -665,4 +665,39 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         Seq(("upsert", "a"), ("upsert", "b"), ("delete", "a")))
     } finally srv.stop()
   }
+
+  test("api-key auth: keyed server refuses unkeyed/wrong-key requests (401), keyed client is unaffected") {
+    CollectionStores.register("rest_auth_spec", inner)
+    val srv = new CollectionHttpServer("rest_auth_spec",
+      apiKey = Some("sekrit")).start()
+    try {
+      // authorized client: reads exactly what the open server serves
+      val keyed = new RestCollectionStore(srv.baseUrl, apiKey = Some("sekrit"))
+      assert(keyed.pointCount("c") === 20L)
+      assert(keyed.queryPoints("c", 0, 20, withPayload = true, allFields, None)
+        .map(key).toSeq ===
+        inner.queryPoints("c", 0, 20, withPayload = true, allFields, None)
+          .map(key).toSeq)
+      // unkeyed client: every request fails LOUDLY with the auth kind
+      val unkeyed = new RestCollectionStore(srv.baseUrl)
+      val e1 = intercept[SecurityException] { unkeyed.pointCount("c") }
+      assert(e1.getMessage.contains("api-key"))
+      // wrong key is the same refusal (not a different error path)
+      val wrong = new RestCollectionStore(srv.baseUrl, apiKey = Some("nope"))
+      intercept[SecurityException] { wrong.collectionNames }
+      // raw HTTP sees the literal 401 + error envelope
+      val http = HttpClient.newHttpClient()
+      val resp = http.send(
+        HttpRequest.newBuilder(URI.create(s"${srv.baseUrl}/collections"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 401)
+      assert(resp.body().contains("unauthorized"))
+      // mutations refuse BEFORE touching the store
+      intercept[SecurityException] {
+        unkeyed.deletePoints("c", Set("000"))
+      }
+      assert(inner.pointCount("c") === 20L)
+    } finally srv.stop()
+  }
 }
