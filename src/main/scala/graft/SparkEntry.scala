@@ -596,6 +596,29 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** Shared secret of the KEYED wire fixtures — the auth scheme the
+    * reference's client uses against its backend (api-key,
+    * /root/reference/src/test_utils.rs:31,119-128).
+    */
+  private[graft] val WireApiKey = "graft-test-api-key"
+
+  /** [[restBackedUrl]]'s keyed twin: the same collection behind a server
+    * that REFUSES unkeyed requests (401) — the gate reads through a
+    * keyed client; the reject path is pinned in RestCollectionStoreSpec.
+    */
+  private def restAuthUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#auth", {
+      val backend = s"rest_auth_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        graft.sources.InMemoryCollectionStore.fromRows(
+          hom(s, dir).select("id", "payload", "vector"),
+          "embeddings", Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionHttpServer(backend,
+        apiKey = Some(WireApiKey)).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      srv.baseUrl
+    })
+
   /** The BINARY-transport fixture of `dir`: a framed-protobuf
     * [[graft.sources.CollectionGrpcServer]] fronting the homogeneous
     * collection — the transport twin of [[restBackedUrl]], matching the
@@ -1916,6 +1939,23 @@ object SparkEntry {
         new RestCollectionStore(SparkEntry.restBackedUrl(s, dir)))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "rest_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // AUTHENTICATED wire serving: the server refuses requests without
+    // the shared-secret api-key header (the reference client's auth
+    // scheme, test_utils.rs:119-128); a KEYED client reads the same
+    // collection — same oracle as dsv2_rest_store, auth must be
+    // invisible to an authorized caller. The 401 reject path (both
+    // transports) is pinned in the wire specs.
+    "dsv2_rest_auth" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rest_auth_store",
+        new RestCollectionStore(SparkEntry.restAuthUrl(s, dir),
+          apiKey = Some(SparkEntry.WireApiKey)))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_auth_store").option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
     }),
@@ -6251,6 +6291,13 @@ object SparkEntry {
         |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_rest_store" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    // authorized read through the keyed server: auth is invisible above
+    // the seam, so the oracle is dsv2_rest_store's
+    "dsv2_rest_auth" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,

@@ -903,6 +903,85 @@ object SignBitsKernel {
   }
 }
 
+/** Static kernel for [[SignProjection]] — one pass over the input,
+  * per-output accumulation in ascending-dimension order.
+  */
+object SignProjectionKernel {
+  def project(arr: ArrayData, isFloat: Boolean, signs: Array[Double],
+              inDim: Int, outDim: Int, scale: Double): ArrayData = {
+    val n = java.lang.Math.min(arr.numElements(), inDim)
+    val acc = new Array[Double](outDim)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var j = 0
+      while (j < outDim) { acc(j) += x * signs(j * inDim + i); j += 1 }
+      i += 1
+    }
+    var j = 0
+    while (j < outDim) { acc(j) = acc(j) * scale + 0.0; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(acc)
+  }
+}
+
+/** Johnson–Lindenstrauss seeded ±1 sign projection as ONE fused kernel:
+  * array<float|double>[inDim] -> array<double>[outDim], out_j =
+  * (Σ_i v_i · s_ji) / √outDim + 0.0 with s_ji =
+  * [[graft.ops.Quant.projectionSign]]. Replaces the O(inDim·outDim)
+  * `element_at` EXPRESSION TREE form (1,024 nodes at 64→16; 262k at the
+  * production 1024→256, where Catalyst analysis and Janino choke): the
+  * sign matrix is a codegen reference object, the expression count is
+  * independent of dims, and the per-output accumulation runs in the same
+  * ascending-dimension order as the fold — bit-identical output (the
+  * trailing + 0.0 flushes −0.0 exactly as the fold form did; pinned in
+  * QuantSpec). Inputs shorter than `inDim` project their prefix (the
+  * fold form nulled the row via element_at instead — fixed-dim corpora,
+  * the only users, never hit either path).
+  */
+case class SignProjection(child: Expression, inDim: Int, outDim: Int,
+                          seed: Long) extends UnaryExpression {
+  require(inDim >= 1 && outDim >= 1, s"bad dims $inDim -> $outDim")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sign_projection"
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecs(Seq(child), "sign_projection")
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // row-major [j * inDim + i]: output j, input i (driver-side seeded)
+  @transient private lazy val signs: Array[Double] = {
+    val s = new Array[Double](outDim * inDim)
+    var j = 0
+    while (j < outDim) {
+      var i = 0
+      while (i < inDim) {
+        s(j * inDim + i) = graft.ops.Quant.projectionSign(seed, j, i)
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
+
+  private def scale: Double = 1.0 / math.sqrt(outDim.toDouble)
+
+  protected override def nullSafeEval(input: Any): Any =
+    SignProjectionKernel.project(input.asInstanceOf[ArrayData], isFloat,
+      signs, inDim, outDim, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("projSigns", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SignProjectionKernel.project(" +
+        s"$a, $isFloat, $sRef, $inDim, $outDim, $scale);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignProjection =
+    copy(child = c)
+}
+
 /** Binary quantization: array<float|double> -> array<bigint> of packed sign
   * bits (bit i of word i/64 set iff x_i > 0) — 32x smaller than float32.
   * The qdrant feature this re-expresses is binary quantization

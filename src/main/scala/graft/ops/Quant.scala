@@ -339,6 +339,23 @@ object Quant {
   def projectColumn(df: DataFrame, vecCol: String, out: String,
                     inDim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
     require(inDim >= 1 && outDim >= 1, s"bad dims $inDim -> $outDim")
+    df.withColumn(out, org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.SignProjection(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          col(vecCol).cast(ArrayType(DoubleType))),
+        inDim, outDim, seed)))
+  }
+
+  /** The UNROLLED expression-tree form of [[projectColumn]] — O(inDim ×
+    * outDim) `element_at` nodes, kept ONLY as the bit-exactness witness
+    * for the fused kernel (QuantSpec pins kernel == fold on the corpus):
+    * at production dims (1024→256 = 262k nodes) Catalyst analysis and
+    * Janino choke on this shape, which is why the kernel replaced it.
+    */
+  private[graft] def projectColumnUnrolled(df: DataFrame, vecCol: String,
+                                           out: String, inDim: Int,
+                                           outDim: Int,
+                                           seed: Long = 42L): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     val comps = (0 until outDim).map { j =>
       (0 until inDim).map { i =>

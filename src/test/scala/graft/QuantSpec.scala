@@ -169,6 +169,25 @@ class QuantSpec extends AnyFunSuite {
       s"JL ratios out of band: $dists")
   }
 
+  test("fused SignProjection kernel is bit-identical to the unrolled fold form") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings").limit(64)
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select(col("vec_id"), col("proj")).collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).map(
+          java.lang.Double.doubleToRawLongBits)).toMap
+    val kernel = bits(Quant.projectColumn(e, "embedding", "proj", 64, 16))
+    val fold = bits(Quant.projectColumnUnrolled(e, "embedding", "proj", 64, 16))
+    assert(kernel === fold)
+    // expression count is independent of dims: production 1024->256 would
+    // be 262k nodes in the fold form; the kernel is ONE node whatever the
+    // dims (the sign matrix rides as a codegen reference object)
+    val big = Quant.projectColumn(e, "embedding", "proj", 64, 256)
+    val exprStr = big.queryExecution.analyzed.expressions.mkString(";")
+    assert(exprStr.contains("sign_projection"))
+    assert(!exprStr.contains("element_at"))
+    assert(big.select(size(col("proj"))).head().getInt(0) === 256)
+  }
+
   test("projectColumn plans map-side: no exchange, stays in codegen") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val plan = Quant.projectColumn(e, "embedding", "proj", inDim = 64, outDim = 8)
