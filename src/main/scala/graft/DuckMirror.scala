@@ -665,7 +665,12 @@ object DuckMirror {
              // (e.g. a named hetero field populated on part of the ids)
              corpusSql: String =
                """  SELECT vec_id, CAST(vec_id AS VARCHAR) AS id, CAST(embedding AS DOUBLE[]) AS v
-                 |  FROM embeddings""".stripMargin): String = {
+                 |  FROM embeddings""".stripMargin,
+             // payload-filter mirror (rawOrder only): a predicate over
+             // the embeddings row `fe` joined back by vec_id, applied
+             // BEFORE ranking — WHERE-before-ORDER, the store's filtered
+             // search semantics
+             whereSql: String = ""): String = {
     val scoreFn = metric match {
       case "cosine" => "list_cosine_similarity"
       case "dot" => "list_inner_product"
@@ -684,13 +689,18 @@ object DuckMirror {
          |SELECT t.id, ROUND($scoreFn(t.v, q.qv), 6) AS score
          |FROM asg$finalAsg t JOIN probed USING (cluster), q
          |ORDER BY score DESC, id LIMIT $k""".stripMargin
-    else
+    else {
+      val filterJoin =
+        if (whereSql.isEmpty) ""
+        else " JOIN embeddings fe ON fe.vec_id = CAST(t.id AS INTEGER)"
+      val whereClause = if (whereSql.isEmpty) "" else s"\n  WHERE $whereSql"
       s"""$head,
          |top AS (
          |  SELECT t.id, $scoreFn(t.v, q.qv) AS s
-         |  FROM asg$finalAsg t JOIN probed USING (cluster), q
+         |  FROM asg$finalAsg t JOIN probed USING (cluster)$filterJoin, q$whereClause
          |  ORDER BY s DESC, t.id ASC LIMIT $k)
          |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin
+    }
   }
 
   /** DSIR mirror (Dsir.importanceWeights): hashed unigram+bigram feature

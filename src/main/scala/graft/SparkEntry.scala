@@ -265,6 +265,52 @@ object SparkEntry {
       Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 100)
   }
 
+  /** IVF + codes sidecars WITHOUT a payload index, opened with a FULL
+    * candidate margin: a filtered pushed top-k lands on the quantized
+    * arm (no payload sidecar to pre-filter from), candidates cut
+    * pre-filter at candidateK = everything in the probed clusters, and
+    * the rerank fetch evaluates the conditions — WHERE-before-ORDER
+    * exact, the composition gate's fixture.
+    */
+  private def parquetIvfQuantizedFilteredStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetIvfStoreCache.getOrElseUpdate(s"$dir#qf", {
+      val idx = ivfCache.getOrElseUpdate(s"$dir#probe",
+        graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
+      val pqDir = tempStoreDir("graft-pq-ivfqf")
+      graft.sources.ParquetCollectionStore.write(
+        hom(s, dir).select("id", "payload", "vector"), pqDir)
+      graft.sources.ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "vector", "cluster"),
+        idx.centroids, pqDir, field = "vector")
+      graft.sources.ParquetCollectionStore.writeIvfQuantizedSidecar(
+        idx.clustered.select("id", "vector", "cluster"), pqDir)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor, ivfNprobe = 2,
+        ivfCandidateK = 1000000)
+    })
+
+  /** The DOCUMENTS corpus as a vector-less lakehouse collection (id =
+    * zero-padded doc_id so string order is numeric order; payload
+    * carries the text under `body`), sealed with the tf/dl text sidecar
+    * — the RANKED full-text serving fixture: BM25 top-k reads only the
+    * query terms' token buckets.
+    */
+  private val parquetTextRankCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetTextRankStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetTextRankCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-textrank")
+      val df = docs(s, dir).select(
+        lpad(col("doc_id").cast(StringType), 10, "0").as("id"),
+        to_json(struct(col("text").as("body"))).as("payload"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeTextSidecar(
+        df, pqDir, key = "body", nBuckets = 16)
+      new graft.sources.ParquetCollectionStore(pqDir, "documents",
+        graft.collections.CollectionDescriptor("documents", Seq.empty))
+    })
+
   /** The parquet store with TWO payload indexes — qdrant's
     * one-index-per-indexed-field model: an int index on `label` and a
     * keyword index on `parity` (vec_id % 2, independent of label), both
@@ -1750,6 +1796,50 @@ object SparkEntry {
         .option("search.metric", "dot").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the quantized tier x payload filter COMPOSITION: int8 candidates
+    // from the probed clusters' codes files (cut pre-filter at a full
+    // candidate margin), conditions evaluated at the exact-rerank fetch
+    // — WHERE-before-ORDER over the probed subset; primaries stay closed
+    // (spec-asserted). candidateK is the recall dial exactly as in the
+    // unfiltered tier
+    "dsv2_parquet_ivf_quantized_filtered" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivfqf_store",
+        SparkEntry.parquetIvfQuantizedFilteredStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 9)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivfqf_store").option("collection", "embeddings")
+        .option("filter", "label:gte:4")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "dot").option("search.k", "8")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // BM25-RANKED full-text serving at the store seam (`textrank.*` read
+    // options): the scan IS the ranked query — the store reads ONLY the
+    // query terms' token buckets of its tf/dl text sidecar (df = posting
+    // length, N/Σdl from the meta), scores with the searchPostings
+    // arithmetic, and returns the k best (id, _score). Shares
+    // inverted_search's oracle: the engine-side postings path and the
+    // store-seam serve must agree bit for bit
+    "dsv2_parquet_text_rank" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_textrank_store",
+        SparkEntry.parquetTextRankStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_textrank_store").option("collection", "documents")
+        .option("textrank.key", "body")
+        .option("textrank.terms", "window,batch,scan")
+        .option("textrank.k", "15")
+        .load()
+        .select(col("id").cast(LongType).as("doc_id"),
+          col("_score").as("bm25"))
     }),
 
     // filtered COUNT(*) pushdown landing on the payload index: the
@@ -6176,6 +6266,13 @@ object SparkEntry {
       queryVecId = 9, k = 10, dim = 64, nlist = 8, nprobe = 2,
       maxIter = 0, seed = 42L, metric = "dot", rawOrder = true),
 
+    // quantized tier x payload filter: the probed-IVF mirror with the
+    // condition applied BEFORE the rank (full candidate margin => exact)
+    "dsv2_parquet_ivf_quantized_filtered" -> DuckMirror.ivfSql(
+      queryVecId = 9, k = 8, dim = 64, nlist = 8, nprobe = 2,
+      maxIter = 0, seed = 42L, metric = "dot", rawOrder = true,
+      whereSql = "fe.label >= 4"),
+
     // the pre-filter arm is EXACT over the matching subset, so the
     // oracle is a plain WHERE before the raw-rank top-k
     "dsv2_parquet_prefilter_search" ->
@@ -8073,29 +8170,14 @@ object SparkEntry {
 
     // same formula as bm25_rank (terms window/batch/scan), restricted to
     // docs matching >= 1 term — the candidate set the pruned index yields
-    "inverted_search" ->
-      """WITH t AS (SELECT doc_id,
-        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |           FROM documents),
-        |m AS (SELECT doc_id, len(toks) AS len,
-        |             len(list_filter(toks, x -> x = 'window')) AS tf0,
-        |             len(list_filter(toks, x -> x = 'batch')) AS tf1,
-        |             len(list_filter(toks, x -> x = 'scan'))  AS tf2
-        |      FROM t),
-        |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen,
-        |             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |      FROM m)
-        |SELECT doc_id,
-        |       ROUND(
-        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
-        |         ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
-        |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
-        |         4) AS bm25
-        |FROM m, s
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    "inverted_search" -> InvertedSearchOracle,
+
+    // the SAME ranked result served from the parquet store's text
+    // sidecar (tf/dl postings + meta stats): one oracle, two paths —
+    // engine-side partition-pruned postings scan and store-side
+    // token-bucket serve must agree bit for bit
+    "dsv2_parquet_text_rank" -> InvertedSearchOracle,
+
 
     // inverted_search's formula under the CONFIGURED tokenizer: word
     // split on non-alphanumerics, len in [4,6], stopwords dropped —
@@ -8910,6 +8992,34 @@ object SparkEntry {
         |SELECT r.doc_id, r.source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin
   )
+
+  /** BM25 over documents for terms (window, batch, scan), k=15 — shared
+    * by the engine-side postings gate (inverted_search) and its
+    * store-seam twin (dsv2_parquet_text_rank).
+    */
+  private lazy val InvertedSearchOracle: String =
+    """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS len,
+        |             len(list_filter(toks, x -> x = 'window')) AS tf0,
+        |             len(list_filter(toks, x -> x = 'batch')) AS tf1,
+        |             len(list_filter(toks, x -> x = 'scan'))  AS tf2
+        |      FROM t),
+        |s AS (SELECT COUNT(*) AS n, AVG(len) AS avglen,
+        |             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |             SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |      FROM m)
+        |SELECT doc_id,
+        |       ROUND(
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5)) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5)) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)) +
+        |         ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5)) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(len AS DOUBLE) / avglen)),
+        |         4) AS bm25
+        |FROM m, s
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
 
   def oracleSql: Map[String, String] =
     oracleScanAndJson ++ oracleDense ++ oracleComposite ++

@@ -659,6 +659,80 @@ object PayloadFilter {
   }
 }
 
+/** The ranked-full-text query (read options `textrank.*`) and the BM25
+  * scorer every backend shares: the parquet store's sidecar path and the
+  * trait's one-pass default both hand (tf, dl, df, N, Σdl) to [[rank]],
+  * so backends differ in WHAT THEY READ, never in arithmetic — the same
+  * discipline as [[SearchSpec.score]].
+  */
+final case class TextRankSpec(key: String, terms: Seq[String], k: Int) {
+  def describe: String = s"$key bm25(${terms.mkString(",")}) top $k"
+}
+
+object TextRank {
+  val ScoreCol = "_score"
+
+  def fromOptions(o: CaseInsensitiveStringMap): Option[TextRankSpec] =
+    Option(o.get("textrank.key")).map { key =>
+      val terms = Option(o.get("textrank.terms")).getOrElse(
+        throw new IllegalArgumentException(
+          "textrank.key requires textrank.terms (comma-joined)"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      TextRankSpec(key, terms, o.getInt("textrank.k", 10))
+    }
+
+  private[sources] def validate(terms: Seq[String], k: Int): Unit = {
+    require(terms.nonEmpty, "text rank needs at least one term")
+    require(terms.distinct == terms,
+      s"duplicate query terms would double-count their score contribution: $terms")
+    require(k > 0, s"text rank k must be positive, got $k")
+  }
+
+  /** Spark's `round(col, 4)` exactly (BigDecimal HALF_UP), so store-served
+    * scores hash-match the engine-side [[graft.ops.TextIndex.searchPostings]].
+    */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Score + rank: `docs` = (id, per-term tf, dl) for every point with at
+    * least one query term; `dfs` per-term document frequencies over the
+    * WHOLE collection; `n`/`totalLen` corpus stats. The arithmetic is
+    * [[graft.ops.TextIndex.searchPostings]]'s column expression replayed
+    * scalar-side in the same operation order (left-to-right term sum,
+    * avglen = Σdl/N as one double division), so the two paths agree bit
+    * for bit.
+    */
+  private[sources] def rank(docs: Seq[(String, Array[Long], Long)],
+                            dfs: Array[Long], n: Long, totalLen: Long,
+                            k1: Double, b: Double,
+                            k: Int): Seq[(String, Double)] = {
+    if (n == 0L || docs.isEmpty) return Nil
+    val avglen = totalLen.toDouble / n.toDouble
+    val nD = n.toDouble
+    val idfs = dfs.map { df =>
+      val dfD = df.toDouble
+      math.log(1.0 + (nD - dfD + 0.5) / (dfD + 0.5))
+    }
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val scored = docs.map { case (id, tfs, dl) =>
+      val dlD = dl.toDouble
+      var s = 0.0
+      var i = 0
+      while (i < tfs.length) {
+        val tf = tfs(i).toDouble
+        s += idfs(i) * (tf * k1p1) / (tf + k1 * (oneMinusB + b * dlD / avglen))
+        i += 1
+      }
+      (id, round4(s))
+    }
+    scored.sortWith { case ((ia, sa), (ib, sb)) =>
+      if (sa != sb) sa > sb else SparkStringOrder.lt(ia, ib)
+    }.take(k)
+  }
+}
+
 /** The "remote collection service" abstraction — the analog of the
   * reference's `Arc<Qdrant>` gRPC client (/root/reference/src/table.rs:84).
   * `queryPoints` receives the NARROWED fetch spec exactly like the
@@ -885,6 +959,55 @@ trait CollectionStore extends Serializable {
     counts.toSeq.sortWith { case ((v1, n1), (v2, n2)) =>
       if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
     }.take(limit)
+  }
+
+  /** BM25-ranked full-text top-k over payload key `key` — the ranked
+    * face of the `text` payload index (qdrant's full-text index serves
+    * matches; ranking is the retrieval composition layered on it —
+    * [[graft.ops.TextIndex.searchPostings]]'s semantics at the store
+    * seam): tokens are the case-folded whitespace split (the match_text
+    * convention), score = Σ_terms idf·tf(k1+1)/(tf + k1((1−b) + b·dl/avg))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)), rounded to 4dp, ranked by
+    * (rounded score desc, id asc); only points containing ≥ 1 term rank.
+    * Default: one payload pass builds (tf, dl) per point and the corpus
+    * stats; a capable backend serves from its postings sidecar reading
+    * only the query terms' token buckets.
+    */
+  def searchTextRanked(collection: String, key: String, terms: Seq[String],
+                       k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    import org.json4s._
+    val nt = terms.length
+    var n = 0L
+    var totalLen = 0L
+    val dfs = new Array[Long](nt)
+    val docs = Seq.newBuilder[(String, Array[Long], Long)]
+    queryPoints(collection, 0L, pointCount(collection),
+        withPayload = true, Seq.empty, None)
+      .foreach { p =>
+        n += 1
+        val toks: Array[String] = p.payload.flatMap(j =>
+          org.json4s.jackson.JsonMethods.parseOpt(j).flatMap(v =>
+            v \ key match {
+              case JString(s) =>
+                Some(s.toLowerCase.split("\\s+").filter(_.nonEmpty))
+              case _ => None
+            })).getOrElse(Array.empty[String])
+        totalLen += toks.length
+        val tfs = new Array[Long](nt)
+        var any = false
+        toks.foreach { t =>
+          val i = terms.indexOf(t)
+          if (i >= 0) { tfs(i) += 1L; any = true }
+        }
+        if (any) {
+          docs += ((p.id, tfs, toks.length.toLong))
+          var i = 0
+          while (i < nt) { if (tfs(i) > 0L) dfs(i) += 1L; i += 1 }
+        }
+      }
+    TextRank.rank(docs.result(), dfs, n, totalLen, k1, b, k)
   }
 
   /** Change-log length for `collection` — the micro-batch streaming
@@ -1451,7 +1574,8 @@ class CollectionDataSource extends TableProvider {
     // a pushed search (`search.*` options) makes the scan a scored query:
     // the schema gains a trailing `_score` double (the reference's
     // ScoredPoint.score, /root/reference/src/table.rs:305)
-    if (SearchSpec.fromOptions(options).isDefined)
+    if (TextRank.fromOptions(options).isDefined) TextRankSpec.schema
+    else if (SearchSpec.fromOptions(options).isDefined)
       StructType(base.fields :+
         StructField(SearchSpec.ScoreCol, DoubleType, nullable = false))
     else base
@@ -1463,7 +1587,8 @@ class CollectionDataSource extends TableProvider {
     new CollectionTable(opts.get("store"), opts.get("collection"),
       math.max(1, opts.getInt("partitions", 4)),
       cdc = opts.getBoolean("cdc", false),
-      search = SearchSpec.fromOptions(opts))
+      search = SearchSpec.fromOptions(opts),
+      textRank = TextRank.fromOptions(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -1478,7 +1603,8 @@ class CollectionDataSource extends TableProvider {
   */
 final class CollectionTable(storeName: String, collection: String,
                             partitions: Int, cdc: Boolean = false,
-                            search: Option[SearchSpec] = None)
+                            search: Option[SearchSpec] = None,
+                            textRank: Option[TextRankSpec] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -1489,6 +1615,7 @@ final class CollectionTable(storeName: String, collection: String,
     if (cdc) s"$storeName.$collection.cdc" else s"$storeName.$collection"
   override def schema(): StructType =
     if (cdc) CdcSchema.of(descriptor)
+    else if (textRank.isDefined) TextRankSpec.schema
     else if (search.isDefined)
       StructType(descriptor.schema.fields :+
         StructField(SearchSpec.ScoreCol, DoubleType, nullable = false))
@@ -1512,6 +1639,10 @@ final class CollectionTable(storeName: String, collection: String,
         "payload filters are not supported on the CDC read face " +
           "(tombstones carry no payload to evaluate)")
       new CdcScanBuilder(storeName, collection, descriptor, partitions, maxRows)
+    } else if (textRank.isDefined) {
+      // ranked full-text: the scan IS the BM25 query, served store-side
+      val tr = textRank.get
+      () => new CollectionTextRankScan(storeName, collection, tr)
     } else if (search.isDefined)
       // the scan IS the query: a pushed top-k search serves scored points
       // straight from the store — no full-collection decode above the scan
@@ -2105,6 +2236,53 @@ final class CollectionFilteredCountScan(
           override def close(): Unit = ()
         }
     }
+}
+
+/** A ranked-full-text scan (read options `textrank.*`): ONE partition
+  * holding the k best (id, _score) BM25 rows served by the store — the
+  * retrieval face of the text payload index, model-sized by construction
+  * like [[CollectionSearchScan]].
+  */
+final class CollectionTextRankScan(storeName: String, collection: String,
+                                   spec: TextRankSpec)
+    extends Scan with Batch {
+  override def readSchema(): StructType = TextRankSpec.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CollectionTextRankScan($storeName.$collection, ${spec.describe})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CollectionInputPartition(0L, spec.k.toLong))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val store = storeName
+    val coll = collection
+    val s = spec
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val it = CollectionStores.get(store)
+            .searchTextRanked(coll, s.key, s.terms, s.k).iterator
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) {
+              val (id, score) = it.next()
+              current = InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(id), score)
+              true
+            } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+    }
+  }
+}
+
+object TextRankSpec {
+  /** (id, _score) — the ranked list is scores, not point data. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField(TextRank.ScoreCol, DoubleType, nullable = false)))
 }
 
 /** ScanBuilder of a pushed top-k search (read options `search.*`): column

@@ -463,14 +463,19 @@ final class ParquetCollectionStore(
       // the store was opened with a candidate margin: approximate-int8
       // candidates from the ~4x-smaller codes files, exact rerank reads
       // only the probed clusters for the winners. Restricted to the
-      // metric the int8 domain approximates (dot), to unfiltered
-      // queries, and to a mask-free tail (masked rows would erode the
-      // candidate margin) — anything else serves full-precision probed.
+      // metric the int8 domain approximates (dot) and to a mask-free
+      // tail (masked rows would erode the candidate margin) — anything
+      // else serves full-precision probed. A payload filter composes:
+      // conditions evaluate at the rerank fetch (codes files carry no
+      // payload), so the candidate cut happens PRE-filter — candidateK
+      // is the recall dial exactly as unfiltered, and at candidateK >=
+      // probed-cluster size the filtered page is exact (the spec's pin).
       val merged =
         if (tail.masked.isEmpty && ivfCandidateK >= window.k &&
-            spec.metric == "dot" && pfilter.isEmpty &&
+            spec.metric == "dot" &&
             new java.io.File(s"$dir/_ivf/codes").isDirectory)
-          quantizedClusterSearch(c, window, withPayload, vectorFields, clusters)
+          quantizedClusterSearch(c, window, withPayload, vectorFields,
+            clusters, pfilter)
         else clusters.flatMap(v => clusterStoreFor(v).toSeq.flatMap(
           _.searchPointsFiltered(c, window, withPayload, vectorFields,
             pfilter)))
@@ -514,7 +519,8 @@ final class ParquetCollectionStore(
   private def quantizedClusterSearch(c: String, window: SearchSpec,
                                      withPayload: Boolean,
                                      vectorFields: Seq[String],
-                                     clusters: Seq[String]): Seq[(Point, Double)] = {
+                                     clusters: Seq[String],
+                                     pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(Point, Double)] = {
     val (qc, qs) = quantizeQuery(window.query)
     val scored = clusters.flatMap { v =>
       val sub = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
@@ -540,8 +546,11 @@ final class ParquetCollectionStore(
     cands.groupBy(_._1).toSeq.flatMap { case (v, rows) =>
       val ids = rows.map(_._2).toSet
       clusterStoreFor(v).toSeq.flatMap { sub =>
-        sub.queryPoints(c, 0L, sub.pointCount(c), withPayload, fetchFields,
-            None, idFilter = Some(ids))
+        // the rerank fetch evaluates the payload conditions (the codes
+        // files carry no payload): non-matching candidates drop here,
+        // BEFORE ranking — WHERE-before-ORDER semantics
+        sub.queryPointsFiltered(c, 0L, sub.pointCount(c), withPayload,
+            fetchFields, None, idFilter = Some(ids), pfilter = pfilter)
           .flatMap { p =>
             p.dense.get(window.field)
               .flatMap(vv => SearchSpec.score(window.metric, vv, window.query))
@@ -1042,8 +1051,34 @@ final class ParquetCollectionStore(
     * layout makes a k-id fetch read only the row groups that can hold
     * them.
     */
-  private case class TextSidecar(key: String, nBuckets: Int, builtAt: Long) {
+  private case class TextSidecar(key: String, nBuckets: Int, builtAt: Long,
+                                 stats: Option[(Long, Long)] = None) {
     private val root = s"$dir/_tidx/points"
+
+    /** (id, tf, dl) postings of the query tokens, read from ONLY their
+      * buckets — the RANKED serve's input (new-format sidecars only:
+      * callers gate on [[stats]], which the tf/dl layout ships with).
+      */
+    def postingStatsOf(tokens: Seq[String]): Map[String, Seq[(String, Long, Long)]] = {
+      val want = tokens.toSet
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(String, Long, Long)]]
+      want.map(t => ParquetCollectionStore.tokenBucket(t, nBuckets))
+        .toSeq.distinct.foreach { b =>
+          val sub = new java.io.File(s"$root/tb=$b")
+          Option(sub.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach { f =>
+              textFilesOpened.incrementAndGet()
+              ParquetLog.readTextPostingRows(f.getAbsolutePath).foreach {
+                case (id, tok, tf, dl) => if (want(tok))
+                  acc.getOrElseUpdate(tok,
+                    scala.collection.mutable.ArrayBuffer.empty) += ((id, tf, dl))
+              }
+            }
+        }
+      acc.view.mapValues(_.toSeq).toMap
+    }
 
     def servable(cond: PayloadCondition): Boolean =
       cond.key == key && (cond.op == "match_text" || cond.op == "phrase") &&
@@ -1090,8 +1125,55 @@ final class ParquetCollectionStore(
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val builtAt =
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
-      Some(TextSidecar(lines(0), lines(1).toInt, builtAt))
+      // line 3 "<nDocs> <totalTokens>" = the tf/dl posting layout with
+      // corpus stats — the RANKED serve's requirement (absent on legacy
+      // match-only sidecars, which then serve matches but not ranks)
+      val stats =
+        if (lines.length > 3 && lines(3).nonEmpty) {
+          val parts = lines(3).split(" ")
+          Some((parts(0).toLong, parts(1).toLong))
+        } else None
+      Some(TextSidecar(lines(0), lines(1).toInt, builtAt, stats))
     }
+  }
+
+  /** BM25-ranked full-text top-k served from the text sidecar when it
+    * carries the tf/dl posting layout, is keyed on `key`, and the
+    * since-build tail is clean: reads ONLY the query terms' token
+    * buckets (df = posting-list length, per-doc tf/dl denormalized in
+    * the rows, N/Σdl from the meta) — nothing else opens, primaries
+    * stay closed. A dirty tail or legacy sidecar falls back to the
+    * exact one-pass default over the COW-current primaries.
+    */
+  override def searchTextRanked(c: String, key: String, terms: Seq[String],
+                                k: Int, k1: Double = 1.2,
+                                b: Double = 0.75): Seq[(String, Double)] = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    TextRank.validate(terms, k)
+    val served = textSidecar
+      .filter(sc => sc.key == key && sc.stats.isDefined)
+      .flatMap { sc =>
+        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
+          val (n, totalLen) = sc.stats.get
+          val post = sc.postingStatsOf(terms)
+          val nt = terms.length
+          val dfs = new Array[Long](nt)
+          val tfs = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+          val dls = scala.collection.mutable.HashMap.empty[String, Long]
+          terms.zipWithIndex.foreach { case (t, i) =>
+            post.getOrElse(t, Nil).foreach { case (id, tf, dl) =>
+              dfs(i) += 1L
+              tfs.getOrElseUpdate(id, new Array[Long](nt))(i) = tf
+              dls.update(id, dl)
+            }
+          }
+          val docs = tfs.toSeq.map { case (id, tfArr) =>
+            (id, tfArr, dls(id))
+          }
+          TextRank.rank(docs, dfs, n, totalLen, k1, b, k)
+        }
+      }
+    served.getOrElse(super.searchTextRanked(c, key, terms, k, k1, b))
   }
 
   /** Serve a text-filtered search from the postings: candidate ids from
@@ -1698,21 +1780,35 @@ object ParquetCollectionStore {
     */
   def writeTextSidecar(df: DataFrame, dir: String, key: String,
                        nBuckets: Int = 16): Unit = {
-    import org.apache.spark.sql.functions.{explode, expr, udf}
+    import org.apache.spark.sql.functions.{count, explode, expr, lit, size, sum, udf, when}
+    import org.apache.spark.sql.types.LongType
     val base = s"$dir/_tidx"
     val toks = expr(
-      s"array_distinct(filter(split(lower(get_json_object(payload, " +
-        s"'$$.$key')), '\\\\s+'), t -> t != ''))")
+      s"filter(split(lower(get_json_object(payload, " +
+        s"'$$.$key')), '\\\\s+'), t -> t != '')")
     val bucketOf = udf((t: String) =>
       tokenBucket(t, nBuckets)) // offline batch job: a UDF is fine here
-    df.select(col("id"), explode(toks).as("token"))
+    // postings carry tf + denormalized dl (Lucene's norm-in-posting
+    // layout) so a RANKED serve scores from the pruned buckets alone
+    df.select(col("id"), toks.as("__toks"))
+      .withColumn("dl", when(col("__toks").isNull, lit(0L))
+        .otherwise(size(col("__toks")).cast(LongType)))
+      .select(col("id"), col("dl"), explode(col("__toks")).as("token"))
+      .groupBy(col("id"), col("token"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
       .withColumn("tb", bucketOf(col("token")))
       .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$base/points")
+    // corpus stats (N docs, Σ tokens) — points WITHOUT the key count
+    // toward N with dl 0, exactly like the engine-side corpusStats
+    val st = df.select(when(toks.isNull, lit(0L))
+        .otherwise(size(toks).cast(LongType)).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$base/meta.txt"),
-      s"$key\n$nBuckets\n${logHeadOf(dir)}"
+      s"$key\n$nBuckets\n${logHeadOf(dir)}\n${st.getLong(0)} $totalTokens"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 

@@ -471,6 +471,20 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** Full posting rows (id, token, tf, dl) of a tf/dl-layout text
+    * sidecar file — the RANKED full-text serve's read.
+    */
+  def readTextPostingRows(path: String): Seq[(String, String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, String, Long, Long)]
+    readGroups(path) { (g, schema) =>
+      out += ((g.getString("id", 0),
+        g.getString(schema.getFieldIndex("token"), 0),
+        g.getLong(schema.getFieldIndex("tf"), 0),
+        g.getLong(schema.getFieldIndex("dl"), 0)))
+    }
+    out.result()
+  }
+
   /** Mirror one PRIMARY file as the log segment sealing its enumeration
     * positions [start, start+rows) as upserts — the initial-ingest
     * changelog entry for that file. Runs executor-side (one task per

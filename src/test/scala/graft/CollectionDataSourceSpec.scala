@@ -1037,6 +1037,39 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(cosSt.codesFilesOpened.get() === 0L)
   }
 
+  test("quantized tier x payload filter: equals the unquantized filtered arm at full candidateK, primaries closed") {
+    val (idx, _) = pqIvfFixture
+    val dir = pqIvfDir
+    ParquetCollectionStore.writeIvfQuantizedSidecar(
+      idx.clustered.select("id", "vector", "cluster"), dir)
+    val q = Collections.homogeneous(spark, TestSpark.sfDir)
+      .filter(col("id") === "7")
+      .select(col("vector").cast("array<double>")).head().getSeq[Double](0)
+      .toArray
+    val spec = SearchSpec("vector", q, "dot", 5)
+    val pf = PayloadFilter(Seq(PayloadCondition("label", "gte", "3")), Nil, None)
+    // the unquantized filtered probed arm is the semantics oracle
+    val fullSt = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2)
+    val want = fullSt.searchPointsFiltered("embeddings", spec,
+      withPayload = true, vectorFields = Nil, pfilter = pf)
+      .map(p => (p._1.id, p._1.payload, p._2))
+    // full candidate margin: the pre-filter candidate cut covers every
+    // probed row, so the filtered page is EXACTLY the unquantized arm's
+    val qSt = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2,
+      ivfCandidateK = 1000000)
+    val got = qSt.searchPointsFiltered("embeddings", spec,
+      withPayload = true, vectorFields = Nil, pfilter = pf)
+      .map(p => (p._1.id, p._1.payload, p._2))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the candidate stage read codes files; primaries stayed closed
+    // (the rerank fetch reads the probed CLUSTER partitions only)
+    assert(qSt.codesFilesOpened.get() > 0L)
+    assert(qSt.filesOpened.get() === 0L)
+  }
+
   test("payload-index sidecar: selective filtered search serves from value partitions — exact, primary and IVF untouched") {
     val (_, store) = pqIvfFixture
     CollectionStores.register("pq_pidx_spec", store)
@@ -1567,6 +1600,62 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(opt.countMatchingFiltered("op", None, None, tf) === 1L)
     assert(opt.textFilesOpened.get() > 0L)
     assert(store ne opt)                          // reopen discipline
+  }
+
+  test("ranked full-text serving: sidecar path == one-pass default, token-bucket reads only, dirty tail falls back") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-textrank").toString
+    val tdesc = graft.collections.CollectionDescriptor("tr", Seq.empty)
+    val df = Seq(
+      ("01", """{"body":"alpha beta gamma alpha"}"""),
+      ("02", """{"body":"beta beta delta"}"""),
+      ("03", """{"body":"alpha epsilon"}"""),
+      ("04", """{"body":"zeta eta theta iota"}"""),
+      ("05", """{"other":"alpha beta"}"""),   // no body: dl 0, counts in N
+      ("06", """{"body":"beta alpha beta"}""")
+    ).toDF("id", "payload")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeTextSidecar(df, dir, key = "body",
+      nBuckets = 8)
+    val st = new ParquetCollectionStore(dir, "tr", tdesc)
+    val got = st.searchTextRanked("tr", "body", Seq("alpha", "beta"), 5)
+    // the sidecar path read ONLY the two query terms' buckets and never
+    // touched a primary file
+    val buckets = Seq("alpha", "beta")
+      .map(t => java.lang.Math.floorMod(t.hashCode, 8)).distinct.size
+    assert(st.textFilesOpened.get() === buckets.toLong)
+    assert(st.filesOpened.get() === 0L)
+    // ... and equals the trait's one-pass default over the same points
+    val want = {
+      val pts = st.queryPoints("tr", 0L, st.pointCount("tr"),
+        withPayload = true, Nil, None).toIndexedSeq
+      InMemoryCollectionStore.single("tr", tdesc, pts)
+        .searchTextRanked("tr", "body", Seq("alpha", "beta"), 5)
+    }
+    assert(got === want)
+    assert(got.size === 4)              // docs 04/05 carry no query term
+    // scores monotone non-increasing, rounded to 4dp
+    assert(got.map(_._2) === got.map(_._2).sorted.reverse)
+    got.foreach { case (_, s) =>
+      assert(s === java.math.BigDecimal.valueOf(s)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    // a MUTATION dirties the tail: the sidecar declines and the default
+    // serves the CURRENT state (new doc ranks; result stays exact)
+    val st2 = st.appended("tr", IndexedSeq(
+      Point("07", Some("""{"body":"alpha alpha alpha"}"""), Map.empty)))
+    val fresh = st2.searchTextRanked("tr", "body", Seq("alpha", "beta"), 5)
+    assert(fresh.map(_._1).contains("07"))
+    assert(st2.filesOpened.get() > 0L) // fell back to the primaries
+    // the CONNECTOR face: textrank.* options produce the ranked scan
+    CollectionStores.register("tr_store", st)
+    val viaScan = spark.read.format("graft.sources.CollectionDataSource")
+      .option("store", "tr_store").option("collection", "tr")
+      .option("textrank.key", "body")
+      .option("textrank.terms", "alpha,beta")
+      .option("textrank.k", "5")
+      .load().collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaScan === got)
   }
 
   test("optimizer: named-field IVF sidecar refits over rows carrying the field only") {
