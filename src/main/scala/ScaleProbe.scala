@@ -16,7 +16,7 @@ object ScaleProbe {
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-      "sharded")
+      "sharded", "recallc")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -613,6 +613,25 @@ object ScaleProbe {
             graft.ops.Ann.searchKnnGraph(refined,
               sigs.filter(col("id") =!= id),
               "id", "v", qvecs(id), 10, entryK = 3, hops = 3, beam = b))
+        // HNSW-style LAYERED entry over the SAME refined graph at the
+        // SAME serve budget (visited <= 1 + hops*beam vs LSH's
+        // entryK + hops*beam): the greedy upper-layer walk replaces the
+        // hash-collision entries — the recall delta is pure entry
+        // quality. Walk cost: <= steps*mUpper scored upper nodes.
+        if (rounds == 1) {
+          val sample = graft.ops.Ann.entryLayer(corpus, "id", "v",
+            sampleN = 256).persist()
+          sample.count()
+          val uadj = graft.ops.Ann.exactKnnGraph(sample, "id", "v", m = 4)
+            .persist()
+          uadj.count()
+          for (b <- Seq(8, 16))
+            meanRecall(s"hnsw-entry descent beam=$b hops=3 (entries<=15 + ${3 * b} beam)")(id =>
+              graft.ops.Ann.searchKnnGraphLayered(refined, uadj, sample,
+                sigs.filter(col("id") =!= id),
+                "id", "v", qvecs(id), 10, entryE = 3, hops = 3, beam = b))
+          sample.unpersist(); uadj.unpersist(): Unit
+        }
         refined.unpersist(): Unit
       }
       // multiprobe: same index, Hamming-1 band keys — the recall a user
@@ -769,6 +788,77 @@ object ScaleProbe {
     // admitted, so wall time must track log size ~linearly; the
     // admission-controlled drain must split the same log into bounded
     // epochs whose row counts sum to it.
+    // the CLUSTERED-embedding recall fixture: every table in the
+    // `recall` section runs on worst-case UNIFORM vectors (BASELINE.md
+    // notes this per table) — nprobe/beam sizing lifted from them does
+    // not transfer to real embeddings, which cluster. This section
+    // re-measures the serving dials on a SEEDED mixture of Gaussians
+    // (16 unit-norm centers, sigma 0.15, deterministic scala.util.Random
+    // — no new data deps), same corpus size as sf0.1's embeddings.
+    section("recallc") {
+      import graft.functions.vec
+      val rnd = new scala.util.Random(42L)
+      def unitVec(): Array[Double] = {
+        val a = Array.fill(64)(rnd.nextGaussian())
+        val n = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / n)
+      }
+      val centers = Array.fill(16)(unitVec())
+      val rows = (0 until 2000).map { i =>
+        val c = centers(i % 16)
+        val p = c.map(x => x + 0.15 * rnd.nextGaussian())
+        (i.toString, p.toSeq)
+      }
+      import spark.implicits._
+      val corpus = rows.toDF("id", "v").persist()
+      corpus.count()
+      val qids = (0 until 20).map(i => (i * 97 % 2000).toString)
+      val qvecs = qids.map(id => id -> corpus.filter(col("id") === id)
+        .select(col("v")).head().getSeq[Double](0).toSeq).toMap
+      def top(df: DataFrame): Set[String] =
+        df.collect().map(_.getString(0)).toSet
+      val truth = qids.map(id => id ->
+        top(graft.ops.Ann.bruteForce(corpus, "id", "v", vec(qvecs(id)), 10))).toMap
+      def meanRecall(tag: String)(method: String => DataFrame): Unit = {
+        val r = qids.map(id => top(method(id)).intersect(truth(id)).size / 10.0)
+        println(f"[probe] recallc@10 $tag: ${r.sum / r.size}%.3f")
+      }
+      val idx = graft.ops.Ann.buildIvf(corpus, "id", "v", nlist = 8, maxIter = 5)
+      idx.clustered.persist().count()
+      for (nprobe <- Seq(1, 2, 4, 8))
+        meanRecall(s"ivf nlist=8 nprobe=$nprobe")(id =>
+          idx.search(vec(qvecs(id)), 10, nprobe))
+      val sigs = graft.ops.Ann.lshBuckets(corpus, "v", 64, nbits = 16).persist()
+      sigs.count()
+      meanRecall("lsh nbits=16 bands=4")(id =>
+        graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      val adj = graft.ops.Ann.buildKnnGraph(corpus, "id", "v", dim = 64,
+        m = 8).persist()
+      adj.count()
+      val refined = graft.ops.Ann.nnDescent(adj, corpus, "id", "v",
+        m = 8, rounds = 1).persist()
+      refined.count()
+      for (b <- Seq(8, 16)) {
+        meanRecall(s"knn-graph beam=$b entryK=3 hops=3")(id =>
+          graft.ops.Ann.searchKnnGraph(adj, sigs.filter(col("id") =!= id),
+            "id", "v", qvecs(id), 10, entryK = 3, hops = 3, beam = b))
+        meanRecall(s"knn-descent beam=$b hops=3")(id =>
+          graft.ops.Ann.searchKnnGraph(refined, sigs.filter(col("id") =!= id),
+            "id", "v", qvecs(id), 10, entryK = 3, hops = 3, beam = b))
+      }
+      val sample = graft.ops.Ann.entryLayer(corpus, "id", "v",
+        sampleN = 256).persist()
+      sample.count()
+      val uadj = graft.ops.Ann.exactKnnGraph(sample, "id", "v", m = 4)
+        .persist()
+      uadj.count()
+      for (b <- Seq(8, 16))
+        meanRecall(s"hnsw-entry descent beam=$b hops=3 (entries<=15 + ${3 * b} beam)")(id =>
+          graft.ops.Ann.searchKnnGraphLayered(refined, uadj, sample,
+            sigs.filter(col("id") =!= id),
+            "id", "v", qvecs(id), 10, entryE = 3, hops = 3, beam = b))
+    }
+
     section("etl") {
       import graft.sources._
       import graft.collections.Collections

@@ -348,6 +348,105 @@ object DuckMirror {
        |ORDER BY score DESC, id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of the LAYERED (HNSW-style) serve
+    * (Ann.entryLayer + Ann.searchKnnGraphLayered over the NN-DESCENT
+    * graph): the sampleN smallest-seeded-hash nodes form the model-sized
+    * upper layer, an EXACT all-pairs top-mUpper adjacency connects them,
+    * the layer is scored in full and the best entryE nodes plus their
+    * upper neighbors (HNSW's ef-seeding) seed the beam serve of
+    * [[knnGraphBeamSql]] over the descent-refined base adjacency.
+    */
+  def hnswEntrySql(queryVecId: Int, k: Int, m: Int, dim: Int, nbits: Int,
+                   bands: Int, seed: Long, rounds: Int, sampleN: Int,
+                   mUpper: Int, entryE: Int, hops: Int, beam: Int): String = {
+    val r = nbits / bands
+    val bitExprs = lshBucketExpr(dim, nbits, seed)
+    def bandEq(x: String, y: String) = (0 until bands).map(b =>
+      s"${lshBandKey(s"$x.bucket", b, r)} = ${lshBandKey(s"$y.bucket", b, r)}")
+      .mkString(" OR ")
+    val descent = (1 to rounds).map { i =>
+      s"""u$i AS MATERIALIZED (SELECT src, nbr FROM a${i - 1}
+         |        UNION SELECT nbr AS src, src AS nbr FROM a${i - 1}),
+         |c$i AS MATERIALIZED (SELECT x.src AS src, y.nbr AS nbr
+         |        FROM u$i x JOIN u$i y ON x.nbr = y.src
+         |        WHERE x.src <> y.nbr
+         |        UNION SELECT src, nbr FROM a${i - 1}),
+         |a$i AS MATERIALIZED (
+         |  SELECT src, nbr, sim FROM (
+         |    SELECT c.src, c.nbr,
+         |           ROUND(list_cosine_similarity(sa.v, sb.v), 6) AS sim,
+         |           row_number() OVER (PARTITION BY c.src
+         |             ORDER BY ROUND(list_cosine_similarity(sa.v, sb.v), 6) DESC,
+         |                      c.nbr) AS rn
+         |    FROM c$i c
+         |    JOIN sigs sa ON CAST(sa.vec_id AS VARCHAR) = c.src
+         |    JOIN sigs sb ON CAST(sb.vec_id AS VARCHAR) = c.nbr) t
+         |  WHERE rn <= $m)""".stripMargin
+    }.mkString(",\n")
+    val hopCtes = (1 to hops).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT nbr AS id, approx AS score FROM (
+         |    SELECT adj.nbr, MAX(f.score * adj.sim) AS approx
+         |    FROM a$rounds adj JOIN f${i - 1} f ON adj.src = f.id
+         |    WHERE adj.nbr NOT IN (SELECT id FROM v${i - 1})
+         |    GROUP BY adj.nbr)
+         |  ORDER BY approx DESC, nbr LIMIT $beam),
+         |v$i AS MATERIALIZED (SELECT id FROM v${i - 1} UNION SELECT id FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sigs AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         $bitExprs AS bucket
+       |  FROM embeddings),
+       |q AS MATERIALIZED (SELECT bucket, v FROM sigs WHERE vec_id = $queryVecId),
+       |a0 AS MATERIALIZED (
+       |  SELECT src, nbr, sim FROM (
+       |    SELECT CAST(a.vec_id AS VARCHAR) AS src,
+       |           CAST(b.vec_id AS VARCHAR) AS nbr,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      CAST(b.vec_id AS VARCHAR)) AS rn
+       |    FROM sigs a, sigs b
+       |    WHERE a.vec_id <> b.vec_id AND (${bandEq("a", "b")})) t
+       |  WHERE rn <= $m),
+       |$descent,
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, v, id FROM (
+       |    SELECT vec_id, v, CAST(vec_id AS VARCHAR) AS id
+       |    FROM sigs
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR) || '#hnsw$seed'),
+       |             CAST(vec_id AS VARCHAR)
+       |    LIMIT $sampleN)),
+       |uadj AS MATERIALIZED (
+       |  SELECT src, nbr, sim FROM (
+       |    SELECT a.id AS src, b.id AS nbr,
+       |           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim,
+       |           row_number() OVER (PARTITION BY a.id
+       |             ORDER BY ROUND(list_cosine_similarity(a.v, b.v), 6) DESC,
+       |                      b.id) AS rn
+       |    FROM samp a, samp b
+       |    WHERE a.vec_id <> b.vec_id) t
+       |  WHERE rn <= $mUpper),
+       |g AS MATERIALIZED (
+       |  SELECT s.id FROM samp s, q
+       |  ORDER BY ROUND(list_cosine_similarity(s.v, q.v), 6) DESC, s.id
+       |  LIMIT $entryE),
+       |f0 AS MATERIALIZED (
+       |  SELECT s.id, ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |  FROM samp s, q
+       |  WHERE s.id IN (SELECT id FROM g)
+       |     OR s.id IN (SELECT u.nbr FROM uadj u
+       |                 JOIN g ON u.src = g.id)),
+       |v0 AS MATERIALIZED (SELECT id FROM f0),
+       |$hopCtes
+       |SELECT CAST(s.vec_id AS VARCHAR) AS id,
+       |       ROUND(list_cosine_similarity(s.v, q.v), 6) AS score
+       |FROM sigs s, q
+       |WHERE s.vec_id <> $queryVecId
+       |  AND CAST(s.vec_id AS VARCHAR) IN (SELECT id FROM v$hops)
+       |ORDER BY score DESC, id LIMIT $k""".stripMargin
+  }
+
   def lshMultiprobeSql(queryVecId: Int, k: Int, dim: Int, nbits: Int,
                        bands: Int, seed: Long): String = {
     val r = nbits / bands

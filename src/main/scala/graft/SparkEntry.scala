@@ -957,6 +957,21 @@ object SparkEntry {
         storedLshSignatures(s, dir).select("id", "vector"), "id", "vector",
         m = 8, rounds = 1).localCheckpoint())
 
+  /** The HNSW-style sampled upper layer of `dir`'s collection (256 seeded
+    * ids) and its exact top-4 adjacency (model-sized layer: all-pairs is
+    * the right build there — a corpus-layer uses the banded builder) — the greedy-entry artifacts,
+    * built once per dir like the base graph.
+    */
+  private def hnswSample(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.getOrElseUpdate(s"$dir#hnswsample",
+      graft.ops.Ann.entryLayer(hom(s, dir).select(col("id"), col("vector")),
+        "id", "vector", sampleN = 256).localCheckpoint())
+
+  private def hnswUpperAdj(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.getOrElseUpdate(s"$dir#hnswupper",
+      graft.ops.Ann.exactKnnGraph(hnswSample(s, dir), "id", "v", m = 4)
+        .localCheckpoint())
+
   private val pqCache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.ops.Pq.PqModel, DataFrame)]
 
@@ -5426,6 +5441,22 @@ object SparkEntry {
         "id", "vector", q, k = 10, entryK = 3, hops = 3, beam = 8)
     }),
 
+    // HNSW-style LAYERED entry points over the descent graph: a seeded
+    // 256-node model-sized upper layer scored in full (one coarse scan,
+    // like IVF's centroid probe) lands the best entry + its upper
+    // neighbors (ef-seeding); the beam serve expands from them over the
+    // refined base graph. Entry QUALITY replaces entry QUANTITY — the
+    // recall probe compares this against LSH entries at equal visited
+    // budget; the gate pins the whole serve against its DuckDB mirror
+    "ann_hnsw_entry" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 3)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchKnnGraphLayered(SparkEntry.knnDescentGraph(s, dir),
+        SparkEntry.hnswUpperAdj(s, dir), SparkEntry.hnswSample(s, dir),
+        storedLshSignatures(s, dir).filter(col("id") =!= "3"),
+        "id", "vector", q, k = 10, entryE = 3, hops = 3, beam = 8)
+    }),
+
     // incremental IVF maintenance: assign points against the EXISTING
     // centroid table (no rebuild) — the path by which streamed-in points
     // join a served index; pure map-side argmin over broadcast centroid
@@ -9119,6 +9150,10 @@ object SparkEntry {
         "ann_knn_descent" -> DuckMirror.knnDescentSql(queryVecId = 3,
           k = 10, entryK = 3, m = 8, dim = 64, nbits = 16, bands = 4,
           seed = 42L, hops = 2, rounds = 1),
+        "ann_hnsw_entry" -> DuckMirror.hnswEntrySql(queryVecId = 3,
+          k = 10, m = 8, dim = 64, nbits = 16, bands = 4, seed = 42L,
+          rounds = 1, sampleN = 256, mUpper = 4, entryE = 3, hops = 3,
+          beam = 8),
         "ann_lsh_bucketed" -> DuckMirror.lshSql(queryVecId = 3, k = 10,
           dim = 64, nbits = 16, bands = 4, seed = 42L),
         "ann_ivf_assign" -> DuckMirror.ivfAssignSql(dim = 64, nlist = 8,

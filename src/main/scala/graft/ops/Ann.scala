@@ -829,29 +829,121 @@ object Ann {
       }
       rerank(sigs.join(broadcast(cands), Seq(idCol), "left_semi"))
     } else {
-      // beam-pruned expansion. The per-hop collect is bounded model
-      // state (|frontier| * m adjacency rows), not a data pass; the
-      // adjacency read prunes on a literal IN over the frontier ids.
-      var frontier: Seq[(Any, Double)] =
-        searchLshStored(sigs, idCol, vecCol, query, entryK, nbits, bands,
-          seed).collect().toSeq.map(r => (r.get(0), r.getDouble(1)))
-      var visited: Set[Any] = frontier.map(_._1).toSet
-      for (_ <- 1 to hops if frontier.nonEmpty) {
-        val fScores = frontier.toMap
-        val rows = adj
-          .filter(col("src").isin(frontier.map(_._1): _*) &&
-            !col("nbr").isin(visited.toSeq: _*))
-          .select(col("src"), col("nbr"), col("sim"))
-          .collect()
-        frontier = rows.groupBy(_.get(1)).toSeq
-          .map { case (nbr, rs) =>
-            (nbr, rs.map(r => fScores(r.get(0)) * r.getDouble(2)).max)
-          }
-          .sortBy { case (id, s) => (-s, String.valueOf(id)) }
-          .take(beam)
-        visited ++= frontier.map(_._1)
-      }
-      rerank(sigs.filter(col(idCol).isin(visited.toSeq: _*)))
+      val entries = searchLshStored(sigs, idCol, vecCol, query, entryK,
+        nbits, bands, seed).collect().toSeq
+        .map(r => (r.get(0), r.getDouble(1)))
+      rerank(sigs.filter(col(idCol).isin(
+        beamVisited(adj, entries, hops, beam).toSeq: _*)))
     }
+  }
+
+  /** Beam-pruned frontier expansion from an EXPLICIT entry set — the
+    * serve core shared by [[searchKnnGraph]] (LSH entries) and
+    * [[searchKnnGraphLayered]] (upper-layer greedy entries). The per-hop
+    * collect is bounded model state (|frontier| * m adjacency rows), not
+    * a data pass; the adjacency read prunes on a literal IN over the
+    * frontier ids. Returns the visited-id set the exact rerank fetches.
+    */
+  private def beamVisited(adj: DataFrame, entries: Seq[(Any, Double)],
+                          hops: Int, beam: Int): Set[Any] = {
+    var frontier: Seq[(Any, Double)] = entries
+    var visited: Set[Any] = frontier.map(_._1).toSet
+    for (_ <- 1 to hops if frontier.nonEmpty) {
+      val fScores = frontier.toMap
+      val rows = adj
+        .filter(col("src").isin(frontier.map(_._1): _*) &&
+          !col("nbr").isin(visited.toSeq: _*))
+        .select(col("src"), col("nbr"), col("sim"))
+        .collect()
+      frontier = rows.groupBy(_.get(1)).toSeq
+        .map { case (nbr, rs) =>
+          (nbr, rs.map(r => fScores(r.get(0)) * r.getDouble(2)).max)
+        }
+        .sortBy { case (id, s) => (-s, String.valueOf(id)) }
+        .take(beam)
+      visited ++= frontier.map(_._1)
+    }
+    visited
+  }
+
+  /** The HNSW-style sampled ENTRY LAYER of a corpus: the `sampleN` ids
+    * with the SMALLEST seeded md5 hash (the [[graft.ops.Search]] random-
+    * sample permutation — deterministic on any engine), with vectors —
+    * a ~N/f upper layer whose greedy descent replaces LSH entry points.
+    * Model-sized read: TakeOrdered by a map-side hash, never a full sort
+    * materialization.
+    */
+  def entryLayer(df: DataFrame, idCol: String, vecCol: String,
+                 sampleN: Int, seed: Long = 42L): DataFrame = {
+    require(sampleN >= 1, s"entryLayer needs sampleN >= 1, got $sampleN")
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(md5(concat(col("id"), lit(s"#hnsw$seed"))), col("id"))
+      .limit(sampleN)
+  }
+
+  /** EXACT top-`m` adjacency of a MODEL-SIZED layer (the HNSW upper
+    * layer: ~N/f sampled nodes): all-pairs rounded cosine + per-node
+    * window. Quadratic in the layer size BY DESIGN — correct for the
+    * sampled entry layer ([[entryLayer]]'s ~√N), never for a corpus; a
+    * corpus-sized layer uses [[buildKnnGraph]] + [[nnDescent]] instead.
+    */
+  def exactKnnGraph(df: DataFrame, idCol: String, vecCol: String,
+                    m: Int): DataFrame = {
+    require(m >= 1, s"exactKnnGraph needs m >= 1, got $m")
+    val a = df.select(col(idCol).as("src"), col(vecCol).as("__sv"))
+    val b = df.select(col(idCol).as("nbr"), col(vecCol).as("__nv"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("sim").desc, col("nbr").asc)
+    a.crossJoin(b).filter(col("src") =!= col("nbr"))
+      .withColumn("sim", round(v_cosine(col("__sv"), col("__nv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .select(col("src"), col("nbr"), col("sim"))
+  }
+
+  /** Layered serve over a kNN graph — HNSW's hierarchy collapsed to the
+    * two layers a DISTRIBUTED serve can actually exploit: the sampled
+    * upper layer is scored IN FULL against the query (it is model-sized
+    * by construction, exactly like IVF's centroid table — ~N/f rows, one
+    * tiny scan), the best `entryE` upper nodes plus their stored upper
+    * neighbors seed [[searchKnnGraph]]'s beam expansion on the base
+    * `adj` (HNSW's ef-seeding). Entry QUALITY replaces entry QUANTITY:
+    * the coarse scan lands in the query's cluster every time, where
+    * LSH's hash-collision entries miss whole clusters (the recall probe
+    * measures both). A greedy walk on the upper adjacency was measured
+    * NON-NAVIGABLE on the clustered fixture — cross-cluster cosine ~ 0
+    * gives the walk no gradient (recallc rows fell to 0.07-0.22 vs the
+    * coarse scan's parity-or-better) — so the entry stage is the scan;
+    * the public HNSW recipe regains navigability only with its full
+    * log-N insertion-order hierarchy, which a batch-built layer lacks.
+    * Visited budget: entryE·(1 + mUpper) entries + hops·beam expansion,
+    * directly comparable to the LSH-entry rows.
+    */
+  def searchKnnGraphLayered(adj: DataFrame, upperAdj: DataFrame,
+                            sample: DataFrame, sigs: DataFrame,
+                            idCol: String, vecCol: String,
+                            query: Seq[Double], k: Int, entryE: Int = 1,
+                            hops: Int = 1, beam: Int = 8): DataFrame = {
+    require(k >= 1 && entryE >= 1 && hops >= 1 && beam >= 1,
+      s"searchKnnGraphLayered needs k, entryE, hops, beam >= 1")
+    val scored = sample
+      .withColumn("__sc", round(v_cosine(col("v"), vec(query)), 6))
+    val best = scored
+      .orderBy(col("__sc").desc, col("id").asc)
+      .select(col("id"), col("__sc")).limit(entryE).collect()
+      .map(r => (r.get(0), r.getDouble(1))).toSeq
+    val nbrs = scored
+      .join(upperAdj.filter(col("src").isin(best.map(_._1): _*))
+        .select(col("nbr").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("__sc")).collect()
+      .map(r => (r.get(0), r.getDouble(1))).toSeq
+    val entries: Seq[(Any, Double)] = (best ++ nbrs)
+      .groupBy(_._1).view.mapValues(_.head._2).toSeq
+    val visited = beamVisited(adj, entries, hops, beam)
+    sigs.filter(col(idCol).isin(visited.toSeq: _*))
+      .withColumn("score", round(v_cosine(col(vecCol), vec(query)), 6))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -139,6 +139,49 @@ class AnnSpec extends AnyFunSuite {
     assert(beamTop.map(_._2).toSeq === beamTop.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("entryLayer + exactKnnGraph: seeded sample, exact top-m adjacency, layered serve is a valid scored top-k") {
+    val sample = Ann.entryLayer(corpus, "id", "vector", sampleN = 32)
+    assert(sample.count() === 32L)
+    // the sample is exactly the 32 smallest seeded hashes — deterministic
+    val want = corpus.select(col("id"),
+        md5(concat(col("id"), lit("#hnsw42"))).as("h"))
+      .orderBy(col("h"), col("id")).limit(32)
+      .select("id").as[String].collect().toSet
+    assert(sample.select("id").as[String].collect().toSet === want)
+    // exact adjacency: each node's rows are its TRUE top-m by cosine
+    val uadj = Ann.exactKnnGraph(sample, "id", "v", m = 3)
+    val bySrc = uadj.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 3))
+    val sampleVecs = sample.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val (src, _, simLast) = bySrc.head._2.minBy(_._3)
+    val worstKept = simLast
+    val dropped = sampleVecs.keys.filterNot(k =>
+      k == src || bySrc(src).exists(_._2 == k))
+    assert(dropped.forall(d =>
+      cos(sampleVecs(src), sampleVecs(d)) <= worstKept + 1e-9),
+      "a dropped neighbor outranks a kept one")
+    // the layered serve returns k rows, best-first, from the base graph
+    val adj = Ann.buildKnnGraph(corpus, "id", "vector", dim = 64, m = 8)
+    val sigs = Ann.lshBuckets(corpus, "vector", 64, nbits = 16)
+    val got = Ann.searchKnnGraphLayered(adj, uadj, sample,
+      sigs.filter(col("id") =!= "0"), "id", "vector", queryVec,
+      k = 5, entryE = 2, hops = 2, beam = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.length === 5)
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    assert(!got.map(_._1).contains("0"))
+  }
+
   test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
     val c = corpus
     val idx = Ann.buildIvf(c, "id", "vector", nlist = 4, maxIter = 3)
