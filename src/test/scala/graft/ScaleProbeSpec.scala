@@ -22,6 +22,7 @@ class ScaleProbeSpec extends AnyFunSuite {
       Set("dedup", "clusters", "lsh", "emblsh", "stream", "recall", "etl",
         "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
         "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
-        "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext"))
+        "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
+        "sharded", "recallc"))
   }
 }
