@@ -688,6 +688,40 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
+  /** Binary server fronting a SHARDED store (3 rendezvous-placed
+    * in-memory members): the full production topology — connector ->
+    * wire -> scatter-gather -> members — behind one address.
+    */
+  private def grpcShardedAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(s"$dir#sharded", {
+      val backend = s"grpc_sh_backend_${Integer.toHexString(dir.hashCode)}"
+      val frame = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 3).map { i =>
+        graft.sources.InMemoryCollectionStore.fromRows(
+          frame.filter(shardOf3(col("id")) === i),
+          "embeddings", Collections.homogeneousDescriptor)
+      }
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ShardedCollectionStore(members))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      (srv.host, srv.port)
+    })
+
+  /** Binary server fronting the TEXT-SIDECAR'd documents store: the
+    * ranked full-text serve behind the wire — postings read service-side,
+    * only the k hits cross.
+    */
+  private def grpcTextRankAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(s"$dir#textrank", {
+      val backend = s"grpc_tr_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        parquetTextRankStore(s, dir))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      (srv.host, srv.port)
+    })
+
   /** One JSON-transport server fronting the LAKEHOUSE backend (registry
     * name `rest_lake_backend`) — the transport twin of
     * [[grpcLakeServer]].
@@ -1857,6 +1891,25 @@ object SparkEntry {
           col("_score").as("bm25"))
     }),
 
+    // the same ranked query THROUGH the binary wire: one framed round
+    // trip, the service reads its text-sidecar postings, only the k
+    // scored hits cross — same oracle again (transport invisible)
+    "dsv2_grpc_text_rank" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcTextRankAddr(s, dir)
+      CollectionStores.register("grpc_textrank_store",
+        new GrpcCollectionStore(h, p))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_textrank_store")
+        .option("collection", "documents")
+        .option("textrank.key", "body")
+        .option("textrank.terms", "window,batch,scan")
+        .option("textrank.k", "15")
+        .load()
+        .select(col("id").cast(LongType).as("doc_id"),
+          col("_score").as("bm25"))
+    }),
+
     // filtered COUNT(*) pushdown landing on the payload index: the
     // aggregate collapses to CollectionFilteredCountScan, the store
     // answers from the index's value partitions (footer row counts +
@@ -2610,6 +2663,29 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "sharded_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the full production TOPOLOGY in one gate: connector -> binary
+    // wire -> scatter-gather -> 3 rendezvous shards. The pushed top-k
+    // crosses the wire once; the service fans out and merges shard
+    // pages. Same oracle yet again — neither the transport nor the
+    // distribution may be observable above the seam
+    "dsv2_grpc_sharded_search" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcShardedAddr(s, dir)
+      CollectionStores.register("grpc_sharded_store",
+        new GrpcCollectionStore(h, p))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_sharded_store")
+        .option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -4707,6 +4783,16 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))),
 
+    // sliding token-window CHUNKING (RAG / pretraining splitter): one
+    // row per 64-token window every 48 tokens, last chunk to the doc
+    // end, short docs = one chunk — pure map-side HOFs, row growth is
+    // the only cost
+    "chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+          window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          col("n_tokens"))),
+
     // BM25 relevance: per-term tf from one TextStats pass (each term its
     // own profile), corpus stats as a broadcast one-row aggregate
     "bm25_rank" -> ((s, dir) =>
@@ -6550,6 +6636,15 @@ object SparkEntry {
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
 
+    "dsv2_grpc_sharded_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),
+        |top AS (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+        |  FROM embeddings e, q
+        |  ORDER BY s DESC, id ASC LIMIT 12)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
     "dsv2_payload_filter" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
@@ -8082,6 +8177,21 @@ object SparkEntry {
         |       CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+        |                  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |idx AS (SELECT doc_id, toks, n,
+        |               unnest(range(0, CASE WHEN n <= 0 THEN 0
+        |                                    WHEN n <= 64 THEN 1
+        |                                    ELSE CAST(ceil((n - 64) / 48.0) AS INTEGER) + 1 END)) AS i
+        |        FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |       array_to_string(toks[i * 48 + 1 : i * 48 + 64], ' ') AS chunk,
+        |       CAST(LEAST(64, n - i * 48) AS INTEGER) AS n_tokens
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "bm25_rank" ->
       """WITH t AS (SELECT doc_id,
         |                  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
@@ -8208,6 +8318,9 @@ object SparkEntry {
     // engine-side partition-pruned postings scan and store-side
     // token-bucket serve must agree bit for bit
     "dsv2_parquet_text_rank" -> InvertedSearchOracle,
+
+    // ... and through the binary wire: transport invisible, same oracle
+    "dsv2_grpc_text_rank" -> InvertedSearchOracle,
 
 
     // inverted_search's formula under the CONFIGURED tokenizer: word

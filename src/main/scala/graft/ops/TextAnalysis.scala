@@ -13,6 +13,40 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Sliding token-window CHUNKING — the RAG/pretraining document
+    * splitter: each document becomes ceil((n-window)/stride)+1 chunks of
+    * `window` whitespace tokens starting every `stride` tokens (the
+    * last chunk runs to the document end; a document shorter than one
+    * window is one chunk; an empty document yields none). Output: one
+    * row per chunk — (idCol, chunk_idx, chunk text re-joined with single
+    * spaces, n_tokens). Pure map-side HOFs (split -> per-start slice ->
+    * explode): no shuffle, the chunk explosion is the only row growth —
+    * at 100 TB this runs at scan speed and the downstream embed/pack
+    * stages key on (doc, chunk_idx). Case is PRESERVED (chunks feed
+    * models; the case-folding convention belongs to matching, not
+    * splitting).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val nchunks = when(n <= 0, lit(0)).when(n <= window, lit(1))
+      .otherwise(ceil((n - lit(window)).cast(DoubleType) / lit(stride))
+        .cast(IntegerType) + lit(1))
+    val chunks = filter(
+      transform(sequence(lit(0), greatest(nchunks - 1, lit(0))), i =>
+        struct(i.as("chunk_idx"),
+          array_join(slice(toks, i * stride + 1, lit(window)), " ").as("chunk"),
+          least(lit(window), n - i * stride).as("n_tokens"))),
+      c => c.getField("chunk_idx") < nchunks)
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.chunk").as("chunk"), col("__c.n_tokens").as("n_tokens"))
+  }
+
   /** Whitespace token count (non-empty tokens). */
   def tokenCount(text: Column): Column = tokenCountOf(stats(text))
 

@@ -504,6 +504,36 @@ final class GrpcCollectionStore(host: String, port: Int,
     out.result()
   }
 
+  /** Ranked full-text in ONE framed round trip — the default would
+    * scroll every payload over the wire; the service reads its own
+    * postings and ships the k hits.
+    */
+  override def searchTextRanked(collection: String, key: String,
+                                terms: Seq[String], k: Int,
+                                k1: Double = 1.2,
+                                b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    val w = new PbWriter().string(1, collection).string(2, key)
+    terms.foreach(w.string(3, _))
+    w.int(4, k.toLong).double(5, k1).double(6, b)
+    val r = new PbReader(call("textrank", w))
+    val out = Seq.newBuilder[(String, Double)]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) =>
+        val m = r.readMessage()
+        var id = ""
+        var s = 0.0
+        while (m.hasNext) m.readTag() match {
+          case (1, _) => id = m.readString()
+          case (2, _) => s = m.readDouble()
+          case (_, w2) => m.skip(w2)
+        }
+        out += ((id, s))
+      case (_, w2) => r.skip(w2)
+    }
+    out.result()
+  }
+
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     val r = new PbReader(call("facet", new PbWriter().string(1, collection)
@@ -819,6 +849,31 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
       store.facetCounts(c, key, limit).foreach { case (v, n) =>
         w.message(1, new PbWriter().string(1, v).int(2, n))
       }
+      w
+
+    // BM25-ranked full-text top-k — one framed round trip, the service
+    // reads its postings, only the k scored hits cross the wire
+    case "textrank" =>
+      var c = ""
+      var key = ""
+      var k = 10
+      var k1 = 1.2
+      var b = 0.75
+      val terms = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => key = r.readString()
+        case (3, _) => terms += r.readString()
+        case (4, _) => k = r.readRawVarint().toInt
+        case (5, _) => k1 = r.readDouble()
+        case (6, _) => b = r.readDouble()
+        case (_, w) => r.skip(w)
+      }
+      val w = new PbWriter
+      store.searchTextRanked(c, key, terms.result(), k, k1, b)
+        .foreach { case (id, s) =>
+          w.message(1, new PbWriter().string(1, id).double(2, s))
+        }
       w
 
     case "upsert" =>

@@ -673,6 +673,36 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** Ranked full-text in ONE round trip — the default would scroll the
+    * whole collection's payloads over the wire; the service reads its
+    * own postings and ships the k hits.
+    */
+  override def searchTextRanked(collection: String, key: String,
+                                terms: Seq[String], k: Int,
+                                k1: Double = 1.2,
+                                b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    CollectionWire.result(post(s"/collections/$collection/points/textrank",
+      JObject("key" -> JString(key),
+        "terms" -> JArray(terms.map(JString(_)).toList),
+        "k" -> JInt(k), "k1" -> JDouble(k1), "b" -> JDouble(b)))) \ "hits" match {
+      case JArray(hs) => hs.map { h =>
+        val id = CollectionWire.optStr(h \ "id").getOrElse(
+          throw new IllegalArgumentException(s"textrank hit without id: $h"))
+        val s = h \ "score" match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"textrank hit without score: $other")
+        }
+        (id, s)
+      }
+      case _ => Seq.empty
+    }
+  }
+
   /** BATCHED scored queries (Qdrant's `points/query/batch` surface): N
     * query specs answered in ONE round trip — at N queries per trip the
     * per-request latency amortizes across the batch, the wire analog of
@@ -1028,6 +1058,33 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
         CollectionWire.okEnvelope(JObject("hits" -> JArray(
           store.facetCounts(c, key, limit).map { case (v, n) =>
             JObject("value" -> JString(v), "count" -> JLong(n)): JValue
+          }.toList)))
+
+      // BM25-ranked full-text top-k (the ranked face of the text index):
+      // one round trip, the SERVICE reads its postings — only the k
+      // scored hits cross the wire
+      case ("POST", "collections" :: c :: "points" :: "textrank" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("textrank requires 'key'"))
+        val terms = b \ "terms" match {
+          case JArray(ts) => ts.flatMap(CollectionWire.optStr)
+          case _ => throw new IllegalArgumentException(
+            "textrank requires 'terms' (array of strings)")
+        }
+        val k = CollectionWire.optLong(b \ "k").map(_.toInt).getOrElse(10)
+        def dial(v: JValue, dflt: Double): Double = v match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case _ => dflt
+        }
+        CollectionWire.okEnvelope(JObject("hits" -> JArray(
+          store.searchTextRanked(c, key, terms, k,
+            dial(b \ "k1", 1.2), dial(b \ "b", 0.75)).map { case (id, s) =>
+            JObject("id" -> JString(id), "score" -> JDouble(s)): JValue
           }.toList)))
 
       case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>

@@ -228,6 +228,43 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("ranked full-text crosses the framed wire in one round trip, equal to the local serve") {
+    val pts = (0 until 12).map { i =>
+      Point(f"$i%03d", Some(s"""{"body":"tok${i % 3} tok${i % 4} filler$i"}"""),
+        Map.empty)
+    }
+    val st = InMemoryCollectionStore.single("tr",
+      CollectionDescriptor("tr", Seq.empty), pts)
+    CollectionStores.register("grpc_tr_spec", st)
+    val srv = new CollectionGrpcServer("grpc_tr_spec").start()
+    try {
+      val cl = new GrpcCollectionStore(srv.host, srv.port)
+      val want = st.searchTextRanked("tr", "body", Seq("tok1", "tok2"), 5)
+      assert(cl.searchTextRanked("tr", "body", Seq("tok1", "tok2"), 5) === want)
+      assert(want.nonEmpty)
+      assert(cl.searchTextRanked("tr", "body", Seq("tok1"), 3, k1 = 2.0,
+        b = 0.5) === st.searchTextRanked("tr", "body", Seq("tok1"), 3,
+        k1 = 2.0, b = 0.5))
+    } finally srv.stop()
+  }
+
+  test("client failure bound: a wedged server surfaces a timeout, never pins the thread") {
+    // a server that ACCEPTS but never answers — the half-open failure
+    // mode the read timeout exists for
+    val wedged = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getLoopbackAddress)
+    try {
+      val cl = new GrpcCollectionStore(
+        java.net.InetAddress.getLoopbackAddress.getHostAddress,
+        wedged.getLocalPort, timeoutMs = 300)
+      val t0 = System.nanoTime()
+      val e = intercept[IllegalStateException] { cl.pointCount("c") }
+      val elapsed = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      assert(elapsed < 5000, s"timeout took ${elapsed}ms — unbounded wait")
+    } finally wedged.close()
+  }
+
   test("api-key auth: keyed server refuses missing/wrong key frames, keyed client is unaffected") {
     CollectionStores.register("grpc_auth_spec", inner)
     val srv = new CollectionGrpcServer("grpc_auth_spec",

@@ -666,6 +666,28 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("ranked full-text crosses the wire in one round trip, equal to the local serve") {
+    val pts = (0 until 12).map { i =>
+      Point(f"$i%03d", Some(s"""{"body":"tok${i % 3} tok${i % 4} filler$i"}"""),
+        Map.empty)
+    }
+    val st = InMemoryCollectionStore.single("tr",
+      CollectionDescriptor("tr", Seq.empty), pts)
+    CollectionStores.register("rest_tr_spec", st)
+    val srv = new CollectionHttpServer("rest_tr_spec").start()
+    try {
+      val cl = new RestCollectionStore(srv.baseUrl)
+      val want = st.searchTextRanked("tr", "body", Seq("tok1", "tok2"), 5)
+      val got = cl.searchTextRanked("tr", "body", Seq("tok1", "tok2"), 5)
+      assert(got === want)
+      assert(got.nonEmpty)
+      // non-default dials ship too
+      assert(cl.searchTextRanked("tr", "body", Seq("tok1"), 3, k1 = 2.0,
+        b = 0.5) === st.searchTextRanked("tr", "body", Seq("tok1"), 3,
+        k1 = 2.0, b = 0.5))
+    } finally srv.stop()
+  }
+
   test("api-key auth: keyed server refuses unkeyed/wrong-key requests (401), keyed client is unaffected") {
     CollectionStores.register("rest_auth_spec", inner)
     val srv = new CollectionHttpServer("rest_auth_spec",

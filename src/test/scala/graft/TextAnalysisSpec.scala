@@ -510,4 +510,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) === None)
     assert(math.abs(out(4L).get - math.log(2.0)) < 1e-6)
   }
+
+  test("chunkDocuments: window/stride boundaries, short and empty docs, case preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, w=4 s=3
+      (2L, "Short Doc"),                              // < window: one chunk
+      (3L, ""),                                       // empty: no chunks
+      (4L, "a b c d")                                 // == window exactly
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .chunkDocuments(df, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3))).sortBy(c => (c._1, c._2)).toSeq
+    // doc 1: starts 0,3,6 — ceil((10-4)/3)+1 = 3 chunks; last runs to end
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4)))
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0, "Short Doc", 2)))
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L) === Seq((4L, 0, "a b c d", 1 * 4)))
+    // tail shorter than a window keeps its true token count
+    val tail = graft.ops.TextAnalysis
+      .chunkDocuments(df.filter($"doc_id" === 1L), "doc_id", "text",
+        window = 4, stride = 4)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+      .sortBy(_._1)
+    assert(tail === Seq((0, "t1 t2 t3 t4", 4), (1, "t5 t6 t7 t8", 4),
+      (2, "t9 t10", 2)))
+  }
 }
