@@ -311,6 +311,31 @@ object SparkEntry {
         graft.collections.CollectionDescriptor("documents", Seq.empty))
     })
 
+  /** The documents corpus rendezvous-SHARDED over 3 parquet members,
+    * EACH with its own tf/dl text sidecar over its slice — the
+    * distributed-BM25 fixture: partials merge (stats/dfs sum, candidate
+    * rows union), the global rank is exact.
+    */
+  private def shardedTextRankStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedTextRankCache.getOrElseUpdate(dir, {
+      val df = docs(s, dir).select(
+        lpad(col("doc_id").cast(StringType), 10, "0").as("id"),
+        to_json(struct(col("text").as("body"))).as("payload"))
+      val members = (0 until 3).map { i =>
+        val own = df.filter(shardOf3(col("id")) === i)
+        val d = tempStoreDir(s"graft-pq-shtr$i")
+        graft.sources.ParquetCollectionStore.write(own, d)
+        graft.sources.ParquetCollectionStore.writeTextSidecar(
+          own, d, key = "body", nBuckets = 16)
+        new graft.sources.ParquetCollectionStore(d, "documents",
+          graft.collections.CollectionDescriptor("documents", Seq.empty))
+      }
+      new graft.sources.ShardedCollectionStore(members)
+    })
+
+  private val shardedTextRankCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
+
   /** The parquet store with TWO payload indexes — qdrant's
     * one-index-per-indexed-field model: an int index on `label` and a
     * keyword index on `parity` (vec_id % 2, independent of label), both
@@ -1883,6 +1908,27 @@ object SparkEntry {
         SparkEntry.parquetTextRankStore(s, dir))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_textrank_store").option("collection", "documents")
+        .option("textrank.key", "body")
+        .option("textrank.terms", "window,batch,scan")
+        .option("textrank.k", "15")
+        .load()
+        .select(col("id").cast(LongType).as("doc_id"),
+          col("_score").as("bm25"))
+    }),
+
+    // DISTRIBUTED BM25: the documents corpus sharded over 3 parquet
+    // members, EACH with its own postings sidecar over its slice — the
+    // wrapper merges mergeable partials (stats/dfs SUM, candidate rows
+    // union by disjoint placement) and ranks globally. Per-shard reads
+    // are the query terms' token buckets of that shard only; the global
+    // rank is provably the unsharded one, so the oracle is shared a
+    // fourth time
+    "dsv2_sharded_text_rank" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_tr_store",
+        SparkEntry.shardedTextRankStore(s, dir))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_tr_store").option("collection", "documents")
         .option("textrank.key", "body")
         .option("textrank.terms", "window,batch,scan")
         .option("textrank.k", "15")
@@ -8321,6 +8367,9 @@ object SparkEntry {
 
     // ... and through the binary wire: transport invisible, same oracle
     "dsv2_grpc_text_rank" -> InvertedSearchOracle,
+
+    // ... and sharded: partials merge exactly, same oracle once more
+    "dsv2_sharded_text_rank" -> InvertedSearchOracle,
 
 
     // inverted_search's formula under the CONFIGURED tokenizer: word

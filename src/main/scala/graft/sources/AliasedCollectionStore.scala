@@ -73,6 +73,9 @@ final class AliasedCollectionStore(
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] =
     inner.facetCounts(r(collection), key, limit)
+  override def textRankPartials(collection: String, key: String,
+                                terms: Seq[String]): TextRankPartials =
+    inner.textRankPartials(r(collection), key, terms)
   override def logSize(collection: String): Long = inner.logSize(r(collection))
   override def logStart(collection: String): Long = inner.logStart(r(collection))
   override def logEntries(collection: String, from: Long,

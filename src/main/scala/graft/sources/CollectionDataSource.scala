@@ -669,6 +669,14 @@ final case class TextRankSpec(key: String, terms: Seq[String], k: Int) {
   def describe: String = s"$key bm25(${terms.mkString(",")}) top $k"
 }
 
+/** Mergeable BM25 inputs (see [[CollectionStore.textRankPartials]]):
+  * `dfs` aligns to the query's term order; `docs` = (id, per-term tf,
+  * dl) for every point containing >= 1 term.
+  */
+final case class TextRankPartials(n: Long, totalLen: Long,
+                                  dfs: Array[Long],
+                                  docs: Seq[(String, Array[Long], Long)])
+
 object TextRank {
   val ScoreCol = "_score"
 
@@ -977,6 +985,20 @@ trait CollectionStore extends Serializable {
                        k: Int, k1: Double = 1.2,
                        b: Double = 0.75): Seq[(String, Double)] = {
     TextRank.validate(terms, k)
+    val p = textRankPartials(collection, key, terms)
+    TextRank.rank(p.docs, p.dfs, p.n, p.totalLen, k1, b, k)
+  }
+
+  /** The BM25 INPUTS of [[searchTextRanked]] as MERGEABLE partials —
+    * the distributed-retrieval seam: corpus stats (N, Σdl) and per-term
+    * dfs SUM across shards, candidate doc rows concatenate (an id lives
+    * on one shard), and the global rank is then exact wherever the
+    * merge happens. Default: one payload pass; a capable backend serves
+    * from its postings sidecar; a sharded store merges its members'
+    * partials.
+    */
+  def textRankPartials(collection: String, key: String,
+                       terms: Seq[String]): TextRankPartials = {
     import org.json4s._
     val nt = terms.length
     var n = 0L
@@ -1007,7 +1029,7 @@ trait CollectionStore extends Serializable {
           while (i < nt) { if (tfs(i) > 0L) dfs(i) += 1L; i += 1 }
         }
       }
-    TextRank.rank(docs.result(), dfs, n, totalLen, k1, b, k)
+    TextRankPartials(n, totalLen, dfs, docs.result())
   }
 
   /** Change-log length for `collection` — the micro-batch streaming

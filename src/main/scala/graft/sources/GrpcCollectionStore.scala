@@ -534,6 +534,39 @@ final class GrpcCollectionStore(host: String, port: Int,
     out.result()
   }
 
+  /** Mergeable BM25 partials in one framed round trip (the sharded
+    * wrapper's per-member call).
+    */
+  override def textRankPartials(collection: String, key: String,
+                                terms: Seq[String]): TextRankPartials = {
+    val req = new PbWriter().string(1, collection).string(2, key)
+    terms.foreach(req.string(3, _))
+    val r = new PbReader(call("textpartials", req))
+    var n = 0L
+    var total = 0L
+    val dfs = Seq.newBuilder[Long]
+    val docs = Seq.newBuilder[(String, Array[Long], Long)]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) => n = r.readRawVarint()
+      case (2, _) => total = r.readRawVarint()
+      case (3, _) => dfs += r.readRawVarint()
+      case (4, _) =>
+        val m = r.readMessage()
+        var id = ""
+        var dl = 0L
+        val tfs = Seq.newBuilder[Long]
+        while (m.hasNext) m.readTag() match {
+          case (1, _) => id = m.readString()
+          case (2, _) => tfs += m.readRawVarint()
+          case (3, _) => dl = m.readRawVarint()
+          case (_, w2) => m.skip(w2)
+        }
+        docs += ((id, tfs.result().toArray, dl))
+      case (_, w2) => r.skip(w2)
+    }
+    TextRankPartials(n, total, dfs.result().toArray, docs.result())
+  }
+
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     val r = new PbReader(call("facet", new PbWriter().string(1, collection)
@@ -874,6 +907,29 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
         .foreach { case (id, s) =>
           w.message(1, new PbWriter().string(1, id).double(2, s))
         }
+      w
+
+    // mergeable BM25 partials — the distributed-rank seam (a sharded
+    // wrapper sums these across members); candidate rows + stats only
+    case "textpartials" =>
+      var c = ""
+      var key = ""
+      val terms = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => key = r.readString()
+        case (3, _) => terms += r.readString()
+        case (_, w) => r.skip(w)
+      }
+      val p = store.textRankPartials(c, key, terms.result())
+      val w = new PbWriter().int(1, p.n).int(2, p.totalLen)
+      p.dfs.foreach(w.int(3, _))
+      p.docs.foreach { case (id, tfs, dl) =>
+        val dw = new PbWriter().string(1, id)
+        tfs.foreach(dw.int(2, _))
+        dw.int(3, dl)
+        w.message(4, dw)
+      }
       w
 
     case "upsert" =>

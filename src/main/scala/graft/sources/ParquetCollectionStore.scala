@@ -1137,19 +1137,20 @@ final class ParquetCollectionStore(
     }
   }
 
-  /** BM25-ranked full-text top-k served from the text sidecar when it
-    * carries the tf/dl posting layout, is keyed on `key`, and the
-    * since-build tail is clean: reads ONLY the query terms' token
-    * buckets (df = posting-list length, per-doc tf/dl denormalized in
-    * the rows, N/Σdl from the meta) — nothing else opens, primaries
-    * stay closed. A dirty tail or legacy sidecar falls back to the
-    * exact one-pass default over the COW-current primaries.
+  /** BM25 partials served from the text sidecar when it carries the
+    * tf/dl posting layout, is keyed on `key`, and the since-build tail
+    * is clean: reads ONLY the query terms' token buckets (df =
+    * posting-list length, per-doc tf/dl denormalized in the rows, N/Σdl
+    * from the meta) — nothing else opens, primaries stay closed. A
+    * dirty tail or legacy sidecar falls back to the exact one-pass
+    * default over the COW-current primaries. [[searchTextRanked]]
+    * inherits the trait's partials -> rank composition, so the ranked
+    * serve (local, wire-fronted, or as one SHARD of a merged rank) pays
+    * only the pruned bucket reads.
     */
-  override def searchTextRanked(c: String, key: String, terms: Seq[String],
-                                k: Int, k1: Double = 1.2,
-                                b: Double = 0.75): Seq[(String, Double)] = {
+  override def textRankPartials(c: String, key: String,
+                                terms: Seq[String]): TextRankPartials = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
-    TextRank.validate(terms, k)
     val served = textSidecar
       .filter(sc => sc.key == key && sc.stats.isDefined)
       .flatMap { sc =>
@@ -1170,10 +1171,10 @@ final class ParquetCollectionStore(
           val docs = tfs.toSeq.map { case (id, tfArr) =>
             (id, tfArr, dls(id))
           }
-          TextRank.rank(docs, dfs, n, totalLen, k1, b, k)
+          TextRankPartials(n, totalLen, dfs, docs)
         }
       }
-    served.getOrElse(super.searchTextRanked(c, key, terms, k, k1, b))
+    served.getOrElse(super.textRankPartials(c, key, terms))
   }
 
   /** Serve a text-filtered search from the postings: candidate ids from

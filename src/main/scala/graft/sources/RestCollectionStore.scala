@@ -703,6 +703,35 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** Mergeable BM25 partials in one round trip — the seam a sharded
+    * wrapper calls per member: candidate rows + stats cross, the wire
+    * service reads its own postings.
+    */
+  override def textRankPartials(collection: String, key: String,
+                                terms: Seq[String]): TextRankPartials = {
+    val r = CollectionWire.result(
+      post(s"/collections/$collection/points/textrank/partials",
+        JObject("key" -> JString(key),
+          "terms" -> JArray(terms.map(JString(_)).toList))))
+    def longsOf(v: JValue): Array[Long] = v match {
+      case JArray(xs) => xs.flatMap(CollectionWire.optLong).toArray
+      case _ => Array.empty
+    }
+    val docs = r \ "docs" match {
+      case JArray(ds) => ds.map { d =>
+        (CollectionWire.optStr(d \ "id").getOrElse(
+          throw new IllegalArgumentException(s"partial doc without id: $d")),
+          longsOf(d \ "tfs"),
+          CollectionWire.optLong(d \ "dl").getOrElse(0L))
+      }
+      case _ => Seq.empty
+    }
+    TextRankPartials(
+      CollectionWire.optLong(r \ "n").getOrElse(0L),
+      CollectionWire.optLong(r \ "total").getOrElse(0L),
+      longsOf(r \ "dfs"), docs)
+  }
+
   /** BATCHED scored queries (Qdrant's `points/query/batch` surface): N
     * query specs answered in ONE round trip — at N queries per trip the
     * per-request latency amortizes across the batch, the wire analog of
@@ -1085,6 +1114,29 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
           store.searchTextRanked(c, key, terms, k,
             dial(b \ "k1", 1.2), dial(b \ "b", 0.75)).map { case (id, s) =>
             JObject("id" -> JString(id), "score" -> JDouble(s)): JValue
+          }.toList)))
+
+      // mergeable BM25 partials — the distributed-rank seam: a sharded
+      // wrapper sums these across members; only candidate rows + stats
+      // cross the wire, postings read service-side
+      case ("POST", "collections" :: c :: "points" :: "textrank" :: "partials" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("textrank partials require 'key'"))
+        val terms = b \ "terms" match {
+          case JArray(ts) => ts.flatMap(CollectionWire.optStr)
+          case _ => throw new IllegalArgumentException(
+            "textrank partials require 'terms' (array of strings)")
+        }
+        val p = store.textRankPartials(c, key, terms)
+        CollectionWire.okEnvelope(JObject(
+          "n" -> JLong(p.n), "total" -> JLong(p.totalLen),
+          "dfs" -> JArray(p.dfs.map(d => JLong(d): JValue).toList),
+          "docs" -> JArray(p.docs.map { case (id, tfs, dl) =>
+            JObject("id" -> JString(id),
+              "tfs" -> JArray(tfs.map(t => JLong(t): JValue).toList),
+              "dl" -> JLong(dl)): JValue
           }.toList)))
 
       case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>

@@ -86,6 +86,27 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     */
   def shardOf(id: String): Int = ShardedCollectionStore.assignShard(id, members.length)
 
+  /** Fan a per-member call out CONCURRENTLY (the real scatter-gather:
+    * shards are independent stores/nodes, so fan-out latency is the
+    * slowest shard, not the sum — the property the single-JVM probe
+    * cannot show serially). Results return in member order, so every
+    * merge stays deterministic; failures rethrow their cause. One
+    * member short-circuits to a direct call.
+    */
+  private def fanOut[T](ms: IndexedSeq[CollectionStore])(
+      f: CollectionStore => T): IndexedSeq[T] =
+    if (ms.length == 1) IndexedSeq(f(ms.head))
+    else {
+      val fs = ms.map(m => ShardedCollectionStore.scatterPool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = f(m) }))
+      fs.map(fut =>
+        try fut.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        })
+    }
+
   // ---------------------------------------------------------------- reads
 
   override def collectionInfo(collection: String): CollectionDescriptor =
@@ -171,7 +192,7 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
           ms(i).countMatching(collection, Some(own), idLower)
         }.sum
       case None =>
-        ms.map(_.countMatching(collection, None, idLower)).sum
+        fanOut(ms)(_.countMatching(collection, None, idLower)).sum
     }
   }
 
@@ -187,7 +208,8 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
           ms(i).countMatchingFiltered(collection, Some(own), idLower, pfilter)
         }.sum
       case None =>
-        ms.map(_.countMatchingFiltered(collection, None, idLower, pfilter)).sum
+        fanOut(ms)(_.countMatchingFiltered(collection, None, idLower,
+          pfilter)).sum
     }
   }
 
@@ -208,8 +230,8 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     // offset and cut. Shard pages are score-sorted already, but a plain
     // global sort of N small pages is the same O(Nk log Nk) and simpler.
     val deep = spec.copy(k = spec.k + spec.offset, offset = 0)
-    val pages = ms.map(_.searchPointsFiltered(collection, deep, withPayload,
-      vectorFields, pfilter))
+    val pages = fanOut(ms)(_.searchPointsFiltered(collection, deep,
+      withPayload, vectorFields, pfilter))
     val desc = SearchSpec.descending(spec.metric)
     val merged = pages.flatten.sortWith { case ((pa, sa), (pb, sb)) =>
       if (sa != sb) { if (desc) sa > sb else sa < sb }
@@ -218,15 +240,36 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     merged.slice(spec.offset, spec.offset + spec.k)
   }
 
+  /** DISTRIBUTED BM25: each shard ships its mergeable partials (served
+    * from its own postings sidecar when it has one — the per-shard read
+    * is the query terms' token buckets of that shard's slice), the
+    * wrapper sums stats/dfs and concatenates candidate rows (an id
+    * lives on one shard), and the trait's partials -> rank composition
+    * produces the EXACT global rank — provably equal to the unsharded
+    * serve because every input to the scorer is a sum or disjoint union.
+    */
+  override def textRankPartials(collection: String, key: String,
+                                terms: Seq[String]): TextRankPartials = {
+    val parts = fanOut(members)(_.textRankPartials(collection, key, terms))
+    val dfs = new Array[Long](terms.length)
+    parts.foreach { p =>
+      var i = 0
+      while (i < dfs.length) { dfs(i) += p.dfs(i); i += 1 }
+    }
+    TextRankPartials(parts.map(_.n).sum, parts.map(_.totalLen).sum, dfs,
+      parts.flatMap(_.docs))
+  }
+
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
     // EXACT merge needs full per-shard histograms: a value in every
     // shard's tail can still top the global cut
     val merged = scala.collection.mutable.HashMap.empty[String, Long]
-    members.foreach(_.facetCounts(collection, key, Int.MaxValue).foreach {
-      case (v, n) => merged.update(v, merged.getOrElse(v, 0L) + n)
-    })
+    fanOut(members)(_.facetCounts(collection, key, Int.MaxValue))
+      .foreach(_.foreach {
+        case (v, n) => merged.update(v, merged.getOrElse(v, 0L) + n)
+      })
     merged.toSeq.sortWith { case ((v1, n1), (v2, n2)) =>
       if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
     }.take(limit)
@@ -339,6 +382,17 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
 }
 
 object ShardedCollectionStore {
+  /** Shared scatter pool: daemon threads (serving infrastructure must
+    * never pin the JVM), sized to the host — fan-outs from many wrapper
+    * instances multiplex over it.
+    */
+  private[sources] lazy val scatterPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors() / 2),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-scatter"); t.setDaemon(true); t
+      })
+
   /** One journaled run of a shard's log: `count` entries at local
     * positions [localStart, localStart+count) occupy global positions
     * [globalStart, globalStart+count).

@@ -155,6 +155,30 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     assert(all === (0L until sh.logSize("c")))
   }
 
+  test("distributed BM25: merged partials rank exactly like the unsharded store") {
+    val pts = (0 until 40).map { i =>
+      Point(f"$i%03d",
+        Some(s"""{"body":"tok${i % 3} tok${i % 5} word$i extra${i % 2}"}"""),
+        Map.empty)
+    }
+    val tdesc = CollectionDescriptor("c", Seq.empty)
+    val flat = InMemoryCollectionStore.single("c", tdesc, pts)
+    val sh = new ShardedCollectionStore((0 until 3).map { i =>
+      InMemoryCollectionStore.single("c", tdesc, pts.filter(p =>
+        ShardedCollectionStore.assignShard(p.id, 3) == i))
+    })
+    val terms = Seq("tok1", "tok2", "extra0")
+    assert(sh.searchTextRanked("c", "body", terms, 8) ===
+      flat.searchTextRanked("c", "body", terms, 8))
+    // the partials themselves merge exactly: sums and disjoint unions
+    val fp = flat.textRankPartials("c", "body", terms)
+    val sp = sh.textRankPartials("c", "body", terms)
+    assert((sp.n, sp.totalLen) === ((fp.n, fp.totalLen)))
+    assert(sp.dfs.toSeq === fp.dfs.toSeq)
+    assert(sp.docs.map(d => (d._1, d._2.toSeq, d._3)).sortBy(_._1) ===
+      fp.docs.map(d => (d._1, d._2.toSeq, d._3)).sortBy(_._1))
+  }
+
   test("sharded over parquet members: search and mutation parity with one store") {
     val pts = mkPoints(40)
     def dirFor(tag: String) =
