@@ -2717,6 +2717,56 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // CDC streaming over the SHARDED store: the corpus writes through
+    // the connector (per-id routing; the wrapper journals each routed
+    // batch), then the micro-batch source replays the GLOBAL journal —
+    // positions immutable, per-id order shard-local. Same oracle as the
+    // unsharded stream read
+    "dsv2_sharded_stream_read" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_cdc_store",
+        new ShardedCollectionStore((0 until 3).map { _ =>
+          InMemoryCollectionStore.single(
+            "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty)
+        }))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_cdc_store")
+        .option("collection", "embeddings")
+        .mode("append").save()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-shcdc").toString
+      val sink = s"shcdc_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_cdc_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
+    // exact facets across shards: per-member FULL histograms merge by
+    // value, then the global cut — a per-shard top-limit could miss a
+    // value placing in every shard but topping none. Same oracle as the
+    // wire facet gates
+    "dsv2_sharded_facet" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val frame = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 3).map { i =>
+        InMemoryCollectionStore.fromRows(
+          frame.filter(shardOf3(col("id")) === i),
+          "embeddings", Collections.homogeneousDescriptor)
+      }
+      new ShardedCollectionStore(members)
+        .facetCounts("embeddings", "label", limit = 5)
+        .toDF("value", "n")
+    }),
+
     // the full production TOPOLOGY in one gate: connector -> binary
     // wire -> scatter-gather -> 3 rendezvous shards. The pushed top-k
     // crosses the wire once; the service fans out and merges shard
@@ -6571,6 +6621,19 @@ object SparkEntry {
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    // sharded facets merge per-member full histograms: same oracle
+    "dsv2_sharded_facet" ->
+      """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+        |FROM embeddings
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    // the journaled global CDC log replays the routed corpus: same
+    // oracle as the unsharded stream read
+    "dsv2_sharded_stream_read" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     "dsv2_alias_swap" ->
       """SELECT CAST(vec_id AS VARCHAR) AS id,
