@@ -177,6 +177,30 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     assert(sp.dfs.toSeq === fp.dfs.toSeq)
     assert(sp.docs.map(d => (d._1, d._2.toSeq, d._3)).sortBy(_._1) ===
       fp.docs.map(d => (d._1, d._2.toSeq, d._3)).sortBy(_._1))
+    // parquet members with their OWN postings sidecars: each shard reads
+    // only the query terms' token buckets of ITS slice, primaries closed
+    import spark.implicits._
+    val df = pts.map(p => (p.id, p.payload.get)).toDF("id", "payload")
+    val pqMembers = (0 until 3).map { i =>
+      val own = df.filter(col("id").isin(pts.map(_.id).filter(id =>
+        ShardedCollectionStore.assignShard(id, 3) == i): _*))
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft-shtr-spec$i").toString
+      ParquetCollectionStore.write(own, d, numFiles = 2)
+      ParquetCollectionStore.writeTextSidecar(own, d, key = "body",
+        nBuckets = 8)
+      new ParquetCollectionStore(d, "c", tdesc)
+    }
+    val pqSh = new ShardedCollectionStore(pqMembers)
+    assert(pqSh.searchTextRanked("c", "body", terms, 8) ===
+      flat.searchTextRanked("c", "body", terms, 8))
+    val buckets = terms
+      .map(t => java.lang.Math.floorMod(t.hashCode, 8)).distinct.size
+    pqMembers.zipWithIndex.foreach { case (m, i) =>
+      assert(m.textFilesOpened.get() <= buckets.toLong,
+        s"shard $i read beyond the query buckets: ${m.textFilesOpened.get()}")
+      assert(m.filesOpened.get() === 0L, s"shard $i opened primaries")
+    }
   }
 
   test("sharded over parquet members: search and mutation parity with one store") {
