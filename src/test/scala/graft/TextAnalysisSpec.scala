@@ -539,5 +539,10 @@ class TextAnalysisSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(tail === Seq((0, "t1 t2 t3 t4", 4), (1, "t5 t6 t7 t8", 4),
       (2, "t9 t10", 2)))
+    // map-side plan: split -> slice -> explode, no shuffle
+    val plan = graft.ops.TextAnalysis
+      .chunkDocuments(df, "doc_id", "text", window = 4, stride = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
   }
 }
