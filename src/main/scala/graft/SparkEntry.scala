@@ -529,6 +529,48 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The sharded LIFECYCLE fixture: the homogeneous corpus rendezvous-
+    * sharded over TWO log-enabled parquet members, each with its own
+    * label index sealed at ingest; then the freshness mutations (same
+    * recipe as [[buildMutatedStore]]) routed THROUGH the wrapper; then
+    * one [[graft.sources.ShardedCollectionStore.optimizeMembers]] call
+    * re-absorbing every member's tail — the full qdrant lifecycle
+    * (index, mutate, optimize) closed cluster-wide in one call.
+    */
+  private val shardedOptimizedCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
+
+  private def shardedOptimizedStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedOptimizedCache.getOrElseUpdate(dir, {
+      val df = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 2).map { i =>
+        val own = df.filter(shardOf2(col("id")) === i)
+        val d = tempStoreDir(s"graft-pq-shopt$i")
+        graft.sources.ParquetCollectionStore.write(own, d, withLog = true)
+        graft.sources.ParquetCollectionStore.writePayloadSidecar(
+          own, d, key = "label", kind = "int")
+        new graft.sources.ParquetCollectionStore(d, "embeddings",
+          Collections.homogeneousDescriptor)
+      }
+      val sh = new graft.sources.ShardedCollectionStore(members)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val delIds = Tables.load(s, dir, "embeddings")
+        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast(StringType))
+        .collect().map(_.getString(0)).toSet
+      sh.upsertPoints("embeddings", adds.toIndexedSeq)
+      sh.deletePoints("embeddings", delIds)
+      sh.optimizeMembers(s)
+      sh
+    })
+
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
     * sealing the ingest. The CACHED form backs read-only gates
@@ -713,22 +755,39 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
-  /** Binary server fronting a SHARDED store (3 rendezvous-placed
-    * in-memory members): the full production topology — connector ->
-    * wire -> scatter-gather -> members — behind one address.
+  /** The shared secret of the KEYED sharded wire topology (fixture
+    * constant — a deployment injects its own).
+    */
+  private[graft] val ShardedWireKey = "graft-sharded-wire-key"
+
+  /** KEYED binary server fronting a SHARDED store whose members are
+    * themselves KEYED wire clients dialing keyed member servers — the
+    * full production topology, authenticated at BOTH seams: connector
+    * -> keyed wire -> scatter-gather -> keyed wires -> member nodes,
+    * behind one address. Every hop carries the api-key frame and every
+    * server verifies it constant-time before routing.
     */
   private def grpcShardedAddr(s: SparkSession, dir: String): (String, Int) =
     grpcFixtureCache.getOrElseUpdate(s"$dir#sharded", {
-      val backend = s"grpc_sh_backend_${Integer.toHexString(dir.hashCode)}"
+      val hex = Integer.toHexString(dir.hashCode)
       val frame = hom(s, dir).select("id", "payload", "vector")
-      val members = (0 until 3).map { i =>
-        graft.sources.InMemoryCollectionStore.fromRows(
-          frame.filter(shardOf3(col("id")) === i),
-          "embeddings", Collections.homogeneousDescriptor)
+      val memberClients = (0 until 3).map { i =>
+        val memName = s"grpc_sh_member${i}_$hex"
+        graft.sources.CollectionStores.register(memName,
+          graft.sources.InMemoryCollectionStore.fromRows(
+            frame.filter(shardOf3(col("id")) === i),
+            "embeddings", Collections.homogeneousDescriptor))
+        val msrv = new graft.sources.CollectionGrpcServer(memName,
+          apiKey = Some(ShardedWireKey)).start()
+        Runtime.getRuntime.addShutdownHook(new Thread(() => msrv.stop()))
+        new graft.sources.GrpcCollectionStore(msrv.host, msrv.port,
+          apiKey = Some(ShardedWireKey))
       }
+      val backend = s"grpc_sh_backend_$hex"
       graft.sources.CollectionStores.register(backend,
-        new graft.sources.ShardedCollectionStore(members))
-      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+        new graft.sources.ShardedCollectionStore(memberClients))
+      val srv = new graft.sources.CollectionGrpcServer(backend,
+        apiKey = Some(ShardedWireKey)).start()
       Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
       (srv.host, srv.port)
     })
@@ -1297,6 +1356,13 @@ object SparkEntry {
     val hs = (0 to 2).map(i => md5(concat(id.cast("string"), lit(s"#$i"))))
     when(hs(0) >= hs(1) && hs(0) >= hs(2), 0)
       .when(hs(1) >= hs(2), 1).otherwise(2)
+  }
+
+  /** Rendezvous shard for n=2 as a Column (same md5-argmax law). */
+  private def shardOf2(id: Column): Column = {
+    val h0 = md5(concat(id.cast("string"), lit("#0")))
+    val h1 = md5(concat(id.cast("string"), lit("#1")))
+    when(h0 >= h1, 0).otherwise(1)
   }
 
   /** homogeneous collection with vector pre-cast to array<double>. */
@@ -1916,13 +1982,15 @@ object SparkEntry {
           col("_score").as("bm25"))
     }),
 
-    // DISTRIBUTED BM25: the documents corpus sharded over 3 parquet
-    // members, EACH with its own postings sidecar over its slice — the
-    // wrapper merges mergeable partials (stats/dfs SUM, candidate rows
-    // union by disjoint placement) and ranks globally. Per-shard reads
-    // are the query terms' token buckets of that shard only; the global
-    // rank is provably the unsharded one, so the oracle is shared a
-    // fourth time
+    // DISTRIBUTED BM25, TWO-PHASE: the documents corpus sharded over 3
+    // parquet members, EACH with its own postings sidecar over its
+    // slice. Phase 1 exchanges GLOBAL stats (N, Σdl, per-term dfs — a
+    // few dozen bytes, summed across shards); phase 2 has each shard
+    // rank ITS candidates with the global stats and return only its
+    // top-k, so the merge sees at most shards·k rows however common the
+    // terms. Per-shard reads stay the query terms' token buckets of
+    // that shard only; the global rank is provably the unsharded one,
+    // so the oracle is shared a fourth time
     "dsv2_sharded_text_rank" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("sharded_tr_store",
@@ -2767,16 +2835,18 @@ object SparkEntry {
         .toDF("value", "n")
     }),
 
-    // the full production TOPOLOGY in one gate: connector -> binary
-    // wire -> scatter-gather -> 3 rendezvous shards. The pushed top-k
-    // crosses the wire once; the service fans out and merges shard
-    // pages. Same oracle yet again — neither the transport nor the
-    // distribution may be observable above the seam
+    // the full production TOPOLOGY in one gate: connector -> KEYED
+    // binary wire -> scatter-gather -> keyed wires -> 3 rendezvous
+    // member nodes. The pushed top-k crosses the outer wire once; the
+    // service fans out over authenticated member seams and merges shard
+    // pages. Same oracle yet again — neither the transport, the
+    // distribution, nor the auth may be observable above the seam
     "dsv2_grpc_sharded_search" -> ((s, dir) => {
       import graft.sources._
       val (h, p) = SparkEntry.grpcShardedAddr(s, dir)
       CollectionStores.register("grpc_sharded_store",
-        new GrpcCollectionStore(h, p))
+        new GrpcCollectionStore(h, p,
+          apiKey = Some(SparkEntry.ShardedWireKey)))
       val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
@@ -2812,6 +2882,60 @@ object SparkEntry {
         .option("collection", "embeddings")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"))
+    }),
+
+    // LIVE RESHARD through the sharded store: the corpus writes through
+    // the connector onto 3 rendezvous shards, the cluster GROWS to 4
+    // (reshard migrates exactly the displaced ~1/4 of ids as a
+    // journaled delete+upsert run — rendezvous moves nothing between
+    // surviving shards), and the read-back must be the same table —
+    // same oracle as dsv2_sharded_write: growing the cluster is
+    // invisible above the store seam
+    "dsv2_sharded_reshard" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_reshard_store",
+        new ShardedCollectionStore((0 until 3).map { _ =>
+          InMemoryCollectionStore.single(
+            "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty)
+        }))
+      hom(s, dir).select("id", "payload", "vector")
+        .write.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_reshard_store")
+        .option("collection", "embeddings")
+        .mode("append").save()
+      CollectionStores.get("sharded_reshard_store")
+        .asInstanceOf[ShardedCollectionStore]
+        .reshard(Seq(InMemoryCollectionStore.single(
+          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty)))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_reshard_store")
+        .option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+    }),
+
+    // the sharded LIFECYCLE: two label-indexed parquet members, the
+    // freshness mutations routed through the wrapper, then ONE
+    // optimizeMembers() call rebuilding every member's sidecars at its
+    // own log head — the filtered search serves index-pruned again with
+    // empty overlay tails. Same oracle as dsv2_parquet_optimized:
+    // index, mutate, optimize — results identical at every lifecycle
+    // stage, now cluster-wide
+    "dsv2_sharded_optimized" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_opt_store",
+        SparkEntry.shardedOptimizedStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_opt_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
     // the backend's payload filter DSL (`must` match/range conditions)
@@ -6744,6 +6868,32 @@ object SparkEntry {
       """SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload
         |FROM embeddings ORDER BY id""".stripMargin,
+
+    // growing the cluster N->N+1 is invisible above the store seam:
+    // same oracle as the sharded write-and-read-back
+    "dsv2_sharded_reshard" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    // the sharded lifecycle (mutate through the wrapper, optimize every
+    // member in one call) serves the same post-mutation filtered top-k
+    // as the single-store optimizer gate
+    "dsv2_sharded_optimized" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3 AND vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     "dsv2_grpc_sharded_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7),

@@ -73,9 +73,25 @@ final class AliasedCollectionStore(
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] =
     inner.facetCounts(r(collection), key, limit)
+  override def facetCountsFor(collection: String, key: String,
+                              values: Set[String]): Map[String, Long] =
+    inner.facetCountsFor(r(collection), key, values)
   override def textRankPartials(collection: String, key: String,
                                 terms: Seq[String]): TextRankPartials =
     inner.textRankPartials(r(collection), key, terms)
+  override def textRankStats(collection: String, key: String,
+                             terms: Seq[String]): TextRankStats =
+    inner.textRankStats(r(collection), key, terms)
+  override def textRankTopK(collection: String, key: String,
+                            terms: Seq[String], k: Int,
+                            global: TextRankStats, k1: Double = 1.2,
+                            b: Double = 0.75): Seq[(String, Double)] =
+    inner.textRankTopK(r(collection), key, terms, k, global, k1, b)
+  override def searchTextRanked(collection: String, key: String,
+                                terms: Seq[String], k: Int,
+                                k1: Double = 1.2,
+                                b: Double = 0.75): Seq[(String, Double)] =
+    inner.searchTextRanked(r(collection), key, terms, k, k1, b)
   override def logSize(collection: String): Long = inner.logSize(r(collection))
   override def logStart(collection: String): Long = inner.logStart(r(collection))
   override def logEntries(collection: String, from: Long,

@@ -677,6 +677,21 @@ final case class TextRankPartials(n: Long, totalLen: Long,
                                   dfs: Array[Long],
                                   docs: Seq[(String, Array[Long], Long)])
 
+/** Corpus-level BM25 statistics — phase 1 of the TWO-PHASE distributed
+  * rank (see [[CollectionStore.textRankTopK]]): a few dozen bytes
+  * however large the corpus. `dfs` aligns to the query's term order;
+  * stats SUM across shards (disjoint placement).
+  */
+final case class TextRankStats(n: Long, totalLen: Long, dfs: Array[Long]) {
+  def merged(other: TextRankStats): TextRankStats = {
+    require(dfs.length == other.dfs.length, "term arity mismatch")
+    val out = new Array[Long](dfs.length)
+    var i = 0
+    while (i < out.length) { out(i) = dfs(i) + other.dfs(i); i += 1 }
+    TextRankStats(n + other.n, totalLen + other.totalLen, out)
+  }
+}
+
 object TextRank {
   val ScoreCol = "_score"
 
@@ -945,28 +960,40 @@ trait CollectionStore extends Serializable {
     */
   def facetCounts(collection: String, key: String, limit: Int): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
-    import org.json4s._
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     queryPoints(collection, 0L, pointCount(collection),
         withPayload = true, Seq.empty, None)
       .foreach { p =>
-        for {
-          j <- p.payload
-          parsed <- org.json4s.jackson.JsonMethods.parseOpt(j)
-          v <- parsed \ key match {
-            case JString(s) => Some(s)
-            case JInt(i) => Some(i.toString)
-            case JLong(l) => Some(l.toString)
-            case JDouble(d) => Some(d.toString)
-            case JDecimal(d) => Some(d.toString)
-            case JBool(b) => Some(b.toString)
-            case _ => None // absent, null, or non-scalar
-          }
-        } counts.update(v, counts.getOrElse(v, 0L) + 1L)
+        FacetValue.of(p.payload, key).foreach { v =>
+          counts.update(v, counts.getOrElse(v, 0L) + 1L)
+        }
       }
     counts.toSeq.sortWith { case ((v1, n1), (v2, n2)) =>
       if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
     }.take(limit)
+  }
+
+  /** EXACT counts of the GIVEN rendered facet values of `key` — the
+    * targeted second pass of a distributed threshold merge (see
+    * [[ShardedCollectionStore.facetCounts]]): the caller already knows
+    * WHICH values are in contention and needs their counts on this
+    * store only. Values render exactly as [[facetCounts]] renders them;
+    * values this store never carries are simply absent from the result
+    * (count 0). Default: one payload pass counting only `values`; a
+    * capable backend answers from its payload index.
+    */
+  def facetCountsFor(collection: String, key: String,
+                     values: Set[String]): Map[String, Long] = {
+    if (values.isEmpty) return Map.empty
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    queryPoints(collection, 0L, pointCount(collection),
+        withPayload = true, Seq.empty, None)
+      .foreach { p =>
+        FacetValue.of(p.payload, key).filter(values).foreach { v =>
+          counts.update(v, counts.getOrElse(v, 0L) + 1L)
+        }
+      }
+    counts.toMap
   }
 
   /** BM25-ranked full-text top-k over payload key `key` — the ranked
@@ -1032,6 +1059,33 @@ trait CollectionStore extends Serializable {
     TextRankPartials(n, totalLen, dfs, docs.result())
   }
 
+  /** Phase 1 of the TWO-PHASE distributed rank: ONLY the corpus stats
+    * (N, Σdl) and per-term dfs — a few dozen bytes wherever they
+    * travel, never candidate rows. Stats sum across shards.
+    */
+  def textRankStats(collection: String, key: String,
+                    terms: Seq[String]): TextRankStats = {
+    val p = textRankPartials(collection, key, terms)
+    TextRankStats(p.n, p.totalLen, p.dfs)
+  }
+
+  /** Phase 2 of the two-phase distributed rank: score THIS store's
+    * candidates with the caller-provided GLOBAL stats (the scorer's
+    * idf/avglen inputs), return only the local top-k. A doc's score
+    * depends on global stats and its own (tf, dl) alone, so each
+    * shard's local top-k under global stats is a superset of its
+    * members of the global top-k — merging N·k rows is EXACT, and the
+    * ship volume to the merge point is bounded by k per shard instead
+    * of every matching doc.
+    */
+  def textRankTopK(collection: String, key: String, terms: Seq[String],
+                   k: Int, global: TextRankStats, k1: Double = 1.2,
+                   b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    val p = textRankPartials(collection, key, terms)
+    TextRank.rank(p.docs, global.dfs, global.n, global.totalLen, k1, b, k)
+  }
+
   /** Change-log length for `collection` — the micro-batch streaming
     * source's offset domain. A store that cannot replay its history
     * (no change log) does not support streaming reads.
@@ -1069,6 +1123,14 @@ trait RemoteCollectionClient extends CollectionStore {
   def upsertPoints(collection: String, pts: Seq[Point]): Unit
   def deletePoints(collection: String, ids: Set[String]): Unit
   def truncate(collection: String): Unit
+
+  /** Compact the collection's change log up to position `upTo`
+    * (exclusive) — the lifecycle face of the CDC seam: retained entries
+    * keep their positions, [[CollectionStore.logStart]] advances to
+    * `upTo`. The service applies the COW swap; a backend without a log
+    * refuses with the standard unsupported error.
+    */
+  def compact(collection: String, upTo: Long): Unit
 }
 
 /** Spark string-comparison semantics for pushed predicates: the default
@@ -1079,6 +1141,31 @@ trait RemoteCollectionClient extends CollectionStore {
   * Java ordering would silently drop rows Spark semantics include,
   * because accepted-exact filters are never re-checked post-scan.
   */
+/** The facet surface's scalar rendering — one place, shared by
+  * [[CollectionStore.facetCounts]] and [[CollectionStore.facetCountsFor]]
+  * (and every backend override), so counts merged across stores key on
+  * identical strings: numbers/bools render unquoted, strings raw;
+  * absent, null, and non-scalar values carry no hit.
+  */
+private[sources] object FacetValue {
+  import org.json4s._
+
+  def of(payload: Option[String], key: String): Option[String] =
+    for {
+      j <- payload
+      parsed <- org.json4s.jackson.JsonMethods.parseOpt(j)
+      v <- parsed \ key match {
+        case JString(s) => Some(s)
+        case JInt(i) => Some(i.toString)
+        case JLong(l) => Some(l.toString)
+        case JDouble(d) => Some(d.toString)
+        case JDecimal(d) => Some(d.toString)
+        case JBool(b) => Some(b.toString)
+        case _ => None // absent, null, or non-scalar
+      }
+    } yield v
+}
+
 private[sources] object SparkStringOrder {
   def gt(a: String, b: String): Boolean =
     java.util.Arrays.compareUnsigned(

@@ -567,11 +567,89 @@ final class GrpcCollectionStore(host: String, port: Int,
     TextRankPartials(n, total, dfs.result().toArray, docs.result())
   }
 
+  /** Phase 1 of the two-phase distributed rank: a few dozen bytes
+    * cross the wire — never candidate rows.
+    */
+  override def textRankStats(collection: String, key: String,
+                             terms: Seq[String]): TextRankStats = {
+    val req = new PbWriter().string(1, collection).string(2, key)
+    terms.foreach(req.string(3, _))
+    val r = new PbReader(call("textstats", req))
+    var n = 0L
+    var total = 0L
+    val dfs = Seq.newBuilder[Long]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) => n = r.readRawVarint()
+      case (2, _) => total = r.readRawVarint()
+      case (3, _) => dfs += r.readRawVarint()
+      case (_, w2) => r.skip(w2)
+    }
+    TextRankStats(n, total, dfs.result().toArray)
+  }
+
+  /** Phase 2: the service ranks ITS candidates with the caller's
+    * GLOBAL stats and only the k scored hits cross the wire — the
+    * merge-point ship volume is bounded by k however common the terms.
+    */
+  override def textRankTopK(collection: String, key: String,
+                            terms: Seq[String], k: Int,
+                            global: TextRankStats, k1: Double = 1.2,
+                            b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    val w = new PbWriter().string(1, collection).string(2, key)
+    terms.foreach(w.string(3, _))
+    w.int(4, k.toLong).double(5, k1).double(6, b)
+      .int(7, global.n).int(8, global.totalLen)
+    global.dfs.foreach(w.int(9, _))
+    val r = new PbReader(call("texttopk", w))
+    val out = Seq.newBuilder[(String, Double)]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) =>
+        val m = r.readMessage()
+        var id = ""
+        var s = 0.0
+        while (m.hasNext) m.readTag() match {
+          case (1, _) => id = m.readString()
+          case (2, _) => s = m.readDouble()
+          case (_, w2) => m.skip(w2)
+        }
+        out += ((id, s))
+      case (_, w2) => r.skip(w2)
+    }
+    out.result()
+  }
+
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     val r = new PbReader(call("facet", new PbWriter().string(1, collection)
       .string(2, key).int(3, limit.toLong)))
     val out = Seq.newBuilder[(String, Long)]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) =>
+        val m = r.readMessage()
+        var v = ""
+        var n = 0L
+        while (m.hasNext) m.readTag() match {
+          case (1, _) => v = m.readString()
+          case (2, _) => n = m.readRawVarint()
+          case (_, w2) => m.skip(w2)
+        }
+        out += ((v, n))
+      case (_, w2) => r.skip(w2)
+    }
+    out.result()
+  }
+
+  /** Targeted exact facet counts (the distributed threshold merge's
+    * second pass): only the asked values' (value, count) rows cross.
+    */
+  override def facetCountsFor(collection: String, key: String,
+                              values: Set[String]): Map[String, Long] = {
+    if (values.isEmpty) return Map.empty
+    val w = new PbWriter().string(1, collection).string(2, key)
+    values.toSeq.sorted.foreach(w.string(3, _))
+    val r = new PbReader(call("facet_for", w))
+    val out = Map.newBuilder[String, Long]
     while (r.hasNext) r.readTag() match {
       case (1, _) =>
         val m = r.readMessage()
@@ -606,6 +684,10 @@ final class GrpcCollectionStore(host: String, port: Int,
 
   def truncate(collection: String): Unit =
     call("truncate", new PbWriter().string(1, collection).bool(3, b = true)): Unit
+
+  def compact(collection: String, upTo: Long): Unit =
+    call("compact",
+      new PbWriter().string(1, collection).int(2, upTo)): Unit
 
   // ------------------------------------------------------- change log --
 
@@ -884,6 +966,24 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
       }
       w
 
+    // targeted exact facet counts — the threshold merge's second pass
+    case "facet_for" =>
+      var c = ""
+      var key = ""
+      val values = Set.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => key = r.readString()
+        case (3, _) => values += r.readString()
+        case (_, w) => r.skip(w)
+      }
+      val w = new PbWriter
+      store.facetCountsFor(c, key, values.result())
+        .toSeq.sortBy(_._1).foreach { case (v, n) =>
+          w.message(1, new PbWriter().string(1, v).int(2, n))
+        }
+      w
+
     // BM25-ranked full-text top-k — one framed round trip, the service
     // reads its postings, only the k scored hits cross the wire
     case "textrank" =>
@@ -932,6 +1032,55 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
       }
       w
 
+    // phase 1 of the two-phase distributed rank: corpus stats only —
+    // a few dozen bytes cross, never candidate rows
+    case "textstats" =>
+      var c = ""
+      var key = ""
+      val terms = Seq.newBuilder[String]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => key = r.readString()
+        case (3, _) => terms += r.readString()
+        case (_, w) => r.skip(w)
+      }
+      val st = store.textRankStats(c, key, terms.result())
+      val w = new PbWriter().int(1, st.n).int(2, st.totalLen)
+      st.dfs.foreach(w.int(3, _))
+      w
+
+    // phase 2: rank local candidates with the caller's GLOBAL stats,
+    // ship only the k winners
+    case "texttopk" =>
+      var c = ""
+      var key = ""
+      var k = 10
+      var k1 = 1.2
+      var b = 0.75
+      var n = 0L
+      var totalLen = 0L
+      val terms = Seq.newBuilder[String]
+      val dfs = Seq.newBuilder[Long]
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => key = r.readString()
+        case (3, _) => terms += r.readString()
+        case (4, _) => k = r.readRawVarint().toInt
+        case (5, _) => k1 = r.readDouble()
+        case (6, _) => b = r.readDouble()
+        case (7, _) => n = r.readRawVarint()
+        case (8, _) => totalLen = r.readRawVarint()
+        case (9, _) => dfs += r.readRawVarint()
+        case (_, w) => r.skip(w)
+      }
+      val w = new PbWriter
+      store.textRankTopK(c, key, terms.result(), k,
+          TextRankStats(n, totalLen, dfs.result().toArray), k1, b)
+        .foreach { case (id, s) =>
+          w.message(1, new PbWriter().string(1, id).double(2, s))
+        }
+      w
+
     case "upsert" =>
       var c = ""
       val pts = Seq.newBuilder[Point]
@@ -952,6 +1101,10 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
           // only ships points — a writable cold-storage node
           case pq: ParquetCollectionStore =>
             pq.appended(coll, batch.sortBy(_.id).toIndexedSeq)
+          // a SHARDED (or chained-client) backend routes the batch on —
+          // the full production topology: wire -> scatter-gather -> nodes
+          case rc: RemoteCollectionClient =>
+            rc.upsertPoints(coll, batch.sortBy(_.id)); rc
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept upserts")
         }
@@ -973,6 +1126,7 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
         AliasedCollectionStore.mapInner(s0) {
           case mem: InMemoryCollectionStore => mem.removed(coll, idSet)
           case pq: ParquetCollectionStore => pq.removed(coll, idSet)
+          case rc: RemoteCollectionClient => rc.deletePoints(coll, idSet); rc
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept deletes")
         }
@@ -991,8 +1145,33 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
         AliasedCollectionStore.mapInner(s0) {
           case mem: InMemoryCollectionStore => mem.truncated(coll)
           case pq: ParquetCollectionStore => pq.truncated(coll)
+          case rc: RemoteCollectionClient => rc.truncate(coll); rc
           case other => throw new UnsupportedOperationException(
             s"store ${other.getClass.getName} does not accept truncation")
+        }
+      }
+      new PbWriter
+
+    // log-lifecycle: compact the fronted store's change log up to a
+    // position — COW swap on the registry, retained positions untouched
+    case "compact" =>
+      var c = ""
+      var upTo = 0L
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => upTo = r.readRawVarint()
+        case (_, w) => r.skip(w)
+      }
+      store.collectionInfo(c): Unit
+      val upToFinal = upTo
+      CollectionStores.update(storeName) { s0 =>
+        val coll = AliasedCollectionStore.resolve(s0, c)
+        AliasedCollectionStore.mapInner(s0) {
+          case mem: InMemoryCollectionStore => mem.compacted(coll, upToFinal)
+          case pq: ParquetCollectionStore => pq.compacted(coll, upToFinal)
+          case rc: RemoteCollectionClient => rc.compact(coll, upToFinal); rc
+          case other => throw new UnsupportedOperationException(
+            s"store ${other.getClass.getName} cannot compact its log")
         }
       }
       new PbWriter

@@ -467,11 +467,19 @@ final class ParquetCollectionStore(
       // tail (masked rows would erode the candidate margin) — anything
       // else serves full-precision probed. A payload filter composes:
       // conditions evaluate at the rerank fetch (codes files carry no
-      // payload), so the candidate cut happens PRE-filter — candidateK
-      // is the recall dial exactly as unfiltered, and at candidateK >=
-      // probed-cluster size the filtered page is exact (the spec's pin).
+      // payload), so the candidate cut happens PRE-filter — a selective
+      // filter could starve a page cut at candidateK ~ k. The quantized
+      // arm therefore requires candidateK to COVER the probed clusters'
+      // row count when a filter rides the query (the cut then keeps
+      // every probed row, so the rerank sees exactly what the exact
+      // filtered path sees); a smaller margin falls through to the exact
+      // full-precision filtered serve.
+      val quantizedMargin =
+        if (pfilter.isEmpty) ivfCandidateK >= window.k
+        else ivfCandidateK >= clusters.map(v =>
+          clusterStoreFor(v).map(_.pointCount(c)).getOrElse(0L)).sum
       val merged =
-        if (tail.masked.isEmpty && ivfCandidateK >= window.k &&
+        if (tail.masked.isEmpty && quantizedMargin &&
             spec.metric == "dot" &&
             new java.io.File(s"$dir/_ivf/codes").isDirectory)
           quantizedClusterSearch(c, window, withPayload, vectorFields,
@@ -1296,6 +1304,19 @@ final class ParquetCollectionStore(
   private def reopened: ParquetCollectionStore =
     new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe,
       ivfCandidateK)
+
+  /** Run the optimizer job on THIS store's dir and reopen — the
+    * instance face of [[ParquetCollectionStore.optimize]], COW
+    * discipline (the caller swaps the returned instance in, exactly
+    * like a mutation). Log positions are untouched: the optimizer
+    * rebuilds sidecars from the COW-current primaries and reseals them
+    * at the current log head; it never writes the log.
+    */
+  def optimized(spark: org.apache.spark.sql.SparkSession,
+                ivfMaxIter: Int = 0): ParquetCollectionStore = {
+    ParquetCollectionStore.optimize(spark, dir, ivfMaxIter)
+    reopened
+  }
 
   /** UPSERT `pts` (point-id semantics: an incoming id replaces the
     * stored point; last occurrence wins within the batch) — the DSv2

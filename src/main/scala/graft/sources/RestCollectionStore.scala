@@ -673,6 +673,26 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     }
   }
 
+  /** Targeted exact facet counts (the distributed threshold merge's
+    * second pass): only the asked values' (value, count) rows cross.
+    */
+  override def facetCountsFor(collection: String, key: String,
+                              values: Set[String]): Map[String, Long] = {
+    if (values.isEmpty) return Map.empty
+    CollectionWire.result(post(s"/collections/$collection/points/facet/values",
+      JObject("key" -> JString(key),
+        "values" -> JArray(values.toList.sorted.map(JString(_)))))) \ "hits" match {
+      case JArray(hs) => hs.map { h =>
+        val v = CollectionWire.optStr(h \ "value").getOrElse(
+          throw new IllegalArgumentException(s"facet hit without value: $h"))
+        val n = CollectionWire.optLong(h \ "count").getOrElse(
+          throw new IllegalArgumentException(s"facet hit without count: $h"))
+        (v, n)
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** Ranked full-text in ONE round trip — the default would scroll the
     * whole collection's payloads over the wire; the service reads its
     * own postings and ships the k hits.
@@ -730,6 +750,57 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
       CollectionWire.optLong(r \ "n").getOrElse(0L),
       CollectionWire.optLong(r \ "total").getOrElse(0L),
       longsOf(r \ "dfs"), docs)
+  }
+
+  /** Phase 1 of the two-phase distributed rank: corpus stats only — a
+    * few dozen bytes cross, never candidate rows.
+    */
+  override def textRankStats(collection: String, key: String,
+                             terms: Seq[String]): TextRankStats = {
+    val r = CollectionWire.result(
+      post(s"/collections/$collection/points/textrank/stats",
+        JObject("key" -> JString(key),
+          "terms" -> JArray(terms.map(JString(_)).toList))))
+    val dfs = r \ "dfs" match {
+      case JArray(xs) => xs.flatMap(CollectionWire.optLong).toArray
+      case _ => Array.empty[Long]
+    }
+    TextRankStats(
+      CollectionWire.optLong(r \ "n").getOrElse(0L),
+      CollectionWire.optLong(r \ "total").getOrElse(0L), dfs)
+  }
+
+  /** Phase 2: the service ranks ITS candidates with the caller's GLOBAL
+    * stats — only the k scored hits cross back.
+    */
+  override def textRankTopK(collection: String, key: String,
+                            terms: Seq[String], k: Int,
+                            global: TextRankStats, k1: Double = 1.2,
+                            b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    CollectionWire.result(
+      post(s"/collections/$collection/points/textrank/topk",
+        JObject("key" -> JString(key),
+          "terms" -> JArray(terms.map(JString(_)).toList),
+          "k" -> JInt(k), "k1" -> JDouble(k1), "b" -> JDouble(b),
+          "n" -> JInt(BigInt(global.n)),
+          "total" -> JInt(BigInt(global.totalLen)),
+          "dfs" -> JArray(global.dfs.toList.map(d => JInt(BigInt(d))))))) \ "hits" match {
+      case JArray(hs) => hs.map { h =>
+        val id = CollectionWire.optStr(h \ "id").getOrElse(
+          throw new IllegalArgumentException(s"texttopk hit without id: $h"))
+        val s = h \ "score" match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(
+            s"texttopk hit without score: $other")
+        }
+        (id, s)
+      }
+      case _ => Seq.empty
+    }
   }
 
   /** BATCHED scored queries (Qdrant's `points/query/batch` surface): N
@@ -848,6 +919,15 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
   def truncate(collection: String): Unit = {
     mutate("POST", s"/collections/$collection/points/delete",
       JObject("all" -> JBool(true)))
+    ()
+  }
+
+  /** Log-lifecycle over the wire: the service compacts the fronted
+    * store's change log up to `upTo` (COW swap on its registry).
+    */
+  def compact(collection: String, upTo: Long): Unit = {
+    mutate("POST", s"/collections/$collection/log/compact",
+      JObject("up_to" -> JInt(BigInt(upTo))))
     ()
   }
 
@@ -1089,6 +1169,23 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             JObject("value" -> JString(v), "count" -> JLong(n)): JValue
           }.toList)))
 
+      // targeted exact facet counts — the threshold merge's second pass
+      case ("POST", "collections" :: c :: "points" :: "facet" :: "values" :: Nil) =>
+        store.collectionInfo(c)
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("facet values require 'key'"))
+        val values = b \ "values" match {
+          case JArray(vs) => vs.flatMap(CollectionWire.optStr).toSet
+          case _ => throw new IllegalArgumentException(
+            "facet values require 'values' (array of strings)")
+        }
+        CollectionWire.okEnvelope(JObject("hits" -> JArray(
+          store.facetCountsFor(c, key, values).toSeq.sortBy(_._1)
+            .map { case (v, n) =>
+              JObject("value" -> JString(v), "count" -> JLong(n)): JValue
+            }.toList)))
+
       // BM25-ranked full-text top-k (the ranked face of the text index):
       // one round trip, the SERVICE reads its postings — only the k
       // scored hits cross the wire
@@ -1137,6 +1234,56 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             JObject("id" -> JString(id),
               "tfs" -> JArray(tfs.map(t => JLong(t): JValue).toList),
               "dl" -> JLong(dl)): JValue
+          }.toList)))
+
+      // phase 1 of the two-phase distributed rank: corpus stats only —
+      // a few dozen bytes cross, never candidate rows
+      case ("POST", "collections" :: c :: "points" :: "textrank" :: "stats" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("textrank stats require 'key'"))
+        val terms = b \ "terms" match {
+          case JArray(ts) => ts.flatMap(CollectionWire.optStr)
+          case _ => throw new IllegalArgumentException(
+            "textrank stats require 'terms' (array of strings)")
+        }
+        val st = store.textRankStats(c, key, terms)
+        CollectionWire.okEnvelope(JObject(
+          "n" -> JLong(st.n), "total" -> JLong(st.totalLen),
+          "dfs" -> JArray(st.dfs.map(d => JLong(d): JValue).toList)))
+
+      // phase 2: rank local candidates with the caller's GLOBAL stats,
+      // ship only the k winners
+      case ("POST", "collections" :: c :: "points" :: "textrank" :: "topk" :: Nil) =>
+        store.collectionInfo(c)
+        val b = readBody(ex)
+        val key = CollectionWire.optStr(b \ "key").getOrElse(
+          throw new IllegalArgumentException("textrank topk requires 'key'"))
+        val terms = b \ "terms" match {
+          case JArray(ts) => ts.flatMap(CollectionWire.optStr)
+          case _ => throw new IllegalArgumentException(
+            "textrank topk requires 'terms' (array of strings)")
+        }
+        val k2 = CollectionWire.optLong(b \ "k").map(_.toInt).getOrElse(10)
+        def dial2(v: JValue, dflt: Double): Double = v match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case _ => dflt
+        }
+        val dfs = b \ "dfs" match {
+          case JArray(xs) => xs.flatMap(CollectionWire.optLong).toArray
+          case _ => Array.empty[Long]
+        }
+        val global = TextRankStats(
+          CollectionWire.optLong(b \ "n").getOrElse(0L),
+          CollectionWire.optLong(b \ "total").getOrElse(0L), dfs)
+        CollectionWire.okEnvelope(JObject("hits" -> JArray(
+          store.textRankTopK(c, key, terms, k2, global,
+            dial2(b \ "k1", 1.2), dial2(b \ "b", 0.75)).map { case (id, s) =>
+            JObject("id" -> JString(id), "score" -> JDouble(s)): JValue
           }.toList)))
 
       case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>
@@ -1241,6 +1388,9 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             // binary server): service-side COW batch + log segment
             case pq: ParquetCollectionStore =>
               pq.appended(coll, pts.sortBy(_.id).toIndexedSeq)
+            // a SHARDED (or chained-client) backend routes the batch on
+            case rc: RemoteCollectionClient =>
+              rc.upsertPoints(coll, pts.sortBy(_.id)); rc
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept upserts")
           }
@@ -1371,6 +1521,16 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
                 case other => throw new IllegalArgumentException(
                   s"points/delete requires points ids or all=true: $other")
               }
+            case rc: RemoteCollectionClient =>
+              if (b \ "all" == JBool(true)) rc.truncate(coll)
+              else b \ "points" match {
+                case JArray(ids) =>
+                  rc.deletePoints(coll,
+                    ids.flatMap(i => CollectionWire.optStr(i)).toSet)
+                case other => throw new IllegalArgumentException(
+                  s"points/delete requires points ids or all=true: $other")
+              }
+              rc
             case other => throw new UnsupportedOperationException(
               s"store ${other.getClass.getName} does not accept deletes")
           }
@@ -1380,6 +1540,25 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
       case ("GET", "collections" :: c :: "log" :: "info" :: Nil) =>
         CollectionWire.okEnvelope(JObject(
           "start" -> JLong(store.logStart(c)), "size" -> JLong(store.logSize(c))))
+
+      // log-lifecycle: compact the fronted store's change log up to a
+      // position — COW swap on the registry, retained positions untouched
+      case ("POST", "collections" :: c :: "log" :: "compact" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val upTo = CollectionWire.optLong(b \ "up_to").getOrElse(
+          throw new IllegalArgumentException("log compact requires 'up_to'"))
+        CollectionStores.update(storeName) { s0 =>
+          val coll = AliasedCollectionStore.resolve(s0, c)
+          AliasedCollectionStore.mapInner(s0) {
+            case mem: InMemoryCollectionStore => mem.compacted(coll, upTo)
+            case pq: ParquetCollectionStore => pq.compacted(coll, upTo)
+            case rc: RemoteCollectionClient => rc.compact(coll, upTo); rc
+            case other => throw new UnsupportedOperationException(
+              s"store ${other.getClass.getName} cannot compact its log")
+          }
+        }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("GET", "collections" :: c :: "log" :: Nil) =>
         val qp = queryParams(ex)

@@ -36,9 +36,13 @@ import graft.collections.CollectionDescriptor
   *    `offset`, cut to `k`. Equal to the unsharded result because each
   *    shard's local top-(k+offset) is a superset of its members of the
   *    global top-(k+offset) (pinned in ShardedCollectionStoreSpec).
-  *  - counts sum; facets merge per-shard EXACT histograms by value then
-  *    cut to the limit (a per-shard top-`limit` could miss a value
-  *    placing in every shard but topping none).
+  *  - counts sum; facets are EXACT with BOUNDED merge volume via the
+  *    threshold two-phase merge (per-shard top-m pages whose last count
+  *    bounds every unseen value, targeted second passes for contenders
+  *    a page missed, certification against the summed cut-offs) — a
+  *    naive per-shard top-`limit` could miss a value placing in every
+  *    shard but topping none; full histograms would make the merge
+  *    O(distinct values).
   *  - CDC: the global log is the journal of routed mutation batches —
   *    each batch appends its per-shard segments (shard order within a
   *    batch), so global positions are immutable under appends and an
@@ -56,23 +60,40 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     */
   @volatile private var members: IndexedSeq[CollectionStore] = shards0
 
-  /** The routed-mutation journal: global log order = these segments in
-    * append order. Seeded from the members' EXISTING logs (concatenation
-    * in shard order — the pre-wrap ingest), then one run of segments per
-    * routed batch. Immutable prefix: appends only.
+  /** True when ANY member keeps no change log for a collection it
+    * serves — then the sharded store keeps no global log either
+    * (independent of member order: one log-less member makes replay of
+    * the full history impossible, so routed mutations skip journaling
+    * and the streaming face refuses).
     */
-  @volatile private var journal: IndexedSeq[ShardSeg] = {
-    val segs = IndexedSeq.newBuilder[ShardSeg]
-    var g = 0L
-    shards0.zipWithIndex.foreach { case (s, i) =>
-      val n = try {
-        s.collectionNames.headOption.map(c => s.logSize(c)).getOrElse(0L)
-      } catch { case _: UnsupportedOperationException => -1L }
-      if (n > 0L) { segs += ShardSeg(i, 0L, n, g); g += n }
-      else if (n < 0L) segs.clear() // any log-less member: no global log
+  @volatile private var logless: Boolean =
+    shards0.exists { s =>
+      s.collectionNames.exists { c =>
+        try { s.logSize(c); false }
+        catch { case _: UnsupportedOperationException => true }
+      }
     }
-    segs.result()
-  }
+
+  /** The routed-mutation journal, PER COLLECTION (members may serve
+    * several collections, each with its own log — conflating them would
+    * corrupt global positions): global log order = the collection's
+    * segments in append order. Seeded from the members' EXISTING logs
+    * (concatenation in shard order — the pre-wrap ingest), then one run
+    * of segments per routed batch. Immutable prefix: appends only.
+    */
+  @volatile private var journals: Map[String, IndexedSeq[ShardSeg]] =
+    if (logless) Map.empty
+    else {
+      shards0.flatMap(_.collectionNames).distinct.map { c =>
+        val segs = IndexedSeq.newBuilder[ShardSeg]
+        var g = 0L
+        shards0.zipWithIndex.foreach { case (s, i) =>
+          val n = if (s.collectionNames.contains(c)) s.logSize(c) else 0L
+          if (n > 0L) { segs += ShardSeg(i, 0L, n, g); g += n }
+        }
+        c -> segs.result()
+      }.toMap
+    }
 
   def shardCount: Int = members.length
 
@@ -94,11 +115,14 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     * member short-circuits to a direct call.
     */
   private def fanOut[T](ms: IndexedSeq[CollectionStore])(
-      f: CollectionStore => T): IndexedSeq[T] =
-    if (ms.length == 1) IndexedSeq(f(ms.head))
+      f: CollectionStore => T): IndexedSeq[T] = scatter(ms)(f)
+
+  private def scatter[A, T](items: IndexedSeq[A])(f: A => T): IndexedSeq[T] =
+    if (items.isEmpty) IndexedSeq.empty
+    else if (items.length == 1) IndexedSeq(f(items.head))
     else {
-      val fs = ms.map(m => ShardedCollectionStore.scatterPool.submit(
-        new java.util.concurrent.Callable[T] { def call(): T = f(m) }))
+      val fs = items.map(a => ShardedCollectionStore.scatterPool.submit(
+        new java.util.concurrent.Callable[T] { def call(): T = f(a) }))
       fs.map(fut =>
         try fut.get()
         catch {
@@ -109,8 +133,24 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
 
   // ---------------------------------------------------------------- reads
 
-  override def collectionInfo(collection: String): CollectionDescriptor =
-    members.head.collectionInfo(collection)
+  /** First member able to describe the collection wins — a collection
+    * may be absent from (or indescribable by) the first shard yet served
+    * by others; only when EVERY member fails does the lookup fail, with
+    * the first failure as the cause.
+    */
+  override def collectionInfo(collection: String): CollectionDescriptor = {
+    val ms = members
+    var firstFailure: Throwable = null
+    var i = 0
+    while (i < ms.length) {
+      try return ms(i).collectionInfo(collection)
+      catch {
+        case e: Exception => if (firstFailure == null) firstFailure = e
+      }
+      i += 1
+    }
+    throw firstFailure
+  }
 
   override def collectionNames: Seq[String] =
     members.flatMap(_.collectionNames).distinct
@@ -240,13 +280,10 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     merged.slice(spec.offset, spec.offset + spec.k)
   }
 
-  /** DISTRIBUTED BM25: each shard ships its mergeable partials (served
-    * from its own postings sidecar when it has one — the per-shard read
-    * is the query terms' token buckets of that shard's slice), the
-    * wrapper sums stats/dfs and concatenates candidate rows (an id
-    * lives on one shard), and the trait's partials -> rank composition
-    * produces the EXACT global rank — provably equal to the unsharded
-    * serve because every input to the scorer is a sum or disjoint union.
+  /** Mergeable BM25 partials — exact but UNBOUNDED (one candidate row
+    * per matching doc ships to the merge point): kept for callers that
+    * need the raw partials; the ranked serve below uses the two-phase
+    * protocol instead, whose ship volume is bounded by k.
     */
   override def textRankPartials(collection: String, key: String,
                                 terms: Seq[String]): TextRankPartials = {
@@ -260,19 +297,153 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
       parts.flatMap(_.docs))
   }
 
+  /** Global corpus stats: per-shard stats SUM (disjoint placement). */
+  override def textRankStats(collection: String, key: String,
+                             terms: Seq[String]): TextRankStats =
+    fanOut(members)(_.textRankStats(collection, key, terms))
+      .reduce(_ merged _)
+
+  /** TWO-PHASE DISTRIBUTED BM25 — the ship volume is bounded by k,
+    * not by how common the query terms are:
+    *
+    *  1. exchange GLOBAL stats: every shard returns (n, Σdl, dfs) — a
+    *     few dozen bytes — and the wrapper sums them;
+    *  2. every shard ranks ITS candidates with the global stats (the
+    *     scorer takes them as parameters — same arithmetic bit for
+    *     bit) and returns only its local top-k.
+    *
+    * The merge sees at most shards·k rows. Exact: a doc's score
+    * depends on the global stats and its own (tf, dl) alone, so each
+    * shard's local top-k under global stats contains every member of
+    * the global top-k it owns; the merge comparator is the rank's own
+    * (score desc, id asc).
+    */
+  override def searchTextRanked(collection: String, key: String,
+                                terms: Seq[String], k: Int,
+                                k1: Double = 1.2,
+                                b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    val global = textRankStats(collection, key, terms)
+    val pages = fanOut(members)(
+      _.textRankTopK(collection, key, terms, k, global, k1, b))
+    pages.flatten.sortWith { case ((ia, sa), (ib, sb)) =>
+      if (sa != sb) sa > sb else SparkStringOrder.lt(ia, ib)
+    }.take(k)
+  }
+
+  /** Phase 2 against the WHOLE sharded corpus (this store as one shard
+    * of a larger federation): per-member phase-2 pages under the
+    * caller's global stats merge to this store's top-k.
+    */
+  override def textRankTopK(collection: String, key: String,
+                            terms: Seq[String], k: Int,
+                            global: TextRankStats, k1: Double = 1.2,
+                            b: Double = 0.75): Seq[(String, Double)] = {
+    TextRank.validate(terms, k)
+    val pages = fanOut(members)(
+      _.textRankTopK(collection, key, terms, k, global, k1, b))
+    pages.flatten.sortWith { case ((ia, sa), (ib, sb)) =>
+      if (sa != sb) sa > sb else SparkStringOrder.lt(ia, ib)
+    }.take(k)
+  }
+
+  /** EXACT sharded facets with BOUNDED merge volume — the threshold
+    * (Fagin-style) two-phase merge, instead of pulling full per-shard
+    * histograms (O(distinct values) at the merge point, a scale-killer
+    * for high-cardinality keys):
+    *
+    *  1. each shard returns its top-`m` page (m = a small multiple of
+    *     `limit`); a value absent from an unexhausted shard's page is
+    *     bounded above by that page's LAST count (the shard's cut-off);
+    *  2. candidates whose upper bound reaches the provisional cut get a
+    *     TARGETED exact count ([[CollectionStore.facetCountsFor]]) from
+    *     exactly the shards whose pages missed them;
+    *  3. the answer is certified when no unseen value can reach it:
+    *     Σ cut-offs < the limit-th result count (strict — an unseen
+    *     value tying the cut could still win the value-asc tiebreak);
+    *     otherwise the page size quadruples and the round repeats
+    *     (worst case = the old full-histogram merge, e.g. a key whose
+    *     counts are all equal).
+    *
+    * Exactness: every returned value's count is a full-coverage sum
+    * (page hits + targeted passes); an excluded candidate's true count
+    * is < the certification threshold L ≤ the limit-th result count,
+    * and an unseen value's is ≤ Σ cut-offs < it — neither can displace
+    * a result row even on ties. Merge volume is O(shards·m + targeted
+    * values), independent of the key's distinct-value count.
+    */
   override def facetCounts(collection: String, key: String,
                            limit: Int): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
-    // EXACT merge needs full per-shard histograms: a value in every
-    // shard's tail can still top the global cut
-    val merged = scala.collection.mutable.HashMap.empty[String, Long]
-    fanOut(members)(_.facetCounts(collection, key, Int.MaxValue))
-      .foreach(_.foreach {
-        case (v, n) => merged.update(v, merged.getOrElse(v, 0L) + n)
+    val ms = members
+    if (ms.length == 1) return ms.head.facetCounts(collection, key, limit)
+    var m = math.max(limit * 4, 16)
+    while (true) {
+      val pages = fanOut(ms)(_.facetCounts(collection, key, m))
+      val cutoffs = pages.map(p => if (p.size < m) 0L else p.last._2)
+      val lower = scala.collection.mutable.HashMap.empty[String, Long]
+      val seenBy = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.BitSet]
+      pages.zipWithIndex.foreach { case (p, i) =>
+        p.foreach { case (v, n) =>
+          lower.update(v, lower.getOrElse(v, 0L) + n)
+          seenBy.getOrElseUpdate(v, scala.collection.mutable.BitSet.empty) += i
+        }
+      }
+      // provisional cut L = the limit-th largest lower bound (0 when
+      // fewer candidates) — every candidate with lower >= L is resolved
+      // below, so the final limit-th exact count is >= L
+      val lowersDesc = lower.valuesIterator.toArray.sortWith(_ > _)
+      val cutL = if (lowersDesc.length >= limit) lowersDesc(limit - 1) else 0L
+      // candidates a missing shard could still lift over the cut: ask
+      // exactly those shards for exactly those values
+      val unresolved = lower.keysIterator.filter { v =>
+        val seen = seenBy(v)
+        val slack = ms.indices.iterator
+          .filter(i => !seen(i) && cutoffs(i) > 0L).map(cutoffs).sum
+        slack > 0L && lower(v) + slack >= cutL
+      }.toSet
+      val asks: IndexedSeq[(Int, Set[String])] = ms.indices.iterator.map {
+        i => i -> unresolved.filter(v => !seenBy(v)(i) && cutoffs(i) > 0L)
+      }.filter(_._2.nonEmpty).toIndexedSeq
+      scatter(asks) { case (i, vals) =>
+        ms(i).facetCountsFor(collection, key, vals)
+      }.foreach(_.foreach { case (v, n) =>
+        lower.update(v, lower.getOrElse(v, 0L) + n)
       })
-    merged.toSeq.sortWith { case ((v1, n1), (v2, n2)) =>
-      if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
-    }.take(limit)
+      // resolved candidates now carry exact counts: page hits + targeted
+      // passes cover every shard that could hold them
+      val resolved = lower.keysIterator.filter { v =>
+        val seen = seenBy(v)
+        unresolved(v) ||
+          ms.indices.forall(i => seen(i) || cutoffs(i) == 0L)
+      }.toSeq
+      val result = resolved.map(v => (v, lower(v))).sortWith {
+        case ((v1, n1), (v2, n2)) =>
+          if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
+      }.take(limit)
+      val slackTotal = cutoffs.sum
+      val certified =
+        if (result.size < limit) slackTotal == 0L
+        else slackTotal < result.last._2
+      if (certified) return result
+      m = math.min(m.toLong * 4L, Int.MaxValue.toLong / 2L).toInt
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Targeted exact counts across shards: disjoint placement makes the
+    * per-member sums exact.
+    */
+  override def facetCountsFor(collection: String, key: String,
+                              values: Set[String]): Map[String, Long] = {
+    if (values.isEmpty) return Map.empty
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    fanOut(members)(_.facetCountsFor(collection, key, values))
+      .foreach(_.foreach { case (v, n) =>
+        merged.update(v, merged.getOrElse(v, 0L) + n)
+      })
+    merged.toMap
   }
 
   // ------------------------------------------------------------ mutations
@@ -317,10 +488,9 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
                           thunks: Map[Int, CollectionStore => CollectionStore]): Unit = {
     val next = ms.toArray
     val segs = IndexedSeq.newBuilder[ShardSeg]
+    val journal = journals.getOrElse(collection, IndexedSeq.empty)
     var g = journal.lastOption.map(s => s.globalStart + s.count).getOrElse(0L)
-    val logged = journal.nonEmpty || ms.forall(s =>
-      try { s.collectionNames.headOption.foreach(c => s.logSize(c)); true }
-      catch { case _: UnsupportedOperationException => false })
+    val logged = !logless
     thunks.toSeq.sortBy(_._1).foreach { case (i, f) =>
       val before = if (logged) ms(i).logSize(collection) else 0L
       next(i) = f(ms(i))
@@ -333,40 +503,206 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
       }
     }
     members = next.toIndexedSeq
-    if (logged) journal = journal ++ segs.result()
+    if (logged)
+      journals = journals.updated(collection, journal ++ segs.result())
+  }
+
+  // -------------------------------------------------------------- reshard
+
+  /** LIVE RESHARD — grow the cluster by APPENDING `added` members and
+    * migrate EXACTLY the displaced points. This is the payoff of
+    * rendezvous placement: under highest-random-weight hashing an id's
+    * owner changes N -> N+M only if one of the APPENDED indices now wins
+    * its argmax, so ~M/(N+M) of the corpus moves and every move targets
+    * a new member — no old-to-old churn (asserted per migrated id).
+    *
+    * Mechanics per collection: each old shard scans ITS slice (reads
+    * are owner-local — corpus/N per shard, the usual scatter shape),
+    * keeps the ids whose argmax under the grown count left it, and the
+    * migration applies as a routed DELETE (old owner) + UPSERT (new
+    * owner) run, journaled in shard order — deletes take earlier global
+    * positions than the upserts, so a moved id replays delete -> upsert
+    * and CDC readers reconstruct the exact post-reshard state; all
+    * pre-reshard positions are untouched (append-only journal).
+    *
+    * The membership swap is one volatile publish AFTER every migration
+    * batch is computed: concurrent readers see wholly-old or wholly-new
+    * placement, never a mix. Shrinking is deliberately unsupported —
+    * journal segments reference member indices, so removing a member
+    * would orphan its replay history; drain-and-rebuild is the path
+    * down.
+    *
+    * Added members must serve every collection of the cluster and start
+    * EMPTY (their slice of the placement domain is exactly the migrated
+    * ids). Adding a log-less member makes the whole store log-less —
+    * the global journal is dropped, matching the constructor's rule.
+    */
+  def reshard(added: Seq[CollectionStore]): Unit = synchronized {
+    require(added.nonEmpty, "reshard needs at least one added member")
+    val old = members
+    val nOld = old.length
+    val nNew = nOld + added.length
+    val cols = old.flatMap(_.collectionNames).distinct
+    added.foreach { s =>
+      cols.foreach { c =>
+        require(s.collectionNames.contains(c),
+          s"added member must serve '$c' (provision the collection first)")
+        require(s.pointCount(c) == 0L,
+          s"added member already holds points of '$c' — seed members " +
+            "empty; placement assigns them their slice")
+      }
+    }
+    val addedLogless = added.exists { s =>
+      s.collectionNames.exists { c =>
+        try { s.logSize(c); false }
+        catch { case _: UnsupportedOperationException => true }
+      }
+    }
+    val logged = !logless && !addedLogless
+    val next = (old ++ added).toArray
+    var nextJournals = journals
+    cols.foreach { c =>
+      val fields = collectionInfo(c).fields.map(_.name)
+      // each old shard scans only ITS slice for leavers
+      val displaced: IndexedSeq[Seq[Point]] =
+        scatter(old.indices.toIndexedSeq) { i =>
+          val s = old(i)
+          if (!s.collectionNames.contains(c)) Seq.empty
+          else s.queryPoints(c, 0L, s.pointCount(c), withPayload = true,
+              fields, None)
+            .filter(p =>
+              ShardedCollectionStore.assignShard(p.id, nNew) != i)
+            .toSeq
+        }
+      if (displaced.exists(_.nonEmpty)) {
+        val journal = nextJournals.getOrElse(c, IndexedSeq.empty)
+        var g = journal.lastOption
+          .map(s => s.globalStart + s.count).getOrElse(0L)
+        val segs = IndexedSeq.newBuilder[ShardSeg]
+        def applyOn(i: Int, f: CollectionStore => CollectionStore): Unit = {
+          val before = if (logged) next(i).logSize(c) else 0L
+          next(i) = f(next(i))
+          if (logged) {
+            val after = next(i).logSize(c)
+            if (after > before) {
+              segs += ShardSeg(i, before, after - before, g)
+              g += after - before
+            }
+          }
+        }
+        // 1. deletes on the old owners (earlier global positions than
+        //    the upserts: a moved id replays delete -> upsert)
+        old.indices.foreach { i =>
+          val ids = displaced(i).map(_.id).toSet
+          if (ids.nonEmpty)
+            applyOn(i, s => ShardedCollectionStore.applyDelete(s, c, ids))
+        }
+        // 2. upserts on the new owners — every move MUST target an
+        //    appended index (the rendezvous no-old-to-old-churn law)
+        displaced.flatten.groupBy(p =>
+            ShardedCollectionStore.assignShard(p.id, nNew))
+          .toSeq.sortBy(_._1).foreach { case (j, pts) =>
+            require(j >= nOld,
+              s"displaced id remapped to existing shard $j — rendezvous invariant violated")
+            applyOn(j, s =>
+              ShardedCollectionStore.applyUpsert(s, c, pts.toIndexedSeq))
+          }
+        if (logged)
+          nextJournals = nextJournals.updated(c, journal ++ segs.result())
+      }
+    }
+    members = next.toIndexedSeq
+    if (logged) journals = nextJournals
+    else { logless = true; journals = Map.empty }
+  }
+
+  // -------------------------------------------------------- lifecycle
+
+  /** Compact the GLOBAL log up to position `upTo` (exclusive),
+    * delegated per member: the journal maps the global prefix [0,
+    * upTo) to each shard's local prefix, each capable member compacts
+    * its own log (COW swap — parquet/in-memory — or one wire call),
+    * and retained positions are untouched, so [[logStart]] afterwards
+    * reports exactly `upTo` (partial segments land INSIDE their
+    * segment) and checkpointed CDC readers past `upTo` are undisturbed.
+    */
+  override def compact(collection: String, upTo: Long): Unit = synchronized {
+    val j = requireJournal(collection)
+    val head = j.lastOption.map(s => s.globalStart + s.count).getOrElse(0L)
+    require(upTo <= head,
+      s"cannot compact '$collection' past its log head ($head), got $upTo")
+    if (upTo <= 0L) return
+    val ms = members
+    val localUpTo = Array.fill(ms.length)(0L)
+    j.iterator.takeWhile(_.globalStart < upTo).foreach { s =>
+      val n = math.min(s.count, upTo - s.globalStart)
+      localUpTo(s.shard) = math.max(localUpTo(s.shard), s.localStart + n)
+    }
+    members = ms.zipWithIndex.map { case (m, i) =>
+      if (localUpTo(i) <= 0L) m
+      else m match {
+        case mem: InMemoryCollectionStore => mem.compacted(collection, localUpTo(i))
+        case p: ParquetCollectionStore => p.compacted(collection, localUpTo(i))
+        case r: RemoteCollectionClient => r.compact(collection, localUpTo(i)); m
+        case other => throw new UnsupportedOperationException(
+          s"shard ${other.getClass.getName} cannot compact its log")
+      }
+    }
+  }
+
+  /** Delegate the OPTIMIZER through the wrapper: every parquet member
+    * rebuilds its sidecars from its COW-current primaries and reseals
+    * them at its current log head — the freshness loop closed
+    * cluster-wide in one call. In-memory members carry no sidecars and
+    * pass through; wire members pass through untouched (the remote
+    * service owns its files — trigger its optimizer there). Journal
+    * positions are preserved: optimize never writes the log.
+    */
+  def optimizeMembers(spark: org.apache.spark.sql.SparkSession,
+                      ivfMaxIter: Int = 0): Unit = synchronized {
+    members = members.map {
+      case p: ParquetCollectionStore => p.optimized(spark, ivfMaxIter)
+      case other => other
+    }
   }
 
   // ------------------------------------------------------------------ CDC
 
-  private def requireJournal(): IndexedSeq[ShardSeg] = {
-    val j = journal
-    if (j.isEmpty && members.forall(s =>
-      try { s.collectionNames.headOption.foreach(c => s.logSize(c)); false }
-      catch { case _: UnsupportedOperationException => true }))
+  private def requireJournal(collection: String): IndexedSeq[ShardSeg] = {
+    if (logless)
       throw new UnsupportedOperationException(
         "sharded members keep no change log; streaming reads unsupported")
-    j
+    journals.getOrElse(collection, IndexedSeq.empty)
   }
 
   override def logSize(collection: String): Long = {
-    val j = requireJournal()
+    val j = requireJournal(collection)
     j.lastOption.map(s => s.globalStart + s.count).getOrElse(0L)
   }
 
   /** Global replayable start: past the last journal prefix any member
     * has compacted away (position mapping is immutable, so a compacted
-    * member simply truncates the replayable global prefix).
+    * member simply truncates the replayable global prefix). A member
+    * compacted into the MIDDLE of one of its segments truncates that
+    * segment partially — the replayable start lands inside it, not past
+    * it, so no still-replayable entry is reported gone.
     */
   override def logStart(collection: String): Long = {
-    val j = requireJournal()
-    val starts = members.map(_.logStart(collection))
-    j.reverseIterator.find(s => s.localStart < starts(s.shard))
-      .map(s => s.globalStart + s.count).getOrElse(0L)
+    val j = requireJournal(collection)
+    val starts = members.map(m =>
+      if (m.collectionNames.contains(collection)) m.logStart(collection)
+      else 0L)
+    j.reverseIterator.find(s => s.localStart < starts(s.shard)).map { s =>
+      val memberStart = starts(s.shard)
+      if (memberStart < s.localStart + s.count)
+        s.globalStart + (memberStart - s.localStart)
+      else s.globalStart + s.count
+    }.getOrElse(0L)
   }
 
   override def logEntries(collection: String, from: Long,
                           until: Long): Iterator[LogEntry] = {
-    val j = requireJournal()
+    val j = requireJournal(collection)
     val ms = members
     j.iterator
       .filter(s => s.globalStart + s.count > from && s.globalStart < until)

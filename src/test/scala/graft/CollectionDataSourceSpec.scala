@@ -1068,6 +1068,22 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // (the rerank fetch reads the probed CLUSTER partitions only)
     assert(qSt.codesFilesOpened.get() > 0L)
     assert(qSt.filesOpened.get() === 0L)
+    // a MODEST margin (covers the unfiltered page window, NOT the probed
+    // clusters' rows) must not take the quantized arm under a filter:
+    // the pre-filter candidate cut could starve a selective filter, so
+    // the store falls through to the exact full-precision filtered serve
+    // — identical rows, zero codes reads for the filtered query
+    val modest = new ParquetCollectionStore(dir, "embeddings",
+      Collections.homogeneousDescriptor, ivfNprobe = 2, ivfCandidateK = 60)
+    val viaModest = modest.searchPointsFiltered("embeddings", spec,
+      withPayload = true, vectorFields = Nil, pfilter = pf)
+      .map(p => (p._1.id, p._1.payload, p._2))
+    assert(viaModest === want)
+    assert(modest.codesFilesOpened.get() === 0L,
+      "modest candidate margin took the quantized arm under a filter")
+    // the same margin still serves the UNFILTERED query from the codes
+    modest.searchPoints("embeddings", spec, withPayload = false, Nil): Unit
+    assert(modest.codesFilesOpened.get() > 0L)
   }
 
   test("payload-index sidecar: selective filtered search serves from value partitions — exact, primary and IVF untouched") {

@@ -201,6 +201,11 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.countMatchingFiltered("c", None, None, pf) ===
       inner.countMatchingFiltered("c", None, None, pf))
     assert(client.facetCounts("c", "i", 5) === inner.facetCounts("c", "i", 5))
+    // targeted exact per-value counts (the threshold merge's second
+    // pass) cross the framed wire too
+    assert(client.facetCountsFor("c", "i", Set("1", "3", "ghost")) ===
+      inner.facetCountsFor("c", "i", Set("1", "3", "ghost")))
+    assert(client.facetCountsFor("c", "i", Set.empty) === Map.empty)
   }
 
   test("mutations land as one atomic RMW on the fronted store; log replays over the wire") {
@@ -245,6 +250,42 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cl.searchTextRanked("tr", "body", Seq("tok1"), 3, k1 = 2.0,
         b = 0.5) === st.searchTextRanked("tr", "body", Seq("tok1"), 3,
         k1 = 2.0, b = 0.5))
+      // the TWO-PHASE seam over the wire: stats are a few longs, the
+      // globally-ranked page is at most k rows — together they reproduce
+      // the local rank exactly (the sharded wrapper's per-member calls)
+      val stats = cl.textRankStats("tr", "body", Seq("tok1", "tok2"))
+      val local = st.textRankStats("tr", "body", Seq("tok1", "tok2"))
+      assert((stats.n, stats.totalLen) === ((local.n, local.totalLen)))
+      assert(stats.dfs.toSeq === local.dfs.toSeq)
+      val page = cl.textRankTopK("tr", "body", Seq("tok1", "tok2"), 5, stats)
+      assert(page === want)
+      assert(page.size <= 5)
+    } finally srv.stop()
+  }
+
+  test("log compaction crosses the wire: COW swap on the fronted store, retained positions untouched") {
+    val pts = (0 until 10).map(i =>
+      Point(f"$i%02d", Some(s"""{"k":$i}"""), Map.empty))
+    val st = InMemoryCollectionStore.single("lc",
+      CollectionDescriptor("lc", Seq.empty), pts)
+    CollectionStores.register("grpc_compact_spec", st)
+    val srv = new CollectionGrpcServer("grpc_compact_spec").start()
+    try {
+      val cl = new GrpcCollectionStore(srv.host, srv.port)
+      assert(cl.logSize("lc") === 10L)
+      val retained = cl.logEntries("lc", 4L, 10L)
+        .map(e => (e.seq, e.op, e.point.id)).toIndexedSeq
+      cl.compact("lc", 4L)
+      assert(cl.logStart("lc") === 4L)
+      assert(cl.logSize("lc") === 10L)
+      assert(cl.logEntries("lc", 4L, 10L)
+        .map(e => (e.seq, e.op, e.point.id)).toIndexedSeq === retained)
+      // the dropped prefix fails loudly with the conflict status
+      intercept[IllegalStateException] {
+        cl.logEntries("lc", 0L, 10L).foreach(_ => ())
+      }
+      // points are untouched by log compaction
+      assert(cl.pointCount("lc") === 10L)
     } finally srv.stop()
   }
 

@@ -195,6 +195,13 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fclient.facetCounts("f", "t", limit = 2) ===
         Seq("c0" -> 4L, "c1" -> 4L))
       assert(fclient.facetCounts("f", "nope", limit = 5) === Seq.empty)
+      // targeted exact per-value counts (the threshold merge's second
+      // pass) cross the wire: asked values only, absent values omitted
+      assert(fclient.facetCountsFor("f", "m", Set("0", "2", "ghost")) ===
+        finner.facetCountsFor("f", "m", Set("0", "2", "ghost")))
+      assert(fclient.facetCountsFor("f", "m", Set("0", "2", "ghost")) ===
+        Map("0" -> 4L, "2" -> 3L))
+      assert(fclient.facetCountsFor("f", "m", Set.empty) === Map.empty)
     } finally fsrv.stop()
   }
 
@@ -685,6 +692,16 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cl.searchTextRanked("tr", "body", Seq("tok1"), 3, k1 = 2.0,
         b = 0.5) === st.searchTextRanked("tr", "body", Seq("tok1"), 3,
         k1 = 2.0, b = 0.5))
+      // the TWO-PHASE seam over the wire: stats are a few longs, the
+      // globally-ranked page is at most k rows — together they reproduce
+      // the local rank exactly (the sharded wrapper's per-member calls)
+      val stats = cl.textRankStats("tr", "body", Seq("tok1", "tok2"))
+      val local = st.textRankStats("tr", "body", Seq("tok1", "tok2"))
+      assert((stats.n, stats.totalLen) === ((local.n, local.totalLen)))
+      assert(stats.dfs.toSeq === local.dfs.toSeq)
+      val page = cl.textRankTopK("tr", "body", Seq("tok1", "tok2"), 5, stats)
+      assert(page === want)
+      assert(page.size <= 5)
     } finally srv.stop()
   }
 
