@@ -886,10 +886,23 @@ object Ann {
     * window. Quadratic in the layer size BY DESIGN — correct for the
     * sampled entry layer ([[entryLayer]]'s ~√N), never for a corpus; a
     * corpus-sized layer uses [[buildKnnGraph]] + [[nnDescent]] instead.
+    *
+    * GUARDED against misuse: the layer must fit `maxRows` (default
+    * 65,536 — 4B scored pairs, the outer edge of a sane all-pairs job)
+    * or the call refuses BEFORE launching the crossJoin; a caller who
+    * has priced a bigger layer raises `maxRows` explicitly — the same
+    * opt-in discipline as the LSH brute fallbacks. The count is one
+    * cheap action against a frame the crossJoin would scan anyway.
     */
   def exactKnnGraph(df: DataFrame, idCol: String, vecCol: String,
-                    m: Int): DataFrame = {
+                    m: Int, maxRows: Long = 65536L): DataFrame = {
     require(m >= 1, s"exactKnnGraph needs m >= 1, got $m")
+    val n = df.limit((maxRows min Int.MaxValue.toLong).toInt + 1).count()
+    require(n <= maxRows,
+      s"exactKnnGraph is quadratic by design and meant for a MODEL-SIZED " +
+        s"sampled layer: got > $maxRows rows. Use buildKnnGraph + " +
+        s"nnDescent for corpus-sized layers, or raise maxRows explicitly " +
+        s"after pricing the all-pairs job.")
     val a = df.select(col(idCol).as("src"), col(vecCol).as("__sv"))
     val b = df.select(col(idCol).as("nbr"), col(vecCol).as("__nv"))
     val w = Window.partitionBy(col("src"))

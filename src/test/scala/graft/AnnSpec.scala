@@ -180,6 +180,15 @@ class AnnSpec extends AnyFunSuite {
     assert(got.length === 5)
     assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
     assert(!got.map(_._1).contains("0"))
+    // misuse guard: a layer past the cap refuses BEFORE the crossJoin —
+    // quadratic adjacency is for model-sized sampled layers only; the
+    // explicit maxRows raise is the priced escape hatch
+    val e = intercept[IllegalArgumentException] {
+      Ann.exactKnnGraph(corpus, "id", "vector", m = 3, maxRows = 16L)
+    }
+    assert(e.getMessage.contains("quadratic"), e.getMessage)
+    assert(Ann.exactKnnGraph(sample, "id", "v", m = 3,
+      maxRows = 64L).count() > 0L)
   }
 
   test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
