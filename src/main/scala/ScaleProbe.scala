@@ -16,7 +16,7 @@ object ScaleProbe {
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-      "sharded", "recallc")
+      "sharded", "recallc", "recallc2")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -182,6 +182,87 @@ object ScaleProbe {
           s"(corpus/N=${total / n}) files-opened(after scrolls+lookup)=" +
           s"${opened.mkString(",")} owner(42)=" +
           s"${ShardedCollectionStore.assignShard(lookupId, n)}")
+      }
+      // THRESHOLD FACET MERGE volume: rows crossing the member seam must
+      // be independent of the key's distinct-value count (the old exact
+      // merge pulled full per-shard histograms — O(distinct) at the
+      // merge point). Fixture: 3 dominant head values over a tail of K
+      // distinct values, K swept 1,000 -> 16,000; counting members
+      // record what the wrapper pulls.
+      {
+        import graft.sources.{CollectionStore, InMemoryCollectionStore, Point}
+        import graft.collections.CollectionDescriptor
+        val fdesc = CollectionDescriptor("f", Seq.empty)
+        final class FacetCounting(inner: InMemoryCollectionStore)
+            extends CollectionStore {
+          val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+          override def collectionInfo(c: String) = inner.collectionInfo(c)
+          override def collectionNames = inner.collectionNames
+          override def pointCount(c: String) = inner.pointCount(c)
+          override def queryPoints(c: String, from: Long, until: Long,
+                                   wp: Boolean, vf: Seq[String],
+                                   limit: Option[Int],
+                                   idF: Option[Set[String]],
+                                   idL: Option[String]) =
+            inner.queryPoints(c, from, until, wp, vf, limit, idF, idL)
+          override def facetCounts(c: String, key: String, limit: Int) = {
+            val p = inner.facetCounts(c, key, limit)
+            rows.addAndGet(p.size.toLong); p
+          }
+          override def facetCountsFor(c: String, key: String,
+                                      values: Set[String]) = {
+            val f = inner.facetCountsFor(c, key, values)
+            rows.addAndGet(f.size.toLong); f
+          }
+        }
+        for (distinct <- Seq(1000, 4000, 16000)) {
+          val pts = (0 until distinct * 3).map { i =>
+            val v = if (i % 3 != 2) s"head${i % 3}" else s"t${i / 3 % distinct}"
+            Point(f"$i%07d", Some(s"""{"v":"$v"}"""), Map.empty)
+          }
+          val probes = (0 until 4).map { s =>
+            new FacetCounting(InMemoryCollectionStore.single("f", fdesc,
+              pts.filter(p =>
+                ShardedCollectionStore.assignShard(p.id, 4) == s)))
+          }
+          val shf = new ShardedCollectionStore(probes.toIndexedSeq)
+          val page = shf.facetCounts("f", "v", 3)
+          require(page.map(_._1) == Seq("head0", "head1", "head2"),
+            s"facet head wrong: $page")
+          println(s"[probe] facet_merge distinct=$distinct " +
+            s"rows-crossed=${probes.map(_.rows.get()).sum} " +
+            s"(full-histogram merge would cross ~${distinct + 3})")
+        }
+      }
+      // LIVE RESHARD: moved fraction must track 1/(N+1) — rendezvous
+      // moves only the ids whose argmax lands on the appended member
+      {
+        import graft.sources.InMemoryCollectionStore
+        val rdesc = graft.collections.Collections.homogeneousDescriptor
+        val pts = emb.limit(2000).collect().map(r =>
+          graft.sources.Point(r.getString(0), Some(r.getString(1)),
+            dense = Map("vector" -> r.getSeq[Float](2).toArray))).toIndexedSeq
+        for (n <- Seq(2, 4, 8)) {
+          val sh2 = new ShardedCollectionStore((0 until n).map { i =>
+            InMemoryCollectionStore.single("embeddings", rdesc, pts.filter(
+              p => ShardedCollectionStore.assignShard(p.id, n) == i))
+          })
+          val pageBefore = sh2.searchPoints("embeddings", spec,
+            withPayload = false, vectorFields = Nil).map(_._1.id)
+          time(s"reshard n=$n->${n + 1}") {
+            sh2.reshard(Seq(InMemoryCollectionStore.single(
+              "embeddings", rdesc, IndexedSeq.empty)))
+            sh2.shards.last.pointCount("embeddings")
+          }
+          val moved = sh2.shards.last.pointCount("embeddings")
+          val pageAfter = sh2.searchPoints("embeddings", spec,
+            withPayload = false, vectorFields = Nil).map(_._1.id)
+          require(pageAfter == pageBefore,
+            s"reshard changed the page at n=$n")
+          println(f"[probe] reshard n=$n->${n + 1} moved=$moved of " +
+            f"${pts.size} (${moved.toDouble / pts.size}%.3f, " +
+            f"1/(N+1)=${1.0 / (n + 1)}%.3f) page-identical=true")
+        }
       }
     }
 
@@ -795,24 +876,27 @@ object ScaleProbe {
     // re-measures the serving dials on a SEEDED mixture of Gaussians
     // (16 unit-norm centers, sigma 0.15, deterministic scala.util.Random
     // — no new data deps), same corpus size as sf0.1's embeddings.
-    section("recallc") {
+    def clusteredRecall(label: String, n: Int, dim: Int, nCenters: Int,
+                        nlist: Int, sampleN: Int): Unit = {
       import graft.functions.vec
       val rnd = new scala.util.Random(42L)
       def unitVec(): Array[Double] = {
-        val a = Array.fill(64)(rnd.nextGaussian())
-        val n = math.sqrt(a.map(x => x * x).sum)
-        a.map(_ / n)
+        val a = Array.fill(dim)(rnd.nextGaussian())
+        val nn = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / nn)
       }
-      val centers = Array.fill(16)(unitVec())
-      val rows = (0 until 2000).map { i =>
-        val c = centers(i % 16)
+      val centers = Array.fill(nCenters)(unitVec())
+      val rows = (0 until n).map { i =>
+        val c = centers(i % nCenters)
         val p = c.map(x => x + 0.15 * rnd.nextGaussian())
         (i.toString, p.toSeq)
       }
       import spark.implicits._
+      println(s"[probe] $label fixture: n=$n dim=$dim centers=$nCenters " +
+        s"nlist=$nlist sampleN=$sampleN")
       val corpus = rows.toDF("id", "v").persist()
       corpus.count()
-      val qids = (0 until 20).map(i => (i * 97 % 2000).toString)
+      val qids = (0 until 20).map(i => (i * 97 % n).toString)
       val qvecs = qids.map(id => id -> corpus.filter(col("id") === id)
         .select(col("v")).head().getSeq[Double](0).toSeq).toMap
       def top(df: DataFrame): Set[String] =
@@ -821,18 +905,20 @@ object ScaleProbe {
         top(graft.ops.Ann.bruteForce(corpus, "id", "v", vec(qvecs(id)), 10))).toMap
       def meanRecall(tag: String)(method: String => DataFrame): Unit = {
         val r = qids.map(id => top(method(id)).intersect(truth(id)).size / 10.0)
-        println(f"[probe] recallc@10 $tag: ${r.sum / r.size}%.3f")
+        println(f"[probe] $label@10 $tag: ${r.sum / r.size}%.3f")
       }
-      val idx = graft.ops.Ann.buildIvf(corpus, "id", "v", nlist = 8, maxIter = 5)
+      val idx = graft.ops.Ann.buildIvf(corpus, "id", "v", nlist = nlist,
+        maxIter = 5)
       idx.clustered.persist().count()
       for (nprobe <- Seq(1, 2, 4, 8))
-        meanRecall(s"ivf nlist=8 nprobe=$nprobe")(id =>
+        meanRecall(s"ivf nlist=$nlist nprobe=$nprobe")(id =>
           idx.search(vec(qvecs(id)), 10, nprobe))
-      val sigs = graft.ops.Ann.lshBuckets(corpus, "v", 64, nbits = 16).persist()
+      val sigs = graft.ops.Ann.lshBuckets(corpus, "v", dim, nbits = 16)
+        .persist()
       sigs.count()
       meanRecall("lsh nbits=16 bands=4")(id =>
         graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
-      val adj = graft.ops.Ann.buildKnnGraph(corpus, "id", "v", dim = 64,
+      val adj = graft.ops.Ann.buildKnnGraph(corpus, "id", "v", dim = dim,
         m = 8).persist()
       adj.count()
       val refined = graft.ops.Ann.nnDescent(adj, corpus, "id", "v",
@@ -847,7 +933,7 @@ object ScaleProbe {
             "id", "v", qvecs(id), 10, entryK = 3, hops = 3, beam = b))
       }
       val sample = graft.ops.Ann.entryLayer(corpus, "id", "v",
-        sampleN = 256).persist()
+        sampleN = sampleN).persist()
       sample.count()
       val uadj = graft.ops.Ann.exactKnnGraph(sample, "id", "v", m = 4)
         .persist()
@@ -857,6 +943,22 @@ object ScaleProbe {
           graft.ops.Ann.searchKnnGraphLayered(refined, uadj, sample,
             sigs.filter(col("id") =!= id),
             "id", "v", qvecs(id), 10, entryE = 3, hops = 3, beam = b))
+      corpus.unpersist(); idx.clustered.unpersist(); sigs.unpersist()
+      adj.unpersist(); refined.unpersist(); sample.unpersist()
+      uadj.unpersist()
+      ()
+    }
+    section("recallc") {
+      clusteredRecall("recallc", n = 2000, dim = 64, nCenters = 16,
+        nlist = 8, sampleN = 256)
+    }
+    // the LOAD-BEARING shape: 10x the corpus at a realistic embedding
+    // dim (256) with 64 clusters — the dial numbers users lift must be
+    // measured here, not on the small fixture (same protocol, same
+    // seeds; any guidance that changes is called out in BASELINE.md)
+    section("recallc2") {
+      clusteredRecall("recallc2", n = 20000, dim = 256, nCenters = 64,
+        nlist = 32, sampleN = 1024)
     }
 
     section("etl") {
