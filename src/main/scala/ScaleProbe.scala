@@ -216,8 +216,10 @@ object ScaleProbe {
           }
         }
         for (distinct <- Seq(1000, 4000, 16000)) {
-          val pts = (0 until distinct * 3).map { i =>
-            val v = if (i % 3 != 2) s"head${i % 3}" else s"t${i / 3 % distinct}"
+          // 3 dominant heads (count = `distinct` each) over a tail of
+          // `distinct` singleton values: one threshold round certifies
+          val pts = (0 until distinct * 4).map { i =>
+            val v = if (i % 4 != 3) s"head${i % 4}" else s"t${i / 4 % distinct}"
             Point(f"$i%07d", Some(s"""{"v":"$v"}"""), Map.empty)
           }
           val probes = (0 until 4).map { s =>
@@ -877,7 +879,8 @@ object ScaleProbe {
     // (16 unit-norm centers, sigma 0.15, deterministic scala.util.Random
     // — no new data deps), same corpus size as sf0.1's embeddings.
     def clusteredRecall(label: String, n: Int, dim: Int, nCenters: Int,
-                        nlist: Int, sampleN: Int): Unit = {
+                        nlist: Int, sampleN: Int,
+                        graphNbits: Int = 16): Unit = {
       import graft.functions.vec
       val rnd = new scala.util.Random(42L)
       def unitVec(): Array[Double] = {
@@ -918,8 +921,12 @@ object ScaleProbe {
       sigs.count()
       meanRecall("lsh nbits=16 bands=4")(id =>
         graft.ops.Ann.searchLshStored(sigs, "id", "v", qvecs(id), 10))
+      // graph proposal bands must scale with the corpus: at 16 bits /
+      // 4 bands a band key is 4 bits (16 buckets) — fine at 2,000
+      // points, a quadratic pair explosion at 20,000 (the transient
+      // disk-fill this parameter exists to prevent)
       val adj = graft.ops.Ann.buildKnnGraph(corpus, "id", "v", dim = dim,
-        m = 8).persist()
+        m = 8, nbits = graphNbits).persist()
       adj.count()
       val refined = graft.ops.Ann.nnDescent(adj, corpus, "id", "v",
         m = 8, rounds = 1).persist()
@@ -958,7 +965,7 @@ object ScaleProbe {
     // seeds; any guidance that changes is called out in BASELINE.md)
     section("recallc2") {
       clusteredRecall("recallc2", n = 20000, dim = 256, nCenters = 64,
-        nlist = 32, sampleN = 1024)
+        nlist = 32, sampleN = 1024, graphNbits = 64)
     }
 
     section("etl") {
