@@ -2024,6 +2024,17 @@ object SparkEntry {
           col("_score").as("bm25"))
     }),
 
+    // FACETS from the payload index: the histogram is the keyword
+    // index's value-partition FOOTER row counts under the shared facet
+    // rendering — zero corpus bytes decode (spec-asserted), the
+    // backend's /points/facet served from its payload index
+    "dsv2_parquet_facet" -> ((s, dir) => {
+      import s.implicits._
+      SparkEntry.parquetMultiIndexStore(s, dir)
+        .facetCounts("embeddings", "parity", limit = 3)
+        .toDF("value", "n")
+    }),
+
     // filtered COUNT(*) pushdown landing on the payload index: the
     // aggregate collapses to CollectionFilteredCountScan, the store
     // answers from the index's value partitions (footer row counts +
@@ -6746,11 +6757,18 @@ object SparkEntry {
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
 
-    // sharded facets merge per-member full histograms: same oracle
+    // sharded facets (threshold two-phase merge): same oracle
     "dsv2_sharded_facet" ->
       """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
+
+    // index-served facets: footer counts must equal the plain GROUP BY
+    "dsv2_parquet_facet" ->
+      """SELECT CASE WHEN vec_id % 2 = 1 THEN 'odd' ELSE 'even' END AS value,
+        |       count(*) AS n
+        |FROM embeddings
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 3""".stripMargin,
 
     // the journaled global CDC log replays the routed corpus: same
     // oracle as the unsharded stream read

@@ -1154,16 +1154,22 @@ private[sources] object FacetValue {
     for {
       j <- payload
       parsed <- org.json4s.jackson.JsonMethods.parseOpt(j)
-      v <- parsed \ key match {
-        case JString(s) => Some(s)
-        case JInt(i) => Some(i.toString)
-        case JLong(l) => Some(l.toString)
-        case JDouble(d) => Some(d.toString)
-        case JDecimal(d) => Some(d.toString)
-        case JBool(b) => Some(b.toString)
-        case _ => None // absent, null, or non-scalar
-      }
+      v <- render(parsed \ key)
     } yield v
+
+  /** Scalar JValue -> the facet surface's rendered string; None for
+    * absent/null/non-scalar. The ONE rendering both the row path and
+    * any index-served path must share, or merged counts key apart.
+    */
+  def render(v: JValue): Option[String] = v match {
+    case JString(s) => Some(s)
+    case JInt(i) => Some(i.toString)
+    case JLong(l) => Some(l.toString)
+    case JDouble(d) => Some(d.toString)
+    case JDecimal(d) => Some(d.toString)
+    case JBool(b) => Some(b.toString)
+    case _ => None // absent, null, or non-scalar
+  }
 }
 
 private[sources] object SparkStringOrder {

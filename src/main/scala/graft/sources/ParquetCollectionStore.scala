@@ -748,6 +748,23 @@ final class ParquetCollectionStore(
       */
     def valuesTouched: Seq[String] = stores.toSeq
       .filter(_._2.filesOpened.get() > 0).map(_._1).sorted
+
+    /** The FACET histogram from footers alone: each value partition's
+      * row count under the facet surface's rendering
+      * ([[FacetValue.render]] of the type-tagged raw value — the same
+      * string the row path produces, so index-served and payload-pass
+      * counts merge on identical keys; two raw forms rendering equal,
+      * the string "3" and the number 3, SUM). No corpus bytes decode.
+      */
+    def facetHistogram: Seq[(String, Long)] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      values.foreach { raw =>
+        FacetValue.render(jval(raw)).foreach { r =>
+          m.update(r, m.getOrElse(r, 0L) + rowsOf(raw))
+        }
+      }
+      m.toSeq
+    }
   }
 
   /** Ops an index partition-prunes soundly: each matches ONLY via a
@@ -809,6 +826,48 @@ final class ParquetCollectionStore(
   /** Value partitions of ONE key's index read since JVM start. */
   def payloadValuesTouched(key: String): Seq[String] =
     payloadSidecars.filter(_.key == key).flatMap(_.valuesTouched).sorted
+
+  /** FACETS from the payload index when `key` is indexed and the
+    * since-build tail is clean: the histogram is the value partitions'
+    * FOOTER row counts under the shared facet rendering — zero corpus
+    * bytes decode, cost O(distinct values) metadata instead of a full
+    * payload pass (the backend serves `/points/facet` from its payload
+    * index the same way). A dirty tail or unindexed key falls back to
+    * the exact payload pass; counts are identical either way (the
+    * sidecar holds every row whose key carries a scalar value — exactly
+    * the rows the facet surface counts).
+    */
+  override def facetCounts(c: String, key: String,
+                           limit: Int): Seq[(String, Long)] = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    require(limit > 0, s"facet limit must be positive, got $limit")
+    indexedFacetHistogram(key) match {
+      case Some(hist) =>
+        hist.sortWith { case ((v1, n1), (v2, n2)) =>
+          if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
+        }.take(limit)
+      case None => super.facetCounts(c, key, limit)
+    }
+  }
+
+  /** Targeted per-value counts from the same footers (the distributed
+    * threshold merge's second pass lands here: a sharded contender
+    * check against an indexed parquet member costs metadata only).
+    */
+  override def facetCountsFor(c: String, key: String,
+                              values: Set[String]): Map[String, Long] = {
+    require(c == collection, s"store at $dir serves '$collection', not '$c'")
+    if (values.isEmpty) return Map.empty
+    indexedFacetHistogram(key) match {
+      case Some(hist) =>
+        hist.filter { case (v, _) => values(v) }.toMap
+      case None => super.facetCountsFor(c, key, values)
+    }
+  }
+
+  private def indexedFacetHistogram(key: String): Option[Seq[(String, Long)]] =
+    payloadSidecars.find(_.key == key).flatMap(sc =>
+      tailSince(sc.builtAt).filter(_.isEmpty).map(_ => sc.facetHistogram))
 
   /** Serve a FILTERED search from the payload sidecar when a `must`
     * condition is servable AND selective (matched partitions hold at

@@ -1086,6 +1086,51 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(modest.codesFilesOpened.get() > 0L)
   }
 
+  test("facets serve from the payload index: footer-only, exact, dirty-tail and unindexed-key fallback") {
+    val (_, _) = pqIvfFixture // lays the label int index under pqIvfDir
+    val st = new ParquetCollectionStore(pqIvfDir, "embeddings",
+      Collections.homogeneousDescriptor)
+    // expected histogram straight from the corpus frame (the facet
+    // surface's semantics: scalar values rendered, count desc, value asc)
+    val frame = Collections.homogeneous(spark, TestSpark.sfDir)
+    val full = frame
+      .select(graft.functions.json_get_int(col("payload"), "label").as("l"))
+      .groupBy("l").count().collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1)))
+      .sortWith { case ((v1, n1), (v2, n2)) =>
+        if (n1 != n2) n1 > n2 else v1 < v2 }.toSeq
+    val expected = full.take(5)
+    assert(st.facetCounts("embeddings", "label", 5) === expected)
+    // footer-only: zero corpus bytes decoded
+    assert(st.filesOpened.get() === 0L)
+    // targeted per-value counts (the sharded threshold merge's second
+    // pass) are footer-only too; absent values omitted
+    val all = full.toMap
+    assert(st.facetCountsFor("embeddings", "label", Set("3", "7", "ghost")) ===
+      Map("3" -> all("3"), "7" -> all("7")))
+    assert(st.filesOpened.get() === 0L)
+    // an UNINDEXED key falls back to the exact payload pass
+    assert(st.facetCounts("embeddings", "nope", 3) === Seq.empty)
+    assert(st.filesOpened.get() > 0L)
+    // a DIRTY tail falls back to the payload pass and reflects the
+    // mutation (never a silently stale footer count)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-pq-facet-fresh").toString
+    val df = frame.select("id", "payload", "vector")
+    ParquetCollectionStore.write(df, d, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writePayloadSidecar(df, d, key = "label",
+      kind = "int")
+    val sealed0 = new ParquetCollectionStore(d, "embeddings",
+      Collections.homogeneousDescriptor)
+    assert(sealed0.facetCounts("embeddings", "label", 3) ===
+      expected.take(3))
+    val mutated = sealed0.appended("embeddings", IndexedSeq(
+      Point("990000", Some("""{"label":3}"""),
+        dense = Map("vector" -> Array.fill(64)(0.1f)))))
+    val after = mutated.facetCounts("embeddings", "label", 10).toMap
+    assert(after("3") === all("3") + 1L)
+  }
+
   test("payload-index sidecar: selective filtered search serves from value partitions — exact, primary and IVF untouched") {
     val (_, store) = pqIvfFixture
     CollectionStores.register("pq_pidx_spec", store)

@@ -589,6 +589,48 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("reshard onto a WIRE member; snapshot of a sharded collection restores exactly") {
+    val pts = mkPoints(60)
+    val flat = InMemoryCollectionStore.single("c", desc, pts)
+    val sh = sharded(pts, 2)
+    // the new node lives behind the binary wire — the production grow
+    // path: provision the collection on the node, then reshard onto its
+    // client; migration upserts route through RemoteCollectionClient
+    CollectionStores.register("sh_grow_node",
+      InMemoryCollectionStore.single("c", desc, IndexedSeq.empty))
+    val nodeSrv = new CollectionGrpcServer("sh_grow_node").start()
+    try {
+      val nodeClient = new GrpcCollectionStore(nodeSrv.host, nodeSrv.port)
+      sh.reshard(Seq(nodeClient))
+      assert(sh.shardCount === 3)
+      val expectedMoves = pts.map(_.id)
+        .filter(id => ShardedCollectionStore.assignShard(id, 3) == 2)
+      // the displaced ids landed on the REMOTE node (read back through
+      // the registry — the server applied the routed upserts there)
+      assert(CollectionStores.get("sh_grow_node").pointCount("c") ===
+        expectedMoves.size.toLong)
+      assert(nodeClient.pointCount("c") === expectedMoves.size.toLong)
+      val spec = SearchSpec("vector", Array(0.2, 0.9), "cosine", 8)
+      assert(sh.searchPoints("c", spec, withPayload = true, Nil)
+        .map(p => (p._1.id, p._2)) ===
+        flat.searchPoints("c", spec, withPayload = true, Nil)
+          .map(p => (p._1.id, p._2)))
+      // SNAPSHOT the sharded collection (the store-interface read walks
+      // all shards, wire member included) and restore: exact round trip
+      CollectionStores.register("sh_snap_src", sh)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-sh-snap").toString
+      graft.collections.Snapshot.create(spark, "sh_snap_src", "c", path)
+      val restored = graft.collections.Snapshot.restore(
+        spark, path, "sh_snap_dst", "c2")
+      assert(restored.count() === 60L)
+      val got = restored.select("id", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+      val want = pts.map(p => (p.id, p.payload.orNull)).sortBy(_._1)
+      assert(got === want)
+    } finally nodeSrv.stop()
+  }
+
   test("global compaction delegates to member-local positions; logStart reports the cut exactly") {
     val pts = mkPoints(40)
     val sh = sharded(pts, 3)
