@@ -205,13 +205,15 @@ object ScaleProbe {
                                    idF: Option[Set[String]],
                                    idL: Option[String]) =
             inner.queryPoints(c, from, until, wp, vf, limit, idF, idL)
-          override def facetCounts(c: String, key: String, limit: Int) = {
-            val p = inner.facetCounts(c, key, limit)
+          override def facetCounts(c: String, key: String, limit: Int,
+                                   pfilter: graft.sources.PayloadFilter) = {
+            val p = inner.facetCounts(c, key, limit, pfilter)
             rows.addAndGet(p.size.toLong); p
           }
           override def facetCountsFor(c: String, key: String,
-                                      values: Set[String]) = {
-            val f = inner.facetCountsFor(c, key, values)
+                                      values: Set[String],
+                                      pfilter: graft.sources.PayloadFilter) = {
+            val f = inner.facetCountsFor(c, key, values, pfilter)
             rows.addAndGet(f.size.toLong); f
           }
         }

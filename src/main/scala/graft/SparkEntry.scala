@@ -2024,6 +2024,26 @@ object SparkEntry {
           col("_score").as("bm25"))
     }),
 
+    // FILTERED facets (qdrant's facet-with-filter form) ACROSS SHARDS:
+    // the payload filter rides every page call and targeted pass of the
+    // threshold merge — the distribution and the filter compose
+    // invisibly over the plain filtered GROUP BY
+    "dsv2_facet_filtered" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      val frame = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 3).map { i =>
+        InMemoryCollectionStore.fromRows(
+          frame.filter(shardOf3(col("id")) === i),
+          "embeddings", Collections.homogeneousDescriptor)
+      }
+      new ShardedCollectionStore(members)
+        .facetCounts("embeddings", "label", limit = 5,
+          PayloadFilter(Seq(PayloadCondition("label", "gte", "3")),
+            Nil, None))
+        .toDF("value", "n")
+    }),
+
     // FACETS from the payload index: the histogram is the keyword
     // index's value-partition FOOTER row counts under the shared facet
     // rendering — zero corpus bytes decode (spec-asserted), the
@@ -6769,6 +6789,12 @@ object SparkEntry {
         |       count(*) AS n
         |FROM embeddings
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 3""".stripMargin,
+
+    // filtered facets across shards: the filtered GROUP BY
+    "dsv2_facet_filtered" ->
+      """SELECT CAST(label AS VARCHAR) AS value, count(*) AS n
+        |FROM embeddings WHERE label >= 3
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 5""".stripMargin,
 
     // the journaled global CDC log replays the routed corpus: same
     // oracle as the unsharded stream read

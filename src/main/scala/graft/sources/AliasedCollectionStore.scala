@@ -70,12 +70,13 @@ final class AliasedCollectionStore(
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
     inner.searchPointsFiltered(r(collection), spec, withPayload, vectorFields,
       pfilter)
-  override def facetCounts(collection: String, key: String,
-                           limit: Int): Seq[(String, Long)] =
-    inner.facetCounts(r(collection), key, limit)
+  override def facetCounts(collection: String, key: String, limit: Int,
+                           pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] =
+    inner.facetCounts(r(collection), key, limit, pfilter)
   override def facetCountsFor(collection: String, key: String,
-                              values: Set[String]): Map[String, Long] =
-    inner.facetCountsFor(r(collection), key, values)
+                              values: Set[String],
+                              pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] =
+    inner.facetCountsFor(r(collection), key, values, pfilter)
   override def textRankPartials(collection: String, key: String,
                                 terms: Seq[String]): TextRankPartials =
     inner.textRankPartials(r(collection), key, terms)

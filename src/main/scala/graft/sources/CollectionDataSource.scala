@@ -958,11 +958,12 @@ trait CollectionStore extends Serializable {
     * serves this from its payload index — [[graft.ops.Planner]]'s
     * index stats are precisely this table.
     */
-  def facetCounts(collection: String, key: String, limit: Int): Seq[(String, Long)] = {
+  def facetCounts(collection: String, key: String, limit: Int,
+                  pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    queryPoints(collection, 0L, pointCount(collection),
-        withPayload = true, Seq.empty, None)
+    queryPointsFiltered(collection, 0L, pointCount(collection),
+        withPayload = true, Seq.empty, None, pfilter = pfilter)
       .foreach { p =>
         FacetValue.of(p.payload, key).foreach { v =>
           counts.update(v, counts.getOrElse(v, 0L) + 1L)
@@ -979,15 +980,17 @@ trait CollectionStore extends Serializable {
     * WHICH values are in contention and needs their counts on this
     * store only. Values render exactly as [[facetCounts]] renders them;
     * values this store never carries are simply absent from the result
-    * (count 0). Default: one payload pass counting only `values`; a
+    * (count 0). The same `pfilter` as the page calls narrows which
+    * points count. Default: one payload pass counting only `values`; a
     * capable backend answers from its payload index.
     */
   def facetCountsFor(collection: String, key: String,
-                     values: Set[String]): Map[String, Long] = {
+                     values: Set[String],
+                     pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] = {
     if (values.isEmpty) return Map.empty
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    queryPoints(collection, 0L, pointCount(collection),
-        withPayload = true, Seq.empty, None)
+    queryPointsFiltered(collection, 0L, pointCount(collection),
+        withPayload = true, Seq.empty, None, pfilter = pfilter)
       .foreach { p =>
         FacetValue.of(p.payload, key).filter(values).foreach { v =>
           counts.update(v, counts.getOrElse(v, 0L) + 1L)

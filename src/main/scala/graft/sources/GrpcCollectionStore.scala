@@ -619,10 +619,12 @@ final class GrpcCollectionStore(host: String, port: Int,
     out.result()
   }
 
-  override def facetCounts(collection: String, key: String,
-                           limit: Int): Seq[(String, Long)] = {
-    val r = new PbReader(call("facet", new PbWriter().string(1, collection)
-      .string(2, key).int(3, limit.toLong)))
+  override def facetCounts(collection: String, key: String, limit: Int,
+                           pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] = {
+    val req = new PbWriter().string(1, collection)
+      .string(2, key).int(3, limit.toLong)
+    if (pfilter.nonEmpty) req.message(4, GrpcWire.encodeFilter(pfilter))
+    val r = new PbReader(call("facet", req))
     val out = Seq.newBuilder[(String, Long)]
     while (r.hasNext) r.readTag() match {
       case (1, _) =>
@@ -644,10 +646,12 @@ final class GrpcCollectionStore(host: String, port: Int,
     * second pass): only the asked values' (value, count) rows cross.
     */
   override def facetCountsFor(collection: String, key: String,
-                              values: Set[String]): Map[String, Long] = {
+                              values: Set[String],
+                              pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] = {
     if (values.isEmpty) return Map.empty
     val w = new PbWriter().string(1, collection).string(2, key)
     values.toSeq.sorted.foreach(w.string(3, _))
+    if (pfilter.nonEmpty) w.message(4, GrpcWire.encodeFilter(pfilter))
     val r = new PbReader(call("facet_for", w))
     val out = Map.newBuilder[String, Long]
     while (r.hasNext) r.readTag() match {
@@ -954,14 +958,16 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
       var c = ""
       var key = ""
       var limit = 10
+      var pf = PayloadFilter.Empty
       while (r.hasNext) r.readTag() match {
         case (1, _) => c = r.readString()
         case (2, _) => key = r.readString()
         case (3, _) => limit = r.readRawVarint().toInt
+        case (4, _) => pf = GrpcWire.decodeFilter(r.readMessage())
         case (_, w) => r.skip(w)
       }
       val w = new PbWriter
-      store.facetCounts(c, key, limit).foreach { case (v, n) =>
+      store.facetCounts(c, key, limit, pf).foreach { case (v, n) =>
         w.message(1, new PbWriter().string(1, v).int(2, n))
       }
       w
@@ -971,14 +977,16 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
       var c = ""
       var key = ""
       val values = Set.newBuilder[String]
+      var pf = PayloadFilter.Empty
       while (r.hasNext) r.readTag() match {
         case (1, _) => c = r.readString()
         case (2, _) => key = r.readString()
         case (3, _) => values += r.readString()
+        case (4, _) => pf = GrpcWire.decodeFilter(r.readMessage())
         case (_, w) => r.skip(w)
       }
       val w = new PbWriter
-      store.facetCountsFor(c, key, values.result())
+      store.facetCountsFor(c, key, values.result(), pf)
         .toSeq.sortBy(_._1).foreach { case (v, n) =>
           w.message(1, new PbWriter().string(1, v).int(2, n))
         }

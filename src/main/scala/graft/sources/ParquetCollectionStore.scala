@@ -837,31 +837,37 @@ final class ParquetCollectionStore(
     * sidecar holds every row whose key carries a scalar value — exactly
     * the rows the facet surface counts).
     */
-  override def facetCounts(c: String, key: String,
-                           limit: Int): Seq[(String, Long)] = {
+  override def facetCounts(c: String, key: String, limit: Int,
+                           pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
     require(limit > 0, s"facet limit must be positive, got $limit")
-    indexedFacetHistogram(key) match {
+    val served =
+      if (pfilter.isEmpty) indexedFacetHistogram(key) else None
+    served match {
       case Some(hist) =>
         hist.sortWith { case ((v1, n1), (v2, n2)) =>
           if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
         }.take(limit)
-      case None => super.facetCounts(c, key, limit)
+      case None => super.facetCounts(c, key, limit, pfilter)
     }
   }
 
   /** Targeted per-value counts from the same footers (the distributed
     * threshold merge's second pass lands here: a sharded contender
     * check against an indexed parquet member costs metadata only).
+    * Filtered facets take the row path — a filter needs the payloads.
     */
   override def facetCountsFor(c: String, key: String,
-                              values: Set[String]): Map[String, Long] = {
+                              values: Set[String],
+                              pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] = {
     require(c == collection, s"store at $dir serves '$collection', not '$c'")
     if (values.isEmpty) return Map.empty
-    indexedFacetHistogram(key) match {
+    val served =
+      if (pfilter.isEmpty) indexedFacetHistogram(key) else None
+    served match {
       case Some(hist) =>
         hist.filter { case (v, _) => values(v) }.toMap
-      case None => super.facetCountsFor(c, key, values)
+      case None => super.facetCountsFor(c, key, values, pfilter)
     }
   }
 

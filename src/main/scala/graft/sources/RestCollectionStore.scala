@@ -657,11 +657,16 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     * owns the payload pass (or serves from its index) — only the
     * (value, count) hit list crosses back, in the seam's ranking order.
     */
-  override def facetCounts(collection: String, key: String,
-                           limit: Int): Seq[(String, Long)] = {
+  override def facetCounts(collection: String, key: String, limit: Int,
+                           pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
+    val body = JObject(List("key" -> (JString(key): JValue),
+      "limit" -> (JInt(limit): JValue)) ++
+      (if (pfilter.nonEmpty)
+         List("filter" ->
+           (JObject(CollectionWire.filterJson(pfilter)): JValue)) else Nil))
     CollectionWire.result(post(s"/collections/$collection/points/facet",
-      JObject("key" -> JString(key), "limit" -> JInt(limit)))) \ "hits" match {
+      body)) \ "hits" match {
       case JArray(hs) => hs.map { h =>
         val v = CollectionWire.optStr(h \ "value").getOrElse(
           throw new IllegalArgumentException(s"facet hit without value: $h"))
@@ -677,11 +682,16 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     * second pass): only the asked values' (value, count) rows cross.
     */
   override def facetCountsFor(collection: String, key: String,
-                              values: Set[String]): Map[String, Long] = {
+                              values: Set[String],
+                              pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] = {
     if (values.isEmpty) return Map.empty
+    val body = JObject(List("key" -> (JString(key): JValue),
+      "values" -> (JArray(values.toList.sorted.map(JString(_))): JValue)) ++
+      (if (pfilter.nonEmpty)
+         List("filter" ->
+           (JObject(CollectionWire.filterJson(pfilter)): JValue)) else Nil))
     CollectionWire.result(post(s"/collections/$collection/points/facet/values",
-      JObject("key" -> JString(key),
-        "values" -> JArray(values.toList.sorted.map(JString(_)))))) \ "hits" match {
+      body)) \ "hits" match {
       case JArray(hs) => hs.map { h =>
         val v = CollectionWire.optStr(h \ "value").getOrElse(
           throw new IllegalArgumentException(s"facet hit without value: $h"))
@@ -1164,8 +1174,9 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
         val key = CollectionWire.optStr(b \ "key").getOrElse(
           throw new IllegalArgumentException("facet requires 'key'"))
         val limit = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
+        val fpf = CollectionWire.parseFilter(b \ "filter")
         CollectionWire.okEnvelope(JObject("hits" -> JArray(
-          store.facetCounts(c, key, limit).map { case (v, n) =>
+          store.facetCounts(c, key, limit, fpf).map { case (v, n) =>
             JObject("value" -> JString(v), "count" -> JLong(n)): JValue
           }.toList)))
 
@@ -1181,7 +1192,8 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             "facet values require 'values' (array of strings)")
         }
         CollectionWire.okEnvelope(JObject("hits" -> JArray(
-          store.facetCountsFor(c, key, values).toSeq.sortBy(_._1)
+          store.facetCountsFor(c, key, values,
+              CollectionWire.parseFilter(b \ "filter")).toSeq.sortBy(_._1)
             .map { case (v, n) =>
               JObject("value" -> JString(v), "count" -> JLong(n)): JValue
             }.toList)))

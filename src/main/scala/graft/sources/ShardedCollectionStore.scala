@@ -372,14 +372,15 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     * a result row even on ties. Merge volume is O(shards·m + targeted
     * values), independent of the key's distinct-value count.
     */
-  override def facetCounts(collection: String, key: String,
-                           limit: Int): Seq[(String, Long)] = {
+  override def facetCounts(collection: String, key: String, limit: Int,
+                           pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] = {
     require(limit > 0, s"facet limit must be positive, got $limit")
     val ms = members
-    if (ms.length == 1) return ms.head.facetCounts(collection, key, limit)
+    if (ms.length == 1)
+      return ms.head.facetCounts(collection, key, limit, pfilter)
     var m = math.max(limit * 4, 16)
     while (true) {
-      val pages = fanOut(ms)(_.facetCounts(collection, key, m))
+      val pages = fanOut(ms)(_.facetCounts(collection, key, m, pfilter))
       val cutoffs = pages.map(p => if (p.size < m) 0L else p.last._2)
       val lower = scala.collection.mutable.HashMap.empty[String, Long]
       val seenBy = scala.collection.mutable.HashMap
@@ -407,7 +408,7 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
         i => i -> unresolved.filter(v => !seenBy(v)(i) && cutoffs(i) > 0L)
       }.filter(_._2.nonEmpty).toIndexedSeq
       scatter(asks) { case (i, vals) =>
-        ms(i).facetCountsFor(collection, key, vals)
+        ms(i).facetCountsFor(collection, key, vals, pfilter)
       }.foreach(_.foreach { case (v, n) =>
         lower.update(v, lower.getOrElse(v, 0L) + n)
       })
@@ -436,10 +437,11 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     * per-member sums exact.
     */
   override def facetCountsFor(collection: String, key: String,
-                              values: Set[String]): Map[String, Long] = {
+                              values: Set[String],
+                              pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] = {
     if (values.isEmpty) return Map.empty
     val merged = scala.collection.mutable.HashMap.empty[String, Long]
-    fanOut(members)(_.facetCountsFor(collection, key, values))
+    fanOut(members)(_.facetCountsFor(collection, key, values, pfilter))
       .foreach(_.foreach { case (v, n) =>
         merged.update(v, merged.getOrElse(v, 0L) + n)
       })
@@ -537,8 +539,11 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     * ids). Adding a log-less member makes the whole store log-less —
     * the global journal is dropped, matching the constructor's rule.
     */
-  def reshard(added: Seq[CollectionStore]): Unit = synchronized {
+  def reshard(added: Seq[CollectionStore],
+              migrationBatch: Int = 65536): Unit = synchronized {
     require(added.nonEmpty, "reshard needs at least one added member")
+    require(migrationBatch > 0,
+      s"migration batch must be positive, got $migrationBatch")
     val old = members
     val nOld = old.length
     val nNew = nOld + added.length
@@ -563,53 +568,66 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     var nextJournals = journals
     cols.foreach { c =>
       val fields = collectionInfo(c).fields.map(_.name)
-      // each old shard scans only ITS slice for leavers
-      val displaced: IndexedSeq[Seq[Point]] =
-        scatter(old.indices.toIndexedSeq) { i =>
-          val s = old(i)
-          if (!s.collectionNames.contains(c)) Seq.empty
-          else s.queryPoints(c, 0L, s.pointCount(c), withPayload = true,
-              fields, None)
-            .filter(p =>
-              ShardedCollectionStore.assignShard(p.id, nNew) != i)
-            .toSeq
+      val journal = nextJournals.getOrElse(c, IndexedSeq.empty)
+      var g = journal.lastOption
+        .map(s => s.globalStart + s.count).getOrElse(0L)
+      val segs = IndexedSeq.newBuilder[ShardSeg]
+      def applyOn(i: Int, f: CollectionStore => CollectionStore): Unit = {
+        val before = if (logged) next(i).logSize(c) else 0L
+        next(i) = f(next(i))
+        if (logged) {
+          val after = next(i).logSize(c)
+          if (after > before) {
+            segs += ShardSeg(i, before, after - before, g)
+            g += after - before
+          }
         }
-      if (displaced.exists(_.nonEmpty)) {
-        val journal = nextJournals.getOrElse(c, IndexedSeq.empty)
-        var g = journal.lastOption
-          .map(s => s.globalStart + s.count).getOrElse(0L)
-        val segs = IndexedSeq.newBuilder[ShardSeg]
-        def applyOn(i: Int, f: CollectionStore => CollectionStore): Unit = {
-          val before = if (logged) next(i).logSize(c) else 0L
-          next(i) = f(next(i))
-          if (logged) {
-            val after = next(i).logSize(c)
-            if (after > before) {
-              segs += ShardSeg(i, before, after - before, g)
-              g += after - before
+      }
+      // STREAMED migration, one old shard at a time, KEYSET-paged
+      // against the LIVE member (COW mutations between pages would
+      // invalidate a long-lived iterator over the pre-mutation files):
+      // each page materializes at most `migrationBatch` points — never a
+      // shard's whole leaver set in one allocation — and already-paged
+      // ids only ever shrink below the keyset bound, so deletes never
+      // disturb the enumeration. Each page's movers apply as a journaled
+      // delete->upsert run (delete segments take earlier global
+      // positions, so a moved id replays delete -> upsert whatever the
+      // paging).
+      old.indices.foreach { i =>
+        if (old(i).collectionNames.contains(c)) {
+          var lower: Option[String] = None
+          var done = false
+          while (!done) {
+            val page = next(i).queryPoints(c, 0L, next(i).pointCount(c),
+              withPayload = true, fields, Some(migrationBatch),
+              idFilter = None, idLower = lower).toIndexedSeq
+            if (page.isEmpty) done = true
+            else {
+              lower = Some(page.maxBy(_.id)(Ordering.fromLessThan[String](
+                SparkStringOrder.lt)).id)
+              val movers = page.filter(p =>
+                ShardedCollectionStore.assignShard(p.id, nNew) != i)
+              if (movers.nonEmpty) {
+                applyOn(i, st => ShardedCollectionStore.applyDelete(
+                  st, c, movers.map(_.id).toSet))
+                // every move MUST target an appended index (the
+                // rendezvous no-old-to-old-churn law)
+                movers.groupBy(p =>
+                    ShardedCollectionStore.assignShard(p.id, nNew))
+                  .toSeq.sortBy(_._1).foreach { case (j, pts) =>
+                    require(j >= nOld,
+                      s"displaced id remapped to existing shard $j — rendezvous invariant violated")
+                    applyOn(j, st => ShardedCollectionStore.applyUpsert(
+                      st, c, pts))
+                  }
+              }
+              if (page.size < migrationBatch) done = true
             }
           }
         }
-        // 1. deletes on the old owners (earlier global positions than
-        //    the upserts: a moved id replays delete -> upsert)
-        old.indices.foreach { i =>
-          val ids = displaced(i).map(_.id).toSet
-          if (ids.nonEmpty)
-            applyOn(i, s => ShardedCollectionStore.applyDelete(s, c, ids))
-        }
-        // 2. upserts on the new owners — every move MUST target an
-        //    appended index (the rendezvous no-old-to-old-churn law)
-        displaced.flatten.groupBy(p =>
-            ShardedCollectionStore.assignShard(p.id, nNew))
-          .toSeq.sortBy(_._1).foreach { case (j, pts) =>
-            require(j >= nOld,
-              s"displaced id remapped to existing shard $j — rendezvous invariant violated")
-            applyOn(j, s =>
-              ShardedCollectionStore.applyUpsert(s, c, pts.toIndexedSeq))
-          }
-        if (logged)
-          nextJournals = nextJournals.updated(c, journal ++ segs.result())
       }
+      if (logged)
+        nextJournals = nextJournals.updated(c, journal ++ segs.result())
     }
     members = next.toIndexedSeq
     if (logged) journals = nextJournals

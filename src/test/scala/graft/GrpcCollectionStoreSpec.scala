@@ -206,6 +206,12 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(client.facetCountsFor("c", "i", Set("1", "3", "ghost")) ===
       inner.facetCountsFor("c", "i", Set("1", "3", "ghost")))
     assert(client.facetCountsFor("c", "i", Set.empty) === Map.empty)
+    // FILTERED facets: the filter rides the frame, evaluates server-side
+    val fpf = PayloadFilter(Seq(PayloadCondition("i", "gt", "4")), Nil, None)
+    assert(client.facetCounts("c", "i", 5, fpf) ===
+      inner.facetCounts("c", "i", 5, fpf))
+    assert(client.facetCountsFor("c", "i", Set("5", "9"), fpf) ===
+      inner.facetCountsFor("c", "i", Set("5", "9"), fpf))
   }
 
   test("mutations land as one atomic RMW on the fronted store; log replays over the wire") {

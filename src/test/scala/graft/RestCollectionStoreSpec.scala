@@ -202,6 +202,15 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(fclient.facetCountsFor("f", "m", Set("0", "2", "ghost")) ===
         Map("0" -> 4L, "2" -> 3L))
       assert(fclient.facetCountsFor("f", "m", Set.empty) === Map.empty)
+      // FILTERED facets cross the wire: the filter evaluates server-side
+      val fpf = PayloadFilter(Seq(PayloadCondition("m", "gte", "1")),
+        Nil, None)
+      assert(fclient.facetCounts("f", "t", 10, fpf) ===
+        finner.facetCounts("f", "t", 10, fpf))
+      assert(fclient.facetCounts("f", "t", 10, fpf) ===
+        Seq("c1" -> 4L, "c2" -> 3L))
+      assert(fclient.facetCountsFor("f", "t", Set("c0", "c2"), fpf) ===
+        Map("c2" -> 3L))
     } finally fsrv.stop()
   }
 

@@ -82,6 +82,13 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     assert(sh.facetCounts("c", "v", 4) === flat.facetCounts("c", "v", 4))
     // facet EXACTNESS under the cut: full merge, not per-shard top-N
     assert(sh.facetCounts("c", "v", 100).map(_._2).sum === 90L)
+    // FILTERED facets (qdrant's facet-with-filter form) thread the same
+    // threshold merge: page calls AND targeted passes carry the filter
+    val ffpf = PayloadFilter(Seq(PayloadCondition("g", "gte", "2")), Nil, None)
+    assert(sh.facetCounts("c", "v", 4, ffpf) ===
+      flat.facetCounts("c", "v", 4, ffpf))
+    assert(sh.facetCountsFor("c", "v", Set("t0", "t3"), ffpf) ===
+      flat.facetCountsFor("c", "v", Set("t0", "t3"), ffpf))
     // positional windows cover the corpus exactly once, id-filter routed
     val n = sh.pointCount("c")
     val windows = Seq((0L, 20L), (20L, 55L), (55L, n))
@@ -282,16 +289,18 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
                                idLower: Option[String]) =
         inner.queryPoints(c, from, until, withPayload, vf, limit,
           idFilter, idLower)
-      override def facetCounts(c: String, key: String, limit: Int) = {
+      override def facetCounts(c: String, key: String, limit: Int,
+                               pfilter: PayloadFilter) = {
         maxLimitAsked.updateAndGet(m => math.max(m, limit.toLong))
-        val page = inner.facetCounts(c, key, limit)
+        val page = inner.facetCounts(c, key, limit, pfilter)
         rowsShipped.addAndGet(page.size.toLong)
         page
       }
       override def facetCountsFor(c: String, key: String,
-                                  values: Set[String]) = {
+                                  values: Set[String],
+                                  pfilter: PayloadFilter) = {
         targetedValues.addAndGet(values.size.toLong)
-        val found = inner.facetCountsFor(c, key, values)
+        val found = inner.facetCountsFor(c, key, values, pfilter)
         rowsShipped.addAndGet(found.size.toLong)
         found
       }
@@ -522,11 +531,26 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     }
     assert(replayed.size === 120)
     assert(replayed.keySet === pts.map(_.id).toSet)
-    // a second reshard composes (N=4 -> 5)
-    sh.reshard(Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)))
+    // a second reshard composes (N=4 -> 5), keyset-paged with a TINY
+    // migration batch — multi-page migration must be invisible too
+    sh.reshard(Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)),
+      migrationBatch = 7)
     assert(sh.shardCount === 5)
     assert(sh.searchPoints("c", spec, withPayload = true, Nil)
       .map(p => (p._1.id, p._2)) === before)
+    sh.shards.zipWithIndex.foreach { case (s, i) =>
+      val ids = s.queryPoints("c", 0L, s.pointCount("c"),
+        withPayload = false, Nil, None).map(_.id).toSet
+      assert(ids.forall(ShardedCollectionStore.assignShard(_, 5) == i),
+        s"placement invariant broken on shard $i after paged reshard")
+    }
+    // full-log replay still reconstructs the exact state
+    val replayed5 = scala.collection.mutable.HashMap.empty[String, Boolean]
+    sh.logEntries("c", 0L, sh.logSize("c")).foreach { e =>
+      if (e.op == LogOps.Delete) replayed5.remove(e.point.id)
+      else replayed5.update(e.point.id, true)
+    }
+    assert(replayed5.keySet === pts.map(_.id).toSet)
     // guards: non-empty and non-serving members refuse
     intercept[IllegalArgumentException] {
       sh.reshard(Seq(InMemoryCollectionStore.single("c", desc, mkPoints(3))))
