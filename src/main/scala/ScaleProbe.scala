@@ -238,6 +238,42 @@ object ScaleProbe {
             s"(full-histogram merge would cross ~${distinct + 3})")
         }
       }
+      // TWO-PHASE BM25 ship volume at sf0.1, under a term matching ~78%
+      // of the corpus ("stream": 3,923 of 5,000 docs): the one-phase
+      // partials seam ships one candidate row per matching doc to the
+      // merge point; the two-phase rank ships stats (a few longs) plus
+      // at most shards·k rows — the volume the wire/merge actually pays
+      {
+        import graft.sources.{CollectionStore => CS, _}
+        val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+          .select(lpad(col("doc_id").cast("string"), 10, "0").as("id"),
+            to_json(struct(col("text").as("body"))).as("payload"))
+        val assignedD = graft.ops.Pipeline.rendezvousAssign(docs, "id", 3)
+        val tdesc = graft.collections.CollectionDescriptor("documents", Seq.empty)
+        val tMembers = (0 until 3).map { i =>
+          val own = assignedD.filter(col("shard") === i)
+            .select("id", "payload")
+          val d = java.nio.file.Files
+            .createTempDirectory(s"probe-shtr-$i").toString
+          ParquetCollectionStore.write(own, d, numFiles = 2)
+          ParquetCollectionStore.writeTextSidecar(own, d, key = "body",
+            nBuckets = 16)
+          new ParquetCollectionStore(d, "documents", tdesc)
+        }
+        val shT = new ShardedCollectionStore(tMembers)
+        val terms = Seq("stream", "data")
+        val k = 10
+        val p = shT.textRankPartials("documents", "body", terms)
+        var ranked: Seq[(String, Double)] = Nil
+        time(s"bm25_two_phase_rank k=$k") {
+          ranked = shT.searchTextRanked("documents", "body", terms, k)
+          ranked.size.toLong
+        }
+        require(ranked.size == k, s"rank came up short: ${ranked.size}")
+        println(s"[probe] bm25_ship terms=${terms.mkString(",")} " +
+          s"dfs=${p.dfs.mkString(",")} one-phase-candidates=${p.docs.size} " +
+          s"two-phase-ship<=${3 * k} rows (+ 2x${2 + terms.length} stat longs/shard)")
+      }
       // LIVE RESHARD: moved fraction must track 1/(N+1) — rendezvous
       // moves only the ids whose argmax lands on the appended member
       {
