@@ -583,46 +583,43 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
           }
         }
       }
-      // STREAMED migration, one old shard at a time, KEYSET-paged
-      // against the LIVE member (COW mutations between pages would
-      // invalidate a long-lived iterator over the pre-mutation files):
-      // each page materializes at most `migrationBatch` points — never a
-      // shard's whole leaver set in one allocation — and already-paged
-      // ids only ever shrink below the keyset bound, so deletes never
-      // disturb the enumeration. Each page's movers apply as a journaled
-      // delete->upsert run (delete segments take earlier global
-      // positions, so a moved id replays delete -> upsert whatever the
-      // paging).
+      // STREAMED migration, one old shard at a time, in two phases per
+      // shard. Phase A: ONE ids-only streaming pass over the
+      // still-unmutated member collects the leaver ids (no reliance on
+      // enumeration order, no mutation racing the scan — correct for
+      // sorted and unsorted members alike; memory is O(displaced ids)
+      // strings, never points). Phase B: the ids migrate in
+      // `migrationBatch` groups — each group's points fetch via the
+      // routed idFilter (an id-stats-pruned read on the lakehouse
+      // backend), upsert to their new owners, and delete from the old
+      // one, so at most one batch of full points is ever materialized.
+      // Within a batch the delete journals first (earlier global
+      // positions than the upserts), so a moved id replays
+      // delete -> upsert and CDC reconstructs the exact final state.
       old.indices.foreach { i =>
         if (old(i).collectionNames.contains(c)) {
-          var lower: Option[String] = None
-          var done = false
-          while (!done) {
-            val page = next(i).queryPoints(c, 0L, next(i).pointCount(c),
-              withPayload = true, fields, Some(migrationBatch),
-              idFilter = None, idLower = lower).toIndexedSeq
-            if (page.isEmpty) done = true
-            else {
-              lower = Some(page.maxBy(_.id)(Ordering.fromLessThan[String](
-                SparkStringOrder.lt)).id)
-              val movers = page.filter(p =>
-                ShardedCollectionStore.assignShard(p.id, nNew) != i)
-              if (movers.nonEmpty) {
-                applyOn(i, st => ShardedCollectionStore.applyDelete(
-                  st, c, movers.map(_.id).toSet))
-                // every move MUST target an appended index (the
-                // rendezvous no-old-to-old-churn law)
-                movers.groupBy(p =>
-                    ShardedCollectionStore.assignShard(p.id, nNew))
-                  .toSeq.sortBy(_._1).foreach { case (j, pts) =>
-                    require(j >= nOld,
-                      s"displaced id remapped to existing shard $j — rendezvous invariant violated")
-                    applyOn(j, st => ShardedCollectionStore.applyUpsert(
-                      st, c, pts))
-                  }
+          val s0 = next(i)
+          val moverIds = s0.queryPoints(c, 0L, s0.pointCount(c),
+              withPayload = false, Nil, None)
+            .map(_.id)
+            .filter(id => ShardedCollectionStore.assignShard(id, nNew) != i)
+            .toIndexedSeq
+          moverIds.grouped(migrationBatch).foreach { batchIds =>
+            val movers = next(i).queryPoints(c, 0L, next(i).pointCount(c),
+              withPayload = true, fields, None,
+              idFilter = Some(batchIds.toSet)).toIndexedSeq
+            applyOn(i, st => ShardedCollectionStore.applyDelete(
+              st, c, batchIds.toSet))
+            // every move MUST target an appended index (the rendezvous
+            // no-old-to-old-churn law)
+            movers.groupBy(p =>
+                ShardedCollectionStore.assignShard(p.id, nNew))
+              .toSeq.sortBy(_._1).foreach { case (j, pts) =>
+                require(j >= nOld,
+                  s"displaced id remapped to existing shard $j — rendezvous invariant violated")
+                applyOn(j, st => ShardedCollectionStore.applyUpsert(
+                  st, c, pts))
               }
-              if (page.size < migrationBatch) done = true
-            }
           }
         }
       }

@@ -531,8 +531,8 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
     }
     assert(replayed.size === 120)
     assert(replayed.keySet === pts.map(_.id).toSet)
-    // a second reshard composes (N=4 -> 5), keyset-paged with a TINY
-    // migration batch — multi-page migration must be invisible too
+    // a second reshard composes (N=4 -> 5) with a TINY migration batch
+    // — multi-batch migration must be invisible too
     sh.reshard(Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)),
       migrationBatch = 7)
     assert(sh.shardCount === 5)
