@@ -897,7 +897,12 @@ object Ann {
   def exactKnnGraph(df: DataFrame, idCol: String, vecCol: String,
                     m: Int, maxRows: Long = 65536L): DataFrame = {
     require(m >= 1, s"exactKnnGraph needs m >= 1, got $m")
-    val n = df.limit((maxRows min Int.MaxValue.toLong).toInt + 1).count()
+    // clamp below Int.MaxValue BEFORE the +1: an explicit opt-in of
+    // maxRows >= Int.MaxValue must skip the cheap pre-count (limit can't
+    // express it), not overflow limit() into a negative argument
+    val n =
+      if (maxRows >= Int.MaxValue.toLong) df.count()
+      else df.limit(maxRows.toInt + 1).count()
     require(n <= maxRows,
       s"exactKnnGraph is quadratic by design and meant for a MODEL-SIZED " +
         s"sampled layer: got > $maxRows rows. Use buildKnnGraph + " +

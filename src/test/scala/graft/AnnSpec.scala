@@ -189,6 +189,11 @@ class AnnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("quadratic"), e.getMessage)
     assert(Ann.exactKnnGraph(sample, "id", "v", m = 3,
       maxRows = 64L).count() > 0L)
+    // the documented opt-in path at its extreme must not overflow the
+    // pre-count's limit() into a negative argument: maxRows past
+    // Int.MaxValue skips the bounded count entirely
+    assert(Ann.exactKnnGraph(sample, "id", "v", m = 3,
+      maxRows = Long.MaxValue).count() > 0L)
   }
 
   test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
