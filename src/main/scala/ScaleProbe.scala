@@ -304,6 +304,97 @@ object ScaleProbe {
             f"1/(N+1)=${1.0 / (n + 1)}%.3f) page-identical=true")
         }
       }
+      // RESHARD OVER THE WIRE: migrating a remote member's slice must
+      // ship BOUNDED requests — the leaver scan pages positionally
+      // (slice/pageSize requests), each point-batch fetch pages the ID
+      // SET (the paged id-filter: ceil(batch/pageSize) requests, never
+      // a positional loop re-serializing the whole batch per window),
+      // one delete per batch. The naive positional form would ship
+      // batches x slicePages requests EACH carrying the full id set.
+      {
+        import graft.sources.{CollectionGrpcServer, CollectionStores,
+          GrpcCollectionStore, InMemoryCollectionStore}
+        val rdesc = graft.collections.Collections.homogeneousDescriptor
+        val pts = emb.limit(2000).collect().map(r =>
+          graft.sources.Point(r.getString(0), Some(r.getString(1)),
+            dense = Map("vector" -> r.getSeq[Float](2).toArray))).toIndexedSeq
+        val slice0 = pts.filter(p =>
+          ShardedCollectionStore.assignShard(p.id, 2) == 0)
+        CollectionStores.register("probe_reshard_wire",
+          InMemoryCollectionStore.single("embeddings", rdesc, slice0))
+        val wsrv = new CollectionGrpcServer("probe_reshard_wire").start()
+        try {
+          val pageSz = 128
+          val wireMember = new GrpcCollectionStore(wsrv.host, wsrv.port,
+            pageSize = pageSz)
+          val local1 = InMemoryCollectionStore.single("embeddings", rdesc,
+            pts.filter(p => ShardedCollectionStore.assignShard(p.id, 2) == 1))
+          val shW = new ShardedCollectionStore(IndexedSeq(wireMember, local1))
+          val batch = 256
+          val req0 = wsrv.requestsServed.get()
+          time(s"reshard_over_wire slice=${slice0.size} batch=$batch pageSize=$pageSz") {
+            shW.reshard(Seq(InMemoryCollectionStore.single(
+              "embeddings", rdesc, IndexedSeq.empty)), migrationBatch = batch)
+            shW.shards.last.pointCount("embeddings")
+          }
+          val reqs = wsrv.requestsServed.get() - req0
+          val movers0 = slice0.count(p =>
+            ShardedCollectionStore.assignShard(p.id, 3) == 2)
+          val scanPages = (slice0.size + pageSz - 1) / pageSz
+          val batches = (movers0 + batch - 1) / batch
+          val fetchChunks = (movers0 + pageSz - 1) / pageSz
+          val naive = batches * scanPages // positional loop per batch
+          println(s"[probe] reshard_wire slice=${slice0.size} movers=$movers0 " +
+            s"requests=$reqs (scanPages=$scanPages fetchChunks=$fetchChunks " +
+            s"deletes=$batches; naive positional form ~$naive fetch requests " +
+            s"EACH re-serializing the batch ids) bytesIn=${wsrv.bytesIn.get()} " +
+            s"bytesOut=${wsrv.bytesOut.get()}")
+          // bound: scan pages + id-chunk fetches + a constant handful of
+          // frames per batch (pointCount/logSize/delete) + fixed setup
+          require(reqs.toInt <= scanPages + fetchChunks + 8 * batches + 24,
+            s"reshard-over-wire requests not bounded: $reqs " +
+              s"(scanPages=$scanPages fetchChunks=$fetchChunks batches=$batches)")
+        } finally wsrv.stop()
+      }
+      // TARGETED FACET SECOND PASS over the wire: the threshold merge's
+      // facetCountsFor asks are served SERVER-side — per asked shard one
+      // request whose response holds at most the asked values' rows,
+      // never a histogram pull
+      {
+        import graft.sources.{CollectionGrpcServer, CollectionStores,
+          GrpcCollectionStore, InMemoryCollectionStore}
+        val fdesc = graft.collections.CollectionDescriptor("f", Seq.empty)
+        // the adversarial shape: one value spread thin across EVERY
+        // shard under 40 decoys — the merge must issue targeted asks
+        val fpts = (0 until 180).map { i =>
+          val v = if (i < 60) "X" else s"decoy${(i - 60) % 40}"
+          graft.sources.Point(f"$i%05d", Some(s"""{"v":"$v"}"""), Map.empty)
+        }
+        val fsrvs = (0 until 3).map { s =>
+          CollectionStores.register(s"probe_facet_wire$s",
+            InMemoryCollectionStore.single("f", fdesc, fpts.filter(p =>
+              ShardedCollectionStore.assignShard(p.id, 3) == s)))
+          new CollectionGrpcServer(s"probe_facet_wire$s").start()
+        }
+        try {
+          val shF = new ShardedCollectionStore(fsrvs.map(srv =>
+            new GrpcCollectionStore(srv.host, srv.port)).toIndexedSeq)
+          val req0 = fsrvs.map(_.requestsServed.get())
+          val out0 = fsrvs.map(_.bytesOut.get())
+          val page = shF.facetCounts("f", "v", 3)
+          require(page.head._1 == "X", s"facet head wrong: $page")
+          val reqs = fsrvs.map(_.requestsServed.get()).zip(req0).map(t => t._1 - t._2)
+          val outs = fsrvs.map(_.bytesOut.get()).zip(out0).map(t => t._1 - t._2)
+          println(s"[probe] facet_wire targeted: per-shard requests=${reqs.mkString(",")} " +
+            s"bytesOut=${outs.mkString(",")} (page + targeted ask, both " +
+            s"server-side; a histogram pull would ship every distinct value)")
+          // a couple of threshold rounds x (page + targeted ask) + the
+          // descriptor fetch — NEVER O(distinct values) requests or a
+          // full-histogram response
+          require(reqs.forall(_ <= 8L),
+            s"facet merge issued unbounded per-shard requests: $reqs")
+        } finally fsrvs.foreach(_.stop())
+      }
     }
 
     // index-freshness overlay cost shape: ONE store + IVF sidecar sealed

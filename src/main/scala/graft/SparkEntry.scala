@@ -806,6 +806,99 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
+  /** Binary server fronting the MUTATED lakehouse dir, then the
+    * OPTIMIZE VERB sent over the wire: the service reseals its sidecars
+    * at its own log head (zero data crosses — one verb frame), and the
+    * fixture serves index-pruned afterwards exactly like the local
+    * optimizer gate — the freshness loop closed REMOTELY.
+    */
+  private def grpcOptimizedAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(s"$dir#opt", {
+      val backend = s"grpc_opt_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        buildMutatedStore(s, dir, "graft-pq-grpcopt"))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      new graft.sources.GrpcCollectionStore(srv.host, srv.port).optimize()
+      (srv.host, srv.port)
+    })
+
+  /** The sharded lifecycle fixture WITH A WIRE MEMBER: member 0 is a
+    * local parquet store, member 1 the same layout BEHIND a binary
+    * server — mutations route through the wrapper (the wire member's
+    * service owns its COW batches), and ONE optimizeMembers() call
+    * reseals member 0 locally and ships the optimize verb to member 1's
+    * service — the cluster-wide freshness loop with a remote node in
+    * the mix, the full production topology's lifecycle.
+    */
+  private def shardedOptimizedWireStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedOptimizedCache.getOrElseUpdate(s"$dir#wire", {
+      val df = hom(s, dir).select("id", "payload", "vector")
+      val members: IndexedSeq[graft.sources.CollectionStore] =
+        (0 until 2).map { i =>
+          val own = df.filter(shardOf2(col("id")) === i)
+          val d = tempStoreDir(s"graft-pq-shoptw$i")
+          graft.sources.ParquetCollectionStore.write(own, d, withLog = true)
+          graft.sources.ParquetCollectionStore.writePayloadSidecar(
+            own, d, key = "label", kind = "int")
+          val pq = new graft.sources.ParquetCollectionStore(d, "embeddings",
+            Collections.homogeneousDescriptor)
+          if (i == 0) pq
+          else {
+            val memName =
+              s"grpc_shoptw_member_${Integer.toHexString(dir.hashCode)}"
+            graft.sources.CollectionStores.register(memName, pq)
+            val msrv = new graft.sources.CollectionGrpcServer(memName).start()
+            Runtime.getRuntime.addShutdownHook(new Thread(() => msrv.stop()))
+            new graft.sources.GrpcCollectionStore(msrv.host, msrv.port)
+          }
+        }
+      val sh = new graft.sources.ShardedCollectionStore(members)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val delIds = Tables.load(s, dir, "embeddings")
+        .filter(col("label") === 3 && col("vec_id") % 7 === 0)
+        .select(col("vec_id").cast(StringType))
+        .collect().map(_.getString(0)).toSet
+      sh.upsertPoints("embeddings", adds.toIndexedSeq)
+      sh.deletePoints("embeddings", delIds)
+      sh.optimizeMembers(s)
+      sh
+    })
+
+  /** The reshard gate's remote grow node: ONE cached binary server
+    * fronting registry name `sharded_reshard_node` — each gate
+    * invocation re-registers an EMPTY store there (the server resolves
+    * by name per request), so re-runs reshard onto a fresh node.
+    */
+  private lazy val reshardNodeServer: graft.sources.CollectionGrpcServer = {
+    val srv = new graft.sources.CollectionGrpcServer("sharded_reshard_node").start()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+    srv
+  }
+
+  private def reshardNodeAddr(): (String, Int) =
+    (reshardNodeServer.host, reshardNodeServer.port)
+
+  /** JSON server fronting the lakehouse collection for the SERVICE-SIDE
+    * snapshot verb — the backend's create-snapshot API over the wire.
+    */
+  private def restSnapshotUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#snap", {
+      val backend = s"rest_snap_backend_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        parquetBackedStore(s, dir))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      srv.baseUrl
+    })
+
   /** One JSON-transport server fronting the LAKEHOUSE backend (registry
     * name `rest_lake_backend`) — the transport twin of
     * [[grpcLakeServer]].
@@ -1887,6 +1980,30 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // the OPTIMIZE VERB over the wire: the same mutated lakehouse dir
+    // behind a binary server, the client triggers the rebuild remotely
+    // (zero data crosses — the service reseals its own sidecars at its
+    // log head), then the filtered search serves index-pruned through
+    // the wire. Same oracle as dsv2_parquet_optimized: the lifecycle
+    // stage AND the transport must both be invisible
+    "dsv2_grpc_optimized" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcOptimizedAddr(s, dir)
+      CollectionStores.register("grpc_opt_store",
+        new GrpcCollectionStore(h, p))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_opt_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // SPARSE top-k pushed THROUGH the connector to the lakehouse store:
     // the scan ships qdrant's {indices, values} query form, the store
     // answers from its dim-bucketed postings sidecar (the scan IS the
@@ -2418,6 +2535,27 @@ object SparkEntry {
         .select(col("id"), col("payload"), vq6(col("vector")).as("vector_q6"))
     }),
 
+    // the SNAPSHOT VERB over the wire: the client asks the SERVICE to
+    // export the collection (the backend's create-snapshot API — the
+    // artifact lands service-side as a portable parquet dataset +
+    // manifest, never crossing the wire), then a local restore of that
+    // artifact must reproduce the collection exactly, vectors included.
+    // Same oracle as dsv2_parquet_snapshot
+    "dsv2_wire_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      val client = new RestCollectionStore(SparkEntry.restSnapshotUrl(s, dir))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-wire-snap").toString
+      client.snapshot("embeddings", path)
+      graft.collections.Snapshot.restoreParquet(s, path, "wire_snap_restore",
+        "embeddings_restored", SparkEntry.tempStoreDir("graft-wire-snap-dst"))
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "wire_snap_restore")
+        .option("collection", "embeddings_restored")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"), vq6(col("vector")).as("vector_q6"))
+    }),
+
     // FACET over the wire (the backend's points/facet API): the remote
     // service owns the payload pass, only the (value, count) hit list
     // crosses back — the admin/faceted-navigation call every catalog UI
@@ -2922,8 +3060,16 @@ object SparkEntry {
     // surviving shards), and the read-back must be the same table —
     // same oracle as dsv2_sharded_write: growing the cluster is
     // invisible above the store seam
+    // live reshard N->N+1 where the ADDED member is a WIRE client — the
+    // production grow path: provision an empty collection on the remote
+    // node, reshard onto its client; migration upserts route through
+    // the RemoteCollectionClient seam in bounded paged requests
     "dsv2_sharded_reshard" -> ((s, dir) => {
       import graft.sources._
+      CollectionStores.register("sharded_reshard_node",
+        InMemoryCollectionStore.single(
+          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty))
+      val (nh, np) = SparkEntry.reshardNodeAddr()
       CollectionStores.register("sharded_reshard_store",
         new ShardedCollectionStore((0 until 3).map { _ =>
           InMemoryCollectionStore.single(
@@ -2936,8 +3082,7 @@ object SparkEntry {
         .mode("append").save()
       CollectionStores.get("sharded_reshard_store")
         .asInstanceOf[ShardedCollectionStore]
-        .reshard(Seq(InMemoryCollectionStore.single(
-          "embeddings", Collections.homogeneousDescriptor, IndexedSeq.empty)))
+        .reshard(Seq(new GrpcCollectionStore(nh, np)))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "sharded_reshard_store")
         .option("collection", "embeddings")
@@ -2960,6 +3105,29 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "sharded_opt_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the sharded lifecycle WITH A WIRE MEMBER: one local parquet member
+    // and one behind a binary server; mutations route through the
+    // wrapper, then ONE optimizeMembers() call reseals the local member
+    // and ships the optimize verb to the remote one — the cluster-wide
+    // freshness loop closed through the wire, same oracle as the
+    // all-local sharded lifecycle gate
+    "dsv2_sharded_optimized_wire" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_optw_store",
+        SparkEntry.shardedOptimizedWireStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_optw_store").option("collection", "embeddings")
         .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
@@ -6737,6 +6905,24 @@ object SparkEntry {
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
+    // the optimize VERB shipped over the wire before the same serve —
+    // transport and lifecycle stage both invisible
+    "dsv2_grpc_optimized" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3 AND vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
     // two payload indexes, cheapest-arm planning: the result is the
     // plain conjunctive WHERE — access-path choice must be invisible
     "dsv2_parquet_multi_index" ->
@@ -6816,6 +7002,14 @@ object SparkEntry {
     // snapshot -> parquet restore -> alias read must reproduce the
     // collection exactly, vectors included (q6 form)
     "dsv2_parquet_snapshot" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload,
+        |       ${duckVq6("embedding")} AS vector_q6
+        |FROM embeddings ORDER BY id""".stripMargin,
+
+    // the snapshot VERB over the wire (service-side export) + local
+    // restore must reproduce the collection exactly too
+    "dsv2_wire_snapshot" ->
       s"""SELECT CAST(vec_id AS VARCHAR) AS id,
         |       to_json({'label': label}) AS payload,
         |       ${duckVq6("embedding")} AS vector_q6
@@ -6924,6 +7118,24 @@ object SparkEntry {
     // member in one call) serves the same post-mutation filtered top-k
     // as the single-store optimizer gate
     "dsv2_sharded_optimized" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3 AND vec_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the same cluster-wide lifecycle with a WIRE member in the mix —
+    // the remote rebuild must be invisible too
+    "dsv2_sharded_optimized_wire" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 13),
         |base AS (

@@ -711,6 +711,18 @@ object TextRank {
     require(k > 0, s"text rank k must be positive, got $k")
   }
 
+  /** Phase-2 input validation: `global.dfs` must align 1:1 with the
+    * query terms, or the scorer indexes past the idf array on the first
+    * matching candidate — a caller/wire-frame bug that must surface as
+    * a clean argument error (400 over the wires), not an
+    * ArrayIndexOutOfBoundsException mid-scoring.
+    */
+  private[sources] def validateStats(terms: Seq[String],
+                                     global: TextRankStats): Unit =
+    require(global.dfs.length == terms.length,
+      s"global stats carry ${global.dfs.length} dfs for ${terms.length} " +
+        s"terms — phase-1 stats must be computed for exactly the phase-2 terms")
+
   /** Spark's `round(col, 4)` exactly (BigDecimal HALF_UP), so store-served
     * scores hash-match the engine-side [[graft.ops.TextIndex.searchPostings]].
     */
@@ -1085,6 +1097,7 @@ trait CollectionStore extends Serializable {
                    k: Int, global: TextRankStats, k1: Double = 1.2,
                    b: Double = 0.75): Seq[(String, Double)] = {
     TextRank.validate(terms, k)
+    TextRank.validateStats(terms, global)
     val p = textRankPartials(collection, key, terms)
     TextRank.rank(p.docs, global.dfs, global.n, global.totalLen, k1, b, k)
   }
@@ -1134,6 +1147,59 @@ trait RemoteCollectionClient extends CollectionStore {
     * refuses with the standard unsupported error.
     */
   def compact(collection: String, upTo: Long): Unit
+
+  /** Trigger the remote service's OPTIMIZER: the service rebuilds its
+    * store's index sidecars from the COW-current primaries and reseals
+    * them at the current log head — the freshness loop closed over the
+    * wire (journal positions are never written; results are identical
+    * before and after, only the serve path changes). Default refuses:
+    * a transport adds the verb explicitly.
+    */
+  def optimize(ivfMaxIter: Int = 0): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} exposes no optimize verb")
+
+  /** Ask the remote service to SNAPSHOT `collection` to `path` ON THE
+    * SERVICE SIDE (the backend's create-snapshot API: the artifact — a
+    * parquet dataset + manifest, [[graft.collections.Snapshot]] — lands
+    * where the service can write it; restore is a separate, local
+    * operation against that path). Default refuses.
+    */
+  def snapshot(collection: String, path: String): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} exposes no snapshot verb")
+}
+
+/** The one server-side optimize dispatch BOTH wire transports share:
+  * rebuild whatever the fronted store is — parquet reseals its sidecars
+  * at its log head (COW swap), a sharded wrapper closes the loop
+  * cluster-wide (delegating to ITS wire members in turn), a further
+  * wire client forwards the verb, and the in-memory store (no sidecars)
+  * passes through. Alias wrappers rebuild their inner store, aliases
+  * intact.
+  */
+private[sources] object StoreOptimize {
+  def apply(s0: CollectionStore, spark: org.apache.spark.sql.SparkSession,
+            ivfMaxIter: Int): CollectionStore = s0 match {
+    case pq: ParquetCollectionStore => pq.optimized(spark, ivfMaxIter)
+    case sh: ShardedCollectionStore => sh.optimizeMembers(spark, ivfMaxIter); sh
+    case mem: InMemoryCollectionStore => mem // no sidecars to rebuild
+    case rc: RemoteCollectionClient => rc.optimize(ivfMaxIter); rc
+    case al: AliasedCollectionStore =>
+      new AliasedCollectionStore(apply(al.inner, spark, ivfMaxIter), al.aliases)
+    case other => throw new UnsupportedOperationException(
+      s"store ${other.getClass.getName} cannot be optimized")
+  }
+
+  /** The session the SERVICE optimizes/snapshots with (the server owns
+    * its compute; in this single-JVM sandbox that is the default
+    * session). Thread-global, not thread-local: server pools never see
+    * the session that created them as "active".
+    */
+  def serviceSpark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.getDefaultSession.getOrElse(
+      throw new UnsupportedOperationException(
+        "optimize/snapshot need the service's SparkSession and none is running"))
 }
 
 /** Spark string-comparison semantics for pushed predicates: the default

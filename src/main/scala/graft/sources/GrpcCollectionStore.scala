@@ -401,6 +401,16 @@ final class GrpcCollectionStore(host: String, port: Int,
   /** Server-side filter evaluation: conditions ship in the scroll frame
     * and only matching points cross the wire, paged by enumeration
     * window so no page materializes the collection on either side.
+    *
+    * PAGED ID-FILTER: a full-window fetch WITH an id set pages over the
+    * ID SET instead of the enumeration window — one request per
+    * `pageSize` ids (id-sorted chunks), never the positional loop that
+    * would re-serialize the whole set with every window page. A reshard
+    * migrating a 65k-id batch through a wire member ships
+    * ceil(65k/pageSize) bounded requests; a small routed lookup ships
+    * ONE. Results come back in UTF-8 id order (identical to the
+    * enumeration order of the id-sealed backends; set semantics for
+    * callers over unsealed ones — the migration/routed-fetch contract).
     */
   override def queryPointsFiltered(collection: String, from: Long, until: Long,
                                    withPayload: Boolean,
@@ -410,13 +420,15 @@ final class GrpcCollectionStore(host: String, port: Int,
                                    idLower: Option[String] = None,
                                    pfilter: PayloadFilter = PayloadFilter.Empty): Iterator[Point] = {
     descriptor(collection): Unit
-    val hi = math.min(until, pointCount(collection))
-    def page(start: Long): Seq[Point] = {
+    val pc = pointCount(collection)
+    val hi = math.min(until, pc)
+    def page(start: Long, end: Long,
+             ids: Option[Set[String]]): Seq[Point] = {
       val w = new PbWriter().string(1, collection)
-        .int(2, start).int(3, math.min(start + pageSize, hi))
+        .int(2, start).int(3, end)
         .bool(4, withPayload)
       vectorFields.foreach(w.string(5, _))
-      idArgs(w, idFilter, idLower, 8, 9, 10, 11)
+      idArgs(w, ids, idLower, 8, 9, 10, 11)
       if (pfilter.nonEmpty) w.message(12, GrpcWire.encodeFilter(pfilter))
       val r = new PbReader(call("scroll", w))
       val out = Seq.newBuilder[Point]
@@ -426,8 +438,15 @@ final class GrpcCollectionStore(host: String, port: Int,
       }
       out.result()
     }
-    val pages = Iterator.range(from, hi, pageSize.toLong)
-      .flatMap(start => page(start))
+    val pages = idFilter match {
+      case Some(ids) if from == 0L && until >= pc =>
+        ids.toSeq.sortWith(SparkStringOrder.lt).grouped(pageSize)
+          .flatMap(chunk => page(0L, hi, Some(chunk.toSet)))
+      case _ =>
+        Iterator.range(from, hi, pageSize.toLong)
+          .flatMap(start => page(start,
+            math.min(start + pageSize, hi), idFilter))
+    }
     limit.fold(pages)(n => pages.take(n))
   }
 
@@ -693,6 +712,22 @@ final class GrpcCollectionStore(host: String, port: Int,
     call("compact",
       new PbWriter().string(1, collection).int(2, upTo)): Unit
 
+  /** Trigger the SERVICE's optimizer: the remote store rebuilds its
+    * index sidecars at its own log head (zero data crosses the wire —
+    * one verb frame out, one ack back). Never auto-retried: rebuild
+    * idempotence is the service's, not the transport's.
+    */
+  override def optimize(ivfMaxIter: Int = 0): Unit =
+    call("optimize", new PbWriter().int(2, ivfMaxIter)): Unit
+
+  /** Service-side snapshot: the remote store exports `collection` as a
+    * portable snapshot (parquet dataset + manifest) at `path` ON ITS
+    * side — the backend's create-snapshot API; only the verb crosses.
+    */
+  override def snapshot(collection: String, path: String): Unit =
+    call("snapshot",
+      new PbWriter().string(1, collection).string(2, path)): Unit
+
   // ------------------------------------------------------- change log --
 
   override def logStart(collection: String): Long = logPos("log_start", collection)
@@ -772,6 +807,14 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
   def port: Int = server.getLocalPort
   def host: String = InetAddress.getLoopbackAddress.getHostAddress
 
+  /** Wire-volume observability (ScaleProbe reads these): requests
+    * served, request bytes in, response bytes out. Counting is the only
+    * cost — no behavior rides on them.
+    */
+  val requestsServed = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesIn = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesOut = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def store: CollectionStore = CollectionStores.get(storeName)
 
   private def handle(sock: Socket): Unit = {
@@ -782,6 +825,8 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
         try {
           val method = new String(GrpcWire.readDelimited(in), UTF_8)
           val body = GrpcWire.readDelimited(in)
+          requestsServed.incrementAndGet(): Unit
+          bytesIn.addAndGet(method.length.toLong + body.length.toLong): Unit
           // keyed server: the shared secret rides a trailing frame —
           // absent (EOF after body) or mismatched both refuse BEFORE any
           // routing; constant-time compare so the key isn't timing-probeable
@@ -810,6 +855,7 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
             (4, s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
               .getBytes(UTF_8))
         }
+      bytesOut.addAndGet(1L + payload.length.toLong): Unit
       out.write(status)
       GrpcWire.writeDelimited(out, payload)
       out.flush()
@@ -1182,6 +1228,38 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
             s"store ${other.getClass.getName} cannot compact its log")
         }
       }
+      new PbWriter
+
+    // lifecycle: rebuild the fronted store's index sidecars at its log
+    // head — zero data crosses the wire; the registry swap makes the
+    // optimized store visible to the next request
+    case "optimize" =>
+      var ivfMaxIter = 0
+      while (r.hasNext) r.readTag() match {
+        case (2, _) => ivfMaxIter = r.readRawVarint().toInt
+        case (_, w) => r.skip(w)
+      }
+      val sp = StoreOptimize.serviceSpark
+      val maxIterFinal = ivfMaxIter
+      CollectionStores.update(storeName)(s0 =>
+        StoreOptimize(s0, sp, maxIterFinal))
+      new PbWriter
+
+    // lifecycle: export `collection` as a portable snapshot (parquet
+    // dataset + manifest) at a SERVICE-side path — the backend's
+    // create-snapshot API; the artifact never crosses the wire
+    case "snapshot" =>
+      var c = ""
+      var path = ""
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => path = r.readString()
+        case (_, w) => r.skip(w)
+      }
+      store.collectionInfo(c): Unit
+      require(path.nonEmpty, "snapshot requires a destination path")
+      graft.collections.Snapshot.create(
+        StoreOptimize.serviceSpark, storeName, c, path)
       new PbWriter
 
     case "log_start" =>

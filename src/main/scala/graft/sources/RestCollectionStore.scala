@@ -521,13 +521,12 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                    pfilter: PayloadFilter = PayloadFilter.Empty): Iterator[Point] = {
     val desc = descriptor(collection)
     var remaining = limit
-    Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until).flatMap { lo =>
+    def fetch(lo: Long, hi: Long, ids: Option[Set[String]]): Iterator[Point] =
       if (remaining.exists(_ <= 0)) Iterator.empty
       else {
-        val hi = math.min(lo + pageSize, until)
         val filter = JObject(
-          idFilter.toList.map(ids =>
-            "has_id" -> (JArray(ids.toList.sorted.map(JString(_))): JValue)) ++
+          ids.toList.map(s =>
+            "has_id" -> (JArray(s.toList.sorted.map(JString(_))): JValue)) ++
             idLower.toList.map(b => "id_gt" -> (JString(b): JValue)) ++
             CollectionWire.filterJson(pfilter))
         val body = JObject(List(
@@ -544,6 +543,19 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
         remaining = remaining.map(_ - pts.length)
         pts.iterator
       }
+    idFilter match {
+      // PAGED ID-FILTER (the gRPC client's twin): a full-window fetch
+      // with an id set pages over the ID SET — one request per
+      // `pageSize` ids in UTF-8 id order — never the positional loop
+      // that re-serializes the whole set each window page. Bounded
+      // requests for a reshard over a wire member; ONE request for a
+      // routed point lookup.
+      case Some(ids) if from == 0L && until >= pointCount(collection) =>
+        ids.toSeq.sortWith(SparkStringOrder.lt).grouped(pageSize)
+          .flatMap(chunk => fetch(0L, until, Some(chunk.toSet)))
+      case _ =>
+        Iterator.iterate(from)(_ + pageSize).takeWhile(_ < until)
+          .flatMap(lo => fetch(lo, math.min(lo + pageSize, until), idFilter))
     }
   }
 
@@ -941,6 +953,25 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** Trigger the SERVICE's optimizer (index sidecars resealed at the
+    * remote log head) — one verb request, zero data crosses. Not
+    * auto-retried: rebuild idempotence is the service's concern.
+    */
+  override def optimize(ivfMaxIter: Int = 0): Unit = {
+    mutate("POST", "/optimize",
+      JObject("ivf_max_iter" -> JInt(BigInt(ivfMaxIter))))
+    ()
+  }
+
+  /** Service-side snapshot of `collection` to a SERVICE-side `path`
+    * (parquet dataset + manifest) — the backend's create-snapshot API.
+    */
+  override def snapshot(collection: String, path: String): Unit = {
+    mutate("POST", s"/collections/$collection/snapshot",
+      JObject("path" -> JString(path)))
+    ()
+  }
+
   override def logStart(collection: String): Long =
     CollectionWire.longOf(
       CollectionWire.result(get(s"/collections/$collection/log/info")) \ "start")
@@ -1016,7 +1047,15 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
       java.security.MessageDigest.isEqual(sent.getBytes(UTF_8), k.getBytes(UTF_8)))
   }
 
+  /** Wire-volume observability (ScaleProbe reads these): requests
+    * served and response bytes out. Counting only — no behavior rides
+    * on them.
+    */
+  val requestsServed = new java.util.concurrent.atomic.AtomicLong(0L)
+  val bytesOut = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def handle(ex: HttpExchange): Unit = {
+    requestsServed.incrementAndGet(): Unit
     val (code, body) =
       try {
         if (!authorized(ex))
@@ -1038,6 +1077,7 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
       }
     val bytes = body.getBytes(UTF_8)
+    bytesOut.addAndGet(bytes.length.toLong): Unit
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
@@ -1570,6 +1610,30 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
               s"store ${other.getClass.getName} cannot compact its log")
           }
         }
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      // lifecycle: rebuild the fronted store's index sidecars at its
+      // log head — zero data crosses; the registry swap publishes the
+      // optimized store to the next request
+      case ("POST", "optimize" :: Nil) =>
+        val b = readBody(ex)
+        val ivfMaxIter =
+          CollectionWire.optLong(b \ "ivf_max_iter").map(_.toInt).getOrElse(0)
+        val sp = StoreOptimize.serviceSpark
+        CollectionStores.update(storeName)(s0 =>
+          StoreOptimize(s0, sp, ivfMaxIter))
+        CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      // lifecycle: export the collection as a portable snapshot (parquet
+      // dataset + manifest) at a SERVICE-side path — the backend's
+      // create-snapshot API; the artifact never crosses the wire
+      case ("POST", "collections" :: c :: "snapshot" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val path = CollectionWire.optStr(b \ "path").getOrElse(
+          throw new IllegalArgumentException("snapshot requires 'path'"))
+        graft.collections.Snapshot.create(
+          StoreOptimize.serviceSpark, storeName, c, path)
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
 
       case ("GET", "collections" :: c :: "log" :: Nil) =>

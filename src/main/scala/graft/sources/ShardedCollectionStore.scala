@@ -60,6 +60,23 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     */
   @volatile private var members: IndexedSeq[CollectionStore] = shards0
 
+  /** Active reshard window, if any: published at migration START (the
+    * member list already holds the added members), cleared by the final
+    * catch-up publish. While set, id routing consults BOTH placements
+    * (a moving point may be on its old or its new owner — reads dedup
+    * at every merge point) and routed writes DUAL-WRITE leaver ids so
+    * a concurrent reader always sees the fresh copy.
+    */
+  @volatile private var transition: Option[ShardedCollectionStore.Transition] = None
+
+  /** Leaver ids (old owner != new owner) upserted through the wrapper
+    * while a reshard is active, per collection — exactly the ids whose
+    * OLD-owner copy the final catch-up pass must migrate/clean. Guarded
+    * by `this` (all mutators are synchronized); bounded by the ids
+    * mutated during one migration, never points.
+    */
+  private var pendingTouched: Map[String, Set[String]] = Map.empty
+
   /** True when ANY member keeps no change log for a collection it
     * serves — then the sharded store keeps no global log either
     * (independent of member order: one log-less member makes replay of
@@ -179,10 +196,40 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
 
   /** Route an id set to its owning shards — the placement invariant as a
     * read optimization: shard i receives ONLY the ids it owns (None for
-    * shards owning none, which are then skipped entirely).
+    * shards owning none, which are then skipped entirely). During a LIVE
+    * RESHARD an id routes to BOTH its old and its new owner when they
+    * differ (the migration may or may not have moved it yet — asking
+    * both is what keeps every point readable mid-migration; merge points
+    * dedup by id).
     */
   private def routeIds(ids: Set[String], n: Int): Map[Int, Set[String]] =
-    ids.groupBy(id => ShardedCollectionStore.assignShard(id, n))
+    transition match {
+      case Some(t) =>
+        val m = scala.collection.mutable.HashMap.empty[Int, Set[String]]
+        ids.foreach { id =>
+          val o = ShardedCollectionStore.assignShard(id, t.nOld)
+          val nw = ShardedCollectionStore.assignShard(id, t.nNew)
+          m.update(o, m.getOrElse(o, Set.empty[String]) + id)
+          if (nw != o) m.update(nw, m.getOrElse(nw, Set.empty[String]) + id)
+        }
+        m.toMap
+      case None =>
+        ids.groupBy(id => ShardedCollectionStore.assignShard(id, n))
+    }
+
+  /** Id-dedup for read paths while a reshard is live: a moving point is
+    * momentarily on both owners (the migration upserts to the new owner
+    * BEFORE deleting from the old, so it is never invisible) — keep the
+    * first copy in iteration order (old members precede added ones, and
+    * dual-writes keep both copies identical, so either is the fresh
+    * state). No-op — and zero-allocation — outside a migration.
+    */
+  private def dedupIfMigrating(it: Iterator[Point]): Iterator[Point] =
+    if (transition.isEmpty) it
+    else {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.filter(p => seen.add(p.id))
+    }
 
   override def queryPoints(collection: String, from: Long, until: Long,
                            withPayload: Boolean, vectorFields: Seq[String],
@@ -192,12 +239,12 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     val ms = members
     val routed = idFilter.map(routeIds(_, ms.length))
     val slices = windowSlices(collection, from, until, ms)
-    val its = slices.iterator.flatMap { case (i, lo, hi) =>
+    val its = dedupIfMigrating(slices.iterator.flatMap { case (i, lo, hi) =>
       val shardIds = routed.map(_.getOrElse(i, Set.empty[String]))
       if (shardIds.exists(_.isEmpty)) Iterator.empty
       else ms(i).queryPoints(collection, lo, hi, withPayload, vectorFields,
         limit, shardIds, idLower)
-    }
+    })
     limit.fold(its)(n => its.take(n))
   }
 
@@ -213,12 +260,12 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     val ms = members
     val routed = idFilter.map(routeIds(_, ms.length))
     val slices = windowSlices(collection, from, until, ms)
-    val its = slices.iterator.flatMap { case (i, lo, hi) =>
+    val its = dedupIfMigrating(slices.iterator.flatMap { case (i, lo, hi) =>
       val shardIds = routed.map(_.getOrElse(i, Set.empty[String]))
       if (shardIds.exists(_.isEmpty)) Iterator.empty
       else ms(i).queryPointsFiltered(collection, lo, hi, withPayload,
         vectorFields, limit, shardIds, idLower, pfilter)
-    }
+    })
     limit.fold(its)(n => its.take(n))
   }
 
@@ -227,12 +274,20 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
                              idLower: Option[String] = None): Long = {
     val ms = members
     idFilter match {
+      case Some(ids) if transition.nonEmpty =>
+        // migration window: an id asked of both owners must count ONCE —
+        // count the DISTINCT ids found (ids-only fetch, no payload or
+        // vectors cross a member seam)
+        queryPoints(collection, 0L, pointCount(collection),
+          withPayload = false, Nil, None, Some(ids), idLower)
+          .map(_.id).toSet.size.toLong
       case Some(ids) =>
         routeIds(ids, ms.length).iterator.map { case (i, own) =>
           ms(i).countMatching(collection, Some(own), idLower)
         }.sum
       case None =>
-        fanOut(ms)(_.countMatching(collection, None, idLower)).sum
+        fanOut(ms)(_.countMatching(collection, None, idLower)).sum -
+          dualCopyCount(collection, idLower, PayloadFilter.Empty)
     }
   }
 
@@ -243,15 +298,52 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     if (pfilter.isEmpty) return countMatching(collection, idFilter, idLower)
     val ms = members
     idFilter match {
+      case Some(ids) if transition.nonEmpty =>
+        queryPointsFiltered(collection, 0L, pointCount(collection),
+          withPayload = false, Nil, None, Some(ids), idLower, pfilter)
+          .map(_.id).toSet.size.toLong
       case Some(ids) =>
         routeIds(ids, ms.length).iterator.map { case (i, own) =>
           ms(i).countMatchingFiltered(collection, Some(own), idLower, pfilter)
         }.sum
       case None =>
         fanOut(ms)(_.countMatchingFiltered(collection, None, idLower,
-          pfilter)).sum
+          pfilter)).sum - dualCopyCount(collection, idLower, pfilter)
     }
   }
+
+  /** Global-count correction while a reshard is live: a dual-written
+    * leaver id (fresh copy on BOTH owners until the catch-up pass
+    * cleans the old one) would sum twice. The duplicates are exactly
+    * the pending-touched ids still present on their OLD owner — a
+    * targeted routed count, O(touched ids), zero when no migration is
+    * live. (A count racing one in-flight migration batch can still
+    * momentarily over-count by < batch — the same raciness any
+    * concurrent mutation has; it self-heals when the batch's old-owner
+    * delete lands.)
+    */
+  private def dualCopyCount(collection: String, idLower: Option[String],
+                            pfilter: PayloadFilter): Long =
+    transition match {
+      case None => 0L
+      case Some(t) =>
+        val touched = synchronized {
+          pendingTouched.getOrElse(collection, Set.empty)
+        }
+        if (touched.isEmpty) 0L
+        else {
+          val ms = members
+          touched.groupBy(id =>
+            ShardedCollectionStore.assignShard(id, t.nOld))
+            .iterator.map { case (o, own) =>
+              if (pfilter.isEmpty)
+                ms(o).countMatching(collection, Some(own), idLower)
+              else
+                ms(o).countMatchingFiltered(collection, Some(own), idLower,
+                  pfilter)
+            }.sum
+        }
+    }
 
   override def searchPoints(collection: String, spec: SearchSpec,
                             withPayload: Boolean,
@@ -273,10 +365,18 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     val pages = fanOut(ms)(_.searchPointsFiltered(collection, deep,
       withPayload, vectorFields, pfilter))
     val desc = SearchSpec.descending(spec.metric)
-    val merged = pages.flatten.sortWith { case ((pa, sa), (pb, sb)) =>
+    val merged0 = pages.flatten.sortWith { case ((pa, sa), (pb, sb)) =>
       if (sa != sb) { if (desc) sa > sb else sa < sb }
       else SparkStringOrder.lt(pa.id, pb.id)
     }
+    // during a live reshard a moving point may appear in two shards'
+    // pages (identical copies — dual-write keeps them equal); keep one
+    val merged =
+      if (transition.isEmpty) merged0
+      else {
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        merged0.filter { case (p, _) => seen.add(p.id) }
+      }
     merged.slice(spec.offset, spec.offset + spec.k)
   }
 
@@ -340,6 +440,7 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
                             global: TextRankStats, k1: Double = 1.2,
                             b: Double = 0.75): Seq[(String, Double)] = {
     TextRank.validate(terms, k)
+    TextRank.validateStats(terms, global)
     val pages = fanOut(members)(
       _.textRankTopK(collection, key, terms, k, global, k1, b))
     pages.flatten.sortWith { case ((ia, sa), (ib, sb)) =>
@@ -380,6 +481,76 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
       return ms.head.facetCounts(collection, key, limit, pfilter)
     var m = math.max(limit * 4, 16)
     while (true) {
+      val (result, slack) = facetRound(ms, collection, key, limit, m, pfilter)
+      val certified =
+        if (result.size < limit) slack == 0L
+        else slack < result.last._2
+      if (certified) return result
+      // page-size growth, quadrupling toward the cap; AT the cap a
+      // near-uniform key can never certify, so the next (final) round
+      // degrades to the full-histogram merge — m = Int.MaxValue makes
+      // every page exhaust its shard (all cut-offs 0, certification
+      // unconditional) instead of re-issuing identical capped pages
+      // forever
+      m = if (m >= Int.MaxValue / 2) Int.MaxValue
+          else math.min(m.toLong * 4L, Int.MaxValue.toLong / 2L).toInt
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** BOUNDED facet merge — the priced escape hatch for the threshold
+    * merge's pathological key (near-uniform counts force the exact path
+    * to degrade to full per-shard histograms): run at most `maxRounds`
+    * threshold rounds and return what is PROVEN by then, with the
+    * certification slack exposed as an error bound instead of spent.
+    *
+    * The returned counts are EXACT for every returned value (the round
+    * resolves its candidates with full-coverage sums before ranking);
+    * `maxError` = Σ unexhausted-shard cut-offs of the last round — an
+    * upper bound on the true count of any value NOT returned, so a
+    * caller knows no missing value can exceed it. `certified = true`
+    * means the result equals [[facetCounts]] exactly (no unseen value
+    * can reach the cut); merge volume is O(shards·m + targeted values)
+    * per round, never the full histogram.
+    */
+  def facetCountsBounded(collection: String, key: String, limit: Int,
+                         maxRounds: Int,
+                         pfilter: PayloadFilter = PayloadFilter.Empty): ShardedCollectionStore.FacetPage = {
+    require(limit > 0, s"facet limit must be positive, got $limit")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val ms = members
+    if (ms.length == 1)
+      return ShardedCollectionStore.FacetPage(
+        ms.head.facetCounts(collection, key, limit, pfilter), 0L,
+        certified = true)
+    var m = math.max(limit * 4, 16)
+    var round = 0
+    while (true) {
+      round += 1
+      val (result, slack) = facetRound(ms, collection, key, limit, m, pfilter)
+      val certified =
+        if (result.size < limit) slack == 0L
+        else slack < result.last._2
+      if (certified)
+        return ShardedCollectionStore.FacetPage(result, 0L, certified = true)
+      if (round >= maxRounds)
+        return ShardedCollectionStore.FacetPage(result, slack, certified = false)
+      m = if (m >= Int.MaxValue / 2) Int.MaxValue
+          else math.min(m.toLong * 4L, Int.MaxValue.toLong / 2L).toInt
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One threshold-merge round at page size `m`: per-shard top-m pages,
+    * targeted second passes for candidates a page missed, resolved
+    * candidates ranked. Returns (provisional result, Σ cut-offs) — the
+    * caller decides certification (strict: an unseen value tying the
+    * limit-th count could still win the value-asc tiebreak).
+    */
+  private def facetRound(ms: IndexedSeq[CollectionStore], collection: String,
+                         key: String, limit: Int, m: Int,
+                         pfilter: PayloadFilter): (Seq[(String, Long)], Long) = {
+    {
       val pages = fanOut(ms)(_.facetCounts(collection, key, m, pfilter))
       val cutoffs = pages.map(p => if (p.size < m) 0L else p.last._2)
       val lower = scala.collection.mutable.HashMap.empty[String, Long]
@@ -423,14 +594,8 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
         case ((v1, n1), (v2, n2)) =>
           if (n1 != n2) n1 > n2 else SparkStringOrder.lt(v1, v2)
       }.take(limit)
-      val slackTotal = cutoffs.sum
-      val certified =
-        if (result.size < limit) slackTotal == 0L
-        else slackTotal < result.last._2
-      if (certified) return result
-      m = math.min(m.toLong * 4L, Int.MaxValue.toLong / 2L).toInt
+      (result, cutoffs.sum)
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** Targeted exact counts across shards: disjoint placement makes the
@@ -460,15 +625,45 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
   override def upsertPoints(collection: String, pts: Seq[Point]): Unit =
     synchronized {
       val ms = members
-      val byShard = pts.groupBy(p => ShardedCollectionStore.assignShard(p.id, ms.length))
-      applyRouted(collection, ms, byShard.view.mapValues(ps =>
-        (s: CollectionStore) => ShardedCollectionStore.applyUpsert(
-          s, collection, ps.toIndexedSeq)).toMap)
+      transition match {
+        case None =>
+          val byShard = pts.groupBy(p =>
+            ShardedCollectionStore.assignShard(p.id, ms.length))
+          applyRouted(collection, ms, byShard.view.mapValues(ps =>
+            (s: CollectionStore) => ShardedCollectionStore.applyUpsert(
+              s, collection, ps.toIndexedSeq)).toMap)
+        case Some(t) =>
+          // LIVE MIGRATION: DUAL-WRITE leaver ids to BOTH owners — a
+          // concurrent reader (old fan-out slice or new routing) always
+          // finds the fresh copy whatever the migration has done with
+          // the id so far; the catch-up pass removes the old copy at
+          // publish. Non-leavers route normally (one owner).
+          val byShard = scala.collection.mutable.HashMap
+            .empty[Int, Vector[Point]]
+          val touched = Set.newBuilder[String]
+          pts.foreach { p =>
+            val o = ShardedCollectionStore.assignShard(p.id, t.nOld)
+            val n = ShardedCollectionStore.assignShard(p.id, t.nNew)
+            byShard.update(o, byShard.getOrElse(o, Vector.empty) :+ p)
+            if (n != o) {
+              byShard.update(n, byShard.getOrElse(n, Vector.empty) :+ p)
+              touched += p.id
+            }
+          }
+          pendingTouched = pendingTouched.updated(collection,
+            pendingTouched.getOrElse(collection, Set.empty) ++
+              touched.result())
+          applyRouted(collection, ms, byShard.view.mapValues(ps =>
+            (s: CollectionStore) => ShardedCollectionStore.applyUpsert(
+              s, collection, ps.toIndexedSeq)).toMap.toMap)
+      }
     }
 
   override def deletePoints(collection: String, ids: Set[String]): Unit =
     synchronized {
       val ms = members
+      // routeIds already answers BOTH owners during a migration — a
+      // delete must land wherever the copy might be (old, new, or both)
       val byShard = routeIds(ids, ms.length)
       applyRouted(collection, ms, byShard.view.mapValues(own =>
         (s: CollectionStore) => ShardedCollectionStore.applyDelete(
@@ -477,6 +672,7 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
 
   override def truncate(collection: String): Unit = synchronized {
     val ms = members
+    pendingTouched -= collection // nothing left for a catch-up to clean
     applyRouted(collection, ms,
       ms.indices.map(i => i -> ((s: CollectionStore) =>
         ShardedCollectionStore.applyTruncate(s, collection))).toMap)
@@ -512,123 +708,220 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
   // -------------------------------------------------------------- reshard
 
   /** LIVE RESHARD — grow the cluster by APPENDING `added` members and
-    * migrate EXACTLY the displaced points. This is the payoff of
-    * rendezvous placement: under highest-random-weight hashing an id's
-    * owner changes N -> N+M only if one of the APPENDED indices now wins
-    * its argmax, so ~M/(N+M) of the corpus moves and every move targets
-    * a new member — no old-to-old churn (asserted per migrated id).
+    * migrate EXACTLY the displaced points, WITHOUT blocking concurrent
+    * reads or writes for the duration. This is the payoff of rendezvous
+    * placement: under highest-random-weight hashing an id's owner
+    * changes N -> N+M only if one of the APPENDED indices now wins its
+    * argmax, so ~M/(N+M) of the corpus moves and every move targets a
+    * new member — no old-to-old churn (asserted per migrated id).
     *
-    * Mechanics per collection: each old shard scans ITS slice (reads
-    * are owner-local — corpus/N per shard, the usual scatter shape),
-    * keeps the ids whose argmax under the grown count left it, and the
-    * migration applies as a routed DELETE (old owner) + UPSERT (new
-    * owner) run, journaled in shard order — deletes take earlier global
-    * positions than the upserts, so a moved id replays delete -> upsert
-    * and CDC readers reconstruct the exact post-reshard state; all
-    * pre-reshard positions are untouched (append-only journal).
+    * STAGED under concurrent mutation (the write-availability contract:
+    * at 100 TB a migration takes hours — routed writes must not wait):
     *
-    * The membership swap is one volatile publish AFTER every migration
-    * batch is computed: concurrent readers see wholly-old or wholly-new
-    * placement, never a mix. Shrinking is deliberately unsupported —
-    * journal segments reference member indices, so removing a member
-    * would orphan its replay history; drain-and-rebuild is the path
-    * down.
+    *  - Phase 0 (brief lock): validate, publish the GROWN member list
+    *    and the transition window. From here reads fan out over added
+    *    members too, id routing asks BOTH placements for a moving id,
+    *    and routed upserts DUAL-WRITE leaver ids (old + new owner) so a
+    *    reader always finds the fresh copy; deletes land on both.
+    *  - Phase A (no lock): each old shard scans ITS slice ids-only and
+    *    keeps the leavers (memory O(displaced ids), never points).
+    *  - Phase B (short lock PER BATCH): `migrationBatch` ids fetch via
+    *    the routed idFilter, PHYSICALLY upsert to their new owners
+    *    FIRST and delete from the old owner SECOND (a lock-free reader
+    *    never finds the point missing — at worst it sees both copies,
+    *    deduped at every merge point), while the JOURNAL records
+    *    delete -> upsert (replay must end with the point in place).
+    *    Writes interleave between batches — they take the same lock.
+    *  - Phase C (final lock): the catch-up — ids upserted during the
+    *    migration (recorded per collection) re-migrate through the same
+    *    batch mechanics, cleaning their dual-written old copies; then
+    *    one publish clears the transition. Post-state equals the
+    *    serial (write-quiesced) reshard exactly.
+    *
+    * CDC: per moved id the journal replays delete -> upsert(final
+    * state); dual-writes replay as the same point twice (idempotent);
+    * all pre-reshard positions are untouched (append-only journal).
+    *
+    * FAILURE mid-migration leaves the transition PUBLISHED: every point
+    * stays readable (dual routing) and writable (dual-write), completed
+    * batches are journaled, and [[resumeReshard]] finishes the job by
+    * re-scanning for remaining leavers — it finds only what the failed
+    * run did not move. Shrinking is deliberately unsupported — journal
+    * segments reference member indices, so removing a member would
+    * orphan its replay history; drain-and-rebuild is the path down.
     *
     * Added members must serve every collection of the cluster and start
     * EMPTY (their slice of the placement domain is exactly the migrated
     * ids). Adding a log-less member makes the whole store log-less —
     * the global journal is dropped, matching the constructor's rule.
+    *
+    * `onBatchMigrated(collection, batchIndex)` fires after each batch
+    * OUTSIDE the lock — the deterministic seam concurrency specs drive
+    * mutations through (production callers leave the default no-op).
     */
   def reshard(added: Seq[CollectionStore],
-              migrationBatch: Int = 65536): Unit = synchronized {
+              migrationBatch: Int = 65536,
+              onBatchMigrated: (String, Int) => Unit = (_, _) => ()): Unit = {
     require(added.nonEmpty, "reshard needs at least one added member")
     require(migrationBatch > 0,
       s"migration batch must be positive, got $migrationBatch")
-    val old = members
-    val nOld = old.length
-    val nNew = nOld + added.length
-    val cols = old.flatMap(_.collectionNames).distinct
-    added.foreach { s =>
-      cols.foreach { c =>
-        require(s.collectionNames.contains(c),
-          s"added member must serve '$c' (provision the collection first)")
-        require(s.pointCount(c) == 0L,
-          s"added member already holds points of '$c' — seed members " +
-            "empty; placement assigns them their slice")
-      }
-    }
-    val addedLogless = added.exists { s =>
-      s.collectionNames.exists { c =>
-        try { s.logSize(c); false }
-        catch { case _: UnsupportedOperationException => true }
-      }
-    }
-    val logged = !logless && !addedLogless
-    val next = (old ++ added).toArray
-    var nextJournals = journals
-    cols.foreach { c =>
-      val fields = collectionInfo(c).fields.map(_.name)
-      val journal = nextJournals.getOrElse(c, IndexedSeq.empty)
-      var g = journal.lastOption
-        .map(s => s.globalStart + s.count).getOrElse(0L)
-      val segs = IndexedSeq.newBuilder[ShardSeg]
-      def applyOn(i: Int, f: CollectionStore => CollectionStore): Unit = {
-        val before = if (logged) next(i).logSize(c) else 0L
-        next(i) = f(next(i))
-        if (logged) {
-          val after = next(i).logSize(c)
-          if (after > before) {
-            segs += ShardSeg(i, before, after - before, g)
-            g += after - before
-          }
+    synchronized {
+      require(transition.isEmpty,
+        "a reshard is already in progress — resumeReshard() completes it")
+      val old = members
+      val cols = old.flatMap(_.collectionNames).distinct
+      added.foreach { s =>
+        cols.foreach { c =>
+          require(s.collectionNames.contains(c),
+            s"added member must serve '$c' (provision the collection first)")
+          require(s.pointCount(c) == 0L,
+            s"added member already holds points of '$c' — seed members " +
+              "empty; placement assigns them their slice")
         }
       }
-      // STREAMED migration, one old shard at a time, in two phases per
-      // shard. Phase A: ONE ids-only streaming pass over the
-      // still-unmutated member collects the leaver ids (no reliance on
-      // enumeration order, no mutation racing the scan — correct for
-      // sorted and unsorted members alike; memory is O(displaced ids)
-      // strings, never points). Phase B: the ids migrate in
-      // `migrationBatch` groups — each group's points fetch via the
-      // routed idFilter (an id-stats-pruned read on the lakehouse
-      // backend), upsert to their new owners, and delete from the old
-      // one, so at most one batch of full points is ever materialized.
-      // Within a batch the delete journals first (earlier global
-      // positions than the upserts), so a moved id replays
-      // delete -> upsert and CDC reconstructs the exact final state.
-      old.indices.foreach { i =>
-        if (old(i).collectionNames.contains(c)) {
-          val s0 = next(i)
+      val addedLogless = added.exists { s =>
+        s.collectionNames.exists { c =>
+          try { s.logSize(c); false }
+          catch { case _: UnsupportedOperationException => true }
+        }
+      }
+      if (!logless && addedLogless) { logless = true; journals = Map.empty }
+      pendingTouched = Map.empty
+      transition = Some(ShardedCollectionStore.Transition(
+        old.length, old.length + added.length))
+      members = old ++ added
+    }
+    completeMigration(migrationBatch, onBatchMigrated)
+  }
+
+  /** Finish a migration whose [[reshard]] call failed mid-way: the
+    * transition is still published (reads and writes were never
+    * degraded), so re-scan each old shard for the leavers the failed
+    * run did not move and complete the same staged protocol. Idempotent
+    * over completed batches — already-moved ids are no longer on their
+    * old owner and are simply not collected again.
+    */
+  def resumeReshard(migrationBatch: Int = 65536,
+                    onBatchMigrated: (String, Int) => Unit = (_, _) => ()): Unit = {
+    synchronized {
+      require(transition.nonEmpty,
+        "no reshard in progress — nothing to resume")
+    }
+    completeMigration(migrationBatch, onBatchMigrated)
+  }
+
+  private def completeMigration(migrationBatch: Int,
+                                onBatchMigrated: (String, Int) => Unit): Unit = {
+    val t = transition.get
+    val nOld = t.nOld
+    val cols = members.take(nOld).flatMap(_.collectionNames).distinct
+    cols.foreach { c =>
+      val fields = collectionInfo(c).fields.map(_.name)
+      // Phase A, lock-free: one ids-only streaming pass per old shard
+      // over the volatile-current member (no reliance on enumeration
+      // order; ids upserted after the scan are caught by Phase C).
+      (0 until nOld).foreach { i =>
+        if (members(i).collectionNames.contains(c)) {
+          val s0 = members(i)
           val moverIds = s0.queryPoints(c, 0L, s0.pointCount(c),
               withPayload = false, Nil, None)
             .map(_.id)
-            .filter(id => ShardedCollectionStore.assignShard(id, nNew) != i)
+            .filter(id =>
+              ShardedCollectionStore.assignShard(id, t.nNew) != i)
             .toIndexedSeq
+          // Phase B: one short lock per batch — writes interleave
+          // between batches, never wait out the migration
+          var batchIdx = 0
           moverIds.grouped(migrationBatch).foreach { batchIds =>
-            val movers = next(i).queryPoints(c, 0L, next(i).pointCount(c),
-              withPayload = true, fields, None,
-              idFilter = Some(batchIds.toSet)).toIndexedSeq
-            applyOn(i, st => ShardedCollectionStore.applyDelete(
-              st, c, batchIds.toSet))
-            // every move MUST target an appended index (the rendezvous
-            // no-old-to-old-churn law)
-            movers.groupBy(p =>
-                ShardedCollectionStore.assignShard(p.id, nNew))
-              .toSeq.sortBy(_._1).foreach { case (j, pts) =>
-                require(j >= nOld,
-                  s"displaced id remapped to existing shard $j — rendezvous invariant violated")
-                applyOn(j, st => ShardedCollectionStore.applyUpsert(
-                  st, c, pts))
-              }
+            synchronized { migrateBatch(c, fields, i, batchIds.toSet, t) }
+            onBatchMigrated(c, batchIdx)
+            batchIdx += 1
           }
         }
       }
-      if (logged)
-        nextJournals = nextJournals.updated(c, journal ++ segs.result())
     }
+    // Phase C, one final lock: catch up ids mutated mid-migration (the
+    // dual-written leavers), then publish the end of the window
+    synchronized {
+      cols.foreach { c =>
+        val touched = pendingTouched.getOrElse(c, Set.empty)
+        if (touched.nonEmpty) {
+          val fields = collectionInfo(c).fields.map(_.name)
+          touched.groupBy(id =>
+            ShardedCollectionStore.assignShard(id, t.nOld))
+            .toSeq.sortBy(_._1).foreach { case (o, ids) =>
+              ids.grouped(migrationBatch).foreach(g =>
+                migrateBatch(c, fields, o, g.toSet, t))
+            }
+        }
+      }
+      pendingTouched = Map.empty
+      transition = None
+    }
+  }
+
+  /** One migration batch under the caller-held lock: fetch the batch
+    * ids still present on old shard `i`, PHYSICALLY upsert them to
+    * their new owners FIRST and delete from `i` SECOND (lock-free
+    * readers never lose the point), while the JOURNAL records the
+    * delete at the earlier global positions (replay per moved id is
+    * delete -> upsert(final state)). Ids the batch no longer finds on
+    * `i` (deleted or already moved) are skipped — `removed` journals
+    * only hits.
+    */
+  private def migrateBatch(c: String, fields: Seq[String], i: Int,
+                           batchIds: Set[String],
+                           t: ShardedCollectionStore.Transition): Unit = {
+    val next = members.toArray
+    val logged = !logless
+    val movers = next(i).queryPoints(c, 0L, next(i).pointCount(c),
+      withPayload = true, fields, None,
+      idFilter = Some(batchIds)).toIndexedSeq
+    if (movers.isEmpty) return
+    val presentIds = movers.map(_.id).toSet
+    // physical: upserts first (new owners), tracking per-member log
+    // growth for the journal
+    val upsertSegs = IndexedSeq.newBuilder[(Int, Long, Long)]
+    movers.groupBy(p => ShardedCollectionStore.assignShard(p.id, t.nNew))
+      .toSeq.sortBy(_._1).foreach { case (j, pts) =>
+        // every move MUST target an appended index (the rendezvous
+        // no-old-to-old-churn law)
+        require(j >= t.nOld,
+          s"displaced id remapped to existing shard $j — rendezvous invariant violated")
+        val before = if (logged) next(j).logSize(c) else 0L
+        next(j) = ShardedCollectionStore.applyUpsert(next(j), c, pts)
+        if (logged) {
+          val after = next(j).logSize(c)
+          if (after > before) upsertSegs += ((j, before, after - before))
+        }
+        // publish the upserted copy BEFORE the old-owner delete lands —
+        // a lock-free reader mid-batch sees both copies, never neither
+        members = next.toIndexedSeq
+      }
+    // physical: delete from the old owner second
+    val delBefore = if (logged) next(i).logSize(c) else 0L
+    next(i) = ShardedCollectionStore.applyDelete(next(i), c, presentIds)
+    val delCount =
+      if (logged) next(i).logSize(c) - delBefore else 0L
     members = next.toIndexedSeq
-    if (logged) journals = nextJournals
-    else { logless = true; journals = Map.empty }
+    // journal: delete first, upserts second — sequential global
+    // positions appended under the lock (concurrent writes appended
+    // their own runs before or after this batch, never inside it)
+    if (logged) {
+      val journal = journals.getOrElse(c, IndexedSeq.empty)
+      var g = journal.lastOption
+        .map(s => s.globalStart + s.count).getOrElse(0L)
+      val segs = IndexedSeq.newBuilder[ShardSeg]
+      if (delCount > 0L) {
+        segs += ShardSeg(i, delBefore, delCount, g)
+        g += delCount
+      }
+      upsertSegs.result().foreach { case (j, localStart, n) =>
+        segs += ShardSeg(j, localStart, n, g)
+        g += n
+      }
+      journals = journals.updated(c, journal ++ segs.result())
+    }
   }
 
   // -------------------------------------------------------- lifecycle
@@ -667,16 +960,21 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
 
   /** Delegate the OPTIMIZER through the wrapper: every parquet member
     * rebuilds its sidecars from its COW-current primaries and reseals
-    * them at its current log head — the freshness loop closed
-    * cluster-wide in one call. In-memory members carry no sidecars and
-    * pass through; wire members pass through untouched (the remote
-    * service owns its files — trigger its optimizer there). Journal
-    * positions are preserved: optimize never writes the log.
+    * them at its current log head; every WIRE member receives the
+    * optimize verb and its service rebuilds remotely (the remote
+    * service owns its files — the verb triggers its optimizer there) —
+    * the freshness loop closed cluster-wide in one call, wire members
+    * included. In-memory members carry no sidecars and pass through.
+    * Journal positions are preserved: optimize never writes the log.
+    * Concurrent scatter, like every fan-out: the wall-clock cost is the
+    * slowest member's rebuild, not the sum.
     */
   def optimizeMembers(spark: org.apache.spark.sql.SparkSession,
                       ivfMaxIter: Int = 0): Unit = synchronized {
-    members = members.map {
+    members = fanOut(members) {
       case p: ParquetCollectionStore => p.optimized(spark, ivfMaxIter)
+      case sh: ShardedCollectionStore => sh.optimizeMembers(spark, ivfMaxIter); sh
+      case r: RemoteCollectionClient => r.optimize(ivfMaxIter); r
       case other => other
     }
   }
@@ -750,6 +1048,19 @@ object ShardedCollectionStore {
     */
   final case class ShardSeg(shard: Int, localStart: Long, count: Long,
                             globalStart: Long)
+
+  /** An active reshard window: the member list already holds nNew
+    * members; ids route by BOTH placements until the final publish.
+    */
+  private[sources] final case class Transition(nOld: Int, nNew: Int)
+
+  /** A bounded facet merge's result: exact `counts` for every returned
+    * value, `maxError` bounding any value NOT returned (Σ unexhausted
+    * per-shard cut-offs of the final round — 0 when certified), and
+    * whether the page equals the exact merge.
+    */
+  final case class FacetPage(counts: Seq[(String, Long)], maxError: Long,
+                             certified: Boolean)
 
   /** Rendezvous assignment — the scalar twin of
     * [[graft.ops.Pipeline.rendezvousAssign]] (argmax of md5(s"$id#$i")

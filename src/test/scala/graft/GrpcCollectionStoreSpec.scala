@@ -151,6 +151,37 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("a full-window id fetch pages the ID SET: bounded id-sorted chunks, one request each, parity kept") {
+    val paged = new GrpcCollectionStore(server.host, server.port, pageSize = 3)
+    val ids = Set("001", "004", "005", "009", "013", "014", "017", "019")
+    val req0 = server.requestsServed.get()
+    val got = paged.queryPoints("c", 0, 20, withPayload = true, allFields,
+      None, idFilter = Some(ids)).map(key).toSeq
+    val want = inner.queryPoints("c", 0, 20, withPayload = true, allFields,
+      None, idFilter = Some(ids)).map(key).toSeq
+    assert(got === want)
+    // 8 ids at pageSize 3 = 3 id-chunk requests (+ descriptor +
+    // pointCount) — NOT the positional loop's ceil(20/3) = 7 windows
+    // each re-serializing the whole id set
+    val reqs = server.requestsServed.get() - req0
+    assert(reqs <= 5L, s"id fetch issued $reqs requests")
+    // a partial window keeps positional semantics (no id paging)
+    assert(paged.queryPoints("c", 3, 9, withPayload = false, Nil, None,
+      idFilter = Some(ids)).map(_.id).toSeq ===
+      inner.queryPoints("c", 3, 9, withPayload = false, Nil, None,
+        idFilter = Some(ids)).map(_.id).toSeq)
+    // the REST twin pages the same way
+    CollectionStores.register("rest_idpage_spec", inner)
+    val hsrv = new CollectionHttpServer("rest_idpage_spec").start()
+    try {
+      val rcl = new RestCollectionStore(hsrv.baseUrl, pageSize = 3)
+      val r0 = hsrv.requestsServed.get()
+      assert(rcl.queryPoints("c", 0, 20, withPayload = true, allFields,
+        None, idFilter = Some(ids)).map(key).toSeq === want)
+      assert(hsrv.requestsServed.get() - r0 <= 6L)
+    } finally hsrv.stop()
+  }
+
   test("pushed search parity: dense, sparse, threshold, offset, filtered") {
     val dense = SearchSpec("text_embedding", Array(3.0, 3.5), "cosine", 5)
     assert(client.searchPoints("c", dense, withPayload = true, Seq("text_embedding"))
@@ -266,6 +297,59 @@ class GrpcCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       val page = cl.textRankTopK("tr", "body", Seq("tok1", "tok2"), 5, stats)
       assert(page === want)
       assert(page.size <= 5)
+      // a phase-2 frame whose dfs don't align to its terms must refuse
+      // with the validation kind — never an index error mid-scoring
+      val e = intercept[IllegalArgumentException] {
+        cl.textRankTopK("tr", "body", Seq("tok1", "tok2"), 5,
+          TextRankStats(12L, 36L, Array(4L)))
+      }
+      assert(e.getMessage.contains("dfs"), e.getMessage)
+    } finally srv.stop()
+  }
+
+  test("optimize and snapshot verbs act SERVER-side: sidecars reseal at the log head, the artifact lands at the service path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-grpc-opt").toString
+    val pdesc = CollectionDescriptor("op",
+      Seq(DenseField("vector", 2)), named = false)
+    val df = (1 to 10).map { i =>
+      (i.toString, s"""{"g":${i % 5}}""", Array(1.0f - i * 0.05f, i * 0.05f))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g", kind = "int")
+    val mutated = new ParquetCollectionStore(dir, "op", pdesc)
+      .appended("op", IndexedSeq(Point("0", Some("""{"g":3}"""),
+        dense = Map("vector" -> Array(1.0f, 0.001f)))))
+      .removed("op", Set("3"))
+    CollectionStores.register("grpc_opt_spec", mutated)
+    val srv = new CollectionGrpcServer("grpc_opt_spec").start()
+    try {
+      val cl = new GrpcCollectionStore(srv.host, srv.port)
+      val logHead = mutated.logSize("op")
+      cl.optimize()
+      val swapped = CollectionStores.get("grpc_opt_spec")
+        .asInstanceOf[ParquetCollectionStore]
+      assert(swapped ne mutated)                // COW swap on the registry
+      assert(swapped.logSize("op") === logHead) // optimize never writes the log
+      // index-pruned serving returned: the rebuilt g=3 value partition
+      // answers the count with the primaries closed
+      val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "3")), Nil, None)
+      assert(swapped.countMatchingFiltered("op", None, None, pf) === 2L)
+      assert(swapped.filesOpened.get() === 0L)
+      // the verb is result-invisible through the client
+      val spec = SearchSpec("vector", Array(1.0, 0.0), "cosine", 3)
+      assert(cl.searchPoints("op", spec, withPayload = false, Nil).map(_._1.id)
+        === mutated.searchPoints("op", spec, withPayload = false, Nil).map(_._1.id))
+      // SNAPSHOT verb: the portable artifact (parquet + manifest) lands
+      // at the SERVICE-side path; a local restore reproduces the state
+      val snap = java.nio.file.Files
+        .createTempDirectory("graft-grpc-snap").toString
+      cl.snapshot("op", snap)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(snap, "MANIFEST")))
+      val restored = graft.collections.Snapshot.restore(
+        spark, snap, "grpc_snap_restore_spec", "op2")
+      assert(restored.count() === 10L) // 10 ingested + upsert("0") - removed("3")
     } finally srv.stop()
   }
 

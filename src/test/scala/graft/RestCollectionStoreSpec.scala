@@ -711,6 +711,44 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       val page = cl.textRankTopK("tr", "body", Seq("tok1", "tok2"), 5, stats)
       assert(page === want)
       assert(page.size <= 5)
+      // a malformed phase-2 frame (dfs shorter than terms) must come
+      // back as a CLEAN validation status with the arity message — not
+      // a 500 from indexing past the idf array mid-scoring
+      val http = HttpClient.newHttpClient()
+      val resp = http.send(
+        HttpRequest.newBuilder(
+          URI.create(s"${srv.baseUrl}/collections/tr/points/textrank/topk"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"key":"body","terms":["tok1","tok2"],"k":5,"n":12,"total":36,"dfs":[4]}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() !== 500, resp.body())
+      assert(resp.body().contains("dfs"), resp.body())
+    } finally srv.stop()
+  }
+
+  test("optimize and snapshot verbs over JSON: passthrough stores ack, snapshot exports service-side") {
+    CollectionStores.register("rest_opt_spec", inner)
+    val srv = new CollectionHttpServer("rest_opt_spec").start()
+    try {
+      val cl = new RestCollectionStore(srv.baseUrl)
+      // in-memory store: no sidecars to rebuild — the verb acks and the
+      // registered store passes through untouched
+      cl.optimize()
+      assert(CollectionStores.get("rest_opt_spec") eq inner)
+      // snapshot verb: the artifact lands at the SERVICE-side path and a
+      // local restore reproduces the collection
+      val snap = java.nio.file.Files
+        .createTempDirectory("graft-rest-snap").toString
+      cl.snapshot("c", snap)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(snap, "MANIFEST")))
+      val restored = graft.collections.Snapshot.restore(
+        spark, snap, "rest_snap_restore_spec", "c2")
+      assert(restored.count() === inner.pointCount("c"))
+      // unknown collection refuses cleanly (404 -> the validation kind)
+      intercept[IllegalArgumentException] { cl.snapshot("nope", snap) }
     } finally srv.stop()
   }
 

@@ -356,6 +356,51 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
         Set("decoy0"))("decoy0")))
   }
 
+  test("bounded facet merge: certified page == exact merge; uncertified page carries a sound error bound") {
+    val tdesc = CollectionDescriptor("c", Seq.empty)
+    def build(valueOfIdx: Int => String, n: Int) = {
+      val pts = (0 until n).map(i =>
+        Point(f"$i%05d", Some(s"""{"v":"${valueOfIdx(i)}"}"""), Map.empty))
+      val flat = InMemoryCollectionStore.single("c", tdesc, pts)
+      val sh = new ShardedCollectionStore((0 until 3).map { s =>
+        InMemoryCollectionStore.single("c", tdesc, pts.filter(p =>
+          ShardedCollectionStore.assignShard(p.id, 3) == s))
+      })
+      (flat, sh)
+    }
+    // SKEWED head over a long tail: round 1 certifies, the bounded call
+    // is exactly the exact merge with a zero error bound
+    val (flat1, sh1) = build(i =>
+      if (i % 3 != 2) s"head${i % 3}" else s"tail${i / 3 % 400}", 1500)
+    val p1 = sh1.facetCountsBounded("c", "v", 2, maxRounds = 1)
+    assert(p1.certified && p1.maxError === 0L)
+    assert(p1.counts === flat1.facetCounts("c", "v", 2))
+    // NEAR-UNIFORM (300 values, count 2 each): one round cannot certify —
+    // the bounded page must still be EXACT per returned value and its
+    // maxError must bound every value it left out
+    val (flat2, sh2) = build(i => s"eq${i % 300}", 600)
+    val p2 = sh2.facetCountsBounded("c", "v", 3, maxRounds = 1)
+    assert(!p2.certified && p2.maxError > 0L)
+    val exact = flat2.facetCounts("c", "v", Int.MaxValue).toMap
+    p2.counts.foreach { case (v, n) => assert(exact(v) === n, s"value $v") }
+    val returned = p2.counts.map(_._1).toSet
+    exact.foreach { case (v, n) =>
+      if (!returned(v))
+        assert(n <= p2.maxError, s"missing value $v count $n > bound ${p2.maxError}")
+    }
+    // the unbounded merge on the same adversarial key still terminates
+    // exactly (page growth degrades to the full-histogram fallback
+    // instead of looping at the cap)
+    assert(sh2.facetCounts("c", "v", 3) === flat2.facetCounts("c", "v", 3))
+    // arity guard on the two-phase text rank: stats not aligned to the
+    // terms must refuse cleanly, never index past the idf array
+    val e = intercept[IllegalArgumentException] {
+      sh2.textRankTopK("c", "v", Seq("a", "b"), 5,
+        TextRankStats(10L, 100L, Array(1L)))
+    }
+    assert(e.getMessage.contains("dfs"), e.getMessage)
+  }
+
   test("a log-less member disables the global log in EITHER member order") {
     import spark.implicits._
     val pts = mkPoints(20)
@@ -559,6 +604,146 @@ class ShardedCollectionStoreSpec extends AnyFunSuite {
       sh.reshard(Seq(InMemoryCollectionStore.single("other",
         CollectionDescriptor("other", Seq.empty), IndexedSeq.empty)))
     }
+  }
+
+  test("staged reshard under CONCURRENT mutation: post-state equals the serial result, every point readable mid-migration") {
+    val pts = mkPoints(120)
+    // ids rendezvous displaces under 3 -> 4 (their new owner is index 3)
+    val movers = pts.map(_.id)
+      .filter(id => ShardedCollectionStore.assignShard(id, 4) == 3)
+    assert(movers.size >= 2, s"fixture: ${movers.size} movers")
+    // the mid-flight mutations: a BRAND-NEW leaver id (dual-write path),
+    // a re-upsert of a mover, a delete of a mover, and a non-mover edit
+    val newLeaver = (500 to 999).map(_.toString)
+      .find(id => ShardedCollectionStore.assignShard(id, 4) == 3).get
+    val newPt = Point(newLeaver, Some("""{"g":1,"v":"t5"}"""),
+      dense = Map("vector" -> Array(0.3f, 0.7f)))
+    val reupPt = Point(movers.head, Some("""{"rev":2}"""),
+      dense = Map("vector" -> Array(0.9f, -0.1f)))
+    val delId = movers(1)
+    val nonMover = pts.map(_.id)
+      .find(id => ShardedCollectionStore.assignShard(id, 4) ==
+        ShardedCollectionStore.assignShard(id, 3) &&
+        id != movers.head && id != delId).get
+    val nonMoverPt = Point(nonMover, Some("""{"rev":3}"""),
+      dense = Map("vector" -> Array(-0.5f, 0.5f)))
+    def stateOf(s: ShardedCollectionStore): Seq[(String, Option[String], Seq[Float])] =
+      s.queryPoints("c", 0L, s.pointCount("c"), withPayload = true,
+        Seq("vector"), None)
+        .map(p => (p.id, p.payload, p.dense("vector").toSeq))
+        .toSeq.sortBy(_._1)
+    // SERIAL oracle: same mutations applied write-quiesced, then reshard
+    val serial = {
+      val s = sharded(pts, 3)
+      s.upsertPoints("c", Seq(newPt, reupPt, nonMoverPt))
+      s.deletePoints("c", Set(delId))
+      s.reshard(Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)))
+      stateOf(s)
+    }
+    // CONCURRENT: the same mutations injected BETWEEN migration batches
+    // through the deterministic seam, with mid-flight read assertions
+    val sh = sharded(pts, 3)
+    var batches = 0
+    sh.reshard(
+      Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)),
+      migrationBatch = 5,
+      onBatchMigrated = (_, _) => {
+        batches += 1
+        // keyed on the GLOBAL batch count — the per-shard index restarts
+        // at 0 for every old shard, and each mutation must inject once
+        if (batches == 1) {
+          sh.upsertPoints("c", Seq(newPt))
+          // read-your-write mid-migration: the dual-written leaver is
+          // immediately visible through routed reads, exactly once
+          val got = sh.queryPoints("c", 0L, sh.pointCount("c"),
+            withPayload = true, Nil, None,
+            idFilter = Some(Set(newLeaver))).toSeq
+          assert(got.map(_.id) === Seq(newLeaver))
+          assert(got.head.payload === newPt.payload)
+          // global count is exact despite the dual copy
+          assert(sh.countMatching("c") === 121L)
+        }
+        if (batches == 2) {
+          sh.upsertPoints("c", Seq(reupPt, nonMoverPt))
+          sh.deletePoints("c", Set(delId))
+          // deleted mid-migration: gone from BOTH owners immediately
+          assert(sh.queryPoints("c", 0L, sh.pointCount("c"),
+            withPayload = false, Nil, None,
+            idFilter = Some(Set(delId))).isEmpty)
+          // a mid-migration search never returns duplicate ids
+          val ids = sh.searchPoints("c",
+            SearchSpec("vector", Array(0.7, -0.2), "cosine", 20),
+            withPayload = false, Nil).map(_._1.id)
+          assert(ids.distinct === ids)
+        }
+      })
+    assert(batches >= 2, s"fixture must exercise multiple batches: $batches")
+    // POST-STATE equality with the serial result
+    assert(stateOf(sh) === serial)
+    assert(sh.shardCount === 4)
+    // placement invariant on every shard (no residual dual copies)
+    sh.shards.zipWithIndex.foreach { case (s, i) =>
+      val ids = s.queryPoints("c", 0L, s.pointCount("c"),
+        withPayload = false, Nil, None).map(_.id).toSet
+      assert(ids.forall(ShardedCollectionStore.assignShard(_, 4) == i),
+        s"placement invariant broken on shard $i")
+    }
+    // CDC replay of the FULL journal reconstructs the exact final state
+    val replayed = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    sh.logEntries("c", 0L, sh.logSize("c")).foreach { e =>
+      if (e.op == LogOps.Delete) replayed.remove(e.point.id)
+      else replayed.update(e.point.id, e.point.payload)
+    }
+    assert(replayed.keySet === stateOf(sh).map(_._1).toSet)
+    assert(replayed(newLeaver) === newPt.payload)
+    assert(replayed(movers.head) === reupPt.payload)
+    assert(replayed(nonMover) === nonMoverPt.payload)
+  }
+
+  test("a failed reshard leaves the store fully serveable; resumeReshard completes the migration") {
+    val pts = mkPoints(80)
+    val sh = sharded(pts, 2)
+    intercept[RuntimeException] {
+      sh.reshard(
+        Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)),
+        migrationBatch = 5,
+        onBatchMigrated = (_, b) =>
+          if (b == 1) throw new RuntimeException("injected fault"))
+    }
+    // the transition stays PUBLISHED: every point readable, count exact,
+    // searches clean — the cluster is degraded in placement, not service
+    assert(sh.countMatching("c") === 80L)
+    assert(sh.queryPoints("c", 0L, sh.pointCount("c"),
+      withPayload = false, Nil, None).map(_.id).toSet ===
+      pts.map(_.id).toSet)
+    val spec = SearchSpec("vector", Array(0.6, 0.4), "cosine", 9)
+    val midIds = sh.searchPoints("c", spec, withPayload = false, Nil)
+      .map(_._1.id)
+    assert(midIds.distinct === midIds)
+    // writes still land mid-failure (dual-written when they're leavers)
+    sh.upsertPoints("c", Seq(Point("900", Some("""{"g":0,"v":"t0"}"""),
+      dense = Map("vector" -> Array(1f, 0f)))))
+    assert(sh.countMatching("c") === 81L)
+    // a fresh reshard refuses while the window is open; resume finishes
+    intercept[IllegalArgumentException] {
+      sh.reshard(Seq(InMemoryCollectionStore.single("c", desc, IndexedSeq.empty)))
+    }
+    sh.resumeReshard(migrationBatch = 5)
+    assert(sh.shardCount === 3)
+    assert(sh.countMatching("c") === 81L)
+    sh.shards.zipWithIndex.foreach { case (s, i) =>
+      val ids = s.queryPoints("c", 0L, s.pointCount("c"),
+        withPayload = false, Nil, None).map(_.id).toSet
+      assert(ids.forall(ShardedCollectionStore.assignShard(_, 3) == i),
+        s"placement invariant broken on shard $i after resume")
+    }
+    // journal replay == final state
+    val replayed = scala.collection.mutable.HashSet.empty[String]
+    sh.logEntries("c", 0L, sh.logSize("c")).foreach { e =>
+      if (e.op == LogOps.Delete) replayed.remove(e.point.id)
+      else replayed.add(e.point.id)
+    }
+    assert(replayed.toSet === pts.map(_.id).toSet + "900")
   }
 
   test("keyed wire topology end-to-end: keyed seams above AND below the scatter-gather; unkeyed rejects at each") {
