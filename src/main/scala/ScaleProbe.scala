@@ -1079,6 +1079,21 @@ object ScaleProbe {
           graft.ops.Ann.searchKnnGraphLayered(refined, uadj, sample,
             sigs.filter(col("id") =!= id),
             "id", "v", qvecs(id), 10, entryE = 3, hops = 3, beam = b))
+      // TRUE insertion-order per-segment HNSW (round 15): one sequential
+      // graph per segment with the full log-N hierarchy — the structure
+      // whose ABSENCE made the batch family collapse on this fixture
+      val segs = math.max(2, n / 5000)
+      val hnswEdges = graft.ops.Ann.buildHnsw(corpus, "id", "v", m = 16,
+        efConstruction = 64, numSegments = segs).persist()
+      val edgeCount = hnswEdges.count()
+      println(s"[probe] $label hnsw-insert build: segments=$segs m=16 " +
+        s"efC=64 edges=$edgeCount")
+      // full corpus (query node included), comparable to the IVF rows
+      for (ef <- Seq(16, 32, 64))
+        meanRecall(s"hnsw-insert ef=$ef segments=$segs (per-segment graphs)")(id =>
+          graft.ops.Ann.searchHnsw(corpus, hnswEdges, "id", "v",
+            qvecs(id), 10, efSearch = ef, numSegments = segs))
+      hnswEdges.unpersist()
       corpus.unpersist(); idx.clustered.unpersist(); sigs.unpersist()
       adj.unpersist(); refined.unpersist(); sample.unpersist()
       uadj.unpersist()

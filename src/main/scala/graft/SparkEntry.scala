@@ -1168,6 +1168,17 @@ object SparkEntry {
         storedLshSignatures(s, dir).select("id", "vector"), "id", "vector",
         m = 8, rounds = 1).localCheckpoint())
 
+  /** The insertion-order per-segment HNSW edge table of `dir`'s
+    * collection minus the gate's query point — built once per dir
+    * (offline, like IVF/NB models; the gate measures the serve).
+    */
+  private def hnswInsertEdges(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.getOrElseUpdate(s"$dir#hnswinsert",
+      graft.ops.Ann.buildHnsw(
+        homD(s, dir).select("id", "vector").filter(col("id") =!= "7"),
+        "id", "vector", m = 8, efConstruction = 64,
+        numSegments = 4).localCheckpoint())
+
   /** The HNSW-style sampled upper layer of `dir`'s collection (256 seeded
     * ids) and its exact top-4 adjacency (model-sized layer: all-pairs is
     * the right build there — a corpus-layer uses the banded builder) — the greedy-entry artifacts,
@@ -1403,6 +1414,7 @@ object SparkEntry {
       graft.ops.Ann.buildIvf(homD(s, dir), "id", "vector", nlist = 8, maxIter = 0))
     storedCodes(s, dir)
     storedLshSignatures(s, dir)
+    hnswInsertEdges(s, dir)
     ivfStored(s, dir)
     lshBandStore(s, dir)
     pqStore(s, dir)
@@ -5962,6 +5974,24 @@ object SparkEntry {
         "id", "vector", q, k = 10, entryE = 3, hops = 3, beam = 8)
     }),
 
+    // TRUE insertion-order HNSW, built PER SEGMENT (the per-shard model
+    // of the reference's backend: one sequential graph per segment with
+    // the full log-N hierarchy — geometric level draw, greedy descent,
+    // efConstruction beam, bidirectional mMax pruning — built OFFLINE
+    // like IVF/NB); queries fan out to every segment's graph and the
+    // per-segment pages merge. At a generous efSearch each segment's
+    // beam recovers its true top-k on this fixture, so the merged page
+    // equals brute force and the plain exact top-k SQL oracles it — the
+    // build is fully seeded/deterministic, so the equality is stable
+    "ann_hnsw_insert" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      Ann.searchHnsw(
+        homD(s, dir).select("id", "vector").filter(col("id") =!= "7"),
+        SparkEntry.hnswInsertEdges(s, dir), "id", "vector", q, k = 10,
+        efSearch = 128, numSegments = 4)
+    }),
+
     // incremental IVF maintenance: assign points against the EXISTING
     // centroid table (no rebuild) — the path by which streamed-in points
     // join a served index; pure map-side argmin over broadcast centroid
@@ -7545,6 +7575,17 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // the per-segment insertion-order HNSW serve at a generous efSearch
+    // recovers each segment's exact top-k, so the merged page equals
+    // brute force — the plain top-k SQL is the oracle (deterministic:
+    // the whole build is seeded)
+    "ann_hnsw_insert" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 7)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 7
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     "dot_topk" ->

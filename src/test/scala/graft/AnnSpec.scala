@@ -196,6 +196,49 @@ class AnnSpec extends AnyFunSuite {
       maxRows = Long.MaxValue).count() > 0L)
   }
 
+  test("insertion-order HNSW: deterministic seeded build, bounded adjacency, real hierarchy, exact serve at generous ef") {
+    val m = 6
+    val edges = Ann.buildHnsw(corpus, "id", "vector", m = m,
+      efConstruction = 32, numSegments = 3)
+    val rows = edges.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    // DETERMINISM: the whole build is seeded (segment hash, insertion
+    // permutation, level draw) — a rebuild reproduces the graph exactly
+    val rows2 = Ann.buildHnsw(corpus, "id", "vector", m = m,
+      efConstruction = 32, numSegments = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(rows.sorted.toSeq === rows2.sorted.toSeq)
+    // BOUNDED adjacency: per (node, level) at most mMax neighbors
+    // (2m at level 0, m above), and a REAL hierarchy exists (the
+    // geometric draw put some nodes above level 0)
+    val perNode = rows.groupBy(r => (r._1, r._2, r._3)).values
+    assert(perNode.forall(g =>
+      g.length <= (if (g.head._2 == 0) 2 * m else m)),
+      "adjacency exceeded mMax")
+    assert(rows.exists(_._2 > 0), "no upper layers drawn")
+    // level-L edges connect only nodes whose draw reaches L
+    rows.filter(_._2 > 0).foreach { case (_, lvl, src, nbr) =>
+      assert(graft.ops.HnswSegment.levelOf(src, m, 42L) >= lvl, s"$src@$lvl")
+      assert(graft.ops.HnswSegment.levelOf(nbr, m, 42L) >= lvl, s"$nbr@$lvl")
+    }
+    // SERVE: at a generous efSearch each segment's beam recovers its
+    // true top-k, so the merged page equals brute force exactly
+    val got = Ann.searchHnsw(corpus, edges, "id", "vector", queryVec,
+      k = 10, efSearch = 64, numSegments = 3)
+      .select("id").as[String].collect().toSeq
+    val exact = Ann.bruteForce(corpus, "id", "vector", vec(queryVec), k = 10)
+      .select("id").as[String].collect().toSeq
+    assert(got === exact)
+    // guards
+    intercept[IllegalArgumentException] {
+      Ann.buildHnsw(corpus, "id", "vector", m = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.searchHnsw(corpus, edges, "id", "vector", queryVec, k = 10,
+        efSearch = 5)
+    }
+  }
+
   test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
     val c = corpus
     val idx = Ann.buildIvf(c, "id", "vector", nlist = 4, maxIter = 3)
