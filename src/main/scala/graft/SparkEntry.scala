@@ -529,6 +529,27 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The store-served insertion-order HNSW fixture: the homogeneous
+    * corpus (minus the gate's query point) sealed to parquet with the
+    * per-segment HNSW sidecar — pushed cosine top-k serves graph-walked
+    * from the resident segment graphs, primaries closed.
+    */
+  private val parquetHnswCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHnswStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHnswCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hnsw")
+      val df = hom(s, dir).select("id", "payload", "vector")
+        .filter(col("id") =!= "11")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor, hnswEf = 128)
+    })
+
   /** The sharded LIFECYCLE fixture: the homogeneous corpus rendezvous-
     * sharded over TWO log-enabled parquet members, each with its own
     * label index sealed at ingest; then the freshness mutations (same
@@ -2008,6 +2029,29 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "grpc_opt_store").option("collection", "embeddings")
         .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the INSERTION-ORDER HNSW served AT THE STORE SEAM: pushed cosine
+    // top-k walks each segment's resident graph (greedy descent +
+    // efSearch beam touch ~ef·m·levels vectors, never the corpus) and
+    // the per-segment pages merge — the reference backend's per-shard
+    // HNSW serving model on the lakehouse store. At the fixture's
+    // generous efSearch every segment recovers its true top-k, so the
+    // exact brute-force SQL oracles it (build fully seeded — stable)
+    "dsv2_parquet_hnsw_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnsw_store",
+        SparkEntry.parquetHnswStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnsw_store").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -6934,6 +6978,16 @@ object SparkEntry {
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the store-served per-segment HNSW walk recovers the exact top-k
+    // at the fixture's efSearch — plain brute-force SQL is the oracle
+    "dsv2_parquet_hnsw_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 11)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 11
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // the optimize VERB shipped over the wire before the same serve —
     // transport and lifecycle stage both invisible

@@ -80,7 +80,8 @@ final class ParquetCollectionStore(
     val dir: String, collection: String,
     descriptor: CollectionDescriptor,
     ivfNprobe: Int = 0,
-    ivfCandidateK: Int = 0) extends CollectionStore {
+    ivfCandidateK: Int = 0,
+    hnswEf: Int = 0) extends CollectionStore {
 
   /** Decode/IO counters for specs and probes (JVM-local, like the
     * in-memory store's `pointsTouched`).
@@ -347,9 +348,113 @@ final class ParquetCollectionStore(
       .orElse(prefilterServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(geoServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(textServe(c, spec, withPayload, vectorFields, pfilter))
+      .orElse(hnswServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(ivfServe(c, spec, withPayload, vectorFields, pfilter))
       .getOrElse(super.searchPointsFiltered(c, spec, withPayload,
         vectorFields, pfilter))
+
+  // ------------------------------------------- insertion-order HNSW --
+
+  /** Segment graphs loaded by the HNSW serve since JVM start (specs). */
+  @transient lazy val hnswSegmentsLoaded = new AtomicLong(0L)
+
+  /** The insertion-order HNSW sidecar, when
+    * [[ParquetCollectionStore.writeHnswSidecar]] laid one down under
+    * `dir/_hnsw` AND this store was opened with `hnswEf > 0`: the
+    * corpus re-laid-out `partitionBy(seg)` (the per-segment model —
+    * one graph per segment, [[graft.ops.Ann.buildHnsw]]) plus the edge
+    * table per segment. A pushed COSINE top-k then serves GRAPH-WALKED:
+    * each segment's greedy descent + efSearch beam touches ~ef·m·levels
+    * vectors of ITS resident graph instead of scanning the corpus — the
+    * store-side analog of the backend serving `QueryPoints` from its
+    * per-segment HNSW (the reference backend's index,
+    * /root/reference/tests/bin/config.yaml:169-191). Segments load
+    * lazily and stay MEMORY-RESIDENT per store instance (vectors +
+    * adjacency — exactly a real HNSW backend's serving model; size
+    * segments to the executor with the build's numSegments dial).
+    */
+  private case class HnswSidecar(field: String, builtAt: Long, m: Int,
+                                 segments: Int, seed: Long)
+
+  @transient private lazy val hnswSidecar: Option[HnswSidecar] = {
+    val marker = new java.io.File(s"$dir/_hnsw/field.txt")
+    if (hnswEf <= 0 || !marker.isFile) None
+    else {
+      val l = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      Some(HnswSidecar(l(0), l(1).toLong, l(2).toInt, l(4).toInt,
+        l(5).toLong))
+    }
+  }
+
+  @transient private lazy val hnswSegCache = scala.collection.concurrent
+    .TrieMap.empty[Int, (IndexedSeq[(String, Array[Double])],
+      IndexedSeq[(Int, String, String)], ParquetCollectionStore)]
+
+  private def hnswSegmentFor(sc: HnswSidecar, seg: Int):
+      Option[(IndexedSeq[(String, Array[Double])],
+        IndexedSeq[(Int, String, String)], ParquetCollectionStore)] = {
+    val sub = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
+    if (!sub.isDirectory) None
+    else Some(hnswSegCache.getOrElseUpdate(seg, {
+      hnswSegmentsLoaded.incrementAndGet(): Unit
+      val st = new ParquetCollectionStore(sub.getAbsolutePath, collection,
+        descriptor)
+      val pts = st.queryPoints(collection, 0L, st.pointCount(collection),
+          withPayload = false, Seq(sc.field), None)
+        .flatMap(p => p.dense.get(sc.field).map(v =>
+          (p.id, v.map(_.toDouble))))
+        .toIndexedSeq
+      val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+      val edges = Option(edir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .flatMap(f => ParquetLog.readEdgeRows(f.getAbsolutePath))
+      (pts, edges, st)
+    }))
+  }
+
+  /** Pushed cosine top-k from the per-segment HNSW graphs: every
+    * segment walks ITS graph (greedy descent + beam at
+    * max(hnswEf, window)), pages merge, the freshness overlay masks
+    * mutated ids and merges the tail exactly like the IVF serve, and
+    * the winners' requested pieces fetch from the SEGMENT partitions —
+    * the primary corpus files never open (spec-asserted). ANN
+    * semantics: recall < 1 by construction; `hnswEf` is the dial.
+    * Composes with NOTHING that changes candidate arithmetic: payload
+    * filters, sparse queries, and other metrics fall through to the
+    * exact paths.
+    */
+  private def hnswServe(c: String, spec: SearchSpec, withPayload: Boolean,
+                        vectorFields: Seq[String],
+                        pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    hnswSidecar
+      .filter(sc => sc.field == spec.field && spec.metric == "cosine" &&
+        spec.sparseIndices.isEmpty && pfilter.isEmpty)
+      .flatMap(sc => tailSince(sc.builtAt).map(t => (sc, t)))
+      .map { case (sc, tail) =>
+        val window = spec.k + spec.offset + tail.masked.size
+        val ef = math.max(hnswEf, window)
+        val pages = (0 until sc.segments).flatMap { seg =>
+          hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
+            graft.ops.HnswSegment.search(pts, edges, spec.query, window,
+              ef, sc.seed)
+          }
+        }
+        val top = pages.filter { case (_, s) => spec.passes(s) }
+          .sortWith { case ((ia, sa), (ib, sb)) =>
+            if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+          }
+          .take(window).filterNot { case (id, _) => tail.masked(id) }
+        val ids = top.map(_._1).toSet
+        val fetched = (0 until sc.segments).flatMap { seg =>
+          hnswSegmentFor(sc, seg).toSeq.flatMap(t =>
+            t._3.queryPoints(c, 0L, t._3.pointCount(c), withPayload,
+              vectorFields, None, idFilter = Some(ids)))
+        }.map(p => p.id -> p).toMap
+        mergeBest(spec, top.flatMap { case (id, s) =>
+          fetched.get(id).map(p => (p, s)) } ++
+          tailScored(tail, spec, withPayload, vectorFields, pfilter))
+      }
 
   // --------------------------------------------------- sparse postings --
 
@@ -1368,7 +1473,7 @@ final class ParquetCollectionStore(
     */
   private def reopened: ParquetCollectionStore =
     new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe,
-      ivfCandidateK)
+      ivfCandidateK, hnswEf)
 
   /** Run the optimizer job on THIS store's dir and reopen — the
     * instance face of [[ParquetCollectionStore.optimize]], COW
@@ -1752,6 +1857,17 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
     }
+    val hnswMeta = new java.io.File(s"$dir/_hnsw/field.txt")
+    if (hnswMeta.isFile) {
+      val l = new String(
+        java.nio.file.Files.readAllBytes(hnswMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val vecCol = if (df.columns.contains(l(0))) l(0) else "vector"
+      writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
+        field = l(0), vectorColumn = vecCol, m = l(2).toInt,
+        efConstruction = l(3).toInt, numSegments = l(4).toInt,
+        seed = l(5).toLong)
+    }
     val ivfMeta = new java.io.File(s"$dir/_ivf/field.txt")
     if (ivfMeta.isFile) {
       val field = new String(
@@ -1948,6 +2064,52 @@ object ParquetCollectionStore {
     * not |shuffle partitions| x that). `df` must carry `id` and the
     * field's `{name}_indices`/`{name}_values` columns.
     */
+  /** Lay an insertion-order HNSW sidecar under `dir/_hnsw` so a store
+    * opened with `hnswEf > 0` serves pushed cosine top-k on `field`
+    * GRAPH-WALKED, per segment:
+    *
+    *  - `points`: the corpus re-laid-out `partitionBy(seg)` in the
+    *    store row layout (vectors float-narrowed — the layout contract:
+    *    the walk scores the same bytes the store returns), one file per
+    *    segment (the co-location discipline [[writeIvfSidecar]]
+    *    documents);
+    *  - `edges`: [[graft.ops.Ann.buildHnsw]]'s adjacency, partitioned
+    *    by the SAME seeded segment hash — one sequential insertion-order
+    *    graph per segment, the reference backend's per-shard HNSW
+    *    model.
+    *
+    * The meta records the build dials, so [[optimize]] reseals the
+    * graph from the COW-current primaries with identical parameters.
+    */
+  def writeHnswSidecar(df: DataFrame, dir: String, field: String,
+                       vectorColumn: String = "vector", m: Int = 16,
+                       efConstruction: Int = 64, numSegments: Int = 4,
+                       seed: Long = 42L): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val narrowed = df
+      .withColumn(vectorColumn, col(vectorColumn).cast(ArrayType(FloatType)))
+    narrowed
+      .withColumn("seg",
+        graft.ops.HnswSegment.segCol(col("id"), numSegments, seed))
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/points")
+    // the graph is built over the SAME float-narrowed values the
+    // partitions store (cast back to double for the build arithmetic)
+    graft.ops.Ann.buildHnsw(
+        narrowed.select(col("id"),
+          col(vectorColumn).cast(ArrayType(DoubleType)).as(vectorColumn)),
+        "id", vectorColumn, m = m, efConstruction = efConstruction,
+        numSegments = numSegments, seed = seed)
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/edges")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
+      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
   def writeSparseSidecar(df: DataFrame, dir: String, field: String,
                          nBuckets: Int = 16): Unit = {
     graft.ops.SparseIndex.buildPostings(df, "id",

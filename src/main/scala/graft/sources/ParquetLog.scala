@@ -459,6 +459,19 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** One HNSW edge row per (level, src, nbr) — the HNSW sidecar's
+    * stored adjacency shape.
+    */
+  def readEdgeRows(path: String): Seq[(Int, String, String)] = {
+    val out = Seq.newBuilder[(Int, String, String)]
+    readGroups(path) { (g, schema) =>
+      out += ((g.getInteger(schema.getFieldIndex("level"), 0),
+        g.getString(schema.getFieldIndex("src"), 0),
+        g.getString(schema.getFieldIndex("nbr"), 0)))
+    }
+    out.result()
+  }
+
   /** One text-index posting row per (id, token) — the text sidecar's
     * stored shape.
     */

@@ -1608,6 +1608,65 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.filesOpened.get() > 0L)
   }
 
+  test("insertion-order HNSW sidecar: graph-walked top-k, primaries closed, freshness overlay, optimizer reseals") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw-store").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 40).map { i =>
+      val a = i * 0.15
+      (f"$i%03d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    val store = new ParquetCollectionStore(dir, "h", desc, hnswEf = 32)
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 5)
+    val got = store.searchPoints("h", spec0, withPayload = true, Nil)
+    // graph-walked: primaries never open, both segment graphs resident
+    assert(store.filesOpened.get() === 0L)
+    assert(store.hnswSegmentsLoaded.get() === 2L)
+    assert(got.forall(_._1.payload.nonEmpty)) // winner fetch carries payload
+    // equals the exact base path at this generous ef (identical scores:
+    // the walk and the base heap share the cosine arithmetic)
+    val brute = new ParquetCollectionStore(dir, "h", desc)
+    assert(got.map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("h", spec0, withPayload = true, Nil)
+        .map(p => (p._1.id, p._2)))
+    // FRESHNESS overlay: a better new point upserts, the old winner
+    // deletes — the sidecar serve must reflect both with NO rebuild
+    val winner = got.head._1.id
+    val mutated = store
+      .appended("h", IndexedSeq(Point("500", Some("""{"g":1}"""),
+        dense = Map("vector" -> Array(1.0f, 0.2f)))))
+      .removed("h", Set(winner))
+    val got2 = mutated.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(got2.head._1.id === "500")
+    assert(!got2.map(_._1.id).contains(winner))
+    val brute2 = new ParquetCollectionStore(dir, "h", desc)
+    assert(got2.map(p => (p._1.id, p._2)) ===
+      brute2.searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    // OPTIMIZE reseals the graph from the COW-current primaries at the
+    // log head (the meta records the build dials): same page, walked
+    // again with an empty tail, primaries still closed
+    ParquetCollectionStore.optimize(spark, dir)
+    val opt = new ParquetCollectionStore(dir, "h", desc, hnswEf = 32)
+    val got3 = opt.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(got3.map(p => (p._1.id, p._2)) ===
+      got2.map(p => (p._1.id, p._2)))
+    assert(opt.filesOpened.get() === 0L)
+    // a payload filter falls through to the exact filtered paths — the
+    // walk never composes with arithmetic it can't keep exact
+    val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "1")), Nil, None)
+    assert(opt.searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
+      .map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
+        .map(p => (p._1.id, p._2)))
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
