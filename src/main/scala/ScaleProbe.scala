@@ -1093,6 +1093,31 @@ object ScaleProbe {
         meanRecall(s"hnsw-insert ef=$ef segments=$segs (per-segment graphs)")(id =>
           graft.ops.Ann.searchHnsw(corpus, hnswEdges, "id", "v",
             qvecs(id), 10, efSearch = ef, numSegments = segs))
+      // FILTERED HNSW (round 15): the accepting walk on the same graphs
+      // — rejected nodes navigate, only matching ids enter the beam —
+      // with the store serve's inverse-selectivity ef widening
+      // (ef/fraction). Recall vs the filtered brute force; the rows
+      // grade how the widening holds as the filter thins the answers.
+      for ((tag, keep, frac) <- Seq(
+        ("75pct", (id: String) => id.toInt % 4 >= 1, 0.75),
+        ("10pct", (id: String) => id.toInt % 10 == 0, 0.10))) {
+        val fCorpus = corpus.filter(
+          udf(keep).apply(col("id"))).persist()
+        fCorpus.count()
+        val truthF = qids.map(id => id -> top(graft.ops.Ann.bruteForce(
+          fCorpus, "id", "v", vec(qvecs(id)), 10))).toMap
+        for (ef <- Seq(32, 64)) {
+          val widened = math.ceil(ef / frac).toInt
+          val r = qids.map { id =>
+            top(graft.ops.Ann.searchHnsw(corpus, hnswEdges, "id", "v",
+              qvecs(id), 10, efSearch = widened, numSegments = segs,
+              accept = keep)).intersect(truthF(id)).size / 10.0
+          }
+          println(f"[probe] $label@10 hnsw-filtered $tag ef=$ef " +
+            f"(widened=$widened): ${r.sum / r.size}%.3f")
+        }
+        fCorpus.unpersist(): Unit
+      }
       hnswEdges.unpersist()
       corpus.unpersist(); idx.clustered.unpersist(); sigs.unpersist()
       adj.unpersist(); refined.unpersist(); sample.unpersist()

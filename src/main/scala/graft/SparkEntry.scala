@@ -550,6 +550,32 @@ object SparkEntry {
         Collections.homogeneousDescriptor, hnswEf = 128)
     })
 
+  /** The FILTERED-HNSW fixture: the same graph sidecar plus a
+    * COUNT-ONLY label index (id+payload only, so the pre-filter arm
+    * cannot serve it — `covered` is empty) — filtered searches must go
+    * through the graph serve's own planner (exact micro-path or
+    * accepting walk). `hnswEf` is sized past the largest segment so the
+    * walk is exhaustive over its reachable component and the exact
+    * oracle holds at both SFs; ScaleProbe grades recall at honest dials.
+    */
+  private val parquetHnswFilteredCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHnswFilteredStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHnswFilteredCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hnswf")
+      val df = hom(s, dir).select("id", "payload", "vector")
+        .filter(col("id") =!= "11")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df.select("id", "payload"), pqDir, key = "label", kind = "int")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor, hnswEf = 2048)
+    })
+
   /** The sharded LIFECYCLE fixture: the homogeneous corpus rendezvous-
     * sharded over TWO log-enabled parquet members, each with its own
     * label index sealed at ingest; then the freshness mutations (same
@@ -2052,6 +2078,55 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_hnsw_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // FILTERED HNSW, the backend's filtrable-HNSW planner at the store
+    // seam (/root/reference/tests/bin/config.yaml:169-191 fronts exactly
+    // this index): the label condition resolves to an exact id set from
+    // the payload index's value partitions (id columns only), and the
+    // serve plans by its cardinality — a broad filter (label<=7, ~80%)
+    // rides the ACCEPTING WALK (every node navigates, only matching ids
+    // enter the beam, ef widened by the inverse match fraction), a
+    // narrow one the exact micro-path. The count-only label index can't
+    // feed the pre-filter arm, so the graph serve owns the filter; the
+    // exact filtered oracle must hold either way.
+    "dsv2_parquet_hnsw_filtered" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnswf_store",
+        SparkEntry.parquetHnswFilteredStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 11)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnswf_store").option("collection", "embeddings")
+        .option("filter", "label:lte:7")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // the NARROW leg of the same planner: label=3 (~10%) is under the
+    // micro-path dial, so the matched ids score exactly from the
+    // segment partitions — the graph never walks (spec-asserted by
+    // counter) — qdrant's below-full-scan-threshold arm inside the
+    // HNSW serve
+    "dsv2_parquet_hnsw_filtered_narrow" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnswf_store",
+        SparkEntry.parquetHnswFilteredStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 13)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnswf_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -6987,6 +7062,24 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 11
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // filtered HNSW: the oracle is the plain exact filtered top-k —
+    // the index resolution, planner arm, and walk must be invisible
+    "dsv2_parquet_hnsw_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 11)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label <= 7
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    "dsv2_parquet_hnsw_filtered_narrow" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 13)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // the optimize VERB shipped over the wire before the same serve —

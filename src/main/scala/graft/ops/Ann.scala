@@ -1027,7 +1027,8 @@ object Ann {
   def searchHnsw(df: DataFrame, edges: DataFrame, idCol: String,
                  vecCol: String, query: Seq[Double], k: Int,
                  efSearch: Int = 64, numSegments: Int = 4,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L,
+                 accept: String => Boolean = _ => true): DataFrame = {
     require(k >= 1 && efSearch >= k,
       s"searchHnsw needs efSearch >= k >= 1, got k=$k efSearch=$efSearch")
     val spark = df.sparkSession
@@ -1044,7 +1045,7 @@ object Ann {
     assigned.groupByKey(_._1).cogroup(es.groupByKey(_._1)) { (_, ns, eIt) =>
       val pts = ns.map(t => (t._2, t._3.toArray)).toIndexedSeq
       val edgeSeq = eIt.map(t => (t._2, t._3, t._4)).toIndexedSeq
-      HnswSegment.search(pts, edgeSeq, q, k, efSearch, seed).iterator
+      HnswSegment.search(pts, edgeSeq, q, k, efSearch, seed, accept).iterator
     }.toDF("id", "sim")
       .withColumn("score", round(col("sim"), 6))
       .orderBy(col("score").desc, col("id").asc)
@@ -1187,11 +1188,21 @@ private[graft] object HnswSegment {
   /** Serve one segment: greedy descent from the segment's top node,
     * efSearch beam at level 0, top-k (id, raw cosine) back — the page
     * the caller's merge consumes.
+    *
+    * `accept` is the FILTERED-HNSW acceptance predicate (the backend's
+    * filtrable-HNSW rule, /root/reference/tests/bin/config.yaml:169-191
+    * fronts exactly this index): the walk NAVIGATES over every node —
+    * rejected nodes still expand, keeping the graph connected under
+    * sparse filters — but only accepted nodes enter the result beam, so
+    * the returned page satisfies the filter by construction. Callers
+    * widen `ef` by the inverse match fraction to hold recall as the
+    * filter thins the graph.
     */
   def search(pts: IndexedSeq[(String, Array[Double])],
              edges: IndexedSeq[(Int, String, String)],
              query: Array[Double], k: Int, ef: Int,
-             seed: Long): Seq[(String, Double)] = {
+             seed: Long,
+             accept: String => Boolean = _ => true): Seq[(String, Double)] = {
     if (pts.isEmpty) return Nil
     val idx = pts.iterator.map(_._1).zipWithIndex.toMap
     val qn = math.sqrt(query.map(x => x * x).sum)
@@ -1202,8 +1213,12 @@ private[graft] object HnswSegment {
       while (j < v.length) { s += v(j) * query(j); j += 1 }
       if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
     }
-    // adjacency by (level, node); m is irrelevant here — the edges are
-    // the graph
+    // adjacency by (level, node), traversed UNDIRECTED: the build adds
+    // links in both directions but the mMax prune can drop one side —
+    // or, for an unlucky node, BOTH in-links — orphaning it from a
+    // directed walk. Every node keeps the out-links of its own
+    // insertion, so following edges both ways restores reachability
+    // (degree at most doubles; the beam's ef still bounds work).
     val adj = scala.collection.mutable.HashMap
       .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Int]]
     var maxLevel = 0
@@ -1212,6 +1227,8 @@ private[graft] object HnswSegment {
         case (Some(si), Some(ti)) =>
           adj.getOrElseUpdate((lvl, si),
             scala.collection.mutable.ArrayBuffer.empty[Int]) += ti
+          adj.getOrElseUpdate((lvl, ti),
+            scala.collection.mutable.ArrayBuffer.empty[Int]) += si
           if (lvl > maxLevel) maxLevel = lvl
         case _ => // an edge of a dropped point — skip
       }
@@ -1233,7 +1250,12 @@ private[graft] object HnswSegment {
       }
       i += 1
     }
-    def searchLayer(eps: Seq[Int], lc: Int, limit: Int): Seq[Int] = {
+    // `ok` gates RESULT admission only — rejected nodes still navigate
+    // (enqueue as candidates when they would improve the beam), the
+    // published filtered-HNSW traversal rule: connectivity survives a
+    // sparse filter because the walk never prunes the graph itself
+    def searchLayer(eps: Seq[Int], lc: Int, limit: Int,
+                    ok: Int => Boolean): Seq[Int] = {
       val visited = scala.collection.mutable.HashSet.empty[Int]
       implicit val byBest: Ordering[(Double, Int)] =
         Ordering.by(t => (t._1, pts(t._2)._1))
@@ -1243,8 +1265,11 @@ private[graft] object HnswSegment {
       eps.foreach { e =>
         if (visited.add(e)) {
           val s = qs(e)
-          cand.enqueue((s, e)); res.enqueue((s, e))
-          if (res.size > limit) { res.dequeue(): Unit }
+          cand.enqueue((s, e))
+          if (ok(e)) {
+            res.enqueue((s, e))
+            if (res.size > limit) { res.dequeue(): Unit }
+          }
         }
       }
       var done = false
@@ -1256,8 +1281,11 @@ private[graft] object HnswSegment {
             if (visited.add(nb)) {
               val s = qs(nb)
               if (res.size < limit || s > res.head._1) {
-                cand.enqueue((s, nb)); res.enqueue((s, nb))
-                if (res.size > limit) { res.dequeue(): Unit }
+                cand.enqueue((s, nb))
+                if (ok(nb)) {
+                  res.enqueue((s, nb))
+                  if (res.size > limit) { res.dequeue(): Unit }
+                }
               }
             }
           }
@@ -1265,10 +1293,13 @@ private[graft] object HnswSegment {
       }
       res.toSeq.sortBy(t => (-t._1, pts(t._2)._1)).map(_._2)
     }
+    val all: Int => Boolean = _ => true
+    val okId: Int => Boolean = i => accept(pts(i)._1)
     var eps: Seq[Int] = Seq(entry)
     var lc = entryLevel
-    while (lc > 0) { eps = searchLayer(eps, lc, 1).take(1); lc -= 1 }
-    val w = searchLayer(eps, 0, math.max(ef, k))
+    // descent navigates unfiltered: upper layers route, level 0 answers
+    while (lc > 0) { eps = searchLayer(eps, lc, 1, all).take(1); lc -= 1 }
+    val w = searchLayer(eps, 0, math.max(ef, k), okId)
     w.take(k).map(j => (pts(j)._1, qs(j)))
   }
 }

@@ -358,6 +358,12 @@ final class ParquetCollectionStore(
   /** Segment graphs loaded by the HNSW serve since JVM start (specs). */
   @transient lazy val hnswSegmentsLoaded = new AtomicLong(0L)
 
+  /** Filtered serves answered by the tiny-set exact micro-path (specs). */
+  @transient lazy val hnswFilteredExactServes = new AtomicLong(0L)
+
+  /** Filtered serves answered by the accepting graph walk (specs). */
+  @transient lazy val hnswFilteredWalkServes = new AtomicLong(0L)
+
   /** The insertion-order HNSW sidecar, when
     * [[ParquetCollectionStore.writeHnswSidecar]] laid one down under
     * `dir/_hnsw` AND this store was opened with `hnswEf > 0`: the
@@ -391,6 +397,21 @@ final class ParquetCollectionStore(
     .TrieMap.empty[Int, (IndexedSeq[(String, Array[Double])],
       IndexedSeq[(Int, String, String)], ParquetCollectionStore)]
 
+  /** The segment sub-store alone (winner fetches, the exact micro-path)
+    * — no graph load, shared with [[hnswSegmentFor]] so each segment
+    * instantiates once.
+    */
+  @transient private lazy val hnswSegStores =
+    scala.collection.concurrent.TrieMap.empty[Int, ParquetCollectionStore]
+
+  private def hnswSegmentStore(seg: Int): Option[ParquetCollectionStore] = {
+    val sub = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
+    if (!sub.isDirectory) None
+    else Some(hnswSegStores.getOrElseUpdate(seg,
+      new ParquetCollectionStore(sub.getAbsolutePath, collection,
+        descriptor)))
+  }
+
   private def hnswSegmentFor(sc: HnswSidecar, seg: Int):
       Option[(IndexedSeq[(String, Array[Double])],
         IndexedSeq[(Int, String, String)], ParquetCollectionStore)] = {
@@ -398,8 +419,7 @@ final class ParquetCollectionStore(
     if (!sub.isDirectory) None
     else Some(hnswSegCache.getOrElseUpdate(seg, {
       hnswSegmentsLoaded.incrementAndGet(): Unit
-      val st = new ParquetCollectionStore(sub.getAbsolutePath, collection,
-        descriptor)
+      val st = hnswSegmentStore(seg).get
       val pts = st.queryPoints(collection, 0L, st.pointCount(collection),
           withPayload = false, Seq(sc.field), None)
         .flatMap(p => p.dense.get(sc.field).map(v =>
@@ -420,41 +440,166 @@ final class ParquetCollectionStore(
     * the winners' requested pieces fetch from the SEGMENT partitions —
     * the primary corpus files never open (spec-asserted). ANN
     * semantics: recall < 1 by construction; `hnswEf` is the dial.
-    * Composes with NOTHING that changes candidate arithmetic: payload
-    * filters, sparse queries, and other metrics fall through to the
-    * exact paths.
+    *
+    * A PAYLOAD FILTER composes when every `must` condition is servable
+    * by a payload-index sidecar (no mustNot/minShould): the matching id
+    * set resolves exactly from the index partitions' id columns
+    * ([[indexResolvedIds]]) and the serve plans by its cardinality —
+    * the backend's filtrable-HNSW planner:
+    *   - tiny matched set (<= max(4·window,
+    *     [[ParquetCollectionStore.hnswFilteredExactMax]])): score the
+    *     matched ids directly from the segment partitions — exact, the
+    *     graph never walks (qdrant's below-full-scan-threshold arm);
+    *   - otherwise: the accepting graph walk — every node navigates,
+    *     only matching ids enter the result beam, `ef` widened by the
+    *     inverse match fraction to hold recall as the filter thins the
+    *     answer set.
+    * Non-index-resolvable filters, sparse queries, and other metrics
+    * fall through to the exact paths.
     */
   private def hnswServe(c: String, spec: SearchSpec, withPayload: Boolean,
                         vectorFields: Seq[String],
                         pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     hnswSidecar
       .filter(sc => sc.field == spec.field && spec.metric == "cosine" &&
-        spec.sparseIndices.isEmpty && pfilter.isEmpty)
-      .flatMap(sc => tailSince(sc.builtAt).map(t => (sc, t)))
-      .map { case (sc, tail) =>
-        val window = spec.k + spec.offset + tail.masked.size
-        val ef = math.max(hnswEf, window)
-        val pages = (0 until sc.segments).flatMap { seg =>
-          hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
-            graft.ops.HnswSegment.search(pts, edges, spec.query, window,
-              ef, sc.seed)
-          }
-        }
-        val top = pages.filter { case (_, s) => spec.passes(s) }
-          .sortWith { case ((ia, sa), (ib, sb)) =>
-            if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
-          }
-          .take(window).filterNot { case (id, _) => tail.masked(id) }
-        val ids = top.map(_._1).toSet
-        val fetched = (0 until sc.segments).flatMap { seg =>
-          hnswSegmentFor(sc, seg).toSeq.flatMap(t =>
-            t._3.queryPoints(c, 0L, t._3.pointCount(c), withPayload,
-              vectorFields, None, idFilter = Some(ids)))
-        }.map(p => p.id -> p).toMap
-        mergeBest(spec, top.flatMap { case (id, s) =>
-          fetched.get(id).map(p => (p, s)) } ++
-          tailScored(tail, spec, withPayload, vectorFields, pfilter))
+        spec.sparseIndices.isEmpty)
+      .flatMap { sc =>
+        if (pfilter.isEmpty) hnswUnfiltered(sc, c, spec, withPayload,
+          vectorFields, pfilter)
+        else hnswFiltered(sc, c, spec, withPayload, vectorFields, pfilter)
       }
+
+  private def hnswUnfiltered(sc: HnswSidecar, c: String, spec: SearchSpec,
+                             withPayload: Boolean, vectorFields: Seq[String],
+                             pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    tailSince(sc.builtAt).map { tail =>
+      val window = spec.k + spec.offset + tail.masked.size
+      val ef = math.max(hnswEf, window)
+      val pages = (0 until sc.segments).flatMap { seg =>
+        hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
+          graft.ops.HnswSegment.search(pts, edges, spec.query, window,
+            ef, sc.seed)
+        }
+      }
+      val top = pages.filter { case (_, s) => spec.passes(s) }
+        .sortWith { case ((ia, sa), (ib, sb)) =>
+          if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+        }
+        .take(window).filterNot { case (id, _) => tail.masked(id) }
+      val fetched = hnswFetch(sc, c, top.map(_._1).toSet, withPayload,
+        vectorFields)
+      mergeBest(spec, top.flatMap { case (id, s) =>
+        fetched.get(id).map(p => (p, s)) } ++
+        tailScored(tail, spec, withPayload, vectorFields, pfilter))
+    }
+
+  /** The filtered arms. Matched ids are AS OF the payload arms' build
+    * positions; the overlay tail replays from the OLDEST build position
+    * of any sidecar involved (graph or payload index) — a superset tail,
+    * so every id either walk-served (unmutated since both builds) or
+    * masked-and-rescored from the log tail under the CURRENT filter.
+    * Exact with respect to freshness; the walk arm keeps ANN recall
+    * semantics, the micro-path arm is exact outright.
+    */
+  private def hnswFiltered(sc: HnswSidecar, c: String, spec: SearchSpec,
+                           withPayload: Boolean, vectorFields: Seq[String],
+                           pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    indexResolvedIds(pfilter).flatMap { case (ids0, armBuilt) =>
+      val overlayAt = Seq(sc.builtAt, armBuilt).filter(_ >= 0)
+        .reduceOption(_ min _).getOrElse(-1L)
+      tailSince(overlayAt).map { tail =>
+        val matched = ids0 -- tail.masked
+        val window = spec.k + spec.offset + tail.masked.size
+        val fresh = tailScored(tail, spec, withPayload, vectorFields, pfilter)
+        val exactMax = math.max(4L * window,
+          ParquetCollectionStore.hnswFilteredExactMax.toLong)
+        val page: Seq[(Point, Double)] =
+          if (matched.isEmpty) Nil
+          else if (matched.size <= exactMax) {
+            hnswFilteredExactServes.incrementAndGet(): Unit
+            val want = (vectorFields :+ spec.field).distinct
+            val keep = vectorFields.toSet
+            (0 until sc.segments).flatMap { seg =>
+              hnswSegmentStore(seg).toSeq.flatMap(st =>
+                st.queryPoints(c, 0L, st.pointCount(c), withPayload, want,
+                  None, idFilter = Some(matched)))
+            }.flatMap { p =>
+              p.dense.get(spec.field)
+                .flatMap(v => SearchSpec.score(spec.metric, v, spec.query))
+                .filter(spec.passes)
+                .map(s =>
+                  (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s))
+            }
+          } else {
+            hnswFilteredWalkServes.incrementAndGet(): Unit
+            val total = math.max(pointCount(collection), 1L)
+            val ef0 = math.max(hnswEf, window)
+            val ef = math.min(Int.MaxValue.toLong, math.ceil(
+              ef0.toDouble * total / matched.size).toLong).toInt
+            val top = (0 until sc.segments).flatMap { seg =>
+              hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
+                graft.ops.HnswSegment.search(pts, edges, spec.query, window,
+                  ef, sc.seed, accept = matched)
+              }
+            }.filter { case (_, s) => spec.passes(s) }
+              .sortWith { case ((ia, sa), (ib, sb)) =>
+                if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+              }.take(window)
+            val fetched = hnswFetch(sc, c, top.map(_._1).toSet, withPayload,
+              vectorFields)
+            top.flatMap { case (id, s) => fetched.get(id).map(p => (p, s)) }
+          }
+        mergeBest(spec, page ++ fresh)
+      }
+    }
+
+  /** Winners' requested pieces from the SEGMENT partitions — the
+    * primary corpus files never open.
+    */
+  private def hnswFetch(sc: HnswSidecar, c: String, ids: Set[String],
+                        withPayload: Boolean,
+                        vectorFields: Seq[String]): Map[String, Point] =
+    (0 until sc.segments).flatMap { seg =>
+      hnswSegmentStore(seg).toSeq.flatMap(st =>
+        st.queryPoints(c, 0L, st.pointCount(c), withPayload,
+          vectorFields, None, idFilter = Some(ids)))
+    }.map(p => p.id -> p).toMap
+
+  /** Exact matched-id set of a fully index-servable filter (every
+    * `must` condition servable by some payload-index sidecar, no
+    * mustNot/minShould): per-key arms read ONLY the id column of their
+    * matching value partitions and distinct keys intersect — O(matched)
+    * id strings, zero payload/vector bytes, the filtered-ANN acceptance
+    * set. Returns the ids plus the OLDEST involved build position (the
+    * freshness overlay point; -1 = all legacy metas). None when the
+    * filter isn't fully index-resolvable — callers fall through to the
+    * exact scan arms. Cached per (filter shape, log head): repeated
+    * filtered queries reuse the resolution until a mutation moves the
+    * head.
+    */
+  @transient private lazy val hnswIdCache = scala.collection.concurrent
+    .TrieMap.empty[(String, Long), Option[(Set[String], Long)]]
+
+  private def indexResolvedIds(pfilter: PayloadFilter): Option[(Set[String], Long)] = {
+    if (pfilter.must.isEmpty || pfilter.mustNot.nonEmpty ||
+      pfilter.minShould.nonEmpty) return None
+    val head = if (logEnabled) ParquetLog.head(logDir) else 0L
+    if (hnswIdCache.size > 64) hnswIdCache.clear()
+    hnswIdCache.getOrElseUpdate((pfilter.describe, head), {
+      val arms = indexArms(pfilter)
+      if (!pfilter.must.forall(c => arms.exists(_.sc.servable(c)))) None
+      else {
+        val sets = arms.map { arm =>
+          arm.dirs.flatMap(v => arm.sc.storeFor(v).toSeq.flatMap(st =>
+            st.queryPoints(collection, 0L, st.pointCount(collection),
+              withPayload = false, Nil, None).map(_.id))).toSet
+        }
+        val builts = arms.map(_.sc.builtAt).filter(_ >= 0)
+        Some((sets.reduce(_ intersect _),
+          if (builts.isEmpty) -1L else builts.min))
+      }
+    })
+  }
 
   // --------------------------------------------------- sparse postings --
 
@@ -2129,6 +2274,14 @@ object ParquetCollectionStore {
     * (qdrant's `full_scan_threshold` analog).
     */
   val prefilterMaxFraction: Double = 0.2
+
+  /** Filtered-HNSW micro-path dial: a matched set at or under
+    * max(4·window, this) scores exactly from the segment partitions
+    * instead of walking the graph — the walk's ef widening would touch
+    * more vectors than the answer set holds (the backend's
+    * below-threshold plain-search arm).
+    */
+  val hnswFilteredExactMax: Int = 1024
 
   /** Lay a payload-index sidecar under `dir/_pidx/k_<key>`: the
     * collection value-partitioned by top-level payload key `key` (`kind`

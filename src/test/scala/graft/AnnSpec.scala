@@ -239,6 +239,39 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("HNSW segment walk: accept predicate filters the beam, undirected traversal keeps pruned-in nodes reachable") {
+    // one sequential segment, adversarial manifold: a thin circle chain
+    // where the bidirectional mMax prune is known to orphan nodes from
+    // a DIRECTED walk (the undirected-traversal regression fixture)
+    val pts = (1 to 1200).map { i =>
+      val a = i * 0.005
+      (f"$i%04d", Array(math.cos(a), math.sin(a)))
+    }
+    val edges = graft.ops.HnswSegment
+      .build(pts, 4, 16, 42L).toIndexedSeq
+    val q = Array(1.0, 0.2)
+    def brute(acc: String => Boolean): Seq[(String, Double)] =
+      pts.filter(t => acc(t._1)).map { case (id, v) =>
+        val s = (v(0) * q(0) + v(1) * q(1)) /
+          (math.sqrt(v(0) * v(0) + v(1) * v(1)) * math.hypot(q(0), q(1)))
+        (id, s)
+      }.sortBy(t => (-t._2, t._1)).take(10)
+    // UNFILTERED at exhaustive ef: every node must be reachable — the
+    // directed-orphan bug returned a strict subset here
+    val un = graft.ops.HnswSegment.search(pts, edges, q, 10, 2048, 42L)
+    assert(un.map(_._1) === brute(_ => true).map(_._1))
+    // FILTERED: only accepted ids in the page, equal to the filtered
+    // brute force at exhaustive ef; rejected nodes still navigate
+    val acc = pts.map(_._1).filter(_.toInt % 4 >= 1).toSet
+    val fl = graft.ops.HnswSegment.search(pts, edges, q, 10, 2048, 42L,
+      accept = acc)
+    assert(fl.forall(t => acc(t._1)))
+    assert(fl.map(_._1) === brute(acc).map(_._1))
+    // a filter with NO acceptable reachable node returns empty, not junk
+    assert(graft.ops.HnswSegment.search(pts, edges, q, 10, 64, 42L,
+      accept = _ => false) === Nil)
+  }
+
   test("drift statistic: undrifted batch ~1, shifted batch trips the re-fit dial") {
     val c = corpus
     val idx = Ann.buildIvf(c, "id", "vector", nlist = 4, maxIter = 3)

@@ -1657,14 +1657,96 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(got3.map(p => (p._1.id, p._2)) ===
       got2.map(p => (p._1.id, p._2)))
     assert(opt.filesOpened.get() === 0L)
-    // a payload filter falls through to the exact filtered paths — the
-    // walk never composes with arithmetic it can't keep exact
+    // a filter with NO payload index behind it cannot resolve an
+    // acceptance set — it falls through to the exact filtered paths
     val pf = PayloadFilter(Seq(PayloadCondition("g", "eq", "1")), Nil, None)
     assert(opt.searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
       .map(p => (p._1.id, p._2)) ===
       new ParquetCollectionStore(dir, "h", desc)
         .searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
         .map(p => (p._1.id, p._2)))
+  }
+
+  test("filtered HNSW: index-resolved acceptance set, cardinality planner arms, freshness, fall-through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnswf").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    // 2,000 points so a 3/4 filter (1,500 matched) crosses the
+    // micro-path dial (max(4·window, 1024)) and exercises the WALK arm
+    val df = (1 to 2000).map { i =>
+      val a = i * 0.003
+      (f"$i%04d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    // COUNT-ONLY label index (id+payload only): the pre-filter arm
+    // cannot serve it, so the graph serve's own planner owns the filter
+    ParquetCollectionStore.writePayloadSidecar(df.select("id", "payload"),
+      dir, key = "g", kind = "int")
+    // ef past the segment size: the walk is exhaustive over its
+    // reachable component — exactness is assertable, not hoped-for
+    val store = new ParquetCollectionStore(dir, "h", desc, hnswEf = 4096)
+    val brute = new ParquetCollectionStore(dir, "h", desc)
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 5)
+    def both(st: ParquetCollectionStore, b: ParquetCollectionStore,
+             pf: PayloadFilter): Unit = {
+      assert(st.searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
+        .map(p => (p._1.id, p._2)) ===
+        b.searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
+          .map(p => (p._1.id, p._2)))
+    }
+    // NARROW first (g=2, 500 matched <= 1024): the exact micro-path —
+    // the graph never loads, primaries never open
+    both(store, brute, PayloadFilter(
+      Seq(PayloadCondition("g", "eq", "2")), Nil, None))
+    assert(store.hnswFilteredExactServes.get() === 1L)
+    assert(store.hnswFilteredWalkServes.get() === 0L)
+    assert(store.hnswSegmentsLoaded.get() === 0L)
+    assert(store.filesOpened.get() === 0L)
+    // BROAD (g>=1, 1,500 matched > 1024): the accepting walk — every
+    // node navigates, only matching ids enter the beam; exact at this ef
+    both(store, brute, PayloadFilter(
+      Seq(PayloadCondition("g", "gte", "1")), Nil, None))
+    assert(store.hnswFilteredWalkServes.get() === 1L)
+    assert(store.hnswSegmentsLoaded.get() === 2L)
+    assert(store.filesOpened.get() === 0L)
+    // FRESHNESS: a new best-matching point upserts, the current winner
+    // deletes — acceptance set, walk page, and tail must compose with
+    // no rebuild (matched ids as-of build, masked ids re-scored from
+    // the log tail under the CURRENT filter)
+    val pfB = PayloadFilter(Seq(PayloadCondition("g", "gte", "1")), Nil, None)
+    val winner = store.searchPointsFiltered("h", spec0, withPayload = false,
+      Nil, pfB).head._1.id
+    val mutated = store
+      .appended("h", IndexedSeq(Point("9500", Some("""{"g":3}"""),
+        dense = Map("vector" -> Array(1.0f, 0.2f)))))
+      .removed("h", Set(winner))
+    val bruteM = new ParquetCollectionStore(dir, "h", desc)
+    val got = mutated.searchPointsFiltered("h", spec0, withPayload = false,
+      Nil, pfB)
+    assert(got.head._1.id === "9500")
+    assert(!got.map(_._1.id).contains(winner))
+    assert(got.map(p => (p._1.id, p._2)) ===
+      bruteM.searchPointsFiltered("h", spec0, withPayload = false, Nil, pfB)
+        .map(p => (p._1.id, p._2)))
+    // a payload mutation that flips filter membership: the upserted
+    // point's NEW payload decides (g=0 fails g>=1 even though the old
+    // indexed copy passed)
+    val flipped = mutated.appended("h", IndexedSeq(Point("9500",
+      Some("""{"g":0}"""), dense = Map("vector" -> Array(1.0f, 0.2f)))))
+    assert(!flipped.searchPointsFiltered("h", spec0, withPayload = false,
+      Nil, pfB).map(_._1.id).contains("9500"))
+    // NOT-index-resolvable shapes fall through to the exact scan arms:
+    // mustNot, and a must condition with no index behind it
+    val before = store.filesOpened.get()
+    both(store, brute, PayloadFilter(Nil,
+      Seq(PayloadCondition("g", "eq", "0")), None))
+    both(store, brute, PayloadFilter(
+      Seq(PayloadCondition("missing", "eq", "1")), Nil, None))
+    assert(store.filesOpened.get() > before)
   }
 
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
