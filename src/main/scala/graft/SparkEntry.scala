@@ -576,6 +576,43 @@ object SparkEntry {
         Collections.homogeneousDescriptor, hnswEf = 2048)
     })
 
+  /** FILTERED HNSW across the PRODUCTION TOPOLOGY: two rendezvous
+    * shards, each a lakehouse member with its OWN per-segment HNSW
+    * graphs and count-only label index — one local, one behind a keyed
+    * gRPC wire. A filtered search fans out, each member resolves ITS
+    * acceptance set from ITS payload index and serves graph-side (the
+    * wire member entirely service-side), and the scatter-gather merges
+    * the ≤ k pages — qdrant's per-shard filtrable-HNSW shape end to end.
+    */
+  private val shardedHnswCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
+
+  private def shardedHnswStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedHnswCache.getOrElseUpdate(dir, {
+      val df = hom(s, dir).select("id", "payload", "vector")
+        .filter(col("id") =!= "11")
+      val members = (0 until 2).map { i =>
+        val own = df.filter(shardOf2(col("id")) === i)
+        val d = tempStoreDir(s"graft-pq-shhnsw$i")
+        graft.sources.ParquetCollectionStore.write(own, d)
+        graft.sources.ParquetCollectionStore.writeHnswSidecar(
+          own, d, field = "vector", m = 8, efConstruction = 64,
+          numSegments = 2)
+        graft.sources.ParquetCollectionStore.writePayloadSidecar(
+          own.select("id", "payload"), d, key = "label", kind = "int")
+        new graft.sources.ParquetCollectionStore(d, "embeddings",
+          Collections.homogeneousDescriptor, hnswEf = 2048)
+      }
+      val memName = s"grpc_shhnsw_member_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(memName, members(1))
+      val msrv = new graft.sources.CollectionGrpcServer(memName,
+        apiKey = Some(ShardedWireKey)).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => msrv.stop()))
+      new graft.sources.ShardedCollectionStore(IndexedSeq(members(0),
+        new graft.sources.GrpcCollectionStore(msrv.host, msrv.port,
+          apiKey = Some(ShardedWireKey))))
+    })
+
   /** The sharded LIFECYCLE fixture: the homogeneous corpus rendezvous-
     * sharded over TWO log-enabled parquet members, each with its own
     * label index sealed at ingest; then the freshness mutations (same
@@ -3081,6 +3118,31 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "12")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // FILTERED HNSW through the SHARDED topology with a WIRE member:
+    // each shard owns per-segment graphs + a count-only label index;
+    // the filtered search fans out, every member resolves ITS
+    // acceptance set and serves graph-side (the wire member entirely
+    // service-side — only its ≤ k page crosses), the scatter-gather
+    // merges. Same exact filtered oracle as the single-store gate:
+    // sharding, transport, index resolution, and walk all invisible
+    "dsv2_sharded_hnsw_filtered" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sharded_hnsw_store",
+        SparkEntry.shardedHnswStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 7)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sharded_hnsw_store")
+        .option("collection", "embeddings")
+        .option("filter", "label:lte:7")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -7080,6 +7142,16 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // filtered HNSW sharded over a wire member: same exact filtered
+    // oracle — topology and transport invisible
+    "dsv2_sharded_hnsw_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 7)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label <= 7
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // the optimize VERB shipped over the wire before the same serve —
