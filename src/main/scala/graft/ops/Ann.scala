@@ -1147,6 +1147,27 @@ private[graft] object HnswSegment {
       }
       res.toSeq.sortBy(t => (-t._1, pts(t._2)._1)).map(_._2)
     }
+    // the paper's SELECT-NEIGHBORS-HEURISTIC (Alg. 4) + keep-pruned-
+    // connections: take candidates best-first, keep e only if it is
+    // closer to q than to every neighbor already kept (diverse
+    // directions instead of a one-sided clump), then fill back to the
+    // budget from the discarded, best-first. This is what production
+    // HNSW backends run; plain top-m loses recall on clustered data
+    // and clumps the mMax prune.
+    def selectNeighbors(q: Int, w: scala.collection.Seq[Int],
+                        budget: Int): Seq[Int] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val cut = scala.collection.mutable.ArrayBuffer.empty[Int]
+      w.foreach { e =>
+        if (kept.size < budget) {
+          if (kept.forall(x => cos(e, q) > cos(e, x))) kept += e
+          else cut += e
+        }
+      }
+      val it = cut.iterator
+      while (kept.size < budget && it.hasNext) kept += it.next()
+      kept.toSeq
+    }
     order.foreach { i =>
       val l = levels(i)
       if (entry < 0) { entry = i; entryLevel = l }
@@ -1160,14 +1181,15 @@ private[graft] object HnswSegment {
         var lvl = math.min(l, entryLevel)
         while (lvl >= 0) {
           val w = searchLayer(i, eps, lvl, efC)
-          val neighbors = w.take(m)
+          val neighbors = selectNeighbors(i, w, m)
           val mMax = if (lvl == 0) 2 * m else m
           neighbors.foreach { j =>
             adj(i)(lvl) += j
             adj(j)(lvl) += i
             if (adj(j)(lvl).length > mMax) {
-              val pruned = adj(j)(lvl).distinct
-                .sortBy(x => (-cos(j, x), pts(x)._1)).take(mMax)
+              val cands = adj(j)(lvl).distinct
+                .sortBy(x => (-cos(j, x), pts(x)._1))
+              val pruned = selectNeighbors(j, cands, mMax)
               adj(j)(lvl).clear()
               adj(j)(lvl) ++= pruned
             }
