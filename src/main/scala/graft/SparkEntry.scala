@@ -3122,6 +3122,38 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // REPLICA SET with a DOWN node: qdrant's replication_factor at the
+    // store seam — replica 0 is a wire client whose service does not
+    // exist (connection refused on first contact), replica 1 holds the
+    // corpus. The read fails over ONCE, the preference sticks, and the
+    // page is exact — availability is a wrapper property, invisible to
+    // the query. Writes are write-all with dead-marking + resync
+    // (spec-pinned in ReplicatedCollectionStoreSpec)
+    "dsv2_replicated_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("replicated_store", {
+        val sock = new java.net.ServerSocket(0)
+        val deadPort = sock.getLocalPort
+        sock.close()
+        new ReplicatedCollectionStore(IndexedSeq(
+          new GrpcCollectionStore("127.0.0.1", deadPort),
+          InMemoryCollectionStore.fromRows(
+            hom(s, dir).select("id", "payload", "vector"),
+            "embeddings", Collections.homogeneousDescriptor)))
+      })
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 23)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "replicated_store")
+        .option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // FILTERED HNSW through the SHARDED topology with a WIRE member:
     // each shard owns per-segment graphs + a count-only label index;
     // the filtered search fans out, every member resolves ITS
@@ -7142,6 +7174,16 @@ object SparkEntry {
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // replica set with a down node: failover invisible — the plain
+    // exact top-k oracle
+    "dsv2_replicated_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 23)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // filtered HNSW sharded over a wire member: same exact filtered

@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.collections._
+import graft.sources._
+
+/** Replica-set semantics at the store seam: write-all / read-one,
+  * sticky failover on transport errors only, dead-marking on failed
+  * writes, resync recovery, and composition under the sharded wrapper
+  * (placement × replication).
+  */
+class ReplicatedCollectionStoreSpec extends AnyFunSuite {
+
+  private val desc =
+    CollectionDescriptor("c", Seq(DenseField("v", 2)), named = false)
+
+  private def pt(id: String, x: Float, g: Int = 0) = Point(
+    id, payload = Some(s"""{"g":$g}"""),
+    dense = Map("v" -> Array(x, 1f - x)))
+
+  private def mem(pts: Point*): InMemoryCollectionStore =
+    InMemoryCollectionStore.single("c", desc, pts.toIndexedSeq.sortBy(_.id))
+
+  private def ids(s: CollectionStore): Seq[String] =
+    s.queryPoints("c", 0L, s.pointCount("c"), withPayload = true,
+      Seq("v"), None).map(_.id).toSeq
+
+  /** A replica whose transport can be broken per direction — reads
+    * and/or writes throw IOException like a down node's socket.
+    */
+  private final class FlakyReplica(var mem: InMemoryCollectionStore,
+                                   var failReads: Boolean = false,
+                                   var failWrites: Boolean = false)
+      extends CollectionStore with RemoteCollectionClient {
+    private def r[T](f: CollectionStore => T): T = {
+      if (failReads) throw new java.io.IOException("replica down")
+      f(mem)
+    }
+    override def collectionInfo(c: String): CollectionDescriptor =
+      r(_.collectionInfo(c))
+    override def pointCount(c: String): Long = r(_.pointCount(c))
+    override def queryPoints(c: String, from: Long, until: Long,
+                             withPayload: Boolean,
+                             vectorFields: Seq[String],
+                             limit: Option[Int],
+                             idFilter: Option[Set[String]] = None,
+                             idLower: Option[String] = None): Iterator[Point] =
+      r(_.queryPoints(c, from, until, withPayload, vectorFields, limit,
+        idFilter, idLower))
+    override def searchPointsFiltered(c: String, spec: SearchSpec,
+                                      withPayload: Boolean,
+                                      vectorFields: Seq[String],
+                                      pfilter: PayloadFilter): Seq[(Point, Double)] =
+      r(_.searchPointsFiltered(c, spec, withPayload, vectorFields, pfilter))
+    override def collectionNames: Seq[String] = r(_.collectionNames)
+    override def logSize(c: String): Long = r(_.logSize(c))
+    override def logStart(c: String): Long = r(_.logStart(c))
+    override def logEntries(c: String, from: Long,
+                            until: Long): Iterator[LogEntry] =
+      r(_.logEntries(c, from, until))
+    private def w(): Unit =
+      if (failWrites) throw new java.io.IOException("replica down")
+    override def upsertPoints(c: String, pts: Seq[Point]): Unit = {
+      w(); mem = mem.appended(c, pts.sortBy(_.id).toIndexedSeq)
+    }
+    override def deletePoints(c: String, ids: Set[String]): Unit = {
+      w(); mem = mem.removed(c, ids)
+    }
+    override def truncate(c: String): Unit = { w(); mem = mem.truncated(c) }
+    override def compact(c: String, upTo: Long): Unit =
+      throw new UnsupportedOperationException("no log")
+  }
+
+  /** A replica that rejects a read with a SEMANTIC error — failover on
+    * it would mask a caller bug.
+    */
+  private final class GrumpyReplica(inner: InMemoryCollectionStore)
+      extends CollectionStore {
+    override def collectionInfo(c: String): CollectionDescriptor =
+      inner.collectionInfo(c)
+    override def pointCount(c: String): Long = inner.pointCount(c)
+    override def queryPoints(c: String, from: Long, until: Long,
+                             withPayload: Boolean,
+                             vectorFields: Seq[String],
+                             limit: Option[Int],
+                             idFilter: Option[Set[String]] = None,
+                             idLower: Option[String] = None): Iterator[Point] =
+      inner.queryPoints(c, from, until, withPayload, vectorFields, limit,
+        idFilter, idLower)
+    override def searchPointsFiltered(c: String, spec: SearchSpec,
+                                      withPayload: Boolean,
+                                      vectorFields: Seq[String],
+                                      pfilter: PayloadFilter): Seq[(Point, Double)] =
+      throw new IllegalArgumentException("bad request")
+  }
+
+  private val spec2 = SearchSpec("v", Array(1.0, 0.0), "cosine", 2)
+
+  test("write-all / read-one: a write lands on every replica; reads serve from one") {
+    val rs = new ReplicatedCollectionStore(IndexedSeq(mem(), mem()))
+    rs.upsertPoints("c", Seq(pt("1", 0.9f), pt("2", 0.5f), pt("3", 0.1f)))
+    rs.deletePoints("c", Set("3"))
+    assert(rs.pointCount("c") === 2L)
+    // each replica holds the full state independently
+    rs.replicas.foreach(r => assert(ids(r) === Seq("1", "2")))
+    val got = rs.searchPoints("c", spec2, withPayload = true, Seq("v"))
+    assert(got.map(_._1.id) === Seq("1", "2"))
+    assert(rs.readFailovers.get() === 0L)
+  }
+
+  test("read failover: a transport failure moves the sticky preference; one probe, not one per query") {
+    val down = new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)
+    val up = mem(pt("1", 0.9f))
+    val rs = new ReplicatedCollectionStore(IndexedSeq(down, up))
+    assert(rs.searchPoints("c", spec2, withPayload = false, Nil)
+      .map(_._1.id) === Seq("1"))
+    assert(rs.readFailovers.get() === 1L)
+    // preference moved: the next read goes straight to the healthy one
+    assert(rs.pointCount("c") === 1L)
+    assert(rs.readFailovers.get() === 1L)
+    // a whole-set outage surfaces as an error, not a hang or empty page
+    down.failReads = true
+    val rsAllDown = new ReplicatedCollectionStore(IndexedSeq(
+      new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)))
+    intercept[IllegalStateException] { rsAllDown.pointCount("c") }
+  }
+
+  test("semantic errors never fail over") {
+    val rs = new ReplicatedCollectionStore(IndexedSeq(
+      new GrumpyReplica(mem(pt("1", 0.9f))), mem(pt("1", 0.9f))))
+    intercept[IllegalArgumentException] {
+      rs.searchPoints("c", spec2, withPayload = false, Nil)
+    }
+    assert(rs.readFailovers.get() === 0L)
+  }
+
+  test("failed write marks the replica dead; resync copies state back and re-activates") {
+    val flaky = new FlakyReplica(mem(pt("1", 0.9f)))
+    val rs = new ReplicatedCollectionStore(
+      IndexedSeq(flaky, mem(pt("1", 0.9f))), resyncBatch = 2)
+    flaky.failWrites = true
+    // the write survives on the healthy replica; the broken one is dead
+    rs.upsertPoints("c", Seq(pt("2", 0.5f), pt("4", 0.3f), pt("5", 0.2f)))
+    assert(rs.deadMarks.get() === 1L)
+    assert(rs.alive === IndexedSeq(false, true))
+    // dead replicas serve no reads — even when their transport heals,
+    // they are stale until resynced
+    flaky.failWrites = false
+    flaky.failReads = false
+    assert(rs.pointCount("c") === 4L)
+    // further writes skip the dead replica (it would diverge silently)
+    rs.deletePoints("c", Set("4"))
+    assert(ids(flaky.mem) === Seq("1"))
+    // RESYNC: truncate + paged re-upsert from the alive replica
+    // (resyncBatch=2 forces multiple pages), then back in rotation
+    rs.resyncReplica("c", 0)
+    assert(rs.alive === IndexedSeq(true, true))
+    assert(ids(rs.replicas(0)) === Seq("1", "2", "5"))
+    assert(ids(rs.replicas(0)) === ids(rs.replicas(1)))
+    // a whole-set write outage throws
+    val rs2 = new ReplicatedCollectionStore(IndexedSeq(
+      new FlakyReplica(mem(), failWrites = true)))
+    intercept[IllegalStateException] { rs2.upsertPoints("c", Seq(pt("9", 0.1f))) }
+  }
+
+  test("sharded composition: replica sets as shard members — placement x replication") {
+    val shard0 = new ReplicatedCollectionStore(IndexedSeq(
+      new FlakyReplica(mem(), failReads = true), mem()))
+    val shard1 = new ReplicatedCollectionStore(IndexedSeq(mem(), mem()))
+    val sh = new ShardedCollectionStore(IndexedSeq(shard0, shard1))
+    val pts = (1 to 12).map(i => pt(i.toString, i / 12.0f))
+    sh.upsertPoints("c", pts)
+    // every point lands on BOTH replicas of its owning shard
+    assert(shard1.replicas.map(r => ids(r).toSet).distinct.size === 1)
+    // reads through the topology survive shard0's broken replica
+    assert(sh.pointCount("c") === 12L)
+    assert(shard0.readFailovers.get() >= 1L)
+    val got = sh.searchPoints("c", SearchSpec("v", Array(1.0, 0.0),
+      "cosine", 12), withPayload = false, Nil)
+    assert(got.map(_._1.id).toSet === pts.map(_.id).toSet)
+  }
+}
