@@ -163,6 +163,48 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] { rs2.upsertPoints("c", Seq(pt("9", 0.1f))) }
   }
 
+  test("live reshard over replica-set members: migration write-alls, a broken replica never blocks it, replicas stay in sync") {
+    val pts = (0 until 90).map(i => pt(f"$i%03d", (i % 9) / 9.0f, i % 4))
+    def rset(own: Seq[Point], broken: Boolean) =
+      new ReplicatedCollectionStore(IndexedSeq(
+        if (broken) new FlakyReplica(mem(own: _*), failReads = true)
+        else mem(own: _*),
+        mem(own: _*)))
+    val byShard2 = pts.groupBy(p =>
+      ShardedCollectionStore.assignShard(p.id, 2))
+    // shard 0 carries a read-broken replica THROUGHOUT the migration:
+    // the leaver-id pass and the batch fetches must fail over, the
+    // routed delete+upsert must write-all
+    val sh = new ShardedCollectionStore(IndexedSeq(
+      rset(byShard2.getOrElse(0, Nil), broken = true),
+      rset(byShard2.getOrElse(1, Nil), broken = false)))
+    val flat = mem(pts: _*)
+    val spec9 = SearchSpec("v", Array(1.0, 0.1), "cosine", 9)
+    val before = sh.searchPoints("c", spec9, withPayload = false, Nil)
+      .map(t => (t._1.id, t._2))
+    sh.reshard(Seq(rset(Nil, broken = false)))
+    assert(sh.shardCount === 3)
+    // placement invariant per shard, and BOTH replicas of each shard
+    // hold identical post-migration state (write-all reached them both)
+    sh.shards.zipWithIndex.foreach { case (s, i) =>
+      val r = s.asInstanceOf[ReplicatedCollectionStore]
+      val idSets = r.replicas.map {
+        case f: FlakyReplica => ids(f.mem).toSet
+        case o => ids(o).toSet
+      }
+      assert(idSets.distinct.size === 1, s"replicas diverged on shard $i")
+      assert(idSets.head.forall(
+        ShardedCollectionStore.assignShard(_, 3) == i),
+        s"placement invariant broken on shard $i")
+    }
+    val after = sh.searchPoints("c", spec9, withPayload = false, Nil)
+      .map(t => (t._1.id, t._2))
+    assert(after === before)
+    assert(after === flat.searchPoints("c", spec9, withPayload = false, Nil)
+      .map(t => (t._1.id, t._2)))
+    assert(sh.pointCount("c") === 90L)
+  }
+
   test("sharded composition: replica sets as shard members — placement x replication") {
     val shard0 = new ReplicatedCollectionStore(IndexedSeq(
       new FlakyReplica(mem(), failReads = true), mem()))
