@@ -16,7 +16,7 @@ object ScaleProbe {
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-      "sharded", "recallc", "recallc2")
+      "sharded", "recallc", "recallc2", "storehnsw")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1135,6 +1135,77 @@ object ScaleProbe {
     section("recallc2") {
       clusteredRecall("recallc2", n = 20000, dim = 256, nCenters = 64,
         nlist = 32, sampleN = 1024, graphNbits = 64)
+    }
+
+    // the STORE-SERVED HNSW latency curve (round 15): serve cost of the
+    // graph walk vs the exact store scan as the corpus replicates x1-x8
+    // (2k -> 16k rows), unfiltered AND filtered. The walk's cost is
+    // ~ef·m·levels resident-vector touches per segment (flat-ish in
+    // corpus size once segments are resident); the brute serve scans the
+    // corpus. The filtered rows also show the PLANNER crossover: the
+    // narrow filter (label=3, ~10%) rides the exact micro-path below
+    // max(4·window, 1024) matched ids and flips to the accepting walk
+    // as replication pushes it past the dial.
+    section("storehnsw") {
+      import graft.sources.{ParquetCollectionStore, PayloadCondition, PayloadFilter, SearchSpec}
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select(col("vec_id").cast("string").as("id"),
+          to_json(struct(col("label"))).as("payload"),
+          col("embedding").as("vector"))
+      def embN(n: Int): DataFrame = (0 until n).map(i =>
+        emb.select(
+          (col("id").cast("long") + lit(i * 10000000L)).cast("string").as("id"),
+          col("payload"), col("vector"))).reduce(_ union _)
+      val q = emb.filter(col("id") === "7")
+        .select(col("vector").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      val broad = PayloadFilter(
+        Seq(PayloadCondition("label", "lte", "7")), Nil, None)
+      val narrow = PayloadFilter(
+        Seq(PayloadCondition("label", "eq", "3")), Nil, None)
+      for (n <- Seq(1, 2, 4, 8)) {
+        val c = embN(n)
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"probe-hnsw-x$n").toString
+        ParquetCollectionStore.write(c, dir, numFiles = 8)
+        val t0 = System.nanoTime()
+        ParquetCollectionStore.writeHnswSidecar(c, dir, field = "vector",
+          m = 8, efConstruction = 64, numSegments = 4)
+        println(f"[probe] store_hnsw x$n build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        // a count-only label index: the acceptance set resolves from it,
+        // the pre-filter arm cannot (the graph serve owns the filter)
+        ParquetCollectionStore.writePayloadSidecar(c.select("id", "payload"),
+          dir, key = "label", kind = "int")
+        val walk = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor, hnswEf = 64)
+        val brute = new ParquetCollectionStore(dir, "embeddings",
+          graft.collections.Collections.homogeneousDescriptor)
+        time(s"store_hnsw_walk x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            walk.searchPoints("embeddings", spec, withPayload = false,
+              vectorFields = Nil).size.toLong).sum
+        }
+        time(s"store_hnsw_brute x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            brute.searchPoints("embeddings", spec, withPayload = false,
+              vectorFields = Nil).size.toLong).sum
+        }
+        time(s"store_hnsw_filtered_broad x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            walk.searchPointsFiltered("embeddings", spec,
+              withPayload = false, vectorFields = Nil, broad).size.toLong).sum
+        }
+        time(s"store_hnsw_filtered_narrow x$n (5 queries)") {
+          (1 to 5).map(_ =>
+            walk.searchPointsFiltered("embeddings", spec,
+              withPayload = false, vectorFields = Nil, narrow).size.toLong).sum
+        }
+        println(s"[probe] store_hnsw x$n planner: " +
+          s"walks=${walk.hnswFilteredWalkServes.get()} " +
+          s"exact=${walk.hnswFilteredExactServes.get()} " +
+          s"primaries=${walk.filesOpened.get()}")
+      }
     }
 
     section("etl") {
