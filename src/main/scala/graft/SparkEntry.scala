@@ -576,6 +576,27 @@ object SparkEntry {
         Collections.homogeneousDescriptor, hnswEf = 2048)
     })
 
+  /** The EUCLID-metric HNSW fixture: the graph is built under euclid
+    * (negated-distance preference drives the same walk), the meta
+    * records the metric, and the store serves euclid queries from it —
+    * the graph family is metric-complete like the IVF family.
+    */
+  private val parquetHnswEuclidCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHnswEuclidStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHnswEuclidCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hnswe")
+      val df = hom(s, dir).select("id", "payload", "vector")
+        .filter(col("id") =!= "11")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4, metric = "euclid")
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor, hnswEf = 2048)
+    })
+
   /** FILTERED HNSW across the PRODUCTION TOPOLOGY: two rendezvous
     * shards, each a lakehouse member with its OWN per-segment HNSW
     * graphs and count-only label index — one local, one behind a keyed
@@ -2146,6 +2167,26 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // EUCLID served from the graph: the sidecar records its build
+    // metric, the serve matches queries to it, and the walk runs on
+    // negated-distance preference — the graph family is metric-complete
+    // like the IVF family. Ascending merge, exact at this ef
+    "dsv2_parquet_hnsw_euclid" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnswe_store",
+        SparkEntry.parquetHnswEuclidStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 5)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnswe_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "euclid").option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -7175,6 +7216,15 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // euclid HNSW: ascending exact oracle (distance metric)
+    "dsv2_parquet_hnsw_euclid" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 5)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 11
+        |ORDER BY score ASC, id ASC LIMIT 10""".stripMargin,
 
     // replica set with a down node: failover invisible — the plain
     // exact top-k oracle

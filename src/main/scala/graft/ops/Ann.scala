@@ -998,7 +998,7 @@ object Ann {
     */
   def buildHnsw(df: DataFrame, idCol: String, vecCol: String, m: Int = 16,
                 efConstruction: Int = 64, numSegments: Int = 4,
-                seed: Long = 42L): DataFrame = {
+                seed: Long = 42L, metric: String = "cosine"): DataFrame = {
     require(m >= 2, s"buildHnsw needs m >= 2, got $m")
     require(efConstruction >= m,
       s"efConstruction must be >= m, got $efConstruction < $m")
@@ -1012,7 +1012,7 @@ object Ann {
       .as[(Int, String, Seq[Double])]
     assigned.groupByKey(_._1).flatMapGroups { (seg, it) =>
       val pts = it.map(t => (t._2, t._3.toArray)).toIndexedSeq
-      HnswSegment.build(pts, m, efConstruction, seed)
+      HnswSegment.build(pts, m, efConstruction, seed, metric)
         .map { case (lvl, src, nbr) => (seg, lvl, src, nbr) }
     }.toDF("seg", "level", "src", "nbr")
   }
@@ -1028,7 +1028,8 @@ object Ann {
                  vecCol: String, query: Seq[Double], k: Int,
                  efSearch: Int = 64, numSegments: Int = 4,
                  seed: Long = 42L,
-                 accept: String => Boolean = _ => true): DataFrame = {
+                 accept: String => Boolean = _ => true,
+                 metric: String = "cosine"): DataFrame = {
     require(k >= 1 && efSearch >= k,
       s"searchHnsw needs efSearch >= k >= 1, got k=$k efSearch=$efSearch")
     val spark = df.sparkSession
@@ -1045,10 +1046,12 @@ object Ann {
     assigned.groupByKey(_._1).cogroup(es.groupByKey(_._1)) { (_, ns, eIt) =>
       val pts = ns.map(t => (t._2, t._3.toArray)).toIndexedSeq
       val edgeSeq = eIt.map(t => (t._2, t._3, t._4)).toIndexedSeq
-      HnswSegment.search(pts, edgeSeq, q, k, efSearch, seed, accept).iterator
+      HnswSegment.search(pts, edgeSeq, q, k, efSearch, seed, accept,
+        metric).iterator
     }.toDF("id", "sim")
       .withColumn("score", round(col("sim"), 6))
-      .orderBy(col("score").desc, col("id").asc)
+      .orderBy(if (metric == "euclid") col("score").asc else col("score").desc,
+        col("id").asc)
       .limit(k)
       .select(col("id"), col("score"))
   }
@@ -1089,19 +1092,40 @@ private[graft] object HnswSegment {
     math.min(math.floor(-math.log(u) / math.log(m.toDouble)).toInt, 30)
   }
 
+  /** PREFERENCE between two vectors under a metric: HIGHER = closer,
+    * for every metric — euclid negates its distance so ONE ordering
+    * drives every heap in the build and the walk. The magnitudes match
+    * [[graft.sources.SearchSpec.score]]'s arithmetic (callers negate
+    * back for euclid output).
+    */
+  private[graft] def pref(metric: String, va: Array[Double], na: Double,
+                          vb: Array[Double], nb: Double): Double = {
+    val n = math.min(va.length, vb.length)
+    metric match {
+      case "dot" =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += va(i) * vb(i); i += 1 }
+        s
+      case "euclid" =>
+        var s = 0.0; var i = 0
+        while (i < n) { val d = va(i) - vb(i); s += d * d; i += 1 }
+        -math.sqrt(s)
+      case _ =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += va(i) * vb(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0 else s / (na * nb)
+    }
+  }
+
   /** Build one segment's graph; returns (level, src, nbr) edges. */
   def build(pts: IndexedSeq[(String, Array[Double])], m: Int, efC: Int,
-            seed: Long): Iterator[(Int, String, String)] = {
+            seed: Long, metric: String = "cosine"): Iterator[(Int, String, String)] = {
     if (pts.isEmpty) return Iterator.empty
     val n = pts.length
     val vecs = pts.map(_._2)
     val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    def cos(a: Int, b: Int): Double = {
-      val va = vecs(a); val vb = vecs(b)
-      var s = 0.0; var i = 0
-      while (i < va.length) { s += va(i) * vb(i); i += 1 }
-      if (norms(a) == 0.0 || norms(b) == 0.0) 0.0 else s / (norms(a) * norms(b))
-    }
+    def cos(a: Int, b: Int): Double =
+      pref(metric, vecs(a), norms(a), vecs(b), norms(b))
     val levels = pts.indices.map(i => levelOf(pts(i)._1, m, seed))
     // randomized insertion order (seeded permutation) — the paper's
     // prescription against adversarial input order
@@ -1224,17 +1248,15 @@ private[graft] object HnswSegment {
              edges: IndexedSeq[(Int, String, String)],
              query: Array[Double], k: Int, ef: Int,
              seed: Long,
-             accept: String => Boolean = _ => true): Seq[(String, Double)] = {
+             accept: String => Boolean = _ => true,
+             metric: String = "cosine"): Seq[(String, Double)] = {
     if (pts.isEmpty) return Nil
     val idx = pts.iterator.map(_._1).zipWithIndex.toMap
     val qn = math.sqrt(query.map(x => x * x).sum)
     val norms = pts.map(t => math.sqrt(t._2.map(x => x * x).sum))
-    def qs(i: Int): Double = {
-      val v = pts(i)._2
-      var s = 0.0; var j = 0
-      while (j < v.length) { s += v(j) * query(j); j += 1 }
-      if (qn == 0.0 || norms(i) == 0.0) 0.0 else s / (qn * norms(i))
-    }
+    // the walk runs on PREFERENCE (higher = closer under any metric);
+    // the returned score converts back to the metric convention
+    def qs(i: Int): Double = pref(metric, pts(i)._2, norms(i), query, qn)
     // adjacency by (level, node), traversed UNDIRECTED: the build adds
     // links in both directions but the mMax prune can drop one side —
     // or, for an unlucky node, BOTH in-links — orphaning it from a
@@ -1322,6 +1344,9 @@ private[graft] object HnswSegment {
     // descent navigates unfiltered: upper layers route, level 0 answers
     while (lc > 0) { eps = searchLayer(eps, lc, 1, all).take(1); lc -= 1 }
     val w = searchLayer(eps, 0, math.max(ef, k), okId)
-    w.take(k).map(j => (pts(j)._1, qs(j)))
+    w.take(k).map { j =>
+      val s = qs(j)
+      (pts(j)._1, if (metric == "euclid") -s else s)
+    }
   }
 }

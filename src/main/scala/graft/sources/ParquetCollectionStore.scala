@@ -380,7 +380,7 @@ final class ParquetCollectionStore(
     * segments to the executor with the build's numSegments dial).
     */
   private case class HnswSidecar(field: String, builtAt: Long, m: Int,
-                                 segments: Int, seed: Long)
+                                 segments: Int, seed: Long, metric: String)
 
   @transient private lazy val hnswSidecar: Option[HnswSidecar] = {
     val marker = new java.io.File(s"$dir/_hnsw/field.txt")
@@ -389,7 +389,7 @@ final class ParquetCollectionStore(
       val l = new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       Some(HnswSidecar(l(0), l(1).toLong, l(2).toInt, l(4).toInt,
-        l(5).toLong))
+        l(5).toLong, if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"))
     }
   }
 
@@ -433,8 +433,11 @@ final class ParquetCollectionStore(
     }))
   }
 
-  /** Pushed cosine top-k from the per-segment HNSW graphs: every
-    * segment walks ITS graph (greedy descent + beam at
+  /** Pushed top-k from the per-segment HNSW graphs (any engine metric
+    * — the graph is BUILT under one metric, recorded in the meta, and
+    * serves exactly that metric's queries; euclid runs the same walk on
+    * negated-distance preference): every segment walks ITS graph
+    * (greedy descent + beam at
     * max(hnswEf, window)), pages merge, the freshness overlay masks
     * mutated ids and merges the tail exactly like the IVF serve, and
     * the winners' requested pieces fetch from the SEGMENT partitions —
@@ -461,7 +464,7 @@ final class ParquetCollectionStore(
                         vectorFields: Seq[String],
                         pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     hnswSidecar
-      .filter(sc => sc.field == spec.field && spec.metric == "cosine" &&
+      .filter(sc => sc.field == spec.field && spec.metric == sc.metric &&
         spec.sparseIndices.isEmpty)
       .flatMap { sc =>
         if (pfilter.isEmpty) hnswUnfiltered(sc, c, spec, withPayload,
@@ -475,15 +478,17 @@ final class ParquetCollectionStore(
     tailSince(sc.builtAt).map { tail =>
       val window = spec.k + spec.offset + tail.masked.size
       val ef = math.max(hnswEf, window)
+      val desc = SearchSpec.descending(spec.metric)
       val pages = (0 until sc.segments).flatMap { seg =>
         hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
           graft.ops.HnswSegment.search(pts, edges, spec.query, window,
-            ef, sc.seed)
+            ef, sc.seed, metric = spec.metric)
         }
       }
       val top = pages.filter { case (_, s) => spec.passes(s) }
         .sortWith { case ((ia, sa), (ib, sb)) =>
-          if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+          if (sa != sb) { if (desc) sa > sb else sa < sb }
+          else SparkStringOrder.gt(ib, ia)
         }
         .take(window).filterNot { case (id, _) => tail.masked(id) }
       val fetched = hnswFetch(sc, c, top.map(_._1).toSet, withPayload,
@@ -536,14 +541,16 @@ final class ParquetCollectionStore(
             val ef0 = math.max(hnswEf, window)
             val ef = math.min(Int.MaxValue.toLong, math.ceil(
               ef0.toDouble * total / matched.size).toLong).toInt
+            val desc = SearchSpec.descending(spec.metric)
             val top = (0 until sc.segments).flatMap { seg =>
               hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
                 graft.ops.HnswSegment.search(pts, edges, spec.query, window,
-                  ef, sc.seed, accept = matched)
+                  ef, sc.seed, accept = matched, metric = spec.metric)
               }
             }.filter { case (_, s) => spec.passes(s) }
               .sortWith { case ((ia, sa), (ib, sb)) =>
-                if (sa != sb) sa > sb else SparkStringOrder.gt(ib, ia)
+                if (sa != sb) { if (desc) sa > sb else sa < sb }
+                else SparkStringOrder.gt(ib, ia)
               }.take(window)
             val fetched = hnswFetch(sc, c, top.map(_._1).toSet, withPayload,
               vectorFields)
@@ -2011,7 +2018,8 @@ object ParquetCollectionStore {
       writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
         field = l(0), vectorColumn = vecCol, m = l(2).toInt,
         efConstruction = l(3).toInt, numSegments = l(4).toInt,
-        seed = l(5).toLong)
+        seed = l(5).toLong,
+        metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine")
     }
     val ivfMeta = new java.io.File(s"$dir/_ivf/field.txt")
     if (ivfMeta.isFile) {
@@ -2229,7 +2237,9 @@ object ParquetCollectionStore {
   def writeHnswSidecar(df: DataFrame, dir: String, field: String,
                        vectorColumn: String = "vector", m: Int = 16,
                        efConstruction: Int = 64, numSegments: Int = 4,
-                       seed: Long = 42L): Unit = {
+                       seed: Long = 42L, metric: String = "cosine"): Unit = {
+    require(SearchSpec.Metrics(metric),
+      s"unsupported HNSW metric '$metric'")
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val narrowed = df
       .withColumn(vectorColumn, col(vectorColumn).cast(ArrayType(FloatType)))
@@ -2245,13 +2255,13 @@ object ParquetCollectionStore {
         narrowed.select(col("id"),
           col(vectorColumn).cast(ArrayType(DoubleType)).as(vectorColumn)),
         "id", vectorColumn, m = m, efConstruction = efConstruction,
-        numSegments = numSegments, seed = seed)
+        numSegments = numSegments, seed = seed, metric = metric)
       .repartition(col("seg"))
       .write.mode("overwrite").partitionBy("seg")
       .parquet(s"$dir/_hnsw/edges")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
-      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed"
+      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 

@@ -66,6 +66,33 @@ object HnswProperties extends Properties("graft.hnsw") {
       }
     }
 
+  property("euclid graphs serve ascending-distance brute force at exhaustive ef") =
+    forAll(corpusGen) { pts =>
+      val edges = HnswSegment.build(pts, 4, 8, 7L, metric = "euclid")
+        .toIndexedSeq
+      val q = pts.head._2.map(_ + 0.2)
+      val got = HnswSegment.search(pts, edges, q, 5, pts.length + 8, 7L,
+        metric = "euclid")
+      val want = pts.map { case (id, v) =>
+        (id, math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum))
+      }.sortBy(t => (t._2, t._1)).take(5)
+      got.map(_._1) == want.map(_._1) &&
+        got.forall { case (_, s) => s >= 0.0 } // metric convention, not pref
+    }
+
+  property("dot graphs serve descending-dot brute force at exhaustive ef") =
+    forAll(corpusGen) { pts =>
+      val edges = HnswSegment.build(pts, 4, 8, 7L, metric = "dot")
+        .toIndexedSeq
+      val q = pts.last._2
+      val got = HnswSegment.search(pts, edges, q, 5, pts.length + 8, 7L,
+        metric = "dot")
+      val want = pts.map { case (id, v) =>
+        (id, v.zip(q).map { case (a, b) => a * b }.sum)
+      }.sortBy(t => (-t._2, t._1)).take(5)
+      got.map(_._1) == want.map(_._1)
+    }
+
   property("empty accept set returns empty, never junk") =
     forAll(corpusGen) { pts =>
       val edges = HnswSegment.build(pts, 4, 8, 7L).toIndexedSeq
