@@ -1184,6 +1184,11 @@ private[sources] object StoreOptimize {
     case pq: ParquetCollectionStore => pq.optimized(spark, ivfMaxIter)
     case sh: ShardedCollectionStore => sh.optimizeMembers(spark, ivfMaxIter); sh
     case mem: InMemoryCollectionStore => mem // no sidecars to rebuild
+    // before the RemoteCollectionClient arm: the replica wrapper IS one,
+    // but its own verb must fan to every ALIVE replica (each reseals its
+    // own sidecars), not hit the trait's refusing default
+    case rep: ReplicatedCollectionStore =>
+      rep.optimizeReplicas(spark, ivfMaxIter); rep
     case rc: RemoteCollectionClient => rc.optimize(ivfMaxIter); rc
     case al: AliasedCollectionStore =>
       new AliasedCollectionStore(apply(al.inner, spark, ivfMaxIter), al.aliases)

@@ -52,6 +52,13 @@ import graft.collections.CollectionDescriptor
   * MID-STREAM (while the caller drains a `queryPoints` iterator)
   * propagates — the page-level retry belongs to the caller that owns
   * the paging loop.
+  *
+  * Consistency: writes are serialized (one writer at a time through the
+  * wrapper) but a concurrent READ can land between a write's
+  * per-replica applies — two reads racing one write may observe
+  * different replicas mid-apply (eventual read consistency, the
+  * backend's default `read_consistency` level). Once the write returns,
+  * every alive replica holds it.
   */
 final class ReplicatedCollectionStore(
     initial: IndexedSeq[CollectionStore],

@@ -974,6 +974,10 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
     members = fanOut(members) {
       case p: ParquetCollectionStore => p.optimized(spark, ivfMaxIter)
       case sh: ShardedCollectionStore => sh.optimizeMembers(spark, ivfMaxIter); sh
+      // before the wire-client arm: the replica wrapper IS one, but its
+      // verb fans to every ALIVE replica rather than the refusing default
+      case rep: ReplicatedCollectionStore =>
+        rep.optimizeReplicas(spark, ivfMaxIter); rep
       case r: RemoteCollectionClient => r.optimize(ivfMaxIter); r
       case other => other
     }

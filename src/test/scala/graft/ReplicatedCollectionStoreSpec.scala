@@ -205,6 +205,22 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
     assert(sh.pointCount("c") === 90L)
   }
 
+  test("cluster-wide optimize reaches replica sets (fans to alive replicas, skips dead)") {
+    val flaky = new FlakyReplica(mem(pt("1", 0.9f)))
+    val rset = new ReplicatedCollectionStore(
+      IndexedSeq(flaky, mem(pt("1", 0.9f))))
+    flaky.failWrites = true
+    rset.upsertPoints("c", Seq(pt("2", 0.5f))) // marks replica 0 dead
+    assert(rset.alive === IndexedSeq(false, true))
+    val sh = new ShardedCollectionStore(IndexedSeq(rset))
+    // before the StoreOptimize arm, this hit the remote-client trait's
+    // refusing default and threw; now it fans to the alive replicas
+    // (a no-op for in-memory ones) and serving continues
+    sh.optimizeMembers(TestSpark.spark)
+    assert(sh.pointCount("c") === 2L)
+    assert(rset.alive === IndexedSeq(false, true)) // dead stays dead
+  }
+
   test("sharded composition: replica sets as shard members — placement x replication") {
     val shard0 = new ReplicatedCollectionStore(IndexedSeq(
       new FlakyReplica(mem(), failReads = true), mem()))
