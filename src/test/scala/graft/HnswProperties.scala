@@ -93,6 +93,20 @@ object HnswProperties extends Properties("graft.hnsw") {
       got.map(_._1) == want.map(_._1)
     }
 
+  property("filter and euclid compose: accepting walk on a distance graph equals filtered ascending brute") =
+    forAll(corpusGen, Gen.choose(2, 5)) { (pts, mod) =>
+      val edges = HnswSegment.build(pts, 4, 8, 7L, metric = "euclid")
+        .toIndexedSeq
+      val q = pts.head._2.map(_ - 0.1)
+      val acc: String => Boolean = id => id.toInt % mod != 0
+      val got = HnswSegment.search(pts, edges, q, 5, pts.length + 8, 7L,
+        accept = acc, metric = "euclid")
+      val want = pts.filter(t => acc(t._1)).map { case (id, v) =>
+        (id, math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum))
+      }.sortBy(t => (t._2, t._1)).take(5)
+      got.forall(t => acc(t._1)) && got.map(_._1) == want.map(_._1)
+    }
+
   property("empty accept set returns empty, never junk") =
     forAll(corpusGen) { pts =>
       val edges = HnswSegment.build(pts, 4, 8, 7L).toIndexedSeq
