@@ -285,6 +285,7 @@ final class ReplicatedCollectionStore(
       s match {
         case r: RemoteCollectionClient => r.compact(c, upTo); r
         case p: ParquetCollectionStore => p.compacted(c, upTo)
+        case m: InMemoryCollectionStore => m.compacted(c, upTo)
         case other => throw new UnsupportedOperationException(
           s"replica ${other.getClass.getName} keeps no compactable log")
       }

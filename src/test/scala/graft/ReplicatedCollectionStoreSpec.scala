@@ -106,6 +106,10 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
     val got = rs.searchPoints("c", spec2, withPayload = true, Seq("v"))
     assert(got.map(_._1.id) === Seq("1", "2"))
     assert(rs.readFailovers.get() === 0L)
+    // lifecycle write: compact fans to every replica's own journal
+    val head = rs.logSize("c")
+    rs.compact("c", head)
+    rs.replicas.foreach(r => assert(r.logStart("c") === head))
   }
 
   test("read failover: a transport failure moves the sticky preference; one probe, not one per query") {
