@@ -3195,6 +3195,43 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // PLACEMENT x REPLICATION through the connector: two rendezvous
+    // shards, each a replica SET — shard 0's first replica is a wire
+    // client to a dead port. The scatter-gather fans to the shards,
+    // each set serves read-one with failover, and the exact top-k
+    // oracle holds — the full production topology, one bad node,
+    // zero visible effect
+    "dsv2_sharded_replicated_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sh_repl_store", {
+        val frame = hom(s, dir).select("id", "payload", "vector")
+        val sock = new java.net.ServerSocket(0)
+        val deadPort = sock.getLocalPort
+        sock.close()
+        val shards = (0 until 2).map { i =>
+          val own = frame.filter(shardOf2(col("id")) === i)
+          def replica() = InMemoryCollectionStore.fromRows(own,
+            "embeddings", Collections.homogeneousDescriptor)
+          new ReplicatedCollectionStore(
+            if (i == 0) IndexedSeq(
+              new GrpcCollectionStore("127.0.0.1", deadPort), replica())
+            else IndexedSeq(replica(), replica()))
+        }
+        new ShardedCollectionStore(shards)
+      })
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 29)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sh_repl_store")
+        .option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // FILTERED HNSW through the SHARDED topology with a WIRE member:
     // each shard owns per-segment graphs + a count-only label index;
     // the filtered search fans out, every member resolves ITS
@@ -7231,6 +7268,15 @@ object SparkEntry {
     "dsv2_replicated_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 23)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // placement x replication with a down node: the plain exact oracle
+    "dsv2_sharded_replicated_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 29)
         |SELECT CAST(e.vec_id AS VARCHAR) AS id,
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q
