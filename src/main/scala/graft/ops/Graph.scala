@@ -55,21 +55,33 @@ object Graph {
     * rounds (per-iteration checkpointing costs more than it saves at
     * shallow depths; deep runs need the truncation or planning goes
     * quadratic — the [[Dedup.connectedComponents]] trade, parameterized).
-    * The per-iteration rank table is node-sized (model-scale next to the
-    * edge list), so it BROADCASTS into the edge join: the only shuffle
-    * per iteration is the contribution groupBy(dst).
+    * The per-iteration rank table is NODE-sized — for the link-quality
+    * use case (scoring crawled documents) nodes ≈ documents, so it only
+    * broadcasts into the edge join below an explicit node-count cap
+    * (`broadcastMaxNodes`, the [[Ann.exactKnnGraph]] priced-opt-in
+    * discipline). Above the cap the contribution join is a SHUFFLE hash
+    * join against the edge list, which [[materialize]] pre-partitions by
+    * `src` — so per iteration only the node-sized rank table re-shuffles
+    * (plus the contribution groupBy(dst)); the 100-TB edge list never
+    * moves after the materialize.
     */
-  /** Materialized graph structure: checkpointed edges, node set, node
-    * count, and out-degrees — the load-once artifact every graph
-    * algorithm call shares (in production this is the stored adjacency
-    * table; rebuilding it per query would re-shuffle the edge list).
+  /** Materialized graph structure: checkpointed edges (hash-partitioned
+    * by `src` so every iteration's contribution join co-locates against
+    * it shuffle-free), node set, node count, and out-degrees — the
+    * load-once artifact every graph algorithm call shares (in production
+    * this is the stored adjacency table; rebuilding it per query would
+    * re-shuffle the edge list).
     */
   final case class EdgeModel(edges: DataFrame, nodes: DataFrame,
                              n: Long, outdeg: DataFrame)
 
   def materialize(edges: DataFrame): EdgeModel = {
+    // repartition BY src before the checkpoint: the checkpointed RDD
+    // keeps its HashPartitioning, so each pageRank iteration's join on
+    // src re-shuffles only the node-sized rank table, never the edges
     val e = edges.select(col("src").cast(LongType).as("src"),
-      col("dst").cast(LongType).as("dst")).localCheckpoint()
+      col("dst").cast(LongType).as("dst"))
+      .repartition(col("src")).localCheckpoint()
     val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "graph materialize needs a non-empty edge list")
@@ -83,8 +95,17 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int, dampNum: Int): DataFrame =
     pageRank(materialize(edges), iterations, dampNum)
 
+  /** `broadcastMaxNodes`: broadcast the per-iteration rank table into
+    * the edge join only when the graph holds at most this many nodes
+    * (at 8+8 bytes a row, the default ~4M nodes is a few-hundred-MB
+    * executor-side table — the outer edge of a sane per-iteration
+    * broadcast). Bigger graphs take the co-partitioned shuffle join;
+    * the ranks are integer-deterministic either way, so the arm choice
+    * never changes a single output bit (spec-pinned).
+    */
   def pageRank(m: EdgeModel, iterations: Int,
-               dampNum: Int = 85, checkpointEvery: Int = 8): DataFrame = {
+               dampNum: Int = 85, checkpointEvery: Int = 8,
+               broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iterations >= 1, s"pageRank needs iterations >= 1, got $iterations")
     require(dampNum >= 0 && dampNum <= 100,
       s"pageRank damping numerator must be in [0,100], got $dampNum")
@@ -97,11 +118,11 @@ object Graph {
     val outdeg = m.outdeg
     var ranks = nodes.select(col("id"), lit(Scale / n).as("rank"))
     for (i <- 1 to iterations) {
-      val contribs = e
-        .join(broadcast(ranks.join(outdeg, col("id") === col("src"))
-          .select(col("src").as("cs"),
-            expr("rank div outdeg").as("contrib"))),
-          col("src") === col("cs"))
+      val rankContrib = ranks.join(outdeg, col("id") === col("src"))
+        .select(col("src").as("cs"), expr("rank div outdeg").as("contrib"))
+      val perSrc =
+        if (n <= broadcastMaxNodes) broadcast(rankContrib) else rankContrib
+      val contribs = e.join(perSrc, col("src") === col("cs"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("m"))
       ranks = nodes

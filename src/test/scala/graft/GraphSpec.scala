@@ -45,6 +45,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r.length == 1, s"vertex-transitive graph got uneven ranks: ${r.toSeq}")
   }
 
+  test("shuffle-join arm (above the broadcast cap) is bit-identical to the broadcast arm") {
+    val m = Graph.materialize(edges)
+    val small = Graph.pageRank(m, iterations = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val big = Graph.pageRank(m, iterations = 5, broadcastMaxNodes = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    assert(small == big)
+  }
+
+  test("above the node cap no broadcast hint enters the contribution join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+    def hints(df: org.apache.spark.sql.DataFrame): Seq[HintInfo] =
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join => Seq(j.hint.leftHint, j.hint.rightHint).flatten
+      }.flatten
+    val m = Graph.materialize(edges)
+    val below = Graph.pageRank(m, iterations = 1)
+    assert(hints(below).exists(_.strategy.isDefined),
+      "below the cap the rank table should carry the broadcast hint")
+    val above = Graph.pageRank(m, iterations = 1, broadcastMaxNodes = 0L)
+    assert(!hints(above).exists(_.strategy.isDefined),
+      "above the cap no join may be hinted broadcast — the rank table is node-sized")
+  }
+
   test("undirectedEdges offsets the dst id space and emits both directions") {
     val e = Graph.undirectedEdges(Seq((1L, 1L)).toDF("a", "b"), "a", "b",
       dstOffset = 100L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
