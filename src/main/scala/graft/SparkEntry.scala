@@ -2148,12 +2148,14 @@ object SparkEntry {
     // seam (/root/reference/tests/bin/config.yaml:169-191 fronts exactly
     // this index): the label condition resolves to an exact id set from
     // the payload index's value partitions (id columns only), and the
-    // serve plans by its cardinality — a broad filter (label<=7, ~80%)
-    // rides the ACCEPTING WALK (every node navigates, only matching ids
-    // enter the beam, ef widened by the inverse match fraction), a
-    // narrow one the exact micro-path. The count-only label index can't
-    // feed the pre-filter arm, so the graph serve owns the filter; the
-    // exact filtered oracle must hold either way.
+    // serve plans by COST — the ACCEPTING WALK (every node navigates,
+    // only matching ids enter the beam, ef widened by the inverse match
+    // fraction) only when the matched set exceeds the widened beam it
+    // would visit, the exact micro-path otherwise (at this fixture's
+    // generous ef the broad ~80% filter itself sits under the widened
+    // beam at sf0.01 and rides the walk at sf0.1 — both arms hold the
+    // same exact oracle). The count-only label index can't feed the
+    // pre-filter arm, so the graph serve owns the filter.
     "dsv2_parquet_hnsw_filtered" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("pq_hnswf_store",

@@ -1253,6 +1253,13 @@ private[graft] object HnswSegment {
     if (pts.isEmpty) return Nil
     val idx = pts.iterator.map(_._1).zipWithIndex.toMap
     val qn = math.sqrt(query.map(x => x * x).sum)
+    val cosineMetric = metric != "dot" && metric != "euclid"
+    // zero-norm cosine agrees with SearchSpec.score's None: such points
+    // (and a zero query) cannot rank — both planner arms and the exact
+    // paths drop them, so filtered serves never disagree on degenerate
+    // corpora. They still NAVIGATE (pref scores them 0.0), keeping the
+    // graph connected.
+    if (cosineMetric && qn == 0.0) return Nil
     val norms = pts.map(t => math.sqrt(t._2.map(x => x * x).sum))
     // the walk runs on PREFERENCE (higher = closer under any metric);
     // the returned score converts back to the metric convention
@@ -1338,7 +1345,8 @@ private[graft] object HnswSegment {
       res.toSeq.sortBy(t => (-t._1, pts(t._2)._1)).map(_._2)
     }
     val all: Int => Boolean = _ => true
-    val okId: Int => Boolean = i => accept(pts(i)._1)
+    val okId: Int => Boolean = i => accept(pts(i)._1) &&
+      (!cosineMetric || norms(i) != 0.0)
     var eps: Seq[Int] = Seq(entry)
     var lc = entryLevel
     // descent navigates unfiltered: upper layers route, level 0 answers

@@ -393,6 +393,15 @@ final class ParquetCollectionStore(
     }
   }
 
+  /** SERVE-memory model: every query fans over all segments, so a
+    * store serving HNSW lazily caches EVERY segment's vectors + edges
+    * in its JVM. `numSegments` bounds BUILD memory (one segment's graph
+    * per task), NOT serve memory per store — the serve-side lever is
+    * SHARDING: a store is one node's slice, and a corpus bigger than
+    * one node's RAM splits across [[ShardedCollectionStore]] members,
+    * each resident for its own slice (exactly a real HNSW backend's
+    * per-node serving model).
+    */
   @transient private lazy val hnswSegCache = scala.collection.concurrent
     .TrieMap.empty[Int, (IndexedSeq[(String, Array[Double])],
       IndexedSeq[(Int, String, String)], ParquetCollectionStore)]
@@ -516,7 +525,20 @@ final class ParquetCollectionStore(
         val matched = ids0 -- tail.masked
         val window = spec.k + spec.offset + tail.masked.size
         val fresh = tailScored(tail, spec, withPayload, vectorFields, pfilter)
-        val exactMax = math.max(4L * window,
+        // COST-BASED arm choice: the walk widens ef by the inverse match
+        // fraction, so whenever the matched set is no bigger than the
+        // widened beam the walk would visit (~ef nodes), exact-scoring
+        // the matched ids is both cheaper AND exact — take the micro
+        // arm. The fixed floor keeps tiny sets exact even when ef is
+        // small. Kills the mid-selectivity band where the widened walk
+        // visits more nodes than the answer set holds (e.g. 10k matched
+        // of 1e9 total: ef widens to ~6.4M while exact scores 10k).
+        val total = math.max(pointCount(collection), 1L)
+        val ef0 = math.max(hnswEf, window)
+        val widenedEf = math.min(Int.MaxValue.toLong,
+          if (matched.isEmpty) 0L
+          else math.ceil(ef0.toDouble * total / matched.size).toLong)
+        val exactMax = math.max(math.max(4L * window, widenedEf),
           ParquetCollectionStore.hnswFilteredExactMax.toLong)
         val page: Seq[(Point, Double)] =
           if (matched.isEmpty) Nil
@@ -537,10 +559,7 @@ final class ParquetCollectionStore(
             }
           } else {
             hnswFilteredWalkServes.incrementAndGet(): Unit
-            val total = math.max(pointCount(collection), 1L)
-            val ef0 = math.max(hnswEf, window)
-            val ef = math.min(Int.MaxValue.toLong, math.ceil(
-              ef0.toDouble * total / matched.size).toLong).toInt
+            val ef = widenedEf.toInt
             val desc = SearchSpec.descending(spec.metric)
             val top = (0 until sc.segments).flatMap { seg =>
               hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
@@ -584,15 +603,18 @@ final class ParquetCollectionStore(
     * filtered queries reuse the resolution until a mutation moves the
     * head.
     */
+  // keyed on the STRUCTURAL filter (case-class equality), not its
+  // describe string — a filter value containing describe syntax must
+  // never collide with a structurally different filter
   @transient private lazy val hnswIdCache = scala.collection.concurrent
-    .TrieMap.empty[(String, Long), Option[(Set[String], Long)]]
+    .TrieMap.empty[(PayloadFilter, Long), Option[(Set[String], Long)]]
 
   private def indexResolvedIds(pfilter: PayloadFilter): Option[(Set[String], Long)] = {
     if (pfilter.must.isEmpty || pfilter.mustNot.nonEmpty ||
       pfilter.minShould.nonEmpty) return None
     val head = if (logEnabled) ParquetLog.head(logDir) else 0L
     if (hnswIdCache.size > 64) hnswIdCache.clear()
-    hnswIdCache.getOrElseUpdate((pfilter.describe, head), {
+    hnswIdCache.getOrElseUpdate((pfilter, head), {
       val arms = indexArms(pfilter)
       if (!pfilter.must.forall(c => arms.exists(_.sc.servable(c)))) None
       else {

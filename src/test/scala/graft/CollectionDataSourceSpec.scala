@@ -1686,9 +1686,12 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // cannot serve it, so the graph serve's own planner owns the filter
     ParquetCollectionStore.writePayloadSidecar(df.select("id", "payload"),
       dir, key = "g", kind = "int")
-    // ef past the segment size: the walk is exhaustive over its
-    // reachable component — exactness is assertable, not hoped-for
-    val store = new ParquetCollectionStore(dir, "h", desc, hnswEf = 4096)
+    // ef sized so the broad filter's WIDENED beam (ef·total/matched =
+    // 1000·2000/1500 = 1334) stays below the matched set (1500) — the
+    // cost-based planner keeps the walk arm — while still exceeding the
+    // segment size (~1000), so the walk is exhaustive over its
+    // reachable component and exactness is assertable, not hoped-for
+    val store = new ParquetCollectionStore(dir, "h", desc, hnswEf = 1000)
     val brute = new ParquetCollectionStore(dir, "h", desc)
     val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 5)
     def both(st: ParquetCollectionStore, b: ParquetCollectionStore,
@@ -1713,6 +1716,17 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.hnswFilteredWalkServes.get() === 1L)
     assert(store.hnswSegmentsLoaded.get() === 2L)
     assert(store.filesOpened.get() === 0L)
+    // COST CROSSOVER: the same broad filter under a GENEROUS ef flips
+    // to the exact micro-arm — the widened beam (4096·2000/1500 ≈ 5462)
+    // would visit more nodes than the 1,500-id matched set holds, so
+    // exact-scoring the acceptance set is the cheaper plan (and exact
+    // outright). Counter-asserted: no walk, no graph load.
+    val storeGen = new ParquetCollectionStore(dir, "h", desc, hnswEf = 4096)
+    both(storeGen, brute, PayloadFilter(
+      Seq(PayloadCondition("g", "gte", "1")), Nil, None))
+    assert(storeGen.hnswFilteredExactServes.get() === 1L)
+    assert(storeGen.hnswFilteredWalkServes.get() === 0L)
+    assert(storeGen.hnswSegmentsLoaded.get() === 0L)
     // FRESHNESS: a new best-matching point upserts, the current winner
     // deletes — acceptance set, walk page, and tail must compose with
     // no rebuild (matched ids as-of build, masked ids re-scored from

@@ -107,6 +107,19 @@ object HnswProperties extends Properties("graft.hnsw") {
       got.forall(t => acc(t._1)) && got.map(_._1) == want.map(_._1)
     }
 
+  property("zero-norm cosine points are dropped from results (SearchSpec.score's None), zero query returns empty") =
+    forAll(corpusGen) { pts =>
+      val dim = pts.head._2.length
+      val withZero = pts :+ ("zzzz", Array.fill(dim)(0.0))
+      val edges = HnswSegment.build(withZero, 4, 8, 7L).toIndexedSeq
+      val q = pts.head._2.map(_ + 0.1)
+      val got = HnswSegment.search(withZero, edges, q, withZero.length,
+        withZero.length + 8, 7L)
+      !got.exists(_._1 == "zzzz") &&
+        HnswSegment.search(withZero, edges, Array.fill(dim)(0.0), 3, 64,
+          7L).isEmpty
+    }
+
   property("empty accept set returns empty, never junk") =
     forAll(corpusGen) { pts =>
       val edges = HnswSegment.build(pts, 4, 8, 7L).toIndexedSeq
