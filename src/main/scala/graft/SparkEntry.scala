@@ -576,6 +576,42 @@ object SparkEntry {
         Collections.homogeneousDescriptor, hnswEf = 2048)
     })
 
+  /** The INCREMENTAL-INSERT HNSW fixture: seal the corpus with the
+    * graph sidecar and a changelog, then upsert NEW points — the store
+    * absorbs the batch into the per-segment graphs via the sequential
+    * insert path (counter-proved: every point graph-inserted, so the
+    * freshness overlay is EMPTY and post-upsert serves walk the graphs,
+    * never brute-rescore a tail) — the backend's online HNSW insert
+    * between optimizes.
+    */
+  private val parquetHnswFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHnswFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHnswFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hnswfresh")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", Collections.homogeneousDescriptor, hnswEf = 2048)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val mutated = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.hnswIncInserts.get() == adds.length.toLong,
+        "the fresh batch must be absorbed into the graphs, not parked " +
+          "on the overlay tail")
+      mutated
+    })
+
   /** The EUCLID-metric HNSW fixture: the graph is built under euclid
     * (negated-distance preference drives the same walk), the meta
     * records the metric, and the store serves euclid queries from it —
@@ -2207,6 +2243,29 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_hnswf_store").option("collection", "embeddings")
         .option("filter", "label:eq:3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL HNSW INSERT: new points upserted AFTER the graph
+    // build are absorbed into the per-segment graphs by the sequential
+    // insert path (the backend's online HNSW maintenance — the fixture
+    // REQUIRES every batch point was graph-inserted), so this search
+    // runs post-mutation with an EMPTY overlay tail: pure graph walk,
+    // no tail brute-rescore, and the new points rank exactly where the
+    // brute oracle puts them
+    "dsv2_parquet_hnsw_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnswfr_store",
+        SparkEntry.parquetHnswFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 19)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnswfr_store").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -7255,6 +7314,24 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // incremental HNSW insert: post-upsert graph serve must rank the
+    // absorbed points exactly where brute force over corpus+batch does
+    "dsv2_parquet_hnsw_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 19),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // euclid HNSW: ascending exact oracle (distance metric)
     "dsv2_parquet_hnsw_euclid" ->

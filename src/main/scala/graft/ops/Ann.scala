@@ -1073,6 +1073,21 @@ private[graft] object HnswSegment {
     pmod(xxhash64(concat(id.cast(StringType), lit(s"#hnswseg$seed"))),
       lit(numSegments)).cast(IntegerType)
 
+  /** The SAME seeded segment hash evaluated driver/store-side (the
+    * incremental-insert path routes one upserted point without a Spark
+    * job) — the Catalyst XxHash64 expression itself, so the two forms
+    * cannot drift (spec-pinned equal to [[segCol]]).
+    */
+  def segOf(id: String, numSegments: Int, seed: Long): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"$id#hnswseg$seed"),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, numSegments.toLong).toInt
+  }
+
   private def md5Bytes(s: String): Array[Byte] =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1117,26 +1132,35 @@ private[graft] object HnswSegment {
     }
   }
 
-  /** Build one segment's graph; returns (level, src, nbr) edges. */
-  def build(pts: IndexedSeq[(String, Array[Double])], m: Int, efC: Int,
-            seed: Long, metric: String = "cosine"): Iterator[(Int, String, String)] = {
-    if (pts.isEmpty) return Iterator.empty
-    val n = pts.length
-    val vecs = pts.map(_._2)
-    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+  /** The seeded insertion-order sort key — shared by the full build and
+    * the incremental insert so a batch of new points always enters in
+    * the same (randomized, deterministic) order.
+    */
+  private def insKey(id: String, seed: Long): (Int, String) =
+    (java.util.Arrays.hashCode(md5Bytes(s"$id#hnswins$seed")), id)
+
+  /** The mutable per-segment graph state plus the paper's three
+    * primitives (layer beam search, neighbor-select heuristic, per-point
+    * insert) — one implementation driving BOTH the full build and the
+    * incremental insert path, so an inserted point takes exactly the
+    * code path a built point took.
+    */
+  private final class GraphBuilder(
+      pts: IndexedSeq[(String, Array[Double])], m: Int, efC: Int,
+      seed: Long, metric: String) {
+    private val vecs = pts.map(_._2)
+    private val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     def cos(a: Int, b: Int): Double =
       pref(metric, vecs(a), norms(a), vecs(b), norms(b))
-    val levels = pts.indices.map(i => levelOf(pts(i)._1, m, seed))
-    // randomized insertion order (seeded permutation) — the paper's
-    // prescription against adversarial input order
-    val order = pts.indices.sortBy(i =>
-      java.util.Arrays.hashCode(md5Bytes(s"${pts(i)._1}#hnswins$seed")) ->
-        pts(i)._1)
+    val levels: IndexedSeq[Int] =
+      pts.indices.map(i => levelOf(pts(i)._1, m, seed))
     // adjacency per node per level (level 0..levels(i))
-    val adj = Array.tabulate(n)(i =>
-      Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
-    var entry = -1
-    var entryLevel = -1
+    val adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]] =
+      Array.tabulate(pts.length)(i => Array.fill(levels(i) + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Int]))
+    var entry: Int = -1
+    var entryLevel: Int = -1
+
     def searchLayer(qi: Int, eps: Seq[Int], lc: Int, ef: Int): Seq[Int] = {
       val visited = scala.collection.mutable.HashSet.empty[Int]
       // max-heap of candidates, min-heap of results; id tiebreaks keep
@@ -1158,7 +1182,7 @@ private[graft] object HnswSegment {
         val (cs, c) = cand.dequeue()
         if (res.size >= ef && cs < res.head._1) done = true
         else {
-          adj(c)(lc).foreach { nb =>
+          if (lc < adj(c).length) adj(c)(lc).foreach { nb =>
             if (visited.add(nb)) {
               val s = cos(qi, nb)
               if (res.size < ef || s > res.head._1) {
@@ -1171,6 +1195,7 @@ private[graft] object HnswSegment {
       }
       res.toSeq.sortBy(t => (-t._1, pts(t._2)._1)).map(_._2)
     }
+
     // the paper's SELECT-NEIGHBORS-HEURISTIC (Alg. 4) + keep-pruned-
     // connections: take candidates best-first, keep e only if it is
     // closer to q than to every neighbor already kept (diverse
@@ -1192,7 +1217,12 @@ private[graft] object HnswSegment {
       while (kept.size < budget && it.hasNext) kept += it.next()
       kept.toSeq
     }
-    order.foreach { i =>
+
+    /** The paper's INSERT: greedy descent above the node's level,
+      * efConstruction beam per layer on the way down, bidirectional
+      * links pruned to mMax.
+      */
+    def insert(i: Int): Unit = {
       val l = levels(i)
       if (entry < 0) { entry = i; entryLevel = l }
       else {
@@ -1224,11 +1254,79 @@ private[graft] object HnswSegment {
         if (l > entryLevel) { entry = i; entryLevel = l }
       }
     }
-    pts.indices.iterator.flatMap { i =>
+
+    /** One node's stored edge rows: (level, src, nbr). */
+    def edgesOf(i: Int): Iterator[(Int, String, String)] =
       adj(i).indices.iterator.flatMap { lvl =>
         adj(i)(lvl).distinct.iterator.map(j => (lvl, pts(i)._1, pts(j)._1))
       }
+  }
+
+  /** Build one segment's graph; returns (level, src, nbr) edges. */
+  def build(pts: IndexedSeq[(String, Array[Double])], m: Int, efC: Int,
+            seed: Long, metric: String = "cosine"): Iterator[(Int, String, String)] = {
+    if (pts.isEmpty) return Iterator.empty
+    val g = new GraphBuilder(pts, m, efC, seed, metric)
+    // randomized insertion order (seeded permutation) — the paper's
+    // prescription against adversarial input order
+    pts.indices.sortBy(i => insKey(pts(i)._1, seed)).foreach(g.insert)
+    pts.indices.iterator.flatMap(g.edgesOf)
+  }
+
+  /** INCREMENTAL insert — the backend's online graph maintenance
+    * (qdrant's HNSW is incremental by construction; the reference's
+    * config thresholds, /root/reference/tests/bin/config.yaml:169-191,
+    * exist precisely for it): reconstruct the segment's graph state
+    * from its stored points + edges, run the SAME per-point insert loop
+    * over the new points (seeded order within the batch), and return
+    * ONLY the new nodes' edge rows — an append beside the stored edge
+    * files.
+    *
+    * Reconstruction details, and why serve-side soundness holds:
+    *  - levels recompute from the seeded level draw (deterministic per
+    *    id), so no level metadata needs persisting;
+    *  - the entry node is the max-level node (smallest id tiebreak) —
+    *    any top-level node navigates; [[search]] derives its own entry
+    *    the same way;
+    *  - the insert loop may PRUNE an existing node's adjacency in
+    *    memory, but stored base edges are immutable — only the new
+    *    nodes' rows are appended. The served graph is therefore a
+    *    SUPERGRAPH of the builder's state (never missing a link), and
+    *    since [[search]] walks edges undirected, reachability only
+    *    improves; degree can sit slightly above mMax near inserts until
+    *    the next offline rebuild re-prunes (exactly the backend's
+    *    optimizer role).
+    */
+  def insertInto(existing: IndexedSeq[(String, Array[Double])],
+                 edges: IndexedSeq[(Int, String, String)],
+                 added: IndexedSeq[(String, Array[Double])],
+                 m: Int, efC: Int, seed: Long,
+                 metric: String = "cosine"): Iterator[(Int, String, String)] = {
+    if (added.isEmpty) return Iterator.empty
+    if (existing.isEmpty) return build(added, m, efC, seed, metric)
+    val pts = existing ++ added
+    val g = new GraphBuilder(pts, m, efC, seed, metric)
+    val idx = existing.iterator.map(_._1).zipWithIndex.toMap
+    edges.foreach { case (lvl, s, t) =>
+      (idx.get(s), idx.get(t)) match {
+        case (Some(si), Some(ti)) if lvl < g.adj(si).length =>
+          g.adj(si)(lvl) += ti
+        case _ => // an edge of a dropped point — skip
+      }
     }
+    var e = 0
+    var i = 1
+    while (i < existing.length) {
+      if (g.levels(i) > g.levels(e) ||
+        (g.levels(i) == g.levels(e) && pts(i)._1 < pts(e)._1)) e = i
+      i += 1
+    }
+    g.entry = e
+    g.entryLevel = g.levels(e)
+    val base = existing.length
+    added.indices.sortBy(i => insKey(added(i)._1, seed))
+      .foreach(i => g.insert(base + i))
+    (base until pts.length).iterator.flatMap(g.edgesOf)
   }
 
   /** Serve one segment: greedy descent from the segment's top node,

@@ -364,6 +364,17 @@ final class ParquetCollectionStore(
   /** Filtered serves answered by the accepting graph walk (specs). */
   @transient lazy val hnswFilteredWalkServes = new AtomicLong(0L)
 
+  /** Points absorbed into the per-segment graphs by the incremental
+    * insert path (specs — proves post-upsert serves are graph-served).
+    */
+  @transient lazy val hnswIncInserts = new AtomicLong(0L)
+
+  /** Tail points BRUTE-rescored by an HNSW serve's freshness overlay
+    * (specs — zero after an absorbed insert batch: the graph is
+    * current, no tail leg runs).
+    */
+  @transient lazy val hnswTailRescored = new AtomicLong(0L)
+
   /** The insertion-order HNSW sidecar, when
     * [[ParquetCollectionStore.writeHnswSidecar]] laid one down under
     * `dir/_hnsw` AND this store was opened with `hnswEf > 0`: the
@@ -379,8 +390,16 @@ final class ParquetCollectionStore(
     * adjacency — exactly a real HNSW backend's serving model; size
     * segments to the executor with the build's numSegments dial).
     */
+  /** `insertedAt`: the log position up to which the graphs are CURRENT
+    * — advanced past `builtAt` by the incremental insert path (every
+    * new-id upsert batch absorbed into the per-segment graphs), reset
+    * to `builtAt` by a rebuild. The freshness overlay replays only the
+    * tail past it, so an append-only collection serves graph-walked
+    * with an EMPTY tail between optimizes.
+    */
   private case class HnswSidecar(field: String, builtAt: Long, m: Int,
-                                 segments: Int, seed: Long, metric: String)
+                                 segments: Int, seed: Long, metric: String,
+                                 insertedAt: Long)
 
   @transient private lazy val hnswSidecar: Option[HnswSidecar] = {
     val marker = new java.io.File(s"$dir/_hnsw/field.txt")
@@ -388,8 +407,16 @@ final class ParquetCollectionStore(
     else {
       val l = new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      Some(HnswSidecar(l(0), l(1).toLong, l(2).toInt, l(4).toInt,
-        l(5).toLong, if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"))
+      val builtAt = l(1).toLong
+      val ins = new java.io.File(s"$dir/_hnsw/inserted.txt")
+      val insertedAt =
+        if (!ins.isFile) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      Some(HnswSidecar(l(0), builtAt, l(2).toInt, l(4).toInt,
+        l(5).toLong, if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine",
+        insertedAt))
     }
   }
 
@@ -484,7 +511,8 @@ final class ParquetCollectionStore(
   private def hnswUnfiltered(sc: HnswSidecar, c: String, spec: SearchSpec,
                              withPayload: Boolean, vectorFields: Seq[String],
                              pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
-    tailSince(sc.builtAt).map { tail =>
+    tailSince(sc.insertedAt).map { tail =>
+      hnswTailRescored.addAndGet(tail.added.size): Unit
       val window = spec.k + spec.offset + tail.masked.size
       val ef = math.max(hnswEf, window)
       val desc = SearchSpec.descending(spec.metric)
@@ -519,9 +547,10 @@ final class ParquetCollectionStore(
                            withPayload: Boolean, vectorFields: Seq[String],
                            pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     indexResolvedIds(pfilter).flatMap { case (ids0, armBuilt) =>
-      val overlayAt = Seq(sc.builtAt, armBuilt).filter(_ >= 0)
+      val overlayAt = Seq(sc.insertedAt, armBuilt).filter(_ >= 0)
         .reduceOption(_ min _).getOrElse(-1L)
       tailSince(overlayAt).map { tail =>
+        hnswTailRescored.addAndGet(tail.added.size): Unit
         val matched = ids0 -- tail.masked
         val window = spec.k + spec.offset + tail.masked.size
         val fresh = tailScored(tail, spec, withPayload, vectorFields, pfilter)
@@ -1677,6 +1706,14 @@ final class ParquetCollectionStore(
       .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
     val metas = fileMetas
     val fields = descriptor.fields.map(_.name)
+    val oldHead = ParquetLog.head(logDir)
+    // HNSW incremental-insert eligibility needs to know which incoming
+    // ids already exist — read BEFORE the COW rewrite (footer-pruned
+    // point lookup, bounded by the batch's id ranges)
+    val preExisting: Set[String] =
+      if (!hnswInsertTracking(oldHead)) deduped.map(_.id).toSet
+      else queryPoints(c, 0L, pointCount(c), withPayload = false, Nil,
+        None, idFilter = Some(deduped.map(_.id).toSet)).map(_.id).toSet
     if (metas.isEmpty) {
       ParquetLog.writePrimary(new java.io.File(dir, "part-00000.parquet"),
         deduped, rowCodec)
@@ -1693,9 +1730,124 @@ final class ParquetCollectionStore(
             rowCodec)
       }
     }
-    ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
-      deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec): Unit
+    val newHead = ParquetLog.appendSegment(logDir, oldHead,
+      deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec)
+    hnswAbsorb(deduped, oldHead, newHead, preExisting)
     reopened
+  }
+
+  // ---------------------------------------- incremental HNSW insert --
+
+  /** Where the graphs are current up to, independent of `hnswEf` (the
+    * MAINTENANCE path runs on any instance of a dir carrying the
+    * sidecar; serving is what the ef dial gates). -1 = no sidecar or a
+    * legacy meta without a build position (nothing to maintain).
+    */
+  private def hnswInsertedAt: Long = {
+    val marker = new java.io.File(s"$dir/_hnsw/field.txt")
+    if (!marker.isFile) -1L
+    else {
+      val l = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      if (l.length < 2 || l(1).isEmpty) -1L
+      else {
+        val builtAt = l(1).toLong
+        val ins = new java.io.File(s"$dir/_hnsw/inserted.txt")
+        if (!ins.isFile) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    }
+  }
+
+  /** The graphs can absorb a batch only while they are current up to
+    * the pre-batch log head — one unabsorbed mutation (an update, a
+    * delete, a legacy gap) parks maintenance until the next offline
+    * rebuild reseals; serving stays exact throughout via the overlay.
+    */
+  private def hnswInsertTracking(oldHead: Long): Boolean =
+    hnswInsertedAt == oldHead
+
+  /** Absorb a NEW-ID upsert batch into the per-segment graphs — the
+    * backend's online HNSW insert (its config's indexing thresholds,
+    * /root/reference/tests/bin/config.yaml:169-191, exist precisely for
+    * this): route each point by the seeded segment hash, run the SAME
+    * sequential insert loop the build ran ([[graft.ops.HnswSegment
+    * .insertInto]]), append the new points (store row layout) and the
+    * new nodes' edges beside the segment's base files, and advance
+    * `_hnsw/inserted.txt` to the batch's log end — the next serve
+    * overlays an EMPTY tail instead of brute-rescoring the batch.
+    *
+    * Eligibility — absorbed only when ALL hold, else the batch serves
+    * from the log-tail overlay exactly as before (never wrong, only
+    * unabsorbed until the next optimize):
+    *  - the graphs are current up to the pre-batch head (no unabsorbed
+    *    update/delete sits between — an absorbed graph state must equal
+    *    the primaries' state);
+    *  - every id in the batch is NEW (an update would need a node
+    *    replacement, which only the offline rebuild does — the
+    *    backend's optimizer role);
+    *  - every point carries the indexed dense field.
+    *
+    * Cost: one segment-state load per TOUCHED segment per batch, O(its
+    * points + edges) — chunky ingest batches amortize it; the per-point
+    * insert itself is the standard HNSW log-N walk.
+    */
+  private def hnswAbsorb(deduped: IndexedSeq[Point], oldHead: Long,
+                         newHead: Long, preExisting: Set[String]): Unit = {
+    if (!hnswInsertTracking(oldHead) || preExisting.nonEmpty) return
+    val l = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_hnsw/field.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val (field, m, efC, nseg, seed) =
+      (l(0), l(2).toInt, l(3).toInt, l(4).toInt, l(5).toLong)
+    val metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"
+    if (!deduped.forall(_.dense.contains(field))) return
+    deduped.groupBy(p => graft.ops.HnswSegment.segOf(p.id, nseg, seed))
+      .foreach { case (seg, batch) =>
+        val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
+        val (pts, edges) =
+          if (!segDir.isDirectory)
+            (IndexedSeq.empty[(String, Array[Double])],
+              IndexedSeq.empty[(Int, String, String)])
+          else {
+            val st = new ParquetCollectionStore(segDir.getAbsolutePath,
+              collection, descriptor)
+            val p = st.queryPoints(collection, 0L,
+                st.pointCount(collection), withPayload = false, Seq(field),
+                None)
+              .flatMap(p => p.dense.get(field).map(v =>
+                (p.id, v.map(_.toDouble))))
+              .toIndexedSeq
+            val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+            val e = Option(edir.listFiles()).getOrElse(Array.empty)
+              .toIndexedSeq
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .flatMap(f => ParquetLog.readEdgeRows(f.getAbsolutePath))
+            (p, e)
+          }
+        val newPts = batch.map(p =>
+          (p.id, p.dense(field).map(_.toDouble))).toIndexedSeq
+        val newEdges = graft.ops.HnswSegment.insertInto(pts, edges, newPts,
+          m, efC, seed, metric).toSeq
+        segDir.mkdirs()
+        ParquetLog.writePrimary(
+          new java.io.File(segDir, f"inc-$newHead%012d.parquet"),
+          batch.sortWith((a, b) => SparkStringOrder.lt(a.id, b.id)),
+          rowCodec)
+        if (newEdges.nonEmpty) {
+          val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+          edir.mkdirs()
+          ParquetLog.writeEdgeRows(
+            new java.io.File(edir, f"inc-$newHead%012d.parquet"), newEdges)
+        }
+        hnswIncInserts.addAndGet(batch.size): Unit
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
+      newHead.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** DELETE by id set: rewrite only the primary files whose range can
@@ -2285,6 +2437,10 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
       s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path had appended
+    // — the insert watermark resets to the fresh build position
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
   }
 
   def writeSparseSidecar(df: DataFrame, dir: String, field: String,

@@ -459,6 +459,26 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** Seal HNSW edge rows as ONE parquet file — the incremental-insert
+    * append unit beside the Spark-written base edge files (same column
+    * names, so [[readEdgeRows]] decodes either writer's files).
+    */
+  def writeEdgeRows(dest: File, rows: Seq[(Int, String, String)]): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT32).named("level")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("src")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("nbr")
+      .named("graft_hnsw_edges")
+    val fac = new SimpleGroupFactory(schema)
+    writeGroups(dest, schema, rows.iterator.map { case (lvl, s, t) =>
+      val g = fac.newGroup()
+      g.add("level", lvl); g.add("src", s); g.add("nbr", t)
+      g
+    })
+  }
+
   /** One HNSW edge row per (level, src, nbr) — the HNSW sidecar's
     * stored adjacency shape.
     */

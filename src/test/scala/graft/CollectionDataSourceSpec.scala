@@ -1763,6 +1763,132 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store.filesOpened.get() > before)
   }
 
+  test("incremental HNSW insert: new-id batches absorb into the graphs, serve with an empty tail, match a rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnswinc").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 2000).map { i =>
+      val a = i * 0.003
+      (f"$i%04d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    val store = new ParquetCollectionStore(dir, "h", desc, hnswEf = 4096)
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 10)
+    // NEW ids with vectors hugging the query direction: absorbed points
+    // must WIN the post-upsert search, which proves the graph serves
+    // them (a stale graph would miss them entirely at empty tail)
+    val qa = math.atan2(0.2, 1.0)
+    val adds = (1 to 8).map { i =>
+      val a = qa + i * 2e-4
+      Point(f"95$i%02d", Some(s"""{"g":${i % 4}}"""),
+        dense = Map("vector" ->
+          Array(math.cos(a).toFloat, math.sin(a).toFloat)))
+    }.toIndexedSeq
+    val mutated = store.appended("h", adds)
+    assert(store.hnswIncInserts.get() === 8L)
+    assert(new java.io.File(s"$dir/_hnsw/inserted.txt").isFile)
+    val got = mutated.searchPoints("h", spec0, withPayload = false, Nil)
+    // graph-served end to end: no tail brute-rescore, primaries closed
+    assert(mutated.hnswTailRescored.get() === 0L)
+    assert(mutated.filesOpened.get() === 0L)
+    assert(mutated.hnswSegmentsLoaded.get() > 0L)
+    val brute = new ParquetCollectionStore(dir, "h", desc)
+    assert(got.map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    assert(got.map(_._1.id).count(_.startsWith("95")) === 8)
+    // insert-then-search ≡ rebuild-then-search at an HONEST ef (16,
+    // not exhaustive): recall@10 of the incrementally grown graph must
+    // match the offline rebuild's on the same final corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hnswinc2").toString
+    val addsDf = adds.map(p => (p.id, p.payload.get,
+      p.dense("vector"))).toDF("id", "payload", "vector")
+    val full = df.union(addsDf)
+    ParquetCollectionStore.write(full, dir2, numFiles = 2)
+    ParquetCollectionStore.writeHnswSidecar(full, dir2, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    val bruteIds = brute.searchPoints("h", spec0, withPayload = false, Nil)
+      .map(_._1.id).toSet
+    def recall(st: ParquetCollectionStore): Int =
+      st.searchPoints("h", spec0, withPayload = false, Nil)
+        .map(_._1.id).count(bruteIds)
+    val incR = recall(new ParquetCollectionStore(dir, "h", desc, hnswEf = 16))
+    val rebR = recall(new ParquetCollectionStore(dir2, "h", desc, hnswEf = 16))
+    assert(incR >= rebR - 1,
+      s"incrementally grown graph recall $incR/10 fell behind rebuild $rebR/10")
+    assert(incR >= 7, s"recall@10 at ef=16 collapsed: $incR/10")
+    // an UPDATE batch parks absorption (a node replacement is the
+    // offline rebuild's job) — the overlay tail serves it exactly
+    val insBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim
+    val upd = mutated.appended("h", IndexedSeq(Point("0001",
+      Some("""{"g":1}"""), dense = Map("vector" -> Array(-1.0f, 0.0f)))))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim
+      === insBefore)
+    val gotU = upd.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(upd.hnswTailRescored.get() === 1L)
+    assert(gotU.map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    // a follow-on NEW-id batch stays parked too (the graphs are no
+    // longer current up to the head) — tail leg serves it, still exact,
+    // and the new best point surfaces from the tail
+    val qa2 = qa + 1e-5
+    val upd2 = upd.appended("h", IndexedSeq(Point("9600", Some("""{"g":0}"""),
+      dense = Map("vector" ->
+        Array(math.cos(qa2).toFloat, math.sin(qa2).toFloat)))))
+    assert(upd.hnswIncInserts.get() === 0L)
+    val gotP = upd2.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(gotP.map(_._1.id).contains("9600"))
+    assert(gotP.map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    // a DELETE of an absorbed point masks it from the graph page
+    val winner = gotP.head._1.id
+    val del = upd2.removed("h", Set(winner))
+    val gotD = del.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(!gotD.map(_._1.id).contains(winner))
+    assert(gotD.map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    // OPTIMIZE reseals: the rebuilt graph re-absorbs everything, the
+    // insert watermark resets, and absorption is live again
+    ParquetCollectionStore.optimize(spark, dir)
+    assert(!new java.io.File(s"$dir/_hnsw/inserted.txt").isFile)
+    val opt = new ParquetCollectionStore(dir, "h", desc, hnswEf = 4096)
+    val opt2 = opt.appended("h", IndexedSeq(Point("9700", Some("""{"g":0}"""),
+      dense = Map("vector" ->
+        Array(math.cos(qa2).toFloat, math.sin(qa2).toFloat)))))
+    assert(opt.hnswIncInserts.get() === 1L)
+    val gotO = opt2.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(opt2.hnswTailRescored.get() === 0L)
+    assert(gotO.map(_._1.id).contains("9700"))
+    assert(gotO.map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+  }
+
+  test("HnswSegment.segOf equals the engine-side segCol for every id") {
+    import spark.implicits._
+    val ids = (0 until 500).map(i => s"id-$i-${i * 37}")
+    val got = ids.toDF("id")
+      .select(col("id"),
+        graft.ops.HnswSegment.segCol(col("id"), 7, 42L).as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    ids.foreach { id =>
+      assert(graft.ops.HnswSegment.segOf(id, 7, 42L) === got(id))
+    }
+  }
+
   test("optimizer: rebuilt sidecars re-absorb the tail — index-pruned serving returns") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
