@@ -3256,6 +3256,67 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // READ_CONSISTENCY QUORUM: three alive replicas, one STALE (it is
+    // missing the best-ranked point — the divergence a failed resync or
+    // an operator mistake leaves behind). Every read gathers all three
+    // answers and returns the majority, so the stale minority is
+    // OUTVOTED instead of served on its rotation turn — the backend's
+    // read_consistency dial. The exact oracle must hold whichever
+    // replica the rotation lands on first
+    "dsv2_replicated_quorum" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("replicated_quorum_store", {
+        val frame = hom(s, dir).select("id", "payload", "vector")
+        def full() = InMemoryCollectionStore.fromRows(frame,
+          "embeddings", Collections.homogeneousDescriptor)
+        val stale = InMemoryCollectionStore.fromRows(
+          frame.filter(col("id") =!= "23"),
+          "embeddings", Collections.homogeneousDescriptor)
+        new ReplicatedCollectionStore(IndexedSeq(stale, full(), full()),
+          readConsistency = 3)
+      })
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 23)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "replicated_quorum_store")
+        .option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // CDC THROUGH A REPLICA SET: the micro-batch source's log_size/
+    // log_entries calls bind to ONE replica's journal lineage (in-sync
+    // replicas carry identical journals; a resynced one is a rewrite —
+    // the epoch guard makes following it an error, spec-pinned). Same
+    // oracle as dsv2_stream_read: replication invisible to the replay
+    "dsv2_replicated_stream_read" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("repl_cdc_store", {
+        val frame = hom(s, dir).select("id", "payload", "vector")
+        def replica() = InMemoryCollectionStore.fromRows(frame,
+          "embeddings", Collections.homogeneousDescriptor)
+        new ReplicatedCollectionStore(IndexedSeq(replica(), replica()))
+      })
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-repl-cdc").toString
+      val sink = s"repl_cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "repl_cdc_store").option("collection", "embeddings")
+        .option("partitions", "4").load()
+        .select(col("id"), col("payload"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
     // PLACEMENT x REPLICATION through the connector: two rendezvous
     // shards, each a replica SET — shard 0's first replica is a wire
     // client to a dead port. The scatter-gather fans to the shards,
@@ -7351,6 +7412,22 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
         |FROM embeddings e, q
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // quorum over one stale replica: the majority answer IS the exact
+    // answer — divergence masked by the read_consistency dial
+    "dsv2_replicated_quorum" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 23)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // CDC replay bound to one replica's journal: replication invisible
+    "dsv2_replicated_stream_read" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS id,
+        |       to_json({'label': label}) AS payload
+        |FROM embeddings ORDER BY id""".stripMargin,
 
     // placement x replication with a down node: the plain exact oracle
     "dsv2_sharded_replicated_search" ->

@@ -10,24 +10,53 @@ import graft.collections.CollectionDescriptor
   * collection config; replication is the availability half the sharded
   * wrapper's placement half composes with).
   *
-  * Semantics — write-all / read-one, with an explicit replica
+  * Semantics — write-all / distributed read, with an explicit replica
   * lifecycle, the published replica-state machine (Active/Dead/resync):
   *
-  *   - READS serve from ONE alive replica. The preferred index is
-  *     sticky; a TRANSPORT failure (IOException family — connection
-  *     refused, reset, EOF) fails over to the next alive replica and
-  *     moves the preference there, so a down node costs one probe once,
-  *     not per query. Semantic errors (bad arguments, unknown
-  *     collections) never fail over — they would be identical on every
-  *     replica and hiding them masks caller bugs.
+  *   - READS distribute ROUND-ROBIN over alive replicas, so N replicas
+  *     buy ~N× read throughput (the point of replicating a hot
+  *     collection). A TRANSPORT failure (IOException family —
+  *     connection refused, reset, EOF) fails over to the next alive
+  *     replica and marks the broken one SUSPECT: the rotation skips it
+  *     (one failed probe per outage, not one per query) until every
+  *     non-suspect candidate fails — then suspects are re-probed, so a
+  *     healed transport re-enters rotation by itself. Semantic errors
+  *     (bad arguments, unknown collections) never fail over — they
+  *     would be identical on every replica and hiding them masks caller
+  *     bugs.
+  *   - READ CONSISTENCY (`readConsistency = N`, the backend's
+  *     `read_consistency` dial): point/search/count/facet reads gather
+  *     answers from N distinct alive replicas and return the MAJORITY
+  *     value (ties → the rotation's first answer), so a stale replica
+  *     that somehow re-entered rotation is outvoted instead of served.
+  *     Gathering degrades to however many alive replicas exist (the
+  *     set's answer beats no answer). Paging/iterator reads
+  *     (`queryPoints`, `logEntries`) stay read-one — a quorum over
+  *     unbounded streams would buffer them whole.
   *   - WRITES apply to EVERY alive replica (write-all). A replica whose
-  *     write fails is marked DEAD: it stops serving reads and receiving
-  *     writes — it is STALE by construction — until [[resyncReplica]]
-  *     copies the current state back from an alive replica and
-  *     re-activates it (the backend's snapshot-transfer recovery).
+  *     write fails on TRANSPORT is marked DEAD: it stops serving reads
+  *     and receiving writes — it is STALE by construction — until
+  *     [[resyncReplica]] copies the current state back from an alive
+  *     replica and re-activates it (the backend's snapshot-transfer
+  *     recovery). A SEMANTIC rejection is classified after the loop:
+  *     if NO replica applied, the error simply rethrows (state
+  *     untouched — the caller-bug case); if some replicas applied and
+  *     others rejected, the appliers' state COMMITS, the rejecting
+  *     replicas are dead-marked (they diverged), and the error then
+  *     rethrows — partial application is never silently dropped.
   *     The write succeeds if at least one replica applied it.
   *   - LIFECYCLE verbs (compact/optimize/snapshot) fan to alive
   *     replicas; truncate is a write (all alive).
+  *
+  * CDC: the journal surface (`logSize`/`logStart`/`logEntries`) BINDS
+  * to one replica on first use and follows it (never round-robins —
+  * in-sync replicas carry identical journals, but a RESYNCED replica's
+  * journal is a truncate+bulk rewrite). Every resync stamps the target
+  * with a fresh journal EPOCH; if the bound replica is resynced under
+  * a reader, or fails with no same-epoch alive replica to move to, the
+  * journal read throws [[IllegalStateException]] — a streaming reader
+  * either resumes exactly-once (same-lineage failover) or fails loudly,
+  * never silently mixes journals.
   *
   * Composition: the wrapper IS a [[RemoteCollectionClient]], so it sits
   * anywhere a sharded member sits — `ShardedCollectionStore(replicated
@@ -35,18 +64,12 @@ import graft.collections.CollectionDescriptor
   * with zero extra wiring (`applyUpsert` dispatches on the trait).
   *
   * Scale shape: replication multiplies WRITE work by the replica count
-  * (inherent to write-all) and leaves read latency at one replica's
-  * cost. Failover adds one failed probe per down replica per
-  * preference move. Resync streams the corpus once in
-  * `resyncBatch`-sized pages — O(batch) points resident, never the
-  * corpus.
-  *
-  * CDC caveat: the journal surface (`logSize`/`logEntries`) serves from
-  * the preferred alive replica. In-sync replicas carry identical
-  * journals (same routed writes in the same order); a RESYNCED replica
-  * carries a truncate+bulk journal instead (the transfer reset its
-  * local history, exactly like the backend's snapshot recovery) — CDC
-  * readers should follow one replica's journal, not mix them.
+  * (inherent to write-all), multiplies read THROUGHPUT by the alive
+  * count, and leaves read latency at one replica's cost (quorum reads
+  * pay N answers for divergence masking — the dial is per-store).
+  * Failover adds one failed probe per down replica per outage. Resync
+  * streams every collection once in `resyncBatch`-sized pages —
+  * O(batch) points resident, never the corpus.
   *
   * Freshness iterators: failover covers the CALL; a transport failure
   * MID-STREAM (while the caller drains a `queryPoints` iterator)
@@ -57,15 +80,18 @@ import graft.collections.CollectionDescriptor
   * wrapper) but a concurrent READ can land between a write's
   * per-replica applies — two reads racing one write may observe
   * different replicas mid-apply (eventual read consistency, the
-  * backend's default `read_consistency` level). Once the write returns,
-  * every alive replica holds it.
+  * backend's default `read_consistency` level; raise the dial to mask
+  * it). Once the write returns, every alive replica holds it.
   */
 final class ReplicatedCollectionStore(
     initial: IndexedSeq[CollectionStore],
-    resyncBatch: Int = 4096)
+    resyncBatch: Int = 4096,
+    readConsistency: Int = 1)
     extends CollectionStore with RemoteCollectionClient {
   require(initial.nonEmpty, "a replica set needs at least one replica")
   require(resyncBatch > 0, s"resyncBatch must be positive, got $resyncBatch")
+  require(readConsistency >= 1 && readConsistency <= initial.length,
+    s"readConsistency must be in [1, ${initial.length}], got $readConsistency")
 
   // COW members: in-memory/parquet replicas return NEW stores from
   // mutations (the sharded wrapper's member discipline) — the array is
@@ -73,13 +99,30 @@ final class ReplicatedCollectionStore(
   @volatile private var reps: IndexedSeq[CollectionStore] = initial
   @volatile private var aliveFlags: IndexedSeq[Boolean] =
     initial.map(_ => true)
-  @volatile private var preferred: Int = 0
+  // read-side suspicion: a replica whose READ transport failed is
+  // skipped by the rotation until every non-suspect candidate fails
+  // (self-healing re-probe) or a resync clears it
+  @volatile private var suspectFlags: IndexedSeq[Boolean] =
+    initial.map(_ => false)
+  private val rotation = new AtomicLong(0L)
+
+  // journal lineage: all original replicas share epoch 0 (identical
+  // journals — every routed write in the same order); each resync
+  // stamps a UNIQUE epoch (its journal was rewritten)
+  @volatile private var journalEpochs: IndexedSeq[Long] =
+    initial.map(_ => 0L)
+  private val epochCounter = new AtomicLong(0L)
+  @volatile private var cdcBound: Int = -1
+  @volatile private var cdcBoundEpoch: Long = 0L
 
   /** Read calls that failed over past a broken replica (specs). */
   val readFailovers = new AtomicLong(0L)
 
   /** Replicas marked dead by a failed write (specs). */
   val deadMarks = new AtomicLong(0L)
+
+  /** Reads served per replica (specs — proves rotation distributes). */
+  val readsServed: IndexedSeq[AtomicLong] = initial.map(_ => new AtomicLong(0L))
 
   /** Alive flags, replica-indexed (specs/operators). */
   def alive: IndexedSeq[Boolean] = aliveFlags
@@ -98,34 +141,100 @@ final class ReplicatedCollectionStore(
     case _ => false
   }
 
+  private def attempt[T](rs: IndexedSeq[CollectionStore], idx: Int,
+                         f: CollectionStore => T): Option[T] =
+    try {
+      val out = f(rs(idx))
+      readsServed(idx).incrementAndGet(): Unit
+      if (suspectFlags(idx)) suspectFlags = suspectFlags.updated(idx, false)
+      Some(out)
+    } catch {
+      case e: Throwable if recoverable(e) =>
+        readFailovers.incrementAndGet(): Unit
+        if (!suspectFlags(idx)) suspectFlags = suspectFlags.updated(idx, true)
+        lastReadError = e
+        None
+    }
+
+  // last transport error observed by a read path (error context only)
+  @volatile private var lastReadError: Throwable = null
+
   private def readOne[T](f: CollectionStore => T): T = {
     val rs = reps
     val ok = aliveFlags
+    val sus = suspectFlags
     val n = rs.length
-    val start = preferred
+    val start = (rotation.getAndIncrement() % n).toInt
     var i = 0
-    var last: Throwable = null
-    while (i < n) {
+    while (i < n) { // pass 1: alive, not suspect, rotation order
       val idx = (start + i) % n
-      if (ok(idx)) {
-        try {
-          val out = f(rs(idx))
-          if (idx != start) preferred = idx
-          return out
-        } catch {
-          case e: Throwable if recoverable(e) =>
-            readFailovers.incrementAndGet(): Unit
-            last = e
-        }
+      if (ok(idx) && !sus(idx)) attempt(rs, idx, f) match {
+        case Some(v) => return v
+        case None =>
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n) { // pass 2: re-probe suspects (heal or confirm)
+      val idx = (start + i) % n
+      if (ok(idx) && sus(idx)) attempt(rs, idx, f) match {
+        case Some(v) => return v
+        case None =>
       }
       i += 1
     }
     throw new IllegalStateException(
-      s"no alive replica could serve the read (${n} replicas)", last)
+      s"no alive replica could serve the read (${n} replicas)",
+      lastReadError)
   }
 
-  /** Apply `f` to every alive replica; a transport failure marks that
-    * replica DEAD and the write continues. Throws if NO replica
+  /** Arrays compare by reference — canonicalize to Seqs so two
+    * replicas' equal answers GROUP equal under the quorum vote.
+    */
+  private def canonical(v: Any): Any = v match {
+    case a: Array[_] => a.toSeq.map(canonical)
+    case s: Seq[_] => s.map(canonical)
+    case m: Map[_, _] =>
+      m.map { case (k, x) => (canonical(k), canonical(x)) }
+    case p: Point => (p.id, p.payload, canonical(p.dense),
+      canonical(p.sparse), canonical(p.multi))
+    case (a, b) => (canonical(a), canonical(b))
+    case o: Option[_] => o.map(canonical)
+    case other => other
+  }
+
+  /** Quorum read: gather `readConsistency` answers from distinct alive
+    * replicas (non-suspects first, rotation order), majority by value.
+    */
+  private def readN[T](f: CollectionStore => T): T = {
+    if (readConsistency <= 1) return readOne(f)
+    val rs = reps
+    val ok = aliveFlags
+    val sus = suspectFlags
+    val n = rs.length
+    val start = (rotation.getAndIncrement() % n).toInt
+    val order = (0 until n).map(i => (start + i) % n)
+    val candidates = order.filter(i => ok(i) && !sus(i)) ++
+      order.filter(i => ok(i) && sus(i))
+    val answers = scala.collection.mutable.ArrayBuffer.empty[T]
+    val it = candidates.iterator
+    while (answers.size < readConsistency && it.hasNext) {
+      attempt(rs, it.next(), f).foreach(answers += _)
+    }
+    if (answers.isEmpty)
+      throw new IllegalStateException(
+        s"no alive replica could serve the read (${n} replicas)",
+        lastReadError)
+    // majority by canonical value; ties -> the earliest-gathered group
+    // (the rotation's first healthy answer)
+    answers.zipWithIndex.groupBy(t => canonical(t._1)).values
+      .minBy(g => (-g.size, g.map(_._2).min))
+      .minBy(_._2)._1
+  }
+
+  /** Apply `f` to every alive replica. Transport failures mark the
+    * replica DEAD and the write continues; semantic rejections are
+    * classified AFTER the loop (see class docs). Throws if NO replica
     * applied.
     */
   private def writeAll(f: CollectionStore => CollectionStore): Unit =
@@ -133,7 +242,9 @@ final class ReplicatedCollectionStore(
       var rs = reps
       var ok = aliveFlags
       var applied = 0
-      var last: Throwable = null
+      var transportLast: Throwable = null
+      var semanticFirst: Throwable = null
+      var semanticIdx: List[Int] = Nil
       var i = 0
       while (i < rs.length) {
         if (ok(i)) {
@@ -144,54 +255,135 @@ final class ReplicatedCollectionStore(
             case e: Throwable if recoverable(e) =>
               ok = ok.updated(i, false)
               deadMarks.incrementAndGet(): Unit
-              last = e
+              transportLast = e
+            case e: Throwable =>
+              if (semanticFirst == null) semanticFirst = e
+              semanticIdx ::= i
           }
         }
         i += 1
       }
+      if (applied > 0 && semanticIdx.nonEmpty) {
+        // replicas that rejected a write their peers applied are
+        // DIVERGED — stale by construction, dead until resync
+        semanticIdx.foreach { j =>
+          ok = ok.updated(j, false)
+          deadMarks.incrementAndGet(): Unit
+        }
+      }
       reps = rs
       aliveFlags = ok
-      if (applied == 0)
+      if (applied == 0) {
+        if (semanticFirst != null) throw semanticFirst
         throw new IllegalStateException(
-          "write applied to no replica — the whole set is down", last)
+          "write applied to no replica — the whole set is down",
+          transportLast)
+      }
+      if (semanticFirst != null) throw semanticFirst
     }
 
-  /** Copy the CURRENT state onto replica `i` from the preferred alive
-    * replica and re-activate it: truncate, then re-upsert the corpus in
-    * `resyncBatch`-sized pages — the backend's snapshot-transfer
-    * recovery. The resynced replica's journal restarts (truncate +
-    * bulk), see the CDC caveat above.
+  /** Copy the CURRENT state of EVERY collection onto replica `i` from
+    * the first alive replica and re-activate it: per collection,
+    * truncate then re-upsert the corpus in `resyncBatch`-sized pages —
+    * the backend's snapshot-transfer recovery. A replica re-enters
+    * rotation only FULLY synced (a dead replica of a multi-collection
+    * store missed writes to every collection, not just one). The
+    * resynced replica's journals restart (truncate + bulk), so it is
+    * stamped with a fresh journal epoch — CDC readers bound to another
+    * lineage never silently follow it (see class docs).
     */
-  def resyncReplica(collection: String, i: Int): Unit = synchronized {
+  def resyncReplica(i: Int): Unit = synchronized {
     require(i >= 0 && i < reps.length, s"no replica $i")
-    val srcIdx = (preferred until preferred + reps.length)
-      .map(_ % reps.length)
+    val srcIdx = (0 until reps.length)
       .find(j => j != i && aliveFlags(j))
       .getOrElse(throw new IllegalStateException(
         "no alive source replica to resync from"))
     val src = reps(srcIdx)
-    var target = ShardedCollectionStore.applyTruncate(reps(i), collection)
-    val total = src.pointCount(collection)
-    var from = 0L
-    while (from < total) {
-      val until = math.min(from + resyncBatch, total)
-      val page = src.queryPoints(collection, from, until,
-        withPayload = true,
-        vectorFields = src.collectionInfo(collection).fields.map(_.name),
-        limit = None).toIndexedSeq
-      if (page.nonEmpty)
-        target = ShardedCollectionStore.applyUpsert(target, collection, page)
-      from = until
+    var target = reps(i)
+    src.collectionNames.foreach { collection =>
+      target = ShardedCollectionStore.applyTruncate(target, collection)
+      val total = src.pointCount(collection)
+      var from = 0L
+      while (from < total) {
+        val until = math.min(from + resyncBatch, total)
+        val page = src.queryPoints(collection, from, until,
+          withPayload = true,
+          vectorFields = src.collectionInfo(collection).fields.map(_.name),
+          limit = None).toIndexedSeq
+        if (page.nonEmpty)
+          target = ShardedCollectionStore.applyUpsert(target, collection,
+            page)
+        from = until
+      }
     }
     reps = reps.updated(i, target)
     aliveFlags = aliveFlags.updated(i, true)
+    suspectFlags = suspectFlags.updated(i, false)
+    journalEpochs = journalEpochs.updated(i, epochCounter.incrementAndGet())
+  }
+
+  /** Legacy signature — a replica re-enters rotation only fully
+    * synced, so this resyncs EVERY collection regardless of which one
+    * the caller named (the single-collection form re-activated a
+    * replica that was stale for its OTHER collections).
+    */
+  def resyncReplica(collection: String, i: Int): Unit = resyncReplica(i)
+
+  /** Journal read bound to ONE replica's lineage (see class docs):
+    * binds on first use, follows the bound replica, fails over only to
+    * an alive replica of the SAME journal epoch, and throws when the
+    * lineage the reader follows was rewritten (resync) with no
+    * same-epoch survivor.
+    */
+  private def journalRead[T](f: CollectionStore => T): T = synchronized {
+    val rs = reps
+    val ok = aliveFlags
+    if (cdcBound < 0) {
+      val idx = (0 until rs.length).find(ok(_)).getOrElse(
+        throw new IllegalStateException(
+          s"no alive replica could serve the journal (${rs.length} replicas)"))
+      cdcBound = idx
+      cdcBoundEpoch = journalEpochs(idx)
+    }
+    if (journalEpochs(cdcBound) != cdcBoundEpoch)
+      throw new IllegalStateException(
+        s"journal lineage changed: replica $cdcBound was resynced under " +
+          "a CDC reader (its journal is a truncate+bulk rewrite); " +
+          "restart the stream from a fresh snapshot")
+    if (ok(cdcBound)) {
+      try {
+        val out = f(rs(cdcBound))
+        readsServed(cdcBound).incrementAndGet(): Unit
+        return out
+      } catch {
+        case e: Throwable if recoverable(e) =>
+          readFailovers.incrementAndGet(): Unit
+          lastReadError = e
+      }
+    }
+    // the bound replica is dead or broken: move the binding, but ONLY
+    // onto the same journal lineage — an in-sync peer resumes the
+    // reader exactly-once; a resynced peer would silently rewind it
+    (0 until rs.length).find(j => j != cdcBound && ok(j) &&
+        journalEpochs(j) == cdcBoundEpoch) match {
+      case Some(j) =>
+        cdcBound = j
+        val out = f(rs(j))
+        readsServed(j).incrementAndGet(): Unit
+        out
+      case None =>
+        throw new IllegalStateException(
+          s"no alive replica carries the journal lineage the CDC reader " +
+            "follows (resync rewrote it); restart the stream from a " +
+            "fresh snapshot", lastReadError)
+    }
   }
 
   // ------------------------------------------------------------ reads --
 
   override def collectionInfo(c: String): CollectionDescriptor =
     readOne(_.collectionInfo(c))
-  override def pointCount(c: String): Long = readOne(_.pointCount(c))
+  override def pointCount(c: String): Long = readN(_.pointCount(c))
   override def collectionNames: Seq[String] = readOne(_.collectionNames)
 
   override def queryPoints(c: String, from: Long, until: Long,
@@ -215,38 +407,38 @@ final class ReplicatedCollectionStore(
   override def countMatching(c: String,
                              idFilter: Option[Set[String]] = None,
                              idLower: Option[String] = None): Long =
-    readOne(_.countMatching(c, idFilter, idLower))
+    readN(_.countMatching(c, idFilter, idLower))
 
   override def countMatchingFiltered(c: String,
                                      idFilter: Option[Set[String]] = None,
                                      idLower: Option[String] = None,
                                      pfilter: PayloadFilter = PayloadFilter.Empty): Long =
-    readOne(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
+    readN(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
 
   override def searchPoints(c: String, spec: SearchSpec,
                             withPayload: Boolean,
                             vectorFields: Seq[String]): Seq[(Point, Double)] =
-    readOne(_.searchPoints(c, spec, withPayload, vectorFields))
+    readN(_.searchPoints(c, spec, withPayload, vectorFields))
 
   override def searchPointsFiltered(c: String, spec: SearchSpec,
                                     withPayload: Boolean,
                                     vectorFields: Seq[String],
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
-    readOne(_.searchPointsFiltered(c, spec, withPayload, vectorFields,
+    readN(_.searchPointsFiltered(c, spec, withPayload, vectorFields,
       pfilter))
 
   override def facetCounts(c: String, key: String, limit: Int,
                            pfilter: PayloadFilter = PayloadFilter.Empty): Seq[(String, Long)] =
-    readOne(_.facetCounts(c, key, limit, pfilter))
+    readN(_.facetCounts(c, key, limit, pfilter))
 
   override def facetCountsFor(c: String, key: String, values: Set[String],
                               pfilter: PayloadFilter = PayloadFilter.Empty): Map[String, Long] =
-    readOne(_.facetCountsFor(c, key, values, pfilter))
+    readN(_.facetCountsFor(c, key, values, pfilter))
 
   override def searchTextRanked(c: String, key: String, terms: Seq[String],
                                 k: Int, k1: Double = 1.2,
                                 b: Double = 0.75): Seq[(String, Double)] =
-    readOne(_.searchTextRanked(c, key, terms, k, k1, b))
+    readN(_.searchTextRanked(c, key, terms, k, k1, b))
 
   override def textRankPartials(c: String, key: String,
                                 terms: Seq[String]): TextRankPartials =
@@ -262,11 +454,11 @@ final class ReplicatedCollectionStore(
                             b: Double = 0.75): Seq[(String, Double)] =
     readOne(_.textRankTopK(c, key, terms, k, global, k1, b))
 
-  override def logSize(c: String): Long = readOne(_.logSize(c))
-  override def logStart(c: String): Long = readOne(_.logStart(c))
+  override def logSize(c: String): Long = journalRead(_.logSize(c))
+  override def logStart(c: String): Long = journalRead(_.logStart(c))
   override def logEntries(c: String, from: Long,
                           until: Long): Iterator[LogEntry] =
-    readOne(_.logEntries(c, from, until))
+    journalRead(_.logEntries(c, from, until))
 
   // ----------------------------------------------------------- writes --
 

@@ -520,6 +520,90 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(rows === Seq(("upsert", 5L, "9")))
   }
 
+  test("CDC stream over a replica set: in-sync failover resumes exactly-once, a resynced lineage fails the stream loudly") {
+    // a replica whose read transport can be cut (the down-node socket)
+    final class Flip(var mem: InMemoryCollectionStore)
+        extends CollectionStore with RemoteCollectionClient {
+      @volatile var down: Boolean = false
+      private def r[T](f: CollectionStore => T): T = {
+        if (down) throw new java.io.IOException("replica down")
+        f(mem)
+      }
+      override def collectionInfo(c: String) = r(_.collectionInfo(c))
+      override def pointCount(c: String): Long = r(_.pointCount(c))
+      override def collectionNames: Seq[String] = r(_.collectionNames)
+      override def queryPoints(c: String, from: Long, until: Long,
+                               withPayload: Boolean,
+                               vectorFields: Seq[String],
+                               limit: Option[Int],
+                               idFilter: Option[Set[String]] = None,
+                               idLower: Option[String] = None): Iterator[Point] =
+        r(_.queryPoints(c, from, until, withPayload, vectorFields, limit,
+          idFilter, idLower))
+      override def logSize(c: String): Long = r(_.logSize(c))
+      override def logStart(c: String): Long = r(_.logStart(c))
+      override def logEntries(c: String, from: Long,
+                              until: Long): Iterator[LogEntry] =
+        r(_.logEntries(c, from, until))
+      override def upsertPoints(c: String, pts: Seq[Point]): Unit =
+        mem = mem.appended(c, pts.sortBy(_.id).toIndexedSeq)
+      override def deletePoints(c: String, ids: Set[String]): Unit =
+        mem = mem.removed(c, ids)
+      override def truncate(c: String): Unit = mem = mem.truncated(c)
+      override def compact(c: String, upTo: Long): Unit =
+        mem = mem.compacted(c, upTo)
+    }
+    val a = new Flip(InMemoryCollectionStore.single("c", desc, mkPoints(3)))
+    val b = new Flip(InMemoryCollectionStore.single("c", desc, mkPoints(3)))
+    val rs = new ReplicatedCollectionStore(IndexedSeq(a, b))
+    CollectionStores.register("repl_cdc_t", rs)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-replcdc-ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Option[org.apache.spark.sql.streaming.StreamingQueryException] = {
+      val q = spark.readStream.format("graft.sources.CollectionDataSource")
+        .option("store", "repl_cdc_t").option("collection", "c").load()
+        .select("id")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getString(0)): Unit)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      try q.processAllAvailable() catch { case _: Throwable => () }
+      val err = q.exception
+      q.stop()
+      err
+    }
+    assert(run().isEmpty)
+    assert(got.size === 3)
+    // the reader is bound to replica 0's journal; cut it between runs —
+    // replica 1 carries the SAME lineage (every routed write, same
+    // order), so the restarted stream resumes EXACTLY-ONCE from the
+    // checkpoint, no duplicates, no gaps
+    rs.upsertPoints("c", Seq(Point("50", Some("""{"i": 50}"""),
+      dense = Map("text_embedding" -> Array(5f, 5.5f)))))
+    a.down = true
+    assert(run().isEmpty)
+    val ids = {
+      val it = got.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(ids.sorted === Seq("0", "1", "2", "50"))
+    // resync the now-bound replica (1): its journal is a truncate+bulk
+    // rewrite — a checkpointed reader following it would silently
+    // rewind, so the stream must FAIL with the documented error instead
+    a.down = false
+    rs.resyncReplica(1)
+    a.down = true // and the old lineage is unreachable
+    val err = run()
+    assert(err.isDefined, "the stream must fail on a rewritten journal lineage")
+    assert(err.get.toString.contains("journal lineage") ||
+      String.valueOf(err.get.getCause).contains("journal lineage"))
+  }
+
   test("streaming read replays the upsert log and streams new batch writes") {
     CollectionStores.register("t7",
       InMemoryCollectionStore.single("c", desc, mkPoints(3)))

@@ -167,6 +167,175 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
     intercept[IllegalStateException] { rs2.upsertPoints("c", Seq(pt("9", 0.1f))) }
   }
 
+  test("reads distribute round-robin across alive replicas — N replicas buy N x read throughput") {
+    val rs = new ReplicatedCollectionStore(IndexedSeq(
+      mem(pt("1", 0.9f)), mem(pt("1", 0.9f)), mem(pt("1", 0.9f))))
+    (1 to 9).foreach(_ => assert(rs.pointCount("c") === 1L))
+    assert(rs.readsServed.map(_.get()) === IndexedSeq(3L, 3L, 3L))
+    // a suspect replica leaves the rotation after ONE failed probe and
+    // the remaining replicas absorb its share
+    val down = new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)
+    val rs2 = new ReplicatedCollectionStore(IndexedSeq(
+      down, mem(pt("1", 0.9f)), mem(pt("1", 0.9f))))
+    (1 to 6).foreach(_ => assert(rs2.pointCount("c") === 1L))
+    assert(rs2.readFailovers.get() === 1L)
+    assert(rs2.readsServed(0).get() === 0L)
+    assert(rs2.readsServed(1).get() + rs2.readsServed(2).get() === 6L)
+    // the suspect HEALS: once every non-suspect fails, the re-probe
+    // finds it back and it rejoins the rotation
+    down.failReads = false
+    val healedOnly = new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)
+    val rs3 = new ReplicatedCollectionStore(IndexedSeq(healedOnly))
+    intercept[IllegalStateException] { rs3.pointCount("c") }
+    healedOnly.failReads = false
+    assert(rs3.pointCount("c") === 1L) // suspect re-probed, healed
+  }
+
+  test("read_consistency quorum masks a stale replica; ties fall to the rotation's first answer") {
+    val full = Seq(pt("1", 0.9f), pt("2", 0.5f), pt("3", 0.1f))
+    val stale = new ReplicatedCollectionStore(IndexedSeq(
+      mem(full.take(2): _*), // stale: missing point 3
+      mem(full: _*), mem(full: _*)), readConsistency = 3)
+    // every read gathers all three answers; the stale minority loses
+    (1 to 6).foreach(_ => assert(stale.pointCount("c") === 3L))
+    val got = stale.searchPoints("c",
+      SearchSpec("v", Array(0.0, 1.0), "cosine", 3), withPayload = true,
+      Seq("v"))
+    assert(got.map(_._1.id) === Seq("3", "2", "1"))
+    // readConsistency=1 on the same set DOES surface the stale answer
+    // on its rotation turn — the dial is what masks divergence
+    val loose = new ReplicatedCollectionStore(IndexedSeq(
+      mem(full.take(2): _*), mem(full: _*), mem(full: _*)))
+    val counts = (1 to 6).map(_ => loose.pointCount("c"))
+    assert(counts.contains(2L) && counts.contains(3L))
+  }
+
+  test("partial semantic write: appliers commit, the rejecting replica is dead-marked, the error still surfaces") {
+    /* replica 1 rejects upserts semantically while replica 0 applies */
+    final class Rejecting(var mem: InMemoryCollectionStore)
+        extends CollectionStore with RemoteCollectionClient {
+      override def collectionInfo(c: String): CollectionDescriptor =
+        mem.collectionInfo(c)
+      override def pointCount(c: String): Long = mem.pointCount(c)
+      override def queryPoints(c: String, from: Long, until: Long,
+                               withPayload: Boolean,
+                               vectorFields: Seq[String],
+                               limit: Option[Int],
+                               idFilter: Option[Set[String]] = None,
+                               idLower: Option[String] = None): Iterator[Point] =
+        mem.queryPoints(c, from, until, withPayload, vectorFields, limit,
+          idFilter, idLower)
+      override def upsertPoints(c: String, pts: Seq[Point]): Unit =
+        throw new IllegalArgumentException("schema rejected")
+      override def deletePoints(c: String, ids: Set[String]): Unit =
+        throw new IllegalArgumentException("schema rejected")
+      override def truncate(c: String): Unit =
+        throw new IllegalArgumentException("schema rejected")
+      override def compact(c: String, upTo: Long): Unit = ()
+    }
+    val rej = new Rejecting(mem(pt("1", 0.9f)))
+    val rs = new ReplicatedCollectionStore(IndexedSeq(
+      mem(pt("1", 0.9f)), rej))
+    intercept[IllegalArgumentException] {
+      rs.upsertPoints("c", Seq(pt("2", 0.5f)))
+    }
+    // the applied state COMMITTED (never silently dropped) and the
+    // diverged rejector left rotation
+    assert(rs.alive === IndexedSeq(true, false))
+    assert(rs.deadMarks.get() === 1L)
+    assert(ids(rs.replicas(0)) === Seq("1", "2"))
+    assert(rs.pointCount("c") === 2L)
+    // a UNIFORM semantic rejection (no replica applied) rethrows with
+    // NO dead-marks — the caller-bug case, state untouched
+    val rs2 = new ReplicatedCollectionStore(IndexedSeq(
+      new Rejecting(mem(pt("1", 0.9f))), new Rejecting(mem(pt("1", 0.9f)))))
+    intercept[IllegalArgumentException] {
+      rs2.upsertPoints("c", Seq(pt("2", 0.5f)))
+    }
+    assert(rs2.alive === IndexedSeq(true, true))
+    assert(rs2.deadMarks.get() === 0L)
+  }
+
+  test("resync copies EVERY collection back — a replica re-enters rotation only fully synced") {
+    val descB = CollectionDescriptor("d", Seq(DenseField("v", 2)),
+      named = false)
+    def multi() = new InMemoryCollectionStore(
+      Map("c" -> desc, "d" -> descB),
+      Map("c" -> IndexedSeq(pt("1", 0.9f)), "d" -> IndexedSeq(pt("9", 0.2f))))
+    val broken = new FlakyReplica(multi())
+    val set = new ReplicatedCollectionStore(
+      IndexedSeq(broken, multi()), resyncBatch = 1)
+    broken.failWrites = true
+    set.upsertPoints("c", Seq(pt("2", 0.5f))) // replica 0 dead-marked
+    assert(set.alive === IndexedSeq(false, true))
+    broken.failWrites = false
+    set.upsertPoints("d", Seq(pt("8", 0.4f))) // dead replica skipped
+    // the OLD single-collection signature must still resync everything:
+    // re-activating on one collection's copy alone would serve stale 'd'
+    set.resyncReplica("c", 0)
+    assert(set.alive === IndexedSeq(true, true))
+    val r0 = broken.mem
+    assert(r0.queryPoints("c", 0L, r0.pointCount("c"), withPayload = false,
+      Nil, None).map(_.id).toSeq === Seq("1", "2"))
+    assert(r0.queryPoints("d", 0L, r0.pointCount("d"), withPayload = false,
+      Nil, None).map(_.id).toSeq === Seq("8", "9"))
+  }
+
+  test("CDC journal binds to one lineage: in-sync failover resumes, a resynced lineage fails loudly") {
+    def logged() = mem(pt("1", 0.9f))
+    val a = new FlakyReplica(logged())
+    val rs = new ReplicatedCollectionStore(IndexedSeq(a, logged()))
+    rs.upsertPoints("c", Seq(pt("2", 0.5f)))
+    // bind: first journal read follows ONE replica
+    val size0 = rs.logSize("c")
+    assert(size0 === 2L)
+    // in-sync failover: the bound replica's transport breaks; the peer
+    // carries the SAME lineage (epoch 0) — the reader resumes seamlessly
+    a.failReads = true
+    assert(rs.logSize("c") === 2L)
+    assert(rs.logEntries("c", 0L, 2L).map(_.point.id).toSeq
+      === Seq("1", "2"))
+    a.failReads = false
+    // RESYNC rewrites replica 0's journal lineage; a reader bound to it
+    // must fail loudly, not silently mix journals
+    val b = new FlakyReplica(logged())
+    val rs2 = new ReplicatedCollectionStore(IndexedSeq(b, logged()))
+    rs2.upsertPoints("c", Seq(pt("2", 0.5f)))
+    assert(rs2.logSize("c") === 2L) // binds to replica 0
+    b.failWrites = true
+    rs2.upsertPoints("c", Seq(pt("3", 0.1f))) // replica 0 dead-marked
+    b.failWrites = false
+    rs2.resyncReplica(0) // fresh epoch on replica 0 — lineage rewritten
+    val e = intercept[IllegalStateException] { rs2.logSize("c") }
+    assert(e.getMessage.contains("journal lineage changed"))
+    // a reader bound to a SURVIVING lineage keeps working after the
+    // resync of the OTHER replica
+    val c0 = new FlakyReplica(logged())
+    val rs3 = new ReplicatedCollectionStore(IndexedSeq(logged(), c0))
+    rs3.upsertPoints("c", Seq(pt("2", 0.5f)))
+    assert(rs3.logSize("c") === 2L) // binds to replica 0 (alive, epoch 0)
+    c0.failWrites = true
+    rs3.upsertPoints("c", Seq(pt("3", 0.1f)))
+    c0.failWrites = false
+    rs3.resyncReplica(1)
+    assert(rs3.logSize("c") === 3L) // bound lineage untouched
+    // and if the bound replica NOW dies, the only peer is a rewritten
+    // lineage — the reader must NOT silently follow it
+    val e2 = {
+      val d0 = new FlakyReplica(logged())
+      val rs4 = new ReplicatedCollectionStore(IndexedSeq(d0, logged()))
+      rs4.upsertPoints("c", Seq(pt("2", 0.5f)))
+      assert(rs4.logSize("c") === 2L) // bound to replica 0
+      // replica 1 gets resynced (fresh lineage)...
+      val dm = rs4.replicas(1)
+      rs4.resyncReplica(1)
+      // ...then the bound replica breaks
+      d0.failReads = true
+      intercept[IllegalStateException] { rs4.logSize("c") }
+    }
+    assert(e2.getMessage.contains("journal lineage"))
+  }
+
   test("live reshard over replica-set members: migration write-alls, a broken replica never blocks it, replicas stay in sync") {
     val pts = (0 until 90).map(i => pt(f"$i%03d", (i % 9) / 9.0f, i % 4))
     def rset(own: Seq[Point], broken: Boolean) =
