@@ -16,7 +16,7 @@ object ScaleProbe {
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-      "sharded", "recallc", "recallc2", "storehnsw")
+      "sharded", "recallc", "recallc2", "storehnsw", "topology")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1206,6 +1206,117 @@ object ScaleProbe {
           s"exact=${walk.hnswFilteredExactServes.get()} " +
           s"primaries=${walk.filesOpened.get()}")
       }
+    }
+
+    // the FULL TOPOLOGY (placement x replication x wire) at the recallc2
+    // shape (20k x d256): what replication actually COSTS and BUYS —
+    //  - write amplification: a write-all batch into r replicas does r x
+    //    the member work (inherent; the probe prices the slope);
+    //  - failover: a dead wire replica costs ONE failed probe, then the
+    //    suspect leaves the rotation — steady-state reads match a
+    //    healthy set;
+    //  - quorum: readConsistency=r pays r member reads per query (the
+    //    divergence-masking dial's price, linear by construction);
+    //  - reshard over replicated members: the migration's point-write
+    //    volume (sum of member-log growth) = moved points x replica
+    //    count x 2 (delete at the leaver + upsert at the new owner),
+    //    measured so the SERVING DIALS table can state it.
+    section("topology") {
+      import graft.sources._
+      import graft.collections.Collections
+      val dim = 256
+      val nRows = 20000
+      val rnd = new scala.util.Random(42L)
+      def v(): Array[Float] = {
+        val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+        a.map(_ / nn)
+      }
+      val pts = (0 until nRows).map(i =>
+        Point(f"$i%06d", Some(s"""{"label":${i % 10}}"""),
+          dense = Map("vector" -> v()))).toIndexedSeq
+      val batches = (0 until 10).map(b => (0 until 1000).map(i =>
+        Point(f"n$b%02d$i%06d", Some("""{"label":3}"""),
+          dense = Map("vector" -> v()))).toIndexedSeq)
+      val qv = pts(7).dense("vector").map(_.toDouble)
+      val spec = SearchSpec("vector", qv, "cosine", 10)
+      def memRep() = InMemoryCollectionStore.single("embeddings",
+        Collections.homogeneousDescriptor, pts)
+      // write amplification: slope vs replica count — the member-write
+      // volume is EXACTLY r x the batch rows (write-all by definition);
+      // the timing shows the wall-clock slope on one node
+      for (r <- Seq(1, 2, 3)) {
+        val rs = new ReplicatedCollectionStore(
+          IndexedSeq.fill(r)(memRep()))
+        val before = rs.replicas.map(_.logSize("embeddings")).sum
+        time(s"topology_write_all r=$r (10 x 1000-pt batches)") {
+          batches.foreach(b => rs.upsertPoints("embeddings", b))
+          rs.pointCount("embeddings")
+        }
+        println(s"[probe] topology write volume r=$r: " +
+          s"${rs.replicas.map(_.logSize("embeddings")).sum - before} " +
+          s"member writes for 10000 batch rows")
+      }
+      // failover: one probe, then steady state matches a healthy set
+      val sock = new java.net.ServerSocket(0)
+      val deadPort = sock.getLocalPort
+      sock.close()
+      val withDead = new ReplicatedCollectionStore(IndexedSeq(
+        new GrpcCollectionStore("127.0.0.1", deadPort), memRep()))
+      val healthy = new ReplicatedCollectionStore(IndexedSeq(memRep()))
+      // warm the scoring path so the comparison isolates topology cost
+      (1 to 5).foreach(_ => healthy.searchPoints("embeddings", spec,
+        withPayload = false, Nil))
+      time("topology_failover_first_read (pays the probe)") {
+        withDead.searchPoints("embeddings", spec, withPayload = false,
+          Nil).size.toLong
+      }
+      time("topology_failover_steady (20 queries, suspect skipped)") {
+        (1 to 20).map(_ => withDead.searchPoints("embeddings", spec,
+          withPayload = false, Nil).size.toLong).sum
+      }
+      time("topology_healthy_baseline (20 queries)") {
+        (1 to 20).map(_ => healthy.searchPoints("embeddings", spec,
+          withPayload = false, Nil).size.toLong).sum
+      }
+      println(s"[probe] topology failovers=${withDead.readFailovers.get} " +
+        s"(one probe for the whole run)")
+      // quorum price: rc=1 vs rc=3 on three replicas
+      for (rc <- Seq(1, 3)) {
+        val rs = new ReplicatedCollectionStore(
+          IndexedSeq.fill(3)(memRep()), readConsistency = rc)
+        time(s"topology_read rc=$rc (20 queries)") {
+          (1 to 20).map(_ => rs.searchPoints("embeddings", spec,
+            withPayload = false, Nil).size.toLong).sum
+        }
+      }
+      // reshard over replicated members: point-write volume via member
+      // log growth (every routed delete/upsert lands on BOTH replicas)
+      def rset(own: IndexedSeq[Point]) = new ReplicatedCollectionStore(
+        IndexedSeq.fill(2)(InMemoryCollectionStore.single("embeddings",
+          Collections.homogeneousDescriptor, own)))
+      val byShard = pts.groupBy(p =>
+        ShardedCollectionStore.assignShard(p.id, 2))
+      val sets = (0 until 2).map(i => rset(byShard.getOrElse(i, IndexedSeq.empty)))
+      val sh = new ShardedCollectionStore(sets)
+      def logVolume(s: ShardedCollectionStore): Long =
+        s.shards.map {
+          case r: ReplicatedCollectionStore =>
+            r.replicas.map(_.logSize("embeddings")).sum
+          case o => o.logSize("embeddings")
+        }.sum
+      val before = logVolume(sh)
+      val moved = pts.count(p =>
+        ShardedCollectionStore.assignShard(p.id, 3) == 2)
+      time("topology_reshard 2->3 shards x 2 replicas") {
+        sh.reshard(Seq(rset(IndexedSeq.empty)))
+        sh.pointCount("embeddings")
+      }
+      val volume = logVolume(sh) - before
+      println(s"[probe] topology reshard: moved=$moved points, " +
+        s"point-write volume=$volume " +
+        s"(= moved x replicas x 2 ± dual-write window: " +
+        s"${moved * 2 * 2} nominal)")
     }
 
     section("etl") {
