@@ -605,11 +605,30 @@ object SparkEntry {
         .map(r => graft.sources.Point(r.getString(0),
           Some("""{"label":3}"""),
           dense = Map("vector" -> r.getSeq[Float](1).toArray)))
-      val mutated = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
       require(sealedStore.hnswIncInserts.get() == adds.length.toLong,
         "the fresh batch must be absorbed into the graphs, not parked " +
           "on the overlay tail")
-      mutated
+      // CHURN absorbs too: an UPDATE (id 7 takes vec_id 42's vector —
+      // the old node consolidates out, the new vector re-inserts) and a
+      // DELETE (id 13 leaves the graph itself)
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      val m2 = m1.appended("embeddings", IndexedSeq(
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec))))
+      require(m1.hnswIncInserts.get() == 1L,
+        "the update must re-insert into the graph")
+      val m3 = m2.removed("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_hnsw/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the graphs serve with an " +
+          "empty overlay tail")
+      m3
     })
 
   /** The EUCLID-metric HNSW fixture: the graph is built under euclid
@@ -2251,13 +2270,14 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
-    // INCREMENTAL HNSW INSERT: new points upserted AFTER the graph
-    // build are absorbed into the per-segment graphs by the sequential
-    // insert path (the backend's online HNSW maintenance — the fixture
-    // REQUIRES every batch point was graph-inserted), so this search
-    // runs post-mutation with an EMPTY overlay tail: pure graph walk,
-    // no tail brute-rescore, and the new points rank exactly where the
-    // brute oracle puts them
+    // INCREMENTAL HNSW MAINTENANCE: inserts, an update, and a delete
+    // applied AFTER the graph build all absorb into the per-segment
+    // graphs (inserts run the build's own insert loop; churn
+    // consolidates the touched segment — the backend's online HNSW
+    // maintenance; the fixture REQUIRES the watermark reached the log
+    // head), so this search runs post-churn with an EMPTY overlay
+    // tail: pure graph walk, no tail brute-rescore, ranking exactly
+    // where the brute oracle over the FINAL state puts it
     "dsv2_parquet_hnsw_fresh" -> ((s, dir) => {
       import graft.sources._
       CollectionStores.register("pq_hnswfr_store",
@@ -7376,15 +7396,20 @@ object SparkEntry {
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
-    // incremental HNSW insert: post-upsert graph serve must rank the
-    // absorbed points exactly where brute force over corpus+batch does
+    // incremental HNSW maintenance: the post-churn graph serve (5 new
+    // points absorbed, id 7 updated to vec_id 42's vector, id 13
+    // deleted) must rank exactly where brute force over the FINAL
+    // state does
     "dsv2_parquet_hnsw_fresh" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 19),
         |base AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
         |  UNION ALL
         |  SELECT CAST(vec_id + 100000 AS VARCHAR),
         |         CAST(embedding AS DOUBLE[])

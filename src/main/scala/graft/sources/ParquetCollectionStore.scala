@@ -1707,11 +1707,12 @@ final class ParquetCollectionStore(
     val metas = fileMetas
     val fields = descriptor.fields.map(_.name)
     val oldHead = ParquetLog.head(logDir)
-    // HNSW incremental-insert eligibility needs to know which incoming
-    // ids already exist — read BEFORE the COW rewrite (footer-pruned
-    // point lookup, bounded by the batch's id ranges)
+    // HNSW online maintenance needs to know which incoming ids are
+    // UPDATES (their old graph nodes must drop before the re-insert) —
+    // read BEFORE the COW rewrite (footer-pruned point lookup, bounded
+    // by the batch's id ranges); skipped when the graphs aren't current
     val preExisting: Set[String] =
-      if (!hnswInsertTracking(oldHead)) deduped.map(_.id).toSet
+      if (!hnswInsertTracking(oldHead)) Set.empty
       else queryPoints(c, 0L, pointCount(c), withPayload = false, Nil,
         None, idFilter = Some(deduped.map(_.id).toSet)).map(_.id).toSet
     if (metas.isEmpty) {
@@ -1732,7 +1733,7 @@ final class ParquetCollectionStore(
     }
     val newHead = ParquetLog.appendSegment(logDir, oldHead,
       deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec)
-    hnswAbsorb(deduped, oldHead, newHead, preExisting)
+    hnswMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
     reopened
   }
 
@@ -1769,81 +1770,135 @@ final class ParquetCollectionStore(
   private def hnswInsertTracking(oldHead: Long): Boolean =
     hnswInsertedAt == oldHead
 
-  /** Absorb a NEW-ID upsert batch into the per-segment graphs — the
-    * backend's online HNSW insert (its config's indexing thresholds,
-    * /root/reference/tests/bin/config.yaml:169-191, exist precisely for
-    * this): route each point by the seeded segment hash, run the SAME
-    * sequential insert loop the build ran ([[graft.ops.HnswSegment
-    * .insertInto]]), append the new points (store row layout) and the
-    * new nodes' edges beside the segment's base files, and advance
-    * `_hnsw/inserted.txt` to the batch's log end — the next serve
-    * overlays an EMPTY tail instead of brute-rescoring the batch.
+  /** Absorb a mutation batch into the per-segment graphs — the
+    * backend's online HNSW maintenance (its config's indexing
+    * thresholds, /root/reference/tests/bin/config.yaml:169-191, exist
+    * precisely for this): route each id by the seeded segment hash and,
+    * per touched segment,
     *
-    * Eligibility — absorbed only when ALL hold, else the batch serves
-    * from the log-tail overlay exactly as before (never wrong, only
-    * unabsorbed until the next optimize):
-    *  - the graphs are current up to the pre-batch head (no unabsorbed
-    *    update/delete sits between — an absorbed graph state must equal
-    *    the primaries' state);
-    *  - every id in the batch is NEW (an update would need a node
-    *    replacement, which only the offline rebuild does — the
-    *    backend's optimizer role);
-    *  - every point carries the indexed dense field.
+    *  - NEW points run the SAME sequential insert loop the build ran
+    *    ([[graft.ops.HnswSegment.insertInto]]) and append as an
+    *    `inc-*` points file + the new nodes' edge rows — pure-insert
+    *    batches never rewrite a byte of existing state;
+    *  - DELETES and UPDATES consolidate the segment: the dropped ids
+    *    leave the point files, edges touching them leave the edge
+    *    files (so a stale neighborhood never routes a fresh vector),
+    *    and updated points re-insert with clean neighborhoods — the
+    *    whole segment rewrites as one file pair, O(segment);
     *
-    * Cost: one segment-state load per TOUCHED segment per batch, O(its
-    * points + edges) — chunky ingest batches amortize it; the per-point
-    * insert itself is the standard HNSW log-N walk.
+    * then `_hnsw/inserted.txt` advances to the batch's log end — the
+    * next serve overlays an EMPTY tail instead of brute-rescoring it,
+    * so the collection stays GRAPH-SERVED under arbitrary churn
+    * between optimizes (node removal can orphan a distant node in
+    * theory; the offline rebuild is the repair, exactly the backend's
+    * vacuum role).
+    *
+    * Points without the indexed dense field are dropped-not-inserted:
+    * they can never score on this field (SearchSpec.score has no
+    * vector to read), so their absence from the segment partitions is
+    * exactly the exact path's behavior.
+    *
+    * Eligibility: the graphs must be current up to the pre-batch head
+    * (a legacy gap or compacted-away tail parks maintenance until the
+    * next offline rebuild reseals; serving stays exact throughout via
+    * the overlay).
+    *
+    * Cost: one segment-state load per TOUCHED segment per batch
+    * (pure inserts load (id, vector)+edges; consolidations load full
+    * rows) — chunky ingest batches amortize it. Bulk loads and resyncs
+    * should seal offline ([[ParquetCollectionStore.writeHnswSidecar]] /
+    * optimize) rather than trickle through this path.
     */
-  private def hnswAbsorb(deduped: IndexedSeq[Point], oldHead: Long,
-                         newHead: Long, preExisting: Set[String]): Unit = {
-    if (!hnswInsertTracking(oldHead) || preExisting.nonEmpty) return
+  private def hnswMaintain(upserts: IndexedSeq[Point], deletes: Set[String],
+                           oldHead: Long, newHead: Long,
+                           preExisting: Set[String]): Unit = {
+    if (!hnswInsertTracking(oldHead)) return
     val l = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/_hnsw/field.txt")),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
     val (field, m, efC, nseg, seed) =
       (l(0), l(2).toInt, l(3).toInt, l(4).toInt, l(5).toLong)
     val metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"
-    if (!deduped.forall(_.dense.contains(field))) return
-    deduped.groupBy(p => graft.ops.HnswSegment.segOf(p.id, nseg, seed))
-      .foreach { case (seg, batch) =>
-        val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
-        val (pts, edges) =
-          if (!segDir.isDirectory)
-            (IndexedSeq.empty[(String, Array[Double])],
-              IndexedSeq.empty[(Int, String, String)])
-          else {
-            val st = new ParquetCollectionStore(segDir.getAbsolutePath,
-              collection, descriptor)
-            val p = st.queryPoints(collection, 0L,
-                st.pointCount(collection), withPayload = false, Seq(field),
-                None)
-              .flatMap(p => p.dense.get(field).map(v =>
-                (p.id, v.map(_.toDouble))))
-              .toIndexedSeq
-            val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
-            val e = Option(edir.listFiles()).getOrElse(Array.empty)
-              .toIndexedSeq
-              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-              .flatMap(f => ParquetLog.readEdgeRows(f.getAbsolutePath))
-            (p, e)
+    val allFields = descriptor.fields.map(_.name)
+    def segOf(id: String): Int = graft.ops.HnswSegment.segOf(id, nseg, seed)
+    // ids leaving their segment's files: deletes + the OLD versions of
+    // updated points (their new versions re-insert below, if indexable)
+    val drops = deletes ++ preExisting
+    val upsBySeg = upserts.groupBy(p => segOf(p.id))
+    val dropsBySeg = drops.groupBy(segOf)
+    (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
+      val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
+      val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+      val segDrops = dropsBySeg.getOrElse(seg, Set.empty)
+      val batch = upsBySeg.getOrElse(seg, IndexedSeq.empty)
+        .filter(_.dense.contains(field))
+      val consolidate = segDrops.nonEmpty
+      // full rows only when consolidating (the rewrite needs them);
+      // the pure-insert path reads just (id, indexed vector)
+      val rows: IndexedSeq[Point] =
+        if (!segDir.isDirectory) IndexedSeq.empty
+        else {
+          val st = new ParquetCollectionStore(segDir.getAbsolutePath,
+            collection, descriptor)
+          st.queryPoints(collection, 0L, st.pointCount(collection),
+            withPayload = consolidate,
+            if (consolidate) allFields else Seq(field), None).toIndexedSeq
+        }
+      val kept = rows.filterNot(p => segDrops(p.id))
+      val keptIds = kept.iterator.map(_.id).toSet
+      val edges: IndexedSeq[(Int, String, String)] =
+        Option(edgeDir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .flatMap(f => ParquetLog.readEdgeRows(f.getAbsolutePath))
+      val keptEdges =
+        if (!consolidate) edges
+        else edges.filter(e => keptIds(e._2) && keptIds(e._3))
+      val graphPts = kept.flatMap(p =>
+        p.dense.get(field).map(v => (p.id, v.map(_.toDouble))))
+      val newPts = batch.map(p =>
+        (p.id, p.dense(field).map(_.toDouble))).toIndexedSeq
+      val newEdges = graft.ops.HnswSegment.insertInto(graphPts, keptEdges,
+        newPts, m, efC, seed, metric).toSeq
+      def wipe(d: java.io.File): Unit =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+            f.delete(): Unit
           }
-        val newPts = batch.map(p =>
-          (p.id, p.dense(field).map(_.toDouble))).toIndexedSeq
-        val newEdges = graft.ops.HnswSegment.insertInto(pts, edges, newPts,
-          m, efC, seed, metric).toSeq
+      if (consolidate) {
+        val finalRows = (kept ++ batch)
+          .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+        wipe(segDir)
+        if (finalRows.nonEmpty) {
+          segDir.mkdirs()
+          ParquetLog.writePrimary(
+            new java.io.File(segDir, f"pts-$newHead%012d.parquet"),
+            finalRows, rowCodec)
+        }
+        wipe(edgeDir)
+        val finalEdges = keptEdges ++ newEdges
+        if (finalEdges.nonEmpty) {
+          edgeDir.mkdirs()
+          ParquetLog.writeEdgeRows(
+            new java.io.File(edgeDir, f"edges-$newHead%012d.parquet"),
+            finalEdges)
+        }
+      } else if (batch.nonEmpty) {
         segDir.mkdirs()
         ParquetLog.writePrimary(
           new java.io.File(segDir, f"inc-$newHead%012d.parquet"),
           batch.sortWith((a, b) => SparkStringOrder.lt(a.id, b.id)),
           rowCodec)
         if (newEdges.nonEmpty) {
-          val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
-          edir.mkdirs()
+          edgeDir.mkdirs()
           ParquetLog.writeEdgeRows(
-            new java.io.File(edir, f"inc-$newHead%012d.parquet"), newEdges)
+            new java.io.File(edgeDir, f"inc-$newHead%012d.parquet"),
+            newEdges)
         }
-        hnswIncInserts.addAndGet(batch.size): Unit
       }
+      hnswIncInserts.addAndGet(batch.size): Unit
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
       newHead.toString.getBytes(
@@ -1881,9 +1936,12 @@ final class ParquetCollectionStore(
     val hit = hits.result()
     if (hit.isEmpty) this
     else {
-      ParquetLog.appendSegment(logDir, ParquetLog.head(logDir),
+      val oldHead = ParquetLog.head(logDir)
+      val newHead = ParquetLog.appendSegment(logDir, oldHead,
         hit.map(id => LogEntry(LogOps.Delete, Point(id, None))),
-        rowCodec): Unit
+        rowCodec)
+      hnswMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
+        Set.empty)
       reopened
     }
   }

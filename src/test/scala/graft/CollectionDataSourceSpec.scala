@@ -1905,39 +1905,45 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(incR >= rebR - 1,
       s"incrementally grown graph recall $incR/10 fell behind rebuild $rebR/10")
     assert(incR >= 7, s"recall@10 at ef=16 collapsed: $incR/10")
-    // an UPDATE batch parks absorption (a node replacement is the
-    // offline rebuild's job) — the overlay tail serves it exactly
+    // an UPDATE absorbs too: the old node leaves the segment (its
+    // edges consolidated away — a stale neighborhood must not route
+    // the fresh vector), the new version re-inserts, the watermark
+    // advances, and the serve keeps an EMPTY tail. "0001" moves to the
+    // opposite side of the circle — equality vs brute proves the graph
+    // reflects the NEW vector, not the indexed-at-build copy
     val insBefore = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim.toLong
     val upd = mutated.appended("h", IndexedSeq(Point("0001",
       Some("""{"g":1}"""), dense = Map("vector" -> Array(-1.0f, 0.0f)))))
     assert(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim
-      === insBefore)
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"))).trim.toLong
+      > insBefore)
     val gotU = upd.searchPoints("h", spec0, withPayload = false, Nil)
-    assert(upd.hnswTailRescored.get() === 1L)
+    assert(upd.hnswTailRescored.get() === 0L)
     assert(gotU.map(p => (p._1.id, p._2)) ===
       new ParquetCollectionStore(dir, "h", desc)
         .searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
-    // a follow-on NEW-id batch stays parked too (the graphs are no
-    // longer current up to the head) — tail leg serves it, still exact,
-    // and the new best point surfaces from the tail
+    // a follow-on NEW-id batch keeps absorbing (the chain never broke)
     val qa2 = qa + 1e-5
     val upd2 = upd.appended("h", IndexedSeq(Point("9600", Some("""{"g":0}"""),
       dense = Map("vector" ->
         Array(math.cos(qa2).toFloat, math.sin(qa2).toFloat)))))
-    assert(upd.hnswIncInserts.get() === 0L)
+    assert(upd.hnswIncInserts.get() === 1L)
     val gotP = upd2.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(upd2.hnswTailRescored.get() === 0L)
     assert(gotP.map(_._1.id).contains("9600"))
     assert(gotP.map(p => (p._1.id, p._2)) ===
       new ParquetCollectionStore(dir, "h", desc)
         .searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
-    // a DELETE of an absorbed point masks it from the graph page
+    // a DELETE absorbs as a segment consolidation: the winner leaves
+    // the graph itself (no mask needed — the tail stays empty) and the
+    // page re-ranks exactly
     val winner = gotP.head._1.id
     val del = upd2.removed("h", Set(winner))
     val gotD = del.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(del.hnswTailRescored.get() === 0L)
     assert(!gotD.map(_._1.id).contains(winner))
     assert(gotD.map(p => (p._1.id, p._2)) ===
       new ParquetCollectionStore(dir, "h", desc)
