@@ -433,6 +433,20 @@ final class ParquetCollectionStore(
     .TrieMap.empty[Int, (IndexedSeq[(String, Array[Double])],
       IndexedSeq[(Int, String, String)], ParquetCollectionStore)]
 
+  /** Tombstoned graph nodes (the backend's deleted-flags model): a
+    * DELETE absorbs as an O(batch) flag append, the ghost keeps
+    * NAVIGATING (connectivity survives) but never enters a result
+    * beam; consolidations and the offline rebuild reclaim ghosts.
+    * Churn-bounded — reset by every rebuild.
+    */
+  @transient private lazy val hnswDeadIds: Set[String] = {
+    val f = new java.io.File(s"$dir/_hnsw/dead.txt")
+    if (!f.isFile) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   /** The segment sub-store alone (winner fetches, the exact micro-path)
     * — no graph load, shared with [[hnswSegmentFor]] so each segment
     * instantiates once.
@@ -516,10 +530,13 @@ final class ParquetCollectionStore(
       val window = spec.k + spec.offset + tail.masked.size
       val ef = math.max(hnswEf, window)
       val desc = SearchSpec.descending(spec.metric)
+      // tombstoned ghosts navigate but never enter the beam
+      val live: String => Boolean =
+        if (hnswDeadIds.isEmpty) _ => true else id => !hnswDeadIds(id)
       val pages = (0 until sc.segments).flatMap { seg =>
         hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
           graft.ops.HnswSegment.search(pts, edges, spec.query, window,
-            ef, sc.seed, metric = spec.metric)
+            ef, sc.seed, accept = live, metric = spec.metric)
         }
       }
       val top = pages.filter { case (_, s) => spec.passes(s) }
@@ -551,7 +568,9 @@ final class ParquetCollectionStore(
         .reduceOption(_ min _).getOrElse(-1L)
       tailSince(overlayAt).map { tail =>
         hnswTailRescored.addAndGet(tail.added.size): Unit
-        val matched = ids0 -- tail.masked
+        // tombstoned ghosts leave the acceptance set (an absorbed
+        // delete is not in the tail anymore — the flag IS its mask)
+        val matched = ids0 -- tail.masked -- hnswDeadIds
         val window = spec.k + spec.offset + tail.masked.size
         val fresh = tailScored(tail, spec, withPayload, vectorFields, pfilter)
         // COST-BASED arm choice: the walk widens ef by the inverse match
@@ -1821,18 +1840,38 @@ final class ParquetCollectionStore(
     val metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"
     val allFields = descriptor.fields.map(_.name)
     def segOf(id: String): Int = graft.ops.HnswSegment.segOf(id, nseg, seed)
-    // ids leaving their segment's files: deletes + the OLD versions of
-    // updated points (their new versions re-insert below, if indexable)
-    val drops = deletes ++ preExisting
+    val deadFile = new java.io.File(s"$dir/_hnsw/dead.txt")
+    val dead0: Set[String] =
+      if (!deadFile.isFile) Set.empty
+      else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val upIds = upserts.iterator.map(_.id).toSet
+    // ids whose stored copies must leave their segment files NOW:
+    // UPDATES (the old node must not shadow the re-insert) and
+    // RESURRECTED tombstones (a dead copy under the same id would
+    // collide with the fresh node). Plain DELETES tombstone instead —
+    // O(batch), the backend's deleted-flags model; ghosts keep
+    // navigating, never enter a result beam, and the next
+    // consolidation or offline rebuild reclaims them.
+    val drops = preExisting ++ (upIds intersect dead0)
     val upsBySeg = upserts.groupBy(p => segOf(p.id))
     val dropsBySeg = drops.groupBy(segOf)
+    val foldedDead = scala.collection.mutable.Set.empty[String]
     (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
       val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
       val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
-      val segDrops = dropsBySeg.getOrElse(seg, Set.empty)
+      val segDrops0 = dropsBySeg.getOrElse(seg, Set.empty)
       val batch = upsBySeg.getOrElse(seg, IndexedSeq.empty)
         .filter(_.dense.contains(field))
-      val consolidate = segDrops.nonEmpty
+      val consolidate = segDrops0.nonEmpty
+      // a segment that rewrites anyway reclaims its tombstoned ghosts
+      // for free — fold them into the drop set and clear their flags
+      val segDead =
+        if (!consolidate) Set.empty[String]
+        else dead0.filter(id => !upIds(id) && segOf(id) == seg)
+      foldedDead ++= segDead
+      val segDrops = segDrops0 ++ segDead
       // full rows only when consolidating (the rewrite needs them);
       // the pure-insert path reads just (id, indexed vector)
       val rows: IndexedSeq[Point] =
@@ -1898,6 +1937,15 @@ final class ParquetCollectionStore(
         }
       }
       hnswIncInserts.addAndGet(batch.size): Unit
+    }
+    val dead1 = (dead0 -- foldedDead -- upIds) ++ deletes
+    if (dead1 != dead0) {
+      if (dead1.isEmpty)
+        java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+      else
+        java.nio.file.Files.write(deadFile.toPath,
+          dead1.toSeq.sorted.mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
@@ -2496,9 +2544,12 @@ object ParquetCollectionStore {
       s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     // a rebuild re-absorbs everything the incremental path had appended
-    // — the insert watermark resets to the fresh build position
+    // — the insert watermark resets to the fresh build position and the
+    // tombstoned ghosts are reclaimed (the rebuild never saw them)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
   }
 
   def writeSparseSidecar(df: DataFrame, dir: String, field: String,

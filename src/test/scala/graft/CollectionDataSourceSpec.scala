@@ -1937,15 +1937,34 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       new ParquetCollectionStore(dir, "h", desc)
         .searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
-    // a DELETE absorbs as a segment consolidation: the winner leaves
-    // the graph itself (no mask needed — the tail stays empty) and the
+    // a DELETE absorbs as an O(batch) TOMBSTONE (the backend's
+    // deleted-flags model): the ghost keeps navigating but never
+    // enters a result beam — no segment rewrite, tail stays empty,
     // page re-ranks exactly
     val winner = gotP.head._1.id
     val del = upd2.removed("h", Set(winner))
+    val deadFile = new java.io.File(s"$dir/_hnsw/dead.txt")
+    assert(deadFile.isFile)
+    assert(new String(java.nio.file.Files.readAllBytes(deadFile.toPath))
+      .contains(winner))
     val gotD = del.searchPoints("h", spec0, withPayload = false, Nil)
     assert(del.hnswTailRescored.get() === 0L)
     assert(!gotD.map(_._1.id).contains(winner))
     assert(gotD.map(p => (p._1.id, p._2)) ===
+      new ParquetCollectionStore(dir, "h", desc)
+        .searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    // RESURRECTION: re-upserting a tombstoned id consolidates the dead
+    // copy out of its segment (same id must not collide), clears the
+    // flag, and the fresh node serves again
+    val res = del.appended("h", IndexedSeq(Point(winner, Some("""{"g":0}"""),
+      dense = Map("vector" ->
+        Array(math.cos(qa2 + 1e-6).toFloat, math.sin(qa2 + 1e-6).toFloat)))))
+    assert(!deadFile.isFile)
+    val gotR = res.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(res.hnswTailRescored.get() === 0L)
+    assert(gotR.map(_._1.id).contains(winner))
+    assert(gotR.map(p => (p._1.id, p._2)) ===
       new ParquetCollectionStore(dir, "h", desc)
         .searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
