@@ -631,6 +631,63 @@ object SparkEntry {
       m3
     })
 
+  /** The INCREMENTAL-IVF fixture: seal the corpus with the IVF sidecar
+    * and a changelog, then churn (inserts + an update + a delete) — the
+    * store absorbs every mutation into the cluster partitions (inserts
+    * assign by the probe's own nearest-centroid rule, the update
+    * consolidates its old cluster, the delete tombstones), so
+    * post-churn serves stay cluster-pruned with an EMPTY overlay tail.
+    * Opened at nprobe = nlist so the probed serve is EXACT and the
+    * plain brute oracle over the final state pins it.
+    */
+  private val parquetIvfFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetIvfFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetIvfFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-ivffresh")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      val idx = graft.ops.Ann.buildIvf(
+        df.withColumn("vector",
+          col("vector").cast(ArrayType(DoubleType))),
+        "id", "vector", nlist = 8, maxIter = 0)
+      graft.sources.ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "vector", "cluster"),
+        idx.centroids, pqDir, field = "vector")
+      idx.clustered.unpersist(): Unit
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", Collections.homogeneousDescriptor, ivfNprobe = 8)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.ivfIncInserts.get() == adds.length.toLong,
+        "the fresh batch must be absorbed into the cluster partitions")
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      val m2 = m1.appended("embeddings", IndexedSeq(
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec))))
+      require(m1.ivfIncInserts.get() == 1L,
+        "the update must re-assign into the cluster partitions")
+      val m3 = m2.removed("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_ivf/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the clusters serve with an " +
+          "empty overlay tail")
+      m3
+    })
+
   /** The EUCLID-metric HNSW fixture: the graph is built under euclid
     * (negated-distance preference drives the same walk), the meta
     * records the metric, and the store serves euclid queries from it —
@@ -2286,6 +2343,28 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_hnswfr_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL IVF MAINTENANCE — the hnsw_fresh discipline on the
+    // OTHER ANN family: churn (inserts by nearest-centroid assignment,
+    // an update consolidating its old cluster, a tombstoned delete)
+    // absorbs into the cluster partitions (fixture REQUIRES the
+    // watermark reached the log head), and the post-churn probed serve
+    // at nprobe = nlist is exact over the final state
+    "dsv2_parquet_ivf_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_ivffr_store",
+        SparkEntry.parquetIvfFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 29)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_ivffr_store").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -7403,6 +7482,28 @@ object SparkEntry {
     "dsv2_parquet_hnsw_fresh" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 19),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // incremental IVF maintenance: post-churn probed serve at
+    // nprobe = nlist must rank exactly where brute force over the
+    // FINAL state does
+    "dsv2_parquet_ivf_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 29),
         |base AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v

@@ -293,8 +293,13 @@ final class ParquetCollectionStore(
     * engine scoring above the scan — at 100 TB the difference is reading
     * nprobe/nlist of the corpus per query instead of all of it.
     */
+  /** `insertedAt`: the log position up to which the cluster partitions
+    * are CURRENT — advanced past `builtAt` by the incremental
+    * maintenance path (see [[ivfMaintain]]), reset by a rebuild.
+    */
   private case class IvfSidecar(field: String, builtAt: Long,
-                                centroidStore: ParquetCollectionStore)
+                                centroidStore: ParquetCollectionStore,
+                                insertedAt: Long)
 
   @transient private lazy val ivfSidecar: Option[IvfSidecar] = {
     val marker = new java.io.File(s"$dir/_ivf/field.txt")
@@ -306,10 +311,38 @@ final class ParquetCollectionStore(
       // a legacy single-line meta has none and serves as-is
       val builtAt =
         if (lines.length > 1 && lines(1).nonEmpty) lines(1).toLong else -1L
+      val ins = new java.io.File(s"$dir/_ivf/inserted.txt")
+      val insertedAt =
+        if (!ins.isFile || builtAt < 0) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
       Some(IvfSidecar(lines(0), builtAt, new ParquetCollectionStore(
-        s"$dir/_ivf/centroids", collection, descriptor)))
+        s"$dir/_ivf/centroids", collection, descriptor), insertedAt))
     }
   }
+
+  /** Tombstoned cluster rows (the IVF analog of the HNSW ghost flags):
+    * a DELETE absorbs as an O(batch) flag append; flagged ids never
+    * score; consolidations and the rebuild reclaim them.
+    */
+  @transient private lazy val ivfDeadIds: Set[String] = {
+    val f = new java.io.File(s"$dir/_ivf/dead.txt")
+    if (!f.isFile) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  /** Points absorbed into the cluster partitions by the incremental
+    * maintenance path (specs).
+    */
+  @transient lazy val ivfIncInserts = new AtomicLong(0L)
+
+  /** Tail points brute-rescored by an IVF serve's freshness overlay
+    * (specs — zero after an absorbed batch).
+    */
+  @transient lazy val ivfTailRescored = new AtomicLong(0L)
 
   /** Per-cluster sub-stores, created lazily ONLY for probed clusters (an
     * unprobed cluster's files are never listed, let alone opened) and
@@ -772,16 +805,19 @@ final class ParquetCollectionStore(
                        vectorFields: Seq[String],
                        pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     ivfSidecar.filter(_.field == spec.field).flatMap { sc =>
-      tailSince(sc.builtAt).map { tail =>
+      tailSince(sc.insertedAt).map { tail =>
+      ivfTailRescored.addAndGet(tail.added.size): Unit
       val probed = sc.centroidStore.searchPoints(collection,
         SearchSpec(spec.field, spec.query, "euclid", ivfNprobe),
         withPayload = false, vectorFields = Nil)
       // the page window (offset + k) per cluster, offset applied after
       // the merge — same pagination semantics as the base heap. Widened
-      // by the masked-id count: masked rows can occupy at most that many
-      // slots of a cluster's page, so the widening guarantees enough
-      // unmasked survivors for an exact post-mask page.
-      val window = spec.copy(k = spec.k + spec.offset + tail.masked.size,
+      // by the masked-id count AND the tombstone count: masked/dead rows
+      // can occupy at most that many slots of a cluster's page, so the
+      // widening guarantees enough live survivors for an exact
+      // post-mask page.
+      val window = spec.copy(
+        k = spec.k + spec.offset + tail.masked.size + ivfDeadIds.size,
         offset = 0)
       val clusters = probed.map { case (cent, _) =>
         java.lang.Long.parseLong(cent.id).toString
@@ -814,7 +850,10 @@ final class ParquetCollectionStore(
         else clusters.flatMap(v => clusterStoreFor(v).toSeq.flatMap(
           _.searchPointsFiltered(c, window, withPayload, vectorFields,
             pfilter)))
-      val fresh = merged.filterNot { case (p, _) => tail.masked(p.id) } ++
+      // tombstoned ghosts never rank (an absorbed delete is not in the
+      // tail anymore — the flag IS its mask)
+      val fresh = merged.filterNot { case (p, _) =>
+          tail.masked(p.id) || ivfDeadIds(p.id) } ++
         tailScored(tail, spec, withPayload, vectorFields, pfilter)
       mergeBest(spec, fresh)
       }
@@ -865,6 +904,8 @@ final class ParquetCollectionStore(
           codesFilesOpened.incrementAndGet()
           ParquetLog.readCodeRows(f.getAbsolutePath)
         }
+        // tombstoned ghosts must not erode the candidate margin
+        .filter { case (id, _, _) => !ivfDeadIds(id) }
         .map { case (id, codes, scale) =>
           var s = 0L
           val n = math.min(codes.length, qc.length)
@@ -1726,12 +1767,14 @@ final class ParquetCollectionStore(
     val metas = fileMetas
     val fields = descriptor.fields.map(_.name)
     val oldHead = ParquetLog.head(logDir)
-    // HNSW online maintenance needs to know which incoming ids are
-    // UPDATES (their old graph nodes must drop before the re-insert) —
-    // read BEFORE the COW rewrite (footer-pruned point lookup, bounded
-    // by the batch's id ranges); skipped when the graphs aren't current
+    // ANN online maintenance (HNSW + IVF) needs to know which incoming
+    // ids are UPDATES (their old index rows must drop before the
+    // re-insert) — read BEFORE the COW rewrite (footer-pruned point
+    // lookup, bounded by the batch's id ranges); skipped when no
+    // sidecar is current
     val preExisting: Set[String] =
-      if (!hnswInsertTracking(oldHead)) Set.empty
+      if (!hnswInsertTracking(oldHead) && !ivfInsertTracking(oldHead))
+        Set.empty
       else queryPoints(c, 0L, pointCount(c), withPayload = false, Nil,
         None, idFilter = Some(deduped.map(_.id).toSet)).map(_.id).toSet
     if (metas.isEmpty) {
@@ -1753,7 +1796,218 @@ final class ParquetCollectionStore(
     val newHead = ParquetLog.appendSegment(logDir, oldHead,
       deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec)
     hnswMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
+    ivfMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
     reopened
+  }
+
+  // ----------------------------------- incremental IVF maintenance --
+
+  /** Where the IVF cluster partitions are current up to, independent of
+    * the serve dials (maintenance runs on any instance of a dir
+    * carrying the sidecar). -1 = no sidecar / legacy meta.
+    */
+  private def ivfInsertedAt: Long = {
+    val marker = new java.io.File(s"$dir/_ivf/field.txt")
+    if (!marker.isFile) -1L
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      if (lines.length < 2 || lines(1).isEmpty) -1L
+      else {
+        val builtAt = lines(1).toLong
+        val ins = new java.io.File(s"$dir/_ivf/inserted.txt")
+        if (!ins.isFile) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    }
+  }
+
+  private def ivfInsertTracking(oldHead: Long): Boolean =
+    ivfInsertedAt == oldHead
+
+  /** Absorb a mutation batch into the IVF cluster partitions — the
+    * [[hnswMaintain]] discipline applied to the IVF family so BOTH ANN
+    * sidecars stay index-served under churn:
+    *
+    *  - NEW points assign to their nearest centroid (the SAME rule the
+    *    probe uses: euclid over the centroid store, smallest-cluster
+    *    tiebreak) and append as an `inc-*` file in that cluster's
+    *    partition — plus an int8 codes row when the quantized tier
+    *    exists (the engine kernel's exact arithmetic);
+    *  - UPDATES and resurrected tombstones consolidate the cluster(s)
+    *    holding their old copies (found by footer-pruned id lookup
+    *    across the partitions), then re-insert by fresh assignment;
+    *  - DELETES tombstone in O(batch) (`_ivf/dead.txt`) — flagged rows
+    *    never score, never erode the quantized candidate margin, and
+    *    consolidations/rebuilds reclaim them.
+    *
+    * The `_ivf/inserted.txt` watermark then advances, so the serve
+    * overlays an EMPTY tail. Centroids do NOT move online — exactly the
+    * backend's model (assignment drifts as the distribution does; the
+    * drift statistic and the offline refit are the repair, the round-11
+    * dial sheet's trigger).
+    */
+  private def ivfMaintain(upserts: IndexedSeq[Point], deletes: Set[String],
+                          oldHead: Long, newHead: Long,
+                          preExisting: Set[String]): Unit = {
+    if (!ivfInsertTracking(oldHead)) return
+    val marker = java.nio.file.Paths.get(s"$dir/_ivf/field.txt")
+    val field = new String(java.nio.file.Files.readAllBytes(marker),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n")(0).trim
+    val centDir = new java.io.File(s"$dir/_ivf/centroids")
+    if (!centDir.isDirectory) return
+    val centStore = new ParquetCollectionStore(centDir.getAbsolutePath,
+      collection, descriptor)
+    val centroids = centStore.queryPoints(collection, 0L,
+        centStore.pointCount(collection), withPayload = false, Seq(field),
+        None)
+      .flatMap(p => p.dense.get(field).map(v => (p.id, v)))
+      .toIndexedSeq
+    if (centroids.isEmpty) return
+    // nearest centroid under the probe's own rule: ascending euclid,
+    // centroid-id ascending tiebreak (ids are zero-padded, so the
+    // string order IS the numeric order)
+    def assign(v: Array[Float]): String = {
+      val q = v.map(_.toDouble)
+      var best: String = null
+      var bestD = Double.MaxValue
+      centroids.foreach { case (cid, cv) =>
+        val d = SearchSpec.score("euclid", cv, q).get
+        if (d < bestD) { bestD = d; best = cid }
+      }
+      java.lang.Long.parseLong(best).toString
+    }
+    val deadFile = new java.io.File(s"$dir/_ivf/dead.txt")
+    val dead0: Set[String] =
+      if (!deadFile.isFile) Set.empty
+      else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val upIds = upserts.iterator.map(_.id).toSet
+    val allFields = descriptor.fields.map(_.name)
+    val codesTier = new java.io.File(s"$dir/_ivf/codes").isDirectory
+    // old copies that must leave their clusters NOW (updates +
+    // resurrected tombstones); locate them by footer-pruned id lookup
+    val drops = preExisting ++ (upIds intersect dead0)
+    val foldedDead = scala.collection.mutable.Set.empty[String]
+    val clustersToConsolidate: Map[String, Set[String]] =
+      if (drops.isEmpty) Map.empty
+      else Option(new java.io.File(s"$dir/_ivf/points").listFiles())
+        .getOrElse(Array.empty).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .flatMap { d =>
+          val v = d.getName.substring("cluster=".length)
+          val st = new ParquetCollectionStore(d.getAbsolutePath,
+            collection, descriptor)
+          val found = st.queryPoints(collection, 0L,
+              st.pointCount(collection), withPayload = false, Nil, None,
+              idFilter = Some(drops)).map(_.id).toSet
+          if (found.isEmpty) None else Some(v -> found)
+        }.toMap
+    val upsByCluster = upserts.filter(_.dense.contains(field))
+      .groupBy(p => assign(p.dense(field)))
+    def codesOf(v: Array[Float]): (Array[Byte], Float) = {
+      var absMax = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = math.abs(v(i).toDouble); if (x > absMax) absMax = x; i += 1
+      }
+      val scaleF = (absMax / 127.0).toFloat
+      val codes = new Array[Byte](v.length)
+      if (scaleF > 0f) {
+        i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble / scaleF.toDouble
+          codes(i) =
+            (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+          i += 1
+        }
+      }
+      (codes, scaleF)
+    }
+    def wipe(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+          f.delete(): Unit
+        }
+    (upsByCluster.keySet ++ clustersToConsolidate.keySet).foreach { v =>
+      val cDir = new java.io.File(s"$dir/_ivf/points/cluster=$v")
+      val codesDir = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
+      val batch = upsByCluster.getOrElse(v, IndexedSeq.empty)
+      val segDrops0 = clustersToConsolidate.getOrElse(v, Set.empty)
+      val consolidate = segDrops0.nonEmpty
+      if (consolidate) {
+        // a consolidating cluster reclaims its tombstoned ghosts free
+        val st = new ParquetCollectionStore(cDir.getAbsolutePath,
+          collection, descriptor)
+        val rows = st.queryPoints(collection, 0L,
+          st.pointCount(collection), withPayload = true, allFields,
+          None).toIndexedSeq
+        val rowIds = rows.iterator.map(_.id).toSet
+        val segDead = dead0.filter(id => !upIds(id) && rowIds(id))
+        foldedDead ++= segDead
+        val segDrops = segDrops0 ++ segDead
+        val finalRows = (rows.filterNot(p => segDrops(p.id)) ++ batch)
+          .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+        wipe(cDir)
+        if (finalRows.nonEmpty) {
+          cDir.mkdirs()
+          ParquetLog.writePrimary(
+            new java.io.File(cDir, f"pts-$newHead%012d.parquet"),
+            finalRows, rowCodec)
+        }
+        if (codesTier && codesDir.isDirectory) {
+          val keptCodes = Option(codesDir.listFiles())
+            .getOrElse(Array.empty).toIndexedSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .flatMap(f => ParquetLog.readCodeRows(f.getAbsolutePath))
+            .filterNot { case (id, _, _) => segDrops(id) }
+          val addCodes = batch.map { p =>
+            val (c, s) = codesOf(p.dense(field)); (p.id, c, s)
+          }
+          wipe(codesDir)
+          val finalCodes = keptCodes ++ addCodes
+          if (finalCodes.nonEmpty) {
+            codesDir.mkdirs()
+            ParquetLog.writeCodeRows(
+              new java.io.File(codesDir, f"codes-$newHead%012d.parquet"),
+              finalCodes)
+          }
+        }
+      } else if (batch.nonEmpty) {
+        cDir.mkdirs()
+        ParquetLog.writePrimary(
+          new java.io.File(cDir, f"inc-$newHead%012d.parquet"),
+          batch.sortWith((a, b) => SparkStringOrder.lt(a.id, b.id)),
+          rowCodec)
+        if (codesTier) {
+          codesDir.mkdirs()
+          ParquetLog.writeCodeRows(
+            new java.io.File(codesDir, f"inc-$newHead%012d.parquet"),
+            batch.map { p =>
+              val (c, s) = codesOf(p.dense(field)); (p.id, c, s)
+            })
+        }
+      }
+      ivfIncInserts.addAndGet(batch.size): Unit
+    }
+    val dead1 = (dead0 -- foldedDead -- upIds) ++ deletes
+    if (dead1 != dead0) {
+      if (dead1.isEmpty)
+        java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+      else
+        java.nio.file.Files.write(deadFile.toPath,
+          dead1.toSeq.sorted.mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"),
+      newHead.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   // ---------------------------------------- incremental HNSW insert --
@@ -1990,6 +2244,8 @@ final class ParquetCollectionStore(
         rowCodec)
       hnswMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
         Set.empty)
+      ivfMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
+        Set.empty)
       reopened
     }
   }
@@ -2219,6 +2475,12 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
       s"$field\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path appended —
+    // watermark and tombstones reset to the fresh build
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ivf/dead.txt")): Unit
   }
 
   /** The OPTIMIZER job — qdrant's optimizer re-absorbing the unindexed

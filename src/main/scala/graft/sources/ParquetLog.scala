@@ -459,6 +459,37 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** Seal int8-codes rows as ONE parquet file — the incremental-insert
+    * append unit beside the Spark-written codes files (same column
+    * names and list shape, so [[readCodeRows]] decodes either writer's
+    * files).
+    */
+  def writeCodeRows(dest: File,
+                    rows: Seq[(String, Array[Byte], Float)]): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("id")
+      .optionalGroup().as(LogicalTypeAnnotation.listType())
+      .repeatedGroup()
+      .optional(PrimitiveTypeName.INT32).named("element")
+      .named("list")
+      .named("codes")
+      .required(PrimitiveTypeName.FLOAT).named("scale")
+      .named("graft_ivf_codes")
+    val fac = new SimpleGroupFactory(schema)
+    writeGroups(dest, schema, rows.iterator.map { case (id, codes, scale) =>
+      val g = fac.newGroup()
+      g.add("id", id)
+      val outer = g.addGroup("codes")
+      var i = 0
+      while (i < codes.length) {
+        outer.addGroup("list").add("element", codes(i).toInt); i += 1
+      }
+      g.add("scale", scale)
+      g
+    })
+  }
+
   /** Seal HNSW edge rows as ONE parquet file — the incremental-insert
     * append unit beside the Spark-written base edge files (same column
     * names, so [[readEdgeRows]] decodes either writer's files).

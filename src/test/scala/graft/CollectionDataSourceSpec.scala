@@ -1489,10 +1489,22 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     // log) and fall back to the COW-current primaries — still exact
     assert(store2.countMatchingFiltered("fr", None, None, pf) === 2L)
     assert(store2.filesOpened.get() > 0L)
-    // compacting the log PAST the freshness point disables the sidecars
-    // (the tail they need is gone) — serving falls back to the fresh
-    // primaries, never to silently stale index partitions
-    val store3 = store2.compacted("fr", store2.logSize("fr"))
+    // the IVF family ABSORBED the mutations (round 16): park its
+    // watermark to exercise the legacy OVERLAY path — the tail masks
+    // the absorbed copies too (over-fresh partitions are safe: masked
+    // ids are re-scored from the tail regardless), so the page is
+    // STILL exact
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"))
+    val parked = new ParquetCollectionStore(dir, "fr", desc, ivfNprobe = 1)
+    assert(parked.searchPointsFiltered("fr", spec, withPayload = false,
+      vectorFields = Nil, pfilter = PayloadFilter.Empty)
+      .map(_._1.id) === Seq("0", "1", "4"))
+    assert(parked.filesOpened.get() === 0L)
+    // compacting the log PAST a PARKED freshness point disables the
+    // sidecar (the tail it needs is gone) — serving falls back to the
+    // fresh primaries, never to silently stale index partitions
+    val store3 = parked.compacted("fr", parked.logSize("fr"))
     val opened = store3.filesOpened.get()
     assert(store3.searchPointsFiltered("fr", spec, withPayload = false,
       vectorFields = Nil, pfilter = PayloadFilter.Empty)
@@ -1984,6 +1996,104 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       new ParquetCollectionStore(dir, "h", desc)
         .searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
+  }
+
+  test("incremental IVF maintenance: mutations absorb into the cluster partitions, serve with an empty tail") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfinc").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 2000).map { i =>
+      val a = i * 0.003
+      (f"$i%04d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    val idx = graft.ops.Ann.buildIvf(
+      df.withColumn("vector", col("vector").cast(ArrayType(DoubleType))),
+      "id", "vector", nlist = 4, maxIter = 0)
+    ParquetCollectionStore.writeIvfSidecar(
+      idx.clustered.select("id", "payload", "vector", "cluster"),
+      idx.centroids, dir, field = "vector")
+    ParquetCollectionStore.writeIvfQuantizedSidecar(
+      idx.clustered.select(col("id"), col("vector"), col("cluster")), dir)
+    idx.clustered.unpersist(): Unit
+    val store = new ParquetCollectionStore(dir, "h", desc, ivfNprobe = 4,
+      ivfCandidateK = 4096)
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 10)
+    val qa = math.atan2(0.2, 1.0)
+    val adds = (1 to 8).map { i =>
+      val a = qa + i * 2e-4
+      Point(f"95$i%02d", Some(s"""{"g":${i % 4}}"""),
+        dense = Map("vector" ->
+          Array(math.cos(a).toFloat, math.sin(a).toFloat)))
+    }.toIndexedSeq
+    val mutated = store.appended("h", adds)
+    assert(store.ivfIncInserts.get() === 8L)
+    assert(new java.io.File(s"$dir/_ivf/inserted.txt").isFile)
+    def brute() = new ParquetCollectionStore(dir, "h", desc)
+    def eq(st: ParquetCollectionStore, sp: SearchSpec): Unit =
+      assert(st.searchPoints("h", sp, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)) ===
+        brute().searchPoints("h", sp, withPayload = false, Nil)
+          .map(p => (p._1.id, p._2)))
+    // nprobe = nlist probes every cluster: exact regardless of
+    // assignment — and the tail leg never runs (graph-of-clusters is
+    // CURRENT). Primaries stay closed (clusters serve the page).
+    eq(mutated, spec0)
+    assert(mutated.ivfTailRescored.get() === 0L)
+    assert(mutated.filesOpened.get() === 0L)
+    // the QUANTIZED tier absorbed too: dot-metric candidates come from
+    // the codes files (inc files included) at a full-coverage margin,
+    // exact rerank — equality with brute force
+    val specDot = SearchSpec("vector", Array(1.0, 0.2), "dot", 10)
+    eq(mutated, specDot)
+    assert(mutated.codesFilesOpened.get() > 0L)
+    // assignment == the probe rule: with nprobe=1, a query AT an
+    // inserted point finds that point (it lives in the one probed
+    // cluster — self-consistency of assignment and probe)
+    val one = new ParquetCollectionStore(dir, "h", desc, ivfNprobe = 1)
+    adds.take(3).foreach { p =>
+      val q = p.dense("vector").map(_.toDouble)
+      val got = one.searchPoints("h", SearchSpec("vector", q, "cosine", 1),
+        withPayload = false, Nil)
+      assert(got.head._1.id === p.id, s"assignment/probe disagree on ${p.id}")
+    }
+    // an UPDATE consolidates the old copy out of its cluster and
+    // re-assigns the new vector — exact at empty tail
+    val upd = mutated.appended("h", IndexedSeq(Point("0001",
+      Some("""{"g":1}"""), dense = Map("vector" -> Array(-1.0f, 0.0f)))))
+    assert(mutated.ivfIncInserts.get() === 1L)
+    eq(upd, spec0)
+    assert(upd.ivfTailRescored.get() === 0L)
+    // a DELETE tombstones (O(batch)): flagged rows never rank, the
+    // quantized margin is immune, the tail stays empty
+    val winner = upd.searchPoints("h", spec0, withPayload = false, Nil)
+      .head._1.id
+    val del = upd.removed("h", Set(winner))
+    assert(new java.io.File(s"$dir/_ivf/dead.txt").isFile)
+    val gotD = del.searchPoints("h", spec0, withPayload = false, Nil)
+    assert(del.ivfTailRescored.get() === 0L)
+    assert(!gotD.map(_._1.id).contains(winner))
+    eq(del, spec0)
+    eq(del, specDot)
+    // RESURRECTION clears the flag and consolidates the dead copy out
+    val res = del.appended("h", IndexedSeq(Point(winner, Some("""{"g":0}"""),
+      dense = Map("vector" ->
+        Array(math.cos(qa + 1e-6).toFloat, math.sin(qa + 1e-6).toFloat)))))
+    assert(!new java.io.File(s"$dir/_ivf/dead.txt").isFile)
+    eq(res, spec0)
+    // OPTIMIZE reseals and resets; absorption is live again
+    ParquetCollectionStore.optimize(spark, dir, ivfMaxIter = 0)
+    assert(!new java.io.File(s"$dir/_ivf/inserted.txt").isFile)
+    val opt = new ParquetCollectionStore(dir, "h", desc, ivfNprobe = 4)
+    val opt2 = opt.appended("h", IndexedSeq(Point("9700", Some("""{"g":0}"""),
+      dense = Map("vector" ->
+        Array(math.cos(qa + 2e-6).toFloat, math.sin(qa + 2e-6).toFloat)))))
+    assert(opt.ivfIncInserts.get() === 1L)
+    eq(opt2, spec0)
+    assert(opt2.ivfTailRescored.get() === 0L)
   }
 
   test("HnswSegment.segOf equals the engine-side segCol for every id") {
