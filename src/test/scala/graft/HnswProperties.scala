@@ -120,6 +120,35 @@ object HnswProperties extends Properties("graft.hnsw") {
           7L).isEmpty
     }
 
+  property("incremental insert: base-build + insertInto serves exhaustive-ef brute force over the union") =
+    forAll(corpusGen) { pts =>
+      val cut = math.max(1, (pts.length * 3) / 4)
+      val (base, batch) = pts.splitAt(cut)
+      val baseEdges = HnswSegment.build(base, 4, 8, 7L).toIndexedSeq
+      val incEdges = HnswSegment.insertInto(base, baseEdges, batch,
+        4, 8, 7L).toIndexedSeq
+      val all = base ++ batch
+      val edges = baseEdges ++ incEdges
+      // new-node edges reference only known ids, and the served union
+      // at exhaustive ef equals brute force — the incremental graph is
+      // navigable over base AND batch
+      val ids = all.map(_._1).toSet
+      incEdges.forall(e => ids(e._2) && ids(e._3)) && {
+        val q = all.head._2.map(_ + 0.1)
+        HnswSegment.search(all, edges, q, 5, all.length + 8, 7L)
+          .map(_._1) == brute(all, q, 5, _ => true)
+      }
+    }
+
+  property("incremental insert is deterministic") =
+    forAll(corpusGen) { pts =>
+      val cut = math.max(1, pts.length / 2)
+      val (base, batch) = pts.splitAt(cut)
+      val baseEdges = HnswSegment.build(base, 4, 8, 7L).toIndexedSeq
+      HnswSegment.insertInto(base, baseEdges, batch, 4, 8, 7L).toSeq ==
+        HnswSegment.insertInto(base, baseEdges, batch, 4, 8, 7L).toSeq
+    }
+
   property("empty accept set returns empty, never junk") =
     forAll(corpusGen) { pts =>
       val edges = HnswSegment.build(pts, 4, 8, 7L).toIndexedSeq
