@@ -1939,7 +1939,11 @@ final class ParquetCollectionStore(
       val codesDir = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
       val batch = upsByCluster.getOrElse(v, IndexedSeq.empty)
       val segDrops0 = clustersToConsolidate.getOrElse(v, Set.empty)
-      val consolidate = segDrops0.nonEmpty
+      // LSM discipline: merge the cluster's accumulated inc files once
+      // they would dominate per-query open cost (see [[hnswMaintain]])
+      val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+        ParquetCollectionStore.parquetFileCount(cDir) >=
+          ParquetCollectionStore.incCompactThreshold)
       if (consolidate) {
         // a consolidating cluster reclaims its tombstoned ghosts free
         val st = new ParquetCollectionStore(cDir.getAbsolutePath,
@@ -2118,7 +2122,15 @@ final class ParquetCollectionStore(
       val segDrops0 = dropsBySeg.getOrElse(seg, Set.empty)
       val batch = upsBySeg.getOrElse(seg, IndexedSeq.empty)
         .filter(_.dense.contains(field))
-      val consolidate = segDrops0.nonEmpty
+      // LSM discipline: consolidate when rows must drop, AND when the
+      // append path has accumulated enough inc files that per-query
+      // open overhead starts to matter — frequent tiny batches stay
+      // O(batch) most of the time and pay one merge every
+      // `incCompactThreshold` appends, keeping file counts bounded
+      // without waiting for the offline optimizer
+      val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+        ParquetCollectionStore.parquetFileCount(segDir) >=
+          ParquetCollectionStore.incCompactThreshold)
       // a segment that rewrites anyway reclaims its tombstoned ghosts
       // for free — fold them into the drop set and clear their flags
       val segDead =
@@ -2841,6 +2853,18 @@ object ParquetCollectionStore {
     * below-threshold plain-search arm).
     */
   val hnswFilteredExactMax: Int = 1024
+
+  /** Online-maintenance compaction dial: an ANN partition (HNSW segment
+    * / IVF cluster) that has accumulated this many parquet files merges
+    * on the NEXT absorbed insert batch — bounding per-query file opens
+    * under frequent tiny batches without waiting for the offline
+    * optimizer (the standard LSM level-0 cap).
+    */
+  val incCompactThreshold: Int = 8
+
+  private[sources] def parquetFileCount(d: java.io.File): Int =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
 
   /** Lay a payload-index sidecar under `dir/_pidx/k_<key>`: the
     * collection value-partitioned by top-level payload key `key` (`kind`

@@ -2096,6 +2096,65 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(opt2.ivfTailRescored.get() === 0L)
   }
 
+  test("online-maintenance compaction bounds inc-file counts under frequent tiny batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsm").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 200).map { i =>
+      val a = i * 0.03
+      (f"$i%04d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 1, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 1)
+    val idx = graft.ops.Ann.buildIvf(
+      df.withColumn("vector", col("vector").cast(ArrayType(DoubleType))),
+      "id", "vector", nlist = 2, maxIter = 0)
+    ParquetCollectionStore.writeIvfSidecar(
+      idx.clustered.select("id", "payload", "vector", "cluster"),
+      idx.centroids, dir, field = "vector")
+    idx.clustered.unpersist(): Unit
+    var st = new ParquetCollectionStore(dir, "h", desc, hnswEf = 1024,
+      ivfNprobe = 2)
+    (1 to 24).foreach { i =>
+      val a = i * 0.01
+      st = st.appended("h", IndexedSeq(Point(f"z$i%03d",
+        Some(s"""{"g":${i % 4}}"""),
+        dense = Map("vector" ->
+          Array(math.cos(a).toFloat, math.sin(a).toFloat)))))
+    }
+    def files(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val cap = ParquetCollectionStore.incCompactThreshold + 1
+    // 24 single-point batches, but every partition stays under the
+    // level-0 cap: the 8th accumulated file triggers a merge
+    assert(files(s"$dir/_hnsw/points/seg=0") <= cap)
+    assert(files(s"$dir/_hnsw/edges/seg=0") <= cap)
+    Seq(0, 1).foreach { c =>
+      assert(files(s"$dir/_ivf/points/cluster=$c") <= cap,
+        s"cluster $c file count unbounded")
+    }
+    // and the consolidated state serves exactly — both families,
+    // empty tails
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 10)
+    val brute = new ParquetCollectionStore(dir, "h", desc)
+    assert(st.searchPoints("h", spec0, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    assert(st.hnswTailRescored.get() === 0L)
+    val ivfOnly = new ParquetCollectionStore(dir, "h", desc, ivfNprobe = 2)
+    assert(ivfOnly.searchPoints("h", spec0, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("h", spec0, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+    assert(ivfOnly.ivfTailRescored.get() === 0L)
+  }
+
   test("HnswSegment.segOf equals the engine-side segCol for every id") {
     import spark.implicits._
     val ids = (0 until 500).map(i => s"id-$i-${i * 37}")
