@@ -1889,8 +1889,13 @@ final class ParquetCollectionStore(
     val allFields = descriptor.fields.map(_.name)
     val codesTier = new java.io.File(s"$dir/_ivf/codes").isDirectory
     // old copies that must leave their clusters NOW (updates +
-    // resurrected tombstones); locate them by footer-pruned id lookup
-    val drops = preExisting ++ (upIds intersect dead0)
+    // resurrected tombstones); locate them by footer-pruned id lookup.
+    // Mass deletes past the flag cap consolidate instead of tombstone
+    // (the [[hnswMaintain]] rule — dead.txt stays model-sized).
+    val tombstone =
+      dead0.size + deletes.size <= ParquetCollectionStore.deadFlagMaxDial
+    val drops = preExisting ++ (upIds intersect dead0) ++
+      (if (tombstone) Set.empty else deletes ++ (dead0 -- upIds))
     val foldedDead = scala.collection.mutable.Set.empty[String]
     val clustersToConsolidate: Map[String, Set[String]] =
       if (drops.isEmpty) Map.empty
@@ -1999,7 +2004,9 @@ final class ParquetCollectionStore(
       }
       ivfIncInserts.addAndGet(batch.size): Unit
     }
-    val dead1 = (dead0 -- foldedDead -- upIds) ++ deletes
+    val dead1 =
+      if (!tombstone) Set.empty[String]
+      else (dead0 -- foldedDead -- upIds) ++ deletes
     if (dead1 != dead0) {
       if (dead1.isEmpty)
         java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
@@ -2111,8 +2118,15 @@ final class ParquetCollectionStore(
     // collide with the fresh node). Plain DELETES tombstone instead —
     // O(batch), the backend's deleted-flags model; ghosts keep
     // navigating, never enter a result beam, and the next
-    // consolidation or offline rebuild reclaims them.
-    val drops = preExisting ++ (upIds intersect dead0)
+    // consolidation or offline rebuild reclaims them — UNLESS the flag
+    // set would outgrow its cap (a mass delete / truncate): then the
+    // deletes AND the accumulated flags consolidate out of their
+    // segments instead, so `dead.txt` stays model-sized by
+    // construction, never corpus-sized.
+    val tombstone =
+      dead0.size + deletes.size <= ParquetCollectionStore.deadFlagMaxDial
+    val drops = preExisting ++ (upIds intersect dead0) ++
+      (if (tombstone) Set.empty else deletes ++ (dead0 -- upIds))
     val upsBySeg = upserts.groupBy(p => segOf(p.id))
     val dropsBySeg = drops.groupBy(segOf)
     val foldedDead = scala.collection.mutable.Set.empty[String]
@@ -2162,8 +2176,18 @@ final class ParquetCollectionStore(
         p.dense.get(field).map(v => (p.id, v.map(_.toDouble))))
       val newPts = batch.map(p =>
         (p.id, p.dense(field).map(_.toDouble))).toIndexedSeq
-      val newEdges = graft.ops.HnswSegment.insertInto(graphPts, keptEdges,
-        newPts, m, efC, seed, metric).toSeq
+      // a MASS drop fragments an edge-filtered graph (removing a node
+      // removes the routes THROUGH it; at >10% removal whole regions
+      // orphan — measured on the circle fixture at 45%): the
+      // consolidation already pays O(segment), so rebuild the segment's
+      // graph outright and keep exactness at exhaustive ef. Small drops
+      // (the update case) keep the cheap edge filter.
+      val massDrop = consolidate &&
+        segDrops.size.toLong * 10L > math.max(rows.size.toLong, 1L)
+      val newEdges =
+        if (massDrop) Seq.empty
+        else graft.ops.HnswSegment.insertInto(graphPts, keptEdges,
+          newPts, m, efC, seed, metric).toSeq
       def wipe(d: java.io.File): Unit =
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -2182,7 +2206,11 @@ final class ParquetCollectionStore(
             finalRows, rowCodec)
         }
         wipe(edgeDir)
-        val finalEdges = keptEdges ++ newEdges
+        val finalEdges =
+          if (massDrop)
+            graft.ops.HnswSegment.build(graphPts ++ newPts, m, efC, seed,
+              metric).toSeq
+          else keptEdges ++ newEdges
         if (finalEdges.nonEmpty) {
           edgeDir.mkdirs()
           ParquetLog.writeEdgeRows(
@@ -2204,7 +2232,9 @@ final class ParquetCollectionStore(
       }
       hnswIncInserts.addAndGet(batch.size): Unit
     }
-    val dead1 = (dead0 -- foldedDead -- upIds) ++ deletes
+    val dead1 =
+      if (!tombstone) Set.empty[String]
+      else (dead0 -- foldedDead -- upIds) ++ deletes
     if (dead1 != dead0) {
       if (dead1.isEmpty)
         java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
@@ -2861,6 +2891,20 @@ object ParquetCollectionStore {
     * optimizer (the standard LSM level-0 cap).
     */
   val incCompactThreshold: Int = 8
+
+  /** Tombstone-set cap for the online ANN maintenance: a delete batch
+    * that would push `dead.txt` past this many flags consolidates the
+    * deletes (and the accumulated flags) out of their partitions
+    * instead — mass deletes and truncates rewrite state once rather
+    * than leaving a corpus-sized flag file every serve must load.
+    * (`graft.test.deadFlagMax` sysprop: spec seam to exercise the
+    * consolidation branch at unit-test scale.)
+    */
+  val deadFlagMax: Int = 65536
+
+  private[sources] def deadFlagMaxDial: Int =
+    sys.props.get("graft.test.deadFlagMax").map(_.toInt)
+      .getOrElse(deadFlagMax)
 
   private[sources] def parquetFileCount(d: java.io.File): Int =
     Option(d.listFiles()).getOrElse(Array.empty)

@@ -2153,6 +2153,27 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       brute.searchPoints("h", spec0, withPayload = false, Nil)
         .map(p => (p._1.id, p._2)))
     assert(ivfOnly.ivfTailRescored.get() === 0L)
+    // MASS DELETE past the flag cap: deletes consolidate out of their
+    // partitions instead of tombstoning — dead.txt stays model-sized
+    // by construction (a truncate must never leave a corpus-sized flag
+    // file), and the post-churn serve is exact with an empty tail
+    sys.props("graft.test.deadFlagMax") = "16"
+    try {
+      val massIds = (1 to 100).map(i => f"$i%04d").toSet
+      val mass = st.removed("h", massIds)
+      assert(!new java.io.File(s"$dir/_hnsw/dead.txt").isFile)
+      assert(!new java.io.File(s"$dir/_ivf/dead.txt").isFile)
+      val bruteM = new ParquetCollectionStore(dir, "h", desc)
+      val gotM = mass.searchPoints("h", spec0, withPayload = false, Nil)
+      assert(mass.hnswTailRescored.get() === 0L)
+      assert(gotM.map(_._1.id).forall(id => !massIds(id)))
+      assert(gotM.map(p => (p._1.id, p._2)) ===
+        bruteM.searchPoints("h", spec0, withPayload = false, Nil)
+          .map(p => (p._1.id, p._2)))
+      // ...and a small delete under the cap still tombstones (O(batch))
+      val small = mass.removed("h", Set(gotM.head._1.id))
+      assert(new java.io.File(s"$dir/_hnsw/dead.txt").isFile)
+    } finally sys.props.remove("graft.test.deadFlagMax"): Unit
   }
 
   test("HnswSegment.segOf equals the engine-side segCol for every id") {
