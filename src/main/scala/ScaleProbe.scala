@@ -16,7 +16,8 @@ object ScaleProbe {
       "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-      "sharded", "recallc", "recallc2", "storehnsw", "topology")
+      "sharded", "recallc", "recallc2", "storehnsw", "topology",
+      "maintain")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1317,6 +1318,74 @@ object ScaleProbe {
         s"point-write volume=$volume " +
         s"(= moved x replicas x 2 ± dual-write window: " +
         s"${moved * 2 * 2} nominal)")
+    }
+
+    // ONLINE ANN MAINTENANCE cost shape at the recallc2 shape
+    // (20k x d256): what a mutated collection pays per absorbed batch
+    // (one touched-segment/cluster state load + per-point work) vs the
+    // offline rebuild it replaces between optimizes — the dial for
+    // "how chunky should ingest batches be".
+    section("maintain") {
+      import graft.sources._
+      import graft.collections.Collections
+      val dim = 256
+      val nRows = 20000
+      val rnd = new scala.util.Random(42L)
+      def v(): Array[Float] = {
+        val a = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        val nn = math.sqrt(a.map(x => x.toDouble * x).sum).toFloat
+        a.map(_ / nn)
+      }
+      import spark.implicits._
+      val rows = (0 until nRows).map(i =>
+        (f"$i%06d", s"""{"label":${i % 10}}""", v()))
+      val df = rows.toDF("id", "payload", "vector")
+      val dir = java.nio.file.Files
+        .createTempDirectory("probe-maintain").toString
+      ParquetCollectionStore.write(df, dir, numFiles = 8, withLog = true)
+      val t0 = System.nanoTime()
+      ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+        m = 8, efConstruction = 64, numSegments = 4)
+      println(f"[probe] maintain hnsw FULL BUILD 20k: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val idx = graft.ops.Ann.buildIvf(
+        df.withColumn("vector", col("vector").cast("array<double>")),
+        "id", "vector", nlist = 32, maxIter = 0)
+      ParquetCollectionStore.writeIvfSidecar(
+        idx.clustered.select("id", "payload", "vector", "cluster"),
+        idx.centroids, dir, field = "vector")
+      idx.clustered.unpersist()
+      var st = new ParquetCollectionStore(dir, "embeddings",
+        Collections.homogeneousDescriptor, hnswEf = 64, ivfNprobe = 4)
+      for (b <- 0 until 4) {
+        val batch = (0 until 256).map(i =>
+          Point(f"n$b%02d$i%06d", Some("""{"label":3}"""),
+            dense = Map("vector" -> v()))).toIndexedSeq
+        time(s"maintain absorb batch=$b (256 pts, hnsw+ivf)") {
+          st = st.appended("embeddings", batch)
+          256L
+        }
+      }
+      // both families still index-served with empty tails post-churn
+      val q = rows(7)._3.map(_.toDouble)
+      val spec = SearchSpec("vector", q, "cosine", 10)
+      time("maintain post-churn hnsw serve (5 queries)") {
+        (1 to 5).map(_ => st.searchPoints("embeddings", spec,
+          withPayload = false, Nil).size.toLong).sum
+      }
+      println(s"[probe] maintain tails: hnsw=${st.hnswTailRescored.get} " +
+        s"ivf(before ivf serve)=${st.ivfTailRescored.get} " +
+        s"incInserts hnsw=0-per-instance (see batches) " +
+        s"primaries=${st.filesOpened.get}")
+      // a DELETE batch is an O(batch) flag append
+      val delIds = (0 until 256).map(i => f"${i * 7}%06d").toSet
+      time("maintain delete batch (256 ids, tombstone)") {
+        st = st.removed("embeddings", delIds)
+        256L
+      }
+      time("maintain post-delete hnsw serve (5 queries)") {
+        (1 to 5).map(_ => st.searchPoints("embeddings", spec,
+          withPayload = false, Nil).size.toLong).sum
+      }
     }
 
     section("etl") {

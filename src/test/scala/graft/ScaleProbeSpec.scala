@@ -23,6 +23,7 @@ class ScaleProbeSpec extends AnyFunSuite {
         "skew", "tenant", "layout", "sketch", "spans", "planner", "geo",
         "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
         "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
-        "sharded", "recallc", "recallc2", "storehnsw", "topology"))
+        "sharded", "recallc", "recallc2", "storehnsw", "topology",
+        "maintain"))
   }
 }
