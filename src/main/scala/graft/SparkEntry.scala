@@ -688,6 +688,54 @@ object SparkEntry {
       m3
     })
 
+  /** The INCREMENTAL-PAYLOAD-INDEX fixture: seal the corpus with a
+    * COVERING label index and a changelog, then churn — inserts land in
+    * their value partition via the writer's own extraction expression,
+    * the update moves value partitions (old consolidates out, new
+    * appends), the delete tombstones as a (value, id) flag — so the
+    * post-churn filtered search serves from the value partitions with
+    * an EMPTY overlay tail (the fixture REQUIRES full absorption).
+    */
+  private val parquetPidxFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetPidxFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetPidxFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-pidxfresh")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df, pqDir, key = "label", kind = "int")
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", Collections.homogeneousDescriptor)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.pidxIncInserts.get() == adds.length.toLong,
+        "the fresh batch must land in its value partition")
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      val m2 = m1.appended("embeddings", IndexedSeq(
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec))))
+      val m3 = m2.removed("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_pidx/k_label/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the value partitions serve " +
+          "with an empty overlay tail")
+      m3
+    })
+
   /** The EUCLID-metric HNSW fixture: the graph is built under euclid
     * (negated-distance preference drives the same walk), the meta
     * records the metric, and the store serves euclid queries from it —
@@ -2365,6 +2413,30 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_ivffr_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL PAYLOAD-INDEX MAINTENANCE: churn (inserts into their
+    // value partition, an update MOVING value partitions, a tombstoned
+    // delete) absorbs into the covering label index (fixture REQUIRES
+    // the watermark reached the log head), so this filtered search
+    // serves from the value partitions with an EMPTY overlay tail —
+    // pre-filter-as-access-path under churn, exact vs the brute
+    // filtered oracle over the FINAL state
+    "dsv2_parquet_pidx_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_pidxfr_store",
+        SparkEntry.parquetPidxFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 31)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_pidxfr_store").option("collection", "embeddings")
+        .option("filter", "label:eq:3")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -7517,6 +7589,30 @@ object SparkEntry {
         |  FROM embeddings WHERE vec_id < 5),
         |top AS (
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // incremental payload-index maintenance: the post-churn filtered
+    // top-k must rank exactly where the brute filtered oracle over the
+    // FINAL state does (id 7 updated INTO label 3 with vec_id 42's
+    // vector, id 13 — label 3 at sf0.01 — deleted, 5 label-3 inserts)
+    "dsv2_parquet_pidx_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 31),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 3
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 3
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  WHERE label = 3
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 

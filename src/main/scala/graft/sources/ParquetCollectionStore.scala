@@ -702,9 +702,10 @@ final class ParquetCollectionStore(
         val sets = arms.map { arm =>
           arm.dirs.flatMap(v => arm.sc.storeFor(v).toSeq.flatMap(st =>
             st.queryPoints(collection, 0L, st.pointCount(collection),
-              withPayload = false, Nil, None).map(_.id))).toSet
+              withPayload = false, Nil, None).map(_.id))).toSet --
+            arm.sc.deadIds
         }
-        val builts = arms.map(_.sc.builtAt).filter(_ >= 0)
+        val builts = arms.map(_.sc.insertedAt).filter(_ >= 0)
         Some((sets.reduce(_ intersect _),
           if (builts.isEmpty) -1L else builts.min))
       }
@@ -1041,8 +1042,34 @@ final class ParquetCollectionStore(
     */
   private case class PayloadSidecar(key: String, kind: String,
                                     covered: Set[String], base: String,
-                                    builtAt: Long) {
+                                    builtAt: Long, insertedAt: Long) {
     private val root = s"$base/points"
+
+    /** Tombstoned rows, value → ids (the ANN families' deleted-flags
+      * model on the value partitions: a delete records `(value, id)`
+      * so counts and facets stay footer-exact — per-partition dead
+      * counts are known without reading a row). Churn-bounded;
+      * consolidations and rebuilds reclaim.
+      */
+    lazy val dead: Map[String, Set[String]] = {
+      val f = new java.io.File(s"$base/dead.txt")
+      if (!f.isFile) Map.empty
+      else new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    }
+
+    lazy val deadIds: Set[String] = dead.valuesIterator.flatten.toSet
+
+    def deadCountOf(v: String): Long =
+      dead.get(v).map(_.size.toLong).getOrElse(0L)
+
+    /** Footer rows MINUS tombstones — the count a serve may publish. */
+    def liveRowsOf(v: String): Long = rowsOf(v) - deadCountOf(v)
 
     /** Partition dir suffix per decoded RAW-JSON value. The raw form is
       * TYPE-TAGGED (`"3"` is a JSON string, `3` a number, `true` a bool
@@ -1128,10 +1155,10 @@ final class ParquetCollectionStore(
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       values.foreach { raw =>
         FacetValue.render(jval(raw)).foreach { r =>
-          m.update(r, m.getOrElse(r, 0L) + rowsOf(raw))
+          m.update(r, m.getOrElse(r, 0L) + liveRowsOf(raw))
         }
       }
-      m.toSeq
+      m.toSeq.filter(_._2 > 0L)
     }
   }
 
@@ -1162,7 +1189,16 @@ final class ParquetCollectionStore(
       // line 4 = the build's log position (freshness point); legacy -1
       val builtAt =
         if (lines.length > 3 && lines(3).nonEmpty) lines(3).toLong else -1L
-      Some(PayloadSidecar(lines(0), lines(1), covered, base, builtAt))
+      // the online-maintenance watermark (see [[pidxMaintain]]); absent
+      // or legacy → the build position
+      val ins = new java.io.File(s"$base/inserted.txt")
+      val insertedAt =
+        if (!ins.isFile || builtAt < 0) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      Some(PayloadSidecar(lines(0), lines(1), covered, base, builtAt,
+        insertedAt))
     }
   }
 
@@ -1241,7 +1277,7 @@ final class ParquetCollectionStore(
 
   private def indexedFacetHistogram(key: String): Option[Seq[(String, Long)]] =
     payloadSidecars.find(_.key == key).flatMap(sc =>
-      tailSince(sc.builtAt).filter(_.isEmpty).map(_ => sc.facetHistogram))
+      tailSince(sc.insertedAt).filter(_.isEmpty).map(_ => sc.facetHistogram))
 
   /** Serve a FILTERED search from the payload sidecar when a `must`
     * condition is servable AND selective (matched partitions hold at
@@ -1267,12 +1303,12 @@ final class ParquetCollectionStore(
     payloadSidecars.flatMap { sc =>
       val conds = pfilter.must.filter(sc.servable)
       if (conds.isEmpty) None
-      // a sidecar whose since-build tail was compacted away cannot serve
-      // the current state — it drops out of the arm set entirely
-      else tailSince(sc.builtAt).map { tail =>
+      // a sidecar whose since-MAINTENANCE tail was compacted away cannot
+      // serve the current state — it drops out of the arm set entirely
+      else tailSince(sc.insertedAt).map { tail =>
         val dirs = conds.map(sc.valuesMatching(_).toSet).reduce(_ intersect _)
           .toSeq.sorted
-        IndexArm(sc, dirs, dirs.map(sc.rowsOf).sum, tail)
+        IndexArm(sc, dirs, dirs.map(sc.liveRowsOf).sum, tail)
       }
     }
 
@@ -1292,15 +1328,18 @@ final class ParquetCollectionStore(
       if (arm.matched > ParquetCollectionStore.prefilterMaxFraction *
           pointCount(collection)) None
       else {
-        // freshness overlay: window widened by the masked-id count,
-        // masked rows dropped post-merge, matching tail upserts merged
-        // in-memory — exact results while the index is stale
+        // freshness overlay: window widened by the masked-id AND
+        // tombstone counts, masked/dead rows dropped post-merge,
+        // matching tail upserts merged in-memory — exact results while
+        // the index is stale
         val window = spec.copy(
-          k = spec.k + spec.offset + arm.tail.masked.size, offset = 0)
+          k = spec.k + spec.offset + arm.tail.masked.size +
+            arm.sc.deadIds.size, offset = 0)
         val merged = arm.dirs.flatMap(v => arm.sc.storeFor(v).toSeq.flatMap(
           _.searchPointsFiltered(c, window, withPayload, vectorFields,
             pfilter)))
-        val fresh = merged.filterNot { case (p, _) => arm.tail.masked(p.id) } ++
+        val fresh = merged.filterNot { case (p, _) =>
+            arm.tail.masked(p.id) || arm.sc.deadIds(p.id) } ++
           tailScored(arm.tail, spec, withPayload, vectorFields, pfilter)
         Some(mergeBest(spec, fresh))
       }
@@ -1339,9 +1378,19 @@ final class ParquetCollectionStore(
       residualFree && pfilter.must.forall(a.sc.servable))
     footer.map(_.matched).orElse {
       arms.sortBy(a => (a.matched, a.sc.key)).headOption.map { arm =>
-        arm.dirs.map(v => arm.sc.storeFor(v)
-          .map(_.countMatchingFiltered(c, idFilter, idLower, pfilter))
-          .getOrElse(0L)).sum
+        arm.dirs.map { v =>
+          arm.sc.storeFor(v).map { st =>
+            val walked =
+              st.countMatchingFiltered(c, idFilter, idLower, pfilter)
+            // tombstoned rows pass the filter (their payload still
+            // matches) — subtract exactly those the walk counted
+            val dead = arm.sc.dead.getOrElse(v, Set.empty)
+            val deadIn = idFilter.fold(dead)(dead intersect _)
+            if (deadIn.isEmpty) walked
+            else walked -
+              st.countMatchingFiltered(c, Some(deadIn), idLower, pfilter)
+          }.getOrElse(0L)
+        }.sum
       }
     }.orElse(geoCount(idFilter, idLower, pfilter))
       .orElse(textCount(idFilter, idLower, pfilter))
@@ -1767,16 +1816,18 @@ final class ParquetCollectionStore(
     val metas = fileMetas
     val fields = descriptor.fields.map(_.name)
     val oldHead = ParquetLog.head(logDir)
-    // ANN online maintenance (HNSW + IVF) needs to know which incoming
-    // ids are UPDATES (their old index rows must drop before the
-    // re-insert) — read BEFORE the COW rewrite (footer-pruned point
-    // lookup, bounded by the batch's id ranges); skipped when no
-    // sidecar is current
-    val preExisting: Set[String] =
-      if (!hnswInsertTracking(oldHead) && !ivfInsertTracking(oldHead))
-        Set.empty
-      else queryPoints(c, 0L, pointCount(c), withPayload = false, Nil,
-        None, idFilter = Some(deduped.map(_.id).toSet)).map(_.id).toSet
+    // ONLINE index maintenance (HNSW + IVF + payload indexes) needs the
+    // OLD versions of updated ids (their index rows must drop before
+    // the re-insert, and the payload index needs the old VALUE) — read
+    // BEFORE the COW rewrite (footer-pruned point lookup, bounded by
+    // the batch's id ranges); skipped when no sidecar is current
+    val preExistingPts: IndexedSeq[Point] =
+      if (!hnswInsertTracking(oldHead) && !ivfInsertTracking(oldHead) &&
+          !pidxAnyTracking(oldHead))
+        IndexedSeq.empty
+      else queryPoints(c, 0L, pointCount(c), withPayload = true, Nil,
+        None, idFilter = Some(deduped.map(_.id).toSet)).toIndexedSeq
+    val preExisting: Set[String] = preExistingPts.iterator.map(_.id).toSet
     if (metas.isEmpty) {
       ParquetLog.writePrimary(new java.io.File(dir, "part-00000.parquet"),
         deduped, rowCodec)
@@ -1797,7 +1848,225 @@ final class ParquetCollectionStore(
       deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec)
     hnswMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
     ivfMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
+    pidxMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
+      preExistingPts)
     reopened
+  }
+
+  // --------------------------- incremental payload-index maintenance --
+
+  /** Keyed payload-index sidecar bases carrying a meta (the legacy
+    * root layout never maintains — optimize rebuilds it keyed).
+    */
+  private def pidxBases: Seq[java.io.File] =
+    Option(new java.io.File(s"$dir/_pidx").listFiles())
+      .getOrElse(Array.empty).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("k_") &&
+        new java.io.File(f, "meta.txt").isFile)
+      .sortBy(_.getName)
+
+  private def pidxInsertedAt(base: java.io.File): Long = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(base, "meta.txt").toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val builtAt =
+      if (lines.length > 3 && lines(3).nonEmpty) lines(3).toLong else -1L
+    if (builtAt < 0) -1L
+    else {
+      val ins = new java.io.File(base, "inserted.txt")
+      if (!ins.isFile) builtAt
+      else math.max(builtAt, new String(
+        java.nio.file.Files.readAllBytes(ins.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    }
+  }
+
+  private def pidxAnyTracking(oldHead: Long): Boolean =
+    pidxBases.exists(b => pidxInsertedAt(b) == oldHead)
+
+  /** Points absorbed into value partitions by the incremental
+    * maintenance path, summed across keys (specs).
+    */
+  @transient lazy val pidxIncInserts = new AtomicLong(0L)
+
+  /** The indexed raw value of payload key `key` per (tag, id) — the
+    * WRITER'S OWN extraction expression evaluated on a driver-local
+    * frame, so the partition value an online insert lands in is
+    * byte-identical to what a rebuild would produce (no hand-rolled
+    * JSON rendering to drift). Non-scalar / absent values drop, exactly
+    * the writer's rule.
+    */
+  private def pidxExtractValues(spark: org.apache.spark.sql.SparkSession,
+                                key: String,
+                                rows: Seq[(String, String, String)]): Map[(String, String), String] = {
+    if (rows.isEmpty) return Map.empty
+    spark.createDataFrame(rows).toDF("tag", "id", "payload")
+      .selectExpr("tag", "id",
+        s"to_json(try_variant_get(try_parse_json(payload), '$$.$key')) AS raw")
+      .collect()
+      .flatMap { r =>
+        val raw = if (r.isNullAt(2)) null else r.getString(2)
+        if (raw == null || raw == "null" || raw.startsWith("{") ||
+            raw.startsWith("[")) None
+        else Some(((r.getString(0), r.getString(1)), raw))
+      }.toMap
+  }
+
+  /** Absorb a mutation batch into every CURRENT keyed payload index —
+    * the ANN families' maintenance discipline on the value-partition
+    * layout, so filtered search arms, footer COUNTS, and facet
+    * histograms stay index-served under churn:
+    *
+    *  - NEW points append into their value's partition (`inc-*` files,
+    *    LSM level-0 cap) — the partition value comes from the writer's
+    *    own Catalyst expression ([[pidxExtractValues]]) and the dir
+    *    name from Spark's own `escapePathName`, so online appends are
+    *    indistinguishable from rebuilt partitions;
+    *  - UPDATES consolidate the OLD value's partition (the old payload,
+    *    read before the COW rewrite, names it) and re-insert under the
+    *    new value;
+    *  - DELETES tombstone as `(value, id)` flags — value recorded at
+    *    flag time, so footer counts and facet histograms subtract
+    *    per-partition dead counts without reading a row; the
+    *    [[ParquetCollectionStore.deadFlagMaxDial]] cap routes mass
+    *    deletes to consolidation.
+    *
+    * Requires a live SparkSession for the extraction (gates/services
+    * always have one); with none, the key's watermark parks and the
+    * overlay keeps serving exactly — never wrong, only unabsorbed.
+    */
+  private def pidxMaintain(upserts: IndexedSeq[Point],
+                           removedPts: IndexedSeq[Point],
+                           oldHead: Long, newHead: Long,
+                           preExistingPts: IndexedSeq[Point]): Unit = {
+    val bases = pidxBases.filter(b => pidxInsertedAt(b) == oldHead)
+    if (bases.isEmpty) return
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (sparkOpt.isEmpty) return
+    val spark = sparkOpt.get
+    val upIds = upserts.iterator.map(_.id).toSet
+    bases.foreach { baseF =>
+      val base = baseF.getAbsolutePath
+      val lines = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(baseF, "meta.txt").toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val key = lines(0)
+      val covered: Set[String] =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
+        else Set.empty
+      val coveredFields = descriptor.fields.map(_.name).filter { fn =>
+        fieldCols(fn) match {
+          case DenseCol(_, cn) => covered.contains(cn)
+          case SparseCols(_, ic, vc) =>
+            covered.contains(ic) && covered.contains(vc)
+          case MultiCol(_, cn) => covered.contains(cn)
+        }
+      }
+      val vals = pidxExtractValues(spark, key,
+        upserts.map(p => ("n", p.id, p.payload.orNull)) ++
+          preExistingPts.map(p => ("o", p.id, p.payload.orNull)) ++
+          removedPts.map(p => ("d", p.id, p.payload.orNull)))
+      val deadFile = new java.io.File(baseF, "dead.txt")
+      val dead0: Map[String, Set[String]] =
+        if (!deadFile.isFile) Map.empty
+        else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+          .map { l =>
+            val i = l.indexOf('\t')
+            (l.substring(0, i), l.substring(i + 1))
+          }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deadVal: Map[String, String] =
+        dead0.iterator.flatMap { case (v, ids) => ids.map(_ -> v) }.toMap
+      val flagCount = deadVal.size + removedPts.size
+      val tombstone = flagCount <= ParquetCollectionStore.deadFlagMaxDial
+      val dropPairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      preExistingPts.foreach(p =>
+        vals.get(("o", p.id)).foreach(v => dropPairs += ((v, p.id))))
+      // a resurrected tombstone's dead copy must leave before re-insert
+      upserts.foreach(p =>
+        deadVal.get(p.id).foreach(v => dropPairs += ((v, p.id))))
+      if (!tombstone) {
+        removedPts.foreach(p =>
+          vals.get(("d", p.id)).foreach(v => dropPairs += ((v, p.id))))
+        dead0.foreach { case (v, ids) =>
+          ids.filterNot(upIds).foreach(id => dropPairs += ((v, id)))
+        }
+      }
+      val insByVal = upserts
+        .flatMap(p => vals.get(("n", p.id)).map(v => (v, p)))
+        .groupBy(_._1)
+      val dropsByVal = dropPairs.toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val folded = scala.collection.mutable.Set.empty[String]
+      def wipe(d: java.io.File): Unit =
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+            f.delete(): Unit
+          }
+      (insByVal.keySet ++ dropsByVal.keySet).foreach { v =>
+        val dirName = "value=" + org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)
+        val pDir = new java.io.File(s"$base/points/$dirName")
+        val batch = insByVal.getOrElse(v, Seq.empty).map(_._2)
+          .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+        val segDrops0 = dropsByVal.getOrElse(v, Set.empty)
+        val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+          ParquetCollectionStore.parquetFileCount(pDir) >=
+            ParquetCollectionStore.incCompactThreshold)
+        if (consolidate) {
+          // a partition that rewrites anyway reclaims its flags free
+          val segDead = dead0.getOrElse(v, Set.empty).filterNot(upIds)
+          folded ++= segDead
+          val segDrops = segDrops0 ++ segDead
+          val rows =
+            if (!pDir.isDirectory) IndexedSeq.empty[Point]
+            else {
+              val st = new ParquetCollectionStore(pDir.getAbsolutePath,
+                collection, descriptor)
+              st.queryPoints(collection, 0L, st.pointCount(collection),
+                withPayload = true, coveredFields, None).toIndexedSeq
+            }
+          val finalRows = (rows.filterNot(p => segDrops(p.id)) ++ batch)
+            .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+          wipe(pDir)
+          if (finalRows.nonEmpty) {
+            pDir.mkdirs()
+            ParquetLog.writePrimary(
+              new java.io.File(pDir, f"pts-$newHead%012d.parquet"),
+              finalRows, rowCodec)
+          } else {
+            pDir.delete(): Unit // an emptied value partition disappears
+          }
+        } else if (batch.nonEmpty) {
+          pDir.mkdirs()
+          ParquetLog.writePrimary(
+            new java.io.File(pDir, f"inc-$newHead%012d.parquet"),
+            batch, rowCodec)
+        }
+        pidxIncInserts.addAndGet(batch.size): Unit
+      }
+      val deadPairs1: Seq[(String, String)] =
+        if (!tombstone) Seq.empty
+        else (dead0.iterator.flatMap { case (v, ids) =>
+          ids.filterNot(id => folded(id) || upIds(id)).map(v -> _)
+        } ++ removedPts.iterator.flatMap(p =>
+          vals.get(("d", p.id)).map(_ -> p.id))).toSeq
+      if (deadPairs1.isEmpty)
+        java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+      else
+        java.nio.file.Files.write(deadFile.toPath,
+          deadPairs1.sorted.map { case (v, id) => s"$v\t$id" }
+            .mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)): Unit
+      java.nio.file.Files.write(
+        new java.io.File(baseF, "inserted.txt").toPath,
+        newHead.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
   }
 
   // ----------------------------------- incremental IVF maintenance --
@@ -2259,6 +2528,10 @@ final class ParquetCollectionStore(
     // file must survive with every vector kind, exactly as appended() does.
     val fields = descriptor.fields.map(_.name)
     val hits = Seq.newBuilder[String]
+    // the payload index needs the dropped rows' OLD payloads (their
+    // value partitions); id+payload only, the rewrite loop reads them
+    // anyway
+    val droppedPts = Seq.newBuilder[Point]
     fileMetas.foreach { fm =>
       // footer-stats prune: skip files that cannot hold any target id
       val mayHit = fm.maxId.forall(mx =>
@@ -2269,6 +2542,7 @@ final class ParquetCollectionStore(
         val (dropped, kept) = old.partition(p => ids(p.id))
         if (dropped.nonEmpty) {
           hits ++= dropped.map(_.id)
+          droppedPts ++= dropped.map(p => Point(p.id, p.payload))
           val f = new java.io.File(fm.path)
           if (kept.isEmpty) {
             new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
@@ -2288,6 +2562,8 @@ final class ParquetCollectionStore(
         Set.empty)
       ivfMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
         Set.empty)
+      pidxMaintain(IndexedSeq.empty, droppedPts.result().toIndexedSeq,
+        oldHead, newHead, IndexedSeq.empty)
       reopened
     }
   }
@@ -2954,5 +3230,11 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$kind\n$covered\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path appended —
+    // watermark and tombstones reset to the fresh build
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/dead.txt")): Unit
   }
 }

@@ -1485,17 +1485,24 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(filtered.map(_._1.id) === Seq("0", "8"))
     assert(store2.payloadValuesTouched("g") === Seq("3"))
     assert(store2.filesOpened.get() === 0L)
-    // counts refuse a stale index (old payloads are unknowable from the
-    // log) and fall back to the COW-current primaries — still exact
+    // filtered COUNTS stay FOOTER-served under churn (round 16): the
+    // payload index absorbed the mutations — the new "0" sits in its
+    // value partition, the deleted "3" is a per-partition tombstone the
+    // footer sum subtracts — so not a byte of point data decodes
     assert(store2.countMatchingFiltered("fr", None, None, pf) === 2L)
-    assert(store2.filesOpened.get() > 0L)
-    // the IVF family ABSORBED the mutations (round 16): park its
-    // watermark to exercise the legacy OVERLAY path — the tail masks
-    // the absorbed copies too (over-fresh partitions are safe: masked
-    // ids are re-scored from the tail regardless), so the page is
-    // STILL exact
+    assert(store2.filesOpened.get() === 0L)
+    // park BOTH maintained families' watermarks to exercise the legacy
+    // OVERLAY path — the tail masks the absorbed copies too (over-fresh
+    // partitions are safe: masked ids are re-scored from the tail
+    // regardless), so the page is STILL exact, and a stale-index count
+    // falls back to the COW-current primaries
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/_pidx/k_g/inserted.txt"))
+    val parkedCount = new ParquetCollectionStore(dir, "fr", desc)
+    assert(parkedCount.countMatchingFiltered("fr", None, None, pf) === 2L)
+    assert(parkedCount.filesOpened.get() > 0L) // stale index: primaries
     val parked = new ParquetCollectionStore(dir, "fr", desc, ivfNprobe = 1)
     assert(parked.searchPointsFiltered("fr", spec, withPayload = false,
       vectorFields = Nil, pfilter = PayloadFilter.Empty)
@@ -2094,6 +2101,112 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(opt.ivfIncInserts.get() === 1L)
     eq(opt2, spec0)
     assert(opt2.ivfTailRescored.get() === 0L)
+  }
+
+  test("incremental payload-index maintenance: filtered serves, footer counts, and facets stay index-served under churn") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pidxinc").toString
+    val desc = graft.collections.CollectionDescriptor("h",
+      Seq(graft.collections.DenseField("vector", 2)), named = false)
+    val df = (1 to 2000).map { i =>
+      val a = i * 0.003
+      (f"$i%04d", s"""{"g":${i % 8}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writePayloadSidecar(df, dir, key = "g",
+      kind = "int")
+    val store = new ParquetCollectionStore(dir, "h", desc)
+    val pf3 = PayloadFilter(Seq(PayloadCondition("g", "eq", "3")), Nil, None)
+    val pf1 = PayloadFilter(Seq(PayloadCondition("g", "eq", "1")), Nil, None)
+    val q = Array(1.0, 0.2)
+    val spec0 = SearchSpec("vector", q, "cosine", 10)
+    // the row-path oracle: a filtered scan scored by hand, the exact
+    // answer whatever the index does
+    def brute(pf: PayloadFilter): Seq[(String, Double)] = {
+      val fresh = new ParquetCollectionStore(dir, "h", desc)
+      fresh.queryPointsFiltered("h", 0L, fresh.pointCount("h"),
+        withPayload = false, Seq("vector"), None, pfilter = pf)
+        .flatMap(p => p.dense.get("vector")
+          .flatMap(v => SearchSpec.score("cosine", v, q))
+          .map(s => (p.id, s))).toSeq
+        .sortWith { case ((ia, sa), (ib, sb)) =>
+          if (sa != sb) sa > sb else ia < ib // ASCII ids: JVM == UTF8 order
+        }.take(10)
+    }
+    def served(st: ParquetCollectionStore, pf: PayloadFilter): Seq[(String, Double)] =
+      st.searchPointsFiltered("h", spec0, withPayload = false, Nil, pf)
+        .map(p => (p._1.id, p._2))
+    def bruteCount(pf: PayloadFilter): Long = {
+      val fresh = new ParquetCollectionStore(dir, "h", desc)
+      fresh.queryPointsFiltered("h", 0L, fresh.pointCount("h"),
+        withPayload = false, Nil, None, pfilter = pf).size.toLong
+    }
+    assert(store.countMatchingFiltered("h", None, None, pf3) === 250L)
+    assert(store.filesOpened.get() === 0L)
+    // INSERTS absorb into their value partition
+    val adds = (1 to 8).map { i =>
+      val a = math.atan2(0.2, 1.0) + i * 2e-4
+      Point(f"95$i%02d", Some("""{"g":3}"""),
+        dense = Map("vector" ->
+          Array(math.cos(a).toFloat, math.sin(a).toFloat)))
+    }.toIndexedSeq
+    val mutated = store.appended("h", adds)
+    assert(store.pidxIncInserts.get() === 8L)
+    assert(new java.io.File(s"$dir/_pidx/k_g/inserted.txt").isFile)
+    assert(mutated.countMatchingFiltered("h", None, None, pf3) === 258L)
+    assert(mutated.filesOpened.get() === 0L) // footer count UNDER CHURN
+    assert(served(mutated, pf3) === brute(pf3))
+    assert(served(mutated, pf3).count(_._1.startsWith("95")) === 8)
+    // an UPDATE moves its value partition (g=1 -> g=3)
+    val upd = mutated.appended("h", IndexedSeq(Point("0001",
+      Some("""{"g":3}"""), dense = Map("vector" ->
+        Array(math.cos(0.003).toFloat, math.sin(0.003).toFloat)))))
+    assert(upd.countMatchingFiltered("h", None, None, pf3) === 259L)
+    assert(upd.countMatchingFiltered("h", None, None, pf1) === 249L)
+    assert(upd.filesOpened.get() === 0L)
+    assert(served(upd, pf3) === brute(pf3))
+    // a DELETE tombstones (value, id): footer counts subtract the flag,
+    // facets stay index-served with live counts
+    val del = upd.removed("h", Set("0003")) // g = 3
+    assert(new java.io.File(s"$dir/_pidx/k_g/dead.txt").isFile)
+    assert(del.countMatchingFiltered("h", None, None, pf3) === 258L)
+    assert(del.filesOpened.get() === 0L)
+    assert(served(del, pf3) === brute(pf3))
+    assert(!served(del, pf3).map(_._1).contains("0003"))
+    val facets = del.facetCounts("h", "g", 10).toMap
+    assert(facets("3") === 258L)
+    assert(facets("1") === 249L)
+    assert(del.filesOpened.get() === 0L)
+    // RESURRECTION clears the flag and consolidates the dead copy out
+    val res = del.appended("h", IndexedSeq(Point("0003",
+      Some("""{"g":0}"""), dense = Map("vector" ->
+        Array(math.cos(0.009).toFloat, math.sin(0.009).toFloat)))))
+    assert(!new java.io.File(s"$dir/_pidx/k_g/dead.txt").isFile)
+    assert(res.countMatchingFiltered("h", None, None, pf3) === 258L)
+    assert(res.countMatchingFiltered("h", None, None,
+      PayloadFilter(Seq(PayloadCondition("g", "eq", "0")), Nil, None))
+      === bruteCount(PayloadFilter(Seq(PayloadCondition("g", "eq", "0")),
+        Nil, None)))
+    // MASS delete past the flag cap consolidates — no flag file, counts
+    // still footer-exact
+    sys.props("graft.test.deadFlagMax") = "16"
+    try {
+      val massIds = (100 to 199).map(i => f"$i%04d").toSet
+      val mass = res.removed("h", massIds)
+      assert(!new java.io.File(s"$dir/_pidx/k_g/dead.txt").isFile)
+      assert(mass.countMatchingFiltered("h", None, None, pf3)
+        === bruteCount(pf3))
+      assert(mass.filesOpened.get() === 0L)
+      assert(served(mass, pf3) === brute(pf3))
+    } finally sys.props.remove("graft.test.deadFlagMax"): Unit
+    // OPTIMIZE reseals and resets the watermark
+    ParquetCollectionStore.optimize(spark, dir)
+    assert(!new java.io.File(s"$dir/_pidx/k_g/inserted.txt").isFile)
+    val opt = new ParquetCollectionStore(dir, "h", desc)
+    assert(opt.countMatchingFiltered("h", None, None, pf3)
+      === bruteCount(pf3))
+    assert(served(opt, pf3) === brute(pf3))
   }
 
   test("online-maintenance compaction bounds inc-file counts under frequent tiny batches") {
