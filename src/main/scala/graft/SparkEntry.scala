@@ -953,6 +953,54 @@ object SparkEntry {
           Seq(graft.collections.SparseField("kw"))))
     })
 
+  /** The INCREMENTAL-SPARSE fixture: the kw postings sidecar sealed
+    * with a changelog, then churned — inserts land in their dim
+    * buckets, the update consolidates its old dims' buckets, the delete
+    * tombstones `id → dims` — so the post-churn sparse search serves
+    * bucket-pruned with an EMPTY overlay tail (REQUIRED absorbed).
+    */
+  private val parquetSparseFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetSparseFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetSparseFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-spfreshinc")
+      val (ki, kv) = sparseOf(col("embedding"))
+      val src = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").cast(StringType).as("id"),
+          lit(null).cast(StringType).as("payload"),
+          ki.as("kw_indices"),
+          kv.cast(ArrayType(FloatType)).as("kw_values"))
+      val df = src.filter(col("id") =!= "0")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeSparseSidecar(
+        df, pqDir, "kw", nBuckets = 16)
+      val desc = graft.collections.CollectionDescriptor("embeddings",
+        Seq(graft.collections.SparseField("kw")))
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", desc)
+      def sparsePt(rowId: String, asId: String): graft.sources.Point = {
+        val r = src.filter(col("id") === rowId)
+          .select(col("kw_indices"), col("kw_values")).head()
+        graft.sources.Point(asId, None, sparse = Map("kw" ->
+          ((r.getSeq[Int](0).toArray, r.getSeq[Float](1).toArray))))
+      }
+      val adds = (1 to 4).map(i => sparsePt(i.toString, s"${i + 100000}"))
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.sparseIncInserts.get() == adds.length.toLong,
+        "the fresh batch must land in its dim buckets")
+      val m2 = m1.appended("embeddings",
+        IndexedSeq(sparsePt("42", "7"))) // update: 7 takes 42's postings
+      val m3 = m2.removed("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_sparse/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the buckets serve with an " +
+          "empty overlay tail")
+      m3
+    })
+
   /** The wire-protocol fixture of `dir`: an in-process
     * [[graft.sources.CollectionHttpServer]] fronting the homogeneous
     * collection, started once per dir (the offline stand-in for a live
@@ -2417,6 +2465,32 @@ object SparkEntry {
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
         .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL SPARSE MAINTENANCE: churn (inserts into their dim
+    // buckets, an update consolidating its old dims' buckets, a
+    // tombstoned delete) absorbs into the postings sidecar (fixture
+    // REQUIRES the watermark reached the log head), so this pushed
+    // sparse top-k serves bucket-pruned with an EMPTY overlay tail —
+    // exact vs the brute sparse-dot oracle over the FINAL state
+    "dsv2_parquet_sparse_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_spfr_store",
+        SparkEntry.parquetSparseFreshStore(s, dir))
+      val (ki, kv) = sparseOf(col("embedding"))
+      val qRow = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 0)
+        .select(ki.as("qi"), kv.as("qv")).head()
+      val qi = qRow.getSeq[Int](0)
+      val qv = qRow.getSeq[Double](1)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_spfr_store").option("collection", "embeddings")
+        .option("search.field", "kw")
+        .option("search.sparseIndices", qi.mkString(","))
+        .option("search.vector",
+          qv.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.k", "10")
         .load()
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
@@ -7590,6 +7664,31 @@ object SparkEntry {
         |top AS (
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
         |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // incremental sparse maintenance: the post-churn bucket-pruned
+    // sparse dot must rank exactly where brute force over the FINAL
+    // state does (ids 1..4 re-inserted as 100001..100004, id 7 takes
+    // vec_id 42's positives, id 13 deleted; id 0 is the query and was
+    // never in the corpus)
+    "dsv2_parquet_sparse_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS emb
+        |  FROM embeddings WHERE vec_id NOT IN (0, 7, 13)
+        |  UNION ALL
+        |  SELECT '7', e.embedding FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR), embedding
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+        |top AS (
+        |  SELECT * FROM (
+        |    SELECT id,
+        |           list_sum(list_transform(range(1, len(emb) + 1),
+        |                 i -> CASE WHEN emb[i] > 0 AND q.qv[i] > 0
+        |                      THEN CAST(emb[i] AS DOUBLE) * q.qv[i] ELSE 0.0 END)) AS s
+        |    FROM base, q)
+        |  WHERE s > 0 ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // incremental payload-index maintenance: the post-churn filtered

@@ -717,6 +717,16 @@ final class ParquetCollectionStore(
   /** Postings files read by the sparse pruned serve. */
   @transient lazy val sparseFilesOpened = new AtomicLong(0L)
 
+  /** Points absorbed into the postings buckets by the incremental
+    * maintenance path (specs).
+    */
+  @transient lazy val sparseIncInserts = new AtomicLong(0L)
+
+  /** Tail points brute-rescored by a sparse serve's freshness overlay
+    * (specs — zero after an absorbed batch).
+    */
+  @transient lazy val sparseTailRescored = new AtomicLong(0L)
+
   /** The sparse postings sidecar, when
     * [[ParquetCollectionStore.writeSparseSidecar]] laid one down under
     * `dir/_sparse`: one posting row per (dim, id, value) partitioned by
@@ -730,7 +740,15 @@ final class ParquetCollectionStore(
     * heap's [[SearchSpec.scoreSparse]] — three layouts, one score.
     */
   private case class SparseSidecar(field: String, nBuckets: Int,
-                                   builtAt: Long)
+                                   builtAt: Long, insertedAt: Long)
+
+  /** Tombstoned sparse ids with their indexed DIMS (recorded at flag
+    * time, so a resurrection knows which buckets to consolidate without
+    * a scan). Churn-bounded; reclaimed by mass-consolidation/rebuild.
+    */
+  @transient private lazy val sparseDead: Map[String, Seq[Int]] =
+    ParquetCollectionStore.readSparseDead(
+      new java.io.File(s"$dir/_sparse/dead.txt"))
 
   @transient private lazy val sparseSidecar: Option[SparseSidecar] = {
     val marker = new java.io.File(s"$dir/_sparse/meta.txt")
@@ -742,7 +760,13 @@ final class ParquetCollectionStore(
       // line 3 = the build's log position (freshness point); legacy -1
       val builtAt =
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
-      Some(SparseSidecar(lines(0), lines(1).toInt, builtAt))
+      val ins = new java.io.File(s"$dir/_sparse/inserted.txt")
+      val insertedAt =
+        if (!ins.isFile || builtAt < 0) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      Some(SparseSidecar(lines(0), lines(1).toInt, builtAt, insertedAt))
     }
   }
 
@@ -753,14 +777,16 @@ final class ParquetCollectionStore(
       sparseSidecar
         .filter(sc => sc.field == spec.field && pfilter.isEmpty)
         .flatMap { sc =>
-          tailSince(sc.builtAt).map { tail => (sc, tail) }
+          tailSince(sc.insertedAt).map { tail => (sc, tail) }
         }
         .map { case (sc, tail) =>
+          sparseTailRescored.addAndGet(tail.added.size): Unit
           val qv = spec.query
           val qPos = qi.zipWithIndex.toMap
           val buckets = qi.map(d => ((d % sc.nBuckets) + sc.nBuckets) %
             sc.nBuckets).distinct
-          // per-id matched postings from ONLY the query dims' buckets
+          // per-id matched postings from ONLY the query dims' buckets;
+          // tombstoned ghosts never accumulate (the flag IS their mask)
           val acc = scala.collection.mutable.HashMap
             .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Double)]]
           buckets.foreach { b =>
@@ -770,11 +796,12 @@ final class ParquetCollectionStore(
               .foreach { f =>
                 sparseFilesOpened.incrementAndGet()
                 ParquetLog.readPostingRows(f.getAbsolutePath).foreach {
-                  case (id, dim, v) => qPos.get(dim).foreach { j =>
-                    acc.getOrElseUpdate(id,
-                      scala.collection.mutable.ArrayBuffer.empty) +=
-                      ((dim, v * qv(j)))
-                  }
+                  case (id, dim, v) =>
+                    if (!sparseDead.contains(id)) qPos.get(dim).foreach { j =>
+                      acc.getOrElseUpdate(id,
+                        scala.collection.mutable.ArrayBuffer.empty) +=
+                        ((dim, v * qv(j)))
+                    }
                 }
               }
           }
@@ -1823,9 +1850,10 @@ final class ParquetCollectionStore(
     // the batch's id ranges); skipped when no sidecar is current
     val preExistingPts: IndexedSeq[Point] =
       if (!hnswInsertTracking(oldHead) && !ivfInsertTracking(oldHead) &&
-          !pidxAnyTracking(oldHead))
+          !pidxAnyTracking(oldHead) && !sparseInsertTracking(oldHead))
         IndexedSeq.empty
-      else queryPoints(c, 0L, pointCount(c), withPayload = true, Nil,
+      else queryPoints(c, 0L, pointCount(c), withPayload = true,
+        descriptor.fields.map(_.name),
         None, idFilter = Some(deduped.map(_.id).toSet)).toIndexedSeq
     val preExisting: Set[String] = preExistingPts.iterator.map(_.id).toSet
     if (metas.isEmpty) {
@@ -1850,7 +1878,142 @@ final class ParquetCollectionStore(
     ivfMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
     pidxMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
       preExistingPts)
+    sparseMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
+      preExistingPts)
     reopened
+  }
+
+  // -------------------------------- incremental sparse maintenance --
+
+  private def sparseInsertedAt: Long = {
+    val marker = new java.io.File(s"$dir/_sparse/meta.txt")
+    if (!marker.isFile) -1L
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      if (lines.length < 3 || lines(2).isEmpty) -1L
+      else {
+        val builtAt = lines(2).toLong
+        val ins = new java.io.File(s"$dir/_sparse/inserted.txt")
+        if (!ins.isFile) builtAt
+        else math.max(builtAt, new String(
+          java.nio.file.Files.readAllBytes(ins.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }
+    }
+  }
+
+  private def sparseInsertTracking(oldHead: Long): Boolean =
+    sparseInsertedAt == oldHead
+
+  /** Absorb a mutation batch into the dim-bucketed postings — the
+    * online-maintenance discipline on the FOURTH sidecar family:
+    *
+    *  - NEW points explode into (id, dim, value) posting rows and
+    *    append per touched bucket (`inc-*` files, LSM level-0 cap) —
+    *    the bucket is the same floorMod the writer and the serve use;
+    *  - UPDATES consolidate the buckets their OLD dims lived in (the
+    *    pre-rewrite point names them) before re-appending;
+    *  - DELETES tombstone as `id → dims` flags (the serve drops flagged
+    *    ids before accumulation; a resurrection consolidates exactly
+    *    the flagged dims' buckets first); the
+    *    [[ParquetCollectionStore.deadFlagMaxDial]] cap routes mass
+    *    deletes to consolidation.
+    */
+  private def sparseMaintain(upserts: IndexedSeq[Point],
+                             removedPts: IndexedSeq[Point],
+                             oldHead: Long, newHead: Long,
+                             preExistingPts: IndexedSeq[Point]): Unit = {
+    if (!sparseInsertTracking(oldHead)) return
+    val marker = new java.io.File(s"$dir/_sparse/meta.txt")
+    val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val field = lines(0)
+    val nBuckets = lines(1).toInt
+    def bucketOf(dim: Int): Int = java.lang.Math.floorMod(dim, nBuckets)
+    val deadFile = new java.io.File(s"$dir/_sparse/dead.txt")
+    val dead0 = ParquetCollectionStore.readSparseDead(deadFile)
+    val upIds = upserts.iterator.map(_.id).toSet
+    val flagCount = dead0.size + removedPts.size
+    val tombstone = flagCount <= ParquetCollectionStore.deadFlagMaxDial
+    // (id, old dims) whose postings must leave their buckets NOW
+    val dropDims = scala.collection.mutable.HashMap.empty[String, Seq[Int]]
+    preExistingPts.foreach(p => p.sparse.get(field).foreach { case (di, _) =>
+      dropDims.update(p.id, di.toSeq)
+    })
+    upserts.foreach(p => dead0.get(p.id).foreach(ds =>
+      dropDims.update(p.id, ds))) // resurrected flags
+    if (!tombstone) {
+      removedPts.foreach(p => p.sparse.get(field).foreach { case (di, _) =>
+        dropDims.update(p.id, di.toSeq)
+      })
+      dead0.foreach { case (id, ds) =>
+        if (!upIds(id)) dropDims.update(id, ds)
+      }
+    }
+    val dropIds = dropDims.keySet.toSet
+    val newRows: Seq[(Int, (String, Int, Double))] = upserts.flatMap(p =>
+      p.sparse.get(field).toSeq.flatMap { case (di, dv) =>
+        di.indices.map(i =>
+          (bucketOf(di(i)), (p.id, di(i), dv(i).toDouble)))
+      })
+    val touched = dropDims.valuesIterator.flatten.map(bucketOf).toSet ++
+      newRows.map(_._1).toSet
+    def wipe(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+          f.delete(): Unit
+        }
+    touched.foreach { b =>
+      val bDir = new java.io.File(s"$dir/_sparse/points/db=$b")
+      val batch = newRows.collect { case (`b`, r) => r }
+        .sortBy(r => (r._1, r._2))
+      val mustDrop = dropDims.exists { case (_, ds) =>
+        ds.exists(bucketOf(_) == b)
+      }
+      val consolidate = mustDrop || (batch.nonEmpty &&
+        ParquetCollectionStore.parquetFileCount(bDir) >=
+          ParquetCollectionStore.incCompactThreshold)
+      if (consolidate) {
+        val kept =
+          Option(bDir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .flatMap(f => ParquetLog.readPostingRows(f.getAbsolutePath))
+            .filterNot(r => dropIds(r._1))
+        val finalRows = (kept ++ batch).sortBy(r => (r._1, r._2))
+        wipe(bDir)
+        if (finalRows.nonEmpty) {
+          bDir.mkdirs()
+          ParquetLog.writePostingRows(
+            new java.io.File(bDir, f"pts-$newHead%012d.parquet"),
+            finalRows)
+        }
+      } else if (batch.nonEmpty) {
+        bDir.mkdirs()
+        ParquetLog.writePostingRows(
+          new java.io.File(bDir, f"inc-$newHead%012d.parquet"), batch)
+      }
+    }
+    sparseIncInserts.addAndGet(
+      upserts.count(_.sparse.contains(field)).toLong): Unit
+    val dead1: Map[String, Seq[Int]] =
+      if (!tombstone) Map.empty
+      else (dead0 -- upIds) ++ removedPts.flatMap(p =>
+        p.sparse.get(field).map { case (di, _) => p.id -> di.toSeq })
+    if (dead1.isEmpty)
+      java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+    else
+      java.nio.file.Files.write(deadFile.toPath,
+        dead1.toSeq.sortBy(_._1)
+          .map { case (id, ds) => s"$id\t${ds.mkString(",")}" }
+          .mkString("\n").getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt"),
+      newHead.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   // --------------------------- incremental payload-index maintenance --
@@ -2542,7 +2705,8 @@ final class ParquetCollectionStore(
         val (dropped, kept) = old.partition(p => ids(p.id))
         if (dropped.nonEmpty) {
           hits ++= dropped.map(_.id)
-          droppedPts ++= dropped.map(p => Point(p.id, p.payload))
+          droppedPts ++= dropped.map(p =>
+            Point(p.id, p.payload, sparse = p.sparse))
           val f = new java.io.File(fm.path)
           if (kept.isEmpty) {
             new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
@@ -2562,8 +2726,11 @@ final class ParquetCollectionStore(
         Set.empty)
       ivfMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
         Set.empty)
-      pidxMaintain(IndexedSeq.empty, droppedPts.result().toIndexedSeq,
-        oldHead, newHead, IndexedSeq.empty)
+      val droppedSeq = droppedPts.result().toIndexedSeq
+      pidxMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
+        IndexedSeq.empty)
+      sparseMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
+        IndexedSeq.empty)
       reopened
     }
   }
@@ -3143,6 +3310,11 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_sparse/meta.txt"),
       s"$field\n$nBuckets\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path appended
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_sparse/dead.txt")): Unit
   }
 
   /** Selectivity dial for the payload-index pre-filter arm: serve from
@@ -3185,6 +3357,21 @@ object ParquetCollectionStore {
   private[sources] def parquetFileCount(d: java.io.File): Int =
     Option(d.listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  /** Sparse tombstone file: one `id<TAB>dim,dim,...` line per flag. */
+  private[sources] def readSparseDead(f: java.io.File): Map[String, Seq[Int]] =
+    if (!f.isFile) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val i = l.indexOf('\t')
+        val ds =
+          if (i + 1 >= l.length) Seq.empty[Int]
+          else l.substring(i + 1).split(",").iterator
+            .filter(_.nonEmpty).map(_.toInt).toSeq
+        (l.substring(0, i), ds)
+      }.toMap
 
   /** Lay a payload-index sidecar under `dir/_pidx/k_<key>`: the
     * collection value-partitioned by top-level payload key `key` (`kind`

@@ -510,6 +510,27 @@ private[sources] object ParquetLog {
     })
   }
 
+  /** Seal sparse posting rows as ONE parquet file — the
+    * incremental-insert append unit beside the Spark-written bucket
+    * files (same column names, so [[readPostingRows]] decodes either
+    * writer's files).
+    */
+  def writePostingRows(dest: File,
+                       rows: Seq[(String, Int, Double)]): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("id")
+      .required(PrimitiveTypeName.INT32).named("dim")
+      .required(PrimitiveTypeName.DOUBLE).named("v")
+      .named("graft_sparse_postings")
+    val fac = new SimpleGroupFactory(schema)
+    writeGroups(dest, schema, rows.iterator.map { case (id, dim, v) =>
+      val g = fac.newGroup()
+      g.add("id", id); g.add("dim", dim); g.add("v", v)
+      g
+    })
+  }
+
   /** One HNSW edge row per (level, src, nbr) — the HNSW sidecar's
     * stored adjacency shape.
     */

@@ -107,6 +107,76 @@ class SparsePushdownSpec extends AnyFunSuite {
     assert(got.map(p => (p._1.id, p._2)) === want)
   }
 
+  test("incremental sparse maintenance: churn absorbs into the dim buckets, serves with an empty tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-spinc").toString
+    val rows = mkPoints(20).map { p =>
+      val (di, dv) = p.sparse("kw")
+      (p.id, p.payload.orNull, di.toSeq, dv.toSeq)
+    }
+    val df = rows.toDF("id", "payload", "kw_indices", "kw_values")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeSparseSidecar(df, dir, "kw", nBuckets = 8)
+    val spec = SearchSpec("kw", qVal, "dot", 10, sparseIndices = Some(qIdx))
+    // the row-path oracle over the CURRENT primaries, whatever the
+    // postings do
+    def want(): Seq[(String, Double)] = {
+      val st = new ParquetCollectionStore(dir, "sp", desc)
+      st.queryPoints("sp", 0L, st.pointCount("sp"), withPayload = false,
+        Seq("kw"), None)
+        .flatMap(p => p.sparse.get("kw").flatMap { case (di, dv) =>
+          SearchSpec.scoreSparse(di, dv, qIdx, qVal).map(s => (p.id, s))
+        }).toSeq
+        .sortWith { case ((ia, sa), (ib, sb)) =>
+          if (sa != sb) sa > sb else ia < ib
+        }.take(10)
+    }
+    def got(st: ParquetCollectionStore): Seq[(String, Double)] =
+      st.searchPoints("sp", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+    val store = new ParquetCollectionStore(dir, "sp", desc)
+    // INSERTS absorb: new postings land in their dim buckets, the tail
+    // stays empty, the page is exact
+    val adds = (0 until 8).map(i => Point(s"5$i", None,
+      sparse = Map("kw" -> ((Array(2, 17), Array(10f + i, 5f)))))).toIndexedSeq
+    val m1 = store.appended("sp", adds)
+    assert(store.sparseIncInserts.get() === 8L)
+    assert(new java.io.File(s"$dir/_sparse/inserted.txt").isFile)
+    assert(got(m1) === want())
+    assert(m1.sparseTailRescored.get() === 0L)
+    assert(got(m1).count(_._1.startsWith("5")) >= 8)
+    // an UPDATE moves dims across buckets: the old postings consolidate
+    // out of their buckets, the new ones append
+    val m2 = m1.appended("sp", IndexedSeq(Point("3", None,
+      sparse = Map("kw" -> ((Array(17), Array(50f)))))))
+    assert(got(m2) === want())
+    assert(m2.sparseTailRescored.get() === 0L)
+    // a DELETE tombstones id -> dims; the serve drops flagged ids
+    val winner = got(m2).head._1
+    val m3 = m2.removed("sp", Set(winner))
+    assert(new java.io.File(s"$dir/_sparse/dead.txt").isFile)
+    assert(!got(m3).map(_._1).contains(winner))
+    assert(got(m3) === want())
+    assert(m3.sparseTailRescored.get() === 0L)
+    // RESURRECTION consolidates the flagged dims' buckets and clears
+    val m4 = m3.appended("sp", IndexedSeq(Point(winner, None,
+      sparse = Map("kw" -> ((Array(7), Array(99f)))))))
+    assert(!new java.io.File(s"$dir/_sparse/dead.txt").isFile)
+    assert(got(m4) === want())
+    assert(got(m4).head._1 === winner)
+    // MASS delete past the flag cap consolidates instead
+    sys.props("graft.test.deadFlagMax") = "4"
+    try {
+      val m5 = m4.removed("sp", (0 until 10).map(_.toString).toSet)
+      assert(!new java.io.File(s"$dir/_sparse/dead.txt").isFile)
+      assert(got(m5) === want())
+    } finally sys.props.remove("graft.test.deadFlagMax"): Unit
+    // OPTIMIZE reseals and resets
+    ParquetCollectionStore.optimize(spark, dir)
+    assert(!new java.io.File(s"$dir/_sparse/inserted.txt").isFile)
+    assert(got(new ParquetCollectionStore(dir, "sp", desc)) === want())
+  }
+
   test("sparse sidecar freshness: COW mutations overlay the postings until rebuild") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-spfresh").toString
