@@ -313,10 +313,9 @@ final class ParquetCollectionStore(
         if (lines.length > 1 && lines(1).nonEmpty) lines(1).toLong else -1L
       val ins = new java.io.File(s"$dir/_ivf/inserted.txt")
       val insertedAt =
-        if (!ins.isFile || builtAt < 0) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        if (builtAt < 0) builtAt
+        else ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       Some(IvfSidecar(lines(0), builtAt, new ParquetCollectionStore(
         s"$dir/_ivf/centroids", collection, descriptor), insertedAt))
     }
@@ -326,13 +325,9 @@ final class ParquetCollectionStore(
     * a DELETE absorbs as an O(batch) flag append; flagged ids never
     * score; consolidations and the rebuild reclaim them.
     */
-  @transient private lazy val ivfDeadIds: Set[String] = {
-    val f = new java.io.File(s"$dir/_ivf/dead.txt")
-    if (!f.isFile) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-  }
+  @transient private lazy val ivfDeadIds: Set[String] =
+    ParquetCollectionStore.readIdFlags(
+      new java.io.File(s"$dir/_ivf/dead.txt"))
 
   /** Points absorbed into the cluster partitions by the incremental
     * maintenance path (specs).
@@ -442,11 +437,8 @@ final class ParquetCollectionStore(
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val builtAt = l(1).toLong
       val ins = new java.io.File(s"$dir/_hnsw/inserted.txt")
-      val insertedAt =
-        if (!ins.isFile) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      val insertedAt = ParquetCollectionStore.readWatermark(ins)
+        .map(math.max(builtAt, _)).getOrElse(builtAt)
       Some(HnswSidecar(l(0), builtAt, l(2).toInt, l(4).toInt,
         l(5).toLong, if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine",
         insertedAt))
@@ -472,13 +464,9 @@ final class ParquetCollectionStore(
     * beam; consolidations and the offline rebuild reclaim ghosts.
     * Churn-bounded — reset by every rebuild.
     */
-  @transient private lazy val hnswDeadIds: Set[String] = {
-    val f = new java.io.File(s"$dir/_hnsw/dead.txt")
-    if (!f.isFile) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-  }
+  @transient private lazy val hnswDeadIds: Set[String] =
+    ParquetCollectionStore.readIdFlags(
+      new java.io.File(s"$dir/_hnsw/dead.txt"))
 
   /** The segment sub-store alone (winner fetches, the exact micro-path)
     * — no graph load, shared with [[hnswSegmentFor]] so each segment
@@ -762,10 +750,9 @@ final class ParquetCollectionStore(
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
       val ins = new java.io.File(s"$dir/_sparse/inserted.txt")
       val insertedAt =
-        if (!ins.isFile || builtAt < 0) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        if (builtAt < 0) builtAt
+        else ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       Some(SparseSidecar(lines(0), lines(1).toInt, builtAt, insertedAt))
     }
   }
@@ -1078,17 +1065,9 @@ final class ParquetCollectionStore(
       * counts are known without reading a row). Churn-bounded;
       * consolidations and rebuilds reclaim.
       */
-    lazy val dead: Map[String, Set[String]] = {
-      val f = new java.io.File(s"$base/dead.txt")
-      if (!f.isFile) Map.empty
-      else new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map { l =>
-          val i = l.indexOf('\t')
-          (l.substring(0, i), l.substring(i + 1))
-        }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    }
+    lazy val dead: Map[String, Set[String]] =
+      ParquetCollectionStore.readValueIdFlags(
+        new java.io.File(s"$base/dead.txt"))
 
     lazy val deadIds: Set[String] = dead.valuesIterator.flatten.toSet
 
@@ -1220,10 +1199,9 @@ final class ParquetCollectionStore(
       // or legacy → the build position
       val ins = new java.io.File(s"$base/inserted.txt")
       val insertedAt =
-        if (!ins.isFile || builtAt < 0) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        if (builtAt < 0) builtAt
+        else ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       Some(PayloadSidecar(lines(0), lines(1), covered, base, builtAt,
         insertedAt))
     }
@@ -1895,10 +1873,8 @@ final class ParquetCollectionStore(
       else {
         val builtAt = lines(2).toLong
         val ins = new java.io.File(s"$dir/_sparse/inserted.txt")
-        if (!ins.isFile) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       }
     }
   }
@@ -1966,6 +1942,10 @@ final class ParquetCollectionStore(
           new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
           f.delete(): Unit
         }
+    // the whole mutation window runs with the meta PARKED: a crash
+    // between a bucket wipe and its rewrite leaves the sidecar
+    // invisible (brute serve, never silently incomplete postings)
+    ParquetCollectionStore.withParkedMarker(marker) {
     touched.foreach { b =>
       val bDir = new java.io.File(s"$dir/_sparse/points/db=$b")
       val batch = newRows.collect { case (`b`, r) => r }
@@ -2005,15 +1985,16 @@ final class ParquetCollectionStore(
     if (dead1.isEmpty)
       java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
     else
-      java.nio.file.Files.write(deadFile.toPath,
+      ParquetCollectionStore.atomicWriteText(deadFile.toPath,
         dead1.toSeq.sortBy(_._1)
-          .map { case (id, ds) => s"$id\t${ds.mkString(",")}" }
-          .mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)): Unit
-    java.nio.file.Files.write(
+          .map { case (id, ds) =>
+            s"${ParquetCollectionStore.escapeFlag(id)}\t${ds.mkString(",")}"
+          }
+          .mkString("\n"))
+    ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt"),
-      newHead.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      newHead.toString)
+    }
   }
 
   // --------------------------- incremental payload-index maintenance --
@@ -2037,10 +2018,8 @@ final class ParquetCollectionStore(
     if (builtAt < 0) -1L
     else {
       val ins = new java.io.File(base, "inserted.txt")
-      if (!ins.isFile) builtAt
-      else math.max(builtAt, new String(
-        java.nio.file.Files.readAllBytes(ins.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      ParquetCollectionStore.readWatermark(ins)
+        .map(math.max(builtAt, _)).getOrElse(builtAt)
     }
   }
 
@@ -2132,14 +2111,7 @@ final class ParquetCollectionStore(
           removedPts.map(p => ("d", p.id, p.payload.orNull)))
       val deadFile = new java.io.File(baseF, "dead.txt")
       val dead0: Map[String, Set[String]] =
-        if (!deadFile.isFile) Map.empty
-        else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-          .map { l =>
-            val i = l.indexOf('\t')
-            (l.substring(0, i), l.substring(i + 1))
-          }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        ParquetCollectionStore.readValueIdFlags(deadFile)
       val deadVal: Map[String, String] =
         dead0.iterator.flatMap { case (v, ids) => ids.map(_ -> v) }.toMap
       val flagCount = deadVal.size + removedPts.size
@@ -2170,6 +2142,11 @@ final class ParquetCollectionStore(
             new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
             f.delete(): Unit
           }
+      // parked meta: a crash mid-partition-rewrite retires the key's
+      // index (filters fall through to the exact scan) instead of
+      // serving silently incomplete value partitions
+      ParquetCollectionStore.withParkedMarker(
+          new java.io.File(baseF, "meta.txt")) {
       (insByVal.keySet ++ dropsByVal.keySet).foreach { v =>
         val dirName = "value=" + org.apache.spark.sql.catalyst.catalog
           .ExternalCatalogUtils.escapePathName(v)
@@ -2221,14 +2198,15 @@ final class ParquetCollectionStore(
       if (deadPairs1.isEmpty)
         java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
       else
-        java.nio.file.Files.write(deadFile.toPath,
-          deadPairs1.sorted.map { case (v, id) => s"$v\t$id" }
-            .mkString("\n").getBytes(
-              java.nio.charset.StandardCharsets.UTF_8)): Unit
-      java.nio.file.Files.write(
+        ParquetCollectionStore.atomicWriteText(deadFile.toPath,
+          deadPairs1.sorted.map { case (v, id) =>
+            s"${ParquetCollectionStore.escapeFlag(v)}\t" +
+              ParquetCollectionStore.escapeFlag(id)
+          }.mkString("\n"))
+      ParquetCollectionStore.atomicWriteText(
         new java.io.File(baseF, "inserted.txt").toPath,
-        newHead.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8)): Unit
+        newHead.toString)
+      }
     }
   }
 
@@ -2248,10 +2226,8 @@ final class ParquetCollectionStore(
       else {
         val builtAt = lines(1).toLong
         val ins = new java.io.File(s"$dir/_ivf/inserted.txt")
-        if (!ins.isFile) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       }
     }
   }
@@ -2312,11 +2288,7 @@ final class ParquetCollectionStore(
       java.lang.Long.parseLong(best).toString
     }
     val deadFile = new java.io.File(s"$dir/_ivf/dead.txt")
-    val dead0: Set[String] =
-      if (!deadFile.isFile) Set.empty
-      else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val dead0: Set[String] = ParquetCollectionStore.readIdFlags(deadFile)
     val upIds = upserts.iterator.map(_.id).toSet
     val allFields = descriptor.fields.map(_.name)
     val codesTier = new java.io.File(s"$dir/_ivf/codes").isDirectory
@@ -2371,6 +2343,10 @@ final class ParquetCollectionStore(
           new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
           f.delete(): Unit
         }
+    // parked meta: a crash mid-cluster-rewrite retires the sidecar
+    // (exact brute serve) instead of serving a half-rewritten cluster
+    ParquetCollectionStore.withParkedMarker(
+        new java.io.File(s"$dir/_ivf/field.txt")) {
     (upsByCluster.keySet ++ clustersToConsolidate.keySet).foreach { v =>
       val cDir = new java.io.File(s"$dir/_ivf/points/cluster=$v")
       val codesDir = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
@@ -2443,14 +2419,14 @@ final class ParquetCollectionStore(
       if (dead1.isEmpty)
         java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
       else
-        java.nio.file.Files.write(deadFile.toPath,
-          dead1.toSeq.sorted.mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)): Unit
+        ParquetCollectionStore.atomicWriteText(deadFile.toPath,
+          dead1.toSeq.sorted
+            .map(ParquetCollectionStore.escapeFlag).mkString("\n"))
     }
-    java.nio.file.Files.write(
+    ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"),
-      newHead.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      newHead.toString)
+    }
   }
 
   // ---------------------------------------- incremental HNSW insert --
@@ -2470,10 +2446,8 @@ final class ParquetCollectionStore(
       else {
         val builtAt = l(1).toLong
         val ins = new java.io.File(s"$dir/_hnsw/inserted.txt")
-        if (!ins.isFile) builtAt
-        else math.max(builtAt, new String(
-          java.nio.file.Files.readAllBytes(ins.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
       }
     }
   }
@@ -2538,11 +2512,7 @@ final class ParquetCollectionStore(
     val allFields = descriptor.fields.map(_.name)
     def segOf(id: String): Int = graft.ops.HnswSegment.segOf(id, nseg, seed)
     val deadFile = new java.io.File(s"$dir/_hnsw/dead.txt")
-    val dead0: Set[String] =
-      if (!deadFile.isFile) Set.empty
-      else new String(java.nio.file.Files.readAllBytes(deadFile.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    val dead0: Set[String] = ParquetCollectionStore.readIdFlags(deadFile)
     val upIds = upserts.iterator.map(_.id).toSet
     // ids whose stored copies must leave their segment files NOW:
     // UPDATES (the old node must not shadow the re-insert) and
@@ -2562,6 +2532,10 @@ final class ParquetCollectionStore(
     val upsBySeg = upserts.groupBy(p => segOf(p.id))
     val dropsBySeg = drops.groupBy(segOf)
     val foldedDead = scala.collection.mutable.Set.empty[String]
+    // parked meta: a crash mid-segment-rewrite (points written, edges
+    // not — a one-node reachable graph) retires the sidecar instead
+    ParquetCollectionStore.withParkedMarker(
+        new java.io.File(s"$dir/_hnsw/field.txt")) {
     (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
       val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
       val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
@@ -2671,14 +2645,14 @@ final class ParquetCollectionStore(
       if (dead1.isEmpty)
         java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
       else
-        java.nio.file.Files.write(deadFile.toPath,
-          dead1.toSeq.sorted.mkString("\n").getBytes(
-            java.nio.charset.StandardCharsets.UTF_8)): Unit
+        ParquetCollectionStore.atomicWriteText(deadFile.toPath,
+          dead1.toSeq.sorted
+            .map(ParquetCollectionStore.escapeFlag).mkString("\n"))
     }
-    java.nio.file.Files.write(
+    ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
-      newHead.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8)): Unit
+      newHead.toString)
+    }
   }
 
   /** DELETE by id set: rewrite only the primary files whose range can
@@ -3354,11 +3328,148 @@ object ParquetCollectionStore {
     sys.props.get("graft.test.deadFlagMax").map(_.toInt)
       .getOrElse(deadFlagMax)
 
+  /** Crash-safe small-file write (watermarks, tombstone flags): write a
+    * sibling temp file, then atomically rename over the target. A
+    * truncating `Files.write` has a torn-write window where a crash
+    * leaves an empty or partial file that every subsequent open would
+    * choke on; the rename makes the file either the OLD content or the
+    * NEW, never garbage.
+    */
+  private[graft] def atomicWriteText(path: java.nio.file.Path,
+                                       content: String): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".inflight")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try
+      java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  /** Watermark read tolerant of a torn write: an absent OR unparseable
+    * `inserted.txt` reads as None (callers fall back to the build
+    * position — the sidecar serves with a longer overlay tail and
+    * maintenance parks until the next rebuild, instead of every
+    * subsequent open throwing NumberFormatException).
+    */
+  private[sources] def readWatermark(f: java.io.File): Option[Long] =
+    if (!f.isFile) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      try Some(java.lang.Long.parseLong(s))
+      catch { case _: NumberFormatException => None }
+    }
+
+  /** Flag-file field escaping: ids (and pidx partition values) are user
+    * data and may contain the flag files' own delimiters — a tab inside
+    * an id would shift the `value<TAB>id` split, a newline would split
+    * one flag into two, and `.trim` on read would eat either at the
+    * edges. Percent-escape exactly the metacharacters (`%`, tab, LF,
+    * CR); everything else passes through byte-identical.
+    */
+  private[graft] def escapeFlag(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' || c == '\t' || c == '\n' || c == '\r') clean = false
+      i += 1
+    }
+    if (clean) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '%'  => sb.append("%25")
+          case '\t' => sb.append("%09")
+          case '\n' => sb.append("%0A")
+          case '\r' => sb.append("%0D")
+          case c    => sb.append(c)
+        }
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  private[graft] def unescapeFlag(s: String): String =
+    if (s.indexOf('%') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Payload-index tombstone file: one `value<TAB>id` line per flag,
+    * both fields [[escapeFlag]]-escaped (values and ids are user data).
+    * Tab-less lines (legacy / torn) are skipped rather than crashing
+    * every subsequent open.
+    */
+  private[sources] def readValueIdFlags(f: java.io.File): Map[String, Set[String]] =
+    if (!f.isFile) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        val i = l.indexOf('\t')
+        if (i < 0) None
+        else Some((unescapeFlag(l.substring(0, i)),
+          unescapeFlag(l.substring(i + 1))))
+      }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** HNSW/IVF tombstone file: one [[escapeFlag]]-escaped id per line. */
+  private[sources] def readIdFlags(f: java.io.File): Set[String] =
+    if (!f.isFile) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .map(unescapeFlag).toSet
+
+  /** Run `work` — a sidecar partition rewrite with a wipe-then-rewrite
+    * window — with the sidecar's marker file PARKED (renamed aside). A
+    * crash (or throw) mid-rewrite leaves the marker parked: the sidecar
+    * is invisible to every subsequent open, serves fall back to the
+    * exact primary files (slower, never wrong), and the next offline
+    * rebuild rewrites the marker and reseals. Without this, a crash
+    * between wipe() and the replacement write silently loses
+    * previously-indexed rows while the watermark still claims currency —
+    * the overlay tail never re-covers them.
+    */
+  private[sources] def withParkedMarker[A](marker: java.io.File)(work: => A): A = {
+    val parked = new java.io.File(marker.getParentFile,
+      marker.getName + ".parked")
+    java.nio.file.Files.move(marker.toPath, parked.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    val out = work // a throw leaves the marker parked — by design
+    java.nio.file.Files.move(parked.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    out
+  }
+
   private[sources] def parquetFileCount(d: java.io.File): Int =
     Option(d.listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
 
-  /** Sparse tombstone file: one `id<TAB>dim,dim,...` line per flag. */
+  /** Sparse tombstone file: one `id<TAB>dim,dim,...` line per flag. The
+    * id is [[escapeFlag]]-escaped (ids are user data and may contain the
+    * delimiters); a line with NO tab — a zero-dim flag whose trailing
+    * tab `.trim` stripped, or a legacy file — reads as (id, no dims)
+    * instead of crashing every subsequent open.
+    */
   private[sources] def readSparseDead(f: java.io.File): Map[String, Seq[Int]] =
     if (!f.isFile) Map.empty
     else new String(java.nio.file.Files.readAllBytes(f.toPath),
@@ -3366,11 +3477,12 @@ object ParquetCollectionStore {
       .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
       .map { l =>
         val i = l.indexOf('\t')
-        val ds =
-          if (i + 1 >= l.length) Seq.empty[Int]
-          else l.substring(i + 1).split(",").iterator
+        if (i < 0) (unescapeFlag(l), Seq.empty[Int])
+        else {
+          val ds = l.substring(i + 1).split(",").iterator
             .filter(_.nonEmpty).map(_.toInt).toSeq
-        (l.substring(0, i), ds)
+          (unescapeFlag(l.substring(0, i)), ds)
+        }
       }.toMap
 
   /** Lay a payload-index sidecar under `dir/_pidx/k_<key>`: the
