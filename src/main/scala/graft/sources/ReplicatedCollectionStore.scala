@@ -64,9 +64,12 @@ import graft.collections.CollectionDescriptor
   * with zero extra wiring (`applyUpsert` dispatches on the trait).
   *
   * Scale shape: replication multiplies WRITE work by the replica count
-  * (inherent to write-all), multiplies read THROUGHPUT by the alive
-  * count, and leaves read latency at one replica's cost (quorum reads
-  * pay N answers for divergence masking — the dial is per-store).
+  * (inherent to write-all) but write LATENCY is one replica's cost —
+  * the per-replica applies fan out concurrently over the shared
+  * scatter pool (max, not sum; wire round trips overlap). Read
+  * THROUGHPUT multiplies by the alive count, read latency stays at one
+  * replica's cost (quorum reads pay N answers for divergence masking —
+  * the dial is per-store).
   * Failover adds one failed probe per down replica per outage. Resync
   * streams every collection once in `resyncBatch`-sized pages —
   * O(batch) points resident, never the corpus.
@@ -101,9 +104,14 @@ final class ReplicatedCollectionStore(
     initial.map(_ => true)
   // read-side suspicion: a replica whose READ transport failed is
   // skipped by the rotation until every non-suspect candidate fails
-  // (self-healing re-probe) or a resync clears it
-  @volatile private var suspectFlags: IndexedSeq[Boolean] =
-    initial.map(_ => false)
+  // (self-healing re-probe) or a resync clears it. An ATOMIC array, not
+  // a copied-on-write Seq: unsynchronized read paths flip these flags
+  // concurrently, and a lost update would violate the documented
+  // one-failed-probe-per-outage property (or clear another thread's
+  // fresh suspicion).
+  private val suspectFlags =
+    new java.util.concurrent.atomic.AtomicIntegerArray(initial.length)
+  private def suspect(i: Int): Boolean = suspectFlags.get(i) == 1
   private val rotation = new AtomicLong(0L)
 
   // journal lineage: all original replicas share epoch 0 (identical
@@ -146,12 +154,12 @@ final class ReplicatedCollectionStore(
     try {
       val out = f(rs(idx))
       readsServed(idx).incrementAndGet(): Unit
-      if (suspectFlags(idx)) suspectFlags = suspectFlags.updated(idx, false)
+      suspectFlags.set(idx, 0)
       Some(out)
     } catch {
       case e: Throwable if recoverable(e) =>
         readFailovers.incrementAndGet(): Unit
-        if (!suspectFlags(idx)) suspectFlags = suspectFlags.updated(idx, true)
+        suspectFlags.set(idx, 1)
         lastReadError = e
         None
     }
@@ -162,9 +170,12 @@ final class ReplicatedCollectionStore(
   private def readOne[T](f: CollectionStore => T): T = {
     val rs = reps
     val ok = aliveFlags
-    val sus = suspectFlags
     val n = rs.length
     val start = (rotation.getAndIncrement() % n).toInt
+    // snapshot the suspicion ONCE so both passes partition the same view
+    // (a concurrent flip cannot make a replica probed twice or skipped
+    // in both passes)
+    val sus = IndexedSeq.tabulate(n)(suspect)
     var i = 0
     while (i < n) { // pass 1: alive, not suspect, rotation order
       val idx = (start + i) % n
@@ -210,8 +221,8 @@ final class ReplicatedCollectionStore(
     if (readConsistency <= 1) return readOne(f)
     val rs = reps
     val ok = aliveFlags
-    val sus = suspectFlags
     val n = rs.length
+    val sus = IndexedSeq.tabulate(n)(suspect)
     val start = (rotation.getAndIncrement() % n).toInt
     val order = (0 until n).map(i => (start + i) % n)
     val candidates = order.filter(i => ok(i) && !sus(i)) ++
@@ -232,34 +243,59 @@ final class ReplicatedCollectionStore(
       .minBy(_._2)._1
   }
 
-  /** Apply `f` to every alive replica. Transport failures mark the
-    * replica DEAD and the write continues; semantic rejections are
-    * classified AFTER the loop (see class docs). Throws if NO replica
+  /** Apply `f` to every alive replica — CONCURRENTLY, over the shared
+    * scatter pool (the sharded wrapper's fan-out discipline): write
+    * latency is the MAX of the member applies, not their sum — for wire
+    * replicas this parallelizes the network round trips the topology
+    * probe measured as exactly r× serialized cost. Writes stay
+    * serialized THROUGH the wrapper (one writer at a time — the
+    * synchronized publish of the COW member array); only the
+    * per-replica applies of ONE write overlap. Transport failures mark
+    * the replica DEAD and the write continues; semantic rejections are
+    * classified AFTER the fan-in (see class docs). Throws if NO replica
     * applied.
     */
   private def writeAll(f: CollectionStore => CollectionStore): Unit =
     synchronized {
       var rs = reps
       var ok = aliveFlags
+      val n = rs.length
+      val results = new Array[Either[Throwable, CollectionStore]](n)
+      val live = (0 until n).filter(ok(_))
+      if (live.length <= 1) {
+        // no fan-out to pay for — apply on the caller thread
+        live.foreach { i =>
+          results(i) = try Right(f(rs(i)))
+          catch { case e: Throwable => Left(e) }
+        }
+      } else {
+        val tasks = live.map { i =>
+          ShardedCollectionStore.scatterPool.submit(
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit =
+                results(i) = try Right(f(rs(i)))
+                catch { case e: Throwable => Left(e) }
+            })
+        }
+        tasks.foreach(_.get())
+      }
       var applied = 0
       var transportLast: Throwable = null
       var semanticFirst: Throwable = null
       var semanticIdx: List[Int] = Nil
       var i = 0
-      while (i < rs.length) {
-        if (ok(i)) {
-          try {
-            rs = rs.updated(i, f(rs(i)))
+      while (i < n) {
+        if (ok(i)) results(i) match {
+          case Right(s) =>
+            rs = rs.updated(i, s)
             applied += 1
-          } catch {
-            case e: Throwable if recoverable(e) =>
-              ok = ok.updated(i, false)
-              deadMarks.incrementAndGet(): Unit
-              transportLast = e
-            case e: Throwable =>
-              if (semanticFirst == null) semanticFirst = e
-              semanticIdx ::= i
-          }
+          case Left(e) if recoverable(e) =>
+            ok = ok.updated(i, false)
+            deadMarks.incrementAndGet(): Unit
+            transportLast = e
+          case Left(e) =>
+            if (semanticFirst == null) semanticFirst = e
+            semanticIdx ::= i
         }
         i += 1
       }
@@ -318,7 +354,7 @@ final class ReplicatedCollectionStore(
     }
     reps = reps.updated(i, target)
     aliveFlags = aliveFlags.updated(i, true)
-    suspectFlags = suspectFlags.updated(i, false)
+    suspectFlags.set(i, 0)
     journalEpochs = journalEpochs.updated(i, epochCounter.incrementAndGet())
   }
 

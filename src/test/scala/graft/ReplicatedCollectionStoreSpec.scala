@@ -112,6 +112,73 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
     rs.replicas.foreach(r => assert(r.logStart("c") === head))
   }
 
+  test("writeAll fans out: a 3-replica write costs ~the slowest member, not the sum") {
+    // a replica whose writes take a fixed wall-clock delay (a wire
+    // member's round trip); serialized applies would cost 3x it
+    final class SlowReplica(var mem: InMemoryCollectionStore,
+                            delayMs: Long)
+        extends CollectionStore with RemoteCollectionClient {
+      override def collectionInfo(c: String): CollectionDescriptor =
+        mem.collectionInfo(c)
+      override def pointCount(c: String): Long = mem.pointCount(c)
+      override def queryPoints(c: String, from: Long, until: Long,
+                               withPayload: Boolean,
+                               vectorFields: Seq[String],
+                               limit: Option[Int],
+                               idFilter: Option[Set[String]] = None,
+                               idLower: Option[String] = None): Iterator[Point] =
+        mem.queryPoints(c, from, until, withPayload, vectorFields, limit,
+          idFilter, idLower)
+      override def upsertPoints(c: String, pts: Seq[Point]): Unit = {
+        Thread.sleep(delayMs)
+        mem = mem.appended(c, pts.sortBy(_.id).toIndexedSeq)
+      }
+      override def deletePoints(c: String, ids: Set[String]): Unit =
+        mem = mem.removed(c, ids)
+      override def truncate(c: String): Unit = mem = mem.truncated(c)
+      override def compact(c: String, upTo: Long): Unit =
+        throw new UnsupportedOperationException("no log")
+    }
+    val delay = 250L
+    val members = IndexedSeq.fill(3)(new SlowReplica(mem(), delay))
+    val rs = new ReplicatedCollectionStore(
+      members)
+    val t0 = System.nanoTime()
+    rs.upsertPoints("c", Seq(pt("1", 0.9f), pt("2", 0.5f)))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    // concurrent applies: well under the 3x-delay serialized cost (the
+    // 2x bound leaves slack for pool scheduling)
+    assert(elapsedMs < 2 * delay,
+      s"3-replica write took ${elapsedMs}ms — the applies serialized")
+    // and the write still landed on EVERY replica
+    members.foreach(r => assert(ids(r) === Seq("1", "2")))
+    assert(rs.pointCount("c") === 2L)
+  }
+
+  test("suspect marks survive concurrent reads (atomic flag flips)") {
+    val down = new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)
+    val up = mem(pt("1", 0.9f))
+    val rs = new ReplicatedCollectionStore(IndexedSeq(down, up))
+    // hammer reads from many threads while the broken replica fails:
+    // with atomic flags the suspicion set by one thread is never lost
+    // by another's read-modify-write, so after the warm-up burst the
+    // rotation skips the broken replica — failovers stay bounded by the
+    // burst width, not the total read count
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val total = 400
+    val tasks = (0 until total).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = rs.pointCount("c")
+      })
+    }
+    tasks.foreach(t => assert(t.get() === 1L))
+    pool.shutdown()
+    // every read answered; the broken replica was probed at most once
+    // per concurrently-racing thread (8), not once per read (400)
+    assert(rs.readFailovers.get() <= 16L,
+      s"${rs.readFailovers.get()} failovers — suspect marks were lost")
+  }
+
   test("read failover: a transport failure moves the sticky preference; one probe, not one per query") {
     val down = new FlakyReplica(mem(pt("1", 0.9f)), failReads = true)
     val up = mem(pt("1", 0.9f))
