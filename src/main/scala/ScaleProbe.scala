@@ -17,7 +17,7 @@ object ScaleProbe {
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
       "sharded", "recallc", "recallc2", "storehnsw", "topology",
-      "maintain")
+      "maintain", "quanthnsw")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1206,6 +1206,80 @@ object ScaleProbe {
           s"walks=${walk.hnswFilteredWalkServes.get()} " +
           s"exact=${walk.hnswFilteredExactServes.get()} " +
           s"primaries=${walk.filesOpened.get()}")
+      }
+    }
+
+    // QUANTIZED HNSW serve at the recallc2 shape (20k x d256, 64
+    // centers — the clustered fixture the SERVING DIALS tables use):
+    // the int8-code walk + exact margin rescore vs the full-precision
+    // walk — recall at equal ef, resident vector bytes of each tier
+    // (the serve-RAM row: the quantized tier is the backend's
+    // quantized-in-RAM memory configuration).
+    section("quanthnsw") {
+      import graft.sources.{ParquetCollectionStore, SearchSpec}
+      val rnd = new scala.util.Random(42L)
+      val dimQ = 256
+      val nQ = 20000
+      def unitVec(): Array[Double] = {
+        val a = Array.fill(dimQ)(rnd.nextGaussian())
+        val nn = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / nn)
+      }
+      val centers = Array.fill(64)(unitVec())
+      val rows = (0 until nQ).map { i =>
+        val c = centers(i % 64)
+        (i.toString, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat))
+      }
+      import spark.implicits._
+      val c = rows.toDF("id", "vector")
+      val dirQ = java.nio.file.Files
+        .createTempDirectory("probe-quanthnsw").toString
+      ParquetCollectionStore.write(
+        c.withColumn("payload",
+          org.apache.spark.sql.functions.lit("{}"))
+          .select("id", "payload", "vector"), dirQ, numFiles = 8)
+      ParquetCollectionStore.writeHnswSidecar(c, dirQ, field = "vector",
+        m = 16, efConstruction = 64, numSegments = 4)
+      ParquetCollectionStore.writeHnswQuantizedSidecar(c, dirQ)
+      val descQ = graft.collections.CollectionDescriptor("embeddings",
+        Seq(graft.collections.DenseField("vector", dimQ)), named = false)
+      val brute = new ParquetCollectionStore(dirQ, "embeddings", descQ)
+      val qids = (0 until 20).map(i => (i * 97 % nQ).toString)
+      val qvecs = qids.map { id =>
+        id -> rows(id.toInt)._2.map(_.toDouble)
+      }.toMap
+      val truth = qids.map { id =>
+        id -> brute.searchPoints("embeddings",
+          SearchSpec("vector", qvecs(id), "cosine", 10),
+          withPayload = false, Nil).map(_._1.id).toSet
+      }.toMap
+      for (ef <- Seq(64, 128)) {
+        val full = new ParquetCollectionStore(dirQ, "embeddings", descQ,
+          hnswEf = ef)
+        val quant = new ParquetCollectionStore(dirQ, "embeddings", descQ,
+          hnswEf = ef, hnswCandidateK = 2 * ef)
+        def recall(st: ParquetCollectionStore): Double = {
+          val r = qids.map { id =>
+            st.searchPoints("embeddings",
+              SearchSpec("vector", qvecs(id), "cosine", 10),
+              withPayload = false, Nil)
+              .map(_._1.id).toSet.intersect(truth(id)).size / 10.0
+          }
+          r.sum / r.size
+        }
+        time(s"quanthnsw full ef=$ef (20 queries)") {
+          println(f"[probe] quanthnsw@10 full ef=$ef: ${recall(full)}%.3f " +
+            s"residentBytes=${full.hnswResidentBytes}")
+          20L
+        }
+        time(s"quanthnsw quant ef=$ef candK=${2 * ef} (20 queries)") {
+          println(f"[probe] quanthnsw@10 quant ef=$ef: ${recall(quant)}%.3f " +
+            s"residentBytes=${quant.hnswResidentBytes}")
+          20L
+        }
+        println(s"[probe] quanthnsw serve-RAM ratio ef=$ef: " +
+          f"${full.hnswResidentBytes.toDouble / math.max(quant.hnswResidentBytes, 1L)}%.1f" +
+          "x smaller quantized")
       }
     }
 

@@ -80,11 +80,29 @@ object Bench {
           case (n, t) if t > 0.25 &&
             committed.get(n).exists(c => c > 0.0 && t > 3.0 * c) => n
         }
-        if (outliers.isEmpty) Map.empty
+        // FAMILY isolation (round 17): when >= 3 members of a prefix
+        // family spike together, the whole family rides the same box/JIT
+        // state (the r16 artifact's ann_* pattern — driver-side model
+        // state + many small stages make those gates the suite's most
+        // load-sensitive) — isolate EVERY member, so the family's
+        // isolated numbers are a coherent quiet-JVM set instead of a
+        // mixed record the next round's 3x detector compares against.
+        val famOf = (n: String) => n.takeWhile(_ != '_')
+        val spikedFams = outliers.groupBy(famOf)
+          .collect { case (f, ms) if ms.size >= 3 => f }.toSet
+        val expanded =
+          if (spikedFams.isEmpty) outliers
+          else (outliers.toSet ++ results.collect {
+            case (n, _) if spikedFams(famOf(n)) => n
+          }).toSeq.sorted
+        if (expanded.isEmpty) Map.empty
         else {
           System.err.println(
-            s"[bench] isolating ${outliers.size} >3x outliers in a fresh JVM: ${outliers.mkString(",")}")
-          BenchIsolate.freshJvmRun(outliers, sfDir, repeat)
+            s"[bench] isolating ${expanded.size} gates (>3x outliers" +
+              (if (spikedFams.isEmpty) ""
+               else s" + families ${spikedFams.mkString(",")}") +
+              s") in a fresh JVM: ${expanded.mkString(",")}")
+          BenchIsolate.freshJvmRun(expanded, sfDir, repeat)
         }
       }
     val isoJson =
@@ -123,15 +141,27 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$ratioJson$isoJson}""")
     // The driver captures only a bounded TAIL of stdout, which truncates the
     // head of the (100+-entry) per-query line — round 9 lost the ~21
-    // alphabetically-earliest medians. Persist the full map to a committed
-    // file so per-query regression tracking never depends on capture limits.
-    // filtered (SPARK_GRAFT_ONLY) profiling runs must not clobber the
-    // committed full-suite artifact with a partial map
-    if (only.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_QUERIES.json"),
+    // alphabetically-earliest medians. Persist the full map so per-query
+    // regression tracking never depends on capture limits — but to
+    // BENCH_QUERIES_RUN.json, NOT the committed record: the committed
+    // BENCH_QUERIES.json is the QUIET-BOX seal the 3x auto-isolation
+    // detector compares against, and a loaded run overwriting it (the
+    // r16 incident: ann_* medians inflated 2-5x) blinds the detector for
+    // the whole next round. Sealing = copy RUN over QUERIES on a quiet
+    // box and commit. A first-ever run (no committed record yet) seeds
+    // the record so the detector has a history. Filtered
+    // (SPARK_GRAFT_ONLY) profiling runs write neither.
+    if (only.isEmpty) {
+      val line =
         s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}$ratioJson$isoJson}
-""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+""".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_QUERIES_RUN.json"), line)
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get("BENCH_QUERIES.json")))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_QUERIES.json"), line)
+    }
     spark.stop()
   }
 }

@@ -550,6 +550,59 @@ object SparkEntry {
         Collections.homogeneousDescriptor, hnswEf = 128)
     })
 
+  /** The QUANTIZED-HNSW fixture: the graph sidecar PLUS its int8 codes
+    * tier, opened with a rescore margin — the walk touches only the
+    * codes cache (8x fewer resident bytes), the exact rescore of the
+    * candidate margin recovers the full-precision page, so the same
+    * brute oracle pins it (the ivf_quantized argument on the graph
+    * family). `hnswEf` past the segment size + candidateK=100 margin
+    * over k=10 make the page exact at both SFs.
+    */
+  private val parquetHnswQuantCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetHnswQuantStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetHnswQuantCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-hnswq")
+      val df = hom(s, dir).select("id", "payload", "vector")
+        .filter(col("id") =!= "17")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      graft.sources.ParquetCollectionStore.writeHnswQuantizedSidecar(
+        df, pqDir)
+      new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+        Collections.homogeneousDescriptor, hnswEf = 4096,
+        hnswCandidateK = 100)
+    })
+
+  /** The INDEXED MULTI-VECTOR fixture: the hetero rows carrying the
+    * ragged multi field (vec_id % 3 = 0; the query id 0 excluded),
+    * sealed as a parquet store with the POOLED-key graph sidecar —
+    * candidates walk the pooled per-segment graphs, the exact MaxSim
+    * kernel rescores only the margin from the segment partitions.
+    * `hnswEf` past the segment size + candidateK=128 over k=10 make
+    * the page exact at both SFs vs the brute MaxSim oracle.
+    */
+  private val parquetMultiVecIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetMultiVecIndexStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetMultiVecIndexCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-multivec")
+      val df = Collections.heterogeneous(s, dir)
+        .filter(col("multi_embeddings").isNotNull && col("id") =!= "0")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeMultiHnswSidecar(
+        df, pqDir, field = "multi_embeddings",
+        multiColumn = "multi_embeddings", m = 8, efConstruction = 64,
+        numSegments = 4)
+      new graft.sources.ParquetCollectionStore(pqDir, "hetero",
+        Collections.heterogeneousDescriptor, hnswEf = 4096,
+        hnswCandidateK = 128)
+    })
+
   /** The FILTERED-HNSW fixture: the same graph sidecar plus a
     * COUNT-ONLY label index (id+payload only, so the pre-filter arm
     * cannot serve it — `covered` is empty) — filtered searches must go
@@ -1019,6 +1072,58 @@ object SparkEntry {
           "embeddings", Collections.homogeneousDescriptor))
       val srv = new graft.sources.CollectionHttpServer(backend).start()
       Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      srv.baseUrl
+    })
+
+  /** The WIRE-SERVED ONLINE-MAINTENANCE fixture: the hnsw_fresh churn
+    * driven ENTIRELY through the REST client against a service fronting
+    * a lakehouse store with the graph sidecar + changelog — every
+    * remote upsert/delete commits through the store's own
+    * appended()/removed() (the service owns the RMW), so the mutations
+    * absorb into the SERVICE-SIDE per-segment graphs exactly like the
+    * in-process fixture's; the fixture REQUIRES the watermark reached
+    * the log head before the gate serves. Proves the four maintained
+    * families' discipline holds through the wire seam, not just
+    * in-process.
+    */
+  private def restHnswFreshUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#hnswfresh", {
+      val pqDir = tempStoreDir("graft-rest-hnswfresh")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      val backend = s"rest_hnswfresh_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor, hnswEf = 2048))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.RestCollectionStore(srv.baseUrl)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec))))
+      client.deletePoints("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_hnsw/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == client.logSize("embeddings"),
+        "remote mutations must absorb into the service-side graphs — " +
+          "the wire seam broke the maintenance discipline")
       srv.baseUrl
     })
 
@@ -2423,6 +2528,29 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // the QUANTIZED serving tier on the GRAPH family: the walk runs
+    // over the per-segment int8 codes (8x fewer resident bytes — the
+    // backend's quantized-in-RAM HNSW memory configuration), then an
+    // exact rescore of only the candidate margin recovers the
+    // full-precision page, so the plain brute oracle pins it.
+    // Spec asserts the full-precision vector cache never loads and the
+    // resident bytes shrink ~8x at equal results.
+    "dsv2_parquet_hnsw_quantized" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_hnswq_store",
+        SparkEntry.parquetHnswQuantStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 17)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_hnswq_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // INCREMENTAL HNSW MAINTENANCE: inserts, an update, and a delete
     // applied AFTER the graph build all absorb into the per-segment
     // graphs (inserts run the build's own insert loop; churn
@@ -2439,6 +2567,30 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_hnswfr_store").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // WIRE-SERVED ONLINE MAINTENANCE: the hnsw_fresh churn driven
+    // entirely through the REST client — remote upserts/deletes absorb
+    // into the SERVICE-side per-segment graphs (the fixture REQUIRES
+    // the watermark reached the log head), and this remote search
+    // serves graph-walked over the final state. The four maintained
+    // sidecar families hold through the wire seam, not just in-process.
+    "dsv2_rest_hnsw_fresh" -> ((s, dir) => {
+      import graft.sources._
+      val client = new RestCollectionStore(
+        SparkEntry.restHnswFreshUrl(s, dir))
+      CollectionStores.register("rest_hnswfresh_client", client)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 19)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_hnswfresh_client")
+        .option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -3069,6 +3221,39 @@ object SparkEntry {
         .option("collection", "embeddings_restored")
         .option("partitions", "4").load()
         .select(col("id"), col("payload"), vq6(col("vector")).as("vector_q6"))
+    }),
+
+    // SNAPSHOT CARRIES THE INDEX: the storage-level snapshot archives
+    // the whole store directory — per-segment graphs, watermarks,
+    // tombstones, changelog — so the restored collection's FIRST search
+    // is GRAPH-served over the churned state with an empty overlay tail
+    // (no rebuild, no brute scan; CollectionsSpec counter-asserts the
+    // serve path). The backend's storage-level snapshot semantics
+    // (/root/reference/tests/bin/config.yaml:24-37,198). Source = the
+    // churned hnsw_fresh fixture (inserts/update/delete absorbed
+    // online); the restored search must rank exactly where the brute
+    // oracle over the FINAL state does.
+    "dsv2_snapshot_indexed" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("snap_idx_src",
+        SparkEntry.parquetHnswFreshStore(s, dir))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-snap-idx").toString
+      graft.collections.Snapshot.createStorage("snap_idx_src",
+        "embeddings", path)
+      graft.collections.Snapshot.restoreStorage(s, path, "snap_idx_rst",
+        "embeddings", SparkEntry.tempStoreDir("graft-snap-idx-dst"),
+        hnswEf = 2048)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 23)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "snap_idx_rst").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
     // FACET over the wire (the backend's points/facet API): the remote
@@ -4443,6 +4628,33 @@ object SparkEntry {
         .select(col("id"), col("score"))
         .orderBy(col("score").desc, col("id").asc)
         .limit(10)
+    }),
+
+    // INDEXED MULTI-VECTOR (MaxSim) search: the pushed multi query
+    // serves from the POOLED-key graph sidecar — candidates walk the
+    // per-segment graphs over mean-pooled keys, the exact MaxSim kernel
+    // rescores only the candidate margin from the segment partitions
+    // (the backend's multivector HNSW + MaxSim comparator,
+    // /root/reference/tests/e2e.rs:142-147). Same brute oracle as
+    // dsv2_multi_search: the index must be invisible in the page.
+    // Candidate-stage pruning is spec-asserted (primaries never open).
+    "dsv2_multi_indexed_search" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_multiidx_store",
+        SparkEntry.parquetMultiVecIndexStore(s, dir))
+      val qm = Collections.heterogeneous(s, dir)
+        .filter(col("id") === "0")
+        .select(col("multi_embeddings")).head()
+        .getSeq[scala.collection.Seq[Float]](0)
+      val mv = qm.map(_.map(x => java.lang.Double.toString(x.toDouble))
+        .mkString(",")).mkString(";")
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_multiidx_store").option("collection", "hetero")
+        .option("search.field", "multi_embeddings")
+        .option("search.multiVector", mv)
+        .option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
     // the CATALOG surface: collections addressed as <catalog>.<name> in
@@ -7621,11 +7833,65 @@ object SparkEntry {
         |FROM embeddings e, q WHERE e.vec_id <> 11 AND e.label = 3
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
+    // quantized HNSW serve: the int8 walk + exact margin rescore must
+    // recover exactly the full-precision page — plain brute oracle
+    "dsv2_parquet_hnsw_quantized" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 17)
+        |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 17
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
     // incremental HNSW maintenance: the post-churn graph serve (5 new
     // points absorbed, id 7 updated to vec_id 42's vector, id 13
     // deleted) must rank exactly where brute force over the FINAL
     // state does
     "dsv2_parquet_hnsw_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 19),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // storage-level snapshot of the churned hnsw_fresh store: the
+    // restored, index-served search must rank exactly where brute force
+    // over the FINAL churned state does (same base as hnsw_fresh, the
+    // snapshot/restore hop must be invisible)
+    "dsv2_snapshot_indexed" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 23),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // wire-served maintenance parity: same churned-state brute oracle
+    // as dsv2_parquet_hnsw_fresh — the wire seam must be invisible
+    "dsv2_rest_hnsw_fresh" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 19),
         |base AS (
@@ -8366,6 +8632,22 @@ object SparkEntry {
     // multi field is [embedding, reverse(embedding)], present where
     // vec_id % 3 = 0 (the colbert_maxsim arithmetic over that subset)
     "dsv2_multi_search" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
+        |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id, ROUND(m1 + m2, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q1),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q1)) AS m1,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q2),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q2)) AS m2
+        |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // the indexed multi-vector serve must be invisible: same brute
+    // MaxSim oracle as dsv2_multi_search (the pooled candidate stage +
+    // exact margin rescore recovers the exact page)
+    "dsv2_multi_indexed_search" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
         |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
         |           FROM embeddings WHERE vec_id = 0)

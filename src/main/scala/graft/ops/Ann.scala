@@ -1349,7 +1349,6 @@ private[graft] object HnswSegment {
              accept: String => Boolean = _ => true,
              metric: String = "cosine"): Seq[(String, Double)] = {
     if (pts.isEmpty) return Nil
-    val idx = pts.iterator.map(_._1).zipWithIndex.toMap
     val qn = math.sqrt(query.map(x => x * x).sum)
     val cosineMetric = metric != "dot" && metric != "euclid"
     // zero-norm cosine agrees with SearchSpec.score's None: such points
@@ -1361,7 +1360,28 @@ private[graft] object HnswSegment {
     val norms = pts.map(t => math.sqrt(t._2.map(x => x * x).sum))
     // the walk runs on PREFERENCE (higher = closer under any metric);
     // the returned score converts back to the metric convention
+    val ids = pts.map(_._1)
     def qs(i: Int): Double = pref(metric, pts(i)._2, norms(i), query, qn)
+    val okId: Int => Boolean = i => accept(pts(i)._1) &&
+      (!cosineMetric || norms(i) != 0.0)
+    walkGraph(ids, edges, k, ef, okId, qs).map { case (j, s) =>
+      (pts(j)._1, if (metric == "euclid") -s else s)
+    }
+  }
+
+  /** The layered beam walk over (ids, edges) with an ARBITRARY node
+    * preference — the shared core of [[search]] (full-precision
+    * vectors) and the store's int8-code walk (the quantized serving
+    * tier, where `qs` scores codes and full precision never loads).
+    * Returns (node index, preference) pairs, best-first.
+    */
+  private[graft] def walkGraph(ids: IndexedSeq[String],
+                               edges: IndexedSeq[(Int, String, String)],
+                               k: Int, ef: Int,
+                               okId: Int => Boolean,
+                               qs: Int => Double): Seq[(Int, Double)] = {
+    if (ids.isEmpty) return Nil
+    val idx = ids.iterator.zipWithIndex.toMap
     // adjacency by (level, node), traversed UNDIRECTED: the build adds
     // links in both directions but the mMax prune can drop one side —
     // or, for an unlucky node, BOTH in-links — orphaning it from a
@@ -1385,16 +1405,16 @@ private[graft] object HnswSegment {
     // the entry node: highest level any edge reaches it at (the graph
     // records the hierarchy), smallest id breaking ties — one pass over
     // the adjacency keys, O(nodes + levels)
-    val topAt = Array.fill(pts.length)(0)
+    val topAt = Array.fill(ids.length)(0)
     adj.keysIterator.foreach { case (lvl, i) =>
       if (lvl > topAt(i)) topAt(i) = lvl
     }
     var entry = 0
     var entryLevel = topAt(0)
     var i = 1
-    while (i < pts.length) {
+    while (i < ids.length) {
       if (topAt(i) > entryLevel ||
-        (topAt(i) == entryLevel && pts(i)._1 < pts(entry)._1)) {
+        (topAt(i) == entryLevel && ids(i) < ids(entry))) {
         entry = i; entryLevel = topAt(i)
       }
       i += 1
@@ -1407,7 +1427,7 @@ private[graft] object HnswSegment {
                     ok: Int => Boolean): Seq[Int] = {
       val visited = scala.collection.mutable.HashSet.empty[Int]
       implicit val byBest: Ordering[(Double, Int)] =
-        Ordering.by(t => (t._1, pts(t._2)._1))
+        Ordering.by(t => (t._1, ids(t._2)))
       val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)]
       val res = scala.collection.mutable.PriorityQueue
         .empty[(Double, Int)](byBest.reverse)
@@ -1440,19 +1460,14 @@ private[graft] object HnswSegment {
           }
         }
       }
-      res.toSeq.sortBy(t => (-t._1, pts(t._2)._1)).map(_._2)
+      res.toSeq.sortBy(t => (-t._1, ids(t._2))).map(_._2)
     }
     val all: Int => Boolean = _ => true
-    val okId: Int => Boolean = i => accept(pts(i)._1) &&
-      (!cosineMetric || norms(i) != 0.0)
     var eps: Seq[Int] = Seq(entry)
     var lc = entryLevel
     // descent navigates unfiltered: upper layers route, level 0 answers
     while (lc > 0) { eps = searchLayer(eps, lc, 1, all).take(1); lc -= 1 }
     val w = searchLayer(eps, 0, math.max(ef, k), okId)
-    w.take(k).map { j =>
-      val s = qs(j)
-      (pts(j)._1, if (metric == "euclid") -s else s)
-    }
+    w.take(k).map(j => (j, qs(j)))
   }
 }

@@ -58,7 +58,8 @@ final case class SearchSpec(field: String, query: Array[Double],
                             metric: String, k: Int,
                             offset: Int = 0,
                             scoreThreshold: Option[Double] = None,
-                            sparseIndices: Option[Array[Int]] = None) {
+                            sparseIndices: Option[Array[Int]] = None,
+                            multiQuery: Option[Array[Array[Double]]] = None) {
   require(k > 0, s"search.k must be positive, got $k")
   require(offset >= 0, s"search.offset must be >= 0, got $offset")
   require(SearchSpec.Metrics(metric),
@@ -75,9 +76,22 @@ final case class SearchSpec(field: String, query: Array[Double],
     require(metric == "dot",
       s"sparse search supports only the dot metric, got '$metric'")
   }
+  // a MULTI-VECTOR (late-interaction) query: `multiQuery` holds the
+  // query's vector set, scored by MaxSim (sum over query vectors of
+  // the max dot against the point's set — the backend's multivector
+  // comparator, /root/reference/tests/e2e.rs:142-147); `query` carries
+  // the MEAN-POOLED form, the ANN candidate-stage key
+  multiQuery.foreach { qm =>
+    require(qm.nonEmpty, "search.multiVector needs at least one vector")
+    require(metric == "dot",
+      s"multi-vector search scores MaxSim over dot, got '$metric'")
+    require(sparseIndices.isEmpty,
+      "a query is sparse or multi-vector, not both")
+  }
   /** Compact display form for plan descriptions / EXPLAIN assertions. */
   def describe: String =
-    (if (sparseIndices.isDefined) s"sparse_$metric" else metric) +
+    (if (multiQuery.isDefined) s"maxsim_$metric"
+     else if (sparseIndices.isDefined) s"sparse_$metric" else metric) +
     s"($field, dim=${query.length}, k=$k)" +
     (if (offset > 0) s", offset=$offset" else "") +
     scoreThreshold.map(t => s", threshold=$t").getOrElse("")
@@ -99,7 +113,23 @@ object SearchSpec {
     * round-trip `Double.toString` forms parse back exactly).
     */
   def fromOptions(o: CaseInsensitiveStringMap): Option[SearchSpec] =
-    Option(o.get("search.field")).map { field =>
+    Option(o.get("search.multiVector")).map { mv =>
+      // MULTI-VECTOR query: ';'-joined rows of comma-joined doubles.
+      // The pooled mean rides `query` (the candidate-stage key); the
+      // rows ride `multiQuery` (the exact MaxSim comparator).
+      val field = Option(o.get("search.field")).getOrElse(
+        throw new IllegalArgumentException(
+          "search.multiVector requires search.field"))
+      val rows = mv.split(";").map(_.split(",")
+        .map(s => java.lang.Double.parseDouble(s.trim)))
+      SearchSpec(field, SearchSpec.poolRows(rows),
+        Option(o.get("search.metric")).getOrElse("dot"),
+        o.getInt("search.k", 10),
+        o.getInt("search.offset", 0),
+        Option(o.get("search.scoreThreshold"))
+          .map(java.lang.Double.parseDouble),
+        None, Some(rows))
+    }.orElse(Option(o.get("search.field")).map { field =>
       val vec = Option(o.get("search.vector")).getOrElse(
         throw new IllegalArgumentException(
           "search.field requires search.vector (comma-joined doubles)"))
@@ -114,7 +144,7 @@ object SearchSpec {
         Option(o.get("search.scoreThreshold"))
           .map(java.lang.Double.parseDouble),
         sparseIdx)
-    }
+    })
 
   /** `true` when a larger score is better under `metric` (euclid ranks
     * smallest-distance-first).
@@ -169,6 +199,71 @@ object SearchSpec {
     }
     if (matched) Some(s) else None
   }
+
+  /** ColBERT MaxSim — bit-identical accumulation to the codegen
+    * [[graft.functions.MaxSim]] kernel (sum over query vectors of the
+    * max dot against the point's vectors; an empty point set
+    * contributes 0.0), so a pushed multi-vector search scores exactly
+    * like the above-the-scan `v_maxsim` form it replaces.
+    */
+  def scoreMulti(doc: Array[Array[Float]], qm: Array[Array[Double]]): Double = {
+    var total = 0.0
+    var qi = 0
+    while (qi < qm.length) {
+      val qv = qm(qi)
+      var best = Double.NegativeInfinity
+      var di = 0
+      while (di < doc.length) {
+        val dv = doc(di)
+        val n = math.min(qv.length, dv.length)
+        var k = 0
+        var dot = 0.0
+        while (k < n) { dot += qv(k) * dv(k).toDouble; k += 1 }
+        if (dot > best) best = dot
+        di += 1
+      }
+      if (doc.length > 0) total += best
+      qi += 1
+    }
+    total
+  }
+
+  /** Mean-pool a MULTI QUERY's rows — the candidate-stage key riding
+    * [[SearchSpec.query]] (shared by [[fromOptions]] and the wire
+    * servers, so a query pooled client-side or service-side is the
+    * same vector).
+    */
+  def poolRows(rows: Array[Array[Double]]): Array[Double] = {
+    val dim = rows.headOption.map(_.length).getOrElse(0)
+    val pooled = new Array[Double](dim)
+    rows.foreach { r =>
+      var i = 0
+      while (i < dim && i < r.length) { pooled(i) += r(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { pooled(i) /= rows.length; i += 1 }
+    pooled
+  }
+
+  /** Element-wise mean of a point's vector set — the pooled
+    * representation the multi-vector ANN candidate stage indexes (the
+    * query side pools in [[fromOptions]]). Empty sets pool to None:
+    * they MaxSim-score 0.0 against any query and are dropped from the
+    * index (they can only rank above an all-negative corpus).
+    */
+  def meanPool(m: Array[Array[Float]]): Option[Array[Double]] =
+    if (m.isEmpty) None
+    else {
+      val dim = m(0).length
+      val acc = new Array[Double](dim)
+      m.foreach { r =>
+        var i = 0
+        while (i < dim && i < r.length) { acc(i) += r(i).toDouble; i += 1 }
+      }
+      var i = 0
+      while (i < dim) { acc(i) /= m.length; i += 1 }
+      Some(acc)
+    }
 }
 
 /** One `must` condition of the backend's filter DSL, evaluated
@@ -931,14 +1026,19 @@ trait CollectionStore extends Serializable {
     // points never occupy capacity
     val capacity = spec.k + spec.offset
     val fetchFields = (vectorFields :+ spec.field).distinct
-    // dense vs sparse comparator, dispatched once (a sparse spec scores
-    // the point's (indices, values) pair with the sorted-merge kernel)
-    val scoreOf: Point => Option[Double] = spec.sparseIndices match {
-      case Some(qi) => p => p.sparse.get(spec.field).flatMap {
-        case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+    // dense vs sparse vs multi comparator, dispatched once (a sparse
+    // spec scores the (indices, values) pair with the sorted-merge
+    // kernel; a multi spec scores the vector set with the MaxSim kernel)
+    val scoreOf: Point => Option[Double] = spec.multiQuery match {
+      case Some(qm) => p => p.multi.get(spec.field)
+        .map(dm => SearchSpec.scoreMulti(dm, qm))
+      case None => spec.sparseIndices match {
+        case Some(qi) => p => p.sparse.get(spec.field).flatMap {
+          case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+        }
+        case None => p => p.dense.get(spec.field).flatMap(v =>
+          SearchSpec.score(spec.metric, v, spec.query))
       }
-      case None => p => p.dense.get(spec.field).flatMap(v =>
-        SearchSpec.score(spec.metric, v, spec.query))
     }
     queryPointsFiltered(collection, 0L, pointCount(collection), withPayload,
         fetchFields, None, pfilter = pfilter)

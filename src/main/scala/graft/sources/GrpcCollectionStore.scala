@@ -164,7 +164,10 @@ private[sources] object GrpcWire {
 
   /** SearchSpec: 1=field, 2=packed double query, 3=metric, 4=k,
     * 5=offset, 6=threshold (7 marks presence), 8=packed sparse dims
-    * (9 marks a sparse query).
+    * (9 marks a sparse query), 10=repeated MULTI-QUERY rows (each a
+    * nested message with packed doubles at 1 — the MaxSim row set;
+    * field 2 carries the pooled candidate key alongside, so the server
+    * re-derives nothing).
     */
   def encodeSpec(spec: SearchSpec): PbWriter = {
     val w = new PbWriter
@@ -175,6 +178,9 @@ private[sources] object GrpcWire {
     spec.sparseIndices.foreach { qi =>
       w.bool(9, b = true); w.packedInts(8, qi)
     }
+    spec.multiQuery.foreach(_.foreach { row =>
+      w.message(10, new PbWriter().packedDoubles(1, row))
+    })
     w
   }
 
@@ -190,6 +196,7 @@ private[sources] object GrpcWire {
     var sparse: Option[Array[Int]] = None
     var hasSparse = false
     var sparseV: Array[Int] = Array.empty
+    val multiRows = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     while (r.hasNext) r.readTag() match {
       case (1, _) => field = r.readString()
       case (2, _) => query = r.readPackedDoubles()
@@ -200,11 +207,20 @@ private[sources] object GrpcWire {
       case (7, _) => hasThreshold = r.readRawVarint() != 0L
       case (8, _) => sparseV = r.readPackedInts()
       case (9, _) => hasSparse = r.readRawVarint() != 0L
+      case (10, _) =>
+        val sub = r.readMessage()
+        var row: Array[Double] = Array.empty
+        while (sub.hasNext) sub.readTag() match {
+          case (1, _) => row = sub.readPackedDoubles()
+          case (_, w) => sub.skip(w)
+        }
+        multiRows += row
       case (_, w) => r.skip(w)
     }
     if (hasThreshold) threshold = Some(thresholdV)
     if (hasSparse) sparse = Some(sparseV)
-    SearchSpec(field, query, metric, k, offset, threshold, sparse)
+    SearchSpec(field, query, metric, k, offset, threshold, sparse,
+      if (multiRows.isEmpty) None else Some(multiRows.toArray))
   }
 
   // -------------------------------------------------------- descriptor --

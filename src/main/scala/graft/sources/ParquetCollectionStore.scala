@@ -81,7 +81,8 @@ final class ParquetCollectionStore(
     descriptor: CollectionDescriptor,
     ivfNprobe: Int = 0,
     ivfCandidateK: Int = 0,
-    hnswEf: Int = 0) extends CollectionStore {
+    hnswEf: Int = 0,
+    hnswCandidateK: Int = 0) extends CollectionStore {
 
   /** Decode/IO counters for specs and probes (JVM-local, like the
     * in-memory store's `pointsTouched`).
@@ -373,6 +374,7 @@ final class ParquetCollectionStore(
                                     vectorFields: Seq[String],
                                     pfilter: PayloadFilter): Seq[(Point, Double)] =
     sparseServe(c, spec, withPayload, vectorFields, pfilter)
+      .orElse(multiIndexedServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(prefilterServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(geoServe(c, spec, withPayload, vectorFields, pfilter))
       .orElse(textServe(c, spec, withPayload, vectorFields, pfilter))
@@ -425,9 +427,15 @@ final class ParquetCollectionStore(
     * tail past it, so an append-only collection serves graph-walked
     * with an EMPTY tail between optimizes.
     */
+  /** `kind`: "dense" = the graph is over the field's own vectors;
+    * "multi" = the field is a MULTI-VECTOR and the graph is over the
+    * MEAN-POOLED keys ([[ParquetCollectionStore.writeMultiHnswSidecar]])
+    * — candidates come from the pooled walk, the exact MaxSim rescore
+    * recovers the page.
+    */
   private case class HnswSidecar(field: String, builtAt: Long, m: Int,
                                  segments: Int, seed: Long, metric: String,
-                                 insertedAt: Long)
+                                 insertedAt: Long, kind: String)
 
   @transient private lazy val hnswSidecar: Option[HnswSidecar] = {
     val marker = new java.io.File(s"$dir/_hnsw/field.txt")
@@ -441,7 +449,8 @@ final class ParquetCollectionStore(
         .map(math.max(builtAt, _)).getOrElse(builtAt)
       Some(HnswSidecar(l(0), builtAt, l(2).toInt, l(4).toInt,
         l(5).toLong, if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine",
-        insertedAt))
+        insertedAt,
+        if (l.length > 7 && l(7).nonEmpty) l(7) else "dense"))
     }
   }
 
@@ -457,6 +466,66 @@ final class ParquetCollectionStore(
   @transient private lazy val hnswSegCache = scala.collection.concurrent
     .TrieMap.empty[Int, (IndexedSeq[(String, Array[Double])],
       IndexedSeq[(Int, String, String)], ParquetCollectionStore)]
+
+  /** Quantized-walk serves (specs). */
+  @transient lazy val hnswQuantServes = new AtomicLong(0L)
+
+  /** Segments loaded into the QUANTIZED cache (specs). */
+  @transient lazy val hnswQuantSegmentsLoaded = new AtomicLong(0L)
+
+  /** The quantized serve tier's resident state, per segment: node ids,
+    * int8 codes, per-vector scales, code L2 norms (cosine's
+    * scale-cancelled denominator), and the edges — ~8x fewer vector
+    * bytes than [[hnswSegCache]]'s doubles, which is the point of the
+    * tier (the backend's quantized-in-RAM graph traversal,
+    * /root/reference/tests/bin/config.yaml:217-219).
+    */
+  @transient private lazy val hnswQuantSegCache = scala.collection.concurrent
+    .TrieMap.empty[Int, (IndexedSeq[String], Array[Array[Byte]],
+      Array[Float], Array[Double], IndexedSeq[(Int, String, String)])]
+
+  private def hnswQuantSegmentFor(seg: Int):
+      Option[(IndexedSeq[String], Array[Array[Byte]], Array[Float],
+        Array[Double], IndexedSeq[(Int, String, String)])] = {
+    val sub = new java.io.File(s"$dir/_hnsw/codes/seg=$seg")
+    if (!sub.isDirectory) None
+    else Some(hnswQuantSegCache.getOrElseUpdate(seg, {
+      hnswQuantSegmentsLoaded.incrementAndGet(): Unit
+      val rows = Option(sub.listFiles()).getOrElse(Array.empty).toIndexedSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .flatMap(f => ParquetLog.readCodeRows(f.getAbsolutePath))
+      val ids = rows.map(_._1)
+      val codes = rows.map(_._2).toArray
+      val scales = rows.map(_._3).toArray
+      val norms = codes.map { cd =>
+        var s = 0.0
+        var i = 0
+        while (i < cd.length) { s += cd(i).toDouble * cd(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+      val edges = Option(edir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .flatMap(f => ParquetLog.readEdgeRows(f.getAbsolutePath))
+      (ids, codes, scales, norms, edges)
+    }))
+  }
+
+  /** Resident VECTOR bytes of the loaded HNSW serve caches (probe
+    * surface): the full-precision tier pays 8 bytes/dim, the quantized
+    * tier 1 byte/dim + 12 bytes/vector (scale + code norm). Ids and
+    * edges are identical in both tiers and excluded.
+    */
+  def hnswResidentBytes: Long = {
+    val full = hnswSegCache.values.iterator.map { case (pts, _, _) =>
+      pts.iterator.map(p => 8L * p._2.length).sum
+    }.sum
+    val quant = hnswQuantSegCache.values.iterator
+      .map { case (_, codes, _, _, _) =>
+        codes.iterator.map(c => c.length.toLong + 12L).sum
+      }.sum
+    full + quant
+  }
 
   /** Tombstoned graph nodes (the backend's deleted-flags model): a
     * DELETE absorbs as an O(batch) flag append, the ghost keeps
@@ -493,8 +562,8 @@ final class ParquetCollectionStore(
       val st = hnswSegmentStore(seg).get
       val pts = st.queryPoints(collection, 0L, st.pointCount(collection),
           withPayload = false, Seq(sc.field), None)
-        .flatMap(p => p.dense.get(sc.field).map(v =>
-          (p.id, v.map(_.toDouble))))
+        .flatMap(p => ParquetCollectionStore
+          .pooledVector(sc.kind, sc.field, p).map((p.id, _)))
         .toIndexedSeq
       val edir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
       val edges = Option(edir.listFiles()).getOrElse(Array.empty).toIndexedSeq
@@ -535,8 +604,9 @@ final class ParquetCollectionStore(
                         vectorFields: Seq[String],
                         pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     hnswSidecar
-      .filter(sc => sc.field == spec.field && spec.metric == sc.metric &&
-        spec.sparseIndices.isEmpty)
+      .filter(sc => sc.kind == "dense" && sc.field == spec.field &&
+        spec.metric == sc.metric && spec.sparseIndices.isEmpty &&
+        spec.multiQuery.isEmpty)
       .flatMap { sc =>
         if (pfilter.isEmpty) hnswUnfiltered(sc, c, spec, withPayload,
           vectorFields, pfilter)
@@ -549,6 +619,16 @@ final class ParquetCollectionStore(
     tailSince(sc.insertedAt).map { tail =>
       hnswTailRescored.addAndGet(tail.added.size): Unit
       val window = spec.k + spec.offset + tail.masked.size
+      // the QUANTIZED tier, when the codes sidecar exists and the store
+      // was opened with a rescore margin: walk the graphs over int8
+      // codes (8x fewer resident bytes), exact-rescore only the margin.
+      // int8 approximates the inner-product metrics; euclid serves
+      // full-precision.
+      if (hnswCandidateK > 0 && spec.metric != "euclid" &&
+          new java.io.File(s"$dir/_hnsw/codes").isDirectory)
+        hnswQuantizedPage(sc, c, spec, withPayload, vectorFields, pfilter,
+          tail, window)
+      else {
       val ef = math.max(hnswEf, window)
       val desc = SearchSpec.descending(spec.metric)
       // tombstoned ghosts navigate but never enter the beam
@@ -571,7 +651,85 @@ final class ParquetCollectionStore(
       mergeBest(spec, top.flatMap { case (id, s) =>
         fetched.get(id).map(p => (p, s)) } ++
         tailScored(tail, spec, withPayload, vectorFields, pfilter))
+      }
     }
+
+  /** The QUANTIZED serve page: walk every segment's graph over its int8
+    * codes — cosine's per-vector scales CANCEL (codes·qcodes /
+    * (|codes|·|qcodes|)); dot rescales by scale·qscale — take a
+    * candidate margin of max(hnswCandidateK, window) per segment, then
+    * exact-rescore ONLY the candidates from the full-precision segment
+    * partitions. The backend's quantized-HNSW memory configuration
+    * (`quantization_config` + rescore,
+    * /root/reference/tests/bin/config.yaml:217-219): graph traversal
+    * touches 1 byte/dim resident state, full precision reads bound by
+    * the margin. ANN semantics with two dials: `hnswEf` (walk width)
+    * and `hnswCandidateK` (rescore margin).
+    */
+  private def hnswQuantizedPage(sc: HnswSidecar, c: String, spec: SearchSpec,
+                                withPayload: Boolean,
+                                vectorFields: Seq[String],
+                                pfilter: PayloadFilter, tail: LogTail,
+                                window: Int): Seq[(Point, Double)] = {
+    hnswQuantServes.incrementAndGet(): Unit
+    val candK = math.max(hnswCandidateK, window)
+    val ef = math.max(hnswEf, candK)
+    val (qc, qScale) = quantizeQuery(spec.query)
+    var qn = 0.0
+    var qi = 0
+    while (qi < qc.length) {
+      qn += qc(qi).toDouble * qc(qi).toDouble; qi += 1
+    }
+    qn = math.sqrt(qn)
+    val cosine = spec.metric != "dot" // euclid never routes here
+    val cands: Set[String] =
+      if (cosine && qn == 0.0) Set.empty // degenerate query: tail only
+      else (0 until sc.segments).flatMap { seg =>
+        hnswQuantSegmentFor(seg).toSeq.flatMap {
+          case (ids, codes, scales, norms, edges) =>
+            def intdot(i: Int): Long = {
+              val cd = codes(i)
+              val n = math.min(cd.length, qc.length)
+              var s = 0L
+              var k = 0
+              while (k < n) { s += cd(k) * qc(k); k += 1 }
+              s
+            }
+            val qsF: Int => Double =
+              if (cosine) { i =>
+                val d = norms(i) * qn
+                if (d == 0.0) 0.0 else intdot(i).toDouble / d
+              } else { i =>
+                intdot(i).toDouble * scales(i).toDouble * qScale.toDouble
+              }
+            val ok: Int => Boolean = i => !hnswDeadIds(ids(i)) &&
+              (!cosine || norms(i) != 0.0)
+            graft.ops.HnswSegment.walkGraph(ids, edges, candK, ef, ok, qsF)
+              .map { case (j, _) => ids(j) }
+        }
+      }.toSet
+    // exact rescore of ONLY the margin, from the segment partitions —
+    // the primary corpus files never open
+    val keep = vectorFields.toSet
+    val want = (vectorFields :+ spec.field).distinct
+    val page = (0 until sc.segments).flatMap { seg =>
+      hnswSegmentStore(seg).toSeq.flatMap(st =>
+        st.queryPoints(c, 0L, st.pointCount(c), withPayload, want, None,
+          idFilter = Some(cands)))
+    }.flatMap { p =>
+      p.dense.get(spec.field)
+        .flatMap(v => SearchSpec.score(spec.metric, v, spec.query))
+        .filter(spec.passes)
+        .map(s => (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s))
+    }
+    val desc = SearchSpec.descending(spec.metric)
+    val top = page.sortWith { case ((pa, sa), (pb, sb)) =>
+      if (sa != sb) { if (desc) sa > sb else sa < sb }
+      else SparkStringOrder.gt(pb.id, pa.id)
+    }.take(window).filterNot { case (p, _) => tail.masked(p.id) }
+    mergeBest(spec, top ++
+      tailScored(tail, spec, withPayload, vectorFields, pfilter))
+  }
 
   /** The filtered arms. Matched ids are AS OF the payload arms' build
     * positions; the overlay tail replays from the OLDEST build position
@@ -646,6 +804,70 @@ final class ParquetCollectionStore(
           }
         mergeBest(spec, page ++ fresh)
       }
+    }
+
+  /** INDEXED MULTI-VECTOR (MaxSim) search — the backend's multivector
+    * HNSW (it builds the graph over multivectors with the MaxSim
+    * comparator, /root/reference/tests/e2e.rs:142-147) at the store
+    * seam: candidates come from the POOLED-key graph walk (each point's
+    * vector set mean-pooled at build —
+    * [[ParquetCollectionStore.writeMultiHnswSidecar]]; the query pooled
+    * in [[SearchSpec.fromOptions]]), then the exact MaxSim kernel
+    * rescores ONLY the candidate margin from the segment partitions —
+    * the primary corpus files never open. ANN semantics: recall < 1 by
+    * construction; `hnswEf` (walk width) and `hnswCandidateK` (rescore
+    * margin, default 4x the page window) are the dials. Late-interaction
+    * corpora are exactly the ones too big to brute-scan — this is the
+    * access path that replaces the engine-side MaxSim scan.
+    */
+  private def multiIndexedServe(c: String, spec: SearchSpec,
+                                withPayload: Boolean,
+                                vectorFields: Seq[String],
+                                pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    spec.multiQuery.flatMap { qm =>
+      hnswSidecar
+        .filter(sc => sc.kind == "multi" && sc.field == spec.field &&
+          pfilter.isEmpty)
+        .flatMap { sc =>
+          tailSince(sc.insertedAt).map { tail =>
+            hnswTailRescored.addAndGet(tail.added.size): Unit
+            val window = spec.k + spec.offset + tail.masked.size
+            val candK = math.max(
+              if (hnswCandidateK > 0) hnswCandidateK else 4 * window,
+              window)
+            val ef = math.max(hnswEf, candK)
+            val live: String => Boolean =
+              if (hnswDeadIds.isEmpty) _ => true else id => !hnswDeadIds(id)
+            // candidate stage: the pooled-key walk (DOT preference —
+            // pooled(doc)·pooled(query) is the mean of the pairwise
+            // dots, the MaxSim surrogate the margin repairs)
+            val cands = (0 until sc.segments).flatMap { seg =>
+              hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
+                graft.ops.HnswSegment.search(pts, edges, spec.query,
+                  candK, ef, sc.seed, accept = live, metric = "dot")
+              }
+            }.map(_._1).toSet
+            // exact MaxSim rescore of ONLY the margin, from the
+            // segment partitions (they carry the full rows)
+            val want = (vectorFields :+ spec.field).distinct
+            val page = (0 until sc.segments).flatMap { seg =>
+              hnswSegmentStore(seg).toSeq.flatMap(st =>
+                st.queryPoints(c, 0L, st.pointCount(c), withPayload, want,
+                  None, idFilter = Some(cands)))
+            }.flatMap { p =>
+              p.multi.get(spec.field)
+                .map(dm => SearchSpec.scoreMulti(dm, qm))
+                .filter(spec.passes)
+                .map(s => (p, s))
+            }
+            val top = page.sortWith { case ((pa, sa), (pb, sb)) =>
+              if (sa != sb) sa > sb
+              else SparkStringOrder.gt(pb.id, pa.id)
+            }.take(window).filterNot { case (p, _) => tail.masked(p.id) }
+            mergeBest(spec, top ++
+              tailScored(tail, spec, withPayload, vectorFields, pfilter))
+          }
+        }
     }
 
   /** Winners' requested pieces from the SEGMENT partitions — the
@@ -819,7 +1041,8 @@ final class ParquetCollectionStore(
   private def ivfServe(c: String, spec: SearchSpec, withPayload: Boolean,
                        vectorFields: Seq[String],
                        pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
-    ivfSidecar.filter(_.field == spec.field).flatMap { sc =>
+    ivfSidecar.filter(sc => sc.field == spec.field &&
+      spec.multiQuery.isEmpty).flatMap { sc =>
       tailSince(sc.insertedAt).map { tail =>
       ivfTailRescored.addAndGet(tail.added.size): Unit
       val probed = sc.centroidStore.searchPoints(collection,
@@ -965,6 +1188,52 @@ final class ParquetCollectionStore(
     }.drop(spec.offset).take(spec.k)
   }
 
+  // ------------------------------------------- bulk-maintenance arm --
+
+  /** Maintenance batches routed to an offline reseal by the bulk arm
+    * (specs — proves a corpus-sized trickle seals instead of absorbing).
+    */
+  @transient lazy val bulkReseals = new AtomicLong(0L)
+
+  /** The BULK arm of online maintenance (see
+    * [[ParquetCollectionStore.bulkMaintainFraction]]): when this upsert
+    * batch plus the volume absorbed since the last seal rivals the
+    * corpus, reseal the sidecar from the COW-current primaries (they
+    * already hold the post-batch state) instead of absorbing
+    * per-touched-partition. Returns true when resealed — the caller
+    * skips its incremental path, the fresh build covers the batch.
+    * Needs a live SparkSession for the rebuild; with none, absorb
+    * incrementally (correct either way — this arm is a cost rule).
+    */
+  private def maybeBulkReseal(sidecarDir: java.io.File, batch: Int)
+                             (reseal: org.apache.spark.sql.SparkSession => Unit): Boolean = {
+    val frac = ParquetCollectionStore.bulkMaintainFractionDial
+    if (frac <= 0 || batch <= 0) return false
+    val absorbed = ParquetCollectionStore.readWatermark(
+      new java.io.File(sidecarDir, "absorbed.txt")).getOrElse(0L)
+    val vol = (absorbed + batch).toDouble
+    if (vol < frac * math.max(pointCount(collection), 1L).toDouble) false
+    else org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(sp) =>
+        reseal(sp)
+        bulkReseals.incrementAndGet(): Unit
+        true
+      case None => false
+    }
+  }
+
+  /** Advance the absorbed-since-seal counter after an incremental
+    * absorb — the bulk arm's geometric-schedule state (reset by every
+    * seal: the sidecar writers delete the file).
+    */
+  private def bumpAbsorbed(sidecarDir: java.io.File, batch: Int): Unit =
+    if (batch > 0) {
+      val f = new java.io.File(sidecarDir, "absorbed.txt")
+      val n = ParquetCollectionStore.readWatermark(f).getOrElse(0L) + batch
+      ParquetCollectionStore.atomicWriteText(f.toPath, n.toString)
+    }
+
   // ----------------------------------------------------- index freshness --
 
   /** Mutations applied since a sidecar was built, folded to FINAL state
@@ -1017,12 +1286,16 @@ final class ParquetCollectionStore(
                          pfilter: PayloadFilter): Seq[(Point, Double)] = {
     if (tail.added.isEmpty) return Nil
     val keep = vectorFields.toSet
-    val scoreOf: Point => Option[Double] = spec.sparseIndices match {
-      case Some(qi) => p => p.sparse.get(spec.field).flatMap {
-        case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+    val scoreOf: Point => Option[Double] = spec.multiQuery match {
+      case Some(qm) => p => p.multi.get(spec.field)
+        .map(dm => SearchSpec.scoreMulti(dm, qm))
+      case None => spec.sparseIndices match {
+        case Some(qi) => p => p.sparse.get(spec.field).flatMap {
+          case (di, dv) => SearchSpec.scoreSparse(di, dv, qi, spec.query)
+        }
+        case None => p => p.dense.get(spec.field).flatMap(v =>
+          SearchSpec.score(spec.metric, v, spec.query))
       }
-      case None => p => p.dense.get(spec.field).flatMap(v =>
-        SearchSpec.score(spec.metric, v, spec.query))
     }
     tail.added.filter(pfilter.matches).flatMap { p =>
       scoreOf(p).filter(spec.passes).map { s =>
@@ -1790,7 +2063,7 @@ final class ParquetCollectionStore(
     */
   private def reopened: ParquetCollectionStore =
     new ParquetCollectionStore(dir, collection, descriptor, ivfNprobe,
-      ivfCandidateK, hnswEf)
+      ivfCandidateK, hnswEf, hnswCandidateK)
 
   /** Run the optimizer job on THIS store's dir and reopen — the
     * instance face of [[ParquetCollectionStore.optimize]], COW
@@ -1901,6 +2174,8 @@ final class ParquetCollectionStore(
                              oldHead: Long, newHead: Long,
                              preExistingPts: IndexedSeq[Point]): Unit = {
     if (!sparseInsertTracking(oldHead)) return
+    if (maybeBulkReseal(new java.io.File(s"$dir/_sparse"), upserts.size)(
+        sp => ParquetCollectionStore.resealSparseSidecar(sp, dir))) return
     val marker = new java.io.File(s"$dir/_sparse/meta.txt")
     val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
@@ -1994,6 +2269,7 @@ final class ParquetCollectionStore(
     ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt"),
       newHead.toString)
+    bumpAbsorbed(new java.io.File(s"$dir/_sparse"), upserts.size)
     }
   }
 
@@ -2088,7 +2364,13 @@ final class ParquetCollectionStore(
     if (sparkOpt.isEmpty) return
     val spark = sparkOpt.get
     val upIds = upserts.iterator.map(_.id).toSet
-    bases.foreach { baseF =>
+    // each key's index decides the bulk arm for itself (reseal resets
+    // its own absorbed counter; the others keep absorbing)
+    bases.filterNot { baseF =>
+      maybeBulkReseal(baseF, upserts.size)(sp =>
+        ParquetCollectionStore.resealPayloadSidecar(sp, dir,
+          baseF.getAbsolutePath))
+    }.foreach { baseF =>
       val base = baseF.getAbsolutePath
       val lines = new String(java.nio.file.Files.readAllBytes(
           new java.io.File(baseF, "meta.txt").toPath),
@@ -2206,6 +2488,7 @@ final class ParquetCollectionStore(
       ParquetCollectionStore.atomicWriteText(
         new java.io.File(baseF, "inserted.txt").toPath,
         newHead.toString)
+      bumpAbsorbed(baseF, upserts.size)
       }
     }
   }
@@ -2261,6 +2544,8 @@ final class ParquetCollectionStore(
                           oldHead: Long, newHead: Long,
                           preExisting: Set[String]): Unit = {
     if (!ivfInsertTracking(oldHead)) return
+    if (maybeBulkReseal(new java.io.File(s"$dir/_ivf"), upserts.size)(
+        sp => ParquetCollectionStore.resealIvfSidecar(sp, dir))) return
     val marker = java.nio.file.Paths.get(s"$dir/_ivf/field.txt")
     val field = new String(java.nio.file.Files.readAllBytes(marker),
       java.nio.charset.StandardCharsets.UTF_8).split("\n")(0).trim
@@ -2317,25 +2602,8 @@ final class ParquetCollectionStore(
         }.toMap
     val upsByCluster = upserts.filter(_.dense.contains(field))
       .groupBy(p => assign(p.dense(field)))
-    def codesOf(v: Array[Float]): (Array[Byte], Float) = {
-      var absMax = 0.0
-      var i = 0
-      while (i < v.length) {
-        val x = math.abs(v(i).toDouble); if (x > absMax) absMax = x; i += 1
-      }
-      val scaleF = (absMax / 127.0).toFloat
-      val codes = new Array[Byte](v.length)
-      if (scaleF > 0f) {
-        i = 0
-        while (i < v.length) {
-          val x = v(i).toDouble / scaleF.toDouble
-          codes(i) =
-            (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
-          i += 1
-        }
-      }
-      (codes, scaleF)
-    }
+    def codesOf(v: Array[Float]): (Array[Byte], Float) =
+      ParquetCollectionStore.int8Codes(v)
     def wipe(d: java.io.File): Unit =
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -2426,6 +2694,7 @@ final class ParquetCollectionStore(
     ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"),
       newHead.toString)
+    bumpAbsorbed(new java.io.File(s"$dir/_ivf"), upserts.size)
     }
   }
 
@@ -2503,12 +2772,19 @@ final class ParquetCollectionStore(
                            oldHead: Long, newHead: Long,
                            preExisting: Set[String]): Unit = {
     if (!hnswInsertTracking(oldHead)) return
+    if (maybeBulkReseal(new java.io.File(s"$dir/_hnsw"), upserts.size)(
+        sp => ParquetCollectionStore.resealHnswSidecar(sp, dir))) return
     val l = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(s"$dir/_hnsw/field.txt")),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
     val (field, m, efC, nseg, seed) =
       (l(0), l(2).toInt, l(3).toInt, l(4).toInt, l(5).toLong)
     val metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine"
+    val kind = if (l.length > 7 && l(7).nonEmpty) l(7) else "dense"
+    // the node key: the field's own vector (dense graphs) or the
+    // mean-pooled vector set (multi graphs) — the serve loader's rule
+    def pooledOf(p: Point): Option[Array[Double]] =
+      ParquetCollectionStore.pooledVector(kind, field, p)
     val allFields = descriptor.fields.map(_.name)
     def segOf(id: String): Int = graft.ops.HnswSegment.segOf(id, nseg, seed)
     val deadFile = new java.io.File(s"$dir/_hnsw/dead.txt")
@@ -2536,12 +2812,15 @@ final class ParquetCollectionStore(
     // not — a one-node reachable graph) retires the sidecar instead
     ParquetCollectionStore.withParkedMarker(
         new java.io.File(s"$dir/_hnsw/field.txt")) {
+    val codesTier = kind == "dense" &&
+      new java.io.File(s"$dir/_hnsw/codes").isDirectory
     (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
       val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
       val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
+      val codesDir = new java.io.File(s"$dir/_hnsw/codes/seg=$seg")
       val segDrops0 = dropsBySeg.getOrElse(seg, Set.empty)
       val batch = upsBySeg.getOrElse(seg, IndexedSeq.empty)
-        .filter(_.dense.contains(field))
+        .filter(p => pooledOf(p).isDefined)
       // LSM discipline: consolidate when rows must drop, AND when the
       // append path has accumulated enough inc files that per-query
       // open overhead starts to matter — frequent tiny batches stay
@@ -2578,10 +2857,9 @@ final class ParquetCollectionStore(
       val keptEdges =
         if (!consolidate) edges
         else edges.filter(e => keptIds(e._2) && keptIds(e._3))
-      val graphPts = kept.flatMap(p =>
-        p.dense.get(field).map(v => (p.id, v.map(_.toDouble))))
-      val newPts = batch.map(p =>
-        (p.id, p.dense(field).map(_.toDouble))).toIndexedSeq
+      val graphPts = kept.flatMap(p => pooledOf(p).map((p.id, _)))
+      val newPts = batch.flatMap(p => pooledOf(p).map((p.id, _)))
+        .toIndexedSeq
       // a MASS drop fragments an edge-filtered graph (removing a node
       // removes the routes THROUGH it; at >10% removal whole regions
       // orphan — measured on the circle fixture at 45%): the
@@ -2623,6 +2901,27 @@ final class ParquetCollectionStore(
             new java.io.File(edgeDir, f"edges-$newHead%012d.parquet"),
             finalEdges)
         }
+        // the quantized walk tier consolidates in lockstep (the engine
+        // kernel's exact int8 arithmetic, same drops, same batch)
+        if (codesTier && codesDir.isDirectory) {
+          val keptCodes = Option(codesDir.listFiles())
+            .getOrElse(Array.empty).toIndexedSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .flatMap(f => ParquetLog.readCodeRows(f.getAbsolutePath))
+            .filterNot { case (id, _, _) => segDrops(id) }
+          val addCodes = batch.map { p =>
+            val (cd, s) = ParquetCollectionStore.int8Codes(p.dense(field))
+            (p.id, cd, s)
+          }
+          wipe(codesDir)
+          val finalCodes = keptCodes ++ addCodes
+          if (finalCodes.nonEmpty) {
+            codesDir.mkdirs()
+            ParquetLog.writeCodeRows(
+              new java.io.File(codesDir, f"codes-$newHead%012d.parquet"),
+              finalCodes)
+          }
+        }
       } else if (batch.nonEmpty) {
         segDir.mkdirs()
         ParquetLog.writePrimary(
@@ -2634,6 +2933,15 @@ final class ParquetCollectionStore(
           ParquetLog.writeEdgeRows(
             new java.io.File(edgeDir, f"inc-$newHead%012d.parquet"),
             newEdges)
+        }
+        if (codesTier) {
+          codesDir.mkdirs()
+          ParquetLog.writeCodeRows(
+            new java.io.File(codesDir, f"inc-$newHead%012d.parquet"),
+            batch.map { p =>
+              val (cd, s) = ParquetCollectionStore.int8Codes(p.dense(field))
+              (p.id, cd, s)
+            })
         }
       }
       hnswIncInserts.addAndGet(batch.size): Unit
@@ -2652,6 +2960,7 @@ final class ParquetCollectionStore(
     ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
       newHead.toString)
+    bumpAbsorbed(new java.io.File(s"$dir/_hnsw"), upserts.size)
     }
   }
 
@@ -2940,6 +3249,8 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_ivf/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ivf/absorbed.txt")): Unit
   }
 
   /** The OPTIMIZER job — qdrant's optimizer re-absorbing the unindexed
@@ -2996,13 +3307,7 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
     }
-    val sparseMeta = new java.io.File(s"$dir/_sparse/meta.txt")
-    if (sparseMeta.isFile) {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(sparseMeta.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
-    }
+    resealSparseSidecar(spark, dir, Some(df))
     val textMeta = new java.io.File(s"$dir/_tidx/meta.txt")
     if (textMeta.isFile) {
       val lines = new String(
@@ -3010,23 +3315,69 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
     }
+    resealHnswSidecar(spark, dir, Some(df))
+    resealIvfSidecar(spark, dir, ivfMaxIter, Some(df))
+  }
+
+  /** Reseal ONE sidecar family from the COW-current primaries, with the
+    * dials its meta records — the per-family slice of [[optimize]],
+    * shared with the maintenance paths' BULK arm (a batch that rivals
+    * the sealed corpus reseals instead of absorbing per-partition).
+    * No-ops when the family has no meta.
+    */
+  private[sources] def resealSparseSidecar(spark: org.apache.spark.sql.SparkSession,
+                                           dir: String,
+                                           primaries: Option[DataFrame] = None): Unit = {
+    val sparseMeta = new java.io.File(s"$dir/_sparse/meta.txt")
+    if (sparseMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(sparseMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val df = primaries.getOrElse(spark.read.parquet(dir))
+      writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
+    }
+  }
+
+  private[sources] def resealHnswSidecar(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String,
+                                         primaries: Option[DataFrame] = None): Unit = {
     val hnswMeta = new java.io.File(s"$dir/_hnsw/field.txt")
     if (hnswMeta.isFile) {
       val l = new String(
         java.nio.file.Files.readAllBytes(hnswMeta.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val df = primaries.getOrElse(spark.read.parquet(dir))
       val vecCol = if (df.columns.contains(l(0))) l(0) else "vector"
-      writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
-        field = l(0), vectorColumn = vecCol, m = l(2).toInt,
-        efConstruction = l(3).toInt, numSegments = l(4).toInt,
-        seed = l(5).toLong,
-        metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine")
+      val kind = if (l.length > 7 && l(7).nonEmpty) l(7) else "dense"
+      if (kind == "multi")
+        writeMultiHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
+          field = l(0), multiColumn = vecCol, m = l(2).toInt,
+          efConstruction = l(3).toInt, numSegments = l(4).toInt,
+          seed = l(5).toLong)
+      else {
+        val hadCodes = new java.io.File(s"$dir/_hnsw/codes").isDirectory
+        writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
+          field = l(0), vectorColumn = vecCol, m = l(2).toInt,
+          efConstruction = l(3).toInt, numSegments = l(4).toInt,
+          seed = l(5).toLong,
+          metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine")
+        if (hadCodes)
+          writeHnswQuantizedSidecar(df.filter(col(vecCol).isNotNull), dir,
+            vectorColumn = vecCol)
+      }
     }
+  }
+
+  private[sources] def resealIvfSidecar(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, ivfMaxIter: Int = 0,
+                                        primaries: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val ivfMeta = new java.io.File(s"$dir/_ivf/field.txt")
     if (ivfMeta.isFile) {
       val field = new String(
         java.nio.file.Files.readAllBytes(ivfMeta.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n")(0).trim
+      val df = primaries.getOrElse(spark.read.parquet(dir))
       val vecCol = if (df.columns.contains(field)) field else "vector"
       val nlist = spark.read.parquet(s"$dir/_ivf/centroids").count().toInt
       // a NAMED field may be subset-populated (hetero collections): the
@@ -3044,6 +3395,28 @@ object ParquetCollectionStore {
           idx.clustered.select(col("id"), col(vecCol), col("cluster")),
           dir, vectorColumn = vecCol)
       idx.clustered.unpersist(): Unit
+    }
+  }
+
+  /** Reseal ONE keyed payload index (`base` = `_pidx/k_<key>` dir) from
+    * the COW-current primaries — the pidx slice of [[optimize]], shared
+    * with [[ParquetCollectionStore.pidxMaintain]]'s bulk arm.
+    */
+  private[sources] def resealPayloadSidecar(spark: org.apache.spark.sql.SparkSession,
+                                            dir: String, base: String,
+                                            primaries: Option[DataFrame] = None): Unit = {
+    val meta = new java.io.File(s"$base/meta.txt")
+    if (meta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(meta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val covered =
+        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSeq
+        else Nil
+      val df = primaries.getOrElse(spark.read.parquet(dir))
+      writePayloadSidecar(
+        df.select((Seq("id", "payload") ++ covered).map(col): _*),
+        dir, key = lines(0), kind = lines(1))
     }
   }
 
@@ -3266,11 +3639,108 @@ object ParquetCollectionStore {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     // a rebuild re-absorbs everything the incremental path had appended
     // — the insert watermark resets to the fresh build position and the
-    // tombstoned ghosts are reclaimed (the rebuild never saw them)
+    // tombstoned ghosts are reclaimed (the rebuild never saw them).
+    // The codes tier is invalidated (ids/segments changed) —
+    // [[writeHnswQuantizedSidecar]] re-lays it when the tier is wanted
+    // (the reseal paths do this automatically).
+    deleteTree(new java.io.File(s"$dir/_hnsw/codes"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
+  }
+
+  /** Lay the QUANTIZED walk tier beside the HNSW sidecar
+    * (`dir/_hnsw/codes`): per-segment int8 codes files — (id, codes,
+    * scale), [[graft.ops.Quant]]'s symmetric per-vector scheme over the
+    * float-narrowed stored vector — partitioned by the SAME seeded
+    * segment hash as the points and edges (dials read from the meta, so
+    * call AFTER [[writeHnswSidecar]]). A store opened with `hnswEf > 0`
+    * AND `hnswCandidateK > 0` then WALKS the per-segment graphs over
+    * the codes (~8x fewer resident bytes than the double-precision
+    * vector cache) and exact-rescores only the candidate margin from
+    * the full-precision segment partitions — the backend's headline
+    * memory configuration: quantized-in-RAM graph traversal +
+    * full-precision rescore (qdrant's `quantization_config` under HNSW,
+    * /root/reference/tests/bin/config.yaml:217-219).
+    */
+  def writeHnswQuantizedSidecar(df: DataFrame, dir: String,
+                                vectorColumn: String = "vector"): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val l = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_hnsw/field.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val (numSegments, seed) = (l(4).toInt, l(5).toLong)
+    graft.ops.Quant.quantizeColumn(
+        df.withColumn(vectorColumn,
+          col(vectorColumn).cast(ArrayType(FloatType))),
+        vectorColumn, "v8")
+      .filter(col("v8_codes").isNotNull)
+      .select(col("id"), col("v8_codes").as("codes"),
+        col("v8_scale").as("scale"))
+      .withColumn("seg",
+        graft.ops.HnswSegment.segCol(col("id"), numSegments, seed))
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/codes")
+  }
+
+  /** Lay a MULTI-VECTOR (late-interaction) HNSW sidecar under
+    * `dir/_hnsw`: each point's vector set MEAN-POOLS into one dense key,
+    * the per-segment graphs build over the pooled keys under DOT (the
+    * candidate-stage surrogate — pooled(doc)·pooled(query) is the mean
+    * of the pairwise dots), and the segment partitions carry the FULL
+    * rows (multi column included) so the exact MaxSim rescore of the
+    * candidate margin never opens a primary file. The backend builds
+    * HNSW over multivectors with the MaxSim comparator
+    * (/root/reference/tests/e2e.rs:142-147); pooled-key candidates +
+    * exact-margin rescore is that architecture at the store seam.
+    * Points with an absent or EMPTY vector set are dropped — they
+    * MaxSim-score 0.0 against any query ([[SearchSpec.meanPool]]).
+    */
+  def writeMultiHnswSidecar(df: DataFrame, dir: String, field: String,
+                            multiColumn: String = "multi", m: Int = 16,
+                            efConstruction: Int = 64, numSegments: Int = 4,
+                            seed: Long = 42L): Unit = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val narrowed = df
+      .withColumn(multiColumn,
+        col(multiColumn).cast(ArrayType(ArrayType(FloatType))))
+      .filter(col(multiColumn).isNotNull &&
+        expr(s"size($multiColumn) > 0"))
+    narrowed
+      .withColumn("seg",
+        graft.ops.HnswSegment.segCol(col("id"), numSegments, seed))
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/points")
+    // the pooled keys, computed engine-side in the SAME row order the
+    // scala meanPool uses (zip_with row-fold, double accumulation)
+    val pooled = narrowed.select(col("id"),
+      expr(s"transform(aggregate($multiColumn, " +
+        s"array_repeat(cast(0.0 as double), size($multiColumn[0])), " +
+        s"(acc, x) -> zip_with(acc, x, (a, b) -> a + cast(b as double))), " +
+        s"a -> a / size($multiColumn))").as("__pooled"))
+    graft.ops.Ann.buildHnsw(pooled, "id", "__pooled", m = m,
+        efConstruction = efConstruction, numSegments = numSegments,
+        seed = seed, metric = "dot")
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/edges")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
+      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\ndot\nmulti"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    deleteTree(new java.io.File(s"$dir/_hnsw/codes"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
   }
 
   def writeSparseSidecar(df: DataFrame, dir: String, field: String,
@@ -3289,6 +3759,8 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_sparse/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_sparse/absorbed.txt")): Unit
   }
 
   /** Selectivity dial for the payload-index pre-filter arm: serve from
@@ -3323,6 +3795,23 @@ object ParquetCollectionStore {
     * consolidation branch at unit-test scale.)
     */
   val deadFlagMax: Int = 65536
+
+  /** BULK-maintenance dial: an upsert batch whose size, PLUS the inc
+    * volume absorbed since the last seal, reaches this fraction of the
+    * corpus routes to an offline RESEAL of the sidecar instead of the
+    * per-touched-partition absorb — the "bulk loads seal offline"
+    * docstring enforced by cost rule rather than trusted to callers. A
+    * corpus-sized load trickled through `upsert` (a resync, a reload)
+    * thus reseals on a geometric schedule (the absorbed counter resets
+    * at each seal): O(log N) reseals, amortized O(N/frac) total work,
+    * instead of paying a touched-segment state load per batch.
+    * (`graft.bulkMaintainFraction` sysprop; <= 0 disables the arm.)
+    */
+  val bulkMaintainFraction: Double = 0.5
+
+  private[sources] def bulkMaintainFractionDial: Double =
+    sys.props.get("graft.bulkMaintainFraction").map(_.toDouble)
+      .getOrElse(bulkMaintainFraction)
 
   private[sources] def deadFlagMaxDial: Int =
     sys.props.get("graft.test.deadFlagMax").map(_.toInt)
@@ -3460,6 +3949,49 @@ object ParquetCollectionStore {
     out
   }
 
+  /** The node key a point contributes to an HNSW sidecar of `kind`:
+    * its own vector (dense graphs) or the mean-pooled form of its
+    * vector set (multi graphs — [[SearchSpec.meanPool]]). Shared by the
+    * serve-side segment loader and the maintenance paths so an absorbed
+    * insert walks exactly like a built one.
+    */
+  private[sources] def pooledVector(kind: String, field: String,
+                                    p: Point): Option[Array[Double]] =
+    if (kind == "multi") p.multi.get(field).flatMap(SearchSpec.meanPool)
+    else p.dense.get(field).map(_.map(_.toDouble))
+
+  private[sources] def deleteTree(d: java.io.File): Unit =
+    if (d.exists()) {
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+      d.delete(): Unit
+    }
+
+  /** Per-vector symmetric int8 codes — the engine kernel's exact
+    * arithmetic ([[graft.functions.QuantKernel]]: scale =
+    * float32(absMax/127), HALF_UP rounding), shared by the IVF and
+    * HNSW code tiers' online maintenance so an absorbed insert's codes
+    * row is byte-identical to what the offline builder writes.
+    */
+  private[sources] def int8Codes(v: Array[Float]): (Array[Byte], Float) = {
+    var absMax = 0.0
+    var i = 0
+    while (i < v.length) {
+      val x = math.abs(v(i).toDouble); if (x > absMax) absMax = x; i += 1
+    }
+    val scaleF = (absMax / 127.0).toFloat
+    val codes = new Array[Byte](v.length)
+    if (scaleF > 0f) {
+      i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble / scaleF.toDouble
+        codes(i) =
+          (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toByte
+        i += 1
+      }
+    }
+    (codes, scaleF)
+  }
+
   private[sources] def parquetFileCount(d: java.io.File): Int =
     Option(d.listFiles()).getOrElse(Array.empty)
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -3535,5 +4067,7 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
   }
 }

@@ -252,10 +252,17 @@ private[sources] object CollectionWire {
       case other => throw new IllegalArgumentException(s"bad log op: $other")
     }, parsePoint(desc, v \ "point"), long(v \ "seq"))
 
-  /** A wire query vector: qdrant's plain value array (dense) or the
-    * {indices, values} object (sparse) -> (values, sparse indices).
+  /** A wire query: dense value array | sparse {indices, values} object
+    * | MULTI array-of-arrays (qdrant's multivector query — the MaxSim
+    * comparator). For multi, `values` carries the MEAN-POOLED rows (the
+    * candidate-stage key — [[SearchSpec.poolRows]], identical to what a
+    * client-side pool would produce) and `multi` the rows themselves.
     */
-  def parseQueryVec(j: JValue): (Array[Double], Option[Array[Int]]) = {
+  final case class WireQuery(values: Array[Double],
+                             sparseIdx: Option[Array[Int]],
+                             multi: Option[Array[Array[Double]]])
+
+  def parseQueryVec(j: JValue): WireQuery = {
     def nums(xs: List[JValue]): Array[Double] = xs.map {
       case JDouble(d) => d
       case JInt(i) => i.toDouble
@@ -264,7 +271,11 @@ private[sources] object CollectionWire {
       case other => throw new IllegalArgumentException(s"bad query component: $other")
     }.toArray
     j match {
-      case JArray(xs) => (nums(xs), None)
+      case JArray(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[JArray]) =>
+        val rows = xs.map { case JArray(r) => nums(r); case _ => Array.empty[Double] }
+          .toArray
+        WireQuery(SearchSpec.poolRows(rows), None, Some(rows))
+      case JArray(xs) => WireQuery(nums(xs), None, None)
       case o: JObject =>
         val idx = o \ "indices" match {
           case JArray(is) => is.map {
@@ -278,7 +289,7 @@ private[sources] object CollectionWire {
           case JArray(vs) => nums(vs)
           case other => throw new IllegalArgumentException(s"missing sparse values: $other")
         }
-        (vals, Some(idx))
+        WireQuery(vals, Some(idx), None)
       case other => throw new IllegalArgumentException(s"missing query vector: $other")
     }
   }
@@ -576,12 +587,18 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
                                     pfilter: PayloadFilter): Seq[(Point, Double)] = {
     val desc = descriptor(collection)
     // a SPARSE spec ships qdrant's two-array query object
-    // ({indices, values}); dense ships the plain value array
-    val queryJson: JValue = spec.sparseIndices match {
-      case Some(qi) => JObject(
-        "indices" -> JArray(qi.toList.map(i => JInt(BigInt(i)))),
-        "values" -> JArray(spec.query.toList.map(JDouble(_))))
-      case None => JArray(spec.query.toList.map(JDouble(_)))
+    // ({indices, values}); a MULTI spec ships the row set (the service
+    // re-pools the candidate key — the MaxSim rows are the payload);
+    // dense ships the plain value array
+    val queryJson: JValue = spec.multiQuery match {
+      case Some(qm) => JArray(qm.toList.map(r =>
+        JArray(r.toList.map(JDouble(_))): JValue))
+      case None => spec.sparseIndices match {
+        case Some(qi) => JObject(
+          "indices" -> JArray(qi.toList.map(i => JInt(BigInt(i)))),
+          "values" -> JArray(spec.query.toList.map(JDouble(_))))
+        case None => JArray(spec.query.toList.map(JDouble(_)))
+      }
     }
     val body = JObject(List(
       "query" -> queryJson,
@@ -1365,11 +1382,13 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
 
       case ("POST", "collections" :: c :: "points" :: "query" :: Nil) =>
         val b = readBody(ex)
-        val (query, sparseIdx) = CollectionWire.parseQueryVec(b \ "query")
+        val wq = CollectionWire.parseQueryVec(b \ "query")
         val using = CollectionWire.optStr(b \ "using").getOrElse(
           throw new IllegalArgumentException("missing 'using' (vector field name)"))
         val metric = CollectionWire.optStr(b \ "params" \ "metric")
-          .getOrElse(if (sparseIdx.isDefined) "dot" else "cosine")
+          .getOrElse(
+            if (wq.sparseIdx.isDefined || wq.multi.isDefined) "dot"
+            else "cosine")
         val k = CollectionWire.optLong(b \ "limit").map(_.toInt).getOrElse(10)
         val off = CollectionWire.optLong(b \ "offset").map(_.toInt).getOrElse(0)
         val thr = b \ "score_threshold" match {
@@ -1383,7 +1402,8 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
           case _ => Seq.empty
         }
         val scored = store.searchPointsFiltered(c,
-          SearchSpec(using, query, metric, k, off, thr, sparseIdx),
+          SearchSpec(using, wq.values, metric, k, off, thr, wq.sparseIdx,
+            wq.multi),
           b \ "with_payload" == JBool(true), fields,
           CollectionWire.parseFilter(b \ "filter"))
         CollectionWire.okEnvelope(JObject("points" -> JArray(
@@ -1401,11 +1421,13 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
           case other => throw new IllegalArgumentException(s"missing searches: $other")
         }
         val results = searches.map { sb =>
-          val (query, sparseIdx) = CollectionWire.parseQueryVec(sb \ "query")
+          val wq = CollectionWire.parseQueryVec(sb \ "query")
           val using = CollectionWire.optStr(sb \ "using").getOrElse(
             throw new IllegalArgumentException("missing 'using' in batch entry"))
           val metric = CollectionWire.optStr(sb \ "params" \ "metric")
-            .getOrElse(if (sparseIdx.isDefined) "dot" else "cosine")
+            .getOrElse(
+              if (wq.sparseIdx.isDefined || wq.multi.isDefined) "dot"
+              else "cosine")
           val k = CollectionWire.optLong(sb \ "limit").map(_.toInt).getOrElse(10)
           val off = CollectionWire.optLong(sb \ "offset").map(_.toInt).getOrElse(0)
           val thr = sb \ "score_threshold" match {
@@ -1415,7 +1437,8 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
             case _ => None
           }
           val scored = store.searchPoints(c,
-            SearchSpec(using, query, metric, k, off, thr, sparseIdx),
+            SearchSpec(using, wq.values, metric, k, off, thr, wq.sparseIdx,
+              wq.multi),
             withPayload, fields)
           JObject("points" -> JArray(
             scored.map { case (p, s) => CollectionWire.pointJson(p, Some(s)) }.toList)): JValue

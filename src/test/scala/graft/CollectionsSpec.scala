@@ -155,4 +155,61 @@ class CollectionsSpec extends AnyFunSuite {
       Snapshot.parseManifest("name=x\nnamed=true\nfield=weird|a|b|c", "x")
     }
   }
+
+  test("storage snapshot carries the index sidecars: the restored store's FIRST search is graph-served") {
+    import graft.sources._
+    import spark.implicits._
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-snapidx-src").toString
+    val desc = CollectionDescriptor("d", Seq(DenseField("vector", 2)),
+      named = false)
+    val df = (1 to 40).map { i =>
+      val a = i * 0.15
+      (f"$i%03d", s"""{"g":${i % 4}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, srcDir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, srcDir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    // CHURN that the online maintenance absorbs — the snapshot must
+    // carry the absorbed state (inc files, watermark, tombstones)
+    val churned = new ParquetCollectionStore(srcDir, "d", desc,
+        hnswEf = 256)
+      .appended("d", IndexedSeq(Point("500", Some("""{"g":1}"""),
+        dense = Map("vector" -> Array(1.0f, 0.2f)))))
+      .removed("d", Set("003"))
+    CollectionStores.register("snapidx_spec_src", churned)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapidx").toString
+    Snapshot.createStorage("snapidx_spec_src", "d", path)
+    val dstDir = java.nio.file.Files
+      .createTempDirectory("graft-snapidx-dst").toString + "/store"
+    Snapshot.restoreStorage(spark, path, "snapidx_spec_dst", "d", dstDir,
+      hnswEf = 256)
+    val restored = CollectionStores.get("snapidx_spec_dst")
+      .asInstanceOf[ParquetCollectionStore]
+    val spec0 = SearchSpec("vector", Array(1.0, 0.2), "cosine", 5)
+    val got = restored.searchPoints("d", spec0, withPayload = true, Nil)
+    // the serve came from the RESTORED sidecar: graphs resident,
+    // primaries never opened, no rebuild ran — and the churn is visible
+    assert(restored.hnswSegmentsLoaded.get() === 2L)
+    assert(restored.filesOpened.get() === 0L)
+    assert(got.head._1.id === "500")
+    assert(!got.exists(_._1.id == "003"))
+    // exactness: equals brute force over the restored primaries
+    val brute = new ParquetCollectionStore(dstDir, "d", desc)
+    assert(got.map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("d", spec0, withPayload = true, Nil)
+        .map(p => (p._1.id, p._2)))
+    // the changelog restored too: CDC positions survive the hop
+    assert(restored.logSize("d") === churned.logSize("d"))
+    // non-parquet stores reject the storage form loudly
+    CollectionStores.register("snapidx_mem",
+      InMemoryCollectionStore.single("d", desc,
+        IndexedSeq(Point("1", None,
+          dense = Map("vector" -> Array(1.0f, 0.0f))))))
+    intercept[IllegalArgumentException] {
+      Snapshot.createStorage("snapidx_mem", "d", path)
+    }
+  }
 }
