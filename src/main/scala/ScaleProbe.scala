@@ -1460,6 +1460,38 @@ object ScaleProbe {
         (1 to 5).map(_ => st.searchPoints("embeddings", spec,
           withPayload = false, Nil).size.toLong).sum
       }
+      // the BULK arm (round 17): trickle a corpus-sized reload through
+      // upsert — with the arm OFF every page pays touched-segment
+      // loads; ON, the geometric reseal schedule amortizes. Smaller
+      // fixture (2k base, 2k reload in 250-pt pages) so both arms run
+      // in probe time; the shape, not the absolute seconds, is the row.
+      for (frac <- Seq("0", "0.5")) {
+        sys.props("graft.bulkMaintainFraction") = frac
+        try {
+          val dirB = java.nio.file.Files
+            .createTempDirectory(s"probe-bulk$frac").toString
+          val base = rows.take(2000).toDF("id", "payload", "vector")
+          ParquetCollectionStore.write(base, dirB, numFiles = 4,
+            withLog = true)
+          ParquetCollectionStore.writeHnswSidecar(base, dirB,
+            field = "vector", m = 8, efConstruction = 64, numSegments = 4)
+          var cur = new ParquetCollectionStore(dirB, "embeddings",
+            Collections.homogeneousDescriptor, hnswEf = 64)
+          var reseals = 0L
+          time(s"maintain bulk reload 2k over 2k, pages=250, frac=$frac") {
+            (0 until 8).foreach { b =>
+              val page = (0 until 250).map(i =>
+                Point(f"r$b%02d$i%06d", Some("""{"label":3}"""),
+                  dense = Map("vector" -> v()))).toIndexedSeq
+              val pre = cur
+              cur = cur.appended("embeddings", page)
+              reseals += pre.bulkReseals.get()
+            }
+            2000L
+          }
+          println(s"[probe] maintain bulk frac=$frac reseals=$reseals")
+        } finally sys.props.remove("graft.bulkMaintainFraction"): Unit
+      }
     }
 
     section("etl") {

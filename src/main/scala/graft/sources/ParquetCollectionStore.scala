@@ -673,7 +673,25 @@ final class ParquetCollectionStore(
                                 window: Int): Seq[(Point, Double)] = {
     hnswQuantServes.incrementAndGet(): Unit
     val candK = math.max(hnswCandidateK, window)
-    val ef = math.max(hnswEf, candK)
+    val live: String => Boolean =
+      if (hnswDeadIds.isEmpty) _ => true else id => !hnswDeadIds(id)
+    val cands = quantCandidates(sc, spec, candK,
+      math.max(hnswEf, candK), live)
+    val top = quantExactRescore(sc, c, spec, withPayload, vectorFields,
+      cands).take(window).filterNot { case (p, _) => tail.masked(p.id) }
+    mergeBest(spec, top ++
+      tailScored(tail, spec, withPayload, vectorFields, pfilter))
+  }
+
+  /** Candidate ids from the int8-code walk across all segments —
+    * cosine's per-vector scales cancel (codes·qcodes /
+    * (|codes|·|qcodes|)), dot rescales by scale·qscale; `admit` gates
+    * result-beam admission (tombstones, the filtered acceptance set)
+    * while rejected nodes keep navigating.
+    */
+  private def quantCandidates(sc: HnswSidecar, spec: SearchSpec,
+                              candK: Int, ef: Int,
+                              admit: String => Boolean): Set[String] = {
     val (qc, qScale) = quantizeQuery(spec.query)
     var qn = 0.0
     var qi = 0
@@ -682,34 +700,41 @@ final class ParquetCollectionStore(
     }
     qn = math.sqrt(qn)
     val cosine = spec.metric != "dot" // euclid never routes here
-    val cands: Set[String] =
-      if (cosine && qn == 0.0) Set.empty // degenerate query: tail only
-      else (0 until sc.segments).flatMap { seg =>
-        hnswQuantSegmentFor(seg).toSeq.flatMap {
-          case (ids, codes, scales, norms, edges) =>
-            def intdot(i: Int): Long = {
-              val cd = codes(i)
-              val n = math.min(cd.length, qc.length)
-              var s = 0L
-              var k = 0
-              while (k < n) { s += cd(k) * qc(k); k += 1 }
-              s
+    if (cosine && qn == 0.0) return Set.empty // degenerate: tail only
+    (0 until sc.segments).flatMap { seg =>
+      hnswQuantSegmentFor(seg).toSeq.flatMap {
+        case (ids, codes, scales, norms, edges) =>
+          def intdot(i: Int): Long = {
+            val cd = codes(i)
+            val n = math.min(cd.length, qc.length)
+            var s = 0L
+            var k = 0
+            while (k < n) { s += cd(k) * qc(k); k += 1 }
+            s
+          }
+          val qsF: Int => Double =
+            if (cosine) { i =>
+              val d = norms(i) * qn
+              if (d == 0.0) 0.0 else intdot(i).toDouble / d
+            } else { i =>
+              intdot(i).toDouble * scales(i).toDouble * qScale.toDouble
             }
-            val qsF: Int => Double =
-              if (cosine) { i =>
-                val d = norms(i) * qn
-                if (d == 0.0) 0.0 else intdot(i).toDouble / d
-              } else { i =>
-                intdot(i).toDouble * scales(i).toDouble * qScale.toDouble
-              }
-            val ok: Int => Boolean = i => !hnswDeadIds(ids(i)) &&
-              (!cosine || norms(i) != 0.0)
-            graft.ops.HnswSegment.walkGraph(ids, edges, candK, ef, ok, qsF)
-              .map { case (j, _) => ids(j) }
-        }
-      }.toSet
-    // exact rescore of ONLY the margin, from the segment partitions —
-    // the primary corpus files never open
+          val ok: Int => Boolean = i => admit(ids(i)) &&
+            (!cosine || norms(i) != 0.0)
+          graft.ops.HnswSegment.walkGraph(ids, edges, candK, ef, ok, qsF)
+            .map { case (j, _) => ids(j) }
+      }
+    }.toSet
+  }
+
+  /** Exact full-precision rescore of ONLY the candidate margin, from
+    * the segment partitions (the primary corpus files never open) —
+    * best-first with the id tiebreak; callers window and mask.
+    */
+  private def quantExactRescore(sc: HnswSidecar, c: String,
+                                spec: SearchSpec, withPayload: Boolean,
+                                vectorFields: Seq[String],
+                                cands: Set[String]): Seq[(Point, Double)] = {
     val keep = vectorFields.toSet
     val want = (vectorFields :+ spec.field).distinct
     val page = (0 until sc.segments).flatMap { seg =>
@@ -723,12 +748,10 @@ final class ParquetCollectionStore(
         .map(s => (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s))
     }
     val desc = SearchSpec.descending(spec.metric)
-    val top = page.sortWith { case ((pa, sa), (pb, sb)) =>
+    page.sortWith { case ((pa, sa), (pb, sb)) =>
       if (sa != sb) { if (desc) sa > sb else sa < sb }
       else SparkStringOrder.gt(pb.id, pa.id)
-    }.take(window).filterNot { case (p, _) => tail.masked(p.id) }
-    mergeBest(spec, top ++
-      tailScored(tail, spec, withPayload, vectorFields, pfilter))
+    }
   }
 
   /** The filtered arms. Matched ids are AS OF the payload arms' build
@@ -784,6 +807,21 @@ final class ParquetCollectionStore(
                 .map(s =>
                   (p.copy(dense = p.dense.view.filterKeys(keep).toMap), s))
             }
+          } else if (hnswCandidateK > 0 && spec.metric != "euclid" &&
+              new java.io.File(s"$dir/_hnsw/codes").isDirectory) {
+            // the QUANTIZED walk under a filter: same accepting-walk
+            // rule over the int8 codes (matched ids gate the beam,
+            // everything navigates), exact rescore of the margin — the
+            // full-precision vector cache never loads for filtered
+            // serves either (the tier's RAM claim holds under filters,
+            // the backend's quantization-with-filters behavior)
+            hnswFilteredWalkServes.incrementAndGet(): Unit
+            hnswQuantServes.incrementAndGet(): Unit
+            val candK = math.max(hnswCandidateK, window)
+            val cands = quantCandidates(sc, spec, candK,
+              math.max(widenedEf.toInt, candK), matched)
+            quantExactRescore(sc, c, spec, withPayload, vectorFields,
+              cands).take(window)
           } else {
             hnswFilteredWalkServes.incrementAndGet(): Unit
             val ef = widenedEf.toInt

@@ -67,6 +67,45 @@ class QuantizedHnswSpec extends AnyFunSuite {
     assert(page(quant, Array.fill(dim)(0.0)) === Nil)
   }
 
+  test("the RAM claim holds under filters: the filtered walk arm rides the codes too") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-qhnswf").toString
+    // 2,600 points, filter g in {0,1} matches ~1,733 — past the exact
+    // micro-arm dial (max(4*window, widenedEf, 1024)), so the WALK arm
+    // runs; with the codes tier + candidateK it must walk QUANTIZED
+    val df = (0 until 2600)
+      .map(i => (f"$i%04d", s"""{"g":${i % 3}}""", vec(i)))
+      .toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 2, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 8, efConstruction = 32, numSegments = 2)
+    ParquetCollectionStore.writeHnswQuantizedSidecar(df, dir)
+    ParquetCollectionStore.writePayloadSidecar(
+      df.select(col("id"), col("payload")), dir, key = "g", kind = "int")
+    val q = vec(31337).map(_.toDouble)
+    val quant = new ParquetCollectionStore(dir, "q", desc, hnswEf = 600,
+      hnswCandidateK = 100)
+    val pf = PayloadFilter(
+      Seq(PayloadCondition("g", "match_any", "0|1")), Nil, None)
+    val spec = SearchSpec("vector", q, "cosine", 10)
+    val got = quant.searchPointsFiltered("q", spec, withPayload = false,
+      Nil, pf)
+    // the walk arm ran, quantized, and the full vectors never loaded
+    assert(quant.hnswFilteredWalkServes.get() === 1L)
+    assert(quant.hnswFilteredExactServes.get() === 0L)
+    assert(quant.hnswQuantServes.get() === 1L)
+    assert(quant.hnswSegmentsLoaded.get() === 0L)
+    // ANN semantics with TRUE scores: full page, every (id, score)
+    // matches the exact filtered brute score, every id passes the filter
+    val brute = new ParquetCollectionStore(dir, "q", desc)
+    val bruteAll = brute.searchPointsFiltered("q",
+      spec.copy(k = 2600), withPayload = false, Nil, pf)
+      .map(p => (p._1.id, p._2)).toMap
+    assert(got.size === 10)
+    got.foreach { case (p, s) => assert(bruteAll(p.id) === s) }
+  }
+
   test("a dot-metric graph serves quantized too (scales rescale the int domain)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qhnswd").toString
