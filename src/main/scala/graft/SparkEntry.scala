@@ -479,6 +479,116 @@ object SparkEntry {
         Collections.homogeneousDescriptor)
     })
 
+  /** The INCREMENTAL-TEXT fixture (the FIFTH maintained family): the
+    * text-indexed corpus with a changelog, then churn — inserts
+    * tokenize with the writer's own pipeline and land in their buckets,
+    * the update's old tokens consolidate out, the delete tombstones,
+    * and the LIVE BM25 stats adjust throughout; the fixture REQUIRES
+    * the watermark reached the log head, so the gate's match_text
+    * candidates resolve from the maintained postings with an EMPTY
+    * overlay tail.
+    */
+  private val parquetTextFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetTextFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetTextFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-textfresh")
+      val body = concat(lit("alpha w"), col("label"),
+        lit(" tag"), col("vec_id") % 4)
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(body.as("body"))).as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeTextSidecar(
+        df, pqDir, key = "body")
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", Collections.homogeneousDescriptor)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"body":"alpha w3 tagx"}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.tidxIncInserts.get() == adds.length.toLong,
+        "the fresh batch must be absorbed into the token buckets")
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      val m2 = m1.appended("embeddings", IndexedSeq(
+        graft.sources.Point("7", Some("""{"body":"alpha w3 tag7"}"""),
+          dense = Map("vector" -> newVec))))
+      val m3 = m2.removed("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_tidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the postings serve with an " +
+          "empty overlay tail")
+      m3
+    })
+
+  /** The INCREMENTAL-GEO fixture (the SIXTH maintained family): the
+    * cell-partitioned corpus with a changelog, then churn — inserts
+    * land in their Morton cell via the writer's own cell expression,
+    * the update's old cell consolidates, the delete tombstones as a
+    * (cell, id) flag — so the gate's box query serves cell-pruned over
+    * the FINAL state with an EMPTY overlay tail (fixture-required).
+    */
+  private val parquetGeoFreshCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetGeoFreshStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetGeoFreshCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-geofresh")
+      val la = (col("vec_id") % 120).cast("double") - 60.0 + 0.25
+      val lo = ((col("vec_id") * 7) % 320).cast("double") - 160.0 + 0.25
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(struct(la.as("lat"), lo.as("lon")).as("loc")))
+          .as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeGeoSidecar(
+        df, pqDir, key = "loc", bits = 4)
+      val sealedStore = new graft.sources.ParquetCollectionStore(pqDir,
+        "embeddings", Collections.homogeneousDescriptor)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"loc":{"lat":5.25,"lon":-15.25}}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val m1 = sealedStore.appended("embeddings", adds.toIndexedSeq)
+      require(sealedStore.gidxIncInserts.get() == adds.length.toLong,
+        "the fresh batch must be absorbed into the cell partitions")
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      val m2 = m1.appended("embeddings", IndexedSeq(
+        graft.sources.Point("7",
+          Some("""{"loc":{"lat":0.25,"lon":-10.25}}"""),
+          dense = Map("vector" -> newVec))))
+      // 64 sits INSIDE the gate's box (la 4.25, lo -31.75): the delete
+      // must leave the box's serve, not just the corpus
+      val m3 = m2.removed("embeddings", Set("64"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_gidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == m3.logSize("embeddings"),
+        "every mutation must be absorbed — the cells serve with an " +
+          "empty overlay tail")
+      m3
+    })
+
   /** Build one mutated-after-index dir (the shared recipe of the
     * freshness and optimizer fixtures) and return the final store.
     */
@@ -2869,6 +2979,52 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_geo_store").option("collection", "embeddings")
+        .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL TEXT-INDEX MAINTENANCE (the FIFTH maintained family):
+    // churn (inserts with new tokens, a token-moving update, a
+    // tombstoned delete) absorbs into the token buckets with LIVE BM25
+    // stats (fixture REQUIRES the watermark reached the log head), so
+    // this match_text-filtered search resolves candidates from the
+    // maintained postings with an EMPTY overlay tail — exact vs the
+    // brute filtered oracle over the FINAL state
+    "dsv2_parquet_text_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_textfr_store",
+        SparkEntry.parquetTextFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 37)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_textfr_store").option("collection", "embeddings")
+        .option("filter", "body:match_text:alpha w3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // INCREMENTAL GEO-INDEX MAINTENANCE (the SIXTH maintained family):
+    // churn (inserts inside the box, a cell-moving update INTO the box,
+    // a tombstoned delete of an in-box point) absorbs into the Morton
+    // cells (fixture REQUIRES the watermark reached the log head), so
+    // this box-filtered search serves cell-pruned over the FINAL state
+    "dsv2_parquet_geo_fresh" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_geofr_store",
+        SparkEntry.parquetGeoFreshStore(s, dir))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 27)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_geofr_store").option("collection", "embeddings")
         .option("filter", "loc:geo_box:10,-40,-10,20")
         .option("search.field", "vector")
         .option("search.vector",
@@ -7735,6 +7891,57 @@ object SparkEntry {
         |  FROM embeddings),
         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |      FROM embeddings WHERE vec_id = 21),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s
+        |  FROM pts, q
+        |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // incremental text maintenance: the post-churn match_text-filtered
+    // top-k must rank exactly where the brute filtered oracle over the
+    // FINAL state does (w3 tokens = label 3 originals + the updated '7'
+    // + the five inserts; 13 deleted)
+    "dsv2_parquet_text_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 37),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 3
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 3
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  WHERE label = 3
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // incremental geo maintenance: the post-churn box-filtered top-k
+    // must rank exactly where the brute oracle over the FINAL state
+    // does (7 moved INTO the box, 64 — inside the box — deleted, five
+    // inserts at (5.25, -15.25))
+    "dsv2_parquet_geo_fresh" ->
+      """WITH pts AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v,
+        |         (vec_id % 120) - 60 + 0.25 AS la,
+        |         ((vec_id * 7) % 320) - 160 + 0.25 AS lo
+        |  FROM embeddings WHERE vec_id NOT IN (7, 64)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 0.25, -10.25
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 5.25, -15.25
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 27),
         |top AS (
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s
         |  FROM pts, q

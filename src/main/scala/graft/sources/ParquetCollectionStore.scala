@@ -1730,9 +1730,18 @@ final class ParquetCollectionStore(
     * geo condition ([[PayloadCondition.latLonOf]]'s contract), so the
     * pruning is sound.
     */
+  /** `insertedAt`: the log position the cell partitions are CURRENT to
+    * — advanced by [[gidxMaintain]], reset by a rebuild. `dead`:
+    * tombstoned rows, cell -> ids (the pidx flag model on the cell
+    * layout — flagged rows never serve or count).
+    */
   private case class GeoSidecar(key: String, bits: Int,
-                                covered: Set[String], builtAt: Long) {
+                                covered: Set[String], builtAt: Long,
+                                insertedAt: Long = -1L,
+                                dead: Map[Long, Set[String]] = Map.empty) {
     private val root = s"$dir/_gidx/points"
+
+    lazy val deadIds: Set[String] = dead.valuesIterator.flatten.toSet
 
     lazy val cellDirs: Map[Long, String] =
       Option(new java.io.File(root).listFiles())
@@ -1778,7 +1787,16 @@ final class ParquetCollectionStore(
         else Set.empty[String]
       val builtAt =
         if (lines.length > 3 && lines(3).nonEmpty) lines(3).toLong else -1L
-      Some(GeoSidecar(lines(0), lines(1).toInt, covered, builtAt))
+      val insertedAt =
+        if (builtAt < 0) builtAt
+        else ParquetCollectionStore.readWatermark(
+            new java.io.File(s"$dir/_gidx/inserted.txt"))
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
+      val dead = ParquetCollectionStore.readValueIdFlags(
+          new java.io.File(s"$dir/_gidx/dead.txt"))
+        .map { case (c, ids) => c.toLong -> ids }
+      Some(GeoSidecar(lines(0), lines(1).toInt, covered, builtAt,
+        insertedAt, dead))
     }
   }
 
@@ -1800,19 +1818,23 @@ final class ParquetCollectionStore(
       .filter(_.covered.contains(columnOf(spec.field)))
       .flatMap { sc =>
         pfilter.must.find(sc.servable).flatMap { cond =>
-          tailSince(sc.builtAt).flatMap { tail =>
+          tailSince(sc.insertedAt).flatMap { tail =>
             val cells = sc.cellsMatching(cond)
             val matched = cells.map(sc.rowsOf).sum
             if (matched > ParquetCollectionStore.prefilterMaxFraction *
                 pointCount(collection)) None
             else {
+              // window widened by tombstones too (flagged rows may
+              // occupy page slots before the mask drops them)
               val window = spec.copy(
-                k = spec.k + spec.offset + tail.masked.size, offset = 0)
+                k = spec.k + spec.offset + tail.masked.size +
+                  sc.deadIds.size, offset = 0)
               val merged = cells.flatMap(v => sc.storeFor(v).toSeq.flatMap(
                 _.searchPointsFiltered(c, window, withPayload, vectorFields,
                   pfilter)))
               val fresh =
-                merged.filterNot { case (p, _) => tail.masked(p.id) } ++
+                merged.filterNot { case (p, _) =>
+                  tail.masked(p.id) || sc.deadIds(p.id) } ++
                   tailScored(tail, spec, withPayload, vectorFields, pfilter)
               Some(mergeBest(spec, fresh))
             }
@@ -1822,17 +1844,28 @@ final class ParquetCollectionStore(
 
   /** Geo-pruned filtered count: the cover partitions walked with the
     * FULL filter (never footer-only — the cover is a superset by
-    * construction). Only with an empty since-build tail.
+    * construction). Only with an empty overlay tail; tombstoned rows
+    * pass the filter (their payload still matches) — a second walk
+    * restricted to the cell's flagged ids subtracts exactly those.
     */
   private def geoCount(idFilter: Option[Set[String]], idLower: Option[String],
                        pfilter: PayloadFilter): Option[Long] =
     geoSidecar.flatMap { sc =>
       pfilter.must.find(sc.servable).flatMap { cond =>
-        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
-          sc.cellsMatching(cond).map(v => sc.storeFor(v)
-            .map(_.countMatchingFiltered(collection, idFilter, idLower,
-              pfilter))
-            .getOrElse(0L)).sum
+        tailSince(sc.insertedAt).filter(_.isEmpty).map { _ =>
+          sc.cellsMatching(cond).map { v =>
+            sc.storeFor(v).map { st =>
+              val walked = st.countMatchingFiltered(collection, idFilter,
+                idLower, pfilter)
+              val cellDead = sc.dead.getOrElse(v, Set.empty)
+              val deadMatched =
+                if (cellDead.isEmpty) 0L
+                else st.countMatchingFiltered(collection,
+                  Some(idFilter.fold(cellDead)(cellDead intersect _)),
+                  idLower, pfilter)
+              walked - deadMatched
+            }.getOrElse(0L)
+          }.sum
         }
       }
     }
@@ -1857,13 +1890,24 @@ final class ParquetCollectionStore(
     * layout makes a k-id fetch read only the row groups that can hold
     * them.
     */
+  /** `insertedAt`: the log position the postings are CURRENT to —
+    * advanced by [[tidxMaintain]], reset by a rebuild. `dead`:
+    * tombstoned ids (the ANN families' deleted-flags model — flagged
+    * postings never surface; the flag records the doc's token BUCKETS
+    * so a resurrection consolidates exactly those). `stats`: the LIVE
+    * (nDocs, totalTokens) — the maintenance-adjusted override in
+    * `_tidx/stats.txt` when present, else the build's meta line.
+    */
   private case class TextSidecar(key: String, nBuckets: Int, builtAt: Long,
-                                 stats: Option[(Long, Long)] = None) {
+                                 stats: Option[(Long, Long)] = None,
+                                 insertedAt: Long = -1L,
+                                 dead: Set[String] = Set.empty) {
     private val root = s"$dir/_tidx/points"
 
     /** (id, tf, dl) postings of the query tokens, read from ONLY their
       * buckets — the RANKED serve's input (new-format sidecars only:
       * callers gate on [[stats]], which the tf/dl layout ships with).
+      * Tombstoned ids never surface (the flag IS their mask).
       */
     def postingStatsOf(tokens: Seq[String]): Map[String, Seq[(String, Long, Long)]] = {
       val want = tokens.toSet
@@ -1877,7 +1921,7 @@ final class ParquetCollectionStore(
             .foreach { f =>
               textFilesOpened.incrementAndGet()
               ParquetLog.readTextPostingRows(f.getAbsolutePath).foreach {
-                case (id, tok, tf, dl) => if (want(tok))
+                case (id, tok, tf, dl) => if (want(tok) && !dead(id))
                   acc.getOrElseUpdate(tok,
                     scala.collection.mutable.ArrayBuffer.empty) += ((id, tf, dl))
               }
@@ -1905,7 +1949,7 @@ final class ParquetCollectionStore(
             .foreach { f =>
               textFilesOpened.incrementAndGet()
               ParquetLog.readTokenRows(f.getAbsolutePath).foreach {
-                case (id, tok) => if (want(tok))
+                case (id, tok) => if (want(tok) && !dead(id))
                   acc.getOrElseUpdate(tok,
                     scala.collection.mutable.HashSet.empty) += id
               }
@@ -1933,13 +1977,24 @@ final class ParquetCollectionStore(
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).toLong else -1L
       // line 3 "<nDocs> <totalTokens>" = the tf/dl posting layout with
       // corpus stats — the RANKED serve's requirement (absent on legacy
-      // match-only sidecars, which then serve matches but not ranks)
-      val stats =
+      // match-only sidecars, which then serve matches but not ranks).
+      // `_tidx/stats.txt` (maintenance-adjusted live stats) supersedes.
+      val metaStats =
         if (lines.length > 3 && lines(3).nonEmpty) {
           val parts = lines(3).split(" ")
           Some((parts(0).toLong, parts(1).toLong))
         } else None
-      Some(TextSidecar(lines(0), lines(1).toInt, builtAt, stats))
+      val stats = ParquetCollectionStore.readTextStats(
+        new java.io.File(s"$dir/_tidx/stats.txt")).orElse(metaStats)
+      val ins = new java.io.File(s"$dir/_tidx/inserted.txt")
+      val insertedAt =
+        if (builtAt < 0) builtAt
+        else ParquetCollectionStore.readWatermark(ins)
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
+      Some(TextSidecar(lines(0), lines(1).toInt, builtAt, stats,
+        insertedAt,
+        ParquetCollectionStore.readTextDead(
+          new java.io.File(s"$dir/_tidx/dead.txt")).keySet))
     }
   }
 
@@ -1960,7 +2015,7 @@ final class ParquetCollectionStore(
     val served = textSidecar
       .filter(sc => sc.key == key && sc.stats.isDefined)
       .flatMap { sc =>
-        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
+        tailSince(sc.insertedAt).filter(_.isEmpty).map { _ =>
           val (n, totalLen) = sc.stats.get
           val post = sc.postingStatsOf(terms)
           val nt = terms.length
@@ -1992,9 +2047,10 @@ final class ParquetCollectionStore(
   private def textServe(c: String, spec: SearchSpec,
                         withPayload: Boolean, vectorFields: Seq[String],
                         pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
-    textSidecar.filter(_ => spec.sparseIndices.isEmpty).flatMap { sc =>
+    textSidecar.filter(_ => spec.sparseIndices.isEmpty &&
+        spec.multiQuery.isEmpty).flatMap { sc =>
       pfilter.must.find(sc.servable).flatMap { cond =>
-        tailSince(sc.builtAt).flatMap { tail =>
+        tailSince(sc.insertedAt).flatMap { tail =>
           val cands = sc.candidates(cond)
           if (cands.size > ParquetCollectionStore.prefilterMaxFraction *
               pointCount(collection)) None
@@ -2028,7 +2084,7 @@ final class ParquetCollectionStore(
                         pfilter: PayloadFilter): Option[Long] =
     textSidecar.flatMap { sc =>
       pfilter.must.find(sc.servable).flatMap { cond =>
-        tailSince(sc.builtAt).filter(_.isEmpty).map { _ =>
+        tailSince(sc.insertedAt).filter(_.isEmpty).map { _ =>
           val cands = sc.candidates(cond)
           val narrowed = idFilter.fold(cands)(cands intersect _)
           queryPointsFiltered(collection, 0L, pointCount(collection),
@@ -2139,7 +2195,8 @@ final class ParquetCollectionStore(
     // the batch's id ranges); skipped when no sidecar is current
     val preExistingPts: IndexedSeq[Point] =
       if (!hnswInsertTracking(oldHead) && !ivfInsertTracking(oldHead) &&
-          !pidxAnyTracking(oldHead) && !sparseInsertTracking(oldHead))
+          !pidxAnyTracking(oldHead) && !sparseInsertTracking(oldHead) &&
+          tidxInsertedAt != oldHead && gidxInsertedAt != oldHead)
         IndexedSeq.empty
       else queryPoints(c, 0L, pointCount(c), withPayload = true,
         descriptor.fields.map(_.name),
@@ -2165,6 +2222,10 @@ final class ParquetCollectionStore(
       deduped.map(LogEntry(LogOps.Upsert, _)), rowCodec)
     hnswMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
     ivfMaintain(deduped, Set.empty, oldHead, newHead, preExisting)
+    tidxMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
+      preExistingPts)
+    gidxMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
+      preExistingPts)
     pidxMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
       preExistingPts)
     sparseMaintain(deduped, IndexedSeq.empty, oldHead, newHead,
@@ -2308,6 +2369,381 @@ final class ParquetCollectionStore(
       java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt"),
       newHead.toString)
     bumpAbsorbed(new java.io.File(s"$dir/_sparse"), upserts.size)
+    }
+  }
+
+  // ------------------------------ incremental geo-index maintenance --
+
+  /** Points absorbed into the cell partitions by the incremental
+    * maintenance path (specs).
+    */
+  @transient lazy val gidxIncInserts = new AtomicLong(0L)
+
+  private def gidxInsertedAt: Long = {
+    val marker = new java.io.File(s"$dir/_gidx/meta.txt")
+    if (!marker.isFile) -1L
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      if (lines.length < 4 || lines(3).isEmpty) -1L
+      else {
+        val builtAt = lines(3).toLong
+        ParquetCollectionStore.readWatermark(
+            new java.io.File(s"$dir/_gidx/inserted.txt"))
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
+      }
+    }
+  }
+
+  /** Absorb a mutation batch into the geo-cell partitions — the SIXTH
+    * maintained sidecar family (the pidx discipline on the Morton-cell
+    * layout): NEW points land in their cell via the WRITER'S OWN
+    * extraction + cell expression evaluated on a driver-local frame
+    * ([[graft.ops.Geo.cellCol]] — the partition value cannot drift from
+    * a rebuild's); UPDATES consolidate the OLD cell (the pre-rewrite
+    * payload names it); DELETES tombstone as `(cell, id)` flags; the
+    * [[ParquetCollectionStore.deadFlagMaxDial]] cap routes mass deletes
+    * to consolidation. Rows without a castable lat AND lon drop — the
+    * writer's rule (they can never match a geo condition).
+    */
+  private def gidxMaintain(upserts: IndexedSeq[Point],
+                           removedPts: IndexedSeq[Point],
+                           oldHead: Long, newHead: Long,
+                           preExistingPts: IndexedSeq[Point]): Unit = {
+    if (gidxInsertedAt != oldHead) return
+    if (maybeBulkReseal(new java.io.File(s"$dir/_gidx"), upserts.size)(
+        sp => ParquetCollectionStore.resealGeoSidecar(sp, dir))) return
+    val marker = new java.io.File(s"$dir/_gidx/meta.txt")
+    val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val key = lines(0)
+    val bits = lines(1).toInt
+    val covered: Set[String] =
+      if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSet
+      else Set.empty
+    val coveredFields = descriptor.fields.map(_.name).filter { fn =>
+      fieldCols(fn) match {
+        case DenseCol(_, cn) => covered.contains(cn)
+        case SparseCols(_, ic, vc) =>
+          covered.contains(ic) && covered.contains(vc)
+        case MultiCol(_, cn) => covered.contains(cn)
+      }
+    }
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (sparkOpt.isEmpty) return
+    // the writer's own lat/lon extraction AND cell expression,
+    // engine-evaluated on a driver-local frame
+    val cells: Map[(String, String), Long] = {
+      import org.apache.spark.sql.functions.expr
+      val rows = upserts.map(p => ("n", p.id, p.payload.orNull)) ++
+        preExistingPts.map(p => ("o", p.id, p.payload.orNull)) ++
+        removedPts.map(p => ("d", p.id, p.payload.orNull))
+      if (rows.isEmpty) Map.empty
+      else sparkOpt.get.createDataFrame(rows).toDF("tag", "id", "payload")
+        .withColumn("__lat", expr(
+          s"cast(get_json_object(payload, '$$.$key.lat') as double)"))
+        .withColumn("__lon", expr(
+          s"cast(get_json_object(payload, '$$.$key.lon') as double)"))
+        .filter(col("__lat").isNotNull && col("__lon").isNotNull)
+        .withColumn("cell",
+          graft.ops.Geo.cellCol(col("__lat"), col("__lon"), bits))
+        .select("tag", "id", "cell")
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toMap
+    }
+    val deadFile = new java.io.File(s"$dir/_gidx/dead.txt")
+    val dead0: Map[Long, Set[String]] =
+      ParquetCollectionStore.readValueIdFlags(deadFile)
+        .map { case (c, ids) => c.toLong -> ids }
+    val deadCell: Map[String, Long] =
+      dead0.iterator.flatMap { case (c, ids) => ids.map(_ -> c) }.toMap
+    val upIds = upserts.iterator.map(_.id).toSet
+    val tombstone = deadCell.size + removedPts.size <=
+      ParquetCollectionStore.deadFlagMaxDial
+    val dropPairs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    preExistingPts.foreach(p =>
+      cells.get(("o", p.id)).foreach(c => dropPairs += ((c, p.id))))
+    upserts.foreach(p =>
+      deadCell.get(p.id).foreach(c => dropPairs += ((c, p.id))))
+    if (!tombstone) {
+      removedPts.foreach(p =>
+        cells.get(("d", p.id)).foreach(c => dropPairs += ((c, p.id))))
+      dead0.foreach { case (c, ids) =>
+        ids.filterNot(upIds).foreach(id => dropPairs += ((c, id)))
+      }
+    }
+    val insByCell = upserts
+      .flatMap(p => cells.get(("n", p.id)).map(c => (c, p)))
+      .groupBy(_._1)
+    val dropsByCell = dropPairs.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val folded = scala.collection.mutable.Set.empty[String]
+    def wipe(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+          f.delete(): Unit
+        }
+    ParquetCollectionStore.withParkedMarker(marker) {
+    (insByCell.keySet ++ dropsByCell.keySet).foreach { c =>
+      val cDir = new java.io.File(s"$dir/_gidx/points/cell=$c")
+      val batch = insByCell.getOrElse(c, Seq.empty).map(_._2)
+        .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+      val segDrops0 = dropsByCell.getOrElse(c, Set.empty)
+      val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+        ParquetCollectionStore.parquetFileCount(cDir) >=
+          ParquetCollectionStore.incCompactThreshold)
+      if (consolidate) {
+        // a rewriting cell reclaims its flags free
+        val segDead = dead0.getOrElse(c, Set.empty).filterNot(upIds)
+        folded ++= segDead
+        val segDrops = segDrops0 ++ segDead
+        val rows =
+          if (!cDir.isDirectory) IndexedSeq.empty[Point]
+          else {
+            val st = new ParquetCollectionStore(cDir.getAbsolutePath,
+              collection, descriptor)
+            st.queryPoints(collection, 0L, st.pointCount(collection),
+              withPayload = true, coveredFields, None).toIndexedSeq
+          }
+        val finalRows = (rows.filterNot(p => segDrops(p.id)) ++ batch)
+          .sortWith((a, b) => SparkStringOrder.lt(a.id, b.id))
+        wipe(cDir)
+        if (finalRows.nonEmpty) {
+          cDir.mkdirs()
+          ParquetLog.writePrimary(
+            new java.io.File(cDir, f"pts-$newHead%012d.parquet"),
+            finalRows, rowCodec)
+        } else {
+          cDir.delete(): Unit // an emptied cell disappears
+        }
+      } else if (batch.nonEmpty) {
+        cDir.mkdirs()
+        ParquetLog.writePrimary(
+          new java.io.File(cDir, f"inc-$newHead%012d.parquet"),
+          batch, rowCodec)
+      }
+      gidxIncInserts.addAndGet(batch.size): Unit
+    }
+    val deadPairs1: Seq[(Long, String)] =
+      if (!tombstone) Seq.empty
+      else (dead0.iterator.flatMap { case (c, ids) =>
+        ids.filterNot(id => folded(id) || upIds(id)).map(c -> _)
+      } ++ removedPts.iterator.flatMap(p =>
+        cells.get(("d", p.id)).map(_ -> p.id))).toSeq
+    if (deadPairs1.isEmpty)
+      java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+    else
+      ParquetCollectionStore.atomicWriteText(deadFile.toPath,
+        deadPairs1.sorted.map { case (c, id) =>
+          s"$c\t${ParquetCollectionStore.escapeFlag(id)}"
+        }.mkString("\n"))
+    ParquetCollectionStore.atomicWriteText(
+      java.nio.file.Paths.get(s"$dir/_gidx/inserted.txt"),
+      newHead.toString)
+    bumpAbsorbed(new java.io.File(s"$dir/_gidx"), upserts.size)
+    }
+  }
+
+  // ----------------------------- incremental text-index maintenance --
+
+  /** Points absorbed into the token buckets by the incremental
+    * maintenance path (specs).
+    */
+  @transient lazy val tidxIncInserts = new AtomicLong(0L)
+
+  private def tidxInsertedAt: Long = {
+    val marker = new java.io.File(s"$dir/_tidx/meta.txt")
+    if (!marker.isFile) -1L
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      if (lines.length < 3 || lines(2).isEmpty) -1L
+      else {
+        val builtAt = lines(2).toLong
+        ParquetCollectionStore.readWatermark(
+            new java.io.File(s"$dir/_tidx/inserted.txt"))
+          .map(math.max(builtAt, _)).getOrElse(builtAt)
+      }
+    }
+  }
+
+  /** Absorb a mutation batch into the token-bucket postings — the
+    * FIFTH maintained sidecar family, closing the freshness loop for
+    * match_text/phrase candidates AND the BM25 ranked serve (both
+    * previously fell back to the exact primaries pass on any mutation):
+    *
+    *  - NEW points tokenize with the WRITER'S OWN pipeline (the
+    *    `lower(get_json_object(...))` extraction runs on a driver-local
+    *    Spark frame so case-folding cannot drift; the `\s+` split and
+    *    tf/dl arithmetic mirror the builder exactly) and append per
+    *    touched token bucket (`inc-*` files, LSM level-0 cap);
+    *  - UPDATES consolidate the buckets their OLD tokens lived in (the
+    *    pre-rewrite payload names them) before re-appending;
+    *  - DELETES tombstone as `id -> buckets` flags (the serve drops
+    *    flagged ids in the posting reads; a resurrection consolidates
+    *    exactly the flagged buckets first; the
+    *    [[ParquetCollectionStore.deadFlagMaxDial]] cap routes mass
+    *    deletes to consolidation);
+    *  - the LIVE (nDocs, totalTokens) stats adjust per batch
+    *    (`_tidx/stats.txt` supersedes the meta's build-time line), so
+    *    BM25's N and avgdl track the corpus — a keyless point still
+    *    counts toward N with dl 0, the builder's rule.
+    *
+    * Requires a live SparkSession for the extraction (the pidx
+    * contract); with none the watermark parks and the exact fallback
+    * serves.
+    */
+  private def tidxMaintain(upserts: IndexedSeq[Point],
+                           removedPts: IndexedSeq[Point],
+                           oldHead: Long, newHead: Long,
+                           preExistingPts: IndexedSeq[Point]): Unit = {
+    if (tidxInsertedAt != oldHead) return
+    if (maybeBulkReseal(new java.io.File(s"$dir/_tidx"), upserts.size)(
+        sp => ParquetCollectionStore.resealTextSidecar(sp, dir))) return
+    val marker = new java.io.File(s"$dir/_tidx/meta.txt")
+    val lines = new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val key = lines(0)
+    val nBuckets = lines(1).toInt
+    val stats0 = ParquetCollectionStore.readTextStats(
+        new java.io.File(s"$dir/_tidx/stats.txt"))
+      .orElse {
+        if (lines.length > 3 && lines(3).nonEmpty) {
+          val p = lines(3).split(" ")
+          Some((p(0).toLong, p(1).toLong))
+        } else None
+      }.getOrElse(return) // legacy match-only sidecar: park (no stats)
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    if (sparkOpt.isEmpty) return
+    // the writer's own case-folded extraction, engine-evaluated
+    val texts: Map[(String, String), String] = {
+      val rows = upserts.map(p => ("n", p.id, p.payload.orNull)) ++
+        preExistingPts.map(p => ("o", p.id, p.payload.orNull)) ++
+        removedPts.map(p => ("d", p.id, p.payload.orNull))
+      if (rows.isEmpty) Map.empty
+      else sparkOpt.get.createDataFrame(rows).toDF("tag", "id", "payload")
+        .selectExpr("tag", "id",
+          s"lower(get_json_object(payload, '$$.$key')) AS t")
+        .collect()
+        .flatMap(r => Option(if (r.isNullAt(2)) null else r.getString(2))
+          .map(t => ((r.getString(0), r.getString(1)), t)))
+        .toMap
+    }
+    def toks(tag: String, id: String): Seq[String] =
+      texts.get((tag, id)).map(_.split("\\s+").toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+    def bucketsOf(ts: Seq[String]): Seq[Int] =
+      ts.distinct.map(ParquetCollectionStore.tokenBucket(_, nBuckets))
+        .distinct
+    val deadFile = new java.io.File(s"$dir/_tidx/dead.txt")
+    val dead0 = ParquetCollectionStore.readTextDead(deadFile)
+    val upIds = upserts.iterator.map(_.id).toSet
+    val tombstone =
+      dead0.size + removedPts.size <= ParquetCollectionStore.deadFlagMaxDial
+    // ids whose stored postings must leave their buckets NOW: updates'
+    // old copies + resurrected tombstones (+ everything on a mass drop)
+    val dropBuckets = scala.collection.mutable.HashMap.empty[String, Seq[Int]]
+    preExistingPts.foreach(p =>
+      dropBuckets.update(p.id, bucketsOf(toks("o", p.id))))
+    upserts.foreach(p => dead0.get(p.id).foreach(bs =>
+      dropBuckets.update(p.id, bs)))
+    if (!tombstone) {
+      removedPts.foreach(p =>
+        dropBuckets.update(p.id, bucketsOf(toks("d", p.id))))
+      dead0.foreach { case (id, bs) =>
+        if (!upIds(id)) dropBuckets.update(id, bs)
+      }
+    }
+    // new posting rows: (bucket, (id, token, tf, dl)) with the
+    // builder's arithmetic (tf per distinct token, dl = token count)
+    val newRows: Seq[(Int, (String, String, Long, Long))] =
+      upserts.flatMap { p =>
+        val ts = toks("n", p.id)
+        val dl = ts.length.toLong
+        ts.groupBy(identity).toSeq.map { case (tok, occ) =>
+          (ParquetCollectionStore.tokenBucket(tok, nBuckets),
+            (p.id, tok, occ.length.toLong, dl))
+        }
+      }
+    val dropByBucket: Map[Int, Set[String]] = dropBuckets.toSeq
+      .flatMap { case (id, bs) => bs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val touched = dropByBucket.keySet ++ newRows.map(_._1).toSet
+    def wipe(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+          f.delete(): Unit
+        }
+    ParquetCollectionStore.withParkedMarker(marker) {
+    touched.foreach { b =>
+      val bDir = new java.io.File(s"$dir/_tidx/points/tb=$b")
+      val batch = newRows.collect { case (`b`, r) => r }
+        .sortBy(r => (r._1, r._2))
+      val drops = dropByBucket.getOrElse(b, Set.empty)
+      val consolidate = drops.nonEmpty || (batch.nonEmpty &&
+        ParquetCollectionStore.parquetFileCount(bDir) >=
+          ParquetCollectionStore.incCompactThreshold)
+      if (consolidate) {
+        val kept =
+          Option(bDir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .flatMap(f => ParquetLog.readTextPostingRows(f.getAbsolutePath))
+            .filterNot(r => drops(r._1))
+        val finalRows = (kept ++ batch).sortBy(r => (r._1, r._2))
+        wipe(bDir)
+        if (finalRows.nonEmpty) {
+          bDir.mkdirs()
+          ParquetLog.writeTextPostingRows(
+            new java.io.File(bDir, f"pts-$newHead%012d.parquet"),
+            finalRows)
+        }
+      } else if (batch.nonEmpty) {
+        bDir.mkdirs()
+        ParquetLog.writeTextPostingRows(
+          new java.io.File(bDir, f"inc-$newHead%012d.parquet"), batch)
+      }
+    }
+    tidxIncInserts.addAndGet(upserts.size.toLong): Unit
+    // LIVE stats: inserts of NEW ids add (1, dl); updates move dl;
+    // deletes subtract (1, dl) — keyless points carry dl 0 like the
+    // builder's rule
+    val preIds = preExistingPts.iterator.map(_.id).toSet
+    var dN = 0L
+    var dT = 0L
+    upserts.foreach { p =>
+      val dl = toks("n", p.id).length.toLong
+      if (preIds(p.id)) dT += dl - toks("o", p.id).length.toLong
+      else { dN += 1L; dT += dl }
+    }
+    removedPts.foreach { p =>
+      dN -= 1L; dT -= toks("d", p.id).length.toLong
+    }
+    ParquetCollectionStore.atomicWriteText(
+      java.nio.file.Paths.get(s"$dir/_tidx/stats.txt"),
+      s"${stats0._1 + dN} ${stats0._2 + dT}")
+    val dead1: Map[String, Seq[Int]] =
+      if (!tombstone) Map.empty
+      else (dead0 -- upIds) ++ removedPts.map(p =>
+        p.id -> bucketsOf(toks("d", p.id)))
+    if (dead1.isEmpty)
+      java.nio.file.Files.deleteIfExists(deadFile.toPath): Unit
+    else
+      ParquetCollectionStore.atomicWriteText(deadFile.toPath,
+        dead1.toSeq.sortBy(_._1)
+          .map { case (id, bs) =>
+            s"${ParquetCollectionStore.escapeFlag(id)}\t${bs.mkString(",")}"
+          }.mkString("\n"))
+    ParquetCollectionStore.atomicWriteText(
+      java.nio.file.Paths.get(s"$dir/_tidx/inserted.txt"),
+      newHead.toString)
+    bumpAbsorbed(new java.io.File(s"$dir/_tidx"), upserts.size)
     }
   }
 
@@ -3048,6 +3484,10 @@ final class ParquetCollectionStore(
       ivfMaintain(IndexedSeq.empty, hit.toSet, oldHead, newHead,
         Set.empty)
       val droppedSeq = droppedPts.result().toIndexedSeq
+      tidxMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
+        IndexedSeq.empty)
+      gidxMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
+        IndexedSeq.empty)
       pidxMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
         IndexedSeq.empty)
       sparseMaintain(IndexedSeq.empty, droppedSeq, oldHead, newHead,
@@ -3338,21 +3778,9 @@ object ParquetCollectionStore {
         java.nio.file.Files.delete(
           java.nio.file.Paths.get(s"$base/meta.txt")): Unit
     }
-    val geoMeta = new java.io.File(s"$dir/_gidx/meta.txt")
-    if (geoMeta.isFile) {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(geoMeta.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
-    }
+    resealGeoSidecar(spark, dir, Some(df))
     resealSparseSidecar(spark, dir, Some(df))
-    val textMeta = new java.io.File(s"$dir/_tidx/meta.txt")
-    if (textMeta.isFile) {
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(textMeta.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
-    }
+    resealTextSidecar(spark, dir, Some(df))
     resealHnswSidecar(spark, dir, Some(df))
     resealIvfSidecar(spark, dir, ivfMaxIter, Some(df))
   }
@@ -3373,6 +3801,32 @@ object ParquetCollectionStore {
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val df = primaries.getOrElse(spark.read.parquet(dir))
       writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
+    }
+  }
+
+  private[sources] def resealGeoSidecar(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String,
+                                        primaries: Option[DataFrame] = None): Unit = {
+    val geoMeta = new java.io.File(s"$dir/_gidx/meta.txt")
+    if (geoMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(geoMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val df = primaries.getOrElse(spark.read.parquet(dir))
+      writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
+    }
+  }
+
+  private[sources] def resealTextSidecar(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String,
+                                         primaries: Option[DataFrame] = None): Unit = {
+    val textMeta = new java.io.File(s"$dir/_tidx/meta.txt")
+    if (textMeta.isFile) {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(textMeta.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+      val df = primaries.getOrElse(spark.read.parquet(dir))
+      writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
     }
   }
 
@@ -3529,6 +3983,13 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$bits\n$covered\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path appended
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
   }
 
   /** Token -> bucket: Java String.hashCode (a stable, documented hash),
@@ -3578,6 +4039,17 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$nBuckets\n${logHeadOf(dir)}\n${st.getLong(0)} $totalTokens"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // a rebuild re-absorbs everything the incremental path appended —
+    // watermark, tombstones, and the live-stats override reset to the
+    // fresh build (the meta's stats line is current again)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/stats.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
   }
 
   /** Log position a sidecar build seals as its FRESHNESS POINT: the
@@ -3957,6 +4429,29 @@ object ParquetCollectionStore {
         else Some((unescapeFlag(l.substring(0, i)),
           unescapeFlag(l.substring(i + 1))))
       }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** Text-index tombstone file: one `id<TAB>b,b,...` line per flag —
+    * the id [[escapeFlag]]-escaped, the buckets its tokens lived in
+    * recorded at flag time (so a resurrection consolidates exactly
+    * those, never a scan). Tab-less lines read as (id, no buckets).
+    */
+  private[sources] def readTextDead(f: java.io.File): Map[String, Seq[Int]] =
+    readSparseDead(f) // same format: escaped id TAB comma-joined ints
+
+  /** Live (nDocs, totalTokens) override written by the text-index
+    * maintenance — absent/torn reads as None (fall back to the meta).
+    */
+  private[sources] def readTextStats(f: java.io.File): Option[(Long, Long)] =
+    if (!f.isFile) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+      try
+        if (s.length < 2) None
+        else Some((java.lang.Long.parseLong(s(0)),
+          java.lang.Long.parseLong(s(1))))
+      catch { case _: NumberFormatException => None }
+    }
 
   /** HNSW/IVF tombstone file: one [[escapeFlag]]-escaped id per line. */
   private[sources] def readIdFlags(f: java.io.File): Set[String] =

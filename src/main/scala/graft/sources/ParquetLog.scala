@@ -556,6 +556,29 @@ private[sources] object ParquetLog {
     out.result()
   }
 
+  /** Maintenance-side writer of text posting rows — the SAME field
+    * names the Spark-built sidecar files carry (id, token, tf, dl), so
+    * [[readTextPostingRows]]/[[readTokenRows]] serve built and absorbed
+    * files alike.
+    */
+  def writeTextPostingRows(dest: File,
+                           rows: Seq[(String, String, Long, Long)]): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("id")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("token")
+      .required(PrimitiveTypeName.INT64).named("tf")
+      .required(PrimitiveTypeName.INT64).named("dl")
+      .named("graft_text_postings")
+    val fac = new SimpleGroupFactory(schema)
+    writeGroups(dest, schema, rows.iterator.map { case (id, tok, tf, dl) =>
+      val g = fac.newGroup()
+      g.add("id", id); g.add("token", tok); g.add("tf", tf); g.add("dl", dl)
+      g
+    })
+  }
+
   /** Full posting rows (id, token, tf, dl) of a tf/dl-layout text
     * sidecar file — the RANKED full-text serve's read.
     */

@@ -2356,7 +2356,7 @@ class CollectionDataSourceSpec extends AnyFunSuite {
     assert(store ne opt)                          // reopen discipline
   }
 
-  test("ranked full-text serving: sidecar path == one-pass default, token-bucket reads only, dirty tail falls back") {
+  test("ranked full-text serving: sidecar path == one-pass default, token-bucket reads only, mutations absorb") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-textrank").toString
     val tdesc = graft.collections.CollectionDescriptor("tr", Seq.empty)
@@ -2394,13 +2394,22 @@ class CollectionDataSourceSpec extends AnyFunSuite {
       assert(s === java.math.BigDecimal.valueOf(s)
         .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
     }
-    // a MUTATION dirties the tail: the sidecar declines and the default
-    // serves the CURRENT state (new doc ranks; result stays exact)
+    // a MUTATION now ABSORBS (round-17 text maintenance): the postings
+    // and live stats advance, the sidecar keeps serving the CURRENT
+    // state with an empty tail — primaries stay closed
     val st2 = st.appended("tr", IndexedSeq(
       Point("07", Some("""{"body":"alpha alpha alpha"}"""), Map.empty)))
+    assert(st.tidxIncInserts.get() === 1L)
     val fresh = st2.searchTextRanked("tr", "body", Seq("alpha", "beta"), 5)
     assert(fresh.map(_._1).contains("07"))
-    assert(st2.filesOpened.get() > 0L) // fell back to the primaries
+    assert(st2.filesOpened.get() === 0L) // absorbed, not fallen back
+    // ... and still equals the exact one-pass default over live points
+    assert(fresh === {
+      val pts = st2.queryPoints("tr", 0L, st2.pointCount("tr"),
+        withPayload = true, Nil, None).toIndexedSeq
+      InMemoryCollectionStore.single("tr", tdesc, pts)
+        .searchTextRanked("tr", "body", Seq("alpha", "beta"), 5)
+    })
     // the CONNECTOR face: textrank.* options produce the ranked scan
     CollectionStores.register("tr_store", st)
     val viaScan = spark.read.format("graft.sources.CollectionDataSource")
