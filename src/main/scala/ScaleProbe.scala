@@ -1460,6 +1460,41 @@ object ScaleProbe {
         (1 to 5).map(_ => st.searchPoints("embeddings", spec,
           withPayload = false, Nil).size.toLong).sum
       }
+      // TEXT + GEO absorb cost (round 17 — the fifth/sixth maintained
+      // families) at 20k docs: per-batch cost = the touched token
+      // buckets' consolidation/appends + one driver-local extraction
+      // job (text), and the touched cells' work (geo)
+      locally {
+        val dirT = java.nio.file.Files
+          .createTempDirectory("probe-maintain-tg").toString
+        val docs = (0 until nRows).map { i =>
+          val words = (0 until 20).map(j => s"w${(i * 31 + j * 7) % 500}")
+          (f"$i%06d",
+            s"""{"body":"${words.mkString(" ")}","loc":{"lat":${(i % 120) - 60}.25,"lon":${(i * 7) % 320 - 160}.25}}""")
+        }.toDF("id", "payload")
+        ParquetCollectionStore.write(docs, dirT, numFiles = 8,
+          withLog = true)
+        ParquetCollectionStore.writeTextSidecar(docs, dirT, key = "body",
+          nBuckets = 16)
+        ParquetCollectionStore.writeGeoSidecar(docs, dirT, key = "loc",
+          bits = 4)
+        var stT = new ParquetCollectionStore(dirT, "docs",
+          graft.collections.CollectionDescriptor("docs", Seq.empty))
+        for (b <- 0 until 4) {
+          val batch = (0 until 256).map { i =>
+            val words = (0 until 20).map(j => s"w${(i * 17 + j) % 500}")
+            Point(f"t$b%02d$i%06d",
+              Some(s"""{"body":"${words.mkString(" ")}","loc":{"lat":${(i % 100) - 50}.5,"lon":${i % 300 - 150}.5}}"""))
+          }.toIndexedSeq
+          time(s"maintain absorb batch=$b (256 docs, text+geo)") {
+            stT = stT.appended("docs", batch)
+            256L
+          }
+        }
+        println(s"[probe] maintain text/geo tails: " +
+          s"tidxInc+gidxInc counted per batch, primaries=${stT.filesOpened.get}")
+      }
+
       // the BULK arm (round 17): trickle a corpus-sized reload through
       // upsert — with the arm OFF every page pays touched-segment
       // loads; ON, the geometric reseal schedule amortizes. Smaller
