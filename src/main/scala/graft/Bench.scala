@@ -72,6 +72,15 @@ object Bench {
     // both numbers to the artifact — the judge reads `isolated` instead
     // of re-measuring. Full-suite runs only (a filtered profiling run
     // IS an isolation run; recursing would loop).
+    // LOAD-AWARE isolation (round 18): the r17 isolation stage ran under
+    // the same box load it was adjudicating and produced numbers WORSE
+    // than in-suite (a 2.2 s gate "isolated" at 15.3 s) — misleading
+    // artifacts a reader would take for a 7x regression. A trivial
+    // SENTINEL gate rides along in the fresh JVM: when its time exceeds
+    // 1.5x its committed record, the box is hot — retry once, and if
+    // still hot attach `inconclusive:true` + the sentinel ratio and
+    // load average so the artifact adjudicates itself.
+    var isolationMeta = ""
     val isolated: Map[String, Double] =
       if (only.nonEmpty) Map.empty
       else {
@@ -87,7 +96,12 @@ object Bench {
         // load-sensitive) — isolate EVERY member, so the family's
         // isolated numbers are a coherent quiet-JVM set instead of a
         // mixed record the next round's 3x detector compares against.
-        val famOf = (n: String) => n.takeWhile(_ != '_')
+        // family = the first TWO '_'-delimited tokens (dsv2_parquet vs
+        // dsv2_rest are distinct families): a one-token key would make
+        // all 125 dsv2_* gates one family, so any 3 unrelated dsv2
+        // outliers under load would trigger a full-suite-sized
+        // isolation re-run far beyond what the heuristic targets
+        val famOf = (n: String) => n.split("_").take(2).mkString("_")
         val spikedFams = outliers.groupBy(famOf)
           .collect { case (f, ms) if ms.size >= 3 => f }.toSet
         val expanded =
@@ -102,7 +116,32 @@ object Bench {
               (if (spikedFams.isEmpty) ""
                else s" + families ${spikedFams.mkString(",")}") +
               s") in a fresh JVM: ${expanded.mkString(",")}")
-          BenchIsolate.freshJvmRun(expanded, sfDir, repeat)
+          val sentinel = "scan_projection"
+          val toRun = (expanded.toSet + sentinel).toSeq.sorted
+          var attempt = 0
+          var res = Map.empty[String, Double]
+          var sentRatio = Option.empty[Double]
+          var quiet = false
+          while (attempt < 2 && !quiet) {
+            res = BenchIsolate.freshJvmRun(toRun, sfDir, repeat)
+            sentRatio = for {
+              c <- committed.get(sentinel) if c > 0.0
+              t <- res.get(sentinel)
+            } yield t / c
+            // no sentinel history/result = nothing to adjudicate with —
+            // don't burn a retry on it
+            quiet = sentRatio.forall(_ <= 1.5)
+            attempt += 1
+            if (!quiet && attempt < 2)
+              System.err.println(s"[bench] isolation sentinel hot " +
+                s"(${sentRatio.map(fmt).getOrElse("?")}x committed) — retrying")
+          }
+          val load = java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean.getSystemLoadAverage
+          isolationMeta = s""","isolation_meta":{"sentinel_ratio":""" +
+            sentRatio.map(fmt).getOrElse("null") +
+            s""","loadavg":${fmt(load)},"inconclusive":${!quiet}}"""
+          res - sentinel
         }
       }
     val isoJson =
@@ -138,7 +177,7 @@ object Bench {
     // map — round 8's single combined line outgrew the captured tail and
     // left BENCH_r08.json unparseable ("parsed": null).
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$ratioJson$isoJson}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$ratioJson$isoJson$isolationMeta}""")
     // The driver captures only a bounded TAIL of stdout, which truncates the
     // head of the (100+-entry) per-query line — round 9 lost the ~21
     // alphabetically-earliest medians. Persist the full map so per-query
@@ -153,7 +192,7 @@ object Bench {
     // (SPARK_GRAFT_ONLY) profiling runs write neither.
     if (only.isEmpty) {
       val line =
-        s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}$ratioJson$isoJson}
+        s"""{"metric":"queries","queries":$qs,"sf":"$sfDir","total_sec":${fmt(total)}$ratioJson$isoJson$isolationMeta}
 """.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_QUERIES_RUN.json"), line)

@@ -689,11 +689,13 @@ object SparkEntry {
 
   /** The INDEXED MULTI-VECTOR fixture: the hetero rows carrying the
     * ragged multi field (vec_id % 3 = 0; the query id 0 excluded),
-    * sealed as a parquet store with the POOLED-key graph sidecar —
-    * candidates walk the pooled per-segment graphs, the exact MaxSim
-    * kernel rescores only the margin from the segment partitions.
-    * `hnswEf` past the segment size + candidateK=128 over k=10 make
-    * the page exact at both SFs vs the brute MaxSim oracle.
+    * sealed as a parquet store with the POOLED-key graph sidecar AND
+    * its int8 codes tier — candidates walk the pooled per-segment
+    * graphs over the QUANTIZED keys (1 byte/dim resident, the dense
+    * tier's memory win on the corpora that are fattest per point), the
+    * exact MaxSim kernel rescores only the margin from the segment
+    * partitions. `hnswEf` past the segment size + candidateK=128 over
+    * k=10 make the page exact at both SFs vs the brute MaxSim oracle.
     */
   private val parquetMultiVecIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
@@ -708,9 +710,42 @@ object SparkEntry {
         df, pqDir, field = "multi_embeddings",
         multiColumn = "multi_embeddings", m = 8, efConstruction = 64,
         numSegments = 4)
+      graft.sources.ParquetCollectionStore.writeMultiHnswQuantizedSidecar(
+        df, pqDir, multiColumn = "multi_embeddings")
       new graft.sources.ParquetCollectionStore(pqDir, "hetero",
         Collections.heterogeneousDescriptor, hnswEf = 4096,
         hnswCandidateK = 128)
+    })
+
+  /** The FILTERED indexed multi-vector fixture: the same pooled-graph +
+    * codes-tier store PLUS a label payload index, opened with a small
+    * walk width and an exhaustive rescore margin (candidateK past any
+    * segment — every matched node becomes a candidate, so BOTH planner
+    * arms are exact). At gate scale the matched set sits under the
+    * micro-path dial (its 1024 floor) at both SFs, so the gate rides
+    * the exact arm; MultiIndexedSpec counter-asserts the accepting-WALK
+    * arm (and its quantized variant) at past-the-dial corpus size.
+    */
+  private val parquetMultiVecFilteredCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ParquetCollectionStore]
+
+  private def parquetMultiVecFilteredStore(s: SparkSession, dir: String): graft.sources.ParquetCollectionStore =
+    parquetMultiVecFilteredCache.getOrElseUpdate(dir, {
+      val pqDir = tempStoreDir("graft-pq-multivecf")
+      val df = Collections.heterogeneous(s, dir)
+        .filter(col("multi_embeddings").isNotNull && col("id") =!= "0")
+      graft.sources.ParquetCollectionStore.write(df, pqDir)
+      graft.sources.ParquetCollectionStore.writeMultiHnswSidecar(
+        df, pqDir, field = "multi_embeddings",
+        multiColumn = "multi_embeddings", m = 8, efConstruction = 64,
+        numSegments = 4)
+      graft.sources.ParquetCollectionStore.writeMultiHnswQuantizedSidecar(
+        df, pqDir, multiColumn = "multi_embeddings")
+      graft.sources.ParquetCollectionStore.writePayloadSidecar(
+        df.select("id", "payload"), pqDir, key = "label", kind = "int")
+      new graft.sources.ParquetCollectionStore(pqDir, "hetero",
+        Collections.heterogeneousDescriptor, hnswEf = 16,
+        hnswCandidateK = 4096)
     })
 
   /** The FILTERED-HNSW fixture: the same graph sidecar plus a
@@ -4813,6 +4848,37 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // FILTERED indexed multi-vector search: payload filter + ColBERT
+    // MaxSim served from the pooled-key graph — the dense filtered-HNSW
+    // planner (index-resolved matched ids, cost-based exact-micro vs
+    // accepting-walk arms) composed with the exact MaxSim rescore of
+    // the margin. The backend filters every query form uniformly (its
+    // ColBERT section sits beside the filtered sections,
+    // /root/reference/tests/bin/tests.sql:156-168); late-interaction +
+    // payload filter is the routine hybrid-retrieval shape. Exact at
+    // both SFs vs the brute filtered MaxSim oracle (gate scale rides
+    // the micro arm; MultiIndexedSpec pins BOTH arms by counter at
+    // past-the-dial corpus size).
+    "dsv2_multi_indexed_filtered" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("pq_multiidxf_store",
+        SparkEntry.parquetMultiVecFilteredStore(s, dir))
+      val qm = Collections.heterogeneous(s, dir)
+        .filter(col("id") === "0")
+        .select(col("multi_embeddings")).head()
+        .getSeq[scala.collection.Seq[Float]](0)
+      val mv = qm.map(_.map(x => java.lang.Double.toString(x.toDouble))
+        .mkString(",")).mkString(";")
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "pq_multiidxf_store").option("collection", "hetero")
+        .option("filter", "label:lte:5")
+        .option("search.field", "multi_embeddings")
+        .option("search.multiVector", mv)
+        .option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
     // the CATALOG surface: collections addressed as <catalog>.<name> in
     // plain SQL — configure the catalog once (conf), and reads resolve
     // through CollectionCatalog.loadTable to the same CollectionTable the
@@ -8849,6 +8915,22 @@ object SparkEntry {
         |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q2),
         |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q2)) AS m2
         |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0)
+        |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
+
+    // filtered indexed multi-vector: the planner arms (exact micro /
+    // accepting pooled walk) must be invisible — brute filtered MaxSim
+    "dsv2_multi_indexed_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q1,
+        |                  CAST(list_reverse(embedding) AS DOUBLE[]) AS q2
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT id, ROUND(m1 + m2, 6) AS score FROM (
+        |  SELECT CAST(e.vec_id AS VARCHAR) AS id,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q1),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q1)) AS m1,
+        |         greatest(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.q2),
+        |                  list_inner_product(CAST(list_reverse(e.embedding) AS DOUBLE[]), q.q2)) AS m2
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id <> 0 AND e.vec_id % 3 = 0 AND e.label <= 5)
         |ORDER BY score DESC, id ASC LIMIT 10""".stripMargin,
 
     // the indexed multi-vector serve must be invisible: same brute

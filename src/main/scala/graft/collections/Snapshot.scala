@@ -95,17 +95,52 @@ object Snapshot {
     */
   def createStorage(storeName: String, collection: String,
                     path: String): Unit = {
-    import graft.sources.{CollectionStores, ParquetCollectionStore}
-    val store = CollectionStores.get(storeName) match {
+    import graft.sources.{CollectionStores, ParquetCollectionStore,
+      ReplicatedCollectionStore, ShardedCollectionStore}
+    def parquetOf(s: graft.sources.CollectionStore,
+                  role: String): ParquetCollectionStore = s match {
       case p: ParquetCollectionStore => p
       case other => throw new IllegalArgumentException(
-        s"storage snapshots need a parquet-backed store, got " +
+        s"storage snapshots need parquet-backed $role, got " +
           other.getClass.getName)
     }
-    val desc = store.collectionInfo(collection)
-    copyTree(Paths.get(store.dir), Paths.get(path, "storage"))
-    Files.write(Paths.get(path, "MANIFEST"),
-      manifest(desc).getBytes(StandardCharsets.UTF_8))
+    CollectionStores.get(storeName) match {
+      case p: ParquetCollectionStore =>
+        val desc = p.collectionInfo(collection)
+        copyTree(Paths.get(p.dir), Paths.get(path, "storage"))
+        Files.write(Paths.get(path, "MANIFEST"),
+          manifest(desc).getBytes(StandardCharsets.UTF_8)): Unit
+      // SHARDED topology: one archive PER MEMBER (the backend snapshots
+      // per shard precisely so a cluster restores member by member —
+      // /root/reference/tests/bin/config.yaml:24-37,198) plus a topology
+      // manifest. Placement survives by construction: members restore in
+      // archive order and rendezvous routing depends only on (id, N).
+      case sh: ShardedCollectionStore =>
+        val desc = sh.collectionInfo(collection)
+        val ms = sh.shards.zipWithIndex
+          .map { case (m, i) => parquetOf(m, s"shard $i") }
+        ms.zipWithIndex.foreach { case (p, i) =>
+          copyTree(Paths.get(p.dir), Paths.get(path, s"member$i", "storage"))
+        }
+        Files.write(Paths.get(path, "MANIFEST"),
+          (manifest(desc) + s"\ntopology=sharded\nmembers=${ms.length}")
+            .getBytes(StandardCharsets.UTF_8)): Unit
+      // REPLICATED topology: replicas are interchangeable copies by the
+      // write-all contract, so ONE archive (the first replica's tree)
+      // restores the whole set — the backend's snapshot-transfer
+      // recovery shape, where a single replica's snapshot reseeds peers.
+      case rep: ReplicatedCollectionStore =>
+        val desc = rep.collectionInfo(collection)
+        val head = parquetOf(rep.replicas.head, "replica 0")
+        copyTree(Paths.get(head.dir), Paths.get(path, "member0", "storage"))
+        Files.write(Paths.get(path, "MANIFEST"),
+          (manifest(desc) +
+            s"\ntopology=replicated\nmembers=${rep.replicas.length}")
+            .getBytes(StandardCharsets.UTF_8)): Unit
+      case other => throw new IllegalArgumentException(
+        s"storage snapshots need a parquet-backed store (or a sharded/" +
+          s"replicated topology of them), got " + other.getClass.getName)
+    }
     ()
   }
 
@@ -113,19 +148,52 @@ object Snapshot {
     * `newStoreName`/`newName`: the copied tree IS the store — sidecars,
     * watermarks, tombstones, and changelog land exactly as archived, so
     * the first search serves from the restored index (pass the serving
-    * dials the original used). No rebuild, no re-seal.
+    * dials the original used). No rebuild, no re-seal. Topology
+    * snapshots re-compose: a `topology=sharded` manifest restores each
+    * member archive under `dir/m<i>` (archive order = shard order, so
+    * rendezvous placement is untouched) and registers the re-wrapped
+    * [[graft.sources.ShardedCollectionStore]]; `topology=replicated`
+    * reseeds every replica from the single archive (the interchangeable-
+    * copies contract) under `dir/r<i>` and re-wraps — each member's
+    * sidecars land serve-ready, exactly the single-store guarantee
+    * member by member.
     */
   def restoreStorage(spark: SparkSession, path: String, newStoreName: String,
                      newName: String, dir: String, ivfNprobe: Int = 0,
-                     ivfCandidateK: Int = 0, hnswEf: Int = 0): DataFrame = {
-    import graft.sources.{CollectionStores, ParquetCollectionStore}
+                     ivfCandidateK: Int = 0, hnswEf: Int = 0,
+                     hnswCandidateK: Int = 0): DataFrame = {
+    import graft.sources.{CollectionStores, ParquetCollectionStore,
+      ReplicatedCollectionStore, ShardedCollectionStore}
     val text = new String(Files.readAllBytes(Paths.get(path, "MANIFEST")),
       StandardCharsets.UTF_8)
     val desc = parseManifest(text, newName)
-    copyTree(Paths.get(path, "storage"), Paths.get(dir))
-    CollectionStores.register(newStoreName,
-      new ParquetCollectionStore(dir, newName, desc, ivfNprobe,
-        ivfCandidateK, hnswEf))
+    def member(d: String): ParquetCollectionStore =
+      new ParquetCollectionStore(d, newName, desc, ivfNprobe,
+        ivfCandidateK, hnswEf, hnswCandidateK)
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    def opt(key: String): Option[String] = lines
+      .collectFirst { case l if l.startsWith(s"$key=") => l.stripPrefix(s"$key=") }
+    (opt("topology"), opt("members").map(_.toInt)) match {
+      case (Some("sharded"), Some(n)) =>
+        val members = (0 until n).map { i =>
+          copyTree(Paths.get(path, s"member$i", "storage"),
+            Paths.get(dir, s"m$i"))
+          member(s"$dir/m$i")
+        }
+        CollectionStores.register(newStoreName,
+          new ShardedCollectionStore(members))
+      case (Some("replicated"), Some(n)) =>
+        val members = (0 until n).map { i =>
+          copyTree(Paths.get(path, "member0", "storage"),
+            Paths.get(dir, s"r$i"))
+          member(s"$dir/r$i")
+        }
+        CollectionStores.register(newStoreName,
+          new ReplicatedCollectionStore(members))
+      case _ =>
+        copyTree(Paths.get(path, "storage"), Paths.get(dir))
+        CollectionStores.register(newStoreName, member(dir))
+    }
     spark.read.format("graft.sources.CollectionDataSource")
       .option("store", newStoreName).option("collection", newName)
       .option("partitions", "4").load()

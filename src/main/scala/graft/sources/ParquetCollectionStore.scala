@@ -864,49 +864,146 @@ final class ParquetCollectionStore(
                                 pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
     spec.multiQuery.flatMap { qm =>
       hnswSidecar
-        .filter(sc => sc.kind == "multi" && sc.field == spec.field &&
-          pfilter.isEmpty)
+        .filter(sc => sc.kind == "multi" && sc.field == spec.field)
         .flatMap { sc =>
-          tailSince(sc.insertedAt).map { tail =>
-            hnswTailRescored.addAndGet(tail.added.size): Unit
-            val window = spec.k + spec.offset + tail.masked.size
+          if (pfilter.isEmpty)
+            multiIndexedUnfiltered(sc, c, spec, qm, withPayload,
+              vectorFields, pfilter)
+          else
+            multiIndexedFiltered(sc, c, spec, qm, withPayload,
+              vectorFields, pfilter)
+        }
+    }
+
+  private def multiIndexedUnfiltered(sc: HnswSidecar, c: String,
+                                     spec: SearchSpec,
+                                     qm: Array[Array[Double]],
+                                     withPayload: Boolean,
+                                     vectorFields: Seq[String],
+                                     pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    tailSince(sc.insertedAt).map { tail =>
+      hnswTailRescored.addAndGet(tail.added.size): Unit
+      val window = spec.k + spec.offset + tail.masked.size
+      val candK = math.max(
+        if (hnswCandidateK > 0) hnswCandidateK else 4 * window,
+        window)
+      val ef = math.max(hnswEf, candK)
+      val live: String => Boolean =
+        if (hnswDeadIds.isEmpty) _ => true else id => !hnswDeadIds(id)
+      val cands = multiCandidates(sc, spec, candK, ef, live)
+      val top = multiExactMaxSim(sc, c, spec, qm, withPayload,
+          vectorFields, cands)
+        .take(window).filterNot { case (p, _) => tail.masked(p.id) }
+      mergeBest(spec, top ++
+        tailScored(tail, spec, withPayload, vectorFields, pfilter))
+    }
+
+  /** The FILTERED pooled-key serve — the dense filtered-HNSW planner
+    * composed with the exact MaxSim rescore (the backend filters every
+    * query form uniformly: its ColBERT section sits beside the filtered
+    * sections, /root/reference/tests/bin/tests.sql:156-168): the
+    * matched-id set resolves exactly from the payload-index partitions
+    * ([[indexResolvedIds]]) and the serve plans by its cardinality —
+    * a matched set at or under the micro-path dial MaxSim-scores
+    * directly from the segment partitions (the graph never walks, exact
+    * outright); larger sets run the ACCEPTING pooled-key walk (int8
+    * codes when the tier is present) with ef widened by the inverse
+    * match fraction, then the exact MaxSim rescore of the accepted
+    * margin. Freshness: matched ids are AS OF the arm builds; the
+    * overlay replays from the OLDEST involved position and re-scores
+    * the tail under the CURRENT filter — same discipline as
+    * [[hnswFiltered]].
+    */
+  private def multiIndexedFiltered(sc: HnswSidecar, c: String,
+                                   spec: SearchSpec,
+                                   qm: Array[Array[Double]],
+                                   withPayload: Boolean,
+                                   vectorFields: Seq[String],
+                                   pfilter: PayloadFilter): Option[Seq[(Point, Double)]] =
+    indexResolvedIds(pfilter).flatMap { case (ids0, armBuilt) =>
+      val overlayAt = Seq(sc.insertedAt, armBuilt).filter(_ >= 0)
+        .reduceOption(_ min _).getOrElse(-1L)
+      tailSince(overlayAt).map { tail =>
+        hnswTailRescored.addAndGet(tail.added.size): Unit
+        val matched = ids0 -- tail.masked -- hnswDeadIds
+        val window = spec.k + spec.offset + tail.masked.size
+        val fresh = tailScored(tail, spec, withPayload, vectorFields, pfilter)
+        val total = math.max(pointCount(collection), 1L)
+        val ef0 = math.max(hnswEf, window)
+        val widenedEf = math.min(Int.MaxValue.toLong,
+          if (matched.isEmpty) 0L
+          else math.ceil(ef0.toDouble * total / matched.size).toLong)
+        val exactMax = math.max(math.max(4L * window, widenedEf),
+          ParquetCollectionStore.hnswFilteredExactMax.toLong)
+        val page: Seq[(Point, Double)] =
+          if (matched.isEmpty) Nil
+          else if (matched.size <= exactMax) {
+            hnswFilteredExactServes.incrementAndGet(): Unit
+            multiExactMaxSim(sc, c, spec, qm, withPayload, vectorFields,
+              matched)
+          } else {
+            hnswFilteredWalkServes.incrementAndGet(): Unit
             val candK = math.max(
               if (hnswCandidateK > 0) hnswCandidateK else 4 * window,
               window)
-            val ef = math.max(hnswEf, candK)
-            val live: String => Boolean =
-              if (hnswDeadIds.isEmpty) _ => true else id => !hnswDeadIds(id)
-            // candidate stage: the pooled-key walk (DOT preference —
-            // pooled(doc)·pooled(query) is the mean of the pairwise
-            // dots, the MaxSim surrogate the margin repairs)
-            val cands = (0 until sc.segments).flatMap { seg =>
-              hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
-                graft.ops.HnswSegment.search(pts, edges, spec.query,
-                  candK, ef, sc.seed, accept = live, metric = "dot")
-              }
-            }.map(_._1).toSet
-            // exact MaxSim rescore of ONLY the margin, from the
-            // segment partitions (they carry the full rows)
-            val want = (vectorFields :+ spec.field).distinct
-            val page = (0 until sc.segments).flatMap { seg =>
-              hnswSegmentStore(seg).toSeq.flatMap(st =>
-                st.queryPoints(c, 0L, st.pointCount(c), withPayload, want,
-                  None, idFilter = Some(cands)))
-            }.flatMap { p =>
-              p.multi.get(spec.field)
-                .map(dm => SearchSpec.scoreMulti(dm, qm))
-                .filter(spec.passes)
-                .map(s => (p, s))
-            }
-            val top = page.sortWith { case ((pa, sa), (pb, sb)) =>
-              if (sa != sb) sa > sb
-              else SparkStringOrder.gt(pb.id, pa.id)
-            }.take(window).filterNot { case (p, _) => tail.masked(p.id) }
-            mergeBest(spec, top ++
-              tailScored(tail, spec, withPayload, vectorFields, pfilter))
+            val cands = multiCandidates(sc, spec, candK,
+              math.max(widenedEf.toInt, candK), matched)
+            multiExactMaxSim(sc, c, spec, qm, withPayload, vectorFields,
+              cands).take(window)
           }
-        }
+        mergeBest(spec, page ++ fresh)
+      }
     }
+
+  /** Candidate ids for the pooled-key stage — the int8-codes walk when
+    * the codes tier is present and a rescore margin is configured (the
+    * full-precision pooled cache never loads; multi specs carry the DOT
+    * metric by construction, so [[quantCandidates]] takes its
+    * scale-rescaled dot arm), else the full-precision pooled walk. DOT
+    * preference either way: pooled(doc)·pooled(query) is the mean of
+    * the pairwise dots, the MaxSim surrogate the exact margin repairs.
+    */
+  private def multiCandidates(sc: HnswSidecar, spec: SearchSpec,
+                              candK: Int, ef: Int,
+                              admit: String => Boolean): Set[String] =
+    if (hnswCandidateK > 0 &&
+        new java.io.File(s"$dir/_hnsw/codes").isDirectory) {
+      hnswQuantServes.incrementAndGet(): Unit
+      quantCandidates(sc, spec, candK, ef, admit)
+    } else
+      (0 until sc.segments).flatMap { seg =>
+        hnswSegmentFor(sc, seg).toSeq.flatMap { case (pts, edges, _) =>
+          graft.ops.HnswSegment.search(pts, edges, spec.query,
+            candK, ef, sc.seed, accept = admit, metric = "dot")
+        }
+      }.map(_._1).toSet
+
+  /** Exact MaxSim rescore of ONLY the candidate margin, from the
+    * segment partitions (they carry the full rows — the primary corpus
+    * files never open) — best-first with the id tiebreak; callers
+    * window and mask.
+    */
+  private def multiExactMaxSim(sc: HnswSidecar, c: String, spec: SearchSpec,
+                               qm: Array[Array[Double]],
+                               withPayload: Boolean,
+                               vectorFields: Seq[String],
+                               cands: Set[String]): Seq[(Point, Double)] = {
+    val want = (vectorFields :+ spec.field).distinct
+    val page = (0 until sc.segments).flatMap { seg =>
+      hnswSegmentStore(seg).toSeq.flatMap(st =>
+        st.queryPoints(c, 0L, st.pointCount(c), withPayload, want,
+          None, idFilter = Some(cands)))
+    }.flatMap { p =>
+      p.multi.get(spec.field)
+        .map(dm => SearchSpec.scoreMulti(dm, qm))
+        .filter(spec.passes)
+        .map(s => (p, s))
+    }
+    page.sortWith { case ((pa, sa), (pb, sb)) =>
+      if (sa != sb) sa > sb
+      else SparkStringOrder.gt(pb.id, pa.id)
+    }
+  }
 
   /** Winners' requested pieces from the SEGMENT partitions — the
     * primary corpus files never open.
@@ -3286,8 +3383,17 @@ final class ParquetCollectionStore(
     // not — a one-node reachable graph) retires the sidecar instead
     ParquetCollectionStore.withParkedMarker(
         new java.io.File(s"$dir/_hnsw/field.txt")) {
-    val codesTier = kind == "dense" &&
-      new java.io.File(s"$dir/_hnsw/codes").isDirectory
+    val codesTier = new java.io.File(s"$dir/_hnsw/codes").isDirectory
+    // the codes row of a point: int8 of the float-narrowed NODE KEY —
+    // the field vector for dense graphs, the mean-pooled set for multi
+    // — the same bytes the offline writers lay (QuantKernel arithmetic,
+    // double pooling narrowed to float before quantizing)
+    def codesOf(p: Point): Option[(String, Array[Byte], Float)] =
+      (if (kind == "multi") pooledOf(p).map(_.map(_.toFloat))
+       else p.dense.get(field)).map { v =>
+        val (cd, s) = ParquetCollectionStore.int8Codes(v)
+        (p.id, cd, s)
+      }
     (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
       val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
       val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
@@ -3383,10 +3489,7 @@ final class ParquetCollectionStore(
             .filter(f => f.isFile && f.getName.endsWith(".parquet"))
             .flatMap(f => ParquetLog.readCodeRows(f.getAbsolutePath))
             .filterNot { case (id, _, _) => segDrops(id) }
-          val addCodes = batch.map { p =>
-            val (cd, s) = ParquetCollectionStore.int8Codes(p.dense(field))
-            (p.id, cd, s)
-          }
+          val addCodes = batch.flatMap(codesOf)
           wipe(codesDir)
           val finalCodes = keptCodes ++ addCodes
           if (finalCodes.nonEmpty) {
@@ -3412,10 +3515,7 @@ final class ParquetCollectionStore(
           codesDir.mkdirs()
           ParquetLog.writeCodeRows(
             new java.io.File(codesDir, f"inc-$newHead%012d.parquet"),
-            batch.map { p =>
-              val (cd, s) = ParquetCollectionStore.int8Codes(p.dense(field))
-              (p.id, cd, s)
-            })
+            batch.flatMap(codesOf))
         }
       }
       hnswIncInserts.addAndGet(batch.size): Unit
@@ -3717,18 +3817,21 @@ object ParquetCollectionStore {
         col("centroid").cast(ArrayType(FloatType)).as(vectorColumn))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_ivf/centroids")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
-      s"$field\n${logHeadOf(dir)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     // a rebuild re-absorbs everything the incremental path appended —
-    // watermark and tombstones reset to the fresh build
+    // watermark and tombstones reset to the fresh build. Flags clear
+    // BEFORE the marker writes: the marker is the COMMIT point (a crash
+    // before it leaves the sidecar invisible/parked, never a fresh
+    // marker shadowed by stale tombstones that would mask live ids).
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_ivf/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_ivf/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
+      s"$field\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** The OPTIMIZER job — qdrant's optimizer re-absorbing the unindexed
@@ -3762,20 +3865,15 @@ object ParquetCollectionStore {
       (if (new java.io.File(s"$dir/_pidx/meta.txt").isFile) Seq(s"$dir/_pidx")
        else Nil)
     keyed.foreach { base =>
-      val lines = new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$base/meta.txt")),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
-      val covered =
-        if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSeq
-        else Nil
-      writePayloadSidecar(
-        df.select((Seq("id", "payload") ++ covered).map(col): _*),
-        dir, key = lines(0), kind = lines(1))
+      // the shared parked-reseal slice (crash mid-overwrite retires the
+      // index instead of serving half-wiped partitions)
+      resealPayloadSidecar(spark, dir, base, Some(df))
       // a legacy root-layout index was rebuilt into k_<key>: retire the
       // root meta so the stale root partitions are never read again
+      // (parkedReseal already consumed it — the fresh marker landed in
+      // k_<key>, so the parked root copy was simply deleted)
       if (base == s"$dir/_pidx")
-        java.nio.file.Files.delete(
+        java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(s"$base/meta.txt")): Unit
     }
     resealGeoSidecar(spark, dir, Some(df))
@@ -3800,7 +3898,10 @@ object ParquetCollectionStore {
         java.nio.file.Files.readAllBytes(sparseMeta.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val df = primaries.getOrElse(spark.read.parquet(dir))
-      writeSparseSidecar(df, dir, field = lines(0), nBuckets = lines(1).toInt)
+      parkedReseal(sparseMeta) {
+        writeSparseSidecar(df, dir, field = lines(0),
+          nBuckets = lines(1).toInt)
+      }
     }
   }
 
@@ -3813,7 +3914,9 @@ object ParquetCollectionStore {
         java.nio.file.Files.readAllBytes(geoMeta.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val df = primaries.getOrElse(spark.read.parquet(dir))
-      writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
+      parkedReseal(geoMeta) {
+        writeGeoSidecar(df, dir, key = lines(0), bits = lines(1).toInt)
+      }
     }
   }
 
@@ -3826,7 +3929,10 @@ object ParquetCollectionStore {
         java.nio.file.Files.readAllBytes(textMeta.toPath),
         java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
       val df = primaries.getOrElse(spark.read.parquet(dir))
-      writeTextSidecar(df, dir, key = lines(0), nBuckets = lines(1).toInt)
+      parkedReseal(textMeta) {
+        writeTextSidecar(df, dir, key = lines(0),
+          nBuckets = lines(1).toInt)
+      }
     }
   }
 
@@ -3841,21 +3947,26 @@ object ParquetCollectionStore {
       val df = primaries.getOrElse(spark.read.parquet(dir))
       val vecCol = if (df.columns.contains(l(0))) l(0) else "vector"
       val kind = if (l.length > 7 && l(7).nonEmpty) l(7) else "dense"
-      if (kind == "multi")
-        writeMultiHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
-          field = l(0), multiColumn = vecCol, m = l(2).toInt,
-          efConstruction = l(3).toInt, numSegments = l(4).toInt,
-          seed = l(5).toLong)
-      else {
-        val hadCodes = new java.io.File(s"$dir/_hnsw/codes").isDirectory
-        writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
-          field = l(0), vectorColumn = vecCol, m = l(2).toInt,
-          efConstruction = l(3).toInt, numSegments = l(4).toInt,
-          seed = l(5).toLong,
-          metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine")
-        if (hadCodes)
-          writeHnswQuantizedSidecar(df.filter(col(vecCol).isNotNull), dir,
-            vectorColumn = vecCol)
+      val hadCodes = new java.io.File(s"$dir/_hnsw/codes").isDirectory
+      parkedReseal(hnswMeta) {
+        if (kind == "multi") {
+          writeMultiHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
+            field = l(0), multiColumn = vecCol, m = l(2).toInt,
+            efConstruction = l(3).toInt, numSegments = l(4).toInt,
+            seed = l(5).toLong)
+          if (hadCodes)
+            writeMultiHnswQuantizedSidecar(
+              df.filter(col(vecCol).isNotNull), dir, multiColumn = vecCol)
+        } else {
+          writeHnswSidecar(df.filter(col(vecCol).isNotNull), dir,
+            field = l(0), vectorColumn = vecCol, m = l(2).toInt,
+            efConstruction = l(3).toInt, numSegments = l(4).toInt,
+            seed = l(5).toLong,
+            metric = if (l.length > 6 && l(6).nonEmpty) l(6) else "cosine")
+          if (hadCodes)
+            writeHnswQuantizedSidecar(df.filter(col(vecCol).isNotNull), dir,
+              vectorColumn = vecCol)
+        }
       }
     }
   }
@@ -3880,12 +3991,15 @@ object ParquetCollectionStore {
           .withColumn(vecCol, col(vecCol).cast(ArrayType(DoubleType))),
         "id", vecCol, nlist = nlist, maxIter = ivfMaxIter)
       val cols = df.columns.toSeq :+ "cluster"
-      writeIvfSidecar(idx.clustered.select(cols.map(col): _*),
-        idx.centroids, dir, field = field, vectorColumn = vecCol)
-      if (new java.io.File(s"$dir/_ivf/codes").isDirectory)
-        writeIvfQuantizedSidecar(
-          idx.clustered.select(col("id"), col(vecCol), col("cluster")),
-          dir, vectorColumn = vecCol)
+      val hadCodes = new java.io.File(s"$dir/_ivf/codes").isDirectory
+      parkedReseal(ivfMeta) {
+        writeIvfSidecar(idx.clustered.select(cols.map(col): _*),
+          idx.centroids, dir, field = field, vectorColumn = vecCol)
+        if (hadCodes)
+          writeIvfQuantizedSidecar(
+            idx.clustered.select(col("id"), col(vecCol), col("cluster")),
+            dir, vectorColumn = vecCol)
+      }
       idx.clustered.unpersist(): Unit
     }
   }
@@ -3906,9 +4020,11 @@ object ParquetCollectionStore {
         if (lines.length > 2 && lines(2).nonEmpty) lines(2).split(",").toSeq
         else Nil
       val df = primaries.getOrElse(spark.read.parquet(dir))
-      writePayloadSidecar(
-        df.select((Seq("id", "payload") ++ covered).map(col): _*),
-        dir, key = lines(0), kind = lines(1))
+      parkedReseal(meta) {
+        writePayloadSidecar(
+          df.select((Seq("id", "payload") ++ covered).map(col): _*),
+          dir, key = lines(0), kind = lines(1))
+      }
     }
   }
 
@@ -3979,17 +4095,18 @@ object ParquetCollectionStore {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$base/points")
     val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$base/meta.txt"),
-      s"$key\n$bits\n$covered\n${logHeadOf(dir)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    // a rebuild re-absorbs everything the incremental path appended
+    // a rebuild re-absorbs everything the incremental path appended;
+    // flags clear BEFORE the marker — the marker is the commit point
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/meta.txt"),
+      s"$key\n$bits\n$covered\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Token -> bucket: Java String.hashCode (a stable, documented hash),
@@ -4035,13 +4152,10 @@ object ParquetCollectionStore {
         .otherwise(size(toks).cast(LongType)).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
     val totalTokens = if (st.isNullAt(1)) 0L else st.getLong(1)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$base/meta.txt"),
-      s"$key\n$nBuckets\n${logHeadOf(dir)}\n${st.getLong(0)} $totalTokens"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     // a rebuild re-absorbs everything the incremental path appended —
     // watermark, tombstones, and the live-stats override reset to the
-    // fresh build (the meta's stats line is current again)
+    // fresh build (the meta's stats line is current again); flags clear
+    // BEFORE the marker — the marker is the commit point
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
@@ -4050,6 +4164,10 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/stats.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/meta.txt"),
+      s"$key\n$nBuckets\n${logHeadOf(dir)}\n${st.getLong(0)} $totalTokens"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Log position a sidecar build seals as its FRESHNESS POINT: the
@@ -4143,16 +4261,13 @@ object ParquetCollectionStore {
       .repartition(col("seg"))
       .write.mode("overwrite").partitionBy("seg")
       .parquet(s"$dir/_hnsw/edges")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
-      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     // a rebuild re-absorbs everything the incremental path had appended
     // — the insert watermark resets to the fresh build position and the
     // tombstoned ghosts are reclaimed (the rebuild never saw them).
     // The codes tier is invalidated (ids/segments changed) —
     // [[writeHnswQuantizedSidecar]] re-lays it when the tier is wanted
-    // (the reseal paths do this automatically).
+    // (the reseal paths do this automatically). Flags clear BEFORE the
+    // marker writes — the marker is the commit point.
     deleteTree(new java.io.File(s"$dir/_hnsw/codes"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
@@ -4160,6 +4275,10 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
+      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Lay the QUANTIZED walk tier beside the HNSW sidecar
@@ -4230,20 +4349,15 @@ object ParquetCollectionStore {
     // the pooled keys, computed engine-side in the SAME row order the
     // scala meanPool uses (zip_with row-fold, double accumulation)
     val pooled = narrowed.select(col("id"),
-      expr(s"transform(aggregate($multiColumn, " +
-        s"array_repeat(cast(0.0 as double), size($multiColumn[0])), " +
-        s"(acc, x) -> zip_with(acc, x, (a, b) -> a + cast(b as double))), " +
-        s"a -> a / size($multiColumn))").as("__pooled"))
+      pooledExpr(multiColumn).as("__pooled"))
     graft.ops.Ann.buildHnsw(pooled, "id", "__pooled", m = m,
         efConstruction = efConstruction, numSegments = numSegments,
         seed = seed, metric = "dot")
       .repartition(col("seg"))
       .write.mode("overwrite").partitionBy("seg")
       .parquet(s"$dir/_hnsw/edges")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
-      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\ndot\nmulti"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // flags clear BEFORE the marker writes — the marker is the commit
+    // point (same discipline as [[writeHnswSidecar]])
     deleteTree(new java.io.File(s"$dir/_hnsw/codes"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt")): Unit
@@ -4251,6 +4365,64 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
+      s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\ndot\nmulti"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** The pooled-key SQL form — engine-side mean pooling in the SAME
+    * row-fold order as [[SearchSpec.meanPool]] (double accumulation,
+    * divide by the set size), shared by the multi graph build and its
+    * codes tier so both index the identical key.
+    */
+  private def pooledExpr(multiColumn: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"transform(aggregate($multiColumn, " +
+        s"array_repeat(cast(0.0 as double), size($multiColumn[0])), " +
+        s"(acc, x) -> zip_with(acc, x, (a, b) -> a + cast(b as double))), " +
+        s"a -> a / size($multiColumn))")
+
+  /** Lay the QUANTIZED walk tier beside a MULTI-VECTOR HNSW sidecar
+    * (`dir/_hnsw/codes`): per-segment int8 codes of the MEAN-POOLED
+    * keys — the same pooled form the graphs index, float-narrowed then
+    * quantized with [[graft.ops.Quant]]'s symmetric per-vector scheme —
+    * partitioned by the SAME seeded segment hash (dials read from the
+    * meta, so call AFTER [[writeMultiHnswSidecar]]). A store opened
+    * with `hnswEf > 0` AND `hnswCandidateK > 0` then walks the pooled
+    * graphs over the codes (1 byte/dim resident vs 8 — the dense tier's
+    * memory win, which matters MOST for late-interaction corpora: their
+    * full rows are the fattest per point) and the exact MaxSim rescore
+    * of the candidate margin is unchanged — the backend's
+    * quantized-HNSW memory configuration applied to its multivector
+    * comparator (/root/reference/tests/bin/config.yaml:217-219 beside
+    * tests/e2e.rs:142-147).
+    */
+  def writeMultiHnswQuantizedSidecar(df: DataFrame, dir: String,
+                                     multiColumn: String = "multi"): Unit = {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val l = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/_hnsw/field.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").map(_.trim)
+    val (numSegments, seed) = (l(4).toInt, l(5).toLong)
+    val narrowed = df
+      .withColumn(multiColumn,
+        col(multiColumn).cast(ArrayType(ArrayType(FloatType))))
+      .filter(col(multiColumn).isNotNull &&
+        expr(s"size($multiColumn) > 0"))
+    graft.ops.Quant.quantizeColumn(
+        narrowed.select(col("id"),
+          pooledExpr(multiColumn).cast(ArrayType(FloatType)).as("__pooled")),
+        "__pooled", "v8")
+      .filter(col("v8_codes").isNotNull)
+      .select(col("id"), col("v8_codes").as("codes"),
+        col("v8_scale").as("scale"))
+      .withColumn("seg",
+        graft.ops.HnswSegment.segCol(col("id"), numSegments, seed))
+      .repartition(col("seg"))
+      .write.mode("overwrite").partitionBy("seg")
+      .parquet(s"$dir/_hnsw/codes")
   }
 
   def writeSparseSidecar(df: DataFrame, dir: String, field: String,
@@ -4260,17 +4432,18 @@ object ParquetCollectionStore {
       .repartition(col("db"))
       .write.mode("overwrite").partitionBy("db")
       .parquet(s"$dir/_sparse/points")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/_sparse/meta.txt"),
-      s"$field\n$nBuckets\n${logHeadOf(dir)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    // a rebuild re-absorbs everything the incremental path appended
+    // a rebuild re-absorbs everything the incremental path appended;
+    // flags clear BEFORE the marker — the marker is the commit point
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_sparse/inserted.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_sparse/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_sparse/absorbed.txt")): Unit
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_sparse/meta.txt"),
+      s"$field\n$nBuckets\n${logHeadOf(dir)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   /** Selectivity dial for the payload-index pre-filter arm: serve from
@@ -4398,6 +4571,12 @@ object ParquetCollectionStore {
     }
   }
 
+  /** Inverse of [[escapeFlag]], tolerant of PRE-ESCAPING legacy lines:
+    * a literal `%` not followed by two hex digits (a flag written before
+    * escaping existed) emits verbatim instead of throwing — the same
+    * tolerant-read discipline as [[readWatermark]], so one legacy line
+    * can never crash every subsequent open of the store.
+    */
   private[graft] def unescapeFlag(s: String): String =
     if (s.indexOf('%') < 0) s
     else {
@@ -4405,10 +4584,11 @@ object ParquetCollectionStore {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (c == '%' && i + 3 <= s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
+        val hi = if (c == '%' && i + 3 <= s.length)
+          Character.digit(s.charAt(i + 1), 16) else -1
+        val lo = if (hi >= 0) Character.digit(s.charAt(i + 2), 16) else -1
+        if (lo >= 0) { sb.append((hi * 16 + lo).toChar); i += 3 }
+        else { sb.append(c); i += 1 }
       }
       sb.toString
     }
@@ -4481,6 +4661,31 @@ object ParquetCollectionStore {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     out
   }
+
+  /** Run a full-sidecar RESEAL — a `mode(overwrite)` partition rewrite
+    * whose `work` ends by writing a FRESH marker itself — with the OLD
+    * marker parked for the duration. A crash (or throw) mid-overwrite
+    * leaves the marker parked: the half-wiped sidecar is invisible to
+    * every subsequent open and serves fall back to the exact primaries,
+    * instead of the old marker + old watermark silently claiming
+    * currency over partially rewritten partitions (the bulk-maintenance
+    * arm routes ORDINARY online upserts here, so this window is a
+    * serving-path hazard, not just an offline-job one). On completion
+    * the parked copy is DELETED — unlike [[withParkedMarker]], which
+    * restores it, because the reseal's own fresh marker is the new
+    * truth. No-marker dirs (first build) run unparked: there is nothing
+    * stale to claim currency.
+    */
+  private[graft] def parkedReseal(marker: java.io.File)(work: => Unit): Unit =
+    if (!marker.isFile) work
+    else {
+      val parked = new java.io.File(marker.getParentFile,
+        marker.getName + ".parked")
+      java.nio.file.Files.move(marker.toPath, parked.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      work // writes the fresh marker; a throw leaves the old one parked
+      java.nio.file.Files.deleteIfExists(parked.toPath): Unit
+    }
 
   /** The node key a point contributes to an HNSW sidecar of `kind`:
     * its own vector (dense graphs) or the mean-pooled form of its
@@ -4587,6 +4792,15 @@ object ParquetCollectionStore {
       .repartition(col("value"))
       .write.mode("overwrite").partitionBy("value")
       .parquet(s"$base/points")
+    // a rebuild re-absorbs everything the incremental path appended —
+    // watermark and tombstones reset to the fresh build; flags clear
+    // BEFORE the marker — the marker is the commit point
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/dead.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
     // meta line 3: the covered vector columns — the pre-filter search
     // arm serves only fields the sidecar actually carries
     val covered = df.columns.filterNot(Set("id", "payload")).mkString(",")
@@ -4594,13 +4808,5 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$base/meta.txt"),
       s"$key\n$kind\n$covered\n${logHeadOf(dir)}"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
-    // a rebuild re-absorbs everything the incremental path appended —
-    // watermark and tombstones reset to the fresh build
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$base/inserted.txt")): Unit
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$base/dead.txt")): Unit
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$base/absorbed.txt")): Unit
   }
 }

@@ -262,8 +262,12 @@ final class ReplicatedCollectionStore(
       val n = rs.length
       val results = new Array[Either[Throwable, CollectionStore]](n)
       val live = (0 until n).filter(ok(_))
-      if (live.length <= 1) {
-        // no fan-out to pay for — apply on the caller thread
+      if (live.length <= 1 || ShardedCollectionStore.onScatterThread) {
+        // no fan-out to pay for (single replica) — or the caller IS a
+        // scatter-pool worker (this wrapper is a member of an outer
+        // fan-out): submit-and-blocking on the pool we occupy can
+        // exhaust it and deadlock permanently under nested topologies,
+        // so apply sequentially on the caller thread instead
         live.foreach { i =>
           results(i) = try Right(f(rs(i)))
           catch { case e: Throwable => Left(e) }

@@ -137,6 +137,14 @@ final class ShardedCollectionStore(shards0: IndexedSeq[CollectionStore])
   private def scatter[A, T](items: IndexedSeq[A])(f: A => T): IndexedSeq[T] =
     if (items.isEmpty) IndexedSeq.empty
     else if (items.length == 1) IndexedSeq(f(items.head))
+    // CALLER-RUNS fallback: a fan-out issued FROM a scatter-pool thread
+    // (nested wrapper topologies — replicated-of-sharded-of-…) must not
+    // submit-and-block on the same fixed-size pool; enough nested
+    // levels would park every worker waiting on tasks nothing is left
+    // to run (permanent deadlock). Sequential on the nested level costs
+    // only that level's parallelism — the outermost fan-out still
+    // overlaps the members.
+    else if (ShardedCollectionStore.onScatterThread) items.map(f)
     else {
       val fs = items.map(a => ShardedCollectionStore.scatterPool.submit(
         new java.util.concurrent.Callable[T] { def call(): T = f(a) }))
@@ -1045,6 +1053,15 @@ object ShardedCollectionStore {
       (r: Runnable) => {
         val t = new Thread(r, "graft-scatter"); t.setDaemon(true); t
       })
+
+  /** Is the current thread a scatter-pool worker? Nested fan-outs
+    * (wrapper-of-wrapper topologies) check this and run caller-inline
+    * instead of submit-and-blocking on the pool they occupy — the
+    * fixed-size pool otherwise deadlocks when every worker waits on a
+    * task no free worker exists to run.
+    */
+  private[sources] def onScatterThread: Boolean =
+    Thread.currentThread().getName.startsWith("graft-scatter")
 
   /** One journaled run of a shard's log: `count` entries at local
     * positions [localStart, localStart+count) occupy global positions

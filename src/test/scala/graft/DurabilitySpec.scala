@@ -48,6 +48,62 @@ class DurabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("a legacy un-escaped flag line decodes verbatim instead of crashing the open") {
+    // pre-escaping dead.txt lines may carry a literal '%' NOT followed
+    // by two hex digits — the tolerant read emits those characters
+    // as-is (same discipline as torn-watermark reads), never throws
+    val legacy = Seq("%", "a%", "a%2", "50%-off", "%zz", "%%25", "%-5x")
+    legacy.foreach { s =>
+      val got = ParquetCollectionStore.unescapeFlag(s)
+      assert(got.length >= s.count(_ != '%'), s)
+    }
+    assert(ParquetCollectionStore.unescapeFlag("50%-off") === "50%-off")
+    assert(ParquetCollectionStore.unescapeFlag("a%2") === "a%2")
+    assert(ParquetCollectionStore.unescapeFlag("%zz") === "%zz")
+    // signed "hex" is NOT an escape — only two hex digits decode
+    assert(ParquetCollectionStore.unescapeFlag("%-5x") === "%-5x")
+    // real escapes still decode beside legacy residue
+    assert(ParquetCollectionStore.unescapeFlag("%2550%-off") === "%50%-off")
+  }
+
+  test("a bulk reseal interrupted mid-overwrite parks the marker (exact serve, no stale claim)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-durrs").toString
+    val df = (0 until 40).map { i =>
+      val a = (i + 1) * 0.17
+      (f"$i%03d", s"""{"g":${i % 2}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, dir, numFiles = 1, withLog = true)
+    ParquetCollectionStore.writeSparseSidecar(
+      df.selectExpr("id", "array(0, 1) as kw_indices",
+        "array(cast(1.0 as float), cast(2.0 as float)) as kw_values"),
+      dir, field = "kw")
+    val marker = new java.io.File(s"$dir/_sparse/meta.txt")
+    assert(marker.isFile)
+    // a reseal that dies mid-overwrite: the parked marker stays parked
+    intercept[RuntimeException] {
+      ParquetCollectionStore.parkedReseal(marker) {
+        throw new RuntimeException("crash mid-overwrite")
+      }
+    }
+    assert(!marker.isFile, "the marker must not claim currency")
+    assert(new java.io.File(s"$dir/_sparse/meta.txt.parked").isFile)
+    // a completed reseal consumes the parked copy and leaves the fresh
+    // marker the work wrote
+    java.nio.file.Files.move(
+      new java.io.File(s"$dir/_sparse/meta.txt.parked").toPath,
+      marker.toPath): Unit
+    ParquetCollectionStore.parkedReseal(marker) {
+      ParquetCollectionStore.writeSparseSidecar(
+        df.selectExpr("id", "array(0, 1) as kw_indices",
+          "array(cast(1.0 as float), cast(2.0 as float)) as kw_values"),
+        dir, field = "kw")
+    }
+    assert(marker.isFile)
+    assert(!new java.io.File(s"$dir/_sparse/meta.txt.parked").isFile)
+  }
+
   test("atomicWriteText replaces content and leaves no temp file") {
     val p = java.nio.file.Files.createTempDirectory("graft-awt")
       .resolve("w.txt")
