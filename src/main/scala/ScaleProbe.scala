@@ -17,7 +17,7 @@ object ScaleProbe {
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
       "sharded", "recallc", "recallc2", "storehnsw", "topology",
-      "maintain", "quanthnsw")
+      "maintain", "quanthnsw", "snaprestore")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1392,6 +1392,80 @@ object ScaleProbe {
         s"point-write volume=$volume " +
         s"(= moved x replicas x 2 ± dual-write window: " +
         s"${moved * 2 * 2} nominal)")
+    }
+
+    // RESTORED-TOPOLOGY SERVE: storage snapshot + restore wall-time vs
+    // member count, and the recovery-readiness property an operator
+    // sizes DR against — the FIRST search on every restored member is
+    // graph-served with the primaries closed (no rebuild, no re-seal).
+    // The copy is whole-file (the distcp shape): wall time tracks total
+    // bytes, ~flat in member count at fixed corpus — at 100 TB each
+    // member's archive moves as an object-store server-side copy in
+    // parallel, so the slope an operator plans against is bytes/member,
+    // not members.
+    section("snaprestore") {
+      import graft.sources._
+      import graft.collections.{CollectionDescriptor, DenseField, Snapshot}
+      import spark.implicits._
+      val dim = 64
+      val nRows = 8000
+      val desc = CollectionDescriptor("embeddings",
+        Seq(DenseField("vector", dim)), named = false)
+      val rnd = new scala.util.Random(7L)
+      val rows = (0 until nRows).map { i =>
+        (f"$i%06d", s"""{"label":${i % 10}}""",
+          Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      val qv = rows(7)._3.map(_.toDouble)
+      val spec = SearchSpec("vector", qv, "cosine", 10)
+      for (m <- Seq(1, 2, 4)) {
+        val byShard = rows.groupBy(r =>
+          ShardedCollectionStore.assignShard(r._1, m))
+        val members = (0 until m).map { i =>
+          val d = java.nio.file.Files
+            .createTempDirectory(s"probe-snap-m$m-$i").toString
+          val df = byShard.getOrElse(i, Seq.empty)
+            .toDF("id", "payload", "vector")
+          ParquetCollectionStore.write(df, d, numFiles = 2, withLog = true)
+          ParquetCollectionStore.writeHnswSidecar(df, d, field = "vector",
+            m = 8, efConstruction = 32, numSegments = 2)
+          new ParquetCollectionStore(d, "embeddings", desc, hnswEf = 512)
+        }
+        val store: CollectionStore =
+          if (m == 1) members.head else new ShardedCollectionStore(members)
+        CollectionStores.register(s"probe_snap_src_$m", store)
+        val arch = java.nio.file.Files
+          .createTempDirectory(s"probe-snap-arch$m").toString
+        time(s"snaprestore_create m=$m (${nRows} x d$dim)") {
+          Snapshot.createStorage(s"probe_snap_src_$m", "embeddings", arch)
+          nRows.toLong
+        }
+        val dst = java.nio.file.Files
+          .createTempDirectory(s"probe-snap-dst$m").toString
+        time(s"snaprestore_restore m=$m") {
+          Snapshot.restoreStorage(spark, arch, s"probe_snap_rst_$m",
+            "embeddings", dst, hnswEf = 512)
+          nRows.toLong
+        }
+        val rst = CollectionStores.get(s"probe_snap_rst_$m")
+        time(s"snaprestore_first_search m=$m") {
+          rst.searchPoints("embeddings", spec, withPayload = false, Nil)
+            .size.toLong
+        }
+        val mems = rst match {
+          case sh: ShardedCollectionStore => sh.shards
+          case p => IndexedSeq(p)
+        }
+        mems.foreach { mm =>
+          val p = mm.asInstanceOf[ParquetCollectionStore]
+          require(p.hnswSegmentsLoaded.get() > 0L,
+            s"restored member must serve graph-side (m=$m)")
+          require(p.filesOpened.get() == 0L,
+            s"restored member opened primaries (m=$m)")
+        }
+        println(s"[probe] snaprestore m=$m: every restored member " +
+          "graph-served, primaries closed")
+      }
     }
 
     // ONLINE ANN MAINTENANCE cost shape at the recallc2 shape

@@ -1034,6 +1034,54 @@ object SparkEntry {
       sh
     })
 
+  /** The SHARDED storage-snapshot fixture: two rendezvous shards, each
+    * a log-enabled lakehouse member with its OWN per-segment HNSW
+    * graphs, then the freshness churn (5 inserts, update id 7 to
+    * vec_id 42's vector, delete id 13) routed THROUGH the wrapper so
+    * every member absorbs its slice online. The gate snapshots this
+    * member-by-member ([[graft.collections.Snapshot.createStorage]]'s
+    * sharded arm — the backend's per-shard snapshot semantics,
+    * /root/reference/tests/bin/config.yaml:24-37,198), restores the
+    * re-wrapped topology, and the FIRST search must be graph-served
+    * over the churned state (SnapshotTopologySpec counter-asserts
+    * primaries-closed on every restored member).
+    */
+  private val shardedSnapCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
+
+  private def shardedSnapStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedSnapCache.getOrElseUpdate(dir, {
+      val df = hom(s, dir).select("id", "payload", "vector")
+      val members = (0 until 2).map { i =>
+        val own = df.filter(shardOf2(col("id")) === i)
+        val d = tempStoreDir(s"graft-pq-shsnap$i")
+        graft.sources.ParquetCollectionStore.write(own, d, withLog = true)
+        graft.sources.ParquetCollectionStore.writeHnswSidecar(
+          own, d, field = "vector", m = 8, efConstruction = 64,
+          numSegments = 2)
+        new graft.sources.ParquetCollectionStore(d, "embeddings",
+          Collections.homogeneousDescriptor, hnswEf = 2048)
+      }
+      val sh = new graft.sources.ShardedCollectionStore(members)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      sh.upsertPoints("embeddings", adds.toIndexedSeq :+
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec)))
+      sh.deletePoints("embeddings", Set("13"))
+      sh
+    })
+
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
     * sealing the ingest. The CACHED form backs read-only gates
@@ -3439,6 +3487,37 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "snap_idx_rst").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // STORAGE snapshot of a SHARDED topology: the churned 2-member
+    // store archives member-by-member (the backend snapshots per shard
+    // precisely so a cluster restores member by member —
+    // /root/reference/tests/bin/config.yaml:24-37,198), the restore
+    // re-wraps the topology under fresh dirs, and the FIRST search is
+    // graph-served on every restored member over the churned state —
+    // the brute oracle over the FINAL state must match exactly.
+    // SnapshotTopologySpec counter-asserts primaries-closed serves.
+    "dsv2_sharded_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sh_snap_src",
+        SparkEntry.shardedSnapStore(s, dir))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-snap-sh").toString
+      graft.collections.Snapshot.createStorage("sh_snap_src",
+        "embeddings", path)
+      graft.collections.Snapshot.restoreStorage(s, path, "sh_snap_rst",
+        "embeddings", SparkEntry.tempStoreDir("graft-snap-sh-dst"),
+        hnswEf = 2048)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 29)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sh_snap_rst").option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -8146,6 +8225,27 @@ object SparkEntry {
     "dsv2_snapshot_indexed" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 23),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // sharded storage snapshot: the member-by-member archive/restore
+    // hop must be invisible — same churned-state brute oracle family
+    "dsv2_sharded_snapshot" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 29),
         |base AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v

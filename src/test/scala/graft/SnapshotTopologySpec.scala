@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.collections._
+import graft.sources._
+
+/** Storage snapshots of the DEPLOYMENT topologies: a sharded store
+  * archives member-by-member (the backend snapshots per shard precisely
+  * so a cluster restores member by member —
+  * /root/reference/tests/bin/config.yaml:24-37,198), a replica set
+  * archives once and reseeds every replica (the snapshot-transfer
+  * recovery shape). Either way the restored members' sidecars are
+  * SERVE-READY: the first search walks the restored graphs with the
+  * primaries closed — no rebuild, no re-seal.
+  */
+class SnapshotTopologySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dim = 4
+  private val desc = CollectionDescriptor("c",
+    Seq(DenseField("vector", dim)), named = false)
+
+  private def vec(i: Int): Array[Float] = {
+    val r = new java.util.Random(i * 2654435761L)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private def mkMember(ids: Seq[Int], prefix: String): ParquetCollectionStore = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    val df = ids.map(i => (f"$i%04d", s"""{"g":${i % 2}}""", vec(i)))
+      .toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, d, numFiles = 1, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, d, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 1)
+    new ParquetCollectionStore(d, "c", desc, hnswEf = 1024)
+  }
+
+  test("sharded storage snapshot restores serve-ready members (primaries closed, churn carried)") {
+    val n = 60
+    // seed by the wrapper's OWN placement so routed churn lands on the
+    // member that already owns the id
+    val byShard = (0 until n)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    val members = (0 until 2)
+      .map(s0 => mkMember(byShard.getOrElse(s0, Nil), s"graft-shsnap$s0"))
+    val sh = new ShardedCollectionStore(members.toIndexedSeq)
+    // churn THROUGH the wrapper: a guaranteed winner + a delete — the
+    // snapshot must carry the absorbed state, not the sealed one
+    val q = vec(991).map(_.toDouble)
+    sh.upsertPoints("c", IndexedSeq(Point("winner", Some("""{"g":1}"""),
+      dense = Map("vector" -> q.map(_.toFloat)))))
+    sh.deletePoints("c", Set("0003"))
+    CollectionStores.register("shsnap_src", sh)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-shsnap-arch").toString
+    Snapshot.createStorage("shsnap_src", "c", path)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-shsnap-dst").toString
+    Snapshot.restoreStorage(spark, path, "shsnap_rst", "c", dst,
+      hnswEf = 1024)
+    val rst = CollectionStores.get("shsnap_rst")
+      .asInstanceOf[ShardedCollectionStore]
+    assert(rst.shardCount === 2)
+    val spec = SearchSpec("vector", q, "cosine", 5)
+    val got = rst.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2))
+    val want = sh.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2))
+    assert(got === want)
+    assert(got.head._1 === "winner")
+    assert(!got.exists(_._1 == "0003"))
+    // every restored member served GRAPH-side, primaries closed — the
+    // snapshot carried each member's index, serve-ready
+    rst.shards.foreach { m =>
+      val p = m.asInstanceOf[ParquetCollectionStore]
+      assert(p.hnswSegmentsLoaded.get() > 0L)
+      assert(p.filesOpened.get() === 0L)
+    }
+    // placement survived: routed point lookups still find their owner
+    val fetch = rst.queryPoints("c", 0L, rst.pointCount("c"),
+      withPayload = false, Nil, None, idFilter = Some(Set("winner")))
+    assert(fetch.map(_.id).toSeq === Seq("winner"))
+  }
+
+  test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
+    val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
+    val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
+    val q = vec(773).map(_.toDouble)
+    rep.upsertPoints("c", IndexedSeq(Point("winner", Some("""{"g":0}"""),
+      dense = Map("vector" -> q.map(_.toFloat)))))
+    CollectionStores.register("repsnap_src", rep)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-repsnap-arch").toString
+    Snapshot.createStorage("repsnap_src", "c", path)
+    // ONE archive on disk (replicas are interchangeable copies)
+    assert(new java.io.File(s"$path/member0/storage").isDirectory)
+    assert(!new java.io.File(s"$path/member1").exists())
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-repsnap-dst").toString
+    Snapshot.restoreStorage(spark, path, "repsnap_rst", "c", dst,
+      hnswEf = 1024)
+    val rst = CollectionStores.get("repsnap_rst")
+      .asInstanceOf[ReplicatedCollectionStore]
+    assert(rst.replicas.length === 2)
+    val spec = SearchSpec("vector", q, "cosine", 5)
+    val got = rst.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2))
+    assert(got === rep.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)))
+    assert(got.head._1 === "winner")
+    // both reseeded replicas carry the index tree (either can serve a
+    // failover graph-side)
+    (0 until 2).foreach { i =>
+      assert(new java.io.File(s"$dst/r$i/_hnsw/field.txt").isFile)
+    }
+  }
+}
