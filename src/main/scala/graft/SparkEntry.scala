@@ -1320,6 +1320,120 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** [[restHnswFreshUrl]]'s TEXT sibling: the text_fresh churn driven
+    * entirely through the REST client — remote upserts tokenize
+    * service-side and land in their buckets, the update's old tokens
+    * consolidate out, the delete tombstones, and the LIVE BM25 stats
+    * (`_tidx/stats.txt`) track the churn — both REQUIREd before the
+    * gate serves, so remote mutation provably cannot leave the text
+    * sidecar stale.
+    */
+  private def restTextFreshUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#textfresh", {
+      val pqDir = tempStoreDir("graft-rest-textfresh")
+      val body = concat(lit("alpha w"), col("label"),
+        lit(" tag"), col("vec_id") % 4)
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(body.as("body"))).as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeTextSidecar(
+        df, pqDir, key = "body")
+      val backend = s"rest_textfresh_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.RestCollectionStore(srv.baseUrl)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"body":"alpha w3 tagx"}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7", Some("""{"body":"alpha w3 tag7"}"""),
+          dense = Map("vector" -> newVec))))
+      client.deletePoints("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_tidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == client.logSize("embeddings"),
+        "remote mutations must absorb into the service-side postings — " +
+          "the wire seam broke the text maintenance discipline")
+      val stats = graft.sources.ParquetCollectionStore.readTextStats(
+        new java.io.File(s"$pqDir/_tidx/stats.txt"))
+      require(stats.exists(_._1 == client.pointCount("embeddings")),
+        s"live BM25 stats must track remote churn service-side, got " +
+          s"$stats vs n=${client.pointCount("embeddings")}")
+      srv.baseUrl
+    })
+
+  /** [[restHnswFreshUrl]]'s GEO sibling: the geo_fresh churn driven
+    * entirely through the REST client — remote inserts land in their
+    * Morton cells via the writer's own cell expression service-side,
+    * the update's old cell consolidates, the delete tombstones with its
+    * cell recorded; the watermark must reach the log head before the
+    * gate serves.
+    */
+  private def restGeoFreshUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#geofresh", {
+      val pqDir = tempStoreDir("graft-rest-geofresh")
+      val la = (col("vec_id") % 120).cast("double") - 60.0 + 0.25
+      val lo = ((col("vec_id") * 7) % 320).cast("double") - 160.0 + 0.25
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(struct(la.as("lat"), lo.as("lon")).as("loc")))
+          .as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeGeoSidecar(
+        df, pqDir, key = "loc", bits = 4)
+      val backend = s"rest_geofresh_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.RestCollectionStore(srv.baseUrl)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"loc":{"lat":5.25,"lon":-15.25}}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7",
+          Some("""{"loc":{"lat":0.25,"lon":-10.25}}"""),
+          dense = Map("vector" -> newVec))))
+      // 64 sits INSIDE the gate's box: the delete must leave the
+      // box's serve, not just the corpus
+      client.deletePoints("embeddings", Set("64"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_gidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == client.logSize("embeddings"),
+        "remote mutations must absorb into the service-side cells — " +
+          "the wire seam broke the geo maintenance discipline")
+      srv.baseUrl
+    })
+
   /** Shared secret of the KEYED wire fixtures — the auth scheme the
     * reference's client uses against its backend (api-key,
     * /root/reference/src/test_utils.rs:31,119-128).
@@ -3108,6 +3222,56 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_geofr_store").option("collection", "embeddings")
+        .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // WIRE-SERVED TEXT MAINTENANCE PARITY: the text_fresh churn driven
+    // entirely through the REST client — remote upserts tokenize
+    // service-side, the LIVE BM25 stats track (fixture-REQUIREd), and
+    // this remote match_text-filtered search resolves from the
+    // maintained postings. Same brute oracle as dsv2_parquet_text_fresh
+    // — the wire seam must be invisible for the fifth family too.
+    "dsv2_rest_text_fresh" -> ((s, dir) => {
+      import graft.sources._
+      val client = new RestCollectionStore(
+        SparkEntry.restTextFreshUrl(s, dir))
+      CollectionStores.register("rest_textfresh_client", client)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 37)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_textfresh_client")
+        .option("collection", "embeddings")
+        .option("filter", "body:match_text:alpha w3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // WIRE-SERVED GEO MAINTENANCE PARITY: the geo_fresh churn driven
+    // entirely through the REST client — remote inserts land in their
+    // Morton cells service-side (fixture-REQUIREd watermark at head),
+    // and this remote box-filtered search serves cell-pruned over the
+    // FINAL state. Same brute oracle as dsv2_parquet_geo_fresh — the
+    // sixth family holds through the wire seam too.
+    "dsv2_rest_geo_fresh" -> ((s, dir) => {
+      import graft.sources._
+      val client = new RestCollectionStore(
+        SparkEntry.restGeoFreshUrl(s, dir))
+      CollectionStores.register("rest_geofresh_client", client)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 27)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_geofresh_client")
+        .option("collection", "embeddings")
         .option("filter", "loc:geo_box:10,-40,-10,20")
         .option("search.field", "vector")
         .option("search.vector",
@@ -8072,6 +8236,53 @@ object SparkEntry {
     // does (7 moved INTO the box, 64 — inside the box — deleted, five
     // inserts at (5.25, -15.25))
     "dsv2_parquet_geo_fresh" ->
+      """WITH pts AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v,
+        |         (vec_id % 120) - 60 + 0.25 AS la,
+        |         ((vec_id * 7) % 320) - 160 + 0.25 AS lo
+        |  FROM embeddings WHERE vec_id NOT IN (7, 64)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 0.25, -10.25
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 5.25, -15.25
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 27),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s
+        |  FROM pts, q
+        |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // wire text maintenance parity: same churned-state brute oracle as
+    // dsv2_parquet_text_fresh — the wire seam must be invisible
+    "dsv2_rest_text_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 37),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 3
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 3
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  WHERE label = 3
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // wire geo maintenance parity: same churned-state brute oracle as
+    // dsv2_parquet_geo_fresh — the wire seam must be invisible
+    "dsv2_rest_geo_fresh" ->
       """WITH pts AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v,

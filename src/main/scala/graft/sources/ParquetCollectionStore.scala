@@ -4621,7 +4621,7 @@ object ParquetCollectionStore {
   /** Live (nDocs, totalTokens) override written by the text-index
     * maintenance — absent/torn reads as None (fall back to the meta).
     */
-  private[sources] def readTextStats(f: java.io.File): Option[(Long, Long)] =
+  private[graft] def readTextStats(f: java.io.File): Option[(Long, Long)] =
     if (!f.isFile) None
     else {
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
