@@ -1330,6 +1330,12 @@ final class ParquetCollectionStore(
     */
   @transient lazy val bulkReseals = new AtomicLong(0L)
 
+  /** Partition consolidations forced by the per-partition HOTSPOT dial
+    * alone — churn concentrated in one segment/cluster consolidates
+    * that partition before the corpus-fraction dial could trip (specs).
+    */
+  @transient lazy val hotspotConsolidations = new AtomicLong(0L)
+
   /** The BULK arm of online maintenance (see
     * [[ParquetCollectionStore.bulkMaintainFraction]]): when this upsert
     * batch plus the volume absorbed since the last seal rivals the
@@ -3186,16 +3192,33 @@ final class ParquetCollectionStore(
     // (exact brute serve) instead of serving a half-rewritten cluster
     ParquetCollectionStore.withParkedMarker(
         new java.io.File(s"$dir/_ivf/field.txt")) {
+    val partsFile = new java.io.File(s"$dir/_ivf/absorbed_parts.txt")
+    val parts0 = ParquetCollectionStore.readPartCounters(partsFile)
+    val parts1 = scala.collection.mutable.Map.empty[String, Long] ++= parts0
     (upsByCluster.keySet ++ clustersToConsolidate.keySet).foreach { v =>
       val cDir = new java.io.File(s"$dir/_ivf/points/cluster=$v")
       val codesDir = new java.io.File(s"$dir/_ivf/codes/cluster=$v")
       val batch = upsByCluster.getOrElse(v, IndexedSeq.empty)
       val segDrops0 = clustersToConsolidate.getOrElse(v, Set.empty)
       // LSM discipline: merge the cluster's accumulated inc files once
-      // they would dominate per-query open cost (see [[hnswMaintain]])
-      val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+      // they would dominate per-query open cost (see [[hnswMaintain]]);
+      // plus the per-partition HOTSPOT dial — churn concentrated in
+      // THIS cluster consolidates it before the corpus dial could trip
+      val incFull = batch.nonEmpty &&
         ParquetCollectionStore.parquetFileCount(cDir) >=
-          ParquetCollectionStore.incCompactThreshold)
+          ParquetCollectionStore.incCompactThreshold
+      val frac = ParquetCollectionStore.bulkMaintainFractionDial
+      val cCount =
+        if (!cDir.isDirectory) 0L
+        else new ParquetCollectionStore(cDir.getAbsolutePath, collection,
+          descriptor).pointCount(collection)
+      val absorbedC = parts1.getOrElse(v, 0L)
+      val hotspot = frac > 0 && batch.nonEmpty && cCount > 0L &&
+        (absorbedC + batch.size).toDouble >= frac * cCount
+      val consolidate = segDrops0.nonEmpty || incFull || hotspot
+      if (hotspot && segDrops0.isEmpty && !incFull)
+        hotspotConsolidations.incrementAndGet(): Unit
+      parts1(v) = if (consolidate) 0L else absorbedC + batch.size
       if (consolidate) {
         // a consolidating cluster reclaims its tombstoned ghosts free
         val st = new ParquetCollectionStore(cDir.getAbsolutePath,
@@ -3262,6 +3285,8 @@ final class ParquetCollectionStore(
           dead1.toSeq.sorted
             .map(ParquetCollectionStore.escapeFlag).mkString("\n"))
     }
+    ParquetCollectionStore.writePartCounters(partsFile,
+      parts1.toMap.filter(_._2 > 0L))
     ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_ivf/inserted.txt"),
       newHead.toString)
@@ -3394,6 +3419,9 @@ final class ParquetCollectionStore(
         val (cd, s) = ParquetCollectionStore.int8Codes(v)
         (p.id, cd, s)
       }
+    val partsFile = new java.io.File(s"$dir/_hnsw/absorbed_parts.txt")
+    val parts0 = ParquetCollectionStore.readPartCounters(partsFile)
+    val parts1 = scala.collection.mutable.Map.empty[String, Long] ++= parts0
     (upsBySeg.keySet ++ dropsBySeg.keySet).foreach { seg =>
       val segDir = new java.io.File(s"$dir/_hnsw/points/seg=$seg")
       val edgeDir = new java.io.File(s"$dir/_hnsw/edges/seg=$seg")
@@ -3401,15 +3429,33 @@ final class ParquetCollectionStore(
       val segDrops0 = dropsBySeg.getOrElse(seg, Set.empty)
       val batch = upsBySeg.getOrElse(seg, IndexedSeq.empty)
         .filter(p => pooledOf(p).isDefined)
+      val segStore =
+        if (!segDir.isDirectory) None
+        else Some(new ParquetCollectionStore(segDir.getAbsolutePath,
+          collection, descriptor))
       // LSM discipline: consolidate when rows must drop, AND when the
       // append path has accumulated enough inc files that per-query
       // open overhead starts to matter — frequent tiny batches stay
       // O(batch) most of the time and pay one merge every
       // `incCompactThreshold` appends, keeping file counts bounded
       // without waiting for the offline optimizer
-      val consolidate = segDrops0.nonEmpty || (batch.nonEmpty &&
+      val incFull = batch.nonEmpty &&
         ParquetCollectionStore.parquetFileCount(segDir) >=
-          ParquetCollectionStore.incCompactThreshold)
+          ParquetCollectionStore.incCompactThreshold
+      // the per-partition HOTSPOT dial: churn concentrated in THIS
+      // segment (absorbed since its last consolidation + this batch
+      // rivals its own size) consolidates it now — the corpus-fraction
+      // bulk arm cannot see skewed churn (see readPartCounters docs)
+      val frac = ParquetCollectionStore.bulkMaintainFractionDial
+      val segCount = segStore.map(_.pointCount(collection)).getOrElse(0L)
+      val absorbedSeg = parts1.getOrElse(seg.toString, 0L)
+      val hotspot = frac > 0 && batch.nonEmpty && segCount > 0L &&
+        (absorbedSeg + batch.size).toDouble >= frac * segCount
+      val consolidate = segDrops0.nonEmpty || incFull || hotspot
+      if (hotspot && segDrops0.isEmpty && !incFull)
+        hotspotConsolidations.incrementAndGet(): Unit
+      parts1(seg.toString) =
+        if (consolidate) 0L else absorbedSeg + batch.size
       // a segment that rewrites anyway reclaims its tombstoned ghosts
       // for free — fold them into the drop set and clear their flags
       val segDead =
@@ -3419,15 +3465,13 @@ final class ParquetCollectionStore(
       val segDrops = segDrops0 ++ segDead
       // full rows only when consolidating (the rewrite needs them);
       // the pure-insert path reads just (id, indexed vector)
-      val rows: IndexedSeq[Point] =
-        if (!segDir.isDirectory) IndexedSeq.empty
-        else {
-          val st = new ParquetCollectionStore(segDir.getAbsolutePath,
-            collection, descriptor)
+      val rows: IndexedSeq[Point] = segStore match {
+        case None => IndexedSeq.empty
+        case Some(st) =>
           st.queryPoints(collection, 0L, st.pointCount(collection),
             withPayload = consolidate,
             if (consolidate) allFields else Seq(field), None).toIndexedSeq
-        }
+      }
       val kept = rows.filterNot(p => segDrops(p.id))
       val keptIds = kept.iterator.map(_.id).toSet
       val edges: IndexedSeq[(Int, String, String)] =
@@ -3531,6 +3575,8 @@ final class ParquetCollectionStore(
           dead1.toSeq.sorted
             .map(ParquetCollectionStore.escapeFlag).mkString("\n"))
     }
+    ParquetCollectionStore.writePartCounters(partsFile,
+      parts1.toMap.filter(_._2 > 0L))
     ParquetCollectionStore.atomicWriteText(
       java.nio.file.Paths.get(s"$dir/_hnsw/inserted.txt"),
       newHead.toString)
@@ -3828,6 +3874,8 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_ivf/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_ivf/absorbed.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_ivf/absorbed_parts.txt")): Unit
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_ivf/field.txt"),
       s"$field\n${logHeadOf(dir)}"
@@ -4275,6 +4323,8 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/absorbed_parts.txt")): Unit
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
       s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\n$metric"
@@ -4365,6 +4415,8 @@ object ParquetCollectionStore {
       java.nio.file.Paths.get(s"$dir/_hnsw/dead.txt")): Unit
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$dir/_hnsw/absorbed.txt")): Unit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_hnsw/absorbed_parts.txt")): Unit
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/_hnsw/field.txt"),
       s"$field\n${logHeadOf(dir)}\n$m\n$efConstruction\n$numSegments\n$seed\ndot\nmulti"
@@ -4495,6 +4547,43 @@ object ParquetCollectionStore {
   private[sources] def bulkMaintainFractionDial: Double =
     sys.props.get("graft.bulkMaintainFraction").map(_.toDouble)
       .getOrElse(bulkMaintainFraction)
+
+  /** Per-PARTITION absorbed counters (`absorbed_parts.txt`: one
+    * `key<TAB>count` line per segment/cluster absorbed into since that
+    * partition last consolidated) — the HOTSPOT arm of the bulk dial.
+    * The corpus-fraction dial above cannot see churn CONCENTRATED in
+    * one partition: a segment absorbing its own size in trickled
+    * batches pays a graph-state load per batch long before the corpus
+    * counter trips. When a partition's absorbed volume plus the current
+    * batch reaches `bulkMaintainFraction` of ITS OWN size, the batch
+    * consolidates that partition (merging its inc files and reclaiming
+    * its ghosts) instead of appending — a geometric schedule per
+    * partition, O(log growth) consolidations however skewed the churn.
+    * Applies to the ANN families (HNSW segments, IVF clusters), whose
+    * per-batch absorb pays a partition state load; the bucket families
+    * (text/sparse/geo/pidx) absorb as O(batch) posting appends and keep
+    * their file-count dial. Reset per partition by its consolidation,
+    * wholesale by any reseal.
+    */
+  private[graft] def readPartCounters(f: java.io.File): Map[String, Long] =
+    if (!f.isFile) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        val i = l.indexOf('\t')
+        if (i < 0) None
+        else try Some((unescapeFlag(l.substring(0, i)),
+          java.lang.Long.parseLong(l.substring(i + 1))))
+        catch { case _: NumberFormatException => None } // torn line
+      }.toMap
+
+  private[sources] def writePartCounters(f: java.io.File,
+                                         m: Map[String, Long]): Unit =
+    if (m.isEmpty) { java.nio.file.Files.deleteIfExists(f.toPath): Unit }
+    else atomicWriteText(f.toPath,
+      m.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"${escapeFlag(k)}\t$n" }.mkString("\n"))
 
   private[sources] def deadFlagMaxDial: Int =
     sys.props.get("graft.test.deadFlagMax").map(_.toInt)

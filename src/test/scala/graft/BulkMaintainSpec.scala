@@ -83,6 +83,93 @@ class BulkMaintainSpec extends AnyFunSuite {
       s"$incFiles inc files survived the reload — no seal happened")
   }
 
+  test("hnsw: hotspot churn in ONE segment consolidates that partition (per-partition dial)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bulk-hot").toString
+    val df = denseDf(0 until 400)
+    ParquetCollectionStore.write(df, dir, numFiles = 1, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, dir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 2)
+    // pure-insert churn AIMED at segment 0 only (ids filtered by the
+    // build's own seeded segment hash): the corpus-fraction arm cannot
+    // see the skew (150-200 inserts on a 400-point corpus stay under
+    // its dial), the 8-file LSM dial is never reached (4 batches), yet
+    // the segment absorbs ~its own size — the per-partition counter
+    // must consolidate it, not trickle
+    val seg0 = Iterator.from(1000)
+      .filter(i => graft.ops.HnswSegment.segOf(f"p$i%05d", 2, 42L) == 0)
+      .take(200).toVector
+    var cur = new ParquetCollectionStore(dir, "d", denseDesc,
+      hnswEf = 1024)
+    var hot = 0L
+    var corpusReseals = 0L
+    seg0.grouped(50).foreach { chunk =>
+      val pre = cur
+      cur = cur.appended("d", chunk.map(dense).toIndexedSeq)
+      hot += pre.hotspotConsolidations.get()
+      corpusReseals += pre.bulkReseals.get()
+    }
+    assert(hot >= 1L, "the per-partition hotspot dial never fired")
+    assert(corpusReseals === 0L,
+      "the corpus-fraction arm tripped — the case no longer isolates " +
+        "the per-partition dial")
+    // the consolidated partition's counter reset (geometric schedule)
+    val parts = ParquetCollectionStore.readPartCounters(
+      new java.io.File(s"$dir/_hnsw/absorbed_parts.txt"))
+    assert(parts.getOrElse("0", 0L) < 200L)
+    // and the serve over the final state stays exact
+    val served = new ParquetCollectionStore(dir, "d", denseDesc,
+      hnswEf = 4096)
+    val brute = new ParquetCollectionStore(dir, "d", denseDesc)
+    val spec = SearchSpec("vector", Array(0.8, 0.6), "cosine", 8)
+    assert(served.searchPoints("d", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("d", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+  }
+
+  test("ivf: hotspot churn in ONE cluster consolidates that partition") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bulk-ihot").toString
+    val df = denseDf(0 until 400)
+    ParquetCollectionStore.write(df, dir, numFiles = 1, withLog = true)
+    val idx = graft.ops.Ann.buildIvf(
+      df.withColumn("vector", col("vector").cast(ArrayType(DoubleType))),
+      "id", "vector", nlist = 2, maxIter = 0)
+    ParquetCollectionStore.writeIvfSidecar(
+      idx.clustered.select("id", "payload", "vector", "cluster"),
+      idx.centroids, dir, field = "vector")
+    idx.clustered.unpersist(): Unit
+    var cur = new ParquetCollectionStore(dir, "d", denseDesc, ivfNprobe = 2)
+    // every insert carries (almost) one centroid's own vector: all of
+    // the churn assigns to ONE cluster while the corpus dial sleeps
+    val cent = idx.centroids.orderBy(col("cluster"))
+      .collect().head.getSeq[Double](1).toArray
+    var hot = 0L
+    var corpusReseals = 0L
+    (0 until 4).foreach { b =>
+      val pre = cur
+      val pts = (0 until 50).map { j =>
+        Point(f"h$b%02d$j%03d", Some("""{"g":0}"""),
+          dense = Map("vector" -> cent.map(_.toFloat)))
+      }
+      cur = cur.appended("d", pts.toIndexedSeq)
+      hot += pre.hotspotConsolidations.get()
+      corpusReseals += pre.bulkReseals.get()
+    }
+    assert(hot >= 1L, "the per-cluster hotspot dial never fired")
+    assert(corpusReseals === 0L)
+    // probed serve exact over the final state
+    val served = new ParquetCollectionStore(dir, "d", denseDesc,
+      ivfNprobe = 2)
+    val brute = new ParquetCollectionStore(dir, "d", denseDesc)
+    val spec = SearchSpec("vector", Array(0.2, 0.95), "cosine", 6)
+    assert(served.searchPoints("d", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)) ===
+      brute.searchPoints("d", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)))
+  }
+
   test("ivf: the bulk arm reseals (refit + reassignment) instead of trickling") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
