@@ -17,7 +17,7 @@ object ScaleProbe {
       "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
       "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
       "sharded", "recallc", "recallc2", "storehnsw", "topology",
-      "maintain", "quanthnsw", "snaprestore")
+      "maintain", "quanthnsw", "snaprestore", "quantmulti")
 
   def main(args: Array[String]): Unit = {
     args.headOption.foreach { s =>
@@ -1278,6 +1278,87 @@ object ScaleProbe {
           20L
         }
         println(s"[probe] quanthnsw serve-RAM ratio ef=$ef: " +
+          f"${full.hnswResidentBytes.toDouble / math.max(quant.hnswResidentBytes, 1L)}%.1f" +
+          "x smaller quantized")
+      }
+    }
+
+    // QUANTIZED POOLED MULTI-VECTOR serve at the recallc2 shape
+    // (20k points x 2 vectors x d256): MaxSim recall@10 of the int8
+    // pooled-key walk vs the full-precision pooled walk at honest dials
+    // — the equal-recall-at-a-fraction-of-the-RAM claim, recorded for
+    // the POOLED tier the way quanthnsw records it for the dense one.
+    // Late-interaction corpora are the fattest per point (rows carry
+    // whole vector SETS), so the resident-bytes ratio here is the one
+    // an operator actually sizes against.
+    section("quantmulti") {
+      import graft.sources.{ParquetCollectionStore, SearchSpec}
+      val rnd = new scala.util.Random(42L)
+      val dimQ = 256
+      val nQ = 20000
+      def unitVec(): Array[Double] = {
+        val a = Array.fill(dimQ)(rnd.nextGaussian())
+        val nn = math.sqrt(a.map(x => x * x).sum)
+        a.map(_ / nn)
+      }
+      val centers = Array.fill(64)(unitVec())
+      val rows = (0 until nQ).map { i =>
+        val c = centers(i % 64)
+        val v = c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+        (i.toString, Seq(v.toSeq, v.reverse.toSeq))
+      }
+      import spark.implicits._
+      val c = rows.toDF("id", "mv")
+      val dirQ = java.nio.file.Files
+        .createTempDirectory("probe-quantmulti").toString
+      ParquetCollectionStore.write(
+        c.withColumn("payload",
+          org.apache.spark.sql.functions.lit("{}"))
+          .select("id", "payload", "mv"), dirQ, numFiles = 8)
+      ParquetCollectionStore.writeMultiHnswSidecar(c, dirQ, field = "mv",
+        multiColumn = "mv", m = 16, efConstruction = 64, numSegments = 4)
+      ParquetCollectionStore.writeMultiHnswQuantizedSidecar(c, dirQ,
+        multiColumn = "mv")
+      val descQ = graft.collections.CollectionDescriptor("embeddings",
+        Seq(graft.collections.MultiField("mv", dimQ)), named = false)
+      val brute = new ParquetCollectionStore(dirQ, "embeddings", descQ)
+      val qids = (0 until 20).map(i => (i * 97 % nQ).toString)
+      def mspecOf(id: String, k: Int = 10): SearchSpec = {
+        val qm = rows(id.toInt)._2
+          .map(_.map(_.toDouble).toArray).toArray
+        SearchSpec("mv", SearchSpec.poolRows(qm), "dot", k,
+          multiQuery = Some(qm))
+      }
+      val truth = qids.map { id =>
+        id -> brute.searchPoints("embeddings", mspecOf(id),
+          withPayload = false, Nil).map(_._1.id).toSet
+      }.toMap
+      for (ef <- Seq(64, 128)) {
+        val full = new ParquetCollectionStore(dirQ, "embeddings", descQ,
+          hnswEf = ef)
+        // candidateK dials the rescore margin AND routes the walk to
+        // the codes tier when present
+        val quant = new ParquetCollectionStore(dirQ, "embeddings", descQ,
+          hnswEf = ef, hnswCandidateK = 2 * ef)
+        def recall(st: ParquetCollectionStore): Double = {
+          val r = qids.map { id =>
+            st.searchPoints("embeddings", mspecOf(id),
+              withPayload = false, Nil)
+              .map(_._1.id).toSet.intersect(truth(id)).size / 10.0
+          }
+          r.sum / r.size
+        }
+        time(s"quantmulti full ef=$ef (20 queries)") {
+          println(f"[probe] quantmulti@10 full ef=$ef: ${recall(full)}%.3f " +
+            s"residentBytes=${full.hnswResidentBytes}")
+          20L
+        }
+        time(s"quantmulti quant ef=$ef candK=${2 * ef} (20 queries)") {
+          println(f"[probe] quantmulti@10 quant ef=$ef: ${recall(quant)}%.3f " +
+            s"residentBytes=${quant.hnswResidentBytes}")
+          20L
+        }
+        println(s"[probe] quantmulti serve-RAM ratio ef=$ef: " +
           f"${full.hnswResidentBytes.toDouble / math.max(quant.hnswResidentBytes, 1L)}%.1f" +
           "x smaller quantized")
       }

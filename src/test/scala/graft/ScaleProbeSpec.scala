@@ -24,6 +24,6 @@ class ScaleProbeSpec extends AnyFunSuite {
         "drift", "cdc", "sparse", "rest", "semantic", "classify", "curation",
         "ordering", "storeivf", "pqlog", "fresh", "wire", "storetext",
         "sharded", "recallc", "recallc2", "storehnsw", "topology",
-        "maintain", "quanthnsw", "snaprestore"))
+        "maintain", "quanthnsw", "snaprestore", "quantmulti"))
   }
 }
