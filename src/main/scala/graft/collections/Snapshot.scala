@@ -115,15 +115,26 @@ object Snapshot {
       // /root/reference/tests/bin/config.yaml:24-37,198) plus a topology
       // manifest. Placement survives by construction: members restore in
       // archive order and rendezvous routing depends only on (id, N).
+      // A REPLICATED member (the full production topology — placement ×
+      // replication) archives ONE of its replicas and records the
+      // replica count, exactly the top-level replicated rule per shard.
       case sh: ShardedCollectionStore =>
         val desc = sh.collectionInfo(collection)
-        val ms = sh.shards.zipWithIndex
-          .map { case (m, i) => parquetOf(m, s"shard $i") }
-        ms.zipWithIndex.foreach { case (p, i) =>
-          copyTree(Paths.get(p.dir), Paths.get(path, s"member$i", "storage"))
+        val extra = sh.shards.zipWithIndex.flatMap {
+          case (r: ReplicatedCollectionStore, i) =>
+            val head = parquetOf(r.replicas.head, s"shard $i replica 0")
+            copyTree(Paths.get(head.dir),
+              Paths.get(path, s"member$i", "storage"))
+            Seq(s"member$i.replicas=${r.replicas.length}")
+          case (m, i) =>
+            val p = parquetOf(m, s"shard $i")
+            copyTree(Paths.get(p.dir),
+              Paths.get(path, s"member$i", "storage"))
+            Nil
         }
         Files.write(Paths.get(path, "MANIFEST"),
-          (manifest(desc) + s"\ntopology=sharded\nmembers=${ms.length}")
+          (Seq(manifest(desc), s"topology=sharded",
+            s"members=${sh.shards.length}") ++ extra).mkString("\n")
             .getBytes(StandardCharsets.UTF_8)): Unit
       // REPLICATED topology: replicas are interchangeable copies by the
       // write-all contract, so ONE archive (the first replica's tree)
@@ -176,9 +187,21 @@ object Snapshot {
     (opt("topology"), opt("members").map(_.toInt)) match {
       case (Some("sharded"), Some(n)) =>
         val members = (0 until n).map { i =>
-          copyTree(Paths.get(path, s"member$i", "storage"),
-            Paths.get(dir, s"m$i"))
-          member(s"$dir/m$i")
+          opt(s"member$i.replicas").map(_.toInt) match {
+            // a replicated shard reseeds from its single archive —
+            // placement × replication restores in one pass
+            case Some(r) =>
+              val reps = (0 until r).map { j =>
+                copyTree(Paths.get(path, s"member$i", "storage"),
+                  Paths.get(dir, s"m$i", s"r$j"))
+                member(s"$dir/m$i/r$j")
+              }
+              new ReplicatedCollectionStore(reps): graft.sources.CollectionStore
+            case None =>
+              copyTree(Paths.get(path, s"member$i", "storage"),
+                Paths.get(dir, s"m$i"))
+              member(s"$dir/m$i")
+          }
         }
         CollectionStores.register(newStoreName,
           new ShardedCollectionStore(members))

@@ -84,6 +84,48 @@ class SnapshotTopologySpec extends AnyFunSuite {
     assert(fetch.map(_.id).toSeq === Seq("winner"))
   }
 
+  test("the full production topology (sharded-of-replicated) snapshots and restores") {
+    val n = 60
+    val byShard = (0 until n)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    // each shard = a 2-replica set of identical parquet members
+    val members = (0 until 2).map { s0 =>
+      val reps = (0 until 2).map(_ =>
+        mkMember(byShard.getOrElse(s0, Nil), s"graft-shrepsnap$s0"))
+      new ReplicatedCollectionStore(reps.toIndexedSeq)
+    }
+    val sh = new ShardedCollectionStore(members.toIndexedSeq)
+    val q = vec(551).map(_.toDouble)
+    sh.upsertPoints("c", IndexedSeq(Point("winner", Some("""{"g":1}"""),
+      dense = Map("vector" -> q.map(_.toFloat)))))
+    CollectionStores.register("shrep_snap_src", sh)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-shrep-arch").toString
+    Snapshot.createStorage("shrep_snap_src", "c", path)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-shrep-dst").toString
+    Snapshot.restoreStorage(spark, path, "shrep_snap_rst", "c", dst,
+      hnswEf = 1024)
+    val rst = CollectionStores.get("shrep_snap_rst")
+      .asInstanceOf[ShardedCollectionStore]
+    assert(rst.shardCount === 2)
+    rst.shards.foreach { m =>
+      assert(m.asInstanceOf[ReplicatedCollectionStore].replicas.length === 2)
+    }
+    val spec = SearchSpec("vector", q, "cosine", 5)
+    val got = rst.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2))
+    assert(got === sh.searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2)))
+    assert(got.head._1 === "winner")
+    // every reseeded replica of every shard carries the index tree
+    (0 until 2).foreach { i =>
+      (0 until 2).foreach { j =>
+        assert(new java.io.File(s"$dst/m$i/r$j/_hnsw/field.txt").isFile)
+      }
+    }
+  }
+
   test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
     val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
     val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
