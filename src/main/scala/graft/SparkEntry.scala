@@ -1434,6 +1434,57 @@ object SparkEntry {
       srv.baseUrl
     })
 
+  /** The WIRE STORAGE-SNAPSHOT fixture: the hnsw_fresh churn driven
+    * through the REST client, then the client triggers a SERVICE-side
+    * storage snapshot (whole store tree, index included — the archive
+    * never crosses the wire, the backend's per-node snapshot form) and
+    * a RECOVER that restores the archive under a fresh service dir and
+    * swaps the service's backing store. The gate then searches through
+    * the same client: the RECOVERED store must serve graph-walked over
+    * the churned state — snapshot, recover, and the wire seam all
+    * invisible at once.
+    */
+  private def restStorageSnapUrl(s: SparkSession, dir: String): String =
+    restFixtureCache.getOrElseUpdate(s"$dir#storagesnap", {
+      val pqDir = tempStoreDir("graft-rest-snapsrc")
+      val df = hom(s, dir).select("id", "payload", "vector")
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeHnswSidecar(
+        df, pqDir, field = "vector", m = 8, efConstruction = 64,
+        numSegments = 4)
+      val backend = s"rest_snapstore_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor, hnswEf = 2048))
+      val srv = new graft.sources.CollectionHttpServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.RestCollectionStore(srv.baseUrl)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec))))
+      client.deletePoints("embeddings", Set("13"))
+      // snapshot + recover, both verbs over the wire; the archive and
+      // the recovered dir are service-side paths
+      val arch = tempStoreDir("graft-rest-snaparch")
+      client.snapshotStorage("embeddings", arch)
+      client.recoverStorageSnapshot("embeddings", arch,
+        tempStoreDir("graft-rest-snapdst"), hnswEf = 2048)
+      srv.baseUrl
+    })
+
   /** Shared secret of the KEYED wire fixtures — the auth scheme the
     * reference's client uses against its backend (api-key,
     * /root/reference/src/test_utils.rs:31,119-128).
@@ -3223,6 +3274,30 @@ object SparkEntry {
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "pq_geofr_store").option("collection", "embeddings")
         .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // WIRE STORAGE SNAPSHOT + RECOVER: the churned store archives and
+    // recovers entirely SERVICE-side (two wire verbs — the backend's
+    // per-node snapshot/recover API; the artifact never crosses the
+    // wire), the service swaps to the recovered store, and this remote
+    // search is graph-served over the churned state — snapshot,
+    // recover, and the wire seam all invisible vs the brute oracle
+    "dsv2_rest_storage_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      val client = new RestCollectionStore(
+        SparkEntry.restStorageSnapUrl(s, dir))
+      CollectionStores.register("rest_snapstore_client", client)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 31)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rest_snapstore_client")
+        .option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -8255,6 +8330,27 @@ object SparkEntry {
         |  SELECT id, list_cosine_similarity(v, q.qv) AS s
         |  FROM pts, q
         |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // wire storage snapshot/recover: the service-side archive + store
+    // swap must be invisible — same churned-state brute oracle family
+    "dsv2_rest_storage_snapshot" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 31),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 

@@ -989,6 +989,38 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** Service-side STORAGE snapshot (the whole store tree — primaries,
+    * changelog, every index sidecar) at a SERVICE-side `path` — the
+    * backend's per-node snapshot form: the archive never crosses the
+    * wire, which is the point (at 100 TB it is a node-local whole-file
+    * copy; the transfer, if any, is object-store-to-object-store).
+    */
+  def snapshotStorage(collection: String, path: String): Unit = {
+    mutate("POST", s"/collections/$collection/snapshot",
+      JObject("path" -> JString(path), "kind" -> JString("storage")))
+    ()
+  }
+
+  /** Recover the service's collection from a STORAGE snapshot: the
+    * service restores the archive under `dir` and SWAPS its backing
+    * store — the backend's recover-from-snapshot API
+    * (/root/reference/tests/bin/config.yaml:198 snapshot
+    * recovery-transfer method). The restored sidecars are serve-ready:
+    * the next remote search is index-served, no rebuild. Pass the
+    * serving dials the original store used.
+    */
+  def recoverStorageSnapshot(collection: String, path: String, dir: String,
+                             ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
+                             hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit = {
+    mutate("POST", s"/collections/$collection/snapshot/recover",
+      JObject("path" -> JString(path), "dir" -> JString(dir),
+        "ivf_nprobe" -> JInt(BigInt(ivfNprobe)),
+        "ivf_candidate_k" -> JInt(BigInt(ivfCandidateK)),
+        "hnsw_ef" -> JInt(BigInt(hnswEf)),
+        "hnsw_candidate_k" -> JInt(BigInt(hnswCandidateK))))
+    ()
+  }
+
   override def logStart(collection: String): Long =
     CollectionWire.longOf(
       CollectionWire.result(get(s"/collections/$collection/log/info")) \ "start")
@@ -1655,9 +1687,37 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
         val b = readBody(ex)
         val path = CollectionWire.optStr(b \ "path").getOrElse(
           throw new IllegalArgumentException("snapshot requires 'path'"))
-        graft.collections.Snapshot.create(
-          StoreOptimize.serviceSpark, storeName, c, path)
+        // kind=storage = the whole store tree (index included, the
+        // per-node operational form); default = the portable points +
+        // manifest export. Either way the artifact stays SERVICE-side.
+        CollectionWire.optStr(b \ "kind") match {
+          case Some("storage") =>
+            graft.collections.Snapshot.createStorage(storeName, c, path)
+          case _ =>
+            graft.collections.Snapshot.create(
+              StoreOptimize.serviceSpark, storeName, c, path)
+        }
         CollectionWire.okEnvelope(JObject("status" -> JString("completed")))
+
+      // recover-from-snapshot: restore a STORAGE archive under a fresh
+      // service-side dir and SWAP the backing store — the registry
+      // publish makes the recovered (serve-ready) store visible to the
+      // next request, the optimize route's discipline
+      case ("POST", "collections" :: c :: "snapshot" :: "recover" :: Nil) =>
+        val b = readBody(ex)
+        val path = CollectionWire.optStr(b \ "path").getOrElse(
+          throw new IllegalArgumentException("recover requires 'path'"))
+        val dirTo = CollectionWire.optStr(b \ "dir").getOrElse(
+          throw new IllegalArgumentException("recover requires 'dir'"))
+        def dial(k: String): Int =
+          CollectionWire.optLong(b \ k).map(_.toInt).getOrElse(0)
+        graft.collections.Snapshot.restoreStorage(
+          StoreOptimize.serviceSpark, path, storeName, c, dirTo,
+          ivfNprobe = dial("ivf_nprobe"),
+          ivfCandidateK = dial("ivf_candidate_k"),
+          hnswEf = dial("hnsw_ef"),
+          hnswCandidateK = dial("hnsw_candidate_k")): Unit
+        CollectionWire.okEnvelope(JObject("status" -> JString("recovered")))
 
       case ("GET", "collections" :: c :: "log" :: Nil) =>
         val qp = queryParams(ex)

@@ -626,6 +626,58 @@ class RestCollectionStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       direct.orderBy("id").collect().toSeq)
   }
 
+  test("storage snapshot + recover over the wire: the service swaps to a serve-ready store") {
+    import spark.implicits._
+    // a parquet-backed service with a graph sidecar + changelog
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-rest-ssnap").toString
+    val dd = CollectionDescriptor("sc",
+      Seq(DenseField("vector", 2)), named = false)
+    val df = (0 until 40).map { i =>
+      val a = (i + 1) * 0.157
+      (f"$i%03d", s"""{"g":${i % 2}}""",
+        Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "payload", "vector")
+    ParquetCollectionStore.write(df, pqDir, numFiles = 1, withLog = true)
+    ParquetCollectionStore.writeHnswSidecar(df, pqDir, field = "vector",
+      m = 4, efConstruction = 16, numSegments = 1)
+    CollectionStores.register("rest_ssnap_backend",
+      new ParquetCollectionStore(pqDir, "sc", dd, hnswEf = 1024))
+    val srv = new CollectionHttpServer("rest_ssnap_backend").start()
+    try {
+      val c = new RestCollectionStore(srv.baseUrl)
+      // churn through the wire, then archive + recover service-side
+      val q = Array(0.6, 0.8)
+      c.upsertPoints("sc", Seq(Point("winner", Some("""{"g":1}"""),
+        dense = Map("vector" -> q.map(_.toFloat)))))
+      c.deletePoints("sc", Set("003"))
+      val want = c.searchPoints("sc",
+        SearchSpec("vector", q, "cosine", 5), withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      val arch = java.nio.file.Files
+        .createTempDirectory("graft-rest-ssnap-arch").toString
+      c.snapshotStorage("sc", arch)
+      // the archive carries the tree (index + manifest), service-side
+      assert(new java.io.File(s"$arch/storage/_hnsw/field.txt").isFile)
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft-rest-ssnap-dst").toString
+      c.recoverStorageSnapshot("sc", arch, dst, hnswEf = 1024)
+      // the swapped-in store answers identically over the same client
+      val got = c.searchPoints("sc",
+        SearchSpec("vector", q, "cosine", 5), withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      assert(got === want)
+      assert(got.head._1 === "winner")
+      // and it IS the recovered store, serving graph-side with the
+      // primaries closed (the snapshot carried the index, serve-ready)
+      val swapped = CollectionStores.get("rest_ssnap_backend")
+        .asInstanceOf[ParquetCollectionStore]
+      assert(swapped.dir === dst)
+      assert(swapped.hnswSegmentsLoaded.get() > 0L)
+      assert(swapped.filesOpened.get() === 0L)
+    } finally srv.stop()
+  }
+
   test("catalog SQL resolves a REMOTE collection by table name") {
     // the TableCatalog's store entry can BE the wire client: plain SQL
     // addresses the remote collection, catalog listings come from the
