@@ -1082,6 +1082,61 @@ object SparkEntry {
       sh
     })
 
+  /** The SHARDED-OF-WIRE cluster-snapshot fixture: two rendezvous
+    * shards, each a REST service fronting a lakehouse member with its
+    * own per-segment HNSW graphs + changelog, the freshness churn
+    * routed through the wrapper (every member absorbs its slice
+    * SERVICE-side). The gate then fans the per-node storage-snapshot
+    * and recover verbs ([[graft.collections.Snapshot
+    * .createStorageCluster]]/[[graft.collections.Snapshot
+    * .recoverStorageCluster]]) — archives stay node-side, every member
+    * service swaps to its recovered store, the wrapper keeps serving
+    * through the same clients: the backend's member-by-member cluster
+    * recovery end to end.
+    */
+  private val shardedWireSnapCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
+
+  private def shardedWireSnapStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
+    shardedWireSnapCache.getOrElseUpdate(dir, {
+      val df = hom(s, dir).select("id", "payload", "vector")
+      val clients = (0 until 2).map { i =>
+        val own = df.filter(shardOf2(col("id")) === i)
+        val d = tempStoreDir(s"graft-pq-shwire$i")
+        graft.sources.ParquetCollectionStore.write(own, d, withLog = true)
+        graft.sources.ParquetCollectionStore.writeHnswSidecar(
+          own, d, field = "vector", m = 8, efConstruction = 64,
+          numSegments = 2)
+        val backend =
+          s"rest_shwire${i}_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.CollectionStores.register(backend,
+          new graft.sources.ParquetCollectionStore(d, "embeddings",
+            Collections.homogeneousDescriptor, hnswEf = 2048))
+        val srv = new graft.sources.CollectionHttpServer(backend).start()
+        Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+        new graft.sources.RestCollectionStore(srv.baseUrl)
+      }
+      val sh = new graft.sources.ShardedCollectionStore(
+        clients.toIndexedSeq.map(c => c: graft.sources.CollectionStore))
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      sh.upsertPoints("embeddings", adds.toIndexedSeq :+
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec)))
+      sh.deletePoints("embeddings", Set("13"))
+      sh
+    })
+
   /** A log-enabled parquet store of `dir`'s homogeneous collection:
     * primaries + the [[graft.sources.ParquetLog]] changelog sidecar
     * sealing the ingest. The CACHED form backs read-only gates
@@ -3757,6 +3812,38 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "sh_snap_rst").option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // CLUSTER snapshot of a SHARDED-OF-WIRE topology: the per-node
+    // storage-snapshot and recover verbs fan to every member service
+    // (archives stay node-side — nothing but control-plane verbs cross
+    // the wire), each service swaps to its recovered store, and the
+    // wrapper keeps serving through the same clients — the backend's
+    // member-by-member cluster recovery; this search must be
+    // graph-served on every recovered member over the churned state
+    "dsv2_sharded_wire_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("sh_wiresnap_store",
+        SparkEntry.shardedWireSnapStore(s, dir))
+      val paths = (0 until 2).map(_ =>
+        SparkEntry.tempStoreDir("graft-shwire-arch"))
+      graft.collections.Snapshot.createStorageCluster("sh_wiresnap_store",
+        "embeddings", paths)
+      val dirs = (0 until 2).map(_ =>
+        SparkEntry.tempStoreDir("graft-shwire-dst"))
+      graft.collections.Snapshot.recoverStorageCluster("sh_wiresnap_store",
+        "embeddings", paths, dirs, hnswEf = 2048)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 33)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "sh_wiresnap_store")
+        .option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
           q.map(x => java.lang.Double.toString(x)).mkString(","))
@@ -8553,6 +8640,27 @@ object SparkEntry {
     "dsv2_sharded_snapshot" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 29),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // sharded-of-wire cluster snapshot/recover: per-node archives +
+    // service swaps must be invisible — churned-state brute oracle
+    "dsv2_sharded_wire_snapshot" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 33),
         |base AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v

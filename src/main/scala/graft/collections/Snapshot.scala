@@ -106,10 +106,7 @@ object Snapshot {
     }
     CollectionStores.get(storeName) match {
       case p: ParquetCollectionStore =>
-        val desc = p.collectionInfo(collection)
-        copyTree(Paths.get(p.dir), Paths.get(path, "storage"))
-        Files.write(Paths.get(path, "MANIFEST"),
-          manifest(desc).getBytes(StandardCharsets.UTF_8)): Unit
+        createStorageOf(p, collection, path)
       // SHARDED topology: one archive PER MEMBER (the backend snapshots
       // per shard precisely so a cluster restores member by member —
       // /root/reference/tests/bin/config.yaml:24-37,198) plus a topology
@@ -153,6 +150,85 @@ object Snapshot {
           s"replicated topology of them), got " + other.getClass.getName)
     }
     ()
+  }
+
+  /** The single-store slice of [[createStorage]]: archive ONE
+    * parquet-backed store's whole tree + its manifest at `path` — the
+    * self-contained member form every topology arm composes.
+    */
+  private def createStorageOf(p: graft.sources.ParquetCollectionStore,
+                              collection: String, path: String): Unit = {
+    val desc = p.collectionInfo(collection)
+    copyTree(Paths.get(p.dir), Paths.get(path, "storage"))
+    Files.write(Paths.get(path, "MANIFEST"),
+      manifest(desc).getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** CLUSTER snapshot of a sharded topology whose members are REMOTE
+    * services: fan the per-node storage-snapshot verb — each member
+    * archives ITS slice on ITS node (`paths(i)` is shard i's
+    * member-side archive path), the backend's cluster snapshot shape
+    * (per-node archives, /root/reference/tests/bin/config.yaml:24-37;
+    * no central stream — at 100 TB nothing but the control-plane verbs
+    * crosses the wire). Local parquet members archive directly (mixed
+    * topologies compose).
+    */
+  def createStorageCluster(storeName: String, collection: String,
+                           paths: Seq[String]): Unit = {
+    import graft.sources.{CollectionStores, ParquetCollectionStore,
+      RestCollectionStore, ShardedCollectionStore}
+    val sh = CollectionStores.get(storeName) match {
+      case s: ShardedCollectionStore => s
+      case other => throw new IllegalArgumentException(
+        "cluster snapshots take a sharded topology, got " +
+          other.getClass.getName)
+    }
+    require(paths.length == sh.shards.length,
+      s"need one archive path per shard " +
+        s"(${sh.shards.length}), got ${paths.length}")
+    sh.shards.zip(paths).zipWithIndex.foreach {
+      case ((m: RestCollectionStore, p), _) =>
+        m.snapshotStorage(collection, p)
+      case ((m: ParquetCollectionStore, p), _) =>
+        createStorageOf(m, collection, p)
+      case ((other, _), i) => throw new IllegalArgumentException(
+        s"shard $i cannot snapshot node-side: " + other.getClass.getName)
+    }
+  }
+
+  /** Recover a [[createStorageCluster]] snapshot: fan the per-node
+    * recover verb — each member SERVICE restores its archive under
+    * `dirs(i)` and swaps its backing store, while the wrapper keeps
+    * serving through the same stable clients (the backend's
+    * member-by-member recovery; placement is untouched because the
+    * member list never changes). Remote members only: a LOCAL member
+    * has no swap seam — restore it with [[restoreStorage]] before
+    * wrapping.
+    */
+  def recoverStorageCluster(storeName: String, collection: String,
+                            paths: Seq[String], dirs: Seq[String],
+                            ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
+                            hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit = {
+    import graft.sources.{CollectionStores, RestCollectionStore,
+      ShardedCollectionStore}
+    val sh = CollectionStores.get(storeName) match {
+      case s: ShardedCollectionStore => s
+      case other => throw new IllegalArgumentException(
+        "cluster recover takes a sharded topology, got " +
+          other.getClass.getName)
+    }
+    require(paths.length == sh.shards.length &&
+      dirs.length == sh.shards.length,
+      "need one archive path and one restore dir per shard")
+    sh.shards.zip(paths.zip(dirs)).zipWithIndex.foreach {
+      case ((m: RestCollectionStore, (p, d)), _) =>
+        m.recoverStorageSnapshot(collection, p, d, ivfNprobe,
+          ivfCandidateK, hnswEf, hnswCandidateK)
+      case ((other, _), i) => throw new IllegalArgumentException(
+        s"shard $i has no service-side swap seam (" +
+          other.getClass.getName +
+          ") — restore local members with restoreStorage before wrapping")
+    }
   }
 
   /** Restore a [[createStorage]] snapshot under `dir` and register it as

@@ -126,6 +126,53 @@ class SnapshotTopologySpec extends AnyFunSuite {
     }
   }
 
+  test("cluster snapshot of a sharded-of-wire topology: per-node archives + service swaps") {
+    val byShard = (0 until 60)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    val backends = (0 until 2).map { i =>
+      val m = mkMember(byShard.getOrElse(i, Nil), s"graft-clwire$i")
+      val name = s"clwire_backend_$i"
+      CollectionStores.register(name, m)
+      (name, new CollectionHttpServer(name).start())
+    }
+    try {
+      val sh = new ShardedCollectionStore(backends.map { case (_, srv) =>
+        new RestCollectionStore(srv.baseUrl): CollectionStore
+      }.toIndexedSeq)
+      val q = vec(661).map(_.toDouble)
+      sh.upsertPoints("c", IndexedSeq(Point("winner", Some("""{"g":1}"""),
+        dense = Map("vector" -> q.map(_.toFloat)))))
+      CollectionStores.register("clwire_sh", sh)
+      val spec = SearchSpec("vector", q, "cosine", 5)
+      val want = sh.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      val paths = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-clwire-arch").toString)
+      Snapshot.createStorageCluster("clwire_sh", "c", paths)
+      // node-side archives: each carries the member's whole tree
+      paths.foreach(p => assert(
+        new java.io.File(s"$p/storage/_hnsw/field.txt").isFile))
+      val dirs = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-clwire-dst").toString)
+      Snapshot.recoverStorageCluster("clwire_sh", "c", paths, dirs,
+        hnswEf = 1024)
+      // the wrapper serves unchanged through the same clients
+      val got = sh.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      assert(got === want)
+      assert(got.head._1 === "winner")
+      // every member SERVICE swapped to its recovered store and serves
+      // graph-side with the primaries closed
+      backends.zip(dirs).foreach { case ((name, _), d) =>
+        val sw = CollectionStores.get(name)
+          .asInstanceOf[ParquetCollectionStore]
+        assert(sw.dir === d)
+        assert(sw.hnswSegmentsLoaded.get() > 0L)
+        assert(sw.filesOpened.get() === 0L)
+      }
+    } finally backends.foreach(_._2.stop())
+  }
+
   test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
     val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
     val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
