@@ -1100,6 +1100,8 @@ object SparkEntry {
   private def shardedWireSnapStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
     shardedWireSnapCache.getOrElseUpdate(dir, {
       val df = hom(s, dir).select("id", "payload", "vector")
+      // a MIXED cluster: shard 0 behind the JSON wire, shard 1 behind
+      // the binary wire — the verbs must fan across BOTH transports
       val clients = (0 until 2).map { i =>
         val own = df.filter(shardOf2(col("id")) === i)
         val d = tempStoreDir(s"graft-pq-shwire$i")
@@ -1112,12 +1114,20 @@ object SparkEntry {
         graft.sources.CollectionStores.register(backend,
           new graft.sources.ParquetCollectionStore(d, "embeddings",
             Collections.homogeneousDescriptor, hnswEf = 2048))
-        val srv = new graft.sources.CollectionHttpServer(backend).start()
-        Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
-        new graft.sources.RestCollectionStore(srv.baseUrl)
+        if (i == 0) {
+          val srv = new graft.sources.CollectionHttpServer(backend).start()
+          Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+          new graft.sources.RestCollectionStore(srv.baseUrl):
+            graft.sources.CollectionStore
+        } else {
+          val srv = new graft.sources.CollectionGrpcServer(backend).start()
+          Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+          new graft.sources.GrpcCollectionStore(srv.host, srv.port):
+            graft.sources.CollectionStore
+        }
       }
       val sh = new graft.sources.ShardedCollectionStore(
-        clients.toIndexedSeq.map(c => c: graft.sources.CollectionStore))
+        clients.toIndexedSeq)
       val adds = Tables.load(s, dir, "embeddings")
         .filter(col("vec_id") < 5)
         .select((col("vec_id") + 100000).cast(StringType).as("id"),

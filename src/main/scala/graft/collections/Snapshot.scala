@@ -175,8 +175,8 @@ object Snapshot {
     */
   def createStorageCluster(storeName: String, collection: String,
                            paths: Seq[String]): Unit = {
-    import graft.sources.{CollectionStores, ParquetCollectionStore,
-      RestCollectionStore, ShardedCollectionStore}
+    import graft.sources.{CollectionStores, GrpcCollectionStore,
+      ParquetCollectionStore, RestCollectionStore, ShardedCollectionStore}
     val sh = CollectionStores.get(storeName) match {
       case s: ShardedCollectionStore => s
       case other => throw new IllegalArgumentException(
@@ -188,6 +188,8 @@ object Snapshot {
         s"(${sh.shards.length}), got ${paths.length}")
     sh.shards.zip(paths).zipWithIndex.foreach {
       case ((m: RestCollectionStore, p), _) =>
+        m.snapshotStorage(collection, p)
+      case ((m: GrpcCollectionStore, p), _) =>
         m.snapshotStorage(collection, p)
       case ((m: ParquetCollectionStore, p), _) =>
         createStorageOf(m, collection, p)
@@ -209,8 +211,8 @@ object Snapshot {
                             paths: Seq[String], dirs: Seq[String],
                             ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
                             hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit = {
-    import graft.sources.{CollectionStores, RestCollectionStore,
-      ShardedCollectionStore}
+    import graft.sources.{CollectionStores, GrpcCollectionStore,
+      RestCollectionStore, ShardedCollectionStore}
     val sh = CollectionStores.get(storeName) match {
       case s: ShardedCollectionStore => s
       case other => throw new IllegalArgumentException(
@@ -222,6 +224,9 @@ object Snapshot {
       "need one archive path and one restore dir per shard")
     sh.shards.zip(paths.zip(dirs)).zipWithIndex.foreach {
       case ((m: RestCollectionStore, (p, d)), _) =>
+        m.recoverStorageSnapshot(collection, p, d, ivfNprobe,
+          ivfCandidateK, hnswEf, hnswCandidateK)
+      case ((m: GrpcCollectionStore, (p, d)), _) =>
         m.recoverStorageSnapshot(collection, p, d, ivfNprobe,
           ivfCandidateK, hnswEf, hnswCandidateK)
       case ((other, _), i) => throw new IllegalArgumentException(

@@ -744,6 +744,28 @@ final class GrpcCollectionStore(host: String, port: Int,
     call("snapshot",
       new PbWriter().string(1, collection).string(2, path)): Unit
 
+  /** Service-side STORAGE snapshot over the binary wire (field 3 =
+    * kind): the whole store tree — index sidecars included — archives
+    * at a SERVICE-side path; only the verb crosses (the REST twin's
+    * contract, the backend's per-node snapshot form).
+    */
+  def snapshotStorage(collection: String, path: String): Unit =
+    call("snapshot",
+      new PbWriter().string(1, collection).string(2, path)
+        .string(3, "storage")): Unit
+
+  /** Recover-from-snapshot over the binary wire: the service restores
+    * the storage archive under `dir` and swaps its backing store —
+    * serving dials as the original (the REST twin's contract).
+    */
+  def recoverStorageSnapshot(collection: String, path: String, dir: String,
+                             ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
+                             hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit =
+    call("snapshot_recover",
+      new PbWriter().string(1, collection).string(2, path).string(3, dir)
+        .int(4, ivfNprobe).int(5, ivfCandidateK)
+        .int(6, hnswEf).int(7, hnswCandidateK)): Unit
+
   // ------------------------------------------------------- change log --
 
   override def logStart(collection: String): Long = logPos("log_start", collection)
@@ -1267,15 +1289,50 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
     case "snapshot" =>
       var c = ""
       var path = ""
+      var kind = ""
       while (r.hasNext) r.readTag() match {
         case (1, _) => c = r.readString()
         case (2, _) => path = r.readString()
+        case (3, _) => kind = r.readString()
         case (_, w) => r.skip(w)
       }
       store.collectionInfo(c): Unit
       require(path.nonEmpty, "snapshot requires a destination path")
-      graft.collections.Snapshot.create(
-        StoreOptimize.serviceSpark, storeName, c, path)
+      // kind=storage = the whole store tree (the operational per-node
+      // form); default = the portable points + manifest export
+      if (kind == "storage")
+        graft.collections.Snapshot.createStorage(storeName, c, path)
+      else
+        graft.collections.Snapshot.create(
+          StoreOptimize.serviceSpark, storeName, c, path)
+      new PbWriter
+
+    // recover-from-snapshot: restore a STORAGE archive under a fresh
+    // service-side dir and SWAP the backing store (registry publish —
+    // the optimize route's discipline)
+    case "snapshot_recover" =>
+      var c = ""
+      var path = ""
+      var dirTo = ""
+      var ivfNprobe = 0
+      var ivfCandidateK = 0
+      var hnswEf = 0
+      var hnswCandidateK = 0
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => path = r.readString()
+        case (3, _) => dirTo = r.readString()
+        case (4, _) => ivfNprobe = r.readRawVarint().toInt
+        case (5, _) => ivfCandidateK = r.readRawVarint().toInt
+        case (6, _) => hnswEf = r.readRawVarint().toInt
+        case (7, _) => hnswCandidateK = r.readRawVarint().toInt
+        case (_, w) => r.skip(w)
+      }
+      require(path.nonEmpty && dirTo.nonEmpty,
+        "recover requires an archive path and a restore dir")
+      graft.collections.Snapshot.restoreStorage(
+        StoreOptimize.serviceSpark, path, storeName, c, dirTo,
+        ivfNprobe, ivfCandidateK, hnswEf, hnswCandidateK): Unit
       new PbWriter
 
     case "log_start" =>
