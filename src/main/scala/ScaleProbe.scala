@@ -1682,6 +1682,54 @@ object ScaleProbe {
           println(s"[probe] maintain bulk frac=$frac reseals=$reseals")
         } finally sys.props.remove("graft.bulkMaintainFraction"): Unit
       }
+
+      // the PER-PARTITION HOTSPOT dial (round 18): churn aimed at ONE
+      // segment of the 20k x d256 store — the corpus arm provably
+      // sleeps (6k inserts on 20k), the 8-file LSM dial is never
+      // reached (6 batches), yet the segment absorbs ~its own size.
+      // frac=0.5 consolidates it mid-trickle (bounded inc files,
+      // ghosts reclaimed on ITS schedule); frac=0 trickles every batch.
+      for (frac <- Seq("0.5", "0")) {
+        sys.props("graft.bulkMaintainFraction") = frac
+        try {
+          val dirH = java.nio.file.Files
+            .createTempDirectory(s"probe-hot$frac").toString
+          ParquetCollectionStore.write(df, dirH, numFiles = 8,
+            withLog = true)
+          ParquetCollectionStore.writeHnswSidecar(df, dirH,
+            field = "vector", m = 8, efConstruction = 64, numSegments = 4)
+          var cur = new ParquetCollectionStore(dirH, "embeddings",
+            Collections.homogeneousDescriptor, hnswEf = 64)
+          var hot = 0L
+          // ids routed to segment 0 — the build's own seeded segment
+          // hash, computed with the PUBLIC engine functions (the store
+          // pins segCol == segOf, so this is the same assignment)
+          val seg0Ids = spark.range(0, 40000)
+            .select(format_string("h%07d", col("id")).as("id"))
+            .filter(pmod(xxhash64(concat(col("id"), lit("#hnswseg42"))),
+              lit(4)) === 0)
+            .limit(6144).collect().map(_.getString(0)).toVector
+          time(s"maintain hotspot seg0 6 x 1024-pt batches frac=$frac") {
+            seg0Ids.grouped(1024).foreach { chunk =>
+              val pre = cur
+              cur = cur.appended("embeddings",
+                chunk.map(id => Point(id, Some("""{"label":3}"""),
+                  dense = Map("vector" -> v()))).toIndexedSeq)
+              hot += pre.hotspotConsolidations.get()
+            }
+            6144L
+          }
+          val incFiles = Option(new java.io.File(
+              s"$dirH/_hnsw/points/seg=0").listFiles())
+            .getOrElse(Array.empty).count(_.getName.startsWith("inc-"))
+          time(s"maintain hotspot post-churn serve frac=$frac (5 queries)") {
+            (1 to 5).map(_ => cur.searchPoints("embeddings", spec,
+              withPayload = false, Nil).size.toLong).sum
+          }
+          println(s"[probe] maintain hotspot frac=$frac: " +
+            s"consolidations=$hot seg0IncFiles=$incFiles")
+        } finally sys.props.remove("graft.bulkMaintainFraction"): Unit
+      }
     }
 
     section("etl") {

@@ -1596,6 +1596,62 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
+  /** [[restTextFreshUrl]]'s BINARY-wire twin: the text_fresh churn
+    * driven through the gRPC client — remote upserts tokenize
+    * service-side, the delete tombstones, the live BM25 stats track;
+    * both REQUIREd before the gate serves. With the REST twin this
+    * closes maintenance parity on BOTH transports.
+    */
+  private def grpcTextFreshAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(s"$dir#textfresh", {
+      val pqDir = tempStoreDir("graft-grpc-textfresh")
+      val body = concat(lit("alpha w"), col("label"),
+        lit(" tag"), col("vec_id") % 4)
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(body.as("body"))).as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeTextSidecar(
+        df, pqDir, key = "body")
+      val backend = s"grpc_textfresh_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.GrpcCollectionStore(srv.host, srv.port)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"body":"alpha w3 tagx"}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7", Some("""{"body":"alpha w3 tag7"}"""),
+          dense = Map("vector" -> newVec))))
+      client.deletePoints("embeddings", Set("13"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_tidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == client.logSize("embeddings"),
+        "remote mutations must absorb into the service-side postings — " +
+          "the binary wire broke the text maintenance discipline")
+      val stats = graft.sources.ParquetCollectionStore.readTextStats(
+        new java.io.File(s"$pqDir/_tidx/stats.txt"))
+      require(stats.exists(_._1 == client.pointCount("embeddings")),
+        s"live BM25 stats must track remote churn service-side, got " +
+          s"$stats vs n=${client.pointCount("embeddings")}")
+      (srv.host, srv.port)
+    })
+
   /** The shared secret of the KEYED sharded wire topology (fixture
     * constant — a deployment injects its own).
     */
@@ -3386,6 +3442,28 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "rest_textfresh_client")
+        .option("collection", "embeddings")
+        .option("filter", "body:match_text:alpha w3")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // BINARY-WIRE TEXT MAINTENANCE PARITY: the same churn through the
+    // gRPC client — with dsv2_rest_text_fresh this closes maintenance
+    // parity on BOTH transports; same brute oracle
+    "dsv2_grpc_text_fresh" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcTextFreshAddr(s, dir)
+      CollectionStores.register("grpc_textfresh_client",
+        new GrpcCollectionStore(h, p))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 37)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_textfresh_client")
         .option("collection", "embeddings")
         .option("filter", "body:match_text:alpha w3")
         .option("search.field", "vector")
@@ -8454,6 +8532,27 @@ object SparkEntry {
     // wire text maintenance parity: same churned-state brute oracle as
     // dsv2_parquet_text_fresh — the wire seam must be invisible
     "dsv2_rest_text_fresh" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 37),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 3
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 3
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  WHERE label = 3
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // binary-wire text maintenance parity: same oracle as the REST twin
+    "dsv2_grpc_text_fresh" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 37),
         |base AS (
