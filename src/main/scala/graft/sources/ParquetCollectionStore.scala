@@ -884,8 +884,14 @@ final class ParquetCollectionStore(
     tailSince(sc.insertedAt).map { tail =>
       hnswTailRescored.addAndGet(tail.added.size): Unit
       val window = spec.k + spec.offset + tail.masked.size
+      // default margin = the WALK WIDTH, floored at 4x the window: the
+      // pooled dot is a MaxSim surrogate, so every node the beam
+      // surfaced is worth the exact rescore — a margin tighter than ef
+      // throws verified candidates away (the quantmulti probe measured
+      // recall 0.81 at 4x-window vs 0.94 with an ef-wide margin)
       val candK = math.max(
-        if (hnswCandidateK > 0) hnswCandidateK else 4 * window,
+        if (hnswCandidateK > 0) hnswCandidateK
+        else math.max(4 * window, hnswEf),
         window)
       val ef = math.max(hnswEf, candK)
       val live: String => Boolean =
@@ -943,8 +949,11 @@ final class ParquetCollectionStore(
               matched)
           } else {
             hnswFilteredWalkServes.incrementAndGet(): Unit
+            // default margin = the widened walk width (see the
+            // unfiltered serve's margin note)
             val candK = math.max(
-              if (hnswCandidateK > 0) hnswCandidateK else 4 * window,
+              if (hnswCandidateK > 0) hnswCandidateK
+              else math.max(4 * window, widenedEf.toInt),
               window)
             val cands = multiCandidates(sc, spec, candK,
               math.max(widenedEf.toInt, candK), matched)
