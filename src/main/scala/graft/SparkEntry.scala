@@ -3940,6 +3940,24 @@ object SparkEntry {
         .select(col("id"), round(col("_score"), 6).as("score"))
     }),
 
+    // ARCHIVE VERIFICATION (the DR drill): a freshly created
+    // member-by-member archive of the churned sharded store must verify
+    // CLEAN without being restored — metadata-only checks (manifest,
+    // primaries present, no parked markers, watermarks parse); the
+    // corruption arms are pinned in SnapshotTopologySpec
+    "dsv2_snapshot_verify" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      CollectionStores.register("sh_snapv_src",
+        SparkEntry.shardedSnapStore(s, dir))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-snapv").toString
+      graft.collections.Snapshot.createStorage("sh_snapv_src",
+        "embeddings", path)
+      Seq(graft.collections.Snapshot.verifyStorage(path).length.toLong)
+        .toDF("n_findings")
+    }),
+
     // FACET over the wire (the backend's points/facet API): the remote
     // service owns the payload pass, only the (value, count) hit list
     // crosses back — the admin/faceted-navigation call every catalog UI
@@ -8507,6 +8525,10 @@ object SparkEntry {
         |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
         |  ORDER BY s DESC, id ASC LIMIT 10)
         |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // the DR drill on a fresh archive finds nothing
+    "dsv2_snapshot_verify" ->
+      "SELECT CAST(0 AS BIGINT) AS n_findings",
 
     // wire storage snapshot/recover: the service-side archive + store
     // swap must be invisible — same churned-state brute oracle family

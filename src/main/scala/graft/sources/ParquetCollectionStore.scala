@@ -4627,7 +4627,7 @@ object ParquetCollectionStore {
     * maintenance parks until the next rebuild, instead of every
     * subsequent open throwing NumberFormatException).
     */
-  private[sources] def readWatermark(f: java.io.File): Option[Long] =
+  private[graft] def readWatermark(f: java.io.File): Option[Long] =
     if (!f.isFile) None
     else {
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath),

@@ -173,6 +173,43 @@ class SnapshotTopologySpec extends AnyFunSuite {
     } finally backends.foreach(_._2.stop())
   }
 
+  test("verifyStorage adjudicates an archive without restoring it") {
+    val m = mkMember(0 until 30, "graft-vsnap")
+    CollectionStores.register("vsnap_src", m)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vsnap-arch").toString
+    Snapshot.createStorage("vsnap_src", "c", path)
+    // a sound archive: zero findings (the DR drill passes)
+    assert(Snapshot.verifyStorage(path) === Nil)
+    // corrupt it the two ways crashes actually leave archives: a parked
+    // marker (consolidation window) and a torn watermark
+    val marker = new java.io.File(s"$path/storage/_hnsw/field.txt")
+    java.nio.file.Files.move(marker.toPath,
+      new java.io.File(s"$path/storage/_hnsw/field.txt.parked").toPath): Unit
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/storage/_hnsw/inserted.txt").toPath,
+      "garb".getBytes): Unit
+    val findings = Snapshot.verifyStorage(path)
+    assert(findings.exists(_.contains("PARKED")), findings)
+    assert(findings.exists(_.contains("torn watermark")), findings)
+    // a sharded archive verifies member-by-member
+    val byShard = (0 until 40)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    val sh = new ShardedCollectionStore((0 until 2).map(i =>
+      mkMember(byShard.getOrElse(i, Nil), s"graft-vsnap$i"):
+        CollectionStore).toIndexedSeq)
+    CollectionStores.register("vsnap_sh", sh)
+    val shPath = java.nio.file.Files
+      .createTempDirectory("graft-vsnap-sharch").toString
+    Snapshot.createStorage("vsnap_sh", "c", shPath)
+    assert(Snapshot.verifyStorage(shPath) === Nil)
+    java.nio.file.Files.delete(
+      new java.io.File(s"$shPath/member1/storage/_hnsw/field.txt").toPath): Unit
+    val shFindings = Snapshot.verifyStorage(shPath)
+    assert(shFindings.exists(f =>
+      f.contains("member1") && f.contains("without its marker")), shFindings)
+  }
+
   test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
     val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
     val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
