@@ -477,4 +477,42 @@ class ReplicatedCollectionStoreSpec extends AnyFunSuite {
       "cosine", 12), withPayload = false, Nil)
     assert(got.map(_._1.id).toSet === pts.map(_.id).toSet)
   }
+
+  test("DEEP nesting writes do not starve the scatter pool (caller-runs on nested fan-outs)") {
+    // replicated-of-sharded-of-replicated: the outer write-all fans on
+    // the shared pool, the inner sharded routing and the innermost
+    // write-alls would ALSO submit-and-block on the same fixed pool —
+    // with enough concurrent writers every worker could end up waiting
+    // on a task no free worker exists to run (permanent deadlock). The
+    // caller-runs fallback makes nested fan-outs run inline; this
+    // hammers the shape with more writers than pool threads and must
+    // complete with every point on every innermost replica.
+    def innermost() = new ReplicatedCollectionStore(
+      IndexedSeq(mem(), mem()))
+    val towers = (0 until 6).map { _ =>
+      val sh = new ShardedCollectionStore(
+        IndexedSeq(innermost(), innermost()))
+      new ReplicatedCollectionStore(IndexedSeq(sh))
+    }
+    val threads = towers.zipWithIndex.map { case (t, i) =>
+      new Thread(() => {
+        (0 until 4).foreach { b =>
+          t.upsertPoints("c",
+            (0 until 8).map(j => pt(s"w$i-$b-$j", (j + 1) / 8.0f)))
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive), "a nested write deadlocked")
+    towers.zipWithIndex.foreach { case (t, i) =>
+      assert(t.pointCount("c") === 32L, s"tower $i lost writes")
+      // every innermost replica holds the full slice of its shard
+      t.replicas.head.asInstanceOf[ShardedCollectionStore].shards
+        .foreach { s0 =>
+          val rs = s0.asInstanceOf[ReplicatedCollectionStore].replicas
+          assert(rs.map(r => ids(r).toSet).distinct.size === 1)
+        }
+    }
+  }
 }
