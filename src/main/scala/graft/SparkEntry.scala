@@ -1652,6 +1652,64 @@ object SparkEntry {
       (srv.host, srv.port)
     })
 
+  /** [[restGeoFreshUrl]]'s BINARY-wire twin: the geo_fresh churn driven
+    * through the gRPC client — remote inserts land in their Morton
+    * cells service-side, the update's old cell consolidates, the
+    * in-box delete tombstones with its cell recorded; the watermark
+    * must reach the log head before the gate serves. With the REST twin
+    * this closes GEO maintenance parity on BOTH transports (text
+    * already holds on both — all six families now maintain through
+    * every wire seam).
+    */
+  private def grpcGeoFreshAddr(s: SparkSession, dir: String): (String, Int) =
+    grpcFixtureCache.getOrElseUpdate(s"$dir#geofresh", {
+      val pqDir = tempStoreDir("graft-grpc-geofresh")
+      val la = (col("vec_id") % 120).cast("double") - 60.0 + 0.25
+      val lo = ((col("vec_id") * 7) % 320).cast("double") - 160.0 + 0.25
+      val df = Tables.load(s, dir, "embeddings").select(
+        col("vec_id").cast(StringType).as("id"),
+        to_json(struct(struct(la.as("lat"), lo.as("lon")).as("loc")))
+          .as("payload"),
+        col("embedding").as("vector"))
+      graft.sources.ParquetCollectionStore.write(df, pqDir, withLog = true)
+      graft.sources.ParquetCollectionStore.writeGeoSidecar(
+        df, pqDir, key = "loc", bits = 4)
+      val backend = s"grpc_geofresh_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.CollectionStores.register(backend,
+        new graft.sources.ParquetCollectionStore(pqDir, "embeddings",
+          Collections.homogeneousDescriptor))
+      val srv = new graft.sources.CollectionGrpcServer(backend).start()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+      val client = new graft.sources.GrpcCollectionStore(srv.host, srv.port)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"loc":{"lat":5.25,"lon":-15.25}}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      client.upsertPoints("embeddings", adds.toSeq.sortBy(_.id))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      client.upsertPoints("embeddings", Seq(
+        graft.sources.Point("7",
+          Some("""{"loc":{"lat":0.25,"lon":-10.25}}"""),
+          dense = Map("vector" -> newVec))))
+      // 64 sits INSIDE the gate's box: the delete must leave the
+      // box's serve, not just the corpus
+      client.deletePoints("embeddings", Set("64"))
+      val watermark = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$pqDir/_gidx/inserted.txt")),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(watermark == client.logSize("embeddings"),
+        "remote mutations must absorb into the service-side cells — " +
+          "the binary wire broke the geo maintenance discipline")
+      (srv.host, srv.port)
+    })
+
   /** The shared secret of the KEYED sharded wire topology (fixture
     * constant — a deployment injects its own).
     */
@@ -3489,6 +3547,28 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "rest_geofresh_client")
+        .option("collection", "embeddings")
+        .option("filter", "loc:geo_box:10,-40,-10,20")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // BINARY-WIRE GEO MAINTENANCE PARITY: the geo_fresh churn through
+    // the gRPC client — with dsv2_rest_geo_fresh this closes geo
+    // maintenance parity on BOTH transports; same brute oracle
+    "dsv2_grpc_geo_fresh" -> ((s, dir) => {
+      import graft.sources._
+      val (h, p) = SparkEntry.grpcGeoFreshAddr(s, dir)
+      CollectionStores.register("grpc_geofresh_client",
+        new GrpcCollectionStore(h, p))
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 27)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "grpc_geofresh_client")
         .option("collection", "embeddings")
         .option("filter", "loc:geo_box:10,-40,-10,20")
         .option("search.field", "vector")
@@ -8597,6 +8677,30 @@ object SparkEntry {
     // wire geo maintenance parity: same churned-state brute oracle as
     // dsv2_parquet_geo_fresh — the wire seam must be invisible
     "dsv2_rest_geo_fresh" ->
+      """WITH pts AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v,
+        |         (vec_id % 120) - 60 + 0.25 AS la,
+        |         ((vec_id * 7) % 320) - 160 + 0.25 AS lo
+        |  FROM embeddings WHERE vec_id NOT IN (7, 64)
+        |  UNION ALL
+        |  SELECT '7', CAST(e.embedding AS DOUBLE[]), 0.25, -10.25
+        |  FROM embeddings e WHERE e.vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[]), 5.25, -15.25
+        |  FROM embeddings WHERE vec_id < 5),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 27),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s
+        |  FROM pts, q
+        |  WHERE la >= -10 AND la <= 10 AND lo >= -40 AND lo <= 20
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
+
+    // binary-wire geo maintenance parity: same oracle as the REST twin
+    "dsv2_grpc_geo_fresh" ->
       """WITH pts AS (
         |  SELECT CAST(vec_id AS VARCHAR) AS id,
         |         CAST(embedding AS DOUBLE[]) AS v,
