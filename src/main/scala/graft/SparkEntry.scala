@@ -4038,6 +4038,25 @@ object SparkEntry {
         .toDF("n_findings")
     }),
 
+    // the DR drill OVER THE WIRE: fresh node-side archives of the mixed
+    // (REST + gRPC) cluster drill CLEAN through verifyStorageCluster —
+    // each service verifies ITS archive, only findings cross back; the
+    // corruption arms (parked marker through the wire, member prefixes)
+    // are pinned in SnapshotTopologySpec
+    "dsv2_cluster_snapshot_verify" -> ((s, dir) => {
+      import graft.sources._
+      import s.implicits._
+      CollectionStores.register("sh_wiresnapv_store",
+        SparkEntry.shardedWireSnapStore(s, dir))
+      val paths = (0 until 2).map(_ =>
+        SparkEntry.tempStoreDir("graft-shwire-varch"))
+      graft.collections.Snapshot.createStorageCluster("sh_wiresnapv_store",
+        "embeddings", paths)
+      Seq(graft.collections.Snapshot.verifyStorageCluster(
+        "sh_wiresnapv_store", "embeddings", paths).length.toLong)
+        .toDF("n_findings")
+    }),
+
     // FACET over the wire (the backend's points/facet API): the remote
     // service owns the payload pass, only the (value, count) hit list
     // crosses back — the admin/faceted-navigation call every catalog UI
@@ -8608,6 +8627,10 @@ object SparkEntry {
 
     // the DR drill on a fresh archive finds nothing
     "dsv2_snapshot_verify" ->
+      "SELECT CAST(0 AS BIGINT) AS n_findings",
+
+    // the wire drill on fresh node-side cluster archives finds nothing
+    "dsv2_cluster_snapshot_verify" ->
       "SELECT CAST(0 AS BIGINT) AS n_findings",
 
     // wire storage snapshot/recover: the service-side archive + store

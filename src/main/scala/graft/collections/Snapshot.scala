@@ -236,6 +236,40 @@ object Snapshot {
     }
   }
 
+  /** The DR drill for a [[createStorageCluster]] snapshot: verify every
+    * member's NODE-side archive member by member — wire members run
+    * [[verifyStorage]] ON THEIR SERVICE (the archive never crosses; only
+    * the verb and the findings do), local parquet members drill their
+    * archive directly. Findings come back prefixed `shard <i>: ` so an
+    * operator reads one flat report for the whole cluster; EMPTY =
+    * every member's backup is sound. Metadata-only on every node — at
+    * 100 TB the whole drill touches KBs of manifests and markers.
+    */
+  def verifyStorageCluster(storeName: String, collection: String,
+                           paths: Seq[String]): Seq[String] = {
+    import graft.sources.{CollectionStores, GrpcCollectionStore,
+      ParquetCollectionStore, RestCollectionStore, ShardedCollectionStore}
+    val sh = CollectionStores.get(storeName) match {
+      case s: ShardedCollectionStore => s
+      case other => throw new IllegalArgumentException(
+        "cluster verify takes a sharded topology, got " +
+          other.getClass.getName)
+    }
+    require(paths.length == sh.shards.length,
+      s"need one archive path per shard " +
+        s"(${sh.shards.length}), got ${paths.length}")
+    sh.shards.zip(paths).zipWithIndex.flatMap {
+      case ((m: RestCollectionStore, p), i) =>
+        m.verifyStorageSnapshot(collection, p).map(f => s"shard $i: $f")
+      case ((m: GrpcCollectionStore, p), i) =>
+        m.verifyStorageSnapshot(collection, p).map(f => s"shard $i: $f")
+      case ((_: ParquetCollectionStore, p), i) =>
+        verifyStorage(p).map(f => s"shard $i: $f")
+      case ((other, _), i) => throw new IllegalArgumentException(
+        s"shard $i cannot verify node-side: " + other.getClass.getName)
+    }
+  }
+
   /** Restore a [[createStorage]] snapshot under `dir` and register it as
     * `newStoreName`/`newName`: the copied tree IS the store — sidecars,
     * watermarks, tombstones, and changelog land exactly as archived, so

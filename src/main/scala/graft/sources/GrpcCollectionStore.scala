@@ -766,6 +766,21 @@ final class GrpcCollectionStore(host: String, port: Int,
         .int(4, ivfNprobe).int(5, ivfCandidateK)
         .int(6, hnswEf).int(7, hnswCandidateK)): Unit
 
+  /** The DR drill over the binary wire: the service verifies a
+    * SERVICE-side archive and ships back only the finding strings
+    * (EMPTY = sound) — the REST twin's contract.
+    */
+  def verifyStorageSnapshot(collection: String, path: String): Seq[String] = {
+    val r = new PbReader(call("snapshot_verify",
+      new PbWriter().string(1, collection).string(2, path)))
+    val out = Seq.newBuilder[String]
+    while (r.hasNext) r.readTag() match {
+      case (1, _) => out += r.readString()
+      case (_, w) => r.skip(w)
+    }
+    out.result()
+  }
+
   // ------------------------------------------------------- change log --
 
   override def logStart(collection: String): Long = logPos("log_start", collection)
@@ -1334,6 +1349,24 @@ final class CollectionGrpcServer(storeName: String, poolSize: Int = 8,
         StoreOptimize.serviceSpark, path, storeName, c, dirTo,
         ivfNprobe, ivfCandidateK, hnswEf, hnswCandidateK): Unit
       new PbWriter
+
+    // the DR drill over the binary wire: verify a SERVICE-side storage
+    // archive without restoring — response = repeated finding strings
+    // (field 1), EMPTY = sound
+    case "snapshot_verify" =>
+      var c = ""
+      var path = ""
+      while (r.hasNext) r.readTag() match {
+        case (1, _) => c = r.readString()
+        case (2, _) => path = r.readString()
+        case (_, w) => r.skip(w)
+      }
+      store.collectionInfo(c): Unit
+      require(path.nonEmpty, "verify requires an archive path")
+      val w = new PbWriter
+      graft.collections.Snapshot.verifyStorage(path)
+        .foreach(f => w.string(1, f))
+      w
 
     case "log_start" =>
       var c = ""

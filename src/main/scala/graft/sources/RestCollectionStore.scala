@@ -1021,6 +1021,21 @@ final class RestCollectionStore(val baseUrl: String, pageSize: Int = 4096,
     ()
   }
 
+  /** The DR drill over the wire: the service runs
+    * [[graft.collections.Snapshot.verifyStorage]] against a
+    * SERVICE-side archive path and ships back only the findings
+    * (EMPTY = sound) — an operator drills every node's backups without
+    * any archive leaving its node.
+    */
+  def verifyStorageSnapshot(collection: String, path: String): Seq[String] = {
+    val body = mutate("POST", s"/collections/$collection/snapshot/verify",
+      JObject("path" -> JString(path)))
+    CollectionWire.result(body) \ "findings" match {
+      case JArray(xs) => xs.collect { case JString(f) => f }
+      case _ => Nil
+    }
+  }
+
   override def logStart(collection: String): Long =
     CollectionWire.longOf(
       CollectionWire.result(get(s"/collections/$collection/log/info")) \ "start")
@@ -1718,6 +1733,18 @@ final class CollectionHttpServer(storeName: String, poolSize: Int = 8,
           hnswEf = dial("hnsw_ef"),
           hnswCandidateK = dial("hnsw_candidate_k")): Unit
         CollectionWire.okEnvelope(JObject("status" -> JString("recovered")))
+
+      // the DR drill over the wire: verify a SERVICE-side storage
+      // archive without restoring it — only the verb and the findings
+      // cross (metadata-only on the node, KBs at any scale)
+      case ("POST", "collections" :: c :: "snapshot" :: "verify" :: Nil) =>
+        store.collectionInfo(c) // 404 for unknown collections
+        val b = readBody(ex)
+        val path = CollectionWire.optStr(b \ "path").getOrElse(
+          throw new IllegalArgumentException("verify requires 'path'"))
+        CollectionWire.okEnvelope(JObject("findings" -> JArray(
+          graft.collections.Snapshot.verifyStorage(path)
+            .map(f => JString(f): JValue).toList)))
 
       case ("GET", "collections" :: c :: "log" :: Nil) =>
         val qp = queryParams(ex)

@@ -210,6 +210,46 @@ class SnapshotTopologySpec extends AnyFunSuite {
       f.contains("member1") && f.contains("without its marker")), shFindings)
   }
 
+  test("the DR drill crosses the wire: cluster archives verify node-side, findings ship back") {
+    val byShard = (0 until 40)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    // a MIXED cluster: shard 0 behind the JSON wire, shard 1 behind the
+    // binary wire — the drill must fan across BOTH transports
+    val m0 = mkMember(byShard.getOrElse(0, Nil), "graft-vwire0")
+    val m1 = mkMember(byShard.getOrElse(1, Nil), "graft-vwire1")
+    CollectionStores.register("vwire_backend_0", m0)
+    CollectionStores.register("vwire_backend_1", m1)
+    val rest = new CollectionHttpServer("vwire_backend_0").start()
+    val grpc = new CollectionGrpcServer("vwire_backend_1").start()
+    try {
+      val restClient = new RestCollectionStore(rest.baseUrl)
+      val grpcClient = new GrpcCollectionStore(grpc.host, grpc.port)
+      val sh = new ShardedCollectionStore(
+        IndexedSeq(restClient, grpcClient))
+      CollectionStores.register("vwire_sh", sh)
+      val paths = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-vwire-arch").toString)
+      Snapshot.createStorageCluster("vwire_sh", "c", paths)
+      // a sound cluster: zero findings through either transport
+      assert(Snapshot.verifyStorageCluster("vwire_sh", "c", paths) === Nil)
+      assert(restClient.verifyStorageSnapshot("c", paths(0)) === Nil)
+      assert(grpcClient.verifyStorageSnapshot("c", paths(1)) === Nil)
+      // corrupt shard 1's NODE-side archive (a parked marker — the
+      // crashed-consolidation capture) — the finding must come back over
+      // the BINARY wire with the member prefix an operator reads
+      java.nio.file.Files.move(
+        new java.io.File(s"${paths(1)}/storage/_hnsw/field.txt").toPath,
+        new java.io.File(
+          s"${paths(1)}/storage/_hnsw/field.txt.parked").toPath): Unit
+      val findings = Snapshot.verifyStorageCluster("vwire_sh", "c", paths)
+      assert(findings.nonEmpty)
+      assert(findings.forall(_.startsWith("shard 1: ")), findings)
+      assert(findings.exists(_.contains("PARKED")), findings)
+      // shard 0's archive still drills clean through the JSON wire
+      assert(restClient.verifyStorageSnapshot("c", paths(0)) === Nil)
+    } finally { rest.stop(); grpc.stop() }
+  }
+
   test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
     val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
     val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
