@@ -1097,6 +1097,63 @@ object SparkEntry {
   private val shardedWireSnapCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.sources.ShardedCollectionStore]
 
+  /** The REPLICATED-of-wire cluster-snapshot fixture: an HA pair of
+    * full-corpus members behind MIXED transports (replica 0 JSON wire,
+    * replica 1 binary wire), churned through the wrapper's write-all —
+    * the topology the one-archive reseed rule snapshots (replicas are
+    * interchangeable copies, so ONE member archives node-side and that
+    * archive reseeds every member service at recover).
+    */
+  private val replicatedWireSnapCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.ReplicatedCollectionStore]
+
+  private def replicatedWireSnapStore(s: SparkSession, dir: String): graft.sources.ReplicatedCollectionStore =
+    replicatedWireSnapCache.getOrElseUpdate(dir, {
+      val df = hom(s, dir).select("id", "payload", "vector")
+      val clients = (0 until 2).map { i =>
+        val d = tempStoreDir(s"graft-pq-repwire$i")
+        graft.sources.ParquetCollectionStore.write(df, d, withLog = true)
+        graft.sources.ParquetCollectionStore.writeHnswSidecar(
+          df, d, field = "vector", m = 8, efConstruction = 64,
+          numSegments = 2)
+        val backend =
+          s"rest_repwire${i}_${Integer.toHexString(dir.hashCode)}"
+        graft.sources.CollectionStores.register(backend,
+          new graft.sources.ParquetCollectionStore(d, "embeddings",
+            Collections.homogeneousDescriptor, hnswEf = 2048))
+        if (i == 0) {
+          val srv = new graft.sources.CollectionHttpServer(backend).start()
+          Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+          new graft.sources.RestCollectionStore(srv.baseUrl):
+            graft.sources.CollectionStore
+        } else {
+          val srv = new graft.sources.CollectionGrpcServer(backend).start()
+          Runtime.getRuntime.addShutdownHook(new Thread(() => srv.stop()))
+          new graft.sources.GrpcCollectionStore(srv.host, srv.port):
+            graft.sources.CollectionStore
+        }
+      }
+      val rep = new graft.sources.ReplicatedCollectionStore(
+        clients.toIndexedSeq)
+      val adds = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).cast(StringType).as("id"),
+          col("embedding").cast(ArrayType(FloatType)).as("v"))
+        .collect()
+        .map(r => graft.sources.Point(r.getString(0),
+          Some("""{"label":3}"""),
+          dense = Map("vector" -> r.getSeq[Float](1).toArray)))
+      val newVec = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("embedding").cast(ArrayType(FloatType)))
+        .head().getSeq[Float](0).toArray
+      rep.upsertPoints("embeddings", adds.toIndexedSeq :+
+        graft.sources.Point("7", Some("""{"label":3}"""),
+          dense = Map("vector" -> newVec)))
+      rep.deletePoints("embeddings", Set("13"))
+      rep
+    })
+
   private def shardedWireSnapStore(s: SparkSession, dir: String): graft.sources.ShardedCollectionStore =
     shardedWireSnapCache.getOrElseUpdate(dir, {
       val df = hom(s, dir).select("id", "payload", "vector")
@@ -4011,6 +4068,38 @@ object SparkEntry {
         .select(dvec(col("embedding"))).head().getSeq[Double](0)
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "sh_wiresnap_store")
+        .option("collection", "embeddings")
+        .option("search.field", "vector")
+        .option("search.vector",
+          q.map(x => java.lang.Double.toString(x)).mkString(","))
+        .option("search.metric", "cosine").option("search.k", "10")
+        .load()
+        .select(col("id"), round(col("_score"), 6).as("score"))
+    }),
+
+    // REPLICATED-of-wire cluster snapshot: the HA pair's ONE node-side
+    // archive (written by replica 0's service) reseeds EVERY member
+    // service at recover — the backend's snapshot-transfer reseed over
+    // the wire; the wrapper serves the churned state unchanged after
+    // both swaps. Same churned-state brute oracle family.
+    "dsv2_replicated_wire_snapshot" -> ((s, dir) => {
+      import graft.sources._
+      CollectionStores.register("rep_wiresnap_store",
+        SparkEntry.replicatedWireSnapStore(s, dir))
+      val path = SparkEntry.tempStoreDir("graft-repwire-arch")
+      graft.collections.Snapshot.createStorageCluster("rep_wiresnap_store",
+        "embeddings", Seq(path))
+      require(graft.collections.Snapshot.verifyStorageCluster(
+        "rep_wiresnap_store", "embeddings", Seq(path)).isEmpty,
+        "the fresh HA archive must drill clean before the reseed")
+      val dirs = (0 until 2).map(_ =>
+        SparkEntry.tempStoreDir("graft-repwire-dst"))
+      graft.collections.Snapshot.recoverStorageCluster("rep_wiresnap_store",
+        "embeddings", Seq(path), dirs, hnswEf = 2048)
+      val q = Tables.load(s, dir, "embeddings").filter(col("vec_id") === 33)
+        .select(dvec(col("embedding"))).head().getSeq[Double](0)
+      s.read.format("graft.sources.CollectionDataSource")
+        .option("store", "rep_wiresnap_store")
         .option("collection", "embeddings")
         .option("search.field", "vector")
         .option("search.vector",
@@ -8632,6 +8721,27 @@ object SparkEntry {
     // the wire drill on fresh node-side cluster archives finds nothing
     "dsv2_cluster_snapshot_verify" ->
       "SELECT CAST(0 AS BIGINT) AS n_findings",
+
+    // replicated-of-wire reseed: the one-archive recover is invisible —
+    // same churned-state brute oracle as the sharded wire snapshot
+    "dsv2_replicated_wire_snapshot" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 33),
+        |base AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS id,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id NOT IN (7, 13)
+        |  UNION ALL
+        |  SELECT '7', CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id = 42
+        |  UNION ALL
+        |  SELECT CAST(vec_id + 100000 AS VARCHAR),
+        |         CAST(embedding AS DOUBLE[])
+        |  FROM embeddings WHERE vec_id < 5),
+        |top AS (
+        |  SELECT id, list_cosine_similarity(v, q.qv) AS s FROM base, q
+        |  ORDER BY s DESC, id ASC LIMIT 10)
+        |SELECT id, ROUND(s, 6) AS score FROM top ORDER BY score DESC, id""".stripMargin,
 
     // wire storage snapshot/recover: the service-side archive + store
     // swap must be invisible — same churned-state brute oracle family

@@ -175,27 +175,48 @@ object Snapshot {
     */
   def createStorageCluster(storeName: String, collection: String,
                            paths: Seq[String]): Unit = {
-    import graft.sources.{CollectionStores, GrpcCollectionStore,
-      ParquetCollectionStore, RestCollectionStore, ShardedCollectionStore}
-    val sh = CollectionStores.get(storeName) match {
-      case s: ShardedCollectionStore => s
+    import graft.sources.{CollectionStores, ReplicatedCollectionStore,
+      ShardedCollectionStore}
+    CollectionStores.get(storeName) match {
+      case sh: ShardedCollectionStore =>
+        require(paths.length == sh.shards.length,
+          s"need one archive path per shard " +
+            s"(${sh.shards.length}), got ${paths.length}")
+        sh.shards.zip(paths).zipWithIndex.foreach {
+          case ((m, p), i) => memberSnapshot(m, collection, p, i)
+        }
+      // REPLICATED-of-wire: replicas are interchangeable copies, so ONE
+      // member archives on ITS node and that single archive reseeds the
+      // whole set at recover time — the backend's snapshot-transfer
+      // recovery shape over the wire. In production the path is an
+      // object-store URI, which is exactly what makes the one-archive
+      // rule real: any peer can recover from it.
+      case rep: ReplicatedCollectionStore =>
+        require(paths.length == 1,
+          s"a replica set archives ONCE (interchangeable copies), " +
+            s"got ${paths.length} paths")
+        memberSnapshot(rep.replicas.head, collection, paths.head, 0)
       case other => throw new IllegalArgumentException(
-        "cluster snapshots take a sharded topology, got " +
+        "cluster snapshots take a sharded or replicated topology, got " +
           other.getClass.getName)
     }
-    require(paths.length == sh.shards.length,
-      s"need one archive path per shard " +
-        s"(${sh.shards.length}), got ${paths.length}")
-    sh.shards.zip(paths).zipWithIndex.foreach {
-      case ((m: RestCollectionStore, p), _) =>
-        m.snapshotStorage(collection, p)
-      case ((m: GrpcCollectionStore, p), _) =>
-        m.snapshotStorage(collection, p)
-      case ((m: ParquetCollectionStore, p), _) =>
-        createStorageOf(m, collection, p)
-      case ((other, _), i) => throw new IllegalArgumentException(
-        s"shard $i cannot snapshot node-side: " + other.getClass.getName)
-    }
+  }
+
+  /** One member's node-side archive verb: wire members snapshot ON
+    * THEIR SERVICE, local parquet members archive directly — the arm
+    * every cluster verb fans with.
+    */
+  private def memberSnapshot(m: graft.sources.CollectionStore,
+                             collection: String, path: String,
+                             i: Int): Unit = m match {
+    case w: graft.sources.RestCollectionStore =>
+      w.snapshotStorage(collection, path)
+    case w: graft.sources.GrpcCollectionStore =>
+      w.snapshotStorage(collection, path)
+    case p: graft.sources.ParquetCollectionStore =>
+      createStorageOf(p, collection, path)
+    case other => throw new IllegalArgumentException(
+      s"member $i cannot snapshot node-side: " + other.getClass.getName)
   }
 
   /** Recover a [[createStorageCluster]] snapshot: fan the per-node
@@ -212,27 +233,42 @@ object Snapshot {
                             ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
                             hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit = {
     import graft.sources.{CollectionStores, GrpcCollectionStore,
-      RestCollectionStore, ShardedCollectionStore}
-    val sh = CollectionStores.get(storeName) match {
-      case s: ShardedCollectionStore => s
+      ReplicatedCollectionStore, RestCollectionStore, ShardedCollectionStore}
+    def memberRecover(m: graft.sources.CollectionStore, p: String,
+                      d: String, i: Int): Unit = m match {
+      case w: RestCollectionStore =>
+        w.recoverStorageSnapshot(collection, p, d, ivfNprobe,
+          ivfCandidateK, hnswEf, hnswCandidateK)
+      case w: GrpcCollectionStore =>
+        w.recoverStorageSnapshot(collection, p, d, ivfNprobe,
+          ivfCandidateK, hnswEf, hnswCandidateK)
       case other => throw new IllegalArgumentException(
-        "cluster recover takes a sharded topology, got " +
-          other.getClass.getName)
-    }
-    require(paths.length == sh.shards.length &&
-      dirs.length == sh.shards.length,
-      "need one archive path and one restore dir per shard")
-    sh.shards.zip(paths.zip(dirs)).zipWithIndex.foreach {
-      case ((m: RestCollectionStore, (p, d)), _) =>
-        m.recoverStorageSnapshot(collection, p, d, ivfNprobe,
-          ivfCandidateK, hnswEf, hnswCandidateK)
-      case ((m: GrpcCollectionStore, (p, d)), _) =>
-        m.recoverStorageSnapshot(collection, p, d, ivfNprobe,
-          ivfCandidateK, hnswEf, hnswCandidateK)
-      case ((other, _), i) => throw new IllegalArgumentException(
-        s"shard $i has no service-side swap seam (" +
+        s"member $i has no service-side swap seam (" +
           other.getClass.getName +
           ") — restore local members with restoreStorage before wrapping")
+    }
+    CollectionStores.get(storeName) match {
+      case sh: ShardedCollectionStore =>
+        require(paths.length == sh.shards.length &&
+          dirs.length == sh.shards.length,
+          "need one archive path and one restore dir per shard")
+        sh.shards.zip(paths.zip(dirs)).zipWithIndex.foreach {
+          case ((m, (p, d)), i) => memberRecover(m, p, d, i)
+        }
+      // the ONE archive reseeds EVERY replica: each member service
+      // recovers from the same archive path under its own dir — the
+      // snapshot-transfer reseed, fanned as control-plane verbs
+      case rep: ReplicatedCollectionStore =>
+        require(paths.length == 1 &&
+          dirs.length == rep.replicas.length,
+          "a replica set recovers every member from ONE archive — need " +
+            "1 path and one restore dir per replica")
+        rep.replicas.zip(dirs).zipWithIndex.foreach {
+          case ((m, d), i) => memberRecover(m, paths.head, d, i)
+        }
+      case other => throw new IllegalArgumentException(
+        "cluster recover takes a sharded or replicated topology, got " +
+          other.getClass.getName)
     }
   }
 
@@ -248,25 +284,33 @@ object Snapshot {
   def verifyStorageCluster(storeName: String, collection: String,
                            paths: Seq[String]): Seq[String] = {
     import graft.sources.{CollectionStores, GrpcCollectionStore,
-      ParquetCollectionStore, RestCollectionStore, ShardedCollectionStore}
-    val sh = CollectionStores.get(storeName) match {
-      case s: ShardedCollectionStore => s
+      ParquetCollectionStore, ReplicatedCollectionStore,
+      RestCollectionStore, ShardedCollectionStore}
+    def memberVerify(m: graft.sources.CollectionStore, p: String,
+                     i: Int): Seq[String] = m match {
+      case w: RestCollectionStore => w.verifyStorageSnapshot(collection, p)
+      case w: GrpcCollectionStore => w.verifyStorageSnapshot(collection, p)
+      case _: ParquetCollectionStore => verifyStorage(p)
       case other => throw new IllegalArgumentException(
-        "cluster verify takes a sharded topology, got " +
-          other.getClass.getName)
+        s"member $i cannot verify node-side: " + other.getClass.getName)
     }
-    require(paths.length == sh.shards.length,
-      s"need one archive path per shard " +
-        s"(${sh.shards.length}), got ${paths.length}")
-    sh.shards.zip(paths).zipWithIndex.flatMap {
-      case ((m: RestCollectionStore, p), i) =>
-        m.verifyStorageSnapshot(collection, p).map(f => s"shard $i: $f")
-      case ((m: GrpcCollectionStore, p), i) =>
-        m.verifyStorageSnapshot(collection, p).map(f => s"shard $i: $f")
-      case ((_: ParquetCollectionStore, p), i) =>
-        verifyStorage(p).map(f => s"shard $i: $f")
-      case ((other, _), i) => throw new IllegalArgumentException(
-        s"shard $i cannot verify node-side: " + other.getClass.getName)
+    CollectionStores.get(storeName) match {
+      case sh: ShardedCollectionStore =>
+        require(paths.length == sh.shards.length,
+          s"need one archive path per shard " +
+            s"(${sh.shards.length}), got ${paths.length}")
+        sh.shards.zip(paths).zipWithIndex.flatMap {
+          case ((m, p), i) => memberVerify(m, p, i).map(f => s"shard $i: $f")
+        }
+      // a replica set's single archive drills through replica 0 (the
+      // member that wrote it — its node holds the archive)
+      case rep: ReplicatedCollectionStore =>
+        require(paths.length == 1,
+          s"a replica set holds ONE archive, got ${paths.length} paths")
+        memberVerify(rep.replicas.head, paths.head, 0)
+      case other => throw new IllegalArgumentException(
+        "cluster verify takes a sharded or replicated topology, got " +
+          other.getClass.getName)
     }
   }
 

@@ -250,6 +250,66 @@ class SnapshotTopologySpec extends AnyFunSuite {
     } finally { rest.stop(); grpc.stop() }
   }
 
+  test("replicated-of-wire cluster: ONE node-side archive reseeds every member service") {
+    // an HA pair behind MIXED transports: replica 0 on the JSON wire,
+    // replica 1 on the binary wire — interchangeable copies by the
+    // write-all contract
+    val m0 = mkMember(0 until 40, "graft-repwire0")
+    val m1 = mkMember(0 until 40, "graft-repwire1")
+    CollectionStores.register("repwire_backend_0", m0)
+    CollectionStores.register("repwire_backend_1", m1)
+    val rest = new CollectionHttpServer("repwire_backend_0").start()
+    val grpc = new CollectionGrpcServer("repwire_backend_1").start()
+    try {
+      val rep = new ReplicatedCollectionStore(IndexedSeq(
+        new RestCollectionStore(rest.baseUrl),
+        new GrpcCollectionStore(grpc.host, grpc.port)))
+      CollectionStores.register("repwire_rep", rep)
+      // churn THROUGH the wrapper: both services absorb the write-all
+      val q = vec(881).map(_.toDouble)
+      rep.upsertPoints("c", IndexedSeq(Point("winner", Some("""{"g":1}"""),
+        dense = Map("vector" -> q.map(_.toFloat)))))
+      rep.deletePoints("c", Set("0003"))
+      val spec = SearchSpec("vector", q, "cosine", 5)
+      val want = rep.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      // ONE archive, written node-side by replica 0's service
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-repwire-arch").toString
+      Snapshot.createStorageCluster("repwire_rep", "c", Seq(path))
+      assert(new java.io.File(s"$path/storage/_hnsw/field.txt").isFile)
+      // the DR drill on the single archive
+      assert(Snapshot.verifyStorageCluster(
+        "repwire_rep", "c", Seq(path)) === Nil)
+      // the one archive reseeds BOTH member services (per-member dirs),
+      // each swapping to its recovered store
+      val dirs = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-repwire-dst").toString)
+      Snapshot.recoverStorageCluster("repwire_rep", "c", Seq(path), dirs,
+        hnswEf = 1024)
+      val got = rep.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      assert(got === want)
+      assert(got.head._1 === "winner")
+      assert(!got.exists(_._1 == "0003"))
+      // every member SERVICE swapped to its recovered store; the replica
+      // read path touches only ONE member per search, so prove each
+      // member serve-ready by searching ITS store directly — graph-side,
+      // primaries closed, churned state carried
+      Seq("repwire_backend_0", "repwire_backend_1").zip(dirs).foreach {
+        case (name, d) =>
+          val sw = CollectionStores.get(name)
+            .asInstanceOf[ParquetCollectionStore]
+          assert(sw.dir === d)
+          val own = sw.searchPoints("c", spec, withPayload = false, Nil)
+            .map(p => (p._1.id, p._2))
+          assert(own === want)
+          assert(sw.hnswSegmentsLoaded.get() > 0L)
+          assert(sw.filesOpened.get() === 0L)
+      }
+    } finally { rest.stop(); grpc.stop() }
+  }
+
   test("replicated storage snapshot reseeds every replica from one archive, serve-ready") {
     val members = (0 until 2).map(_ => mkMember(0 until 40, "graft-repsnap"))
     val rep = new ReplicatedCollectionStore(members.toIndexedSeq)
