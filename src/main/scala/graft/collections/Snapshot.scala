@@ -458,6 +458,21 @@ object Snapshot {
                 .readWatermark(wm).isEmpty)
               findings += s"$tag$fam: torn watermark (restores with a " +
                 "longer overlay tail)"
+            // the int8 codes tier: serving only checks the DIR exists,
+            // so a torn copy that lost the partition files restores to
+            // a store that SILENTLY degrades to full-precision caches
+            // (8x the RAM) — the drill flags what the serve cannot
+            val codes = new java.io.File(famDir, "codes")
+            if (codes.isDirectory) {
+              val populated = Option(codes.listFiles())
+                .getOrElse(Array.empty)
+                .exists(p => p.isDirectory && Option(p.listFiles())
+                  .getOrElse(Array.empty).exists(_.isFile))
+              if (!populated)
+                findings += s"$tag$fam: torn codes tier (present but " +
+                  "empty — quantized serving would silently degrade " +
+                  "to full-precision caches)"
+            }
           }
         }
         // keyed payload indexes

@@ -192,6 +192,19 @@ class SnapshotTopologySpec extends AnyFunSuite {
     val findings = Snapshot.verifyStorage(path)
     assert(findings.exists(_.contains("PARKED")), findings)
     assert(findings.exists(_.contains("torn watermark")), findings)
+    // a torn codes tier: the dir survived the copy but the partition
+    // files did not — serving would silently fall back full-precision,
+    // so the drill must flag it
+    val codes = new java.io.File(s"$path/storage/_hnsw/codes/seg=0")
+    assert(codes.mkdirs())
+    val torn = Snapshot.verifyStorage(path)
+    assert(torn.exists(_.contains("torn codes tier")), torn)
+    // populated codes partitions drill clean again (on that check)
+    java.nio.file.Files.write(
+      new java.io.File(codes, "part-0.parquet").toPath,
+      Array[Byte](1)): Unit
+    assert(!Snapshot.verifyStorage(path)
+      .exists(_.contains("torn codes tier")))
     // a sharded archive verifies member-by-member
     val byShard = (0 until 40)
       .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
@@ -248,6 +261,58 @@ class SnapshotTopologySpec extends AnyFunSuite {
       // shard 0's archive still drills clean through the JSON wire
       assert(restClient.verifyStorageSnapshot("c", paths(0)) === Nil)
     } finally { rest.stop(); grpc.stop() }
+  }
+
+  test("cluster recover is member-idempotent: a failed member re-runs without disturbing completed ones") {
+    val byShard = (0 until 40)
+      .groupBy(i => ShardedCollectionStore.assignShard(f"$i%04d", 2))
+    val backends = (0 until 2).map { i =>
+      val m = mkMember(byShard.getOrElse(i, Nil), s"graft-idem$i")
+      val name = s"idem_backend_$i"
+      CollectionStores.register(name, m)
+      (name, new CollectionHttpServer(name).start())
+    }
+    try {
+      val sh = new ShardedCollectionStore(backends.map { case (_, srv) =>
+        new RestCollectionStore(srv.baseUrl): CollectionStore
+      }.toIndexedSeq)
+      CollectionStores.register("idem_sh", sh)
+      val q = vec(447).map(_.toDouble)
+      val spec = SearchSpec("vector", q, "cosine", 5)
+      val want = sh.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2))
+      val paths = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-idem-arch").toString)
+      Snapshot.createStorageCluster("idem_sh", "c", paths)
+      val dirs = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-idem-dst").toString)
+      // member 1's recover fails (bad archive path) AFTER member 0
+      // already swapped — the partial-failure shape of any fanned
+      // control-plane verb
+      intercept[Exception] {
+        Snapshot.recoverStorageCluster("idem_sh", "c",
+          Seq(paths(0), "/nonexistent/archive"), dirs, hnswEf = 1024)
+      }
+      val sw0 = CollectionStores.get("idem_backend_0")
+        .asInstanceOf[ParquetCollectionStore]
+      assert(sw0.dir === dirs(0)) // member 0 completed
+      // the cluster still serves (member 1 kept its pre-recover store)
+      assert(sh.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)) === want)
+      // re-run with the right paths: member 1 completes, member 0
+      // harmlessly reseeds again (fresh dirs — recover is idempotent at
+      // the member level, no state from the failed run is load-bearing)
+      val dirs2 = (0 until 2).map(_ => java.nio.file.Files
+        .createTempDirectory("graft-idem-dst2").toString)
+      Snapshot.recoverStorageCluster("idem_sh", "c", paths, dirs2,
+        hnswEf = 1024)
+      backends.zip(dirs2).foreach { case ((name, _), d) =>
+        assert(CollectionStores.get(name)
+          .asInstanceOf[ParquetCollectionStore].dir === d)
+      }
+      assert(sh.searchPoints("c", spec, withPayload = false, Nil)
+        .map(p => (p._1.id, p._2)) === want)
+    } finally backends.foreach(_._2.stop())
   }
 
   test("replicated-of-wire cluster: ONE node-side archive reseeds every member service") {
