@@ -1521,6 +1521,15 @@ object ScaleProbe {
           Snapshot.createStorage(s"probe_snap_src_$m", "embeddings", arch)
           nRows.toLong
         }
+        // the DR drill: metadata-only adjudication of the archive —
+        // manifests + markers + tiny text reads, so wall time is
+        // ~flat in BOTH corpus bytes and member count (the number an
+        // operator needs to justify drilling EVERY backup, not a sample)
+        time(s"snaprestore_drill m=$m") {
+          val fs = Snapshot.verifyStorage(arch)
+          require(fs.isEmpty, s"fresh archive must drill clean: $fs")
+          nRows.toLong
+        }
         val dst = java.nio.file.Files
           .createTempDirectory(s"probe-snap-dst$m").toString
         time(s"snaprestore_restore m=$m") {
