@@ -94,8 +94,14 @@ object Snapshot {
     * manifest, readable by any engine); this is the OPERATIONAL form.
     */
   def createStorage(storeName: String, collection: String,
-                    path: String): Unit = {
-    import graft.sources.{CollectionStores, ParquetCollectionStore,
+                    path: String): Unit =
+    createStorageOfStore(
+      graft.sources.CollectionStores.get(storeName), collection, path)
+
+  private def createStorageOfStore(store: graft.sources.CollectionStore,
+                                   collection: String,
+                                   path: String): Unit = {
+    import graft.sources.{AliasedCollectionStore, ParquetCollectionStore,
       ReplicatedCollectionStore, ShardedCollectionStore}
     def parquetOf(s: graft.sources.CollectionStore,
                   role: String): ParquetCollectionStore = s match {
@@ -104,7 +110,15 @@ object Snapshot {
         s"storage snapshots need parquet-backed $role, got " +
           other.getClass.getName)
     }
-    CollectionStores.get(storeName) match {
+    store match {
+      // ALIASES are pure indirection: snapshotting through a production
+      // alias archives the RESOLVED collection on the underlying store —
+      // the archive carries the concrete name, so a restore is
+      // alias-free (re-aliasing is the operator's explicit step, exactly
+      // the backend's reindex-flip discipline)
+      case a: AliasedCollectionStore =>
+        createStorageOfStore(a.inner,
+          AliasedCollectionStore.resolve(a, collection), path)
       case p: ParquetCollectionStore =>
         createStorageOf(p, collection, path)
       // SHARDED topology: one archive PER MEMBER (the backend snapshots

@@ -173,6 +173,38 @@ class SnapshotTopologySpec extends AnyFunSuite {
     } finally backends.foreach(_._2.stop())
   }
 
+  test("storage snapshots resolve production aliases to the concrete collection") {
+    val m = mkMember(0 until 30, "graft-alsnap")
+    // the reindex-flip shape: readers address 'live', the concrete
+    // collection is 'c'
+    val aliased = new AliasedCollectionStore(m, Map("live" -> "c"))
+    CollectionStores.register("alsnap_src", aliased)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-alsnap-arch").toString
+    Snapshot.createStorage("alsnap_src", "live", path)
+    // the archive is of the RESOLVED collection — manifest carries 'c',
+    // the tree is the inner store's, and the drill passes
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "MANIFEST")))
+    assert(manifest.contains("name=c"), manifest)
+    assert(new java.io.File(s"$path/storage/_hnsw/field.txt").isFile)
+    assert(Snapshot.verifyStorage(path) === Nil)
+    // a restore serves identically to the source (alias-free; the
+    // operator re-aliases explicitly)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-alsnap-dst").toString
+    Snapshot.restoreStorage(spark, path, "alsnap_rst", "c", dst,
+      hnswEf = 1024)
+    val q = vec(3).map(_.toDouble)
+    val spec = SearchSpec("vector", q, "cosine", 5)
+    val got = CollectionStores.get("alsnap_rst")
+      .searchPoints("c", spec, withPayload = false, Nil)
+      .map(p => (p._1.id, p._2))
+    assert(got === aliased.searchPoints("live", spec,
+      withPayload = false, Nil).map(p => (p._1.id, p._2)))
+    assert(got.nonEmpty)
+  }
+
   test("verifyStorage adjudicates an archive without restoring it") {
     val m = mkMember(0 until 30, "graft-vsnap")
     CollectionStores.register("vsnap_src", m)
