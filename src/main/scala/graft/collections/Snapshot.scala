@@ -188,10 +188,21 @@ object Snapshot {
     * topologies compose).
     */
   def createStorageCluster(storeName: String, collection: String,
-                           paths: Seq[String]): Unit = {
-    import graft.sources.{CollectionStores, ReplicatedCollectionStore,
+                           paths: Seq[String]): Unit =
+    createStorageClusterOf(
+      graft.sources.CollectionStores.get(storeName), collection, paths)
+
+  private def createStorageClusterOf(store: graft.sources.CollectionStore,
+                                     collection: String,
+                                     paths: Seq[String]): Unit = {
+    import graft.sources.{AliasedCollectionStore, ReplicatedCollectionStore,
       ShardedCollectionStore}
-    CollectionStores.get(storeName) match {
+    store match {
+      // aliases resolve before the fan — the archives are of the
+      // concrete collection (see [[createStorage]]'s alias rule)
+      case a: AliasedCollectionStore =>
+        createStorageClusterOf(a.inner,
+          AliasedCollectionStore.resolve(a, collection), paths)
       case sh: ShardedCollectionStore =>
         require(paths.length == sh.shards.length,
           s"need one archive path per shard " +
@@ -245,9 +256,20 @@ object Snapshot {
   def recoverStorageCluster(storeName: String, collection: String,
                             paths: Seq[String], dirs: Seq[String],
                             ivfNprobe: Int = 0, ivfCandidateK: Int = 0,
-                            hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit = {
-    import graft.sources.{CollectionStores, GrpcCollectionStore,
+                            hnswEf: Int = 0, hnswCandidateK: Int = 0): Unit =
+    recoverStorageClusterOf(graft.sources.CollectionStores.get(storeName),
+      collection, paths, dirs, ivfNprobe, ivfCandidateK, hnswEf,
+      hnswCandidateK)
+
+  private def recoverStorageClusterOf(store: graft.sources.CollectionStore,
+                                      collection0: String,
+                                      paths: Seq[String], dirs: Seq[String],
+                                      ivfNprobe: Int, ivfCandidateK: Int,
+                                      hnswEf: Int,
+                                      hnswCandidateK: Int): Unit = {
+    import graft.sources.{AliasedCollectionStore, GrpcCollectionStore,
       ReplicatedCollectionStore, RestCollectionStore, ShardedCollectionStore}
+    val collection = collection0
     def memberRecover(m: graft.sources.CollectionStore, p: String,
                       d: String, i: Int): Unit = m match {
       case w: RestCollectionStore =>
@@ -261,7 +283,12 @@ object Snapshot {
           other.getClass.getName +
           ") — restore local members with restoreStorage before wrapping")
     }
-    CollectionStores.get(storeName) match {
+    store match {
+      // aliases resolve before the fan (see [[createStorage]]'s rule)
+      case a: AliasedCollectionStore =>
+        recoverStorageClusterOf(a.inner,
+          AliasedCollectionStore.resolve(a, collection0), paths, dirs,
+          ivfNprobe, ivfCandidateK, hnswEf, hnswCandidateK)
       case sh: ShardedCollectionStore =>
         require(paths.length == sh.shards.length &&
           dirs.length == sh.shards.length,
@@ -296,8 +323,14 @@ object Snapshot {
     * 100 TB the whole drill touches KBs of manifests and markers.
     */
   def verifyStorageCluster(storeName: String, collection: String,
-                           paths: Seq[String]): Seq[String] = {
-    import graft.sources.{CollectionStores, GrpcCollectionStore,
+                           paths: Seq[String]): Seq[String] =
+    verifyStorageClusterOf(
+      graft.sources.CollectionStores.get(storeName), collection, paths)
+
+  private def verifyStorageClusterOf(store: graft.sources.CollectionStore,
+                                     collection: String,
+                                     paths: Seq[String]): Seq[String] = {
+    import graft.sources.{AliasedCollectionStore, GrpcCollectionStore,
       ParquetCollectionStore, ReplicatedCollectionStore,
       RestCollectionStore, ShardedCollectionStore}
     def memberVerify(m: graft.sources.CollectionStore, p: String,
@@ -308,7 +341,11 @@ object Snapshot {
       case other => throw new IllegalArgumentException(
         s"member $i cannot verify node-side: " + other.getClass.getName)
     }
-    CollectionStores.get(storeName) match {
+    store match {
+      // aliases resolve before the fan (see [[createStorage]]'s rule)
+      case a: AliasedCollectionStore =>
+        verifyStorageClusterOf(a.inner,
+          AliasedCollectionStore.resolve(a, collection), paths)
       case sh: ShardedCollectionStore =>
         require(paths.length == sh.shards.length,
           s"need one archive path per shard " +

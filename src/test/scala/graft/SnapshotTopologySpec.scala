@@ -292,6 +292,13 @@ class SnapshotTopologySpec extends AnyFunSuite {
       assert(findings.exists(_.contains("PARKED")), findings)
       // shard 0's archive still drills clean through the JSON wire
       assert(restClient.verifyStorageSnapshot("c", paths(0)) === Nil)
+      // the cluster verbs resolve ALIASES too: drilling through an
+      // aliased wrapper of the same topology sees the same findings
+      CollectionStores.register("vwire_sh_al",
+        new AliasedCollectionStore(sh, Map("live" -> "c")))
+      val viaAlias = Snapshot.verifyStorageCluster(
+        "vwire_sh_al", "live", paths)
+      assert(viaAlias === findings)
     } finally { rest.stop(); grpc.stop() }
   }
 
