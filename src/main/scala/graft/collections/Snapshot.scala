@@ -95,8 +95,18 @@ object Snapshot {
     */
   def createStorage(storeName: String, collection: String,
                     path: String): Unit =
-    createStorageOfStore(
-      graft.sources.CollectionStores.get(storeName), collection, path)
+    // MUTATION-ATOMIC: the copy runs under the registry's per-name
+    // write lock (every single-store mutation — connector commits,
+    // catalog DDL, both wire services — routes through
+    // CollectionStores.update), so a concurrently committed batch
+    // either fully precedes or fully follows the archive; a torn
+    // mid-commit copy cannot happen. Reads never block (registry gets
+    // are lock-free). Topology wrappers mutate member state without
+    // the registry — their arms below additionally hold the wrapper's
+    // own monitor, the lock every wrapper mutator takes.
+    graft.sources.CollectionStores.update(storeName) { s =>
+      createStorageOfStore(s, collection, path); s
+    }
 
   private def createStorageOfStore(store: graft.sources.CollectionStore,
                                    collection: String,
@@ -129,7 +139,10 @@ object Snapshot {
       // A REPLICATED member (the full production topology — placement ×
       // replication) archives ONE of its replicas and records the
       // replica count, exactly the top-level replicated rule per shard.
-      case sh: ShardedCollectionStore =>
+      case sh: ShardedCollectionStore => sh.synchronized {
+        // wrapper mutators all hold the wrapper monitor, so the member
+        // copies are atomic vs routed churn (a batch lands wholly
+        // before or wholly after EVERY member's archive)
         val desc = sh.collectionInfo(collection)
         val extra = sh.shards.zipWithIndex.flatMap {
           case (r: ReplicatedCollectionStore, i) =>
@@ -147,11 +160,14 @@ object Snapshot {
           (Seq(manifest(desc), s"topology=sharded",
             s"members=${sh.shards.length}") ++ extra).mkString("\n")
             .getBytes(StandardCharsets.UTF_8)): Unit
+      }
       // REPLICATED topology: replicas are interchangeable copies by the
       // write-all contract, so ONE archive (the first replica's tree)
       // restores the whole set — the backend's snapshot-transfer
       // recovery shape, where a single replica's snapshot reseeds peers.
-      case rep: ReplicatedCollectionStore =>
+      case rep: ReplicatedCollectionStore => rep.synchronized {
+        // the replica set's write-all holds this monitor — the single
+        // archive is a commit-boundary view of replica 0
         val desc = rep.collectionInfo(collection)
         val head = parquetOf(rep.replicas.head, "replica 0")
         copyTree(Paths.get(head.dir), Paths.get(path, "member0", "storage"))
@@ -159,6 +175,7 @@ object Snapshot {
           (manifest(desc) +
             s"\ntopology=replicated\nmembers=${rep.replicas.length}")
             .getBytes(StandardCharsets.UTF_8)): Unit
+      }
       case other => throw new IllegalArgumentException(
         s"storage snapshots need a parquet-backed store (or a sharded/" +
           s"replicated topology of them), got " + other.getClass.getName)
@@ -185,7 +202,12 @@ object Snapshot {
     * (per-node archives, /root/reference/tests/bin/config.yaml:24-37;
     * no central stream — at 100 TB nothing but the control-plane verbs
     * crosses the wire). Local parquet members archive directly (mixed
-    * topologies compose).
+    * topologies compose). Each NODE-side archive is individually
+    * mutation-atomic (the service's snapshot handler runs under its
+    * store's registry write lock); CROSS-member consistency is the
+    * operator's quiesce, exactly the backend's per-node snapshot
+    * contract — a cluster-wide consistent cut would mean stopping
+    * writes for the whole fan.
     */
   def createStorageCluster(storeName: String, collection: String,
                            paths: Seq[String]): Unit =

@@ -173,6 +173,54 @@ class SnapshotTopologySpec extends AnyFunSuite {
     } finally backends.foreach(_._2.stop())
   }
 
+  test("storage snapshots are mutation-atomic: archives land on commit boundaries under churn") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val m = mkMember(0 until 50, "graft-snaplock")
+    CollectionStores.register("snaplock_src", m)
+    val batch = 5
+    val nBatches = 12
+    // the writer commits through the REGISTRY route (the connector's /
+    // services' commit path) — each batch adds exactly `batch` new ids
+    val writer = Future {
+      (0 until nBatches).foreach { b =>
+        val pts = (0 until batch).map { j =>
+          Point(f"new-$b%02d-$j", Some(s"""{"g":$b}"""),
+            dense = Map("vector" -> vec(1000 + b * batch + j)))
+        }
+        CollectionStores.update("snaplock_src") { s =>
+          s.asInstanceOf[ParquetCollectionStore].appended("c", pts.toIndexedSeq)
+        }
+      }
+    }
+    // concurrent snapshots: each archive must drill clean AND restore
+    // to a commit-boundary state (50 + k*batch points) — a torn
+    // mid-commit copy would land off-boundary or fail the drill
+    val archives = (0 until 5).map { i =>
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft-snaplock-arch$i").toString
+      Snapshot.createStorage("snaplock_src", "c", p)
+      Thread.sleep(30)
+      p
+    }
+    Await.result(writer, 60.seconds)
+    archives.zipWithIndex.foreach { case (p, i) =>
+      assert(Snapshot.verifyStorage(p) === Nil, s"archive $i dirty")
+      val dst = java.nio.file.Files
+        .createTempDirectory(s"graft-snaplock-dst$i").toString
+      Snapshot.restoreStorage(spark, p, s"snaplock_rst_$i", "c", dst,
+        hnswEf = 1024)
+      val n = CollectionStores.get(s"snaplock_rst_$i").pointCount("c")
+      assert((n - 50) % batch === 0L,
+        s"archive $i caught a torn mid-commit state: $n points")
+      assert(n >= 50 && n <= 50L + batch * nBatches)
+    }
+    // the final state itself is intact (all batches landed)
+    assert(CollectionStores.get("snaplock_src").pointCount("c") ===
+      50L + batch * nBatches)
+  }
+
   test("storage snapshots resolve production aliases to the concrete collection") {
     val m = mkMember(0 until 30, "graft-alsnap")
     // the reindex-flip shape: readers address 'live', the concrete
