@@ -2462,6 +2462,43 @@ object SparkEntry {
   private def hom(s: SparkSession, dir: String): DataFrame =
     Collections.homogeneous(s, dir)
 
+  /** READ-ONLY event-payload fixtures of `dir` (datetime + the two geo
+    * shapes), built once per dir and shared by their gates: the gates
+    * measure the pushed filter SERVE — rebuilding a corpus-sized
+    * in-memory store per invocation would charge the fixture, not the
+    * filter, to the bench.
+    */
+  private val eventsFixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.sources.InMemoryCollectionStore]
+
+  private def eventsPayloadStore(s: SparkSession, dir: String, kind: String,
+                                 payload: => Column): graft.sources.InMemoryCollectionStore =
+    eventsFixtureCache.getOrElseUpdate(s"$dir#$kind", {
+      val dsc = graft.collections.CollectionDescriptor("events", Seq())
+      val src = events(s, dir).select(
+        col("event_id").cast(StringType).as("id"), payload.as("payload"))
+      graft.sources.InMemoryCollectionStore.fromRows(src, "events", dsc)
+    })
+
+  private def eventsDtStore(s: SparkSession, dir: String): graft.sources.InMemoryCollectionStore =
+    eventsPayloadStore(s, dir, "dt", to_json(struct(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created"),
+      col("event_type"))))
+
+  private def eventsGeoStore(s: SparkSession, dir: String): graft.sources.InMemoryCollectionStore =
+    eventsPayloadStore(s, dir, "geo", to_json(struct(
+      struct(
+        (col("user_id") % 90).cast(DoubleType).as("lat"),
+        (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
+      col("event_type"))))
+
+  private def eventsPolyStore(s: SparkSession, dir: String): graft.sources.InMemoryCollectionStore =
+    eventsPayloadStore(s, dir, "poly", to_json(struct(
+      struct(
+        col("user_id").cast(DoubleType).as("lat"),
+        (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
+      col("event_type"))))
+
   private def dvec(c: Column): Column = c.cast(ArrayType(DoubleType))
 
   /** Rendezvous shard for n=3 as a Column — the seeding-side twin of
@@ -5038,14 +5075,8 @@ object SparkEntry {
     // timestamps — equality of the two decisions is the test.
     "dsv2_filter_datetime" -> ((s, dir) => {
       import graft.sources._
-      val dsc = graft.collections.CollectionDescriptor("events", Seq())
-      val src = events(s, dir).select(
-        col("event_id").cast(StringType).as("id"),
-        to_json(struct(
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("created"),
-          col("event_type"))).as("payload"))
       CollectionStores.register("dtf_store",
-        InMemoryCollectionStore.fromRows(src, "events", dsc))
+        SparkEntry.eventsDtStore(s, dir))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "dtf_store").option("collection", "events")
         .option("partitions", "4")
@@ -5081,16 +5112,8 @@ object SparkEntry {
     // `v_geo_distance` (the oracle mirrors the formula literally)
     "dsv2_filter_geo_radius" -> ((s, dir) => {
       import graft.sources._
-      val dsc = graft.collections.CollectionDescriptor("events", Seq())
-      val src = events(s, dir).select(
-        col("event_id").cast(StringType).as("id"),
-        to_json(struct(
-          struct(
-            (col("user_id") % 90).cast(DoubleType).as("lat"),
-            (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
-          col("event_type"))).as("payload"))
       CollectionStores.register("gr_store",
-        InMemoryCollectionStore.fromRows(src, "events", dsc))
+        SparkEntry.eventsGeoStore(s, dir))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "gr_store").option("collection", "events")
         .option("partitions", "4")
@@ -5105,16 +5128,8 @@ object SparkEntry {
     // OR of the two arcs, latitude a plain BETWEEN
     "dsv2_filter_geo_box" -> ((s, dir) => {
       import graft.sources._
-      val dsc = graft.collections.CollectionDescriptor("events", Seq())
-      val src = events(s, dir).select(
-        col("event_id").cast(StringType).as("id"),
-        to_json(struct(
-          struct(
-            (col("user_id") % 90).cast(DoubleType).as("lat"),
-            (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
-          col("event_type"))).as("payload"))
       CollectionStores.register("gb_store",
-        InMemoryCollectionStore.fromRows(src, "events", dsc))
+        SparkEntry.eventsGeoStore(s, dir))
       s.read.format("graft.sources.CollectionDataSource")
         .option("store", "gb_store").option("collection", "events")
         .option("partitions", "4")
@@ -5132,16 +5147,8 @@ object SparkEntry {
     // GENERATED from the same vertex list (Geo.polygonSql)
     "dsv2_filter_geo_polygon" -> ((s, dir) => {
       import graft.sources._
-      val dsc = graft.collections.CollectionDescriptor("events", Seq())
-      val src = events(s, dir).select(
-        col("event_id").cast(StringType).as("id"),
-        to_json(struct(
-          struct(
-            col("user_id").cast(DoubleType).as("lat"),
-            (col("event_id") % 180).cast(DoubleType).as("lon")).as("loc"),
-          col("event_type"))).as("payload"))
       CollectionStores.register("gp_store",
-        InMemoryCollectionStore.fromRows(src, "events", dsc))
+        SparkEntry.eventsPolyStore(s, dir))
       val verts = SparkEntry.GeoPoly
         .flatMap { case (la, lo) => Seq(la, lo) }.mkString(",")
       s.read.format("graft.sources.CollectionDataSource")
