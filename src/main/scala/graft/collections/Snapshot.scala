@@ -49,14 +49,21 @@ object Snapshot {
   def create(spark: SparkSession, storeName: String, collection: String,
              path: String): Unit = {
     import graft.sources.CollectionStores
-    val desc = CollectionStores.get(storeName).collectionInfo(collection)
-    spark.read.format("graft.sources.CollectionDataSource")
-      .option("store", storeName).option("collection", collection)
-      .option("partitions", "4").load()
-      .write.mode("overwrite").parquet(s"$path/points")
-    Files.write(Paths.get(path, "MANIFEST"),
-      manifest(desc).getBytes(StandardCharsets.UTF_8))
-    ()
+    // mutation-atomic like [[createStorage]]: the export runs under the
+    // registry's per-name write lock so a concurrently committed batch
+    // is wholly in or wholly out of the snapshot (registry gets are
+    // lock-free — the export's own scan, and every other reader, keep
+    // serving the pre-lock instance)
+    CollectionStores.update(storeName) { s =>
+      val desc = s.collectionInfo(collection)
+      spark.read.format("graft.sources.CollectionDataSource")
+        .option("store", storeName).option("collection", collection)
+        .option("partitions", "4").load()
+        .write.mode("overwrite").parquet(s"$path/points")
+      Files.write(Paths.get(path, "MANIFEST"),
+        manifest(desc).getBytes(StandardCharsets.UTF_8))
+      s
+    }
   }
 
   /** Restore the snapshot at `path` as collection `newName`, registering

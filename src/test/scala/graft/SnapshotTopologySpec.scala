@@ -204,7 +204,15 @@ class SnapshotTopologySpec extends AnyFunSuite {
       Thread.sleep(30)
       p
     }
+    // the PORTABLE form holds the same lock: its export also lands on
+    // a commit boundary under churn
+    val portable = java.nio.file.Files
+      .createTempDirectory("graft-snaplock-port").toString
+    Snapshot.create(spark, "snaplock_src", "c", portable)
     Await.result(writer, 60.seconds)
+    val nPort = spark.read.parquet(s"$portable/points").count()
+    assert((nPort - 50) % batch === 0L,
+      s"portable snapshot caught a torn mid-commit state: $nPort points")
     archives.zipWithIndex.foreach { case (p, i) =>
       assert(Snapshot.verifyStorage(p) === Nil, s"archive $i dirty")
       val dst = java.nio.file.Files
