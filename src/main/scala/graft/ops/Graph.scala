@@ -75,18 +75,59 @@ object Graph {
   final case class EdgeModel(edges: DataFrame, nodes: DataFrame,
                              n: Long, outdeg: DataFrame)
 
-  def materialize(edges: DataFrame): EdgeModel = {
-    // repartition BY src before the checkpoint: the checkpointed RDD
-    // keeps its HashPartitioning, so each pageRank iteration's join on
-    // src re-shuffles only the node-sized rank table, never the edges
-    val e = edges.select(col("src").cast(LongType).as("src"),
+  /** `pinLayoutMinNodes`: PIN the src-hash layout (AQE-off checkpoint,
+    * [[PlanUtil.checkpointKeepPartitioning]]) only for graphs at least
+    * this large. A plain localCheckpoint under AQE records
+    * UnknownPartitioning (r18 finding, plans/r18/
+    * pagerank_topk_before.txt), so on big graphs — the ones that take
+    * pageRank's SHUFFLE arm — every iteration re-exchanged the edge
+    * table, exactly the cost this materialize exists to avoid. Pinning
+    * fixes that, but it also freezes the partition count at
+    * spark.sql.shuffle.partitions, denying AQE's small-scale
+    * coalescing: measured on the sf0.1 bench graph (21k nodes),
+    * always-pinning cost +1.1 s of pure task-launch overhead while
+    * saving nothing (the broadcast arm never moves the edges anyway).
+    * So the layout decision is DATA-ADAPTIVE (guide §2: derive
+    * partitioning from input size, not a constant tuned for one
+    * deployment): below the threshold the checkpoint stays AQE-managed;
+    * at/above it the pinned layout makes every iteration's contribution
+    * join AND rank update exchange-free and sort-free on the edge/node
+    * side. The default matches `broadcastMaxNodes` — the node count at
+    * which pageRank stops broadcasting and starts needing the pin.
+    */
+  def materialize(edges: DataFrame,
+                  pinLayoutMinNodes: Long = 4000000L): EdgeModel = {
+    val raw = edges.select(col("src").cast(LongType).as("src"),
       col("dst").cast(LongType).as("dst"))
-      .repartition(col("src")).localCheckpoint()
-    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
-    val n = nodes.count()
+      .repartition(col("src")).sortWithinPartitions(col("src"))
+    val e0 = raw.localCheckpoint()
+    val out0 = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .sortWithinPartitions(col("src")).localCheckpoint()
+    // node set == src set == outdeg's key set by construction (the
+    // symmetrized edge list), so counting the checkpointed outdeg both
+    // materializes it and yields n — no separate distinct pass
+    val n = out0.count()
     require(n > 0, "graph materialize needs a non-empty edge list")
-    EdgeModel(e, nodes, n,
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).localCheckpoint())
+    if (n < pinLayoutMinNodes) {
+      // small graph: iterations run on the broadcast arm where the edge
+      // table streams through a BHJ untouched — keep AQE's coalesced
+      // layout and skip the extra materialize pass
+      EdgeModel(e0, out0.select(col("src").as("id")), n, out0)
+    } else {
+      // big graph: one more pass over the checkpointed blocks pins
+      // hashpartitioning(src, P) + the in-partition sort into the
+      // LogicalRDD. outdeg then groups BY the pinned key (partial+final
+      // agg, no exchange) and keeps the same pinned layout, so no later
+      // job — not an iteration's contribution join, not the rank
+      // update — ever shuffles OR sorts the (100 TB-sized) edge list or
+      // the node table again; only node-sized contribution tables move.
+      val e = PlanUtil.checkpointKeepPartitioning(
+        e0.repartition(col("src")).sortWithinPartitions(col("src")))
+      val outdeg = PlanUtil.checkpointKeepPartitioning(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          .sortWithinPartitions(col("src")))
+      EdgeModel(e, outdeg.select(col("src").as("id")), n, outdeg)
+    }
   }
 
   def pageRank(edges: DataFrame, iterations: Int): DataFrame =
@@ -112,22 +153,34 @@ object Graph {
     require(checkpointEvery >= 1,
       s"pageRank needs checkpointEvery >= 1, got $checkpointEvery")
     val e = m.edges
-    val nodes = m.nodes
     val n = m.n
     val base = (Scale * (100 - dampNum) / 100) / n
     val outdeg = m.outdeg
-    var ranks = nodes.select(col("id"), lit(Scale / n).as("rank"))
+    // The rank state CARRIES outdeg (static per node, node set ==
+    // outdeg key set by materialize): the per-iteration contribution is
+    // then a map-side projection instead of a rank⋈outdeg join — one
+    // whole join (and its exchange) removed from every iteration
+    // (r18; guide §2.4). Integer update rule unchanged bit-for-bit.
+    var ranks = outdeg.select(col("src").as("id"), col("outdeg"),
+      lit(Scale / n).as("rank"))
     for (i <- 1 to iterations) {
-      val rankContrib = ranks.join(outdeg, col("id") === col("src"))
-        .select(col("src").as("cs"), expr("rank div outdeg").as("contrib"))
+      val rankContrib = ranks
+        .select(col("id").as("cs"), expr("rank div outdeg").as("contrib"))
       val perSrc =
         if (n <= broadcastMaxNodes) broadcast(rankContrib) else rankContrib
+      // broadcast arm: edges stream through a BHJ untouched. Shuffle
+      // arm (pinned layout, materialize): ranks inherit outdeg's
+      // src-hash partitioning, so NEITHER side of this join moves.
       val contribs = e.join(perSrc, col("src") === col("cs"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("m"))
-      ranks = nodes
-        .join(contribs, col("id") === col("dst"), "left")
-        .select(col("id"),
+      // contribs leaves the agg hash-partitioned on dst; under the
+      // pinned layout outdeg sits on src at the same partition count —
+      // co-partitioned equi-join, no exchange, outdeg side pre-sorted:
+      // per iteration exactly ONE exchange (the groupBy(dst)).
+      ranks = outdeg
+        .join(contribs, col("src") === col("dst"), "left")
+        .select(col("src").as("id"), col("outdeg"),
           (lit(base) + expr(s"coalesce(m, 0L) * $dampNum div 100"))
             .as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)

@@ -70,6 +70,38 @@ class GraphSpec extends AnyFunSuite {
       "above the cap no join may be hinted broadcast — the rank table is node-sized")
   }
 
+  test("pinned layout (big-graph arm) is bit-identical and keeps the pinned partitioning") {
+    // force the pin on the tiny graph: same ranks as the AQE-managed
+    // layout, on both join arms
+    val pinned = Graph.materialize(edges, pinLayoutMinNodes = 0L)
+    val free = Graph.materialize(edges)
+    // the pinned edge/outdeg checkpoints must carry hashpartitioning —
+    // the property every iteration's exchange-free join rests on (a
+    // plain AQE checkpoint records UnknownPartitioning; r18 finding)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def partitioning(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.outputPartitioning
+    assert(partitioning(pinned.edges).toString.contains("hashpartitioning"),
+      s"pinned edges lost their layout: ${partitioning(pinned.edges)}")
+    assert(partitioning(pinned.outdeg).toString.contains("hashpartitioning"),
+      s"pinned outdeg lost its layout: ${partitioning(pinned.outdeg)}")
+    // and a src-keyed aggregation over the pinned edges plans WITHOUT
+    // any exchange — the co-partitioning is real, not cosmetic
+    val agg = pinned.edges.groupBy(col("src")).count()
+    val exchanges = agg.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"src-keyed agg over pinned edges re-shuffled: ${agg.queryExecution}")
+    for (arm <- Seq(4000000L, 0L)) {
+      val a = Graph.pageRank(pinned, iterations = 4, broadcastMaxNodes = arm)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+      val b = Graph.pageRank(free, iterations = 4, broadcastMaxNodes = arm)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+      assert(a == b, s"pinned vs free layout diverged on arm $arm")
+    }
+  }
+
   test("undirectedEdges offsets the dst id space and emits both directions") {
     val e = Graph.undirectedEdges(Seq((1L, 1L)).toDF("a", "b"), "a", "b",
       dstOffset = 100L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
