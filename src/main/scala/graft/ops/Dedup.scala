@@ -520,11 +520,14 @@ object Dedup {
                           reliableCheckpointEvery: Int = 0,
                           failOnNonConvergence: Boolean = true): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // persist the raw edge list BEFORE symmetrizing: the union scans it
-    // twice, and the (possibly expensive) pair-generation plan must run
-    // once, not once per direction
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist(lvl)
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with ONE explode pass over the (possibly expensive)
+    // pair-generation plan — the previous persist(e) + union(e, e
+    // reversed) paid a second persist layer and two cache scans for the
+    // same rows (r18, guide §1.2: don't compute what you throw away)
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .persist(lvl)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t = System.nanoTime()
@@ -551,7 +554,16 @@ object Dedup {
     // bulk of a deduplicated corpus) need no propagation and are stitched
     // back as their own component in one final join — iteration state
     // scales with the pair list, not the corpus
-    var labels = sym.select(col("src").as("id")).distinct()
+    val edgeNodes = sym.select(col("src").as("id")).distinct()
+    // SELF-LOOPS folded into the propagation edges: min(own, neighbors)
+    // then falls out of the ONE groupBy directly, removing the
+    // left-join-plus-least hop step — one node-sized join fewer per
+    // round (r18, guide §2.4). Persisted alongside sym so rounds scan a
+    // cache, not the pair plan.
+    val symLoop = sym.union(
+        edgeNodes.select(col("id").as("src"), col("id").as("dst")))
+      .persist(lvl)
+    var labels = edgeNodes
       .withColumn("component", col("id"))
       .localCheckpoint(eager = false)
     // no up-front sum job: round 1's propagation job materializes the
@@ -561,19 +573,18 @@ object Dedup {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
-    // One propagation round: (a) neighbor-min hop along the edges, then
-    // (b) pointer jumping — labels are node ids, so follow one level of
+    // One propagation round: (a) neighbor-min hop along the self-looped
+    // edges — the self-loop injects each node's own label, so the single
+    // groupBy(dst) IS the hop (no left-join-plus-least step) — then
+    // (b) pointer jumping: labels are node ids, so follow one level of
     // indirection (l <- min(l, l(l))), doubling the effective hop length:
     // O(log diameter) rounds instead of O(diameter). `hop` is inlined on
     // both sides of the jump join, NOT checkpointed: its identical
     // exchange subtrees deduplicate under ReuseExchange.
     def oneRound(l: DataFrame): DataFrame = {
-      val nbrMin = sym.join(l, sym("src") === l("id"))
-        .groupBy(col("dst")).agg(min(col("component")).as("__nbr"))
-      val hop = l.join(nbrMin, l("id") === nbrMin("dst"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__nbr"), col("component")))
-            .as("component"))
+      val hop = symLoop.join(l, symLoop("src") === l("id"))
+        .groupBy(col("dst")).agg(min(col("component")).as("component"))
+        .select(col("dst").as("id"), col("component"))
       hop.as("a")
         .join(hop.select(col("id").as("__lid"), col("component").as("__lcomp")).as("b"),
           col("a.component") === col("__lid"), "left")
@@ -608,14 +619,14 @@ object Dedup {
         "labels are partial propagation, not components. Raise maxIter " +
         "(rounds needed ~ log2(component diameter))."
       if (failOnNonConvergence) {
-        e.unpersist(blocking = false)
         sym.unpersist(blocking = false)
+        symLoop.unpersist(blocking = false)
         throw new IllegalStateException(msg)
       }
       System.err.println(s"[cc] WARNING: $msg")
     }
-    e.unpersist(blocking = false)
     sym.unpersist(blocking = false)
+    symLoop.unpersist(blocking = false)
     // stitch singletons back: every node not touched by an edge is its
     // own component (left join + coalesce, lazy — the caller's action
     // runs it; at scale this is the only corpus-sized step)

@@ -290,6 +290,23 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("connectedComponents self-loop hop keeps pointer-jumping round counts on a long path") {
+    // r18: the neighbor-min hop is now folded into ONE groupBy over the
+    // self-looped edge list (no hop left-join). This pins (a) the labels
+    // on a diameter-15 path and (b) that pointer jumping still halves
+    // the distance per round: 16 nodes need <= log2(15)+2 = 6 rounds
+    // (one extra round to detect the fixpoint).
+    import spark.implicits._
+    val n = 16L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == (1L to n).map(_ -> 1L).toMap, s"path collapsed wrong: $comp")
+    assert(Dedup.lastCcRounds <= 6,
+      s"pointer jumping degraded: ${Dedup.lastCcRounds} rounds for a 16-path")
+  }
+
   test("connectedComponents with an empty edge list: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(7L, 8L, 9L).toDF("id")
