@@ -42,33 +42,52 @@ object Dsir {
     * [ln p̂_t(b) − ln p̂_r(b)] under add-`alpha` smoothed bucket models,
     * rounded to 6dp. Documents with no tokens carry no evidence and are
     * absent from the output (the caller decides their fate).
+    *
+    * Execution shape: each model is ONE feature pass + one partial-agg
+    * shuffle of ≤ buckets keys, collected to the driver (bounded model
+    * state — the model IS ≤ `buckets` counts by construction). Feature
+    * totals fall out of the models (Σ counts), so no separate count
+    * jobs run. The per-bucket ln-ratio weights are computed once on the
+    * driver with StrictMath.log — bit-identical to the engine's `log`
+    * codegen, same double sequence as the previous per-bucket SQL
+    * expression — and shipped as one array<double> literal; scoring is
+    * then a single MAP-SIDE pass over raw (no explode, no join, no
+    * per-doc collect_list shuffle): fold the position-ordered feature
+    * array through the weight table, which is the same
+    * feature-position-order float sum as before.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, buckets: Int,
                         alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def feats(d: DataFrame) = d.select(col(idCol),
-      posexplode(featureBuckets(col(textCol), buckets)).as(Seq("pos", "b")))
-    val rawF = feats(raw)
-    val tgtF = feats(target)
-    val rawM = rawF.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tgtM = tgtF.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    // totals are model state (two scalars); the smoothed denominators are
-    // computed HERE in one double expression each and inlined as
-    // literals, so the oracle divides by the bit-identical doubles
-    val rDen = rawF.count().toDouble + alpha * buckets
-    val tDen = tgtF.count().toDouble + alpha * buckets
-    val wtab = rawM.join(tgtM, Seq("b"), "full_outer")
-      .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)).cast(DoubleType) + alpha) / tDen) -
-          log((coalesce(col("rc"), lit(0L)).cast(DoubleType) + alpha) / rDen))
-          .as("w"))
-    rawF.join(broadcast(wtab), Seq("b"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("w")))).as("__lw"))
+    // bucket-count model: Array[Long] of length `buckets` (absent = 0)
+    def model(d: DataFrame): Array[Long] = {
+      val m = new Array[Long](buckets)
+      d.select(explode(featureBuckets(col(textCol), buckets)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().foreach(r => m(r.getLong(0).toInt) = r.getLong(1))
+      m
+    }
+    val rawM = model(raw)
+    val tgtM = model(target)
+    // totals = Σ model counts (what the feature-row count used to be);
+    // smoothed denominators in one double expression each, as before
+    val rDen = rawM.sum.toDouble + alpha * buckets
+    val tDen = tgtM.sum.toDouble + alpha * buckets
+    // per-bucket weight, identical IEEE op sequence to the former SQL
+    // expression: (count.toDouble + alpha) / den, ln via StrictMath
+    // (Spark's own log codegen), then the difference
+    val w = Array.tabulate(buckets) { b =>
+      StrictMath.log((tgtM(b).toDouble + alpha) / tDen) -
+        StrictMath.log((rawM(b).toDouble + alpha) / rDen)
+    }
+    val wlit = lit(w)
+    raw.select(col(idCol), featureBuckets(col(textCol), buckets).as("__fb"))
+      .where(col("__fb").isNotNull && size(col("__fb")) > 0)
       .select(col(idCol),
-        size(col("__lw")).as("n_features"),
-        round(aggregate(col("__lw"), lit(0.0), (acc, x) => acc + x("w")), 6)
+        size(col("__fb")).as("n_features"),
+        round(aggregate(col("__fb"), lit(0.0),
+          (acc, b) => acc + element_at(wlit, (b + lit(1L)).cast(IntegerType))), 6)
           .as("logratio"))
   }
 }
