@@ -2531,6 +2531,43 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Shared base+reagg execution of the OLAP grouping gates (rollup /
+    * cube / grouping-sets over (l_returnflag, l_linestatus)): aggregate
+    * the corpus ONCE at the finest grouping, then derive each requested
+    * super-aggregate from the group-count-sized base — decimal sums of
+    * decimal sums and long sums of counts are exact, so the rows are
+    * value-identical to the Expand plan that pushes every raw row
+    * through the partial aggregate once per grouping set. `gids` picks
+    * the grouping sets by their grouping_id (flag = high bit).
+    */
+  private def olapReagg(li: DataFrame, gids: Seq[Long]): DataFrame = {
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("__s"), count(lit(1)).as("__n"))
+    val nullStr = lit(null).cast(StringType)
+    def branch(gid: Long): DataFrame = gid match {
+      case 0L => base.select(col("l_returnflag"), col("l_linestatus"),
+        col("__s").cast(DoubleType).as("sum_qty"), col("__n").as("n"),
+        lit(0L).as("gid"))
+      case 1L => base.groupBy(col("l_returnflag"))
+        .agg(sum(col("__s")).cast(DoubleType).as("sum_qty"),
+          sum(col("__n")).as("n"))
+        .select(col("l_returnflag"), nullStr.as("l_linestatus"),
+          col("sum_qty"), col("n"), lit(1L).as("gid"))
+      case 2L => base.groupBy(col("l_linestatus"))
+        .agg(sum(col("__s")).cast(DoubleType).as("sum_qty"),
+          sum(col("__n")).as("n"))
+        .select(nullStr.as("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("n"), lit(2L).as("gid"))
+      case _ => base
+        .agg(sum(col("__s")).cast(DoubleType).as("sum_qty"),
+          // empty-input edge: COUNT over the () set is 0, never NULL
+          coalesce(sum(col("__n")), lit(0L)).as("n"))
+        .select(nullStr.as("l_returnflag"), nullStr.as("l_linestatus"),
+          col("sum_qty"), col("n"), lit(3L).as("gid"))
+    }
+    gids.map(branch).reduce(_ union _)
+  }
+
   /** Shared polygon of the geo_polygon gate: (lat, lon) vertices, chosen
     * off the integer data grid so no point sits on an edge. ONE list
     * feeds both the engine predicate and the generated oracle SQL.
@@ -8164,30 +8201,27 @@ object SparkEntry {
 
     // OLAP grouping forms over lineitem — DECIMAL-accumulated quantity so
     // the super-aggregate rows are order-independent; gid disambiguates
-    // NULL group cells from NULL data
+    // NULL group cells from NULL data. Execution shape: the corpus is
+    // aggregated ONCE at the finest grouping (flag, status); every
+    // super-aggregate re-aggregates that tiny base (exact: decimal sums
+    // of decimal sums, long sums of counts — the same values CUBE/ROLLUP
+    // compute through Expand). Expand would push 3-4 copies of EVERY raw
+    // row through the partial aggregate (and cast each to decimal); the
+    // base+reagg form does the per-row work once — one corpus exchange,
+    // then group-count-sized re-aggs (the branches reuse the base
+    // exchange). gid reconstructed per branch (kept=0 bit, aggregated=1;
+    // flag is the high bit), matching grouping_id().
     "rollup_agg" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().cast(LongType).as("gid"))),
+      olapReagg(Tables.load(s, dir, "lineitem"), Seq(0L, 1L, 3L))),
 
     "cube_agg" -> ((s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-          count(lit(1)).as("n"),
-          grouping_id().cast(LongType).as("gid"))),
+      olapReagg(Tables.load(s, dir, "lineitem"), Seq(0L, 1L, 2L, 3L))),
 
-    "grouping_sets_agg" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gsets")
-      s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-          |       COUNT(*) AS n
-          |FROM li_gsets
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
-    }),
+    "grouping_sets_agg" -> ((s, dir) =>
+      // GROUPING SETS ((flag), (status), ()) == the gid 1/2/3 branches,
+      // no gid column in the declared output
+      olapReagg(Tables.load(s, dir, "lineitem"), Seq(1L, 2L, 3L))
+        .drop("gid")),
 
     // z-order (Morton) clustering evidence: rows keyed by the interleaved
     // 10+10-bit key of (l_partkey, l_suppkey) mod 1024; per 64-key bucket,
