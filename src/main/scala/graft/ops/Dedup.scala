@@ -158,30 +158,46 @@ object Dedup {
     // collapse each band's sub-signature to ONE long key: a scalar
     // grouping key hash-partitions cleanly (an array-typed key degrades
     // the shuffle); collisions are harmless — verification catches them.
-    val banded = sig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), lit(b * rowsPerBand + 1), lit(rowsPerBand)))))
-        .as(Seq("band", "bandkey")))
-    bucketPairs(banded)
+    // Every row carries its full `keys` array so bucketPairs can emit
+    // each pair from its FIRST colliding band only (no distinct pass).
+    val keyed = sig.select(col("id"),
+      array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+        .as("keys"))
+    bucketPairs(keyed.select(col("id"), col("keys"),
+      posexplode(col("keys")).as(Seq("band", "bandkey"))), bands)
   }
 
-  /** Distinct candidate id pairs from banded rows (id, band, bandkey):
-    * ONE groupBy + within-bucket pair expansion (the shared LSH candidate
-    * core of [[minhashCandidates]] and [[embeddingNearDupLsh]] — see the
-    * formulation rationale on minhashCandidates).
+  /** Distinct candidate id pairs from banded rows (id, band, bandkey,
+    * keys): ONE groupBy + within-bucket pair expansion (the shared LSH
+    * candidate core of [[minhashCandidates]] and [[embeddingNearDupLsh]]
+    * — see the formulation rationale on minhashCandidates). `keys` is
+    * the row's full per-band key array; a pair is emitted ONLY from its
+    * first colliding band (no earlier band key equal), so the global
+    * pair set is distinct by construction and the distinct() exchange
+    * over the pair volume — the heaviest stage of the old form, re-
+    * shuffling every duplicate candidate — is gone at every scale.
     */
-  private def bucketPairs(banded: DataFrame): DataFrame = {
-    val ids = col("ids")
-    banded.groupBy(col("band"), col("bandkey"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(ids) > 1)
+  private def bucketPairs(banded: DataFrame, bands: Int): DataFrame = {
+    val xs = col("xs")
+    val exploded = banded.groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("keys")))).as("xs"))
+      .filter(size(xs) > 1)
       // (a, b) for every i < j over the sorted bucket ids — a < b holds
       // by construction, no post-filter
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .distinct()
+      .select(col("band"), explode(flatten(transform(xs, (a, i) =>
+        transform(slice(xs, i + lit(2), size(xs)),
+          b => struct(a.getField("id").as("a_id"),
+            b.getField("id").as("b_id"), a.getField("keys").as("__ak"),
+            b.getField("keys").as("__bk")))))).as("p"))
+    // first-colliding-band emission, as a statically UNROLLED codegen
+    // filter over the exploded rows (bands is plan-time): a per-pair
+    // HOF predicate here measured slower than the distinct it replaces
+    val earlier = (0 until bands - 1).map(b =>
+      col("band") > b &&
+        element_at(col("p.__ak"), b + 1) === element_at(col("p.__bk"), b + 1))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    exploded.filter(!earlier).select(col("p.a_id"), col("p.b_id"))
   }
 
   /** Word-set Jaccard similarity of two texts. */
@@ -715,12 +731,12 @@ object Dedup {
       val dim = probe(0).getInt(0)
       val sigs = graft.ops.Ann.lshBuckets(base, "v", dim, nbits, seed)
       val banded = sigs.select(col("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("bucket"), b * r).bitwiseAND(lit(mask)).as("bandkey"))): _*))
-          .as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-      val cands = bucketPairs(banded)
+        array((0 until bands).map(b =>
+          shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))): _*)
+          .as("keys"))
+        .select(col("id"), col("keys"),
+          posexplode(col("keys")).as(Seq("band", "bandkey")))
+      val cands = bucketPairs(banded, bands)
       cands
         .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
         .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")
