@@ -177,7 +177,30 @@ object Bench {
     // map — round 8's single combined line outgrew the captured tail and
     // left BENCH_r08.json unparseable ("parsed": null).
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$ratioJson$isoJson$isolationMeta}""")
+    // DRIVER-PARSED per-query subset (round 19): the driver's artifact
+    // stores (and parses) only the LAST ~2000 chars of stdout — rounds
+    // 2-7's combined line parsed WITH its queries map (1881 chars at r7),
+    // r8's outgrew the window ("parsed": null), and the two-line split
+    // since r9 left the parsed line with NO queries at all, which is why
+    // PERF per-query comparison and the c8/c32 scaling table have been
+    // empty ("prev/now_bench_ok": false) for two rounds. 374 gates can
+    // never fit, so the final line carries the HEAVIEST gates' medians
+    // under a strict length budget (the full map is line 1 above and
+    // BENCH_QUERIES_RUN.json, both unchanged) — heaviest-first is the
+    // subset that carries the perf signal. Timing methodology untouched.
+    val base = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$ratioJson$isoJson$isolationMeta"""
+    val lineBudget = 1800 - base.length - ""","queries":{}}""".length
+    val top = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    results.sortBy { case (n, t) => (-t, n) }.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + fmt(v)
+      val need = ent.length + (if (top.isEmpty) 0 else 1)
+      if (used + need <= lineBudget) { top += ent; used += need }
+    }
+    val topJson =
+      if (top.isEmpty) ""
+      else top.mkString(""","queries":{""", ",", "}")
+    println(s"$base$topJson}")
     // The driver captures only a bounded TAIL of stdout, which truncates the
     // head of the (100+-entry) per-query line — round 9 lost the ~21
     // alphabetically-earliest medians. Persist the full map so per-query

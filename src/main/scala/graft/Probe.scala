@@ -4,7 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Scratch measurement probe for optimization round 18 (NOT committed). */
+/** Targeted A/B measurement harness for the optimization rounds —
+  * committed deliberately alongside [[Explain]] as measurement tooling
+  * (guide §1): edit the `variants` list to the pipeline stages under
+  * study, run with SPARK_GRAFT_SF_DIR/SPARK_GRAFT_REPEAT. Not an engine
+  * path; the shipped variants are whatever the last investigation
+  * probed.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

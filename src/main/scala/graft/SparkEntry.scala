@@ -2541,8 +2541,17 @@ object SparkEntry {
     * the grouping sets by their grouping_id (flag = high bit).
     */
   private def olapReagg(li: DataFrame, gids: Seq[Long]): DataFrame = {
+    // The base is materialized ONCE (eager localCheckpoint of the
+    // group-count-sized aggregate) so the one-corpus-scan guarantee
+    // holds structurally: the union's branches each re-plan the base
+    // subtree, and without the checkpoint the single scan depends
+    // entirely on AQE runtime exchange reuse (r18's after-plan showed 4
+    // scan+partial-agg subtrees and no ReusedExchange — the corpus
+    // could be scanned per branch, worse than Expand at scale). The
+    // checkpointed frame is a handful of rows at ANY corpus size.
     val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).as("__s"), count(lit(1)).as("__n"))
+      .localCheckpoint()
     val nullStr = lit(null).cast(StringType)
     def branch(gid: Long): DataFrame = gid match {
       case 0L => base.select(col("l_returnflag"), col("l_linestatus"),
@@ -2829,20 +2838,29 @@ object SparkEntry {
           max(col("value")).as("max_value"),
           round(sum(dec(col("value"))).cast(DoubleType) / count(lit(1)), 6).as("avg_value"))),
 
-    // json_object_keys + json_array_length surface (§2.D)
+    // json_object_keys + json_array_length surface (§2.D). ONE Jackson
+    // parse per row (from_json to map<string,string>) serves the key
+    // list, the object length, and the '$.k' value — the previous form
+    // parsed props 4x per row (json_object_keys + json_tuple + the
+    // json_length pair), r19 guide §expressions. Non-object props (none
+    // in the events data, but the declared semantics keep the dual
+    // json_length form) fall through to json_array_length.
     "json_surface" -> ((s, dir) =>
       events(s, dir)
         .select(col("event_id"), col("props"),
-          json_keys(col("props")).as("__ks"),
-          json_tuple(col("props"), "k").as("__k"))
+          from_json(col("props"),
+            MapType(StringType, StringType)).as("__m"))
         .select(
           col("event_id"),
-          array_join(col("__ks"), ",").as("ks"),
+          array_join(map_keys(col("__m")), ",").as("ks"),
           org.apache.spark.sql.functions.json_array_length(
-            concat(lit("["), col("__k"), lit(","), col("__k"), lit("]"))).as("arr_len"),
+            concat(lit("["), col("__m").getItem("k"), lit(","),
+              col("__m").getItem("k"), lit("]"))).as("arr_len"),
           // json_length's OBJECT form (reference json pack counts keys
           // as well as array elements, udfs.rs:13-16)
-          json_length(col("props")).as("obj_len"))),
+          when(col("__m").isNotNull, size(map_keys(col("__m"))))
+            .otherwise(org.apache.spark.sql.functions
+              .json_array_length(col("props"))).as("obj_len"))),
 
     // the DSv2 connector end-to-end: ingest the embeddings collection into
     // the (demo in-memory) collection store executor-side (fromRows — no

@@ -1273,3 +1273,516 @@ case class TextStats(child: Expression, profiles: Seq[Seq[String]])
 
   override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
 }
+
+object PosOrderedKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Permutation of `arr`'s struct rows ascending by field 0 (the
+    * position), encoded as (pos << 32 | index) longs so the sort is
+    * primitive (no boxing). Positions must be non-negative ints — the
+    * posexplode contract every caller satisfies; enforced loudly because
+    * a silent mis-sort would corrupt the deterministic fold order.
+    * Positions are UNIQUE within one group at every call site, so tie
+    * order is never exercised.
+    */
+  private def sortedKeys(arr: ArrayData, posLong: Boolean): Array[Long] = {
+    val n = arr.numElements()
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      val p = if (posLong) r.getLong(0) else r.getInt(0).toLong
+      if (p < 0 || p > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"pos_ordered_* expects positions in [0, 2^31), got $p")
+      keys(i) = (p << 32) | i
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    keys
+  }
+
+  /** Left-assoc double sum of field 1 in position order, starting at 0.0
+    * — the identical IEEE op sequence as array_sort(collect_list(struct
+    * (pos, x))) then an interpreted `aggregate` left fold, in one
+    * compiled pass (no HOF lambda eval per element, no SortArray
+    * fallback).
+    */
+  def sumField(arr: ArrayData, posLong: Boolean): Double = {
+    val n = arr.numElements()
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) { vals(i) = arr.getStruct(i, 2).getDouble(1); i += 1 }
+    val keys = sortedKeys(arr, posLong)
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += vals((keys(i) & 0xffffffffL).toInt); i += 1 }
+    acc
+  }
+
+  /** Field-1 strings joined by `sep` in position order — the compiled
+    * twin of concat_ws/array_join over transform(sort_array(collect_list
+    * (struct(pos, s)))). Null strings are skipped, matching both
+    * concat_ws and array_join.
+    */
+  def joinField(arr: ArrayData, sep: UTF8String, posLong: Boolean): UTF8String = {
+    val n = arr.numElements()
+    if (n == 0) return UTF8String.fromString("")
+    val strs = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { strs(i) = arr.getStruct(i, 2).getUTF8String(1); i += 1 }
+    val keys = sortedKeys(arr, posLong)
+    val parts = new Array[UTF8String](n)
+    i = 0
+    while (i < n) { parts(i) = strs((keys(i) & 0xffffffffL).toInt); i += 1 }
+    UTF8String.concatWs(sep, parts: _*)
+  }
+}
+
+/** Position-ordered sum over array<struct<pos int|long, x double>> — the
+  * deterministic per-document LM fold (same IEEE order as the oracle's
+  * list(x ORDER BY pos) left reduce) without the interpreted
+  * array_sort-comparator + HOF-aggregate hot path.
+  */
+case class PosOrderedSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pos_ordered_sum"
+  private def posType: Option[DataType] = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.length == 2 &&
+      (st.fields(0).dataType == IntegerType || st.fields(0).dataType == LongType) &&
+      st.fields(1).dataType == DoubleType => Some(st.fields(0).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (posType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_ordered_sum expects array<struct<int|long, double>>, got ${child.dataType.catalogString}")
+  @transient private lazy val posLong = posType.contains(LongType)
+
+  protected override def nullSafeEval(input: Any): Any =
+    PosOrderedKernel.sumField(input.asInstanceOf[ArrayData], posLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PosOrderedKernel.sumField($a, $posLong);")
+
+  override protected def withNewChildInternal(c: Expression): PosOrderedSum = copy(child = c)
+}
+
+/** Position-ordered string join over array<struct<pos int|long, s string>>
+  * — the compiled document-reassembly tail shared by span stripping and
+  * line dedup (sort_array + transform(getField) + concat_ws/array_join
+  * all interpret per element; this is one kernel call per document).
+  */
+case class PosOrderedJoin(child: Expression, sep: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pos_ordered_join"
+  private def posType: Option[DataType] = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.length == 2 &&
+      (st.fields(0).dataType == IntegerType || st.fields(0).dataType == LongType) &&
+      st.fields(1).dataType == StringType => Some(st.fields(0).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (posType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_ordered_join expects array<struct<int|long, string>>, got ${child.dataType.catalogString}")
+  @transient private lazy val posLong = posType.contains(LongType)
+  @transient private lazy val sepU8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(sep)
+
+  protected override def nullSafeEval(input: Any): Any =
+    PosOrderedKernel.joinField(input.asInstanceOf[ArrayData], sepU8, posLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("posJoinSep", sepU8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.PosOrderedKernel.joinField($a, $ref, $posLong);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PosOrderedJoin = copy(child = c)
+}
+
+object SpanKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Gaps-and-islands merge of hit positions into maximal token spans —
+    * the compiled twin of the two-window form (prevEnd = max(pos+w) over
+    * preceding, new island when pos > prevEnd, min/max per island): sort
+    * ascending, walk once, extend while pos <= curEnd. End exclusive.
+    * Duplicate positions merge into their island exactly as the window
+    * form's running max did. Pure integer arithmetic — value-identical.
+    */
+  def mergeIslands(arr: ArrayData, w: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val pos = new Array[Long](n)
+    var i = 0
+    while (i < n) { pos(i) = arr.getLong(i); i += 1 }
+    java.util.Arrays.sort(pos)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var start = pos(0)
+    var end = pos(0) + w
+    i = 1
+    while (i < n) {
+      if (pos(i) > end) {
+        out += new GenericInternalRow(Array[Any](start, end))
+        start = pos(i); end = pos(i) + w
+      } else if (pos(i) + w > end) end = pos(i) + w
+      i += 1
+    }
+    out += new GenericInternalRow(Array[Any](start, end))
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Lowercased whitespace tokens with empties dropped — the EXACT token
+    * list of split(lower(text), "\\s+") with "" removed (leading
+    * whitespace yields a leading "" in both Java and Spark split; inner
+    * empties cannot occur; trailing empties are dropped here and removed
+    * there).
+    */
+  def tokensOf(s: UTF8String): Array[String] =
+    s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+
+  /** Rebuild a document with its span token-ranges REMOVED: tokenize as
+    * tokensOf, drop tokens whose position falls in any [start, end) of
+    * `spans`, join survivors with single spaces. Returns (n_kept,
+    * kept_text) — the compiled, NO-SHUFFLE twin of the posexplode +
+    * range-anti-join + collect_list reassembly (bit-identical text:
+    * same tokens, same order, same separator).
+    */
+  def stripSpans(text: UTF8String, spans: ArrayData): InternalRow = {
+    val toks = tokensOf(text)
+    val m = if (spans == null) 0 else spans.numElements()
+    val ss = new Array[Long](m)
+    val es = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val r = spans.getStruct(j, 2)
+      ss(j) = r.getLong(0); es(j) = r.getLong(1); j += 1
+    }
+    val sb = new java.lang.StringBuilder
+    var kept = 0L
+    var i = 0
+    while (i < toks.length) {
+      var inSpan = false
+      j = 0
+      while (j < m && !inSpan) {
+        if (i >= ss(j) && i < es(j)) inSpan = true
+        j += 1
+      }
+      if (!inSpan) {
+        if (kept > 0) sb.append(' ')
+        sb.append(toks(i))
+        kept += 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](kept, UTF8String.fromString(sb.toString)))
+  }
+
+  /** Word w-shingle STRINGS of a text (w consecutive tokens joined by
+    * one space), optionally DISTINCT (first-occurrence order) — the
+    * compiled twin of transform(sequence(...), i => concat_ws(" ",
+    * slice(toks, i, w))) [+ array_distinct]: same tokens, same join,
+    * same empty-array result for docs shorter than w.
+    */
+  def wordShingles(s: UTF8String, w: Int, distinct: Boolean): ArrayData = {
+    val toks = tokensOf(s)
+    val n = toks.length - w + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    if (!distinct) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[String](Math.min(n, 1024))
+      var i = 0
+      while (i < n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      i = 0
+      while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Elementwise floorMod of a long array — the compiled twin of
+    * transform(arr, h => pmod(h, m)) (pmod == floorMod for positive m).
+    */
+  def pmodArray(arr: ArrayData, m: Long): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = java.lang.Math.floorMod(arr.getLong(i), m); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Left-assoc double fold acc += weights(b) over bucket ids in array
+    * order, starting 0.0 — the identical IEEE sequence as
+    * aggregate(arr, 0.0, (acc, b) => acc + element_at(wlit, b+1)), with
+    * the out-of-range case a loud error instead of a silent null.
+    */
+  def weightedBucketSum(arr: ArrayData, weights: Array[Double]): Double = {
+    val n = arr.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val b = arr.getLong(i)
+      if (b < 0 || b >= weights.length)
+        throw new IllegalArgumentException(
+          s"bucket $b outside the [0, ${weights.length}) model range")
+      acc += weights(b.toInt)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Gaps-and-islands span merge over collected hit positions. */
+case class MergeIslands(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("span_start", LongType, nullable = false),
+    StructField("span_end", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "merge_islands"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"merge_islands expects array<bigint>, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    SpanKernel.mergeIslands(input.asInstanceOf[ArrayData], w.toLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanKernel.mergeIslands($a, ${w}L);")
+  override protected def withNewChildInternal(c: Expression): MergeIslands = copy(child = c)
+}
+
+/** Map-side span stripping: (text, spans) -> (n_kept, kept_text).
+  * Null-safe on BOTH children — callers coalesce a left-joined spans
+  * column to an empty array literal.
+  */
+case class StripSpans(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_kept", LongType, nullable = false),
+    StructField("kept", StringType, nullable = false)))
+  override def prettyName: String = "strip_spans"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StringType, ArrayType(st: StructType, _))
+      if st.fields.length == 2 && st.fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"strip_spans expects (string, array<struct<bigint,bigint>>), got (${l.catalogString}, ${r.catalogString})")
+  }
+  protected override def nullSafeEval(t: Any, sp: Any): Any =
+    SpanKernel.stripSpans(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      sp.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, sp) =>
+      s"${ev.value} = graft.functions.SpanKernel.stripSpans($t, $sp);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StripSpans =
+    copy(left = l, right = r)
+}
+
+/** Word w-shingle strings in one compiled pass (optionally per-doc
+  * distinct) — kills the interpreted transform/slice/concat_ws lambda
+  * chain AND (distinct form) the per-doc array_distinct.
+  */
+case class WordShingles(child: Expression, width: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (width >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"word_shingles width must be >= 1, got $width")
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    SpanKernel.wordShingles(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width, distinct)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SpanKernel.wordShingles($s, $width, $distinct);")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Elementwise pmod of a bigint array by a positive constant modulus. */
+case class PmodArray(child: Expression, m: Long) extends UnaryExpression {
+  require(m > 0, s"pmod_array modulus must be positive, got $m")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pmod_array"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pmod_array expects array<bigint>, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    SpanKernel.pmodArray(input.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanKernel.pmodArray($a, ${m}L);")
+  override protected def withNewChildInternal(c: Expression): PmodArray = copy(child = c)
+}
+
+/** Position-order weighted fold over bucket ids against a constant
+  * weight table (the DSIR scoring fold, compiled).
+  */
+case class WeightedBucketSum(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "weighted_bucket_sum"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"weighted_bucket_sum expects array<bigint>, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    SpanKernel.weightedBucketSum(input.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanKernel.weightedBucketSum($a, $ref);")
+  }
+  override protected def withNewChildInternal(c: Expression): WeightedBucketSum = copy(child = c)
+}
+
+object ClassifyKernel {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** Elementwise class-weight sum in position order — the compiled twin
+    * of aggregate(array_sort(collect_list(struct(pos, ws))), zeros,
+    * zip_with(acc, x.ws, _ + _)): same left-assoc IEEE adds per class,
+    * positions unique per doc. Input array is non-empty (a groupBy
+    * group always has rows); all ws arrays share one length.
+    */
+  def posOrderedVecSum(arr: ArrayData, posLong: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val keys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 2)
+      val p = if (posLong) r.getLong(0) else r.getInt(0).toLong
+      if (p < 0 || p > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"pos_ordered_vec_sum expects positions in [0, 2^31), got $p")
+      keys(i) = (p << 32) | i
+      i += 1
+    }
+    java.util.Arrays.sort(keys)
+    val first = arr.getStruct((keys(0) & 0xffffffffL).toInt, 2).getArray(1)
+    val k = first.numElements()
+    val sums = new Array[Double](k)
+    i = 0
+    while (i < n) {
+      val ws = arr.getStruct((keys(i) & 0xffffffffL).toInt, 2).getArray(1)
+      var j = 0
+      while (j < k) { sums(j) += ws.getDouble(j); j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sums)
+  }
+
+  /** Map-side NB scoring fold: per bucket id in array order, skip
+    * buckets the model never saw (null weight row), elementwise-add the
+    * rest — the identical IEEE sequence as the filter-then-aggregate
+    * zip_with form. Returns (n_matched, sums).
+    */
+  def bucketVecSum(arr: ArrayData, w: Array[Array[Double]],
+                   nClasses: Int): GenericInternalRow = {
+    val n = arr.numElements()
+    val sums = new Array[Double](nClasses)
+    var matched = 0L
+    var i = 0
+    while (i < n) {
+      val b = arr.getLong(i)
+      if (b < 0 || b >= w.length)
+        throw new IllegalArgumentException(
+          s"bucket $b outside the [0, ${w.length}) model range")
+      val ws = w(b.toInt)
+      if (ws != null) {
+        var j = 0
+        while (j < nClasses) { sums(j) += ws(j); j += 1 }
+        matched += 1L
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](matched,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(sums)))
+  }
+}
+
+/** Position-ordered elementwise vector sum over
+  * array<struct<pos int|long, ws array<double>>> (the NB classify fold).
+  */
+case class PosOrderedVecSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pos_ordered_vec_sum"
+  private def posType: Option[DataType] = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.length == 2 &&
+      (st.fields(0).dataType == IntegerType || st.fields(0).dataType == LongType) &&
+      (st.fields(1).dataType match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }) => Some(st.fields(0).dataType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (posType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_ordered_vec_sum expects array<struct<int|long, array<double>>>, got ${child.dataType.catalogString}")
+  @transient private lazy val posLong = posType.contains(LongType)
+  protected override def nullSafeEval(input: Any): Any =
+    ClassifyKernel.posOrderedVecSum(input.asInstanceOf[ArrayData], posLong)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ClassifyKernel.posOrderedVecSum($a, $posLong);")
+  override protected def withNewChildInternal(c: Expression): PosOrderedVecSum = copy(child = c)
+}
+
+/** Map-side bucket->class-weight fold against a constant dense weight
+  * table: array<long> -> struct(n_matched, sums array<double>).
+  */
+case class BucketVecSum(child: Expression, weights: Array[Array[Double]],
+                        nClasses: Int) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_matched", LongType, nullable = false),
+    StructField("sums", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = "bucket_vec_sum"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"bucket_vec_sum expects array<bigint>, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    ClassifyKernel.bucketVecSum(input.asInstanceOf[ArrayData], weights, nClasses)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbWeights", weights, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ClassifyKernel.bucketVecSum($a, $ref, $nClasses);")
+  }
+  override protected def withNewChildInternal(c: Expression): BucketVecSum = copy(child = c)
+}

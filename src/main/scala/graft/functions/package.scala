@@ -164,6 +164,60 @@ package object functions {
   def char_entropy(text: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(text)))
 
+  /** Position-ordered left-fold sum over array<struct<pos, x double>> —
+    * the deterministic per-document LM fold, compiled (identical IEEE op
+    * order as array_sort + HOF aggregate, no interpreted lambda).
+    */
+  def pos_ordered_sum(arr: Column): Column =
+    Bridge.column(PosOrderedSum(Bridge.expression(arr)))
+
+  /** Position-ordered join of struct field 1 over
+    * array<struct<pos, s string>> — compiled document reassembly.
+    */
+  def pos_ordered_join(arr: Column, sep: String): Column =
+    Bridge.column(PosOrderedJoin(Bridge.expression(arr), sep))
+
+  /** Gaps-and-islands merge of collected hit positions (array<bigint>)
+    * into maximal token spans: array<struct<span_start, span_end>>,
+    * end exclusive, touching ranges merged — compiled.
+    */
+  def merge_islands(positions: Column, w: Int): Column =
+    Bridge.column(MergeIslands(Bridge.expression(positions), w))
+
+  /** Map-side span strip: (text, spans) -> struct(n_kept, kept) — the
+    * tokenize + drop-ranges + single-space rejoin in one compiled pass.
+    */
+  def strip_spans(text: Column, spans: Column): Column =
+    Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(spans)))
+
+  /** Word w-shingle STRINGS in one compiled pass (tokens = lowercased
+    * whitespace split, empties dropped); `distinct` dedupes per doc in
+    * first-occurrence order.
+    */
+  def word_shingles(text: Column, width: Int, distinct: Boolean = false): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), width, distinct))
+
+  /** Elementwise pmod of array<bigint> by a positive constant. */
+  def pmod_array(arr: Column, m: Long): Column =
+    Bridge.column(PmodArray(Bridge.expression(arr), m))
+
+  /** Compiled left fold acc += weights(b) over bucket ids in array order. */
+  def weighted_bucket_sum(arr: Column, weights: Array[Double]): Column =
+    Bridge.column(WeightedBucketSum(Bridge.expression(arr), weights))
+
+  /** Position-ordered elementwise vector sum over
+    * array<struct<pos, ws array<double>>> (the NB classify fold).
+    */
+  def pos_ordered_vec_sum(arr: Column): Column =
+    Bridge.column(PosOrderedVecSum(Bridge.expression(arr)))
+
+  /** Map-side bucket fold against a dense class-weight table (null row =
+    * unseen bucket, skipped): struct(n_matched, sums).
+    */
+  def bucket_vec_sum(arr: Column, weights: Array[Array[Double]],
+                     nClasses: Int): Column =
+    Bridge.column(BucketVecSum(Bridge.expression(arr), weights, nClasses))
+
   /** Unicode NFC normalization (canonical compose). */
   def nfc_normalize(text: Column): Column =
     Bridge.column(NfcNormalize(Bridge.expression(text)))

@@ -92,17 +92,19 @@ object Classify {
   def classify(score: DataFrame, model: NbModel, idCol: String,
                textCol: String): DataFrame = {
     val n = model.classes.length
-    val zero = array(Seq.fill(n)(lit(0.0)): _*)
     val priorsLit = array(model.priors.map(lit(_)): _*)
     val classesLit = array(model.classes.map(lit(_)): _*)
     val scF = feats(score, Seq(col(idCol)), textCol, model.buckets)
     scF.join(broadcast(model.weights), Seq("b"))
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("ws")))).as("__lw"))
+      .agg(collect_list(struct(col("pos"), col("ws"))).as("__lw"))
       .select(col(idCol),
+        // pos_ordered_vec_sum: the identical position-ordered
+        // elementwise fold (same IEEE adds per class) in one compiled
+        // kernel call — the array_sort comparator and the nested
+        // aggregate/zip_with lambdas all interpreted per element
         zip_with(
-          aggregate(col("__lw"), zero,
-            (acc, x) => zip_with(acc, x("ws"), (a, b) => a + b)),
+          graft.functions.pos_ordered_vec_sum(col("__lw")),
           priorsLit, (s, p) => round(s + p, 6)).as("__tot"))
       .select(col(idCol),
         element_at(classesLit,
@@ -113,7 +115,7 @@ object Classify {
 
   /** MAP-SIDE classification: the weight table COLLECTS to the driver
     * (model state — ≤ buckets rows of class-weight arrays) and re-enters
-    * as one map literal, so scoring is a single codegen projection: no
+    * as a dense codegen reference table, so scoring is a single codegen projection: no
     * join, no aggregation, NO SHUFFLE — which means it runs unchanged on
     * an unbounded Structured-Streaming ingest (StreamingSpec proves
     * stream == batch prediction-for-prediction). Bit-identical to
@@ -126,29 +128,24 @@ object Classify {
     val n = model.classes.length
     val weights: Map[Long, Seq[Double]] = model.weights.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    // DENSE array literal indexed by bucket (1-based element_at), null for
-    // buckets the model never saw: a map literal's element_at is a LINEAR
-    // key scan in Spark (O(buckets) per feature lookup, twice per feature
-    // — measured 3.5x slower than the join form at buckets=512); the
-    // array literal constant-folds once and indexes O(1), restoring the
-    // "no shuffle AND no per-lookup scan" contract this serving form
-    // exists for.
-    val wArr = array((0 until model.buckets).map(b =>
-      weights.get(b.toLong).map(ws => typedLit(ws))
-        .getOrElse(lit(null).cast(ArrayType(DoubleType)))): _*)
-    val zero = array(Seq.fill(n)(lit(0.0)): _*)
+    // DENSE weight table as a codegen REFERENCE OBJECT (double[][], null
+    // row = bucket the model never saw): bucket_vec_sum skips unseen
+    // buckets and elementwise-adds the rest in feature-position order —
+    // the identical IEEE sequence as the former filter-HOF +
+    // aggregate/zip_with lambda stack (which interpreted element_at into
+    // a 512-entry array LITERAL per feature), in one compiled kernel
+    // call per doc. n_matched > 0 == the old size(filtered fb) > 0 drop.
+    val wArr2d: Array[Array[Double]] = Array.tabulate(model.buckets)(b =>
+      weights.get(b.toLong).map(_.toArray).orNull)
     val priorsLit = array(model.priors.map(lit(_)): _*)
     val classesLit = array(model.classes.map(lit(_)): _*)
-    val feats = filter(
-      Dsir.featureBuckets(col(textCol), model.buckets),
-      b => element_at(wArr, (b + 1).cast(IntegerType)).isNotNull)
-    score.select(col(idCol), feats.as("__fb"))
-      .filter(size(col("__fb")) > 0)
+    score.select(col(idCol),
+        graft.functions.bucket_vec_sum(
+          Dsir.featureBuckets(col(textCol), model.buckets), wArr2d, n)
+          .as("__bv"))
+      .filter(col("__bv.n_matched") > 0)
       .select(col(idCol),
-        zip_with(
-          aggregate(col("__fb"), zero,
-            (acc, b) => zip_with(acc,
-              element_at(wArr, (b + 1).cast(IntegerType)), (a, w) => a + w)),
+        zip_with(col("__bv.sums"),
           priorsLit, (s, p) => round(s + p, 6)).as("__tot"))
       .select(col(idCol),
         element_at(classesLit,

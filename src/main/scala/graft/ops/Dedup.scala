@@ -108,11 +108,12 @@ object Dedup {
       .partitionBy(col("__fp")).orderBy(col(idCol).asc, col("pos").asc)
     val kept = lines.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+    // compiled position-ordered rebuild (see stripSpansAndFingerprint):
+    // positions are unique per doc, lines non-null — identical text
     val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")), "\n").as("__text"))
+        pos_ordered_join(collect_list(struct(col("pos"), col("line"))), "\n")
+          .as("__text"))
     // fully-deduplicated docs (every line seen earlier) come back empty,
     // not absent
     df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
@@ -625,6 +626,11 @@ object Dedup {
       converged = prevSum != null && nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       i += 1
+      // sym's cache is only needed until symLoop materializes (round 1's
+      // action scans it once for the union); from round 2 on every scan
+      // hits symLoop, so holding both caches doubles the edge list's
+      // memory footprint for the rest of the loop (r19 ADVICE)
+      if (i == 1) sym.unpersist(blocking = false)
       lap(s"round $i")
     }
     lastCcRounds = i
@@ -901,7 +907,9 @@ object Dedup {
     */
   /** Whitespace tokens with empties dropped — the span-dedup token base. */
   private def cleanToks(textCol: String): Column =
-    filter(tokens(col(textCol)), t => length(t) > 0)
+    // array_remove is codegen'd; the filter-HOF form interprets its
+    // lambda per token. Identical result (tokens non-null, length>0 <=> != "")
+    array_remove(tokens(col(textCol)), "")
 
   /** (id, pos, sh): every token w-shingle HASH of every document with its
     * 0-based start position — one native [[graft.functions.ShingleKernel]]
@@ -918,25 +926,28 @@ object Dedup {
     df.select(col(idCol).as("id"),
       posexplode(word_shingle_hashes(col(textCol), w)).as(Seq("pos", "sh")))
 
-  /** Gaps-and-islands merge of hit positions `(id, pos)` into maximal
-    * token spans `(id, span_start, span_end)` — end exclusive, touching
-    * ranges merged; a per-document window, never a global sort.
+  /** Per-document MERGED SPAN ARRAYS `(id, __spans)` from hit positions
+    * `(id, pos)`: one partial-less groupBy collects each doc's hit
+    * positions, the compiled [[graft.functions.MergeIslands]] kernel
+    * sorts and merges them (end exclusive, touching ranges merged) —
+    * value-identical to the former two-window gaps-and-islands form
+    * (prevEnd running max / island running sum / min-max per island),
+    * with the Sort + 2 Window passes replaced by one kernel call per
+    * doc. Hit counts per doc are bounded by doc length, so the
+    * collected array is doc-sized state exactly like the reassembly
+    * collect_list this pipeline already carries.
     */
-  private def mergeIslands(hits: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val prevEnd = max(col("pos") + lit(w.toLong)).over(
-      byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    hits
-      .withColumn("new_island",
-        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
-      .withColumn("island", sum(col("new_island")).over(
-        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(w.toLong)).as("span_end"))
-      .select(col("id"), col("span_start"), col("span_end"))
-  }
+  private def mergeIslandsArr(hits: DataFrame, w: Int): DataFrame =
+    hits.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__ps"))
+      .select(col("id"), merge_islands(col("__ps"), w).as("__spans"))
+
+  /** Exploded form of [[mergeIslandsArr]]: `(id, span_start, span_end)`. */
+  private def mergeIslands(hits: DataFrame, w: Int): DataFrame =
+    mergeIslandsArr(hits, w)
+      .select(col("id"), explode(col("__spans")).as("__s"))
+      .select(col("id"), col("__s.span_start").as("span_start"),
+        col("__s.span_end").as("span_end"))
 
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 3): DataFrame = {
@@ -964,7 +975,7 @@ object Dedup {
   def spanStats(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 3): DataFrame = {
     val nTok = df.select(col(idCol).as(idCol),
-      size(filter(tokens(col(textCol)), t => length(t) > 0))
+      size(array_remove(tokens(col(textCol)), ""))
         .cast(LongType).as("n_tokens"))
     duplicatedSpans(df, idCol, textCol, w)
       .groupBy(col(idCol))
@@ -1007,34 +1018,35 @@ object Dedup {
     val foreign = shingled.join(owners, "sh")
       .filter(col("id") =!= col("owner"))
       .select(col("id"), col("pos").cast(LongType).as("pos"))
-    val spans = mergeIslands(foreign, w)
-      .select(col("id").as("sid"), col("span_start"), col("span_end"))
-    stripSpansAndFingerprint(df, idCol, textCol, spans)
+    stripSpansAndFingerprint(df, idCol, textCol, mergeIslandsArr(foreign, w))
   }
 
   /** Shared reassembly tail of [[stripDuplicatedSpans]] /
-    * [[stripContaminatedSpans]]: drop each doc's tokens inside its
-    * `spans` ranges (sid, span_start, span_end), rejoin survivors in
-    * position order, fingerprint. Per-doc range anti-join against FEW
-    * merged spans; the rebuild is a per-doc sort_array, never global.
+    * [[stripContaminatedSpans]], r19 form: each doc LEFT-joins its
+    * merged span ARRAY (`spansArr` = [[mergeIslandsArr]] output — one
+    * small row per affected doc, broadcast whenever spans are sparse)
+    * and the compiled [[graft.functions.StripSpans]] kernel tokenizes,
+    * drops in-span positions, and rejoins survivors map-side. The
+    * former posexplode + range-anti-join + collect_list reassembly
+    * shuffled EVERY surviving corpus token by id just to rebuild the
+    * text — at any scale the heaviest stage of the strip gates; now the
+    * text never shuffles at all (guide §2.3/§8: decide on small rows,
+    * never move the payload). Output identical: same survivors (docs
+    * with zero tokens or zero kept tokens are absent both ways), same
+    * single-space rejoin, same fingerprint.
     */
   private def stripSpansAndFingerprint(df: DataFrame, idCol: String,
                                        textCol: String,
-                                       spans: DataFrame): DataFrame = {
-    val toksOf = df.select(col(idCol).as("id"),
-      posexplode(cleanToks(textCol)).as(Seq("pos", "tok")))
-      .select(col("id"), col("pos").cast(LongType).as("pos"), col("tok"))
-    val kept = toksOf.join(spans,
-      col("id") === col("sid") &&
-        col("pos") >= col("span_start") && col("pos") < col("span_end"),
-      "left_anti")
-    kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          sort_array(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok"))).as("__kept_text"))
-      .select(col("id").as(idCol), col("n_kept"),
-        graft.functions.fingerprint64(col("__kept_text")).as("kept_fp"))
+                                       spansArr: DataFrame): DataFrame = {
+    val noSpans = array().cast(
+      "array<struct<span_start:bigint,span_end:bigint>>")
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(spansArr, Seq("id"), "left")
+      .select(col("id"),
+        strip_spans(col("__t"), coalesce(col("__spans"), noSpans)).as("__k"))
+      .filter(col("__k.n_kept") > 0)
+      .select(col("id").as(idCol), col("__k.n_kept").as("n_kept"),
+        graft.functions.fingerprint64(col("__k.kept")).as("kept_fp"))
   }
 
   /** SPAN-level benchmark decontamination: the token ranges of `df` that
@@ -1077,9 +1089,13 @@ object Dedup {
   def stripContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
                              bench: DataFrame, benchTextCol: String,
                              w: Int = 3): DataFrame = {
-    val spans = contaminatedSpans(df, idCol, textCol, bench, benchTextCol, w)
-      .select(col(idCol).as("sid"), col("span_start"), col("span_end"))
-    stripSpansAndFingerprint(df, idCol, textCol, spans)
+    val benchSh = bench.select(
+      explode(graft.functions.word_shingle_hashes(col(benchTextCol), w))
+        .as("sh")).distinct()
+    val hits = shingledPositions(df, idCol, textCol, w)
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .select(col("id"), col("pos").cast(LongType).as("pos"))
+    stripSpansAndFingerprint(df, idCol, textCol, mergeIslandsArr(hits, w))
   }
 
   /** Fuzzy (edit-distance) near-duplicate pairs: Levenshtein distance at

@@ -33,9 +33,12 @@ object Dsir {
     * `floorMod(hash64, buckets)` over the shingle kernel's hashes.
     */
   def featureBuckets(text: Column, buckets: Int): Column =
+    // pmod_array: compiled elementwise floorMod — the transform HOF
+    // interpreted its pmod lambda per hash (identical values; pmod ==
+    // floorMod for a positive modulus)
     concat(
-      transform(word_shingle_hashes(text, 1), h => pmod(h, lit(buckets.toLong))),
-      transform(word_shingle_hashes(text, 2), h => pmod(h, lit(buckets.toLong))))
+      pmod_array(word_shingle_hashes(text, 1), buckets.toLong),
+      pmod_array(word_shingle_hashes(text, 2), buckets.toLong))
 
   /** Score `raw`'s documents against a `target` corpus: returns
     * (idCol, n_features, logratio) with logratio = Σ_features
@@ -65,7 +68,15 @@ object Dsir {
       val m = new Array[Long](buckets)
       d.select(explode(featureBuckets(col(textCol), buckets)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .collect().foreach(r => m(r.getLong(0).toInt) = r.getLong(1))
+        .collect().foreach { r =>
+          val b = r.getLong(0)
+          // featureBuckets pmods into [0, buckets) — fail loudly if a
+          // future feature-kernel change breaks that contract (r19 ADVICE)
+          require(b >= 0 && b < buckets,
+            s"feature bucket $b outside [0, $buckets) — featureBuckets " +
+              "must pmod into the model range")
+          m(b.toInt) = r.getLong(1)
+        }
       m
     }
     val rawM = model(raw)
@@ -81,13 +92,13 @@ object Dsir {
       StrictMath.log((tgtM(b).toDouble + alpha) / tDen) -
         StrictMath.log((rawM(b).toDouble + alpha) / rDen)
     }
-    val wlit = lit(w)
     raw.select(col(idCol), featureBuckets(col(textCol), buckets).as("__fb"))
       .where(col("__fb").isNotNull && size(col("__fb")) > 0)
       .select(col(idCol),
         size(col("__fb")).as("n_features"),
-        round(aggregate(col("__fb"), lit(0.0),
-          (acc, b) => acc + element_at(wlit, (b + lit(1L)).cast(IntegerType))), 6)
-          .as("logratio"))
+        // weighted_bucket_sum: the identical left-assoc IEEE fold the
+        // interpreted aggregate-HOF + element_at-literal form computed,
+        // in one compiled kernel call per doc
+        round(weighted_bucket_sum(col("__fb"), w), 6).as("logratio"))
   }
 }

@@ -30,12 +30,17 @@ private[graft] object PlanUtil {
     * P = spark.sql.shuffle.partitions so later AQE-on consumers
     * co-partition against it.
     */
-  def checkpointKeepPartitioning(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val was = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try df.localCheckpoint()
-    finally spark.conf.set(key, was)
-  }
+  def checkpointKeepPartitioning(df: DataFrame): DataFrame =
+    // the AQE toggle is session-global conf: serialize the toggle window
+    // so two concurrent calls cannot read each other's "false" as the
+    // restore value and leave AQE off for the session (r19 ADVICE; the
+    // engine's gates run single-threaded today — this is cheap insurance)
+    synchronized {
+      val spark = df.sparkSession
+      val key = "spark.sql.adaptive.enabled"
+      val was = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try df.localCheckpoint()
+      finally spark.conf.set(key, was)
+    }
 }

@@ -13,6 +13,14 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Lowercased whitespace tokens with empties removed — array_remove is
+    * codegen'd, where the filter-HOF form (`filter(..., t => length(t) >
+    * 0)`) interprets its lambda per element (HOFs are CodegenFallback).
+    * Identical result: tokens are non-null, and length(t) > 0 <=> t != "".
+    */
+  private[ops] def cleanTokens(text: Column): Column =
+    array_remove(tokens(text), "")
+
   /** Sliding token-window CHUNKING — the RAG/pretraining document
     * splitter: each document becomes ceil((n-window)/stride)+1 chunks of
     * `window` whitespace tokens starting every `stride` tokens (the
@@ -31,7 +39,7 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     val n = size(toks)
     val nchunks = when(n <= 0, lit(0)).when(n <= window, lit(1))
       .otherwise(ceil((n - lit(window)).cast(DoubleType) / lit(stride))
@@ -53,8 +61,8 @@ object TextAnalysis {
   /** BPE-ish subword count approximation: words plus punctuation clusters
     * counted separately (regexp token model). */
   def subwordCount(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)) +
-      size(filter(split(text, "[a-z0-9\\s]+"), t => length(t) > 0))
+    size(array_remove(split(lower(text), "[^a-z0-9]+"), "")) +
+      size(array_remove(split(text, "[a-z0-9\\s]+"), ""))
 
   private val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
@@ -584,7 +592,7 @@ object TextAnalysis {
     val lastStart = when(n <= lit(window), lit(0))
       .otherwise(expr(s"((size(__toks) - $window + $stride - 1) DIV $stride) * $stride"))
     df.select(col(idCol),
-        filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+        cleanTokens(col(textCol))
           .as("__toks"))
       // one start per stride step up to lastStart; empty docs emit no rows
       // (posexplode of an empty array)
@@ -606,21 +614,15 @@ object TextAnalysis {
     * re-evaluates the whole chain per element (HOFs are interpreted and
     * not CSE'd) — measured O(tokens^2) per document, 7s -> sub-second.
     */
-  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = col("__toks")
-    // guard: sequence(1, 0) counts DOWN in Spark — emit no grams under 2 tokens
-    df.select(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
-        .as("__toks"))
-      .select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-          .otherwise(array().cast(ArrayType(StringType))))
-        .as("gram"))
+  def topBigrams(df: DataFrame, textCol: String, k: Int): DataFrame =
+    // word_shingles: one compiled tokenize+build pass per doc — the
+    // transform/element_at/concat_ws HOF chain interpreted its lambda
+    // per position (identical gram list, including no grams under 2
+    // tokens)
+    df.select(explode(word_shingles(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram").asc)
       .limit(k)
-  }
 
   /** Cross-document duplicated n-gram census — the corpus diagnostic
     * behind substring-dedup tuning (which spans are worth deduplicating,
@@ -634,14 +636,12 @@ object TextAnalysis {
   def topDuplicatedNgrams(df: DataFrame, textCol: String, n: Int,
                           k: Int): DataFrame = {
     require(n >= 2, s"topDuplicatedNgrams needs n >= 2, got $n")
-    val toks = col("__toks")
-    df.select(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
-        .as("__toks"))
-      .select(explode(
-        when(size(toks) >= n,
-          array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))
-          .otherwise(array().cast(ArrayType(StringType))))
+    // word_shingles(distinct): one compiled tokenize+build+dedupe pass
+    // per doc — same distinct gram set as the former array_distinct over
+    // the interpreted transform/slice/concat_ws chain (n-tuples of
+    // whitespace-free tokens map 1:1 to their joined strings, so struct
+    // vs string dedup cannot differ), probed ~2x less map-side time
+    df.select(explode(word_shingles(col(textCol), n, distinct = true))
         .as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -659,7 +659,7 @@ object TextAnalysis {
   def vocabulary(df: DataFrame, idCol: String, textCol: String,
                  k: Int): DataFrame =
     df.select(col(idCol),
-        explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+        explode(cleanTokens(col(textCol)))
           .as("token"))
       .groupBy(col("token"), col(idCol)).agg(count(lit(1)).as("__n"))
       .groupBy(col("token"))
@@ -687,7 +687,7 @@ object TextAnalysis {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     perDoc: Int): DataFrame = {
     val tf = df.select(col(idCol),
-        explode(filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0))
+        explode(cleanTokens(col(textCol)))
           .as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val n = df.agg(count(lit(1)).as("__n"))
@@ -724,19 +724,30 @@ object TextAnalysis {
       .select(col(idCol),
         posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
+    // vocab is Zipf-small: one eager localCheckpoint materializes it so
+    // BOTH consumers (the total scalar and the scoring join) read the
+    // checkpointed frame — without it the optimizer re-derived `total`
+    // from scratch and the corpus was tokenized+exploded THREE times
+    // (main pass, vocab pass, total pass; plans/r19/
+    // unigram_logprob_before.txt nodes 4-8 vs 14-21). Model-sized state,
+    // same totals.
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = vocab.agg(sum(col("cnt")).as("total"))
+    // pos_ordered_sum: the identical position-ordered left fold (same
+    // IEEE op sequence as array_sort + HOF aggregate, and as the
+    // oracle's list(logp ORDER BY pos) reduce) in one compiled kernel
+    // call per doc — no interpreted sort comparator or lambda fold
     toks.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("logp",
         log(col("cnt").cast(DoubleType) / col("total")))
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
+      .agg(collect_list(struct(col("pos"), col("logp"))).as("__lp"))
       .select(col(idCol),
         size(col("__lp")).as("n_toks"),
-        round(
-          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
-            size(col("__lp")), 6).as("avg_logprob"))
+        round(pos_ordered_sum(col("__lp")) / size(col("__lp")), 6)
+          .as("avg_logprob"))
   }
 
   /** Add-alpha smoothed BIGRAM LM scorer — the next rung of the LM-
@@ -764,7 +775,7 @@ object TextAnalysis {
 
   private def lmToks(d: DataFrame, textCol: String, cols: Column*): DataFrame =
     d.select(cols :+
-      filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0).as("ts"): _*)
+      cleanTokens(col(textCol)).as("ts"): _*)
 
   // bigram construction is arrays_zip over two slices (whole-stage
   // codegen) rather than a transform/sequence/element_at lambda chain —
@@ -827,12 +838,13 @@ object TextAnalysis {
         log((coalesce(col("c2"), lit(0L)).cast(DoubleType) + alpha) /
           (coalesce(col("c1"), lit(0L)).cast(DoubleType) + aV)))
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("logp")))).as("__lp"))
+      .agg(collect_list(struct(col("pos"), col("logp"))).as("__lp"))
       .select(col(idCol),
         size(col("__lp")).as("n_bigrams"),
-        round(
-          aggregate(col("__lp"), lit(0.0), (acc, e) => acc + e("logp")) /
-            size(col("__lp")), 6).as("avg_logprob"))
+        // compiled position-ordered fold — same IEEE sequence as the
+        // interpreted array_sort + aggregate form (see unigramLogProb)
+        round(pos_ordered_sum(col("__lp")) / size(col("__lp")), 6)
+          .as("avg_logprob"))
 
   /** HELD-OUT bigram LM scoring — the eval-side twin of
     * [[bigramLogProb]]: the model (head counts, bigram counts, vocab
@@ -892,8 +904,7 @@ object TextAnalysis {
     */
   def stemmedVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"stemmedVocab needs k >= 1, got $k")
-    df.select(explode(filter(split(lower(col(textCol)), "\\s+"),
-        t => length(t) > 0)).as("tok"))
+    df.select(explode(cleanTokens(col(textCol))).as("tok"))
       .select(lightStem(col("tok")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
