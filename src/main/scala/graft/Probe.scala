@@ -29,25 +29,55 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val d = Tables.load(spark, sfDir, "documents")
-    val toks = col("__toks")
-    def tokdf() = d.select(filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0).as("__toks"))
-    def grams() = tokdf().select(
-      when(size(toks) >= 5,
-        array_distinct(transform(sequence(lit(1), size(toks) - 5 + 1),
-          i => concat_ws(" ", slice(toks, i, lit(5))))))
-        .otherwise(array().cast(ArrayType(StringType))).as("gs"))
-    def explcount() = grams().select(explode(col("gs")).as("ngram"))
-      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") >= 2)
-    def full() = explcount().orderBy(col("n_docs").desc, col("ngram").asc).limit(20)
+    // r19: dedup_embedding_lsh stage decomposition
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    def emb() = e.union(e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * lit(0.99)).as("v")))
+    val nbits = 16; val bands = 4; val r = nbits / bands
+    val mask = (1L << r) - 1
+    def base() = emb().select(col("vec_id").as("id"), col("v"))
+      .filter(col("v").isNotNull)
+    def sigs() = graft.ops.Ann.lshBuckets(base(), "v", 64, nbits, 42L)
+    def banded() = sigs().select(col("id"),
+      array((0 until bands).map(b =>
+        shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))): _*).as("keys"))
+      .select(col("id"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "bandkey")))
+    def buckets() = banded().groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("keys")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+    def cands() = {
+      val xs = col("xs")
+      val exploded = buckets()
+        .select(col("band"), explode(flatten(transform(xs, (a, i) =>
+          transform(slice(xs, i + lit(2), size(xs)),
+            b => struct(a.getField("id").as("a_id"),
+              b.getField("id").as("b_id"), a.getField("keys").as("__ak"),
+              b.getField("keys").as("__bk")))))).as("p"))
+      val earlier = (0 until bands - 1).map(b =>
+        col("band") > b &&
+          element_at(col("p.__ak"), b + 1) === element_at(col("p.__bk"), b + 1))
+        .reduce(_ || _)
+      exploded.filter(!earlier).select(col("p.a_id"), col("p.b_id"))
+    }
+    def candsNew() = banded()
+      .select(col("id"), slice(col("keys"), lit(1), col("band")).as("pref"),
+        col("band"), col("bandkey"))
+      .groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("pref")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(graft.functions.first_band_pairs(col("xs")).as(Seq("a_id", "b_id")))
+    def full() = graft.ops.Dedup.embeddingNearDupLsh(emb(), "vec_id", "v",
+      threshold = 0.999)
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "toks" -> (() => tokdf()),
-      "grams" -> (() => grams()),
-      "expl_count" -> (() => explcount()),
-      "topk_full" -> (() => full())
+      "cands_old" -> (() => cands()),
+      "cands_new" -> (() => candsNew()),
+      "full" -> (() => full())
     )
+    println(s"[probe] n_cands=${candsNew().count()}  n_out=${full().count()}")
 
     variants.foreach { case (name, fn) =>
       val times = (1 to repeat).map { _ =>

@@ -1786,3 +1786,97 @@ case class BucketVecSum(child: Expression, weights: Array[Array[Double]],
   }
   override protected def withNewChildInternal(c: Expression): BucketVecSum = copy(child = c)
 }
+
+/** LSH bucket candidate-pair GENERATOR: one call per (band, bandkey)
+  * bucket row emits the (a_id, b_id) pairs whose FIRST colliding band is
+  * this bucket's band. Input: the bucket's id-sorted
+  * array<struct<id, pref array<bigint>>> where `pref` is each row's
+  * band-key prefix BEFORE this band (slice(keys, 1, band) — empty in
+  * band 0); a pair is emitted iff no prefix position matches, i.e. the
+  * two rows were NOT co-bucketed in any earlier band. Replaces the
+  * interpreted nested-transform pair expansion (flatten + explode + the
+  * statically unrolled earlier-band filter): per-pair structs carrying
+  * both key arrays never materialize, the prefix compare runs compiled,
+  * and pairs stream straight out of the generator. Ids emit in bucket
+  * order (i < j over the sorted array), so a_id < b_id exactly as
+  * before; the emitted pair set is identical (first-band emission is
+  * a set property, not an order property).
+  */
+case class FirstBandPairs(child: Expression)
+    extends UnaryExpression with Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "first_band_pairs"
+
+  private def idTypeOpt: Option[(DataType, Boolean)] = child.dataType match {
+    case ArrayType(st: StructType, _) if st.fields.length == 2 =>
+      st.fields(1).dataType match {
+        case ArrayType(LongType, _) => Some((st.fields(0).dataType, st.fields(0).nullable))
+        case _ => None
+      }
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (idTypeOpt.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "first_band_pairs expects array<struct<id, array<bigint>>>, got " +
+        child.dataType.catalogString)
+
+  override def elementSchema: StructType = {
+    val (idt, nullable) = idTypeOpt.get
+    StructType(Seq(
+      StructField("a_id", idt, nullable),
+      StructField("b_id", idt, nullable)))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val data = child.eval(input).asInstanceOf[ArrayData]
+    if (data == null || data.numElements() < 2) return Iterator.empty
+    val n = data.numElements()
+    val idt = idTypeOpt.get._1
+    // copy ids and prefixes out: the iterator outlives this eval's
+    // input-row buffer
+    val ids = new Array[Any](n)
+    val prefs = new Array[Array[Long]](n)
+    var i = 0
+    while (i < n) {
+      val s = data.getStruct(i, 2)
+      ids(i) = org.apache.spark.sql.catalyst.InternalRow.copyValue(s.get(0, idt))
+      val p = s.getArray(1)
+      prefs(i) = if (p == null) Array.emptyLongArray else p.toLongArray()
+      i += 1
+    }
+    new scala.collection.AbstractIterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var a = 0
+      private var b = 1
+      private var pending: org.apache.spark.sql.catalyst.InternalRow = null
+      private def fetch(): Unit = {
+        while (pending == null && a < n - 1) {
+          if (b >= n) { a += 1; b = a + 1 }
+          else {
+            val pa = prefs(a); val pb = prefs(b)
+            val m = if (pa.length < pb.length) pa.length else pb.length
+            var u = 0
+            var collide = false
+            while (u < m && !collide) {
+              if (pa(u) == pb(u)) collide = true
+              u += 1
+            }
+            if (!collide)
+              pending = new GenericInternalRow(Array[Any](ids(a), ids(b)))
+            b += 1
+          }
+        }
+      }
+      override def hasNext: Boolean = { fetch(); pending != null }
+      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        fetch()
+        if (pending == null) throw new NoSuchElementException("empty pair iterator")
+        val r = pending; pending = null; r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): FirstBandPairs =
+    copy(child = c)
+}

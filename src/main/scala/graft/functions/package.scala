@@ -190,6 +190,14 @@ package object functions {
   def strip_spans(text: Column, spans: Column): Column =
     Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(spans)))
 
+  /** LSH bucket candidate-pair generator: emits (a_id, b_id) pairs from
+    * one id-sorted bucket array<struct<id, pref array<bigint>>> whose
+    * first colliding band is this bucket's (no earlier band-key prefix
+    * position equal) — use with `.as(Seq("a_id", "b_id"))`.
+    */
+  def first_band_pairs(xs: Column): Column =
+    Bridge.column(FirstBandPairs(Bridge.expression(xs)))
+
   /** Word w-shingle STRINGS in one compiled pass (tokens = lowercased
     * whitespace split, empties dropped); `distinct` dedupes per doc in
     * first-occurrence order.

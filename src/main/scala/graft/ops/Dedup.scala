@@ -159,14 +159,15 @@ object Dedup {
     // collapse each band's sub-signature to ONE long key: a scalar
     // grouping key hash-partitions cleanly (an array-typed key degrades
     // the shuffle); collisions are harmless — verification catches them.
-    // Every row carries its full `keys` array so bucketPairs can emit
-    // each pair from its FIRST colliding band only (no distinct pass).
+    // Every row carries its `keys` array so bucketPairs can emit each
+    // pair from its FIRST colliding band only (no distinct pass);
+    // bucketPairs trims it to the earlier-band prefix per banded row.
     val keyed = sig.select(col("id"),
       array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
         .as("keys"))
     bucketPairs(keyed.select(col("id"), col("keys"),
-      posexplode(col("keys")).as(Seq("band", "bandkey"))), bands)
+      posexplode(col("keys")).as(Seq("band", "bandkey"))))
   }
 
   /** Distinct candidate id pairs from banded rows (id, band, bandkey,
@@ -178,28 +179,25 @@ object Dedup {
     * pair set is distinct by construction and the distinct() exchange
     * over the pair volume — the heaviest stage of the old form, re-
     * shuffling every duplicate candidate — is gone at every scale.
+    *
+    * r19 form: each banded row carries only its band-key PREFIX
+    * (slice(keys, 1, band) — the earlier bands are all the emission
+    * test reads, and the average prefix halves the bucket shuffle's key
+    * bytes), and the pair expansion + first-band filter run as ONE
+    * compiled generator call per bucket ([[graft.functions
+    * .FirstBandPairs]]) instead of the interpreted nested-transform +
+    * flatten + explode + unrolled-filter pipeline, which materialized
+    * every pair with BOTH full key arrays before filtering. Pair set
+    * and (a_id < b_id) order are identical.
     */
-  private def bucketPairs(banded: DataFrame, bands: Int): DataFrame = {
-    val xs = col("xs")
-    val exploded = banded.groupBy(col("band"), col("bandkey"))
-      .agg(sort_array(collect_list(struct(col("id"), col("keys")))).as("xs"))
-      .filter(size(xs) > 1)
-      // (a, b) for every i < j over the sorted bucket ids — a < b holds
-      // by construction, no post-filter
-      .select(col("band"), explode(flatten(transform(xs, (a, i) =>
-        transform(slice(xs, i + lit(2), size(xs)),
-          b => struct(a.getField("id").as("a_id"),
-            b.getField("id").as("b_id"), a.getField("keys").as("__ak"),
-            b.getField("keys").as("__bk")))))).as("p"))
-    // first-colliding-band emission, as a statically UNROLLED codegen
-    // filter over the exploded rows (bands is plan-time): a per-pair
-    // HOF predicate here measured slower than the distinct it replaces
-    val earlier = (0 until bands - 1).map(b =>
-      col("band") > b &&
-        element_at(col("p.__ak"), b + 1) === element_at(col("p.__bk"), b + 1))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    exploded.filter(!earlier).select(col("p.a_id"), col("p.b_id"))
-  }
+  private def bucketPairs(banded: DataFrame): DataFrame =
+    banded
+      .select(col("id"), slice(col("keys"), lit(1), col("band")).as("pref"),
+        col("band"), col("bandkey"))
+      .groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("pref")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(first_band_pairs(col("xs")).as(Seq("a_id", "b_id")))
 
   /** Word-set Jaccard similarity of two texts. */
   def jaccard(a: Column, b: Column): Column =
@@ -742,7 +740,7 @@ object Dedup {
           .as("keys"))
         .select(col("id"), col("keys"),
           posexplode(col("keys")).as(Seq("band", "bandkey")))
-      val cands = bucketPairs(banded, bands)
+      val cands = bucketPairs(banded)
       cands
         .join(base.select(col("id").as("a_id"), col("v").as("a_v")), "a_id")
         .join(base.select(col("id").as("b_id"), col("v").as("b_v")), "b_id")

@@ -243,4 +243,41 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(sel(2) === Set(4))
     intercept[IllegalArgumentException](min_should(1))
   }
+
+  test("first_band_pairs: streams exactly the no-earlier-collision i<j pairs") {
+    import org.apache.spark.sql.functions.{sort_array, struct, collect_list, size => fsize, slice}
+    // seeded random buckets: ids unique per bucket, 4-band keys from a
+    // tiny key space so earlier-band collisions actually occur
+    val rnd = new scala.util.Random(99L)
+    val bands = 4
+    val rows = for {
+      bucket <- 0 until 12
+      width = 2 + rnd.nextInt(9)
+      i <- 0 until width
+    } yield {
+      val keys = Array.fill(bands)(rnd.nextInt(3).toLong)
+      // this row sits in band `bucket % bands` of its bucket
+      (bucket.toLong, bucket % bands, bucket * 100L + i, keys.toSeq)
+    }
+    val df = rows.toDF("bandkey", "band", "id", "keys")
+    val got = df
+      .select(col("id"), slice(col("keys"), lit(1), col("band")).as("pref"),
+        col("band"), col("bandkey"))
+      .groupBy(col("band"), col("bandkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("pref")))).as("xs"))
+      .filter(fsize(col("xs")) > 1)
+      .select(first_band_pairs(col("xs")).as(Seq("a_id", "b_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // reference: per bucket, all i<j pairs whose key prefixes (before
+    // the bucket's band) share no position
+    val ref = rows.groupBy(r => (r._2, r._1)).toSeq.flatMap { case ((band, _), rs) =>
+      val sorted = rs.sortBy(_._3)
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        if (0 until band).forall(u => sorted(i)._4(u) != sorted(j)._4(u))
+      } yield (sorted(i)._3, sorted(j)._3)
+    }
+    assert(got.sorted.toSeq === ref.sorted)
+    assert(got.forall { case (a, b) => a < b })
+  }
 }
