@@ -553,6 +553,111 @@ object Dedup {
     }
     val nEdges = sym.count() // materialize the edge cache once, up front
     lap(s"edges ($nEdges sym)")
+    // DATA-ADAPTIVE driver arm (r19, guide §1.2 step 1): the loop below
+    // costs a fixed handful of jobs PER ROUND (hop join + groupBy + jump
+    // join + convergence agg), which at bench scale is pure scheduling
+    // latency — a 2k-edge label propagation measured 2.0 s of driver
+    // round-trips for microseconds of actual work. When the symmetrized
+    // edge list is small enough to hold on the driver (<= the
+    // `graft.cc.driverMaxEdges` session conf, default 1M sym edges ~
+    // tens of MB — the same order as a broadcast join's build side), run
+    // THE SAME round recurrence in local arrays: identical hop
+    // (neighbor-min over the self-looped edges), identical pointer jump,
+    // identical sum-equality convergence rule, identical maxIter /
+    // failOnNonConvergence behavior — bit-for-bit the loop's labels,
+    // including the partial-propagation state at maxIter exhaustion.
+    // Large edge sets (the 100 TB regime) take the distributed loop
+    // exactly as before; reliable-checkpoint callers always do (that
+    // path exists to survive executor loss, which the driver arm cannot
+    // exercise).
+    val driverMaxEdges =
+      nodes.sparkSession.conf.get("graft.cc.driverMaxEdges", "1000000").toLong
+    val idIsLong = sym.schema.fields(0).dataType == LongType
+    if (idIsLong && reliableCheckpointEvery == 0 && nEdges <= driverMaxEdges) {
+      val rows = sym.collect()
+      sym.unpersist(blocking = false)
+      val m = rows.length
+      // index the edge nodes (every node appears as src by symmetry)
+      val idx = new java.util.HashMap[Long, Int](m * 2)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+      var r = 0
+      while (r < m) {
+        val s = rows(r).getLong(0)
+        if (!idx.containsKey(s)) { idx.put(s, ids.length); ids += s }
+        r += 1
+      }
+      val n = ids.length
+      // CSR adjacency over in-neighbors (symmetric, so = neighbors)
+      val deg = new Array[Int](n)
+      r = 0
+      while (r < m) { deg(idx.get(rows(r).getLong(1))) += 1; r += 1 }
+      val off = new Array[Int](n + 1)
+      var v = 0
+      while (v < n) { off(v + 1) = off(v) + deg(v); v += 1 }
+      val fill = java.util.Arrays.copyOf(off, n)
+      val nbr = new Array[Int](m)
+      r = 0
+      while (r < m) {
+        val d = idx.get(rows(r).getLong(1))
+        nbr(fill(d)) = idx.get(rows(r).getLong(0))
+        fill(d) += 1; r += 1
+      }
+      var labels = ids.toArray
+      var i = 0
+      var converged = false
+      while (!converged && i < maxIter) {
+        // (a) neighbor-min hop along the self-looped edges
+        val hop = new Array[Long](n)
+        v = 0
+        while (v < n) {
+          var mn = labels(v) // the self-loop
+          var e = off(v)
+          while (e < off(v + 1)) {
+            val l = labels(nbr(e)); if (l < mn) mn = l; e += 1
+          }
+          hop(v) = mn; v += 1
+        }
+        // (b) pointer jump: l <- min(l, l(l)); labels are edge-node ids
+        val next = new Array[Long](n)
+        var changed = false
+        v = 0
+        while (v < n) {
+          val h = hop(v)
+          // labels only take edge-node id values, so h is always present;
+          // getOrDefault (NOT get: a missing boxed key unboxes to 0)
+          // mirrors the loop's left-join + coalesce defensiveness
+          val j = idx.getOrDefault(h, -1)
+          val nl = if (j >= 0 && hop(j) < h) hop(j) else h
+          next(v) = nl
+          if (nl != labels(v)) changed = true
+          v += 1
+        }
+        labels = next
+        i += 1
+        // sum-equality convergence == "no label changed" (labels only
+        // decrease), with the loop's vacuous round-1 comparison skipped
+        converged = i >= 2 && !changed
+        lap(s"round $i (driver)")
+      }
+      lastCcRounds = i
+      if (debug)
+        System.err.println(s"[cc] converged after $i rounds (driver arm, maxIter $maxIter)")
+      if (!converged) {
+        val msg = s"connectedComponents did NOT converge after $maxIter rounds: " +
+          "labels are partial propagation, not components. Raise maxIter " +
+          "(rounds needed ~ log2(component diameter))."
+        if (failOnNonConvergence) throw new IllegalStateException(msg)
+        System.err.println(s"[cc] WARNING: $msg")
+      }
+      val sp = nodes.sparkSession
+      import sp.implicits._
+      val labelRows = ids.indices.map(k => (ids(k), labels(k)))
+      val labelDf = sp.createDataset(labelRows).toDF("id", "component")
+      return nodes.select(col(idCol).as("id"))
+        .join(broadcast(labelDf.select(col("id"), col("component").as("__c"))),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__c"), col("id")).as("component"))
+    }
     // Iterative-loop discipline: EAGER localCheckpoint each round. Chained
     // persist/unpersist is a trap here — unpersisting round k's frame
     // invalidates the cached plan round k+1 was built over, and every

@@ -332,6 +332,29 @@ class DedupSpec extends AnyFunSuite {
     assert(partial.length == n)
   }
 
+  test("connectedComponents driver arm equals the distributed loop on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    val n = 80L
+    val nodes = (1L to n).toDF("id")
+    // random sparse graph: chains, triangles, isolated nodes
+    val es = Seq.fill(60)((1L + rnd.nextInt(n.toInt), 1L + rnd.nextInt(n.toInt)))
+      .filter { case (a, b) => a != b }
+    val edges = es.toDF("a", "b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(nodes, "id", edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run() // default conf: small edge set takes the driver arm
+    val driverRounds = Dedup.lastCcRounds
+    spark.conf.set("graft.cc.driverMaxEdges", "0") // force the loop
+    val (viaLoop, loopRounds) =
+      try (run(), Dedup.lastCcRounds)
+      finally spark.conf.unset("graft.cc.driverMaxEdges")
+    assert(viaDriver === viaLoop)
+    assert(driverRounds === loopRounds,
+      s"round recurrence diverged: driver $driverRounds vs loop $loopRounds")
+  }
+
   test("connectedComponents with reliable checkpointing matches the local-checkpoint result") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
