@@ -156,6 +156,70 @@ object Graph {
     val n = m.n
     val base = (Scale * (100 - dampNum) / 100) / n
     val outdeg = m.outdeg
+    // DATA-ADAPTIVE driver arm (r19, guide §1.2 step 1; the same
+    // adaptive discipline as the broadcast/shuffle arm choice below and
+    // Dedup.connectedComponents' small-edge arm): every iteration of
+    // the distributed loop is a join + groupBy + join — at bench scale
+    // that is per-iteration job scheduling, not compute (the c8/c32
+    // ratio of this gate is ~1.0). The update rule is INTEGER-scaled
+    // and order-free, so when the graph fits on the driver (node count
+    // and summed out-degree both <= the `graft.pagerank.driverMaxEdges`
+    // session conf, default 4M — 64 MB of edge longs, the same order as
+    // the broadcast arm's build side), the same recurrence over local
+    // arrays is bit-identical by construction. Larger graphs take the
+    // loop exactly as before.
+    val driverMaxEdges =
+      e.sparkSession.conf.get("graft.pagerank.driverMaxEdges", "4000000").toLong
+    if (n <= driverMaxEdges) {
+      val od = outdeg.select(col("src"), col("outdeg")).collect()
+      var mEdges = 0L
+      od.foreach(r => mEdges += r.getLong(1))
+      if (mEdges <= driverMaxEdges) {
+        val nn = od.length
+        val ids = new Array[Long](nn)
+        val deg = new Array[Long](nn)
+        val idx = new java.util.HashMap[Long, Int](nn * 2)
+        var k = 0
+        while (k < nn) {
+          ids(k) = od(k).getLong(0); deg(k) = od(k).getLong(1)
+          idx.put(ids(k), k); k += 1
+        }
+        val sp0 = e.sparkSession
+        import sp0.implicits._
+        // tuple encoder, not Row collect: the deserializer is codegen'd
+        // and the transient footprint stays near the raw 16 B/edge
+        val es = e.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        val srcI = new Array[Int](es.length)
+        val dstI = new Array[Int](es.length)
+        k = 0
+        while (k < es.length) {
+          srcI(k) = idx.get(es(k)._1) // src set == outdeg key set
+          // a dst outside the src set contributes to no ranked node —
+          // the loop's left join drops it the same way
+          dstI(k) = idx.getOrDefault(es(k)._2, -1)
+          k += 1
+        }
+        var rank = Array.fill(nn)(Scale / n)
+        for (_ <- 1 to iterations) {
+          val contrib = new Array[Long](nn)
+          k = 0
+          while (k < nn) { contrib(k) = rank(k) / deg(k); k += 1 }
+          val mass = new Array[Long](nn)
+          k = 0
+          while (k < es.length) {
+            val d = dstI(k)
+            if (d >= 0) mass(d) += contrib(srcI(k))
+            k += 1
+          }
+          val next = new Array[Long](nn)
+          k = 0
+          while (k < nn) { next(k) = base + mass(k) * dampNum / 100; k += 1 }
+          rank = next
+        }
+        return sp0.createDataset(ids.indices.map(k => (ids(k), rank(k))))
+          .toDF("id", "rank_scaled")
+      }
+    }
     // The rank state CARRIES outdeg (static per node, node set ==
     // outdeg key set by materialize): the per-iteration contribution is
     // then a map-side projection instead of a rank⋈outdeg join — one

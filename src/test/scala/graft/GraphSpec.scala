@@ -45,13 +45,34 @@ class GraphSpec extends AnyFunSuite {
     assert(r.length == 1, s"vertex-transitive graph got uneven ranks: ${r.toSeq}")
   }
 
+  /** Run `body` with the driver arm disabled so the distributed loop's
+    * plan shape is what's under test.
+    */
+  private def withLoopArm[A](body: => A): A = {
+    spark.conf.set("graft.pagerank.driverMaxEdges", "0")
+    try body finally spark.conf.unset("graft.pagerank.driverMaxEdges")
+  }
+
+  test("driver arm (small graph) is bit-identical to the distributed loop") {
+    val m = Graph.materialize(edges)
+    val viaDriver = Graph.pageRank(m, iterations = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    val viaLoop = withLoopArm {
+      Graph.pageRank(m, iterations = 5)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+    }
+    assert(viaDriver == viaLoop)
+  }
+
   test("shuffle-join arm (above the broadcast cap) is bit-identical to the broadcast arm") {
     val m = Graph.materialize(edges)
-    val small = Graph.pageRank(m, iterations = 5)
-      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
-    val big = Graph.pageRank(m, iterations = 5, broadcastMaxNodes = 0L)
-      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
-    assert(small == big)
+    withLoopArm {
+      val small = Graph.pageRank(m, iterations = 5)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+      val big = Graph.pageRank(m, iterations = 5, broadcastMaxNodes = 0L)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+      assert(small == big)
+    }
   }
 
   test("above the node cap no broadcast hint enters the contribution join") {
@@ -62,12 +83,14 @@ class GraphSpec extends AnyFunSuite {
         case j: Join => Seq(j.hint.leftHint, j.hint.rightHint).flatten
       }.flatten
     val m = Graph.materialize(edges)
-    val below = Graph.pageRank(m, iterations = 1)
-    assert(hints(below).exists(_.strategy.isDefined),
-      "below the cap the rank table should carry the broadcast hint")
-    val above = Graph.pageRank(m, iterations = 1, broadcastMaxNodes = 0L)
-    assert(!hints(above).exists(_.strategy.isDefined),
-      "above the cap no join may be hinted broadcast — the rank table is node-sized")
+    withLoopArm {
+      val below = Graph.pageRank(m, iterations = 1)
+      assert(hints(below).exists(_.strategy.isDefined),
+        "below the cap the rank table should carry the broadcast hint")
+      val above = Graph.pageRank(m, iterations = 1, broadcastMaxNodes = 0L)
+      assert(!hints(above).exists(_.strategy.isDefined),
+        "above the cap no join may be hinted broadcast — the rank table is node-sized")
+    }
   }
 
   test("pinned layout (big-graph arm) is bit-identical and keeps the pinned partitioning") {
@@ -93,12 +116,14 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(exchanges.isEmpty,
       s"src-keyed agg over pinned edges re-shuffled: ${agg.queryExecution}")
-    for (arm <- Seq(4000000L, 0L)) {
-      val a = Graph.pageRank(pinned, iterations = 4, broadcastMaxNodes = arm)
-        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
-      val b = Graph.pageRank(free, iterations = 4, broadcastMaxNodes = arm)
-        .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
-      assert(a == b, s"pinned vs free layout diverged on arm $arm")
+    withLoopArm {
+      for (arm <- Seq(4000000L, 0L)) {
+        val a = Graph.pageRank(pinned, iterations = 4, broadcastMaxNodes = arm)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+        val b = Graph.pageRank(free, iterations = 4, broadcastMaxNodes = arm)
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1).toSeq
+        assert(a == b, s"pinned vs free layout diverged on arm $arm")
+      }
     }
   }
 
