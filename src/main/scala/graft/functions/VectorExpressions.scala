@@ -1554,6 +1554,57 @@ object SpanKernel {
     }
     acc
   }
+
+  /** Sliding token-window chunks — the compiled twin of the
+    * transform(sequence)/slice/array_join HOF chunker: case-PRESERVING
+    * whitespace tokens (split(text, "\\s+") with "" removed), one
+    * struct(chunk_idx, chunk, n_tokens) per window of `w` tokens every
+    * `s` tokens, last chunk to the doc end, short docs one chunk, empty
+    * docs none. Same single-space rejoin, same int fields.
+    */
+  def chunkWindows(text: UTF8String, w: Int, s: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val nc = if (n <= w) 1 else (n - w + s - 1) / s + 1
+    val out = new Array[Any](nc)
+    var i = 0
+    while (i < nc) {
+      val start = i * s
+      val end = Math.min(start + w, n)
+      val sb = new java.lang.StringBuilder(toks(start))
+      var j = start + 1
+      while (j < end) { sb.append(' ').append(toks(j)); j += 1 }
+      out(i) = new GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(sb.toString), end - start))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Sliding token-window chunking in one compiled pass per document. */
+case class ChunkWindows(child: Expression, w: Int, s: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_windows"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"chunk_windows expects string, got ${dt.catalogString}")
+  }
+  protected override def nullSafeEval(input: Any): Any =
+    SpanKernel.chunkWindows(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, s)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SpanKernel.chunkWindows($a, $w, $s);")
+  override protected def withNewChildInternal(c: Expression): ChunkWindows =
+    copy(child = c)
 }
 
 /** Gaps-and-islands span merge over collected hit positions. */

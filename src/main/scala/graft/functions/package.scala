@@ -190,6 +190,13 @@ package object functions {
   def strip_spans(text: Column, spans: Column): Column =
     Bridge.column(StripSpans(Bridge.expression(text), Bridge.expression(spans)))
 
+  /** Sliding token-window chunks (case-preserving whitespace tokens):
+    * array<struct<chunk_idx, chunk, n_tokens>> — one compiled pass per
+    * document.
+    */
+  def chunk_windows(text: Column, window: Int, stride: Int): Column =
+    Bridge.column(ChunkWindows(Bridge.expression(text), window, stride))
+
   /** LSH bucket candidate-pair generator: emits (a_id, b_id) pairs from
     * one id-sorted bucket array<struct<id, pref array<bigint>>> whose
     * first colliding band is this bucket's (no earlier band-key prefix

@@ -39,18 +39,12 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     require(stride >= 1 && stride <= window,
       s"stride must be in [1, window], got $stride (window $window)")
-    val toks = array_remove(split(col(textCol), "\\s+"), "")
-    val n = size(toks)
-    val nchunks = when(n <= 0, lit(0)).when(n <= window, lit(1))
-      .otherwise(ceil((n - lit(window)).cast(DoubleType) / lit(stride))
-        .cast(IntegerType) + lit(1))
-    val chunks = filter(
-      transform(sequence(lit(0), greatest(nchunks - 1, lit(0))), i =>
-        struct(i.as("chunk_idx"),
-          array_join(slice(toks, i * stride + 1, lit(window)), " ").as("chunk"),
-          least(lit(window), n - i * stride).as("n_tokens"))),
-      c => c.getField("chunk_idx") < nchunks)
-    df.select(col(idCol), explode(chunks).as("__c"))
+    // one compiled pass per document (graft.functions.ChunkWindows): the
+    // former transform(sequence)/slice/array_join chain interpreted its
+    // lambda per CHUNK — same windows, same single-space rejoin, same
+    // (chunk_idx, chunk, n_tokens) ints, same 0/1-chunk edge cases
+    df.select(col(idCol),
+        explode(chunk_windows(col(textCol), window, stride)).as("__c"))
       .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
         col("__c.chunk").as("chunk"), col("__c.n_tokens").as("n_tokens"))
   }
