@@ -470,13 +470,25 @@ object Dedup {
     // onto one (measured 2.5x slower as a groupBy at sf0.1). The join
     // recomputes the banded subplan per side — one extra map-side
     // signature pass, the lesser evil.
+    // first-colliding-band emission instead of distinct() (r19, the
+    // bucketPairs trick, directly on the signatures): a pair meeting at
+    // band t was co-bucketed at every earlier band whose chunks match,
+    // so keeping only rows with NO earlier chunk equal emits each pair
+    // exactly once — the distinct's full pair-volume exchange is gone.
+    // Statically unrolled shifts over (a_sim, b_sim); all codegen.
+    val earlier = (0 until bands - 1).map(u =>
+      col("band") > u &&
+        shiftrightunsigned(col("a_sim"), u * bitsPerBand).bitwiseAND(lit(mask)) ===
+        shiftrightunsigned(col("b_sim"), u * bitsPerBand).bitwiseAND(lit(mask)))
+      .reduceOption(_ || _).getOrElse(lit(false))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+      .select(col("a.band").as("band"),
+        col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.simhash").as("a_sim"), col("b.simhash").as("b_sim"))
-      .distinct()
+      .filter(!earlier)
       .withColumn("hamming", hamming64(col("a_sim"), col("b_sim")))
       .filter(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming"))
