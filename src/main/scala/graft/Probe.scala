@@ -29,55 +29,39 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    // r19: dedup_embedding_lsh stage decomposition
-    val e = Tables.load(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast(ArrayType(DoubleType)).as("v"))
-    def emb() = e.union(e.filter(col("vec_id") % 5 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
-        transform(col("v"), x => x * lit(0.99)).as("v")))
-    val nbits = 16; val bands = 4; val r = nbits / bands
-    val mask = (1L << r) - 1
-    def base() = emb().select(col("vec_id").as("id"), col("v"))
-      .filter(col("v").isNotNull)
-    def sigs() = graft.ops.Ann.lshBuckets(base(), "v", 64, nbits, 42L)
-    def banded() = sigs().select(col("id"),
-      array((0 until bands).map(b =>
-        shiftright(col("bucket"), b * r).bitwiseAND(lit(mask))): _*).as("keys"))
-      .select(col("id"), col("keys"),
-        posexplode(col("keys")).as(Seq("band", "bandkey")))
-    def buckets() = banded().groupBy(col("band"), col("bandkey"))
-      .agg(sort_array(collect_list(struct(col("id"), col("keys")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-    def cands() = {
-      val xs = col("xs")
-      val exploded = buckets()
-        .select(col("band"), explode(flatten(transform(xs, (a, i) =>
-          transform(slice(xs, i + lit(2), size(xs)),
-            b => struct(a.getField("id").as("a_id"),
-              b.getField("id").as("b_id"), a.getField("keys").as("__ak"),
-              b.getField("keys").as("__bk")))))).as("p"))
-      val earlier = (0 until bands - 1).map(b =>
-        col("band") > b &&
-          element_at(col("p.__ak"), b + 1) === element_at(col("p.__bk"), b + 1))
-        .reduce(_ || _)
-      exploded.filter(!earlier).select(col("p.a_id"), col("p.b_id"))
-    }
-    def candsNew() = banded()
-      .select(col("id"), slice(col("keys"), lit(1), col("band")).as("pref"),
-        col("band"), col("bandkey"))
-      .groupBy(col("band"), col("bandkey"))
-      .agg(sort_array(collect_list(struct(col("id"), col("pref")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(graft.functions.first_band_pairs(col("xs")).as(Seq("a_id", "b_id")))
-    def full() = graft.ops.Dedup.embeddingNearDupLsh(emb(), "vec_id", "v",
-      threshold = 0.999)
+    // r19 SCALING PROBE (VERDICT item 7): 16x-replicated corpus, run at
+    // SPARK_GRAFT_CPUS=32 then 8 — a c8/c32 ratio near 1 on 16x data
+    // means the gate is still overhead-bound, not operator-bound.
+    val N = sys.env.getOrElse("SPARK_GRAFT_REPL", "16").toInt
+    val d0 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val docsN = (0 until N).map(i => d0.select(
+      (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      col("text"), col("lang"), col("source"))).reduce(_ union _)
+      .localCheckpoint()
+    val e0 = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("props"))
+    val eventsN = (0 until N).map(i => e0.select(
+      (col("event_id") + lit(i * 100000000L)).as("event_id"),
+      col("props"))).reduce(_ union _).localCheckpoint()
     val variants: Seq[(String, () => DataFrame)] = Seq(
-      "cands_old" -> (() => cands()),
-      "cands_new" -> (() => candsNew()),
-      "full" -> (() => full())
+      "dup_ngram_top" -> (() => graft.ops.TextAnalysis
+        .topDuplicatedNgrams(docsN, "text", n = 5, k = 20)),
+      "span_stats" -> (() => graft.ops.Dedup
+        .spanStats(docsN, "doc_id", "text")),
+      "tfidf_topk" -> (() => graft.ops.TextAnalysis
+        .tfidfTopTerms(docsN, "doc_id", "text", perDoc = 3)),
+      "unigram_logprob" -> (() => graft.ops.TextAnalysis
+        .unigramLogProb(docsN, "doc_id", "text")),
+      "cc_minhash" -> (() => graft.ops.Dedup
+        .dedupClustersMinhash(docsN, "doc_id", "text", threshold = 0.8)),
+      "json_surface" -> (() => eventsN
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, StringType)).as("__m"))
+        .select(col("event_id"),
+          array_join(map_keys(col("__m")), ",").as("ks"),
+          size(map_keys(col("__m"))).as("n_keys")))
     )
-    println(s"[probe] n_cands=${candsNew().count()}  n_out=${full().count()}")
 
     variants.foreach { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
